@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Core data model for the graft SCD2 sync engine.
+  *
+  * Mirrors the reference's abstractions (see SURVEY.md §1):
+  *  - ColInfo        ≈ InformationSchemaColInfo (reference metadata.py:54-71)
+  *  - WriteConfig    ≈ WriteConfig dataclass (reference write_init.py:64-104)
+  *  - LoadMode       ≈ the six load modes (reference db_to_delta.py:220-260)
+  *  - LoadResult     ≈ load_result.py:4-40 ADT
+  */
+
+/** Column metadata. Spark's StructField has no identity/generated bits, so we
+  * wrap it (reference metadata.py:54-71). */
+final case class ColInfo(
+    name: String,
+    dataType: DataType,
+    nullable: Boolean = true,
+    isIdentity: Boolean = false,
+    isRowStart: Boolean = false) {
+  def field: StructField = StructField(name, dataType, nullable)
+}
+
+object ColInfo {
+  def fromSchema(schema: StructType): Seq[ColInfo] =
+    schema.fields.toSeq.map(f => ColInfo(f.name, f.dataType, f.nullable))
+}
+
+/** The six load strategies (reference db_to_delta.py:220-260). */
+sealed trait LoadMode
+object LoadMode {
+  case object Overwrite extends LoadMode // always full load, overwrite target
+  case object Append extends LoadMode // default: full first, then delta algorithm
+  case object ForceFull extends LoadMode // full load appended
+  case object AppendInserts extends LoadMode // insert-only sources (log tables)
+  case object SimpleDelta extends LoadMode // delta w/o delete & strange-update handling
+  case object SimpleDeltaCheck extends LoadMode // SimpleDelta + count check → full delta
+}
+
+/** Schema drift policy (reference write_init.py:101, allow_schema_drift). */
+sealed trait SchemaDrift
+object SchemaDrift {
+  case object None extends SchemaDrift
+  case object NewOnly extends SchemaDrift // default: append brand-new cols only
+  case object Full extends SchemaDrift // mergeSchema + type widening
+}
+
+/** Sync configuration (reference write_init.py:64-104).
+  *
+  * @param primaryKeys    explicit pk column names (source names); empty ⇒
+  *                       discovered from source metadata, or no-pk ⇒ always full
+  * @param deltaCol       monotonic watermark column (source name); None ⇒
+  *                       auto-detect (identity / row-start), else full loads only
+  * @param dataTypeMap    per-source-type cast map applied at ingest
+  *                       (reference write_init.py:29-38 defaults)
+  * @param getTargetName  rename policy (reference write_init.py:95-99)
+  * @param inlineJoinThreshold  max "strange update" pks fetched via broadcast
+  *                       join before falling back to watermark re-scan
+  *                       (reference db_to_delta.py:1105-1107, default 1000)
+  */
+final case class WriteConfig(
+    loadMode: LoadMode = LoadMode.Append,
+    primaryKeys: Seq[String] = Nil,
+    deltaCol: Option[String] = None,
+    dataTypeMap: Map[String, DataType] = WriteConfig.defaultTypeMap,
+    noTrim: Boolean = false,
+    allowSchemaDrift: SchemaDrift = SchemaDrift.NewOnly,
+    noComplexEntriesLoad: Boolean = false,
+    inlineJoinThreshold: Long = 1000L,
+    getTargetName: ColInfo => String = Naming.compatName)
+
+object WriteConfig {
+  /** Reference default map (write_init.py:29-38): rowversion→BIGINT,
+    * tinyint→SMALLINT ("tinyint is unsigned in T-SQL"). Keyed by lower-case
+    * source type name; in the parquet harness types are already Spark types,
+    * so this mostly matters for the JDBC path. */
+  val defaultTypeMap: Map[String, DataType] = Map(
+    "rowversion" -> LongType,
+    "timestamp" -> LongType, // tsql rowversion alias
+    "tinyint" -> ShortType)
+}
+
+/** System columns the engine appends to every SCD2 row
+  * (reference write_init.py:22-24). */
+object SystemCols {
+  val timestamp = "__timestamp"
+  val isDeleted = "__is_deleted"
+  val isFullLoad = "__is_full_load"
+  val all: Seq[String] = Seq(timestamp, isDeleted, isFullLoad)
+}
+
+/** Result ADT (reference load_result.py:4-40). */
+sealed trait LoadResult
+object LoadResult {
+  final case class FullLoad(rows: Long) extends LoadResult
+  final case class DeltaLoad(inserts: Long, strange: Long, deletes: Long, dirty: Boolean)
+      extends LoadResult
+  final case class AppendOnly(rows: Long) extends LoadResult
+  case object NoLoad extends LoadResult
+}
+
+/** Name mangling: characters Spark dislikes in column names → '_'
+  * (reference write_init.py:41-46). */
+object Naming {
+  private val bad = Set(' ', ',', ';', '{', '}', '(', ')', '\n', '\t', '=')
+  def compatName(c: ColInfo): String = compat(c.name)
+  def compat(name: String): String = name.map(ch => if (bad(ch)) '_' else ch)
+}

@@ -1,0 +1,463 @@
+package graft.scd2
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft._
+import graft.sources.{Source, SourceState}
+import graft.store.{SchemaEvolution, VersionedTable}
+
+/** Destination layout — the SCD2 history plus the four auxiliary snapshot
+  * tables (reference write_init.py:49-61). */
+final class SyncDestination(spark: SparkSession, val root: String) {
+  val delta = new VersionedTable(spark, s"$root/delta")
+  val delta1 = new VersionedTable(spark, s"$root/delta_load/delta_1")
+  val delta2 = new VersionedTable(spark, s"$root/delta_load/delta_2")
+  val primaryKeysTs = new VersionedTable(spark, s"$root/delta_load/primary_keys_ts")
+  val latestPkVersion = new VersionedTable(spark, s"$root/delta_load/latest_pk_version")
+
+  private def metaDir = { val p = Paths.get(root, "meta"); Files.createDirectories(p); p }
+  private def lockPath = metaDir.resolve("lock.txt")
+
+  /** Lock with 1-hour staleness takeover (reference db_to_delta.py:218-229). */
+  def acquireLock(staleAfterSec: Long = 3600): Unit = {
+    if (Files.exists(lockPath)) {
+      val ageSec = (System.currentTimeMillis() -
+        Files.getLastModifiedTime(lockPath).toMillis) / 1000
+      if (ageSec > staleAfterSec) Files.delete(lockPath)
+      else throw new IllegalStateException(s"destination $root is locked (lock.txt age ${ageSec}s)")
+    }
+    Files.writeString(lockPath, "")
+  }
+  def releaseLock(): Unit = Files.deleteIfExists(lockPath)
+
+  /** Schema snapshot persisted each run (reference db_to_delta.py:187-200). */
+  def writeSchemaJson(cols: Seq[ColInfo], cfg: WriteConfig): Unit = {
+    val fields = cols.map { c =>
+      StructField(cfg.getTargetName(c), Projection.targetType(c, cfg), nullable = true)
+    }
+    Files.writeString(metaDir.resolve("schema.json"), StructType(fields).prettyJson)
+  }
+
+  def vacuumAux(): Unit =
+    Seq(delta1, delta2, primaryKeysTs, latestPkVersion).foreach(_.vacuum())
+}
+
+/** The sync engine: maintains an SCD2 history of `source` at `destRoot`.
+  * One instance per (source, destination); `execute()` is one run — the
+  * Spark-native re-expression of the reference's
+  * `write_db_to_delta(...).execute()` (reference __init__.py:14-25,
+  * db_to_delta.py:178-286).
+  *
+  * All relational work is declared through the DataFrame API (anti joins,
+  * EXCEPT, window dedup, unions) and optimized by Catalyst; the reference's
+  * generated-SQL string layer disappears entirely.
+  */
+final class Synchronizer(
+    spark: SparkSession,
+    source: Source,
+    destRoot: String,
+    cfg: WriteConfig = WriteConfig()) {
+
+  val dest = new SyncDestination(spark, destRoot)
+
+  // ------------------------------------------------------------ resolution
+  // (reference write_init.py:144-167,262-286 make_writer "analysis phase")
+
+  val cols: Seq[ColInfo] = source.columns(spark)
+  val pkCols: Seq[ColInfo] = {
+    val declared = source.primaryKeys(spark).map(_.toLowerCase).toSet
+    cols.filter(c => declared(c.name.toLowerCase))
+  }
+  val deltaCol: Option[ColInfo] = cfg.deltaCol match {
+    case Some(name) => cols.find(_.name.equalsIgnoreCase(name)).orElse(
+      throw new IllegalArgumentException(s"delta column $name not in source"))
+    case None =>
+      // auto-detect: a generated row-start col, else an identity col for
+      // append_inserts (reference write_init.py:144-167, db_to_delta.py:236-243)
+      cols.find(_.isRowStart).orElse(
+        if (cfg.loadMode == LoadMode.AppendInserts && pkCols.size == 1 && pkCols.head.isIdentity)
+          Some(pkCols.head)
+        else None)
+  }
+
+  def targetName(c: ColInfo): String = cfg.getTargetName(c)
+  val targetPks: Seq[String] = pkCols.map(targetName)
+  val targetDelta: Option[String] = deltaCol.map(targetName)
+  /** (pks..., delta_col) — the shape of every snapshot table. */
+  private def pkd: Seq[String] = targetPks ++ targetDelta.toSeq
+
+  private def srcProjected: DataFrame =
+    Projection.select(source.read(spark), cols, cfg)
+
+  /** Engine clock, strictly monotonic per JVM: SCD2 ordering relies on
+    * `__timestamp` strictly increasing across load steps even when steps run
+    * within one millisecond. */
+  private def nowTs: java.sql.Timestamp = new java.sql.Timestamp(Synchronizer.nextMillis())
+
+  // --------------------------------------------------------------- dispatch
+
+  /** One sync run (reference db_to_delta.py:178-286). */
+  def execute(): LoadResult = {
+    dest.acquireLock()
+    val pkVersionBefore = if (dest.latestPkVersion.exists) dest.latestPkVersion.latestVersion else None
+    try {
+      dest.writeSchemaJson(cols, cfg)
+      val result =
+        if (!dest.delta.exists || cfg.loadMode == LoadMode.Overwrite)
+          fullLoad(overwriteTarget = true)
+        else cfg.loadMode match {
+          case LoadMode.AppendInserts => appendInserts()
+          case _ if deltaCol.isEmpty || pkCols.isEmpty || cfg.loadMode == LoadMode.ForceFull =>
+            fullLoad(overwriteTarget = false)
+          case LoadMode.SimpleDelta => simpleDelta(check = false)
+          case LoadMode.SimpleDeltaCheck => simpleDelta(check = true)
+          case _ => deltaLoad()
+        }
+      dest.vacuumAux()
+      result
+    } catch {
+      case e: Throwable =>
+        // rollback: restore latest_pk_version to its pre-run version
+        // (reference db_to_delta.py:269-286)
+        pkVersionBefore.foreach { v =>
+          if (dest.latestPkVersion.latestVersion.exists(_ > v)) dest.latestPkVersion.restore(v)
+        }
+        throw e
+    } finally dest.releaseLock()
+  }
+
+  // -------------------------------------------------------------- full load
+
+  /** Full load (reference db_to_delta.py:1254-1326): project + system cols,
+    * write history, rebuild latest_pk_version from the new snapshot (P8). */
+  def fullLoad(overwriteTarget: Boolean): LoadResult = {
+    val ts = nowTs
+    val proj = Projection.withSystemCols(
+      srcProjected, isDeleted = false, isFullLoad = true, ts = lit(ts))
+    if (overwriteTarget) dest.delta.overwrite(proj)
+    else dest.delta.append(proj, cfg.allowSchemaDrift)
+    if (pkCols.nonEmpty && deltaCol.nonEmpty) writeLatestPkFromFull()
+    LoadResult.FullLoad(dest.delta.read()
+      .filter(col(SystemCols.timestamp) === lit(ts)).count())
+  }
+
+  /** latest_pk_version ← rows of the newest full-load snapshot
+    * (P8/A6, reference db_to_delta.py:1290-1325). */
+  private def writeLatestPkFromFull(): Unit = {
+    val hist = dest.delta.read()
+    val maxFull = hist.filter(col(SystemCols.isFullLoad))
+      .agg(max(col(SystemCols.timestamp))).head().get(0)
+    val snap = hist
+      .filter(col(SystemCols.isFullLoad) && col(SystemCols.timestamp) === lit(maxFull))
+      .select(pkd.map(col): _*)
+    dest.latestPkVersion.overwrite(snap)
+  }
+
+  // ------------------------------------------------------------- delta load
+
+  /** A1: local (MAX(delta_col), COUNT) from the last pk snapshot, falling back
+    * to the history table (reference load_infos.py:11-41). */
+  def localState(): SourceState = {
+    val t = if (dest.primaryKeysTs.exists) dest.primaryKeysTs.read() else dest.delta.read()
+    val dc = targetDelta.get
+    val row = t.agg(max(col(dc)).as("m"), count(lit(1)).as("c")).head()
+    SourceState(row.get(0), row.getLong(1))
+  }
+
+  /** A2: same pair against the source (reference load_infos.py:44-70). */
+  def sourceState(): SourceState = {
+    val c = deltaCol.get
+    source.state(spark, Projection.sourceConvert(c, cfg))
+  }
+
+  /** The default delta algorithm, steps 1–4 (reference db_to_delta.py:483-692;
+    * SURVEY.md §3.2). */
+  def deltaLoad(): LoadResult = {
+    // pre-checks ---------------------------------------------------------
+    if (schemaDriftForcesFull()) return fullLoad(overwriteTarget = false)
+    if (!dest.latestPkVersion.exists) {
+      if (!restoreLastPk()) return fullLoad(overwriteTarget = false)
+    }
+    val persistedPkCols = dest.latestPkVersion.schema.fieldNames.map(_.toLowerCase).toSet
+    if (persistedPkCols != pkd.map(_.toLowerCase).toSet)
+      return fullLoad(overwriteTarget = false) // pk set changed (db_to_delta.py:534-542)
+
+    val oldPkVersion = dest.latestPkVersion.requireVersion
+    val local = localState()
+    val src = sourceState()
+    if (src.sameAs(local)) return LoadResult.NoLoad // short-circuit (db_to_delta.py:560-566)
+
+    val dc = targetDelta.get
+
+    // step 1: pk+delta snapshot of the source (db_to_delta.py:575-579,862-890)
+    dest.primaryKeysTs.overwrite(
+      source.read(spark).select((pkCols ++ deltaCol.toSeq).map(Projection.sourceConvert(_, cfg)): _*))
+
+    // step 2: rows with delta_col beyond the local watermark → delta_1 →
+    // append to history (db_to_delta.py:584-610)
+    val updates = Projection.withSystemCols(
+      Option(local.deltaMax).map(v => srcProjected.filter(col(dc) > lit(v))).getOrElse(srcProjected),
+      isDeleted = false, isFullLoad = false, ts = lit(nowTs))
+    dest.delta1.overwrite(updates)
+    val inserts = dest.delta1.read().count()
+    if (inserts > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
+
+    // step 3: out-of-band ("strange") updates (db_to_delta.py:995-1184)
+    val (strangeCount, newWatermark) = handleAdditionalUpdates(oldPkVersion, local.deltaMax)
+    val upperBound = newWatermark.orElse(Option(local.deltaMax))
+
+    // step 3.5: deletes (db_to_delta.py:620-629,749-859)
+    val deletes = doDeletes(oldPkVersion)
+
+    // step 4: persist latest_pk_version (db_to_delta.py:630-639,289-460)
+    dest.latestPkVersion.overwrite(latestPkQuery(upperBound))
+
+    // final count check (db_to_delta.py:641-658)
+    val targetCount = dest.latestPkVersion.read().count()
+    val dirty = targetCount != src.count
+    LoadResult.DeltaLoad(inserts, strangeCount, deletes, dirty)
+  }
+
+  /** True when the source grew columns the target lacks → full load
+    * (reference db_to_delta.py:496-508); incompatible type changes raise per
+    * drift policy (test_11_schema_drift.py:89-102). */
+  private def schemaDriftForcesFull(): Boolean = {
+    val target = dest.delta.schema
+    val targetLower = target.fieldNames.map(_.toLowerCase).toSet
+    val incoming = cols.map(c =>
+      StructField(targetName(c), Projection.targetType(c, cfg), nullable = true))
+    // raises on incompatible change:
+    incoming.filter(f => targetLower(f.name.toLowerCase)).foreach { f =>
+      val old = target.fields.find(_.name.equalsIgnoreCase(f.name)).get
+      if (old.dataType != f.dataType) cfg.allowSchemaDrift match {
+        case SchemaDrift.None => throw new IllegalArgumentException(
+          s"schema drift disabled: ${f.name} ${old.dataType.simpleString} → ${f.dataType.simpleString}")
+        case _ => SchemaEvolution.widen(old.dataType, f.dataType) // raises if not widenable
+      }
+    }
+    incoming.exists(f => !targetLower(f.name.toLowerCase))
+  }
+
+  /** Step 3 (reference db_to_delta.py:995-1184 `_handle_additional_updates`).
+    * Returns (strange-row count, optional new watermark for step 4).
+    *
+    * "Strange" rows changed without moving the delta column forward (e.g.
+    * restore-from-backup): (pk, delta_col) tuples in the fresh snapshot that
+    * are neither in the old latest_pk_version (EXCEPT) nor already captured
+    * by step 2 (EXCEPT on pks vs delta_1).
+    *
+    * Small sets fetch full rows via a broadcast inner join against the
+    * source (the Spark-native form of the reference's OPENJSON literal-set
+    * join, db_to_delta.py:907-992 — no 7000-char SQL chunking needed); large
+    * sets fall back to a watermark re-scan from MIN(delta_col)
+    * (db_to_delta.py:1105-1146). */
+  private def handleAdditionalUpdates(oldPkVersion: Long, localMax: Any): (Long, Option[Any]) = {
+    val dc = targetDelta.get
+    val lastPk = dest.latestPkVersion.readVersion(oldPkVersion)
+    val additional = dest.primaryKeysTs.read().select(pkd.map(col): _*)
+      .except(lastPk.select(pkd.map(col): _*))
+    val realAdditional = additional.select(targetPks.map(col): _*)
+      .except(dest.delta1.read().select(targetPks.map(col): _*))
+      .cache()
+    try {
+      val updateCount = realAdditional.count()
+      if (updateCount == 0) {
+        dest.delta2.overwrite(emptyLike(dest.delta1.read()))
+        (0L, scala.None)
+      } else if (updateCount > cfg.inlineJoinThreshold || cfg.noComplexEntriesLoad) {
+        // fallback: re-scan everything from the smallest strange delta value.
+        // delta_1 is overwritten with the full re-scan (> min) so the
+        // latest-pk union's delta_1 branch stays complete; only the slice the
+        // step-2 load did NOT already append (≤ step-2 watermark) is appended
+        // to history. (Divergence from the reference, which re-appends the
+        // step-2 rows as duplicate history versions — db_to_delta.py:1105-1146.)
+        dest.delta2.overwrite(emptyLike(dest.delta1.read()))
+        val minTs = additional.agg(min(col(dc))).head().get(0)
+        val rescan = Projection.withSystemCols(
+          srcProjected.filter(col(dc) > lit(minTs)),
+          isDeleted = false, isFullLoad = false, ts = lit(nowTs))
+        dest.delta1.overwrite(rescan)
+        val toAppend = Option(localMax).map(v =>
+          dest.delta1.read().filter(col(dc) <= lit(v))).getOrElse(dest.delta1.read())
+        if (!toAppend.isEmpty) dest.delta.append(toAppend, cfg.allowSchemaDrift)
+        (updateCount, Some(minTs))
+      } else {
+        // inline path: broadcast the strange pks to the source scan — the
+        // Spark-native OPENJSON literal-set join (J3)
+        val full = Projection.withSystemCols(
+          srcProjected.join(broadcast(realAdditional), targetPks, "inner"),
+          isDeleted = false, isFullLoad = false, ts = lit(nowTs))
+        dest.delta2.overwrite(full)
+        if (!dest.delta2.read().isEmpty)
+          dest.delta.append(dest.delta2.read(), cfg.allowSchemaDrift)
+        (updateCount, scala.None)
+      }
+    } finally realAdditional.unpersist()
+  }
+
+  private def emptyLike(df: DataFrame): DataFrame = df.filter(lit(false))
+
+  /** Step 3.5 (reference db_to_delta.py:749-859): pks present in the old
+    * latest_pk_version but absent from the recomputed current one are deletes;
+    * append NULL-payload tombstones. Returns delete count. */
+  private def doDeletes(oldPkVersion: Long): Long = {
+    val lastPk = dest.latestPkVersion.readVersion(oldPkVersion)
+    val currentPk = latestPkQuery(upperBound = scala.None)
+    val deleted = lastPk.select(targetPks.map(col): _*)
+      .except(currentPk.select(targetPks.map(col): _*))
+    val cnt = deleted.count()
+    if (cnt > 0)
+      dest.delta.append(
+        Projection.tombstones(deleted, dest.delta.schema, ts = lit(nowTs)),
+        cfg.allowSchemaDrift)
+    cnt
+  }
+
+  /** The J1×3 + U1 latest-pk union (reference db_to_delta.py:289-460):
+    *   delta_2 ∪ (delta_1 ∖ delta_2) ∪ (primary_keys_ts ≤ watermark ∖ delta_2 ∖ delta_1)
+    * all projected to (pks…, delta_col). The snapshot sides are small relative
+    * to the source — Spark's AQE/broadcast thresholds pick broadcast anti
+    * joins automatically. */
+  def latestPkQuery(upperBound: Option[Any], includeSnapshot: Boolean = true): DataFrame = {
+    val dc = targetDelta.get
+    val d2 = dest.delta2.read().select(pkd.map(col): _*)
+    val d2pk = dest.delta2.read().select(targetPks.map(col): _*)
+    val d1 = dest.delta1.read().select(pkd.map(col): _*)
+    val b1 = d2
+    val b2 = d1.join(d2pk, targetPks, "left_anti")
+    if (!includeSnapshot) return b1.unionByName(b2)
+    val snap = dest.primaryKeysTs.read()
+    val bounded = upperBound.map(v => snap.filter(col(dc) <= lit(v))).getOrElse(snap)
+    val b3 = bounded.select(pkd.map(col): _*)
+      .join(d2pk, targetPks, "left_anti")
+      .join(d1.select(targetPks.map(col): _*), targetPks, "left_anti")
+    b1.unionByName(b2).unionByName(b3)
+  }
+
+  // ---------------------------------------------------- simple & append modes
+
+  /** simple_delta / simple_delta_check (reference db_to_delta.py:659-691):
+    * step 2 only, latest_pk maintained by MERGE; the check variant falls back
+    * to the full delta algorithm on count mismatch. */
+  def simpleDelta(check: Boolean): LoadResult = {
+    if (schemaDriftForcesFull()) return fullLoad(overwriteTarget = false)
+    if (!dest.latestPkVersion.exists) {
+      if (!restoreLastPk()) return fullLoad(overwriteTarget = false)
+    }
+    val dc = targetDelta.get
+    val local = localState()
+    val src = sourceState()
+    if (src.sameAs(local)) return LoadResult.NoLoad
+
+    val updates = Projection.withSystemCols(
+      Option(local.deltaMax).map(v => srcProjected.filter(col(dc) > lit(v))).getOrElse(srcProjected),
+      isDeleted = false, isFullLoad = false, ts = lit(nowTs))
+    dest.delta1.overwrite(updates)
+    val inserts = dest.delta1.read().count()
+    if (inserts > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
+    dest.delta2.overwrite(emptyLike(dest.delta1.read()))
+    // merge (delta_2 ∪ delta_1∖delta_2) into latest_pk_version on pks (K3)
+    dest.latestPkVersion.merge(latestPkQuery(scala.None, includeSnapshot = false), targetPks)
+
+    if (check) {
+      val targetCount = dest.latestPkVersion.read().count()
+      if (targetCount != src.count) return deltaLoad() // full algorithm repair
+    }
+    LoadResult.DeltaLoad(inserts, 0L, 0L, dirty = false)
+  }
+
+  /** append_inserts (reference db_to_delta.py:708-746): step 2 only, no pk
+    * bookkeeping — for append-only sources like log tables. Falls back to the
+    * identity pk as delta column (db_to_delta.py:236-243, resolved in the
+    * constructor). */
+  def appendInserts(): LoadResult = {
+    val dcName = targetDelta.getOrElse(
+      throw new IllegalArgumentException("append_inserts requires a delta column or identity pk"))
+    val localMax = {
+      val t = if (dest.primaryKeysTs.exists) dest.primaryKeysTs.read() else dest.delta.read()
+      t.agg(max(col(dcName))).head().get(0)
+    }
+    val updates = Projection.withSystemCols(
+      Option(localMax).map(v => srcProjected.filter(col(dcName) > lit(v))).getOrElse(srcProjected),
+      isDeleted = false, isFullLoad = false, ts = lit(nowTs))
+    dest.delta1.overwrite(updates)
+    val n = dest.delta1.read().count()
+    if (n > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
+    LoadResult.AppendOnly(n)
+  }
+
+  // ------------------------------------------------------- restore & checks
+
+  /** W1 rebuild of latest_pk_version from history (reference
+    * restore_pk.py:16-228): latest full-load snapshot ∪ row_number-deduped
+    * post-full-load changes, minus deletes. Returns false when no full load
+    * exists. */
+  def restoreLastPk(): Boolean = {
+    recomputeLastPk() match {
+      case Some(df) if !df.isEmpty => dest.latestPkVersion.overwrite(df); true
+      case _ => false
+    }
+  }
+
+  /** The restore query itself (shared with the consistency check). */
+  def recomputeLastPk(): Option[DataFrame] = {
+    if (!dest.delta.exists) return scala.None
+    val dc = targetDelta.get
+    val hist = dest.delta.read()
+    val fullTs = hist.filter(col(SystemCols.isFullLoad))
+      .agg(max(col(SystemCols.timestamp))).head().get(0)
+    if (fullTs == null) return scala.None
+    val lastFull = hist.filter(
+      col(SystemCols.isFullLoad) && col(SystemCols.timestamp) === lit(fullTs))
+      .select((pkd :+ SystemCols.isDeleted).map(col): _*)
+      .withColumn(SystemCols.isDeleted, lit(false))
+    val w = Window.partitionBy(targetPks.map(col): _*)
+      .orderBy(desc_nulls_last(SystemCols.timestamp))
+    val afterFull = hist.filter(col(SystemCols.timestamp) > lit(fullTs))
+      .select((pkd ++ Seq(SystemCols.isDeleted, SystemCols.timestamp)).map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", SystemCols.timestamp)
+    val base = afterFull.unionByName(
+      lastFull.join(afterFull.select(targetPks.map(col): _*), targetPks, "left_anti"))
+    Some(base.filter(!col(SystemCols.isDeleted)).select(pkd.map(col): _*))
+  }
+
+  /** U2-d consistency check (reference consistency.py:17-56): persisted
+    * latest_pk_version ≡ recomputed-from-history, via both-direction EXCEPT.
+    * Returns offending rows (empty = consistent); autoFix rewrites the
+    * snapshot from history. */
+  def checkConsistency(autoFix: Boolean = false): DataFrame = {
+    require(pkCols.nonEmpty && deltaCol.nonEmpty, "needs pks and delta column")
+    val recomputed = recomputeLastPk().getOrElse(
+      throw new IllegalStateException("no full load in history"))
+    val persisted = dest.latestPkVersion.read().select(pkd.map(col): _*)
+    val diff = persisted.except(recomputed)
+      .withColumn("__issue", lit("added in persisted data"))
+      .unionByName(recomputed.except(persisted)
+        .withColumn("__issue", lit("missing in persisted data")))
+    if (autoFix && !diff.isEmpty) dest.latestPkVersion.overwrite(recomputed)
+    diff
+  }
+
+  /** Library helper: "current state" view = history minus deletes, latest
+    * version per pk (reference tests/test_03_delta.py:133-144 / J4+W1). */
+  def currentState(): DataFrame = {
+    val hist = dest.delta.read()
+    val w = Window.partitionBy(targetPks.map(col): _*)
+      .orderBy(desc_nulls_last(SystemCols.timestamp))
+    hist.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col(SystemCols.isDeleted))
+      .drop("__rn")
+  }
+}
+
+object Synchronizer {
+  private val lastMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[scd2] def nextMillis(): Long =
+    lastMs.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ColInfo
+
+/** Source-state probe result: (MAX(delta_col), COUNT(*)) — the change
+  * detection pair (reference load_infos.py:44-70). deltaMax is the raw value
+  * (Long / Timestamp / …) or null when the table is empty. */
+final case class SourceState(deltaMax: Any, count: Long) {
+  def sameAs(other: SourceState): Boolean =
+    count == other.count && deltaMax == other.deltaMax
+}
+
+/** A readable source relation — the engine's one seam to the outside world
+  * (reference reader/reader.py:35-123 DataSourceReader). Implementations:
+  * parquet tables (this harness), JDBC tables/queries (live DBs), or any
+  * DataFrame (query-as-source, reference write_init.py:115).
+  */
+trait Source {
+  /** Raw source rows, no projection applied. */
+  def read(spark: SparkSession): DataFrame
+
+  /** Discovered column metadata (reference metadata.py:180-199). */
+  def columns(spark: SparkSession): Seq[ColInfo]
+
+  /** Declared/discovered primary key columns (source names). */
+  def primaryKeys(spark: SparkSession): Seq[String]
+
+  /** (MAX(deltaCol), COUNT(*)) against the source — pushed down where the
+    * source supports it; on parquet/JDBC this is one aggregate scan
+    * (reference load_infos.py:44-70 / A2). */
+  def state(spark: SparkSession, deltaCol: Column): SourceState = {
+    val row = read(spark).agg(max(deltaCol).as("m"), count(lit(1)).as("c")).head()
+    SourceState(row.get(0), row.getLong(1))
+  }
+}
+
+/** Parquet-backed source table for the test harness — plays the role of the
+  * RDBMS table; pk/delta-col are declared since parquet has no catalog
+  * (reference S7 becomes `df.schema` + declared pks, SURVEY.md §2.1). */
+final class ParquetSource(
+    path: String,
+    pks: Seq[String] = Nil,
+    val transformationHook: DataFrame => DataFrame = identity) extends Source {
+  def read(spark: SparkSession): DataFrame = transformationHook(spark.read.parquet(path))
+  def columns(spark: SparkSession): Seq[ColInfo] = ColInfo.fromSchema(read(spark).schema)
+  def primaryKeys(spark: SparkSession): Seq[String] = pks
+}
+
+/** Any DataFrame as a source — the query-as-source path
+  * (reference write_init.py:115,138-141: arbitrary sqlglot query wrapped as a
+  * subquery; here the "subquery" is just the DataFrame itself and Catalyst
+  * composes filters through it). */
+final class DataFrameSource(df: DataFrame, pks: Seq[String] = Nil) extends Source {
+  def read(spark: SparkSession): DataFrame = df
+  def columns(spark: SparkSession): Seq[ColInfo] = ColInfo.fromSchema(df.schema)
+  def primaryKeys(spark: SparkSession): Seq[String] = pks
+}

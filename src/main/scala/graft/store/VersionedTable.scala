@@ -1,0 +1,277 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SchemaDrift
+
+/** A minimal versioned table format on parquet: an append-only commit log of
+  * snapshot manifests, giving the engine the Delta-Lake-like semantics the
+  * reference relies on (append / overwrite / time travel / restore / merge /
+  * schema drift / vacuum — reference reader/reader.py:13-32,
+  * reader/spark_reader.py:13-86) without a Delta dependency (none is on the
+  * classpath in this environment).
+  *
+  * Layout:
+  * {{{
+  *   <path>/_graft_log/v0000000000.json   // one snapshot manifest per version
+  *   <path>/data/v0000000000-<uuid>/      // parquet dir written by one commit
+  * }}}
+  *
+  * Each manifest is a FULL snapshot: the list of live data dirs (each with the
+  * schema it was written under) plus the merged logical schema. Reading
+  * version V therefore touches exactly one manifest — O(1) resolution, no log
+  * replay — and scans group dirs by physical schema so Catalyst still gets
+  * one multi-path `FileScan` per schema generation (filter pushdown and
+  * column pruning intact). At 100 TB the manifest lists directories, not
+  * files; file listing stays inside Spark's parquet source which handles
+  * large dirs in parallel.
+  *
+  * Single-writer by design (the engine serializes runs with a lock file,
+  * reference db_to_delta.py:218-229); manifest writes are temp-file + atomic
+  * rename so readers never observe a torn manifest.
+  */
+final class VersionedTable(spark: SparkSession, val path: String) {
+  import VersionedTable._
+
+  private val logDir: Path = Paths.get(path, "_graft_log")
+  private val dataDir: Path = Paths.get(path, "data")
+
+  // ---------------------------------------------------------------- versions
+
+  def exists: Boolean = latestVersion.isDefined
+
+  /** Latest committed version, if any. */
+  def latestVersion: Option[Long] = {
+    if (!Files.isDirectory(logDir)) return None
+    val vs = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case ManifestName(v) => v.toLong }
+      .toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def requireVersion: Long = latestVersion.getOrElse(
+    throw new IllegalStateException(s"table $path does not exist"))
+
+  private def manifestPath(v: Long): Path = logDir.resolve(f"v$v%010d.json")
+
+  private def readManifest(v: Long): Manifest = {
+    val node = mapper.readTree(Files.readString(manifestPath(v)))
+    val dirs = node.get("dirs").elements().asScala.map { d =>
+      DataDir(d.get("dir").asText(), d.get("schema").asText())
+    }.toSeq
+    Manifest(v, dirs, node.get("schema").asText())
+  }
+
+  private def writeManifest(m: Manifest): Unit = {
+    Files.createDirectories(logDir)
+    val root = mapper.createObjectNode()
+    root.put("version", m.version)
+    root.put("schema", m.schemaJson)
+    root.put("timestampMs", System.currentTimeMillis())
+    val arr = root.putArray("dirs")
+    m.dirs.foreach { d =>
+      val o = arr.addObject(); o.put("dir", d.dir); o.put("schema", d.schemaJson)
+    }
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, mapper.writeValueAsString(root))
+    Files.move(tmp, manifestPath(m.version), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ------------------------------------------------------------------ reads
+
+  def schema: StructType = schemaAt(requireVersion)
+
+  def schemaAt(version: Long): StructType =
+    DataType.fromJson(readManifest(version).schemaJson).asInstanceOf[StructType]
+
+  /** Current snapshot as a DataFrame. */
+  def read(): DataFrame = readVersion(requireVersion)
+
+  /** Time travel (reference spark_reader.py:123-133 versionAsOf). */
+  def readVersion(version: Long): DataFrame = {
+    val m = readManifest(version)
+    val logical = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    if (m.dirs.isEmpty) return emptyDf(logical)
+    // One FileScan per distinct physical schema generation; columns added by
+    // later drift read as NULL for older generations, then align + union.
+    val scans = m.dirs.groupBy(_.schemaJson).map { case (schemaJson, dirs) =>
+      val phys = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val df = spark.read.schema(phys).parquet(dirs.map(d => s"$path/data/${d.dir}"): _*)
+      align(df, logical)
+    }.toSeq
+    scans.reduce(_.unionByName(_))
+  }
+
+  private def emptyDf(s: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+
+  /** Project/cast df onto `target` schema; missing columns become NULL
+    * (delete tombstones and drift both need this; nullability always relaxed,
+    * reference delta_rs.py:13-19). */
+  private def align(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.map(c => c.toLowerCase -> c).toMap
+    df.select(target.fields.toSeq.map { f =>
+      have.get(f.name.toLowerCase) match {
+        case Some(c) if df.schema(c).dataType == f.dataType => col(c).as(f.name)
+        case Some(c) => col(c).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
+  // ----------------------------------------------------------------- writes
+
+  /** Append rows. Schema drift per policy (reference spark_reader.py:284-305):
+    * NewOnly adds brand-new columns, keeps existing types; Full also widens. */
+  def append(df: DataFrame, drift: SchemaDrift = SchemaDrift.NewOnly): Long =
+    commit(df, overwrite = false, drift)
+
+  def overwrite(df: DataFrame, drift: SchemaDrift = SchemaDrift.Full): Long =
+    commit(df, overwrite = true, drift)
+
+  private def commit(df: DataFrame, overwrite: Boolean, drift: SchemaDrift): Long = {
+    val prev = latestVersion.map(readManifest)
+    val nextV = prev.map(_.version + 1).getOrElse(0L)
+    val merged = prev match {
+      case Some(m) if !overwrite =>
+        SchemaEvolution.merge(
+          DataType.fromJson(m.schemaJson).asInstanceOf[StructType], df.schema, drift)
+      case _ => SchemaEvolution.relaxNullable(df.schema)
+    }
+    val aligned = align(df, merged)
+    val dirName = f"v$nextV%010d-${UUID.randomUUID().toString.take(8)}"
+    aligned.write.mode("overwrite").parquet(s"$path/data/$dirName")
+    val newDir = DataDir(dirName, merged.json)
+    val dirs = if (overwrite) Seq(newDir)
+      else prev.map(_.dirs).getOrElse(Nil) :+ newDir
+    writeManifest(Manifest(nextV, dirs, merged.json))
+    nextV
+  }
+
+  /** Append an empty frame carrying only schema (drift pre-pass, reference
+    * spark_reader.py:284-305 / K2). */
+  def widenSchema(newSchema: StructType, drift: SchemaDrift): Long =
+    commit(emptyDf(newSchema), overwrite = false, drift)
+
+  /** Restore the table to an earlier version as a NEW commit (reference
+    * reader.py:24, spark_reader.py:40-44 — rollback of latest_pk_version). */
+  def restore(toVersion: Long): Long = {
+    val target = readManifest(toVersion)
+    val nextV = requireVersion + 1
+    writeManifest(Manifest(nextV, target.dirs, target.schemaJson))
+    nextV
+  }
+
+  /** Upsert on pk equality — whenMatchedUpdateAll / whenNotMatchedInsertAll
+    * (reference spark_reader.py:329-350 / K3). Implemented as
+    * anti-join + union + overwrite: correct for the engine's small aux
+    * tables; a file-level merge-on-read is the 100 TB path. */
+  def merge(src: DataFrame, pkCols: Seq[String]): Long = {
+    if (!exists) return overwrite(src)
+    val current = read()
+    val kept = current.join(src.select(pkCols.map(col): _*), pkCols, "left_anti")
+    overwrite(align(kept, current.schema.asInstanceOf[StructType])
+      .unionByName(align(src, current.schema), allowMissingColumns = true))
+  }
+
+  /** Drop data dirs no longer referenced by the last `keepVersions` manifests
+    * (reference vacuums aux tables each run, db_to_delta.py:262-267). */
+  def vacuum(keepVersions: Int = 3): Unit = {
+    val latest = latestVersion.getOrElse(return)
+    val keepFrom = math.max(0L, latest - keepVersions + 1)
+    val live: Set[String] = (keepFrom to latest).flatMap { v =>
+      val p = manifestPath(v)
+      if (Files.exists(p)) readManifest(v).dirs.map(_.dir) else Nil
+    }.toSet
+    if (Files.isDirectory(dataDir)) {
+      Files.list(dataDir).iterator().asScala.toSeq.foreach { d =>
+        if (!live(d.getFileName.toString)) deleteRecursively(d)
+      }
+    }
+    // old manifests referencing dropped dirs are no longer readable → drop them
+    if (Files.isDirectory(logDir)) {
+      Files.list(logDir).iterator().asScala.toSeq.foreach { f =>
+        f.getFileName.toString match {
+          case ManifestName(v) if v.toLong < keepFrom => Files.deleteIfExists(f)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
+
+object VersionedTable {
+  private val ManifestName = """v(\d{10})\.json""".r
+  private[store] val mapper = new ObjectMapper()
+
+  private[store] final case class DataDir(dir: String, schemaJson: String)
+  private[store] final case class Manifest(version: Long, dirs: Seq[DataDir], schemaJson: String)
+}
+
+/** Schema drift rules (reference spark_reader.py:154-162,284-305;
+  * tests/test_11_schema_drift.py). */
+object SchemaEvolution {
+  def relaxNullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Merge incoming schema into existing per drift policy. New columns append
+    * (NewOnly/Full); type changes widen only under Full and only if a lossless
+    * widening exists (decimal(15)→(20) ok; decimal→string raises — reference
+    * test_11_schema_drift.py:89-102). */
+  def merge(existing: StructType, incoming: StructType, drift: graft.SchemaDrift): StructType = {
+    val byLower = incoming.fields.map(f => f.name.toLowerCase -> f).toMap
+    val updated = existing.fields.map { old =>
+      byLower.get(old.name.toLowerCase) match {
+        case Some(nw) if nw.dataType == old.dataType => old.copy(nullable = true)
+        case Some(nw) =>
+          drift match {
+            case graft.SchemaDrift.Full =>
+              old.copy(dataType = widen(old.dataType, nw.dataType), nullable = true)
+            case _ => throw new IllegalArgumentException(
+              s"schema drift: column ${old.name} changed ${old.dataType.simpleString} → " +
+                s"${nw.dataType.simpleString} (drift policy $drift)")
+          }
+        case None => old.copy(nullable = true)
+      }
+    }
+    val existingLower = existing.fields.map(_.name.toLowerCase).toSet
+    val added = incoming.fields.filterNot(f => existingLower(f.name.toLowerCase))
+    drift match {
+      case graft.SchemaDrift.None if added.nonEmpty => throw new IllegalArgumentException(
+        s"schema drift disabled but new columns: ${added.map(_.name).mkString(",")}")
+      case _ => StructType(updated ++ added.map(_.copy(nullable = true)))
+    }
+  }
+
+  /** Lossless widening lattice. */
+  def widen(from: DataType, to: DataType): DataType = (from, to) match {
+    case (a, b) if a == b => a
+    case (ByteType, ShortType | IntegerType | LongType) => to
+    case (ShortType, IntegerType | LongType) => to
+    case (IntegerType, LongType) => to
+    case (FloatType, DoubleType) => DoubleType
+    case (ByteType | ShortType | IntegerType, DoubleType) => DoubleType
+    case (a: DecimalType, b: DecimalType)
+        if b.precision >= a.precision && b.scale >= a.scale &&
+          b.precision - b.scale >= a.precision - a.scale => b
+    case (DateType, TimestampType) => TimestampType
+    case _ => throw new IllegalArgumentException(
+      s"incompatible type change ${from.simpleString} → ${to.simpleString}")
+  }
+}

@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.scd2.Synchronizer
+import graft.sources.ParquetSource
+
+/** End-to-end SCD2 scenarios, mirroring the reference's ordered test
+  * sequence (tests/test_01_first_full.py, test_03_delta.py,
+  * test_04_strange_delta.py, test_10_consistency_fix.py — see SURVEY.md §5
+  * and FIXTURES.md §A.6). The "user" table has the reference's awkward
+  * column names (space/dash in the pk, space in the rowversion column). */
+class Scd2ScenarioSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val userSchema = StructType(Seq(
+    StructField("User - iD", LongType),
+    StructField("FirstName", StringType),
+    StructField("LastName", StringType),
+    StructField("Age", DoubleType),
+    StructField("companyid", StringType),
+    StructField("time stamp", LongType)))
+
+  private def userDf(rows: Seq[(Long, String, String, Double, String, Long)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3, r._4, r._5, r._6))),
+      userSchema)
+
+  private val seed = Seq(
+    (1L, "John", "Anders", 14.0, "c1", 100L),
+    (2L, "Peter", "Johniingham", 23.0, "c1", 101L),
+    (3L, "Petra", "wayne ", 24.0, "c1", 102L)) // trailing space → TRIM check
+
+  test("full load then insert/update/delete delta (test_01 + test_03 semantics)") {
+    val srcPath = tmpDir("graft-src")
+    val destPath = tmpDir("graft-dest")
+    userDf(seed).write.mode("overwrite").parquet(srcPath)
+    val source = new ParquetSource(srcPath, pks = Seq("User - iD"))
+    val cfg = WriteConfig(deltaCol = Some("time stamp"))
+
+    // --- run 1: first run is always a full load
+    val sync1 = new Synchronizer(spark, source, destPath, cfg)
+    val r1 = sync1.execute()
+    assert(r1 == LoadResult.FullLoad(3))
+
+    val hist1 = sync1.dest.delta.read()
+    assert(hist1.count() == 3)
+    // name mangling (reference write_init.py:41-46)
+    assert(hist1.columns.contains("User_-_iD"))
+    assert(hist1.columns.contains("time_stamp"))
+    assert(hist1.columns.toSet.intersect(SystemCols.all.toSet) == SystemCols.all.toSet)
+    // trim applied
+    assert(hist1.filter($"LastName" === "wayne").count() == 1)
+    assert(sync1.dest.latestPkVersion.read().count() == 3)
+
+    // --- no change → NoLoad short-circuit (A1/A2)
+    val sync2 = new Synchronizer(spark, source, destPath, cfg)
+    assert(sync2.execute() == LoadResult.NoLoad)
+
+    // --- mutate: insert 4,5; update 3 (ts forward); delete 1
+    userDf(Seq(
+      (2L, "Peter", "Johniingham", 23.0, "c1", 101L),
+      (3L, "Petra", "wayne-hösch", 24.0, "c1", 110L),
+      (4L, "Markus", "Müller", 27.0, "c2", 111L),
+      (5L, "Heiri", "Meier", 27.98, "c2", 112L)
+    )).write.mode("overwrite").parquet(srcPath)
+
+    val sync3 = new Synchronizer(spark, source, destPath, cfg)
+    val r3 = sync3.execute()
+    r3 match {
+      case LoadResult.DeltaLoad(inserts, strange, deletes, dirty) =>
+        assert(inserts == 3) // update of 3 + inserts 4,5
+        assert(strange == 0)
+        assert(deletes == 1)
+        assert(!dirty)
+      case other => fail(s"expected DeltaLoad, got $other")
+    }
+
+    // history: 3 full + 3 delta + 1 tombstone = 7 (FIXTURES.md §A.6)
+    val hist = sync3.dest.delta.read()
+    assert(hist.count() == 7)
+    val tomb = hist.filter(col(SystemCols.isDeleted)).collect()
+    assert(tomb.length == 1)
+    val tombRow = tomb.head
+    assert(tombRow.getAs[Long]("User_-_iD") == 1L)
+    assert(tombRow.isNullAt(tombRow.fieldIndex("FirstName"))) // NULL payload
+
+    // current state = 4 live rows with latest values
+    val cur = sync3.currentState()
+    assert(cur.count() == 4)
+    assert(cur.filter($"LastName" === "wayne-hösch").count() == 1)
+
+    // latest_pk_version matches recomputed-from-history (U2-d)
+    assert(sync3.checkConsistency().isEmpty)
+    assert(sync3.dest.latestPkVersion.read().count() == 4)
+  }
+
+  test("strange update (delta col moved backwards) goes through delta_2 (test_04)") {
+    val srcPath = tmpDir("graft-src4")
+    val destPath = tmpDir("graft-dest4")
+    userDf(seed).write.mode("overwrite").parquet(srcPath)
+    val source = new ParquetSource(srcPath, pks = Seq("User - iD"))
+    val cfg = WriteConfig(deltaCol = Some("time stamp"))
+    new Synchronizer(spark, source, destPath, cfg).execute()
+
+    // out-of-band change: row 2 modified but ts went BACKWARDS
+    // (restore-from-backup); a normal insert alongside moves the source state
+    // so the load is not short-circuited (as in reference test_04, which also
+    // perturbs the table) — an unchanged (max, count) pair is by design
+    // indistinguishable from "no change".
+    userDf(Seq(
+      (1L, "John", "Anders", 14.0, "c1", 100L),
+      (2L, "Peter", "Restored", 23.0, "c1", 50L), // ts 101 → 50!
+      (3L, "Petra", "wayne", 24.0, "c1", 102L),
+      (4L, "Markus", "Müller", 27.0, "c2", 103L)
+    )).write.mode("overwrite").parquet(srcPath)
+
+    val sync = new Synchronizer(spark, source, destPath, cfg)
+    val r = sync.execute()
+    r match {
+      case LoadResult.DeltaLoad(inserts, strange, deletes, dirty) =>
+        assert(inserts == 1) // row 4
+        assert(strange == 1) // row 2, ts went backwards
+        assert(deletes == 0)
+        assert(!dirty)
+      case other => fail(s"expected DeltaLoad, got $other")
+    }
+    // delta_2 carried the strange row into history
+    assert(sync.dest.delta2.read().count() == 1)
+    val cur = sync.currentState()
+    assert(cur.filter($"LastName" === "Restored").count() == 1)
+    assert(cur.count() == 4)
+    assert(sync.checkConsistency().isEmpty)
+  }
+
+  test("strange update above threshold falls back to watermark re-scan") {
+    val srcPath = tmpDir("graft-src4b")
+    val destPath = tmpDir("graft-dest4b")
+    userDf(seed).write.mode("overwrite").parquet(srcPath)
+    val source = new ParquetSource(srcPath, pks = Seq("User - iD"))
+    // threshold 0 → always the fallback path (≈ no_complex_entries_load)
+    val cfg = WriteConfig(deltaCol = Some("time stamp"), noComplexEntriesLoad = true)
+    new Synchronizer(spark, source, destPath, cfg).execute()
+
+    userDf(Seq(
+      (1L, "John", "Anders", 14.0, "c1", 100L),
+      (2L, "Peter", "Restored", 23.0, "c1", 50L),
+      (3L, "Petra", "wayne", 24.0, "c1", 102L),
+      (4L, "Markus", "Müller", 27.0, "c2", 103L)
+    )).write.mode("overwrite").parquet(srcPath)
+
+    val sync = new Synchronizer(spark, source, destPath, cfg)
+    sync.execute()
+    val cur = sync.currentState()
+    assert(cur.filter($"LastName" === "Restored").count() == 1)
+    assert(cur.count() == 4)
+    assert(sync.checkConsistency().isEmpty)
+    // history has exactly one version of each row (no re-scan duplicates)
+    assert(sync.dest.delta.read().filter($"LastName" === "Restored").count() == 1)
+    assert(sync.dest.delta.read().filter($"LastName" === "Müller").count() == 1)
+  }
+
+  test("consistency auto-fix repairs a corrupted latest_pk_version (test_10)") {
+    val srcPath = tmpDir("graft-src10")
+    val destPath = tmpDir("graft-dest10")
+    userDf(seed).write.mode("overwrite").parquet(srcPath)
+    val source = new ParquetSource(srcPath, pks = Seq("User - iD"))
+    val cfg = WriteConfig(deltaCol = Some("time stamp"))
+    val sync = new Synchronizer(spark, source, destPath, cfg)
+    sync.execute()
+
+    // corrupt: drop a row from the snapshot
+    val corrupted = sync.dest.latestPkVersion.read().filter($"`User_-_iD`" =!= 1L)
+    sync.dest.latestPkVersion.overwrite(corrupted)
+    val issues = sync.checkConsistency(autoFix = true)
+    assert(issues.count() == 1)
+    assert(issues.head().getString(issues.head().length - 1) == "missing in persisted data")
+    assert(sync.checkConsistency().isEmpty) // fixed
+
+    // subsequent delta load still correct
+    userDf(seed :+ ((6L, "New", "Person", 30.0, "c1", 200L)))
+      .write.mode("overwrite").parquet(srcPath)
+    val sync2 = new Synchronizer(spark, source, destPath, cfg)
+    sync2.execute()
+    assert(sync2.currentState().count() == 4)
+    assert(sync2.checkConsistency().isEmpty)
+  }
+
+  test("restore latest_pk_version from history via window rebuild (W1)") {
+    val srcPath = tmpDir("graft-srcW")
+    val destPath = tmpDir("graft-destW")
+    userDf(seed).write.mode("overwrite").parquet(srcPath)
+    val source = new ParquetSource(srcPath, pks = Seq("User - iD"))
+    val cfg = WriteConfig(deltaCol = Some("time stamp"))
+    val sync = new Synchronizer(spark, source, destPath, cfg)
+    sync.execute()
+    userDf(seed.drop(1)).write.mode("overwrite").parquet(srcPath) // delete row 1
+    new Synchronizer(spark, source, destPath, cfg).execute()
+
+    // wipe the snapshot entirely; next delta load must restore it from history
+    val lpk = sync.dest.latestPkVersion
+    val before = lpk.read().collect().toSet
+    import java.nio.file.{Files, Paths}
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm); Files.deleteIfExists(p)
+    }
+    rm(Paths.get(destPath, "delta_load", "latest_pk_version"))
+
+    val sync2 = new Synchronizer(spark, source, destPath, cfg)
+    assert(sync2.restoreLastPk())
+    assert(sync2.dest.latestPkVersion.read().collect().toSet == before)
+    assert(sync2.checkConsistency().isEmpty)
+  }
+}
