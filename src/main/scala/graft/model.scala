@@ -12,14 +12,25 @@ import org.apache.spark.sql.types._
   */
 
 /** Column metadata. Spark's StructField has no identity/generated bits, so we
-  * wrap it (reference metadata.py:54-71). */
+  * wrap it (reference metadata.py:54-71).
+  *
+  * @param sourceType the SOURCE catalog's declared SQL type name (e.g. tsql
+  *   "rowversion", "timestamp", "tinyint"), when known — this, not the Spark
+  *   type, is what `WriteConfig.dataTypeMap` keys on (reference
+  *   write_init.py:29-38 applies the map to T-SQL type names, where
+  *   "timestamp" is a rowversion alias — NOT a datetime). Sources without a
+  *   SQL catalog (parquet) leave it None.
+  */
 final case class ColInfo(
     name: String,
     dataType: DataType,
     nullable: Boolean = true,
     isIdentity: Boolean = false,
-    isRowStart: Boolean = false) {
+    isRowStart: Boolean = false,
+    sourceType: Option[String] = None) {
   def field: StructField = StructField(name, dataType, nullable)
+  /** Key used against WriteConfig.dataTypeMap. */
+  def typeKey: String = sourceType.getOrElse(dataType.simpleString).toLowerCase
 }
 
 object ColInfo {
@@ -73,12 +84,18 @@ final case class WriteConfig(
 object WriteConfig {
   /** Reference default map (write_init.py:29-38): rowversion→BIGINT,
     * tinyint→SMALLINT ("tinyint is unsigned in T-SQL"). Keyed by lower-case
-    * source type name; in the parquet harness types are already Spark types,
-    * so this mostly matters for the JDBC path. */
+    * SOURCE type name (ColInfo.typeKey). The tsql "timestamp" (= rowversion
+    * alias) entry lives only in [[tsqlTypeMap]]: putting it here would match
+    * Spark's TimestampType.simpleString for catalog-less sources and lossily
+    * cast genuine timestamps to epoch BIGINT. */
   val defaultTypeMap: Map[String, DataType] = Map(
     "rowversion" -> LongType,
-    "timestamp" -> LongType, // tsql rowversion alias
     "tinyint" -> ShortType)
+
+  /** Extension for T-SQL-cataloged sources, where "timestamp" is the
+    * rowversion alias (reference write_init.py:29-38). Use with sources that
+    * populate ColInfo.sourceType from the DB catalog. */
+  val tsqlTypeMap: Map[String, DataType] = defaultTypeMap + ("timestamp" -> LongType)
 }
 
 /** System columns the engine appends to every SCD2 row

@@ -17,7 +17,7 @@ object Projection {
     * types re-cast per dataTypeMap (reference write_init.py:29-38); column
     * aliased to the mangled target name (reference write_init.py:41-46). */
   def sourceConvert(c: ColInfo, cfg: WriteConfig): Column = {
-    val mapped = cfg.dataTypeMap.get(c.dataType.simpleString.toLowerCase)
+    val mapped = cfg.dataTypeMap.get(c.typeKey)
     val base = mapped match {
       case Some(t) if t != c.dataType => col(quoted(c.name)).cast(t)
       case _ => col(quoted(c.name))
@@ -31,7 +31,7 @@ object Projection {
 
   /** Target-side datatype of a column after the type map. */
   def targetType(c: ColInfo, cfg: WriteConfig): DataType =
-    cfg.dataTypeMap.getOrElse(c.dataType.simpleString.toLowerCase, c.dataType)
+    cfg.dataTypeMap.getOrElse(c.typeKey, c.dataType)
 
   /** P1 over a whole relation. */
   def select(df: DataFrame, cols: Seq[ColInfo], cfg: WriteConfig): DataFrame =

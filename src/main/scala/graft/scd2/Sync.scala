@@ -23,15 +23,22 @@ final class SyncDestination(spark: SparkSession, val root: String) {
   private def metaDir = { val p = Paths.get(root, "meta"); Files.createDirectories(p); p }
   private def lockPath = metaDir.resolve("lock.txt")
 
-  /** Lock with 1-hour staleness takeover (reference db_to_delta.py:218-229). */
+  /** Lock with 1-hour staleness takeover (reference db_to_delta.py:218-229).
+    * Acquisition is atomic (CREATE_NEW) so two concurrent writers can't both
+    * win; a stale lock is deleted and acquisition retried exactly once. */
   def acquireLock(staleAfterSec: Long = 3600): Unit = {
-    if (Files.exists(lockPath)) {
-      val ageSec = (System.currentTimeMillis() -
-        Files.getLastModifiedTime(lockPath).toMillis) / 1000
-      if (ageSec > staleAfterSec) Files.delete(lockPath)
-      else throw new IllegalStateException(s"destination $root is locked (lock.txt age ${ageSec}s)")
+    def tryCreate(): Boolean =
+      try { Files.createFile(lockPath); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (tryCreate()) return
+    val ageSec =
+      try (System.currentTimeMillis() - Files.getLastModifiedTime(lockPath).toMillis) / 1000
+      catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue } // holder just released
+    if (ageSec > staleAfterSec) {
+      Files.deleteIfExists(lockPath)
+      if (tryCreate()) return
     }
-    Files.writeString(lockPath, "")
+    throw new IllegalStateException(s"destination $root is locked (lock.txt age ${ageSec}s)")
   }
   def releaseLock(): Unit = Files.deleteIfExists(lockPath)
 
@@ -104,30 +111,40 @@ final class Synchronizer(
   /** One sync run (reference db_to_delta.py:178-286). */
   def execute(): LoadResult = {
     dest.acquireLock()
-    val pkVersionBefore = if (dest.latestPkVersion.exists) dest.latestPkVersion.latestVersion else None
     try {
-      dest.writeSchemaJson(cols, cfg)
-      val result =
-        if (!dest.delta.exists || cfg.loadMode == LoadMode.Overwrite)
-          fullLoad(overwriteTarget = true)
-        else cfg.loadMode match {
-          case LoadMode.AppendInserts => appendInserts()
-          case _ if deltaCol.isEmpty || pkCols.isEmpty || cfg.loadMode == LoadMode.ForceFull =>
-            fullLoad(overwriteTarget = false)
-          case LoadMode.SimpleDelta => simpleDelta(check = false)
-          case LoadMode.SimpleDeltaCheck => simpleDelta(check = true)
-          case _ => deltaLoad()
-        }
-      dest.vacuumAux()
-      result
-    } catch {
-      case e: Throwable =>
-        // rollback: restore latest_pk_version to its pre-run version
-        // (reference db_to_delta.py:269-286)
-        pkVersionBefore.foreach { v =>
-          if (dest.latestPkVersion.latestVersion.exists(_ > v)) dest.latestPkVersion.restore(v)
-        }
-        throw e
+      val pkVersionBefore = dest.latestPkVersion.latestVersion
+      val pkTsVersionBefore = dest.primaryKeysTs.latestVersion
+      try {
+        dest.writeSchemaJson(cols, cfg)
+        val result =
+          if (!dest.delta.exists || cfg.loadMode == LoadMode.Overwrite)
+            fullLoad(overwriteTarget = true)
+          else cfg.loadMode match {
+            case LoadMode.AppendInserts => appendInserts()
+            case _ if deltaCol.isEmpty || pkCols.isEmpty || cfg.loadMode == LoadMode.ForceFull =>
+              fullLoad(overwriteTarget = false)
+            case LoadMode.SimpleDelta => simpleDelta(check = false)
+            case LoadMode.SimpleDeltaCheck => simpleDelta(check = true)
+            case _ => deltaLoad()
+          }
+        dest.vacuumAux()
+        result
+      } catch {
+        case e: Throwable =>
+          // rollback BOTH snapshot tables to their pre-run versions: step 1
+          // overwrites primary_keys_ts before step 4 touches latest_pk_version,
+          // so restoring only the latter would leave a watermark the source
+          // already passed — the next run's short-circuit would then silently
+          // skip the rows in between (data loss; see ADVICE r1 / reference
+          // db_to_delta.py:269-286 which shares the exposure).
+          pkVersionBefore.foreach { v =>
+            if (dest.latestPkVersion.latestVersion.exists(_ > v)) dest.latestPkVersion.restore(v)
+          }
+          pkTsVersionBefore.foreach { v =>
+            if (dest.primaryKeysTs.latestVersion.exists(_ > v)) dest.primaryKeysTs.restore(v)
+          }
+          throw e
+      }
     } finally dest.releaseLock()
   }
 
@@ -270,20 +287,23 @@ final class Synchronizer(
         dest.delta2.overwrite(emptyLike(dest.delta1.read()))
         (0L, scala.None)
       } else if (updateCount > cfg.inlineJoinThreshold || cfg.noComplexEntriesLoad) {
-        // fallback: re-scan everything from the smallest strange delta value.
-        // delta_1 is overwritten with the full re-scan (> min) so the
-        // latest-pk union's delta_1 branch stays complete; only the slice the
-        // step-2 load did NOT already append (≤ step-2 watermark) is appended
-        // to history. (Divergence from the reference, which re-appends the
-        // step-2 rows as duplicate history versions — db_to_delta.py:1105-1146.)
+        // fallback: re-scan everything from the smallest strange delta value,
+        // INCLUSIVE — the strange row sitting exactly at MIN(delta_col) must
+        // be part of the re-scan. delta_1 is overwritten with the full
+        // re-scan (≥ min) so the latest-pk union's delta_1 branch stays
+        // complete; the history append is restricted to the strange pks the
+        // step-2 load did NOT already cover (≤ step-2 watermark).
+        // (Divergence from the reference, which re-appends the step-2 rows as
+        // duplicate history versions — db_to_delta.py:1105-1146.)
         dest.delta2.overwrite(emptyLike(dest.delta1.read()))
         val minTs = additional.agg(min(col(dc))).head().get(0)
         val rescan = Projection.withSystemCols(
-          srcProjected.filter(col(dc) > lit(minTs)),
+          srcProjected.filter(col(dc) >= lit(minTs)),
           isDeleted = false, isFullLoad = false, ts = lit(nowTs))
         dest.delta1.overwrite(rescan)
+        val strangeRows = dest.delta1.read().join(realAdditional, targetPks, "left_semi")
         val toAppend = Option(localMax).map(v =>
-          dest.delta1.read().filter(col(dc) <= lit(v))).getOrElse(dest.delta1.read())
+          strangeRows.filter(col(dc) <= lit(v))).getOrElse(strangeRows)
         if (!toAppend.isEmpty) dest.delta.append(toAppend, cfg.allowSchemaDrift)
         (updateCount, Some(minTs))
       } else {

@@ -52,11 +52,18 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   /** Latest committed version, if any. */
   def latestVersion: Option[Long] = {
     if (!Files.isDirectory(logDir)) return None
-    val vs = Files.list(logDir).iterator().asScala
+    val vs = listDir(logDir)
       .map(_.getFileName.toString)
       .collect { case ManifestName(v) => v.toLong }
-      .toSeq
     if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Files.list with the stream closed — each open stream holds a directory
+    * fd; a long-running driver doing many commits/vacuums would otherwise
+    * exhaust fds. */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
   }
 
   def requireVersion: Long = latestVersion.getOrElse(
@@ -194,13 +201,13 @@ final class VersionedTable(spark: SparkSession, val path: String) {
       if (Files.exists(p)) readManifest(v).dirs.map(_.dir) else Nil
     }.toSet
     if (Files.isDirectory(dataDir)) {
-      Files.list(dataDir).iterator().asScala.toSeq.foreach { d =>
+      listDir(dataDir).foreach { d =>
         if (!live(d.getFileName.toString)) deleteRecursively(d)
       }
     }
     // old manifests referencing dropped dirs are no longer readable → drop them
     if (Files.isDirectory(logDir)) {
-      Files.list(logDir).iterator().asScala.toSeq.foreach { f =>
+      listDir(logDir).foreach { f =>
         f.getFileName.toString match {
           case ManifestName(v) if v.toLong < keepFrom => Files.deleteIfExists(f)
           case _ => ()
@@ -210,8 +217,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }
