@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines, Spark-first:
+  *
+  *  - exact: fingerprint groupBy (one hash shuffle, map-side combine)
+  *  - MinHash+LSH: per-row signature (narrow, codegen'd array exprs — no
+  *    explode), band→bucket self-join (shuffle keyed on (band, hash): only
+  *    colliding docs meet), exact Jaccard verify on the candidates
+  *  - SimHash: per-row 64-bit signature, near-dup pairs via 16-bit chunk
+  *    banding + hamming verify (bit_count(xor))
+  *  - n-gram Jaccard: exact pairwise Jaccard restricted to LSH candidates
+  *  - embedding near-dup: cosine > threshold via random-hyperplane buckets
+  *
+  * Scale notes (100 TB): every pairwise step is bucketed so the quadratic
+  * blowup is confined to hash buckets; signatures are per-row expressions
+  * (no state, no UDF); the only shuffles are the bucket joins and final
+  * dedup groupBys, all on well-distributed hash keys. Skewed buckets (e.g.
+  * boilerplate-heavy corpora) are bounded by `maxBucketSize`.
+  */
+object Dedup {
+
+  /** Exact dedup on the normalized-text fingerprint. Returns one row per
+    * distinct content: (fingerprint, keep_id = min id, dupes). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("dupes"))
+
+  /** Per-row MinHash signature from a PRECOMPUTED shingle-set column: array
+    * of `numHashes` 64-bit minima using xxhash64(shingle, seed_i) as the
+    * i-th hash family. Pure array expressions — stays in whole-stage
+    * codegen.
+    *
+    * `shingles` must be a plain column reference (not an inline expression):
+    * it is evaluated once per outer hash index, and an inlined shingleSet
+    * would re-tokenize the document numHashes times (observed 20×+ slowdown
+    * — CollapseProject keeps non-cheap multi-referenced aliases in their own
+    * projection, so a withColumn boundary is the fix). */
+  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** LSH banding: (band_index, band_hash) pairs from a minhash signature.
+    * Two docs sharing any band land in the same bucket. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bucket")))
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard_x1000) with id_a < id_b and jaccard ≥
+    * threshold. bands × rowsPerBand must equal numHashes. */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      shingleN: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val withSig = df
+      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val bucketed = withSig
+      .select(col("id"), col("sh"),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("sh"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    // bound pathological buckets (boilerplate skew): drop buckets larger
+    // than maxBucketSize — their members are near-identical and will pair
+    // via other bands; logged loss is the scale-safety tradeoff
+    val counted = bucketed.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= maxBucketSize)
+    val a = counted.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = counted.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("jaccard_x1000", jaccardX1000(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard_x1000") >= (threshold * 1000).toLong)
+      .select("id_a", "id_b", "jaccard_x1000")
+  }
+
+  /** Exact Jaccard over two distinct-element arrays, as an integer per-mille
+    * (avoids float comparison hazards downstream). */
+  def jaccardX1000(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    val union = (size(a) + size(b)).cast("long") - inter
+    when(union > 0, (inter * 1000L) / union).otherwise(lit(1000L))
+  }
+
+  /** n-gram Jaccard similarity for all candidate pairs (LSH-bucketed), at a
+    * lower threshold than minhashLshPairs — the "soft" dedup knob. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.3, shingleN: Int = 3): DataFrame =
+    minhashLshPairs(df, idCol, textCol, numHashes = 64, bands = 32,
+      threshold = threshold, shingleN = shingleN)
+
+  /** Sign bits of the per-bit ±1 sums over a PRECOMPUTED token-hash column
+    * (see minhashSignature for why the input must be a column reference).
+    * call_function("shiftright", h, b) is the variable-shift form the typed
+    * DSL lacks; everything stays a codegen'd expression. */
+  def simhashBits(tokenHashes: Column): Column =
+    transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + (call_function("shiftright", h, b).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
+        lit(1L)).otherwise(lit(0L)))
+
+  /** Assemble the 64 bits into one BIGINT in a single pass: a struct
+    * accumulator (value, index) walks the bits array once — indexing back
+    * into the array via element_at would re-evaluate the whole bits
+    * expression per bit. */
+  def simhashFromBits(bits: Column): Column =
+    aggregate(bits,
+      struct(lit(0L).as("acc"), lit(0).as("i")),
+      (st, b) => struct(
+        st.getField("acc").bitwiseOR(call_function("shiftleft", b, st.getField("i"))).as("acc"),
+        (st.getField("i") + 1).as("i")),
+      st => st.getField("acc"))
+
+  /** Per-row 64-bit SimHash of a document: token multiset hashed, per-bit
+    * ±1 sums, sign bits packed. Returns (id, sig) rows. */
+  def simhashed(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), transform(tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      .withColumn("bits", simhashBits(col("th")))
+      .select(col("id"), simhashFromBits(col("bits")).as("sig"))
+
+  /** SimHash near-duplicate pairs: band the 64-bit signature into four
+    * 16-bit chunks (guarantees recall for hamming ≤ 3 by pigeonhole), bucket
+    * join, verify with bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSig = simhashed(df, idCol, textCol)
+    val banded = withSig.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)), c =>
+        struct(c.as("chunk"),
+          call_function("shiftright", col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key")))).as("b"))
+      .select(col("id"), col("sig"), col("b.chunk").as("chunk"), col("b.key").as("key"))
+    val a = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates via
+    * random-hyperplane LSH buckets (see Similarity.hyperplaneBucket). */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 12, tables: Int = 4): DataFrame = {
+    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneBuckets(col(vecCol), planes, tables).as("buckets"))
+      .select(col("id"), col("v"), explode(col("buckets")).as("b"))
+    val a = withB.select(col("b"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withB.select(col("b"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("b")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+}

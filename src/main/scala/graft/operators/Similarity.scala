@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - Brute-force cosine top-k: one narrow pass + a k-row global top
+  *    (Spark's `orderBy.limit(k)` = per-partition TakeOrdered then a k-sized
+  *    merge on the driver — no full sort, no full shuffle).
+  *  - IVF/LSH-bucketed top-k: random-hyperplane signatures route query and
+  *    corpus to shared buckets; only bucket members are scored. At 100 TB
+  *    the bucketed path turns a full-corpus scan into |bucket| work per
+  *    query; multiple tables recover recall.
+  *
+  * All math is double-accumulated in index order via `zip_with` +
+  * `aggregate` (codegen'd, deterministic — no UDF).
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Brute-force cosine top-k of `queryVec` against every row.
+    * Returns (rank, id, sim) ordered by sim desc, id asc. */
+  def topKBruteForce(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], k: Int): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    val scored = df.select(col(idCol).as("id"), cosine(col(vecCol), q).as("sim"))
+    scored.orderBy(col("sim").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("sim").desc, col("id").asc))
+        .cast("long"))
+      .select("rank", "id", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component i of plane p in
+    * table t is a hash-derived uniform in [-1, 1). No RNG state — the same
+    * (t, p, i) always yields the same component, so signatures are stable
+    * across runs and cluster topologies. */
+  private def planeComponent(table: Int, plane: Int, i: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((table, plane, i, 0x5eed))
+    (h.toDouble / Int.MaxValue.toDouble)
+  }
+
+  /** One bucket id per hash table: the sign-bit signature of `planes`
+    * random hyperplanes, offset by the table index so buckets from
+    * different tables never collide in the join key. */
+  def hyperplaneBuckets(vec: Column, planes: Int, tables: Int, dim: Int = 64): Column =
+    hyperplaneBucketsExpr(vec, planes, tables, dim)
+
+  /** Bucketed approximate top-k: score only rows sharing a hyperplane
+    * bucket with the query, union across tables, exact-rerank, top k. */
+  def topKLsh(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], k: Int,
+      planes: Int = 12, tables: Int = 4): DataFrame = {
+    val corpus = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(hyperplaneBucketsExpr(col(vecCol), planes, tables)).as("b"))
+    val qBuckets = bucketsOf(queryVec, planes, tables)
+    val candidates = corpus.filter(col("b").isin(qBuckets: _*))
+      .dropDuplicates("id")
+    val q = array(queryVec.map(lit): _*)
+    candidates.select(col("id"), cosine(col("v"), q).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("sim").desc, col("id").asc))
+        .cast("long"))
+      .select("rank", "id", "sim")
+  }
+
+  private[operators] def hyperplaneBucketsExpr(
+      vec: Column, planes: Int, tables: Int, dim: Int = 64): Column = {
+    val perTable = (0 until tables).map { t =>
+      val sigBits = (0 until planes).map { p =>
+        val planeArr = array((0 until dim).map(i => lit(planeComponent(t, p, i))): _*)
+        val d = aggregate(zip_with(vec, planeArr, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      (sigBits.reduce(_ + _) + lit(t.toLong * (1L << 32))).as(s"t$t")
+    }
+    array(perTable: _*)
+  }
+
+  /** Driver-side bucket ids of a literal query vector (same math). */
+  def bucketsOf(vec: Seq[Float], planes: Int, tables: Int): Seq[Long] =
+    (0 until tables).map { t =>
+      val sig = (0 until planes).map { p =>
+        val d = vec.zipWithIndex.map { case (x, i) =>
+          x.toDouble * planeComponent(t, p, i)
+        }.foldLeft(0.0)(_ + _)
+        if (d >= 0) 1L << p else 0L
+      }.sum
+      sig + t.toLong * (1L << 32)
+    }
+}

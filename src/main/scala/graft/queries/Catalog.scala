@@ -1,0 +1,397 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** The driver-contract query catalog: every operator of SURVEY.md §2 plus
+  * the training-data-pipeline operators, each as a deterministic DataFrame
+  * program over `/root/testdata/sf*` with (where SQL-expressible) a DuckDB
+  * oracle producing the identical result.
+  *
+  * Determinism rules (the driver hash-compares values after sorting):
+  *  - integer outputs wherever arithmetic is involved (money as cents,
+  *    ratios as x1000) — double SUMs are order-dependent, BIGINT sums exact;
+  *  - per-row double arithmetic (no aggregation) is bit-deterministic and OK;
+  *  - DuckDB `sum(BIGINT)` returns HUGEINT and `len()` BIGINT while Spark
+  *    `size()` is INT — both sides cast to BIGINT explicitly;
+  *  - float similarity values never appear in outputs, only ranks.
+  */
+object Catalog {
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** cents(x) = CAST(round(x*100) AS BIGINT) — exact money arithmetic. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  // ----------------------------------------------------------- relational
+
+  private val relational: Seq[Q] = Seq(
+    Q("q1_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          count(lit(1)).as("cnt"))
+        .select("l_returnflag", "l_linestatus", "sum_qty", "price_cents", "cnt"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+        count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2""")),
+
+    Q("q3_top_orders",
+      (s, d) => {
+        val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey")
+          .agg(sum(rev).as("revenue_u"))
+          .orderBy(col("revenue_u").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, CAST(sum(
+          CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+        ) AS BIGINT) AS revenue_u
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey ORDER BY revenue_u DESC, o_orderkey LIMIT 10""")),
+
+    Q("p1_projection",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(trim(col("c_name"))).as("name_u"),
+        col("c_nationkey").cast("long").as("nk"),
+        cents(col("c_acctbal")).as("acctbal_cents"),
+        col("c_mktsegment")),
+      Some("""SELECT c_custkey, upper(trim(c_name)) AS name_u,
+        CAST(c_nationkey AS BIGINT) AS nk,
+        CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents, c_mktsegment
+        FROM customer""")),
+
+    Q("p3_watermark",
+      (s, d) => {
+        val thr = t(s, d, "events").agg(max("event_id")).head().getLong(0) * 4 / 5
+        t(s, d, "events").filter(col("event_id") > thr)
+          .select("event_id", "user_id", "event_type")
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events
+        WHERE event_id > (SELECT (max(event_id)*4)//5 FROM events)""")),
+
+    Q("p8_snapshot_filter",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.join(broadcast(o.agg(max("o_orderdate").as("mx"))),
+            col("o_orderdate") === col("mx"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""")),
+
+    // customers without a RECENT order (unfiltered, every customer has
+    // orders at sf≥0.01 → empty result = no coverage)
+    Q("j1_anti_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderdate") >= lit("2001-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')""")),
+
+    Q("j2_semi_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderdate") >= lit("2001-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')""")),
+
+    Q("u1_union",
+      (s, d) => t(s, d, "nation").select(col("n_nationkey").as("k"), lit("n").as("src"))
+        .unionByName(t(s, d, "region").select(col("r_regionkey").as("k"), lit("r").as("src"))),
+      Some("""SELECT n_nationkey AS k, 'n' AS src FROM nation
+        UNION ALL SELECT r_regionkey, 'r' FROM region""")),
+
+    Q("u2_except",
+      (s, d) => t(s, d, "customer").select(col("c_custkey").as("key"))
+        .except(t(s, d, "orders").filter(col("o_orderdate") >= lit("2001-01-01"))
+          .select(col("o_custkey").as("key"))),
+      Some("""SELECT c_custkey AS key FROM customer
+        EXCEPT SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'""")),
+
+    Q("w1_latest_per_key",
+      (s, d) => {
+        // ts is BIGINT nanos on the Spark side but micro-truncated in the
+        // DuckDB read — order on the shared microsecond precision
+        val w = Window.partitionBy("user_id")
+          .orderBy(expr("ts div 1000").desc, col("event_id").desc)
+        t(s, d, "events").withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "event_type")
+      },
+      Some("""SELECT user_id, event_id, event_type FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""")),
+
+    Q("w2_topn_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+        t(s, d, "part").withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("p_brand", "p_partkey", "rn")
+      },
+      Some("""SELECT p_brand, p_partkey, CAST(row_number() OVER
+          (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+        FROM part
+        QUALIFY rn <= 3""")),
+
+    Q("a1_max_count",
+      (s, d) => t(s, d, "events")
+        .agg(max("event_id").as("delta_max"), count(lit(1)).as("cnt")),
+      Some("SELECT max(event_id) AS delta_max, count(*) AS cnt FROM events")),
+
+    Q("a5_minmax",
+      (s, d) => t(s, d, "lineitem").agg(
+        min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"),
+        count(lit(1)).as("cnt")),
+      Some("""SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        count(*) AS cnt FROM lineitem""")))
+
+  // ------------------------------------------------- scd2 engine end-to-end
+
+  /** Shared oracle fragment: the trimmed batch-1 projection. */
+  private val oc =
+    "c_custkey, trim(c_name) AS c_name, c_acctbal, trim(c_mktsegment) AS c_mktsegment"
+
+  private val scd2: Seq[Q] = Seq(
+    Q("scd2_history",
+      (s, d) => Scenarios.history(s, Scenarios.deltaDest(s, d)),
+      Some(s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,
+          FALSE AS __is_deleted, TRUE AS __is_full_load FROM customer
+        UNION ALL SELECT c_custkey, trim(c_name), c_acctbal + 100, trim(c_mktsegment),
+          CAST(2 AS BIGINT), FALSE, FALSE
+          FROM customer WHERE c_custkey % 89 = 0 AND c_custkey % 97 <> 0
+        UNION ALL SELECT c_custkey + 10000000, trim(c_name), c_acctbal, trim(c_mktsegment),
+          CAST(2 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 83 = 0
+        UNION ALL SELECT c_custkey, NULL, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
+          FROM customer WHERE c_custkey % 97 = 0""")),
+
+    Q("scd2_latest_pk",
+      (s, d) => Scenarios.latestPk(s, Scenarios.deltaDest(s, d)),
+      Some("""SELECT c_custkey, CAST(1 AS BIGINT) AS ver FROM customer
+          WHERE c_custkey % 97 <> 0 AND c_custkey % 89 <> 0
+        UNION ALL SELECT c_custkey, CAST(2 AS BIGINT) FROM customer
+          WHERE c_custkey % 89 = 0 AND c_custkey % 97 <> 0
+        UNION ALL SELECT c_custkey + 10000000, CAST(2 AS BIGINT) FROM customer
+          WHERE c_custkey % 83 = 0""")),
+
+    Q("scd2_current_state",
+      (s, d) => {
+        val dest = Scenarios.deltaDest(s, d)
+        val sync = new graft.scd2.Synchronizer(s,
+          new graft.sources.DataFrameSource(Scenarios.batch2(s, d), Seq("c_custkey")),
+          dest, WriteConfig(deltaCol = Some("ver")))
+        sync.currentState()
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "ver")
+      },
+      Some("""SELECT c_custkey, trim(c_name) AS c_name,
+          CASE WHEN c_custkey % 89 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+          trim(c_mktsegment) AS c_mktsegment,
+          CAST(CASE WHEN c_custkey % 89 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
+          FROM customer WHERE c_custkey % 97 <> 0
+        UNION ALL SELECT c_custkey + 10000000, trim(c_name), c_acctbal, trim(c_mktsegment),
+          CAST(2 AS BIGINT) FROM customer WHERE c_custkey % 83 = 0""")),
+
+    Q("scd2_strange_inline",
+      (s, d) => Scenarios.history(s, Scenarios.strangeDest(s, d, inline = true)),
+      Some(strangeOracle)),
+
+    Q("scd2_strange_fallback",
+      (s, d) => Scenarios.history(s, Scenarios.strangeDest(s, d, inline = false)),
+      Some(strangeOracle)),
+
+    Q("scd2_append_inserts",
+      (s, d) => Scenarios.history(s, Scenarios.appendInsertsDest(s, d))
+        .withColumn("ts_us", expr("ts div 1000")).drop("ts"),
+      Some("""SELECT event_id, user_id, trim(event_type) AS event_type, value,
+          trim(props) AS props, FALSE AS __is_deleted,
+          (event_id <= (SELECT (max(event_id)*4)//5 FROM events)) AS __is_full_load,
+          CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events""")),
+
+    Q("scd2_simple_delta",
+      (s, d) => Scenarios.history(s, Scenarios.simpleDeltaDest(s, d)),
+      Some(s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,
+          FALSE AS __is_deleted, TRUE AS __is_full_load FROM customer
+        UNION ALL SELECT c_custkey, trim(c_name), c_acctbal + 100, trim(c_mktsegment),
+          CAST(2 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 89 = 0
+        UNION ALL SELECT c_custkey + 10000000, trim(c_name), c_acctbal, trim(c_mktsegment),
+          CAST(2 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 83 = 0""")),
+
+    Q("scd2_schema_drift",
+      (s, d) => Scenarios.history(s, Scenarios.schemaDriftDest(s, d)),
+      Some(s"""SELECT $oc, CAST(1 AS BIGINT) AS ver, CAST(NULL AS BIGINT) AS extra,
+          FALSE AS __is_deleted, TRUE AS __is_full_load FROM customer
+        UNION ALL SELECT $oc, CAST(1 AS BIGINT), c_custkey * 2, FALSE, TRUE
+          FROM customer""")),
+
+    Q("scd2_full_twice",
+      (s, d) => Scenarios.history(s, Scenarios.fullTwiceDest(s, d)),
+      Some(s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,
+          FALSE AS __is_deleted, TRUE AS __is_full_load FROM customer
+        UNION ALL SELECT $oc, CAST(1 AS BIGINT), FALSE, TRUE FROM customer""")),
+
+    Q("scd2_query_source",
+      (s, d) => Scenarios.history(s, Scenarios.querySourceDest(s, d)),
+      Some(s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,
+          FALSE AS __is_deleted, TRUE AS __is_full_load
+        FROM customer WHERE c_acctbal > 1000""")))
+
+  private lazy val strangeOracle: String =
+    s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,
+        FALSE AS __is_deleted, TRUE AS __is_full_load FROM customer
+      UNION ALL SELECT c_custkey, trim(c_name) || '_r', c_acctbal, trim(c_mktsegment),
+        CAST(0 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 89 = 0
+      UNION ALL SELECT CAST(20000000 AS BIGINT), 'new', 0.0, 'SEG',
+        CAST(2 AS BIGINT), FALSE, FALSE"""
+
+  // --------------------------------------------- training-data pipeline ops
+
+  /** DuckDB mirror of TextFunctions.normalizeWs. */
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val toksSql = s"string_split($normSql, ' ')"
+  private def stopSql(w: String) =
+    s"CAST(len(list_filter($toksSql, x -> x = '$w')) AS BIGINT)"
+  private val stopWordsSql =
+    Seq("the", "a", "and", "of", "to", "in", "is").map(stopSql).mkString(" + ")
+
+  private val pipeline: Seq[Q] = Seq(
+    Q("dedup_exact",
+      (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""SELECT md5($normSql) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        count(*) AS dupes FROM documents GROUP BY 1""")),
+
+    Q("text_token_count",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_m")),
+      Some(s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars_m FROM documents""")),
+
+    Q("text_quality",
+      (s, d) => {
+        val comps = TextFunctions.qualityComponents(col("text"))
+        t(s, d, "documents").select(
+          (col("doc_id") +: comps.map { case (n, c) => c.as(n) }) :+
+            TextFunctions.qualityLabel(col("text")).as("label_q"): _*)
+      },
+      Some(s"""WITH c AS (SELECT doc_id,
+          CAST(len($toksSql) AS BIGINT) AS n_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars_m,
+          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+          CAST($stopWordsSql AS BIGINT) AS n_stopwords
+        FROM documents)
+        SELECT doc_id, n_tokens, n_chars_m, n_punct, n_stopwords,
+          CAST(CASE WHEN n_tokens > 0 THEN (n_chars_m * 100) // n_tokens ELSE 0 END AS BIGINT)
+            AS mean_token_len_x100,
+          CAST(CASE WHEN n_tokens > 0 THEN (n_stopwords * 1000) // n_tokens ELSE 0 END AS BIGINT)
+            AS stopword_ratio_x1000,
+          CASE WHEN n_tokens < 5 THEN 'too_short'
+               WHEN n_stopwords = 0 THEN 'no_stopwords'
+               ELSE 'ok' END AS label_q
+        FROM c""")),
+
+    Q("text_fingerprint",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),
+      Some(s"SELECT doc_id, md5($normSql) AS fp FROM documents")),
+
+    Q("text_langid",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred")),
+      None),
+
+    Q("dedup_minhash_lsh",
+      (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5),
+      None),
+
+    Q("dedup_simhash",
+      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text"),
+      None),
+
+    Q("dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.3),
+      None),
+
+    // the synthetic embeddings have no true near-dups (max pairwise cosine
+    // ≈ 0.51), so the threshold/bucketing here is tuned to surface the
+    // moderately-similar tail: cos ≥ 0.4, 6 planes × 8 tables (≈40% recall)
+    Q("dedup_embedding",
+      (s, d) => Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, planes = 6, tables = 8),
+      None),
+
+    Q("ann_topk_bruteforce",
+      (s, d) => {
+        val q = queryVec(s, d)
+        Similarity.topKBruteForce(t(s, d, "embeddings"), "vec_id", "embedding", q, 10)
+          .select("rank", "id")
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        s AS (SELECT vec_id, list_cosine_similarity(embedding, qe) AS sim FROM embeddings, q)
+        SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+          vec_id AS id
+        FROM s ORDER BY sim DESC, vec_id LIMIT 10""")),
+
+    Q("ann_topk_lsh",
+      (s, d) => {
+        val q = queryVec(s, d)
+        Similarity.topKLsh(t(s, d, "embeddings"), "vec_id", "embedding", q, 10,
+            planes = 6, tables = 8)
+          .select("rank", "id")
+      },
+      None),
+
+    Q("emb_label_stats",
+      (s, d) => t(s, d, "embeddings").groupBy("label").agg(
+        count(lit(1)).as("cnt"),
+        min(size(col("embedding"))).cast("long").as("min_dim"),
+        max(size(col("embedding"))).cast("long").as("max_dim")),
+      Some("""SELECT label, count(*) AS cnt, CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+        CAST(max(len(embedding)) AS BIGINT) AS max_dim FROM embeddings GROUP BY label""")))
+
+  /** The embedding of vec_id = 0 — the ANN query vector on both sides. */
+  private def queryVec(s: SparkSession, d: String): Seq[Float] =
+    t(s, d, "embeddings").filter(col("vec_id") === 0)
+      .head().getSeq[Float](1)
+
+  // ------------------------------------------------------------------ all
+
+  val all: Seq[Q] = relational ++ scd2 ++ pipeline
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.collect { case Q(n, _, Some(o)) => n -> o.stripMargin.replaceAll("\\s+", " ").trim }.toMap
+}

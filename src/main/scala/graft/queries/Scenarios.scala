@@ -1,0 +1,152 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.scd2.Synchronizer
+import graft.sources.DataFrameSource
+
+/** Deterministic SCD2 engine scenarios over the harness `customer`/`events`
+  * parquet — each runs the real Synchronizer end-to-end into a temp
+  * destination and exposes the result as a DataFrame whose content is also
+  * expressible as plain SQL over the input parquet (the DuckDB oracle).
+  *
+  * Mutation predicates are modular arithmetic on the key so both sides
+  * (engine input builder and oracle SQL) derive the exact same batches:
+  *   deletes:  c_custkey % 97 == 0
+  *   updates:  c_custkey % 89 == 0   (acctbal+100, ver 1→2)
+  *   inserts:  c_custkey % 83 == 0   (key+10,000,000, ver 2)
+  *
+  * Scenario runs are memoized per (scenario, sfDir) so the several queries
+  * reading one scenario share a single engine run. */
+object Scenarios {
+  private val cache = TrieMap.empty[String, String]
+
+  private def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+
+  /** Batch 1: the full customer table with a version column. */
+  def batch1(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(
+      col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"),
+      lit(1L).as("ver"))
+
+  /** Batch 2: deletes + updates + inserts per the predicates above. */
+  def batch2(spark: SparkSession, dir: String): DataFrame = {
+    val b1 = batch1(spark, dir)
+    val kept = b1.filter(col("c_custkey") % 97 =!= 0)
+    val updated = kept.withColumn("c_acctbal",
+        when(col("c_custkey") % 89 === 0, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
+      .withColumn("ver",
+        when(col("c_custkey") % 89 === 0, lit(2L)).otherwise(col("ver")))
+    val inserts = b1.filter(col("c_custkey") % 83 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+      .withColumn("ver", lit(2L))
+    updated.unionByName(inserts)
+  }
+
+  /** Strange batch: rows with key % 89 == 0 get ver moved BACKWARDS to 0
+    * (restore-from-backup) and a marked name; one brand-new row keeps the
+    * (max, count) state moving so the load isn't short-circuited. */
+  def batchStrange(spark: SparkSession, dir: String): DataFrame = {
+    val b1 = batch1(spark, dir)
+    val mutated = b1
+      .withColumn("c_name",
+        when(col("c_custkey") % 89 === 0, concat(col("c_name"), lit("_r"))).otherwise(col("c_name")))
+      .withColumn("ver",
+        when(col("c_custkey") % 89 === 0, lit(0L)).otherwise(col("ver")))
+    val extra = b1.limit(1).select(
+      lit(20000000L).as("c_custkey"), lit("new").as("c_name"),
+      lit(0.0).as("c_acctbal"), lit("SEG").as("c_mktsegment"), lit(2L).as("ver"))
+    mutated.unionByName(extra)
+  }
+
+  private def run(key: String, spark: SparkSession, dir: String)(
+      body: String => Unit): String =
+    cache.getOrElseUpdate(s"$key|$dir", {
+      val dest = Files.createTempDirectory(s"graft-$key").toString
+      body(dest)
+      dest
+    })
+
+  private val pk = Seq("c_custkey")
+  private def cfg = WriteConfig(deltaCol = Some("ver"))
+
+  /** Full load then insert/update/delete delta load. */
+  def deltaDest(spark: SparkSession, dir: String): String =
+    run("delta", spark, dir) { dest =>
+      new Synchronizer(spark, new DataFrameSource(batch1(spark, dir), pk), dest, cfg).execute()
+      new Synchronizer(spark, new DataFrameSource(batch2(spark, dir), pk), dest, cfg).execute()
+    }
+
+  /** Full load then a backwards-moving ("strange") update batch. */
+  def strangeDest(spark: SparkSession, dir: String, inline: Boolean): String =
+    run(if (inline) "strange-in" else "strange-fb", spark, dir) { dest =>
+      val c = if (inline) cfg else cfg.copy(noComplexEntriesLoad = true)
+      new Synchronizer(spark, new DataFrameSource(batch1(spark, dir), pk), dest, c).execute()
+      new Synchronizer(spark, new DataFrameSource(batchStrange(spark, dir), pk), dest, c).execute()
+    }
+
+  /** 80% of events full-loaded, then append_inserts of the rest. */
+  def appendInsertsDest(spark: SparkSession, dir: String): String =
+    run("appins", spark, dir) { dest =>
+      val events = spark.read.parquet(s"$dir/events.parquet")
+      val thr = events.agg(max("event_id")).head().getLong(0) * 4 / 5
+      val c = WriteConfig(loadMode = LoadMode.AppendInserts, deltaCol = Some("event_id"))
+      new Synchronizer(spark,
+        new DataFrameSource(events.filter(col("event_id") <= thr), Seq("event_id")), dest, c).execute()
+      new Synchronizer(spark, new DataFrameSource(events, Seq("event_id")), dest, c).execute()
+    }
+
+  /** simple_delta: updates + inserts, deletes intentionally NOT detected. */
+  def simpleDeltaDest(spark: SparkSession, dir: String): String =
+    run("simple", spark, dir) { dest =>
+      val b1 = batch1(spark, dir)
+      val b2 = b1.withColumn("c_acctbal",
+          when(col("c_custkey") % 89 === 0, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
+        .withColumn("ver", when(col("c_custkey") % 89 === 0, lit(2L)).otherwise(col("ver")))
+        .unionByName(b1.filter(col("c_custkey") % 83 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L)
+          .withColumn("ver", lit(2L)))
+      val c = cfg.copy(loadMode = LoadMode.SimpleDelta)
+      new Synchronizer(spark, new DataFrameSource(b1, pk), dest, c).execute()
+      new Synchronizer(spark, new DataFrameSource(b2, pk), dest, c).execute()
+    }
+
+  /** Schema drift: batch 2 adds a brand-new column → forced full load. */
+  def schemaDriftDest(spark: SparkSession, dir: String): String =
+    run("drift", spark, dir) { dest =>
+      val b1 = batch1(spark, dir)
+      val b2 = b1.withColumn("extra", col("c_custkey") * 2)
+      new Synchronizer(spark, new DataFrameSource(b1, pk), dest, cfg).execute()
+      new Synchronizer(spark, new DataFrameSource(b2, pk), dest, cfg).execute()
+    }
+
+  /** Two full loads (ForceFull mode appends a complete snapshot). */
+  def fullTwiceDest(spark: SparkSession, dir: String): String =
+    run("full2", spark, dir) { dest =>
+      val b1 = batch1(spark, dir)
+      new Synchronizer(spark, new DataFrameSource(b1, pk), dest, cfg).execute()
+      new Synchronizer(spark, new DataFrameSource(b1, pk), dest,
+        cfg.copy(loadMode = LoadMode.ForceFull)).execute()
+    }
+
+  /** Query-as-source: a filtered projection plays the source relation. */
+  def querySourceDest(spark: SparkSession, dir: String): String =
+    run("qsrc", spark, dir) { dest =>
+      val q = batch1(spark, dir).filter(col("c_acctbal") > 1000)
+      new Synchronizer(spark, new DataFrameSource(q, pk), dest, cfg).execute()
+    }
+
+  /** History of a destination without the wall-clock column. */
+  def history(spark: SparkSession, dest: String): DataFrame =
+    new graft.store.VersionedTable(spark, s"$dest/delta").read().drop(SystemCols.timestamp)
+
+  def latestPk(spark: SparkSession, dest: String): DataFrame =
+    new graft.store.VersionedTable(spark, s"$dest/delta_load/latest_pk_version").read()
+}

@@ -95,8 +95,9 @@ final class Synchronizer(
   def targetName(c: ColInfo): String = cfg.getTargetName(c)
   val targetPks: Seq[String] = pkCols.map(targetName)
   val targetDelta: Option[String] = deltaCol.map(targetName)
-  /** (pks..., delta_col) — the shape of every snapshot table. */
-  private def pkd: Seq[String] = targetPks ++ targetDelta.toSeq
+  /** (pks..., delta_col) — the shape of every snapshot table. The delta col
+    * may BE a pk (identity-pk append_inserts) — dedupe. */
+  private def pkd: Seq[String] = (targetPks ++ targetDelta.toSeq).distinct
 
   private def srcProjected: DataFrame =
     Projection.select(source.read(spark), cols, cfg)
@@ -213,7 +214,8 @@ final class Synchronizer(
 
     // step 1: pk+delta snapshot of the source (db_to_delta.py:575-579,862-890)
     dest.primaryKeysTs.overwrite(
-      source.read(spark).select((pkCols ++ deltaCol.toSeq).map(Projection.sourceConvert(_, cfg)): _*))
+      source.read(spark).select(
+        (pkCols ++ deltaCol.toSeq).distinct.map(Projection.sourceConvert(_, cfg)): _*))
 
     // step 2: rows with delta_col beyond the local watermark → delta_1 →
     // append to history (db_to_delta.py:584-610)
