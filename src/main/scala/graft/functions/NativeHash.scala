@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd hash kernels for the dedup signatures.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`) are interpreted
+  * per element — a 64-hash MinHash over a few hundred shingles costs tens
+  * of thousands of interpreted expression-tree evaluations per row
+  * (measured: 14 s for 5 000 docs). These custom Catalyst `Expression`s
+  * keep whole-stage codegen intact by emitting a single static call into a
+  * tight JVM loop (`HashKernels`); per-row cost drops to the raw hashing
+  * work.
+  *
+  * Hash family: two xxhash64 passes per element, then the Carter-Wegman
+  * combination h_j = h1 + j·h2 — one-pass over the data for any number of
+  * hash functions. */
+object HashKernels {
+  private final val Seed1 = 0x9747b28cL
+  private final val Seed2 = 0x8b44f8a1L
+
+  private def xx(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** MinHash signature: per hash-family index j, the minimum of h_j over
+    * all elements. Empty input yields Long.MaxValue slots. */
+  def minhash(elems: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = elems.numElements()
+    var i = 0
+    while (i < n) {
+      val s = elems.getUTF8String(i)
+      if (s != null) {
+        val h1 = xx(s, Seed1)
+        val h2 = xx(s, Seed2) | 1L
+        var j = 0
+        var h = h1
+        while (j < numHashes) {
+          if (h < mins(j)) mins(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash: per bit b, the sign of Σ(±1) over elements' hash bit
+    * b; packed into one long. */
+  def simhash(elems: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = elems.numElements()
+    var i = 0
+    while (i < n) {
+      val s = elems.getUTF8String(i)
+      if (s != null) {
+        val h = xx(s, Seed1)
+        var b = 0
+        while (b < 64) {
+          counts(b) += (((h >>> b) & 1L).toInt << 1) - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
+/** array<string> → array<long>: the MinHash signature (codegen'd). */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhash(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhash($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** array<string> → bigint: the 64-bit SimHash (codegen'd). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}
+
+/** Column-API entry points. */
+object NativeHash {
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+}

@@ -31,19 +31,13 @@ object Dedup {
       .groupBy("fp")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dupes"))
 
-  /** Per-row MinHash signature from a PRECOMPUTED shingle-set column: array
-    * of `numHashes` 64-bit minima using xxhash64(shingle, seed_i) as the
-    * i-th hash family. Pure array expressions — stays in whole-stage
-    * codegen.
-    *
-    * `shingles` must be a plain column reference (not an inline expression):
-    * it is evaluated once per outer hash index, and an inlined shingleSet
-    * would re-tokenize the document numHashes times (observed 20×+ slowdown
-    * — CollapseProject keeps non-cheap multi-referenced aliases in their own
-    * projection, so a withColumn boundary is the fix). */
+  /** Per-row MinHash signature: array of `numHashes` 64-bit minima over the
+    * shingle set. Delegates to the native codegen'd expression
+    * ([[graft.functions.MinHashSignature]]) — the equivalent
+    * transform/array_min higher-order-function formulation is interpreted
+    * per element and measured ~10× slower. */
   def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+    graft.functions.NativeHash.minhashSignature(shingles, numHashes)
 
   /** LSH banding: (band_index, band_hash) pairs from a minhash signature.
     * Two docs sharing any band land in the same bucket. */
@@ -66,24 +60,27 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val withSig = df
-      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
+    val withSh = df.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
+    // the LSH plumbing ships ONLY (id, band, bucket) — shingle arrays are
+    // heavy payloads and must not ride through explode/shuffle/self-join;
+    // they re-attach by id for the (few) candidate pairs at the end
+    val bucketed = withSh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val bucketed = withSig
-      .select(col("id"), col("sh"),
-        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("sh"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
     // bound pathological buckets (boilerplate skew): drop buckets larger
     // than maxBucketSize — their members are near-identical and will pair
     // via other bands; logged loss is the scale-safety tradeoff
     val counted = bucketed.withColumn("bsz",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("bsz") <= maxBucketSize)
-    val a = counted.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = counted.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = counted.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = counted.select(col("band"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
     pairs
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard_x1000", jaccardX1000(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_x1000") >= (threshold * 1000).toLong)
       .select("id_a", "id_b", "jaccard_x1000")
@@ -94,7 +91,8 @@ object Dedup {
   def jaccardX1000(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("long")
     val union = (size(a) + size(b)).cast("long") - inter
-    when(union > 0, (inter * 1000L) / union).otherwise(lit(1000L))
+    // Column `/` is double division — floor+cast for exact integer per-mille
+    when(union > 0, floor((inter * 1000L) / union).cast("long")).otherwise(lit(1000L))
   }
 
   /** n-gram Jaccard similarity for all candidate pairs (LSH-bucketed), at a
@@ -105,34 +103,12 @@ object Dedup {
     minhashLshPairs(df, idCol, textCol, numHashes = 64, bands = 32,
       threshold = threshold, shingleN = shingleN)
 
-  /** Sign bits of the per-bit ±1 sums over a PRECOMPUTED token-hash column
-    * (see minhashSignature for why the input must be a column reference).
-    * call_function("shiftright", h, b) is the variable-shift form the typed
-    * DSL lacks; everything stays a codegen'd expression. */
-  def simhashBits(tokenHashes: Column): Column =
-    transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + (call_function("shiftright", h, b).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
-        lit(1L)).otherwise(lit(0L)))
-
-  /** Assemble the 64 bits into one BIGINT in a single pass: a struct
-    * accumulator (value, index) walks the bits array once — indexing back
-    * into the array via element_at would re-evaluate the whole bits
-    * expression per bit. */
-  def simhashFromBits(bits: Column): Column =
-    aggregate(bits,
-      struct(lit(0L).as("acc"), lit(0).as("i")),
-      (st, b) => struct(
-        st.getField("acc").bitwiseOR(call_function("shiftleft", b, st.getField("i"))).as("acc"),
-        (st.getField("i") + 1).as("i")),
-      st => st.getField("acc"))
-
-  /** Per-row 64-bit SimHash of a document: token multiset hashed, per-bit
-    * ±1 sums, sign bits packed. Returns (id, sig) rows. */
+  /** Per-row 64-bit SimHash of a document's token multiset, via the native
+    * codegen'd expression ([[graft.functions.SimHash64]]). Returns (id, sig)
+    * rows. */
   def simhashed(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), transform(tokens(col(textCol)), t => xxhash64(t)).as("th"))
-      .withColumn("bits", simhashBits(col("th")))
-      .select(col("id"), simhashFromBits(col("bits")).as("sig"))
+    df.select(col(idCol).as("id"),
+      graft.functions.NativeHash.simhash64(tokens(col(textCol))).as("sig"))
 
   /** SimHash near-duplicate pairs: band the 64-bit signature into four
     * 16-bit chunks (guarantees recall for hamming ≤ 3 by pigeonhole), bucket

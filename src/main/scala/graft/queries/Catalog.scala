@@ -372,6 +372,31 @@ object Catalog {
       },
       None),
 
+    // multimodal plumbing: synthetic binary payloads built from the docs
+    // fixture, decoded by the stub codec via mapPartitions (typed Dataset);
+    // the oracle covers every SQL-derivable feature column
+    Q("multimodal_features",
+      (s, d) => graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.syntheticMedia(s, s"$d/documents.parquet"))
+        .toDF()
+        .select("media_id", "kind", "n_bytes", "header_ok", "width", "height", "n_frames"),
+      Some("""SELECT doc_id AS media_id,
+          (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+          CAST(16 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          TRUE AS header_ok,
+          CAST(doc_id % 640 + 1 AS INT) AS width,
+          CAST(doc_id % 480 + 1 AS INT) AS height,
+          CAST(doc_id % 30 + 1 AS INT) AS n_frames
+        FROM documents""")),
+
+    Q("multimodal_frame_sample",
+      (s, d) => graft.multimodal.Multimodal.sampleFrames(
+          graft.multimodal.Multimodal.syntheticMedia(s, s"$d/documents.parquet"))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx")),
+      Some("""SELECT doc_id AS media_id,
+          unnest(range(0, CAST(doc_id % 30 + 1 AS BIGINT), 10)) AS frame_idx
+        FROM documents WHERE doc_id % 3 = 2""")),
+
     Q("emb_label_stats",
       (s, d) => t(s, d, "embeddings").groupBy("label").agg(
         count(lit(1)).as("cnt"),

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.SystemCols
+
+/** Structured-Streaming variants of the ingestion paths (SURVEY.md §2.9:
+  * the reference is poll-based incremental batch; Spark's native analogue
+  * for its full-load + append paths is `Trigger.AvailableNow` — process
+  * everything currently available, checkpoint, stop. Re-running the stream
+  * IS the reference's "one more poll").
+  *
+  * The streaming source replays files; the sink appends the same
+  * system-columned projection the batch engine writes, so downstream
+  * consumers (currentState, restore-pk) cannot tell the paths apart. */
+object StreamingIngest {
+
+  /** Append-only streaming ingest (the append_inserts load mode as a
+    * stream): parquet dir → system cols → parquet sink, exactly-once via
+    * the checkpoint. Returns the finished query (AvailableNow terminates). */
+  def ingestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      destDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val out = in
+      .withColumn(SystemCols.timestamp, current_timestamp())
+      .withColumn(SystemCols.isDeleted, lit(false))
+      .withColumn(SystemCols.isFullLoad, lit(false))
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream — the
+    * stateful-op capability probe (counts + sums per window × event_type).
+    * `tsCol` must be a TimestampType column. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Run the windowed aggregation over a file stream with AvailableNow and
+    * collect results to an in-memory sink table; returns its name. */
+  def runWindowedAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      tsCol: String,
+      queryName: String): StreamingQuery = {
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val agg = windowedCounts(in, tsCol)
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

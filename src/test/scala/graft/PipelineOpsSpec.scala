@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.multimodal.Multimodal
+
+/** Unit specs for the training-data-pipeline operators (dedup, similarity,
+  * text analysis, multimodal plumbing) over small hand-built fixtures with
+  * known answers. */
+class PipelineOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("text functions: tokens, fingerprint, quality, langid") {
+    val df = docs(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "the  QUICK   brown fox jumps over the lazy dog"), // ws+case variant
+      (3L, "a b"),
+      (4L, "der Hund ist nicht der einzige und das ist gut"))
+    val out = df.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.qualityLabel(col("text")).as("q"),
+      TextFunctions.langId(col("text")).as("lang")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 9)
+    assert(out(2L).getLong(1) == 9) // normalization collapses whitespace
+    assert(out(1L).getString(2) == out(2L).getString(2)) // same fingerprint
+    assert(out(3L).getString(3) == "too_short")
+    assert(out(1L).getString(3) == "ok")
+    assert(out(1L).getString(4) == "en")
+    assert(out(4L).getString(4) == "de")
+  }
+
+  test("exact dedup groups whitespace/case variants") {
+    val df = docs(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different text"))
+    val groups = Dedup.exact(df, "doc_id", "text").collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("dupes") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds near-duplicates and skips dissimilar docs") {
+    val base = "the cat sat on the mat and looked at the moon while birds sang softly in the trees near the river bank at dusk"
+    val near = base.replace("softly", "loudly") // one token differs
+    val far = "completely unrelated content about databases and distributed query execution engines with columnar storage formats"
+    val df = docs((1L, base), (2L, near), (3L, far))
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard is exact and symmetric-free (a<b ordering)") {
+    val df = docs((1L, "a b c d e f"), (2L, "a b c d e g"))
+    val j = df.select(Dedup.jaccardX1000(
+      TextFunctions.shingleSet(col("text"), 3),
+      TextFunctions.shingleSet(col("text"), 3)).as("j")).head().getLong(0)
+    assert(j == 1000L) // self-jaccard
+  }
+
+  test("simhash: identical docs share signatures, near docs are close") {
+    val base = "spark catalyst optimizer pushes filters below joins for efficient scans"
+    val df = docs((1L, base), (2L, base), (3L, base + " mostly"), (4L, "zebra xylophone quartz"))
+    val sigs = Dedup.simhashed(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("cosine top-k brute force ranks by similarity with deterministic ties") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f, 0f))) // exact duplicate of query
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.topKBruteForce(df, "vec_id", "embedding",
+      Seq(1f, 0f, 0f, 0f), 3).collect()
+    assert(top.map(_.getAs[Long]("id")).toSeq == Seq(0L, 3L, 1L)) // ties → id asc
+    assert(top.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("LSH buckets: query-side scala math matches the column expression") {
+    val vec = (0 until 64).map(i => (i % 7 - 3) / 3.0f)
+    val df = Seq((1L, vec.toArray)).toDF("vec_id", "embedding")
+    val fromExpr = df.select(
+      graft.operators.Similarity.hyperplaneBuckets(col("embedding"), 6, 8).as("b"))
+      .head().getSeq[Long](0)
+    val fromScala = Similarity.bucketsOf(vec, 6, 8)
+    assert(fromExpr == fromScala)
+  }
+
+  test("multimodal: stub decode round-trips header metadata via mapPartitions") {
+    val tmp = tmpDir("graft-mm")
+    docs((7L, "hello media world"), (8L, "payload two"), (9L, "third"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val media = Multimodal.syntheticMedia(spark, s"$tmp/documents.parquet")
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(7L).header_ok)
+    assert(feats(7L).width == (7 % 640 + 1))
+    assert(feats(7L).height == (7 % 480 + 1))
+    assert(feats(7L).n_bytes == 16 + "hello media world".getBytes("UTF-8").length)
+    val frames = Multimodal.sampleFrames(media).collect()
+    // only kind==video rows (doc_id % 3 == 2): ids 8 (8%3=2)
+    assert(frames.map(_.getLong(0)).distinct.toSeq == Seq(8L))
+  }
+
+  test("streaming: AvailableNow windowed aggregation over a file stream") {
+    val tmp = tmpDir("graft-stream")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val rows = Seq(
+      ("2026-01-01 10:05:00", "click", 1.0),
+      ("2026-01-01 10:35:00", "click", 2.0),
+      ("2026-01-01 11:05:00", "view", 5.0))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(java.sql.Timestamp.valueOf(r._1), r._2, r._3))), schema)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    graft.streaming.StreamingIngest.runWindowedAvailableNow(
+      spark, s"$tmp/in", schema, "ts", "win_test")
+    val out = spark.table("win_test").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(out.toSet == Set(
+      ("2026-01-01 10:00:00.0", "click", 2L),
+      ("2026-01-01 11:00:00.0", "view", 1L)))
+  }
+}
