@@ -257,6 +257,27 @@ object Catalog {
           FALSE AS __is_deleted, TRUE AS __is_full_load FROM customer
         UNION ALL SELECT $oc, CAST(1 AS BIGINT), FALSE, TRUE FROM customer""")),
 
+    // W1 restore: latest_pk_version deleted, recomputed purely from history
+    // (full-load snapshot ∪ window-deduped post-full changes ∖ deletes) —
+    // must equal the incrementally-maintained snapshot
+    Q("scd2_restore_pk",
+      (s, d) => Scenarios.latestPk(s, Scenarios.restorePkDest(s, d)),
+      Some("""SELECT c_custkey, CAST(1 AS BIGINT) AS ver FROM customer
+          WHERE c_custkey % 97 <> 0 AND c_custkey % 89 <> 0
+        UNION ALL SELECT c_custkey, CAST(2 AS BIGINT) FROM customer
+          WHERE c_custkey % 89 = 0 AND c_custkey % 97 <> 0
+        UNION ALL SELECT c_custkey + 10000000, CAST(2 AS BIGINT) FROM customer
+          WHERE c_custkey % 83 = 0""")),
+
+    // S5 time travel: the pk snapshot AS OF the version committed by the
+    // full load, read after the delta load has superseded it
+    Q("scd2_time_travel",
+      (s, d) => {
+        val dest = Scenarios.deltaDest(s, d)
+        new graft.store.VersionedTable(s, s"$dest/delta_load/latest_pk_version").readVersion(0)
+      },
+      Some("SELECT c_custkey, CAST(1 AS BIGINT) AS ver FROM customer")),
+
     Q("scd2_query_source",
       (s, d) => Scenarios.history(s, Scenarios.querySourceDest(s, d)),
       Some(s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,

@@ -143,6 +143,26 @@ object Scenarios {
       new Synchronizer(spark, new DataFrameSource(q, pk), dest, cfg).execute()
     }
 
+  /** Delta scenario on a private dest, then latest_pk_version wiped and
+    * rebuilt from history via the W1 window query (restore_pk path). */
+  def restorePkDest(spark: SparkSession, dir: String): String =
+    run("restorepk", spark, dir) { dest =>
+      new Synchronizer(spark, new DataFrameSource(batch1(spark, dir), pk), dest, cfg).execute()
+      val src2 = new DataFrameSource(batch2(spark, dir), pk)
+      new Synchronizer(spark, src2, dest, cfg).execute()
+      // wipe the snapshot; the engine must recompute it from history alone
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.forEach(rm) finally s.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(java.nio.file.Paths.get(dest, "delta_load", "latest_pk_version"))
+      val sync = new Synchronizer(spark, src2, dest, cfg)
+      require(sync.restoreLastPk(), "restore must succeed")
+    }
+
   /** History of a destination without the wall-clock column. */
   def history(spark: SparkSession, dest: String): DataFrame =
     new graft.store.VersionedTable(spark, s"$dest/delta").read().drop(SystemCols.timestamp)
