@@ -94,6 +94,78 @@ object Similarity {
     array(perTable: _*)
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Squared L2 distance between a vector column and a literal centroid. */
+  private def sqDistTo(vec: Column, centroid: Array[Double]): Column = {
+    val c = array(centroid.map(lit): _*)
+    aggregate(zip_with(vec, c, (x, y) => {
+      val d = x.cast("double") - y
+      d * d
+    }), lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Nearest-centroid index (argmin of squared distance) as a column. */
+  private def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column = {
+    val dists = centroids.map(sqDistTo(vec, _))
+    val minD = dists.reduce((a, b) => least(a, b))
+    dists.zipWithIndex.foldRight(lit(-1): Column) { case ((d, i), acc) =>
+      when(d === minD, lit(i)).otherwise(acc)
+    }
+  }
+
+  /** Train an IVF coarse quantizer with Lloyd iterations, entirely as
+    * DataFrame aggregations (one shuffle per iteration; centroids are tiny
+    * driver-side state, k × dim doubles). Deterministic: initial centroids
+    * are the k lowest-id vectors. Returns the centroid list. */
+  def ivfTrain(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 2): Seq[Array[Double]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    var centroids: Seq[Array[Double]] = df
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    (0 until iters).foreach { _ =>
+      val assigned = df.select(col(vecCol).as("v"),
+        nearestCentroid(col(vecCol), centroids).as("c"))
+      val dimAvgs = (0 until dim).map(i =>
+        avg(element_at(col("v"), i + 1)).as(s"d$i"))
+      val means = assigned.groupBy("c")
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)).toArray)
+        .toMap
+      // empty clusters keep their previous centroid
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** IVF top-k: assign the corpus to the trained centroids, probe only the
+    * query's `nprobe` nearest cells, exact-rerank inside them. At scale the
+    * assignment is computed once and persisted with the corpus; queries
+    * touch |corpus| × nprobe / k rows instead of everything. */
+  def topKIvf(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], k: Int,
+      centroids: Seq[Array[Double]], nprobe: Int = 4): DataFrame = {
+    val qCells = centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(queryVec).map { case (y, x) => val dd = x.toDouble - y; dd * dd }.sum
+      i -> d
+    }.sortBy(_._2).take(nprobe).map(_._1)
+    val candidates = df
+      .withColumn("__cell", nearestCentroid(col(vecCol), centroids))
+      .filter(col("__cell").isin(qCells: _*))
+    val q = array(queryVec.map(lit): _*)
+    candidates.select(col(idCol).as("id"), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("sim").desc, col("id").asc))
+        .cast("long"))
+      .select("rank", "id", "sim")
+  }
+
   /** Driver-side bucket ids of a literal query vector (same math). */
   def bucketsOf(vec: Seq[Float], planes: Int, tables: Int): Seq[Long] =
     (0 until tables).map { t =>

@@ -384,6 +384,16 @@ object Catalog {
           vec_id AS id
         FROM s ORDER BY sim DESC, vec_id LIMIT 10""")),
 
+    Q("ann_topk_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = queryVec(s, d)
+        val centroids = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16, iters = 2)
+        Similarity.topKIvf(emb, "vec_id", "embedding", q, 10, centroids, nprobe = 4)
+          .select("rank", "id")
+      },
+      None),
+
     Q("ann_topk_lsh",
       (s, d) => {
         val q = queryVec(s, d)

@@ -19,6 +19,8 @@ final class SyncDestination(spark: SparkSession, val root: String) {
   val delta2 = new VersionedTable(spark, s"$root/delta_load/delta_2")
   val primaryKeysTs = new VersionedTable(spark, s"$root/delta_load/primary_keys_ts")
   val latestPkVersion = new VersionedTable(spark, s"$root/delta_load/latest_pk_version")
+  /** Structured run log (reference delta_logger.py:13-43; dest/log). */
+  val log = new graft.store.LogTable(spark, s"$root/log", root)
 
   private def metaDir = { val p = Paths.get(root, "meta"); Files.createDirectories(p); p }
   private def lockPath = metaDir.resolve("lock.txt")
@@ -117,6 +119,7 @@ final class Synchronizer(
       val pkTsVersionBefore = dest.primaryKeysTs.latestVersion
       try {
         dest.writeSchemaJson(cols, cfg)
+        dest.log.info(s"starting sync (mode=${cfg.loadMode})", load = cfg.loadMode.toString)
         val result =
           if (!dest.delta.exists || cfg.loadMode == LoadMode.Overwrite)
             fullLoad(overwriteTarget = true)
@@ -129,6 +132,7 @@ final class Synchronizer(
             case _ => deltaLoad()
           }
         dest.vacuumAux()
+        dest.log.info(s"done: $result", load = cfg.loadMode.toString)
         result
       } catch {
         case e: Throwable =>
@@ -144,9 +148,13 @@ final class Synchronizer(
           pkTsVersionBefore.foreach { v =>
             if (dest.primaryKeysTs.latestVersion.exists(_ > v)) dest.primaryKeysTs.restore(v)
           }
+          dest.log.error(s"sync failed, snapshots rolled back", e)
           throw e
       }
-    } finally dest.releaseLock()
+    } finally {
+      dest.log.flush()
+      dest.releaseLock()
+    }
   }
 
   // -------------------------------------------------------------- full load
@@ -157,11 +165,12 @@ final class Synchronizer(
     val ts = nowTs
     val proj = Projection.withSystemCols(
       srcProjected, isDeleted = false, isFullLoad = true, ts = lit(ts))
-    if (overwriteTarget) dest.delta.overwrite(proj)
-    else dest.delta.append(proj, cfg.allowSchemaDrift)
+    val v =
+      if (overwriteTarget) dest.delta.overwrite(proj)
+      else dest.delta.append(proj, cfg.allowSchemaDrift)
     if (pkCols.nonEmpty && deltaCol.nonEmpty) writeLatestPkFromFull()
-    LoadResult.FullLoad(dest.delta.read()
-      .filter(col(SystemCols.timestamp) === lit(ts)).count())
+    // count only this commit's files, not the whole history
+    LoadResult.FullLoad(dest.delta.readCommit(v).count())
   }
 
   /** latest_pk_version ← rows of the newest full-load snapshot
@@ -286,7 +295,7 @@ final class Synchronizer(
     try {
       val updateCount = realAdditional.count()
       if (updateCount == 0) {
-        dest.delta2.overwrite(emptyLike(dest.delta1.read()))
+        dest.delta2.overwriteEmpty(dest.delta1.schema)
         (0L, scala.None)
       } else if (updateCount > cfg.inlineJoinThreshold || cfg.noComplexEntriesLoad) {
         // fallback: re-scan everything from the smallest strange delta value,
@@ -297,7 +306,7 @@ final class Synchronizer(
         // step-2 load did NOT already cover (≤ step-2 watermark).
         // (Divergence from the reference, which re-appends the step-2 rows as
         // duplicate history versions — db_to_delta.py:1105-1146.)
-        dest.delta2.overwrite(emptyLike(dest.delta1.read()))
+        dest.delta2.overwriteEmpty(dest.delta1.schema)
         val minTs = additional.agg(min(col(dc))).head().get(0)
         val rescan = Projection.withSystemCols(
           srcProjected.filter(col(dc) >= lit(minTs)),
@@ -382,7 +391,7 @@ final class Synchronizer(
     dest.delta1.overwrite(updates)
     val inserts = dest.delta1.read().count()
     if (inserts > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
-    dest.delta2.overwrite(emptyLike(dest.delta1.read()))
+    dest.delta2.overwriteEmpty(dest.delta1.schema)
     // merge (delta_2 ∪ delta_1∖delta_2) into latest_pk_version on pks (K3)
     dest.latestPkVersion.merge(latestPkQuery(scala.None, includeSnapshot = false), targetPks)
 

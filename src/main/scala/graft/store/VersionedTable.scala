@@ -107,13 +107,25 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   /** Time travel (reference spark_reader.py:123-133 versionAsOf). */
   def readVersion(version: Long): DataFrame = {
     val m = readManifest(version)
-    val logical = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    if (m.dirs.isEmpty) return emptyDf(logical)
+    scanDirs(m.dirs, DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+  }
+
+  /** Only the rows ADDED by commit `version` (its own data dirs) — cheap
+    * post-commit row accounting without rescanning the whole table. */
+  def readCommit(version: Long): DataFrame = {
+    val m = readManifest(version)
+    val prefix = f"v$version%010d-"
+    scanDirs(m.dirs.filter(_.dir.startsWith(prefix)),
+      DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+  }
+
+  private def scanDirs(dirs: Seq[DataDir], logical: StructType): DataFrame = {
+    if (dirs.isEmpty) return emptyDf(logical)
     // One FileScan per distinct physical schema generation; columns added by
     // later drift read as NULL for older generations, then align + union.
-    val scans = m.dirs.groupBy(_.schemaJson).map { case (schemaJson, dirs) =>
+    val scans = dirs.groupBy(_.schemaJson).map { case (schemaJson, ds) =>
       val phys = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-      val df = spark.read.schema(phys).parquet(dirs.map(d => s"$path/data/${d.dir}"): _*)
+      val df = spark.read.schema(phys).parquet(ds.map(d => s"$path/data/${d.dir}"): _*)
       align(df, logical)
     }.toSeq
     scans.reduce(_.unionByName(_))
@@ -169,6 +181,16 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     * spark_reader.py:284-305 / K2). */
   def widenSchema(newSchema: StructType, drift: SchemaDrift): Long =
     commit(emptyDf(newSchema), overwrite = false, drift)
+
+  /** Overwrite with an EMPTY snapshot carrying only a schema. No Spark job
+    * runs — the manifest simply lists no data dirs (the engine clears its
+    * delta_2 staging table on most runs; a parquet write of zero rows would
+    * cost a full job's fixed latency each time). */
+  def overwriteEmpty(schema: StructType): Long = {
+    val nextV = latestVersion.map(_ + 1).getOrElse(0L)
+    writeManifest(Manifest(nextV, Nil, SchemaEvolution.relaxNullable(schema).json))
+    nextV
+  }
 
   /** Restore the table to an earlier version as a NEW commit (reference
     * reader.py:24, spark_reader.py:40-44 — rollback of latest_pk_version). */

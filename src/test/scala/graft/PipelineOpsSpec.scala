@@ -93,6 +93,23 @@ class PipelineOpsSpec extends SparkSuite {
     assert(top.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("IVF: probing the query's cell finds the exact nearest neighbour") {
+    // two well-separated clusters around (1,0,..) and (0,1,..)
+    val vecs = (0L until 20L).map { i =>
+      val base = if (i < 10) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i, base.zipWithIndex.map { case (v, j) => v + (i % 5) * 0.01f * (j + 1) })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(df, "vec_id", "embedding", k = 2, iters = 3)
+    assert(centroids.size == 2)
+    val q = Array(0.95f, 0.05f, 0f, 0f)
+    val ivf = Similarity.topKIvf(df, "vec_id", "embedding", q.toSeq, 3, centroids, nprobe = 1)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val brute = Similarity.topKBruteForce(df, "vec_id", "embedding", q.toSeq, 3)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(ivf == brute) // cluster-1 queries need only cluster-1's cell
+  }
+
   test("LSH buckets: query-side scala math matches the column expression") {
     val vec = (0 until 64).map(i => (i % 7 - 3) / 3.0f)
     val df = Seq((1L, vec.toArray)).toDF("vec_id", "embedding")

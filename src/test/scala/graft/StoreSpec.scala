@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.{LogTable, SchemaEvolution, VersionedTable}
+
+/** Unit specs for the storage layer: the versioned table format (append /
+  * overwrite / time travel / restore / merge / vacuum / schema drift /
+  * empty commits) and the structured run log. */
+class StoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def table(name: String) = new VersionedTable(spark, tmpDir(name))
+
+  test("append/overwrite/time-travel/readCommit") {
+    val t = table("vt-basic")
+    assert(!t.exists)
+    val v0 = t.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    val v1 = t.append(Seq((3, "c")).toDF("id", "s"))
+    assert(v0 == 0 && v1 == 1)
+    assert(t.read().count() == 3)
+    assert(t.readVersion(0).count() == 2)
+    assert(t.readCommit(1).collect().map(_.getInt(0)).toSeq == Seq(3))
+    val v2 = t.restore(0)
+    assert(t.read().count() == 2 && v2 == 2)
+    // restore is itself a version: the appended state is still reachable
+    assert(t.readVersion(1).count() == 3)
+  }
+
+  test("overwriteEmpty commits schema with zero data dirs") {
+    val t = table("vt-empty")
+    t.overwrite(Seq((1, "a")).toDF("id", "s"))
+    t.overwriteEmpty(t.schema)
+    assert(t.read().isEmpty)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(t.readVersion(0).count() == 1)
+  }
+
+  test("merge upserts on pk") {
+    val t = table("vt-merge")
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    t.merge(Seq((2, "B"), (3, "c")).toDF("id", "s"), Seq("id"))
+    val m = t.read().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m == Map(1 -> "a", 2 -> "B", 3 -> "c"))
+  }
+
+  test("schema drift: NewOnly adds columns, rejects type change; Full widens") {
+    val t = table("vt-drift")
+    t.overwrite(Seq((1, 10)).toDF("id", "v"))
+    // new column appends under NewOnly; missing column in old files → NULL
+    t.append(Seq((2, 20, "x")).toDF("id", "v", "extra"), SchemaDrift.NewOnly)
+    val rows = t.read().orderBy("id").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getString(2) == "x")
+    // type change rejected under NewOnly
+    intercept[IllegalArgumentException] {
+      t.append(Seq((3, "not-an-int", "y")).toDF("id", "v", "extra"), SchemaDrift.NewOnly)
+    }
+    // widening int → long allowed under Full
+    t.append(Seq((4L, 40L)).toDF("id", "v").select(col("id").cast("long").as("id"),
+      col("v").cast("long").as("v")), SchemaDrift.Full)
+    assert(t.schema("id").dataType == LongType)
+    assert(t.read().count() == 3)
+  }
+
+  test("widening lattice accepts lossless, rejects lossy") {
+    assert(SchemaEvolution.widen(IntegerType, LongType) == LongType)
+    assert(SchemaEvolution.widen(DecimalType(15, 3), DecimalType(20, 3)) == DecimalType(20, 3))
+    intercept[IllegalArgumentException](SchemaEvolution.widen(LongType, IntegerType))
+    intercept[IllegalArgumentException](SchemaEvolution.widen(DecimalType(15, 3), StringType))
+  }
+
+  test("vacuum drops unreferenced dirs but keeps recent versions readable") {
+    val t = table("vt-vac")
+    (0 until 6).foreach(i => t.overwrite(Seq((i, s"v$i")).toDF("id", "s")))
+    t.vacuum(keepVersions = 2)
+    assert(t.read().head().getString(1) == "v5")
+    assert(t.readVersion(4).head().getString(1) == "v4")
+    intercept[Exception](t.readVersion(1).collect()) // vacuumed away
+  }
+
+  test("log table: buffered writes, flush, read back as DataFrame") {
+    val dir = tmpDir("vt-log")
+    val log = new LogTable(spark, dir, "spec-logger", flushEvery = 2)
+    log.info("first", load = "delta")
+    assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)) ||
+      log.read().count() == 0) // below flush threshold: nothing on disk yet
+    log.info("second") // triggers flush
+    log.error("boom", new RuntimeException("synthetic"))
+    log.close() // flushes the tail
+    val rows = log.read().orderBy("date").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("message")).toSeq == Seq("first", "second", "boom"))
+    assert(rows(0).getAs[String]("load") == "delta")
+    assert(rows(2).getAs[String]("type") == "error")
+    assert(rows(2).getAs[String]("error_trackback").contains("synthetic"))
+    assert(rows.forall(_.getAs[java.sql.Timestamp]("date") != null))
+  }
+}
