@@ -1,7 +1,6 @@
 package graft.scd2
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,7 +8,7 @@ import org.apache.spark.sql.types._
 
 import graft._
 import graft.sources.{Source, SourceState}
-import graft.store.{SchemaEvolution, VersionedTable}
+import graft.store.{Fs, SchemaEvolution, VersionedTable}
 
 /** Destination layout — the SCD2 history plus the four auxiliary snapshot
   * tables (reference write_init.py:49-61). */
@@ -22,34 +21,33 @@ final class SyncDestination(spark: SparkSession, val root: String) {
   /** Structured run log (reference delta_logger.py:13-43; dest/log). */
   val log = new graft.store.LogTable(spark, s"$root/log", root)
 
-  private def metaDir = { val p = Paths.get(root, "meta"); Files.createDirectories(p); p }
-  private def lockPath = metaDir.resolve("lock.txt")
+  private val fsu = new Fs(spark, root)
+  private def metaDir = { val p = new HPath(root, "meta"); fsu.mkdirs(p); p }
+  private def lockPath = new HPath(metaDir, "lock.txt")
 
   /** Lock with 1-hour staleness takeover (reference db_to_delta.py:218-229).
-    * Acquisition is atomic (CREATE_NEW) so two concurrent writers can't both
-    * win; a stale lock is deleted and acquisition retried exactly once. */
+    * Acquisition is atomic where the filesystem supports CREATE_NEW
+    * (local/HDFS) so two concurrent writers can't both win; a stale lock is
+    * deleted and acquisition retried exactly once. */
   def acquireLock(staleAfterSec: Long = 3600): Unit = {
-    def tryCreate(): Boolean =
-      try { Files.createFile(lockPath); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (tryCreate()) return
+    if (fsu.createNew(lockPath)) return
     val ageSec =
-      try (System.currentTimeMillis() - Files.getLastModifiedTime(lockPath).toMillis) / 1000
-      catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue } // holder just released
+      try (System.currentTimeMillis() - fsu.mtime(lockPath)) / 1000
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue } // holder just released
     if (ageSec > staleAfterSec) {
-      Files.deleteIfExists(lockPath)
-      if (tryCreate()) return
+      fsu.deleteIfExists(lockPath)
+      if (fsu.createNew(lockPath)) return
     }
     throw new IllegalStateException(s"destination $root is locked (lock.txt age ${ageSec}s)")
   }
-  def releaseLock(): Unit = Files.deleteIfExists(lockPath)
+  def releaseLock(): Unit = fsu.deleteIfExists(lockPath)
 
   /** Schema snapshot persisted each run (reference db_to_delta.py:187-200). */
   def writeSchemaJson(cols: Seq[ColInfo], cfg: WriteConfig): Unit = {
     val fields = cols.map { c =>
       StructField(cfg.getTargetName(c), Projection.targetType(c, cfg), nullable = true)
     }
-    Files.writeString(metaDir.resolve("schema.json"), StructType(fields).prettyJson)
+    fsu.writeString(new HPath(metaDir, "schema.json"), StructType(fields).prettyJson)
   }
 
   def vacuumAux(): Unit =

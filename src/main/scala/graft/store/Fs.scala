@@ -1,0 +1,70 @@
+package graft.store
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop-FileSystem file utilities for the storage layer.
+  *
+  * Everything the engine writes outside of Spark jobs (manifests, locks,
+  * schema snapshots, logs) goes through this seam so a destination can be
+  * any Hadoop-supported filesystem — local file://, HDFS, S3A, ABFS — not
+  * just the driver's local disk (the reference's Destination abstraction,
+  * destination/destination.py:11-53, made Spark-native: one API instead of
+  * per-cloud classes). Paths stay plain strings ("s3a://bucket/dest");
+  * Spark's own parquet reads/writes already handle any scheme.
+  *
+  * Atomicity notes: manifest publication is write-temp + rename — atomic on
+  * HDFS/ABFS, best-effort on S3A (single-writer engines serialize via the
+  * lock anyway); `createNew` uses create(overwrite=false), atomic on
+  * HDFS/local, check-then-act on S3A. */
+final class Fs(spark: SparkSession, anyPathInFs: String) {
+  val fs: FileSystem =
+    new Path(anyPathInFs).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(p: Path): Boolean = fs.exists(p)
+  def isDir(p: Path): Boolean = fs.exists(p) && fs.getFileStatus(p).isDirectory
+  def mkdirs(p: Path): Unit = fs.mkdirs(p)
+
+  def list(p: Path): Seq[Path] =
+    if (isDir(p)) fs.listStatus(p).toSeq.map(_.getPath) else Nil
+
+  def readString(p: Path): String = {
+    val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).mkString("\n")
+    finally in.close()
+  }
+
+  def writeString(p: Path, s: String, overwrite: Boolean = true): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Publish atomically: write a temp sibling, then rename into place. */
+  def writeStringAtomic(p: Path, s: String): Unit = {
+    val tmp = new Path(p.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+    writeString(tmp, s)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
+    }
+  }
+
+  /** Create-if-absent; false when the file already exists. */
+  def createNew(p: Path): Boolean =
+    try { fs.create(p, false).close(); true }
+    catch {
+      case _: FileAlreadyExistsException => false
+      case e: java.io.IOException if e.getMessage != null &&
+        e.getMessage.contains("already exists") => false
+    }
+
+  def mtime(p: Path): Long = fs.getFileStatus(p).getModificationTime
+
+  def delete(p: Path, recursive: Boolean = false): Boolean = fs.delete(p, recursive)
+
+  def deleteIfExists(p: Path): Boolean =
+    try fs.delete(p, false) catch { case _: java.io.FileNotFoundException => false }
+}

@@ -1,10 +1,9 @@
 package graft.store
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.sql.Timestamp
 import java.util.UUID
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -26,6 +25,7 @@ final class LogTable(
 
   import LogTable._
 
+  private val fsu = new Fs(spark, path)
   private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
   private val loggerId = UUID.randomUUID().toString
 
@@ -51,12 +51,12 @@ final class LogTable(
 
   def flush(): Unit = synchronized {
     if (buf.nonEmpty) {
-      val dir = Paths.get(path)
-      Files.createDirectories(dir)
-      Files.write(
-        dir.resolve(s"log-${System.currentTimeMillis()}-${UUID.randomUUID().toString.take(8)}.json"),
-        buf.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW)
+      val dir = new HPath(path)
+      fsu.mkdirs(dir)
+      fsu.writeString(
+        new HPath(dir,
+          s"log-${System.currentTimeMillis()}-${UUID.randomUUID().toString.take(8)}.json"),
+        buf.mkString("", "\n", "\n"), overwrite = false)
       buf.clear()
     }
   }
@@ -64,7 +64,7 @@ final class LogTable(
   override def close(): Unit = flush()
 
   def read(): DataFrame =
-    if (Files.isDirectory(Paths.get(path)))
+    if (fsu.isDir(new HPath(path)))
       spark.read.schema(readSchema).json(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 }

@@ -1,12 +1,11 @@
 package graft.store
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -42,8 +41,9 @@ import graft.SchemaDrift
 final class VersionedTable(spark: SparkSession, val path: String) {
   import VersionedTable._
 
-  private val logDir: Path = Paths.get(path, "_graft_log")
-  private val dataDir: Path = Paths.get(path, "data")
+  private val fsu = new Fs(spark, path)
+  private val logDir: HPath = new HPath(path, "_graft_log")
+  private val dataDir: HPath = new HPath(path, "data")
 
   // ---------------------------------------------------------------- versions
 
@@ -51,36 +51,30 @@ final class VersionedTable(spark: SparkSession, val path: String) {
 
   /** Latest committed version, if any. */
   def latestVersion: Option[Long] = {
-    if (!Files.isDirectory(logDir)) return None
-    val vs = listDir(logDir)
-      .map(_.getFileName.toString)
+    val vs = fsu.list(logDir)
+      .map(_.getName)
       .collect { case ManifestName(v) => v.toLong }
     if (vs.isEmpty) None else Some(vs.max)
-  }
-
-  /** Files.list with the stream closed — each open stream holds a directory
-    * fd; a long-running driver doing many commits/vacuums would otherwise
-    * exhaust fds. */
-  private def listDir(p: Path): Seq[Path] = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toSeq finally s.close()
   }
 
   def requireVersion: Long = latestVersion.getOrElse(
     throw new IllegalStateException(s"table $path does not exist"))
 
-  private def manifestPath(v: Long): Path = logDir.resolve(f"v$v%010d.json")
+  private def manifestPath(v: Long): HPath = new HPath(logDir, f"v$v%010d.json")
 
   private def readManifest(v: Long): Manifest = {
-    val node = mapper.readTree(Files.readString(manifestPath(v)))
+    val node = mapper.readTree(fsu.readString(manifestPath(v)))
     val dirs = node.get("dirs").elements().asScala.map { d =>
       DataDir(d.get("dir").asText(), d.get("schema").asText())
     }.toSeq
-    Manifest(v, dirs, node.get("schema").asText())
+    val props = Option(node.get("properties")).map { pn =>
+      pn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    Manifest(v, dirs, node.get("schema").asText(), props)
   }
 
   private def writeManifest(m: Manifest): Unit = {
-    Files.createDirectories(logDir)
+    fsu.mkdirs(logDir)
     val root = mapper.createObjectNode()
     root.put("version", m.version)
     root.put("schema", m.schemaJson)
@@ -89,9 +83,11 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     m.dirs.foreach { d =>
       val o = arr.addObject(); o.put("dir", d.dir); o.put("schema", d.schemaJson)
     }
-    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, mapper.writeValueAsString(root))
-    Files.move(tmp, manifestPath(m.version), StandardCopyOption.ATOMIC_MOVE)
+    if (m.properties.nonEmpty) {
+      val pn = root.putObject("properties")
+      m.properties.foreach { case (k, v) => pn.put(k, v) }
+    }
+    fsu.writeStringAtomic(manifestPath(m.version), mapper.writeValueAsString(root))
   }
 
   // ------------------------------------------------------------------ reads
@@ -173,7 +169,8 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val newDir = DataDir(dirName, merged.json)
     val dirs = if (overwrite) Seq(newDir)
       else prev.map(_.dirs).getOrElse(Nil) :+ newDir
-    writeManifest(Manifest(nextV, dirs, merged.json))
+    writeManifest(Manifest(nextV, dirs, merged.json,
+      prev.map(_.properties).getOrElse(Map.empty)))
     nextV
   }
 
@@ -187,8 +184,25 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     * delta_2 staging table on most runs; a parquet write of zero rows would
     * cost a full job's fixed latency each time). */
   def overwriteEmpty(schema: StructType): Long = {
-    val nextV = latestVersion.map(_ + 1).getOrElse(0L)
-    writeManifest(Manifest(nextV, Nil, SchemaEvolution.relaxNullable(schema).json))
+    val prev = latestVersion.map(readManifest)
+    val nextV = prev.map(_.version + 1).getOrElse(0L)
+    writeManifest(Manifest(nextV, Nil, SchemaEvolution.relaxNullable(schema).json,
+      prev.map(_.properties).getOrElse(Map.empty)))
+    nextV
+  }
+
+  // ------------------------------------------------------------- properties
+
+  /** Table properties (reference TBLPROPERTIES, reader.py:26-28,
+    * spark_reader.py:46-66): persisted in the manifest, carried across
+    * commits; setting writes a new (data-unchanged) version. */
+  def properties: Map[String, String] =
+    latestVersion.map(readManifest(_).properties).getOrElse(Map.empty)
+
+  def setProperties(props: Map[String, String]): Long = {
+    val m = readManifest(requireVersion)
+    val nextV = m.version + 1
+    writeManifest(m.copy(version = nextV, properties = m.properties ++ props))
     nextV
   }
 
@@ -197,7 +211,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   def restore(toVersion: Long): Long = {
     val target = readManifest(toVersion)
     val nextV = requireVersion + 1
-    writeManifest(Manifest(nextV, target.dirs, target.schemaJson))
+    writeManifest(target.copy(version = nextV))
     nextV
   }
 
@@ -220,27 +234,18 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val keepFrom = math.max(0L, latest - keepVersions + 1)
     val live: Set[String] = (keepFrom to latest).flatMap { v =>
       val p = manifestPath(v)
-      if (Files.exists(p)) readManifest(v).dirs.map(_.dir) else Nil
+      if (fsu.exists(p)) readManifest(v).dirs.map(_.dir) else Nil
     }.toSet
-    if (Files.isDirectory(dataDir)) {
-      listDir(dataDir).foreach { d =>
-        if (!live(d.getFileName.toString)) deleteRecursively(d)
-      }
+    fsu.list(dataDir).foreach { d =>
+      if (!live(d.getName)) fsu.delete(d, recursive = true)
     }
     // old manifests referencing dropped dirs are no longer readable → drop them
-    if (Files.isDirectory(logDir)) {
-      listDir(logDir).foreach { f =>
-        f.getFileName.toString match {
-          case ManifestName(v) if v.toLong < keepFrom => Files.deleteIfExists(f)
-          case _ => ()
-        }
+    fsu.list(logDir).foreach { f =>
+      f.getName match {
+        case ManifestName(v) if v.toLong < keepFrom => fsu.deleteIfExists(f)
+        case _ => ()
       }
     }
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 }
 
@@ -249,7 +254,9 @@ object VersionedTable {
   private[store] val mapper = new ObjectMapper()
 
   private[store] final case class DataDir(dir: String, schemaJson: String)
-  private[store] final case class Manifest(version: Long, dirs: Seq[DataDir], schemaJson: String)
+  private[store] final case class Manifest(
+      version: Long, dirs: Seq[DataDir], schemaJson: String,
+      properties: Map[String, String] = Map.empty)
 }
 
 /** Schema drift rules (reference spark_reader.py:154-162,284-305;

@@ -80,6 +80,31 @@ class StoreSpec extends SparkSuite {
     intercept[Exception](t.readVersion(1).collect()) // vacuumed away
   }
 
+  test("table properties persist across commits and restores") {
+    val t = table("vt-props")
+    t.overwrite(Seq((1, "a")).toDF("id", "s"))
+    assert(t.properties.isEmpty)
+    t.setProperties(Map("graft.owner" -> "spec", "graft.retention" -> "7d"))
+    t.append(Seq((2, "b")).toDF("id", "s"))
+    assert(t.properties == Map("graft.owner" -> "spec", "graft.retention" -> "7d"))
+    t.setProperties(Map("graft.retention" -> "30d"))
+    assert(t.properties("graft.retention") == "30d")
+    assert(t.read().count() == 2) // property commits leave data untouched
+  }
+
+  test("jdbc catalog type mapping follows the reference's conversion table") {
+    import java.sql.Types
+    import graft.sources.JdbcCatalog.sparkType
+    assert(sparkType(Types.TINYINT, 0, 0) == ShortType) // unsigned in T-SQL
+    assert(sparkType(Types.BIGINT, 0, 0) == LongType)
+    assert(sparkType(Types.DECIMAL, 15, 3) == DecimalType(15, 3))
+    assert(sparkType(Types.DECIMAL, 0, 0) == DecimalType(38, 18))
+    assert(sparkType(Types.TIMESTAMP, 0, 0) == TimestampType)
+    assert(sparkType(Types.VARBINARY, 0, 0) == BinaryType)
+    assert(sparkType(Types.VARCHAR, 100, 0) == StringType)
+    assert(sparkType(Types.SQLXML, 0, 0) == StringType)
+  }
+
   test("log table: buffered writes, flush, read back as DataFrame") {
     val dir = tmpDir("vt-log")
     val log = new LogTable(spark, dir, "spec-logger", flushEvery = 2)
