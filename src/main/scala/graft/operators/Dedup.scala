@@ -60,12 +60,11 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val withSh = df.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
     // the LSH plumbing ships ONLY (id, band, bucket) — shingle arrays are
-    // heavy payloads and must not ride through explode/shuffle/self-join;
-    // they re-attach by id for the (few) candidate pairs at the end
-    val bucketed = withSh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // heavy payloads and must not ride through explode/shuffle/self-join
+    val bucketed = df
+      .select(col(idCol).as("id"),
+        minhashSignature(shingleSet(col(textCol), shingleN), numHashes).as("sig"))
       .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
     // bound pathological buckets (boilerplate skew): drop buckets larger
@@ -78,10 +77,15 @@ object Dedup {
     val b = counted.select(col("band"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // verify: attach raw TEXT for the (few) candidates and shingle only
+    // those rows — shingling after the join means |pairs| computations, not
+    // three more full-corpus passes
+    val texts = df.select(col(idCol), col(textCol))
     pairs
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard_x1000", jaccardX1000(col("sh_a"), col("sh_b")))
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("t_a")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("t_b")), "id_b")
+      .withColumn("jaccard_x1000", jaccardX1000(
+        shingleSet(col("t_a"), shingleN), shingleSet(col("t_b"), shingleN)))
       .filter(col("jaccard_x1000") >= (threshold * 1000).toLong)
       .select("id_a", "id_b", "jaccard_x1000")
   }

@@ -243,9 +243,19 @@ final class Synchronizer(
     // step 4: persist latest_pk_version (db_to_delta.py:630-639,289-460)
     dest.latestPkVersion.overwrite(latestPkQuery(upperBound))
 
-    // final count check (db_to_delta.py:641-658)
+    // final count check; on mismatch re-probe the source — a mid-load
+    // mutation is expected (dirty run), anything else warrants attention
+    // (reference db_to_delta.py:641-658)
     val targetCount = dest.latestPkVersion.read().count()
     val dirty = targetCount != src.count
+    if (dirty) {
+      val fresh = sourceState()
+      dest.log.warn(
+        s"count mismatch after load: target=$targetCount, source-at-start=${src.count}, " +
+          s"source-now=${fresh.count}" +
+          (if (fresh.count != src.count) " (source changed mid-load)" else ""),
+        load = "delta")
+    }
     LoadResult.DeltaLoad(inserts, strangeCount, deletes, dirty)
   }
 

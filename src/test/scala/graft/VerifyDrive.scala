@@ -108,6 +108,32 @@ object VerifyDrive {
     println(s"recovery run: ${sync5.execute()} (expect DeltaLoad with 1 insert — NOT NoLoad)")
     sync5.currentState().orderBy("id").show(10, false)
 
+    println("\n=== 6b. PROBE: mid-load source mutation -> dirty run + warn record ===")
+    // a source that grows one row between the state probe and the pk
+    // snapshot: the final count check must flag the run dirty and log it
+    val growCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val growing: Source = new Source {
+      val base = new ParquetSource(srcPath, pks = Seq("id"))
+      def read(s: SparkSession): DataFrame = {
+        // call 1 = state probe: one new row (load proceeds, count=5);
+        // call 2+ = pk snapshot onwards: ANOTHER row appears mid-load
+        val n = growCalls.incrementAndGet()
+        val extra =
+          if (n == 1) Seq((99L, "late", "2026-01-05 00:00:00", 999L))
+          else Seq((99L, "late", "2026-01-05 00:00:00", 999L),
+            (98L, "later", "2026-01-05 01:00:00", 998L))
+        base.read(s).unionByName(df(extra))
+      }
+      def columns(s: SparkSession) = base.columns(s)
+      def primaryKeys(s: SparkSession) = base.primaryKeys(s)
+    }
+    val syncDirty = new Synchronizer(spark, growing, destPath, cfg)
+    val rDirty = syncDirty.execute()
+    println(s"result: $rDirty (expect dirty=true)")
+    val warns = syncDirty.dest.log.read().filter(col("type") === "warn")
+      .select("message").collect().map(_.getString(0))
+    println("warn records: " + warns.mkString(" | "))
+
     println("\n=== 6. PROBE: tsql type map via sourceType (rowversion alias) ===")
     val tsqlCols = ColInfo("id", LongType) ::
       ColInfo("rv", TimestampType, sourceType = Some("timestamp")) :: Nil
