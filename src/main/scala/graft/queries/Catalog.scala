@@ -251,6 +251,16 @@ object Catalog {
         UNION ALL SELECT $oc, CAST(1 AS BIGINT), c_custkey * 2, FALSE, TRUE
           FROM customer""")),
 
+    // K5/drift: int → bigint widening mid-stream under SchemaDrift.Full —
+    // first-load files must read back as BIGINT after the second load
+    Q("scd2_type_widening",
+      (s, d) => Scenarios.history(s, Scenarios.widenDest(s, d)),
+      Some("""SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS val,
+          CAST(1 AS BIGINT) AS ver, FALSE AS __is_deleted, TRUE AS __is_full_load
+          FROM customer
+        UNION ALL SELECT c_custkey, CAST(c_nationkey AS BIGINT) + 1000,
+          CAST(2 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 89 = 0""")),
+
     Q("scd2_full_twice",
       (s, d) => Scenarios.history(s, Scenarios.fullTwiceDest(s, d)),
       Some(s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,

@@ -127,6 +127,23 @@ object Scenarios {
       new Synchronizer(spark, new DataFrameSource(b2, pk), dest, cfg).execute()
     }
 
+  /** Type widening under SchemaDrift.Full: the val column arrives as INT on
+    * the first load and as BIGINT (with changed rows) on the second — the
+    * history must widen in place, old files read back as BIGINT. */
+  def widenDest(spark: SparkSession, dir: String): String =
+    run("widen", spark, dir) { dest =>
+      val base = customer(spark, dir).select(
+        col("c_custkey"), col("c_nationkey").as("val"), lit(1L).as("ver"))
+      val widened = base
+        .withColumn("val",
+          when(col("c_custkey") % 89 === 0, col("val").cast("long") + 1000L)
+            .otherwise(col("val").cast("long")))
+        .withColumn("ver", when(col("c_custkey") % 89 === 0, lit(2L)).otherwise(col("ver")))
+      val c = cfg.copy(allowSchemaDrift = SchemaDrift.Full)
+      new Synchronizer(spark, new DataFrameSource(base, pk), dest, c).execute()
+      new Synchronizer(spark, new DataFrameSource(widened, pk), dest, c).execute()
+    }
+
   /** Two full loads (ForceFull mode appends a complete snapshot). */
   def fullTwiceDest(spark: SparkSession, dir: String): String =
     run("full2", spark, dir) { dest =>

@@ -138,6 +138,27 @@ class PipelineOpsSpec extends SparkSuite {
     assert(frames.map(_.getLong(0)).distinct.toSeq == Seq(8L))
   }
 
+  test("streaming: stateful first-seen dedup persists state across restarts") {
+    val tmp = tmpDir("graft-sdedup")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def write(rows: Seq[(Long, String)], dir: String): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(dir)
+
+    write(Seq((1L, "alpha content"), (2L, "ALPHA   content"), (3L, "beta")), s"$tmp/in")
+    graft.streaming.StatefulDedup.runAvailableNow(
+      spark, s"$tmp/in", schema, "doc_id", "text", s"$tmp/out", s"$tmp/ckpt")
+    val r1 = spark.read.parquet(s"$tmp/out").collect().map(_.getLong(0)).sorted.toSeq
+    assert(r1 == Seq(1L, 3L)) // 2 is a ws/case duplicate of 1
+
+    // second micro-run, SAME checkpoint: old fingerprints stay deduped
+    write(Seq((4L, "alpha content"), (5L, "gamma")), s"$tmp/in")
+    graft.streaming.StatefulDedup.runAvailableNow(
+      spark, s"$tmp/in", schema, "doc_id", "text", s"$tmp/out", s"$tmp/ckpt")
+    val r2 = spark.read.parquet(s"$tmp/out").collect().map(_.getLong(0)).sorted.toSeq
+    assert(r2 == Seq(1L, 3L, 5L)) // 4 duplicated batch-1 content across runs
+  }
+
   test("streaming: AvailableNow windowed aggregation over a file stream") {
     val tmp = tmpDir("graft-stream")
     val schema = StructType(Seq(
