@@ -251,6 +251,17 @@ object Catalog {
         UNION ALL SELECT $oc, CAST(1 AS BIGINT), c_custkey * 2, FALSE, TRUE
           FROM customer""")),
 
+    // P3 with a TIMESTAMP watermark (datetime delta column — the
+    // reference's temporal-table / AS_ROW_START path, vs bigint rowversion)
+    Q("scd2_ts_watermark",
+      (s, d) => Scenarios.history(s, Scenarios.tsWatermarkDest(s, d)),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+          FALSE AS __is_deleted, TRUE AS __is_full_load
+          FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+        UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, FALSE, FALSE
+          FROM orders WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+            WHERE o_orderdate < TIMESTAMP '2000-01-01')""")),
+
     // K5/drift: int → bigint widening mid-stream under SchemaDrift.Full —
     // first-load files must read back as BIGINT after the second load
     Q("scd2_type_widening",

@@ -127,6 +127,20 @@ object Scenarios {
       new Synchronizer(spark, new DataFrameSource(b2, pk), dest, cfg).execute()
     }
 
+  /** Timestamp-typed watermark (the reference's datetime/AS_ROW_START delta
+    * column, vs the bigint rowversion the other scenarios use): orders
+    * before 2000 full-loaded, then the whole table delta-loaded with
+    * o_orderdate as the delta column. */
+  def tsWatermarkDest(spark: SparkSession, dir: String): String =
+    run("tswm", spark, dir) { dest =>
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val b1 = orders.filter(col("o_orderdate") < lit("2000-01-01"))
+      val c = WriteConfig(deltaCol = Some("o_orderdate"))
+      new Synchronizer(spark, new DataFrameSource(b1, Seq("o_orderkey")), dest, c).execute()
+      new Synchronizer(spark, new DataFrameSource(orders, Seq("o_orderkey")), dest, c).execute()
+    }
+
   /** Type widening under SchemaDrift.Full: the val column arrives as INT on
     * the first load and as BIGINT (with changed rows) on the second — the
     * history must widen in place, old files read back as BIGINT. */

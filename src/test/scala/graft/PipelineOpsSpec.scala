@@ -120,6 +120,25 @@ class PipelineOpsSpec extends SparkSuite {
     assert(fromExpr == fromScala)
   }
 
+  test("salted join and salted count equal their unsalted counterparts") {
+    import graft.operators.Skew
+    // skewed left: 1000 rows of key=1, a few others
+    val left = (1 to 1000).map(i => (1L, s"v$i")) ++ Seq((2L, "x"), (3L, "y"))
+    val l = left.toDF("k", "payload")
+    val r = Seq((1L, "one"), (2L, "two"), (4L, "four")).toDF("k", "name")
+    val salted = Skew.saltedJoin(l, r, "k", parts = 8)
+    val plain = l.join(r, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "payload", "name").except(
+      plain.select("k", "payload", "name")).isEmpty)
+    val sc = Skew.saltedCount(l, "k", parts = 8)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(sc == Map(1L -> 1000L, 2L -> 1L, 3L -> 1L))
+    val hot = Skew.skewedKeys(l, "k", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hot == Seq(1L))
+  }
+
   test("multimodal: stub decode round-trips header metadata via mapPartitions") {
     val tmp = tmpDir("graft-mm")
     docs((7L, "hello media world"), (8L, "payload two"), (9L, "third"))
