@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join — for each left row, the most recent right
+  * row with the same key and `rightTs <= leftTs` (backward direction).
+  * Spark has no built-in as-of join; the naive formulation
+  * (`join(key) && rightTs <= leftTs` + argmax) explodes to |L_k|×|R_k|
+  * pairs per key before pruning.
+  *
+  * This implementation is the sort-based one-shuffle form: union both
+  * sides tagged, window-partition by key ordered by (ts, side), and carry
+  * the last-seen right payload forward with `last(..., ignoreNulls)` over
+  * an unbounded-preceding frame. Cost is one shuffle of L+R rows and a
+  * per-key sort — the same shape as a streaming merge join, and the right
+  * payload rides as ONE struct column.
+  *
+  * Tie rule: a right row at exactly leftTs matches (right sorts before
+  * left at equal ts); among right rows with equal ts the highest
+  * `tieBreak` wins. All ordering is fully specified — deterministic. */
+object Temporal {
+
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      tieBreak: String): DataFrame = {
+    val payloadStruct = struct(
+      (col(rightTs).as("__ts") +: col(tieBreak).as("__tb") +:
+        rightPayload.map(col)): _*)
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__side"), col(tieBreak).as("__tb"),
+      payloadStruct.as("__payload"))
+    val l = left.select(
+      (left.columns.map(col) :+
+        col(leftKey).as("__k") :+ col(leftTs).cast(r.schema("__ts").dataType).as("__ts") :+
+        lit(1).as("__side") :+ lit(null).cast(r.schema("__tb").dataType).as("__tb") :+
+        lit(null).cast(r.schema("__payload").dataType).as("__payload")): _*)
+    // right rows sort before left at equal ts (side 0 < 1); among right
+    // rows with equal ts, ascending tieBreak means the LAST seen (highest)
+    // wins the carry-forward
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"), col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r.select(l.columns.map {
+      case c @ ("__k" | "__ts" | "__side" | "__tb" | "__payload") => col(c)
+      case c => lit(null).cast(l.schema(c).dataType).as(c)
+    }: _*))
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__k", "__ts", "__side", "__tb", "__payload")
+  }
+
+  /** Convenience: unpack the matched struct's payload fields as columns
+    * named `asof_<field>` (null when no right row preceded the left row). */
+  def asofJoinSelect(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String], tieBreak: String): DataFrame = {
+    val joined = asofJoin(left, right, leftKey, rightKey, leftTs, rightTs,
+      rightPayload, tieBreak)
+    val unpacked = rightPayload.map(p => col("__match").getField(p).as(s"asof_$p"))
+    joined.select((left.columns.map(col) ++ unpacked): _*)
+  }
+}

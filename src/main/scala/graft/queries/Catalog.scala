@@ -161,6 +161,28 @@ object Catalog {
         FROM part
         QUALIFY rn <= 3""")),
 
+    // as-of (point-in-time) join: each event matched to the user's most
+    // recent order at event time — all orders predate all events in this
+    // data, so the oracle reduces to latest-order-per-customer, while the
+    // Spark side runs the general one-shuffle union+window implementation
+    Q("asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ets"))
+        val ords = t(s, d, "orders").select(
+          col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
+          col("o_orderkey"))
+        graft.operators.Temporal.asofJoinSelect(ev, ords,
+            "user_id", "o_custkey", "ets", "ots", Seq("o_orderkey"), "o_orderkey")
+          .select(col("event_id"), col("asof_o_orderkey").as("asof_orderkey"))
+      },
+      Some("""WITH lo AS (SELECT o_custkey, o_orderkey FROM orders
+          QUALIFY row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+        SELECT e.event_id, lo.o_orderkey AS asof_orderkey
+        FROM events e LEFT JOIN lo ON e.user_id = lo.o_custkey""")),
+
     Q("a1_max_count",
       (s, d) => t(s, d, "events")
         .agg(max("event_id").as("delta_max"), count(lit(1)).as("cnt")),

@@ -120,6 +120,22 @@ class PipelineOpsSpec extends SparkSuite {
     assert(fromExpr == fromScala)
   }
 
+  test("as-of join matches brute force on interleaved timestamps") {
+    import graft.operators.Temporal
+    val left = Seq((101L, 1L, 10L), (102L, 1L, 25L), (103L, 1L, 5L), (104L, 2L, 50L))
+      .toDF("ev_id", "k", "ts")
+    val right = Seq((1L, 8L, "a", 1L), (1L, 20L, "b", 2L), (1L, 25L, "c", 3L), (2L, 60L, "z", 4L))
+      .toDF("k", "ts", "v", "rid")
+    val out = Temporal.asofJoinSelect(left, right, "k", "k", "ts", "ts",
+      Seq("v"), "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("asof_v")).orNull).toMap
+    assert(out == Map(
+      101L -> "a", // latest right at ts<=10 is (8,"a")
+      102L -> "c", // equal-ts right row matches
+      103L -> null, // nothing at ts<=5
+      104L -> null)) // right row for k=2 is later (60>50)
+  }
+
   test("salted join and salted count equal their unsalted counterparts") {
     import graft.operators.Skew
     // skewed left: 1000 rows of key=1, a few others
