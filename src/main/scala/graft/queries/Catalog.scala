@@ -161,6 +161,48 @@ object Catalog {
         FROM part
         QUALIFY rn <= 3""")),
 
+    // 4-way dim join with two broadcasts (supplier→nation→region star arm)
+    Q("q5_multi_join",
+      (s, d) => t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("suppliers"),
+          sum(cents(col("s_acctbal"))).as("acctbal_cents"))
+        .select("r_name", "n_name", "suppliers", "acctbal_cents"),
+      Some("""SELECT r_name, n_name, count(*) AS suppliers,
+          CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name""")),
+
+    // ROLLUP grouping sets (subtotals + grand total; NULL grouping rows)
+    Q("agg_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "cnt", "sum_qty"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // running-frame window (ROWS UNBOUNDED PRECEDING — the frame-spec case
+    // the reference never needs but an analytics engine must support)
+    Q("w3_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        FROM orders""")),
+
     // as-of (point-in-time) join: each event matched to the user's most
     // recent order at event time — all orders predate all events in this
     // data, so the oracle reduces to latest-order-per-customer, while the
