@@ -11,7 +11,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "scd2_history", "q1_agg", "q3_top_orders", "w1_latest_per_key",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_topk_bruteforce", "text_quality")
+    "ann_topk_bruteforce", "ann_topk_ivf", "asof_join", "text_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -105,14 +105,12 @@ object Similarity {
     }), lit(0.0), (acc, v) => acc + v)
   }
 
-  /** Nearest-centroid index (argmin of squared distance) as a column. */
-  private def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column = {
-    val dists = centroids.map(sqDistTo(vec, _))
-    val minD = dists.reduce((a, b) => least(a, b))
-    dists.zipWithIndex.foldRight(lit(-1): Column) { case ((d, i), acc) =>
-      when(d === minD, lit(i)).otherwise(acc)
-    }
-  }
+  /** Nearest-centroid index (argmin of squared distance), via the native
+    * codegen'd expression — the equivalent per-centroid zip_with/aggregate
+    * formulation is interpreted and measured ~10× slower on a 16×64
+    * codebook (graft.functions.NearestCentroid). */
+  private def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column =
+    graft.functions.NativeHash.nearestCentroid(vec, centroids)
 
   /** Train an IVF coarse quantizer with Lloyd iterations, entirely as
     * DataFrame aggregations (one shuffle per iteration; centroids are tiny
