@@ -237,11 +237,15 @@ final class Synchronizer(
     val (strangeCount, newWatermark) = handleAdditionalUpdates(oldPkVersion, local.deltaMax)
     val upperBound = newWatermark.orElse(Option(local.deltaMax))
 
+    // step 4 BEFORE deletes: persist latest_pk_version once, then compute
+    // deletes against the PERSISTED snapshot instead of re-evaluating the
+    // 3-branch union a second time (the old version stays reachable via
+    // time travel, so the reference's 3.5→4 ordering is semantically
+    // preserved — db_to_delta.py:620-639,289-460)
+    dest.latestPkVersion.overwrite(latestPkQuery(upperBound))
+
     // step 3.5: deletes (db_to_delta.py:620-629,749-859)
     val deletes = doDeletes(oldPkVersion)
-
-    // step 4: persist latest_pk_version (db_to_delta.py:630-639,289-460)
-    dest.latestPkVersion.overwrite(latestPkQuery(upperBound))
 
     // final count check; on mismatch re-probe the source — a mid-load
     // mutation is expected (dirty run), anything else warrants attention
@@ -342,11 +346,13 @@ final class Synchronizer(
   private def emptyLike(df: DataFrame): DataFrame = df.filter(lit(false))
 
   /** Step 3.5 (reference db_to_delta.py:749-859): pks present in the old
-    * latest_pk_version but absent from the recomputed current one are deletes;
-    * append NULL-payload tombstones. Returns delete count. */
+    * latest_pk_version but absent from the freshly-persisted current one
+    * are deletes; append NULL-payload tombstones. Runs AFTER step 4 so the
+    * current snapshot is read back (one file scan) instead of re-running
+    * the latest-pk union. Returns delete count. */
   private def doDeletes(oldPkVersion: Long): Long = {
     val lastPk = dest.latestPkVersion.readVersion(oldPkVersion)
-    val currentPk = latestPkQuery(upperBound = scala.None)
+    val currentPk = dest.latestPkVersion.read()
     val deleted = lastPk.select(targetPks.map(col): _*)
       .except(currentPk.select(targetPks.map(col): _*))
     val cnt = deleted.count()
