@@ -162,6 +162,73 @@ class Scd2ScenarioSpec extends SparkSuite {
     assert(sync.dest.delta.read().filter($"LastName" === "Müller").count() == 1)
   }
 
+  test("no-pk table is always fully loaded (test_01 long-table semantics)") {
+    val srcPath = tmpDir("graft-nopk-src")
+    val destPath = tmpDir("graft-nopk-dest")
+    userDf(seed).write.mode("overwrite").parquet(srcPath)
+    val source = new ParquetSource(srcPath) // NO pks declared
+    val cfg = WriteConfig(deltaCol = Some("time stamp"))
+    val r1 = new Synchronizer(spark, source, destPath, cfg).execute()
+    assert(r1 == LoadResult.FullLoad(3))
+    // second run: pk-less → full load APPENDED, not a delta
+    val r2 = new Synchronizer(spark, source, destPath, cfg).execute()
+    assert(r2 == LoadResult.FullLoad(3))
+    val sync = new Synchronizer(spark, source, destPath, cfg)
+    assert(sync.dest.delta.read().count() == 6)
+    assert(sync.dest.delta.read().filter(col(SystemCols.isFullLoad)).count() == 6)
+  }
+
+  test("dataTypeMap converts declared source types at ingest (test_05 semantics)") {
+    val srcPath = tmpDir("graft-conv-src")
+    val destPath = tmpDir("graft-conv-dest")
+    userDf(seed).write.mode("overwrite").parquet(srcPath)
+    // user map: double→string is lossy/disallowed, use decimal→double shape:
+    // here Age (double) declared as source type "numeric" mapped to float…
+    // keep it faithful: map the Age column's declared SQL type to DOUBLE
+    val base = new ParquetSource(srcPath, pks = Seq("User - iD"))
+    val source = new graft.sources.Source {
+      def read(s: org.apache.spark.sql.SparkSession) = base.read(s)
+      def primaryKeys(s: org.apache.spark.sql.SparkSession) = base.primaryKeys(s)
+      def columns(s: org.apache.spark.sql.SparkSession): Seq[ColInfo] =
+        base.columns(s).map {
+          case c if c.name == "Age" => c.copy(sourceType = Some("numeric"))
+          case c => c
+        }
+    }
+    val cfg = WriteConfig(deltaCol = Some("time stamp"),
+      dataTypeMap = WriteConfig.defaultTypeMap + ("numeric" -> org.apache.spark.sql.types.FloatType))
+    new Synchronizer(spark, source, destPath, cfg).execute()
+    val sync = new Synchronizer(spark, source, destPath, cfg)
+    assert(sync.dest.delta.schema("Age").dataType == org.apache.spark.sql.types.FloatType)
+    assert(sync.dest.delta.read().filter(col("Age") === 14.0f).count() == 1)
+  }
+
+  test("simple_delta_check falls back to the full delta algorithm on deletes (test_08)") {
+    val srcPath = tmpDir("graft-sdc-src")
+    val destPath = tmpDir("graft-sdc-dest")
+    userDf(seed).write.mode("overwrite").parquet(srcPath)
+    val source = new ParquetSource(srcPath, pks = Seq("User - iD"))
+    val cfg = WriteConfig(deltaCol = Some("time stamp"),
+      loadMode = LoadMode.SimpleDeltaCheck)
+    new Synchronizer(spark, source, destPath, cfg).execute()
+
+    // delete row 1, update row 3 — plain simple_delta would miss the delete;
+    // the check variant detects the count mismatch and runs the full repair
+    userDf(Seq(
+      (2L, "Peter", "Johniingham", 23.0, "c1", 101L),
+      (3L, "Petra", "wayne-neu", 24.0, "c1", 110L)
+    )).write.mode("overwrite").parquet(srcPath)
+    val sync = new Synchronizer(spark, source, destPath, cfg)
+    val r = sync.execute()
+    r match {
+      case LoadResult.DeltaLoad(_, _, deletes, _) => assert(deletes == 1)
+      case other => fail(s"expected DeltaLoad from the fallback, got $other")
+    }
+    assert(sync.currentState().count() == 2)
+    assert(sync.dest.delta.read().filter(col(SystemCols.isDeleted)).count() == 1)
+    assert(sync.checkConsistency().isEmpty)
+  }
+
   test("consistency auto-fix repairs a corrupted latest_pk_version (test_10)") {
     val srcPath = tmpDir("graft-src10")
     val destPath = tmpDir("graft-dest10")
