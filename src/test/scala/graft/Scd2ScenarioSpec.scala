@@ -255,6 +255,51 @@ class Scd2ScenarioSpec extends SparkSuite {
     assert(sync2.checkConsistency().isEmpty)
   }
 
+  test("mid-load source mutation → dirty run, next run reconciles (test_12)") {
+    val srcPath = tmpDir("graft-race-src")
+    val destPath = tmpDir("graft-race-dest")
+    userDf(seed).write.mode("overwrite").parquet(srcPath)
+    val cfg = WriteConfig(deltaCol = Some("time stamp"))
+    new Synchronizer(spark, new ParquetSource(srcPath, pks = Seq("User - iD")),
+      destPath, cfg).execute()
+
+    // a source whose row set changes BETWEEN the state probe and the pk
+    // snapshot (the reference hooks this into a logger callback; here the
+    // wrapper counts driver-side read() calls: 1 = state probe, 2+ = load)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val racing = new graft.sources.Source {
+      val base = new ParquetSource(srcPath, pks = Seq("User - iD"))
+      def read(s: org.apache.spark.sql.SparkSession): DataFrame = {
+        val n = calls.incrementAndGet()
+        val extra =
+          if (n == 1) Seq((6L, "Mid", "Load", 1.0, "c2", 200L))
+          else Seq((6L, "Mid", "Load", 1.0, "c2", 200L),
+            (7L, "Even", "Later", 2.0, "c2", 201L))
+        base.read(s).unionByName(userDf(extra))
+      }
+      def columns(s: org.apache.spark.sql.SparkSession) = base.columns(s)
+      def primaryKeys(s: org.apache.spark.sql.SparkSession) = base.primaryKeys(s)
+    }
+    val syncRace = new Synchronizer(spark, racing, destPath, cfg)
+    syncRace.execute() match {
+      case LoadResult.DeltaLoad(_, _, _, dirty) => assert(dirty)
+      case other => fail(s"expected dirty DeltaLoad, got $other")
+    }
+    assert(!syncRace.dest.log.read()
+      .filter(col("type") === "warn").isEmpty) // re-probe warn recorded
+
+    // stable source including both late rows: next run reconciles fully
+    userDf(seed ++ Seq(
+      (6L, "Mid", "Load", 1.0, "c2", 200L),
+      (7L, "Even", "Later", 2.0, "c2", 201L)
+    )).write.mode("overwrite").parquet(srcPath)
+    val sync2 = new Synchronizer(spark,
+      new ParquetSource(srcPath, pks = Seq("User - iD")), destPath, cfg)
+    sync2.execute()
+    assert(sync2.currentState().count() == 5)
+    assert(sync2.checkConsistency().isEmpty)
+  }
+
   test("restore latest_pk_version from history via window rebuild (W1)") {
     val srcPath = tmpDir("graft-srcW")
     val destPath = tmpDir("graft-destW")
