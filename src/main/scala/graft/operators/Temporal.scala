@@ -31,6 +31,10 @@ object Temporal {
       rightTs: String,
       rightPayload: Seq[String],
       tieBreak: String): DataFrame = {
+    require(!left.columns.exists(_.startsWith("__")),
+      "asofJoin reserves __-prefixed column names on the left side")
+    require(rightPayload.nonEmpty && rightPayload.forall(right.columns.contains),
+      s"rightPayload must name existing right columns, got $rightPayload")
     val payloadStruct = struct(
       (col(rightTs).as("__ts") +: col(tieBreak).as("__tb") +:
         rightPayload.map(col)): _*)
