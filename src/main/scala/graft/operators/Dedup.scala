@@ -69,10 +69,12 @@ object Dedup {
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
     // bound pathological buckets (boilerplate skew): drop buckets larger
     // than maxBucketSize — their members are near-identical and will pair
-    // via other bands; logged loss is the scale-safety tradeoff
-    val counted = bucketed.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("bsz") <= maxBucketSize)
+    // via other bands; the oversized-bucket list is tiny, so a broadcast
+    // anti-join beats window-counting (which would sort every bucket)
+    val oversized = bucketed.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
+      .select("band", "bucket")
+    val counted = bucketed.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
     val a = counted.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = counted.select(col("band"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))

@@ -513,6 +513,25 @@ object Catalog {
           unnest(range(0, CAST(doc_id % 30 + 1 AS BIGINT), 10)) AS frame_idx
         FROM documents WHERE doc_id % 3 = 2""")),
 
+    // CAPSTONE: SCD2-ingested corpus (edits + deletions) → current state →
+    // quality filter → exact dedup, composed end-to-end — the shape of a
+    // pretraining dataset build, with the whole chain oracle-checked
+    Q("pipeline_e2e",
+      (s, d) => {
+        val current = Scenarios.docsCurrent(s, d)
+        val quality = current.filter(TextFunctions.qualityLabel(col("text")) === "ok")
+        Dedup.exact(quality, "doc_id", "text")
+      },
+      Some(s"""WITH cur AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN text || ' edited7' ELSE text END AS text
+          FROM documents WHERE doc_id % 31 <> 0),
+        q AS (SELECT doc_id, text FROM cur
+          WHERE CAST(len($toksSql) AS BIGINT) >= 5 AND ($stopWordsSql) > 0)
+        SELECT md5($normSql) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+          count(*) AS dupes
+        FROM q GROUP BY 1""")),
+
     Q("emb_label_stats",
       (s, d) => t(s, d, "embeddings").groupBy("label").agg(
         count(lit(1)).as("cnt"),

@@ -194,6 +194,35 @@ object Scenarios {
       require(sync.restoreLastPk(), "restore must succeed")
     }
 
+  /** Training-data capstone: documents ingested as an SCD2 corpus (edits +
+    * deletions), then the CURRENT corpus flows through quality filtering
+    * and exact dedup — the composed pipeline a pretraining dataset build
+    * runs. Mutations: doc_id % 31 == 0 deleted; % 7 == 0 edited (suffix). */
+  def docsPipelineDest(spark: SparkSession, dir: String): String =
+    run("docs", spark, dir) { dest =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), lit(1L).as("ver"))
+      val b2 = docs.filter(col("doc_id") % 31 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited7")))
+            .otherwise(col("text")))
+        .withColumn("ver", when(col("doc_id") % 7 === 0, lit(2L)).otherwise(col("ver")))
+      val c = WriteConfig(deltaCol = Some("ver"))
+      new Synchronizer(spark, new DataFrameSource(docs, Seq("doc_id")), dest, c).execute()
+      new Synchronizer(spark, new DataFrameSource(b2, Seq("doc_id")), dest, c).execute()
+    }
+
+  /** Current document corpus of the docs pipeline destination. */
+  def docsCurrent(spark: SparkSession, dir: String): DataFrame = {
+    val dest = docsPipelineDest(spark, dir)
+    val sync = new Synchronizer(spark,
+      new DataFrameSource(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), lit(1L).as("ver")), Seq("doc_id")),
+      dest, WriteConfig(deltaCol = Some("ver")))
+    sync.currentState().select("doc_id", "text")
+  }
+
   /** History of a destination without the wall-clock column. */
   def history(spark: SparkSession, dest: String): DataFrame =
     new graft.store.VersionedTable(spark, s"$dest/delta").read().drop(SystemCols.timestamp)
