@@ -96,15 +96,6 @@ object Similarity {
 
   // ------------------------------------------------------------------- IVF
 
-  /** Squared L2 distance between a vector column and a literal centroid. */
-  private def sqDistTo(vec: Column, centroid: Array[Double]): Column = {
-    val c = array(centroid.map(lit): _*)
-    aggregate(zip_with(vec, c, (x, y) => {
-      val d = x.cast("double") - y
-      d * d
-    }), lit(0.0), (acc, v) => acc + v)
-  }
-
   /** Nearest-centroid index (argmin of squared distance), via the native
     * codegen'd expression — the equivalent per-centroid zip_with/aggregate
     * formulation is interpreted and measured ~10× slower on a 16×64

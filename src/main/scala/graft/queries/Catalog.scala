@@ -433,7 +433,24 @@ object Catalog {
       (s, d) => t(s, d, "documents").select(
         col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred")),
-      None),
+      Some {
+        // per-language stopword hit counts, then the same first-max-wins
+        // cascade the Column fold implements (profile order breaks ties)
+        def hits(words: Seq[String]) = {
+          val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter($toksSql, t -> list_contains($arr, t)))"
+        }
+        val Seq(en, de, fr, es) = TextFunctions.langProfiles.map(p => hits(p._2))
+        s"""WITH s AS (SELECT doc_id, lang,
+            $en AS en, $de AS de, $fr AS fr, $es AS es FROM documents)
+          SELECT doc_id, lang,
+            CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                 WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                 WHEN fr >= es AND fr > 0 THEN 'fr'
+                 WHEN es > 0 THEN 'es'
+                 ELSE 'und' END AS lang_pred
+          FROM s"""
+      }),
 
     Q("dedup_minhash_lsh",
       (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",

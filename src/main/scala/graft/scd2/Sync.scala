@@ -343,8 +343,6 @@ final class Synchronizer(
     } finally realAdditional.unpersist()
   }
 
-  private def emptyLike(df: DataFrame): DataFrame = df.filter(lit(false))
-
   /** Step 3.5 (reference db_to_delta.py:749-859): pks present in the old
     * latest_pk_version but absent from the freshly-persisted current one
     * are deletes; append NULL-payload tombstones. Runs AFTER step 4 so the
