@@ -160,7 +160,8 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val merged = prev match {
       case Some(m) if !overwrite =>
         SchemaEvolution.merge(
-          DataType.fromJson(m.schemaJson).asInstanceOf[StructType], df.schema, drift)
+          DataType.fromJson(m.schemaJson).asInstanceOf[StructType],
+          SchemaEvolution.relaxNullable(df.schema), drift)
       case _ => SchemaEvolution.relaxNullable(df.schema)
     }
     val aligned = align(df, merged)
@@ -262,8 +263,20 @@ object VersionedTable {
 /** Schema drift rules (reference spark_reader.py:154-162,284-305;
   * tests/test_11_schema_drift.py). */
 object SchemaEvolution {
+  /** Relax nullability DEEPLY — parquet cannot record non-nullable array
+    * elements or struct fields, so a round-trip turns them nullable anyway;
+    * manifests must store the relaxed form or later aligns attempt
+    * unresolvable nullable→non-nullable casts. */
   def relaxNullable(s: StructType): StructType =
-    StructType(s.fields.map(_.copy(nullable = true)))
+    StructType(s.fields.map(f => f.copy(dataType = relaxDeep(f.dataType), nullable = true)))
+
+  def relaxDeep(dt: DataType): DataType = dt match {
+    case ArrayType(e, _) => ArrayType(relaxDeep(e), containsNull = true)
+    case MapType(k, v, _) => MapType(relaxDeep(k), relaxDeep(v), valueContainsNull = true)
+    case st: StructType =>
+      StructType(st.fields.map(f => f.copy(dataType = relaxDeep(f.dataType), nullable = true)))
+    case other => other
+  }
 
   /** Merge incoming schema into existing per drift policy. New columns append
     * (NewOnly/Full); type changes widen only under Full and only if a lossless
@@ -294,7 +307,8 @@ object SchemaEvolution {
     }
   }
 
-  /** Lossless widening lattice. */
+  /** Lossless widening lattice; recurses into arrays, maps, and structs
+    * (struct widening also admits new fields, mirroring top-level drift). */
   def widen(from: DataType, to: DataType): DataType = (from, to) match {
     case (a, b) if a == b => a
     case (ByteType, ShortType | IntegerType | LongType) => to
@@ -306,6 +320,17 @@ object SchemaEvolution {
         if b.precision >= a.precision && b.scale >= a.scale &&
           b.precision - b.scale >= a.precision - a.scale => b
     case (DateType, TimestampType) => TimestampType
+    case (ArrayType(a, n1), ArrayType(b, n2)) => ArrayType(widen(a, b), n1 || n2)
+    case (MapType(ka, va, n1), MapType(kb, vb, n2)) =>
+      MapType(widen(ka, kb), widen(va, vb), n1 || n2)
+    // nested structs widen field-wise over the SAME field set — adding or
+    // removing nested fields is not expressible as a Spark cast (struct
+    // casts require identical arity), so it stays an incompatible change
+    case (a: StructType, b: StructType)
+        if a.fields.map(_.name.toLowerCase).toSeq == b.fields.map(_.name.toLowerCase).toSeq =>
+      StructType(a.fields.zip(b.fields).map { case (f, nf) =>
+        f.copy(dataType = widen(f.dataType, nf.dataType), nullable = true)
+      })
     case _ => throw new IllegalArgumentException(
       s"incompatible type change ${from.simpleString} → ${to.simpleString}")
   }

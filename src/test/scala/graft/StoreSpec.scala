@@ -71,6 +71,31 @@ class StoreSpec extends SparkSuite {
     intercept[IllegalArgumentException](SchemaEvolution.widen(DecimalType(15, 3), StringType))
   }
 
+  test("complex types round-trip and widen through the store") {
+    val t = table("vt-complex")
+    val df1 = Seq((1L, Seq(1.0f, 2.0f), ("a", 10)))
+      .toDF("id", "emb", "meta")
+    t.overwrite(df1)
+    // widen array<float> → array<double> and nested struct int → long
+    val df2 = Seq((2L, Seq(3.0d), ("b", 20L)))
+      .toDF("id", "emb", "meta")
+    t.append(df2, SchemaDrift.Full)
+    val out = t.read().orderBy("id").collect()
+    assert(t.schema("emb").dataType.asInstanceOf[ArrayType].elementType == DoubleType)
+    assert(out(0).getSeq[Double](1) == Seq(1.0, 2.0)) // floats read back widened
+    val meta0 = out(0).getStruct(2)
+    assert(meta0.getString(0) == "a" && meta0.getLong(1) == 10L)
+    // incompatible nested changes still rejected
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.widen(ArrayType(LongType), ArrayType(IntegerType))
+    }
+    intercept[IllegalArgumentException] { // nested field added → not widenable
+      SchemaEvolution.widen(
+        StructType(Seq(StructField("a", IntegerType))),
+        StructType(Seq(StructField("a", IntegerType), StructField("b", LongType))))
+    }
+  }
+
   test("vacuum drops unreferenced dirs but keeps recent versions readable") {
     val t = table("vt-vac")
     (0 until 6).foreach(i => t.overwrite(Seq((i, s"v$i")).toDF("id", "s")))
