@@ -549,6 +549,25 @@ object Catalog {
           count(*) AS dupes
         FROM q GROUP BY 1""")),
 
+    // vector-corpus CDC: array<float> payloads through the whole SCD2
+    // engine (projection, union, delete tombstones with NULL arrays);
+    // oracle checks every scalar derivation incl. dim-of-NULL for deletes
+    Q("scd2_vector_corpus",
+      (s, d) => Scenarios.history(s, Scenarios.vectorCorpusDest(s, d))
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).cast("long").as("dim"),
+          col("ver"), col(SystemCols.isDeleted), col(SystemCols.isFullLoad)),
+      Some("""SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+          CAST(1 AS BIGINT) AS ver, FALSE AS __is_deleted, TRUE AS __is_full_load
+          FROM embeddings
+        UNION ALL SELECT vec_id, label + 100, CAST(len(embedding) AS BIGINT),
+          CAST(2 AS BIGINT), FALSE, FALSE
+          FROM embeddings WHERE vec_id % 13 = 0 AND vec_id % 19 <> 0
+        UNION ALL SELECT vec_id + 100000, label, CAST(len(embedding) AS BIGINT),
+          CAST(2 AS BIGINT), FALSE, FALSE FROM embeddings WHERE vec_id % 17 = 0
+        UNION ALL SELECT vec_id, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
+          FROM embeddings WHERE vec_id % 19 = 0""")),
+
     Q("emb_label_stats",
       (s, d) => t(s, d, "embeddings").groupBy("label").agg(
         count(lit(1)).as("cnt"),

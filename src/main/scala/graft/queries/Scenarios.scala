@@ -194,6 +194,27 @@ object Scenarios {
       require(sync.restoreLastPk(), "restore must succeed")
     }
 
+  /** Vector-corpus CDC: the embeddings table (array<float> payload) synced
+    * through the full SCD2 engine — relabels, inserts, deletions (tombstones
+    * carry NULL arrays). Mutations: % 19 deleted; % 13 relabeled (ver 2);
+    * % 17 inserted under a shifted id. */
+  def vectorCorpusDest(spark: SparkSession, dir: String): String =
+    run("vec", spark, dir) { dest =>
+      val b1 = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"), col("label"), lit(1L).as("ver"))
+      val b2 = b1.filter(col("vec_id") % 19 =!= 0)
+        .withColumn("label",
+          when(col("vec_id") % 13 === 0, col("label") + 100).otherwise(col("label")))
+        .withColumn("ver",
+          when(col("vec_id") % 13 === 0, lit(2L)).otherwise(col("ver")))
+        .unionByName(b1.filter(col("vec_id") % 17 === 0)
+          .withColumn("vec_id", col("vec_id") + 100000L)
+          .withColumn("ver", lit(2L)))
+      val c = WriteConfig(deltaCol = Some("ver"))
+      new Synchronizer(spark, new DataFrameSource(b1, Seq("vec_id")), dest, c).execute()
+      new Synchronizer(spark, new DataFrameSource(b2, Seq("vec_id")), dest, c).execute()
+    }
+
   /** Training-data capstone: documents ingested as an SCD2 corpus (edits +
     * deletions), then the CURRENT corpus flows through quality filtering
     * and exact dedup — the composed pipeline a pretraining dataset build
