@@ -61,12 +61,18 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // the LSH plumbing ships ONLY (id, band, bucket) — shingle arrays are
-    // heavy payloads and must not ride through explode/shuffle/self-join
+    // heavy payloads and must not ride through explode/shuffle/self-join.
+    // The bucket rows feed THREE consumers (oversized-list, join-left,
+    // join-right) and Spark's exchange reuse only merges two of them —
+    // localCheckpoint materializes the narrow rows once instead of
+    // re-shingling + re-hashing the corpus per branch (observed 9 parquet
+    // scans of the source in the un-materialized plan)
     val bucketed = df
       .select(col(idCol).as("id"),
         minhashSignature(shingleSet(col(textCol), shingleN), numHashes).as("sig"))
       .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+      .localCheckpoint()
     // bound pathological buckets (boilerplate skew): drop buckets larger
     // than maxBucketSize — their members are near-identical and will pair
     // via other bands; the oversized-bucket list is tiny, so a broadcast
