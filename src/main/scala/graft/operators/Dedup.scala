@@ -148,8 +148,9 @@ object Dedup {
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12, tables: Int = 4): DataFrame = {
+    val dim = Similarity.dimOf(df, vecCol)
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.hyperplaneBuckets(col(vecCol), planes, tables).as("buckets"))
+      Similarity.hyperplaneBuckets(col(vecCol), planes, tables, dim).as("buckets"))
       .select(col("id"), col("v"), explode(col("buckets")).as("b"))
     val a = withB.select(col("b"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withB.select(col("b"), col("id").as("id_b"), col("v").as("v_b"))

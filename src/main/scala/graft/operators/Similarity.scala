@@ -54,10 +54,18 @@ object Similarity {
     (h.toDouble / Int.MaxValue.toDouble)
   }
 
+  /** Embedding dimensionality, probed from the first row (one tiny job).
+    * The hyperplane signature must use the vectors' true length — a
+    * mismatched literal plane array would zip_with-pad with nulls and
+    * collapse every signature bit to 0 (round-2 ADVICE finding). */
+  private[operators] def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
   /** One bucket id per hash table: the sign-bit signature of `planes`
     * random hyperplanes, offset by the table index so buckets from
-    * different tables never collide in the join key. */
-  def hyperplaneBuckets(vec: Column, planes: Int, tables: Int, dim: Int = 64): Column =
+    * different tables never collide in the join key. `dim` must be the
+    * vectors' true length (see [[dimOf]]). */
+  def hyperplaneBuckets(vec: Column, planes: Int, tables: Int, dim: Int): Column =
     hyperplaneBucketsExpr(vec, planes, tables, dim)
 
   /** Bucketed approximate top-k: score only rows sharing a hyperplane
@@ -66,8 +74,11 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Float], k: Int,
       planes: Int = 12, tables: Int = 4): DataFrame = {
+    val dim = dimOf(df, vecCol)
+    require(queryVec.length == dim,
+      s"query vector dim ${queryVec.length} != corpus dim $dim")
     val corpus = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(hyperplaneBucketsExpr(col(vecCol), planes, tables)).as("b"))
+      explode(hyperplaneBucketsExpr(col(vecCol), planes, tables, dim)).as("b"))
     val qBuckets = bucketsOf(queryVec, planes, tables)
     val candidates = corpus.filter(col("b").isin(qBuckets: _*))
       .dropDuplicates("id")
@@ -81,7 +92,7 @@ object Similarity {
   }
 
   private[operators] def hyperplaneBucketsExpr(
-      vec: Column, planes: Int, tables: Int, dim: Int = 64): Column = {
+      vec: Column, planes: Int, tables: Int, dim: Int): Column = {
     val perTable = (0 until tables).map { t =>
       val sigBits = (0 until planes).map { p =>
         val planeArr = array((0 until dim).map(i => lit(planeComponent(t, p, i))): _*)

@@ -46,27 +46,58 @@ final class JdbcSource(
     props.foldLeft(withTarget) { case (acc, (k, v)) => acc.option(k, v) }
   }
 
-  /** The partitioning column: explicit, else a single numeric pk. */
-  private def effectivePartitionCol(spark: SparkSession): Option[String] =
-    partitionColumn.orElse {
-      if (pks.size != 1) None
-      else columns(spark).find(_.name.equalsIgnoreCase(pks.head))
-        .filter(c => c.dataType.isInstanceOf[NumericType])
-        .map(_.name)
+  /** Reader in `dbtable` form — Spark rejects `query` + `partitionColumn`
+    * together, so a query source is wrapped as a derived table (the
+    * documented Spark workaround; every dialect the reference targets
+    * accepts `(q) alias` in FROM). */
+  private def partitionedBase(spark: SparkSession): DataFrameReader = {
+    val dbtable = tableOrQuery match {
+      case Left(table) => table
+      case Right(query) => s"($query) graft_subq"
     }
+    val r = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+  }
+
+  /** Spark's JDBC partitioner accepts numeric, date, timestamp columns;
+    * we stringify bounds, so restrict to types whose toString Spark parses. */
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def partitionable(dt: DataType): Boolean = dt match {
+    case DateType | TimestampType => true
+    case other => integral(other)
+  }
+
+  /** The partitioning column: explicit (if its type is partitionable),
+    * else a single integral pk. */
+  private def effectivePartitionCol(spark: SparkSession): Option[String] = {
+    lazy val byName = columns(spark).map(c => c.name.toLowerCase -> c).toMap
+    partitionColumn.filter(pc =>
+      byName.get(pc.toLowerCase).exists(c => partitionable(c.dataType)))
+      .orElse {
+        if (pks.size != 1) None
+        else byName.get(pks.head.toLowerCase)
+          .filter(c => integral(c.dataType))
+          .map(_.name)
+      }
+  }
 
   def read(spark: SparkSession): DataFrame = {
     val df = effectivePartitionCol(spark) match {
       case Some(pc) =>
         // one cheap bounds probe (pushed down as MIN/MAX), then a ranged
-        // parallel scan — the reference's missing partitionColumn support
-        val bounds = base(spark).load()
-          .agg(min(col(pc)).cast("double"), max(col(pc)).cast("double")).head()
-        if (bounds.isNullAt(0)) base(spark).load()
-        else base(spark)
+        // parallel scan — the reference's missing partitionColumn support.
+        // Bounds only set the stride (rows outside are still read by the
+        // unbounded first/last partitions), so min/max verbatim is correct;
+        // date/timestamp values stringify to the forms Spark parses.
+        val bounds = base(spark).load().agg(min(col(pc)), max(col(pc))).head()
+        if (bounds.isNullAt(0) || bounds.get(0) == bounds.get(1)) base(spark).load()
+        else partitionedBase(spark)
           .option("partitionColumn", pc)
-          .option("lowerBound", bounds.getDouble(0).toLong.toString)
-          .option("upperBound", (bounds.getDouble(1).toLong + 1).toString)
+          .option("lowerBound", bounds.get(0).toString)
+          .option("upperBound", bounds.get(1).toString)
           .option("numPartitions", numPartitions.toString)
           .load()
       case None => base(spark).load()

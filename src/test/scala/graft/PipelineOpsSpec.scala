@@ -110,14 +110,29 @@ class PipelineOpsSpec extends SparkSuite {
     assert(ivf == brute) // cluster-1 queries need only cluster-1's cell
   }
 
-  test("LSH buckets: query-side scala math matches the column expression") {
-    val vec = (0 until 64).map(i => (i % 7 - 3) / 3.0f)
+  test("LSH buckets: query-side scala math matches the column expression (non-64 dim)") {
+    // dim=48 deliberately != the old hardcoded 64 (round-2 ADVICE): the
+    // expression must derive its plane length from the true vector dim
+    val vec = (0 until 48).map(i => (i % 7 - 3) / 3.0f)
     val df = Seq((1L, vec.toArray)).toDF("vec_id", "embedding")
     val fromExpr = df.select(
-      graft.operators.Similarity.hyperplaneBuckets(col("embedding"), 6, 8).as("b"))
+      graft.operators.Similarity.hyperplaneBuckets(col("embedding"), 6, 8, dim = 48).as("b"))
       .head().getSeq[Long](0)
     val fromScala = Similarity.bucketsOf(vec, 6, 8)
     assert(fromExpr == fromScala)
+  }
+
+  test("LSH top-k equals brute force on a non-64-dim corpus") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(12)(j => math.sin(i * 13 + j * 7).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = Array.tabulate(12)(j => math.sin(3 * 13 + j * 7).toFloat) // near id 3
+    val lsh = Similarity.topKLsh(df, "vec_id", "embedding", q.toSeq, 1, planes = 4, tables = 8)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val brute = Similarity.topKBruteForce(df, "vec_id", "embedding", q.toSeq, 1)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(lsh == brute) // with 8 tables the exact hit shares a bucket
   }
 
   test("as-of join matches brute force on interleaved timestamps") {
