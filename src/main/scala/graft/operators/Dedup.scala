@@ -107,13 +107,48 @@ object Dedup {
     when(union > 0, floor((inter * 1000L) / union).cast("long")).otherwise(lit(1000L))
   }
 
-  /** n-gram Jaccard similarity for all candidate pairs (LSH-bucketed), at a
-    * lower threshold than minhashLshPairs — the "soft" dedup knob. */
+  /** Direct n-gram Jaccard pairs via an inverted shingle index — the
+    * guaranteed-recall counterpart of [[minhashLshPairs]] (any pair with
+    * Jaccard > 0 shares a shingle, so no true pair can be missed; minhash
+    * trades that certainty for a bounded signature). Shape: one explode to
+    * (id, shingle-hash) postings, a self-join keyed on the 64-bit shingle
+    * hash (only docs sharing that shingle meet), a per-pair count = exact
+    * intersection size, then Jaccard from the per-doc set sizes.
+    *
+    * `maxDocFreq`, when set, drops shingles appearing in more than that
+    * many docs (boilerplate) via a broadcast anti-join — the 100 TB skew
+    * guard, at the cost of exactness on pairs that ONLY share dropped
+    * shingles. Default None = exact.
+    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.3, shingleN: Int = 3): DataFrame =
-    minhashLshPairs(df, idCol, textCol, numHashes = 64, bands = 32,
-      threshold = threshold, shingleN = shingleN)
+      threshold: Double = 0.3, shingleN: Int = 3,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      shingleSet(col(textCol), shingleN).as("sh"))
+    val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("sz"))
+    val posting0 = sets.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("shh"))
+    val posting = maxDocFreq match {
+      case None => posting0
+      case Some(cap) =>
+        val hot = posting0.groupBy("shh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shh")
+        posting0.join(broadcast(hot), Seq("shh"), "left_anti")
+    }
+    val a = posting.select(col("shh"), col("id").as("id_a"))
+    val b = posting.select(col("shh"), col("id").as("id_b"))
+    val inter = a.join(b, Seq("shh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      // same floor(double-div) integer per-mille as jaccardX1000
+      .withColumn("jaccard_x1000", floor((col("inter") * 1000L) /
+        (col("sz_a") + col("sz_b") - col("inter"))).cast("long"))
+      .filter(col("jaccard_x1000") >= (threshold * 1000).toLong)
+      .select("id_a", "id_b", "jaccard_x1000")
+  }
 
   /** Per-row 64-bit SimHash of a document's token multiset, via the native
     * codegen'd expression ([[graft.functions.SimHash64]]). Returns (id, sig)
@@ -122,17 +157,24 @@ object Dedup {
     df.select(col(idCol).as("id"),
       graft.functions.NativeHash.simhash64(tokens(col(textCol))).as("sig"))
 
-  /** SimHash near-duplicate pairs: band the 64-bit signature into four
-    * 16-bit chunks (guarantees recall for hamming ≤ 3 by pigeonhole), bucket
-    * join, verify with bit_count(xor) ≤ maxHamming. */
+  /** SimHash near-duplicate pairs: band the 64-bit signature into
+    * `numChunks` equal-width chunks (pigeonhole guarantees recall for
+    * hamming ≤ numChunks - 1), bucket join, verify with
+    * bit_count(xor) ≤ maxHamming. More chunks widen the guarantee but
+    * shrink the bucket keyspace (64/numChunks bits), growing bucket sizes —
+    * the standard recall/cost dial; keep maxHamming < numChunks for
+    * guaranteed-complete output. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, numChunks: Int = 4): DataFrame = {
+    require(64 % numChunks == 0, "numChunks must divide 64")
+    val w = 64 / numChunks
+    val mask = if (w == 64) -1L else (1L << w) - 1L
     val withSig = simhashed(df, idCol, textCol)
     val banded = withSig.select(col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)), c =>
+      explode(transform(sequence(lit(0), lit(numChunks - 1)), c =>
         struct(c.as("chunk"),
-          call_function("shiftright", col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key")))).as("b"))
+          call_function("shiftright", col("sig"), c * w).bitwiseAND(lit(mask)).as("key")))).as("b"))
       .select(col("id"), col("sig"), col("b.chunk").as("chunk"), col("b.key").as("key"))
     val a = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -141,6 +183,27 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash candidates verified by exact shingle Jaccard: the 16-bit chunk
+    * banding guarantees every hamming ≤ 3 pair is a candidate (pigeonhole),
+    * and the verify step replaces the hamming proxy with the true
+    * similarity — so for corpora whose ≥-threshold pairs all sit within
+    * `maxHamming` simhash bits, the output is EXACTLY the ≥-threshold pair
+    * set (an oracle-checkable ground truth, unlike raw hamming). */
+  def simhashVerifiedPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, threshold: Double = 0.8, shingleN: Int = 3,
+      numChunks: Int = 4): DataFrame = {
+    val cands = simhashPairs(df, idCol, textCol, maxHamming, numChunks)
+    val texts = df.select(col(idCol), col(textCol))
+    cands
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("t_a")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("t_b")), "id_b")
+      .withColumn("jaccard_x1000", jaccardX1000(
+        shingleSet(col("t_a"), shingleN), shingleSet(col("t_b"), shingleN)))
+      .filter(col("jaccard_x1000") >= (threshold * 1000).toLong)
+      .select("id_a", "id_b", "jaccard_x1000")
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates via

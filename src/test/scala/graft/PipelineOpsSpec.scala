@@ -59,6 +59,34 @@ class PipelineOpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("direct n-gram jaccard: exact per-mille, total recall, threshold cut") {
+    val base = "the cat sat on the mat and looked at the moon while birds sang softly in the trees near the river bank at dusk"
+    val near = base.replace("softly", "loudly")
+    val far = "completely unrelated content about databases and distributed query execution engines with columnar storage formats"
+    val df = docs((1L, base), (2L, near), (3L, far))
+    val rows = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.keySet == Set((1L, 2L)))
+    // exact value: 24 tokens → 22 distinct shingles each (all distinct),
+    // one-token edit breaks 3 shingles → inter 19, union 25
+    assert(rows((1L, 2L)) == 19L * 1000 / 25)
+    // the same pair must clear the doc-frequency guard when it is loose
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.3,
+      maxDocFreq = Some(2)).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash verified pairs: 8-chunk banding + jaccard verify") {
+    val base = "spark catalyst optimizer pushes filters below joins for efficient scans of columnar parquet data files at scale"
+    val df = docs((1L, base), (2L, base), (3L, base + " mostly extra"), (4L, "zebra xylophone quartz"))
+    val out = Dedup.simhashVerifiedPairs(df, "doc_id", "text",
+      maxHamming = 7, threshold = 0.9, numChunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet.contains((1L, 2L)))
+    assert(out((1L, 2L)) == 1000L) // identical docs: exact jaccard 1.0
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("jaccard is exact and symmetric-free (a<b ordering)") {
     val df = docs((1L, "a b c d e f"), (2L, "a b c d e g"))
     val j = df.select(Dedup.jaccardX1000(
