@@ -115,14 +115,24 @@ final class VersionedTable(spark: SparkSession, val path: String) {
       DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
   }
 
-  private def scanDirs(dirs: Seq[DataDir], logical: StructType): DataFrame = {
-    if (dirs.isEmpty) return emptyDf(logical)
+  private def scanDirs(
+      dirs: Seq[DataDir], logical: StructType,
+      withDirCol: Boolean = false): DataFrame = {
+    if (dirs.isEmpty) {
+      return emptyDf(if (withDirCol)
+        StructType(logical.fields :+ StructField(DirCol, StringType)) else logical)
+    }
     // One FileScan per distinct physical schema generation; columns added by
     // later drift read as NULL for older generations, then align + union.
     val scans = dirs.groupBy(_.schemaJson).map { case (schemaJson, ds) =>
       val phys = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       val df = spark.read.schema(phys).parquet(ds.map(d => s"$path/data/${d.dir}"): _*)
-      align(df, logical)
+      val cols = alignCols(df, logical) ++ (if (withDirCol)
+        // originating data dir from the file-source metadata column — no
+        // extra scan, prunes away when unused
+        Seq(regexp_extract(col("_metadata.file_path"),
+          "/data/([^/]+)/[^/]*$", 1).as(DirCol)) else Nil)
+      df.select(cols: _*)
     }.toSeq
     scans.reduce(_.unionByName(_))
   }
@@ -133,15 +143,18 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   /** Project/cast df onto `target` schema; missing columns become NULL
     * (delete tombstones and drift both need this; nullability always relaxed,
     * reference delta_rs.py:13-19). */
-  private def align(df: DataFrame, target: StructType): DataFrame = {
+  private def align(df: DataFrame, target: StructType): DataFrame =
+    df.select(alignCols(df, target): _*)
+
+  private def alignCols(df: DataFrame, target: StructType): Seq[org.apache.spark.sql.Column] = {
     val have = df.columns.map(c => c.toLowerCase -> c).toMap
-    df.select(target.fields.toSeq.map { f =>
+    target.fields.toSeq.map { f =>
       have.get(f.name.toLowerCase) match {
         case Some(c) if df.schema(c).dataType == f.dataType => col(c).as(f.name)
         case Some(c) => col(c).cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
-    }: _*)
+    }
   }
 
   // ----------------------------------------------------------------- writes
@@ -217,15 +230,34 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   }
 
   /** Upsert on pk equality — whenMatchedUpdateAll / whenNotMatchedInsertAll
-    * (reference spark_reader.py:329-350 / K3). Implemented as
-    * anti-join + union + overwrite: correct for the engine's small aux
-    * tables; a file-level merge-on-read is the 100 TB path. */
+    * (reference spark_reader.py:329-350 / K3), as a FILE-PRUNED copy-on-write
+    * (the Delta MERGE shape): one pk-only probe job discovers which data dirs
+    * contain matched keys (pk columns + the file-path metadata column — all
+    * payload columns prune away), then ONLY those dirs are rewritten
+    * (their unmatched rows + all source rows into one new dir); untouched
+    * dirs carry over by reference, their files never read or copied. A merge
+    * touching 1% of keys rewrites ~1% of a 100 TB table instead of all of it.
+    */
   def merge(src: DataFrame, pkCols: Seq[String]): Long = {
     if (!exists) return overwrite(src)
-    val current = read()
-    val kept = current.join(src.select(pkCols.map(col): _*), pkCols, "left_anti")
-    overwrite(align(kept, current.schema.asInstanceOf[StructType])
-      .unionByName(align(src, current.schema), allowMissingColumns = true))
+    val m = readManifest(requireVersion)
+    val logical = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val srcPks = src.select(pkCols.map(col): _*).dropDuplicates(pkCols)
+    val hit = scanDirs(m.dirs, logical, withDirCol = true)
+      .select((pkCols.map(col) :+ col(DirCol)): _*)
+      .join(srcPks, pkCols, "left_semi")
+      .select(DirCol).distinct().collect().map(_.getString(0)).toSet
+    val (touched, untouched) = m.dirs.partition(d => hit(d.dir))
+    val merged = SchemaEvolution.merge(logical,
+      SchemaEvolution.relaxNullable(src.schema), SchemaDrift.NewOnly)
+    val kept = scanDirs(touched, logical).join(srcPks, pkCols, "left_anti")
+    val out = align(kept, merged).unionByName(align(src, merged))
+    val nextV = m.version + 1
+    val dirName = f"v$nextV%010d-${UUID.randomUUID().toString.take(8)}"
+    out.write.mode("overwrite").parquet(s"$path/data/$dirName")
+    writeManifest(Manifest(nextV, untouched :+ DataDir(dirName, merged.json),
+      merged.json, m.properties))
+    nextV
   }
 
   /** Drop data dirs no longer referenced by the last `keepVersions` manifests
@@ -252,6 +284,8 @@ final class VersionedTable(spark: SparkSession, val path: String) {
 
 object VersionedTable {
   private val ManifestName = """v(\d{10})\.json""".r
+  /** Internal column carrying a row's originating data dir in pruning scans. */
+  private val DirCol = "__graft_dir"
   private[store] val mapper = new ObjectMapper()
 
   private[store] final case class DataDir(dir: String, schemaJson: String)

@@ -46,6 +46,33 @@ class StoreSpec extends SparkSuite {
     assert(m == Map(1 -> "a", 2 -> "B", 3 -> "c"))
   }
 
+  test("merge is file-pruned: dirs without matched pks are untouched") {
+    val t = table("vt-merge-prune")
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "s"))   // dir A: pks 1,2
+    t.append(Seq((10, "x"), (11, "y")).toDF("id", "s")) // dir B: pks 10,11
+    def dataDirs = new java.io.File(s"${t.path}/data").listFiles().toSeq
+      .map(_.getName).sorted
+    def filesOf(dir: String) = new java.io.File(s"${t.path}/data/$dir")
+      .listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+      .map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1)
+    val before = dataDirs
+    val dirA = before.head // v0 dir
+    val dirB = before(1)   // v1 dir
+    val snapB = filesOf(dirB)
+    // merge touches only pk 2 (dir A) and inserts pk 20
+    t.merge(Seq((2, "B2"), (20, "n")).toDF("id", "s"), Seq("id"))
+    // dir B's files are byte-identical — never rewritten, carried by reference
+    assert(filesOf(dirB) == snapB)
+    // content is the full correct upsert
+    val m = t.read().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m == Map(1 -> "a", 2 -> "B2", 10 -> "x", 11 -> "y", 20 -> "n"))
+    // pure-insert merge (no pk hits anywhere): NO existing dir is rewritten
+    val allBefore = dataDirs.map(d => d -> filesOf(d)).toMap
+    t.merge(Seq((30, "z")).toDF("id", "s"), Seq("id"))
+    allBefore.foreach { case (d, snap) => assert(filesOf(d) == snap) }
+    assert(t.read().count() == 6)
+  }
+
   test("schema drift: NewOnly adds columns, rejects type change; Full widens") {
     val t = table("vt-drift")
     t.overwrite(Seq((1, 10)).toDF("id", "v"))
