@@ -69,6 +69,15 @@ object SchemaDrift {
   * @param inlineJoinThreshold  max "strange update" pks fetched via broadcast
   *                       join before falling back to watermark re-scan
   *                       (reference db_to_delta.py:1105-1107, default 1000)
+  * @param maxTextSize    ingest-side cap on string values, in characters
+  *                       (reference odbc_reader.py:235,273-275 caps at 20,000);
+  *                       None = uncapped
+  * @param maxBinarySize  same for binary values, in bytes
+  * @param transformationHook  (df, stage) => df applied to every source read,
+  *                       with the reference's stage vocabulary
+  *                       (spark_reader.py:97,111-113: "sql2delta" for table
+  *                       loads, "source2py" for driver-side scalar probes) —
+  *                       enables per-stage transforms, e.g. delta-read-only
   */
 final case class WriteConfig(
     loadMode: LoadMode = LoadMode.Append,
@@ -79,7 +88,11 @@ final case class WriteConfig(
     allowSchemaDrift: SchemaDrift = SchemaDrift.NewOnly,
     noComplexEntriesLoad: Boolean = false,
     inlineJoinThreshold: Long = 1000L,
-    getTargetName: ColInfo => String = Naming.compatName)
+    getTargetName: ColInfo => String = Naming.compatName,
+    maxTextSize: Option[Int] = None,
+    maxBinarySize: Option[Int] = None,
+    transformationHook: (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame =
+      WriteConfig.noHook)
 
 object WriteConfig {
   /** Reference default map (write_init.py:29-38): rowversion→BIGINT,
@@ -96,6 +109,9 @@ object WriteConfig {
     * rowversion alias (reference write_init.py:29-38). Use with sources that
     * populate ColInfo.sourceType from the DB catalog. */
   val tsqlTypeMap: Map[String, DataType] = defaultTypeMap + ("timestamp" -> LongType)
+
+  val noHook: (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame =
+    (d, _) => d
 }
 
 /** System columns the engine appends to every SCD2 row

@@ -84,6 +84,16 @@ object Catalog {
         CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents, c_mktsegment
         FROM customer""")),
 
+    // P1 + ingest value caps (reference odbc_reader.py:235,273-275): the
+    // projection layer trims then truncates string payloads at maxTextSize
+    Q("p1_value_caps",
+      (s, d) => graft.scd2.Projection.select(
+        t(s, d, "documents"),
+        Seq(ColInfo("doc_id", org.apache.spark.sql.types.LongType),
+          ColInfo("text", org.apache.spark.sql.types.StringType)),
+        WriteConfig(maxTextSize = Some(40))),
+      Some("SELECT doc_id, left(trim(text), 40) AS text FROM documents")),
+
     Q("p3_watermark",
       (s, d) => {
         val thr = t(s, d, "events").agg(max("event_id")).head().getLong(0) * 4 / 5

@@ -12,26 +12,44 @@ import graft.{ColInfo, SystemCols, WriteConfig}
   * `_get_cols_select`). */
 object Projection {
 
-  /** P1: per-column cast + trim + rename.
-    * Strings are TRIMmed unless noTrim (reference db_to_delta.py:80-88);
-    * types re-cast per dataTypeMap (reference write_init.py:29-38); column
-    * aliased to the mangled target name (reference write_init.py:41-46). */
+  /** Source types whose values must NOT be trimmed even when they surface
+    * as strings — fixed-form identifiers (reference db_to_delta.py:80-88). */
+  private val trimExempt = Set("uuid", "uniqueidentifier", "guid", "oid", "xid")
+
+  private def isXid(c: ColInfo, cfg: WriteConfig): Boolean =
+    !cfg.dataTypeMap.contains(c.typeKey) && c.sourceType.map(_.toLowerCase).contains("xid")
+
+  /** P1: per-column cast + trim + rename + cap.
+    * Strings are TRIMmed unless noTrim or the SOURCE type is a fixed-form
+    * identifier (reference db_to_delta.py:80-88); Postgres `xid` (xmin)
+    * double-casts text→bigint when unmapped (db_to_delta.py:73-77); types
+    * re-cast per dataTypeMap (reference write_init.py:29-38); string/binary
+    * values capped at maxTextSize/maxBinarySize (odbc_reader.py:235,273-275);
+    * column aliased to the mangled target name (write_init.py:41-46). */
   def sourceConvert(c: ColInfo, cfg: WriteConfig): Column = {
-    val mapped = cfg.dataTypeMap.get(c.typeKey)
-    val base = mapped match {
-      case Some(t) if t != c.dataType => col(quoted(c.name)).cast(t)
-      case _ => col(quoted(c.name))
-    }
-    val trimmed = c.dataType match {
-      case StringType if !cfg.noTrim => trim(base)
+    val raw = col(quoted(c.name))
+    val srcType = c.sourceType.map(_.toLowerCase)
+    val target = targetType(c, cfg)
+    val base =
+      if (isXid(c, cfg)) raw.cast(StringType).cast(LongType)
+      else if (target != c.dataType) raw.cast(target)
+      else raw
+    val trimmed = target match {
+      case StringType if !cfg.noTrim && !srcType.exists(trimExempt) => trim(base)
       case _ => base
     }
-    trimmed.as(cfg.getTargetName(c))
+    val capped = (target, cfg.maxTextSize, cfg.maxBinarySize) match {
+      case (StringType, Some(n), _) => substring(trimmed, 1, n)
+      case (BinaryType, _, Some(n)) => substring(trimmed, 1, n)
+      case _ => trimmed
+    }
+    capped.as(cfg.getTargetName(c))
   }
 
-  /** Target-side datatype of a column after the type map. */
+  /** Target-side datatype of a column after the type map / xid double-cast. */
   def targetType(c: ColInfo, cfg: WriteConfig): DataType =
-    cfg.dataTypeMap.getOrElse(c.typeKey, c.dataType)
+    if (isXid(c, cfg)) LongType
+    else cfg.dataTypeMap.getOrElse(c.typeKey, c.dataType)
 
   /** P1 over a whole relation. */
   def select(df: DataFrame, cols: Seq[ColInfo], cfg: WriteConfig): DataFrame =

@@ -84,12 +84,17 @@ final class Synchronizer(
     case Some(name) => cols.find(_.name.equalsIgnoreCase(name)).orElse(
       throw new IllegalArgumentException(s"delta column $name not in source"))
     case None =>
-      // auto-detect: a generated row-start col, else an identity col for
-      // append_inserts (reference write_init.py:144-167, db_to_delta.py:236-243)
-      cols.find(_.isRowStart).orElse(
-        if (cfg.loadMode == LoadMode.AppendInserts && pkCols.size == 1 && pkCols.head.isIdentity)
-          Some(pkCols.head)
-        else None)
+      // auto-detect: a generated row-start col, else the Postgres xid/xmin
+      // system column when the catalog surfaced one (reference
+      // write_init.py:222-251 uses xmin as the delta col for physical
+      // tables), else an identity col for append_inserts
+      // (reference write_init.py:144-167, db_to_delta.py:236-243)
+      cols.find(_.isRowStart)
+        .orElse(cols.find(_.sourceType.exists(_.equalsIgnoreCase("xid"))))
+        .orElse(
+          if (cfg.loadMode == LoadMode.AppendInserts && pkCols.size == 1 && pkCols.head.isIdentity)
+            Some(pkCols.head)
+          else None)
   }
 
   def targetName(c: ColInfo): String = cfg.getTargetName(c)
@@ -99,8 +104,14 @@ final class Synchronizer(
     * may BE a pk (identity-pk append_inserts) — dedupe. */
   private def pkd: Seq[String] = (targetPks ++ targetDelta.toSeq).distinct
 
+  /** Source read with the per-stage transformation hook applied (reference
+    * spark_reader.py:97,111-113 — stage "sql2delta" = table loads,
+    * "source2py" = driver-side scalar probes). */
+  private def readSource(stage: String): DataFrame =
+    cfg.transformationHook(source.read(spark), stage)
+
   private def srcProjected: DataFrame =
-    Projection.select(source.read(spark), cols, cfg)
+    Projection.select(readSource("sql2delta"), cols, cfg)
 
   /** Engine clock, strictly monotonic per JVM: SCD2 ordering relies on
     * `__timestamp` strictly increasing across load steps even when steps run
@@ -194,11 +205,19 @@ final class Synchronizer(
     SourceState(row.get(0), row.getLong(1))
   }
 
-  /** A2: same pair against the source (reference load_infos.py:44-70). */
-  def sourceState(): SourceState = {
-    val c = deltaCol.get
-    source.state(spark, Projection.sourceConvert(c, cfg))
-  }
+  /** A2: same pair against the source (reference load_infos.py:44-70).
+    * Computed over the hooked read so a row-filtering hook keeps change
+    * detection consistent with what the loads actually ingest; without a
+    * hook this is exactly Source.state's pushed-down aggregate. */
+  def sourceState(): SourceState =
+    if (cfg.transformationHook eq WriteConfig.noHook)
+      source.state(spark, Projection.sourceConvert(deltaCol.get, cfg))
+    else {
+      val row = readSource("source2py")
+        .agg(max(Projection.sourceConvert(deltaCol.get, cfg)).as("m"),
+          count(lit(1)).as("c")).head()
+      SourceState(row.get(0), row.getLong(1))
+    }
 
   /** The default delta algorithm, steps 1–4 (reference db_to_delta.py:483-692;
     * SURVEY.md §3.2). */
@@ -221,7 +240,7 @@ final class Synchronizer(
 
     // step 1: pk+delta snapshot of the source (db_to_delta.py:575-579,862-890)
     dest.primaryKeysTs.overwrite(
-      source.read(spark).select(
+      readSource("sql2delta").select(
         (pkCols ++ deltaCol.toSeq).distinct.map(Projection.sourceConvert(_, cfg)): _*))
 
     // step 2: rows with delta_col beyond the local watermark → delta_1 →
