@@ -9,10 +9,19 @@ import org.apache.spark.sql.functions._
   * sort-merge joins after statistics exist; explicit salting is still the
   * tool when a key's row count is so extreme that even one split is too
   * big, when the skewed side feeds a window/groupBy rather than a join, or
-  * when the plan must be deterministic up front (no AQE replan). Salts are
-  * derived from stable row content (xxhash64), never from RNG — identical
-  * inputs give identical plans and results. */
+  * when the plan must be deterministic up front (no AQE replan). Salts mix
+  * row content with the row's physical position (partition id + in-partition
+  * counter) — never RNG, so a given input layout yields identical results
+  * across runs — and the position term guarantees full-duplicate rows (the
+  * canonical hot-key case in scraped corpora) still fan out across salts
+  * instead of re-colliding on one task (round-2 ADVICE finding). */
 object Skew {
+
+  /** Deterministic per-row salt in [0, parts): content hash mixed with
+    * monotonically_increasing_id (which embeds the partition id), so
+    * identical rows in the same partition get DIFFERENT salts. */
+  private[graft] def rowSalt(allCols: Seq[Column], parts: Int): Column =
+    pmod(xxhash64(allCols :+ monotonically_increasing_id(): _*), lit(parts)).cast("int")
 
   /** Salted equi-join of a skewed LEFT side against a smaller right side:
     * left rows get a content-derived salt in [0, parts); the right side is
@@ -29,7 +38,7 @@ object Skew {
       parts: Int = 16,
       joinType: String = "inner"): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(parts)).cast("int"))
+      rowSalt(left.columns.toSeq.map(col), parts))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(parts - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt"), joinType).drop("__salt")
@@ -41,8 +50,7 @@ object Skew {
     * explicit form is for when the FIRST shuffle itself must avoid a hot
     * partition (e.g. a follow-on window function over the key). */
   def saltedCount(df: DataFrame, key: String, parts: Int = 16): DataFrame =
-    df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col): _*), lit(parts)).cast("int"))
+    df.withColumn("__salt", rowSalt(df.columns.toSeq.map(col), parts))
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
       .groupBy(col(key)).agg(sum("__c").as("cnt"))
 

@@ -602,6 +602,22 @@ object Catalog {
         UNION ALL SELECT vec_id, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
           FROM embeddings WHERE vec_id % 19 = 0""")),
 
+    // skewed-key join through the salting operator: ~30% of events collapse
+    // onto one hot key, the join fans it out over (key, salt) — results must
+    // equal the plain SQL join regardless of salting
+    Q("skew_salted_join",
+      (s, d) => {
+        val l = t(s, d, "events").select(
+          when(col("event_id") % 10 < 3, lit(1L)).otherwise(col("user_id")).as("k"))
+        val r = t(s, d, "customer").select(col("c_custkey").as("k"), col("c_mktsegment"))
+        graft.operators.Skew.saltedJoin(l, r, "k", parts = 8)
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      },
+      Some("""WITH l AS (SELECT CASE WHEN event_id % 10 < 3 THEN 1 ELSE user_id END AS k
+          FROM events),
+        r AS (SELECT c_custkey AS k, c_mktsegment FROM customer)
+        SELECT c_mktsegment, count(*) AS cnt FROM l JOIN r USING (k) GROUP BY 1""")),
+
     Q("emb_label_stats",
       (s, d) => t(s, d, "embeddings").groupBy("label").agg(
         count(lit(1)).as("cnt"),

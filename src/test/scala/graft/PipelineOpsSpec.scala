@@ -163,6 +163,22 @@ class PipelineOpsSpec extends SparkSuite {
     assert(lsh == brute) // with 8 tables the exact hit shares a bucket
   }
 
+  test("skew salts spread FULL-DUPLICATE rows across tasks") {
+    import graft.operators.Skew
+    // 400 byte-identical rows: a content-only salt would send them all to
+    // one (key, salt) bucket — the round-2 ADVICE failure mode
+    val dup = Seq.fill(400)((1L, "same-payload")).toDF("k", "p").repartition(4)
+    val spread = dup.select(Skew.rowSalt(Seq(col("k"), col("p")), 8).as("s"))
+      .distinct().count()
+    assert(spread > 4) // duplicates land on many salts
+    // and the salted join stays semantically exact
+    val r = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    val j = Skew.saltedJoin(dup, r, "k", parts = 8)
+    assert(j.count() == 400)
+    assert(j.select("name").distinct().head().getString(0) == "one")
+    assert(Skew.saltedCount(dup, "k", 8).head().getLong(1) == 400L)
+  }
+
   test("as-of join matches brute force on interleaved timestamps") {
     import graft.operators.Temporal
     val left = Seq((101L, 1L, 10L), (102L, 1L, 25L), (103L, 1L, 5L), (104L, 2L, 50L))
