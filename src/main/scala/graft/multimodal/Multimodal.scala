@@ -14,11 +14,11 @@ import org.apache.spark.sql.types._
   * partition, constant memory, no per-row UDF dispatch), and pushdown-safe
   * metadata columns so planning never touches payload bytes.
   *
-  * The actual codecs (JPEG/PNG decode, audio resample, video frame-grab)
-  * are NOT available in this environment — the decode kernel is a STUB
-  * (`DecodeStub`), a deterministic fake that parses our synthetic header.
-  * Swap `DecodeStub.decode` for a real codec (e.g. javax.imageio /
-  * ffmpeg-cli per partition) without touching any of the plumbing. */
+  * Image payloads are REAL PNGs decoded with `javax.imageio` (JDK-builtin —
+  * width/height/mean-luma come from actual pixel data). Audio/video codecs
+  * are not available in this environment, so those kinds carry the
+  * deterministic `DecodeStub` header format; swap `DecodeStub.decode` for a
+  * real codec (ffmpeg-cli per partition) without touching the plumbing. */
 object Multimodal {
 
   /** The media-table contract: metadata columns first (prunable without
@@ -74,37 +74,75 @@ object Multimodal {
     }
   }
 
-  /** Build a synthetic media table from the documents fixture: each doc's
-    * text bytes become the payload behind a valid stub header. Exercises
-    * the binary-column path end-to-end with real (if fake-coded) bytes. */
-  def syntheticMedia(spark: SparkSession, docsParquet: String): DataFrame = {
-    val docs = spark.read.parquet(docsParquet)
-    val kinds = array(lit("image"), lit("audio"), lit("video"))
-    val w = (col("doc_id") % 640 + 1).cast("int")
-    val h = (col("doc_id") % 480 + 1).cast("int")
-    val f = (col("doc_id") % 30 + 1).cast("int")
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(kinds, (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      w.as("width"), h.as("height"),
-      lit(16000).as("sample_rate"), f.as("n_frames"),
-      concat(
-        lit(DecodeStub.writeInt(DecodeStub.Magic)),
-        binInt(w), binInt(h), binInt(f),
-        encode(col("text"), "UTF-8")).as("payload"))
+  /** Real image codec over `javax.imageio` (JDK-builtin): PNG payloads are
+    * decoded to actual pixels; mean luma is the per-pixel (r+g+b)/3 average
+    * as an exact integer per-mille of 255. Single-frame by definition. */
+  object ImageCodec {
+    def isPng(b: Array[Byte]): Boolean =
+      b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+    /** Deterministic tiny PNG: w×h constant-gray image, really encoded. */
+    def pngBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    def decode(r: MediaRow): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sum += ((p >> 16 & 0xff) + (p >> 8 & 0xff) + (p & 0xff)) / 3
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, header_ok = true,
+        w, h, n_frames = 1, sum * 1000L / (w.toLong * h * 255L),
+        scala.util.hashing.MurmurHash3.bytesHash(r.payload, 0x5eed).toLong)
+    }
   }
 
-  /** Big-endian int32 → 4 binary bytes, as a column expression. */
-  private def binInt(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    unhex(lpad(hex(v.cast("long").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0"))
+  /** Build a synthetic media table from the documents fixture: image rows
+    * carry REAL PNG payloads (constant gray = doc_id % 256, dims
+    * (id%64+1)×(id%48+1)); audio/video rows carry doc text behind the stub
+    * header. Exercises the binary-column path with genuinely coded bytes. */
+  def syntheticMedia(spark: SparkSession, docsParquet: String): DataFrame = {
+    import spark.implicits._
+    implicit val enc = Encoders.product[MediaRow]
+    spark.read.parquet(docsParquet)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        val (w, h, f) = ((id % 64 + 1).toInt, (id % 48 + 1).toInt, (id % 30 + 1).toInt)
+        val payload =
+          if (kind == "image") ImageCodec.pngBytes(w, h, (id % 256).toInt)
+          else DecodeStub.writeInt(DecodeStub.Magic) ++
+            DecodeStub.writeInt(w) ++ DecodeStub.writeInt(h) ++ DecodeStub.writeInt(f) ++
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, kind, Some(w), Some(h), Some(16000), Some(f), payload)
+      }).toDF()
+  }
 
   /** Decode/feature-extract stage: one iterator per partition (constant
-    * memory, batch-friendly — the mapInPandas shape). */
+    * memory, batch-friendly — the mapInPandas shape). PNG payloads take the
+    * real ImageIO path; stub-headered payloads take the fake codec. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.select("media_id", "kind", "width", "height", "sample_rate", "n_frames", "payload")
       .as(Encoders.product[MediaRow])
-      .mapPartitions(rows => rows.map(DecodeStub.decode))
+      .mapPartitions(_.map(r =>
+        if (ImageCodec.isPng(r.payload)) ImageCodec.decode(r) else DecodeStub.decode(r)))
   }
 
   /** Frame-sample stage for video rows: every k-th frame index, as a

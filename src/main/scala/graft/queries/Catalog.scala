@@ -539,21 +539,31 @@ object Catalog {
       },
       Some(annExactTopKSql)),
 
-    // multimodal plumbing: synthetic binary payloads built from the docs
-    // fixture, decoded by the stub codec via mapPartitions (typed Dataset);
-    // the oracle covers every SQL-derivable feature column
+    // multimodal: image rows are REAL PNGs decoded by javax.imageio — the
+    // oracle predicts genuinely decoded dimensions and pixel mean-luma
+    // (constant-gray fill makes them exact); audio/video rows ride the stub
+    // header. n_bytes is only SQL-derivable for stub payloads (PNG encoding
+    // size isn't), so the gate nulls it for images and nulls luma elsewhere.
     Q("multimodal_features",
       (s, d) => graft.multimodal.Multimodal.extractFeatures(
           graft.multimodal.Multimodal.syntheticMedia(s, s"$d/documents.parquet"))
         .toDF()
-        .select("media_id", "kind", "n_bytes", "header_ok", "width", "height", "n_frames"),
+        .select(col("media_id"), col("kind"),
+          when(col("kind") === "image", lit(null)).otherwise(col("n_bytes"))
+            .cast("long").as("n_bytes"),
+          col("header_ok"), col("width"), col("height"), col("n_frames"),
+          when(col("kind") === "image", col("mean_luma_x1000")).otherwise(lit(null))
+            .cast("long").as("mean_luma_x1000")),
       Some("""SELECT doc_id AS media_id,
           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
-          CAST(16 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE CAST(16 + octet_length(encode(text)) AS BIGINT) END AS n_bytes,
           TRUE AS header_ok,
-          CAST(doc_id % 640 + 1 AS INT) AS width,
-          CAST(doc_id % 480 + 1 AS INT) AS height,
-          CAST(doc_id % 30 + 1 AS INT) AS n_frames
+          CAST(doc_id % 64 + 1 AS INT) AS width,
+          CAST(doc_id % 48 + 1 AS INT) AS height,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE doc_id % 30 + 1 END AS INT) AS n_frames,
+          CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id % 256) * 1000 // 255 AS BIGINT)
+            ELSE NULL END AS mean_luma_x1000
         FROM documents""")),
 
     Q("multimodal_frame_sample",

@@ -214,7 +214,7 @@ class PipelineOpsSpec extends SparkSuite {
     assert(hot == Seq(1L))
   }
 
-  test("multimodal: stub decode round-trips header metadata via mapPartitions") {
+  test("multimodal: real PNG decode for images, stub header for audio/video") {
     val tmp = tmpDir("graft-mm")
     docs((7L, "hello media world"), (8L, "payload two"), (9L, "third"))
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
@@ -223,10 +223,17 @@ class PipelineOpsSpec extends SparkSuite {
     val media = Multimodal.syntheticMedia(spark, s"$tmp/documents.parquet")
     val feats = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> f).toMap
+    // id 7 → audio: stub header path
     assert(feats(7L).header_ok)
-    assert(feats(7L).width == (7 % 640 + 1))
-    assert(feats(7L).height == (7 % 480 + 1))
+    assert(feats(7L).width == (7 % 64 + 1))
+    assert(feats(7L).height == (7 % 48 + 1))
     assert(feats(7L).n_bytes == 16 + "hello media world".getBytes("UTF-8").length)
+    // id 9 → image: a REAL PNG, decoded by javax.imageio from actual pixels
+    assert(feats(9L).header_ok)
+    assert(feats(9L).width == (9 % 64 + 1))
+    assert(feats(9L).height == (9 % 48 + 1))
+    assert(feats(9L).n_frames == 1)
+    assert(feats(9L).mean_luma_x1000 == 9L * 1000 / 255) // constant gray 9
     val frames = Multimodal.sampleFrames(media).collect()
     // only kind==video rows (doc_id % 3 == 2): ids 8 (8%3=2)
     assert(frames.map(_.getLong(0)).distinct.toSeq == Seq(8L))
