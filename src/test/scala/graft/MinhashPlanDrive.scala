@@ -12,9 +12,15 @@ object MinhashPlanDrive {
     q.collect() // run with AQE so final plan shows reuse
     val plan = q.queryExecution.executedPlan.toString
     def cnt(p: String) = p.r.findAllIn(plan).length
+    // bucket rows are persisted DISK_ONLY: every consumer must read the
+    // cache (InMemoryTableScan nodes), not re-derive from parquet. The
+    // plan TEXT still nests the cached child plan under InMemoryRelation,
+    // so raw FileScan occurrences overcount — actual source scans are the
+    // cache build (1) + the two verify text joins.
     println("Exchange: " + cnt("Exchange hashpartitioning") +
       "  ReusedExchange: " + cnt("ReusedExchange") +
-      "  FileScan parquet occurrences: " + cnt("Relation \\[") + "/" + cnt("FileScan"))
+      "  InMemoryTableScan: " + cnt("InMemoryTableScan") +
+      "  cachedRDDs: " + spark.sparkContext.getPersistentRDDs.size)
     spark.stop()
   }
 }
