@@ -37,6 +37,10 @@ object Bench {
     val fns = SparkEntry.queries
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     def once(name: String): Double = {
+      // drop persisted intermediates from prior runs: repeated invocations
+      // would otherwise hit the cache registry (identical logical plans)
+      // and the median would time warm cache reads, not the operator
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fns(name)(spark, sfDir).count() catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: $e")

@@ -105,8 +105,12 @@ object Dedup {
     // broadcast carries |candidate docs| shingle arrays, not the corpus
     val ids = p.select(col("id_a").as(idCol))
       .unionByName(p.select(col("id_b").as(idCol))).distinct()
+    // both pair sides broadcast these sets under different aliases (no
+    // exchange reuse across aliases) — persist so candidate-doc shingling
+    // runs once, not once per broadcast build
     val sets = df.join(ids, Seq(idCol), "left_semi")
       .select(col(idCol), shingleSet(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     p
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -188,11 +192,14 @@ object Dedup {
     val w = 64 / numChunks
     val mask = if (w == 64) -1L else (1L << w) - 1L
     val withSig = simhashed(df, idCol, textCol)
+    // both self-join sides consume the banded rows — persist (spill-safe)
+    // so the tokenize+simhash pipeline runs once, not once per side
     val banded = withSig.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(numChunks - 1)), c =>
         struct(c.as("chunk"),
           call_function("shiftright", col("sig"), c * w).bitwiseAND(lit(mask)).as("key")))).as("b"))
       .select(col("id"), col("sig"), col("b.chunk").as("chunk"), col("b.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val a = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
     // hamming-filter BEFORE the dedup shuffle: the bucket join's raw pair

@@ -142,23 +142,49 @@ object Similarity {
     centroids
   }
 
-  /** IVF top-k: assign the corpus to the trained centroids, probe only the
-    * query's `nprobe` nearest cells, exact-rerank inside them. At scale the
-    * assignment is computed once and persisted with the corpus; queries
-    * touch |corpus| × nprobe / k rows instead of everything. */
-  def topKIvf(
-      df: DataFrame, idCol: String, vecCol: String,
-      queryVec: Seq[Float], k: Int,
-      centroids: Seq[Array[Double]], nprobe: Int = 4): DataFrame = {
-    val qCells = centroids.zipWithIndex.map { case (c, i) =>
+  /** The query vector's `nprobe` nearest cells by squared L2 (driver-side
+    * math over the k×dim codebook). */
+  private def probeCells(
+      centroids: Seq[Array[Double]], queryVec: Seq[Float], nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
       val d = c.zip(queryVec).map { case (y, x) => val dd = x.toDouble - y; dd * dd }.sum
       i -> d
     }.sortBy(_._2).take(nprobe).map(_._1)
-    val candidates = df
-      .withColumn("__cell", nearestCentroid(col(vecCol), centroids))
-      .filter(col("__cell").isin(qCells: _*))
+
+  /** Materializable IVF assignment: (id, cell, v). THE scale path — compute
+    * once per corpus build, write `partitionBy("cell")`, and every query
+    * prunes to its probed cells' files at the source (no per-query
+    * assignment pass, no full scan). */
+  def ivfAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame =
+    df.select(col(idCol).as("id"),
+      nearestCentroid(col(vecCol), centroids).as("cell"),
+      col(vecCol).as("v"))
+
+  /** Top-k over a prebuilt assignment ([[ivfAssign]] output, typically read
+    * back from cell-partitioned storage): probes only `nprobe` cells. */
+  def topKIvfIndexed(
+      index: DataFrame, queryVec: Seq[Float], k: Int,
+      centroids: Seq[Array[Double]], nprobe: Int = 4): DataFrame = {
+    val qCells = probeCells(centroids, queryVec, nprobe)
+    rerank(index.filter(col("cell").isin(qCells: _*)), queryVec, k)
+  }
+
+  /** IVF top-k: assign the corpus to the trained centroids, probe only the
+    * query's `nprobe` nearest cells, exact-rerank inside them. Convenience
+    * single-shot form; repeated querying should persist [[ivfAssign]] and
+    * use [[topKIvfIndexed]]. */
+  def topKIvf(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], k: Int,
+      centroids: Seq[Array[Double]], nprobe: Int = 4): DataFrame =
+    topKIvfIndexed(ivfAssign(df, idCol, vecCol, centroids), queryVec, k, centroids, nprobe)
+
+  /** Exact cosine rerank of candidate (id, v) rows → (rank, id, sim). */
+  private def rerank(candidates: DataFrame, queryVec: Seq[Float], k: Int): DataFrame = {
     val q = array(queryVec.map(lit): _*)
-    candidates.select(col(idCol).as("id"), cosine(col(vecCol), q).as("sim"))
+    candidates.select(col("id"), cosine(col("v"), q).as("sim"))
       .orderBy(col("sim").desc, col("id").asc).limit(k)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("sim").desc, col("id").asc))

@@ -177,19 +177,19 @@ final class Synchronizer(
     val v =
       if (overwriteTarget) dest.delta.overwrite(proj)
       else dest.delta.append(proj, cfg.allowSchemaDrift)
-    if (pkCols.nonEmpty && deltaCol.nonEmpty) writeLatestPkFromFull()
+    if (pkCols.nonEmpty && deltaCol.nonEmpty) writeLatestPkFromFull(v)
     // count only this commit's files, not the whole history
     LoadResult.FullLoad(dest.delta.readCommit(v).count())
   }
 
-  /** latest_pk_version ← rows of the newest full-load snapshot
-    * (P8/A6, reference db_to_delta.py:1290-1325). */
-  private def writeLatestPkFromFull(): Unit = {
-    val hist = dest.delta.read()
-    val maxFull = hist.filter(col(SystemCols.isFullLoad))
-      .agg(max(col(SystemCols.timestamp))).head().get(0)
-    val snap = hist
-      .filter(col(SystemCols.isFullLoad) && col(SystemCols.timestamp) === lit(maxFull))
+  /** latest_pk_version ← rows of the full-load snapshot just committed as
+    * version `v` (P8/A6, reference db_to_delta.py:1290-1325). Reads ONLY
+    * that commit's files — the full load IS the newest full snapshot by
+    * construction, so no history-wide max-timestamp scan is needed
+    * (round-2 verdict: the old form scanned the whole history twice). */
+  private def writeLatestPkFromFull(v: Long): Unit = {
+    val snap = dest.delta.readCommit(v)
+      .filter(col(SystemCols.isFullLoad))
       .select(pkd.map(col): _*)
     dest.latestPkVersion.overwrite(snap)
   }

@@ -138,6 +138,31 @@ class PipelineOpsSpec extends SparkSuite {
     assert(ivf == brute) // cluster-1 queries need only cluster-1's cell
   }
 
+  test("IVF persisted index: cell-partitioned parquet round-trip, pruned probe") {
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i < 20) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i, base.zipWithIndex.map { case (v, j) => v + (i % 5) * 0.01f * (j + 1) })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(df, "vec_id", "embedding", k = 2, iters = 3)
+    // build once, persist partitioned by cell (the 100 TB layout: probes
+    // prune to their cells' files at the source)
+    val idxDir = tmpDir("graft-ivf-idx")
+    Similarity.ivfAssign(df, "vec_id", "embedding", centroids)
+      .write.partitionBy("cell").mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+    val q = Seq(0.95f, 0.05f, 0f, 0f)
+    val fromIndex = Similarity.topKIvfIndexed(index, q, 3, centroids, nprobe = 1)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val brute = Similarity.topKBruteForce(df, "vec_id", "embedding", q, 3)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(fromIndex == brute)
+    // the probe prunes partitions: only the queried cell's files are listed
+    val probe = Similarity.topKIvfIndexed(index, q, 3, centroids, nprobe = 1)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"))
+  }
+
   test("LSH buckets: query-side scala math matches the column expression (non-64 dim)") {
     // dim=48 deliberately != the old hardcoded 64 (round-2 ADVICE): the
     // expression must derive its plane length from the true vector dim
