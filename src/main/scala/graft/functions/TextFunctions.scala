@@ -63,6 +63,15 @@ object TextFunctions {
   /** Distinct shingle set (the Jaccard universe). */
   def shingleSet(text: Column, n: Int = 3): Column = array_distinct(shingles(text, n))
 
+  /** Distinct-token ratio per mille — the cheap repetition detector
+    * (boilerplate/spam has low distinct ratios). Tokens are never empty
+    * (split of "" yields [""]), so no zero-division branch. */
+  def distinctRatioX1000(text: Column): Column = {
+    val toks = tokens(text)
+    floor((size(array_distinct(toks)).cast("long") * lit(1000L)) /
+      size(toks).cast("long")).cast("long")
+  }
+
   /** Quality-scoring components (all deterministic integers/ratios):
     * token count, char count, punctuation ratio, mean token length,
     * stopword ratio — the standard cheap text-quality heuristics. */

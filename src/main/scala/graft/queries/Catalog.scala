@@ -434,6 +434,24 @@ object Catalog {
                ELSE 'ok' END AS label_q
         FROM c""")),
 
+    // vocabulary build: document frequency of every token, top-100 with a
+    // deterministic tiebreak — the df side of TF-IDF / filter-list building
+    Q("text_vocab_df",
+      (s, d) => graft.operators.TextCorpus.topVocabulary(
+        t(s, d, "documents"), "doc_id", "text", 100),
+      Some(s"""WITH p AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+          FROM documents)
+        SELECT term, count(*) AS df FROM p GROUP BY 1
+        ORDER BY df DESC, term LIMIT 100""")),
+
+    // repetition detector: distinct-token ratio per mille per document
+    Q("text_repetition",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.distinctRatioX1000(col("text")).as("distinct_ratio_x1000")),
+      Some(s"""SELECT doc_id,
+        CAST((len(list_distinct($toksSql)) * 1000) // len($toksSql) AS BIGINT)
+          AS distinct_ratio_x1000 FROM documents""")),
+
     Q("text_fingerprint",
       (s, d) => t(s, d, "documents").select(
         col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),
