@@ -172,14 +172,16 @@ final class Synchronizer(
     * write history, rebuild latest_pk_version from the new snapshot (P8). */
   def fullLoad(overwriteTarget: Boolean): LoadResult = {
     val ts = nowTs
+    // the loaded-row count rides the write as an Observation — no re-scan
+    val obs = org.apache.spark.sql.Observation()
     val proj = Projection.withSystemCols(
       srcProjected, isDeleted = false, isFullLoad = true, ts = lit(ts))
+      .observe(obs, count(lit(1)).as("n"))
     val v =
       if (overwriteTarget) dest.delta.overwrite(proj)
       else dest.delta.append(proj, cfg.allowSchemaDrift)
     if (pkCols.nonEmpty && deltaCol.nonEmpty) writeLatestPkFromFull(v)
-    // count only this commit's files, not the whole history
-    LoadResult.FullLoad(dest.delta.readCommit(v).count())
+    LoadResult.FullLoad(obs.get("n").asInstanceOf[Long])
   }
 
   /** latest_pk_version ← rows of the full-load snapshot just committed as
@@ -244,12 +246,15 @@ final class Synchronizer(
         (pkCols ++ deltaCol.toSeq).distinct.map(Projection.sourceConvert(_, cfg)): _*))
 
     // step 2: rows with delta_col beyond the local watermark → delta_1 →
-    // append to history (db_to_delta.py:584-610)
+    // append to history (db_to_delta.py:584-610). Row count rides the
+    // write as an Observation (CollectMetrics in the write plan) — no
+    // second scan of what was just written, at any scale.
     val updates = Projection.withSystemCols(
       Option(local.deltaMax).map(v => srcProjected.filter(col(dc) > lit(v))).getOrElse(srcProjected),
       isDeleted = false, isFullLoad = false, ts = lit(nowTs))
-    dest.delta1.overwrite(updates)
-    val inserts = dest.delta1.read().count()
+    val obsIns = org.apache.spark.sql.Observation()
+    dest.delta1.overwrite(updates.observe(obsIns, count(lit(1)).as("n")))
+    val inserts = obsIns.get("n").asInstanceOf[Long]
     if (inserts > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
 
     // step 3: out-of-band ("strange") updates (db_to_delta.py:995-1184)
@@ -260,8 +265,13 @@ final class Synchronizer(
     // deletes against the PERSISTED snapshot instead of re-evaluating the
     // 3-branch union a second time (the old version stays reachable via
     // time travel, so the reference's 3.5→4 ordering is semantically
-    // preserved — db_to_delta.py:620-639,289-460)
-    dest.latestPkVersion.overwrite(latestPkQuery(upperBound))
+    // preserved — db_to_delta.py:620-639,289-460). The final count check's
+    // target count rides this write as an Observation (deletes only append
+    // history tombstones; the snapshot is unchanged afterwards).
+    val obsPk = org.apache.spark.sql.Observation()
+    dest.latestPkVersion.overwrite(
+      latestPkQuery(upperBound).observe(obsPk, count(lit(1)).as("n")))
+    val targetCount = obsPk.get("n").asInstanceOf[Long]
 
     // step 3.5: deletes (db_to_delta.py:620-629,749-859)
     val deletes = doDeletes(oldPkVersion)
@@ -269,7 +279,6 @@ final class Synchronizer(
     // final count check; on mismatch re-probe the source — a mid-load
     // mutation is expected (dirty run), anything else warrants attention
     // (reference db_to_delta.py:641-658)
-    val targetCount = dest.latestPkVersion.read().count()
     val dirty = targetCount != src.count
     if (dirty) {
       val fresh = sourceState()
@@ -350,12 +359,14 @@ final class Synchronizer(
         (updateCount, Some(minTs))
       } else {
         // inline path: broadcast the strange pks to the source scan — the
-        // Spark-native OPENJSON literal-set join (J3)
+        // Spark-native OPENJSON literal-set join (J3); the emptiness probe
+        // rides the write as an Observation
         val full = Projection.withSystemCols(
           srcProjected.join(broadcast(realAdditional), targetPks, "inner"),
           isDeleted = false, isFullLoad = false, ts = lit(nowTs))
-        dest.delta2.overwrite(full)
-        if (!dest.delta2.read().isEmpty)
+        val obsD2 = org.apache.spark.sql.Observation()
+        dest.delta2.overwrite(full.observe(obsD2, count(lit(1)).as("n")))
+        if (obsD2.get("n").asInstanceOf[Long] > 0)
           dest.delta.append(dest.delta2.read(), cfg.allowSchemaDrift)
         (updateCount, scala.None)
       }
