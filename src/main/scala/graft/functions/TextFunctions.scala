@@ -51,17 +51,43 @@ object TextFunctions {
   def fingerprint64(text: Column): Column = xxhash64(normalizeWs(text))
 
   /** Word n-gram shingles of the normalized text, as an array of strings.
-    * Documents shorter than n tokens yield their whole text as one shingle. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+    * Documents shorter than n tokens yield their whole text as one shingle.
+    *
+    * PERFORMANCE TRAP: this form inlines the tokenization TREE inside the
+    * `transform` lambda, and higher-order-function lambdas re-evaluate
+    * their referenced subtrees PER ELEMENT — split+regex runs once per
+    * shingle (measured 8.5× slower at sf0.1). Fine for one-off column use;
+    * hot paths must tokenize behind a real column boundary and use
+    * [[shinglesFromTokens]] (see [[shingleSets]]). */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Shingles from an ALREADY-MATERIALIZED token array column (a bound
+    * attribute, not an expression tree) — per-element re-evaluation of an
+    * attribute reference is free. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) <= n, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
 
-  /** Distinct shingle set (the Jaccard universe). */
+  /** Distinct shingle set (the Jaccard universe). See the [[shingles]]
+    * performance note. */
   def shingleSet(text: Column, n: Int = 3): Column = array_distinct(shingles(text, n))
+
+  def shingleSetFromTokens(toks: Column, n: Int): Column =
+    array_distinct(shinglesFromTokens(toks, n))
+
+  /** (id, sh) relation of distinct shingle sets with tokenization placed
+    * behind a column boundary — THE form for corpus-scale shingling.
+    * CollapseProject keeps the boundary: the token alias is non-cheap and
+    * multiply-referenced, so the optimizer won't inline it back into the
+    * shingling lambda. */
+  def shingleSets(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      n: Int = 3): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shingleSetFromTokens(col("__toks"), n).as("sh"))
 
   /** Distinct-token ratio per mille — the cheap repetition detector
     * (boilerplate/spam has low distinct ratios). Tokens are never empty

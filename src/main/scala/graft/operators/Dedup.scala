@@ -69,9 +69,8 @@ object Dedup {
     // source in the un-materialized plan). DISK_ONLY, not localCheckpoint:
     // at 100 TB the ~16 narrow rows/doc must spill to local disk, not pin
     // executor storage memory (round-2 verdict watch-item).
-    val bucketed = df
-      .select(col(idCol).as("id"),
-        minhashSignature(shingleSet(col(textCol), shingleN), numHashes).as("sig"))
+    val bucketed = shingleSets(df.select(col(idCol).as("id"), col(textCol)), "id", textCol, shingleN)
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -108,8 +107,7 @@ object Dedup {
     // both pair sides broadcast these sets under different aliases (no
     // exchange reuse across aliases) — persist so candidate-doc shingling
     // runs once, not once per broadcast build
-    val sets = df.join(ids, Seq(idCol), "left_semi")
-      .select(col(idCol), shingleSet(col(textCol), shingleN).as("sh"))
+    val sets = shingleSets(df.join(ids, Seq(idCol), "left_semi"), idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     p
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -145,8 +143,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.3, shingleN: Int = 3,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-      shingleSet(col(textCol), shingleN).as("sh"))
+    val sets = shingleSets(df.select(col(idCol).as("id"), col(textCol)), "id", textCol, shingleN)
     val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("sz"))
     val posting0 = sets.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("shh"))
