@@ -126,44 +126,61 @@ object Dedup {
     when(union > 0, floor((inter * 1000L) / union).cast("long")).otherwise(lit(1000L))
   }
 
-  /** Direct n-gram Jaccard pairs via an inverted shingle index — the
-    * guaranteed-recall counterpart of [[minhashLshPairs]] (any pair with
-    * Jaccard > 0 shares a shingle, so no true pair can be missed; minhash
-    * trades that certainty for a bounded signature). Shape: one explode to
-    * (id, shingle-hash) postings, a self-join keyed on the 64-bit shingle
-    * hash (only docs sharing that shingle meet), a per-pair count = exact
-    * intersection size, then Jaccard from the per-doc set sizes.
+  /** Direct n-gram Jaccard pairs via a PREFIX-FILTERED inverted shingle
+    * index — the guaranteed-recall counterpart of [[minhashLshPairs]], with
+    * the classic similarity-join prefix filter (PPJoin lineage): order each
+    * doc's shingles by GLOBAL document frequency (rarest first, hash
+    * tiebreak — one canonical order for the whole corpus) and index only
+    * the first |s| − ⌈t·|s|⌉ + 1 of them. Any pair with Jaccard ≥ t must
+    * overlap in at least one prefix shingle (pigeonhole on the canonical
+    * order), so recall stays total while hot boilerplate shingles — the
+    * quadratic blowup — fall OUT of the prefixes of all but the shortest
+    * docs. Candidates are then verified with the exact per-mille Jaccard
+    * over full shingle sets.
     *
-    * `maxDocFreq`, when set, drops shingles appearing in more than that
-    * many docs (boilerplate) via a broadcast anti-join — the 100 TB skew
-    * guard, at the cost of exactness on pairs that ONLY share dropped
-    * shingles. Default None = exact.
-    */
+    * `maxDocFreq`, when set, additionally drops shingles appearing in more
+    * than that many docs from the index via a broadcast anti-join — the
+    * belt-and-braces skew cap, at the cost of exactness on pairs that ONLY
+    * share dropped shingles. Default None = exact. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.3, shingleN: Int = 3,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val sets = shingleSets(df.select(col(idCol).as("id"), col(textCol)), "id", textCol, shingleN)
-    val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("sz"))
-    val posting0 = sets.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("shh"))
+    // shingles hashed ONCE per doc to array<long>: postings explode the
+    // hashed array, and the verify intersects primitive-long arrays (the
+    // candidate volume at low thresholds makes string intersects the
+    // dominant cost). `sz` is referenced alongside `hs` so CollapseProject
+    // keeps the shingle tree out of the transform lambda.
+    val hsets = shingleSets(df.select(col(idCol).as("id"), col(textCol)), "id", textCol, shingleN)
+      .select(col("id"), size(col("sh")).cast("long").as("sz"),
+        transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val posting0 = hsets.select(col("id"), col("sz"), explode(col("hs")).as("shh"))
     val posting = maxDocFreq match {
       case None => posting0
       case Some(cap) =>
-        val hot = posting0.groupBy("shh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("shh")
+        val hot = posting0.groupBy("shh").agg(count(lit(1)).as("hdf"))
+          .filter(col("hdf") > cap).select("shh")
         posting0.join(broadcast(hot), Seq("shh"), "left_anti")
     }
-    val a = posting.select(col("shh"), col("id").as("id_a"))
-    val b = posting.select(col("shh"), col("id").as("id_b"))
-    val inter = a.join(b, Seq("shh")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      // same floor(double-div) integer per-mille as jaccardX1000
-      .withColumn("jaccard_x1000", floor((col("inter") * 1000L) /
-        (col("sz_a") + col("sz_b") - col("inter"))).cast("long"))
+    // canonical rarest-first order + per-doc prefix; prefix length
+    // |s| − ⌈t·|s|⌉ + 1 keeps recall total for J ≥ t
+    val dfreq = posting.groupBy("shh").agg(count(lit(1)).as("sdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("sdf"), col("shh"))
+    val prefix = posting.join(dfreq, "shh")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("shh", "id")
+    val cand = prefix.select(col("shh"), col("id").as("id_a"))
+      .join(prefix.select(col("shh"), col("id").as("id_b")), Seq("shh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // exact verify over the hashed shingle sets (persisted above)
+    cand
+      .join(hsets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hsets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("jaccard_x1000", jaccardX1000(col("hs_a"), col("hs_b")))
       .filter(col("jaccard_x1000") >= (threshold * 1000).toLong)
       .select("id_a", "id_b", "jaccard_x1000")
   }
