@@ -95,6 +95,13 @@ object Multimodal {
 
     def decode(r: MediaRow): MediaFeatures = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      // a payload can pass the magic check yet be truncated/corrupt —
+      // ImageIO.read returns null; degrade to header_ok=false instead of
+      // NPE-killing the task on one bad row
+      if (img == null)
+        return MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+          header_ok = false, 0, 0, 0, 0L,
+          scala.util.hashing.MurmurHash3.bytesHash(r.payload, 0x5eed).toLong)
       val (w, h) = (img.getWidth, img.getHeight)
       var sum = 0L
       var y = 0

@@ -21,6 +21,12 @@ import graft.functions.TextFunctions._
   * (no state, no UDF); the only shuffles are the bucket joins and final
   * dedup groupBys, all on well-distributed hash keys. Skewed buckets (e.g.
   * boilerplate-heavy corpora) are bounded by `maxBucketSize`.
+  *
+  * CACHING: the pairwise operators persist(DISK_ONLY) multi-consumer
+  * intermediates (bucket rows, candidate shingle sets). Spark's
+  * CacheManager holds those entries for the session; a driver loop calling
+  * these per batch should `spark.catalog.clearCache()` (or unpersist via
+  * the cache manager) between batches, or local disk fills over time.
   */
 object Dedup {
 
@@ -247,7 +253,12 @@ object Dedup {
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12, tables: Int = 4): DataFrame = {
-    val dim = Similarity.dimOf(df, vecCol)
+    // empty / all-null corpus → no pairs (dim probe has nothing to measure)
+    val dim = Similarity.dimOf(df, vecCol).getOrElse(
+      return df.sparkSession.emptyDataFrame
+        .withColumn("id_a", lit(null).cast(df.schema(idCol).dataType))
+        .withColumn("id_b", lit(null).cast(df.schema(idCol).dataType))
+        .limit(0).select("id_a", "id_b"))
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.hyperplaneBuckets(col(vecCol), planes, tables, dim).as("buckets"))
       .select(col("id"), col("v"), explode(col("buckets")).as("b"))

@@ -54,12 +54,14 @@ object Similarity {
     (h.toDouble / Int.MaxValue.toDouble)
   }
 
-  /** Embedding dimensionality, probed from the first row (one tiny job).
-    * The hyperplane signature must use the vectors' true length — a
-    * mismatched literal plane array would zip_with-pad with nulls and
-    * collapse every signature bit to 0 (round-2 ADVICE finding). */
-  private[operators] def dimOf(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  /** Embedding dimensionality, probed from the first non-null vector (one
+    * tiny job); None for an empty / all-null corpus. The hyperplane
+    * signature must use the vectors' true length — a mismatched literal
+    * plane array would zip_with-pad with nulls and collapse every
+    * signature bit to 0 (round-2 ADVICE finding). */
+  private[operators] def dimOf(df: DataFrame, vecCol: String): Option[Int] =
+    df.filter(col(vecCol).isNotNull).select(size(col(vecCol)))
+      .head(1).headOption.map(_.getInt(0))
 
   /** One bucket id per hash table: the sign-bit signature of `planes`
     * random hyperplanes, offset by the table index so buckets from
@@ -74,7 +76,14 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Float], k: Int,
       planes: Int = 12, tables: Int = 4): DataFrame = {
-    val dim = dimOf(df, vecCol)
+    val dim = dimOf(df, vecCol).getOrElse(
+      // empty corpus → empty top-k, same as brute force
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id", df.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType)))))
     require(queryVec.length == dim,
       s"query vector dim ${queryVec.length} != corpus dim $dim")
     val corpus = df.select(col(idCol).as("id"), col(vecCol).as("v"),

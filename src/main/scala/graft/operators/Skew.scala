@@ -9,19 +9,29 @@ import org.apache.spark.sql.functions._
   * sort-merge joins after statistics exist; explicit salting is still the
   * tool when a key's row count is so extreme that even one split is too
   * big, when the skewed side feeds a window/groupBy rather than a join, or
-  * when the plan must be deterministic up front (no AQE replan). Salts mix
-  * row content with the row's physical position (partition id + in-partition
-  * counter) — never RNG, so a given input layout yields identical results
-  * across runs — and the position term guarantees full-duplicate rows (the
-  * canonical hot-key case in scraped corpora) still fan out across salts
-  * instead of re-colliding on one task (round-2 ADVICE finding). */
+  * when the plan must be deterministic up front (no AQE replan).
+  *
+  * Salt derivation is a real tradeoff, so it's a switch:
+  *  - `positional = true` (default): content hash mixed with
+  *    monotonically_increasing_id, so byte-identical duplicate rows — the
+  *    canonical hot-key case in scraped corpora — still fan out across
+  *    salts. CAVEAT: the row→salt mapping depends on physical row position;
+  *    if the input comes off an upstream SHUFFLE, a partial stage retry can
+  *    recompute rows into different positions → different salts (the
+  *    SPARK-23207 correctness class). Safe for inputs read directly from
+  *    stable storage (files), which is the common salting site.
+  *  - `positional = false`: pure content hash — retry-deterministic under
+  *    any lineage, but full-duplicate rows share a salt and re-collide on
+  *    one task. Use for shuffle-fed inputs where duplicates are rare. */
 object Skew {
 
-  /** Deterministic per-row salt in [0, parts): content hash mixed with
-    * monotonically_increasing_id (which embeds the partition id), so
-    * identical rows in the same partition get DIFFERENT salts. */
-  private[graft] def rowSalt(allCols: Seq[Column], parts: Int): Column =
-    pmod(xxhash64(allCols :+ monotonically_increasing_id(): _*), lit(parts)).cast("int")
+  /** Per-row salt in [0, parts) — see the object doc for the
+    * positional/content tradeoff. */
+  private[graft] def rowSalt(
+      allCols: Seq[Column], parts: Int, positional: Boolean = true): Column = {
+    val mix = if (positional) allCols :+ monotonically_increasing_id() else allCols
+    pmod(xxhash64(mix: _*), lit(parts)).cast("int")
+  }
 
   /** Salted equi-join of a skewed LEFT side against a smaller right side:
     * left rows get a content-derived salt in [0, parts); the right side is
@@ -36,9 +46,10 @@ object Skew {
       right: DataFrame,
       key: String,
       parts: Int = 16,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      positionalSalt: Boolean = true): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
-      rowSalt(left.columns.toSeq.map(col), parts))
+      rowSalt(left.columns.toSeq.map(col), parts, positionalSalt))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(parts - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt"), joinType).drop("__salt")
@@ -49,8 +60,10 @@ object Skew {
     * combine, which handles most skew for algebraic aggregates — this
     * explicit form is for when the FIRST shuffle itself must avoid a hot
     * partition (e.g. a follow-on window function over the key). */
-  def saltedCount(df: DataFrame, key: String, parts: Int = 16): DataFrame =
-    df.withColumn("__salt", rowSalt(df.columns.toSeq.map(col), parts))
+  def saltedCount(
+      df: DataFrame, key: String, parts: Int = 16,
+      positionalSalt: Boolean = true): DataFrame =
+    df.withColumn("__salt", rowSalt(df.columns.toSeq.map(col), parts, positionalSalt))
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
       .groupBy(col(key)).agg(sum("__c").as("cnt"))
 

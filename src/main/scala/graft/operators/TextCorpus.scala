@@ -13,9 +13,13 @@ import graft.functions.TextFunctions
   * soaking up Zipfian term skew. */
 object TextCorpus {
 
-  /** Document frequency of every token: (term, df). */
+  /** Document frequency of every token: (term, df). df counts DOCUMENTS —
+    * the (id, term) pairs are deduplicated first, so re-delivered /
+    * duplicated rows of the same document don't inflate counts. */
   def documentFrequency(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    df.select(col(idCol),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+      .dropDuplicates(idCol, "term")
       .groupBy("term").agg(count(lit(1)).as("df"))
 
   /** Top-n vocabulary by document frequency, deterministically ordered

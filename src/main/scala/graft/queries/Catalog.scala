@@ -439,8 +439,8 @@ object Catalog {
     Q("text_vocab_df",
       (s, d) => graft.operators.TextCorpus.topVocabulary(
         t(s, d, "documents"), "doc_id", "text", 100),
-      Some(s"""WITH p AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
-          FROM documents)
+      Some(s"""WITH p AS (SELECT DISTINCT doc_id, term FROM (
+          SELECT doc_id, unnest(list_distinct($toksSql)) AS term FROM documents))
         SELECT term, count(*) AS df FROM p GROUP BY 1
         ORDER BY df DESC, term LIMIT 100""")),
 

@@ -90,7 +90,10 @@ final class Synchronizer(
       // tables), else an identity col for append_inserts
       // (reference write_init.py:144-167, db_to_delta.py:236-243)
       cols.find(_.isRowStart)
-        .orElse(cols.find(_.sourceType.exists(_.equalsIgnoreCase("xid"))))
+        // only when the xid double-cast applies: a user mapping of xid to a
+        // non-numeric type would make a lexicographic watermark (wrong)
+        .orElse(cols.find(c => c.sourceType.exists(_.equalsIgnoreCase("xid")) &&
+          Projection.targetType(c, cfg) == org.apache.spark.sql.types.LongType))
         .orElse(
           if (cfg.loadMode == LoadMode.AppendInserts && pkCols.size == 1 && pkCols.head.isIdentity)
             Some(pkCols.head)
@@ -435,7 +438,8 @@ final class Synchronizer(
     if (inserts > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
     dest.delta2.overwriteEmpty(dest.delta1.schema)
     // merge (delta_2 ∪ delta_1∖delta_2) into latest_pk_version on pks (K3)
-    dest.latestPkVersion.merge(latestPkQuery(scala.None, includeSnapshot = false), targetPks)
+    dest.latestPkVersion.merge(latestPkQuery(scala.None, includeSnapshot = false),
+      targetPks, cfg.allowSchemaDrift)
 
     if (check) {
       val targetCount = dest.latestPkVersion.read().count()

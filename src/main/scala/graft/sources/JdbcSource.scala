@@ -59,29 +59,50 @@ final class JdbcSource(
     props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
   }
 
-  /** Spark's JDBC partitioner accepts numeric, date, timestamp columns;
-    * we stringify bounds, so restrict to types whose toString Spark parses. */
-  private def integral(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType => true
+  /** Spark's JDBC partitioner accepts numeric, date, timestamp columns. */
+  private def numeric(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | _: DecimalType => true
     case _ => false
   }
   private def partitionable(dt: DataType): Boolean = dt match {
     case DateType | TimestampType => true
-    case other => integral(other)
+    case other => numeric(other)
   }
 
-  /** The partitioning column: explicit (if its type is partitionable),
-    * else a single integral pk. */
+  /** The partitioning column: explicit (rejected loudly if its type can't
+    * partition — silently falling back to one connection would hide a
+    * 100 TB regression), else a single numeric pk. */
   private def effectivePartitionCol(spark: SparkSession): Option[String] = {
     lazy val byName = columns(spark).map(c => c.name.toLowerCase -> c).toMap
-    partitionColumn.filter(pc =>
-      byName.get(pc.toLowerCase).exists(c => partitionable(c.dataType)))
-      .orElse {
-        if (pks.size != 1) None
-        else byName.get(pks.head.toLowerCase)
-          .filter(c => integral(c.dataType))
-          .map(_.name)
+    partitionColumn.map { pc =>
+      byName.get(pc.toLowerCase) match {
+        case Some(c) if partitionable(c.dataType) => c.name
+        case Some(c) => throw new IllegalArgumentException(
+          s"partitionColumn $pc has type ${c.dataType.simpleString}; " +
+            "Spark JDBC partitioning needs a numeric/date/timestamp column")
+        case None => throw new IllegalArgumentException(
+          s"partitionColumn $pc not found in source schema")
       }
+    }.orElse {
+      if (pks.size != 1) None
+      else byName.get(pks.head.toLowerCase)
+        .filter(c => numeric(c.dataType))
+        .map(_.name)
+    }
+  }
+
+  /** Bound value → the string Spark's JDBC partitioner parses: integral
+    * whole-number strings for numeric columns (fractional numerics
+    * truncate toward the min / widen at the max so the stride covers the
+    * true range), Date/Timestamp toString otherwise. */
+  private def boundStr(v: Any, floor: Boolean): String = v match {
+    case d: java.math.BigDecimal =>
+      d.setScale(0, if (floor) java.math.RoundingMode.FLOOR
+        else java.math.RoundingMode.CEILING).toBigInteger.toString
+    case d: Double => (if (floor) math.floor(d) else math.ceil(d)).toLong.toString
+    case f: Float => boundStr(f.toDouble, floor)
+    case other => other.toString
   }
 
   def read(spark: SparkSession): DataFrame = {
@@ -90,14 +111,13 @@ final class JdbcSource(
         // one cheap bounds probe (pushed down as MIN/MAX), then a ranged
         // parallel scan — the reference's missing partitionColumn support.
         // Bounds only set the stride (rows outside are still read by the
-        // unbounded first/last partitions), so min/max verbatim is correct;
-        // date/timestamp values stringify to the forms Spark parses.
+        // unbounded first/last partitions), so min/max verbatim is correct.
         val bounds = base(spark).load().agg(min(col(pc)), max(col(pc))).head()
         if (bounds.isNullAt(0) || bounds.get(0) == bounds.get(1)) base(spark).load()
         else partitionedBase(spark)
           .option("partitionColumn", pc)
-          .option("lowerBound", bounds.get(0).toString)
-          .option("upperBound", bounds.get(1).toString)
+          .option("lowerBound", boundStr(bounds.get(0), floor = true))
+          .option("upperBound", boundStr(bounds.get(1), floor = false))
           .option("numPartitions", numPartitions.toString)
           .load()
       case None => base(spark).load()

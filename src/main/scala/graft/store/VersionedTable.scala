@@ -238,7 +238,8 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     * dirs carry over by reference, their files never read or copied. A merge
     * touching 1% of keys rewrites ~1% of a 100 TB table instead of all of it.
     */
-  def merge(src: DataFrame, pkCols: Seq[String]): Long = {
+  def merge(src: DataFrame, pkCols: Seq[String],
+      drift: SchemaDrift = SchemaDrift.NewOnly): Long = {
     if (!exists) return overwrite(src)
     val m = readManifest(requireVersion)
     val logical = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -249,7 +250,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
       .select(DirCol).distinct().collect().map(_.getString(0)).toSet
     val (touched, untouched) = m.dirs.partition(d => hit(d.dir))
     val merged = SchemaEvolution.merge(logical,
-      SchemaEvolution.relaxNullable(src.schema), SchemaDrift.NewOnly)
+      SchemaEvolution.relaxNullable(src.schema), drift)
     val kept = scanDirs(touched, logical).join(srcPks, pkCols, "left_anti")
     val out = align(kept, merged).unionByName(align(src, merged))
     val nextV = m.version + 1

@@ -84,11 +84,21 @@ class JdbcSourceSpec extends SparkSuite {
     assert(df.count() == 100)
   }
 
-  test("non-partitionable explicit column falls back to a single-partition scan") {
+  test("non-partitionable explicit column is rejected loudly (no silent 1-conn scan)") {
     conn
     val src = new JdbcSource(url, Left("APP.USERS"),
       partitionColumn = Some("NAME"), numPartitions = 4)
-    assert(src.read(spark).count() == 100)
+    val e = intercept[IllegalArgumentException](src.read(spark))
+    assert(e.getMessage.contains("NAME"))
+  }
+
+  test("decimal partition column: fractional bounds floor/ceil to covering stride") {
+    conn
+    val src = new JdbcSource(url, Left("APP.USERS"),
+      partitionColumn = Some("BAL"), numPartitions = 4)
+    val df = src.read(spark)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 100)
   }
 
   test("full SCD2 sync from a live JDBC table: full load, then delta") {
