@@ -646,6 +646,36 @@ object Catalog {
         r AS (SELECT c_custkey AS k, c_mktsegment FROM customer)
         SELECT c_mktsegment, count(*) AS cnt FROM l JOIN r USING (k) GROUP BY 1""")),
 
+    // §2.9 in the correctness matrix: a REAL Structured Streaming run
+    // (file source → watermarked tumbling windows → AvailableNow → memory
+    // sink, complete mode so every window surfaces deterministically),
+    // hash-matched against the equivalent batch SQL. Session TZ is UTC, so
+    // 1-hour windows align to epoch hours on both sides.
+    Q("streaming_window_counts",
+      (s, d) => {
+        val schema = t(s, d, "events").schema
+        val name = s"gw_${math.abs(d.hashCode)}_${System.nanoTime()}"
+        // the file stream source needs a DIRECTORY; the fixture is a single
+        // file — symlink it into a temp dir (local-fs listing follows links)
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-ev")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        val in = s.readStream.schema(schema).parquet(dir.toString)
+          .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        val q = graft.streaming.StreamingIngest.windowedCounts(in, "ets")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).select(
+          unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("cnt"))
+      },
+      Some("""SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT)
+          AS win_start_us, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2""")),
+
     Q("emb_label_stats",
       (s, d) => t(s, d, "embeddings").groupBy("label").agg(
         count(lit(1)).as("cnt"),
