@@ -676,6 +676,33 @@ object Catalog {
           AS win_start_us, event_type, count(*) AS cnt
         FROM events GROUP BY 1, 2""")),
 
+    // stateful streaming dedup (flatMapGroupsWithState) in the matrix:
+    // AvailableNow over one file = one micro-batch, and within a batch the
+    // lowest doc_id per fingerprint wins — deterministic, batch-SQL-exact
+    Q("streaming_stateful_dedup",
+      (s, d) => {
+        val schema = t(s, d, "documents").schema
+        val src = java.nio.file.Files.createTempDirectory("graft-sdd-src")
+        java.nio.file.Files.createSymbolicLink(
+          src.resolve("documents.parquet"),
+          java.nio.file.Paths.get(s"$d/documents.parquet"))
+        val out = java.nio.file.Files.createTempDirectory("graft-sdd-out").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sdd-ckpt").toString
+        graft.streaming.StatefulDedup.runAvailableNow(
+          s, src.toString, schema, "doc_id", "text", out, ckpt)
+        s.read.parquet(out)
+      },
+      Some(s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5($normSql) AS fp
+        FROM documents GROUP BY 2""")),
+
+    // BPE-ish sub-word token counting (alnum runs + single non-alnum chars)
+    Q("text_bpeish_tokens",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.bpeishTokenCount(col("text")).as("bpe_tokens")),
+      Some("""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9]')) AS BIGINT)
+          AS bpe_tokens FROM documents""")),
+
     Q("emb_label_stats",
       (s, d) => t(s, d, "embeddings").groupBy("label").agg(
         count(lit(1)).as("cnt"),
