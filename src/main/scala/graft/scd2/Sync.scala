@@ -12,7 +12,10 @@ import graft.store.{Fs, SchemaEvolution, VersionedTable}
 
 /** Destination layout — the SCD2 history plus the four auxiliary snapshot
   * tables (reference write_init.py:49-61). */
-final class SyncDestination(spark: SparkSession, val root: String) {
+final class SyncDestination(spark: SparkSession, rawRoot: String) {
+  /** Destination root, with Databricks `/dbfs/…` fuse paths normalized to
+    * the `dbfs:/` scheme (graft.store.Fs.normalize). */
+  val root: String = graft.store.Fs.normalize(rawRoot)
   val delta = new VersionedTable(spark, s"$root/delta")
   val delta1 = new VersionedTable(spark, s"$root/delta_load/delta_1")
   val delta2 = new VersionedTable(spark, s"$root/delta_load/delta_2")

@@ -68,3 +68,14 @@ final class Fs(spark: SparkSession, anyPathInFs: String) {
   def deleteIfExists(p: Path): Boolean =
     try fs.delete(p, false) catch { case _: java.io.FileNotFoundException => false }
 }
+
+object Fs {
+  /** Databricks path fidelity (reference destination/databricks.py:6-72):
+    * the POSIX fuse view `/dbfs/x` and the Hadoop scheme `dbfs:/x` name the
+    * same object, and users paste either. The engine's file ops and Spark
+    * jobs need the scheme form (the fuse mount only exists on the driver);
+    * non-dbfs paths pass through untouched. */
+  def normalize(path: String): String =
+    if (path.startsWith("/dbfs/")) "dbfs:/" + path.stripPrefix("/dbfs/")
+    else path
+}

@@ -144,6 +144,12 @@ class StoreSpec extends SparkSuite {
     assert(t.read().count() == 2) // property commits leave data untouched
   }
 
+  test("dbfs fuse paths normalize to the dbfs: scheme") {
+    assert(graft.store.Fs.normalize("/dbfs/mnt/dest/user") == "dbfs:/mnt/dest/user")
+    assert(graft.store.Fs.normalize("s3a://bucket/dest") == "s3a://bucket/dest")
+    assert(graft.store.Fs.normalize("/tmp/local") == "/tmp/local")
+  }
+
   test("jdbc catalog type mapping follows the reference's conversion table") {
     import java.sql.Types
     import graft.sources.JdbcCatalog.sparkType
