@@ -76,6 +76,35 @@ class PipelineOpsSpec extends SparkSuite {
     assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("ngram jaccard prefix filter: equals brute force on randomized docs") {
+    // randomized corpus with planted mutation clusters probes the prefix
+    // boundary (|s| - ceil(t|s|) + 1) across doc lengths incl. <= n tokens
+    val rnd = new scala.util.Random(0xBADC0DE)
+    val vocab = Vector.tabulate(120)(i => s"w$i")
+    def doc(len: Int): String = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = Seq.tabulate(12)(_ => doc(3 + rnd.nextInt(40)))
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      val toks = b.split(" ")
+      val mutated = toks.updated(rnd.nextInt(toks.length), "MUT").mkString(" ")
+      Seq((i * 10L, b), (i * 10L + 1, mutated), (i * 10L + 2, b)) // near + exact dup
+    }
+    val df = rows.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val fast = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // brute force: exact jaccard over ALL pairs
+      val sh = TextFunctions.shingleSets(df, "doc_id", "text", 3)
+      val brute = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("j", Dedup.jaccardX1000(col("sh_a"), col("sh_b")))
+        .filter(col("j") >= (t * 1000).toLong)
+        .select("id_a", "id_b", "j")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == brute, s"threshold $t: fast ${fast.size} vs brute ${brute.size}")
+    }
+  }
+
   test("simhash verified pairs: 8-chunk banding + jaccard verify") {
     val base = "spark catalyst optimizer pushes filters below joins for efficient scans of columnar parquet data files at scale"
     val df = docs((1L, base), (2L, base), (3L, base + " mostly extra"), (4L, "zebra xylophone quartz"))
