@@ -144,6 +144,77 @@ object VectorKernels {
     best
   }
 
+  /** Cosine similarity of a row vector against a fixed query vector whose
+    * norm is precomputed driver-side. Accumulates left-to-right in double —
+    * bit-identical to the zip_with/aggregate formulation it replaces (and
+    * to DuckDB's list_cosine_similarity on the same data). 0.0 when either
+    * norm is zero. */
+  def cosineQ(vec: ArrayData, q: Array[Double], qNorm: Double, isFloat: Boolean): Double = {
+    val n = math.min(vec.numElements(), q.length)
+    var dot = 0.0
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      dot += x * q(i)
+      na += x * x
+      i += 1
+    }
+    val den = math.sqrt(na) * qNorm
+    if (den > 0) dot / den else 0.0
+  }
+
+  /** Cosine similarity of two row vectors (same accumulation contract). */
+  def cosinePair(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den > 0) dot / den else 0.0
+  }
+
+  /** Random-hyperplane signatures: one bucket id per table — sign bits of
+    * `planesPerTable` plane dot-products, offset by table index so tables
+    * never collide in a join key. `planes` is indexed
+    * [t * planesPerTable + p]; replaces tables×planes interpreted
+    * aggregate/zip_with trees per row. */
+  def hyperplaneSig(
+      vec: ArrayData, planes: Array[Array[Double]],
+      planesPerTable: Int, tables: Int, isFloat: Boolean): ArrayData = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = planes(t * planesPerTable + p)
+        val n = math.min(vec.numElements(), plane.length)
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          d += x * plane(i)
+          i += 1
+        }
+        if (d >= 0) sig |= 1L << p
+        p += 1
+      }
+      out(t) = sig + t.toLong * (1L << 32)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Float-array fast path (the embeddings column's actual type). */
   def nearestFloat(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
     val n = vec.numElements()
@@ -197,6 +268,85 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override def prettyName: String = "nearest_centroid"
 }
 
+private object VectorExprs {
+  def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  def checkVec(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<float|double>, got ${other.simpleString}")
+  }
+}
+
+/** array<float|double> → double: cosine against a fixed query (codegen'd;
+  * query vector + its norm ride as reference objects). */
+case class CosineToQuery(child: Expression, q: Array[Double], qNorm: Double)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(prettyName, child.dataType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.cosineQ(input.asInstanceOf[ArrayData], q, qNorm,
+      VectorExprs.isFloatArray(child))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("q", q, "double[]")
+    val fl = VectorExprs.isFloatArray(child)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.cosineQ($c, $ref, ${qNorm}D, $fl)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CosineToQuery =
+    copy(child = newChild)
+  override def prettyName: String = "cosine_to_query"
+}
+
+/** (array, array) → double: pairwise cosine (codegen'd). */
+case class CosinePair(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(prettyName, left.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess => VectorExprs.checkVec(prettyName, right.dataType)
+      case fail => fail
+    }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosinePair(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      VectorExprs.isFloatArray(left), VectorExprs.isFloatArray(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (af, bf) = (VectorExprs.isFloatArray(left), VectorExprs.isFloatArray(right))
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.cosinePair($a, $b, $af, $bf)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosinePair =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_pair"
+}
+
+/** array<float|double> → array<long>: per-table hyperplane bucket ids
+  * (codegen'd; the plane matrix rides as a reference object instead of
+  * tables×planes×dim literal trees). */
+case class HyperplaneSig(
+    child: Expression, planes: Array[Array[Double]],
+    planesPerTable: Int, tables: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.hyperplaneSig(input.asInstanceOf[ArrayData], planes,
+      planesPerTable, tables, VectorExprs.isFloatArray(child))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    val fl = VectorExprs.isFloatArray(child)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.hyperplaneSig($c, $ref, $planesPerTable, $tables, $fl)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_sig"
+}
+
 /** Column-API entry points. */
 object NativeHash {
   def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column =
@@ -205,4 +355,11 @@ object NativeHash {
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def cosineToQuery(vec: Column, q: Array[Double], qNorm: Double): Column =
+    Bridge.column(CosineToQuery(Bridge.expression(vec), q, qNorm))
+  def cosinePair(a: Column, b: Column): Column =
+    Bridge.column(CosinePair(Bridge.expression(a), Bridge.expression(b)))
+  def hyperplaneSig(vec: Column, planes: Array[Array[Double]],
+      planesPerTable: Int, tables: Int): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(vec), planes, planesPerTable, tables))
 }

@@ -13,22 +13,29 @@ import org.apache.spark.sql.functions._
   *    the bucketed path turns a full-corpus scan into |bucket| work per
   *    query; multiple tables recover recall.
   *
-  * All math is double-accumulated in index order via `zip_with` +
-  * `aggregate` (codegen'd, deterministic — no UDF).
+  * All math is double-accumulated in index order inside native codegen'd
+  * kernels (graft.functions.VectorKernels) — the equivalent
+  * `zip_with`/`aggregate` higher-order functions are interpreted per
+  * element (the project-wide rule: 100+ ops/row belongs in a kernel). The
+  * kernels accumulate left-to-right exactly like the HOF forms they
+  * replaced, so similarity values are bit-identical.
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Cosine similarity of two vector columns; 0 when either is all-zero. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.NativeHash.cosinePair(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  /** Cosine similarity; 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  /** Cosine against a fixed query vector (norm precomputed driver-side,
+    * left-to-right like the executor accumulation). */
+  def cosineToQuery(vec: Column, queryVec: Seq[Float]): Column = {
+    val q = queryVec.map(_.toDouble).toArray
+    val qNorm = {
+      var s = 0.0; var i = 0
+      while (i < q.length) { s += q(i) * q(i); i += 1 }
+      math.sqrt(s)
+    }
+    graft.functions.NativeHash.cosineToQuery(vec, q, qNorm)
   }
 
   /** Brute-force cosine top-k of `queryVec` against every row.
@@ -36,8 +43,8 @@ object Similarity {
   def topKBruteForce(
       df: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Float], k: Int): DataFrame = {
-    val q = array(queryVec.map(lit): _*)
-    val scored = df.select(col(idCol).as("id"), cosine(col(vecCol), q).as("sim"))
+    val scored = df.select(col(idCol).as("id"),
+      cosineToQuery(col(vecCol), queryVec).as("sim"))
     scored.orderBy(col("sim").desc, col("id").asc).limit(k)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("sim").desc, col("id").asc))
@@ -91,27 +98,19 @@ object Similarity {
     val qBuckets = bucketsOf(queryVec, planes, tables)
     val candidates = corpus.filter(col("b").isin(qBuckets: _*))
       .dropDuplicates("id")
-    val q = array(queryVec.map(lit): _*)
-    candidates.select(col("id"), cosine(col("v"), q).as("sim"))
-      .orderBy(col("sim").desc, col("id").asc).limit(k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("sim").desc, col("id").asc))
-        .cast("long"))
-      .select("rank", "id", "sim")
+    rerank(candidates.select(col("id"), col("v")), queryVec, k)
   }
 
+  /** The codegen'd signature kernel: the plane matrix (tables×planes rows
+    * of `dim` deterministic pseudo-random components) rides as a codegen
+    * reference object instead of tables×planes literal-array trees. */
   private[operators] def hyperplaneBucketsExpr(
       vec: Column, planes: Int, tables: Int, dim: Int): Column = {
-    val perTable = (0 until tables).map { t =>
-      val sigBits = (0 until planes).map { p =>
-        val planeArr = array((0 until dim).map(i => lit(planeComponent(t, p, i))): _*)
-        val d = aggregate(zip_with(vec, planeArr, (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, v) => acc + v)
-        when(d >= 0, lit(1L << p)).otherwise(lit(0L))
-      }
-      (sigBits.reduce(_ + _) + lit(t.toLong * (1L << 32))).as(s"t$t")
+    val mat: Array[Array[Double]] = Array.tabulate(tables * planes) { tp =>
+      val (t, p) = (tp / planes, tp % planes)
+      Array.tabulate(dim)(i => planeComponent(t, p, i))
     }
-    array(perTable: _*)
+    graft.functions.NativeHash.hyperplaneSig(vec, mat, planes, tables)
   }
 
   // ------------------------------------------------------------------- IVF
@@ -192,8 +191,7 @@ object Similarity {
 
   /** Exact cosine rerank of candidate (id, v) rows → (rank, id, sim). */
   private def rerank(candidates: DataFrame, queryVec: Seq[Float], k: Int): DataFrame = {
-    val q = array(queryVec.map(lit): _*)
-    candidates.select(col("id"), cosine(col("v"), q).as("sim"))
+    candidates.select(col("id"), cosineToQuery(col("v"), queryVec).as("sim"))
       .orderBy(col("sim").desc, col("id").asc).limit(k)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("sim").desc, col("id").asc))
