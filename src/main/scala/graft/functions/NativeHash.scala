@@ -144,18 +144,32 @@ object VectorKernels {
     best
   }
 
+  /** One primitive-double copy of the vector (ArrayData getters are the
+    * per-element slow path; null elements read as 0.0 — operators guard
+    * dims/nulls at their boundary). */
+  private def toDoubles(vec: ArrayData, isFloat: Boolean): Array[Double] =
+    if (isFloat) {
+      val fs = vec.toFloatArray()
+      val out = new Array[Double](fs.length)
+      var i = 0
+      while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
+      out
+    } else vec.toDoubleArray()
+
   /** Cosine similarity of a row vector against a fixed query vector whose
     * norm is precomputed driver-side. Accumulates left-to-right in double —
     * bit-identical to the zip_with/aggregate formulation it replaces (and
-    * to DuckDB's list_cosine_similarity on the same data). 0.0 when either
-    * norm is zero. */
+    * to DuckDB's list_cosine_similarity on the same data) for equal-dim,
+    * null-free vectors; unequal lengths truncate to the shorter (callers
+    * validate dims). 0.0 when either norm is zero. */
   def cosineQ(vec: ArrayData, q: Array[Double], qNorm: Double, isFloat: Boolean): Double = {
-    val n = math.min(vec.numElements(), q.length)
+    val xs = toDoubles(vec, isFloat)
+    val n = math.min(xs.length, q.length)
     var dot = 0.0
     var na = 0.0
     var i = 0
     while (i < n) {
-      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      val x = xs(i)
       dot += x * q(i)
       na += x * x
       i += 1
@@ -166,14 +180,16 @@ object VectorKernels {
 
   /** Cosine similarity of two row vectors (same accumulation contract). */
   def cosinePair(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val xs = toDoubles(a, aFloat)
+    val ys = toDoubles(b, bFloat)
+    val n = math.min(xs.length, ys.length)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = xs(i)
+      val y = ys(i)
       dot += x * y
       na += x * x
       nb += y * y
@@ -187,10 +203,12 @@ object VectorKernels {
     * `planesPerTable` plane dot-products, offset by table index so tables
     * never collide in a join key. `planes` is indexed
     * [t * planesPerTable + p]; replaces tables×planes interpreted
-    * aggregate/zip_with trees per row. */
+    * aggregate/zip_with trees per row. The vector is copied to a primitive
+    * array ONCE, not re-walked per plane. */
   def hyperplaneSig(
       vec: ArrayData, planes: Array[Array[Double]],
       planesPerTable: Int, tables: Int, isFloat: Boolean): ArrayData = {
+    val xs = toDoubles(vec, isFloat)
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -198,12 +216,11 @@ object VectorKernels {
       var p = 0
       while (p < planesPerTable) {
         val plane = planes(t * planesPerTable + p)
-        val n = math.min(vec.numElements(), plane.length)
+        val n = math.min(xs.length, plane.length)
         var d = 0.0
         var i = 0
         while (i < n) {
-          val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-          d += x * plane(i)
+          d += xs(i) * plane(i)
           i += 1
         }
         if (d >= 0) sig |= 1L << p
@@ -292,9 +309,13 @@ case class CosineToQuery(child: Expression, q: Array[Double], qNorm: Double)
       VectorExprs.isFloatArray(child))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("q", q, "double[]")
+    // qNorm rides as a reference object too: interpolating a Double into
+    // source text produces uncompilable Java for Infinity/NaN norms
+    val normRef = ctx.addReferenceObj("qNorm", java.lang.Double.valueOf(qNorm),
+      "java.lang.Double")
     val fl = VectorExprs.isFloatArray(child)
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorKernels.cosineQ($c, $ref, ${qNorm}D, $fl)")
+      s"graft.functions.VectorKernels.cosineQ($c, $ref, $normRef.doubleValue(), $fl)")
   }
   override protected def withNewChildInternal(newChild: Expression): CosineToQuery =
     copy(child = newChild)

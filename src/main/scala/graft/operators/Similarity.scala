@@ -39,17 +39,15 @@ object Similarity {
   }
 
   /** Brute-force cosine top-k of `queryVec` against every row.
-    * Returns (rank, id, sim) ordered by sim desc, id asc. */
+    * Returns (rank, id, sim) ordered by sim desc, id asc. Validates the
+    * query dim against the corpus (the kernel would otherwise silently
+    * truncate to the shorter length — a confidently-wrong top-k). */
   def topKBruteForce(
       df: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Float], k: Int): DataFrame = {
-    val scored = df.select(col(idCol).as("id"),
-      cosineToQuery(col(vecCol), queryVec).as("sim"))
-    scored.orderBy(col("sim").desc, col("id").asc).limit(k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("sim").desc, col("id").asc))
-        .cast("long"))
-      .select("rank", "id", "sim")
+    dimOf(df, vecCol).foreach(dim => require(queryVec.length == dim,
+      s"query vector dim ${queryVec.length} != corpus dim $dim"))
+    rerank(df.select(col(idCol).as("id"), col(vecCol).as("v")), queryVec, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: component i of plane p in

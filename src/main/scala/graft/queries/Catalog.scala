@@ -31,6 +31,11 @@ object Catalog {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private def deleteDir(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteDir))
+    f.delete(): Unit
+  }
+
   /** cents(x) = CAST(round(x*100) AS BIGINT) — exact money arithmetic. */
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
@@ -660,7 +665,7 @@ object Catalog {
         val dir = java.nio.file.Files.createTempDirectory("graft-stream-ev")
         java.nio.file.Files.createSymbolicLink(
           dir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$d/events.parquet"))
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
         val in = s.readStream.schema(schema).parquet(dir.toString)
           .withColumn("ets", timestamp_micros(expr("ts div 1000")))
         val q = graft.streaming.StreamingIngest.windowedCounts(in, "ets")
@@ -668,9 +673,22 @@ object Catalog {
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(name).select(
-          unix_micros(col("win_start")).as("win_start_us"),
-          col("event_type"), col("cnt"))
+        // localize the (small: hours × event types) result, then drop the
+        // memory sink so repeated invocations don't accumulate driver state
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(s.table(name).select(
+            unix_micros(col("win_start")).as("win_start_us"),
+            col("event_type"), col("cnt")).collect(): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("win_start_us",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("cnt",
+              org.apache.spark.sql.types.LongType))))
+        s.catalog.dropTempView(name)
+        deleteDir(dir.toFile)
+        out
       },
       Some("""SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT)
           AS win_start_us, event_type, count(*) AS cnt
@@ -685,11 +703,15 @@ object Catalog {
         val src = java.nio.file.Files.createTempDirectory("graft-sdd-src")
         java.nio.file.Files.createSymbolicLink(
           src.resolve("documents.parquet"),
-          java.nio.file.Paths.get(s"$d/documents.parquet"))
+          java.nio.file.Paths.get(s"$d/documents.parquet").toAbsolutePath)
         val out = java.nio.file.Files.createTempDirectory("graft-sdd-out").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft-sdd-ckpt").toString
         graft.streaming.StatefulDedup.runAvailableNow(
           s, src.toString, schema, "doc_id", "text", out, ckpt)
+        // the sink dir (incl. its _spark_metadata) backs the returned frame;
+        // the source-symlink and checkpoint dirs are done — clean them up
+        deleteDir(src.toFile)
+        deleteDir(new java.io.File(ckpt))
         s.read.parquet(out)
       },
       Some(s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5($normSql) AS fp
