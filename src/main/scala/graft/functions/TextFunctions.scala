@@ -89,6 +89,23 @@ object TextFunctions {
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), shingleSetFromTokens(col("__toks"), n).as("sh"))
 
+  /** PII-lite scrubbing for pretraining corpora: replace emails and URLs
+    * with stable placeholder tokens. Patterns deliberately use only syntax
+    * shared by Java regex and RE2 (no lookarounds/backrefs), so a SQL
+    * oracle can mirror them verbatim. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^ \\t\\n]+"
+
+  def scrubEmails(text: Column, token: String = "<EMAIL>"): Column =
+    regexp_replace(text, emailPattern, token)
+
+  def scrubUrls(text: Column, token: String = "<URL>"): Column =
+    regexp_replace(text, urlPattern, token)
+
+  /** Both scrubbers composed — URL first so mailto-less addresses inside
+    * URLs don't leave partial artifacts. */
+  def scrubPii(text: Column): Column = scrubEmails(scrubUrls(text))
+
   /** Distinct-token ratio per mille — the cheap repetition detector
     * (boilerplate/spam has low distinct ratios). Tokens are never empty
     * (split of "" yields [""]), so no zero-division branch. */

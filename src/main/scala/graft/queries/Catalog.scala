@@ -717,6 +717,22 @@ object Catalog {
       Some(s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5($normSql) AS fp
         FROM documents GROUP BY 2""")),
 
+    // PII-lite scrubbing (emails/URLs → placeholder tokens): the corpus has
+    // no planted PII, so the gate SYNTHESIZES it deterministically (append
+    // an email+url derived from doc_id) and checks the scrub round-trip —
+    // patterns restricted to Java-regex ∩ RE2 syntax so DuckDB mirrors them
+    Q("text_scrub_pii",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.scrubPii(concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or https://ex.com/p/"), col("doc_id"))).as("scrubbed")),
+      Some("""SELECT doc_id, regexp_replace(
+          regexp_replace(
+            text || ' contact user' || doc_id || '@example.com or https://ex.com/p/' || doc_id,
+            'https?://[^ \t\n]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+        FROM documents""")),
+
     // BPE-ish sub-word token counting (alnum runs + single non-alnum chars)
     Q("text_bpeish_tokens",
       (s, d) => t(s, d, "documents").select(col("doc_id"),
