@@ -201,6 +201,17 @@ object Catalog {
           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    // CUBE grouping sets (all 4 combinations incl. grand total) — completes
+    // the grouping-set family next to ROLLUP
+    Q("agg_cube",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("price_cents"))
+        .select("o_orderstatus", "o_orderpriority", "cnt", "price_cents"),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
     // running-frame window (ROWS UNBOUNDED PRECEDING — the frame-spec case
     // the reference never needs but an analytics engine must support)
     Q("w3_running_sum",
