@@ -36,26 +36,34 @@ object Bench {
 
     val fns = SparkEntry.queries
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    def once(name: String): Double = {
+    // a failing query must NOT fold its (fast-fail) wall time into the
+    // median as if it were a green run — it reports null and is excluded
+    // from the total, with its name listed under "failed"
+    def once(name: String): Option[Double] = {
       // drop persisted intermediates from prior runs: repeated invocations
       // would otherwise hit the cache registry (identical logical plans)
       // and the median would time warm cache reads, not the operator
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try fns(name)(spark, sfDir).count() catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: $e")
+      try { fns(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val results = headline.filter(fns.contains).map { name =>
+    val results: Seq[(String, Option[Double])] = headline.filter(fns.contains).map { name =>
       val n = if (name.startsWith("scd2_")) 1 else runs
-      name -> median(Seq.fill(n)(once(name)))
+      val times = Seq.fill(n)(once(name))
+      name -> (if (times.exists(_.isEmpty)) None else Some(median(times.flatten)))
     }
-    val qs = results.map { case (k, sec) => "\"" + k + "\":" + f"$sec%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median"}""")
+    val qs = results.map {
+      case (k, Some(sec)) => "\"" + k + "\":" + f"$sec%.3f"
+      case (k, None) => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runs,"stat":"median"}""")
     spark.stop()
   }
 }

@@ -144,17 +144,31 @@ object VectorKernels {
     best
   }
 
-  /** One primitive-double copy of the vector (ArrayData getters are the
-    * per-element slow path; null elements read as 0.0 — operators guard
-    * dims/nulls at their boundary). */
-  private def toDoubles(vec: ArrayData, isFloat: Boolean): Array[Double] =
-    if (isFloat) {
-      val fs = vec.toFloatArray()
-      val out = new Array[Double](fs.length)
+  /** One primitive-double copy of the vector; null ELEMENTS read as 0.0 on
+    * both paths. Only GenericArrayData (transform output, array literals,
+    * …) takes the per-element null-checked getters — its boxed getFloat/
+    * getDouble NPE on null elements, which would kill the task instead of
+    * degrading like the zip_with form this kernel replaced. Every other
+    * ArrayData (UnsafeArrayData, the vectorized reader's ColumnarArray)
+    * keeps the bulk primitive copy — routing ColumnarArray through the
+    * per-element path measured 6× slower on the ANN scan. */
+  private def toDoubles(vec: ArrayData, isFloat: Boolean): Array[Double] = vec match {
+    case g: GenericArrayData =>
+      val n = g.numElements()
+      val out = new Array[Double](n)
       var i = 0
-      while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
+      if (isFloat) while (i < n) { if (!g.isNullAt(i)) out(i) = g.getFloat(i).toDouble; i += 1 }
+      else while (i < n) { if (!g.isNullAt(i)) out(i) = g.getDouble(i); i += 1 }
       out
-    } else vec.toDoubleArray()
+    case _ =>
+      if (isFloat) {
+        val fs = vec.toFloatArray()
+        val out = new Array[Double](fs.length)
+        var i = 0
+        while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
+        out
+      } else vec.toDoubleArray()
+  }
 
   /** Cosine similarity of a row vector against a fixed query vector whose
     * norm is precomputed driver-side. Accumulates left-to-right in double —
@@ -351,6 +365,11 @@ case class CosinePair(left: Expression, right: Expression)
 case class HyperplaneSig(
     child: Expression, planes: Array[Array[Double]],
     planesPerTable: Int, tables: Int) extends UnaryExpression {
+  // the signature packs into the low 32 bits (table offset is t·2^32);
+  // 33+ planes would silently overflow into the table keyspace and
+  // collide buckets ACROSS tables (silent recall loss)
+  require(planesPerTable <= 32,
+    s"planesPerTable ($planesPerTable) must be <= 32 (signature shares a long with the table offset)")
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExprs.checkVec(prettyName, child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -111,6 +111,16 @@ object Similarity {
     graft.functions.NativeHash.hyperplaneSig(vec, mat, planes, tables)
   }
 
+  /** One refinement signature over `planes` hyperplanes from an
+    * INDEPENDENT seed stream (table index far outside any real table
+    * range) — used to split oversized LSH buckets without correlating
+    * with the bucketing planes. Returns a single long key. */
+  private[operators] def refineKey(vec: Column, planes: Int, dim: Int): Column = {
+    val mat: Array[Array[Double]] =
+      Array.tabulate(planes)(p => Array.tabulate(dim)(i => planeComponent(0x7ef1e, p, i)))
+    element_at(graft.functions.NativeHash.hyperplaneSig(vec, mat, planes, 1), 1)
+  }
+
   // ------------------------------------------------------------------- IVF
 
   /** Nearest-centroid index (argmin of squared distance), via the native
@@ -198,7 +208,9 @@ object Similarity {
   }
 
   /** Driver-side bucket ids of a literal query vector (same math). */
-  def bucketsOf(vec: Seq[Float], planes: Int, tables: Int): Seq[Long] =
+  def bucketsOf(vec: Seq[Float], planes: Int, tables: Int): Seq[Long] = {
+    require(planes <= 32,
+      s"planes ($planes) must be <= 32 (signature shares a long with the table offset)")
     (0 until tables).map { t =>
       val sig = (0 until planes).map { p =>
         val d = vec.zipWithIndex.map { case (x, i) =>
@@ -208,4 +220,5 @@ object Similarity {
       }.sum
       sig + t.toLong * (1L << 32)
     }
+  }
 }
