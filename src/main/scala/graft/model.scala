@@ -92,7 +92,14 @@ final case class WriteConfig(
     maxTextSize: Option[Int] = None,
     maxBinarySize: Option[Int] = None,
     transformationHook: (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame =
-      WriteConfig.noHook)
+      WriteConfig.noHook,
+    // run the P1 cast/trim/cap select list IN the source DB for sources
+    // that can (JDBC): a live sync then ships trimmed/capped bytes over
+    // the wire instead of raw varchar(max) (reference generates dialect
+    // SQL for the same reason, db_to_delta.py:54-164). The Spark-side
+    // projection still applies afterwards (idempotent), so disabling this
+    // never changes results — only wire volume.
+    sourceSideProjection: Boolean = true)
 
 object WriteConfig {
   /** Reference default map (write_init.py:29-38): rowversion→BIGINT,

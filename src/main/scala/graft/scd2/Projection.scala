@@ -16,8 +16,15 @@ object Projection {
     * as strings — fixed-form identifiers (reference db_to_delta.py:80-88). */
   private val trimExempt = Set("uuid", "uniqueidentifier", "guid", "oid", "xid")
 
-  private def isXid(c: ColInfo, cfg: WriteConfig): Boolean =
+  private[graft] def isXid(c: ColInfo, cfg: WriteConfig): Boolean =
     !cfg.dataTypeMap.contains(c.typeKey) && c.sourceType.map(_.toLowerCase).contains("xid")
+
+  /** Whether P1 trims this column (string target, not opted out, source
+    * type not a fixed-form identifier) — shared with the source-side SQL
+    * generator so both renderings agree. */
+  private[graft] def needsTrim(c: ColInfo, cfg: WriteConfig): Boolean =
+    targetType(c, cfg) == StringType && !cfg.noTrim &&
+      !c.sourceType.map(_.toLowerCase).exists(trimExempt)
 
   /** P1: per-column cast + trim + rename + cap.
     * Strings are TRIMmed unless noTrim or the SOURCE type is a fixed-form
@@ -28,16 +35,12 @@ object Projection {
     * column aliased to the mangled target name (write_init.py:41-46). */
   def sourceConvert(c: ColInfo, cfg: WriteConfig): Column = {
     val raw = col(quoted(c.name))
-    val srcType = c.sourceType.map(_.toLowerCase)
     val target = targetType(c, cfg)
     val base =
       if (isXid(c, cfg)) raw.cast(StringType).cast(LongType)
       else if (target != c.dataType) raw.cast(target)
       else raw
-    val trimmed = target match {
-      case StringType if !cfg.noTrim && !srcType.exists(trimExempt) => trim(base)
-      case _ => base
-    }
+    val trimmed = if (needsTrim(c, cfg)) trim(base) else base
     val capped = (target, cfg.maxTextSize, cfg.maxBinarySize) match {
       case (StringType, Some(n), _) => substring(trimmed, 1, n)
       case (BinaryType, _, Some(n)) => substring(trimmed, 1, n)

@@ -110,11 +110,22 @@ final class Synchronizer(
     * may BE a pk (identity-pk append_inserts) — dedupe. */
   private def pkd: Seq[String] = (targetPks ++ targetDelta.toSeq).distinct
 
+  /** The source with P1 pushed into its remote SQL when it supports that
+    * (JDBC): trims/caps/casts then run IN the source DB and converted
+    * bytes ship over the wire (reference db_to_delta.py:54-164). The
+    * Spark-side projection still applies on top — idempotent — so results
+    * never depend on the pushdown. */
+  private val effSource: graft.sources.Source = source match {
+    case p: graft.sources.ProjectionPushdown if cfg.sourceSideProjection =>
+      p.pushedProjection(cols, cfg).getOrElse(source)
+    case _ => source
+  }
+
   /** Source read with the per-stage transformation hook applied (reference
     * spark_reader.py:97,111-113 — stage "sql2delta" = table loads,
     * "source2py" = driver-side scalar probes). */
   private def readSource(stage: String): DataFrame =
-    cfg.transformationHook(source.read(spark), stage)
+    cfg.transformationHook(effSource.read(spark), stage)
 
   private def srcProjected: DataFrame =
     Projection.select(readSource("sql2delta"), cols, cfg)

@@ -35,7 +35,19 @@ final class JdbcSource(
     partitionColumn: Option[String] = None,
     numPartitions: Int = 8,
     sourceTypes: Map[String, String] = Map.empty,
-    val transformationHook: DataFrame => DataFrame = identity) extends Source {
+    val transformationHook: DataFrame => DataFrame = identity)
+    extends Source with ProjectionPushdown {
+
+  /** P1 pushed into the remote SQL (reference db_to_delta.py:54-164 runs
+    * CAST/TRIM/caps in the source DB): wraps the target in a generated
+    * SELECT whose items trim, cap and cast — a live sync then ships
+    * converted bytes, not raw varchar(max). Partitioning/pk/type metadata
+    * carry over; column names are preserved via aliases. */
+  def pushedProjection(cols: Seq[graft.ColInfo], cfg: graft.WriteConfig): Option[Source] =
+    JdbcSqlGen.projectedSql(cols, cfg, url, tableOrQuery).map { sql =>
+      new JdbcSource(url, Right(sql), props, pks, partitionColumn,
+        numPartitions, sourceTypes, transformationHook)
+    }
 
   private def base(spark: SparkSession): DataFrameReader = {
     val r = spark.read.format("jdbc").option("url", url)
@@ -141,4 +153,91 @@ object JdbcSource {
     * wrap remote SQL in OPENQUERY so an MS-SQL gateway executes it. */
   def openQuery(linkedServer: String, sql: String): String =
     s"select * from openquery([$linkedServer], '${sql.replace("'", "''")}')"
+}
+
+/** Renders the P1 projection (graft.scd2.Projection.sourceConvert
+  * semantics) as source-dialect SQL — the Spark-native analogue of the
+  * reference's sqlglot select-list generation (db_to_delta.py:54-164).
+  * Identifier quoting and type names come from Spark's own JdbcDialects
+  * registry; only the few function spellings Spark doesn't model (TRIM,
+  * SUBSTRING) are mapped here. The Spark-side projection re-applies the
+  * same conversions afterwards, so a dialect that ignores a rendering is a
+  * lost optimization, never a correctness change. */
+object JdbcSqlGen {
+  import org.apache.spark.sql.jdbc.JdbcDialects
+
+  /** SUBSTR vs SUBSTRING by driver family (Derby and Oracle only ship
+    * SUBSTR; everything else the reference targets accepts SUBSTRING). */
+  private def substrFn(url: String): String =
+    if (url.startsWith("jdbc:derby") || url.startsWith("jdbc:oracle")) "SUBSTR"
+    else "SUBSTRING"
+
+  /** ANSI type names for targets the dialect leaves unmapped (the same
+    * fallback table Spark's JdbcUtils keeps for writes). */
+  private def ansiTypeName(t: DataType): Option[String] = t match {
+    case LongType => Some("BIGINT")
+    case IntegerType => Some("INTEGER")
+    case ShortType => Some("SMALLINT")
+    case DoubleType => Some("DOUBLE PRECISION")
+    case FloatType => Some("REAL")
+    case BooleanType => Some("BOOLEAN")
+    case DateType => Some("DATE")
+    case TimestampType => Some("TIMESTAMP")
+    case d: DecimalType => Some(s"DECIMAL(${d.precision},${d.scale})")
+    case _ => None // unknown → leave the cast Spark-side
+  }
+
+  /** One select item mirroring Projection.sourceConvert, or None when the
+    * column passes through untouched. */
+  private[sources] def selectItem(
+      c: graft.ColInfo, cfg: graft.WriteConfig, url: String): Option[String] = {
+    val dialect = JdbcDialects.get(url)
+    val q = dialect.quoteIdentifier(c.name)
+    val target = graft.scd2.Projection.targetType(c, cfg)
+    val cast =
+      if (graft.scd2.Projection.isXid(c, cfg))
+        // the Postgres xmin path: xid has no direct numeric cast — go
+        // through text like the reference (db_to_delta.py:73-77)
+        Some(s"CAST(CAST($q AS VARCHAR(32)) AS BIGINT)")
+      else if (target != c.dataType) target match {
+        // a mapped string target capped at maxTextSize (or a portable
+        // default) — dialect getJDBCType would say CLOB/TEXT, which many
+        // engines refuse to compare or cast to
+        case StringType =>
+          Some(s"CAST($q AS VARCHAR(${cfg.maxTextSize.getOrElse(4000)}))")
+        case t => dialect.getJDBCType(t).map(_.databaseTypeDefinition)
+          .orElse(ansiTypeName(t))
+          .map(tn => s"CAST($q AS $tn)")
+      }
+      else None
+    val base = cast.getOrElse(q)
+    val trimmed =
+      if (graft.scd2.Projection.needsTrim(c, cfg)) s"LTRIM(RTRIM($base))" else base
+    val capped = (target, cfg.maxTextSize) match {
+      // binary caps stay Spark-side: SUBSTR over binary is not portable
+      case (StringType, Some(n)) => s"${substrFn(url)}($trimmed, 1, $n)"
+      case _ => trimmed
+    }
+    if (capped == q) None else Some(s"$capped AS $q")
+  }
+
+  /** Full generated SELECT over the original target, or None when every
+    * column passes through (no point wrapping). */
+  def projectedSql(
+      cols: Seq[graft.ColInfo], cfg: graft.WriteConfig, url: String,
+      tableOrQuery: Either[String, String]): Option[String] = {
+    if (!cfg.sourceSideProjection) return None
+    val dialect = JdbcDialects.get(url)
+    val rendered = cols.map(c => selectItem(c, cfg, url) -> c)
+    if (rendered.forall(_._1.isEmpty)) None
+    else {
+      val items = rendered.map { case (item, c) =>
+        item.getOrElse(dialect.quoteIdentifier(c.name)) }
+      val from = tableOrQuery match {
+        case Left(table) => table
+        case Right(query) => s"($query) graft_src"
+      }
+      Some(s"SELECT ${items.mkString(", ")} FROM $from")
+    }
+  }
 }

@@ -37,6 +37,18 @@ trait Source {
   }
 }
 
+/** Sources that can run the P1 cast/trim/cap projection INSIDE the source
+  * system (reference db_to_delta.py:54-164 generates dialect SQL for the
+  * same purpose): a live sync then ships trimmed/capped bytes over the
+  * wire, not raw varchar(max). Contract: the returned source yields the
+  * SAME column names and semantically converted values; the engine still
+  * applies the Spark-side projection afterwards (idempotent), so this is
+  * purely a bandwidth/pushdown optimization. */
+trait ProjectionPushdown { self: Source =>
+  /** A projected variant, or None when no column needs conversion. */
+  def pushedProjection(cols: Seq[graft.ColInfo], cfg: graft.WriteConfig): Option[Source]
+}
+
 /** Parquet-backed source table for the test harness — plays the role of the
   * RDBMS table; pk/delta-col are declared since parquet has no catalog
   * (reference S7 becomes `df.schema` + declared pks, SURVEY.md §2.1). */

@@ -101,6 +101,75 @@ class JdbcSourceSpec extends SparkSuite {
     assert(df.count() == 100)
   }
 
+  test("P1 pushdown: generated remote SQL trims, caps and casts (reference db_to_delta.py:54-164)") {
+    import org.apache.spark.sql.types._
+    val cols = Seq(
+      ColInfo("ID", IntegerType, sourceType = Some("integer")),
+      ColInfo("NAME", StringType, sourceType = Some("varchar")),
+      ColInfo("TOKEN", StringType, sourceType = Some("uuid")),     // trim-exempt
+      ColInfo("BAL", DecimalType(10, 2), sourceType = Some("rowversion")), // mapped → BIGINT
+      ColInfo("XMIN", IntegerType, sourceType = Some("xid")))      // xid double-cast
+    val cfg = WriteConfig(maxTextSize = Some(10))
+    val sql = sources.JdbcSqlGen.projectedSql(cols, cfg, url, Left("APP.USERS")).get
+    assert(sql.contains("""SUBSTR(LTRIM(RTRIM("NAME")), 1, 10) AS "NAME""""))
+    // fixed-form identifiers are capped but NOT trimmed
+    assert(sql.contains("""SUBSTR("TOKEN", 1, 10) AS "TOKEN""""))
+    assert(!sql.contains("""RTRIM("TOKEN")"""))
+    assert(sql.contains("""CAST("BAL" AS BIGINT) AS "BAL""""))
+    assert(sql.contains("""CAST(CAST("XMIN" AS VARCHAR(32)) AS BIGINT) AS "XMIN""""))
+    assert(sql.contains(""""ID"""") && !sql.contains("""TRIM("ID"""))
+    assert(sql.endsWith("FROM APP.USERS"))
+    // query sources wrap as a derived table
+    val subq = sources.JdbcSqlGen.projectedSql(cols, cfg, url,
+      Right("SELECT * FROM APP.USERS")).get
+    assert(subq.endsWith("FROM (SELECT * FROM APP.USERS) graft_src"))
+    // untouched schema → no wrapping at all
+    assert(sources.JdbcSqlGen.projectedSql(
+      Seq(ColInfo("ID", IntegerType)), WriteConfig(noTrim = true), url,
+      Left("APP.USERS")).isEmpty)
+    // opt-out flag
+    assert(sources.JdbcSqlGen.projectedSql(cols,
+      cfg.copy(sourceSideProjection = false), url, Left("APP.USERS")).isEmpty)
+  }
+
+  test("P1 pushdown: Derby executes the trim/cap source-side, partitioning intact") {
+    conn
+    val st = conn.createStatement()
+    st.executeUpdate("""CREATE TABLE APP.PADDED (
+      ID INT NOT NULL PRIMARY KEY, NAME VARCHAR(60), VER BIGINT NOT NULL)""")
+    val ps = conn.prepareStatement("INSERT INTO APP.PADDED VALUES (?, ?, ?)")
+    (1 to 20).foreach { i =>
+      ps.setInt(1, i); ps.setString(2, s"  padded_name_$i   "); ps.setLong(3, 1L)
+      ps.executeUpdate()
+    }
+    st.close(); ps.close()
+    val src = new JdbcSource(url, Left("APP.PADDED"), pks = Seq("ID"),
+      numPartitions = 4, sourceTypes = Map("name" -> "varchar"))
+    val cfg = WriteConfig(maxTextSize = Some(9))
+    val pushed = src.pushedProjection(src.columns(spark), cfg).get
+    val df = pushed.read(spark)
+    // the RAW read — BEFORE any Spark-side projection — is already
+    // trimmed and capped: the conversion ran in Derby
+    val names = df.select("NAME").collect().map(_.getString(0)).toSet
+    assert(names.forall(n => n == n.trim && n.length <= 9), names.take(3).toSeq)
+    assert(names.contains("padded_na")) // trim THEN cap, reference order
+    // pk fan-out still applies through the generated query
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 20)
+  }
+
+  test("S4: openQuery rewrite wraps remote SQL for a linked-server gateway") {
+    val q = JdbcSource.openQuery("WAREHOUSE", "select * from t where name = 'o''brien'")
+    // bracket-quoted server, single-quote doubling inside the literal
+    assert(q == "select * from openquery([WAREHOUSE], " +
+      "'select * from t where name = ''o''''brien''')")
+    // composes as a query source target (the T-SQL gateway executes it;
+    // Derby can't parse OPENQUERY, so execution is covered by the generic
+    // Right(query) path above)
+    val src = new JdbcSource(url, Right(q))
+    assert(src.isInstanceOf[sources.Source])
+  }
+
   test("full SCD2 sync from a live JDBC table: full load, then delta") {
     conn
     val dest = tmpDir("graft-jdbc-dest")
