@@ -38,10 +38,13 @@ object Multimodal {
       sample_rate: Option[Int], n_frames: Option[Int],
       payload: Array[Byte])
 
+  /** Decoded per-media features. `mean_luma_x1000` is the generic "mean
+    * signal level" per-mille: pixel luma / 255 for images, |amplitude| /
+    * 2^15 for audio. `sample_rate` is the DECODED rate (0 for non-audio). */
   final case class MediaFeatures(
       media_id: Long, kind: String,
       n_bytes: Long, header_ok: Boolean,
-      width: Int, height: Int, n_frames: Int,
+      width: Int, height: Int, n_frames: Int, sample_rate: Int,
       mean_luma_x1000: Long, content_hash: Long)
 
   /** Deterministic fake codec: payload = 16-byte header
@@ -69,8 +72,73 @@ object Multimodal {
       while (i < b.length) { sum += (b(i) & 0xff); i += 1 }
       val body = math.max(1, b.length - 16)
       MediaFeatures(r.media_id, r.kind, b.length.toLong, ok, w, h, f,
-        sum * 1000L / (body * 255L),
+        sample_rate = 0, sum * 1000L / (body * 255L),
         scala.util.hashing.MurmurHash3.bytesHash(b, 0x5eed).toLong)
+    }
+  }
+
+  /** Real audio codec over `javax.sound.sampled` (JDK-builtin): WAV
+    * payloads are decoded to actual PCM frames — frame count, sample rate
+    * and mean |amplitude| (per-mille of 2^15 full scale) come from the
+    * decoded signal, not a header field. 16-bit PCM mono/stereo, either
+    * endianness. */
+  object AudioCodec {
+    def isWav(b: Array[Byte]): Boolean =
+      b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    /** Deterministic really-encoded WAV: 16-bit signed little-endian PCM
+      * mono. The JDK WAVE writer emits the canonical 44-byte container
+      * header, so payload size is exactly 44 + 2·samples. */
+    def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    def decode(r: MediaRow): MediaFeatures = try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      val bytes = ais.readAllBytes()
+      val frameSize = math.max(1, fmt.getFrameSize)
+      val frames = bytes.length / frameSize
+      val big = fmt.isBigEndian
+      var sum = 0L
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val s =
+          if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+          else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+        sum += math.abs(s.toLong)
+        i += 2
+      }
+      val nSamples = math.max(1L, bytes.length / 2L)
+      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, header_ok = true,
+        width = 0, height = 0, n_frames = frames,
+        sample_rate = fmt.getSampleRate.toInt,
+        mean_luma_x1000 = sum * 1000L / (nSamples * 32768L),
+        content_hash = scala.util.hashing.MurmurHash3.bytesHash(r.payload, 0x5eed).toLong)
+    } catch {
+      // truncated/corrupt container: degrade to header_ok=false instead of
+      // killing the task on one bad row (same contract as ImageCodec)
+      case _: Exception =>
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, header_ok = false,
+          0, 0, 0, 0, 0L,
+          scala.util.hashing.MurmurHash3.bytesHash(r.payload, 0x5eed).toLong)
     }
   }
 
@@ -100,7 +168,7 @@ object Multimodal {
       // NPE-killing the task on one bad row
       if (img == null)
         return MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-          header_ok = false, 0, 0, 0, 0L,
+          header_ok = false, 0, 0, 0, 0, 0L,
           scala.util.hashing.MurmurHash3.bytesHash(r.payload, 0x5eed).toLong)
       val (w, h) = (img.getWidth, img.getHeight)
       var sum = 0L
@@ -115,15 +183,17 @@ object Multimodal {
         y += 1
       }
       MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, header_ok = true,
-        w, h, n_frames = 1, sum * 1000L / (w.toLong * h * 255L),
+        w, h, n_frames = 1, sample_rate = 0, sum * 1000L / (w.toLong * h * 255L),
         scala.util.hashing.MurmurHash3.bytesHash(r.payload, 0x5eed).toLong)
     }
   }
 
   /** Build a synthetic media table from the documents fixture: image rows
     * carry REAL PNG payloads (constant gray = doc_id % 256, dims
-    * (id%64+1)×(id%48+1)); audio/video rows carry doc text behind the stub
-    * header. Exercises the binary-column path with genuinely coded bytes. */
+    * (id%64+1)×(id%48+1)); audio rows carry REAL 16 kHz WAV payloads
+    * (constant amplitude (id%256)·128, (id%30+1) samples — really encoded,
+    * really decoded); video rows carry doc text behind the stub header
+    * (no video codec ships with the JDK). */
   def syntheticMedia(spark: SparkSession, docsParquet: String): DataFrame = {
     import spark.implicits._
     implicit val enc = Encoders.product[MediaRow]
@@ -132,24 +202,36 @@ object Multimodal {
       .mapPartitions(_.map { case (id, text) =>
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
         val (w, h, f) = ((id % 64 + 1).toInt, (id % 48 + 1).toInt, (id % 30 + 1).toInt)
-        val payload =
-          if (kind == "image") ImageCodec.pngBytes(w, h, (id % 256).toInt)
-          else DecodeStub.writeInt(DecodeStub.Magic) ++
-            DecodeStub.writeInt(w) ++ DecodeStub.writeInt(h) ++ DecodeStub.writeInt(f) ++
-            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        MediaRow(id, kind, Some(w), Some(h), Some(16000), Some(f), payload)
+        kind match {
+          case "image" =>
+            MediaRow(id, kind, Some(w), Some(h), None, Some(1),
+              ImageCodec.pngBytes(w, h, (id % 256).toInt))
+          case "audio" =>
+            val amp = ((id % 256) * 128).toShort
+            MediaRow(id, kind, None, None, Some(16000), Some(f),
+              AudioCodec.wavBytes(16000, Array.fill(f)(amp)))
+          case _ =>
+            MediaRow(id, kind, Some(w), Some(h), None, Some(f),
+              DecodeStub.writeInt(DecodeStub.Magic) ++
+                DecodeStub.writeInt(w) ++ DecodeStub.writeInt(h) ++ DecodeStub.writeInt(f) ++
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
       }).toDF()
   }
 
   /** Decode/feature-extract stage: one iterator per partition (constant
     * memory, batch-friendly — the mapInPandas shape). PNG payloads take the
-    * real ImageIO path; stub-headered payloads take the fake codec. */
+    * real ImageIO path, WAV payloads the real javax.sound path;
+    * stub-headered payloads (video) take the fake codec. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.select("media_id", "kind", "width", "height", "sample_rate", "n_frames", "payload")
       .as(Encoders.product[MediaRow])
-      .mapPartitions(_.map(r =>
-        if (ImageCodec.isPng(r.payload)) ImageCodec.decode(r) else DecodeStub.decode(r)))
+      .mapPartitions(_.map { r =>
+        if (ImageCodec.isPng(r.payload)) ImageCodec.decode(r)
+        else if (AudioCodec.isWav(r.payload)) AudioCodec.decode(r)
+        else DecodeStub.decode(r)
+      })
   }
 
   /** Frame-sample stage for video rows: every k-th frame index, as a

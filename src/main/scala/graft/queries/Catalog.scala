@@ -573,11 +573,14 @@ object Catalog {
       },
       Some(annExactTopKSql)),
 
-    // multimodal: image rows are REAL PNGs decoded by javax.imageio — the
-    // oracle predicts genuinely decoded dimensions and pixel mean-luma
-    // (constant-gray fill makes them exact); audio/video rows ride the stub
-    // header. n_bytes is only SQL-derivable for stub payloads (PNG encoding
-    // size isn't), so the gate nulls it for images and nulls luma elsewhere.
+    // multimodal: image rows are REAL PNGs decoded by javax.imageio, audio
+    // rows REAL WAVs decoded by javax.sound.sampled — the oracle predicts
+    // genuinely decoded dims / frame counts / signal means (constant-gray
+    // pixels and constant-amplitude PCM make them exact; WAV container =
+    // canonical 44-byte header + 2 bytes/sample). Video rides the stub
+    // header (no JDK video codec). n_bytes is SQL-derivable for WAV and
+    // stub payloads but not PNG (encoder-dependent), so the gate nulls it
+    // for images; mean level is NULL for the stub kind.
     Q("multimodal_features",
       (s, d) => graft.multimodal.Multimodal.extractFeatures(
           graft.multimodal.Multimodal.syntheticMedia(s, s"$d/documents.parquet"))
@@ -586,17 +589,21 @@ object Catalog {
           when(col("kind") === "image", lit(null)).otherwise(col("n_bytes"))
             .cast("long").as("n_bytes"),
           col("header_ok"), col("width"), col("height"), col("n_frames"),
-          when(col("kind") === "image", col("mean_luma_x1000")).otherwise(lit(null))
+          col("sample_rate"),
+          when(col("kind") === "video", lit(null)).otherwise(col("mean_luma_x1000"))
             .cast("long").as("mean_luma_x1000")),
       Some("""SELECT doc_id AS media_id,
           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
           CASE WHEN doc_id % 3 = 0 THEN NULL
+            WHEN doc_id % 3 = 1 THEN CAST(44 + 2 * (doc_id % 30 + 1) AS BIGINT)
             ELSE CAST(16 + octet_length(encode(text)) AS BIGINT) END AS n_bytes,
           TRUE AS header_ok,
-          CAST(doc_id % 64 + 1 AS INT) AS width,
-          CAST(doc_id % 48 + 1 AS INT) AS height,
+          CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE doc_id % 64 + 1 END AS INT) AS width,
+          CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE doc_id % 48 + 1 END AS INT) AS height,
           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE doc_id % 30 + 1 END AS INT) AS n_frames,
+          CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
           CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id % 256) * 1000 // 255 AS BIGINT)
+            WHEN doc_id % 3 = 1 THEN CAST((doc_id % 256) * 128 * 1000 // 32768 AS BIGINT)
             ELSE NULL END AS mean_luma_x1000
         FROM documents""")),
 

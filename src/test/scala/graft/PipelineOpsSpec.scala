@@ -268,7 +268,7 @@ class PipelineOpsSpec extends SparkSuite {
     assert(hot == Seq(1L))
   }
 
-  test("multimodal: real PNG decode for images, stub header for audio/video") {
+  test("multimodal: real PNG decode for images, real WAV decode for audio, stub for video") {
     val tmp = tmpDir("graft-mm")
     docs((7L, "hello media world"), (8L, "payload two"), (9L, "third"))
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
@@ -277,17 +277,28 @@ class PipelineOpsSpec extends SparkSuite {
     val media = Multimodal.syntheticMedia(spark, s"$tmp/documents.parquet")
     val feats = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> f).toMap
-    // id 7 → audio: stub header path
+    // id 7 → audio: a REAL WAV, decoded by javax.sound.sampled from PCM
     assert(feats(7L).header_ok)
-    assert(feats(7L).width == (7 % 64 + 1))
-    assert(feats(7L).height == (7 % 48 + 1))
-    assert(feats(7L).n_bytes == 16 + "hello media world".getBytes("UTF-8").length)
+    assert(feats(7L).n_frames == 8)           // 7 % 30 + 1 decoded frames
+    assert(feats(7L).sample_rate == 16000)    // decoded, not metadata
+    assert(feats(7L).n_bytes == 44 + 2 * 8)   // canonical WAV container
+    assert(feats(7L).mean_luma_x1000 == (7 % 256) * 128L * 1000 / 32768) // const amplitude
+    // id 8 → video: stub header path (no JDK video codec)
+    assert(feats(8L).header_ok)
+    assert(feats(8L).width == (8 % 64 + 1))
+    assert(feats(8L).height == (8 % 48 + 1))
+    assert(feats(8L).n_bytes == 16 + "payload two".getBytes("UTF-8").length)
     // id 9 → image: a REAL PNG, decoded by javax.imageio from actual pixels
     assert(feats(9L).header_ok)
     assert(feats(9L).width == (9 % 64 + 1))
     assert(feats(9L).height == (9 % 48 + 1))
     assert(feats(9L).n_frames == 1)
     assert(feats(9L).mean_luma_x1000 == 9L * 1000 / 255) // constant gray 9
+    // a truncated WAV degrades to header_ok=false, not a task kill
+    val bad = Multimodal.AudioCodec.decode(Multimodal.MediaRow(
+      99L, "audio", None, None, Some(16000), Some(1),
+      Multimodal.AudioCodec.wavBytes(16000, Array[Short](5, 5)).take(20)))
+    assert(!bad.header_ok)
     val frames = Multimodal.sampleFrames(media).collect()
     // only kind==video rows (doc_id % 3 == 2): ids 8 (8%3=2)
     assert(frames.map(_.getLong(0)).distinct.toSeq == Seq(8L))
