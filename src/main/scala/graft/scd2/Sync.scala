@@ -135,6 +135,21 @@ final class Synchronizer(
     * within one millisecond. */
   private def nowTs: java.sql.Timestamp = new java.sql.Timestamp(Synchronizer.nextMillis())
 
+  // concurrent-action helpers: Spark sessions are thread-safe, and a delta
+  // run's wall clock is dominated by SEQUENTIAL fixed action latency
+  // (planning + commit), so independent probes/writes overlap
+  private implicit def ec: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.global
+  private def async[A](body: => A): scala.concurrent.Future[A] =
+    scala.concurrent.Future(body)
+  private def await[A](f: scala.concurrent.Future[A]): A =
+    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+  private def awaitBoth[A, B](a: => A)(b: => B): (A, B) = {
+    val fa = async(a)
+    val rb = b // second runs on the caller thread
+    (await(fa), rb)
+  }
+
   // --------------------------------------------------------------- dispatch
 
   /** One sync run (reference db_to_delta.py:178-286). */
@@ -251,28 +266,46 @@ final class Synchronizer(
       return fullLoad(overwriteTarget = false) // pk set changed (db_to_delta.py:534-542)
 
     val oldPkVersion = dest.latestPkVersion.requireVersion
-    val local = localState()
-    val src = sourceState()
+    // the two state probes are independent single-row aggregates — run them
+    // as concurrent actions: a delta run pays ~10 sequential Spark actions
+    // of mostly fixed (planning + commit) latency, so overlapping the
+    // independent ones shaves wall clock without touching semantics
+    val (local, src) = awaitBoth(localState())(sourceState())
     if (src.sameAs(local)) return LoadResult.NoLoad // short-circuit (db_to_delta.py:560-566)
 
     val dc = targetDelta.get
 
     // step 1: pk+delta snapshot of the source (db_to_delta.py:575-579,862-890)
-    dest.primaryKeysTs.overwrite(
-      readSource("sql2delta").select(
-        (pkCols ++ deltaCol.toSeq).distinct.map(Projection.sourceConvert(_, cfg)): _*))
+    // — independent of step 2's delta_1 write (different aux tables, both
+    // pure source scans), so the two writes overlap; step 3 joins on step
+    // 1's result and runs after both complete
+    val step1 = async {
+      dest.primaryKeysTs.overwrite(
+        readSource("sql2delta").select(
+          (pkCols ++ deltaCol.toSeq).distinct.map(Projection.sourceConvert(_, cfg)): _*))
+    }
 
     // step 2: rows with delta_col beyond the local watermark → delta_1 →
     // append to history (db_to_delta.py:584-610). Row count rides the
     // write as an Observation (CollectMetrics in the write plan) — no
     // second scan of what was just written, at any scale.
-    val updates = Projection.withSystemCols(
-      Option(local.deltaMax).map(v => srcProjected.filter(col(dc) > lit(v))).getOrElse(srcProjected),
-      isDeleted = false, isFullLoad = false, ts = lit(nowTs))
-    val obsIns = org.apache.spark.sql.Observation()
-    dest.delta1.overwrite(updates.observe(obsIns, count(lit(1)).as("n")))
-    val inserts = obsIns.get("n").asInstanceOf[Long]
-    if (inserts > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
+    val inserts = try {
+      val updates = Projection.withSystemCols(
+        Option(local.deltaMax).map(v => srcProjected.filter(col(dc) > lit(v))).getOrElse(srcProjected),
+        isDeleted = false, isFullLoad = false, ts = lit(nowTs))
+      val obsIns = org.apache.spark.sql.Observation()
+      dest.delta1.overwrite(updates.observe(obsIns, count(lit(1)).as("n")))
+      val n = obsIns.get("n").asInstanceOf[Long]
+      if (n > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
+      n
+    } finally {
+      // the concurrent step-1 write MUST settle before any rollback can
+      // restore primary_keys_ts (an in-flight commit landing after the
+      // restore would resurrect the overwritten watermark); its own
+      // failure propagates via the await below when step 2 succeeded
+      try await(step1) catch { case _: Throwable => () }
+    }
+    await(step1)
 
     // step 3: out-of-band ("strange") updates (db_to_delta.py:995-1184)
     val (strangeCount, newWatermark) = handleAdditionalUpdates(oldPkVersion, local.deltaMax)
@@ -440,8 +473,7 @@ final class Synchronizer(
       if (!restoreLastPk()) return fullLoad(overwriteTarget = false)
     }
     val dc = targetDelta.get
-    val local = localState()
-    val src = sourceState()
+    val (local, src) = awaitBoth(localState())(sourceState())
     if (src.sameAs(local)) return LoadResult.NoLoad
 
     val updates = Projection.withSystemCols(

@@ -17,8 +17,18 @@ object ProfileScd2 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     @volatile var jobs = 0
+    val t0s = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        t0s.put(j.jobId, (System.nanoTime(),
+          Option(j.properties.getProperty("callSite.short")).getOrElse("?")))
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        Option(t0s.get(j.jobId)).foreach { case (t0, site) =>
+          println(f"      job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e6}%6.0fms  $site")
+        }
+      }
     })
     // warmup
     spark.read.parquet(s"$sfDir/nation.parquet").count()

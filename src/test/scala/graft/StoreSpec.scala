@@ -180,4 +180,33 @@ class StoreSpec extends SparkSuite {
     assert(rows(2).getAs[String]("error_trackback").contains("synthetic"))
     assert(rows.forall(_.getAs[java.sql.Timestamp]("date") != null))
   }
+
+  test("versioned log backend: history across two runs, version pinning") {
+    val dir = tmpDir("vt-log-versioned")
+    // run 1
+    val run1 = new LogTable(spark, dir, "run-1", flushEvery = 10,
+      backend = LogTable.Versioned)
+    run1.info("run1 start", load = "full")
+    run1.info("run1 done")
+    run1.close() // one flush → version 0
+    val v0 = run1.versioned.get.requireVersion
+    // run 2 — a NEW logger over the same path appends, preserving history
+    val run2 = new LogTable(spark, dir, "run-2", flushEvery = 10,
+      backend = LogTable.Versioned)
+    run2.warn("run2 degraded")
+    run2.close()
+    val v1 = run2.versioned.get.requireVersion
+    assert(v1 > v0)
+    // current read sees both runs
+    val all = run2.read().orderBy("date").collect()
+    assert(all.map(_.getAs[String]("message")).toSeq ==
+      Seq("run1 start", "run1 done", "run2 degraded"))
+    assert(all.map(_.getAs[String]("logger_name")).distinct.toSeq == Seq("run-1", "run-2"))
+    // time travel: pin to the first run's version → only its records
+    val pinned = run2.readVersion(v0).collect()
+    assert(pinned.map(_.getAs[String]("message")).toSet == Set("run1 start", "run1 done"))
+    // the JSONL backend refuses version pinning loudly
+    val jl = new LogTable(spark, tmpDir("vt-log-jl"), "x")
+    intercept[IllegalStateException](jl.readVersion(0L))
+  }
 }
