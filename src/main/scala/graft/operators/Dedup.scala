@@ -365,6 +365,53 @@ object Dedup {
       restrictSetsToCandidates = false)
   }
 
+  /** Connected-components clustering of near-duplicate PAIRS into
+    * duplicate groups — the step after any pairwise dedup ([[exact]] keeps
+    * min-id per fingerprint, but LSH/simhash/Jaccard emit PAIRS, and
+    * "keep one per near-dup CLUSTER" needs the transitive closure).
+    *
+    * Returns (id, cluster_id) for every id appearing in some pair, with
+    * cluster_id = the component's minimum id (the canonical "keep" doc).
+    *
+    * Algorithm: min-label propagation as iterative DataFrame joins — each
+    * round every node takes min(own label, neighbors' labels); fixpoint in
+    * O(component diameter) rounds. Near-dup clusters are dense (diameter
+    * 2-3 typical), so a handful of rounds suffices; `maxIters` bounds
+    * pathological chains. Each round is one shuffle join + one
+    * aggregation, labels persisted and the previous round released —
+    * the 100 TB shape (GraphX is RDD-legacy; this stays in Catalyst).
+    * Convergence is detected with a changed-label count that rides the
+    * round's materialization. */
+  def duplicateClusters(
+      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = spillPersistEager(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = spillPersistEager(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster_id", col("id")))
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), "dst")
+        .groupBy("src").agg(min("nl").as("nmin"))
+      val next = spillPersist(labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
+          (col("nmin").isNotNull && col("nmin") < col("cluster_id")).as("chg")))
+      // one action materializes the round AND counts changed labels
+      val changed = next.filter(col("chg")).count()
+      labels.unpersist(blocking = false)
+      labels = next.select("id", "cluster_id")
+      converged = changed == 0
+      iters += 1
+    }
+    labels
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates via
     * random-hyperplane LSH buckets (see Similarity.hyperplaneBucket).
     *

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextCorpus}
 
 /** The driver-contract query catalog: every operator of SURVEY.md §2 plus
   * the training-data-pipeline operators, each as a deterministic DataFrame
@@ -520,6 +520,59 @@ object Catalog {
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.3),
       Some(jaccardTruthSql(300))),
+
+    // transitive closure of the (total-recall) pair set into duplicate
+    // CLUSTERS: min-label propagation joins vs a DuckDB recursive-CTE
+    // reachability truth — cluster_id = component minimum on both sides
+    Q("dedup_clusters",
+      (s, d) => Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+            threshold = 0.3).select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("cluster_id")),
+      Some(s"""WITH RECURSIVE tp AS (${jaccardTruthSql(300)}),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM tp
+            UNION SELECT id_b, id_a FROM tp),
+          reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+        SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id""")),
+
+    // benchmark decontamination: train docs sharing ≥ 5 distinct shingles
+    // with any "benchmark" doc (here: the doc_id % 17 = 3 slice) — the
+    // bench posting list broadcasts, train text is one pass
+    Q("text_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextCorpus.contamination(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 17 === 3), "doc_id", "text",
+          shingleN = 3, minOverlap = 5)
+      },
+      Some(s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+          sets AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(1, len(toks)-1),
+                  i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+            FROM base),
+          tp AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+          bp AS (SELECT doc_id, unnest(sh) AS s FROM sets WHERE doc_id % 17 = 3)
+        SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+          CAST(count(*) AS BIGINT) AS overlap
+        FROM tp t JOIN bp b ON t.s = b.s
+        GROUP BY 1, 2 HAVING count(*) >= 5""")),
+
+    // deterministic stratified sampling: LCG bucket arithmetic reproduces
+    // bit-for-bit in any engine — the training-mix rate table, with the
+    // 'es' stratum deliberately absent (dropped entirely)
+    Q("sample_stratified",
+      (s, d) => TextCorpus.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+          Map("en" -> 500, "de" -> 250, "fr" -> 100))
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+        WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000 <
+          CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'fr' THEN 100 ELSE 0 END""")),
 
     // the synthetic embeddings have no true near-dups (max pairwise cosine
     // ≈ 0.51), so the gate plants them: each vector unioned with a ×2-scaled

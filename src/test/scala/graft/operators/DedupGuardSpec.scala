@@ -54,6 +54,59 @@ class DedupGuardSpec extends SparkSuite {
     }
   }
 
+  test("duplicate clusters: transitive closure, chain needs >1 propagation round") {
+    import spark.implicits._
+    // components: {1,2,3,4,5} as a CHAIN (1-2, 2-3, 3-4, 4-5 — min label
+    // must walk 4 hops), {10,11,12} as a triangle, {20,21} as a pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    Dedup.releaseIntermediates()
+  }
+
+  test("stratified sample: deterministic, plan-independent, absent strata dropped") {
+    import spark.implicits._
+    val rows = (0L until 1000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "es"))
+    val df = rows.toDF("doc_id", "lang")
+    val rates = Map("en" -> 500, "de" -> 100)
+    val once = TextCorpus.stratifiedSample(df, "doc_id", "lang", rates)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // same selection under a different physical plan (repartitioned input)
+    val again = TextCorpus.stratifiedSample(df.repartition(7), "doc_id", "lang", rates)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(once == again && once.nonEmpty)
+    // absent stratum fully dropped; kept rows reproduce the LCG arithmetic
+    val byLang = TextCorpus.stratifiedSample(df, "doc_id", "lang", rates)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("es"))
+    def bucket(i: Long) = ((i * 1103515245L + 12345L) % 2147483648L) % 1000L
+    val expected = rows.filter { case (i, l) =>
+      rates.get(l).exists(r => bucket(i) < r) }.map(_._1).sorted
+    assert(once == expected)
+  }
+
+  test("contamination: shared-shingle counts against a benchmark slice") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares 4-shingle run with bench 100
+      (2L, "totally different words here now ok"),
+      (3L, "alpha beta gamma delta nothing else")    // shares a shorter run
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = TextCorpus.contamination(train, "doc_id", "text",
+        bench, "doc_id", "text", shingleN = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 ≡ bench: all 4 distinct 3-shingles shared; doc 3 shares 2
+    assert(out == Map((1L, 100L) -> 4L, (3L, 100L) -> 2L))
+  }
+
   test("embedding guard: clustered corpus is split by refinement, planted dups survive") {
     val dim = 16
     val n = 100
