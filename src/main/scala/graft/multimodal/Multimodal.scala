@@ -188,18 +188,90 @@ object Multimodal {
     }
   }
 
+  /** Real-frame video container: since no video codec ships with the JDK,
+    * the "video" format is a minimal homegrown container of REALLY-encoded
+    * PNG frames — `[magic "GFV1" | n_frames(4)] + n × [len(4) | png]` —
+    * so frame extraction genuinely parses the container and decodes
+    * pixels, exercising the same plumbing a real codec would (swap
+    * [[decodeFrame]] for an ffmpeg call without touching anything else). */
+  object VideoCodec {
+    val Magic: Int = 0x47465631 // "GFV1"
+
+    def isGfv(b: Array[Byte]): Boolean =
+      b.length >= 8 && DecodeStub.readInt(b, 0) == Magic
+
+    def videoBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(DecodeStub.writeInt(Magic))
+      out.write(DecodeStub.writeInt(frames.length))
+      frames.foreach { f => out.write(DecodeStub.writeInt(f.length)); out.write(f) }
+      out.toByteArray
+    }
+
+    /** Frame offsets (start of each png) — container parse only. */
+    def frameOffsets(b: Array[Byte]): Seq[(Int, Int)] = {
+      val n = DecodeStub.readInt(b, 4)
+      var off = 8
+      (0 until n).map { _ =>
+        val len = DecodeStub.readInt(b, off)
+        val r = (off + 4, len)
+        off += 4 + len
+        r
+      }
+    }
+
+    /** Decode one frame's pixels (real ImageIO). */
+    def decodeFrame(b: Array[Byte], off: Int, len: Int): java.awt.image.BufferedImage =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.slice(off, off + len)))
+
+    /** Whole-payload features: first frame's dims, mean luma across ALL
+      * frames' pixels (exact integer per-mille). */
+    def decode(r: MediaRow): MediaFeatures = try {
+      val offs = frameOffsets(r.payload)
+      var sum = 0L
+      var pixels = 0L
+      var w = 0
+      var h = 0
+      offs.foreach { case (off, len) =>
+        val img = decodeFrame(r.payload, off, len)
+        if (w == 0) { w = img.getWidth; h = img.getHeight }
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sum += ((p >> 16 & 0xff) + (p >> 8 & 0xff) + (p & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        pixels += img.getWidth.toLong * img.getHeight
+      }
+      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, header_ok = true,
+        w, h, n_frames = offs.length, sample_rate = 0,
+        mean_luma_x1000 = if (pixels > 0) sum * 1000L / (pixels * 255L) else 0L,
+        content_hash = scala.util.hashing.MurmurHash3.bytesHash(r.payload, 0x5eed).toLong)
+    } catch {
+      case _: Exception =>
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, header_ok = false,
+          0, 0, 0, 0, 0L,
+          scala.util.hashing.MurmurHash3.bytesHash(r.payload, 0x5eed).toLong)
+    }
+  }
+
   /** Build a synthetic media table from the documents fixture: image rows
     * carry REAL PNG payloads (constant gray = doc_id % 256, dims
     * (id%64+1)×(id%48+1)); audio rows carry REAL 16 kHz WAV payloads
-    * (constant amplitude (id%256)·128, (id%30+1) samples — really encoded,
-    * really decoded); video rows carry doc text behind the stub header
-    * (no video codec ships with the JDK). */
+    * (constant amplitude (id%256)·128, (id%30+1) samples); video rows
+    * carry the real-frame container — (id%30+1) genuinely PNG-encoded
+    * frames, frame i constant gray (id+i)%256. All three kinds are
+    * really encoded and really decoded. */
   def syntheticMedia(spark: SparkSession, docsParquet: String): DataFrame = {
     import spark.implicits._
     implicit val enc = Encoders.product[MediaRow]
     spark.read.parquet(docsParquet)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
+      .mapPartitions(_.map { case (id, _) =>
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
         val (w, h, f) = ((id % 64 + 1).toInt, (id % 48 + 1).toInt, (id % 30 + 1).toInt)
         kind match {
@@ -212,9 +284,8 @@ object Multimodal {
               AudioCodec.wavBytes(16000, Array.fill(f)(amp)))
           case _ =>
             MediaRow(id, kind, Some(w), Some(h), None, Some(f),
-              DecodeStub.writeInt(DecodeStub.Magic) ++
-                DecodeStub.writeInt(w) ++ DecodeStub.writeInt(h) ++ DecodeStub.writeInt(f) ++
-                text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              VideoCodec.videoBytes((0 until f).map(i =>
+                ImageCodec.pngBytes(w, h, ((id + i) % 256).toInt))))
         }
       }).toDF()
   }
@@ -230,6 +301,7 @@ object Multimodal {
       .mapPartitions(_.map { r =>
         if (ImageCodec.isPng(r.payload)) ImageCodec.decode(r)
         else if (AudioCodec.isWav(r.payload)) AudioCodec.decode(r)
+        else if (VideoCodec.isGfv(r.payload)) VideoCodec.decode(r)
         else DecodeStub.decode(r)
       })
   }
@@ -241,6 +313,77 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), coalesce(col("n_frames"), lit(1)) - 1,
           lit(everyK))).as("frame_idx"))
+
+  final case class FrameFeatures(
+      media_id: Long, frame_idx: Int, width: Int, height: Int, mean_luma_x1000: Long)
+
+  /** REAL frame extraction: every k-th frame of each video payload is
+    * parsed out of the container and pixel-decoded (ImageIO), one
+    * iterator per partition — only the sampled frames are decoded, the
+    * rest are skipped by offset arithmetic (the mapInPandas shape a
+    * production decoder would use; payload bytes ride the scan once). */
+  def sampleFrameFeatures(media: DataFrame, everyK: Int = 10): Dataset[FrameFeatures] = {
+    implicit val enc = Encoders.product[FrameFeatures]
+    media.filter(col("kind") === "video")
+      .select("media_id", "kind", "width", "height", "sample_rate", "n_frames", "payload")
+      .as(Encoders.product[MediaRow])
+      .mapPartitions(_.flatMap { r =>
+        if (!VideoCodec.isGfv(r.payload)) Iterator.empty
+        else VideoCodec.frameOffsets(r.payload).zipWithIndex.iterator
+          .filter(_._2 % everyK == 0)
+          .map { case ((off, len), idx) =>
+            val img = VideoCodec.decodeFrame(r.payload, off, len)
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sum += ((p >> 16 & 0xff) + (p >> 8 & 0xff) + (p & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            FrameFeatures(r.media_id, idx, img.getWidth, img.getHeight,
+              sum * 1000L / (img.getWidth.toLong * img.getHeight * 255L))
+          }
+      })
+  }
+
+  /** REAL image resize (Graphics2D bilinear): image payloads are decoded,
+    * scaled so the longest side is ≤ maxSide (aspect preserved, floor
+    * arithmetic matching [[resizePlan]]), and re-encoded as PNG. Non-image
+    * rows pass through untouched. */
+  def resizeImages(media: DataFrame, maxSide: Int = 256): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.select("media_id", "kind", "width", "height", "sample_rate", "n_frames", "payload")
+      .as(Encoders.product[MediaRow])
+      .mapPartitions(_.map { r =>
+        if (!ImageCodec.isPng(r.payload)) r
+        else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) r
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val longest = math.max(w, h)
+            if (longest <= maxSide) r
+            else {
+              val (tw, th) = (math.max(1, w * maxSide / longest), math.max(1, h * maxSide / longest))
+              val out = new java.awt.image.BufferedImage(tw, th,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, tw, th, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              r.copy(width = Some(tw), height = Some(th), payload = bos.toByteArray)
+            }
+          }
+        }
+      }).toDF()
+  }
 
   /** "Resize" planning stage: compute target dims as metadata (the real
     * pixel work would live in DecodeStub). */

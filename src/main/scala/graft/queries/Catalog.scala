@@ -626,38 +626,38 @@ object Catalog {
       },
       Some(annExactTopKSql)),
 
-    // multimodal: image rows are REAL PNGs decoded by javax.imageio, audio
-    // rows REAL WAVs decoded by javax.sound.sampled — the oracle predicts
-    // genuinely decoded dims / frame counts / signal means (constant-gray
-    // pixels and constant-amplitude PCM make them exact; WAV container =
-    // canonical 44-byte header + 2 bytes/sample). Video rides the stub
-    // header (no JDK video codec). n_bytes is SQL-derivable for WAV and
-    // stub payloads but not PNG (encoder-dependent), so the gate nulls it
-    // for images; mean level is NULL for the stub kind.
+    // multimodal: ALL THREE kinds really encoded and really decoded —
+    // images as PNGs (javax.imageio), audio as WAV PCM
+    // (javax.sound.sampled), video as the real-frame container of PNG
+    // frames. The oracle predicts genuinely decoded dims / frame counts /
+    // signal means (constant-gray pixels and constant-amplitude PCM make
+    // them exact; WAV container = canonical 44 bytes + 2 bytes/sample;
+    // video mean luma = mean of per-frame grays (id+i)%256). n_bytes is
+    // SQL-derivable only for WAV (PNG encoder output isn't), so the gate
+    // nulls it for image and video kinds.
     Q("multimodal_features",
       (s, d) => graft.multimodal.Multimodal.extractFeatures(
           graft.multimodal.Multimodal.syntheticMedia(s, s"$d/documents.parquet"))
         .toDF()
         .select(col("media_id"), col("kind"),
-          when(col("kind") === "image", lit(null)).otherwise(col("n_bytes"))
+          when(col("kind") === "audio", col("n_bytes")).otherwise(lit(null))
             .cast("long").as("n_bytes"),
           col("header_ok"), col("width"), col("height"), col("n_frames"),
-          col("sample_rate"),
-          when(col("kind") === "video", lit(null)).otherwise(col("mean_luma_x1000"))
-            .cast("long").as("mean_luma_x1000")),
+          col("sample_rate"), col("mean_luma_x1000")),
       Some("""SELECT doc_id AS media_id,
           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
-          CASE WHEN doc_id % 3 = 0 THEN NULL
-            WHEN doc_id % 3 = 1 THEN CAST(44 + 2 * (doc_id % 30 + 1) AS BIGINT)
-            ELSE CAST(16 + octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+          CASE WHEN doc_id % 3 = 1 THEN CAST(44 + 2 * (doc_id % 30 + 1) AS BIGINT)
+            ELSE NULL END AS n_bytes,
           TRUE AS header_ok,
           CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE doc_id % 64 + 1 END AS INT) AS width,
           CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE doc_id % 48 + 1 END AS INT) AS height,
           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE doc_id % 30 + 1 END AS INT) AS n_frames,
           CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
-          CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id % 256) * 1000 // 255 AS BIGINT)
-            WHEN doc_id % 3 = 1 THEN CAST((doc_id % 256) * 128 * 1000 // 32768 AS BIGINT)
-            ELSE NULL END AS mean_luma_x1000
+          CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 256) * 1000 // 255
+            WHEN doc_id % 3 = 1 THEN (doc_id % 256) * 128 * 1000 // 32768
+            ELSE list_sum(list_transform(range(0, CAST(doc_id % 30 + 1 AS BIGINT)),
+              i -> (doc_id + i) % 256)) * 1000 // ((doc_id % 30 + 1) * 255)
+            END AS BIGINT) AS mean_luma_x1000
         FROM documents""")),
 
     Q("multimodal_frame_sample",
@@ -667,6 +667,43 @@ object Catalog {
       Some("""SELECT doc_id AS media_id,
           unnest(range(0, CAST(doc_id % 30 + 1 AS BIGINT), 10)) AS frame_idx
         FROM documents WHERE doc_id % 3 = 2""")),
+
+    // REAL per-frame decode: every 10th frame is parsed out of the video
+    // container and pixel-decoded; the oracle predicts each sampled
+    // frame's dims and exact constant-gray luma
+    Q("multimodal_frame_decode",
+      (s, d) => graft.multimodal.Multimodal.sampleFrameFeatures(
+          graft.multimodal.Multimodal.syntheticMedia(s, s"$d/documents.parquet"))
+        .toDF(),
+      Some("""WITH f AS (SELECT doc_id,
+            unnest(range(0, CAST(doc_id % 30 + 1 AS BIGINT), 10)) AS i
+          FROM documents WHERE doc_id % 3 = 2)
+        SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+          CAST(doc_id % 64 + 1 AS INT) AS width,
+          CAST(doc_id % 48 + 1 AS INT) AS height,
+          CAST(((doc_id + i) % 256) * 1000 // 255 AS BIGINT) AS mean_luma_x1000
+        FROM f""")),
+
+    // REAL image resize (Graphics2D bilinear, aspect-preserving floor
+    // arithmetic): resized constant-gray pixels keep their exact luma,
+    // dims follow the resize plan formula
+    Q("multimodal_resize",
+      (s, d) => graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.resizeImages(
+            graft.multimodal.Multimodal.syntheticMedia(s, s"$d/documents.parquet"),
+            maxSide = 16))
+        .toDF()
+        .filter(col("kind") === "image")
+        .select("media_id", "width", "height", "mean_luma_x1000"),
+      Some("""WITH m AS (SELECT doc_id,
+            CAST(doc_id % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h
+          FROM documents WHERE doc_id % 3 = 0),
+          d AS (SELECT doc_id, w, h, greatest(w, h) AS lg FROM m)
+        SELECT doc_id AS media_id,
+          CAST(CASE WHEN lg <= 16 THEN w ELSE greatest(1, w * 16 // lg) END AS INT) AS width,
+          CAST(CASE WHEN lg <= 16 THEN h ELSE greatest(1, h * 16 // lg) END AS INT) AS height,
+          CAST((doc_id % 256) * 1000 // 255 AS BIGINT) AS mean_luma_x1000
+        FROM d""")),
 
     // CAPSTONE: SCD2-ingested corpus (edits + deletions) → current state →
     // quality filter → exact dedup, composed end-to-end — the shape of a

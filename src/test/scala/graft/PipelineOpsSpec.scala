@@ -268,7 +268,7 @@ class PipelineOpsSpec extends SparkSuite {
     assert(hot == Seq(1L))
   }
 
-  test("multimodal: real PNG decode for images, real WAV decode for audio, stub for video") {
+  test("multimodal: real decode for all three kinds (PNG, WAV, PNG-frame video)") {
     val tmp = tmpDir("graft-mm")
     docs((7L, "hello media world"), (8L, "payload two"), (9L, "third"))
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
@@ -283,11 +283,24 @@ class PipelineOpsSpec extends SparkSuite {
     assert(feats(7L).sample_rate == 16000)    // decoded, not metadata
     assert(feats(7L).n_bytes == 44 + 2 * 8)   // canonical WAV container
     assert(feats(7L).mean_luma_x1000 == (7 % 256) * 128L * 1000 / 32768) // const amplitude
-    // id 8 → video: stub header path (no JDK video codec)
+    // id 8 → video: real-frame container, every frame a genuine PNG
     assert(feats(8L).header_ok)
     assert(feats(8L).width == (8 % 64 + 1))
     assert(feats(8L).height == (8 % 48 + 1))
-    assert(feats(8L).n_bytes == 16 + "payload two".getBytes("UTF-8").length)
+    assert(feats(8L).n_frames == 9) // 8 % 30 + 1 container frames
+    // mean luma across frames: grays 8..16 → sum 108 over 9 frames
+    assert(feats(8L).mean_luma_x1000 == 108L * 1000 / (9 * 255))
+    // real per-frame decode: frame 0 only at everyK=10, exact gray 8
+    val ff = Multimodal.sampleFrameFeatures(media, everyK = 10).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f).toMap
+    assert(ff.keySet == Set((8L, 0)))
+    assert(ff((8L, 0)).width == 9 && ff((8L, 0)).mean_luma_x1000 == 8L * 1000 / 255)
+    // real resize: longest side 9 <= 16 → untouched; force a downscale
+    val resized = Multimodal.extractFeatures(
+      Multimodal.resizeImages(media, maxSide = 4)).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(resized(9L).width == math.max(1, 10 * 4 / 10) && resized(9L).height == 4)
+    assert(resized(9L).mean_luma_x1000 == 9L * 1000 / 255) // constant gray survives
     // id 9 → image: a REAL PNG, decoded by javax.imageio from actual pixels
     assert(feats(9L).header_ok)
     assert(feats(9L).width == (9 % 64 + 1))
