@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared persisted-intermediate registry for the pipeline operators:
+  * every multi-consumer persist is tracked so batch drivers can release
+  * exactly the operator intermediates ([[release]]) instead of nuking the
+  * whole session cache. */
+private[operators] object Caching {
+
+  // DataFrame refs are tiny (plans, not data)
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  def spillPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    tracked.add(p)
+    p
+  }
+
+  /** spillPersist + EAGER materialization. A lazily-persisted plan whose
+    * consumers are materialized as CONCURRENT AQE query stages gets
+    * recomputed once per racing stage (the cache dedupes storage, not
+    * computation — measured 8× duplicate tokenize+simhash runs in one
+    * gate). At 100 TB that race would duplicate the corpus pass; forcing
+    * the cache once up front is the scale-correct shape, not a bench
+    * tweak. Also REQUIRED for correctness wherever a nondeterministic
+    * partitioning (range sampling) feeds two actions. */
+  def spillPersistEager(df: DataFrame): DataFrame = {
+    val p = spillPersist(df)
+    p.count()
+    p
+  }
+
+  /** Unpersist every tracked intermediate registered since the last call. */
+  def release(): Unit = {
+    var d = tracked.poll()
+    while (d != null) { d.unpersist(blocking = false); d = tracked.poll() }
+  }
+}

@@ -30,37 +30,13 @@ import graft.functions.TextFunctions._
   * entries otherwise accumulate local disk for the session's lifetime.
   */
 object Dedup {
+  import Caching.{spillPersist, spillPersistEager}
 
-  // registry of persisted intermediates so callers get a precise cleanup
-  // handle; DataFrame refs are tiny (plans, not data)
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  private def spillPersist(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    tracked.add(p)
-    p
-  }
-
-  /** spillPersist + EAGER materialization. A lazily-persisted plan whose
-    * consumers are materialized as CONCURRENT AQE query stages gets
-    * recomputed once per racing stage (the cache dedupes storage, not
-    * computation — measured 8× duplicate tokenize+simhash runs in one
-    * gate). At 100 TB that race would duplicate the corpus pass; forcing
-    * the cache once up front is the scale-correct shape, not a bench
-    * tweak. */
-  private def spillPersistEager(df: DataFrame): DataFrame = {
-    val p = spillPersist(df)
-    p.count()
-    p
-  }
-
-  /** Unpersist every intermediate the dedup operators persisted since the
-    * last call. Call AFTER the returned DataFrame has been consumed (an
-    * unreleased plan re-executed later just recomputes — correct, slower). */
-  def releaseIntermediates(): Unit = {
-    var d = tracked.poll()
-    while (d != null) { d.unpersist(blocking = false); d = tracked.poll() }
-  }
+  /** Unpersist every intermediate the pipeline operators persisted since
+    * the last call (shared registry — see [[Caching.release]]). Call AFTER
+    * the returned DataFrame has been consumed (an unreleased plan
+    * re-executed later just recomputes — correct, slower). */
+  def releaseIntermediates(): Unit = Caching.release()
 
   /** Exact dedup on the normalized-text fingerprint. Returns one row per
     * distinct content: (fingerprint, keep_id = min id, dupes). */

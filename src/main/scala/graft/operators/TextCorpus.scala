@@ -77,4 +77,63 @@ object TextCorpus {
     * bit-for-bit. Requires an integral key column. */
   def lcgBucket(key: Column): Column =
     pmod(pmod(key.cast("long") * 1103515245L + 12345L, lit(2147483648L)), lit(1000L))
+
+  /** Sequence packing (concat-then-chunk): documents are concatenated in
+    * `idCol` order and split into `capacity`-token context windows; each
+    * doc reports its global token start offset and the first/last chunk
+    * it lands in — the bookkeeping a pretraining batch builder needs.
+    *
+    * The global running sum does NOT use a single-partition window (the
+    * classic scale trap): rows are RANGE-partitioned by id, each
+    * partition computes a local cumsum, and the per-partition totals — a
+    * tiny driver-side array — become broadcast base offsets. Two narrow
+    * passes, no global sort on one executor, same answer at any
+    * partition count (offsets depend only on id order, not boundaries). */
+  def concatChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      capacity: Int, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    // persisted EAGERLY: range-partition boundaries are sample-based, so
+    // the totals action and the final plan MUST see the same partitioning
+    // (and the tokenize pass runs once, not twice)
+    val counted = Caching.spillPersistEager(df
+      .select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .repartitionByRange(nParts, col(idCol))
+      .withColumn("__pid", spark_partition_id()))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(idCol)
+    val local = counted.withColumn("__cum", sum("n_tokens").over(w))
+    // per-partition totals: ≤ nParts rows — driver prefix-sum + broadcast
+    val partTotals = counted.groupBy("__pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bases: Map[Int, Long] = {
+      val sorted = partTotals.keys.toSeq.sorted
+      sorted.zip(sorted.scanLeft(0L)((acc, p) => acc + partTotals(p)).init).toMap
+    }
+    val baseCol = bases.foldLeft(lit(0L)) { case (acc, (pid, base)) =>
+      when(col("__pid") === pid, base).otherwise(acc)
+    }
+    local
+      .withColumn("start_offset", col("__cum") - col("n_tokens") + baseCol)
+      .withColumn("first_chunk", floor(col("start_offset") / capacity))
+      .withColumn("last_chunk",
+        floor((col("start_offset") + col("n_tokens") - 1) / capacity))
+      .select(idCol, "n_tokens", "start_offset", "first_chunk", "last_chunk")
+  }
+
+  /** Per-(doc, term) statistics — the exact-integer core of TF-IDF:
+    * tf counts OCCURRENCES in the doc, df counts DOCUMENTS containing the
+    * term. One explode + two count shuffles (map-side combined); the
+    * float idf weighting is left to the caller (log choices vary), so
+    * every number here is engine-exact. */
+  def termStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = occ.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfq = occ.select(col(idCol), col("term")).dropDuplicates(idCol, "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfq, "term").select(col(idCol), col("term"), col("tf"), col("df"))
+  }
 }

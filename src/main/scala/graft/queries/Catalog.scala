@@ -563,6 +563,33 @@ object Catalog {
         FROM tp t JOIN bp b ON t.s = b.s
         GROUP BY 1, 2 HAVING count(*) >= 5""")),
 
+    // sequence packing (concat-then-chunk): distributed prefix-sum offsets
+    // vs a plain window-cumsum truth — same numbers at any partition count
+    Q("pack_concat_chunks",
+      (s, d) => TextCorpus.concatChunks(t(s, d, "documents"), "doc_id", "text",
+        capacity = 2048),
+      Some(s"""WITH c AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+            FROM documents),
+          o AS (SELECT doc_id, n_tokens,
+            sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s
+            FROM c)
+        SELECT doc_id, n_tokens, CAST(s AS BIGINT) AS start_offset,
+          CAST(s // 2048 AS BIGINT) AS first_chunk,
+          CAST((s + n_tokens - 1) // 2048 AS BIGINT) AS last_chunk
+        FROM o""")),
+
+    // exact-integer TF-IDF core: per-(doc, term) occurrence counts joined
+    // with document frequency (float idf weighting is caller policy)
+    Q("text_term_stats",
+      (s, d) => TextCorpus.termStats(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH occ AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM occ GROUP BY 1, 2),
+          dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM occ GROUP BY 1)
+        SELECT doc_id, term, tf, df FROM tf JOIN dfq USING (term)""")),
+
     // deterministic stratified sampling: LCG bucket arithmetic reproduces
     // bit-for-bit in any engine — the training-mix rate table, with the
     // 'es' stratum deliberately absent (dropped entirely)

@@ -107,6 +107,28 @@ class DedupGuardSpec extends SparkSuite {
     assert(out == Map((1L, 100L) -> 4L, (3L, 100L) -> 2L))
   }
 
+  test("concat-chunk packing: distributed prefix-sum invariant to partition count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xFACC)
+    val docs = (0L until 200L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "))).toDF("doc_id", "text")
+    def run(parts: Int) = TextCorpus.concatChunks(docs, "doc_id", "text",
+        capacity = 100, partitions = parts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val one = run(1)      // trivially correct: single-partition cumsum
+    assert(run(7) == one) // distributed offsets must agree exactly
+    assert(run(64) == one) // more partitions than data
+    // offsets are a gapless concatenation
+    one.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 == a._3 + a._2, s"gap between ${a._1} and ${b._1}") }
+    assert(one.head._3 == 0L)
+    // chunk spans follow the arithmetic
+    one.foreach { case (_, n, s, fc, lc) =>
+      assert(fc == s / 100 && lc == (s + n - 1) / 100) }
+    Dedup.releaseIntermediates()
+  }
+
   test("embedding guard: clustered corpus is split by refinement, planted dups survive") {
     val dim = 16
     val n = 100
