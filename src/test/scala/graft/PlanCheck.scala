@@ -17,12 +17,42 @@ object PlanCheck {
     spark.sparkContext.setLogLevel("ERROR")
     val interesting = Seq(
       "q1_agg", "q3_top_orders", "p3_watermark", "p1_projection",
-      "j1_anti_join", "w1_latest_per_key", "dedup_simhash", "ann_topk_bruteforce")
+      "j1_anti_join", "w1_latest_per_key", "dedup_simhash", "ann_topk_bruteforce",
+      "text_decontaminate", "pack_concat_chunks", "text_term_stats")
     val fns = SparkEntry.queries
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       fns(name)(spark, sfDir).explain("formatted")
     }
+
+    // automated invariants over the optimized plans (things that silently
+    // rot: lost pushdown, de-broadcast joins, accidental global windows)
+    def planOf(name: String): String = {
+      val df = fns(name)(spark, sfDir)
+      df.queryExecution.executedPlan.toString + "\n" +
+        df.queryExecution.optimizedPlan.toString
+    }
+    val checks: Seq[(String, String, String => Boolean)] = Seq(
+      ("q1_agg", "filter pushed to parquet scan",
+        p => p.contains("PushedFilters: [IsNotNull") || p.contains("PushedFilters: [")),
+      ("q3_top_orders", "dimension joins broadcast",
+        p => p.contains("BroadcastHashJoin")),
+      ("j1_anti_join", "anti join broadcast",
+        p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
+      ("text_decontaminate", "bench posting list broadcast",
+        p => p.contains("BroadcastHashJoin")),
+      ("pack_concat_chunks", "cumsum window partitioned (no global single-partition sort)",
+        p => p.contains("__pid") && !p.contains("windowspecdefinition()")),
+      ("ann_topk_bruteforce", "top-k via TakeOrdered, not global sort",
+        p => p.contains("TakeOrderedAndProject")))
+    println("\n========== invariants ==========")
+    var failed = 0
+    checks.foreach { case (name, what, ok) =>
+      val pass = ok(planOf(name))
+      if (!pass) failed += 1
+      println(f"${if (pass) "PASS" else "FAIL"}  $name%-22s $what")
+    }
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }
