@@ -1,0 +1,231 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Bounded top-k aggregation state: a worst-first heap of (value, payload)
+  * pairs, "better" = larger value, tie-broken by smaller payload. */
+final class TopKState(val k: Int) {
+  // head = the WORST kept entry (smallest value, then largest payload) —
+  // the one a better candidate evicts
+  val pq: scala.collection.mutable.PriorityQueue[(Long, Long)] =
+    scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
+      Ordering.fromLessThan[(Long, Long)]((a, b) =>
+        if (a._1 != b._1) a._1 > b._1 else a._2 < b._2))
+
+  def offer(v: Long, p: Long): Unit =
+    if (pq.size < k) pq.enqueue((v, p))
+    else {
+      val w = pq.head
+      if (v > w._1 || (v == w._1 && p < w._2)) { pq.dequeue(); pq.enqueue((v, p)) }
+    }
+}
+
+/** Top-k (value, payload) pairs per group as a bounded-heap
+  * TypedImperativeAggregate — the scale-correct replacement for the
+  * `row_number() OVER (PARTITION BY g ORDER BY v DESC) <= k` window: the
+  * window SORTS every group's full row set; this keeps O(k) state per
+  * group with map-side partial aggregation, so a 100 TB top-3-per-brand
+  * never materializes or sorts the long tail. Output: array<struct<v,p>>
+  * ordered v desc, p asc (rank = array position + 1). */
+case class TopKPairs(
+    value: Expression, payload: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKState] {
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(value, payload)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (value.dataType == LongType && payload.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_topk expects (bigint, bigint), got " +
+        s"(${value.dataType.simpleString}, ${payload.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("v", LongType, nullable = false),
+    StructField("p", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKState = new TopKState(k)
+
+  override def update(b: TopKState, input: InternalRow): TopKState = {
+    val v = value.eval(input)
+    if (v != null) {
+      val p = payload.eval(input)
+      if (p != null) b.offer(v.asInstanceOf[Long], p.asInstanceOf[Long])
+    }
+    b
+  }
+
+  override def merge(b: TopKState, other: TopKState): TopKState = {
+    other.pq.foreach { case (v, p) => b.offer(v, p) }
+    b
+  }
+
+  override def eval(b: TopKState): Any = {
+    val sorted = b.pq.toArray.sortWith((a, x) =>
+      if (a._1 != x._1) a._1 > x._1 else a._2 < x._2)
+    new GenericArrayData(sorted.map { case (v, p) => InternalRow(v, p) })
+  }
+
+  override def serialize(b: TopKState): Array[Byte] = {
+    val arr = b.pq.toArray
+    val buf = ByteBuffer.allocate(8 + arr.length * 16)
+    buf.putLong(arr.length.toLong)
+    arr.foreach { case (v, p) => buf.putLong(v); buf.putLong(p) }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKState = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getLong.toInt
+    val b = new TopKState(k)
+    (0 until n).foreach(_ => b.offer(buf.getLong, buf.getLong))
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKPairs =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKPairs =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(value = newChildren(0), payload = newChildren(1))
+  override def prettyName: String = "graft_topk"
+}
+
+/** Misra-Gries frequent-items state over hashed (long) items: at most
+  * `capacity` counters. The classic bound survives distributed merging
+  * (mergeable-summaries form): any item with global count > n/(capacity+1)
+  * is guaranteed present in the merged candidate set. */
+final class MisraGriesState(val capacity: Int) {
+  val counts = new java.util.HashMap[Long, Long]()
+
+  def offer(item: Long): Unit = {
+    val cur = counts.getOrDefault(item, 0L)
+    if (cur > 0L) counts.put(item, cur + 1L)
+    else if (counts.size < capacity) counts.put(item, 1L)
+    else {
+      // classic Misra-Gries: decrement every counter, drop zeros, discard
+      // the incoming item
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+  }
+
+  /** Merge (mergeable-summaries): sum counters; if over capacity, subtract
+    * the (capacity+1)-th largest count from all and drop ≤ 0. */
+  def mergeIn(other: MisraGriesState): Unit = {
+    val it = other.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      counts.put(e.getKey, counts.getOrDefault(e.getKey, 0L) + e.getValue)
+    }
+    if (counts.size > capacity) {
+      val values = new Array[Long](counts.size)
+      val vit = counts.values().iterator()
+      var i = 0
+      while (vit.hasNext) { values(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(values)
+      val cut = values(counts.size - capacity - 1) // (capacity+1)-th largest
+      val eit = counts.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        val nv = e.getValue - cut
+        if (nv <= 0) eit.remove() else e.setValue(nv)
+      }
+    }
+  }
+}
+
+/** Misra-Gries candidate set (array of hashed items, sorted) — pass 1 of
+  * the exact two-pass heavy-hitters: bounded state per partition, merged
+  * map-side; pass 2 re-counts only the ≤ capacity candidates exactly. */
+case class MisraGries(
+    child: Expression, capacity: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MisraGriesState] {
+  require(capacity > 0, "capacity must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_misra_gries expects bigint, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): MisraGriesState = new MisraGriesState(capacity)
+
+  override def update(b: MisraGriesState, input: InternalRow): MisraGriesState = {
+    val v = child.eval(input)
+    if (v != null) b.offer(v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: MisraGriesState, other: MisraGriesState): MisraGriesState = {
+    b.mergeIn(other)
+    b
+  }
+
+  override def eval(b: MisraGriesState): Any = {
+    val keys = new Array[Long](b.counts.size)
+    val it = b.counts.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { keys(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(keys)
+    new GenericArrayData(keys)
+  }
+
+  override def serialize(b: MisraGriesState): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 + b.counts.size * 16)
+    buf.putLong(b.counts.size.toLong)
+    val it = b.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buf.putLong(e.getKey); buf.putLong(e.getValue)
+    }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MisraGriesState = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getLong.toInt
+    val b = new MisraGriesState(capacity)
+    (0 until n).foreach { _ =>
+      val k = buf.getLong; val c = buf.getLong
+      b.counts.put(k, c)
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGries =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGries =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGries =
+    copy(child = newChildren(0))
+  override def prettyName: String = "graft_misra_gries"
+}
+
+/** Column-API entry points for the native aggregates. */
+object NativeAgg {
+  def topKPairs(value: Column, payload: Column, k: Int): Column =
+    Bridge.column(TopKPairs(Bridge.expression(value), Bridge.expression(payload), k)
+      .toAggregateExpression())
+  def misraGries(item: Column, capacity: Int): Column =
+    Bridge.column(MisraGries(Bridge.expression(item), capacity)
+      .toAggregateExpression())
+}

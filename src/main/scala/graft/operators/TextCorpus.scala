@@ -123,6 +123,31 @@ object TextCorpus {
       .select(idCol, "n_tokens", "start_offset", "first_chunk", "last_chunk")
   }
 
+  /** EXACT heavy hitters via the two-pass sketch+verify shape: pass 1 runs
+    * a Misra-Gries sketch (bounded state, map-side mergeable — the
+    * guarantee: any term with count > n/(capacity+1) is in the candidate
+    * set); pass 2 re-counts ONLY the ≤ capacity candidates exactly and
+    * keeps those with count·k > n. Output = exactly the terms above the
+    * 1/k frequency threshold with exact counts — sketch speed, exact
+    * answer, at any scale (capacity defaults to 2k for slack). */
+  def heavyHitters(
+      df: DataFrame, textCol: String, k: Int,
+      capacity: Int = 0): DataFrame = {
+    val cap = if (capacity > 0) capacity else 2 * k
+    require(cap >= k, "capacity must be >= k for the n/k guarantee")
+    // occurrences feed both passes — tokenize once
+    val occ = Caching.spillPersistEager(
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("term")))
+    val row = occ.agg(
+      graft.functions.NativeAgg.misraGries(xxhash64(col("term")), cap).as("cand"),
+      count(lit(1)).as("n")).head()
+    val cands = row.getSeq[Long](0)
+    val n = row.getLong(1)
+    occ.filter(xxhash64(col("term")).isin(cands: _*))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > n)
+  }
+
   /** Per-(doc, term) statistics — the exact-integer core of TF-IDF:
     * tf counts OCCURRENCES in the doc, df counts DOCUMENTS containing the
     * term. One explode + two count shuffles (map-side combined); the

@@ -176,6 +176,34 @@ object Catalog {
         FROM part
         QUALIFY rn <= 3""")),
 
+    // the same top-3-per-brand as w2_topn_per_group, but via the bounded-
+    // heap TypedImperativeAggregate instead of a sort-based window: O(k)
+    // state per group + map-side combine — no full per-group sort at
+    // 100 TB. Same oracle ⇒ the two formulations must agree exactly.
+    Q("w2_topn_agg",
+      (s, d) => t(s, d, "part")
+        .groupBy("p_brand")
+        .agg(graft.functions.NativeAgg.topKPairs(
+          (col("p_retailprice") * 100).cast("long"), col("p_partkey"), 3).as("tk"))
+        .select(col("p_brand"), posexplode(col("tk")))
+        .select(col("p_brand"), col("col.p").as("p_partkey"),
+          (col("pos") + 1).cast("long").as("rn")),
+      Some("""SELECT p_brand, p_partkey, CAST(row_number() OVER
+          (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+        FROM part
+        QUALIFY rn <= 3""")),
+
+    // EXACT heavy hitters (terms above 1/40 of all occurrences): pass 1
+    // Misra-Gries candidates (bounded mergeable state), pass 2 exact
+    // re-count of candidates — output provably equals the brute-force
+    // HAVING, which is what the oracle computes
+    Q("text_heavy_hitters",
+      (s, d) => TextCorpus.heavyHitters(t(s, d, "documents"), "text", k = 40),
+      Some(s"""WITH occ AS (SELECT unnest($toksSql) AS term FROM documents),
+          tot AS (SELECT count(*) AS n FROM occ)
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM occ, tot GROUP BY term, n HAVING count(*) * 40 > n""")),
+
     // 4-way dim join with two broadcasts (supplier→nation→region star arm)
     Q("q5_multi_join",
       (s, d) => t(s, d, "supplier")
@@ -406,8 +434,10 @@ object Catalog {
   // --------------------------------------------- training-data pipeline ops
 
   /** DuckDB mirror of TextFunctions.normalizeWs. */
-  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-  private val toksSql = s"string_split($normSql, ' ')"
+  // defs, not vals: these are referenced from gate Seqs that initialize
+  // BEFORE this point in the object body — a val would interpolate null
+  private def normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private def toksSql = s"string_split($normSql, ' ')"
   private def stopSql(w: String) =
     s"CAST(len(list_filter($toksSql, x -> x = '$w')) AS BIGINT)"
   private val stopWordsSql =

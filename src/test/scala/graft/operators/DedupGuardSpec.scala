@@ -129,6 +129,46 @@ class DedupGuardSpec extends SparkSuite {
     Dedup.releaseIntermediates()
   }
 
+  test("topk aggregate: equals the window formulation on randomized groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(0x70CC)
+    // duplicate values across groups probe the tie-break (value desc, payload asc)
+    val rows = (0L until 3000L).map(i => (s"g${i % 17}", rnd.nextInt(50).toLong, i))
+    val df = rows.toDF("g", "v", "p")
+    val viaWindow = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc, col("p"))).cast("long"))
+      .filter(col("rn") <= 5).select("g", "p", "rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaAgg = df.groupBy("g")
+      .agg(graft.functions.NativeAgg.topKPairs(col("v"), col("p"), 5).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), col("col.p"), (col("pos") + 1).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("heavy hitters: exact above-threshold terms on a skewed stream") {
+    import spark.implicits._
+    // 40 "hot" docs of one token + a long tail, shuffled across partitions
+    val hot = Seq.fill(500)("hotword")
+    val tail = (0 until 3000).map(i => s"tail${i % 800}")
+    val mid = Seq.fill(200)("warmword")
+    val words = new scala.util.Random(7).shuffle(hot ++ tail ++ mid)
+    val docs = words.grouped(25).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    // n = 3700 total occurrences
+    val out = TextCorpus.heavyHitters(docs.repartition(8), "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact truth at threshold n/10 = 370: only hotword (500)
+    assert(out == Map("hotword" -> 500L))
+    // looser threshold (n/20 = 185) catches warmword exactly too
+    val out2 = TextCorpus.heavyHitters(docs, "text", k = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 == Map("hotword" -> 500L, "warmword" -> 200L))
+    Dedup.releaseIntermediates()
+  }
+
   test("embedding guard: clustered corpus is split by refinement, planted dups survive") {
     val dim = 16
     val n = 100
