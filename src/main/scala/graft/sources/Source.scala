@@ -61,6 +61,27 @@ final class ParquetSource(
   def primaryKeys(spark: SparkSession): Seq[String] = pks
 }
 
+/** Any Spark file format as a source — parquet/csv/json/orc share one
+  * shape (the reference only reads ODBC; file drops land in the same SCD2
+  * engine here). CSV/JSON usually want an explicit `schema` — inference
+  * reads the data twice and can flip types between runs, which would
+  * break delta-column comparisons. */
+final class FileSource(
+    path: String,
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty,
+    schema: Option[org.apache.spark.sql.types.StructType] = None,
+    pks: Seq[String] = Nil,
+    val transformationHook: DataFrame => DataFrame = identity) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val base = spark.read.format(format).options(options)
+    val withSchema = schema.fold(base)(base.schema)
+    transformationHook(withSchema.load(path))
+  }
+  def columns(spark: SparkSession): Seq[ColInfo] = ColInfo.fromSchema(read(spark).schema)
+  def primaryKeys(spark: SparkSession): Seq[String] = pks
+}
+
 /** Any DataFrame as a source — the query-as-source path
   * (reference write_init.py:115,138-141: arbitrary sqlglot query wrapped as a
   * subquery; here the "subquery" is just the DataFrame itself and Catalyst
