@@ -291,9 +291,10 @@ object Multimodal {
   }
 
   /** Decode/feature-extract stage: one iterator per partition (constant
-    * memory, batch-friendly — the mapInPandas shape). PNG payloads take the
-    * real ImageIO path, WAV payloads the real javax.sound path;
-    * stub-headered payloads (video) take the fake codec. */
+    * memory, batch-friendly — the mapInPandas shape). PNG payloads take
+    * the real ImageIO path, WAV payloads the real javax.sound path, GFV
+    * containers the real per-frame video path; only unrecognized
+    * stub-magic payloads fall back to the fake codec. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.select("media_id", "kind", "width", "height", "sample_rate", "n_frames", "payload")

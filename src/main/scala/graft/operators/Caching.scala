@@ -31,7 +31,12 @@ private[operators] object Caching {
     p
   }
 
-  /** Unpersist every tracked intermediate registered since the last call. */
+  /** Unpersist every tracked intermediate registered since the last call.
+    * PROCESS-WIDE: call between batches, not while another pipeline's
+    * returned DataFrame is still un-consumed on a different thread — its
+    * intermediates would be released too (re-execution then recomputes;
+    * all operators are deterministic under recomputation, so results stay
+    * correct, just slower). */
   def release(): Unit = {
     var d = tracked.poll()
     while (d != null) { d.unpersist(blocking = false); d = tracked.poll() }

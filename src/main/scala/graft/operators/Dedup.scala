@@ -258,9 +258,12 @@ object Dedup {
       s"maxHamming ($maxHamming) must be < numChunks ($numChunks) for pigeonhole-complete recall")
     val w = 64 / numChunks
     val numSub = maxHamming + 1
-    require(64 - w >= numSub,
-      s"complement bits (${64 - w}) must fit maxHamming+1 ($numSub) sub-chunks")
-    val subW = (64 - w) / numSub
+    // sub-banding needs complement bits to band on; numChunks=1 (exact
+    // 64-bit signature match, maxHamming=0) has none — hot buckets there
+    // are identical-signature groups whose pairs are ALL true output, so
+    // the plain bucket join is the only (and correct) plan
+    val subBand = 64 - w >= numSub
+    val subW = if (subBand) (64 - w) / numSub else 1
     val mask = if (w == 64) -1L else (1L << w) - 1L
     val withSig = simhashed(df, idCol, textCol)
     // every downstream branch (size census, ok-side, hot-side, both join
@@ -271,10 +274,15 @@ object Dedup {
         struct(c.as("chunk"),
           call_function("shiftright", col("sig"), c * w).bitwiseAND(lit(mask)).as("key")))).as("b"))
       .select(col("id"), col("sig"), col("b.chunk").as("chunk"), col("b.key").as("key")))
-    // oversized-bucket census: tiny (≤ numChunks · 2^w keys), broadcast
-    val oversized = banded.groupBy("chunk", "key")
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
-      .select("chunk", "key")
+    // oversized-bucket census: tiny (≤ numChunks · 2^w keys), broadcast.
+    // With sub-banding unavailable the census is skipped and every bucket
+    // takes the plain path.
+    val oversized =
+      if (subBand)
+        banded.groupBy("chunk", "key")
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
+          .select("chunk", "key")
+      else banded.select("chunk", "key").limit(0)
     // ok rows keep a sentinel (sub, skey) = (-1, 0): they join only within
     // their bucket. Hot rows explode real sub-keys. Tagging BEFORE a
     // single self-join on the 4-part key means ONE shuffle join total,
@@ -385,6 +393,9 @@ object Dedup {
       converged = changed == 0
       iters += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIters rounds — a component's " +
+        "diameter exceeds maxIters; raise maxIters (labels would be silently wrong)")
     labels
   }
 
@@ -426,9 +437,13 @@ object Dedup {
     val okPairs = ok.select(col("b"), col("id").as("id_a"), col("v").as("v_a"))
       .join(ok.select(col("b"), col("id").as("id_b"), col("v").as("v_b")), Seq("b"))
       .select("id_a", "id_b", "v_a", "v_b")
+    // the refinement key comes from the ROW'S OWN table (b encodes table
+    // t in its high bits): per-table-independent seed streams keep the
+    // multi-table recall independence through the split
     val hot = withB.join(broadcast(oversized), Seq("b"), "left_semi")
       .select(col("b"), col("id"), col("v"),
-        Similarity.refineKey(col("v"), refinePlanes, dim).as("b2"))
+        element_at(Similarity.refineKeys(col("v"), refinePlanes, dim, tables),
+          call_function("shiftrightunsigned", col("b"), lit(32)).cast("int") + 1).as("b2"))
     val hotPairs = hot.select(col("b"), col("b2"), col("id").as("id_a"), col("v").as("v_a"))
       .join(hot.select(col("b"), col("b2"), col("id").as("id_b"), col("v").as("v_b")),
         Seq("b", "b2"))

@@ -115,10 +115,21 @@ object Similarity {
     * INDEPENDENT seed stream (table index far outside any real table
     * range) — used to split oversized LSH buckets without correlating
     * with the bucketing planes. Returns a single long key. */
-  private[operators] def refineKey(vec: Column, planes: Int, dim: Int): Column = {
-    val mat: Array[Array[Double]] =
-      Array.tabulate(planes)(p => Array.tabulate(dim)(i => planeComponent(0x7ef1e, p, i)))
-    element_at(graft.functions.NativeHash.hyperplaneSig(vec, mat, planes, 1), 1)
+  private[operators] def refineKey(vec: Column, planes: Int, dim: Int): Column =
+    element_at(refineKeys(vec, planes, dim, 1), 1)
+
+  /** Per-TABLE refinement signatures (array of `tables` keys, seed stream
+    * varying with the table index): a hot cell in table t is split by
+    * planes INDEPENDENT of every other table's, so a merely-close pair
+    * that loses one table's refinement coin-flip keeps its independent
+    * chance in the others — a single shared refinement key would gate all
+    * tables with one Bernoulli trial and multiply recall down. */
+  private[operators] def refineKeys(vec: Column, planes: Int, dim: Int, tables: Int): Column = {
+    val mat: Array[Array[Double]] = Array.tabulate(tables * planes) { tp =>
+      val (t, p) = (tp / planes, tp % planes)
+      Array.tabulate(dim)(i => planeComponent(0x7ef1e + t, p, i))
+    }
+    graft.functions.NativeHash.hyperplaneSig(vec, mat, planes, tables)
   }
 
   // ------------------------------------------------------------------- IVF

@@ -72,11 +72,14 @@ object TextCorpus {
     df.filter(keep)
   }
 
-  /** The sampling bucket: ((key·1103515245 + 12345) mod 2^31) mod 1000 —
-    * plain integer arithmetic so any engine reproduces the selection
-    * bit-for-bit. Requires an integral key column. */
+  /** The sampling bucket: (((key mod 2^31)·1103515245 + 12345) mod 2^31)
+    * mod 1000 — the key is reduced BEFORE the multiply so the product
+    * stays ≤ 2^62 (no Long overflow: ANSI Spark would throw and a SQL
+    * mirror would disagree on wide keys); plain integer arithmetic so any
+    * engine reproduces the selection bit-for-bit. Integral keys only. */
   def lcgBucket(key: Column): Column =
-    pmod(pmod(key.cast("long") * 1103515245L + 12345L, lit(2147483648L)), lit(1000L))
+    pmod(pmod(pmod(key.cast("long"), lit(2147483648L)) * 1103515245L + 12345L,
+      lit(2147483648L)), lit(1000L))
 
   /** Sequence packing (concat-then-chunk): documents are concatenated in
     * `idCol` order and split into `capacity`-token context windows; each
@@ -84,28 +87,46 @@ object TextCorpus {
     * it lands in — the bookkeeping a pretraining batch builder needs.
     *
     * The global running sum does NOT use a single-partition window (the
-    * classic scale trap): rows are RANGE-partitioned by id, each
-    * partition computes a local cumsum, and the per-partition totals — a
-    * tiny driver-side array — become broadcast base offsets. Two narrow
-    * passes, no global sort on one executor, same answer at any
-    * partition count (offsets depend only on id order, not boundaries). */
+    * classic scale trap): rows are bucketed by DETERMINISTIC equal-width
+    * id ranges, each bucket computes a local cumsum, and the per-bucket
+    * totals — a tiny driver-side array — become broadcast base offsets.
+    * Two narrow passes, no global sort on one executor, same answer at
+    * any partition count (offsets depend only on id order). */
   def concatChunks(
       df: DataFrame, idCol: String, textCol: String,
       capacity: Int, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val nParts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    // persisted EAGERLY: range-partition boundaries are sample-based, so
-    // the totals action and the final plan MUST see the same partitioning
-    // (and the tokenize pass runs once, not twice)
+    // the bucket is a DETERMINISTIC function of the id VALUE (equal-width
+    // id ranges from a min/max probe) — NOT spark_partition_id over
+    // sample-based range partitioning, whose boundaries could differ
+    // between the totals action and the final plan (or on any
+    // re-execution after cache eviction), silently corrupting offsets.
+    // Mildly count-skewed buckets only skew work, never results.
+    val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    if (bounds.isNullAt(0))
+      return df.sparkSession.emptyDataFrame
+        .withColumn(idCol, lit(null).cast("long"))
+        .withColumn("n_tokens", lit(0L)).withColumn("start_offset", lit(0L))
+        .withColumn("first_chunk", lit(0L)).withColumn("last_chunk", lit(0L))
+        .limit(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1L)
+    // stride division (not multiply-then-divide) so huge id spans can't
+    // overflow; SQL DIV = true integer division (Column `/` is double and
+    // loses precision past 2^53); at most nParts buckets, some empty
+    val stride = span / nParts + 1L
+    val bucketOf = expr(s"CAST((CAST(`$idCol` AS BIGINT) - ${lo}L) DIV ${stride}L AS INT)")
+    // persisted eagerly: tokenize runs once, not once per consumer
     val counted = Caching.spillPersistEager(df
       .select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
-      .repartitionByRange(nParts, col(idCol))
-      .withColumn("__pid", spark_partition_id()))
+      .withColumn("__pid", bucketOf)
+      .repartition(nParts, col("__pid")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy(idCol)
     val local = counted.withColumn("__cum", sum("n_tokens").over(w))
-    // per-partition totals: ≤ nParts rows — driver prefix-sum + broadcast
+    // per-bucket totals: ≤ nParts rows — driver prefix-sum + broadcast
     val partTotals = counted.groupBy("__pid").agg(sum("n_tokens").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val bases: Map[Int, Long] = {

@@ -628,7 +628,7 @@ object Catalog {
           Map("en" -> 500, "de" -> 250, "fr" -> 100))
         .select("doc_id", "lang"),
       Some("""SELECT doc_id, lang FROM documents
-        WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000 <
+        WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000 <
           CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'fr' THEN 100 ELSE 0 END""")),
 
     // the synthetic embeddings have no true near-dups (max pairwise cosine

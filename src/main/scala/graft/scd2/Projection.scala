@@ -54,9 +54,17 @@ object Projection {
     if (isXid(c, cfg)) LongType
     else cfg.dataTypeMap.getOrElse(c.typeKey, c.dataType)
 
-  /** P1 over a whole relation. */
-  def select(df: DataFrame, cols: Seq[ColInfo], cfg: WriteConfig): DataFrame =
-    df.select(cols.map(sourceConvert(_, cfg)): _*)
+  /** P1 over a whole relation. Columns in `alreadyConverted` (lower-cased
+    * names) had their FULL conversion chain run source-side (pushdown) —
+    * they are only renamed here: re-applying trim/cap is not idempotent
+    * when the cap lands on whitespace. */
+  def select(df: DataFrame, cols: Seq[ColInfo], cfg: WriteConfig,
+      alreadyConverted: Set[String] = Set.empty): DataFrame =
+    df.select(cols.map { c =>
+      if (alreadyConverted(c.name.toLowerCase))
+        col(quoted(c.name)).as(cfg.getTargetName(c))
+      else sourceConvert(c, cfg)
+    }: _*)
 
   /** P2: the three system columns. `ts` defaults to the engine clock in UTC
     * (session TZ is pinned UTC; reference db_to_delta.py:91-101). */

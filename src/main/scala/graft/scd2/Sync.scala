@@ -112,13 +112,15 @@ final class Synchronizer(
 
   /** The source with P1 pushed into its remote SQL when it supports that
     * (JDBC): trims/caps/casts then run IN the source DB and converted
-    * bytes ship over the wire (reference db_to_delta.py:54-164). The
-    * Spark-side projection still applies on top — idempotent — so results
-    * never depend on the pushdown. */
-  private val effSource: graft.sources.Source = source match {
+    * bytes ship over the wire (reference db_to_delta.py:54-164). Columns
+    * fully converted source-side are only ALIASED by the Spark-side
+    * projection (re-applying trim/cap is not idempotent when a cap lands
+    * on whitespace); columns the dialect couldn't render stay fully
+    * Spark-side — either way results match the no-pushdown plan. */
+  private val (effSource: graft.sources.Source, pushedCols: Set[String]) = source match {
     case p: graft.sources.ProjectionPushdown if cfg.sourceSideProjection =>
-      p.pushedProjection(cols, cfg).getOrElse(source)
-    case _ => source
+      p.pushedProjection(cols, cfg).getOrElse((source, Set.empty[String]))
+    case _ => (source, Set.empty[String])
   }
 
   /** Source read with the per-stage transformation hook applied (reference
@@ -128,7 +130,15 @@ final class Synchronizer(
     cfg.transformationHook(effSource.read(spark), stage)
 
   private def srcProjected: DataFrame =
-    Projection.select(readSource("sql2delta"), cols, cfg)
+    Projection.select(readSource("sql2delta"), cols, cfg, pushedCols)
+
+  /** Per-column conversion over a PUSHED read: alias-only when the source
+    * already ran the chain, full sourceConvert otherwise. (Reads of the
+    * ORIGINAL source — e.g. the unhooked state probe — keep using
+    * Projection.sourceConvert directly.) */
+  private def convertOrAlias(c: ColInfo): Column =
+    if (pushedCols(c.name.toLowerCase)) col(s"`${c.name}`").as(targetName(c))
+    else Projection.sourceConvert(c, cfg)
 
   /** Engine clock, strictly monotonic per JVM: SCD2 ordering relies on
     * `__timestamp` strictly increasing across load steps even when steps run
@@ -248,7 +258,7 @@ final class Synchronizer(
       source.state(spark, Projection.sourceConvert(deltaCol.get, cfg))
     else {
       val row = readSource("source2py")
-        .agg(max(Projection.sourceConvert(deltaCol.get, cfg)).as("m"),
+        .agg(max(convertOrAlias(deltaCol.get)).as("m"),
           count(lit(1)).as("c")).head()
       SourceState(row.get(0), row.getLong(1))
     }
@@ -282,7 +292,7 @@ final class Synchronizer(
     val step1 = async {
       dest.primaryKeysTs.overwrite(
         readSource("sql2delta").select(
-          (pkCols ++ deltaCol.toSeq).distinct.map(Projection.sourceConvert(_, cfg)): _*))
+          (pkCols ++ deltaCol.toSeq).distinct.map(convertOrAlias): _*))
     }
 
     // step 2: rows with delta_col beyond the local watermark → delta_1 →

@@ -42,11 +42,16 @@ final class JdbcSource(
     * CAST/TRIM/caps in the source DB): wraps the target in a generated
     * SELECT whose items trim, cap and cast — a live sync then ships
     * converted bytes, not raw varchar(max). Partitioning/pk/type metadata
-    * carry over; column names are preserved via aliases. */
-  def pushedProjection(cols: Seq[graft.ColInfo], cfg: graft.WriteConfig): Option[Source] =
-    JdbcSqlGen.projectedSql(cols, cfg, url, tableOrQuery).map { sql =>
-      new JdbcSource(url, Right(sql), props, pks, partitionColumn,
-        numPartitions, sourceTypes, transformationHook)
+    * carry over; column names are preserved via aliases. Returns the
+    * pushed source plus the set of column names whose conversion ran
+    * ENTIRELY source-side — the engine must not re-apply trim/cap to
+    * those (re-trimming a capped value is not a no-op when the cap lands
+    * on whitespace). */
+  def pushedProjection(
+      cols: Seq[graft.ColInfo], cfg: graft.WriteConfig): Option[(Source, Set[String])] =
+    JdbcSqlGen.projectedSql(cols, cfg, url, tableOrQuery).map { case (sql, handled) =>
+      (new JdbcSource(url, Right(sql), props, pks, partitionColumn,
+        numPartitions, sourceTypes, transformationHook), handled)
     }
 
   private def base(spark: SparkSession): DataFrameReader = {
@@ -187,45 +192,56 @@ object JdbcSqlGen {
     case _ => None // unknown → leave the cast Spark-side
   }
 
-  /** One select item mirroring Projection.sourceConvert, or None when the
-    * column passes through untouched. */
+  /** One select item mirroring the FULL Projection.sourceConvert chain
+    * (cast → trim → cap), or None when the column passes through. ALL-OR-
+    * NOTHING per column: a chain that cannot be rendered completely (an
+    * unmappable cast type, a binary cap — SUBSTR over binary isn't
+    * portable) returns None and the whole conversion stays Spark-side.
+    * Partial rendering would either reorder the chain (cast after
+    * trim/cap) or double-apply non-idempotent steps (re-trimming a capped
+    * value drops legitimate trailing whitespace the cap produced). */
   private[sources] def selectItem(
       c: graft.ColInfo, cfg: graft.WriteConfig, url: String): Option[String] = {
     val dialect = JdbcDialects.get(url)
     val q = dialect.quoteIdentifier(c.name)
     val target = graft.scd2.Projection.targetType(c, cfg)
-    val cast =
+    val cast: Option[Option[String]] = // None=unrenderable, Some(None)=no cast needed
       if (graft.scd2.Projection.isXid(c, cfg))
         // the Postgres xmin path: xid has no direct numeric cast — go
         // through text like the reference (db_to_delta.py:73-77)
-        Some(s"CAST(CAST($q AS VARCHAR(32)) AS BIGINT)")
+        Some(Some(s"CAST(CAST($q AS VARCHAR(32)) AS BIGINT)"))
       else if (target != c.dataType) target match {
-        // a mapped string target capped at maxTextSize (or a portable
-        // default) — dialect getJDBCType would say CLOB/TEXT, which many
-        // engines refuse to compare or cast to
-        case StringType =>
-          Some(s"CAST($q AS VARCHAR(${cfg.maxTextSize.getOrElse(4000)}))")
+        // a mapped STRING target has no safe remote type: VARCHAR(n)
+        // would silently truncate (and many engines refuse CLOB math) —
+        // leave those conversions to Spark
+        case StringType => None
         case t => dialect.getJDBCType(t).map(_.databaseTypeDefinition)
           .orElse(ansiTypeName(t))
-          .map(tn => s"CAST($q AS $tn)")
+          .map(tn => Some(s"CAST($q AS $tn)"))
       }
-      else None
-    val base = cast.getOrElse(q)
-    val trimmed =
-      if (graft.scd2.Projection.needsTrim(c, cfg)) s"LTRIM(RTRIM($base))" else base
-    val capped = (target, cfg.maxTextSize) match {
-      // binary caps stay Spark-side: SUBSTR over binary is not portable
-      case (StringType, Some(n)) => s"${substrFn(url)}($trimmed, 1, $n)"
-      case _ => trimmed
+      else Some(None)
+    val needsCap = target == BinaryType && cfg.maxBinarySize.isDefined
+    cast match {
+      case None => None // cast needed but unrenderable → Spark-side
+      case _ if needsCap => None // binary cap unportable → Spark-side
+      case Some(castSql) =>
+        val base = castSql.getOrElse(q)
+        val trimmed =
+          if (graft.scd2.Projection.needsTrim(c, cfg)) s"LTRIM(RTRIM($base))" else base
+        val capped = (target, cfg.maxTextSize) match {
+          case (StringType, Some(n)) => s"${substrFn(url)}($trimmed, 1, $n)"
+          case _ => trimmed
+        }
+        if (capped == q) None else Some(s"$capped AS $q")
     }
-    if (capped == q) None else Some(s"$capped AS $q")
   }
 
-  /** Full generated SELECT over the original target, or None when every
-    * column passes through (no point wrapping). */
+  /** Full generated SELECT over the original target plus the set of
+    * (lower-cased) column names converted ENTIRELY source-side, or None
+    * when every column passes through (no point wrapping). */
   def projectedSql(
       cols: Seq[graft.ColInfo], cfg: graft.WriteConfig, url: String,
-      tableOrQuery: Either[String, String]): Option[String] = {
+      tableOrQuery: Either[String, String]): Option[(String, Set[String])] = {
     if (!cfg.sourceSideProjection) return None
     val dialect = JdbcDialects.get(url)
     val rendered = cols.map(c => selectItem(c, cfg, url) -> c)
@@ -233,11 +249,12 @@ object JdbcSqlGen {
     else {
       val items = rendered.map { case (item, c) =>
         item.getOrElse(dialect.quoteIdentifier(c.name)) }
+      val handled = rendered.collect { case (Some(_), c) => c.name.toLowerCase }.toSet
       val from = tableOrQuery match {
         case Left(table) => table
         case Right(query) => s"($query) graft_src"
       }
-      Some(s"SELECT ${items.mkString(", ")} FROM $from")
+      Some((s"SELECT ${items.mkString(", ")} FROM $from", handled))
     }
   }
 }

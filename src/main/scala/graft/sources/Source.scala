@@ -45,8 +45,12 @@ trait Source {
   * applies the Spark-side projection afterwards (idempotent), so this is
   * purely a bandwidth/pushdown optimization. */
 trait ProjectionPushdown { self: Source =>
-  /** A projected variant, or None when no column needs conversion. */
-  def pushedProjection(cols: Seq[graft.ColInfo], cfg: graft.WriteConfig): Option[Source]
+  /** A projected variant plus the lower-cased names of columns whose
+    * conversion ran ENTIRELY source-side (the engine aliases those
+    * instead of re-converting — re-applying trim/cap is not idempotent
+    * when a cap lands on whitespace), or None when nothing pushes. */
+  def pushedProjection(
+      cols: Seq[graft.ColInfo], cfg: graft.WriteConfig): Option[(Source, Set[String])]
 }
 
 /** Parquet-backed source table for the test harness — plays the role of the

@@ -110,7 +110,7 @@ class JdbcSourceSpec extends SparkSuite {
       ColInfo("BAL", DecimalType(10, 2), sourceType = Some("rowversion")), // mapped → BIGINT
       ColInfo("XMIN", IntegerType, sourceType = Some("xid")))      // xid double-cast
     val cfg = WriteConfig(maxTextSize = Some(10))
-    val sql = sources.JdbcSqlGen.projectedSql(cols, cfg, url, Left("APP.USERS")).get
+    val (sql, handled) = sources.JdbcSqlGen.projectedSql(cols, cfg, url, Left("APP.USERS")).get
     assert(sql.contains("""SUBSTR(LTRIM(RTRIM("NAME")), 1, 10) AS "NAME""""))
     // fixed-form identifiers are capped but NOT trimmed
     assert(sql.contains("""SUBSTR("TOKEN", 1, 10) AS "TOKEN""""))
@@ -119,10 +119,20 @@ class JdbcSourceSpec extends SparkSuite {
     assert(sql.contains("""CAST(CAST("XMIN" AS VARCHAR(32)) AS BIGINT) AS "XMIN""""))
     assert(sql.contains(""""ID"""") && !sql.contains("""TRIM("ID"""))
     assert(sql.endsWith("FROM APP.USERS"))
+    // the engine aliases exactly the fully-converted columns, no more
+    assert(handled == Set("name", "token", "bal", "xmin"))
     // query sources wrap as a derived table
-    val subq = sources.JdbcSqlGen.projectedSql(cols, cfg, url,
+    val (subq, _) = sources.JdbcSqlGen.projectedSql(cols, cfg, url,
       Right("SELECT * FROM APP.USERS")).get
     assert(subq.endsWith("FROM (SELECT * FROM APP.USERS) graft_src"))
+    // a column MAPPED to a string target has no safe remote type (a
+    // VARCHAR(n) cast would silently truncate) → passes through, stays
+    // Spark-side, and is NOT in the handled set
+    val mappedStr = Seq(ColInfo("BAL", DecimalType(10, 2), sourceType = Some("money")))
+    val strCfg = WriteConfig(dataTypeMap = Map("money" -> StringType),
+      maxTextSize = Some(10))
+    assert(sources.JdbcSqlGen.projectedSql(mappedStr, strCfg, url,
+      Left("APP.USERS")).isEmpty)
     // untouched schema → no wrapping at all
     assert(sources.JdbcSqlGen.projectedSql(
       Seq(ColInfo("ID", IntegerType)), WriteConfig(noTrim = true), url,
@@ -130,6 +140,33 @@ class JdbcSourceSpec extends SparkSuite {
     // opt-out flag
     assert(sources.JdbcSqlGen.projectedSql(cols,
       cfg.copy(sourceSideProjection = false), url, Left("APP.USERS")).isEmpty)
+  }
+
+  test("P1 pushdown is value-identical to the no-pushdown plan (cap on whitespace)") {
+    conn
+    val st = conn.createStatement()
+    st.executeUpdate("""CREATE TABLE APP.WS (
+      ID INT NOT NULL PRIMARY KEY, NAME VARCHAR(60), VER BIGINT NOT NULL)""")
+    val ps = conn.prepareStatement("INSERT INTO APP.WS VALUES (?, ?, ?)")
+    // 'john     q' capped at 5 AFTER trim = 'john ' — the regression case:
+    // a Spark-side RE-trim of the pushed value would drop that space
+    Seq((1, "  john     q  "), (2, "plain"), (3, "  pad  ")).foreach { case (i, n) =>
+      ps.setInt(1, i); ps.setString(2, n); ps.setLong(3, 1L); ps.executeUpdate()
+    }
+    st.close(); ps.close()
+    val cfg0 = WriteConfig(deltaCol = Some("VER"), maxTextSize = Some(5))
+    def synced(push: Boolean): Map[Int, String] = {
+      val dest = tmpDir(s"graft-ws-$push")
+      val src = new JdbcSource(url, Left("APP.WS"), pks = Seq("ID"),
+        sourceTypes = Map("name" -> "varchar"))
+      val cfg = cfg0.copy(sourceSideProjection = push)
+      Graft.sync(spark, src, dest, cfg)
+      Graft.writer(spark, src, dest, cfg).currentState()
+        .collect().map(r => r.getAs[Int]("ID") -> r.getAs[String]("NAME")).toMap
+    }
+    val (withPush, without) = (synced(true), synced(false))
+    assert(withPush == without, s"pushdown changed values: $withPush vs $without")
+    assert(withPush(1) == "john ") // trim-then-cap keeps the cap's trailing space
   }
 
   test("P1 pushdown: Derby executes the trim/cap source-side, partitioning intact") {
@@ -146,7 +183,8 @@ class JdbcSourceSpec extends SparkSuite {
     val src = new JdbcSource(url, Left("APP.PADDED"), pks = Seq("ID"),
       numPartitions = 4, sourceTypes = Map("name" -> "varchar"))
     val cfg = WriteConfig(maxTextSize = Some(9))
-    val pushed = src.pushedProjection(src.columns(spark), cfg).get
+    val (pushed, handled) = src.pushedProjection(src.columns(spark), cfg).get
+    assert(handled == Set("name"))
     val df = pushed.read(spark)
     // the RAW read — BEFORE any Spark-side projection — is already
     // trimmed and capped: the conversion ran in Derby

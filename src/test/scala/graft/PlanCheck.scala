@@ -41,8 +41,11 @@ object PlanCheck {
         p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
       ("text_decontaminate", "bench posting list broadcast",
         p => p.contains("BroadcastHashJoin")),
-      ("pack_concat_chunks", "cumsum window partitioned (no global single-partition sort)",
-        p => p.contains("__pid") && !p.contains("windowspecdefinition()")),
+      ("pack_concat_chunks", "cumsum window partitioned by bucket (no global single-partition sort)",
+        // the window spec must lead with the __pid partition key: a
+        // regression to a global window prints windowspecdefinition(<order
+        // col> ASC ... ) with no partition column in front
+        p => p.contains("windowspecdefinition(__pid")),
       ("ann_topk_bruteforce", "top-k via TakeOrdered, not global sort",
         p => p.contains("TakeOrderedAndProject")))
     println("\n========== invariants ==========")

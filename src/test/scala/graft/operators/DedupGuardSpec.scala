@@ -44,6 +44,12 @@ class DedupGuardSpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == brute(mh), s"maxHamming=$mh numChunks=$nc maxBucketSize=$mbs")
     }
+    // numChunks=1 (exact 64-bit signature match) has no complement bits to
+    // sub-band — the plain-join fallback must still be exact
+    val exact1 = Dedup.simhashPairs(df, "doc_id", "text",
+        maxHamming = 0, numChunks = 1, maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact1 == brute(0))
     Dedup.releaseIntermediates()
   }
 
@@ -86,7 +92,7 @@ class DedupGuardSpec extends SparkSuite {
     val byLang = TextCorpus.stratifiedSample(df, "doc_id", "lang", rates)
       .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(!byLang.contains("es"))
-    def bucket(i: Long) = ((i * 1103515245L + 12345L) % 2147483648L) % 1000L
+    def bucket(i: Long) = (((i % 2147483648L) * 1103515245L + 12345L) % 2147483648L) % 1000L
     val expected = rows.filter { case (i, l) =>
       rates.get(l).exists(r => bucket(i) < r) }.map(_._1).sorted
     assert(once == expected)
