@@ -22,6 +22,38 @@ import org.apache.spark.sql.functions._
   * `tieBreak` wins. All ordering is fully specified — deterministic. */
 object Temporal {
 
+  /** Bucketized RANGE (point-in-interval) join: every left point joins
+    * every right interval containing it (`start <= point <= end`,
+    * inclusive). Spark plans a bare inequality join as a broadcast
+    * nested loop / cartesian — quadratic. Here both sides map onto
+    * `bucketWidth`-wide buckets: an interval is replicated to each
+    * bucket it overlaps, a point to exactly ONE (its own), so every
+    * qualifying (point, interval) pair meets in exactly one bucket — an
+    * equi-join with no dedup pass. Bucket columns are integer DIV (not
+    * double `/`), so epoch-nano magnitudes keep exact arithmetic.
+    *
+    * `bucketWidth` is the replication dial: intervals are copied
+    * ~(duration / bucketWidth + 1) times; pick it near the typical
+    * interval length so replication stays O(1) per interval while
+    * buckets stay selective. Both named columns must be integral
+    * (epoch nanos/micros, versions, offsets…). Column names must not
+    * collide across the two sides (select/rename before joining). */
+  def rangeJoin(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(points.columns.intersect(intervals.columns).isEmpty,
+      "rangeJoin requires disjoint column names across sides")
+    val iv = intervals.withColumn("__b", explode(sequence(
+      expr(s"`$startCol` DIV ${bucketWidth}L"),
+      expr(s"`$endCol` DIV ${bucketWidth}L"))))
+    val pt = points.withColumn("__b", expr(s"`$pointCol` DIV ${bucketWidth}L"))
+    pt.join(iv, "__b")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__b")
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,

@@ -261,6 +261,28 @@ object Catalog {
     // recent order at event time — all orders predate all events in this
     // data, so the oracle reduces to latest-order-per-customer, while the
     // Spark side runs the general one-shuffle union+window implementation
+    // bucketized range join (no equi key — the case Spark would plan as a
+    // cartesian): purchases within the 10 minutes following each error
+    // event. Micros on both sides (`ts div 1000` ≡ DuckDB epoch_us)
+    Q("range_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"),
+            expr("ts div 1000").as("err_start"),
+            (expr("ts div 1000") + 600000000L).as("err_end"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), expr("ts div 1000").as("pts"))
+        graft.operators.Temporal.rangeJoin(
+            purchases, "pts", errors, "err_start", "err_end",
+            bucketWidth = 600000000L)
+          .select("error_id", "purchase_id")
+      },
+      Some("""SELECT e.event_id AS error_id, p.event_id AS purchase_id
+        FROM events e JOIN events p
+          ON e.event_type = 'error' AND p.event_type = 'purchase'
+          AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) AND epoch_us(e.ts) + 600000000""")),
+
     Q("asof_join",
       (s, d) => {
         val ev = t(s, d, "events")

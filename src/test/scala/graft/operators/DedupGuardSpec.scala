@@ -175,6 +175,29 @@ class DedupGuardSpec extends SparkSuite {
     Dedup.releaseIntermediates()
   }
 
+  test("range join: equals brute-force inequality join, one row per qualifying pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xAB5E)
+    val points = (0L until 400L).map(i => (i, rnd.nextInt(100000).toLong))
+      .toDF("pid", "pts")
+    // interval lengths straddle the bucket width (some span 0 buckets,
+    // some many); starts may exceed ends rarely? keep start <= end
+    val ivs = (0L until 120L).map { i =>
+      val s = rnd.nextInt(100000).toLong
+      (i, s, s + rnd.nextInt(5000).toLong)
+    }.toDF("iid", "s", "e")
+    for (bw <- Seq(100L, 1700L, 1000000L)) {
+      val got = graft.operators.Temporal.rangeJoin(points, "pts", ivs, "s", "e", bw)
+        .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val brute = points.crossJoin(ivs)
+        .filter(col("pts") >= col("s") && col("pts") <= col("e"))
+        .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // SEQ compare: each qualifying pair must appear exactly once (the
+      // meet-in-one-bucket property), not just as a set
+      assert(got.sorted == brute.sorted, s"bucketWidth=$bw")
+    }
+  }
+
   test("embedding guard: clustered corpus is split by refinement, planted dups survive") {
     val dim = 16
     val n = 100
