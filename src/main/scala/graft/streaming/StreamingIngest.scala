@@ -41,6 +41,40 @@ object StreamingIngest {
     q
   }
 
+  /** Streaming CDC: each micro-batch runs ONE full SCD2 sync of the
+    * batch's rows as a snapshot source — `readStream → foreachBatch →
+    * Synchronizer`, the Spark-native form of "poll the source on a
+    * trigger" that the reference schedules externally. Every micro-batch
+    * gets the complete engine (delta detection, strange updates, deletes,
+    * tombstones, lock, rollback); the stream checkpoint makes re-runs
+    * exactly-once at the batch level, and `AvailableNow` turns the same
+    * code into a one-shot catch-up. Batches must be FULL SNAPSHOTS of the
+    * source (file drops of current state), matching the engine's
+    * full-table change detection. */
+  def scd2SyncStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      pks: Seq[String],
+      destRoot: String,
+      checkpointDir: String,
+      cfg: graft.WriteConfig): StreamingQuery = {
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val src = new graft.sources.DataFrameSource(batch.localCheckpoint(true), pks)
+          new graft.scd2.Synchronizer(spark, src, destRoot, cfg).execute()
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * stateful-op capability probe (counts + sums per window × event_type).
     * `tsCol` must be a TimestampType column. */

@@ -317,6 +317,39 @@ class PipelineOpsSpec extends SparkSuite {
     assert(frames.map(_.getLong(0)).distinct.toSeq == Seq(8L))
   }
 
+  test("streaming SCD2 sync: each micro-batch snapshot drives the full engine") {
+    val tmp = tmpDir("graft-scd2stream")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("ver", LongType, nullable = false)))
+    val cfg = WriteConfig(deltaCol = Some("ver"))
+    def drop(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("id", "name", "ver").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+
+    drop(Seq((1L, "alpha", 1L), (2L, "beta", 1L)))
+    graft.streaming.StreamingIngest.scd2SyncStream(spark, s"$tmp/in", schema,
+      Seq("id"), s"$tmp/dest", s"$tmp/ckpt", cfg)
+    val sync = new graft.scd2.Synchronizer(spark,
+      new graft.sources.DataFrameSource(
+        Seq.empty[(Long, String, Long)].toDF("id", "name", "ver"), Seq("id")),
+      s"$tmp/dest", cfg)
+    assert(sync.currentState().count() == 2)
+
+    // second drop is the NEXT FULL SNAPSHOT: update 1, delete 2, insert 3
+    drop(Seq((1L, "alpha2", 2L), (3L, "gamma", 2L)))
+    graft.streaming.StreamingIngest.scd2SyncStream(spark, s"$tmp/in", schema,
+      Seq("id"), s"$tmp/dest", s"$tmp/ckpt", cfg)
+    val cur = sync.currentState().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cur == Map(1L -> "alpha2", 3L -> "gamma"))
+    // the delete left a tombstone in history (the full engine ran)
+    val tomb = sync.dest.delta.read()
+      .filter(col(SystemCols.isDeleted) && col("id") === 2L)
+    assert(tomb.count() == 1)
+  }
+
   test("streaming: stateful first-seen dedup persists state across restarts") {
     val tmp = tmpDir("graft-sdedup")
     val schema = StructType(Seq(
