@@ -246,6 +246,32 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** ONE table's signature from the [t·planesPerTable, (t+1)·planesPerTable)
+    * slice of the plane matrix — for per-row table-dependent refinement
+    * keys, where computing every table's signature and discarding all but
+    * one would cost tables× the kernel work. Raw signature, no table
+    * offset (callers key on it alongside a table-distinct column). */
+  def hyperplaneSigOne(
+      vec: ArrayData, planes: Array[Array[Double]],
+      planesPerTable: Int, table: Int, isFloat: Boolean): Long = {
+    val xs = toDoubles(vec, isFloat)
+    var sig = 0L
+    var p = 0
+    while (p < planesPerTable) {
+      val plane = planes(table * planesPerTable + p)
+      val n = math.min(xs.length, plane.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        d += xs(i) * plane(i)
+        i += 1
+      }
+      if (d >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
   /** Float-array fast path (the embeddings column's actual type). */
   def nearestFloat(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
     val n = vec.numElements()
@@ -387,6 +413,38 @@ case class HyperplaneSig(
   override def prettyName: String = "hyperplane_sig"
 }
 
+/** (array<float|double>, int) → bigint: ONE table's hyperplane signature
+  * selected per row by the table-index child (codegen'd). */
+case class HyperplaneSigAt(
+    left: Expression, right: Expression,
+    planes: Array[Array[Double]], planesPerTable: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(planesPerTable <= 32,
+    s"planesPerTable ($planesPerTable) must be <= 32")
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(prettyName, left.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        if (right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName table index must be int, got ${right.dataType.simpleString}")
+      case fail => fail
+    }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any, t: Any): Any =
+    VectorKernels.hyperplaneSigOne(v.asInstanceOf[ArrayData], planes,
+      planesPerTable, t.asInstanceOf[Int], VectorExprs.isFloatArray(left))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    val fl = VectorExprs.isFloatArray(left)
+    defineCodeGen(ctx, ev, (v, t) =>
+      s"graft.functions.VectorKernels.hyperplaneSigOne($v, $ref, $planesPerTable, $t, $fl)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HyperplaneSigAt =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "hyperplane_sig_at"
+}
+
 /** Column-API entry points. */
 object NativeHash {
   def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column =
@@ -402,4 +460,8 @@ object NativeHash {
   def hyperplaneSig(vec: Column, planes: Array[Array[Double]],
       planesPerTable: Int, tables: Int): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(vec), planes, planesPerTable, tables))
+  def hyperplaneSigAt(vec: Column, tableIdx: Column,
+      planes: Array[Array[Double]], planesPerTable: Int): Column =
+    Bridge.column(HyperplaneSigAt(Bridge.expression(vec), Bridge.expression(tableIdx),
+      planes, planesPerTable))
 }

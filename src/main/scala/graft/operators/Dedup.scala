@@ -439,11 +439,13 @@ object Dedup {
       .select("id_a", "id_b", "v_a", "v_b")
     // the refinement key comes from the ROW'S OWN table (b encodes table
     // t in its high bits): per-table-independent seed streams keep the
-    // multi-table recall independence through the split
+    // multi-table recall independence through the split, and the kernel
+    // evaluates only that table's planes
     val hot = withB.join(broadcast(oversized), Seq("b"), "left_semi")
       .select(col("b"), col("id"), col("v"),
-        element_at(Similarity.refineKeys(col("v"), refinePlanes, dim, tables),
-          call_function("shiftrightunsigned", col("b"), lit(32)).cast("int") + 1).as("b2"))
+        Similarity.refineKeyAt(col("v"),
+          call_function("shiftrightunsigned", col("b"), lit(32)).cast("int"),
+          refinePlanes, dim, tables).as("b2"))
     val hotPairs = hot.select(col("b"), col("b2"), col("id").as("id_a"), col("v").as("v_a"))
       .join(hot.select(col("b"), col("b2"), col("id").as("id_b"), col("v").as("v_b")),
         Seq("b", "b2"))

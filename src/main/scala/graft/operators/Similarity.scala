@@ -118,12 +118,22 @@ object Similarity {
   private[operators] def refineKey(vec: Column, planes: Int, dim: Int): Column =
     element_at(refineKeys(vec, planes, dim, 1), 1)
 
-  /** Per-TABLE refinement signatures (array of `tables` keys, seed stream
-    * varying with the table index): a hot cell in table t is split by
-    * planes INDEPENDENT of every other table's, so a merely-close pair
-    * that loses one table's refinement coin-flip keeps its independent
-    * chance in the others — a single shared refinement key would gate all
-    * tables with one Bernoulli trial and multiply recall down. */
+  /** Per-TABLE refinement signature selected by a per-row table index:
+    * a hot cell in table t is split by planes INDEPENDENT of every other
+    * table's, so a merely-close pair that loses one table's refinement
+    * coin-flip keeps its independent chance in the others — a single
+    * shared refinement key would gate all tables with one Bernoulli trial
+    * and multiply recall down. Only the ROW'S OWN table's planes are
+    * evaluated (kernel slice), not all tables'. */
+  private[operators] def refineKeyAt(
+      vec: Column, tableIdx: Column, planes: Int, dim: Int, tables: Int): Column = {
+    val mat: Array[Array[Double]] = Array.tabulate(tables * planes) { tp =>
+      val (t, p) = (tp / planes, tp % planes)
+      Array.tabulate(dim)(i => planeComponent(0x7ef1e + t, p, i))
+    }
+    graft.functions.NativeHash.hyperplaneSigAt(vec, tableIdx, mat, planes)
+  }
+
   private[operators] def refineKeys(vec: Column, planes: Int, dim: Int, tables: Int): Column = {
     val mat: Array[Array[Double]] = Array.tabulate(tables * planes) { tp =>
       val (t, p) = (tp / planes, tp % planes)

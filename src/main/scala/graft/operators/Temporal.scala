@@ -45,6 +45,8 @@ object Temporal {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(points.columns.intersect(intervals.columns).isEmpty,
       "rangeJoin requires disjoint column names across sides")
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "rangeJoin reserves the __b column name")
     val iv = intervals.withColumn("__b", explode(sequence(
       expr(s"`$startCol` DIV ${bucketWidth}L"),
       expr(s"`$endCol` DIV ${bucketWidth}L"))))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.functions.TextFunctions
 
@@ -72,11 +73,16 @@ object TextCorpus {
     df.filter(keep)
   }
 
-  /** The sampling bucket: (((key mod 2^31)·1103515245 + 12345) mod 2^31)
-    * mod 1000 — the key is reduced BEFORE the multiply so the product
-    * stays ≤ 2^62 (no Long overflow: ANSI Spark would throw and a SQL
-    * mirror would disagree on wide keys); plain integer arithmetic so any
-    * engine reproduces the selection bit-for-bit. Integral keys only. */
+  /** The sampling bucket, all mods NON-NEGATIVE (Spark pmod): the key is
+    * reduced BEFORE the multiply so the product stays ≤ 2^62 (no Long
+    * overflow: ANSI Spark would throw and a SQL mirror would disagree on
+    * wide keys). Engine-exact SQL mirror — note most engines' `%` keeps
+    * the dividend's sign, so the mirror must re-add the modulus:
+    * {{{
+    *   ((((key % m + m) % m) * 1103515245 + 12345) % m + m) % m % 1000
+    * }}}
+    * with m = 2147483648 (for non-negative keys the plain `%` form is
+    * identical). Integral keys only. */
   def lcgBucket(key: Column): Column =
     pmod(pmod(pmod(key.cast("long"), lit(2147483648L)) * 1103515245L + 12345L,
       lit(2147483648L)), lit(1000L))
@@ -96,33 +102,49 @@ object TextCorpus {
       df: DataFrame, idCol: String, textCol: String,
       capacity: Int, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val nParts = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    // the bucket is a DETERMINISTIC function of the id VALUE (equal-width
-    // id ranges from a min/max probe) — NOT spark_partition_id over
-    // sample-based range partitioning, whose boundaries could differ
-    // between the totals action and the final plan (or on any
-    // re-execution after cache eviction), silently corrupting offsets.
-    // Mildly count-skewed buckets only skew work, never results.
-    val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
-    if (bounds.isNullAt(0))
-      return df.sparkSession.emptyDataFrame
-        .withColumn(idCol, lit(null).cast("long"))
-        .withColumn("n_tokens", lit(0L)).withColumn("start_offset", lit(0L))
-        .withColumn("first_chunk", lit(0L)).withColumn("last_chunk", lit(0L))
-        .limit(0)
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = math.max(1L, hi - lo + 1L)
-    // stride division (not multiply-then-divide) so huge id spans can't
-    // overflow; SQL DIV = true integer division (Column `/` is double and
-    // loses precision past 2^53); at most nParts buckets, some empty
-    val stride = span / nParts + 1L
-    val bucketOf = expr(s"CAST((CAST(`$idCol` AS BIGINT) - ${lo}L) DIV ${stride}L AS INT)")
-    // persisted eagerly: tokenize runs once, not once per consumer
-    val counted = Caching.spillPersistEager(df
-      .select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
-      .withColumn("__pid", bucketOf)
-      .repartition(nParts, col("__pid")))
+    val nParts = math.max(1, if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions)
+    val integralId = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // INTEGRAL ids: the bucket is a DETERMINISTIC, ORDER-MONOTONIC
+    // function of the id VALUE (stride division from a min/max probe) —
+    // not spark_partition_id over sample-based range partitioning, whose
+    // boundaries could differ between the totals action and the final
+    // plan (or on any re-execution after cache eviction). Count-skewed
+    // buckets only skew work, never results. Other orderable id types
+    // fall back to sampled range partitioning, which the EAGER persist
+    // pins for the function's two actions (release the cache only after
+    // consuming the result).
+    val prepared =
+      if (integralId) {
+        val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+        if (bounds.isNullAt(0)) // empty or all-null ids: keep the id type
+          return df.select(col(idCol), lit(0L).as("n_tokens"),
+            lit(0L).as("start_offset"), lit(0L).as("first_chunk"),
+            lit(0L).as("last_chunk")).limit(0)
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        // BigInt span: hi - lo + 1 itself can exceed Long for extreme id
+        // ranges; id DIV stride (truncation is monotonic) avoids any
+        // (id - lo) subtraction on the executors
+        val span = BigInt(hi) - BigInt(lo) + 1
+        val stride = ((span / nParts + 1).min(BigInt(Long.MaxValue))).toLong
+        val base = lo / stride // same truncating division as SQL DIV
+        // null ids sort first under the window's ASC order → first bucket
+        val bucketOf = coalesce(
+          expr(s"CAST((CAST(`$idCol` AS BIGINT) DIV ${stride}L) - ${base}L AS INT)"),
+          lit(Int.MinValue))
+        df.select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+            bucketOf.as("__pid"))
+          .repartition(nParts, col("__pid"))
+      } else
+        df.select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+          .repartitionByRange(nParts, col(idCol))
+          .select(col(idCol), col("n_tokens"), spark_partition_id().as("__pid"))
+    // persisted eagerly: tokenize runs once, and (fallback path) both
+    // actions must see the SAME sampled partitioning
+    val counted = Caching.spillPersistEager(prepared)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy(idCol)
     val local = counted.withColumn("__cum", sum("n_tokens").over(w))
@@ -138,9 +160,11 @@ object TextCorpus {
     }
     local
       .withColumn("start_offset", col("__cum") - col("n_tokens") + baseCol)
-      .withColumn("first_chunk", floor(col("start_offset") / capacity))
+      // integer DIV, not double `/`: offsets at extreme scale would lose
+      // precision past 2^53 (start_offset ≥ 0, so DIV ≡ floor)
+      .withColumn("first_chunk", expr(s"start_offset DIV ${capacity}L"))
       .withColumn("last_chunk",
-        floor((col("start_offset") + col("n_tokens") - 1) / capacity))
+        expr(s"(start_offset + n_tokens - 1) DIV ${capacity}L"))
       .select(idCol, "n_tokens", "start_offset", "first_chunk", "last_chunk")
   }
 

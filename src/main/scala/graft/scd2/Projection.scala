@@ -56,15 +56,21 @@ object Projection {
 
   /** P1 over a whole relation. Columns in `alreadyConverted` (lower-cased
     * names) had their FULL conversion chain run source-side (pushdown) —
-    * they are only renamed here: re-applying trim/cap is not idempotent
-    * when the cap lands on whitespace. */
+    * they are renamed and RE-CAST to the target type here, nothing more:
+    * the cast is idempotent and repairs lossy JDBC type round-trips (a
+    * remote SMALLINT reads back as IntegerType), while re-applying
+    * trim/cap is NOT idempotent when the cap lands on whitespace. */
   def select(df: DataFrame, cols: Seq[ColInfo], cfg: WriteConfig,
       alreadyConverted: Set[String] = Set.empty): DataFrame =
     df.select(cols.map { c =>
-      if (alreadyConverted(c.name.toLowerCase))
-        col(quoted(c.name)).as(cfg.getTargetName(c))
+      if (alreadyConverted(c.name.toLowerCase)) aliasConverted(c, cfg)
       else sourceConvert(c, cfg)
     }: _*)
+
+  /** The pushed-column projection: target-type cast (idempotent; Catalyst
+    * elides same-type casts) + rename. */
+  private[graft] def aliasConverted(c: ColInfo, cfg: WriteConfig): Column =
+    col(quoted(c.name)).cast(targetType(c, cfg)).as(cfg.getTargetName(c))
 
   /** P2: the three system columns. `ts` defaults to the engine clock in UTC
     * (session TZ is pinned UTC; reference db_to_delta.py:91-101). */

@@ -132,12 +132,12 @@ final class Synchronizer(
   private def srcProjected: DataFrame =
     Projection.select(readSource("sql2delta"), cols, cfg, pushedCols)
 
-  /** Per-column conversion over a PUSHED read: alias-only when the source
-    * already ran the chain, full sourceConvert otherwise. (Reads of the
-    * ORIGINAL source — e.g. the unhooked state probe — keep using
-    * Projection.sourceConvert directly.) */
+  /** Per-column conversion over a PUSHED read: idempotent cast + rename
+    * when the source already ran the chain, full sourceConvert otherwise.
+    * (Reads of the ORIGINAL source — e.g. the unhooked state probe — keep
+    * using Projection.sourceConvert directly.) */
   private def convertOrAlias(c: ColInfo): Column =
-    if (pushedCols(c.name.toLowerCase)) col(s"`${c.name}`").as(targetName(c))
+    if (pushedCols(c.name.toLowerCase)) Projection.aliasConverted(c, cfg)
     else Projection.sourceConvert(c, cfg)
 
   /** Engine clock, strictly monotonic per JVM: SCD2 ordering relies on

@@ -49,8 +49,12 @@ object StreamingIngest {
     * tombstones, lock, rollback); the stream checkpoint makes re-runs
     * exactly-once at the batch level, and `AvailableNow` turns the same
     * code into a one-shot catch-up. Batches must be FULL SNAPSHOTS of the
-    * source (file drops of current state), matching the engine's
-    * full-table change detection. */
+    * source: each snapshot is ONE file (`filesPerSnapshot` raises that),
+    * and `maxFilesPerTrigger` enforces the one-snapshot-per-batch cut —
+    * without it, two accumulated drops would merge into one "snapshot"
+    * containing both versions of a key and missing deletes. An EMPTY
+    * snapshot file is honored: it deletes everything (full load of zero
+    * rows), exactly like handing the engine an empty table. */
   def scd2SyncStream(
       spark: SparkSession,
       sourceDir: String,
@@ -58,15 +62,16 @@ object StreamingIngest {
       pks: Seq[String],
       destRoot: String,
       checkpointDir: String,
-      cfg: graft.WriteConfig): StreamingQuery = {
-    val in = spark.readStream.schema(schema).parquet(sourceDir)
+      cfg: graft.WriteConfig,
+      filesPerSnapshot: Int = 1): StreamingQuery = {
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerSnapshot.toString)
+      .parquet(sourceDir)
     val q = in.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val src = new graft.sources.DataFrameSource(batch.localCheckpoint(true), pks)
-          new graft.scd2.Synchronizer(spark, src, destRoot, cfg).execute()
-          ()
-        }
+        val src = new graft.sources.DataFrameSource(batch.localCheckpoint(true), pks)
+        new graft.scd2.Synchronizer(spark, src, destRoot, cfg).execute()
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

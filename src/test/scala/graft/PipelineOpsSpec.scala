@@ -348,6 +348,13 @@ class PipelineOpsSpec extends SparkSuite {
     val tomb = sync.dest.delta.read()
       .filter(col(SystemCols.isDeleted) && col("id") === 2L)
     assert(tomb.count() == 1)
+
+    // an EMPTY snapshot is honored: the source table was emptied →
+    // everything is deleted (no silent skip of empty batches)
+    drop(Seq.empty)
+    graft.streaming.StreamingIngest.scd2SyncStream(spark, s"$tmp/in", schema,
+      Seq("id"), s"$tmp/dest", s"$tmp/ckpt", cfg)
+    assert(sync.currentState().count() == 0)
   }
 
   test("streaming: stateful first-seen dedup persists state across restarts") {

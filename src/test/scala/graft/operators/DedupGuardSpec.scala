@@ -132,7 +132,30 @@ class DedupGuardSpec extends SparkSuite {
     // chunk spans follow the arithmetic
     one.foreach { case (_, n, s, fc, lc) =>
       assert(fc == s / 100 && lc == (s + n - 1) / 100) }
+    // STRING ids take the sampled-range fallback and must agree with the
+    // integral path on the same ordered corpus
+    val sdocs = docs.withColumn("doc_id", format_string("doc-%04d", col("doc_id")))
+    val viaStrings = TextCorpus.concatChunks(sdocs, "doc_id", "text",
+        capacity = 100, partitions = 7)
+      .collect().map(r => (r.getString(0).drop(4).toLong, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(viaStrings == one.map(t => (t._1, t._2, t._3)))
     Dedup.releaseIntermediates()
+  }
+
+  test("lcg bucket: matches the documented sign-safe SQL mirror incl. negative keys") {
+    import spark.implicits._
+    val keys = Seq(-3L, -1L, 0L, 1L, 999L, 2147483647L, 2147483648L, -2147483649L,
+      Long.MaxValue, Long.MinValue + 1)
+    val got = keys.toDF("k")
+      .select(col("k"), TextCorpus.lcgBucket(col("k")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = 2147483648L
+    def mirror(k: Long) = {
+      val r = ((k % m) + m) % m
+      ((((r * 1103515245L + 12345L) % m) + m) % m) % 1000L
+    }
+    keys.foreach(k => assert(got(k) == mirror(k), s"key $k"))
   }
 
   test("topk aggregate: equals the window formulation on randomized groups") {
