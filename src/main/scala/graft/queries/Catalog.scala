@@ -257,6 +257,53 @@ object Catalog {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         FROM orders""")),
 
+    // RANGE-frame window (value-based frame, not row-based): per-customer
+    // sum of orders within the preceding 30 DAYS of each order — integer
+    // day epochs keep the frame arithmetic engine-exact
+    Q("w4_range_frame",
+      (s, d) => {
+        val days = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+        val w = Window.partitionBy("o_custkey").orderBy(days)
+          .rangeBetween(-30L, 0L)
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("trailing_30d_cents"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+            PARTITION BY o_custkey
+            ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS trailing_30d_cents
+        FROM orders""")),
+
+    // PIVOT: order counts per customer segment × order priority, the
+    // wide-table reshaping step — oracle via conditional aggregation
+    Q("agg_pivot",
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("c_mktsegment"),
+          // a pivot cell with no rows is NULL in Spark but 0 under the
+          // oracle's FILTER count — coalesce aligns the semantics
+          coalesce(col("1-URGENT"), lit(0L)).cast("long").as("urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).cast("long").as("high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).cast("long").as("medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).cast("long").as("notspec"),
+          coalesce(col("5-LOW"), lit(0L)).cast("long").as("low")),
+      Some("""SELECT c_mktsegment,
+          CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+          CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+          CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+          CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS notspec,
+          CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""")),
+
     // as-of (point-in-time) join: each event matched to the user's most
     // recent order at event time — all orders predate all events in this
     // data, so the oracle reduces to latest-order-per-customer, while the
