@@ -218,6 +218,25 @@ object Similarity {
       centroids: Seq[Array[Double]], nprobe: Int = 4): DataFrame =
     topKIvfIndexed(ivfAssign(df, idCol, vecCol, centroids), queryVec, k, centroids, nprobe)
 
+  /** Symmetric int8 quantization of an embedding column (the vector-store
+    * compression step): q_i = round_half_up(x_i · 127 / max|x|), zero/null
+    * vectors quantize to zeros. All math in double with floor(x + 0.5)
+    * rounding — IEEE-deterministic, so any engine reproduces the codes
+    * bit-for-bit (no round-half-even ambiguity). Adds `outCol`:
+    * array<int> in [-127, 127]; dequantize with q · max|x| / 127.
+    * DataFrame-level so max|x| sits behind a REAL column boundary — an
+    * inlined alias would re-evaluate the array_max tree once per element
+    * inside the transform lambda (the interpreted-HOF trap). */
+  def quantizeInt8(df: DataFrame, vecCol: String, outCol: String = "q"): DataFrame =
+    df.withColumn("__maxabs",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+      .withColumn(outCol,
+        when(col("__maxabs").isNull || col("__maxabs") === 0d,
+          transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol), x =>
+            floor(x.cast("double") * 127d / col("__maxabs") + 0.5d).cast("int"))))
+      .drop("__maxabs")
+
   /** Exact cosine rerank of candidate (id, v) rows → (rank, id, sim). */
   private def rerank(candidates: DataFrame, queryVec: Seq[Float], k: Int): DataFrame = {
     candidates.select(col("id"), cosineToQuery(col("v"), queryVec).as("sim"))

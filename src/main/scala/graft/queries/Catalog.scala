@@ -721,6 +721,24 @@ object Catalog {
         SELECT a.id AS id_a, b.id AS id_b FROM corpus a, corpus b
         WHERE a.id < b.id AND list_cosine_similarity(a.v, b.v) >= 0.95""")),
 
+    // int8 quantization: per-component codes flattened to scalars (both
+    // engines do the same IEEE double math + floor(x+0.5) rounding)
+    Q("emb_quantize",
+      (s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"), "embedding")
+        .select(col("vec_id"), posexplode(col("q")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").cast("long").as("q")),
+      Some("""WITH m AS (SELECT vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+          FROM embeddings),
+          f AS (SELECT vec_id, embedding, ma,
+            unnest(range(1, len(embedding) + 1)) AS i FROM m)
+        SELECT vec_id, CAST(i AS BIGINT) AS pos,
+          CAST(CASE WHEN ma IS NULL OR ma = 0 THEN 0
+            ELSE floor(CAST(embedding[i] AS DOUBLE) * 127 / ma + 0.5) END
+            AS BIGINT) AS q
+        FROM f""")),
+
     Q("ann_topk_bruteforce",
       (s, d) => {
         val q = queryVec(s, d)
