@@ -12,11 +12,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Headline set: the flagship SCD2 CDC run + one representative of each
     * heavy operator family (agg, join+topk, window, dedup families, ANN,
-    * text scoring). */
+    * temporal joins, clustering, packing, corpus stats, text scoring). */
   val headline: Seq[String] = Seq(
     "scd2_history", "q1_agg", "q3_top_orders", "w1_latest_per_key",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_topk_bruteforce", "ann_topk_ivf", "asof_join", "text_quality")
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_clusters", "ann_topk_bruteforce", "ann_topk_ivf",
+    "asof_join", "range_join", "pack_concat_chunks",
+    "text_term_stats", "text_heavy_hitters", "text_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,15 +63,19 @@ object Bench {
         name -> (if (times.exists(_.isEmpty)) None
           else Some((median(times.flatten), times.flatten.min)))
       }
+    // Locale.ROOT: the JVM default locale may render decimals with a comma
+    // ("0,123"), silently breaking the machine-parsable JSON contract
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def render(f: ((Double, Double)) => Double): String = results.map {
-      case (k, Some(t)) => "\"" + k + "\":" + "%.3f".format(f(t))
+      case (k, Some(t)) => "\"" + k + "\":" + fmt(f(t))
       case (k, None) => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2.map(_._1)).sum
     val totalMin = results.flatMap(_._2.map(_._2)).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${render(_._1)},"queries_min":${render(_._2)},"total_min":$totalMin%.3f,"failed":$failed,"sf":"$sfDir","runs":$runs,"stat":"median"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${render(_._1)},"queries_min":${render(_._2)},"total_min":${fmt(totalMin)},"failed":$failed,"sf":"$sfDir","runs":$runs,"stat":"median"}""")
     spark.stop()
   }
 }

@@ -145,21 +145,30 @@ object TextCorpus {
     // persisted eagerly: tokenize runs once, and (fallback path) both
     // actions must see the SAME sampled partitioning
     val counted = Caching.spillPersistEager(prepared)
+    // ROWS frame, not the default RANGE frame: RANGE includes ORDER BY
+    // peers, so duplicate ids would double-count both rows' n_tokens into
+    // each __cum and diverge from the ROWS-semantics oracle
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val local = counted.withColumn("__cum", sum("n_tokens").over(w))
-    // per-bucket totals: ≤ nParts rows — driver prefix-sum + broadcast
+    // per-bucket totals: ≤ nParts rows — driver prefix-sum, then handed
+    // back as a BROADCAST-joined (pid, base) frame. NOT a when-chain over
+    // pids: that is an O(nParts)-node expression evaluated per row, a
+    // plan-size blowup at cluster shuffle-partition counts (10k+). The
+    // broadcast hash join is O(1) per row and O(nParts) total plan size.
     val partTotals = counted.groupBy("__pid").agg(sum("n_tokens").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val bases: Map[Int, Long] = {
+    val bases: Seq[(Int, Long)] = {
       val sorted = partTotals.keys.toSeq.sorted
-      sorted.zip(sorted.scanLeft(0L)((acc, p) => acc + partTotals(p)).init).toMap
+      sorted.zip(sorted.scanLeft(0L)((acc, p) => acc + partTotals(p)).init)
     }
-    val baseCol = bases.foldLeft(lit(0L)) { case (acc, (pid, base)) =>
-      when(col("__pid") === pid, base).otherwise(acc)
-    }
+    import spark.implicits._
+    val baseDf = bases.toDF("__pid", "__base")
     local
-      .withColumn("start_offset", col("__cum") - col("n_tokens") + baseCol)
+      .join(broadcast(baseDf), Seq("__pid"))
+      .withColumn("start_offset", col("__cum") - col("n_tokens") + col("__base"))
       // integer DIV, not double `/`: offsets at extreme scale would lose
       // precision past 2^53 (start_offset ≥ 0, so DIV ≡ floor)
       .withColumn("first_chunk", expr(s"start_offset DIV ${capacity}L"))

@@ -54,16 +54,17 @@ object Projection {
     if (isXid(c, cfg)) LongType
     else cfg.dataTypeMap.getOrElse(c.typeKey, c.dataType)
 
-  /** P1 over a whole relation. Columns in `alreadyConverted` (lower-cased
-    * names) had their FULL conversion chain run source-side (pushdown) —
-    * they are renamed and RE-CAST to the target type here, nothing more:
-    * the cast is idempotent and repairs lossy JDBC type round-trips (a
-    * remote SMALLINT reads back as IntegerType), while re-applying
-    * trim/cap is NOT idempotent when the cap lands on whitespace. */
+  /** P1 over a whole relation. Columns in `alreadyConverted` (EXACT names,
+    * so case-only-different columns never collide) had their FULL
+    * conversion chain run source-side (pushdown) — they are renamed and
+    * RE-CAST to the target type here, nothing more: the cast is idempotent
+    * and repairs lossy JDBC type round-trips (a remote SMALLINT reads back
+    * as IntegerType), while re-applying trim/cap is NOT idempotent when
+    * the cap lands on whitespace. */
   def select(df: DataFrame, cols: Seq[ColInfo], cfg: WriteConfig,
       alreadyConverted: Set[String] = Set.empty): DataFrame =
     df.select(cols.map { c =>
-      if (alreadyConverted(c.name.toLowerCase)) aliasConverted(c, cfg)
+      if (alreadyConverted(c.name)) aliasConverted(c, cfg)
       else sourceConvert(c, cfg)
     }: _*)
 

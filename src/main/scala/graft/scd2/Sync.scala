@@ -137,7 +137,7 @@ final class Synchronizer(
     * (Reads of the ORIGINAL source — e.g. the unhooked state probe — keep
     * using Projection.sourceConvert directly.) */
   private def convertOrAlias(c: ColInfo): Column =
-    if (pushedCols(c.name.toLowerCase)) Projection.aliasConverted(c, cfg)
+    if (pushedCols(c.name)) Projection.aliasConverted(c, cfg)
     else Projection.sourceConvert(c, cfg)
 
   /** Engine clock, strictly monotonic per JVM: SCD2 ordering relies on
@@ -147,13 +147,26 @@ final class Synchronizer(
 
   // concurrent-action helpers: Spark sessions are thread-safe, and a delta
   // run's wall clock is dominated by SEQUENTIAL fixed action latency
-  // (planning + commit), so independent probes/writes overlap
-  private implicit def ec: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.global
-  private def async[A](body: => A): scala.concurrent.Future[A] =
-    scala.concurrent.Future(body)
+  // (planning + commit), so independent probes/writes overlap. A DEDICATED
+  // pool, not ExecutionContext.global: global's threads inherit Spark's
+  // InheritableThreadLocal localProperties from whichever caller happened to
+  // spawn them, making job-group / scheduler-pool attribution of the
+  // overlapped actions nondeterministic. Each task instead snapshots the
+  // caller's attribution keys and applies them explicitly.
+  private implicit def ec: scala.concurrent.ExecutionContext = Synchronizer.syncEc
+  private def async[A](body: => A): scala.concurrent.Future[A] = {
+    val sc = spark.sparkContext
+    val props = Synchronizer.propagatedKeys.map(k => k -> sc.getLocalProperty(k))
+    scala.concurrent.Future {
+      props.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+      try body
+      finally Synchronizer.propagatedKeys.foreach(k => sc.setLocalProperty(k, null))
+    }
+  }
+  // finite (generous) timeout: a wedged overlapped write surfaces as an
+  // error the rollback path can handle instead of hanging the sync forever
   private def await[A](f: scala.concurrent.Future[A]): A =
-    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration(2L, "hours"))
   private def awaitBoth[A, B](a: => A)(b: => B): (A, B) = {
     val fa = async(a)
     val rb = b // second runs on the caller thread
@@ -415,7 +428,9 @@ final class Synchronizer(
         val strangeRows = dest.delta1.read().join(realAdditional, targetPks, "left_semi")
         val toAppend = Option(localMax).map(v =>
           strangeRows.filter(col(dc) <= lit(v))).getOrElse(strangeRows)
-        if (!toAppend.isEmpty) dest.delta.append(toAppend, cfg.allowSchemaDrift)
+        // single action: the old isEmpty-then-append probed the semi-join
+        // twice; an empty append is a harmless no-op commit
+        dest.delta.append(toAppend, cfg.allowSchemaDrift)
         (updateCount, Some(minTs))
       } else {
         // inline path: broadcast the strange pks to the source scan — the
@@ -486,11 +501,14 @@ final class Synchronizer(
     val (local, src) = awaitBoth(localState())(sourceState())
     if (src.sameAs(local)) return LoadResult.NoLoad
 
+    // row count rides the write as an Observation (same shape as deltaLoad
+    // step 2) — no second scan of what was just written
     val updates = Projection.withSystemCols(
       Option(local.deltaMax).map(v => srcProjected.filter(col(dc) > lit(v))).getOrElse(srcProjected),
       isDeleted = false, isFullLoad = false, ts = lit(nowTs))
-    dest.delta1.overwrite(updates)
-    val inserts = dest.delta1.read().count()
+    val obsIns = org.apache.spark.sql.Observation()
+    dest.delta1.overwrite(updates.observe(obsIns, count(lit(1)).as("n")))
+    val inserts = obsIns.get("n").asInstanceOf[Long]
     if (inserts > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
     dest.delta2.overwriteEmpty(dest.delta1.schema)
     // merge (delta_2 ∪ delta_1∖delta_2) into latest_pk_version on pks (K3)
@@ -518,8 +536,9 @@ final class Synchronizer(
     val updates = Projection.withSystemCols(
       Option(localMax).map(v => srcProjected.filter(col(dcName) > lit(v))).getOrElse(srcProjected),
       isDeleted = false, isFullLoad = false, ts = lit(nowTs))
-    dest.delta1.overwrite(updates)
-    val n = dest.delta1.read().count()
+    val obsIns = org.apache.spark.sql.Observation()
+    dest.delta1.overwrite(updates.observe(obsIns, count(lit(1)).as("n")))
+    val n = obsIns.get("n").asInstanceOf[Long]
     if (n > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
     LoadResult.AppendOnly(n)
   }
@@ -593,4 +612,18 @@ object Synchronizer {
   private val lastMs = new java.util.concurrent.atomic.AtomicLong(0L)
   private[scd2] def nextMillis(): Long =
     lastMs.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+
+  /** Spark local-property keys that attribute jobs to a group/pool — the
+    * ones a caller may have set and expects the overlapped actions to keep. */
+  private[scd2] val propagatedKeys: Seq[String] = Seq(
+    "spark.jobGroup.id", "spark.job.description",
+    "spark.job.interruptOnCancel", "spark.scheduler.pool")
+
+  /** Shared daemon pool for the overlapped sync actions (at most two run
+    * concurrently per sync; shared so a test suite constructing many
+    * Synchronizers doesn't accumulate pools). */
+  private[scd2] lazy val syncEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => { val t = new Thread(r, "graft-sync-async"); t.setDaemon(true); t }))
 }

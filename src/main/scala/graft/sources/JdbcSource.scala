@@ -249,7 +249,11 @@ object JdbcSqlGen {
     else {
       val items = rendered.map { case (item, c) =>
         item.getOrElse(dialect.quoteIdentifier(c.name)) }
-      val handled = rendered.collect { case (Some(_), c) => c.name.toLowerCase }.toSet
+      // EXACT names, not lower-cased: two source columns differing only in
+      // case must not collide (a collision would mark one as fully
+      // converted source-side when only the other rendered, silently
+      // skipping its Spark-side trim/cap)
+      val handled = rendered.collect { case (Some(_), c) => c.name }.toSet
       val from = tableOrQuery match {
         case Left(table) => table
         case Right(query) => s"($query) graft_src"

@@ -119,8 +119,9 @@ class JdbcSourceSpec extends SparkSuite {
     assert(sql.contains("""CAST(CAST("XMIN" AS VARCHAR(32)) AS BIGINT) AS "XMIN""""))
     assert(sql.contains(""""ID"""") && !sql.contains("""TRIM("ID"""))
     assert(sql.endsWith("FROM APP.USERS"))
-    // the engine aliases exactly the fully-converted columns, no more
-    assert(handled == Set("name", "token", "bal", "xmin"))
+    // the engine aliases exactly the fully-converted columns, no more —
+    // keyed on EXACT names so case-only-different columns can't collide
+    assert(handled == Set("NAME", "TOKEN", "BAL", "XMIN"))
     // query sources wrap as a derived table
     val (subq, _) = sources.JdbcSqlGen.projectedSql(cols, cfg, url,
       Right("SELECT * FROM APP.USERS")).get
@@ -184,7 +185,7 @@ class JdbcSourceSpec extends SparkSuite {
       numPartitions = 4, sourceTypes = Map("name" -> "varchar"))
     val cfg = WriteConfig(maxTextSize = Some(9))
     val (pushed, handled) = src.pushedProjection(src.columns(spark), cfg).get
-    assert(handled == Set("name"))
+    assert(handled == Set("NAME"))
     val df = pushed.read(spark)
     // the RAW read — BEFORE any Spark-side projection — is already
     // trimmed and capped: the conversion ran in Derby

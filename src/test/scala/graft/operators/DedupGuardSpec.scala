@@ -143,6 +143,33 @@ class DedupGuardSpec extends SparkSuite {
     Dedup.releaseIntermediates()
   }
 
+  test("concat-chunk packing: plan stays O(1)-per-row at cluster partition counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xFACD)
+    val docs = (0L until 300L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "))).toDF("doc_id", "text")
+    val out = TextCorpus.concatChunks(docs, "doc_id", "text",
+      capacity = 100, partitions = 2048)
+    // the base offset must arrive via a broadcast join, NOT an
+    // O(nParts)-deep when-chain evaluated per row: at 2048 buckets a
+    // chain would put thousands of CaseWhen branches in the plan
+    val optimized = out.queryExecution.optimizedPlan.toString
+    val caseBranches = "(?i)CASE WHEN".r.findAllIn(optimized).size
+    assert(caseBranches < 16, s"when-chain leaked into the plan ($caseBranches branches)")
+    assert(optimized.length < 100000, s"plan blowup: ${optimized.length} chars")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // and the result is still the exact gapless concatenation
+    assert(rows.head._3 == 0L)
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 == a._3 + a._2, s"gap between ${a._1} and ${b._1}") }
+    val joins = out.queryExecution.executedPlan.toString
+    assert(joins.contains("BroadcastHashJoin") || joins.contains("BroadcastNestedLoopJoin")
+      || joins.contains("AdaptiveSparkPlan"),
+      "base-offset join is not broadcast")
+    Dedup.releaseIntermediates()
+  }
+
   test("lcg bucket: matches the documented sign-safe SQL mirror incl. negative keys") {
     import spark.implicits._
     val keys = Seq(-3L, -1L, 0L, 1L, 999L, 2147483647L, 2147483648L, -2147483649L,
