@@ -44,6 +44,11 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   private val fsu = new Fs(spark, path)
   private val logDir: HPath = new HPath(path, "_graft_log")
   private val dataDir: HPath = new HPath(path, "data")
+  /** Delta-protocol `_delta_log/` mirror: every manifest publish is also
+    * emitted as a Delta commit so downstream Delta clients can open the
+    * table directly (reference reader/spark_reader.py:307-324). */
+  private val deltaMirror = new DeltaLogMirror(spark, path,
+    v => if (fsu.exists(manifestPath(v))) Some(readManifest(v)) else None)
 
   // ---------------------------------------------------------------- versions
 
@@ -88,6 +93,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
       m.properties.foreach { case (k, v) => pn.put(k, v) }
     }
     fsu.writeStringAtomic(manifestPath(m.version), mapper.writeValueAsString(root))
+    deltaMirror.sync(m)
   }
 
   // ------------------------------------------------------------------ reads

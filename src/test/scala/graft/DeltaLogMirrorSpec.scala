@@ -1,0 +1,134 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.store.VersionedTable
+
+/** The Delta-protocol mirror: replaying `_delta_log/` JSON — the way a
+  * Delta client would — must reconstruct exactly the file set the graft
+  * manifest reports, across append / overwrite / merge / restore /
+  * empty-overwrite / properties sequences, with contiguous versions and
+  * correct protocol/metaData actions. */
+class DeltaLogMirrorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  /** Independent test-side replay of the Delta log (path → size), plus the
+    * last metaData node seen. */
+  private def replayDeltaLog(root: String): (Map[String, Long], com.fasterxml.jackson.databind.JsonNode, Seq[Long]) = {
+    val dir = new java.io.File(s"$root/_delta_log")
+    val versioned = dir.listFiles().filter(_.getName.matches("""\d{20}\.json"""))
+      .sortBy(_.getName)
+    val versions = versioned.map(_.getName.takeWhile(_ != '.').toLong).toSeq
+    var files = Map.empty[String, Long]
+    var meta: com.fasterxml.jackson.databind.JsonNode = null
+    versioned.foreach { f =>
+      scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("metaData")) meta = n.get("metaData")
+        if (n.has("add")) files += (n.get("add").get("path").asText() -> n.get("add").get("size").asLong())
+        if (n.has("remove")) files -= n.get("remove").get("path").asText()
+      }
+    }
+    (files, meta, versions)
+  }
+
+  /** The file set the graft manifest reports: the on-disk parquet files of
+    * every dir the newest manifest lists. */
+  private def manifestFiles(root: String): Map[String, Long] = {
+    val logDir = new java.io.File(s"$root/_graft_log")
+    val latest = logDir.listFiles().filter(_.getName.matches("""v\d{10}\.json"""))
+      .map(_.getName.drop(1).takeWhile(_ != '.').toLong).max
+    val node = mapper.readTree(new java.io.File(s"$root/_graft_log/v${"%010d".format(latest)}.json"))
+    val dirs = node.get("dirs").elements()
+    var out = Map.empty[String, Long]
+    while (dirs.hasNext) {
+      val d = dirs.next().get("dir").asText()
+      new java.io.File(s"$root/data/$d").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach(f => out += (s"data/$d/${f.getName}" -> f.length()))
+    }
+    out
+  }
+
+  private def assertMirrored(root: String): Unit = {
+    val (live, meta, versions) = replayDeltaLog(root)
+    assert(versions == (0L until versions.size).toSeq, s"non-contiguous versions: $versions")
+    assert(live == manifestFiles(root), "delta replay and manifest disagree on the live file set")
+    assert(meta != null && meta.get("format").get("provider").asText() == "parquet")
+  }
+
+  test("append/overwrite/merge/restore sequences replay to the manifest file set") {
+    val root = tmpDir("dlm-seq")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "s"));          assertMirrored(root)
+    t.append(Seq((3, "c")).toDF("id", "s"));                    assertMirrored(root)
+    t.overwrite(Seq((9, "z"), (10, "y")).toDF("id", "s"));      assertMirrored(root)
+    t.append(Seq((11, "w")).toDF("id", "s"));                   assertMirrored(root)
+    t.merge(Seq((10, "Y"), (12, "v")).toDF("id", "s"), Seq("id")); assertMirrored(root)
+    t.restore(2);                                               assertMirrored(root)
+    t.overwriteEmpty(t.schema);                                 assertMirrored(root)
+    // v0 carries protocol + metaData; same table id throughout
+    val v0 = scala.io.Source.fromFile(s"$root/_delta_log/${"%020d".format(0)}.json")
+      .getLines().toSeq
+    assert(v0.exists(l => l.contains("\"protocol\"") && l.contains("\"minReaderVersion\":1")))
+    val ids = new java.io.File(s"$root/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).flatMap { f =>
+        scala.io.Source.fromFile(f).getLines().map(mapper.readTree)
+          .collect { case n if n.has("metaData") => n.get("metaData").get("id").asText() }
+      }.toSet
+    assert(ids.size == 1, s"table id must be stable, got $ids")
+    // after restore(2): empty overwrite dropped everything
+    assert(replayDeltaLog(root)._1.isEmpty)
+  }
+
+  test("a delta client reading the live files with the metaData schema sees the table") {
+    val root = tmpDir("dlm-read")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    // schema drift: new column → metaData re-emitted with the merged schema
+    t.append(Seq((3, "c", 7.5)).toDF("id", "s", "score"), SchemaDrift.NewOnly)
+    val (live, meta, _) = replayDeltaLog(root)
+    val schema = DataType.fromJson(meta.get("schemaString").asText()).asInstanceOf[StructType]
+    assert(schema.fieldNames.toSeq == Seq("id", "s", "score"))
+    val viaDelta = spark.read.schema(schema)
+      .parquet(live.keys.map(p => s"$root/$p").toSeq: _*)
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.get(2)))).toSet
+    val viaGraft = t.read()
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(viaDelta == viaGraft)
+  }
+
+  test("setProperties lands in metaData.configuration without touching files") {
+    val root = tmpDir("dlm-props")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1, "a")).toDF("id", "s"))
+    val before = replayDeltaLog(root)._1
+    t.setProperties(Map("graft.pipeline" -> "docs"))
+    val (after, meta, versions) = replayDeltaLog(root)
+    assert(after == before)
+    assert(versions.size == 2)
+    assert(meta.get("configuration").get("graft.pipeline").asText() == "docs")
+    assertMirrored(root)
+  }
+
+  test("mirror heals a missing delta version on the next commit") {
+    val root = tmpDir("dlm-heal")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1, "a")).toDF("id", "s"))
+    t.append(Seq((2, "b")).toDF("id", "s"))
+    // simulate a crash between manifest publish and mirror publish
+    val lost = new java.io.File(s"$root/_delta_log/${"%020d".format(1)}.json")
+    assert(lost.delete())
+    // a FRESH instance (cold cache) must re-emit v1 then v2
+    val t2 = new VersionedTable(spark, root)
+    t2.append(Seq((3, "c")).toDF("id", "s"))
+    assertMirrored(root)
+    val (live, _, versions) = replayDeltaLog(root)
+    assert(versions == Seq(0L, 1L, 2L))
+    assert(live.keys.size == manifestFiles(root).size)
+  }
+}
