@@ -490,7 +490,23 @@ object Catalog {
       (s, d) => Scenarios.history(s, Scenarios.querySourceDest(s, d)),
       Some(s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,
           FALSE AS __is_deleted, TRUE AS __is_full_load
-        FROM customer WHERE c_acctbal > 1000""")))
+        FROM customer WHERE c_acctbal > 1000""")),
+
+    // §2.9 streaming CDC gated end-to-end: the SAME two snapshots as
+    // scd2_history, delivered as file drops through readStream →
+    // foreachBatch → Synchronizer — the streaming history must hash-match
+    // the batch oracle (and hence the batch engine, gate-vs-gate)
+    Q("scd2_streaming_cdc",
+      (s, d) => Scenarios.history(s, Scenarios.streamingCdcDest(s, d)),
+      Some(s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,
+          FALSE AS __is_deleted, TRUE AS __is_full_load FROM customer
+        UNION ALL SELECT c_custkey, trim(c_name), c_acctbal + 100, trim(c_mktsegment),
+          CAST(2 AS BIGINT), FALSE, FALSE
+          FROM customer WHERE c_custkey % 89 = 0 AND c_custkey % 97 <> 0
+        UNION ALL SELECT c_custkey + 10000000, trim(c_name), c_acctbal, trim(c_mktsegment),
+          CAST(2 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 83 = 0
+        UNION ALL SELECT c_custkey, NULL, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
+          FROM customer WHERE c_custkey % 97 = 0""")))
 
   private lazy val strangeOracle: String =
     s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,

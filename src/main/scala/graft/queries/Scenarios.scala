@@ -194,6 +194,28 @@ object Scenarios {
       require(sync.restoreLastPk(), "restore must succeed")
     }
 
+  /** Streaming CDC: the SAME two snapshots the batch `deltaDest` scenario
+    * loads, but delivered as parquet file drops through `scd2SyncStream`
+    * (readStream → foreachBatch → full Synchronizer, one snapshot per
+    * micro-batch). The stream runs once per drop — the deterministic
+    * one-snapshot-per-batch cut — so the resulting history must equal the
+    * batch engine's history for the same drops, and therefore the same
+    * DuckDB oracle as `scd2_history`. */
+  def streamingCdcDest(spark: SparkSession, dir: String): String =
+    run("streamcdc", spark, dir) { dest =>
+      val dropDir = Files.createTempDirectory("graft-streamcdc-in").toString
+      val ckpt = Files.createTempDirectory("graft-streamcdc-ckpt").toString
+      val schema = batch1(spark, dir).schema
+      def drop(df: DataFrame): Unit =
+        df.coalesce(1).write.mode("append").parquet(dropDir)
+      drop(batch1(spark, dir))
+      graft.streaming.StreamingIngest.scd2SyncStream(
+        spark, dropDir, schema, pk, dest, ckpt, cfg)
+      drop(batch2(spark, dir))
+      graft.streaming.StreamingIngest.scd2SyncStream(
+        spark, dropDir, schema, pk, dest, ckpt, cfg)
+    }
+
   /** Vector-corpus CDC: the embeddings table (array<float> payload) synced
     * through the full SCD2 engine — relabels, inserts, deletions (tombstones
     * carry NULL arrays). Mutations: % 19 deleted; % 13 relabeled (ver 2);
