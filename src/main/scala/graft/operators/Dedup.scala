@@ -365,9 +365,22 @@ object Dedup {
     * aggregation, labels persisted and the previous round released —
     * the 100 TB shape (GraphX is RDD-legacy; this stays in Catalyst).
     * Convergence is detected with a changed-label count that rides the
-    * round's materialization. */
+    * round's materialization.
+    *
+    * `algorithm = "stars"` switches to the alternating large-star /
+    * small-star contraction ([[duplicateClustersStars]]): O(log n)
+    * rounds — the safer bound for star-heavy or long-chain dup graphs. */
   def duplicateClusters(
-      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+      pairs: DataFrame, maxIters: Int = 20,
+      algorithm: String = "label"): DataFrame = algorithm match {
+    case "stars" => duplicateClustersStars(pairs, math.max(maxIters, 30))
+    case "label" => duplicateClustersLabel(pairs, maxIters)
+    case other => throw new IllegalArgumentException(
+      s"unknown clustering algorithm '$other' (label | stars)")
+  }
+
+  private def duplicateClustersLabel(
+      pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = spillPersistEager(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -381,12 +394,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), "dst")
         .groupBy("src").agg(min("nl").as("nmin"))
-      val next = spillPersist(labels
+      // eager localCheckpoint, not persist: each round's plan references
+      // the previous round's TWICE, so without lineage truncation the
+      // logical plan doubles per round — exponential analyzer cost that
+      // aborts long-diameter runs (40 rounds = 2^40 plan nodes) long
+      // before data size matters
+      val next = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
-          (col("nmin").isNotNull && col("nmin") < col("cluster_id")).as("chg")))
-      // one action materializes the round AND counts changed labels
+          (col("nmin").isNotNull && col("nmin") < col("cluster_id")).as("chg"))
+        .localCheckpoint(true)
       val changed = next.filter(col("chg")).count()
       labels.unpersist(blocking = false)
       labels = next.select("id", "cluster_id")
@@ -397,6 +415,72 @@ object Dedup {
       s"duplicateClusters did not converge in $maxIters rounds — a component's " +
         "diameter exceeds maxIters; raise maxIters (labels would be silently wrong)")
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star edge
+    * contraction (the MapReduce-era algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — same
+    * output contract as [[duplicateClusters]] but convergence in
+    * O(log n) rounds instead of O(component diameter): the better shape
+    * for star-heavy / high-degree duplicate graphs (one viral document
+    * duplicated a million times) and long chains alike.
+    *
+    * large-star: every node links its strictly-LARGER neighbors to the
+    * minimum of its closed neighborhood — doubles the reach of every
+    * small label along high-degree nodes in one round. small-star: every
+    * node links its smaller neighbors (and itself) to their minimum —
+    * flattens local chains. Both are single groupBy+join rounds over the
+    * directed (larger → smaller) edge list, all in Catalyst; the edge
+    * set shrinks toward the fixpoint where every component is a star
+    * centered at its minimum id. Fixpoint detection is EXACT (same
+    * count + empty EXCEPT), not a hash heuristic. */
+  def duplicateClustersStars(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val nodes = spillPersistEager(
+      pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id"))).distinct())
+    // directed u → v with v < u; self-pairs dropped defensively
+    var edges = spillPersistEager(
+      pairs.select(greatest(col("id_a"), col("id_b")).as("u"),
+          least(col("id_a"), col("id_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    var edgeCnt = edges.count()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      // large-star over the undirected neighborhood: center c, neighbor n
+      val nbrs = edges.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(edges.select(col("v").as("c"), col("u").as("n")))
+      val mins = nbrs.groupBy("c").agg(min("n").as("mn"))
+        .select(col("c"), least(col("mn"), col("c")).as("m"))
+      val large = nbrs.join(mins, "c").filter(col("n") > col("c"))
+        .select(col("n").as("u"), col("m").as("v")).distinct()
+      // small-star over the directed list: all targets are < u already
+      val minU = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(minU, "u")
+        .select(col("v").as("su"), col("m").as("sv"))
+        .filter(col("su") =!= col("sv"))
+        .unionByName(minU.select(col("u").as("su"), col("m").as("sv")))
+        .distinct()
+      // eager localCheckpoint truncates lineage (see the label variant:
+      // per-round plan doubling is exponential without it)
+      val next = small.select(col("su").as("u"), col("sv").as("v"))
+        .localCheckpoint(true)
+      val nextCnt = next.count()
+      // exact fixpoint: equal size and no edge outside the previous set
+      converged = nextCnt == edgeCnt && next.except(edges).isEmpty
+      edges.unpersist(blocking = false)
+      edges = next
+      edgeCnt = nextCnt
+      iters += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClustersStars did not converge in $maxIters rounds " +
+        "(expected O(log n)); raise maxIters")
+    // at the fixpoint every component is a star: leaves point at the
+    // center, the center (component minimum) labels itself
+    nodes.join(edges.groupBy("u").agg(min("v").as("root"))
+        .withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates via

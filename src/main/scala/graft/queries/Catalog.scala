@@ -654,6 +654,23 @@ object Catalog {
         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY id""")),
 
+    // same truth through the alternating large-star/small-star contraction
+    // (O(log n) rounds — the star-heavy/high-degree-graph option)
+    Q("dedup_clusters_stars",
+      (s, d) => Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+            threshold = 0.3).select("id_a", "id_b"), algorithm = "stars")
+        .select(col("id").as("doc_id"), col("cluster_id")),
+      Some(s"""WITH RECURSIVE tp AS (${jaccardTruthSql(300)}),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM tp
+            UNION SELECT id_b, id_a FROM tp),
+          reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+        SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id""")),
+
     // benchmark decontamination: train docs sharing ≥ 5 distinct shingles
     // with any "benchmark" doc (here: the doc_id % 17 = 3 slice) — the
     // bench posting list broadcasts, train text is one pass

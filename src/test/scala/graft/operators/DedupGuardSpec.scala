@@ -74,6 +74,41 @@ class DedupGuardSpec extends SparkSuite {
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L))
+    // the star-contraction option returns the identical labeling
+    val stars = Dedup.duplicateClusters(pairs, algorithm = "stars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == got)
+    Dedup.releaseIntermediates()
+  }
+
+  test("star contraction ≡ label propagation on randomized and star-heavy graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC1C1)
+    // randomized sparse graphs: chains, triangles, singleton pairs mixed
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 40
+      val pairs = (0 until n).map { _ =>
+        val a = rnd.nextInt(50).toLong; val b = rnd.nextInt(50).toLong
+        (a, if (a == b) a + 1 else b)
+      }.toDF("id_a", "id_b")
+      val label = Dedup.duplicateClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val stars = Dedup.duplicateClusters(pairs, algorithm = "stars")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stars == label, s"trial $trial")
+    }
+    // the shape stars is FOR: one viral hub duplicated many times, with the
+    // hub id NOT the minimum (forces re-pointing), plus a long chain
+    val hub = (1 until 200).map(i => (500L, 500L + i))
+    val chain = (1000L until 1040L).map(i => (i, i + 1))
+    val pairs = (hub ++ chain :+ ((500L, 3L))).toDF("id_a", "id_b")
+    val label = Dedup.duplicateClusters(pairs, maxIters = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stars = Dedup.duplicateClusters(pairs, algorithm = "stars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == label)
+    assert(stars(500L) == 3L && stars(699L) == 3L) // hub component min = 3
+    assert(stars(1040L) == 1000L)
     Dedup.releaseIntermediates()
   }
 
