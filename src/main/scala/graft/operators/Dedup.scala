@@ -369,15 +369,39 @@ object Dedup {
     *
     * `algorithm = "stars"` switches to the alternating large-star /
     * small-star contraction ([[duplicateClustersStars]]): O(log n)
-    * rounds — the safer bound for star-heavy or long-chain dup graphs. */
+    * rounds — the safer bound for star-heavy or long-chain dup graphs.
+    *
+    * `maxIters = 0` (the default) selects the per-algorithm round bound
+    * (label: 20 — diameter-bounded; stars: 30 — log-bounded with slack);
+    * an explicit positive value is respected EXACTLY for either algorithm.
+    * For `label`, certifying convergence needs the seed round plus one
+    * confirming round, so `maxIters = 1` always throws — pass ≥ 2.
+    *
+    * Fault tolerance: the iterative loops truncate lineage per round with
+    * an eager `localCheckpoint` — fast, but non-reliable: an executor loss
+    * mid-run loses checkpointed blocks and fails the job (rerun it). For
+    * long cluster runs where that risk matters, set
+    * `spark.sparkContext.setCheckpointDir(...)` before calling — the loops
+    * then use RELIABLE checkpointing to that directory and survive
+    * executor loss at the cost of per-round HDFS/FS writes. */
   def duplicateClusters(
-      pairs: DataFrame, maxIters: Int = 20,
+      pairs: DataFrame, maxIters: Int = 0,
       algorithm: String = "label"): DataFrame = algorithm match {
-    case "stars" => duplicateClustersStars(pairs, math.max(maxIters, 30))
-    case "label" => duplicateClustersLabel(pairs, maxIters)
+    case "stars" => duplicateClustersStars(pairs, if (maxIters > 0) maxIters else 30)
+    case "label" => duplicateClustersLabel(pairs, if (maxIters > 0) maxIters else 20)
     case other => throw new IllegalArgumentException(
       s"unknown clustering algorithm '$other' (label | stars)")
   }
+
+  /** Eager lineage-truncating checkpoint for the iterative loops: each
+    * round's plan references the previous round's TWICE, so without
+    * truncation the logical plan doubles per round — exponential analyzer
+    * cost that aborts long-diameter runs (40 rounds = 2^40 plan nodes)
+    * long before data size matters. Reliable (checkpoint-dir) when the
+    * caller configured one, local otherwise — see [[duplicateClusters]]. */
+  private def roundCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   private def duplicateClustersLabel(
       pairs: DataFrame, maxIters: Int): DataFrame = {
@@ -385,28 +409,34 @@ object Dedup {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         .distinct())
-    var labels = spillPersistEager(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("cluster_id", col("id")))
-    var iters = 0
+    val idType = pairs.schema("id_a").dataType
+    // round 1 is a plain aggregation, no label join needed: with identity
+    // initial labels, a node's closed-neighborhood minimum IS
+    // least(id, min(neighbor ids)) — one colocated agg over the edge list
+    // seeds the loop a full round ahead
+    var labels = roundCheckpoint(
+      edges.groupBy("dst").agg(min("src").as("mn"))
+        .select(col("dst").as("id"), least(col("dst"), col("mn")).as("cluster_id")))
+    var iters = 1
     var converged = false
     while (!converged && iters < maxIters) {
-      val neighborMin = edges
+      // one shuffle join + one aggregation per round: each node's new label
+      // = min over {own label} ∪ {neighbors' labels}, computed by unioning
+      // the self rows (which carry the old label in `own` — exactly one
+      // non-null per id) with the propagated rows, then a single min/max
+      // agg. Replaces the previous join + agg + left-join round shape.
+      val self = labels.select(col("id"), col("cluster_id").as("nl"),
+        col("cluster_id").as("own"))
+      val upd = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), "dst")
-        .groupBy("src").agg(min("nl").as("nmin"))
-      // eager localCheckpoint, not persist: each round's plan references
-      // the previous round's TWICE, so without lineage truncation the
-      // logical plan doubles per round — exponential analyzer cost that
-      // aborts long-diameter runs (40 rounds = 2^40 plan nodes) long
-      // before data size matters
-      val next = labels
-        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
-          (col("nmin").isNotNull && col("nmin") < col("cluster_id")).as("chg"))
-        .localCheckpoint(true)
+        .select(col("src").as("id"), col("nl"), lit(null).cast(idType).as("own"))
+      val next = roundCheckpoint(
+        self.unionByName(upd)
+          .groupBy("id").agg(min("nl").as("cluster_id"), max("own").as("old"))
+          .select(col("id"), col("cluster_id"),
+            (col("cluster_id") < col("old")).as("chg")))
+      // the count scans the just-materialized checkpoint blocks — cheap
       val changed = next.filter(col("chg")).count()
-      labels.unpersist(blocking = false)
       labels = next.select("id", "cluster_id")
       converged = changed == 0
       iters += 1
@@ -414,6 +444,9 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters did not converge in $maxIters rounds — a component's " +
         "diameter exceeds maxIters; raise maxIters (labels would be silently wrong)")
+    // the returned labels frame is checkpointed — it no longer references
+    // the edge list, so the working persist can be released immediately
+    edges.unpersist(blocking = false)
     labels
   }
 
@@ -461,13 +494,13 @@ object Dedup {
         .filter(col("su") =!= col("sv"))
         .unionByName(minU.select(col("u").as("su"), col("m").as("sv")))
         .distinct()
-      // eager localCheckpoint truncates lineage (see the label variant:
-      // per-round plan doubling is exponential without it)
-      val next = small.select(col("su").as("u"), col("sv").as("v"))
-        .localCheckpoint(true)
+      // eager checkpoint truncates lineage (see roundCheckpoint: per-round
+      // plan doubling is exponential without it)
+      val next = roundCheckpoint(small.select(col("su").as("u"), col("sv").as("v")))
       val nextCnt = next.count()
       // exact fixpoint: equal size and no edge outside the previous set
       converged = nextCnt == edgeCnt && next.except(edges).isEmpty
+      // releases the round-0 persist; checkpointed rounds free with GC
       edges.unpersist(blocking = false)
       edges = next
       edgeCnt = nextCnt
