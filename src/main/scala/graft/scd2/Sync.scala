@@ -154,22 +154,59 @@ final class Synchronizer(
   // overlapped actions nondeterministic. Each task instead snapshots the
   // caller's attribution keys and applies them explicitly.
   private implicit def ec: scala.concurrent.ExecutionContext = Synchronizer.syncEc
-  private def async[A](body: => A): scala.concurrent.Future[A] = {
+
+  /** An overlapped Spark action plus the unique job TAG its jobs carry.
+    * Tags are additive (`SparkContext.addJobTag`), so the caller's own
+    * job-group / pool attribution — propagated above — is untouched; the
+    * tag exists solely as `await`'s cancellation handle. */
+  private final case class SyncTask[A](future: scala.concurrent.Future[A], tag: String)
+
+  private def async[A](body: => A): SyncTask[A] = {
     val sc = spark.sparkContext
     val props = Synchronizer.propagatedKeys.map(k => k -> sc.getLocalProperty(k))
-    scala.concurrent.Future {
+    val tag = s"graft-sync-${java.util.UUID.randomUUID()}"
+    val fut = scala.concurrent.Future {
       props.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+      sc.addJobTag(tag)
       try body
-      finally Synchronizer.propagatedKeys.foreach(k => sc.setLocalProperty(k, null))
+      finally {
+        sc.removeJobTag(tag)
+        Synchronizer.propagatedKeys.foreach(k => sc.setLocalProperty(k, null))
+      }
     }
+    SyncTask(fut, tag)
   }
-  // finite (generous) timeout: a wedged overlapped write surfaces as an
-  // error the rollback path can handle instead of hanging the sync forever
-  private def await[A](f: scala.concurrent.Future[A]): A =
-    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration(2L, "hours"))
+
+  /** Finite (generous) timeout: a wedged overlapped write surfaces as an
+    * error the rollback path can handle instead of hanging the sync forever.
+    * On timeout the task's in-flight jobs are cancelled BY TAG and the
+    * future is waited to settlement before the timeout propagates — an
+    * orphaned step-1 write must never commit AFTER a rollback restored the
+    * table it targets (watermark resurrection; see the settle-before-
+    * rollback note in deltaLoad). The post-cancel wait is unbounded, but it
+    * only spans the cancelled jobs' teardown, restoring the settlement
+    * guarantee the previous Duration.Inf await provided. */
+  private def await[A](t: SyncTask[A]): A =
+    try scala.concurrent.Await.result(t.future, scala.concurrent.duration.Duration(2L, "hours"))
+    catch {
+      case e: java.util.concurrent.TimeoutException =>
+        spark.sparkContext.cancelJobsWithTag(t.tag)
+        try scala.concurrent.Await.ready(t.future, scala.concurrent.duration.Duration.Inf)
+        catch { case _: InterruptedException => () }
+        throw e
+    }
+
   private def awaitBoth[A, B](a: => A)(b: => B): (A, B) = {
     val fa = async(a)
-    val rb = b // second runs on the caller thread
+    val rb =
+      try b // second runs on the caller thread
+      catch {
+        case e: Throwable =>
+          // caller-thread failure: settle the overlapped probe before the
+          // caller's rollback path can run (same settlement invariant)
+          try await(fa) catch { case _: Throwable => () }
+          throw e
+      }
     (await(fa), rb)
   }
 

@@ -93,7 +93,17 @@ final class VersionedTable(spark: SparkSession, val path: String) {
       m.properties.foreach { case (k, v) => pn.put(k, v) }
     }
     fsu.writeStringAtomic(manifestPath(m.version), mapper.writeValueAsString(root))
-    deltaMirror.sync(m)
+    // the manifest above IS the commit; the Delta mirror is a convenience
+    // view and self-healing (it re-emits any missing versions on the next
+    // sync), so a mirror-only IO failure must not make an already-committed
+    // write surface as failed — rollback/retry paths upstream would then
+    // double-apply an append that actually landed
+    try deltaMirror.sync(m)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        VersionedTable.log.warn(
+          s"delta-log mirror failed for $path v${m.version} (will heal on next commit)", e)
+    }
   }
 
   // ------------------------------------------------------------------ reads
@@ -290,6 +300,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
 }
 
 object VersionedTable {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[VersionedTable])
   private val ManifestName = """v(\d{10})\.json""".r
   /** Internal column carrying a row's originating data dir in pruning scans. */
   private val DirCol = "__graft_dir"

@@ -115,6 +115,25 @@ class DeltaLogMirrorSpec extends SparkSuite {
     assertMirrored(root)
   }
 
+  test("a mirror-only IO failure does not fail the committed write, and heals") {
+    val root = tmpDir("dlm-iofail")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1, "a")).toDF("id", "s"))
+    // block the mirror: replace _delta_log with a plain FILE so every
+    // emission under it fails, while the manifest log keeps working
+    val dlog = new java.io.File(s"$root/_delta_log")
+    dlog.listFiles().foreach(_.delete()); assert(dlog.delete())
+    assert(dlog.createNewFile())
+    // the table write must still succeed (manifest is the commit)
+    t.append(Seq((2, "b")).toDF("id", "s"))
+    assert(t.read().count() == 2)
+    // unblock → the next commit re-emits the full missing chain
+    assert(dlog.delete())
+    t.append(Seq((3, "c")).toDF("id", "s"))
+    assertMirrored(root)
+    assert(replayDeltaLog(root)._3 == Seq(0L, 1L, 2L))
+  }
+
   test("mirror heals a missing delta version on the next commit") {
     val root = tmpDir("dlm-heal")
     val t = new VersionedTable(spark, root)
