@@ -45,12 +45,32 @@ final class SyncDestination(spark: SparkSession, rawRoot: String) {
   }
   def releaseLock(): Unit = fsu.deleteIfExists(lockPath)
 
-  /** Schema snapshot persisted each run (reference db_to_delta.py:187-200). */
+  /** Schema snapshot persisted each run (reference db_to_delta.py:187-200):
+    * a JSON array with each column's type in BOTH dialects — `data_type`
+    * is the local/target type (Spark SQL DDL), `data_type_src` the source
+    * catalog's declared SQL type (reference _transform_dt renders
+    * data_type/data_type_src through sqlglot the same way). The full Spark
+    * schema is also kept under `spark_schema` for programmatic reads. */
   def writeSchemaJson(cols: Seq[ColInfo], cfg: WriteConfig): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("columns")
     val fields = cols.map { c =>
-      StructField(cfg.getTargetName(c), Projection.targetType(c, cfg), nullable = true)
+      val target = Projection.targetType(c, cfg)
+      val o = arr.addObject()
+      o.put("column_name", c.name)
+      o.put("target_name", cfg.getTargetName(c))
+      o.put("data_type", target.sql)
+      o.put("data_type_src", c.sourceType.getOrElse(c.dataType.sql))
+      o.put("nullable", c.nullable)
+      o.put("is_identity", c.isIdentity)
+      o.put("is_row_start", c.isRowStart)
+      StructField(cfg.getTargetName(c), target, nullable = true)
     }
-    fsu.writeString(new HPath(metaDir, "schema.json"), StructType(fields).prettyJson)
+    root.set[com.fasterxml.jackson.databind.JsonNode](
+      "spark_schema", mapper.readTree(StructType(fields).json))
+    fsu.writeString(new HPath(metaDir, "schema.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
   }
 
   def vacuumAux(): Unit =
