@@ -55,14 +55,21 @@ object HashKernels {
 
   /** 64-bit SimHash: per bit b, the sign of Σ(±1) over elements' hash bit
     * b; packed into one long. */
-  def simhash(elems: ArrayData): Long = {
+  def simhash(elems: ArrayData): Long = simhashImpl(elems, poly = false)
+
+  /** [[simhash]] over the SQL-mirrorable [[poly61]] token hash instead of
+    * xxhash64: bits 61–63 of every token hash are 0, so those signature
+    * bits are 0 on all documents (a constant — hamming-neutral). */
+  def simhashPoly(elems: ArrayData): Long = simhashImpl(elems, poly = true)
+
+  private def simhashImpl(elems: ArrayData, poly: Boolean): Long = {
     val counts = new Array[Int](64)
     val n = elems.numElements()
     var i = 0
     while (i < n) {
       val s = elems.getUTF8String(i)
       if (s != null) {
-        val h = xx(s, Seed1)
+        val h = if (poly) poly61(s) else xx(s, Seed1)
         var b = 0
         while (b < 64) {
           counts(b) += (((h >>> b) & 1L).toInt << 1) - 1
@@ -78,6 +85,39 @@ object HashKernels {
       b += 1
     }
     sig
+  }
+
+  private final val PolyM = (1L << 61) - 1 // Mersenne prime 2^61 - 1
+  private final val PolyB = 131L
+  private final val PolyC = 1442695040888963407L // final scramble, < PolyM
+
+  /** Polynomial codepoint hash mod 2^61−1 with one scramble multiply —
+    * chosen to be EXACTLY expressible in an oracle's SQL (DuckDB:
+    * list_reduce over split characters with HUGEINT intermediates), so a
+    * gate over simhash output can compute the very same signatures.
+    * Products stay below 2^63 via Math.multiplyHigh-free splitting: both
+    * operands < 2^61, so (a*b mod M) uses the 128-bit product via
+    * Math.multiplyHigh (public JDK 9+ intrinsic). */
+  def poly61(s: UTF8String): Long = {
+    var h = 0L
+    val it = s.toString.codePoints().iterator()
+    while (it.hasNext) h = (mulMod61(h, PolyB) + it.nextInt()) % PolyM
+    mulMod61(h % PolyM, PolyC)
+  }
+
+  /** (a*b) mod 2^61−1 for 0 ≤ a,b < 2^61, exact via the 128-bit product:
+    * with M = 2^61−1, (hi·2^64 + lo) ≡ hi·8 + lo (mod M) after folding
+    * 2^64 = 8·(M+1) ≡ 8; the fold terms are < 2^67, reduced stepwise. */
+  private def mulMod61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b) // a,b < 2^61 ⇒ non-negative
+    val lo = a * b // low 64 bits (wrapped)
+    // lo as unsigned: split into top 3 bits and low 61 bits
+    val loLow = lo & PolyM
+    val loHi = (lo >>> 61) & 0x7L
+    // value ≡ hi*8 + loHi + loLow (mod M); hi < 2^58 so hi*8 < 2^61
+    var r = (hi << 3) + loHi + loLow
+    while (r >= PolyM) r -= PolyM
+    r
   }
 }
 
@@ -100,7 +140,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 /** array<string> → bigint: the 64-bit SimHash (codegen'd). */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, poly: Boolean = false)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -108,13 +148,15 @@ case class SimHash64(child: Expression)
       s"graft_simhash expects array<string>, got ${other.simpleString}")
   }
   override def dataType: DataType = LongType
+  private val kernel = if (poly) "simhashPoly" else "simhash"
   override def nullSafeEval(input: Any): Any =
-    HashKernels.simhash(input.asInstanceOf[ArrayData])
+    if (poly) HashKernels.simhashPoly(input.asInstanceOf[ArrayData])
+    else HashKernels.simhash(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.$kernel($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
-  override def prettyName: String = "graft_simhash"
+  override def prettyName: String = if (poly) "graft_simhash_poly" else "graft_simhash"
 }
 
 /** Vector kernels for the similarity operators (same rationale as
@@ -451,8 +493,8 @@ object NativeHash {
     Bridge.column(NearestCentroid(Bridge.expression(vec), centroids.toArray))
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
-  def simhash64(tokens: Column): Column =
-    Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def simhash64(tokens: Column, poly: Boolean = false): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens), poly))
   def cosineToQuery(vec: Column, q: Array[Double], qNorm: Double): Column =
     Bridge.column(CosineToQuery(Bridge.expression(vec), q, qNorm))
   def cosinePair(a: Column, b: Column): Column =

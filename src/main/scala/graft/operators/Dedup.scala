@@ -224,10 +224,14 @@ object Dedup {
 
   /** Per-row 64-bit SimHash of a document's token multiset, via the native
     * codegen'd expression ([[graft.functions.SimHash64]]). Returns (id, sig)
-    * rows. */
-  def simhashed(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * rows. `polyHash = true` swaps the xxhash64 token hash for the
+    * SQL-mirrorable poly61 hash (HashKernels.poly61) — same signature
+    * semantics, but an external oracle can recompute the signatures
+    * exactly, making hamming-bounded output contracts testable. */
+  def simhashed(df: DataFrame, idCol: String, textCol: String,
+      polyHash: Boolean = false): DataFrame =
     df.select(col(idCol).as("id"),
-      graft.functions.NativeHash.simhash64(tokens(col(textCol))).as("sig"))
+      graft.functions.NativeHash.simhash64(tokens(col(textCol)), polyHash).as("sig"))
 
   /** SimHash near-duplicate pairs: band the 64-bit signature into
     * `numChunks` equal-width chunks (pigeonhole guarantees recall for
@@ -252,7 +256,7 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, numChunks: Int = 4,
-      maxBucketSize: Int = 100): DataFrame = {
+      maxBucketSize: Int = 100, polyHash: Boolean = false): DataFrame = {
     require(64 % numChunks == 0, "numChunks must divide 64")
     require(maxHamming < numChunks,
       s"maxHamming ($maxHamming) must be < numChunks ($numChunks) for pigeonhole-complete recall")
@@ -265,7 +269,7 @@ object Dedup {
     val subBand = 64 - w >= numSub
     val subW = if (subBand) (64 - w) / numSub else 1
     val mask = if (w == 64) -1L else (1L << w) - 1L
-    val withSig = simhashed(df, idCol, textCol)
+    val withSig = simhashed(df, idCol, textCol, polyHash)
     // every downstream branch (size census, ok-side, hot-side, both join
     // sides) consumes the banded rows — persist (spill-safe) so the
     // tokenize+simhash pipeline runs once, not once per branch
@@ -340,8 +344,10 @@ object Dedup {
   def simhashVerifiedPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, threshold: Double = 0.8, shingleN: Int = 3,
-      numChunks: Int = 4, maxBucketSize: Int = 100): DataFrame = {
-    val cands = simhashPairs(df, idCol, textCol, maxHamming, numChunks, maxBucketSize)
+      numChunks: Int = 4, maxBucketSize: Int = 100,
+      polyHash: Boolean = false): DataFrame = {
+    val cands = simhashPairs(df, idCol, textCol, maxHamming, numChunks,
+      maxBucketSize, polyHash)
       .select("id_a", "id_b")
     // small-keyspace banding ⇒ candidate docs ≈ corpus: full-corpus sets
     // skip the persist/distinct/semi-join barriers (see verifyJaccard)

@@ -622,12 +622,16 @@ object Catalog {
       Some(jaccardTruthSql(500))),
 
     // SimHash candidates (8×8-bit chunks: pigeonhole-complete for hamming
-    // ≤ 7) verified at Jaccard ≥ 0.9 — every true J ≥ 0.9 pair in this
-    // corpus sits at hamming ≤ 6 (audited), so output = exact truth
+    // ≤ 7) verified at Jaccard ≥ 0.9. The gate uses the SQL-mirrorable
+    // poly61 token hash so the ORACLE recomputes the signatures and tests
+    // the operator's true contract — output ≡ {hamming ≤ 7 ∧ J ≥ 0.9} —
+    // exactly, at ANY corpus scale (at sf0.1 two J ≥ 0.9 pairs sit at
+    // hamming 8/10: a pure-Jaccard oracle would demand pairs no hamming
+    // method can see)
     Q("dedup_simhash",
       (s, d) => Dedup.simhashVerifiedPairs(t(s, d, "documents"), "doc_id", "text",
-        maxHamming = 7, threshold = 0.9, numChunks = 8),
-      Some(jaccardTruthSql(900))),
+        maxHamming = 7, threshold = 0.9, numChunks = 8, polyHash = true),
+      Some(simhashTruthSql(7, 900))),
 
     // direct inverted-index n-gram Jaccard — guaranteed-total recall (any
     // J > 0 pair shares a shingle), so spark output ≡ oracle by construction
@@ -1059,6 +1063,32 @@ object Catalog {
       SELECT id_a, id_b, CAST((i*1000) // (sa.sz + sb.sz - i) AS BIGINT) AS jaccard_x1000
       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       WHERE (i*1000) // (sa.sz + sb.sz - i) >= $thrX1000"""
+
+  /** DuckDB mirror of HashKernels.simhashPoly signatures: per token the
+    * poly61 codepoint hash (fold (a·131+cp) mod 2^61−1, then one scramble
+    * multiply — HUGEINT keeps every product exact), then per bit b ∈
+    * [0,61) the sign of Σ(±1) over the token multiset. Bits 61–63 are 0 on
+    * both sides by construction. */
+  private def polySigSql: String =
+    s"""SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+      FROM (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        FROM (SELECT doc_id, CAST(((CASE WHEN len(t) = 0 THEN 0::HUGEINT ELSE
+              list_reduce(list_transform(string_split(t, ''), ch -> CAST(unicode(ch) AS HUGEINT)),
+                (a, x) -> (a * 131 + x) % 2305843009213693951) END)
+              * 1442695040888963407) % 2305843009213693951 AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)),
+          range(61) r(b)
+        GROUP BY doc_id, b)
+      GROUP BY doc_id"""
+
+  /** The simhash gate's exact truth: Jaccard ≥ threshold AND recomputed-
+    * signature hamming ≤ maxHamming — the operator's actual contract. */
+  private def simhashTruthSql(maxHamming: Int, thrX1000: Int): String =
+    s"""WITH sg AS ($polySigSql),
+      tp AS (${jaccardTruthSql(thrX1000)})
+      SELECT tp.id_a, tp.id_b, tp.jaccard_x1000
+      FROM tp JOIN sg a ON a.doc_id = tp.id_a JOIN sg b ON b.doc_id = tp.id_b
+      WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming"""
 
   /** Exact cosine top-10 for the vec_id=0 query — the oracle shared by the
     * brute-force gate and both approximate ANN gates (containment grading:

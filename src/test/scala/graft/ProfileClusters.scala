@@ -45,6 +45,39 @@ object ProfileClusters {
           .select(col("id"), size(col("sh")).cast("long").as("sz"),
             transform(col("sh"), s => xxhash64(s)).as("hs"))
           .select(count(lit(1))).collect())
+      // replicate the ngramJaccardPairs phases over a warm hsets to see
+      // where its jobs/time go (keep in sync with Dedup.ngramJaccardPairs)
+      locally {
+        val threshold = 0.3
+        val hsets = graft.functions.TextFunctions.shingleSets(
+          docs.select(col("doc_id").as("id"), col("text")), "id", "text", 3)
+          .select(col("id"), size(col("sh")).cast("long").as("sz"),
+            transform(col("sh"), s => xxhash64(s)).as("hs"))
+          .persist(StorageLevel.DISK_ONLY)
+        hsets.count()
+        val posting = hsets.select(col("id"), col("sz"), explode(col("hs")).as("shh"))
+        val dfreq = posting.groupBy("shh").agg(count(lit(1)).as("sdf"))
+        timed("    dfreq")(dfreq.select(count(lit(1))).collect())
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("sdf"), col("shh"))
+        val prefix = posting.join(dfreq, "shh")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+          .select("shh", "id")
+        timed("    prefix")(prefix.select(count(lit(1))).collect())
+        val cand = prefix.select(col("shh"), col("id").as("id_a"))
+          .join(prefix.select(col("shh"), col("id").as("id_b")), Seq("shh"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+        timed("    cand+dedup")(cand.select(count(lit(1))).collect())
+        val verify = cand
+          .join(hsets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+          .join(hsets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+          .withColumn("jaccard_x1000", Dedup.jaccardX1000(col("hs_a"), col("hs_b")))
+          .filter(col("jaccard_x1000") >= (threshold * 1000).toLong)
+        timed("    verify")(verify.select(count(lit(1))).collect())
+        hsets.unpersist(blocking = false)
+      }
       val pairs = timed("ngramJaccardPairs") {
         val p = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
           .select("id_a", "id_b").persist(StorageLevel.DISK_ONLY)

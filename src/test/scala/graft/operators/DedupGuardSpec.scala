@@ -53,6 +53,38 @@ class DedupGuardSpec extends SparkSuite {
     Dedup.releaseIntermediates()
   }
 
+  test("poly61 token hash matches its DuckDB SQL mirror (pinned values)") {
+    // pinned from: SELECT CAST(((CASE WHEN len(t)=0 THEN 0::HUGEINT ELSE
+    //   list_reduce(list_transform(string_split(t,''), c -> CAST(unicode(c) AS HUGEINT)),
+    //     (a,x) -> (a*131+x) % 2305843009213693951) END)
+    //   * 1442695040888963407) % 2305843009213693951 AS BIGINT)  (duckdb 1.0.0)
+    import org.apache.spark.unsafe.types.UTF8String
+    val expected = Map(
+      "hello" -> 1351926553442550663L,
+      "a" -> 1590838413407813419L,
+      "" -> 0L,
+      "the" -> 111542059267556715L)
+    expected.foreach { case (tok, h) =>
+      assert(graft.functions.HashKernels.poly61(UTF8String.fromString(tok)) == h, tok)
+    }
+    // and the poly-hash simhash pipeline keeps the same recall guarantees
+    // (the sub-banding guard is hash-agnostic): quick ≡-brute-force check
+    val df = mutatedCorpus(8, 0xB0D1L).toDF("doc_id", "text")
+    val sigs = Dedup.simhashed(df, "doc_id", "text", polyHash = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bits 61-63 are structurally zero under poly61
+    sigs.values.foreach(s => assert((s >>> 61) == 0L))
+    val brute = (for {
+      a <- sigs.keys.toSeq.sorted; b <- sigs.keys.toSeq.sorted if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 7
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(df, "doc_id", "text",
+        maxHamming = 7, numChunks = 8, maxBucketSize = 2, polyHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    Dedup.releaseIntermediates()
+  }
+
   test("simhash: maxHamming >= numChunks is rejected (pigeonhole precondition)") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
