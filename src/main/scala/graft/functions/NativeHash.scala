@@ -62,6 +62,32 @@ object HashKernels {
     * bits are 0 on all documents (a constant — hamming-neutral). */
   def simhashPoly(elems: ArrayData): Long = simhashImpl(elems, poly = true)
 
+  /** Count of DISTINCT common values of two SORTED long arrays — a single
+    * merge walk, no allocation, no boxing (array_intersect builds a boxed
+    * hash set per pair; at candidate-pair volumes that was the dominant
+    * verify cost). Duplicate values (64-bit hash collisions of distinct
+    * shingles) count once, matching array_intersect's set semantics. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    var last = 0L
+    var has = false
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        if (!has || x != last) { c += 1; last = x; has = true }
+        i += 1; j += 1
+      }
+    }
+    c
+  }
+
   private def simhashImpl(elems: ArrayData, poly: Boolean): Long = {
     val counts = new Array[Int](64)
     val n = elems.numElements()
@@ -157,6 +183,27 @@ case class SimHash64(child: Expression, poly: Boolean = false)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
   override def prettyName: String = if (poly) "graft_simhash_poly" else "graft_simhash"
+}
+
+/** (array<long>, array<long>) → bigint: distinct-common-value count of two
+  * SORTED long arrays (codegen'd merge walk). Contract: both inputs sorted
+  * ascending (sort_array output). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_intersect expects two array<bigint>, got ${l.simpleString}, ${r.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_sorted_intersect"
 }
 
 /** Vector kernels for the similarity operators (same rationale as
@@ -495,6 +542,8 @@ object NativeHash {
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
   def simhash64(tokens: Column, poly: Boolean = false): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens), poly))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
   def cosineToQuery(vec: Column, q: Array[Double], qNorm: Double): Column =
     Bridge.column(CosineToQuery(Bridge.expression(vec), q, qNorm))
   def cosinePair(a: Column, b: Column): Column =

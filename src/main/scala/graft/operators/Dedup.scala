@@ -134,22 +134,27 @@ object Dedup {
     // both pair sides broadcast these sets under different aliases (no
     // exchange reuse across aliases) — persist so doc shingling runs
     // once, not once per broadcast build
+    // SORTED hashed shingles: per-pair verification is then a native
+    // zero-allocation merge walk (SortedIntersectCount) instead of
+    // array_intersect's boxed per-pair hash set — the sort costs once per
+    // DOC, the walk runs once per PAIR (the dominant side)
     val sets = spillPersistEager(
       shingleSets(setsBase, idCol, textCol, shingleN)
         .select(col(idCol), size(col("sh")).cast("long").as("shn"),
-          transform(col("sh"), s => xxhash64(s)).as("sh")))
+          sort_array(transform(col("sh"), s => xxhash64(s))).as("sh")))
     val tX1000 = (threshold * 1000).toLong
     p
       .join(sets.select(col(idCol).as("id_a"), col("shn").as("shn_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("shn").as("shn_b"), col("sh").as("sh_b")), "id_b")
       // size-ratio pre-filter (exact): J = I/U ≤ min/max since I ≤ min and
       // U ≥ max — so J ≥ t requires min·1000 ≥ max·⌊t·1000⌋. Two integer
-      // column refs, evaluated BEFORE the per-pair intersect builds its
-      // hash set — at loose banding most candidates die here (measured:
-      // the intersect dominated verify 4:1 without it)
+      // column refs, evaluated BEFORE the per-pair merge walk — at loose
+      // banding most candidates die here (measured: the intersect
+      // dominated verify 4:1 without it)
       .filter(least(col("shn_a"), col("shn_b")) * 1000L >=
         greatest(col("shn_a"), col("shn_b")) * tX1000)
-      .withColumn("jaccard_x1000", jaccardX1000(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard_x1000", jaccardX1000Sorted(
+        col("sh_a"), col("sh_b"), col("shn_a"), col("shn_b")))
       .filter(col("jaccard_x1000") >= tX1000)
       .select("id_a", "id_b", "jaccard_x1000")
   }
@@ -160,6 +165,16 @@ object Dedup {
     val inter = size(array_intersect(a, b)).cast("long")
     val union = (size(a) + size(b)).cast("long") - inter
     // Column `/` is double division — floor+cast for exact integer per-mille
+    when(union > 0, floor((inter * 1000L) / union).cast("long")).otherwise(lit(1000L))
+  }
+
+  /** [[jaccardX1000]] over SORTED long arrays with the sizes already at
+    * hand: the native merge-walk kernel replaces array_intersect's boxed
+    * per-pair hash set. Same value, set semantics included (duplicate
+    * values count once on both paths). */
+  def jaccardX1000Sorted(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val inter = graft.functions.NativeHash.sortedIntersectCount(a, b)
+    val union = na + nb - inter
     when(union > 0, floor((inter * 1000L) / union).cast("long")).otherwise(lit(1000L))
   }
 
@@ -188,10 +203,12 @@ object Dedup {
     // candidate volume at low thresholds makes string intersects the
     // dominant cost). `sz` is referenced alongside `hs` so CollapseProject
     // keeps the shingle tree out of the transform lambda.
+    // sorted hashed shingles: the verify step's per-pair intersect is a
+    // native merge walk (see verifyJaccard) — sort once per doc here
     val hsets = spillPersistEager(
       shingleSets(df.select(col(idCol).as("id"), col(textCol)), "id", textCol, shingleN)
         .select(col("id"), size(col("sh")).cast("long").as("sz"),
-          transform(col("sh"), s => xxhash64(s)).as("hs")))
+          sort_array(transform(col("sh"), s => xxhash64(s))).as("hs")))
     val posting0 = hsets.select(col("id"), col("sz"), explode(col("hs")).as("shh"))
     val posting = maxDocFreq match {
       case None => posting0
@@ -213,12 +230,17 @@ object Dedup {
       .join(prefix.select(col("shh"), col("id").as("id_b")), Seq("shh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    // exact verify over the hashed shingle sets (persisted above)
+    // exact verify over the sorted hashed shingle sets (persisted above):
+    // size-ratio prefilter, then the native merge-walk intersect
+    val tX1000 = (threshold * 1000).toLong
     cand
-      .join(hsets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
-      .join(hsets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .withColumn("jaccard_x1000", jaccardX1000(col("hs_a"), col("hs_b")))
-      .filter(col("jaccard_x1000") >= (threshold * 1000).toLong)
+      .join(hsets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a")), "id_a")
+      .join(hsets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b")), "id_b")
+      .filter(least(col("sz_a"), col("sz_b")) * 1000L >=
+        greatest(col("sz_a"), col("sz_b")) * tX1000)
+      .withColumn("jaccard_x1000", jaccardX1000Sorted(
+        col("hs_a"), col("hs_b"), col("sz_a"), col("sz_b")))
+      .filter(col("jaccard_x1000") >= tX1000)
       .select("id_a", "id_b", "jaccard_x1000")
   }
 

@@ -116,6 +116,22 @@ class PipelineOpsSpec extends SparkSuite {
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("sorted-intersect kernel equals array_intersect set semantics") {
+    val rnd = new scala.util.Random(0xCAFE)
+    // random long arrays WITH duplicates and empties: the kernel must match
+    // size(array_intersect(...)) exactly (duplicates count once)
+    val rows = (0 until 200).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(30))(rnd.nextInt(20).toLong).sorted
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val bad = df.select(
+        graft.functions.NativeHash.sortedIntersectCount(col("a"), col("b")).as("k"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(col("k") =!= col("ref")).count()
+    assert(bad == 0L)
+  }
+
   test("jaccard is exact and symmetric-free (a<b ordering)") {
     val df = docs((1L, "a b c d e f"), (2L, "a b c d e g"))
     val j = df.select(Dedup.jaccardX1000(

@@ -52,7 +52,7 @@ object ProfileClusters {
         val hsets = graft.functions.TextFunctions.shingleSets(
           docs.select(col("doc_id").as("id"), col("text")), "id", "text", 3)
           .select(col("id"), size(col("sh")).cast("long").as("sz"),
-            transform(col("sh"), s => xxhash64(s)).as("hs"))
+            sort_array(transform(col("sh"), s => xxhash64(s))).as("hs"))
           .persist(StorageLevel.DISK_ONLY)
         hsets.count()
         val posting = hsets.select(col("id"), col("sz"), explode(col("hs")).as("shh"))
@@ -71,9 +71,12 @@ object ProfileClusters {
           .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
         timed("    cand+dedup")(cand.select(count(lit(1))).collect())
         val verify = cand
-          .join(hsets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
-          .join(hsets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-          .withColumn("jaccard_x1000", Dedup.jaccardX1000(col("hs_a"), col("hs_b")))
+          .join(hsets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a")), "id_a")
+          .join(hsets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b")), "id_b")
+          .filter(least(col("sz_a"), col("sz_b")) * 1000L >=
+            greatest(col("sz_a"), col("sz_b")) * (threshold * 1000).toLong)
+          .withColumn("jaccard_x1000", Dedup.jaccardX1000Sorted(
+            col("hs_a"), col("hs_b"), col("sz_a"), col("sz_b")))
           .filter(col("jaccard_x1000") >= (threshold * 1000).toLong)
         timed("    verify")(verify.select(count(lit(1))).collect())
         hsets.unpersist(blocking = false)
