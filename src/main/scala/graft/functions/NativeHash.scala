@@ -115,20 +115,40 @@ object HashKernels {
 
   private final val PolyM = (1L << 61) - 1 // Mersenne prime 2^61 - 1
   private final val PolyB = 131L
-  private final val PolyC = 1442695040888963407L // final scramble, < PolyM
+  // SplitMix64's multiplier: the final WRAPPING multiply (mod 2^64 — Java's
+  // native long multiply) spreads the 61-bit fold into all 64 output bits,
+  // so no signature bit is structurally dead (a dead bit shrinks one
+  // banding chunk's keyspace and inflates its buckets). < 2^62, so
+  // fold · PolyC < 2^123 stays exact in a signed 128-bit HUGEINT SQL-side.
+  private final val PolyC = 2685821657736338717L
 
-  /** Polynomial codepoint hash mod 2^61−1 with one scramble multiply —
-    * chosen to be EXACTLY expressible in an oracle's SQL (DuckDB:
-    * list_reduce over split characters with HUGEINT intermediates), so a
-    * gate over simhash output can compute the very same signatures.
-    * Products stay below 2^63 via Math.multiplyHigh-free splitting: both
-    * operands < 2^61, so (a*b mod M) uses the 128-bit product via
-    * Math.multiplyHigh (public JDK 9+ intrinsic). */
+  /** Polynomial codepoint hash: fold (h·131 + cp) mod 2^61−1 over the
+    * token's unicode codepoints, then one wrapping multiply by [[PolyC]] —
+    * chosen to be EXACTLY expressible in an oracle's SQL (DuckDB mirrors
+    * the fold with list_reduce + HUGEINT and the finalize with
+    * (fold·C) % 2^64 plus a signed conversion). Codepoints are decoded
+    * straight from the UTF-8 bytes — no String allocation, no stream
+    * boxing (this runs once per token corpus-wide). */
   def poly61(s: UTF8String): Long = {
+    val n = s.numBytes
     var h = 0L
-    val it = s.toString.codePoints().iterator()
-    while (it.hasNext) h = (mulMod61(h, PolyB) + it.nextInt()) % PolyM
-    mulMod61(h % PolyM, PolyC)
+    var i = 0
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xFF
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if ((b0 & 0xE0) == 0xC0) {
+        cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); i += 2
+      } else if ((b0 & 0xF0) == 0xE0) {
+        cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+          (s.getByte(i + 2) & 0x3F); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+          ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); i += 4
+      }
+      h = (mulMod61(h, PolyB) + cp) % PolyM
+    }
+    h * PolyC // wraps: ≡ (h·C) mod 2^64, matching the SQL mirror
   }
 
   /** (a*b) mod 2^61−1 for 0 ≤ a,b < 2^61, exact via the 128-bit product:

@@ -1065,19 +1065,26 @@ object Catalog {
       WHERE (i*1000) // (sa.sz + sb.sz - i) >= $thrX1000"""
 
   /** DuckDB mirror of HashKernels.simhashPoly signatures: per token the
-    * poly61 codepoint hash (fold (a·131+cp) mod 2^61−1, then one scramble
-    * multiply — HUGEINT keeps every product exact), then per bit b ∈
-    * [0,61) the sign of Σ(±1) over the token multiset. Bits 61–63 are 0 on
-    * both sides by construction. */
+    * poly61 codepoint hash — fold (a·131+cp) mod 2^61−1 (HUGEINT keeps
+    * every product exact), then the wrapping finalize (fold·C) % 2^64
+    * converted to a signed BIGINT (≡ Java's native long multiply) — then
+    * per bit b ∈ [0,64) the sign of Σ(±1) over the token multiset.
+    * Bit 63 of the assembled signature is the sign bit: setting it adds
+    * −2^63 (the literal is written (−(2^63−1))−1; DuckDB parses the bare
+    * constant as INT128). */
   private def polySigSql: String =
-    s"""SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+    s"""SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN
+          (CASE WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT ELSE (1::BIGINT << b) END)
+          ELSE 0 END) AS BIGINT) AS sig
       FROM (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
-        FROM (SELECT doc_id, CAST(((CASE WHEN len(t) = 0 THEN 0::HUGEINT ELSE
-              list_reduce(list_transform(string_split(t, ''), ch -> CAST(unicode(ch) AS HUGEINT)),
-                (a, x) -> (a * 131 + x) % 2305843009213693951) END)
-              * 1442695040888963407) % 2305843009213693951 AS BIGINT) AS h
-          FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)),
-          range(61) r(b)
+        FROM (SELECT doc_id,
+            CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h
+          FROM (SELECT doc_id, ((CASE WHEN len(t) = 0 THEN 0::HUGEINT ELSE
+                list_reduce(list_transform(string_split(t, ''), ch -> CAST(unicode(ch) AS HUGEINT)),
+                  (a, x) -> (a * 131 + x) % 2305843009213693951) END)
+                * 2685821657736338717) % 18446744073709551616 AS u
+            FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents))),
+          range(64) r(b)
         GROUP BY doc_id, b)
       GROUP BY doc_id"""
 

@@ -54,16 +54,17 @@ class DedupGuardSpec extends SparkSuite {
   }
 
   test("poly61 token hash matches its DuckDB SQL mirror (pinned values)") {
-    // pinned from: SELECT CAST(((CASE WHEN len(t)=0 THEN 0::HUGEINT ELSE
-    //   list_reduce(list_transform(string_split(t,''), c -> CAST(unicode(c) AS HUGEINT)),
-    //     (a,x) -> (a*131+x) % 2305843009213693951) END)
-    //   * 1442695040888963407) % 2305843009213693951 AS BIGINT)  (duckdb 1.0.0)
+    // pinned from (duckdb 1.0.0): fold (a*131+x) % 2305843009213693951 over
+    // unicode codepoints via list_reduce, then
+    // (fold * 2685821657736338717) % 18446744073709551616 → signed BIGINT.
+    // 'héllo' exercises the multi-byte UTF-8 codepoint decode.
     import org.apache.spark.unsafe.types.UTF8String
     val expected = Map(
-      "hello" -> 1351926553442550663L,
-      "a" -> 1590838413407813419L,
+      "hello" -> -6663394891695334378L,
+      "a" -> 2270283768491132925L,
       "" -> 0L,
-      "the" -> 111542059267556715L)
+      "the" -> 2719605126936183309L,
+      "héllo" -> -7201575689534043694L)
     expected.foreach { case (tok, h) =>
       assert(graft.functions.HashKernels.poly61(UTF8String.fromString(tok)) == h, tok)
     }
@@ -72,8 +73,9 @@ class DedupGuardSpec extends SparkSuite {
     val df = mutatedCorpus(8, 0xB0D1L).toDF("doc_id", "text")
     val sigs = Dedup.simhashed(df, "doc_id", "text", polyHash = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // bits 61-63 are structurally zero under poly61
-    sigs.values.foreach(s => assert((s >>> 61) == 0L))
+    // the 64-bit finalize leaves no structurally-dead signature bits: the
+    // high 3 bits vary across this corpus (they'd all be 0 without it)
+    assert(sigs.values.map(_ >>> 61).toSet.size > 1)
     val brute = (for {
       a <- sigs.keys.toSeq.sorted; b <- sigs.keys.toSeq.sorted if a < b
       if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 7
