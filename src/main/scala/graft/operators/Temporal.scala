@@ -56,6 +56,39 @@ object Temporal {
       .drop("__b")
   }
 
+  /** Event sessionization — the gaps-and-islands assignment: per `keyCol`,
+    * a NEW session opens when the gap from the previous event (by `tsCol`,
+    * an integral epoch column — nanos/micros/versions) exceeds `maxGap`.
+    * Adds `session_idx` (0-based per key, in time order). The canonical
+    * pre-aggregation for behavioral features and session-level corpus
+    * packing.
+    *
+    * Shape: ONE shuffle by key; the lag pass and the running-sum pass
+    * share the same window sort (identical partitioning + ordering — a
+    * single WindowExec after planning). Per-key ordering is totalized by
+    * `tieBreak` (a unique column), so the assignment is deterministic;
+    * equal-ts events have gap 0 and never split. 100 TB note: partitions
+    * scale with distinct keys, and a key's whole history landing in one
+    * task is inherent to the semantics (same as any per-entity window);
+    * a pathological single-entity firehose should be pre-split upstream.
+    *
+    * The exact same two windows are expressible in ANSI SQL (lag +
+    * running SUM over (PARTITION BY key ORDER BY ts, tie)), so an
+    * external oracle can replicate the assignment bit-for-bit. */
+  def sessionize(
+      df: DataFrame, keyCol: String, tsCol: String, maxGap: Long,
+      tieBreak: String): DataFrame = {
+    require(maxGap >= 0, "maxGap must be non-negative")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreak))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__gap_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__gap_prev").isNull || col(tsCol) - col("__gap_prev") > maxGap, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__new_sess")).over(run) - 1L)
+      .drop("__gap_prev", "__new_sess")
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,

@@ -330,6 +330,33 @@ object Catalog {
           ON e.event_type = 'error' AND p.event_type = 'purchase'
           AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) AND epoch_us(e.ts) + 600000000""")),
 
+    // gaps-and-islands sessionization: 12h max gap over each user's event
+    // stream, aggregated to one row per session. The oracle replicates the
+    // two-window assignment (lag + running sum) in ANSI SQL verbatim —
+    // the assignment itself is compared, not just session counts.
+    Q("sessionize",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.sessionize(ev, "user_id", "ets",
+            maxGap = 43200000000L, tieBreak = "event_id")
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min("ets").as("start_us"), max("ets").as("end_us"))
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ets,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events),
+        s AS (SELECT user_id, ets,
+          SUM(CASE WHEN gap IS NULL OR gap > 43200000000 THEN 1 ELSE 0 END) OVER
+            (PARTITION BY user_id ORDER BY ets, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        FROM g)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          count(*) AS n_events, min(ets) AS start_us, max(ets) AS end_us
+        FROM s GROUP BY 1, 2""")),
+
     Q("asof_join",
       (s, d) => {
         val ev = t(s, d, "events")
@@ -982,6 +1009,65 @@ object Catalog {
       Some("""SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT)
           AS win_start_us, event_type, count(*) AS cnt
         FROM events GROUP BY 1, 2""")),
+
+    // native session_window streaming state in the matrix: sessions close
+    // once no event lands within 1h of the window end. The oracle mirrors
+    // the gap-merge in SQL (islands split at gap >= 1h — session_window's
+    // end-EXCLUSIVE boundary — with end = last event + gap); value sums
+    // ride as exact integer cents
+    Q("streaming_session_counts",
+      (s, d) => {
+        val schema = t(s, d, "events").schema
+        val name = s"gs_${math.abs(d.hashCode)}_${System.nanoTime()}"
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val in = s.readStream.schema(schema).parquet(dir.toString)
+          .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+          .withColumn("value", floor(col("value") * 100).cast("long"))
+        val q = graft.streaming.StreamingIngest.sessionCounts(
+            in, "user_id", "ets", gap = "1 hour", watermark = "100 days")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(s.table(name).select(
+            col("user_id"),
+            unix_micros(col("sess_start")).as("start_us"),
+            unix_micros(col("sess_end")).as("end_us"),
+            col("n_events"), col("sum_value").as("sum_cents")).collect(): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("start_us",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("end_us",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_events",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_cents",
+              org.apache.spark.sql.types.LongType))))
+        s.catalog.dropTempView(name)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some("""WITH g AS (SELECT user_id, epoch_us(ts) AS ets,
+          CAST(floor(value * 100) AS BIGINT) AS cents,
+          CASE WHEN lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+            OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 3600000000
+            THEN 1 ELSE 0 END AS brk
+        FROM events),
+        s AS (SELECT user_id, ets, cents,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ets
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM g)
+        SELECT user_id, min(ets) AS start_us, max(ets) + 3600000000 AS end_us,
+          count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM s GROUP BY user_id, sess""")),
 
     // stateful streaming dedup (flatMapGroupsWithState) in the matrix:
     // AvailableNow over one file = one micro-batch, and within a batch the

@@ -95,6 +95,30 @@ object StreamingIngest {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming sessionization: Spark's native session_window state merges
+    * events into per-key sessions that close once no event lands within
+    * `gap` of the window end (the streaming counterpart of the batch
+    * [[graft.operators.Temporal.sessionize]]; boundary rule differs by one
+    * instant — the streaming window is end-EXCLUSIVE, so an event at gap
+    * exactly `gap` opens a new session, while the batch operator's
+    * `ts - prev > maxGap` keeps it). The watermark bounds session state:
+    * sessions older than it finalize and evict — the 100 TB requirement
+    * (unbounded-state sessionization is a driver OOM on any real stream). */
+  def sessionCounts(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"), col("sum_value"))
+
   /** Run the windowed aggregation over a file stream with AvailableNow and
     * collect results to an in-memory sink table; returns its name. */
   def runWindowedAvailableNow(
