@@ -1,9 +1,12 @@
 package graft.store
 
+import java.util.UUID
+
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
 
 import graft.store.VersionedTable.Manifest
 
@@ -96,7 +99,14 @@ final class DeltaLogMirror(
   }
 
   /** Mirror everything up to (and including) manifest `m`. Called after
-    * each manifest publish; normally emits exactly one version. */
+    * each manifest publish; normally emits exactly one version. Every
+    * [[DeltaLogMirror.CheckpointInterval]] versions the full state is also
+    * written as a protocol parquet checkpoint + `_last_checkpoint`
+    * pointer, so a Delta client opens the table from the checkpoint plus
+    * the JSON tail instead of replaying every commit since version 0 —
+    * the log-scaling requirement for long-lived tables (a year of hourly
+    * syncs is ~9k commits; linear JSON replay per read is the first thing
+    * a real deployment hits). */
   def sync(m: Manifest): Unit = {
     val last = lastVersion
     if (last.exists(_ >= m.version)) return // already mirrored
@@ -106,8 +116,49 @@ final class DeltaLogMirror(
     (state.version + 1 to m.version).foreach { v =>
       val target = if (v == m.version) Some(m) else lookupManifest(v)
       state = emit(v, state, target)
+      if (v > 0 && v % CheckpointInterval == 0) writeCheckpoint(v, state)
     }
     cached = Some(state)
+  }
+
+  /** Protocol parquet checkpoint of the full state at version `v`: one row
+    * per action (protocol, metaData, one add per live file — dataChange
+    * false per the checkpoint spec), published as
+    * `_delta_log/%020d.checkpoint.parquet` + the `_last_checkpoint`
+    * pointer. The per-commit JSON files stay — internal replay and older
+    * readers keep working; checkpoints are purely additive. */
+  private def writeCheckpoint(v: Long, state: State): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    val now = System.currentTimeMillis()
+    val protoRow = Row(Row(1, 2), null, null)
+    val metaRow = Row(null,
+      Row(state.tableId, null, null, Row("parquet", Map.empty[String, String]),
+        state.schemaJson, Seq.empty[String], state.config, now),
+      null)
+    val addRows = state.files.toSeq.sortBy(_._1).map { case (p, sz) =>
+      Row(null, null, Row(p, Map.empty[String, String], sz, now, false))
+    }
+    val rows: Seq[Row] = Seq(protoRow, metaRow) ++ addRows
+    val df = spark.createDataFrame(rows.asJava, DeltaLogMirror.checkpointSchema)
+      .coalesce(1)
+    // Spark writes a directory; the protocol wants a single FILE — write to
+    // a temp sibling dir and rename the part file into place
+    val tmp = new HPath(logDir, s".cptmp-${UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val part = fsu.fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val dest = new HPath(logDir, f"$v%020d.checkpoint.parquet")
+    fsu.deleteIfExists(dest)
+    if (!fsu.fs.rename(part, dest))
+      throw new java.io.IOException(s"rename $part -> $dest failed")
+    fsu.delete(tmp, recursive = true)
+    val lc = mapper.createObjectNode()
+    lc.put("version", v)
+    lc.put("size", rows.size.toLong)
+    fsu.writeStringAtomic(new HPath(logDir, "_last_checkpoint"),
+      mapper.writeValueAsString(lc))
   }
 
   /** (relative path → (size, mtime)) of one data dir, listed from disk. */
@@ -196,4 +247,32 @@ final class DeltaLogMirror(
 
 object DeltaLogMirror {
   private val LogName = """(\d{20})\.json""".r
+
+  /** Delta's default checkpoint cadence. */
+  val CheckpointInterval = 10L
+
+  /** The protocol checkpoint row schema (public Delta transaction protocol;
+    * optional action columns omitted stay absent — readers treat missing
+    * nullable columns as null). */
+  private[store] val checkpointSchema: StructType = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType))))))
 }

@@ -2,6 +2,7 @@ package graft
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.store.VersionedTable
@@ -113,6 +114,41 @@ class DeltaLogMirrorSpec extends SparkSuite {
     assert(versions.size == 2)
     assert(meta.get("configuration").get("graft.pipeline").asText() == "docs")
     assertMirrored(root)
+  }
+
+  test("parquet checkpoint at the interval: state from checkpoint + JSON tail") {
+    val root = tmpDir("dlm-checkpoint")
+    val t = new VersionedTable(spark, root)
+    // 13 commits -> versions 0..12; checkpoint expected at v10
+    (1 to 13).foreach(i => t.append(Seq((i, s"r$i")).toDF("id", "s")))
+    val cp = new java.io.File(s"$root/_delta_log/${"%020d".format(10)}.checkpoint.parquet")
+    assert(cp.isFile, "checkpoint file missing")
+    val lc = mapper.readTree(new java.io.File(s"$root/_delta_log/_last_checkpoint"))
+    assert(lc.get("version").asLong() == 10L)
+    // a Delta client's read path: checkpoint rows + JSON versions 11..12
+    val cpDf = spark.read.parquet(cp.getPath)
+    assert(cpDf.filter(col("protocol").isNotNull).count() == 1)
+    val metaRows = cpDf.filter(col("metaData").isNotNull)
+      .select("metaData.id", "metaData.schemaString").collect()
+    assert(metaRows.length == 1 && metaRows(0).getString(1).contains("\"id\""))
+    assert(lc.get("size").asLong() == cpDf.count())
+    var files = cpDf.filter(col("add").isNotNull)
+      .select("add.path", "add.size").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // checkpoint adds carry dataChange = false per the protocol
+    assert(cpDf.filter(col("add").isNotNull).filter(col("add.dataChange")).count() == 0)
+    (11L to 12L).foreach { v =>
+      scala.io.Source.fromFile(s"$root/_delta_log/${"%020d".format(v)}.json")
+        .getLines().filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          if (n.has("add"))
+            files += (n.get("add").get("path").asText() -> n.get("add").get("size").asLong())
+          if (n.has("remove")) files -= n.get("remove").get("path").asText()
+        }
+    }
+    assert(files == manifestFiles(root),
+      "checkpoint + JSON tail must reconstruct the manifest file set")
+    assertMirrored(root) // full-JSON replay unchanged by checkpointing
   }
 
   test("a mirror-only IO failure does not fail the committed write, and heals") {
