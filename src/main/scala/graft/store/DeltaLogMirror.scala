@@ -113,9 +113,16 @@ final class DeltaLogMirror(
     var state = cached.filter(s => last.contains(s.version))
       .orElse(last.map(replay))
       .getOrElse(freshState)
+    // Healed-v0 schema source: every Delta snapshot must carry metaData
+    // (protocol requirement — time travel to versions before the first
+    // surviving manifest fails without it), so a vacuumed v0 borrows the
+    // earliest still-present manifest's schema.
+    lazy val earliest: Manifest =
+      (state.version + 1 until m.version).iterator
+        .flatMap(lookupManifest(_).iterator).nextOption().getOrElse(m)
     (state.version + 1 to m.version).foreach { v =>
       val target = if (v == m.version) Some(m) else lookupManifest(v)
-      state = emit(v, state, target)
+      state = emit(v, state, target, earliest)
       if (v > 0 && v % CheckpointInterval == 0) writeCheckpoint(v, state)
     }
     cached = Some(state)
@@ -168,10 +175,27 @@ final class DeltaLogMirror(
         !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
       .map(st => (s"data/$dir/${st.getPath.getName}", st.getLen, st.getModificationTime))
 
-  private def emit(v: Long, state: State, target: Option[Manifest]): State = {
+  private def emit(
+      v: Long, state: State, target: Option[Manifest],
+      metaFallback: => Manifest): State = {
     val now = System.currentTimeMillis()
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     def obj() = mapper.createObjectNode()
+
+    def emitMetaData(schemaJson: String, props: Map[String, String]): Unit = {
+      val md = obj()
+      val mdn = md.putObject("metaData")
+      mdn.put("id", state.tableId)
+      val fmt = mdn.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      mdn.put("schemaString", schemaJson)
+      mdn.putArray("partitionColumns")
+      val cfg = mdn.putObject("configuration")
+      props.foreach { case (k, value) => cfg.put(k, value) }
+      mdn.put("createdTime", now)
+      lines += mapper.writeValueAsString(md)
+    }
 
     val ci = obj()
     val cin = ci.putObject("commitInfo")
@@ -190,22 +214,17 @@ final class DeltaLogMirror(
     }
 
     val next = target match {
+      case None if v == 0L =>
+        // heal a vacuumed v0: still a no-op for files, but emit metaData
+        // from the earliest surviving manifest so EVERY snapshot in the
+        // log satisfies the protocol's metaData requirement
+        val fb = metaFallback
+        emitMetaData(fb.schemaJson, fb.properties)
+        state.copy(version = v, schemaJson = fb.schemaJson, config = fb.properties)
       case None => state.copy(version = v) // heal gap: no-op commit
       case Some(man) =>
-        if (v == 0L || man.schemaJson != state.schemaJson || man.properties != state.config) {
-          val md = obj()
-          val mdn = md.putObject("metaData")
-          mdn.put("id", state.tableId)
-          val fmt = mdn.putObject("format")
-          fmt.put("provider", "parquet")
-          fmt.putObject("options")
-          mdn.put("schemaString", man.schemaJson)
-          mdn.putArray("partitionColumns")
-          val cfg = mdn.putObject("configuration")
-          man.properties.foreach { case (k, value) => cfg.put(k, value) }
-          mdn.put("createdTime", now)
-          lines += mapper.writeValueAsString(md)
-        }
+        if (v == 0L || man.schemaJson != state.schemaJson || man.properties != state.config)
+          emitMetaData(man.schemaJson, man.properties)
         // target live set: reuse replayed entries for dirs already live
         // (immutable), list only unseen dirs from disk
         val targetFiles = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()

@@ -170,6 +170,28 @@ class DeltaLogMirrorSpec extends SparkSuite {
     assert(replayDeltaLog(root)._3 == Seq(0L, 1L, 2L))
   }
 
+  test("a healed v0 whose manifest was vacuumed still carries metaData") {
+    val root = tmpDir("dlm-heal-v0")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1, "a")).toDF("id", "s"))
+    t.append(Seq((2, "b")).toDF("id", "s"))
+    // simulate: mirror never ran (crashes before every publish) AND vacuum
+    // already dropped the v0 manifest — the worst-case heal
+    new java.io.File(s"$root/_delta_log").listFiles().foreach(_.delete())
+    assert(new java.io.File(s"$root/_graft_log/v${"%010d".format(0)}.json").delete())
+    val t2 = new VersionedTable(spark, root)
+    t2.append(Seq((3, "c")).toDF("id", "s"))
+    assertMirrored(root)
+    // snapshot AT v0 (replay of only 00000000000000000000.json) must be
+    // protocol-complete: protocol + metaData present
+    val v0 = scala.io.Source.fromFile(s"$root/_delta_log/${"%020d".format(0)}.json")
+      .getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+    assert(v0.exists(_.has("protocol")), "healed v0 must carry protocol")
+    val md = v0.find(_.has("metaData")).map(_.get("metaData"))
+    assert(md.nonEmpty, "healed v0 must carry metaData (time travel to v0)")
+    assert(md.get.get("schemaString").asText().nonEmpty)
+  }
+
   test("mirror heals a missing delta version on the next commit") {
     val root = tmpDir("dlm-heal")
     val t = new VersionedTable(spark, root)
