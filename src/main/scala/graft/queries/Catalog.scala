@@ -1193,9 +1193,53 @@ object Catalog {
         vec_id AS id
       FROM s ORDER BY sim DESC, vec_id LIMIT 10"""
 
+  // ---------------------------------------------------------------- store
+
+  /** Manifest-level data skipping + OPTIMIZE z-order, verified end-to-end:
+    * the engine builds a VersionedTable, prunes data dirs from per-dir
+    * min/max stats, and the DuckDB oracle computes the same slice straight
+    * off the source parquet — an unsound prune (dropped dir that still had
+    * matching rows) hash-mismatches immediately. */
+  private val store: Seq[Q] = Seq(
+    Q("store_skipping",
+      (s, d) => {
+        val t = new graft.store.VersionedTable(s, Scenarios.skipDest(s, d))
+        val q = Scenarios.orderkeyQuarter(s, d)
+        t.readWhere(col("l_orderkey") > q && col("l_orderkey") <= 2 * q &&
+            col("l_quantity") >= 25)
+          .groupBy((col("l_suppkey") % 50).as("sgrp"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("long")).as("qty"),
+            sum(cents(col("l_extendedprice"))).as("price_cents"))
+      },
+      Some("""WITH b AS (SELECT max(l_orderkey)//4 AS q FROM lineitem)
+        SELECT l_suppkey % 50 AS sgrp, count(*) AS cnt,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+        FROM lineitem, b
+        WHERE l_orderkey > q AND l_orderkey <= 2*q AND l_quantity >= 25
+        GROUP BY 1""")),
+
+    Q("store_optimize_zorder",
+      (s, d) => {
+        val t = new graft.store.VersionedTable(s, Scenarios.optimizeDest(s, d))
+        t.readWhere(col("l_partkey") % 10 === 0 && col("l_orderkey") <= Scenarios.orderkeyQuarter(s, d))
+          .groupBy((col("l_partkey") % 7).as("pgrp"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_orderkey")).as("keysum"),
+            sum(cents(col("l_extendedprice"))).as("price_cents"))
+      },
+      Some("""WITH b AS (SELECT max(l_orderkey)//4 AS q FROM lineitem)
+        SELECT l_partkey % 7 AS pgrp, count(*) AS cnt,
+          CAST(sum(l_orderkey) AS BIGINT) AS keysum,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+        FROM lineitem, b
+        WHERE l_partkey % 10 = 0 AND l_orderkey <= q
+        GROUP BY 1""")))
+
   // ------------------------------------------------------------------ all
 
-  val all: Seq[Q] = relational ++ scd2 ++ pipeline
+  val all: Seq[Q] = relational ++ scd2 ++ pipeline ++ store
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -266,6 +266,45 @@ object Scenarios {
     sync.currentState().select("doc_id", "text")
   }
 
+  private def lineitemSlim(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+
+  /** Quarter of the l_orderkey space (Long division — the DuckDB oracle
+    * mirrors it with `//`). */
+  def orderkeyQuarter(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(max("l_orderkey")).head().getLong(0) / 4
+
+  /** VersionedTable of lineitem appended in 4 disjoint l_orderkey ranges —
+    * each commit's dir stats cover a quarter of the key space, so
+    * `readWhere` range predicates drop dirs before listing (manifest-level
+    * data skipping; the spec asserts the dir counts, the gate asserts the
+    * RESULT is still exact). */
+  def skipDest(spark: SparkSession, dir: String): String =
+    run("skip", spark, dir) { dest =>
+      val li = lineitemSlim(spark, dir)
+      val q = orderkeyQuarter(spark, dir)
+      val t = new graft.store.VersionedTable(spark, dest)
+      t.append(li.filter(col("l_orderkey") <= q))
+      t.append(li.filter(col("l_orderkey") > q && col("l_orderkey") <= 2 * q))
+      t.append(li.filter(col("l_orderkey") > 2 * q && col("l_orderkey") <= 3 * q))
+      t.append(li.filter(col("l_orderkey") > 3 * q)): Unit
+    }
+
+  /** VersionedTable of lineitem appended in 4 MODULO chunks (every dir spans
+    * the full key range — nothing prunes), then OPTIMIZE z-order-clustered
+    * by (l_orderkey, l_partkey) into 8 dirs: after compaction both columns
+    * prune again. The gate reads a partkey slice back exactly. */
+  def optimizeDest(spark: SparkSession, dir: String): String =
+    run("optz", spark, dir) { dest =>
+      val li = lineitemSlim(spark, dir)
+      val t = new graft.store.VersionedTable(spark, dest)
+      (0 until 4).foreach(k => t.append(li.filter(col("l_orderkey") % 4 === k)))
+      t.optimize(clusterBy = Seq("l_orderkey", "l_partkey"), targetDirs = 8,
+        zorder = true): Unit
+    }
+
   /** History of a destination without the wall-clock column. */
   def history(spark: SparkSession, dest: String): DataFrame =
     new graft.store.VersionedTable(spark, s"$dest/delta").read().drop(SystemCols.timestamp)

@@ -617,17 +617,21 @@ final class Synchronizer(
   def recomputeLastPk(): Option[DataFrame] = {
     if (!dest.delta.exists) return scala.None
     val dc = targetDelta.get
-    val hist = dest.delta.read()
-    val fullTs = hist.filter(col(SystemCols.isFullLoad))
+    // history reads go through readWhere: each sync's commit dir carries a
+    // tight __timestamp/__is_full_load stats range, so the manifest drops
+    // every dir before the last full load without listing it — on a
+    // years-of-hourly-syncs table this scans the post-full tail, not the
+    // whole history
+    val fullTs = dest.delta.readWhere(col(SystemCols.isFullLoad))
       .agg(max(col(SystemCols.timestamp))).head().get(0)
     if (fullTs == null) return scala.None
-    val lastFull = hist.filter(
+    val lastFull = dest.delta.readWhere(
       col(SystemCols.isFullLoad) && col(SystemCols.timestamp) === lit(fullTs))
       .select((pkd :+ SystemCols.isDeleted).map(col): _*)
       .withColumn(SystemCols.isDeleted, lit(false))
     val w = Window.partitionBy(targetPks.map(col): _*)
       .orderBy(desc_nulls_last(SystemCols.timestamp))
-    val afterFull = hist.filter(col(SystemCols.timestamp) > lit(fullTs))
+    val afterFull = dest.delta.readWhere(col(SystemCols.timestamp) > lit(fullTs))
       .select((pkd ++ Seq(SystemCols.isDeleted, SystemCols.timestamp)).map(col): _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", SystemCols.timestamp)

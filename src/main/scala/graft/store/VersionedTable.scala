@@ -70,7 +70,9 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   private def readManifest(v: Long): Manifest = {
     val node = mapper.readTree(fsu.readString(manifestPath(v)))
     val dirs = node.get("dirs").elements().asScala.map { d =>
-      DataDir(d.get("dir").asText(), d.get("schema").asText())
+      val schemaJson = d.get("schema").asText()
+      DataDir(d.get("dir").asText(), schemaJson,
+        DirStats.read(d, DataType.fromJson(schemaJson).asInstanceOf[StructType]))
     }.toSeq
     val props = Option(node.get("properties")).map { pn =>
       pn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
@@ -87,6 +89,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val arr = root.putArray("dirs")
     m.dirs.foreach { d =>
       val o = arr.addObject(); o.put("dir", d.dir); o.put("schema", d.schemaJson)
+      d.stats.foreach(DirStats.write(o, _))
     }
     if (m.properties.nonEmpty) {
       val pn = root.putObject("properties")
@@ -121,6 +124,33 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val m = readManifest(version)
     scanDirs(m.dirs, DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
   }
+
+  /** Current snapshot restricted by `cond`, with manifest-level data
+    * skipping: data dirs whose recorded min/max/nullCount stats refute the
+    * predicate are dropped BEFORE Spark lists a single file — at 100 TB a
+    * watermark query (`__timestamp > X`) over years of commits touches only
+    * the trailing dirs instead of listing the whole table. The predicate is
+    * still applied in full on the surviving scan (pruning is an
+    * optimization, never a semantic filter), and row-group pruning inside
+    * surviving dirs stays with the parquet source's footer stats. */
+  def readWhere(cond: org.apache.spark.sql.Column): DataFrame = {
+    val m = readManifest(requireVersion)
+    scanDirs(pruneDirs(m, cond),
+      DataType.fromJson(m.schemaJson).asInstanceOf[StructType]).filter(cond)
+  }
+
+  private def pruneDirs(m: Manifest, cond: org.apache.spark.sql.Column): Seq[DataDir] = {
+    val cs = DirStats.conjunctsOf(spark,
+      DataType.fromJson(m.schemaJson).asInstanceOf[StructType], cond)
+    if (cs.isEmpty) m.dirs else m.dirs.filter(d => DirStats.maybeMatches(d.stats, cs))
+  }
+
+  /** Dirs [[readWhere]] would scan for `cond` — exposed for tests and plan
+    * diagnostics. */
+  private[graft] def scannedDirCount(cond: org.apache.spark.sql.Column): Int =
+    pruneDirs(readManifest(requireVersion), cond).size
+
+  private[graft] def dirCount: Int = readManifest(requireVersion).dirs.size
 
   /** Only the rows ADDED by commit `version` (its own data dirs) — cheap
     * post-commit row accounting without rescanning the whole table. */
@@ -195,8 +225,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     }
     val aligned = align(df, merged)
     val dirName = f"v$nextV%010d-${UUID.randomUUID().toString.take(8)}"
-    aligned.write.mode("overwrite").parquet(s"$path/data/$dirName")
-    val newDir = DataDir(dirName, merged.json)
+    val newDir = writeDataDir(aligned, merged, dirName)
     val dirs = if (overwrite) Seq(newDir)
       else prev.map(_.dirs).getOrElse(Nil) :+ newDir
     writeManifest(Manifest(nextV, dirs, merged.json,
@@ -271,10 +300,133 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val out = align(kept, merged).unionByName(align(src, merged))
     val nextV = m.version + 1
     val dirName = f"v$nextV%010d-${UUID.randomUUID().toString.take(8)}"
-    out.write.mode("overwrite").parquet(s"$path/data/$dirName")
-    writeManifest(Manifest(nextV, untouched :+ DataDir(dirName, merged.json),
-      merged.json, m.properties))
+    val newDir = writeDataDir(out, merged, dirName)
+    writeManifest(Manifest(nextV, untouched :+ newDir, merged.json, m.properties))
     nextV
+  }
+
+  /** Write one data dir, collecting per-column min/max/nullCount stats on an
+    * Observation riding the write itself (no second scan); the stats land in
+    * the manifest and drive [[readWhere]] dir pruning. */
+  private def writeDataDir(df: DataFrame, schema: StructType, dirName: String): DataDir = {
+    val fields = DirStats.eligibleFields(schema)
+    val aggs = DirStats.aggColumns(fields)
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(s"$path/data/$dirName")
+    DataDir(dirName, schema.json, Some(DirStats.fromMetrics(obs.get, fields)))
+  }
+
+  /** Compact the table into `targetDirs` data dirs, optionally clustering
+    * rows so the per-dir stats become tight and [[readWhere]] pruning bites
+    * (the Delta OPTIMIZE / ZORDER BY shape; the reference gets OPTIMIZE from
+    * delta-rs/delta-spark for free). A year of hourly syncs leaves ~9k tiny
+    * dirs whose stats all span the full key range — after optimize, each of
+    * the `targetDirs` dirs covers a disjoint slice, so a point or range
+    * query scans ~1/targetDirs of the table, and small-file overhead is
+    * gone. Also unifies schema generations: every row is rewritten under
+    * the current logical schema, collapsing the per-generation scans.
+    *
+    * Clustering strategies:
+    *   - `clusterBy` empty: plain bin-packing (round-robin repartition).
+    *   - `zorder=false`: range-partition + sort by `clusterBy` — ideal for
+    *     one column, lexicographic for several (leading column prunes best).
+    *   - `zorder=true`: interleaved-bit z-values over up to 4 numeric /
+    *     date / timestamp columns (16 bits each, uniform buckets between
+    *     the observed global min/max), then range-partition + sort by the
+    *     z-value — every clustered column gets usable stats locality, not
+    *     just the leading one.
+    *
+    * One Spark job writes all dirs (`partitionBy` on a chunk id that is
+    * constant per range partition; the explicit sort ends with the
+    * partition column so the writer inserts no order-destroying re-sort),
+    * then per-dir stats are recomputed from the written files. Runs as a
+    * normal commit: time travel to the pre-optimize version still works,
+    * and `vacuum` eventually reclaims the small dirs. */
+  def optimize(clusterBy: Seq[String] = Nil, targetDirs: Int = 1,
+      zorder: Boolean = false): Long = {
+    require(targetDirs >= 1, s"targetDirs must be >= 1, got $targetDirs")
+    val m = readManifest(requireVersion)
+    val logical = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    if (m.dirs.isEmpty) return m.version
+    val df = scanDirs(m.dirs, logical)
+    val nextV = m.version + 1
+    val base = f"v$nextV%010d-${UUID.randomUUID().toString.take(8)}"
+
+    val chunked =
+      if (clusterBy.isEmpty)
+        df.repartition(targetDirs).withColumn(ChunkCol, spark_partition_id())
+      else if (!zorder)
+        // ChunkCol leads the sort (it is constant per range partition, so
+        // this is free) — the file writer's required ordering is exactly the
+        // partition column, a satisfied prefix, so no re-sort is inserted
+        // and the clusterBy order inside each written file survives
+        df.repartitionByRange(targetDirs, clusterBy.map(col): _*)
+          .withColumn(ChunkCol, spark_partition_id())
+          .sortWithinPartitions((ChunkCol +: clusterBy).map(col): _*)
+      else {
+        require(clusterBy.size <= 4, s"zorder supports at most 4 columns, got ${clusterBy.size}")
+        clusterBy.foreach { c =>
+          val dt = logical(logical.fieldIndex(c)).dataType
+          require(zOrderable(dt),
+            s"zorder column $c has type ${dt.simpleString}; use numeric/date/timestamp " +
+              "columns or zorder=false range clustering")
+        }
+        // global [min,max] per column (one tiny agg job) → 16-bit uniform
+        // bucket ids → bit-interleaved 64-bit z-value, all codegen'd
+        val boundAggs = clusterBy.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+        val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).head()
+        val z = clusterBy.zipWithIndex.map { case (c, i) =>
+          val lo = if (bounds.isNullAt(2 * i)) 0.0 else bounds.getDouble(2 * i)
+          val hi = if (bounds.isNullAt(2 * i + 1)) 0.0 else bounds.getDouble(2 * i + 1)
+          val span = if (hi > lo) hi - lo else 1.0
+          // null values fall through least/greatest to bucket 65535 —
+          // deterministic, clustered together at the top of the range
+          val bucket = least(lit(65535L), greatest(lit(0L),
+            ((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0)).cast("long")))
+          // spread bucket bits to positions i, i+k, i+2k, … (k = #cols)
+          (0 until 16).map { b =>
+            shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)), b * clusterBy.size + i)
+          }.reduce(_.bitwiseOR(_))
+        }.reduce(_.bitwiseOR(_))
+        df.withColumn(ZCol, z)
+          .repartitionByRange(targetDirs, col(ZCol))
+          .withColumn(ChunkCol, spark_partition_id())
+          .sortWithinPartitions(col(ChunkCol), col(ZCol))
+          .drop(ZCol)
+      }
+
+    val staging = new HPath(dataDir, s".opt-$base")
+    chunked.write.partitionBy(ChunkCol).mode("overwrite").parquet(staging.toString)
+    val newDirs = fsu.list(staging)
+      .filter(_.getName.startsWith(s"$ChunkCol="))
+      .sortBy(_.getName.stripPrefix(s"$ChunkCol=").toInt)
+      .map { sub =>
+        val chunk = sub.getName.stripPrefix(s"$ChunkCol=")
+        val dirName = s"$base-c$chunk"
+        val dest = new HPath(dataDir, dirName)
+        if (!fsu.fs.rename(sub, dest))
+          throw new java.io.IOException(s"rename $sub -> $dest failed")
+        // recompute stats from the written files (parquet aggregate pushdown
+        // answers min/max/count from footers where supported)
+        val fields = DirStats.eligibleFields(logical)
+        val aggs = DirStats.aggColumns(fields)
+        val row = spark.read.schema(logical).parquet(dest.toString)
+          .agg(aggs.head, aggs.tail: _*).head()
+        val metrics = row.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap
+        DataDir(dirName, logical.json, Some(DirStats.fromMetrics(metrics, fields)))
+      }
+    fsu.delete(staging, recursive = true)
+    writeManifest(Manifest(nextV, newDirs, logical.json, m.properties))
+    nextV
+  }
+
+  private def zOrderable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         DateType | TimestampType => true
+    case _: DecimalType => true
+    case _ => false
   }
 
   /** Drop data dirs no longer referenced by the last `keepVersions` manifests
@@ -304,9 +456,13 @@ object VersionedTable {
   private val ManifestName = """v(\d{10})\.json""".r
   /** Internal column carrying a row's originating data dir in pruning scans. */
   private val DirCol = "__graft_dir"
+  /** Internal columns used only inside [[VersionedTable.optimize]]. */
+  private val ChunkCol = "__gchunk"
+  private val ZCol = "__gz"
   private[store] val mapper = new ObjectMapper()
 
-  private[store] final case class DataDir(dir: String, schemaJson: String)
+  private[store] final case class DataDir(
+      dir: String, schemaJson: String, stats: Option[DirStats.Stats] = None)
   private[store] final case class Manifest(
       version: Long, dirs: Seq[DataDir], schemaJson: String,
       properties: Map[String, String] = Map.empty)

@@ -1,0 +1,198 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.store.VersionedTable
+
+/** Manifest-level data skipping + OPTIMIZE clustering:
+  * - every commit records per-dir min/max/nullCount stats with zero extra
+  *   scan, and `readWhere` drops refuted dirs before listing;
+  * - pruning is SOUND: readWhere ≡ read().filter for randomized predicates;
+  * - optimize compacts to the requested dir count, preserves content
+  *   exactly, and clustering makes the per-dir stats disjoint so range
+  *   predicates scan ~1/targetDirs of the dirs;
+  * - z-order interleaving keeps BOTH clustered columns prunable;
+  * - the Delta mirror stays consistent across an optimize commit. */
+class DataSkippingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("append stats prune dirs for range/point/null predicates") {
+    val root = tmpDir("skip-basic")
+    val t = new VersionedTable(spark, root)
+    // 4 appends with disjoint key ranges — like 4 engine syncs
+    (0 until 4).foreach { k =>
+      t.append((k * 100 until (k + 1) * 100)
+        .map(i => (i.toLong, s"s$i", Date.valueOf(s"2024-0${k + 1}-01"),
+          new Timestamp(1700000000000L + k * 86400000L)))
+        .toDF("id", "s", "d", "ts"))
+    }
+    assert(t.dirCount == 4)
+    // point: one dir
+    assert(t.scannedDirCount($"id" === 150L) == 1)
+    assert(t.readWhere($"id" === 150L).count() == 1)
+    // range [150, 350): dirs 1, 2 and 3 (rows 300..349 live in dir 3)
+    assert(t.scannedDirCount($"id" >= 150L && $"id" < 350L) == 3)
+    assert(t.readWhere($"id" >= 150L && $"id" < 350L).count() == 200)
+    assert(t.scannedDirCount($"id" >= 150L && $"id" < 300L) == 2)
+    // date + timestamp typed literals prune too
+    assert(t.scannedDirCount($"d" === lit(Date.valueOf("2024-03-01"))) == 1)
+    assert(t.scannedDirCount($"ts" > lit(new Timestamp(1700000000000L + 2 * 86400000L))) == 1)
+    // string prunes
+    assert(t.scannedDirCount($"s" === "s0") == 1)
+    // no non-null id is ever null → IS NULL prunes everything
+    assert(t.scannedDirCount($"id".isNull) == 0)
+    assert(t.readWhere($"id".isNull).count() == 0)
+    // IN-list
+    assert(t.scannedDirCount($"id".isin(10L, 210L)) == 2)
+    // unsupported shapes keep every dir (sound, no pruning)
+    assert(t.scannedDirCount(abs($"id") === 150L) == 4)
+  }
+
+  test("readWhere ≡ read().filter on randomized predicates (soundness)") {
+    val root = tmpDir("skip-rand")
+    val t = new VersionedTable(spark, root)
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { _ =>
+      t.append(Seq.fill(200)((rnd.nextInt(1000).toLong, rnd.nextInt(50),
+        if (rnd.nextBoolean()) null else s"v${rnd.nextInt(100)}"))
+        .toDF("k", "g", "s"))
+    }
+    val preds = Seq(
+      $"k" > 500L, $"k" === 17L, $"k" <= 3L, $"g" === 49,
+      $"s".isNull, $"s".isNotNull && $"k" < 100L,
+      $"k" > 200L && $"k" < 210L && $"g" >= 25)
+    preds.foreach { p =>
+      val expected = t.read().filter(p).groupBy().agg(count(lit(1)), sum($"k")).collect().toSeq
+      val got = t.readWhere(p).groupBy().agg(count(lit(1)), sum($"k")).collect().toSeq
+      assert(got == expected, s"readWhere mismatch for $p")
+    }
+  }
+
+  test("all-null column prunes comparisons but keeps IS NULL") {
+    val root = tmpDir("skip-nulls")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "s"))
+    t.append(Seq((3L, Option("x"))).toDF("id", "s"))
+    assert(t.scannedDirCount($"s" === "x") == 1) // all-null dir pruned
+    assert(t.scannedDirCount($"s".isNull) == 1) // no-null dir pruned
+    assert(t.readWhere($"s" === "x").count() == 1)
+  }
+
+  test("oversized string stats are dropped, not wrong") {
+    val root = tmpDir("skip-bigstr")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1L, "a" * 5000)).toDF("id", "doc"))
+    t.append(Seq((2L, "b")).toDF("id", "doc"))
+    // the 5000-char dir has no doc stats → never pruned on doc; the "b" dir
+    // HAS stats and is correctly pruned for an "aaa…" equality
+    assert(t.scannedDirCount($"doc" === ("a" * 5000)) == 1)
+    assert(t.readWhere($"doc" === ("a" * 5000)).count() == 1)
+    // no doc predicate can ever prune the stats-dropped dir
+    assert(t.scannedDirCount($"doc" > "zzz") == 1)
+    assert(t.readWhere($"doc" > "zzz").count() == 0)
+    // but id stats still prune
+    assert(t.scannedDirCount($"id" === 2L) == 1)
+  }
+
+  test("optimize compacts, preserves content, and makes range stats disjoint") {
+    val root = tmpDir("opt-range")
+    val t = new VersionedTable(spark, root)
+    val rnd = new scala.util.Random(7)
+    (0 until 8).foreach { _ =>
+      t.append(Seq.fill(250)((rnd.nextInt(10000).toLong, rnd.nextDouble()))
+        .toDF("k", "v"))
+    }
+    val before = t.read().collect().map(_.toSeq).sortBy(_.toString())
+    // every dir spans the whole key range → nothing prunes
+    assert(t.scannedDirCount($"k" < 1000L) == 8)
+
+    t.optimize(clusterBy = Seq("k"), targetDirs = 4)
+    assert(t.dirCount == 4)
+    val after = t.read().collect().map(_.toSeq).sortBy(_.toString())
+    assert(after.toSeq == before.toSeq, "optimize must preserve content exactly")
+    // clustered dirs have disjoint ranges → a 10% range hits 1 of 4 dirs
+    assert(t.scannedDirCount($"k" < 1000L) == 1)
+    assert(t.readWhere($"k" < 1000L).collect().toSeq.sortBy(_.getLong(0)) ==
+      t.read().filter($"k" < 1000L).collect().toSeq.sortBy(_.getLong(0)))
+    // time travel to the pre-optimize version still works
+    assert(t.readVersion(t.requireVersion - 1).count() == 2000)
+  }
+
+  test("optimize zorder keeps both clustered columns prunable") {
+    val root = tmpDir("opt-z")
+    val t = new VersionedTable(spark, root)
+    val rnd = new scala.util.Random(11)
+    (0 until 4).foreach { _ =>
+      t.append(Seq.fill(1000)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong,
+        rnd.nextInt(10))).toDF("x", "y", "p"))
+    }
+    val total = t.read().count()
+    t.optimize(clusterBy = Seq("x", "y"), targetDirs = 8, zorder = true)
+    assert(t.read().count() == total)
+    // a tight predicate on EITHER axis must skip dirs (chunk boundaries are
+    // data quantiles, not bit-aligned, so allow straddling chunks)
+    val xHit = t.scannedDirCount($"x" < 100L)
+    val yHit = t.scannedDirCount($"y" < 100L)
+    assert(xHit <= 6, s"x-slice scanned $xHit of 8 dirs")
+    assert(yHit <= 6, s"y-slice scanned $yHit of 8 dirs")
+    // and results stay exact
+    assert(t.readWhere($"x" < 100L && $"y" < 100L).count() ==
+      t.read().filter($"x" < 100L && $"y" < 100L).count())
+  }
+
+  test("optimize zorder writes files sorted by z within each dir") {
+    val root = tmpDir("opt-zsort")
+    val t = new VersionedTable(spark, root)
+    t.append((0 until 4096).map(i => ((i * 2654435761L) % 4096, i.toLong)).toDF("x", "y"))
+    t.optimize(clusterBy = Seq("x"), targetDirs = 2, zorder = true)
+    // single-column zorder ⇒ z monotone in x ⇒ each written FILE must be
+    // x-sorted (this is what drives parquet row-group pruning inside a dir)
+    val dataDirs = new java.io.File(s"$root/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.contains("-c")).sortBy(_.getName)
+    assert(dataDirs.length == 2)
+    dataDirs.foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val xs = spark.read.parquet(f.getAbsolutePath).select("x")
+          .collect().map(_.getLong(0)).toSeq
+        assert(xs == xs.sorted, s"file ${f.getName} not x-sorted after zorder")
+      }
+    }
+  }
+
+  test("delta mirror stays consistent across optimize") {
+    val root = tmpDir("opt-mirror")
+    val t = new VersionedTable(spark, root)
+    (0 until 3).foreach(k => t.append(Seq((k, s"r$k")).toDF("id", "s")))
+    t.optimize(targetDirs = 1)
+    // replay the delta log like a client and compare with the manifest set
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var files = Set.empty[String]
+    new java.io.File(s"$root/_delta_log").listFiles()
+      .filter(_.getName.matches("""\d{20}\.json""")).sortBy(_.getName)
+      .foreach { f =>
+        scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).foreach { l =>
+          val n = mapper.readTree(l)
+          if (n.has("add")) files += n.get("add").get("path").asText()
+          if (n.has("remove")) files -= n.get("remove").get("path").asText()
+        }
+      }
+    val live = {
+      val logDir = new java.io.File(s"$root/_graft_log")
+      val latest = logDir.listFiles().map(_.getName)
+        .collect { case s if s.matches("""v\d{10}\.json""") => s.drop(1).take(10).toLong }.max
+      val node = mapper.readTree(new java.io.File(s"$root/_graft_log/v${"%010d".format(latest)}.json"))
+      val it = node.get("dirs").elements()
+      var out = Set.empty[String]
+      while (it.hasNext) {
+        val d = it.next().get("dir").asText()
+        new java.io.File(s"$root/data/$d").listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach(f => out += s"data/$d/${f.getName}")
+      }
+      out
+    }
+    assert(files == live, "delta-log replay must equal the post-optimize manifest file set")
+  }
+}
