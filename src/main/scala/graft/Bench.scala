@@ -18,7 +18,10 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_clusters", "ann_topk_bruteforce", "ann_topk_ivf",
     "asof_join", "range_join", "pack_concat_chunks",
-    "text_term_stats", "text_heavy_hitters", "text_quality")
+    "text_term_stats", "text_heavy_hitters", "text_quality",
+    // manifest-level data skipping: first run builds the 4-dir table (the
+    // Scenarios cache keeps it), later runs time readWhere dir pruning
+    "store_skipping")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -569,6 +569,22 @@ object Catalog {
       Some(s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
         CAST(length(text) AS BIGINT) AS n_chars_m FROM documents""")),
 
+    // Within-document dedup: drop repeated tokens keeping FIRST occurrence
+    // (the intra-doc flavor of corpus dedup — boilerplate-token collapse);
+    // array_distinct is order-preserving in Spark, the oracle rebuilds the
+    // same first-occurrence order via min(position) per token
+    Q("text_dedup_tokens",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        array_join(array_distinct(split(col("text"), " ")), " ").as("text_dedup"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("uniq_tokens")),
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+        e AS (SELECT doc_id, unnest(list_zip(parts, range(1, len(parts)+1))) AS z FROM s),
+        f AS (SELECT doc_id, z[1] AS w, min(CAST(z[2] AS BIGINT)) AS mi FROM e GROUP BY 1, 2)
+        SELECT doc_id, string_agg(w, ' ' ORDER BY mi) AS text_dedup,
+          CAST(count(*) AS BIGINT) AS uniq_tokens
+        FROM f GROUP BY doc_id""")),
+
     Q("text_quality",
       (s, d) => {
         val comps = TextFunctions.qualityComponents(col("text"))
@@ -1235,7 +1251,26 @@ object Catalog {
           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
         FROM lineitem, b
         WHERE l_partkey % 10 = 0 AND l_orderkey <= q
-        GROUP BY 1""")))
+        GROUP BY 1""")),
+
+    // Change data feed over the SCD2 history: everything committed AFTER the
+    // initial full load (versions 1..latest) = exactly the update/insert
+    // rows plus delete tombstones of the delta batch — the incremental-
+    // consumer view a downstream pipeline tails instead of diffing snapshots
+    Q("store_cdf",
+      (s, d) => {
+        val tbl = new graft.store.VersionedTable(s, s"${Scenarios.deltaDest(s, d)}/delta")
+        tbl.readChanges(1L, tbl.requireVersion)
+          .drop(SystemCols.timestamp, graft.store.VersionedTable.VersionCol)
+      },
+      Some("""SELECT c_custkey, trim(c_name) AS c_name, c_acctbal + 100 AS c_acctbal,
+          trim(c_mktsegment) AS c_mktsegment, CAST(2 AS BIGINT) AS ver,
+          FALSE AS __is_deleted, FALSE AS __is_full_load
+          FROM customer WHERE c_custkey % 89 = 0 AND c_custkey % 97 <> 0
+        UNION ALL SELECT c_custkey + 10000000, trim(c_name), c_acctbal, trim(c_mktsegment),
+          CAST(2 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 83 = 0
+        UNION ALL SELECT c_custkey, NULL, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
+          FROM customer WHERE c_custkey % 97 = 0""")))
 
   // ------------------------------------------------------------------ all
 

@@ -152,6 +152,31 @@ final class VersionedTable(spark: SparkSession, val path: String) {
 
   private[graft] def dirCount: Int = readManifest(requireVersion).dirs.size
 
+  /** Change feed: rows ADDED by each commit in [fromVersion, toVersion],
+    * tagged `__commit_version` — the version-addressed equivalent of Delta's
+    * CDF for append-only tables (the SCD2 history is one; downstream
+    * consumers read it incrementally instead of diffing snapshots). One
+    * scan, not one job per version: every data dir carries its commit
+    * version in the name prefix, so the slice is a driver-side dir filter
+    * plus a metadata-column projection. Dirs REWRITTEN after `toVersion`
+    * (merge/overwrite/optimize) no longer surface their adds — exact for
+    * append-only histories, by-design approximate otherwise. */
+  def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"bad change range [$fromVersion, $toVersion]")
+    val m = readManifest(toVersion)
+    val inRange = m.dirs.filter { d =>
+      val v = dirVersion(d.dir); v >= fromVersion && v <= toVersion
+    }
+    scanDirs(inRange, DataType.fromJson(m.schemaJson).asInstanceOf[StructType],
+        withDirCol = true)
+      .withColumn(VersionCol, substring(col(DirCol), 2, 10).cast("long"))
+      .drop(DirCol)
+  }
+
+  /** Commit version a data dir was written by (encoded in its name). */
+  private def dirVersion(dir: String): Long = dir.substring(1, 11).toLong
+
   /** Only the rows ADDED by commit `version` (its own data dirs) — cheap
     * post-commit row accounting without rescanning the whole table. */
   def readCommit(version: Long): DataFrame = {
@@ -459,6 +484,8 @@ object VersionedTable {
   /** Internal columns used only inside [[VersionedTable.optimize]]. */
   private val ChunkCol = "__gchunk"
   private val ZCol = "__gz"
+  /** Output column of [[VersionedTable.readChanges]]. */
+  val VersionCol = "__commit_version"
   private[store] val mapper = new ObjectMapper()
 
   private[store] final case class DataDir(

@@ -161,6 +161,28 @@ class DataSkippingSpec extends SparkSuite {
     }
   }
 
+  test("readChanges slices commits by version with correct tagging") {
+    val root = tmpDir("cdf")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1L, "a")).toDF("id", "s")) // v0
+    t.append(Seq((2L, "b"), (3L, "c")).toDF("id", "s")) // v1
+    t.append(Seq((4L, "d")).toDF("id", "s")) // v2
+    val all = t.readChanges(0L, 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("__commit_version"))).sortBy(_._1)
+    assert(all.toSeq == Seq((1L, "a", 0L), (2L, "b", 1L), (3L, "c", 1L), (4L, "d", 2L)))
+    // tail slice
+    val tail = t.readChanges(1L, 2L).select("id").collect().map(_.getLong(0)).sorted
+    assert(tail.toSeq == Seq(2L, 3L, 4L))
+    // historic slice against an older toVersion
+    assert(t.readChanges(1L, 1L).count() == 2)
+    // schema drift: new column reads as NULL for pre-drift commits
+    t.append(Seq((5L, "e", 9L)).toDF("id", "s", "extra")) // v3
+    val drifted = t.readChanges(0L, 3L)
+    assert(drifted.columns.contains("extra"))
+    assert(drifted.filter($"extra".isNull).count() == 4)
+    assert(drifted.filter($"extra" === 9L).select("__commit_version").head().getLong(0) == 3L)
+  }
+
   test("delta mirror stays consistent across optimize") {
     val root = tmpDir("opt-mirror")
     val t = new VersionedTable(spark, root)

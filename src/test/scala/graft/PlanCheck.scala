@@ -47,7 +47,15 @@ object PlanCheck {
         // col> ASC ... ) with no partition column in front
         p => p.contains("windowspecdefinition(__pid")),
       ("ann_topk_bruteforce", "top-k via TakeOrdered, not global sort",
-        p => p.contains("TakeOrderedAndProject")))
+        p => p.contains("TakeOrderedAndProject")),
+      ("store_skipping", "manifest pruning: scan lists 1 of 4 dirs AND filter still pushed",
+        // the quarter-range readWhere must plan a FileScan over exactly one
+        // data dir (v0000000001-*), with the residual predicate pushed to
+        // parquet for row-group pruning inside it
+        p => p.contains("v0000000001-") && !p.contains("v0000000000-") &&
+          !p.contains("v0000000002-") && p.contains("PushedFilters: [")),
+      ("store_cdf", "change feed is ONE scan, not a per-version union of jobs",
+        p => !p.contains("Union")))
     println("\n========== invariants ==========")
     var failed = 0
     checks.foreach { case (name, what, ok) =>
