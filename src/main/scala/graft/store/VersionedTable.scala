@@ -314,7 +314,21 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val m = readManifest(requireVersion)
     val logical = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val srcPks = src.select(pkCols.map(col): _*).dropDuplicates(pkCols)
-    val hit = scanDirs(m.dirs, logical, withDirCol = true)
+    // stats pre-prune: dirs whose leading-pk range cannot intersect the
+    // source batch's [min, max] can't contain matched keys, so the probe
+    // job never reads them — with a monotonic identity pk (the common CDC
+    // shape) an incremental merge probes the table's tail, not 100 TB
+    val candidates = try {
+      val r = src.agg(min(col(pkCols.head)), max(col(pkCols.head))).head()
+      if (r.isNullAt(0)) m.dirs
+      else pruneDirs(m, col(pkCols.head) >= lit(r.get(0)) &&
+        col(pkCols.head) <= lit(r.get(1)))
+    } catch {
+      // a pk type `lit`/analysis can't express (binary, struct) falls back
+      // to probing everything — pruning is only ever an optimization
+      case scala.util.control.NonFatal(_) => m.dirs
+    }
+    val hit = scanDirs(candidates, logical, withDirCol = true)
       .select((pkCols.map(col) :+ col(DirCol)): _*)
       .join(srcPks, pkCols, "left_semi")
       .select(DirCol).distinct().collect().map(_.getString(0)).toSet
@@ -369,7 +383,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     * normal commit: time travel to the pre-optimize version still works,
     * and `vacuum` eventually reclaims the small dirs. */
   def optimize(clusterBy: Seq[String] = Nil, targetDirs: Int = 1,
-      zorder: Boolean = false): Long = {
+      zorder: Boolean = false, bloomFilterFor: Seq[String] = Nil): Long = {
     require(targetDirs >= 1, s"targetDirs must be >= 1, got $targetDirs")
     val m = readManifest(requireVersion)
     val logical = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -423,7 +437,15 @@ final class VersionedTable(spark: SparkSession, val path: String) {
       }
 
     val staging = new HPath(dataDir, s".opt-$base")
-    chunked.write.partitionBy(ChunkCol).mode("overwrite").parquet(staging.toString)
+    // parquet-level bloom filters for the requested columns: min/max stats
+    // can't prune EQUALITY probes on high-cardinality unclustered columns
+    // (a uuid pk spans the full range in every dir) — a row-group bloom
+    // answers them inside the scan with no manifest growth
+    val writer = bloomFilterFor.foldLeft(
+        chunked.write.partitionBy(ChunkCol).mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.parquet(staging.toString)
     val newDirs = fsu.list(staging)
       .filter(_.getName.startsWith(s"$ChunkCol="))
       .sortBy(_.getName.stripPrefix(s"$ChunkCol=").toInt)

@@ -183,6 +183,49 @@ class DataSkippingSpec extends SparkSuite {
     assert(drifted.filter($"extra" === 9L).select("__commit_version").head().getLong(0) == 3L)
   }
 
+  test("merge probe skips dirs whose pk range cannot match the batch") {
+    val root = tmpDir("merge-prune")
+    val t = new VersionedTable(spark, root)
+    (0 until 4).foreach { k =>
+      t.append((k * 100 until (k + 1) * 100).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    }
+    val dirsBefore = new java.io.File(s"$root/data").listFiles().map(_.getName).toSet
+    // batch touches only the [300, 400) range → dirs 0-2 must carry over
+    // by reference (byte-identical, untouched on disk)
+    val mtimes = dirsBefore.map(d => d -> new java.io.File(s"$root/data/$d").lastModified()).toMap
+    t.merge(Seq((350L, "UPDATED"), (999L, "NEW")).toDF("id", "s"), Seq("id"))
+    val out = t.read().filter($"id" === 350L || $"id" === 999L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((350L, "UPDATED"), (999L, "NEW")))
+    assert(t.read().count() == 401)
+    // the three out-of-range dirs still exist untouched
+    val survived = dirsBefore.filter(d => new java.io.File(s"$root/data/$d").exists())
+    assert(survived.size >= 3)
+    survived.foreach(d =>
+      assert(new java.io.File(s"$root/data/$d").lastModified() == mtimes(d)))
+  }
+
+  test("optimize writes parquet bloom filters for requested columns") {
+    val root = tmpDir("opt-bloom")
+    val t = new VersionedTable(spark, root)
+    t.append((0 until 2000).map(i => (i.toLong, s"uuid-${i * 2654435761L}")).toDF("k", "pk"))
+    t.optimize(clusterBy = Seq("k"), targetDirs = 1, bloomFilterFor = Seq("pk"))
+    val dir = new java.io.File(s"$root/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.contains("-c")).head
+    val pf = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(pf.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val byPath = (0 until cols.size()).map(i => cols.get(i))
+        .map(c => c.getPath.toDotString -> c).toMap
+      assert(byPath("pk").getBloomFilterOffset > 0, "pk must carry a bloom filter")
+      assert(byPath("k").getBloomFilterOffset <= 0, "k was not requested")
+    } finally reader.close()
+  }
+
   test("delta mirror stays consistent across optimize") {
     val root = tmpDir("opt-mirror")
     val t = new VersionedTable(spark, root)
