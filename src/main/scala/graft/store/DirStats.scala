@@ -47,7 +47,9 @@ object DirStats {
     * (or stat dropped as oversized). */
   final case class ColStat(min: Option[Any], max: Option[Any], nullCount: Long)
 
-  final case class Stats(rows: Long, cols: Map[String, ColStat])
+  /** `bytes` is the dir's total parquet size (0 = unknown, pre-upgrade
+    * manifest) — it feeds the FileIndex sizeInBytes planner estimate. */
+  final case class Stats(rows: Long, cols: Map[String, ColStat], bytes: Long = 0L)
 
   // ------------------------------------------------------------- collection
 
@@ -142,7 +144,7 @@ object DirStats {
 
   /** One prunable conjunct: column name (lowercased), operator, normalized
     * literal(s). Unsupported shapes simply never prune. */
-  sealed private[store] trait Conjunct
+  sealed trait Conjunct
   private case class Cmp(colLower: String, op: String, v: Any) extends Conjunct
   private case class InVals(colLower: String, vs: Seq[Any]) extends Conjunct
   private case class NullCheck(colLower: String, isNull: Boolean) extends Conjunct
@@ -165,7 +167,7 @@ object DirStats {
     condition.map(conjunctsOfExpr).getOrElse(Nil)
   }
 
-  private[store] def conjunctsOfExpr(root: Expression): Seq[Conjunct] = {
+  def conjunctsOfExpr(root: Expression): Seq[Conjunct] = {
     def split(e: Expression): Seq[Expression] = e match {
       case And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
@@ -273,6 +275,7 @@ object DirStats {
   def write(node: ObjectNode, stats: Stats): Unit = {
     val sn = node.putObject("stats")
     sn.put("rows", stats.rows)
+    if (stats.bytes > 0) sn.put("bytes", stats.bytes)
     val cn = sn.putObject("cols")
     stats.cols.foreach { case (name, cs) =>
       val o = cn.putObject(name)
@@ -310,7 +313,8 @@ object DirStats {
         }
         b.result()
       }.getOrElse(Map.empty[String, ColStat])
-      Stats(Option(sn.get("rows")).map(_.asLong()).getOrElse(0L), cols)
+      Stats(Option(sn.get("rows")).map(_.asLong()).getOrElse(0L), cols,
+        Option(sn.get("bytes")).map(_.asLong()).getOrElse(0L))
     }
 
   private def readVal(n: JsonNode, dt: DataType): Any = dt match {

@@ -129,15 +129,16 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     * skipping: data dirs whose recorded min/max/nullCount stats refute the
     * predicate are dropped BEFORE Spark lists a single file — at 100 TB a
     * watermark query (`__timestamp > X`) over years of commits touches only
-    * the trailing dirs instead of listing the whole table. The predicate is
-    * still applied in full on the surviving scan (pruning is an
-    * optimization, never a semantic filter), and row-group pruning inside
-    * surviving dirs stays with the parquet source's footer stats. */
-  def readWhere(cond: org.apache.spark.sql.Column): DataFrame = {
-    val m = readManifest(requireVersion)
-    scanDirs(pruneDirs(m, cond),
-      DataType.fromJson(m.schemaJson).asInstanceOf[StructType]).filter(cond)
-  }
+    * the trailing dirs instead of listing the whole table. Since every scan
+    * is backed by [[org.apache.spark.sql.graft.GraftFileIndex]], this is
+    * just `read().filter(cond)` — the pushed dataFilters reach the index at
+    * planning time and pruning happens there, so ANY filtered read skips,
+    * not only this entry point. The predicate still applies in full on the
+    * surviving scan (pruning is an optimization, never a semantic filter),
+    * and row-group pruning inside surviving dirs stays with the parquet
+    * footer stats. */
+  def readWhere(cond: org.apache.spark.sql.Column): DataFrame =
+    read().filter(cond)
 
   private def pruneDirs(m: Manifest, cond: org.apache.spark.sql.Column): Seq[DataDir] = {
     val cs = DirStats.conjunctsOf(spark,
@@ -195,9 +196,14 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     }
     // One FileScan per distinct physical schema generation; columns added by
     // later drift read as NULL for older generations, then align + union.
+    // Scans go through the manifest-backed GraftFileIndex: Catalyst hands
+    // the pushed dataFilters to the index at planning time, so per-dir
+    // stats skipping applies TRANSPARENTLY to any filter on any read —
+    // pruned dirs are never even listed (the delta-spark architecture).
     val scans = dirs.groupBy(_.schemaJson).map { case (schemaJson, ds) =>
       val phys = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-      val df = spark.read.schema(phys).parquet(ds.map(d => s"$path/data/${d.dir}"): _*)
+      val df = org.apache.spark.sql.graft.GraftFileIndex.scan(
+        spark, path, ds.map(d => d.dir -> d.stats), phys)
       val cols = alignCols(df, logical) ++ (if (withDirCol)
         // originating data dir from the file-source metadata column — no
         // extra scan, prunes away when unused
@@ -353,8 +359,17 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val obs = org.apache.spark.sql.Observation()
     df.observe(obs, aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(s"$path/data/$dirName")
-    DataDir(dirName, schema.json, Some(DirStats.fromMetrics(obs.get, fields)))
+    DataDir(dirName, schema.json,
+      Some(DirStats.fromMetrics(obs.get, fields).copy(bytes = dirBytes(dirName))))
   }
+
+  /** Total parquet bytes of one data dir (one listStatus RPC post-write) —
+    * feeds the planner's sizeInBytes estimate. */
+  private def dirBytes(dirName: String): Long =
+    fsu.list(new HPath(dataDir, dirName))
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith(".") &&
+        !p.getName.startsWith("_"))
+      .map(p => fsu.fs.getFileStatus(p).getLen).sum
 
   /** Compact the table into `targetDirs` data dirs, optionally clustering
     * rows so the per-dir stats become tight and [[readWhere]] pruning bites
@@ -462,7 +477,8 @@ final class VersionedTable(spark: SparkSession, val path: String) {
         val row = spark.read.schema(logical).parquet(dest.toString)
           .agg(aggs.head, aggs.tail: _*).head()
         val metrics = row.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap
-        DataDir(dirName, logical.json, Some(DirStats.fromMetrics(metrics, fields)))
+        DataDir(dirName, logical.json,
+          Some(DirStats.fromMetrics(metrics, fields).copy(bytes = dirBytes(dirName))))
       }
     fsu.delete(staging, recursive = true)
     writeManifest(Manifest(nextV, newDirs, logical.json, m.properties))

@@ -50,6 +50,25 @@ class DataSkippingSpec extends SparkSuite {
     assert(t.scannedDirCount(abs($"id") === 150L) == 4)
   }
 
+  test("plain read().filter prunes dirs transparently via the file index") {
+    val root = tmpDir("skip-transparent")
+    val t = new VersionedTable(spark, root)
+    (0 until 4).foreach { k =>
+      t.append((k * 100 until (k + 1) * 100).map(i => (i.toLong, s"s$i")).toDF("id", "s"))
+    }
+    // NO readWhere — an ordinary filter must reach the index as a pushed
+    // dataFilter and keep exactly one of the four dirs
+    val df = t.read().filter($"id" === 150L)
+    assert(df.count() == 1)
+    val idx = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(idx.isDefined, "scan must be backed by GraftFileIndex")
+    assert(idx.get.lastPruning.contains((1, 4)), s"got ${idx.get.lastPruning}")
+    // planner sees exact byte sizes (all dirs carry byte stats)
+    assert(idx.get.sizeInBytes > 0 && idx.get.sizeInBytes < Long.MaxValue / 8)
+  }
+
   test("readWhere ≡ read().filter on randomized predicates (soundness)") {
     val root = tmpDir("skip-rand")
     val t = new VersionedTable(spark, root)

@@ -48,12 +48,8 @@ object PlanCheck {
         p => p.contains("windowspecdefinition(__pid")),
       ("ann_topk_bruteforce", "top-k via TakeOrdered, not global sort",
         p => p.contains("TakeOrderedAndProject")),
-      ("store_skipping", "manifest pruning: scan lists 1 of 4 dirs AND filter still pushed",
-        // the quarter-range readWhere must plan a FileScan over exactly one
-        // data dir (v0000000001-*), with the residual predicate pushed to
-        // parquet for row-group pruning inside it
-        p => p.contains("v0000000001-") && !p.contains("v0000000000-") &&
-          !p.contains("v0000000002-") && p.contains("PushedFilters: [")),
+      ("store_skipping", "manifest pruning: GraftFileIndex scan, filters pushed to parquet",
+        p => p.contains("GraftFileIndex") && p.contains("PushedFilters: [")),
       ("store_cdf", "change feed is ONE scan, not a per-version union of jobs",
         p => !p.contains("Union")))
     println("\n========== invariants ==========")
@@ -62,6 +58,19 @@ object PlanCheck {
       val pass = ok(planOf(name))
       if (!pass) failed += 1
       println(f"${if (pass) "PASS" else "FAIL"}  $name%-22s $what")
+    }
+    // runtime pruning counter: execute the skipping query and ask the index
+    // how many dirs the pushed dataFilters kept (transparent-path check)
+    locally {
+      val df = fns("store_skipping")(spark, sfDir)
+      df.count()
+      val idx = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location
+      }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+      val pruned = idx.flatMap(_.lastPruning)
+      val pass = pruned.exists { case (kept, total) => total == 4 && kept == 1 }
+      if (!pass) failed += 1
+      println(f"${if (pass) "PASS" else "FAIL"}  store_skipping         index kept 1 of 4 dirs at planning (got $pruned)")
     }
     spark.stop()
     if (failed > 0) sys.exit(1)
