@@ -38,4 +38,51 @@ object Graft {
       destRoot: String,
       cfg: WriteConfig = WriteConfig()): Synchronizer =
     new Synchronizer(spark, source, destRoot, cfg)
+
+  /** One table of a multi-table sync. */
+  final case class TableSync(
+      source: Source, destRoot: String, cfg: WriteConfig = WriteConfig())
+
+  /** Sync a whole set of tables concurrently — the "mirror the database"
+    * loop every reference deployment writes around `write_db_to_delta`,
+    * made a first-class call. Each table runs its own `Synchronizer` on a
+    * worker thread under the FAIR scheduler (each sync is mostly small
+    * sequential jobs with driver gaps, so on a big cluster N tables
+    * interleave their jobs and fill the executors instead of running the
+    * gaps serially). Per-table isolation is the engine's own lock +
+    * dual-snapshot rollback; one table's failure never aborts the others —
+    * results come back per table as Either[error, result], in input order.
+    *
+    * `parallelism` bounds concurrent syncs (driver memory and source-DB
+    * connection pressure scale with it, not cluster size). */
+  def syncAll(
+      spark: SparkSession,
+      tables: Seq[TableSync],
+      parallelism: Int = 4): Seq[Either[Throwable, LoadResult]] = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, math.max(tables.size, 1)),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-syncall-${n.getAndIncrement()}")
+          t.setDaemon(true); t
+        }
+      })
+    try {
+      val futures = tables.map { tb =>
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, LoadResult]] {
+          def call(): Either[Throwable, LoadResult] = {
+            // FAIR pool per orchestration so no single table's stage backlog
+            // starves the rest; cleared afterwards (thread is reused)
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-sync")
+            try Right(sync(spark, tb.source, tb.destRoot, tb.cfg))
+            catch { case scala.util.control.NonFatal(e) => Left(e) }
+            finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          }
+        })
+      }
+      futures.map(_.get())
+    } finally pool.shutdown()
+  }
 }

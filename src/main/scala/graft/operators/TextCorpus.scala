@@ -215,4 +215,44 @@ object TextCorpus {
       .groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(dfq, "term").select(col(idCol), col("term"), col("tf"), col("df"))
   }
+
+  /** Statistical (corpus-LM) novelty scoring — the integer-exact core of
+    * CCNet-style language-model filtering: train a bigram model on the
+    * corpus itself, score each document by how many of its bigrams are NOT
+    * "common" (count ≥ an adaptive threshold of corpusBigrams/2000 + 1, so
+    * the semantics scale with the corpus instead of degenerating at larger
+    * sf). High novelty ≈ high perplexity under the corpus LM — the usual
+    * quality/outlier filter signal — but every output is an exact integer
+    * (counts and a truncating permille), so the result is hash-comparable
+    * against an oracle, unlike float log-prob sums whose value depends on
+    * summation order.
+    *
+    * Shape at scale: one tokenize pass feeds bigram explode; the model is
+    * one count shuffle (map-side combined); scoring is one anti-join on the
+    * bigram key (AQE broadcasts the common set when it is small) plus one
+    * per-doc count shuffle. Nothing but the threshold scalar reaches the
+    * driver. */
+  def bigramNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bg = zip_with(
+      slice(toks, lit(1), n1),
+      slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    val exploded = df.select(col(idCol), explode(bg).as("bg"))
+    val corpusBigrams = exploded.count()
+    val k = corpusBigrams / 2000L + 1L
+    val common = exploded.groupBy("bg").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= k)
+    val novel = exploded.join(common, Seq("bg"), "left_anti")
+      .groupBy(idCol).agg(count(lit(1)).as("novel_bigrams"))
+    df.select(col(idCol),
+        greatest(size(toks) - 1, lit(0)).cast("long").as("total_bigrams"))
+      .join(novel, Seq(idCol), "left")
+      .na.fill(0L, Seq("novel_bigrams"))
+      .select(col(idCol), col("total_bigrams"), col("novel_bigrams"),
+        when(col("total_bigrams") > 0,
+          expr("novel_bigrams * 1000 div total_bigrams"))
+          .otherwise(0L).cast("long").as("novelty_permille"))
+  }
 }

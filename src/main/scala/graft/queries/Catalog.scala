@@ -569,6 +569,26 @@ object Catalog {
       Some(s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
         CAST(length(text) AS BIGINT) AS n_chars_m FROM documents""")),
 
+    // Corpus-LM novelty (CCNet-style statistical filtering, integer-exact):
+    // bigram model trained on the corpus itself with an adaptive commonness
+    // threshold; per-doc novel-bigram counts + truncating permille
+    Q("text_bigram_novelty",
+      (s, d) => TextCorpus.bigramNovelty(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        b AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+          FROM s, unnest(range(1, len(t))) AS r(i)),
+        c AS (SELECT bg FROM b GROUP BY bg
+          HAVING count(*) >= (SELECT count(*) FROM b) // 2000 + 1),
+        n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS novel_bigrams
+          FROM b ANTI JOIN c USING (bg) GROUP BY doc_id),
+        tot AS (SELECT doc_id, CAST(greatest(len(t) - 1, 0) AS BIGINT) AS total_bigrams FROM s)
+        SELECT tot.doc_id, total_bigrams,
+          CAST(COALESCE(novel_bigrams, 0) AS BIGINT) AS novel_bigrams,
+          CAST(CASE WHEN total_bigrams > 0
+            THEN COALESCE(novel_bigrams, 0) * 1000 // total_bigrams
+            ELSE 0 END AS BIGINT) AS novelty_permille
+        FROM tot LEFT JOIN n ON tot.doc_id = n.doc_id""")),
+
     // Within-document dedup: drop repeated tokens keeping FIRST occurrence
     // (the intra-doc flavor of corpus dedup — boilerplate-token collapse);
     // array_distinct is order-preserving in Spark, the oracle rebuilds the

@@ -77,15 +77,26 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val props = Option(node.get("properties")).map { pn =>
       pn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
-    Manifest(v, dirs, node.get("schema").asText(), props)
+    Manifest(v, dirs, node.get("schema").asText(), props,
+      Option(node.get("op")).map(_.asText()).getOrElse(""),
+      Option(node.get("timestampMs")).map(_.asLong()).getOrElse(0L))
   }
 
-  private def writeManifest(m: Manifest): Unit = {
+  private[store] def writeManifest(m: Manifest): Unit = {
     fsu.mkdirs(logDir)
+    // Single-writer by design (the engine serializes runs via the lock
+    // file), but a misconfigured second writer must fail loudly, not
+    // silently overwrite a committed version: the manifest slot is checked
+    // before the atomic-rename publish (best-effort on S3A, exact wherever
+    // rename is atomic — same guarantee Delta's put-if-absent relies on).
+    if (fsu.exists(manifestPath(m.version)))
+      throw new java.util.ConcurrentModificationException(
+        s"version ${m.version} of $path was committed by another writer")
     val root = mapper.createObjectNode()
     root.put("version", m.version)
     root.put("schema", m.schemaJson)
     root.put("timestampMs", System.currentTimeMillis())
+    if (m.op.nonEmpty) root.put("op", m.op)
     val arr = root.putArray("dirs")
     m.dirs.foreach { d =>
       val o = arr.addObject(); o.put("dir", d.dir); o.put("schema", d.schemaJson)
@@ -123,6 +134,43 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   def readVersion(version: Long): DataFrame = {
     val m = readManifest(version)
     scanDirs(m.dirs, DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+  }
+
+  /** Time travel by wall clock (Delta's `timestampAsOf`): the newest still-
+    * present version committed at or before `timestampMs`. Driver-side walk
+    * over the (tiny) manifest list — newest first, so the common "recent
+    * timestamp" case touches one or two manifests. */
+  def readAsOf(timestampMs: Long): DataFrame = {
+    val vs = fsu.list(logDir).map(_.getName)
+      .collect { case ManifestName(v) => v.toLong }.sorted.reverse
+    val hit = vs.iterator.map(readManifest).find(_.tsMs <= timestampMs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version of $path committed at or before $timestampMs " +
+          s"(earliest surviving: ${vs.lastOption.map(readManifest(_).tsMs)})"))
+    scanDirs(hit.dirs, DataType.fromJson(hit.schemaJson).asInstanceOf[StructType])
+  }
+
+  /** Commit history, newest first (Delta's DESCRIBE HISTORY): version,
+    * commit timestamp, operation, dir/row/byte counts. Row/byte counts come
+    * from the per-dir stats and are null for pre-stats manifests. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    fsu.list(logDir).map(_.getName)
+      .collect { case ManifestName(v) => v.toLong }.sorted.reverse
+      .map(readManifest)
+      .map { m =>
+        val rows = m.dirs.flatMap(_.stats.map(_.rows))
+        val bytes = m.dirs.flatMap(_.stats.map(_.bytes))
+        (m.version, new java.sql.Timestamp(m.tsMs),
+          if (m.op.nonEmpty) m.op else null,
+          m.dirs.size.toLong,
+          if (rows.size == m.dirs.size) java.lang.Long.valueOf(rows.sum)
+          else (null: java.lang.Long),
+          if (bytes.size == m.dirs.size && bytes.forall(_ > 0))
+            java.lang.Long.valueOf(bytes.sum)
+          else (null: java.lang.Long))
+      }
+      .toDF("version", "timestamp", "operation", "num_dirs", "num_rows", "num_bytes")
   }
 
   /** Current snapshot restricted by `cond`, with manifest-level data
@@ -260,7 +308,8 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val dirs = if (overwrite) Seq(newDir)
       else prev.map(_.dirs).getOrElse(Nil) :+ newDir
     writeManifest(Manifest(nextV, dirs, merged.json,
-      prev.map(_.properties).getOrElse(Map.empty)))
+      prev.map(_.properties).getOrElse(Map.empty),
+      op = if (overwrite) "overwrite" else "append"))
     nextV
   }
 
@@ -277,7 +326,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val prev = latestVersion.map(readManifest)
     val nextV = prev.map(_.version + 1).getOrElse(0L)
     writeManifest(Manifest(nextV, Nil, SchemaEvolution.relaxNullable(schema).json,
-      prev.map(_.properties).getOrElse(Map.empty)))
+      prev.map(_.properties).getOrElse(Map.empty), op = "overwrite"))
     nextV
   }
 
@@ -292,7 +341,8 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   def setProperties(props: Map[String, String]): Long = {
     val m = readManifest(requireVersion)
     val nextV = m.version + 1
-    writeManifest(m.copy(version = nextV, properties = m.properties ++ props))
+    writeManifest(m.copy(version = nextV, properties = m.properties ++ props,
+      op = "setProperties"))
     nextV
   }
 
@@ -301,7 +351,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   def restore(toVersion: Long): Long = {
     val target = readManifest(toVersion)
     val nextV = requireVersion + 1
-    writeManifest(target.copy(version = nextV))
+    writeManifest(target.copy(version = nextV, op = "restore"))
     nextV
   }
 
@@ -346,7 +396,8 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val nextV = m.version + 1
     val dirName = f"v$nextV%010d-${UUID.randomUUID().toString.take(8)}"
     val newDir = writeDataDir(out, merged, dirName)
-    writeManifest(Manifest(nextV, untouched :+ newDir, merged.json, m.properties))
+    writeManifest(Manifest(nextV, untouched :+ newDir, merged.json, m.properties,
+      op = "merge"))
     nextV
   }
 
@@ -481,7 +532,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
           Some(DirStats.fromMetrics(metrics, fields).copy(bytes = dirBytes(dirName))))
       }
     fsu.delete(staging, recursive = true)
-    writeManifest(Manifest(nextV, newDirs, logical.json, m.properties))
+    writeManifest(Manifest(nextV, newDirs, logical.json, m.properties, op = "optimize"))
     nextV
   }
 
@@ -530,7 +581,8 @@ object VersionedTable {
       dir: String, schemaJson: String, stats: Option[DirStats.Stats] = None)
   private[store] final case class Manifest(
       version: Long, dirs: Seq[DataDir], schemaJson: String,
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      op: String = "", tsMs: Long = 0L)
 }
 
 /** Schema drift rules (reference spark_reader.py:154-162,284-305;

@@ -245,6 +245,26 @@ class DataSkippingSpec extends SparkSuite {
     } finally reader.close()
   }
 
+  test("readAsOf and history expose the commit timeline") {
+    val root = tmpDir("history")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1, "a")).toDF("id", "s"))
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(Seq((2, "b")).toDF("id", "s"))
+    t.merge(Seq((2, "B")).toDF("id", "s"), Seq("id"))
+    // timestampAsOf: a clock between v0 and v1 resolves to v0
+    assert(t.readAsOf(afterV0).count() == 1)
+    assert(t.readAsOf(System.currentTimeMillis()).count() == 2)
+    intercept[IllegalArgumentException](t.readAsOf(0L))
+    // history: newest first, operations tagged, exact row counts from stats
+    val h = t.history().collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L))
+    assert(h.map(_.getString(2)).toSeq == Seq("merge", "append", "append"))
+    assert(h.map(_.getLong(4)).toSeq == Seq(2L, 2L, 1L)) // rows per version
+    assert(h.forall(r => r.getLong(5) > 0L)) // bytes known everywhere
+  }
+
   test("delta mirror stays consistent across optimize") {
     val root = tmpDir("opt-mirror")
     val t = new VersionedTable(spark, root)
