@@ -240,10 +240,14 @@ object TextCorpus {
       slice(toks, lit(2), n1),
       (a, b) => concat(a, lit(" "), b))
     val exploded = df.select(col(idCol), explode(bg).as("bg"))
-    val corpusBigrams = exploded.count()
+    // the model (bigram → count) is small; persist it so the threshold scan
+    // and the commonness filter don't re-tokenize the corpus
+    val counts = Caching.spillPersistEager(
+      exploded.groupBy("bg").agg(count(lit(1)).as("c")))
+    val corpusBigrams = Option(counts.agg(sum(col("c"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val k = corpusBigrams / 2000L + 1L
-    val common = exploded.groupBy("bg").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= k)
+    val common = counts.filter(col("c") >= k)
     val novel = exploded.join(common, Seq("bg"), "left_anti")
       .groupBy(idCol).agg(count(lit(1)).as("novel_bigrams"))
     df.select(col(idCol),

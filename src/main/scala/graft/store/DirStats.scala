@@ -101,7 +101,9 @@ object DirStats {
     case (d: java.sql.Date, DateType) => Some(d.toLocalDate.toEpochDay)
     case (d: java.time.LocalDate, DateType) => Some(d.toEpochDay)
     case (t: java.sql.Timestamp, TimestampType) =>
-      Some(t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+      // floorDiv: truncation toward zero would shift pre-1970 timestamps
+      // one second late and make pruning unsound
+      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
     case (t: java.time.Instant, TimestampType) =>
       Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
     case _ => None

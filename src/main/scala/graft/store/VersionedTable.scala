@@ -292,7 +292,8 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   def overwrite(df: DataFrame, drift: SchemaDrift = SchemaDrift.Full): Long =
     commit(df, overwrite = true, drift)
 
-  private def commit(df: DataFrame, overwrite: Boolean, drift: SchemaDrift): Long = {
+  private def commit(df: DataFrame, overwrite: Boolean, drift: SchemaDrift,
+      extraProps: Map[String, String] = Map.empty): Long = {
     val prev = latestVersion.map(readManifest)
     val nextV = prev.map(_.version + 1).getOrElse(0L)
     val merged = prev match {
@@ -308,9 +309,25 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val dirs = if (overwrite) Seq(newDir)
       else prev.map(_.dirs).getOrElse(Nil) :+ newDir
     writeManifest(Manifest(nextV, dirs, merged.json,
-      prev.map(_.properties).getOrElse(Map.empty),
+      prev.map(_.properties).getOrElse(Map.empty) ++ extraProps,
       op = if (overwrite) "overwrite" else "append"))
     nextV
+  }
+
+  /** Exactly-once append for at-least-once callers (foreachBatch retries,
+    * replayed micro-batches — Delta's txnAppId/txnVersion pattern): the
+    * manifest records the highest `batchVersion` applied per `appId`, and a
+    * batch at or below it is a NO-OP returning the current version. The
+    * watermark rides the SAME manifest commit as the data, so there is no
+    * window where the rows landed but the watermark didn't. */
+  def appendIdempotent(
+      df: DataFrame, appId: String, batchVersion: Long,
+      drift: SchemaDrift = SchemaDrift.NewOnly): Long = {
+    val key = s"graft.txn.$appId"
+    val applied = properties.get(key).map(_.toLong)
+    if (applied.exists(_ >= batchVersion)) return requireVersion
+    commit(df, overwrite = false, drift,
+      extraProps = Map(key -> batchVersion.toString))
   }
 
   /** Append an empty frame carrying only schema (drift pre-pass, reference

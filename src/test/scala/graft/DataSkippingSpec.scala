@@ -265,6 +265,24 @@ class DataSkippingSpec extends SparkSuite {
     assert(h.forall(r => r.getLong(5) > 0L)) // bytes known everywhere
   }
 
+  test("appendIdempotent applies each batch version exactly once") {
+    val root = tmpDir("txn")
+    val t = new VersionedTable(spark, root)
+    assert(t.appendIdempotent(Seq((1, "a")).toDF("id", "s"), "streamA", 0L) == 0L)
+    assert(t.appendIdempotent(Seq((2, "b")).toDF("id", "s"), "streamA", 1L) == 1L)
+    // a retried batch (same or older version) is a no-op
+    assert(t.appendIdempotent(Seq((2, "dup")).toDF("id", "s"), "streamA", 1L) == 1L)
+    assert(t.appendIdempotent(Seq((0, "old")).toDF("id", "s"), "streamA", 0L) == 1L)
+    assert(t.read().count() == 2)
+    // independent apps have independent watermarks
+    assert(t.appendIdempotent(Seq((3, "c")).toDF("id", "s"), "streamB", 0L) == 2L)
+    assert(t.read().count() == 3)
+    // the watermark survives restarts (it lives in the manifest)
+    val t2 = new VersionedTable(spark, root)
+    assert(t2.appendIdempotent(Seq((9, "x")).toDF("id", "s"), "streamA", 1L) == 2L)
+    assert(t2.read().count() == 3)
+  }
+
   test("delta mirror stays consistent across optimize") {
     val root = tmpDir("opt-mirror")
     val t = new VersionedTable(spark, root)
