@@ -601,4 +601,59 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** Edit-distance (Levenshtein ≤ maxDist) similarity self-join — fuzzy
+    * dedup for OCR noise, typo'd records, lightly-edited copies, where
+    * token-level Jaccard is too coarse. EXACT: every output pair truly has
+    * `dist ≤ maxDist` and none is missed. Three recall-complete pruning
+    * layers keep it off the quadratic cliff:
+    *
+    *  1. Length banding (`ed ≥ |len(a) − len(b)|`): rows map to
+    *     `(maxDist+1)`-wide length buckets, one side replicated to the
+    *     bucket range its matches can live in, the other to exactly its own
+    *     bucket — every qualifying pair meets in EXACTLY one bucket (the
+    *     rangeJoin meet-once shape), so there is no dedup pass.
+    *  2. q-gram count filter: one edit destroys at most q distinct q-grams,
+    *     so `|Qa ∩ Qb| ≥ max(|Qa|,|Qb|) − maxDist·q`; evaluated by the
+    *     codegen'd sorted-merge intersect kernel over per-row sorted q-gram
+    *     hashes (hash collisions only ever KEEP candidates — sound).
+    *  3. Banded DP: Spark's native `levenshtein(l, r, threshold)` computes
+    *     only the ±maxDist diagonal band, O(maxDist·n) per survivor, and
+    *     the same call yields the output distance.
+    *
+    * One shuffle on the bucket key; replication factor is ~2 (the band
+    * spans ≤ 3 buckets of width maxDist+1). */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val w = (maxDist + 1).toLong
+    val t = col(textCol)
+    // sequence(1, 0) would DESCEND in Spark — guard short strings explicitly
+    val qg = when(length(t) >= q,
+        array_sort(array_distinct(transform(
+          sequence(lit(1), length(t) - (q - 1)),
+          i => xxhash64(substr(t, i, lit(q)))))))
+      .otherwise(array().cast("array<bigint>"))
+    val base = df.select(col(idCol).as("__id"), t.as("__txt"),
+      length(t).cast("long").as("__len"), qg.as("__qg"))
+    val own = base.select(col("__id").as("id_a"), col("__txt").as("txt_a"),
+        col("__len").as("len_a"), col("__qg").as("qg_a"))
+      .withColumn("__b", expr(s"len_a DIV ${w}L"))
+    val repl = base.select(col("__id").as("id_b"), col("__txt").as("txt_b"),
+        col("__len").as("len_b"), col("__qg").as("qg_b"))
+      .withColumn("__b", explode(sequence(
+        expr(s"(len_b - $maxDist) DIV ${w}L"),
+        expr(s"(len_b + $maxDist) DIV ${w}L"))))
+    own.join(repl, "__b")
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .filter(graft.functions.NativeHash.sortedIntersectCount(col("qg_a"), col("qg_b")) >=
+        greatest(size(col("qg_a")), size(col("qg_b"))).cast("long") -
+          lit(maxDist.toLong * q))
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
 }

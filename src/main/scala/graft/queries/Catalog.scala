@@ -569,6 +569,20 @@ object Catalog {
       Some(s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
         CAST(length(text) AS BIGINT) AS n_chars_m FROM documents""")),
 
+    // Edit-distance fuzzy-dedup join: exact Levenshtein ≤ 10 over the corpus
+    // (length banding + q-gram count filter + banded DP); the oracle brute-
+    // forces the same band with DuckDB's levenshtein — identical pair set
+    // AND distances, since every pruning layer is recall-complete
+    Q("dedup_editdist",
+      (s, d) => Dedup.editDistancePairs(t(s, d, "documents"), "doc_id", "text", maxDist = 10),
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        FROM documents a JOIN documents b
+          ON a.doc_id < b.doc_id
+         AND length(a.text) <= length(b.text) + 10
+         AND length(b.text) <= length(a.text) + 10
+        WHERE levenshtein(a.text, b.text) <= 10""")),
+
     // Corpus-LM novelty (CCNet-style statistical filtering, integer-exact):
     // bigram model trained on the corpus itself with an adaptive commonness
     // threshold; per-doc novel-bigram counts + truncating permille
