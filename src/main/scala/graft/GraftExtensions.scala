@@ -12,8 +12,10 @@ import graft.functions.{CosinePair, MinHashSignature, MisraGries, SimHash64, Top
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or call
   * [[GraftExtensions.register]] on an existing session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach(ext.injectFunction)
+    GraftExtensions.tableBuilders.foreach(ext.injectTableFunction)
+  }
 }
 
 object GraftExtensions {
@@ -57,9 +59,66 @@ object GraftExtensions {
         MisraGries(children.head, intLit(children(1), "capacity"))
       }))
 
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(s, org.apache.spark.sql.types.StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Table-valued functions over the versioned store, for SQL-only users:
+    * {{{
+    *   SELECT * FROM graft_table('/data/dest/delta')           -- snapshot
+    *   SELECT * FROM graft_table('/data/dest/delta', 3)        -- versionAsOf
+    *   SELECT * FROM graft_changes('/data/dest/delta', 1, 5)   -- CDF slice
+    *   SELECT * FROM graft_history('/data/dest/delta')         -- DESCRIBE HISTORY
+    * }}}
+    * The builder runs at analysis time on the driver; the returned plan is
+    * the same manifest-backed scan the Scala API produces (GraftFileIndex
+    * skipping, pushdown, codegen all intact — a WHERE on the TVF prunes
+    * dirs like any other filtered read). */
+  private[graft] val tableBuilders: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    def table(path: Expression) = new graft.store.VersionedTable(
+      org.apache.spark.sql.SparkSession.active, strLit(path, "path"))
+    Seq(
+      (FunctionIdentifier("graft_table"),
+        new ExpressionInfo(classOf[graft.store.VersionedTable].getName, "graft_table"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1 || children.size == 2,
+            "graft_table(path[, versionAsOf])")
+          val t = table(children.head)
+          val df = if (children.size == 2) t.readVersion(longLit(children(1), "versionAsOf"))
+            else t.read()
+          df.queryExecution.logical
+        }),
+      (FunctionIdentifier("graft_changes"),
+        new ExpressionInfo(classOf[graft.store.VersionedTable].getName, "graft_changes"),
+        (children: Seq[Expression]) => {
+          require(children.size == 3, "graft_changes(path, fromVersion, toVersion)")
+          table(children.head).readChanges(
+            longLit(children(1), "fromVersion"), longLit(children(2), "toVersion"))
+            .queryExecution.logical
+        }),
+      (FunctionIdentifier("graft_history"),
+        new ExpressionInfo(classOf[graft.store.VersionedTable].getName, "graft_history"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_history(path)")
+          table(children.head).history().queryExecution.logical
+        }))
+  }
+
   /** Imperative registration on a live session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (id, info, b) => reg.registerFunction(id, info, b) }
+    val treg = spark.sessionState.tableFunctionRegistry
+    tableBuilders.foreach { case (id, info, b) => treg.registerFunction(id, info, b) }
   }
 }

@@ -1,0 +1,34 @@
+package graft
+
+import graft.store.VersionedTable
+
+/** The graft_table / graft_changes / graft_history table-valued functions:
+  * SQL-only access to the versioned store, planning the same
+  * GraftFileIndex-backed scan as the Scala API (a WHERE on the TVF must
+  * prune dirs at planning time like any other filtered read). */
+class TvfSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("store TVFs: snapshot, versionAsOf, changes, history, pruned WHERE") {
+    GraftExtensions.register(spark)
+    val root = tmpDir("tvf")
+    val t = new VersionedTable(spark, root)
+    (0 until 3).foreach { k =>
+      t.append((k * 10 until (k + 1) * 10).map(i => (i.toLong, s"s$i")).toDF("id", "s"))
+    }
+    assert(spark.sql(s"SELECT * FROM graft_table('$root')").count() == 30)
+    assert(spark.sql(s"SELECT * FROM graft_table('$root', 0)").count() == 10)
+    assert(spark.sql(
+      s"SELECT * FROM graft_changes('$root', 1, 2)").count() == 20)
+    val h = spark.sql(s"SELECT version, operation FROM graft_history('$root')")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(h.toSeq == Seq((2L, "append"), (1L, "append"), (0L, "append")))
+    // a WHERE through the TVF reaches the file index as a pushed filter
+    val df = spark.sql(s"SELECT * FROM graft_table('$root') WHERE id = 15")
+    assert(df.count() == 1)
+    val idx = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(idx.flatMap(_.lastPruning).contains((1, 3)), s"got ${idx.flatMap(_.lastPruning)}")
+  }
+}
