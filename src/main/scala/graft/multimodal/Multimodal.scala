@@ -351,6 +351,51 @@ object Multimodal {
       })
   }
 
+  final case class KeyFrame(
+      media_id: Long, frame_idx: Int, luma_x1000: Long, delta_x1000: Long)
+
+  /** Scene-cut / keyframe detection — the selection step of a video
+    * training pipeline (decode everything, KEEP only frames where content
+    * changes): one sequential pass per video decodes each frame, tracks
+    * the previous frame's mean luma, and emits frame 0 plus every frame
+    * whose luma delta is ≥ `thresholdX1000` (of the 0–1000 luma scale).
+    * Per-partition iterator over payload bytes that already rode the scan —
+    * the same mapPartitions shape as the samplers; state is one long per
+    * in-flight video. */
+  def sceneCuts(media: DataFrame, thresholdX1000: Long = 500L): Dataset[KeyFrame] = {
+    implicit val enc = Encoders.product[KeyFrame]
+    media.filter(col("kind") === "video")
+      .select("media_id", "kind", "width", "height", "sample_rate", "n_frames", "payload")
+      .as(Encoders.product[MediaRow])
+      .mapPartitions(_.flatMap { r =>
+        if (!VideoCodec.isGfv(r.payload)) Iterator.empty
+        else {
+          var prev = 0L
+          VideoCodec.frameOffsets(r.payload).zipWithIndex.iterator
+            .flatMap { case ((off, len), idx) =>
+              val img = VideoCodec.decodeFrame(r.payload, off, len)
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sum += ((p >> 16 & 0xff) + (p >> 8 & 0xff) + (p & 0xff)) / 3
+                  x += 1
+                }
+                y += 1
+              }
+              val luma = sum * 1000L / (img.getWidth.toLong * img.getHeight * 255L)
+              val delta = if (idx == 0) 0L else math.abs(luma - prev)
+              prev = luma
+              if (idx == 0 || delta >= thresholdX1000)
+                Some(KeyFrame(r.media_id, idx, luma, delta))
+              else None
+            }
+        }
+      })
+  }
+
   /** REAL image resize (Graphics2D bilinear): image payloads are decoded,
     * scaled so the longest side is ≤ maxSide (aspect preserved, floor
     * arithmetic matching [[resizePlan]]), and re-encoded as PNG. Non-image

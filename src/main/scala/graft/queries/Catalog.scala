@@ -942,6 +942,25 @@ object Catalog {
           CAST(((doc_id + i) % 256) * 1000 // 255 AS BIGINT) AS mean_luma_x1000
         FROM f""")),
 
+    // Scene-cut keyframe detection: EVERY frame pixel-decoded, keep frame 0
+    // and frames whose mean-luma delta ≥ 0.5 (the synthetic frames step
+    // +1/256 per frame and wrap 255→0, so cuts land exactly at the wraps —
+    // the oracle predicts them arithmetically)
+    Q("multimodal_scene_cuts",
+      (s, d) => graft.multimodal.Multimodal.sceneCuts(
+          graft.multimodal.Multimodal.syntheticMedia(s, s"$d/documents.parquet"))
+        .toDF(),
+      Some("""WITH f AS (SELECT doc_id,
+            unnest(range(0, CAST(doc_id % 30 + 1 AS BIGINT))) AS i
+          FROM documents WHERE doc_id % 3 = 2),
+        l AS (SELECT doc_id, i, ((doc_id + i) % 256) * 1000 // 255 AS luma FROM f),
+        dd AS (SELECT doc_id, i, luma,
+          luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY i) AS delta FROM l)
+        SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+          CAST(luma AS BIGINT) AS luma_x1000,
+          CAST(CASE WHEN i = 0 THEN 0 ELSE abs(delta) END AS BIGINT) AS delta_x1000
+        FROM dd WHERE i = 0 OR abs(delta) >= 500""")),
+
     // REAL image resize (Graphics2D bilinear, aspect-preserving floor
     // arithmetic): resized constant-gray pixels keep their exact luma,
     // dims follow the resize plan formula
