@@ -396,6 +396,42 @@ object Multimodal {
       })
   }
 
+  /** REAL audio resample (decimation): WAV payloads are decoded to PCM,
+    * every `factor`-th sample kept, and re-encoded at `rate/factor` — the
+    * audio analog of [[resizeImages]] (decode → transform → re-encode),
+    * completing the per-modality transform matrix (image resize, video
+    * frame sampling, audio resampling). Non-audio rows pass through
+    * untouched; constant memory per partition. */
+  def resampleAudio(media: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    implicit val enc = Encoders.product[MediaRow]
+    media.select("media_id", "kind", "width", "height", "sample_rate", "n_frames", "payload")
+      .as(Encoders.product[MediaRow])
+      .mapPartitions(_.map { r =>
+        if (!AudioCodec.isWav(r.payload)) r
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          val big = fmt.isBigEndian
+          val n = bytes.length / 2
+          val kept = new Array[Short]((n + factor - 1) / factor)
+          var i = 0
+          while (i * factor < n) {
+            val o = i * factor * 2
+            kept(i) =
+              if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+              else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+            i += 1
+          }
+          val newRate = math.max(1, fmt.getSampleRate.toInt / factor)
+          r.copy(sample_rate = Some(newRate), n_frames = Some(kept.length),
+            payload = AudioCodec.wavBytes(newRate, kept))
+        } catch { case _: Exception => r } // corrupt container: pass through
+      }).toDF()
+  }
+
   /** REAL image resize (Graphics2D bilinear): image payloads are decoded,
     * scaled so the longest side is ≤ maxSide (aspect preserved, floor
     * arithmetic matching [[resizePlan]]), and re-encoded as PNG. Non-image

@@ -961,6 +961,27 @@ object Catalog {
           CAST(CASE WHEN i = 0 THEN 0 ELSE abs(delta) END AS BIGINT) AS delta_x1000
         FROM dd WHERE i = 0 OR abs(delta) >= 500""")),
 
+    // REAL audio resample: WAV → PCM decode → keep every 2nd sample →
+    // re-encode at 8 kHz; the oracle predicts the re-encoded container
+    // byte-exactly (44-byte canonical header + 2·ceil(f/2)) and the
+    // amplitude stays fixed (constant-amplitude clips, floor-div invariant)
+    Q("multimodal_audio_resample",
+      (s, d) => graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.resampleAudio(
+            graft.multimodal.Multimodal.syntheticMedia(s, s"$d/documents.parquet")))
+        .toDF()
+        .filter(col("kind") === "audio")
+        .select(col("media_id"), col("n_bytes"), col("header_ok"),
+          col("n_frames"), col("sample_rate"),
+          col("mean_luma_x1000").as("mean_amp_x1000")),
+      Some("""SELECT doc_id AS media_id,
+          CAST(44 + 2 * ((doc_id % 30 + 2) // 2) AS BIGINT) AS n_bytes,
+          TRUE AS header_ok,
+          CAST((doc_id % 30 + 2) // 2 AS INT) AS n_frames,
+          8000 AS sample_rate,
+          CAST(((doc_id % 256) * 128 * 1000) // 32768 AS BIGINT) AS mean_amp_x1000
+        FROM documents WHERE doc_id % 3 = 1""")),
+
     // REAL image resize (Graphics2D bilinear, aspect-preserving floor
     // arithmetic): resized constant-gray pixels keep their exact luma,
     // dims follow the resize plan formula
