@@ -137,7 +137,13 @@ object DirStats {
       else Some(BigDecimal(x).compare(BigDecimal(y)))
     case (x: Double, y: Long) => cmp(y, x).map(-_)
     case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    // Spark computes string min/max in UTF8_BINARY (code-point) order, which
+    // diverges from Java String.compareTo (UTF-16 code-unit order) whenever
+    // supplementary-plane chars (U+10000+, surrogate pairs) meet BMP chars in
+    // [U+E000, U+FFFF]. Compare exactly as Spark does or pruning drops rows.
+    case (x: String, y: String) =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case _ => None
   }
@@ -224,12 +230,23 @@ object DirStats {
   }
 
   /** Cast shapes on the column side that preserve order AND keep the stored
-    * stat comparable with the cast-side literal. */
+    * stat comparable with the cast-side literal. Only EXACT (injective)
+    * widenings qualify: a lossy cast (long→double past 2^53, int→float past
+    * 2^24, decimal scale reduction) rounds column values onto the literal so
+    * the exact raw-stat-vs-literal compare would wrongly refute a match. */
   private def castSafe(from: DataType, to: DataType): Boolean = (from, to) match {
-    case (ByteType | ShortType | IntegerType | LongType,
-          ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    // float's 24-bit mantissa holds byte/short exactly; double's 53-bit
+    // mantissa holds up to int exactly; long fits in NEITHER
+    case (ByteType | ShortType, FloatType | DoubleType) => true
+    case (IntegerType, DoubleType) => true
     case (FloatType, DoubleType) => true
-    case (a: DecimalType, b: DecimalType) => b.precision - b.scale >= a.precision - a.scale
+    // scale must not shrink (rounding) and integral digits must not shrink
+    // (overflow) — together the cast is the identity on the value
+    case (a: DecimalType, b: DecimalType) =>
+      b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
     case _ => false
   }
 

@@ -89,6 +89,64 @@ class DataSkippingSpec extends SparkSuite {
     }
   }
 
+  test("string pruning follows UTF8 binary order for supplementary-plane text") {
+    val root = tmpDir("skip-utf8")
+    val t = new VersionedTable(spark, root)
+    val supp = new String(Character.toChars(0x10000)) // 𐀀, surrogate pair
+    val bmpHigh = "￿" // BMP char ABOVE the pair's high surrogate in UTF-16
+    // Java compareTo: supp < bmpHigh (surrogate D800 < FFFF).
+    // UTF8 binary (what Spark's min/max uses): supp > bmpHigh.
+    t.append(Seq((1L, supp)).toDF("id", "s"))
+    t.append(Seq((2L, "ascii")).toDF("id", "s"))
+    // the supp dir must be KEPT for s >= bmpHigh (UTF-16 order would prune it)
+    assert(t.readWhere($"s" >= bmpHigh).count() == 1)
+    assert(t.readWhere($"s" >= bmpHigh).collect().head.getLong(0) == 1L)
+    assert(t.readWhere($"s" === supp).count() == 1)
+    // and the converse direction: a BMP-high row must survive s <= supp
+    val root2 = tmpDir("skip-utf8-b")
+    val t2 = new VersionedTable(spark, root2)
+    t2.append(Seq((1L, bmpHigh)).toDF("id", "s"))
+    assert(t2.readWhere($"s" <= supp).count() == 1)
+    // randomized ≡ over a mixed supplementary/BMP-high/ascii corpus
+    val alphabet = Vector(supp, bmpHigh, "", "z", "a", "é", "😀")
+    val rnd = new scala.util.Random(99)
+    val root3 = tmpDir("skip-utf8-rand")
+    val t3 = new VersionedTable(spark, root3)
+    (0 until 4).foreach { _ =>
+      t3.append(Seq.fill(50)((rnd.nextInt(100).toLong,
+        Seq.fill(1 + rnd.nextInt(3))(alphabet(rnd.nextInt(alphabet.size))).mkString))
+        .toDF("id", "s"))
+    }
+    val lits = alphabet ++ alphabet.map(_ * 2)
+    lits.foreach { l =>
+      Seq($"s" === l, $"s" >= l, $"s" < l, $"s" > l && $"s" <= (l + "z")).foreach { p =>
+        val expected = t3.read().filter(p).count()
+        assert(t3.readWhere(p).count() == expected, s"readWhere mismatch for $p lit=$l")
+      }
+    }
+  }
+
+  test("lossy casts on the column side never prune") {
+    val root = tmpDir("skip-losscast")
+    val t = new VersionedTable(spark, root)
+    // 2^53 + 1: representable as Long, NOT as Double (rounds to 2^53)
+    val big = 9007199254740993L
+    t.append(Seq((big, 1)).toDF("k", "g"))
+    t.append(Seq((5L, 2)).toDF("k", "g"))
+    // cast(k as double) === 9007199254740993d: the cast rounds k onto the
+    // literal, so the dir MUST be kept even though exact Long-vs-Double
+    // comparison refutes equality
+    val p = $"k".cast("double") === lit(big.toDouble)
+    assert(t.readWhere(p).count() == t.read().filter(p).count())
+    assert(t.readWhere(p).count() == 1)
+    // exact widening casts still prune (int col, long literal via cast)
+    val root2 = tmpDir("skip-okcast")
+    val t2 = new VersionedTable(spark, root2)
+    t2.append(Seq((1, "a")).toDF("k", "s"))
+    t2.append(Seq((100, "b")).toDF("k", "s"))
+    assert(t2.scannedDirCount($"k".cast("long") === 100L) == 1)
+  }
+
   test("all-null column prunes comparisons but keeps IS NULL") {
     val root = tmpDir("skip-nulls")
     val t = new VersionedTable(spark, root)
