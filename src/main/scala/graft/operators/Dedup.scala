@@ -605,30 +605,55 @@ object Dedup {
   /** Edit-distance (Levenshtein ≤ maxDist) similarity self-join — fuzzy
     * dedup for OCR noise, typo'd records, lightly-edited copies, where
     * token-level Jaccard is too coarse. EXACT: every output pair truly has
-    * `dist ≤ maxDist` and none is missed. Three recall-complete pruning
-    * layers keep it off the quadratic cliff:
+    * `dist ≤ maxDist` and none is missed. Candidate generation is the
+    * Ed-Join prefix scheme (Xiao/Wang/Lin 2008), NOT length banding —
+    * natural corpora concentrate length, so a length-only join key
+    * enumerates near-quadratic within-band pairs at scale, while rare-first
+    * q-gram prefixes scatter docs across the whole q-gram keyspace:
     *
-    *  1. Length banding (`ed ≥ |len(a) − len(b)|`): rows map to
-    *     `(maxDist+1)`-wide length buckets, one side replicated to the
-    *     bucket range its matches can live in, the other to exactly its own
-    *     bucket — every qualifying pair meets in EXACTLY one bucket (the
-    *     rangeJoin meet-once shape), so there is no dedup pass.
-    *  2. q-gram count filter: one edit destroys at most q distinct q-grams,
-    *     so `|Qa ∩ Qb| ≥ max(|Qa|,|Qb|) − maxDist·q`; evaluated by the
-    *     codegen'd sorted-merge intersect kernel over per-row sorted q-gram
-    *     hashes (hash collisions only ever KEEP candidates — sound).
-    *  3. Banded DP: Spark's native `levenshtein(l, r, threshold)` computes
+    *  1. Prefix join: one edit destroys at most q distinct q-grams, so a
+    *     pair at ed ≤ d overlaps in ≥ max(|Qa|,|Qb|) − d·q q-grams.
+    *     Ordering each doc's distinct q-grams by GLOBAL document frequency
+    *     (rarest first, hash tiebreak — one canonical corpus-wide order,
+    *     the same trick as [[ngramJaccardPairs]]) and indexing only the
+    *     first d·q + 1, the pigeonhole guarantees any qualifying pair
+    *     shares an INDEXED q-gram — provided max(|Qa|,|Qb|) > d·q, since
+    *     the required overlap must be ≥ 1. Hot boilerplate q-grams fall
+    *     out of every long doc's prefix, so bucket sizes track RARE-q-gram
+    *     frequency, not corpus length distribution.
+    *  2. Short-set fallback: docs with |Q| ≤ d·q (shorter than ~d·q+q
+    *     chars, or degenerately repetitive) can match with DISJOINT q-gram
+    *     sets, so pairs where BOTH sides are short go through the
+    *     length-band meet-once join (`ed ≥ |len(a) − len(b)|`) restricted
+    *     to that subset. Mixed pairs are already covered: ed ≤ d bounds
+    *     ||Qa|−|Qb|| ≤ d·q, so a short×long match forces the long side's
+    *     required overlap ≥ 1 and path 1 finds it.
+    *  3. q-gram count filter on candidates: `|Qa ∩ Qb| ≥ max(|Qa|,|Qb|) −
+    *     maxDist·q` via the codegen'd sorted-merge intersect kernel over
+    *     per-row sorted q-gram hashes (hash collisions only ever KEEP
+    *     candidates — sound), plus the length filter.
+    *  4. Banded DP: Spark's native `levenshtein(l, r, threshold)` computes
     *     only the ±maxDist diagonal band, O(maxDist·n) per survivor, and
     *     the same call yields the output distance.
     *
-    * One shuffle on the bucket key; replication factor is ~2 (the band
-    * spans ≤ 3 buckets of width maxDist+1). */
+    * Shuffles: one postings groupBy for document frequency, the prefix
+    * bucket join, the candidate dedup, and the two verify joins back to
+    * the persisted base — all on well-distributed hash keys.
+    *
+    * `maxDocFreq`, when set, drops q-grams appearing in more than that
+    * many docs from the index entirely — the same belt-and-braces skew cap
+    * as [[ngramJaccardPairs]], at the cost of exactness on pairs whose
+    * every shared q-gram is dropped. Default None = exact.
+    *
+    * `candidateObs`, when set, observes `candidates` = the number of
+    * post-dedup candidate pairs actually verified (for plan audits). */
   def editDistancePairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, q: Int = 3): DataFrame = {
+      maxDist: Int, q: Int = 3,
+      maxDocFreq: Option[Int] = None,
+      candidateObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
-    val w = (maxDist + 1).toLong
     val t = col(textCol)
     // sequence(1, 0) would DESCEND in Spark — guard short strings explicitly
     val qg = when(length(t) >= q,
@@ -636,19 +661,72 @@ object Dedup {
           sequence(lit(1), length(t) - (q - 1)),
           i => xxhash64(substr(t, i, lit(q)))))))
       .otherwise(array().cast("array<bigint>"))
-    val base = df.select(col(idCol).as("__id"), t.as("__txt"),
-      length(t).cast("long").as("__len"), qg.as("__qg"))
-    val own = base.select(col("__id").as("id_a"), col("__txt").as("txt_a"),
-        col("__len").as("len_a"), col("__qg").as("qg_a"))
-      .withColumn("__b", expr(s"len_a DIV ${w}L"))
-    val repl = base.select(col("__id").as("id_b"), col("__txt").as("txt_b"),
-        col("__len").as("len_b"), col("__qg").as("qg_b"))
+    // base feeds the prefix index, the short set AND both verify joins —
+    // persist so tokenize+hash runs once (spill-safe, released by
+    // releaseIntermediates)
+    val base = spillPersistEager(df.select(col(idCol).as("__id"), t.as("__txt"),
+      length(t).cast("long").as("__len"), qg.as("__qg"),
+      size(qg).cast("long").as("__nq")))
+    val shortCap = maxDist.toLong * q
+    // ---- path 1: rare-prefix candidates (docs with at least one q-gram)
+    val posting0 = base.select(col("__id"), explode(col("__qg")).as("qh"))
+    val posting = maxDocFreq match {
+      case None => posting0
+      case Some(cap) =>
+        val hot = posting0.groupBy("qh").agg(count(lit(1)).as("hdf"))
+          .filter(col("hdf") > cap).select("qh")
+        posting0.join(broadcast(hot), Seq("qh"), "left_anti")
+    }
+    val dfreq = posting.groupBy("qh").agg(count(lit(1)).as("qdf"))
+    val wPfx = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("qdf"), col("qh"))
+    val wBand = (maxDist + 1).toLong
+    val prefix = posting.join(dfreq, "qh")
+      .withColumn("rn", row_number().over(wPfx))
+      .filter(col("rn") <= shortCap + 1L)
+      .select("qh", "__id")
+      .join(base.select(col("__id"), col("__len")), "__id")
+    // join key = (prefix q-gram, length bucket): a qualifying pair shares a
+    // prefix q-gram AND lies within the length band, so AND-ing both into
+    // the key keeps recall total while each prunes the other's hot spots
+    // (boilerplate q-grams split across length buckets; popular lengths
+    // split across q-grams). One side sits in its own bucket, the other
+    // explodes its ±maxDist bucket range (≤ 3 buckets of width maxDist+1).
+    val candPfx = prefix
+      .select(col("qh"), col("__id").as("id_a"),
+        expr(s"__len DIV ${wBand}L").as("__lb"))
+      .join(prefix.select(col("qh"), col("__id").as("id_b"),
+          explode(sequence(
+            expr(s"(__len - $maxDist) DIV ${wBand}L"),
+            expr(s"(__len + $maxDist) DIV ${wBand}L"))).as("__lb")),
+        Seq("qh", "__lb"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    // ---- path 2: short×short via the length-band meet-once join
+    val shortDocs = base.filter(col("__nq") <= shortCap)
+      .select(col("__id"), col("__len"))
+    val own = shortDocs.select(col("__id").as("id_a"), col("__len").as("len_a"))
+      .withColumn("__b", expr(s"len_a DIV ${wBand}L"))
+    val repl = shortDocs.select(col("__id").as("id_b"), col("__len").as("len_b"))
       .withColumn("__b", explode(sequence(
-        expr(s"(len_b - $maxDist) DIV ${w}L"),
-        expr(s"(len_b + $maxDist) DIV ${w}L"))))
-    own.join(repl, "__b")
+        expr(s"(len_b - $maxDist) DIV ${wBand}L"),
+        expr(s"(len_b + $maxDist) DIV ${wBand}L"))))
+    val candShort = own.join(repl, "__b")
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("id_a", "id_b")
+    val cand0 = candPfx.unionByName(candShort).dropDuplicates("id_a", "id_b")
+    val cand = candidateObs match {
+      case Some(o) => cand0.observe(o, count(lit(1)).as("candidates"))
+      case None => cand0
+    }
+    // ---- verify: length filter, q-gram count filter, banded DP
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__txt").as("txt_a"),
+        col("__len").as("len_a"), col("__qg").as("qg_a")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__txt").as("txt_b"),
+        col("__len").as("len_b"), col("__qg").as("qg_b")), "id_b")
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
       .filter(graft.functions.NativeHash.sortedIntersectCount(col("qg_a"), col("qg_b")) >=
         greatest(size(col("qg_a")), size(col("qg_b"))).cast("long") -
           lit(maxDist.toLong * q))

@@ -53,4 +53,54 @@ class EditDistSpec extends SparkSuite {
       assert(got == brute(docs, d), s"mismatch at maxDist=$d")
     }
   }
+
+  test("length-skewed corpus: prefix candidates stay far below the length-band count") {
+    // every doc has the SAME length — a length-band-only candidate scheme
+    // enumerates all n·(n−1)/2 pairs; rare-q-gram prefixes must not
+    val rnd = new scala.util.Random(77)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    def word(n: Int) = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val n = 400
+    val originals = (0L until n.toLong).map(i => (i, word(64)))
+    // a handful of planted near-dups so the answer is non-trivial
+    val mutated = originals.take(10).map { case (i, s) =>
+      val b = new StringBuilder(s); b.setCharAt(rnd.nextInt(b.length), 'Z')
+      (i + 10000L, b.toString)
+    }
+    val docs = originals ++ mutated
+    val d = 2
+    val obs = new org.apache.spark.sql.Observation("ed-cands")
+    val got = Dedup.editDistancePairs(
+        docs.toDF("id", "txt"), "id", "txt", maxDist = d, candidateObs = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute(docs, d), "exactness on the skewed corpus")
+    // the count a length-band join key would have produced
+    val bandPairs = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs
+      if ia < ib && math.abs(ta.length - tb.length) <= d
+    } yield 1).size.toLong
+    val cands = obs.get("candidates").asInstanceOf[Long]
+    assert(bandPairs == (docs.size.toLong * (docs.size - 1)) / 2,
+      "corpus must be fully length-degenerate for the test to bite")
+    assert(cands < bandPairs / 10,
+      s"prefix join produced $cands candidates vs $bandPairs length-band pairs")
+  }
+
+  test("maxDocFreq cap drops boilerplate q-grams from the index") {
+    // 50 docs sharing a huge common prefix, distinct rare tails: the cap
+    // documented-ly trades exactness for skew control — pairs whose ONLY
+    // shared q-grams are hot may be lost, everything emitted is still exact
+    val common = "the quick brown fox jumps over the lazy dog " * 3
+    val docs = (0L until 50L).map(i => (i, common + s"tail-$i-${i * 31}"))
+    val full = Dedup.editDistancePairs(
+        docs.toDF("id", "txt"), "id", "txt", maxDist = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.editDistancePairs(
+        docs.toDF("id", "txt"), "id", "txt", maxDist = 15, maxDocFreq = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(full), "cap must never invent pairs")
+    // every capped survivor is a true <= maxDist pair
+    val byId = docs.toMap
+    capped.foreach { case (a, b) => assert(lev(byId(a), byId(b)) <= 15) }
+  }
 }
