@@ -1331,6 +1331,24 @@ object Catalog {
     // initial full load (versions 1..latest) = exactly the update/insert
     // rows plus delete tombstones of the delta batch — the incremental-
     // consumer view a downstream pipeline tails instead of diffing snapshots
+    // External Delta-protocol reader: the scenario strips _graft_log from a
+    // mirror-written table, so this read reconstructs the live file set
+    // purely from the public _delta_log (checkpoint + JSON tail) — the
+    // interop direction the reference gets from delta-rs/delta-spark
+    Q("store_delta_reader",
+      (s, d) => {
+        val dest = Scenarios.deltaReadDest(s, d)
+        graft.store.DeltaTable.read(s, dest)
+          .groupBy((col("s_suppkey") % 10).as("grp"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("s_suppkey")).as("keysum"),
+            sum(cents(col("s_acctbal"))).as("bal_cents"))
+      },
+      Some("""SELECT s_suppkey % 10 AS grp, count(*) AS cnt,
+          CAST(sum(s_suppkey) AS BIGINT) AS keysum,
+          CAST(sum(CAST(round((s_acctbal + CASE WHEN s_suppkey % 5 = 0 THEN 1000.0 ELSE 0 END)*100) AS BIGINT)) AS BIGINT) AS bal_cents
+        FROM supplier GROUP BY 1""")),
+
     Q("store_cdf",
       (s, d) => {
         val tbl = new graft.store.VersionedTable(s, s"${Scenarios.deltaDest(s, d)}/delta")

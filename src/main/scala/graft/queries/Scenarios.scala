@@ -305,6 +305,27 @@ object Scenarios {
         zorder = true): Unit
     }
 
+  /** VersionedTable of supplier built in two appends + a merge, then
+    * STRIPPED of its `_graft_log/` — what survives is only the public
+    * `_delta_log/` mirror, so reading it back exercises the external
+    * Delta-protocol reader end-to-end (log replay → live add-set →
+    * DeltaFileIndex scan) with zero graft metadata to lean on. */
+  def deltaReadDest(spark: SparkSession, dir: String): String =
+    run("deltaread", spark, dir) { dest =>
+      val sup = spark.read.parquet(s"$dir/supplier.parquet")
+        .select("s_suppkey", "s_name", "s_acctbal")
+      val t = new graft.store.VersionedTable(spark, dest)
+      t.append(sup.filter(col("s_suppkey") % 2 === 0))
+      t.append(sup.filter(col("s_suppkey") % 2 === 1))
+      t.merge(sup.filter(col("s_suppkey") % 5 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + 1000.0), Seq("s_suppkey"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$dest/_graft_log"))
+    }
+
   /** History of a destination without the wall-clock column. */
   def history(spark: SparkSession, dest: String): DataFrame =
     new graft.store.VersionedTable(spark, s"$dest/delta").read().drop(SystemCols.timestamp)

@@ -86,6 +86,24 @@ final class FileSource(
   def primaryKeys(spark: SparkSession): Seq[String] = pks
 }
 
+/** An EXTERNAL Delta table as a source (reference reader/spark_reader.py:123-133
+  * registers any Delta path as a versioned view) — lets a sync ingest from
+  * an existing lakehouse table or chain two graft deployments through a
+  * Delta table. Reads ride [[graft.store.DeltaTable]]'s log-backed file
+  * index, so source-side delta/pk filters prune files from the table's own
+  * `add.stats` before any task launches. */
+final class DeltaTableSource(
+    path: String,
+    pks: Seq[String] = Nil,
+    versionAsOf: Option[Long] = None,
+    timestampAsOf: Option[Long] = None,
+    val transformationHook: DataFrame => DataFrame = identity) extends Source {
+  def read(spark: SparkSession): DataFrame =
+    transformationHook(graft.store.DeltaTable.read(spark, path, versionAsOf, timestampAsOf))
+  def columns(spark: SparkSession): Seq[ColInfo] = ColInfo.fromSchema(read(spark).schema)
+  def primaryKeys(spark: SparkSession): Seq[String] = pks
+}
+
 /** Any DataFrame as a source — the query-as-source path
   * (reference write_init.py:115,138-141: arbitrary sqlglot query wrapped as a
   * subquery; here the "subquery" is just the DataFrame itself and Catalyst

@@ -1,0 +1,322 @@
+package graft.store
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.{DeltaFileEntry, DeltaFileIndex}
+import org.apache.spark.sql.types._
+
+/** Reader for EXTERNAL Delta tables — tables graft did not write.
+  *
+  * [[DeltaLogMirror]] makes graft's own tables readable by any Delta
+  * client; this is the other direction (the reference registers any Delta
+  * path as a source/view — reader/spark_reader.py:123-133 `versionAsOf`
+  * temp view, delta-rs analogue reader/odbc_reader.py:42-60): open a table
+  * from its public `_delta_log/` alone, so graft can ingest from an
+  * existing lakehouse or chain two graft deployments through a Delta table.
+  * No Delta jar: the snapshot is a pure function of `_last_checkpoint` +
+  * the classic parquet checkpoint + the JSON commit tail (delta.io
+  * PROTOCOL.md), and the scan is a [[DeltaFileIndex]] parquet plan — the
+  * log supplies the file listing, sizes AND per-file skipping stats, so
+  * planning never lists a directory and pushed filters prune files/
+  * partitions before the first task launches (the delta-spark
+  * architecture).
+  *
+  * Supported: reader protocol 1; 2 and 3 when no unsupported table feature
+  * is active (column mapping, deletion vectors and v2 checkpoints are
+  * rejected LOUDLY — silently misreading them would drop or resurrect
+  * rows). Partitioned tables reconstruct partition columns from
+  * `partitionValues` via Spark's own string casts. Snapshot resolution is
+  * driver-side over the log only; data stays distributed.
+  */
+object DeltaTable {
+  import VersionedTable.mapper
+
+  private val CommitRe = """(\d{20})\.json""".r
+  private val CheckpointRe = """(\d{20})\.checkpoint\.parquet""".r
+  private val MultiCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+
+  /** Reader-relevant table features this reader actually implements.
+    * (`vacuumProtocolCheck` only constrains VACUUM, which we never run on
+    * an external table; `timestampNtz`/`typeWidening-preview` read as plain
+    * parquet through Spark's reader.) */
+  private val SupportedReaderFeatures =
+    Set("timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants",
+      "checkConstraints", "generatedColumns", "changeDataFeed", "domainMetadata",
+      "inCommitTimestamp", "icebergCompatV1", "icebergCompatV2")
+
+  /** One live file as recorded by the log (path still raw/percent-encoded). */
+  private[store] final case class Add(
+      rawPath: String, size: Long, mtime: Long,
+      partitionValues: Map[String, Option[String]], statsJson: Option[String])
+
+  final case class Snapshot(
+      version: Long,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      configuration: Map[String, String],
+      private[store] val adds: Seq[Add]) {
+    def numFiles: Int = adds.size
+  }
+
+  /** Does `path` hold a Delta transaction log? */
+  def isDeltaTable(spark: SparkSession, path: String): Boolean = {
+    val fsu = new Fs(spark, path)
+    fsu.list(new HPath(path, "_delta_log")).map(_.getName).exists {
+      case CommitRe(_) | CheckpointRe(_) | MultiCheckpointRe(_, _, _) => true
+      case _ => false
+    }
+  }
+
+  /** Open an external Delta table as a DataFrame, optionally as of a
+    * version or a timestamp (epoch millis; resolved against commit-file
+    * modification times, the protocol's default time-travel clock). */
+  def read(
+      spark: SparkSession, path: String,
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, path, versionAsOf, timestampAsOf)
+    val lowerParts = snap.partitionColumns.map(_.toLowerCase).toSet
+    val partSchema = StructType(snap.partitionColumns.map(c =>
+      snap.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"partition column $c missing from schema"))))
+    val dataSchema = StructType(
+      snap.schema.fields.filterNot(f => lowerParts.contains(f.name.toLowerCase)))
+    val root = new HPath(path)
+    val entries = snap.adds.map { a =>
+      DeltaFileEntry(resolvePath(root, a.rawPath), a.size, a.mtime,
+        a.partitionValues, a.statsJson.flatMap(parseStats(_, dataSchema)))
+    }
+    DeltaFileIndex.scan(spark, root, entries, partSchema, dataSchema)
+      .select(snap.schema.fields.map(f => col(f.name)).toSeq: _*)
+  }
+
+  /** Resolve the target version's live state from the log: newest classic
+    * checkpoint at or below the target, then the JSON commit tail. */
+  def snapshot(
+      spark: SparkSession, path: String,
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): Snapshot = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "specify at most one of versionAsOf / timestampAsOf")
+    val fsu = new Fs(spark, path)
+    val logDir = new HPath(path, "_delta_log")
+    val statuses: Seq[FileStatus] =
+      if (fsu.isDir(logDir)) fsu.fs.listStatus(logDir).toSeq.filter(_.isFile) else Nil
+    val commits: Map[Long, FileStatus] = statuses.flatMap { st =>
+      st.getPath.getName match {
+        case CommitRe(v) => Some(v.toLong -> st)
+        case _ => None
+      }
+    }.toMap
+    // classic checkpoints: single-file, or multi-part keyed by (version, numParts)
+    val singleCps: Map[Long, Seq[HPath]] = statuses.flatMap { st =>
+      st.getPath.getName match {
+        case CheckpointRe(v) => Some(v.toLong -> Seq(st.getPath))
+        case _ => None
+      }
+    }.toMap
+    val multiCps: Map[Long, Seq[HPath]] = statuses.flatMap { st =>
+      st.getPath.getName match {
+        case MultiCheckpointRe(v, part, of) => Some((v.toLong, of.toInt, part.toInt, st.getPath))
+        case _ => None
+      }
+    }.groupBy { case (v, of, _, _) => (v, of) }.collect {
+      // only COMPLETE part sets are usable
+      case ((v, of), parts) if parts.map(_._3).toSet == (1 to of).toSet =>
+        v -> parts.sortBy(_._3).map(_._4)
+    }.toMap
+    val checkpoints = singleCps ++ multiCps
+    if (commits.isEmpty && checkpoints.isEmpty)
+      throw new IllegalArgumentException(s"$path is not a Delta table: no _delta_log commits")
+    val latest = (commits.keySet ++ checkpoints.keySet).max
+    val target = versionAsOf.orElse(timestampAsOf.map { ts =>
+      val ok = commits.filter(_._2.getModificationTime <= ts).keys
+      if (ok.isEmpty) throw new IllegalArgumentException(
+        s"no commit at or before timestamp $ts (earliest: ${commits.values.map(_.getModificationTime).minOption})")
+      ok.max
+    }).getOrElse(latest)
+    require(target >= 0 && target <= latest,
+      s"version $target out of range [0, $latest]")
+    // newest usable checkpoint = the latest one whose JSON tail to the
+    // target is gap-free (a vacuumed-then-recheckpointed log may have holes)
+    val cpVersion = checkpoints.keys.filter(_ <= target).toSeq.sortBy(-_)
+      .find(cp => ((cp + 1) to target).forall(commits.contains))
+    val replayFrom = cpVersion.map(_ + 1).getOrElse(0L)
+    (replayFrom to target).foreach { v =>
+      if (!commits.contains(v)) throw new IllegalArgumentException(
+        s"commit $v missing from $logDir — cannot reconstruct version $target")
+    }
+
+    var schemaJson: Option[String] = None
+    var partCols: Seq[String] = Nil
+    var config: Map[String, String] = Map.empty
+    val files = scala.collection.mutable.LinkedHashMap[String, Add]()
+
+    def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
+      val unsupported = readerFeatures.filterNot(SupportedReaderFeatures)
+      if (minReader > 3 || (minReader == 3 && unsupported.nonEmpty))
+        throw new UnsupportedOperationException(
+          s"Delta table $path requires reader version $minReader with features " +
+            s"${unsupported.mkString(", ")} — not supported by this reader")
+    }
+    def checkConfig(): Unit = {
+      val cm = config.getOrElse("delta.columnMapping.mode", "none")
+      if (cm != "none") throw new UnsupportedOperationException(
+        s"Delta table $path uses column mapping mode '$cm' — not supported by this reader")
+    }
+    def rejectDv(hasDv: Boolean): Unit =
+      if (hasDv) throw new UnsupportedOperationException(
+        s"Delta table $path has files with deletion vectors — not supported by this reader")
+
+    // ---- checkpoint state
+    cpVersion.foreach { cp =>
+      val df = spark.read.parquet(checkpoints(cp).map(_.toString): _*)
+      def sub(action: String): Option[StructType] =
+        df.schema.fields.find(_.name == action).map(_.dataType.asInstanceOf[StructType])
+      sub("protocol").foreach { ps =>
+        df.select("protocol.*").where(col("minReaderVersion").isNotNull).collect().foreach { r =>
+          val feats =
+            if (ps.fieldNames.contains("readerFeatures") && !r.isNullAt(r.fieldIndex("readerFeatures")))
+              r.getSeq[String](r.fieldIndex("readerFeatures"))
+            else Nil
+          checkProtocol(r.getInt(r.fieldIndex("minReaderVersion")), feats)
+        }
+      }
+      df.select("metaData.*").where(col("schemaString").isNotNull).collect().foreach { r =>
+        schemaJson = Some(r.getString(r.fieldIndex("schemaString")))
+        partCols = r.getSeq[String](r.fieldIndex("partitionColumns"))
+        config = Option(r.getJavaMap[String, String](r.fieldIndex("configuration")))
+          .map(_.asScala.toMap).getOrElse(Map.empty)
+      }
+      val addFields = sub("add").map(_.fieldNames.toSet).getOrElse(Set.empty)
+      if (addFields.nonEmpty) {
+        val dvCol =
+          if (addFields.contains("deletionVector")) col("add.deletionVector").isNotNull
+          else org.apache.spark.sql.functions.lit(false)
+        val statsCol =
+          if (addFields.contains("stats")) col("add.stats")
+          else org.apache.spark.sql.functions.lit(null).cast("string")
+        df.where(col("add.path").isNotNull)
+          .select(col("add.path"), col("add.partitionValues"), col("add.size"),
+            col("add.modificationTime"), statsCol.as("stats"), dvCol.as("hasDv"))
+          .collect().foreach { r =>
+            rejectDv(r.getBoolean(5))
+            val pv = Option(r.getJavaMap[String, String](1))
+              .map(_.asScala.map { case (k, v) => k -> Option(v) }.toMap)
+              .getOrElse(Map.empty[String, Option[String]])
+            files(r.getString(0)) = Add(r.getString(0), r.getLong(2), r.getLong(3),
+              pv, Option(r.getString(4)))
+          }
+      }
+    }
+
+    // ---- JSON tail
+    (replayFrom to target).foreach { v =>
+      fsu.readString(commits(v).getPath).split('\n').filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("protocol")) {
+          val p = node.get("protocol")
+          val feats = Option(p.get("readerFeatures"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+          checkProtocol(p.get("minReaderVersion").asInt(), feats)
+        }
+        if (node.has("metaData")) {
+          val md = node.get("metaData")
+          schemaJson = Some(md.get("schemaString").asText())
+          partCols = Option(md.get("partitionColumns"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+          config = Option(md.get("configuration")).map(_.fields().asScala
+            .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+            .getOrElse(Map.empty)
+        }
+        if (node.has("add")) {
+          val a = node.get("add")
+          rejectDv(a.has("deletionVector") && !a.get("deletionVector").isNull)
+          val p = a.get("path").asText()
+          val pv = Option(a.get("partitionValues")).map(_.fields().asScala.map { e =>
+            e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+          }.toMap).getOrElse(Map.empty[String, Option[String]])
+          files(p) = Add(p, a.get("size").asLong(),
+            Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
+            pv, Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+        }
+        if (node.has("remove")) files.remove(node.get("remove").get("path").asText())
+      }
+    }
+
+    checkConfig()
+    val schema = schemaJson match {
+      case Some(j) => DataType.fromJson(j).asInstanceOf[StructType]
+      case None => throw new IllegalArgumentException(
+        s"no metaData action found up to version $target in $logDir")
+    }
+    Snapshot(target, schema, partCols, config, files.values.toSeq)
+  }
+
+  /** Log paths are percent-encoded relative URIs (or absolute URIs for
+    * shallow clones) — PROTOCOL.md "Add File and Remove File". */
+  private def resolvePath(root: HPath, raw: String): HPath = {
+    val u = new java.net.URI(raw)
+    if (u.isAbsolute) new HPath(u) else new HPath(root, u.getPath)
+  }
+
+  /** `add.stats` JSON → [[DirStats.Stats]]. Per-column entries require
+    * nullCount (claiming 0 would let IS-NULL pruning drop live dirs);
+    * min/max pair up or drop together, exactly like the manifest stats.
+    * Delta's truncated string/timestamp maxima are adjusted upward by the
+    * writer, so they remain valid bounds. Unparseable values → no stat →
+    * no pruning (sound). */
+  private[store] def parseStats(json: String, dataSchema: StructType): Option[DirStats.Stats] =
+    try {
+      val node = mapper.readTree(json)
+      val rows = Option(node.get("numRecords")).filter(_.isNumber).map(_.asLong())
+        .getOrElse(return None)
+      val minV = Option(node.get("minValues"))
+      val maxV = Option(node.get("maxValues"))
+      val nulls = Option(node.get("nullCount"))
+      val cols = dataSchema.fields.iterator.flatMap { f =>
+        nulls.flatMap(n => Option(n.get(f.name))).filter(_.isNumber).map(_.asLong()).map { nc =>
+          val mn = minV.flatMap(m => Option(m.get(f.name))).flatMap(statVal(_, f.dataType))
+          val mx = maxV.flatMap(m => Option(m.get(f.name))).flatMap(statVal(_, f.dataType))
+          val (mnK, mxK) = if (mn.isDefined && mx.isDefined) (mn, mx) else (None, None)
+          f.name -> DirStats.ColStat(mnK, mxK, nc)
+        }
+      }.toMap
+      Some(DirStats.Stats(rows, cols))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One stats JSON value → the normalized comparison domain of
+    * [[DirStats]] (Long / Double / BigDecimal / String / Boolean). */
+  private def statVal(n: JsonNode, dt: DataType): Option[Any] = try {
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        if (n.isNumber) Some(n.asLong()) else None
+      case FloatType | DoubleType =>
+        if (n.isNumber) Some(n.asDouble()).filterNot(_.isNaN) else None
+      case _: DecimalType =>
+        if (n.isNumber || n.isTextual) Some(BigDecimal(n.asText())) else None
+      case StringType => if (n.isTextual) Some(n.asText()) else None
+      case BooleanType => if (n.isBoolean) Some(n.asBoolean()) else None
+      case DateType =>
+        if (n.isTextual) Some(java.time.LocalDate.parse(n.asText()).toEpochDay) else None
+      case TimestampType if n.isTextual =>
+        // only zone-qualified forms: a TZ-less literal is ambiguous across
+        // sessions, and a wrong guess would prune live files
+        val s = n.asText()
+        val odt =
+          try Some(java.time.OffsetDateTime.parse(s))
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              try Some(java.time.Instant.parse(s).atOffset(java.time.ZoneOffset.UTC))
+              catch { case _: java.time.format.DateTimeParseException => None }
+          }
+        odt.map(o => o.toInstant.getEpochSecond * 1000000L + o.toInstant.getNano / 1000L)
+      case _ => None
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+}

@@ -1,0 +1,242 @@
+package graft.store
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** External-Delta-table reader (graft.store.DeltaTable):
+  *  - opens a mirror-written table from `_delta_log/` ALONE (no
+  *    `_graft_log/`) and matches the VersionedTable content exactly,
+  *    through checkpoints and versionAsOf;
+  *  - replays a hand-crafted protocol fixture with remove actions, a
+  *    classic checkpoint, percent-encoded paths, partition columns, and
+  *    per-file stats (pruning included);
+  *  - rejects unreadable tables (deletion vectors, column mapping,
+  *    unknown reader features) LOUDLY instead of misreading them. */
+class DeltaReaderSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rm(path: String): Unit = {
+    def loop(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(loop)
+      f.delete(): Unit
+    }
+    loop(new File(path))
+  }
+
+  test("opens a mirror-written table without its _graft_log") {
+    val root = tmpDir("dt-mirror")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // v0
+    t.append(Seq((3L, "c")).toDF("id", "s")) // v1
+    t.merge(Seq((2L, "B2"), (9L, "i")).toDF("id", "s"), Seq("id")) // v2
+    val expectAll = t.read().collect().map(_.toSeq.toList).sortBy(_.toString)
+    val expectV1 = t.readVersion(1L).collect().map(_.toSeq.toList).sortBy(_.toString)
+    rm(s"$root/_graft_log")
+    assert(!new File(s"$root/_graft_log").exists())
+
+    assert(DeltaTable.isDeltaTable(spark, root))
+    val snap = DeltaTable.snapshot(spark, root)
+    assert(snap.version == 2L)
+    val got = DeltaTable.read(spark, root).collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(got.toSeq == expectAll.toSeq)
+    // versionAsOf replays the remove/add diff of the merge backwards
+    val gotV1 = DeltaTable.read(spark, root, versionAsOf = Some(1L))
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(gotV1.toSeq == expectV1.toSeq)
+    // the DeltaTableSource seam reads the same rows
+    val src = new graft.sources.DeltaTableSource(root, pks = Seq("id"))
+    assert(src.read(spark).count() == expectAll.length)
+    assert(src.columns(spark).map(_.name).map(_.toLowerCase).toSet == Set("id", "s"))
+  }
+
+  test("opens a mirror-written table from its parquet checkpoint") {
+    val root = tmpDir("dt-cp")
+    val t = new VersionedTable(spark, root)
+    // 12 commits → mirror writes a checkpoint at v10
+    (0 until 12).foreach(k => t.append(Seq((k.toLong, s"r$k")).toDF("id", "s")))
+    val expect = t.read().count()
+    rm(s"$root/_graft_log")
+    assert(new File(s"$root/_delta_log/00000000000000000010.checkpoint.parquet").exists())
+    // drop the pre-checkpoint JSON commits: a reader that insists on full
+    // JSON replay would fail here — the checkpoint must carry the state
+    (0 to 9).foreach { v =>
+      new File(f"$root/_delta_log/$v%020d.json").delete(): Unit
+    }
+    assert(DeltaTable.read(spark, root).count() == expect)
+    // a version BELOW the surviving checkpoint is genuinely unreachable
+    intercept[IllegalArgumentException](
+      DeltaTable.snapshot(spark, root, versionAsOf = Some(5L)))
+    // but the checkpoint version itself is
+    assert(DeltaTable.read(spark, root, versionAsOf = Some(10L)).count() == 11)
+  }
+
+  private def writeCommit(logDir: String, v: Long, lines: Seq[String]): Unit = {
+    new File(logDir).mkdirs()
+    Files.write(java.nio.file.Paths.get(f"$logDir/$v%020d.json"),
+      lines.mkString("\n").getBytes("UTF-8")): Unit
+  }
+
+  private val fixtureSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def metaLine(schema: StructType, partCols: Seq[String] = Nil,
+      config: String = "{}"): String = {
+    val pc = partCols.map(c => s""""$c"""").mkString(",")
+    s"""{"metaData":{"id":"fix-1","format":{"provider":"parquet","options":{}},
+       |"schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+         .writeValueAsString(schema.json)},
+       |"partitionColumns":[$pc],"configuration":$config,"createdTime":1}}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  /** Write rows as ONE parquet file under dir; returns (fileName, size). */
+  private def onePart(dir: String, df: org.apache.spark.sql.DataFrame): (String, Long) = {
+    val staging = tmpDir("dt-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val name = part.getName
+    new File(dir).mkdirs()
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/$name"))
+    (name, new File(s"$dir/$name").length())
+  }
+
+  test("hand-crafted log: removes, checkpoint, stats pruning, versionAsOf") {
+    val root = tmpDir("dt-fix")
+    val log = s"$root/_delta_log"
+    val (f0, s0) = onePart(root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val (f1, s1) = onePart(root, Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+    val (f2, s2) = onePart(root, Seq((100L, "x"), (200L, "y")).toDF("id", "v"))
+    def stats(n: Long, lo: Long, hi: Long) =
+      s"""{\\"numRecords\\":$n,\\"minValues\\":{\\"id\\":$lo},\\"maxValues\\":{\\"id\\":$hi},\\"nullCount\\":{\\"id\\":0}}"""
+    writeCommit(log, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(fixtureSchema),
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1000,"dataChange":true,"stats":"${stats(2, 1, 2)}"}}"""))
+    writeCommit(log, 1L, Seq(
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,"modificationTime":2000,"dataChange":true,"stats":"${stats(2, 3, 4)}"}}"""))
+    // v2 REPLACES f0 with f2
+    writeCommit(log, 2L, Seq(
+      s"""{"remove":{"path":"$f0","deletionTimestamp":3000,"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":$s2,"modificationTime":3000,"dataChange":true,"stats":"${stats(2, 100, 200)}"}}"""))
+
+    assert(DeltaTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L, 100L, 200L))
+    assert(DeltaTable.read(spark, root, versionAsOf = Some(0L))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(DeltaTable.read(spark, root, versionAsOf = Some(1L))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+
+    // per-file stats prune: id > 50 must plan only f2
+    val df = DeltaTable.read(spark, root).filter($"id" > 50L)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(100L, 200L))
+    val idx = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.DeltaFileIndex => g }
+    assert(idx.isDefined, "scan must ride DeltaFileIndex")
+    assert(idx.get.lastPruning.contains((1, 2)), s"got ${idx.get.lastPruning}")
+
+    // ---- classic checkpoint at v2: state must come from parquet alone
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    val cpRows: Seq[Row] = Seq(
+      Row(Row(1, 2), null, null),
+      Row(null, Row("fix-1", null, null, Row("parquet", Map.empty[String, String]),
+        fixtureSchema.json, Seq.empty[String], Map.empty[String, String], 1L), null),
+      Row(null, null, Row(f1, Map.empty[String, String], s1, 2000L, false)),
+      Row(null, null, Row(f2, Map.empty[String, String], s2, 3000L, false)))
+    val cpDf = spark.createDataFrame(cpRows.asJava, DeltaLogMirror.checkpointSchema).coalesce(1)
+    val cpStage = tmpDir("dt-cpstage")
+    cpDf.write.mode("overwrite").parquet(cpStage)
+    val cpPart = new File(cpStage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(cpPart.toPath,
+      java.nio.file.Paths.get(s"$log/00000000000000000002.checkpoint.parquet"))
+    Files.write(java.nio.file.Paths.get(s"$log/_last_checkpoint"),
+      """{"version":2,"size":4}""".getBytes("UTF-8"))
+    // delete ALL JSON commits — only the checkpoint remains
+    (0L to 2L).foreach(v => new File(f"$log/$v%020d.json").delete(): Unit)
+    assert(DeltaTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L, 100L, 200L))
+  }
+
+  test("partitioned fixture reconstructs and prunes partition columns") {
+    val root = tmpDir("dt-part")
+    val log = s"$root/_delta_log"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("p", IntegerType),
+      StructField("d", DateType)))
+    // data files hold ONLY the data column (protocol: partition values live
+    // in the log, not the files)
+    val (fa, sa) = onePart(s"$root/p=1", Seq(Tuple1(1L)).toDF("id"))
+    val (fb, sb) = onePart(s"$root/p=2", Seq(Tuple1(2L)).toDF("id"))
+    writeCommit(log, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(schema, partCols = Seq("p", "d")),
+      s"""{"add":{"path":"p%3D1/$fa","partitionValues":{"p":"1","d":"2024-05-01"},"size":$sa,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"p%3D2/$fb","partitionValues":{"p":"2","d":null},"size":$sb,"modificationTime":1,"dataChange":true}}"""))
+    // NOTE p%3D1: percent-encoded '=' exercises URI decoding
+    val df = DeltaTable.read(spark, root)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "p", "d"))
+    val all = df.collect().map(r => (r.getLong(0), r.getInt(1), Option(r.getDate(2)).map(_.toString)))
+    assert(all.toSet == Set((1L, 1, Some("2024-05-01")), (2L, 2, None)))
+    // partition pruning: p = 2 must plan one file
+    val pruned = df.filter($"p" === 2)
+    assert(pruned.count() == 1)
+    val idx = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.DeltaFileIndex => g }
+    assert(idx.get.lastPruning.contains((1, 2)), s"got ${idx.get.lastPruning}")
+  }
+
+  test("timestampAsOf resolves against commit mtimes") {
+    val root = tmpDir("dt-ts")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(1200) // mtime granularity can be a full second
+    t.append(Seq((2L, "b")).toDF("id", "s"))
+    rm(s"$root/_graft_log")
+    assert(DeltaTable.read(spark, root, timestampAsOf = Some(afterV0)).count() == 1)
+    assert(DeltaTable.read(spark, root,
+      timestampAsOf = Some(System.currentTimeMillis())).count() == 2)
+    intercept[IllegalArgumentException](
+      DeltaTable.snapshot(spark, root, timestampAsOf = Some(1L)))
+  }
+
+  test("unsupported tables are rejected loudly") {
+    val schemaJ = fixtureSchema
+    // deletion vectors on an add
+    val r1 = tmpDir("dt-dv")
+    writeCommit(s"$r1/_delta_log", 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaLine(schemaJ)))
+    intercept[UnsupportedOperationException](DeltaTable.snapshot(spark, r1))
+    // column mapping via configuration
+    val r2 = tmpDir("dt-cm")
+    writeCommit(s"$r2/_delta_log", 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(schemaJ, config = """{"delta.columnMapping.mode":"name"}""")))
+    intercept[UnsupportedOperationException](DeltaTable.snapshot(spark, r2))
+    // a per-file deletion vector with an otherwise-fine protocol
+    val r3 = tmpDir("dt-dv2")
+    writeCommit(s"$r3/_delta_log", 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(schemaJ),
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
+    intercept[UnsupportedOperationException](DeltaTable.snapshot(spark, r3))
+    // supported v3 features pass
+    val r4 = tmpDir("dt-ok3")
+    writeCommit(s"$r4/_delta_log", 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      metaLine(schemaJ)))
+    assert(DeltaTable.snapshot(spark, r4).version == 0L)
+    // not a delta table at all
+    intercept[IllegalArgumentException](DeltaTable.snapshot(spark, tmpDir("dt-empty")))
+  }
+}
