@@ -413,21 +413,29 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.payload))
           val fmt = ais.getFormat
-          val bytes = ais.readAllBytes()
-          val big = fmt.isBigEndian
-          val n = bytes.length / 2
-          val kept = new Array[Short]((n + factor - 1) / factor)
-          var i = 0
-          while (i * factor < n) {
-            val o = i * factor * 2
-            kept(i) =
-              if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
-              else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
-            i += 1
+          // the decimation walk below indexes 16-bit MONO PCM frames — a
+          // stereo/8-bit/24-bit/float WAV would be decimated across
+          // interleaved channel or sample bytes into a corrupt payload, so
+          // anything else passes through untouched like non-WAV rows
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) r
+          else {
+            val bytes = ais.readAllBytes()
+            val big = fmt.isBigEndian
+            val n = bytes.length / 2
+            val kept = new Array[Short]((n + factor - 1) / factor)
+            var i = 0
+            while (i * factor < n) {
+              val o = i * factor * 2
+              kept(i) =
+                if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+                else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+              i += 1
+            }
+            val newRate = math.max(1, fmt.getSampleRate.toInt / factor)
+            r.copy(sample_rate = Some(newRate), n_frames = Some(kept.length),
+              payload = AudioCodec.wavBytes(newRate, kept))
           }
-          val newRate = math.max(1, fmt.getSampleRate.toInt / factor)
-          r.copy(sample_rate = Some(newRate), n_frames = Some(kept.length),
-            payload = AudioCodec.wavBytes(newRate, kept))
         } catch { case _: Exception => r } // corrupt container: pass through
       }).toDF()
   }

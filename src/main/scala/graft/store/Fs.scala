@@ -52,6 +52,26 @@ final class Fs(spark: SparkSession, anyPathInFs: String) {
     }
   }
 
+  /** Publish atomically AND exclusively: the rename itself fails when the
+    * destination exists (FileContext with the default Rename.NONE — the
+    * put-if-absent primitive commit protocols need), closing the
+    * exists-then-rename TOCTOU window where a second writer could silently
+    * replace a committed file. Throws [[FileAlreadyExistsException]] when
+    * the slot is taken. */
+  def writeStringAtomicNew(p: Path, s: String): Unit = {
+    val tmp = new Path(p.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+    writeString(tmp, s)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(p))
+    } catch {
+      case e: Throwable =>
+        fs.delete(tmp, false)
+        throw e
+    }
+  }
+
   /** Create-if-absent; false when the file already exists. */
   def createNew(p: Path): Boolean =
     try { fs.create(p, false).close(); true }

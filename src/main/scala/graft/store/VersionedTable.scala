@@ -86,9 +86,12 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     fsu.mkdirs(logDir)
     // Single-writer by design (the engine serializes runs via the lock
     // file), but a misconfigured second writer must fail loudly, not
-    // silently overwrite a committed version: the manifest slot is checked
-    // before the atomic-rename publish (best-effort on S3A, exact wherever
-    // rename is atomic — same guarantee Delta's put-if-absent relies on).
+    // silently overwrite a committed version: the slot check is a cheap
+    // fast-path, and the publish itself is a no-overwrite rename
+    // (FileContext Rename.NONE), so the second of two RACING writers fails
+    // AT the rename — no exists-then-publish TOCTOU window (best-effort on
+    // S3A, exact wherever rename is atomic — the put-if-absent Delta's
+    // commit protocol relies on).
     if (fsu.exists(manifestPath(m.version)))
       throw new java.util.ConcurrentModificationException(
         s"version ${m.version} of $path was committed by another writer")
@@ -106,7 +109,13 @@ final class VersionedTable(spark: SparkSession, val path: String) {
       val pn = root.putObject("properties")
       m.properties.foreach { case (k, v) => pn.put(k, v) }
     }
-    fsu.writeStringAtomic(manifestPath(m.version), mapper.writeValueAsString(root))
+    try fsu.writeStringAtomicNew(manifestPath(m.version), mapper.writeValueAsString(root))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"version ${m.version} of $path was committed by another writer")
+    }
     // the manifest above IS the commit; the Delta mirror is a convenience
     // view and self-healing (it re-emits any missing versions on the next
     // sync), so a mirror-only IO failure must not make an already-committed
@@ -364,11 +373,22 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   }
 
   /** Restore the table to an earlier version as a NEW commit (reference
-    * reader.py:24, spark_reader.py:40-44 — rollback of latest_pk_version). */
+    * reader.py:24, spark_reader.py:40-44 — rollback of latest_pk_version).
+    * `graft.txn.*` idempotency watermarks are carried FORWARD (max of both
+    * sides), the way Delta preserves SetTransaction app versions across
+    * RESTORE — rolling them back would re-apply an already-applied
+    * micro-batch and double its rows. */
   def restore(toVersion: Long): Long = {
     val target = readManifest(toVersion)
-    val nextV = requireVersion + 1
-    writeManifest(target.copy(version = nextV, op = "restore"))
+    val cur = readManifest(requireVersion)
+    val nextV = cur.version + 1
+    val txn = (cur.properties.keySet ++ target.properties.keySet)
+      .filter(_.startsWith("graft.txn.")).map { k =>
+        k -> Seq(cur.properties.get(k), target.properties.get(k))
+          .flatten.map(_.toLong).max.toString
+      }.toMap
+    writeManifest(target.copy(version = nextV, op = "restore",
+      properties = target.properties ++ txn))
     nextV
   }
 
@@ -564,7 +584,27 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     * (reference vacuums aux tables each run, db_to_delta.py:262-267). */
   def vacuum(keepVersions: Int = 3): Unit = {
     val latest = latestVersion.getOrElse(return)
-    val keepFrom = math.max(0L, latest - keepVersions + 1)
+    vacuumFrom(math.max(0L, latest - keepVersions + 1), latest)
+  }
+
+  /** Age-based retention (the reference's `vacuum(retention_hours)` —
+    * reader/reader.py:18, read_utils/delta_rs.py:130-131): every version
+    * committed within the window stays time-travelable; the latest version
+    * survives regardless of age. Version-count retention on an hourly sync
+    * is NOT wall-clock retention on an ad-hoc one — this is the contract a
+    * compliance window ("keep 7 days") actually wants. Commit timestamps
+    * come from the manifests' strictly-monotonic `timestampMs`, so the
+    * boundary is a single scan for the oldest in-window version. */
+  def vacuum(retentionHours: Double): Unit = {
+    val latest = latestVersion.getOrElse(return)
+    val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    val inWindow = fsu.list(logDir).map(_.getName)
+      .collect { case ManifestName(v) => v.toLong }
+      .filter(v => readManifest(v).tsMs >= cutoff)
+    vacuumFrom(math.min(inWindow.minOption.getOrElse(latest), latest), latest)
+  }
+
+  private def vacuumFrom(keepFrom: Long, latest: Long): Unit = {
     val live: Set[String] = (keepFrom to latest).flatMap { v =>
       val p = manifestPath(v)
       if (fsu.exists(p)) readManifest(v).dirs.map(_.dir) else Nil

@@ -331,6 +331,37 @@ class PipelineOpsSpec extends SparkSuite {
     val frames = Multimodal.sampleFrames(media).collect()
     // only kind==video rows (doc_id % 3 == 2): ids 8 (8%3=2)
     assert(frames.map(_.getLong(0)).distinct.toSeq == Seq(8L))
+
+    // resampleAudio only understands 16-bit MONO PCM: a stereo (or 8-bit)
+    // WAV must pass through byte-identical — decimating across interleaved
+    // channel/sample bytes would emit a corrupt payload
+    def patched(channels: Byte, bits: Byte): Array[Byte] = {
+      val b = Multimodal.AudioCodec.wavBytes(16000, Array[Short](1, 2, 3, 4, 5, 6))
+      b(22) = channels // fmt.numChannels (LE short, high byte stays 0)
+      b(34) = bits // fmt.bitsPerSample
+      val blockAlign = channels * bits / 8
+      b(32) = blockAlign.toByte
+      val byteRate = 16000 * blockAlign
+      b(28) = (byteRate & 0xff).toByte; b(29) = ((byteRate >> 8) & 0xff).toByte
+      b(30) = ((byteRate >> 16) & 0xff).toByte; b(31) = 0
+      b
+    }
+    for (payload <- Seq(patched(2, 16), patched(1, 8))) {
+      val in = spark.createDataset(Seq(Multimodal.MediaRow(
+        50L, "audio", None, None, Some(16000), Some(3), payload)))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]).toDF()
+      val out = Multimodal.resampleAudio(in, factor = 2).collect().head
+      assert(out.getAs[Array[Byte]]("payload").sameElements(payload))
+      assert(out.getAs[Int]("sample_rate") == 16000) // metadata untouched too
+    }
+    // and the mono-16-bit path still resamples for real
+    val mono = Multimodal.AudioCodec.wavBytes(16000, Array[Short](1, 2, 3, 4, 5, 6))
+    val monoIn = spark.createDataset(Seq(Multimodal.MediaRow(
+      51L, "audio", None, None, Some(16000), Some(6), mono)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]).toDF()
+    val monoOut = Multimodal.resampleAudio(monoIn, factor = 2).collect().head
+    assert(monoOut.getAs[Int]("sample_rate") == 8000)
+    assert(monoOut.getAs[Int]("n_frames") == 3)
   }
 
   test("streaming SCD2 sync: each micro-batch snapshot drives the full engine") {

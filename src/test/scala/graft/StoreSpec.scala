@@ -132,6 +132,52 @@ class StoreSpec extends SparkSuite {
     intercept[Exception](t.readVersion(1).collect()) // vacuumed away
   }
 
+  test("age-based vacuum keeps the retention window and always the latest") {
+    val t = table("vt-vac-age")
+    (0 until 3).foreach(i => t.overwrite(Seq((i, s"v$i")).toDF("id", "s")))
+    Thread.sleep(400) // margin between the aged-out and in-window commits
+    (3 until 5).foreach(i => t.overwrite(Seq((i, s"v$i")).toDF("id", "s")))
+    // cutoff midway between ts(v2) and ts(v3) — deterministic vs runtime
+    val ts = t.history().orderBy("version").collect().map(_.getTimestamp(1).getTime)
+    val retentionMs = System.currentTimeMillis() - (ts(2) + ts(3)) / 2
+    t.vacuum(retentionHours = retentionMs / 3600000.0)
+    // in-window versions stay time-travelable
+    assert(t.read().head().getString(1) == "v4")
+    assert(t.readVersion(3).head().getString(1) == "v3")
+    intercept[Exception](t.readVersion(1).collect()) // aged out
+    // the latest version survives even when EVERYTHING is out of window
+    Thread.sleep(400)
+    t.vacuum(retentionHours = 0.0)
+    assert(t.read().head().getString(1) == "v4")
+    intercept[Exception](t.readVersion(3).collect())
+  }
+
+  test("restore preserves graft.txn idempotency watermarks") {
+    val t = table("vt-restore-txn")
+    t.appendIdempotent(Seq((1, "a")).toDF("id", "s"), "app", 0L) // v0
+    t.appendIdempotent(Seq((2, "b")).toDF("id", "s"), "app", 1L) // v1
+    t.restore(0L) // v2: content of v0, watermarks of v1
+    assert(t.read().count() == 1)
+    // a replayed micro-batch after the restore must STAY a no-op
+    t.appendIdempotent(Seq((2, "dup")).toDF("id", "s"), "app", 1L)
+    assert(t.read().count() == 1)
+    // a genuinely new batch still applies
+    t.appendIdempotent(Seq((3, "c")).toDF("id", "s"), "app", 2L)
+    assert(t.read().count() == 2)
+  }
+
+  test("manifest publish fails at the rename when the slot is taken") {
+    val dir = tmpDir("fs-noov")
+    val fsu = new graft.store.Fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/v0000000001.json")
+    fsu.writeStringAtomicNew(p, "one")
+    intercept[Exception](fsu.writeStringAtomicNew(p, "two"))
+    assert(fsu.readString(p) == "one") // the committed file is untouched
+    // and no temp droppings remain
+    assert(fsu.list(new org.apache.hadoop.fs.Path(dir))
+      .forall(!_.getName.startsWith(".tmp-")))
+  }
+
   test("table properties persist across commits and restores") {
     val t = table("vt-props")
     t.overwrite(Seq((1, "a")).toDF("id", "s"))
