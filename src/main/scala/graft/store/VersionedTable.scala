@@ -79,7 +79,8 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     }.getOrElse(Map.empty[String, String])
     Manifest(v, dirs, node.get("schema").asText(), props,
       Option(node.get("op")).map(_.asText()).getOrElse(""),
-      Option(node.get("timestampMs")).map(_.asLong()).getOrElse(0L))
+      Option(node.get("timestampMs")).map(_.asLong()).getOrElse(0L),
+      Option(node.get("changeDir")).map(_.asText()))
   }
 
   private[store] def writeManifest(m: Manifest): Unit = {
@@ -100,6 +101,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     root.put("schema", m.schemaJson)
     root.put("timestampMs", System.currentTimeMillis())
     if (m.op.nonEmpty) root.put("op", m.op)
+    m.changeDir.foreach(root.put("changeDir", _))
     val arr = root.putArray("dirs")
     m.dirs.foreach { d =>
       val o = arr.addObject(); o.put("dir", d.dir); o.put("schema", d.schemaJson)
@@ -230,6 +232,55 @@ final class VersionedTable(spark: SparkSession, val path: String) {
         withDirCol = true)
       .withColumn(VersionCol, substring(col(DirCol), 2, 10).cast("long"))
       .drop(DirCol)
+  }
+
+  /** Row-level change feed with `_change_type` provenance (Delta's
+    * `table_changes`): one row per change in [fromVersion, toVersion],
+    * tagged insert / update_preimage / update_postimage, plus
+    * `__commit_version` and `_commit_timestamp`. Appends surface their
+    * added dirs as inserts (no change files exist or are needed — Delta
+    * derives them the same way); a CDF-enabled merge surfaces the exact
+    * pre/post pairs its commit materialized under `_change_data/`; a merge
+    * committed WITHOUT the [[CdfProp]] property falls back to its added
+    * dir as inserts (the [[readChanges]] approximation, documented there).
+    * Content-neutral commits (optimize, setProperties, restore) emit
+    * nothing. Overwrite emits the new snapshot as inserts (the preimage of
+    * what it replaced is not retained as rows). */
+  def readChangeFeed(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"bad change range [$fromVersion, $toVersion]")
+    val logical = schemaAt(toVersion)
+    val outSchema = StructType(logical.fields ++ Seq(
+      StructField(ChangeTypeCol, StringType),
+      StructField(VersionCol, LongType),
+      StructField(CommitTsCol, TimestampType)))
+    val parts = (fromVersion to toVersion).iterator.flatMap { v =>
+      if (!fsu.exists(manifestPath(v))) None // vacuumed below the range
+      else {
+        val m = readManifest(v)
+        val stamp = (df: DataFrame) => df
+          .withColumn(VersionCol, lit(v))
+          .withColumn(CommitTsCol, timestamp_millis(lit(m.tsMs)))
+        m.changeDir match {
+          case Some(cd) =>
+            val phys = StructType(
+              DataType.fromJson(m.schemaJson).asInstanceOf[StructType].fields :+
+                StructField(ChangeTypeCol, StringType))
+            val df = spark.read.schema(phys).parquet(s"$path/_change_data/$cd")
+            Some(stamp(df.select(alignCols(df, logical) :+ col(ChangeTypeCol): _*)))
+          case None if m.op == "optimize" || m.op == "setProperties" ||
+              m.op == "restore" => None
+          case None =>
+            val prefix = f"v$v%010d-"
+            val added = m.dirs.filter(_.dir.startsWith(prefix))
+            if (added.isEmpty) None
+            else Some(stamp(scanDirs(added, logical)
+              .withColumn(ChangeTypeCol, lit("insert"))))
+        }
+      }
+    }.toSeq
+    if (parts.isEmpty) emptyDf(outSchema)
+    else parts.map(_.select(outSchema.fieldNames.map(col): _*)).reduce(_.unionByName(_))
   }
 
   /** Commit version a data dir was written by (encoded in its name). */
@@ -368,7 +419,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val m = readManifest(requireVersion)
     val nextV = m.version + 1
     writeManifest(m.copy(version = nextV, properties = m.properties ++ props,
-      op = "setProperties"))
+      op = "setProperties", changeDir = None))
     nextV
   }
 
@@ -388,7 +439,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
           .flatten.map(_.toLong).max.toString
       }.toMap
     writeManifest(target.copy(version = nextV, op = "restore",
-      properties = target.properties ++ txn))
+      properties = target.properties ++ txn, changeDir = None))
     nextV
   }
 
@@ -433,8 +484,29 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val nextV = m.version + 1
     val dirName = f"v$nextV%010d-${UUID.randomUUID().toString.take(8)}"
     val newDir = writeDataDir(out, merged, dirName)
+    // Change-data feed (Delta's delta.enableChangeDataFeed): when the table
+    // property is set, the merge also materializes its row-level changes —
+    // matched rows as update_preimage/update_postimage pairs, unmatched
+    // source rows as inserts — under _change_data/, version-stamped like a
+    // data dir. Cost is one extra pass over the TOUCHED dirs only (the same
+    // file-pruned subset the rewrite reads), never the whole table; appends
+    // stay change-file-free (the feed derives their inserts from the added
+    // dirs), exactly Delta's CDC write strategy.
+    val changeDir = if (!m.properties.get(CdfProp).contains("true")) None else {
+      val touchedDf = scanDirs(touched, logical)
+      val touchedPks = touchedDf.select(pkCols.map(col): _*).dropDuplicates(pkCols)
+      val srcAligned = align(src, merged)
+      val changes = align(touchedDf, merged).join(srcPks, pkCols, "left_semi")
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+        .unionByName(srcAligned.join(touchedPks, pkCols, "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_postimage")))
+        .unionByName(srcAligned.join(touchedPks, pkCols, "left_anti")
+          .withColumn(ChangeTypeCol, lit("insert")))
+      changes.write.mode("overwrite").parquet(s"$path/_change_data/$dirName")
+      Some(dirName)
+    }
     writeManifest(Manifest(nextV, untouched :+ newDir, merged.json, m.properties,
-      op = "merge"))
+      op = "merge", changeDir = changeDir))
     nextV
   }
 
@@ -549,24 +621,31 @@ final class VersionedTable(spark: SparkSession, val path: String) {
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     writer.parquet(staging.toString)
+    // recompute per-chunk stats from the written files in ONE grouped agg job
+    // (parquet aggregate pushdown answers min/max/count from footers where
+    // supported) instead of one small job per chunk dir — at targetDirs in
+    // the hundreds the per-job fixed latency dominates the loop
+    val fields = DirStats.eligibleFields(logical)
+    val aggs = DirStats.aggColumns(fields)
+    val statSchema = StructType(logical.fields :+ StructField(ChunkCol, IntegerType))
+    val statRows = spark.read.schema(statSchema).parquet(staging.toString)
+      .groupBy(col(ChunkCol)).agg(aggs.head, aggs.tail: _*).collect()
+    val statsByChunk = statRows.map { row =>
+      val metrics = row.schema.fieldNames.zipWithIndex
+        .collect { case (n, i) if n != ChunkCol => n -> row.get(i) }.toMap
+      row.getInt(row.fieldIndex(ChunkCol)) -> DirStats.fromMetrics(metrics, fields)
+    }.toMap
     val newDirs = fsu.list(staging)
       .filter(_.getName.startsWith(s"$ChunkCol="))
       .sortBy(_.getName.stripPrefix(s"$ChunkCol=").toInt)
       .map { sub =>
-        val chunk = sub.getName.stripPrefix(s"$ChunkCol=")
+        val chunk = sub.getName.stripPrefix(s"$ChunkCol=").toInt
         val dirName = s"$base-c$chunk"
         val dest = new HPath(dataDir, dirName)
         if (!fsu.fs.rename(sub, dest))
           throw new java.io.IOException(s"rename $sub -> $dest failed")
-        // recompute stats from the written files (parquet aggregate pushdown
-        // answers min/max/count from footers where supported)
-        val fields = DirStats.eligibleFields(logical)
-        val aggs = DirStats.aggColumns(fields)
-        val row = spark.read.schema(logical).parquet(dest.toString)
-          .agg(aggs.head, aggs.tail: _*).head()
-        val metrics = row.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap
         DataDir(dirName, logical.json,
-          Some(DirStats.fromMetrics(metrics, fields).copy(bytes = dirBytes(dirName))))
+          Some(statsByChunk(chunk).copy(bytes = dirBytes(dirName))))
       }
     fsu.delete(staging, recursive = true)
     writeManifest(Manifest(nextV, newDirs, logical.json, m.properties, op = "optimize"))
@@ -605,12 +684,19 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   }
 
   private def vacuumFrom(keepFrom: Long, latest: Long): Unit = {
-    val live: Set[String] = (keepFrom to latest).flatMap { v =>
+    val kept = (keepFrom to latest).flatMap { v =>
       val p = manifestPath(v)
-      if (fsu.exists(p)) readManifest(v).dirs.map(_.dir) else Nil
-    }.toSet
+      if (fsu.exists(p)) Some(readManifest(v)) else None
+    }
+    val live: Set[String] = kept.flatMap(_.dirs.map(_.dir)).toSet
     fsu.list(dataDir).foreach { d =>
       if (!live(d.getName)) fsu.delete(d, recursive = true)
+    }
+    // change-data dirs of vacuumed commits go with them
+    val liveChanges: Set[String] = kept.flatMap(_.changeDir).toSet
+    val cdDir = new HPath(path, "_change_data")
+    if (fsu.exists(cdDir)) fsu.list(cdDir).foreach { d =>
+      if (!liveChanges(d.getName)) fsu.delete(d, recursive = true)
     }
     // old manifests referencing dropped dirs are no longer readable → drop them
     fsu.list(logDir).foreach { f =>
@@ -632,6 +718,12 @@ object VersionedTable {
   private val ZCol = "__gz"
   /** Output column of [[VersionedTable.readChanges]]. */
   val VersionCol = "__commit_version"
+  /** Change-type column of [[VersionedTable.readChangeFeed]] (Delta CDF name). */
+  val ChangeTypeCol = "_change_type"
+  /** Commit-timestamp column of [[VersionedTable.readChangeFeed]]. */
+  val CommitTsCol = "_commit_timestamp"
+  /** Table property enabling change-data capture on merge commits. */
+  val CdfProp = "graft.enableChangeDataFeed"
   private[store] val mapper = new ObjectMapper()
 
   private[store] final case class DataDir(
@@ -639,7 +731,9 @@ object VersionedTable {
   private[store] final case class Manifest(
       version: Long, dirs: Seq[DataDir], schemaJson: String,
       properties: Map[String, String] = Map.empty,
-      op: String = "", tsMs: Long = 0L)
+      op: String = "", tsMs: Long = 0L,
+      /** Change-data dir written by THIS commit (CDF-enabled merge). */
+      changeDir: Option[String] = None)
 }
 
 /** Schema drift rules (reference spark_reader.py:154-162,284-305;
