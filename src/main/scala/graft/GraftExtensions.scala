@@ -77,6 +77,7 @@ object GraftExtensions {
     *   SELECT * FROM graft_table('/data/dest/delta')           -- snapshot
     *   SELECT * FROM graft_table('/data/dest/delta', 3)        -- versionAsOf
     *   SELECT * FROM graft_changes('/data/dest/delta', 1, 5)   -- CDF slice
+    *   SELECT * FROM graft_change_feed('/data/dest/delta', 1, 5) -- _change_type feed
     *   SELECT * FROM graft_history('/data/dest/delta')         -- DESCRIBE HISTORY
     * }}}
     * The builder runs at analysis time on the driver; the returned plan is
@@ -103,6 +104,14 @@ object GraftExtensions {
         (children: Seq[Expression]) => {
           require(children.size == 3, "graft_changes(path, fromVersion, toVersion)")
           table(children.head).readChanges(
+            longLit(children(1), "fromVersion"), longLit(children(2), "toVersion"))
+            .queryExecution.logical
+        }),
+      (FunctionIdentifier("graft_change_feed"),
+        new ExpressionInfo(classOf[graft.store.VersionedTable].getName, "graft_change_feed"),
+        (children: Seq[Expression]) => {
+          require(children.size == 3, "graft_change_feed(path, fromVersion, toVersion)")
+          table(children.head).readChangeFeed(
             longLit(children(1), "fromVersion"), longLit(children(2), "toVersion"))
             .queryExecution.logical
         }),

@@ -406,6 +406,34 @@ object Catalog {
         UNION ALL SELECT c_custkey, NULL, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
           FROM customer WHERE c_custkey % 97 = 0""")),
 
+    // Two tables synced CONCURRENTLY through Graft.syncAll (parallelism 2):
+    // each destination's history must be EXACTLY what a standalone batch
+    // run produces — concurrency must not leak between table states
+    Q("syncall_customer_history",
+      (s, d) => Scenarios.history(s, s"${Scenarios.syncAllRoot(s, d)}/customer"),
+      Some(s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,
+          FALSE AS __is_deleted, TRUE AS __is_full_load FROM customer
+        UNION ALL SELECT c_custkey, trim(c_name), c_acctbal + 100, trim(c_mktsegment),
+          CAST(2 AS BIGINT), FALSE, FALSE
+          FROM customer WHERE c_custkey % 89 = 0 AND c_custkey % 97 <> 0
+        UNION ALL SELECT c_custkey + 10000000, trim(c_name), c_acctbal, trim(c_mktsegment),
+          CAST(2 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 83 = 0
+        UNION ALL SELECT c_custkey, NULL, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
+          FROM customer WHERE c_custkey % 97 = 0""")),
+
+    Q("syncall_supplier_history",
+      (s, d) => Scenarios.history(s, s"${Scenarios.syncAllRoot(s, d)}/supplier"),
+      Some("""SELECT s_suppkey, trim(s_name) AS s_name, s_acctbal,
+          CAST(1 AS BIGINT) AS ver, FALSE AS __is_deleted, TRUE AS __is_full_load
+          FROM supplier
+        UNION ALL SELECT s_suppkey, trim(s_name), s_acctbal + 50,
+          CAST(2 AS BIGINT), FALSE, FALSE
+          FROM supplier WHERE s_suppkey % 13 = 0 AND s_suppkey % 19 <> 0
+        UNION ALL SELECT s_suppkey + 1000000, trim(s_name), s_acctbal,
+          CAST(2 AS BIGINT), FALSE, FALSE FROM supplier WHERE s_suppkey % 17 = 0
+        UNION ALL SELECT s_suppkey, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
+          FROM supplier WHERE s_suppkey % 19 = 0""")),
+
     Q("scd2_latest_pk",
       (s, d) => Scenarios.latestPk(s, Scenarios.deltaDest(s, d)),
       Some("""SELECT c_custkey, CAST(1 AS BIGINT) AS ver FROM customer
@@ -1355,14 +1383,71 @@ object Catalog {
         tbl.readChanges(1L, tbl.requireVersion)
           .drop(SystemCols.timestamp, graft.store.VersionedTable.VersionCol)
       },
-      Some("""SELECT c_custkey, trim(c_name) AS c_name, c_acctbal + 100 AS c_acctbal,
-          trim(c_mktsegment) AS c_mktsegment, CAST(2 AS BIGINT) AS ver,
-          FALSE AS __is_deleted, FALSE AS __is_full_load
-          FROM customer WHERE c_custkey % 89 = 0 AND c_custkey % 97 <> 0
-        UNION ALL SELECT c_custkey + 10000000, trim(c_name), c_acctbal, trim(c_mktsegment),
-          CAST(2 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 83 = 0
-        UNION ALL SELECT c_custkey, NULL, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
-          FROM customer WHERE c_custkey % 97 = 0""")))
+      Some(cdfOracle)),
+
+    // Row-level change feed of a CDF-enabled MERGE commit: updates surface
+    // as update_preimage/update_postimage pairs, new keys as inserts — the
+    // Delta table_changes contract for MERGE, exact (not the added-dir
+    // approximation readChanges documents for rewrites)
+    Q("store_cdf_merge",
+      (s, d) => {
+        val t = new graft.store.VersionedTable(s, Scenarios.cdfMergeDest(s, d))
+        t.readChangeFeed(2L, 2L).drop(graft.store.VersionedTable.CommitTsCol)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal,
+          'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS __commit_version
+          FROM customer WHERE c_custkey % 89 = 0
+        UNION ALL SELECT c_custkey, c_name, c_acctbal + 100, 'update_postimage',
+          CAST(2 AS BIGINT) FROM customer WHERE c_custkey % 89 = 0
+        UNION ALL SELECT c_custkey + 10000000, c_name, c_acctbal, 'insert',
+          CAST(2 AS BIGINT) FROM customer WHERE c_custkey % 83 = 0""")),
+
+    // The SQL-only surface, gated end-to-end: the same snapshot + CDF
+    // slices as store_skipping/store_cdf but phrased THROUGH spark.sql over
+    // the graft_table/graft_changes TVFs — proving the TVF plans carry the
+    // manifest-backed scan (pruning, pushdown) to hash-exact results
+    Q("store_tvf_snapshot",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val dest = Scenarios.skipDest(s, d)
+        val q = Scenarios.orderkeyQuarter(s, d)
+        s.sql(s"""SELECT l_suppkey % 50 AS sgrp, count(*) AS cnt,
+            sum(CAST(l_quantity AS BIGINT)) AS qty,
+            sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS price_cents
+          FROM graft_table('$dest')
+          WHERE l_orderkey > $q AND l_orderkey <= ${2 * q} AND l_quantity >= 25
+          GROUP BY l_suppkey % 50""")
+      },
+      Some("""WITH b AS (SELECT max(l_orderkey)//4 AS q FROM lineitem)
+        SELECT l_suppkey % 50 AS sgrp, count(*) AS cnt,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+        FROM lineitem, b
+        WHERE l_orderkey > q AND l_orderkey <= 2*q AND l_quantity >= 25
+        GROUP BY 1""")),
+
+    Q("store_tvf_changes",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val dest = s"${Scenarios.deltaDest(s, d)}/delta"
+        val latest = new graft.store.VersionedTable(s, dest).requireVersion
+        s.sql(s"""SELECT c_custkey, c_name, c_acctbal, c_mktsegment, ver,
+            __is_deleted, __is_full_load
+          FROM graft_changes('$dest', 1, $latest)""")
+      },
+      Some(cdfOracle)))
+
+  /** Shared oracle of the post-full-load change slice (store_cdf and its
+    * TVF twin): batch-2 updates + inserts + delete tombstones. */
+  private def cdfOracle: String =
+    """SELECT c_custkey, trim(c_name) AS c_name, c_acctbal + 100 AS c_acctbal,
+        trim(c_mktsegment) AS c_mktsegment, CAST(2 AS BIGINT) AS ver,
+        FALSE AS __is_deleted, FALSE AS __is_full_load
+        FROM customer WHERE c_custkey % 89 = 0 AND c_custkey % 97 <> 0
+      UNION ALL SELECT c_custkey + 10000000, trim(c_name), c_acctbal, trim(c_mktsegment),
+        CAST(2 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 83 = 0
+      UNION ALL SELECT c_custkey, NULL, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
+        FROM customer WHERE c_custkey % 97 = 0"""
 
   // ------------------------------------------------------------------ all
 

@@ -326,6 +326,67 @@ object Scenarios {
       rm(new java.io.File(s"$dest/_graft_log"))
     }
 
+  /** VersionedTable on customer with the change-data feed enabled, then one
+    * merge (updates %89 get +100, inserts %83 under shifted keys): commit 2
+    * materializes exact update_preimage/update_postimage/insert provenance
+    * under `_change_data/` — what `readChangeFeed` surfaces to CDC
+    * consumers (Delta's table_changes semantics for MERGE). */
+  def cdfMergeDest(spark: SparkSession, dir: String): String =
+    run("cdfmerge", spark, dir) { dest =>
+      val cust = customer(spark, dir).select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val t = new graft.store.VersionedTable(spark, dest)
+      t.append(cust) // v0
+      t.setProperties(Map(graft.store.VersionedTable.CdfProp -> "true")) // v1
+      val src = cust.filter(col("c_custkey") % 89 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .unionByName(cust.filter(col("c_custkey") % 83 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L))
+      t.merge(src, Seq("c_custkey")): Unit // v2
+    }
+
+  /** Supplier batch 1/2 for the multi-table sync: same mutation grammar as
+    * the customer batches on coprime moduli (deletes %19, updates %13 get
+    * +50, inserts %17 under shifted keys). */
+  def supplierBatch1(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet").select(
+      col("s_suppkey"), col("s_name"), col("s_acctbal"), lit(1L).as("ver"))
+
+  def supplierBatch2(spark: SparkSession, dir: String): DataFrame = {
+    val b1 = supplierBatch1(spark, dir)
+    b1.filter(col("s_suppkey") % 19 =!= 0)
+      .withColumn("s_acctbal",
+        when(col("s_suppkey") % 13 === 0, col("s_acctbal") + 50).otherwise(col("s_acctbal")))
+      .withColumn("ver",
+        when(col("s_suppkey") % 13 === 0, lit(2L)).otherwise(col("ver")))
+      .unionByName(b1.filter(col("s_suppkey") % 17 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + 1000000L)
+        .withColumn("ver", lit(2L)))
+  }
+
+  /** Two tables (customer + supplier) synced CONCURRENTLY through
+    * `Graft.syncAll` at parallelism 2, two rounds (full load, then delta):
+    * both destination histories must equal what per-table batch runs
+    * produce — the gates hash them against the same-shape DuckDB oracles. */
+  def syncAllRoot(spark: SparkSession, dir: String): String =
+    run("syncall", spark, dir) { root =>
+      def tables(cust: DataFrame, sup: DataFrame) = Seq(
+        Graft.TableSync(new DataFrameSource(cust, pk), s"$root/customer", cfg),
+        Graft.TableSync(new DataFrameSource(sup, Seq("s_suppkey")),
+          s"$root/supplier", WriteConfig(deltaCol = Some("ver"))))
+      Seq(
+        tables(batch1(spark, dir), supplierBatch1(spark, dir)),
+        tables(batch2(spark, dir), supplierBatch2(spark, dir))
+      ).foreach { ts =>
+        val rs = Graft.syncAll(spark, ts, parallelism = 2)
+        rs.zipWithIndex.foreach {
+          case (Left(e), i) => throw new IllegalStateException(
+            s"syncAll table ${ts(i).destRoot} failed", e)
+          case _ => ()
+        }
+      }
+    }
+
   /** History of a destination without the wall-clock column. */
   def history(spark: SparkSession, dest: String): DataFrame =
     new graft.store.VersionedTable(spark, s"$dest/delta").read().drop(SystemCols.timestamp)

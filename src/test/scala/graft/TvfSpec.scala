@@ -31,4 +31,20 @@ class TvfSpec extends SparkSuite {
     }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
     assert(idx.flatMap(_.lastPruning).contains((1, 3)), s"got ${idx.flatMap(_.lastPruning)}")
   }
+
+  test("graft_change_feed TVF surfaces _change_type provenance through SQL") {
+    GraftExtensions.register(spark)
+    val root = tmpDir("tvf-feed")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // v0
+    t.setProperties(Map(VersionedTable.CdfProp -> "true")) // v1
+    t.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "s"), Seq("id")) // v2
+    val got = spark.sql(
+      s"""SELECT id, s, ${VersionedTable.ChangeTypeCol}
+         FROM graft_change_feed('$root', 2, 2) ORDER BY id, s""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (2L, "B", "update_postimage"), (2L, "b", "update_preimage"),
+      (3L, "c", "insert")))
+  }
 }
