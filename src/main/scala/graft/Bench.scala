@@ -39,6 +39,23 @@ object Bench {
     // warmup: small scan+agg to JIT the read path (not timed)
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
+    // Contention sentinel: a FIXED ~100 ms CPU-bound probe (hash-sum over a
+    // synthetic range — no IO, no shuffle, constant work) interleaved
+    // between headline queries. Its spread (max/min) separates host weather
+    // from real regressions: code changes cannot move the sentinel, so a
+    // sentinel spread of 2-3× says the box was contended and per-query
+    // medians carry that noise; a tight sentinel (≤1.3×) certifies the run.
+    import org.apache.spark.sql.functions.{sum => fsum, xxhash64, pmod, col, lit}
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      // pmod bounds the summands so the 40M-row sum cannot overflow ANSI Long
+      spark.range(0, 40000000L, 1, cpus.toInt)
+        .select(fsum(pmod(xxhash64(col("id")), lit(1000000L)))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).foreach(_ => sentinelOnce()) // JIT the probe itself (not recorded)
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelOnce())
+
     val fns = SparkEntry.queries
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // a failing query must NOT fold its (fast-fail) wall time into the
@@ -63,6 +80,7 @@ object Bench {
       headline.filter(fns.contains).map { name =>
         val n = if (name.startsWith("scd2_")) 1 else runs
         val times = Seq.fill(n)(once(name))
+        sentinels += sentinelOnce() // one probe between headline queries
         name -> (if (times.exists(_.isEmpty)) None
           else Some((median(times.flatten), times.flatten.min)))
       }
@@ -78,7 +96,9 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2.map(_._1)).sum
     val totalMin = results.flatMap(_._2.map(_._2)).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${render(_._1)},"queries_min":${render(_._2)},"total_min":${fmt(totalMin)},"failed":$failed,"sf":"$sfDir","runs":$runs,"stat":"median"}""")
+    val sMin = sentinels.min; val sMax = sentinels.max
+    val sentinelJson = s"""{"median":${fmt(median(sentinels.toSeq))},"min":${fmt(sMin)},"max":${fmt(sMax)},"spread":${fmt(sMax / sMin)},"samples":${sentinels.size}}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${render(_._1)},"queries_min":${render(_._2)},"total_min":${fmt(totalMin)},"failed":$failed,"sentinel":$sentinelJson,"sf":"$sfDir","runs":$runs,"stat":"median"}""")
     spark.stop()
   }
 }
