@@ -734,4 +734,63 @@ object Dedup {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
+
+  /** Exact SUBSTRING (span) deduplication: every maximal token span that is
+    * covered by k-token windows occurring more than once in the corpus
+    * (across documents or repeated within one) — the operator behind
+    * "remove duplicated training text at the span level, not the document
+    * level" (suffix-array dedup of Lee et al. 2021, re-expressed as hashed
+    * positional k-gram postings: a duplicated run of length ≥ k is exactly
+    * a run of duplicated k-windows, so the merged windows ARE the maximal
+    * duplicated spans with minimum-match-length k).
+    *
+    * Output: one row per maximal span — (doc_id, span_start, span_end),
+    * token positions inclusive, 0-based on the single-space tokenization.
+    * Downstream policy (cut all spans, keep one canonical occurrence, drop
+    * docs over a duplication ratio) composes on top; detection is the
+    * expensive, shared part.
+    *
+    * Scale shape (the 100 TB story):
+    *  1. positions → (hash, doc, pos) with the k-gram hashed to 8 BYTES —
+    *     the corpus-sized shuffle carries no text. The duplicated-hash set
+    *     comes from one map-side-combinable count.
+    *  2. only hash-matched positions (a small fraction of a natural
+    *     corpus) re-attach their gram STRING and verify exactness by
+    *     grouping on (hash, gram) — hash collisions cannot produce false
+    *     spans, only the candidate superset. AQE broadcasts the duplicated
+    *     set when it is small and falls back to a shuffle join when not.
+    *  3. spans merge per document with one window (gaps-and-islands:
+    *     windows at pos and prev merge iff pos − prev ≤ k); the following
+    *     groupBy reuses the window's hash partitioning on doc_id.
+    */
+  def duplicateSpans(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = split(col(textCol), " ")
+    // sequence(0, negative) would DESCEND — docs shorter than k tokens
+    // carry no k-window and cannot participate
+    val grams = df.filter(size(toks) >= k)
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))).as(Seq("pos", "gram")))
+      .withColumn("h", xxhash64(col("gram")))
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val wGram = org.apache.spark.sql.expressions.Window.partitionBy("h", "gram")
+    val dupPos = grams.join(dupHashes, "h")
+      .withColumn("c", count(lit(1)).over(wGram))
+      .filter(col("c") > 1)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("__prev", lag("pos", 1).over(wDoc))
+      .withColumn("__isl", sum(
+        when(col("__prev").isNull || col("pos") - col("__prev") > k, 1L)
+          .otherwise(0L)).over(wDoc))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k - 1).cast("long")).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
 }

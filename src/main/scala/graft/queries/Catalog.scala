@@ -611,6 +611,29 @@ object Catalog {
          AND length(b.text) <= length(a.text) + 10
         WHERE levenshtein(a.text, b.text) <= 10""")),
 
+    // Exact substring (span) dedup: every maximal token span covered by
+    // 8-token windows occurring more than once in the corpus (Lee et al.
+    // 2021 suffix-array dedup re-expressed as hashed positional k-gram
+    // postings). The oracle recomputes spans from RAW k-gram strings, so
+    // the operator's hash-prefilter + string-verify layering is proven
+    // collision-exact, and the interval merges must agree token-for-token
+    Q("dedup_spans",
+      (s, d) => Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text", k = 8),
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, i - 1 AS p, array_to_string(t[i:i+7], ' ') AS gr
+          FROM s, unnest(range(1, len(t) - 6)) AS r(i)),
+        dup AS (SELECT gr FROM g GROUP BY gr HAVING count(*) > 1),
+        hit AS (SELECT doc_id, p FROM g JOIN dup USING (gr)),
+        m AS (SELECT doc_id, p,
+            CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+              THEN 0 ELSE 1 END AS ni
+          FROM hit),
+        isl AS (SELECT doc_id, p,
+            sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS il FROM m)
+        SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+          CAST(max(p) + 7 AS BIGINT) AS span_end
+        FROM isl GROUP BY doc_id, il""")),
+
     // Corpus-LM novelty (CCNet-style statistical filtering, integer-exact):
     // bigram model trained on the corpus itself with an adaptive commonness
     // threshold; per-doc novel-bigram counts + truncating permille

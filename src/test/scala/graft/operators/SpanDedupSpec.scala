@@ -1,0 +1,74 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSuite
+
+/** Exact substring (span) dedup — `Dedup.duplicateSpans` must equal a
+  * driver-side brute force (positional k-grams, duplicated-gram positions,
+  * interval merge) on randomized corpora with planted duplicated runs. */
+class SpanDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Brute-force maximal duplicated spans over single-space tokenized docs. */
+  private def brute(docs: Seq[(Long, String)], k: Int): Set[(Long, Long, Long)] = {
+    val grams = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      (0 to t.length - k).map(p => (id, p.toLong, t.slice(p, p + k).mkString(" ")))
+    }
+    val dupGrams = grams.groupBy(_._3).filter(_._2.size > 1).keySet
+    grams.filter(g => dupGrams(g._3)).groupBy(_._1).flatMap { case (id, gs) =>
+      val ps = gs.map(_._2).distinct.sorted
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      ps.foreach { p =>
+        if (spans.nonEmpty && p - (spans.last._2 - k + 1) <= k)
+          spans(spans.size - 1) = (spans.last._1, p + k - 1)
+        else spans += ((p, p + k - 1))
+      }
+      spans.map { case (a, b) => (id, a, b) }
+    }.toSet
+  }
+
+  private def run(docs: Seq[(Long, String)], k: Int): Set[(Long, Long, Long)] =
+    Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("planted duplicated runs produce exactly the merged spans") {
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three $boiler four five six seven eight nine ten eleven"),
+      (2L, s"red green blue $boiler cyan magenta yellow black white gray pink"),
+      // doc 3 repeats the boilerplate WITHIN itself
+      (3L, s"$boiler mid1 mid2 mid3 mid4 mid5 mid6 mid7 mid8 mid9 $boiler"),
+      (4L, "lonely words that appear nowhere else in this small corpus here"))
+    val k = 8
+    val got = run(docs, k)
+    assert(got == brute(docs, k))
+    // the 10-token boilerplate is a maximal [start, start+9] span in docs 1-2
+    assert(got.contains((1L, 3L, 12L)) && got.contains((2L, 3L, 12L)))
+    assert(!got.exists(_._1 == 4L))
+  }
+
+  test("randomized corpora with mutations match brute force") {
+    val rnd = new Random(20260813L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    (1 to 5).foreach { trial =>
+      val base = (1 to 12).map(_ =>
+        (1 to 15 + rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      // copies with point mutations: shared prefixes/suffixes become spans
+      val mutated = base.take(6).map { t =>
+        val toks = t.split(" ", -1)
+        val i = rnd.nextInt(toks.length)
+        toks.updated(i, "Z" + rnd.nextInt(3)).mkString(" ")
+      }
+      val docs = (base ++ mutated).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val k = 5 + rnd.nextInt(3)
+      assert(run(docs, k) == brute(docs, k), s"trial $trial k=$k")
+    }
+  }
+
+  test("docs shorter than k and empty corpus yield no spans") {
+    assert(run(Seq((1L, "too short"), (2L, "also tiny")), 8).isEmpty)
+    assert(run(Seq.empty[(Long, String)], 8).isEmpty)
+  }
+}
