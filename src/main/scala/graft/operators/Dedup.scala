@@ -793,4 +793,28 @@ object Dedup {
         (max("pos") + lit(k - 1).cast("long")).as("span_end"))
       .select("doc_id", "span_start", "span_end")
   }
+
+  /** Apply a span set (e.g. [[duplicateSpans]] output) to the corpus: drop
+    * every token whose 0-based position falls inside one of the document's
+    * [span_start, span_end] ranges and rejoin with single spaces — the
+    * "cut duplicated text out of the training set" step. Documents without
+    * spans pass through untouched (no retokenization). Per-doc span lists
+    * are tiny (merged maximal intervals), so the aggregated span side
+    * broadcasts under AQE and the corpus never shuffles; the token filter
+    * is a pure column expression (nested higher-order filter/exists), no
+    * UDF. */
+  def removeSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = split(col(textCol), " ")
+    df.join(sp, df(idCol) === sp("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", filter(toks, (t, i) =>
+            !exists(col("__spans"), s =>
+              i.cast("long").between(s("span_start"), s("span_end")))))))
+      .select(df(idCol), col("clean_text"))
+  }
 }

@@ -87,6 +87,58 @@ object TextCorpus {
     pmod(pmod(pmod(key.cast("long"), lit(2147483648L)) * 1103515245L + 12345L,
       lit(2147483648L)), lit(1000L))
 
+  /** Data-mixture sampling by TOKEN budget: per group (domain, source,
+    * language...), keep documents in the deterministic [[lcgBucket]]
+    * pseudo-random order until the group's token budget is reached — "take
+    * 100B tokens of web, 20B of code" as one operator. A document is kept
+    * iff the tokens accumulated BEFORE it are still under the budget, so
+    * the crossing document is included and every non-empty group with a
+    * positive budget contributes at least one document. Groups absent from
+    * `budgets` are dropped (the [[stratifiedSample]] contract). Token
+    * counts are single-space split sizes — mirror with
+    * `len(string_split(text, ' '))`.
+    *
+    * Scale shape: the running sum is NOT a per-group single-partition
+    * window (a 100 TB group would land on one executor — the trap
+    * [[concatChunks]] documents). Rows are bucketed by the deterministic
+    * (group, lcgBucket) key — the PREFIX of the sample order — each bucket
+    * computes a local cumsum, and the per-(group, bucket) totals (≤ 1000 ×
+    * |groups| tiny rows) become broadcast base offsets on the driver.
+    * Same answer at any partition count. */
+  def tokenBudgetSample(
+      df: DataFrame, idCol: String, textCol: String, groupCol: String,
+      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must list at least one group")
+    val spark = df.sparkSession
+    val nt = size(split(col(textCol), " ")).cast("long")
+    val base = df
+      .filter(col(groupCol).isInCollection(budgets.keys.toSeq))
+      .select(col(idCol), col(groupCol), nt.as("n_tokens"),
+        lcgBucket(col(idCol)).as("__bk"))
+      .repartition(col(groupCol), col("__bk"))
+    val counted = Caching.spillPersistEager(base)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol, "__bk").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val local = counted.withColumn("__cumBefore",
+      coalesce(sum("n_tokens").over(w), lit(0L)))
+    // per-(group, bucket) totals → per-group prefix bases, driver-side
+    val totals = counted.groupBy(groupCol, "__bk")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bases = totals.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zip(sorted.scanLeft(0L)((acc, r) => acc + r._3).init).map {
+        case ((_, bk, _), b) => (g, bk, b, budgets(g))
+      }
+    }
+    import spark.implicits._
+    val baseDf = bases.toDF(groupCol, "__bk", "__base", "__budget")
+    local.join(broadcast(baseDf), Seq(groupCol, "__bk"))
+      .filter(col("__cumBefore") + col("__base") < col("__budget"))
+      .select(col(idCol), col(groupCol), col("n_tokens"))
+  }
+
   /** Sequence packing (concat-then-chunk): documents are concatenated in
     * `idCol` order and split into `capacity`-token context windows; each
     * doc reports its global token start offset and the first/last chunk

@@ -634,6 +634,55 @@ object Catalog {
           CAST(max(p) + 7 AS BIGINT) AS span_end
         FROM isl GROUP BY doc_id, il""")),
 
+    // The APPLY side of span dedup: cut every duplicated span out of the
+    // corpus and rejoin — detect (dedup_spans) and apply must compose to
+    // the exact token-filtered text the oracle rebuilds positionally
+    Q("dedup_spans_apply",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.removeSpans(docs, "doc_id", "text",
+          Dedup.duplicateSpans(docs, "doc_id", "text", k = 8))
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, i - 1 AS p, array_to_string(t[i:i+7], ' ') AS gr
+          FROM s, unnest(range(1, len(t) - 6)) AS r(i)),
+        dup AS (SELECT gr FROM g GROUP BY gr HAVING count(*) > 1),
+        hit AS (SELECT doc_id, p FROM g JOIN dup USING (gr)),
+        m AS (SELECT doc_id, p,
+            CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+              THEN 0 ELSE 1 END AS ni
+          FROM hit),
+        isl AS (SELECT doc_id, p,
+            sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS il FROM m),
+        sp AS (SELECT doc_id, min(p) AS a, max(p) + 7 AS b
+          FROM isl GROUP BY doc_id, il),
+        tk AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+          FROM s, unnest(range(1, len(t) + 1)) AS r(i)),
+        kept AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+          WHERE NOT EXISTS (SELECT 1 FROM sp
+            WHERE sp.doc_id = tk.doc_id AND tk.p BETWEEN sp.a AND sp.b))
+        SELECT s.doc_id,
+          coalesce(string_agg(kept.tok, ' ' ORDER BY kept.p), '') AS clean_text
+        FROM s LEFT JOIN kept ON s.doc_id = kept.doc_id GROUP BY s.doc_id""")),
+
+    // Data-mixture sampling by token budget: per source, keep documents in
+    // the deterministic LCG order until the budget is crossed — selection
+    // is a pure function of ids, so DuckDB replays it exactly
+    Q("sample_token_budget",
+      (s, d) => TextCorpus.tokenBudgetSample(t(s, d, "documents"),
+        "doc_id", "text", "source",
+        Map("src0" -> 600L, "src3" -> 600L, "src7" -> 450L)),
+      Some("""WITH t AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 1000 AS bk
+        FROM documents WHERE source IN ('src0', 'src3', 'src7')),
+        o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY bk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+        SELECT doc_id, source, n_tokens FROM o
+        WHERE cb < CASE source WHEN 'src0' THEN 600 WHEN 'src3' THEN 600
+          ELSE 450 END""")),
+
     // Corpus-LM novelty (CCNet-style statistical filtering, integer-exact):
     // bigram model trained on the corpus itself with an adaptive commonness
     // threshold; per-doc novel-bigram counts + truncating permille

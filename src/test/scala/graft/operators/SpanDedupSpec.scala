@@ -71,4 +71,33 @@ class SpanDedupSpec extends SparkSuite {
     assert(run(Seq((1L, "too short"), (2L, "also tiny")), 8).isEmpty)
     assert(run(Seq.empty[(Long, String)], 8).isEmpty)
   }
+
+  test("removeSpans cuts flagged tokens, passes clean docs through") {
+    val docs = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (2L, "untouched text stays exactly as written"),
+      (3L, "x0 x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 2L, 4L), (1L, 7L, 8L), // two spans in doc 1
+      (3L, 0L, 5L)) // doc 3 fully covered
+      .toDF("doc_id", "span_start", "span_end")
+    val got = Dedup.removeSpans(docs, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "w0 w1 w5 w6 w9",
+      2L -> "untouched text stays exactly as written",
+      3L -> ""))
+  }
+
+  test("detect + apply leaves a corpus with no duplicated k-window") {
+    val boiler = "p q r s t u v w x y"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $boiler a4 a5 a6 a7 a8"),
+      (2L, s"b1 b2 b3 $boiler b4 b5 b6 b7 b8")).toDF("doc_id", "text")
+    val k = 8
+    val cleaned = Dedup.removeSpans(docs, "doc_id", "text",
+      Dedup.duplicateSpans(docs, "doc_id", "text", k))
+      .withColumnRenamed("clean_text", "text")
+    assert(Dedup.duplicateSpans(cleaned, "doc_id", "text", k).count() == 0L)
+  }
 }
