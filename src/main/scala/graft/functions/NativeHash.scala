@@ -113,6 +113,53 @@ object HashKernels {
     sig
   }
 
+  /** Per-position k-token-window xxhash64 over a single-space tokenized
+    * string, hashed IN PLACE over the original bytes: consecutive tokens
+    * are single-space separated, so window i's gram string
+    * `concat_ws(" ", tokens[i..i+k-1])` IS the substring from token i's
+    * first byte to token i+k−1's last byte (concat_ws keeps empty tokens,
+    * so runs of spaces round-trip too). Each window hash therefore equals
+    * Spark's `xxhash64(gram)` (XXH64, seed 42) with ZERO window-string or
+    * token-array allocation — one byte scan for the 0x20 boundaries (a
+    * space byte never occurs inside a multi-byte UTF-8 sequence), one
+    * bounded hash per window. Fewer than k tokens → empty array. */
+  def kgramWindowHashes(text: UTF8String, k: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nb = text.numBytes
+    var nTok = 1
+    var i = 0
+    while (i < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) nTok += 1
+      i += 1
+    }
+    val nWin = nTok - k + 1
+    if (nWin <= 0) return new GenericArrayData(Array.emptyLongArray)
+    // starts(t) = first byte of token t; ends(t) = one past its last byte
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        ends(t) = i
+        t += 1
+        starts(t) = i + 1
+      }
+      i += 1
+    }
+    ends(t) = nb
+    val out = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      val s = starts(w)
+      out(w) = XXH64.hashUnsafeBytes(base, off + s, ends(w + k - 1) - s, 42L)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private final val PolyM = (1L << 61) - 1 // Mersenne prime 2^61 - 1
   private final val PolyB = 131L
   // SplitMix64's multiplier: the final WRAPPING multiply (mod 2^64 — Java's
@@ -183,6 +230,27 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
   override def prettyName: String = "graft_minhash"
+}
+
+/** string → array<long>: xxhash64 of every k-token window, hashed in place
+  * over the original bytes (codegen'd; see [[HashKernels.kgramWindowHashes]]).
+  * Element w equals `xxhash64(concat_ws(' ', slice(split(s,' '), w+1, k)))`. */
+case class KGramWindowHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_kgram_hashes expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.kgramWindowHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.kgramWindowHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): KGramWindowHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_kgram_hashes"
 }
 
 /** array<string> → bigint: the 64-bit SimHash (codegen'd). */
@@ -560,6 +628,8 @@ object NativeHash {
     Bridge.column(NearestCentroid(Bridge.expression(vec), centroids.toArray))
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
+  def kgramWindowHashes(text: Column, k: Int): Column =
+    Bridge.column(KGramWindowHashes(Bridge.expression(text), k))
   def simhash64(tokens: Column, poly: Boolean = false): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens), poly))
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -751,14 +751,20 @@ object Dedup {
     * expensive, shared part.
     *
     * Scale shape (the 100 TB story):
-    *  1. positions → (hash, doc, pos) with the k-gram hashed to 8 BYTES —
-    *     the corpus-sized shuffle carries no text. The duplicated-hash set
-    *     comes from one map-side-combinable count.
+    *  1. positions → (doc, pos, hash) via the codegen'd
+    *     [[graft.functions.KGramWindowHashes]] kernel — each window hashed
+    *     IN PLACE over the document's bytes (no window strings, no token
+    *     arrays, no interpreted higher-order lambdas; ~2× the whole
+    *     operator at sf0.1). The stream is 24-byte rows; the duplicated-
+    *     hash set comes from one map-side-combinable count.
     *  2. only hash-matched positions (a small fraction of a natural
-    *     corpus) re-attach their gram STRING and verify exactness by
-    *     grouping on (hash, gram) — hash collisions cannot produce false
-    *     spans, only the candidate superset. AQE broadcasts the duplicated
-    *     set when it is small and falls back to a shuffle join when not.
+    *     corpus) rebuild their gram STRING — by joining back to the doc
+    *     table, never by carrying text through the position stream — and
+    *     verify exactness by grouping on (hash, gram): hash collisions
+    *     cannot produce false spans, only the candidate superset. AQE
+    *     broadcasts the small side of both joins (duplicated set;
+    *     candidates) so in the common sparse-duplication regime the corpus
+    *     is never shuffled at all.
     *  3. spans merge per document with one window (gaps-and-islands:
     *     windows at pos and prev merge iff pos − prev ≤ k); the following
     *     groupBy reuses the window's hash partitioning on doc_id.
@@ -766,18 +772,19 @@ object Dedup {
   def duplicateSpans(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val toks = split(col(textCol), " ")
-    // sequence(0, negative) would DESCEND — docs shorter than k tokens
-    // carry no k-window and cannot participate
-    val grams = df.filter(size(toks) >= k)
-      .select(col(idCol).as("doc_id"),
-        posexplode(transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k))))).as(Seq("pos", "gram")))
-      .withColumn("h", xxhash64(col("gram")))
-    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
+    val posH = df.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.NativeHash.kgramWindowHashes(col(textCol), k))
+        .as(Seq("pos", "h")))
+    val dupHashes = posH.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")
+    val cand = posH.join(dupHashes, "h").select("doc_id", "pos", "h")
+    // gram strings exist ONLY for candidates: tokenize once per doc on the
+    // build side, slice per candidate row
+    val docsT = df.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("__t"))
     val wGram = org.apache.spark.sql.expressions.Window.partitionBy("h", "gram")
-    val dupPos = grams.join(dupHashes, "h")
+    val dupPos = cand.join(docsT, "doc_id")
+      .withColumn("gram", concat_ws(" ", slice(col("__t"), col("pos") + 1, lit(k))))
       .withColumn("c", count(lit(1)).over(wGram))
       .filter(col("c") > 1)
       .select(col("doc_id"), col("pos").cast("long").as("pos"))

@@ -51,7 +51,17 @@ object PlanCheck {
       ("store_skipping", "manifest pruning: GraftFileIndex scan, filters pushed to parquet",
         p => p.contains("GraftFileIndex") && p.contains("PushedFilters: [")),
       ("store_cdf", "change feed is ONE scan, not a per-version union of jobs",
-        p => !p.contains("Union")))
+        p => !p.contains("Union")),
+      ("dedup_spans", "span windows keyed, never global (h/gram verify + doc merge)",
+        // every window in the span plan must carry a partition key — a
+        // regression to windowspecdefinition(pos ASC...) with no leading
+        // partition column would serialize the corpus on one executor
+        p => p.contains("windowspecdefinition(h#") &&
+          p.contains("windowspecdefinition(doc_id#") &&
+          !p.contains("windowspecdefinition(pos#")),
+      ("sample_token_budget", "budget cumsum bucketed by (group, lcgBucket), bases broadcast",
+        p => p.contains("windowspecdefinition(source#") &&
+          p.contains("BroadcastHashJoin")))
     println("\n========== invariants ==========")
     var failed = 0
     checks.foreach { case (name, what, ok) =>

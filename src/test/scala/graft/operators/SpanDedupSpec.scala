@@ -72,6 +72,33 @@ class SpanDedupSpec extends SparkSuite {
     assert(run(Seq.empty[(Long, String)], 8).isEmpty)
   }
 
+  test("native window-hash kernel ≡ xxhash64 over built gram strings") {
+    import org.apache.spark.sql.functions._
+    // multi-space runs, unicode, supplementary plane, leading/trailing
+    // spaces, exactly-k and shorter-than-k docs
+    val texts = Seq(
+      "plain words here four five six",
+      "double  space   runs keep empty tokens intact yes",
+      " leading and trailing spaces ",
+      "unicode café straße 中文 😀 mixed byte widths ok",
+      "exactly three tok", "too short", "")
+    val k = 3
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = df.select(col("id"),
+        posexplode(graft.functions.NativeHash.kgramWindowHashes(col("text"), k))
+          .as(Seq("pos", "h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaStrings = df
+      .select(col("id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("id"), posexplode(transform(sequence(lit(0), size(col("t")) - k),
+        i => concat_ws(" ", slice(col("t"), i + 1, lit(k))))).as(Seq("pos", "g")))
+      .withColumn("h", xxhash64(col("g")))
+      .select("id", "pos", "h")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(native == viaStrings)
+  }
+
   test("removeSpans cuts flagged tokens, passes clean docs through") {
     val docs = Seq(
       (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
