@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosinePair, MinHashSignature, MisraGries, SimHash64, TopKPairs}
+import graft.functions.{CosinePair, KGramWindowHashes, MinHashSignature, MisraGries, SimHash64, TopKPairs}
 
 /** SparkSessionExtensions entry point: registers the native expressions
   * and aggregates as SQL functions so `spark.sql("SELECT graft_simhash
@@ -51,6 +51,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 3, "graft_topk(value, payload, k)")
         TopKPairs(children(0), children(1), intLit(children(2), "k"))
+      }),
+    (FunctionIdentifier("graft_kgram_hashes"),
+      new ExpressionInfo(classOf[KGramWindowHashes].getName, "graft_kgram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_kgram_hashes(text, k)")
+        KGramWindowHashes(children.head, intLit(children(1), "k"))
       }),
     (FunctionIdentifier("graft_misra_gries"),
       new ExpressionInfo(classOf[MisraGries].getName, "graft_misra_gries"),

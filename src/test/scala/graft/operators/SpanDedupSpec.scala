@@ -97,6 +97,13 @@ class SpanDedupSpec extends SparkSuite {
       .select("id", "pos", "h")
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(native == viaStrings)
+    // the kernel is also a registered SQL function
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT graft_kgram_hashes('a b c d', 3) AS h")
+      .head().getSeq[Long](0)
+    val expect = spark.sql(
+      "SELECT array(xxhash64('a b c'), xxhash64('b c d')) AS h").head().getSeq[Long](0)
+    assert(viaSql == expect)
   }
 
   test("removeSpans cuts flagged tokens, passes clean docs through") {
