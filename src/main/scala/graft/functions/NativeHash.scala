@@ -160,6 +160,35 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Linear text score: `bias + Σ weight(token)` over the single-space
+    * tokens WITH multiplicity (absent tokens weigh 0) — a fasttext-style
+    * linear classifier applied per row, integer-exact (weights are
+    * milli-units as longs, so the sum is order-independent and SQL-
+    * mirrorable). Tokens are zero-copy UTF8String views over the
+    * document's bytes; the model rides as one hash map per executor, so
+    * scoring is pure map-side work — no explode, no join, no shuffle. */
+  def linearTextScore(
+      text: UTF8String,
+      weights: java.util.HashMap[UTF8String, java.lang.Long],
+      bias: Long): Long = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nb = text.numBytes
+    var sum = bias
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb ||
+          org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        val w = weights.get(UTF8String.fromAddress(base, off + start, i - start))
+        if (w != null) sum += w.longValue()
+        start = i + 1
+      }
+      i += 1
+    }
+    sum
+  }
+
   private final val PolyM = (1L << 61) - 1 // Mersenne prime 2^61 - 1
   private final val PolyB = 131L
   // SplitMix64's multiplier: the final WRAPPING multiply (mod 2^64 — Java's
@@ -251,6 +280,34 @@ case class KGramWindowHashes(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): KGramWindowHashes =
     copy(child = newChild)
   override def prettyName: String = "graft_kgram_hashes"
+}
+
+/** string → bigint: fasttext-style linear classifier score (codegen'd; the
+  * weight table rides as one reference hash map, not an expression tree —
+  * see [[HashKernels.linearTextScore]]). */
+case class LinearTextScore(child: Expression, weights: Map[String, Long], bias: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_linear_score expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](weights.size * 2)
+    weights.foreach { case (k, v) => m.put(UTF8String.fromString(k), java.lang.Long.valueOf(v)) }
+    m
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.linearTextScore(input.asInstanceOf[UTF8String], table, bias)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.linearTextScore($c, $ref, ${bias}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LinearTextScore =
+    copy(child = newChild)
+  override def prettyName: String = "graft_linear_score"
 }
 
 /** array<string> → bigint: the 64-bit SimHash (codegen'd). */
@@ -630,6 +687,8 @@ object NativeHash {
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
   def kgramWindowHashes(text: Column, k: Int): Column =
     Bridge.column(KGramWindowHashes(Bridge.expression(text), k))
+  def linearTextScore(text: Column, weights: Map[String, Long], bias: Long): Column =
+    Bridge.column(LinearTextScore(Bridge.expression(text), weights, bias))
   def simhash64(tokens: Column, poly: Boolean = false): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens), poly))
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -683,6 +683,24 @@ object Catalog {
         WHERE cb < CASE source WHEN 'src0' THEN 600 WHEN 'src3' THEN 600
           ELSE 450 END""")),
 
+    // Learned-quality scoring: a fasttext-style LINEAR classifier applied
+    // per document (bias + Σ token milli-weights, integer-exact) by the
+    // codegen'd LinearTextScore kernel — the model rides as one hash map
+    // per executor, so scoring is map-side only: no explode, no shuffle
+    Q("text_quality_linear",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+          graft.functions.NativeHash.linearTextScore(col("text"),
+            Map("scan" -> 40L, "query" -> 25L, "join" -> 15L, "a" -> -5L,
+              "sort" -> -30L, "merge" -> -20L), bias = 100L).as("score_milli"))
+        .withColumn("keep", col("score_milli") >= 150L),
+      Some("""WITH w(tok, wt) AS (VALUES ('scan', 40), ('query', 25), ('join', 15),
+          ('a', -5), ('sort', -30), ('merge', -20)),
+        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        sc AS (SELECT doc_id, 100 + coalesce(sum(wt), 0) AS s
+          FROM tk LEFT JOIN w USING (tok) GROUP BY doc_id)
+        SELECT doc_id, CAST(s AS BIGINT) AS score_milli, s >= 150 AS keep
+        FROM sc""")),
+
     // Corpus-LM novelty (CCNet-style statistical filtering, integer-exact):
     // bigram model trained on the corpus itself with an adaptive commonness
     // threshold; per-doc novel-bigram counts + truncating permille
