@@ -475,6 +475,137 @@ object Multimodal {
       }).toDF()
   }
 
+  /** Synthetic BLOCK-patterned images for the perceptual-hash operators:
+    * one 32×32 PNG per image-kind doc id (id % 3 == 0), an 8×8 grid of
+    * 4×4-pixel constant-gray blocks with
+    * `luma(i, j) = (seed·31 + i·8 + j·17) % 256`, `seed = id % 40` — ids
+    * sharing a seed are EXACT duplicates; ids with `id % 7 == 0`
+    * additionally bump block (0,0) by +8 (mod 256), a near-duplicate
+    * variant. Really PNG-encoded, really decoded; every hash bit is pure
+    * integer arithmetic of the id, so a SQL oracle replays the whole
+    * pipeline. */
+  def syntheticBlockImages(spark: SparkSession, docsParquet: String): DataFrame = {
+    import spark.implicits._
+    implicit val enc = Encoders.product[MediaRow]
+    spark.read.parquet(docsParquet).select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 0)
+      .mapPartitions(_.map { id =>
+        val seed = id % 40
+        val img = new java.awt.image.BufferedImage(32, 32,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            val base = (seed * 31 + i * 8 + j * 17) % 256
+            val v = (if (id % 7 == 0 && i == 0 && j == 0) (base + 8) % 256
+              else base).toInt
+            val rgb = (v << 16) | (v << 8) | v
+            var y = i * 4
+            while (y < (i + 1) * 4) {
+              var x = j * 4
+              while (x < (j + 1) * 4) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        MediaRow(id, "image", Some(32), Some(32), None, Some(1), out.toByteArray)
+      }).toDF()
+  }
+
+  final case class ImageSig(media_id: Long, ahash: Long)
+
+  /** Perceptual average-hash over REAL decoded pixels: the image is block-
+    * averaged onto a `grid`×`grid` luma matrix (pixel (x,y) → cell
+    * (y·g/h, x·g/w) — exact integer partition, any dims) and bit
+    * (i·g + j) is set iff the cell's mean luma EXCEEDS the global mean.
+    * The comparison is the division-free cross-multiply
+    * `cellSum · totalPixels > totalSum · cellPixels` — exact integers end
+    * to end, so the hash is reproducible from pixel values alone (and by
+    * a SQL oracle). Undecodable payloads are dropped. One sequential
+    * decode pass per partition, constant memory. */
+  def imageAHashes(media: DataFrame, grid: Int = 8): Dataset[ImageSig] = {
+    require(grid >= 2 && grid * grid <= 64, s"grid² must fit 64 bits, got $grid")
+    implicit val enc = Encoders.product[ImageSig]
+    media.filter(col("kind") === "image")
+      .select("media_id", "kind", "width", "height", "sample_rate", "n_frames", "payload")
+      .as(Encoders.product[MediaRow])
+      .mapPartitions(_.flatMap { r =>
+        if (!ImageCodec.isPng(r.payload)) None
+        else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val sums = Array.ofDim[Long](grid * grid)
+            val counts = Array.ofDim[Long](grid * grid)
+            var y = 0
+            while (y < h) {
+              val ci = y.toLong * grid / h
+              var x = 0
+              while (x < w) {
+                val cj = x.toLong * grid / w
+                val p = img.getRGB(x, y)
+                val cell = (ci * grid + cj).toInt
+                sums(cell) += ((p >> 16 & 0xff) + (p >> 8 & 0xff) + (p & 0xff)) / 3
+                counts(cell) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val totalSum = sums.sum
+            val totalPixels = w.toLong * h
+            var sig = 0L
+            var c = 0
+            while (c < grid * grid) {
+              // BigInt: sums are ≤ 255·w·h, so the cross-multiply can
+              // exceed Long for very large images
+              if (BigInt(sums(c)) * totalPixels > BigInt(totalSum) * counts(c))
+                sig |= 1L << c
+              c += 1
+            }
+            Some(ImageSig(r.media_id, sig))
+          }
+        }
+      })
+  }
+
+  /** Near-duplicate image pairs: hamming(aHash) ≤ maxHamming, via the
+    * pigeonhole band join (maxHamming+1 equal-width signature bands — a
+    * qualifying pair matches exactly on ≥ 1 band), then exact popcount
+    * verification. The same LSH shape as the text simhash pairs: bucketed
+    * candidates, never a cross join. */
+  def imageNearDupPairs(
+      media: DataFrame, grid: Int = 8, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(64 % nBands == 0, s"maxHamming+1 must divide 64, got $nBands")
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val sigs = imageAHashes(media, grid).toDF()
+    val banded = sigs.select(col("media_id"), col("ahash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("ahash"), col("bk.band"), col("bk.key"))
+    val cand = banded.select(col("band"), col("key"),
+        col("media_id").as("id_a"), col("ahash").as("sig_a"))
+      .join(banded.select(col("band"), col("key"),
+        col("media_id").as("id_b"), col("ahash").as("sig_b")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** "Resize" planning stage: compute target dims as metadata (the real
     * pixel work would live in DecodeStub). */
   def resizePlan(media: DataFrame, maxSide: Int = 256): DataFrame = {

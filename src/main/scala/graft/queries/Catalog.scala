@@ -1100,6 +1100,31 @@ object Catalog {
           CAST(((doc_id % 256) * 128 * 1000) // 32768 AS BIGINT) AS mean_amp_x1000
         FROM documents WHERE doc_id % 3 = 1""")),
 
+    // Perceptual image dedup: block-patterned PNGs are really encoded,
+    // really decoded, block-averaged to an 8×8 aHash (division-free exact
+    // integer bits), and near-dup pairs found by the pigeonhole band join
+    // + exact popcount — the oracle replays every hash bit and hamming
+    // distance from the generating arithmetic alone
+    Q("multimodal_image_near_dup",
+      (s, d) => graft.multimodal.Multimodal.imageNearDupPairs(
+        graft.multimodal.Multimodal.syntheticBlockImages(s, s"$d/documents.parquet")),
+      Some("""WITH img AS (SELECT doc_id AS id, doc_id % 40 AS seed, doc_id % 7 = 0 AS noisy
+          FROM documents WHERE doc_id % 3 = 0),
+        cells AS (SELECT id, i, j,
+            CASE WHEN noisy AND i = 0 AND j = 0
+              THEN ((seed*31 + i*8 + j*17) % 256 + 8) % 256
+              ELSE (seed*31 + i*8 + j*17) % 256 END AS v
+          FROM img, range(8) a(i), range(8) b(j)),
+        tot AS (SELECT id, sum(v) AS tv FROM cells GROUP BY id),
+        bits AS (SELECT c.id, c.i, c.j,
+            CASE WHEN c.v * 64 > t.tv THEN 1 ELSE 0 END AS bit
+          FROM cells c JOIN tot t ON c.id = t.id),
+        pr AS (SELECT a.id AS id_a, b.id AS id_b,
+            CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+          FROM bits a JOIN bits b ON a.i = b.i AND a.j = b.j AND a.id < b.id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""")),
+
     // REAL image resize (Graphics2D bilinear, aspect-preserving floor
     // arithmetic): resized constant-gray pixels keep their exact luma,
     // dims follow the resize plan formula

@@ -226,8 +226,10 @@ class DataSkippingSpec extends SparkSuite {
     t.optimize(clusterBy = Seq("x"), targetDirs = 2, zorder = true)
     // single-column zorder ⇒ z monotone in x ⇒ each written FILE must be
     // x-sorted (this is what drives parquet row-group pruning inside a dir)
+    // "-c<digits>" suffix only: a plain append dir's random uuid can start
+    // with 'c' (v0000000000-c86a0ab2), so contains("-c") is flaky
     val dataDirs = new java.io.File(s"$root/data").listFiles()
-      .filter(f => f.isDirectory && f.getName.contains("-c")).sortBy(_.getName)
+      .filter(f => f.isDirectory && f.getName.matches(".*-c\\d+")).sortBy(_.getName)
     assert(dataDirs.length == 2)
     dataDirs.foreach { d =>
       d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
