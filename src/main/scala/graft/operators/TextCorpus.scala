@@ -311,4 +311,67 @@ object TextCorpus {
           expr("novel_bigrams * 1000 div total_bigrams"))
           .otherwise(0L).cast("long").as("novelty_permille"))
   }
+
+  /** Deterministic global shuffle + fixed-size shard assignment for
+    * training export: every document gets a pseudo-random but REPRODUCIBLE
+    * global rank (order by (lcg-mixed key, id) — same answer at any
+    * partition count, any plan, any engine), and shards of exactly
+    * `rowsPerShard` rows cut along that order — "shuffle the corpus with
+    * seed S and write 8192-row shards" as one operator, without
+    * `rand()`'s per-partition RNG state or a nondeterministic
+    * `repartition`.
+    *
+    * Scale shape: the global rank is NOT a single-partition window (the
+    * [[concatChunks]] trap). The shuffle key's value range [0, 2^31) is
+    * cut into `buckets` equal-width slices — an ORDER-MONOTONIC prefix of
+    * the sort order, so concatenating buckets in bucket order IS the
+    * global order. Each bucket ranks locally after one hash shuffle; the
+    * per-bucket counts (≤ `buckets` longs) become driver-side prefix
+    * bases handed back as a broadcast join. The LCG mixes ids uniformly,
+    * so buckets are balanced regardless of id clustering.
+    *
+    * Output: (id, shard, pos) with shard = rank div rowsPerShard and pos
+    * the offset inside the shard. SQL mirror of the key (m = 2147483648):
+    * {{{ (((id % m + seed) % m) * 1103515245 + 12345) % m }}}
+    * then `row_number() OVER (ORDER BY key, id) - 1` for the rank. */
+  def deterministicShards(
+      df: DataFrame, idCol: String, seed: Long, rowsPerShard: Long,
+      buckets: Int = 1024): DataFrame = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    require(buckets > 0 && buckets <= (1 << 20), "buckets must be in [1, 2^20]")
+    val spark = df.sparkSession
+    val m = 2147483648L
+    // key ∈ [0, m): the seed shifts the id BEFORE the LCG multiply — a
+    // post-multiply "+ seed" would only rotate the key space and leave the
+    // relative order (the actual shuffle) seed-independent. The id is
+    // reduced mod m first, so the product stays ≤ 2^62 and ANSI overflow
+    // cannot fire; pmod keeps negative ids non-negative like the SQL
+    // mirror's `% m + m` form
+    val key = pmod(pmod(pmod(col(idCol).cast("long"), lit(m))
+      + (seed % m), lit(m)) * 1103515245L + 12345L, lit(m))
+    val width = m / buckets + (if (m % buckets == 0) 0L else 1L)
+    val base = df.select(col(idCol), key.as("__key"))
+      .withColumn("__bk", (col("__key") / width).cast("int"))
+      .repartition(math.min(buckets, spark.sessionState.conf.numShufflePartitions
+        max 1), col("__bk"))
+    val counted = Caching.spillPersistEager(base)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bk").orderBy(col("__key"), col(idCol))
+    val local = counted.withColumn("__rn",
+      row_number().over(w).cast("long") - 1L)
+    val totals = counted.groupBy("__bk").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bases: Seq[(Int, Long)] = {
+      val sorted = totals.keys.toSeq.sorted
+      sorted.zip(sorted.scanLeft(0L)((acc, b) => acc + totals(b)).init)
+    }
+    import spark.implicits._
+    val baseDf = bases.toDF("__bk", "__base")
+    local.join(broadcast(baseDf), Seq("__bk"))
+      .withColumn("__rank", col("__rn") + col("__base"))
+      // integer DIV: ranks can exceed 2^53 at extreme scale, double `/`
+      // would round shard boundaries
+      .select(col(idCol), expr(s"__rank DIV ${rowsPerShard}L").as("shard"),
+        pmod(col("__rank"), lit(rowsPerShard)).as("pos"))
+  }
 }

@@ -932,6 +932,23 @@ object Catalog {
         WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000 <
           CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'fr' THEN 100 ELSE 0 END""")),
 
+    // deterministic global shuffle + fixed-size shard assignment (training
+    // export): rank = position in the (lcg-mixed key, id) order, computed
+    // with bucketed local ranks + broadcast prefix bases (never a global
+    // single-partition window); the oracle recomputes the same order with
+    // a plain row_number
+    Q("sample_shuffle_shards",
+      (s, d) => TextCorpus.deterministicShards(t(s, d, "documents"),
+        "doc_id", seed = 7L, rowsPerShard = 64L),
+      Some("""WITH k AS (SELECT doc_id,
+          (((doc_id % 2147483648 + 7) % 2147483648) * 1103515245 + 12345)
+            % 2147483648 AS key
+        FROM documents),
+        r AS (SELECT doc_id,
+          row_number() OVER (ORDER BY key, doc_id) - 1 AS rk FROM k)
+        SELECT doc_id, CAST((rk - rk % 64) / 64 AS BIGINT) AS shard,
+          CAST(rk % 64 AS BIGINT) AS pos FROM r""")),
+
     // the synthetic embeddings have no true near-dups (max pairwise cosine
     // ≈ 0.51), so the gate plants them: each vector unioned with a ×2-scaled
     // copy (float-exact, cosine 1.0, and — since sign(dot(2v, p)) ≡
@@ -1301,6 +1318,59 @@ object Catalog {
         SELECT user_id, min(ets) AS start_us, max(ets) + 3600000000 AS end_us,
           count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
         FROM s GROUP BY user_id, sess""")),
+
+    // stream-stream INTERVAL join (view→purchase attribution): a self-join
+    // of the event stream where the time-range condition + watermarks bound
+    // both join buffers. AvailableNow over the static fixture processes one
+    // batch, and inner-join matches emit immediately, so the result is
+    // batch-SQL-exact — the oracle is the same interval join in DuckDB
+    Q("streaming_interval_join",
+      (s, d) => {
+        val schema = t(s, d, "events").schema
+        val name = s"gj_${math.abs(d.hashCode)}_${System.nanoTime()}"
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-ij")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val raw = s.readStream.schema(schema).parquet(dir.toString)
+          .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        def side(kind: String) = raw.filter(col("event_type") === kind)
+          .select(col("event_id"), col("user_id"), col("ets"))
+        val q = graft.streaming.StreamingIngest.intervalJoin(
+            side("view"), side("purchase"), "user_id", "ets",
+            maxDelay = "30 minutes", watermark = "100 days")
+          .select(col("l_key").as("user_id"),
+            col("l_event_id").as("view_id"), col("r_event_id").as("purchase_id"),
+            unix_micros(col("l_ts")).as("view_us"),
+            unix_micros(col("r_ts")).as("purchase_us"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(s.table(name).collect(): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("view_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("purchase_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("view_us",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("purchase_us",
+              org.apache.spark.sql.types.LongType))))
+        s.catalog.dropTempView(name)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+          CAST(epoch_us(v.ts) AS BIGINT) AS view_us,
+          CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us
+        FROM events v JOIN events p ON v.user_id = p.user_id
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+          AND epoch_us(p.ts) >= epoch_us(v.ts)
+          AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000""")),
 
     // stateful streaming dedup (flatMapGroupsWithState) in the matrix:
     // AvailableNow over one file = one micro-batch, and within a batch the

@@ -119,6 +119,37 @@ object StreamingIngest {
         col("session_window.end").as("sess_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream INTERVAL join: match each left event with the right
+    * events of the same key that land inside [left.ts, left.ts + maxDelay]
+    * — the attribution / request-response pairing shape (views→purchases,
+    * prompts→completions). Both sides carry watermarks, and the time-range
+    * condition bounds BOTH buffers: Spark derives from it how long a left
+    * row can still find a right match (maxDelay past its watermark) and
+    * how long a right row can still find a left initiator, so join state
+    * evicts continuously — the 100 TB requirement (an unconstrained
+    * stream-stream join buffers both streams forever and OOMs any
+    * cluster). Append-mode safe: a match is emitted once both watermarks
+    * pass it. Column names are prefixed `l_`/`r_` to keep the two sides'
+    * ids distinct in the output. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      maxDelay: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(Seq(col(keyCol).as("l_key"), col(tsCol).as("l_ts")) ++
+        left.columns.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => col(c).as(s"l_$c")): _*)
+    val r = right.withWatermark(tsCol, watermark)
+      .select(Seq(col(keyCol).as("r_key"), col(tsCol).as("r_ts")) ++
+        right.columns.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => col(c).as(s"r_$c")): _*)
+    l.join(r, expr(
+      s"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL $maxDelay"))
+  }
+
   /** Run the windowed aggregation over a file stream with AvailableNow and
     * collect results to an in-memory sink table; returns its name. */
   def runWindowedAvailableNow(

@@ -446,4 +446,68 @@ class PipelineOpsSpec extends SparkSuite {
       ("2026-01-01 10:00:00.0", "click", 2L),
       ("2026-01-01 11:00:00.0", "view", 1L)))
   }
+
+  test("deterministic shards: permutation rank, exact shard sizes, plan-independent") {
+    import graft.operators.TextCorpus
+    val ids = (0L until 997L) ++ Seq(-5L, -2147483650L) // negatives + non-multiple count
+    val df = ids.toDF("doc_id")
+    val out = TextCorpus.deterministicShards(df, "doc_id", seed = 42L, rowsPerShard = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == ids.length)
+    // (shard, pos) pairs form exactly the ranks 0..n-1 — a permutation
+    val ranks = out.map { case (_, sh, pos) => sh * 100L + pos }.sorted
+    assert(ranks.toSeq == (0L until ids.length.toLong))
+    // every shard except the last is exactly full
+    val byShard = out.groupBy(_._2).view.mapValues(_.length).toMap
+    val lastShard = byShard.keys.max
+    byShard.foreach { case (sh, n) =>
+      if (sh < lastShard) assert(n == 100, s"shard $sh has $n rows")
+    }
+    // plan-independence: 1 bucket ≡ 64 buckets ≡ different shuffle partitioning
+    val one = TextCorpus.deterministicShards(df, "doc_id", 42L, 100L, buckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val many = TextCorpus.deterministicShards(df.repartition(13), "doc_id", 42L, 100L,
+      buckets = 64).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(one.toSeq == out.sortBy(_._1).toSeq)
+    assert(many.toSeq == out.sortBy(_._1).toSeq)
+    // a different seed produces a different order (not the identity check)
+    val other = TextCorpus.deterministicShards(df, "doc_id", 43L, 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(other.toSeq != out.sortBy(_._1).toSeq)
+  }
+
+  test("streaming interval join: boundary-inclusive matches equal the batch join") {
+    val tmp = tmpDir("graft-ij")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: purchase at +0, at exactly +30 min (inclusive), at +30:01 (out);
+    // user 2: purchase before the view (out); user 3: no purchase
+    val rows = Seq(
+      Row(1L, 1L, "view", ts("2026-01-01 10:00:00")),
+      Row(10L, 1L, "purchase", ts("2026-01-01 10:00:00")),
+      Row(11L, 1L, "purchase", ts("2026-01-01 10:30:00")),
+      Row(12L, 1L, "purchase", ts("2026-01-01 10:30:01")),
+      Row(2L, 2L, "view", ts("2026-01-01 12:00:00")),
+      Row(20L, 2L, "purchase", ts("2026-01-01 11:59:59")),
+      Row(3L, 3L, "view", ts("2026-01-01 09:00:00")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val raw = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    def side(kind: String) = raw.filter(col("event_type") === kind)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val q = graft.streaming.StreamingIngest.intervalJoin(
+        side("view"), side("purchase"), "user_id", "ts",
+        maxDelay = "30 minutes", watermark = "1 day")
+      .select(col("l_event_id").as("view_id"), col("r_event_id").as("purchase_id"))
+      .writeStream.format("memory").queryName("ij_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ij_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 11L)))
+    spark.catalog.dropTempView("ij_test")
+  }
 }
