@@ -586,8 +586,14 @@ final class VersionedTable(spark: SparkSession, val path: String) {
             s"zorder column $c has type ${dt.simpleString}; use numeric/date/timestamp " +
               "columns or zorder=false range clustering")
         }
-        // global [min,max] per column (one tiny agg job) → 16-bit uniform
-        // bucket ids → bit-interleaved 64-bit z-value, all codegen'd
+        // global [min,max] per column (one tiny agg job) → uniform bucket
+        // ids → bit-interleaved z-value, all codegen'd. Bits per column are
+        // capped so the TOP interleaved bit stays below bit 63: with 4
+        // columns a 16-bit bucket would land column 3's high bit on the
+        // SIGN bit, flipping the long's order for the top half of that
+        // column's range and shredding z locality
+        val zBits = math.min(16, 63 / clusterBy.size)
+        val maxBucket = (1L << zBits) - 1
         val boundAggs = clusterBy.flatMap(c =>
           Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
         val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).head()
@@ -595,18 +601,36 @@ final class VersionedTable(spark: SparkSession, val path: String) {
           val lo = if (bounds.isNullAt(2 * i)) 0.0 else bounds.getDouble(2 * i)
           val hi = if (bounds.isNullAt(2 * i + 1)) 0.0 else bounds.getDouble(2 * i + 1)
           val span = if (hi > lo) hi - lo else 1.0
-          // null values fall through least/greatest to bucket 65535 —
+          // null values fall through least/greatest to the top bucket —
           // deterministic, clustered together at the top of the range
-          val bucket = least(lit(65535L), greatest(lit(0L),
-            ((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0)).cast("long")))
+          val bucket = least(lit(maxBucket), greatest(lit(0L),
+            ((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxBucket.toDouble))
+              .cast("long")))
           // spread bucket bits to positions i, i+k, i+2k, … (k = #cols)
-          (0 until 16).map { b =>
+          (0 until zBits).map { b =>
             shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)), b * clusterBy.size + i)
           }.reduce(_.bitwiseOR(_))
         }.reduce(_.bitwiseOR(_))
-        df.withColumn(ZCol, z)
-          .repartitionByRange(targetDirs, col(ZCol))
-          .withColumn(ChunkCol, spark_partition_id())
+        val withZ = df.withColumn(ZCol, z)
+        // chunk boundaries from a DETERMINISTIC full-pass quantile sketch
+        // over z, not sampled range partitioning: RangePartitioner seeds
+        // its reservoir sample from the RDD id, so two optimize runs over
+        // identical data could cut different chunks — reproducible layout
+        // matters (debuggability, stable tests, idempotent re-optimize).
+        // The boundary count is targetDirs-1 (tiny); assignment is a
+        // codegen'd aggregate over the boundary array literal, O(targetDirs)
+        // integer ops per row with O(1) plan size (not a when-chain)
+        val chunkCol =
+          if (targetDirs == 1) lit(0)
+          else {
+            val probs = (1 until targetDirs).map(_.toDouble / targetDirs).toArray
+            val qs = withZ.select(col(ZCol).cast("double").as("zd"))
+              .stat.approxQuantile("zd", probs, 1.0 / math.max(100, 10 * targetDirs))
+            aggregate(lit(qs), lit(0),
+              (acc, b) => acc + when(col(ZCol).cast("double") > b, 1).otherwise(0))
+          }
+        withZ.withColumn(ChunkCol, chunkCol)
+          .repartition(targetDirs, col(ChunkCol))
           .sortWithinPartitions(col(ChunkCol), col(ZCol))
           .drop(ZCol)
       }

@@ -219,6 +219,65 @@ class DataSkippingSpec extends SparkSuite {
       t.read().filter($"x" < 100L && $"y" < 100L).count())
   }
 
+  test("optimize zorder with 4 columns keeps every axis prunable") {
+    // 16 chunks ⇒ the top four interleaved bits all participate — one per
+    // column — so a half-range slice on ANY axis must rule out chunks
+    // (with 8 chunks only three columns reach the chunk split and the
+    // fourth axis legitimately cannot prune). The 15-bit-per-column cap
+    // keeps the 4-column interleave out of the sign bit, so z reads as a
+    // plain unsigned curve position
+    val root = tmpDir("opt-z4")
+    val t = new VersionedTable(spark, root)
+    val rnd = new scala.util.Random(13)
+    (0 until 4).foreach { _ =>
+      t.append(Seq.fill(1000)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong,
+        rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong)).toDF("a", "b", "c", "d"))
+    }
+    t.optimize(clusterBy = Seq("a", "b", "c", "d"), targetDirs = 16, zorder = true)
+    assert(t.read().count() == 4000)
+    // pruning power tracks bit significance: d owns the top interleaved
+    // bit (contiguous prefix block, ~half the chunks + one straddle), c the
+    // next (two runs), b the third (four runs); a's bit alternates every
+    // prefix so nearly every chunk straddles it — no guarantee, only
+    // correctness. These bounds hold for any quantile-cut of uniform z
+    val hits = Seq("a", "b", "c", "d")
+      .map(c => c -> t.scannedDirCount(col(c) < 150L)).toMap
+    assert(hits("d") <= 10, s"d-slice scanned ${hits("d")} of 16 dirs")
+    assert(hits("c") <= 11, s"c-slice scanned ${hits("c")} of 16 dirs")
+    assert(hits("b") <= 13, s"b-slice scanned ${hits("b")} of 16 dirs")
+    Seq("a", "b", "c", "d").foreach { c =>
+      assert(t.readWhere(col(c) < 150L).count() ==
+        t.read().filter(col(c) < 150L).count())
+    }
+  }
+
+  test("optimize zorder layout is deterministic across identical runs") {
+    // chunk boundaries come from a full-pass quantile sketch, not a
+    // sampled RangePartitioner (whose reservoir seed varies with RDD id):
+    // two tables built identically must optimize to IDENTICAL dir contents
+    def build(tag: String): String = {
+      val root = tmpDir(s"opt-det-$tag")
+      val t = new VersionedTable(spark, root)
+      val rnd = new scala.util.Random(21)
+      (0 until 3).foreach { _ =>
+        t.append(Seq.fill(500)((rnd.nextInt(5000).toLong, rnd.nextDouble()))
+          .toDF("k", "v"))
+      }
+      t.optimize(clusterBy = Seq("k"), targetDirs = 4, zorder = true)
+      root
+    }
+    // per-chunk row contents, keyed by the chunk index in the dir name
+    def layout(root: String): Map[Int, Seq[Long]] =
+      new java.io.File(s"$root/data").listFiles()
+        .filter(f => f.isDirectory && f.getName.matches(".*-c\\d+"))
+        .map { d =>
+          d.getName.replaceAll(".*-c", "").toInt ->
+            spark.read.parquet(d.getAbsolutePath)
+              .select("k").collect().map(_.getLong(0)).toSeq.sorted
+        }.toMap
+    assert(layout(build("a")) == layout(build("b")))
+  }
+
   test("optimize zorder writes files sorted by z within each dir") {
     val root = tmpDir("opt-zsort")
     val t = new VersionedTable(spark, root)

@@ -61,6 +61,9 @@ object PlanCheck {
           !p.contains("windowspecdefinition(pos#")),
       ("sample_token_budget", "budget cumsum bucketed by (group, lcgBucket), bases broadcast",
         p => p.contains("windowspecdefinition(source#") &&
+          p.contains("BroadcastHashJoin")),
+      ("sample_shuffle_shards", "shard rank windowed per key bucket (no global window), bases broadcast",
+        p => p.contains("windowspecdefinition(__bk") &&
           p.contains("BroadcastHashJoin")))
     println("\n========== invariants ==========")
     var failed = 0
