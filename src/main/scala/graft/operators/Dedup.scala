@@ -102,6 +102,82 @@ object Dedup {
     verifyJaccard(df, idCol, textCol, pairs, threshold, shingleN)
   }
 
+  /** Persistable MinHash-LSH corpus INDEX: one row per document carrying
+    * its LSH band buckets and its sorted hashed shingle set — everything
+    * incremental dedup needs, so a daily ingest batch is deduped against an
+    * N-billion-doc corpus without re-reading or re-shingling corpus text.
+    * Write the result as parquet (or append it to a
+    * [[graft.store.VersionedTable]] per ingest); feed it back through
+    * [[minhashLshIncremental]]. Columns: (id, buckets:
+    * array<struct<band,bucket>>, shn, shs: array<long> sorted). */
+  def minhashIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    shingleSets(df.select(col(idCol).as("id"), col(textCol)), "id", textCol, shingleN)
+      .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
+        lshBands(col("sig"), bands, rowsPerBand).as("buckets"),
+        size(col("sh")).cast("long").as("shn"),
+        sort_array(transform(col("sh"), s => xxhash64(s))).as("shs"))
+  }
+
+  /** Near-duplicate pairs between a NEW batch and an existing
+    * [[minhashIndex]] — the incremental form of [[minhashLshPairs]] for
+    * rolling ingestion: the batch is shingled and signed once, candidates
+    * come from joining the batch's band buckets against the index's, and
+    * verification intersects the batch's sorted shingle hashes with the
+    * hashes STORED in the index. The corpus itself is never touched.
+    * Returns (id_a = index doc, id_b = batch doc, jaccard_x1000 ≥
+    * threshold); cross-side pairs only — batch-internal duplicates are
+    * [[minhashLshPairs]] on the batch. Index and batch ids must be
+    * disjoint. `numHashes`/`bands`/`shingleN` must match the index build.
+    *
+    * Scale shape: index postings are narrow (id, band, bucket) rows; the
+    * candidate join keys on (band, bucket) where the batch side is small —
+    * AQE broadcasts it — and the hot-bucket guard caps corpus boilerplate
+    * buckets exactly like the batch operator. Verification joins the
+    * (small) candidate set back to the two shingle stores by id. */
+  def minhashLshIncremental(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      shingleN: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val bsets = spillPersistEager(
+      shingleSets(batch.select(col(idCol).as("id"), col(textCol)), "id", textCol, shingleN)
+        .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
+        .select(col("id"),
+          lshBands(col("sig"), bands, rowsPerBand).as("buckets"),
+          size(col("sh")).cast("long").as("shn"),
+          sort_array(transform(col("sh"), s => xxhash64(s))).as("shs")))
+    def postings(src: DataFrame, outId: String) =
+      src.select(col("id").as(outId), explode(col("buckets")).as("b"))
+        .select(col(outId), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val iPost = postings(index, "id_a")
+    val bPost = postings(bsets, "id_b")
+    // hot-bucket guard on the INDEX side: corpus-scale boilerplate buckets
+    // are the quadratic risk; their members pair via other bands
+    val oversized = iPost.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
+      .select("band", "bucket")
+    val candidates = spillPersist(
+      bPost.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+        .join(iPost, Seq("band", "bucket"))
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b"))
+    val tX1000 = (threshold * 1000).toLong
+    candidates
+      .join(index.select(col("id").as("id_a"), col("shn").as("shn_a"), col("shs").as("sh_a")), "id_a")
+      .join(bsets.select(col("id").as("id_b"), col("shn").as("shn_b"), col("shs").as("sh_b")), "id_b")
+      .filter(least(col("shn_a"), col("shn_b")) * 1000L >=
+        greatest(col("shn_a"), col("shn_b")) * tX1000)
+      .withColumn("jaccard_x1000", jaccardX1000Sorted(
+        col("sh_a"), col("sh_b"), col("shn_a"), col("shn_b")))
+      .filter(col("jaccard_x1000") >= tX1000)
+      .select("id_a", "id_b", "jaccard_x1000")
+  }
+
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs: shingle
     * sets are computed ONCE PER DOCUMENT on the (broadcastable) text side —
     * never per pair, and never inlined into a join condition where the

@@ -816,6 +816,43 @@ object Catalog {
         threshold = 0.5),
       Some(jaccardTruthSql(500))),
 
+    // INCREMENTAL near-dedup: the corpus is indexed once (band buckets +
+    // sorted shingle hashes), the index round-trips through parquet to
+    // prove storability, and a "daily batch" (copies of every 7th doc
+    // under fresh ids — identical signatures make recall structural: the
+    // copy collides wherever its source does, and the full-corpus gate
+    // proves sources collide with all their J≥0.5 partners) is deduped
+    // against the index WITHOUT touching corpus text. Oracle recomputes
+    // exact batch×corpus Jaccard truth
+    Q("dedup_minhash_incremental",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+        val dir = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
+        Dedup.minhashIndex(corpus, "doc_id", "text").write
+          .mode("overwrite").parquet(dir)
+        val index = s.read.parquet(dir)
+        val batch = corpus.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        Dedup.minhashLshIncremental(batch, index, "doc_id", "text",
+          threshold = 0.5)
+      },
+      Some(s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks)-1),
+                i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+          FROM base),
+        batch AS (SELECT doc_id + 1000000 AS doc_id, sh FROM sets WHERE doc_id % 7 = 0),
+        pa AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+        pb AS (SELECT doc_id, unnest(sh) AS s FROM batch),
+        sa AS (SELECT doc_id, len(sh) AS sz FROM sets),
+        sb AS (SELECT doc_id, len(sh) AS sz FROM batch),
+        inter AS (SELECT pa.doc_id AS id_a, pb.doc_id AS id_b, count(*) AS i
+          FROM pa JOIN pb ON pa.s = pb.s GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST((i*1000) // (sa.sz + sb.sz - i) AS BIGINT) AS jaccard_x1000
+        FROM inter JOIN sa ON sa.doc_id = id_a JOIN sb ON sb.doc_id = id_b
+        WHERE (i*1000) // (sa.sz + sb.sz - i) >= 500""")),
+
     // SimHash candidates (8×8-bit chunks: pigeonhole-complete for hamming
     // ≤ 7) verified at Jaccard ≥ 0.9. The gate uses the SQL-mirrorable
     // poly61 token hash so the ORACLE recomputes the signatures and tests

@@ -59,6 +59,40 @@ class PipelineOpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental minhash vs persisted index equals batch-mode cross pairs") {
+    // randomized corpus + batch of copies/mutations/novel docs: indexing
+    // the corpus then deduping the batch incrementally must yield EXACTLY
+    // the cross-side subset of running the pairwise operator on the union
+    // (identical hashes → identical buckets; no hot-bucket caps fire here)
+    val rnd = new scala.util.Random(5)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc() = Seq.fill(12 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" ")
+    val corpus = (0L until 40L).map(i => (i, doc()))
+    val batch = (0 until 15).map { j =>
+      val (srcId, srcText) = corpus(rnd.nextInt(corpus.size))
+      val text = rnd.nextInt(3) match {
+        case 0 => srcText // exact copy
+        case 1 => srcText.replaceFirst(words(rnd.nextInt(words.size)), "omega") // mutation
+        case _ => doc() // novel
+      }
+      (1000L + j, text)
+    }
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val batchDf = batch.toDF("doc_id", "text")
+    val dir = tmpDir("mh-idx")
+    Dedup.minhashIndex(corpusDf, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val inc = Dedup.minhashLshIncremental(batchDf, spark.read.parquet(dir),
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unionPairs = Dedup.minhashLshPairs(
+        corpusDf.unionByName(batchDf), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(p => p._1 < 1000L && p._2 >= 1000L).toSet
+    assert(inc == unionPairs)
+    assert(inc.nonEmpty) // the planted copies guarantee at least one pair
+  }
+
   test("direct n-gram jaccard: exact per-mille, total recall, threshold cut") {
     val base = "the cat sat on the mat and looked at the moon while birds sang softly in the trees near the river bank at dusk"
     val near = base.replace("softly", "loudly")
