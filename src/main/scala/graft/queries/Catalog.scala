@@ -277,6 +277,44 @@ object Catalog {
           AS trailing_30d_cents
         FROM orders""")),
 
+    // lead/lag/ntile — the remaining ranking-window family members: per
+    // customer order history with previous/next order value and a global
+    // price quartile; deterministic order keys make the oracle exact
+    Q("w5_lead_lag_ntile",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          lag(cents(col("o_totalprice")), 1).over(w).as("prev_cents"),
+          lead(cents(col("o_totalprice")), 1).over(w).as("next_cents"),
+          ntile(4).over(Window.orderBy(col("o_orderkey"))).as("key_quartile"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          lag(CAST(round(o_totalprice*100) AS BIGINT), 1) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_cents,
+          lead(CAST(round(o_totalprice*100) AS BIGINT), 1) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_cents,
+          CAST(ntile(4) OVER (ORDER BY o_orderkey) AS INT) AS key_quartile
+        FROM orders""")),
+
+    // exact interpolated percentiles (median + p95) per group — Spark's
+    // `percentile` and DuckDB's `quantile_cont` both interpolate at
+    // pos = p·(n−1) over the sorted values; on integer cent inputs the
+    // double arithmetic is identical on both sides, so the gate can
+    // hash-compare the raw doubles
+    Q("agg_percentile",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(CAST(round(l_quantity*100) AS BIGINT), 0.5)").as("median_qty_cents"),
+          expr("percentile(CAST(round(l_extendedprice*100) AS BIGINT), 0.95)").as("p95_price_cents"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag,
+          quantile_cont(CAST(round(l_quantity*100) AS BIGINT), 0.5) AS median_qty_cents,
+          quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.95) AS p95_price_cents,
+          count(*) AS cnt
+        FROM lineitem GROUP BY 1""")),
+
     // PIVOT: order counts per customer segment × order priority, the
     // wide-table reshaping step — oracle via conditional aggregation
     Q("agg_pivot",
