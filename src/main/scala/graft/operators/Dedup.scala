@@ -45,6 +45,19 @@ object Dedup {
       .groupBy("fp")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dupes"))
 
+  /** Incremental EXACT dedup: drop batch rows whose normalized-text
+    * fingerprint already exists in `seen` — a persisted fingerprint set
+    * (e.g. the `fp` column of prior [[exact]] runs, appended per ingest).
+    * One anti-join on the fingerprint; corpus text is never read. At scale
+    * the seen-set side is the big one, so the join shuffles on the
+    * fingerprint (AQE broadcasts the batch when it is small). */
+  def exactIncremental(
+      batch: DataFrame, idCol: String, textCol: String,
+      seen: DataFrame, fpCol: String = "fp"): DataFrame =
+    batch.withColumn("__fp", fingerprint(col(textCol)))
+      .join(seen.select(col(fpCol).as("__fp")).distinct(), Seq("__fp"), "left_anti")
+      .drop("__fp")
+
   /** Per-row MinHash signature: array of `numHashes` 64-bit minima over the
     * shingle set. Delegates to the native codegen'd expression
     * ([[graft.functions.MinHashSignature]]) — the equivalent

@@ -1257,6 +1257,69 @@ object Catalog {
           count(*) AS dupes
         FROM q GROUP BY 1""")),
 
+    // END-TO-END INCREMENTAL INGEST: a synthetic "daily batch" (exact
+    // copies of every 7th corpus doc, near-copies of every 11th with two
+    // appended tokens, order-reversed every-13th as novel content) runs
+    // the rolling-ingestion pipeline — exact dedup against the persisted
+    // fingerprint set, near-dedup against the persisted minhash index,
+    // then the quality filter — and the gate checks WHICH docs survive.
+    // Copies die at the fingerprint stage, near-copies at the index stage
+    // (J ≈ 0.9 to their source), reversed docs have disjoint 3-shingles
+    // and survive to the quality cut. The oracle replays every stage from
+    // first principles (md5 set, exact Jaccard truth, quality SQL)
+    Q("pipeline_ingest_incremental",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+        val seen = Dedup.exact(corpus, "doc_id", "text").select("fp")
+        val dir = java.nio.file.Files.createTempDirectory("graft-ing-idx").toString
+        Dedup.minhashIndex(corpus, "doc_id", "text").write.mode("overwrite").parquet(dir)
+        val index = s.read.parquet(dir)
+        val batch = corpus.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionByName(corpus.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" tail7 tail8")).as("text")))
+          .unionByName(corpus.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+        val afterExact = Dedup.exactIncremental(batch, "doc_id", "text", seen)
+        val nearIds = Dedup.minhashLshIncremental(afterExact, index,
+            "doc_id", "text", threshold = 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        afterExact.join(nearIds, Seq("doc_id"), "left_anti")
+          .filter(TextFunctions.qualityLabel(col("text")) === "ok")
+          .select("doc_id")
+      },
+      Some(s"""WITH batch AS (
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+          UNION ALL SELECT doc_id + 2000000, text || ' tail7 tail8'
+            FROM documents WHERE doc_id % 11 = 0
+          UNION ALL SELECT doc_id + 3000000,
+            array_to_string(list_reverse(string_split(text, ' ')), ' ')
+            FROM documents WHERE doc_id % 13 = 0),
+        ex AS (SELECT doc_id, text FROM batch
+          WHERE md5($normSql) NOT IN (SELECT md5($normSql) FROM documents)),
+        bsets AS (SELECT doc_id, list_distinct(
+            CASE WHEN len($toksSql) <= 3 THEN [array_to_string($toksSql, ' ')]
+            ELSE list_transform(range(1, len($toksSql)-1),
+              i -> array_to_string(($toksSql)[i:i+2], ' ')) END) AS sh FROM ex),
+        csets AS (SELECT doc_id, list_distinct(
+            CASE WHEN len($toksSql) <= 3 THEN [array_to_string($toksSql, ' ')]
+            ELSE list_transform(range(1, len($toksSql)-1),
+              i -> array_to_string(($toksSql)[i:i+2], ' ')) END) AS sh FROM documents),
+        pb AS (SELECT doc_id, unnest(sh) AS s FROM bsets),
+        pc AS (SELECT doc_id, unnest(sh) AS s FROM csets),
+        sb AS (SELECT doc_id, len(sh) AS sz FROM bsets),
+        sc AS (SELECT doc_id, len(sh) AS sz FROM csets),
+        near AS (SELECT pb.doc_id FROM pb JOIN pc ON pb.s = pc.s
+          JOIN sb ON sb.doc_id = pb.doc_id JOIN sc ON sc.doc_id = pc.doc_id
+          GROUP BY pb.doc_id, pc.doc_id, sb.sz, sc.sz
+          HAVING (count(*)*1000) // (sb.sz + sc.sz - count(*)) >= 500),
+        kept AS (SELECT doc_id, text FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM near))
+        SELECT doc_id FROM kept
+        WHERE CAST(len($toksSql) AS BIGINT) >= 5 AND ($stopWordsSql) > 0"""))
+      ,
+
     // vector-corpus CDC: array<float> payloads through the whole SCD2
     // engine (projection, union, delete tombstones with NULL arrays);
     // oracle checks every scalar derivation incl. dim-of-NULL for deletes
