@@ -157,14 +157,11 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       shingleN: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
+    // the batch side is hashed by the SAME index builder — the verify join
+    // below depends on batch and index shingle hashes being bit-compatible,
+    // so there must be exactly one place that computes them
     val bsets = spillPersistEager(
-      shingleSets(batch.select(col(idCol).as("id"), col(textCol)), "id", textCol, shingleN)
-        .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
-        .select(col("id"),
-          lshBands(col("sig"), bands, rowsPerBand).as("buckets"),
-          size(col("sh")).cast("long").as("shn"),
-          sort_array(transform(col("sh"), s => xxhash64(s))).as("shs")))
+      minhashIndex(batch, idCol, textCol, numHashes, bands, shingleN))
     def postings(src: DataFrame, outId: String) =
       src.select(col("id").as(outId), explode(col("buckets")).as("b"))
         .select(col(outId), col("b.band").as("band"), col("b.bucket").as("bucket"))

@@ -278,8 +278,10 @@ object Catalog {
         FROM orders""")),
 
     // lead/lag/ntile — the remaining ranking-window family members: per
-    // customer order history with previous/next order value and a global
-    // price quartile; deterministic order keys make the oracle exact
+    // customer order history with previous/next order value and a
+    // per-customer quartile. ntile is PARTITIONED like everything else in
+    // the catalog — an unpartitioned ntile would funnel the whole table
+    // through one task, the single-partition-window trap
     Q("w5_lead_lag_ntile",
       (s, d) => {
         val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -287,14 +289,15 @@ object Catalog {
           col("o_orderkey"), col("o_custkey"),
           lag(cents(col("o_totalprice")), 1).over(w).as("prev_cents"),
           lead(cents(col("o_totalprice")), 1).over(w).as("next_cents"),
-          ntile(4).over(Window.orderBy(col("o_orderkey"))).as("key_quartile"))
+          ntile(4).over(w).as("key_quartile"))
       },
       Some("""SELECT o_orderkey, o_custkey,
           lag(CAST(round(o_totalprice*100) AS BIGINT), 1) OVER
             (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_cents,
           lead(CAST(round(o_totalprice*100) AS BIGINT), 1) OVER
             (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_cents,
-          CAST(ntile(4) OVER (ORDER BY o_orderkey) AS INT) AS key_quartile
+          CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT)
+            AS key_quartile
         FROM orders""")),
 
     // exact interpolated percentiles (median + p95) per group — Spark's
@@ -865,14 +868,18 @@ object Catalog {
     Q("dedup_minhash_incremental",
       (s, d) => {
         val corpus = t(s, d, "documents")
-        val dir = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
+        val dir = java.nio.file.Files.createTempDirectory("graft-mh-idx")
         Dedup.minhashIndex(corpus, "doc_id", "text").write
-          .mode("overwrite").parquet(dir)
-        val index = s.read.parquet(dir)
+          .mode("overwrite").parquet(dir.toString)
+        val index = s.read.parquet(dir.toString)
         val batch = corpus.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-        Dedup.minhashLshIncremental(batch, index, "doc_id", "text",
-          threshold = 0.5)
+        // localCheckpoint materializes the (small) pair set so the temp
+        // index backing the plan can be deleted before returning
+        val out = Dedup.minhashLshIncremental(batch, index, "doc_id", "text",
+          threshold = 0.5).localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
       },
       Some(s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
         sets AS (SELECT doc_id,
@@ -1271,9 +1278,10 @@ object Catalog {
       (s, d) => {
         val corpus = t(s, d, "documents")
         val seen = Dedup.exact(corpus, "doc_id", "text").select("fp")
-        val dir = java.nio.file.Files.createTempDirectory("graft-ing-idx").toString
-        Dedup.minhashIndex(corpus, "doc_id", "text").write.mode("overwrite").parquet(dir)
-        val index = s.read.parquet(dir)
+        val dir = java.nio.file.Files.createTempDirectory("graft-ing-idx")
+        Dedup.minhashIndex(corpus, "doc_id", "text").write
+          .mode("overwrite").parquet(dir.toString)
+        val index = s.read.parquet(dir.toString)
         val batch = corpus.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
           .unionByName(corpus.filter(col("doc_id") % 11 === 0)
@@ -1286,9 +1294,12 @@ object Catalog {
         val nearIds = Dedup.minhashLshIncremental(afterExact, index,
             "doc_id", "text", threshold = 0.5)
           .select(col("id_b").as("doc_id")).distinct()
-        afterExact.join(nearIds, Seq("doc_id"), "left_anti")
+        // localCheckpoint so the temp index backing the plan can be deleted
+        val out = afterExact.join(nearIds, Seq("doc_id"), "left_anti")
           .filter(TextFunctions.qualityLabel(col("text")) === "ok")
-          .select("doc_id")
+          .select("doc_id").localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
       },
       Some(s"""WITH batch AS (
           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0

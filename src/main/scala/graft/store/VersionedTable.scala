@@ -601,8 +601,9 @@ final class VersionedTable(spark: SparkSession, val path: String) {
           val lo = if (bounds.isNullAt(2 * i)) 0.0 else bounds.getDouble(2 * i)
           val hi = if (bounds.isNullAt(2 * i + 1)) 0.0 else bounds.getDouble(2 * i + 1)
           val span = if (hi > lo) hi - lo else 1.0
-          // null values fall through least/greatest to the top bucket —
-          // deterministic, clustered together at the top of the range
+          // null values: the scaled expression is null, greatest/least
+          // skip nulls, so nulls land in bucket 0 — deterministic,
+          // clustered together at the BOTTOM of the range
           val bucket = least(lit(maxBucket), greatest(lit(0L),
             ((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxBucket.toDouble))
               .cast("long")))
@@ -629,8 +630,13 @@ final class VersionedTable(spark: SparkSession, val path: String) {
             aggregate(lit(qs), lit(0),
               (acc, b) => acc + when(col(ZCol).cast("double") > b, 1).otherwise(0))
           }
+        // range- (not hash-) repartition on the chunk id: hash collisions
+        // over ≤ targetDirs distinct ids would stack 2-3 chunks on one
+        // write task and leave others empty; range gives ~one chunk per
+        // task, and its sampled boundaries cannot affect LAYOUT (the
+        // partitionBy writer splits by chunk VALUE regardless)
         withZ.withColumn(ChunkCol, chunkCol)
-          .repartition(targetDirs, col(ChunkCol))
+          .repartitionByRange(targetDirs, col(ChunkCol))
           .sortWithinPartitions(col(ChunkCol), col(ZCol))
           .drop(ZCol)
       }

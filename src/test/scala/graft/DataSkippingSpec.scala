@@ -18,6 +18,12 @@ import graft.store.VersionedTable
 class DataSkippingSpec extends SparkSuite {
   import spark.implicits._
 
+  /** Optimize chunk dirs are `v<10 digits>-<8 hex uuid chars>-c<chunk>`;
+    * plain append dirs are `v<10 digits>-<8 hex>`. Matching on a loose
+    * "-c\d+" (or worse, contains("-c")) can catch an append dir whose
+    * uuid prefix happens to be 'c' + digits — a real 1-in-40ish flake. */
+  private val ChunkDirRe = """v\d{10}-[0-9a-f]{8}-c\d+"""
+
   test("append stats prune dirs for range/point/null predicates") {
     val root = tmpDir("skip-basic")
     val t = new VersionedTable(spark, root)
@@ -269,7 +275,7 @@ class DataSkippingSpec extends SparkSuite {
     // per-chunk row contents, keyed by the chunk index in the dir name
     def layout(root: String): Map[Int, Seq[Long]] =
       new java.io.File(s"$root/data").listFiles()
-        .filter(f => f.isDirectory && f.getName.matches(".*-c\\d+"))
+        .filter(f => f.isDirectory && f.getName.matches(ChunkDirRe))
         .map { d =>
           d.getName.replaceAll(".*-c", "").toInt ->
             spark.read.parquet(d.getAbsolutePath)
@@ -285,10 +291,8 @@ class DataSkippingSpec extends SparkSuite {
     t.optimize(clusterBy = Seq("x"), targetDirs = 2, zorder = true)
     // single-column zorder ⇒ z monotone in x ⇒ each written FILE must be
     // x-sorted (this is what drives parquet row-group pruning inside a dir)
-    // "-c<digits>" suffix only: a plain append dir's random uuid can start
-    // with 'c' (v0000000000-c86a0ab2), so contains("-c") is flaky
     val dataDirs = new java.io.File(s"$root/data").listFiles()
-      .filter(f => f.isDirectory && f.getName.matches(".*-c\\d+")).sortBy(_.getName)
+      .filter(f => f.isDirectory && f.getName.matches(ChunkDirRe)).sortBy(_.getName)
     assert(dataDirs.length == 2)
     dataDirs.foreach { d =>
       d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
@@ -349,7 +353,7 @@ class DataSkippingSpec extends SparkSuite {
     t.append((0 until 2000).map(i => (i.toLong, s"uuid-${i * 2654435761L}")).toDF("k", "pk"))
     t.optimize(clusterBy = Seq("k"), targetDirs = 1, bloomFilterFor = Seq("pk"))
     val dir = new java.io.File(s"$root/data").listFiles()
-      .filter(f => f.isDirectory && f.getName.contains("-c")).head
+      .filter(f => f.isDirectory && f.getName.matches(ChunkDirRe)).head
     val pf = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(pf.getAbsolutePath),
