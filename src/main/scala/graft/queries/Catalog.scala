@@ -1101,6 +1101,41 @@ object Catalog {
       },
       Some(annExactTopKSql)),
 
+    // INCREMENTAL IVF: new vectors are assigned to the EXISTING centroids
+    // and appended to the cell-partitioned index — no retrain, no rebuild;
+    // queries prune to probed cells via partition pruning exactly as
+    // before. The "daily append" plants exact copies of every 5th vector
+    // under new ids (same vector → same cell as its source, so the probe
+    // set that contained the source contains the copy); the oracle is the
+    // exact cosine top-k over the corpus ∪ appended union
+    Q("ann_topk_ivf_append",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = queryVec(s, d)
+        val centroids = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16, iters = 2)
+        val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+        Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+          .write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
+        Similarity.ivfAssign(
+            emb.filter(col("vec_id") % 5 === 0)
+              .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+            "vec_id", "embedding", centroids)
+          .write.partitionBy("cell").mode("append").parquet(dir.toString)
+        val out = Similarity.topKIvfIndexed(
+            s.read.parquet(dir.toString), q, 10, centroids, nprobe = 8)
+          .select("rank", "id").localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some("""WITH all_v AS (SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id + 100000, embedding
+            FROM embeddings WHERE vec_id % 5 = 0),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        s AS (SELECT vec_id, list_cosine_similarity(embedding, qe) AS sim FROM all_v, q)
+        SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+          vec_id AS id
+        FROM s ORDER BY sim DESC, vec_id LIMIT 10""")),
+
     // multimodal: ALL THREE kinds really encoded and really decoded —
     // images as PNGs (javax.imageio), audio as WAV PCM
     // (javax.sound.sampled), video as the real-frame container of PNG
