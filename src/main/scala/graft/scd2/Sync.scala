@@ -490,11 +490,27 @@ final class Synchronizer(
         dest.delta.append(toAppend, cfg.allowSchemaDrift)
         (updateCount, Some(minTs))
       } else {
-        // inline path: broadcast the strange pks to the source scan — the
-        // Spark-native OPENJSON literal-set join (J3); the emptiness probe
-        // rides the write as an Observation
+        // inline path (J3): fetch ONLY the strange rows. A source that can
+        // push a pk IN-list into its remote SQL (live JDBC — the
+        // reference's OPENJSON literal-set join with its 7000-char chunk
+        // rule, db_to_delta.py:907-992) ships just those rows over the
+        // wire instead of streaming the whole table through the JDBC scan;
+        // other sources (parquet harness) scan-and-broadcast-join, which
+        // already prunes at the Spark scan. Either way the broadcast tuple
+        // join below still applies — IT is the correctness filter; the
+        // pushed IN-list is bandwidth pruning under a superset contract,
+        // so a dialect quirk can only over-fetch, never corrupt.
+        val restricted: Option[DataFrame] = effSource match {
+          case p: graft.sources.PkPushdown =>
+            // bounded driver-side set: updateCount ≤ cfg.inlineJoinThreshold
+            p.readForPks(spark, pkCols, cfg, pushedCols, realAdditional.collect().toSeq)
+              .map(df => Projection.select(
+                cfg.transformationHook(df, "sql2delta"), cols, cfg, pushedCols))
+          case _ => scala.None
+        }
         val full = Projection.withSystemCols(
-          srcProjected.join(broadcast(realAdditional), targetPks, "inner"),
+          restricted.getOrElse(srcProjected)
+            .join(broadcast(realAdditional), targetPks, "inner"),
           isDeleted = false, isFullLoad = false, ts = lit(nowTs))
         val obsD2 = org.apache.spark.sql.Observation()
         dest.delta2.overwrite(full.observe(obsD2, count(lit(1)).as("n")))

@@ -36,7 +36,52 @@ final class JdbcSource(
     numPartitions: Int = 8,
     sourceTypes: Map[String, String] = Map.empty,
     val transformationHook: DataFrame => DataFrame = identity)
-    extends Source with ProjectionPushdown {
+    extends Source with ProjectionPushdown with PkPushdown {
+
+  /** J3 IN-list pushdown (reference db_to_delta.py:907-992): ship the
+    * strange-update pk set INTO the remote SQL as chunked IN-list /
+    * OR-of-conjunct predicates under the 7000-char rule, so the source DB
+    * returns ONLY those rows instead of streaming the whole table through
+    * the JDBC scan. Each chunk is its own remote query; results union.
+    * The lhs of each comparison is the P1 conversion chain over the raw
+    * column (tuples carry TARGET-converted values) — unless the column was
+    * already converted inside this source (a pushed-projection wrapper),
+    * where the bare quoted name compares converted-to-converted. Chunks
+    * stay ≤ ~7000 chars, and the engine's Spark-side tuple join still
+    * applies afterwards, so a dialect quirk here can over-fetch but never
+    * corrupt. */
+  def readForPks(
+      spark: SparkSession,
+      pkCols: Seq[graft.ColInfo],
+      cfg: graft.WriteConfig,
+      alreadyConverted: Set[String],
+      tuples: Seq[org.apache.spark.sql.Row]): Option[DataFrame] = {
+    if (tuples.isEmpty) return Some(read(spark).limit(0))
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val lhs: Option[Seq[String]] = {
+      val rendered = pkCols.map { c =>
+        val q = dialect.quoteIdentifier(c.name)
+        if (alreadyConverted(c.name)) Some(q)
+        else JdbcSqlGen.convertExpr(c, cfg, url) match {
+          case Some(Some(expr)) => Some(expr)
+          case Some(None) => Some(q)
+          case None => None // conversion unrenderable → comparing the raw
+          // column could MISS rows (under-fetch = data loss); fall back
+        }
+      }
+      if (rendered.exists(_.isEmpty)) None else Some(rendered.flatten)
+    }
+    for {
+      l <- lhs
+      sqls <- JdbcSqlGen.pkFilterSqls(l, tuples.map(_.toSeq), tableOrQuery)
+    } yield {
+      val dfs = sqls.map { sql =>
+        val r = spark.read.format("jdbc").option("url", url).option("query", sql)
+        props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+      }
+      transformationHook(dfs.reduce(_ unionByName _))
+    }
+  }
 
   /** P1 pushed into the remote SQL (reference db_to_delta.py:54-164 runs
     * CAST/TRIM/caps in the source DB): wraps the target in a generated
@@ -201,7 +246,19 @@ object JdbcSqlGen {
     * trim/cap) or double-apply non-idempotent steps (re-trimming a capped
     * value drops legitimate trailing whitespace the cap produced). */
   private[sources] def selectItem(
-      c: graft.ColInfo, cfg: graft.WriteConfig, url: String): Option[String] = {
+      c: graft.ColInfo, cfg: graft.WriteConfig, url: String): Option[String] =
+    convertExpr(c, cfg, url) match {
+      case Some(Some(expr)) =>
+        Some(s"$expr AS ${JdbcDialects.get(url).quoteIdentifier(c.name)}")
+      case _ => None // passthrough or unrenderable → no select-list rewrite
+    }
+
+  /** The conversion chain as a bare expression (no alias):
+    * outer None = a needed step is unrenderable (conversion stays
+    * Spark-side); Some(None) = passthrough (no conversion needed);
+    * Some(Some(expr)) = the full rendered cast → trim → cap chain. */
+  private[sources] def convertExpr(
+      c: graft.ColInfo, cfg: graft.WriteConfig, url: String): Option[Option[String]] = {
     val dialect = JdbcDialects.get(url)
     val q = dialect.quoteIdentifier(c.name)
     val target = graft.scd2.Projection.targetType(c, cfg)
@@ -232,8 +289,93 @@ object JdbcSqlGen {
           case (StringType, Some(n)) => s"${substrFn(url)}($trimmed, 1, $n)"
           case _ => trimmed
         }
-        if (capped == q) None else Some(s"$capped AS $q")
+        if (capped == q) Some(None) else Some(Some(capped))
     }
+  }
+
+  /** One value as a portable SQL literal, or None for types with no
+    * portable rendering (binary, structs — caller falls back to the
+    * broadcast join). Temporal values use JDBC escape syntax ({ts}/{d}),
+    * which every driver the reference targets expands dialect-correctly. */
+  private[graft] def sqlLiteral(v: Any): Option[String] = v match {
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case _: Byte | _: Short | _: Int | _: Long => Some(v.toString)
+    case b: Boolean => Some(if (b) "TRUE" else "FALSE")
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: scala.math.BigDecimal => Some(d.bigDecimal.toPlainString)
+    case f: Float => Some(f.toString)
+    case d: Double => Some(d.toString)
+    case t: java.sql.Timestamp => Some(s"{ts '${t.toString}'}")
+    case d: java.sql.Date => Some(s"{d '${d.toString}'}")
+    case i: java.time.Instant => sqlLiteral(java.sql.Timestamp.from(i))
+    case d: java.time.LocalDate => sqlLiteral(java.sql.Date.valueOf(d))
+    case t: java.time.LocalDateTime => sqlLiteral(java.sql.Timestamp.valueOf(t))
+    case _ => None
+  }
+
+  /** The reference's generated-SQL length rule (db_to_delta.py:968-985:
+    * "spark will not like this" past ~7000 chars — ODBC linked-server
+    * literal limits). Chunks here are packed greedily under the cap
+    * instead of recursively halved; same contract, fewer round trips. */
+  private[graft] val MaxSqlLen = 7000
+
+  /** Chunked pk-restriction SELECTs over the target (reference
+    * db_to_delta.py:907-992, the OPENJSON literal-set join re-expressed as
+    * plain IN-lists / OR-of-conjuncts — no JSON shredding support needed
+    * from the source). Single non-null pk → `pk IN (…)`; composite or
+    * null-bearing → `(pk1 = v1 AND pk2 IS NULL) OR …`. Each emitted SQL
+    * stays under [[MaxSqlLen]]; a predicate that alone exceeds the cap
+    * still ships as its own chunk (length guard, not correctness guard).
+    * Per-column lhs expressions are passed in pre-rendered (the P1
+    * conversion chain, or the bare quoted name when the source already
+    * converted). None when any tuple value has no portable literal. */
+  private[graft] def pkFilterSqls(
+      lhs: Seq[String],
+      tuples: Seq[Seq[Any]],
+      tableOrQuery: Either[String, String]): Option[Seq[String]] = {
+    require(tuples.nonEmpty, "pkFilterSqls needs at least one pk tuple")
+    val from = tableOrQuery match {
+      case Left(table) => table
+      case Right(query) => s"($query) graft_pkf"
+    }
+    val prefix = s"SELECT * FROM $from WHERE "
+    // Option-traverse: one unrenderable value poisons the whole pushdown
+    // (a PARTIAL filter would under-fetch; the fallback over-fetches safely)
+    def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+      val out = Seq.newBuilder[B]
+      val it = xs.iterator
+      while (it.hasNext) f(it.next()) match {
+        case Some(b) => out += b
+        case None => return None
+      }
+      Some(out.result())
+    }
+    def packed(items: Seq[String], overhead: Int, mk: Seq[String] => String): Seq[String] = {
+      val base = prefix.length + overhead
+      val chunks = Seq.newBuilder[String]
+      var cur = List.empty[String]
+      var curLen = base
+      items.foreach { item =>
+        val addLen = item.length + (if (cur.isEmpty) 0 else 4) // " OR " / ", "
+        if (cur.nonEmpty && curLen + addLen > MaxSqlLen) {
+          chunks += mk(cur.reverse); cur = Nil; curLen = base
+        }
+        cur ::= item; curLen += addLen
+      }
+      if (cur.nonEmpty) chunks += mk(cur.reverse)
+      chunks.result()
+    }
+    if (lhs.size == 1 && tuples.forall(t => t.head != null))
+      traverse(tuples)(t => sqlLiteral(t.head)).map { lits =>
+        packed(lits, lhs.head.length + 6, // "<lhs> IN ()"
+          ls => s"$prefix${lhs.head} IN (${ls.mkString(", ")})")
+      }
+    else
+      traverse(tuples) { t =>
+        traverse(lhs.zip(t)) { case (l, v) =>
+          if (v == null) Some(s"$l IS NULL") else sqlLiteral(v).map(lit => s"$l = $lit")
+        }.map(conjs => s"(${conjs.mkString(" AND ")})")
+      }.map(preds => packed(preds, 0, ps => prefix + ps.mkString(" OR ")))
   }
 
   /** Full generated SELECT over the original target plus the set of

@@ -53,6 +53,33 @@ trait ProjectionPushdown { self: Source =>
       cols: Seq[graft.ColInfo], cfg: graft.WriteConfig): Option[(Source, Set[String])]
 }
 
+/** Sources that can restrict a read to an explicit set of primary-key
+  * tuples INSIDE the source system (reference db_to_delta.py:907-992 ships
+  * the ≤1000 strange pks into the source query via OPENJSON/JSON_TABLE so
+  * the DB returns only those rows). Without this, a live-JDBC strange-
+  * update fetch pulls the WHOLE source table through the JDBC scan just to
+  * probe ≤1000 pks — the one remaining scale-killer on the core CDC
+  * algorithm at 100 TB. Parquet/file sources don't implement it: their
+  * broadcast join already prunes at the Spark scan. */
+trait PkPushdown { self: Source =>
+  /** A read restricted to the given pk tuples, executed source-side where
+    * possible, or None when any value/conversion has no portable SQL
+    * rendering — the caller then falls back to the full-read broadcast
+    * join. `pkCols` are SOURCE column infos; `tuples` carry TARGET-
+    * converted values in the same column order; `alreadyConverted` names
+    * pk columns whose P1 conversion already ran inside this source (a
+    * pushed-projection wrapper), so the filter must compare the raw
+    * column, not re-render the chain. The returned rows are a SUPERSET
+    * contract: the caller re-applies the exact tuple-match join Spark-
+    * side, so this is bandwidth pruning, never the correctness filter. */
+  def readForPks(
+      spark: SparkSession,
+      pkCols: Seq[ColInfo],
+      cfg: graft.WriteConfig,
+      alreadyConverted: Set[String],
+      tuples: Seq[org.apache.spark.sql.Row]): Option[DataFrame]
+}
+
 /** Parquet-backed source table for the test harness — plays the role of the
   * RDBMS table; pk/delta-col are declared since parquet has no catalog
   * (reference S7 becomes `df.schema` + declared pks, SURVEY.md §2.1). */

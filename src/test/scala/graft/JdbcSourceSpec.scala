@@ -236,4 +236,110 @@ class JdbcSourceSpec extends SparkSuite {
     assert(cur.filter(col("ID") === 13).isEmpty)
     assert(cur.filter(col("ID") === 101).count() == 1)
   }
+
+  test("J3 pushdown: pkFilterSqls renders IN-lists, OR-of-conjuncts, chunks under 7000 chars") {
+    import sources.JdbcSqlGen
+    // single non-null pk → IN form
+    val in = JdbcSqlGen.pkFilterSqls(Seq("\"ID\""), Seq(Seq(1), Seq(2), Seq(3)),
+      Left("APP.USERS")).get
+    assert(in == Seq("""SELECT * FROM APP.USERS WHERE "ID" IN (1, 2, 3)"""))
+    // string literals escape quotes
+    val esc = JdbcSqlGen.pkFilterSqls(Seq("\"NAME\""), Seq(Seq("o'brien")),
+      Left("T")).get
+    assert(esc == Seq("""SELECT * FROM T WHERE "NAME" IN ('o''brien')"""))
+    // composite pk → OR of conjuncts; nulls render IS NULL
+    val comp = JdbcSqlGen.pkFilterSqls(Seq("\"A\"", "\"B\""),
+      Seq(Seq(1, "x"), Seq(2, null)), Left("T")).get
+    assert(comp == Seq(
+      """SELECT * FROM T WHERE ("A" = 1 AND "B" = 'x') OR ("A" = 2 AND "B" IS NULL)"""))
+    // temporal literals use JDBC escape syntax (driver-expanded, portable)
+    val ts = JdbcSqlGen.pkFilterSqls(Seq("\"A\"", "\"D\""),
+      Seq(Seq(java.sql.Timestamp.valueOf("2024-01-02 10:00:00"),
+        java.sql.Date.valueOf("2024-01-02"))), Left("T")).get
+    assert(ts.head.contains("{ts '2024-01-02 10:00:00") && ts.head.contains("{d '2024-01-02'}"))
+    // query source wraps as a derived table
+    val sub = JdbcSqlGen.pkFilterSqls(Seq("\"ID\""), Seq(Seq(5)),
+      Right("SELECT * FROM APP.USERS")).get
+    assert(sub == Seq("""SELECT * FROM (SELECT * FROM APP.USERS) graft_pkf WHERE "ID" IN (5)"""))
+    // the 7000-char rule (reference db_to_delta.py:968-985): a big pk set
+    // splits into multiple SQLs, each under the cap, covering every tuple
+    val big = (1 to 3000).map(i => Seq[Any](1000000 + i))
+    val chunks = JdbcSqlGen.pkFilterSqls(Seq("\"ID\""), big, Left("APP.USERS")).get
+    assert(chunks.size > 1, s"expected multiple chunks, got ${chunks.size}")
+    assert(chunks.forall(_.length <= 7000), chunks.map(_.length))
+    assert(chunks.map(c => "\\d{7}".r.findAllIn(c).size).sum == 3000)
+    // an unrenderable value (binary pk) poisons the whole pushdown — a
+    // partial filter would under-fetch, which is data loss
+    assert(JdbcSqlGen.pkFilterSqls(Seq("\"ID\""),
+      Seq(Seq(Array[Byte](1, 2))), Left("T")).isEmpty)
+  }
+
+  test("J3 pushdown: Derby executes a multi-chunk readForPks with correct rows") {
+    conn
+    // dedicated table: APP.USERS is mutated by other tests in this suite
+    val st = conn.createStatement()
+    st.executeUpdate("""CREATE TABLE APP.PKF (
+      ID INT NOT NULL PRIMARY KEY, NAME VARCHAR(50))""")
+    val ps = conn.prepareStatement("INSERT INTO APP.PKF VALUES (?, ?)")
+    (1 to 2000).foreach { i => ps.setInt(1, i); ps.setString(2, s"n$i"); ps.executeUpdate() }
+    ps.close(); st.close()
+    val src = new JdbcSource(url, Left("APP.PKF"), pks = Seq("ID"))
+    val pkCols = Seq(ColInfo("ID", org.apache.spark.sql.types.IntegerType,
+      sourceType = Some("integer")))
+    // 2000 int pks ≈ 10000 chars of literals → >1 chunk, each executed on
+    // Derby and unioned
+    val wanted = (1 to 2000).map(i => org.apache.spark.sql.Row(i))
+    assert(sources.JdbcSqlGen.pkFilterSqls(
+      Seq("\"ID\""), wanted.map(_.toSeq), Left("APP.PKF")).get.size > 1)
+    val df = src.readForPks(spark, pkCols, WriteConfig(), Set.empty, wanted).get
+    val got = df.select("ID").collect().map(_.getInt(0)).toSet
+    assert(got == (1 to 2000).toSet)
+    // empty tuple set → schema-only empty frame, no remote filter at all
+    val empty = src.readForPks(spark, pkCols, WriteConfig(), Set.empty, Nil).get
+    assert(empty.isEmpty && empty.columns.contains("ID"))
+  }
+
+  test("J3 pushdown: strange-update sync fetches inline rows via chunked IN-list SQL") {
+    conn
+    val st0 = conn.createStatement()
+    st0.executeUpdate("""CREATE TABLE APP.STRANGE (
+      ID INT NOT NULL PRIMARY KEY, NAME VARCHAR(50), VER BIGINT NOT NULL)""")
+    val ps = conn.prepareStatement("INSERT INTO APP.STRANGE VALUES (?, ?, ?)")
+    (1 to 50).foreach { i => ps.setInt(1, i); ps.setString(2, s"n$i"); ps.setLong(3, 5L)
+      ps.executeUpdate() }
+    ps.close()
+    val dest = tmpDir("graft-jdbc-strange")
+    // spy wrapper: records whether the IN-list path actually ran (vs the
+    // broadcast fallback silently taking over)
+    var pushes = 0
+    val inner = new JdbcSource(url, Left("APP.STRANGE"), pks = Seq("ID"))
+    val src = new sources.Source with sources.PkPushdown {
+      def read(s: org.apache.spark.sql.SparkSession) = inner.read(s)
+      def columns(s: org.apache.spark.sql.SparkSession) = inner.columns(s)
+      def primaryKeys(s: org.apache.spark.sql.SparkSession) = inner.primaryKeys(s)
+      def readForPks(s: org.apache.spark.sql.SparkSession, pkCols: Seq[ColInfo],
+          cfg: WriteConfig, conv: Set[String], tuples: Seq[org.apache.spark.sql.Row]) = {
+        val r = inner.readForPks(s, pkCols, cfg, conv, tuples)
+        if (r.isDefined) pushes += 1
+        r
+      }
+    }
+    val cfg = WriteConfig(deltaCol = Some("VER"))
+    assert(Graft.sync(spark, src, dest, cfg) == LoadResult.FullLoad(50))
+    // restore-from-backup shape: rows change but VER does NOT move past the
+    // watermark (new rows at VER=3 < max 5) → step-3 strange updates
+    val st = conn.createStatement()
+    st.executeUpdate("UPDATE APP.STRANGE SET NAME = 'weird7', VER = 3 WHERE ID = 7")
+    st.executeUpdate("INSERT INTO APP.STRANGE VALUES (51, 'weird51', 3)")
+    st.close()
+    Graft.sync(spark, src, dest, cfg) match {
+      case LoadResult.DeltaLoad(_, strange, _, _) => assert(strange == 2)
+      case other => fail(s"expected DeltaLoad, got $other")
+    }
+    assert(pushes == 1, "inline fetch did not go through the pk pushdown")
+    val cur = Graft.writer(spark, src, dest, cfg).currentState()
+    assert(cur.count() == 51)
+    assert(cur.filter(col("ID") === 7).head().getAs[String]("NAME") == "weird7")
+    assert(cur.filter(col("ID") === 51).head().getAs[String]("NAME") == "weird51")
+  }
 }
