@@ -27,11 +27,17 @@ import org.apache.spark.sql.types._
   * architecture).
   *
   * Supported: reader protocol 1; 2 and 3 when no unsupported table feature
-  * is active (column mapping, deletion vectors and v2 checkpoints are
-  * rejected LOUDLY — silently misreading them would drop or resurrect
-  * rows). Partitioned tables reconstruct partition columns from
-  * `partitionValues` via Spark's own string casts. Snapshot resolution is
-  * driver-side over the log only; data stays distributed.
+  * is active. NAME-mode column mapping is read natively (modern
+  * Databricks-written tables default to it): parquet files, partition-value
+  * keys and stats are keyed by each field's
+  * `delta.columnMapping.physicalName` metadata, so the scan runs over the
+  * physical schema and renames back to logical names on top (nested
+  * renames via a same-typed struct cast). ID-mode column mapping, deletion
+  * vectors and v2 checkpoints are rejected LOUDLY — silently misreading
+  * them would drop or resurrect rows. Partitioned tables reconstruct
+  * partition columns from `partitionValues` via Spark's own string casts.
+  * Snapshot resolution is driver-side over the log only; data stays
+  * distributed.
   */
 object DeltaTable {
   import VersionedTable.mapper
@@ -47,7 +53,9 @@ object DeltaTable {
   private val SupportedReaderFeatures =
     Set("timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed", "domainMetadata",
-      "inCommitTimestamp", "icebergCompatV1", "icebergCompatV2")
+      "inCommitTimestamp", "icebergCompatV1", "icebergCompatV2",
+      // name mode only; id mode is still rejected by the configuration check
+      "columnMapping")
 
   /** One live file as recorded by the log (path still raw/percent-encoded). */
   private[store] final case class Add(
@@ -80,19 +88,51 @@ object DeltaTable {
       versionAsOf: Option[Long] = None,
       timestampAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, versionAsOf, timestampAsOf)
+    // NAME-mode column mapping (PROTOCOL.md "Column Mapping"): the logical
+    // schema lives in schemaString field NAMES; parquet columns, partition-
+    // value keys and stats keys all use the per-field physicalName
+    // metadata. The scan therefore runs over the PHYSICAL schema and the
+    // final projection renames back — so file pruning (stats + partitions)
+    // keeps working unchanged on the physical keys it actually gets.
+    val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
+    val PhysKey = "delta.columnMapping.physicalName"
+    def physName(f: StructField): String =
+      if (!mapped) f.name
+      else if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+      else throw new IllegalArgumentException(
+        s"column-mapped Delta table $path: field ${f.name} has no $PhysKey metadata")
+    def physType(dt: DataType): DataType =
+      if (!mapped) dt
+      else dt match {
+        case s: StructType => StructType(s.fields.map(f =>
+          StructField(physName(f), physType(f.dataType), f.nullable)))
+        case a: ArrayType => a.copy(elementType = physType(a.elementType))
+        case m: MapType =>
+          m.copy(keyType = physType(m.keyType), valueType = physType(m.valueType))
+        case other => other
+      }
     val lowerParts = snap.partitionColumns.map(_.toLowerCase).toSet
-    val partSchema = StructType(snap.partitionColumns.map(c =>
-      snap.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(s"partition column $c missing from schema"))))
+    val partSchema = StructType(snap.partitionColumns.map { c =>
+      val f = snap.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"partition column $c missing from schema"))
+      // physical NAME (partitionValues are keyed physically), logical type
+      StructField(physName(f), f.dataType, f.nullable)
+    })
     val dataSchema = StructType(
-      snap.schema.fields.filterNot(f => lowerParts.contains(f.name.toLowerCase)))
+      snap.schema.fields.filterNot(f => lowerParts.contains(f.name.toLowerCase))
+        .map(f => StructField(physName(f), physType(f.dataType), f.nullable)))
     val root = new HPath(path)
     val entries = snap.adds.map { a =>
       DeltaFileEntry(resolvePath(root, a.rawPath), a.size, a.mtime,
         a.partitionValues, a.statsJson.flatMap(parseStats(_, dataSchema)))
     }
     DeltaFileIndex.scan(spark, root, entries, partSchema, dataSchema)
-      .select(snap.schema.fields.map(f => col(f.name)).toSeq: _*)
+      .select(snap.schema.fields.map { f =>
+        val c = col(s"`${physName(f)}`")
+        val pt = physType(f.dataType)
+        // nested physical names rename via a same-typed positional cast
+        (if (pt == f.dataType) c else c.cast(f.dataType)).as(f.name)
+      }.toSeq: _*)
   }
 
   /** Resolve the target version's live state from the log: newest classic
@@ -166,8 +206,11 @@ object DeltaTable {
     }
     def checkConfig(): Unit = {
       val cm = config.getOrElse("delta.columnMapping.mode", "none")
-      if (cm != "none") throw new UnsupportedOperationException(
-        s"Delta table $path uses column mapping mode '$cm' — not supported by this reader")
+      // name mode reads natively (read() scans the physical schema and
+      // renames); id mode needs parquet field-id resolution Spark's
+      // vanilla reader doesn't expose here → loud refusal, not a misread
+      if (cm != "none" && cm != "name") throw new UnsupportedOperationException(
+        s"Delta table $path uses column mapping mode '$cm' — only 'name' is supported")
     }
     def rejectDv(hasDv: Boolean): Unit =
       if (hasDv) throw new UnsupportedOperationException(

@@ -194,6 +194,65 @@ class DeltaReaderSpec extends SparkSuite {
     assert(idx.get.lastPruning.contains((1, 2)), s"got ${idx.get.lastPruning}")
   }
 
+  test("name-mode column mapping: physical parquet columns read back as logical names") {
+    val root = tmpDir("dt-nm")
+    val log = s"$root/_delta_log"
+    def fm(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    // logical (id, v, s{x}, p) ← physical (col-11, col-22, col-44{col-55}, col-33);
+    // nested struct field mapped too (Databricks maps every level)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, fm(1, "col-11")),
+      StructField("v", StringType, nullable = true, fm(2, "col-22")),
+      StructField("s", StructType(Seq(
+        StructField("x", LongType, nullable = true, fm(5, "col-55")))),
+        nullable = true, fm(4, "col-44")),
+      StructField("p", IntegerType, nullable = true, fm(3, "col-33"))))
+    // data files carry PHYSICAL column names (protocol writer requirement)
+    def physDf(rows: Seq[(Long, String, Long)]) = {
+      val df = rows.toDF("col-11", "col-22", "nx")
+      df.select(col("`col-11`"), col("`col-22`"),
+        struct(col("nx").as("col-55")).as("col-44"))
+    }
+    val (fa, sa) = onePart(s"$root/part1", physDf(Seq((1L, "a", 10L), (2L, "b", 20L))))
+    val (fb, sb) = onePart(s"$root/part2", physDf(Seq((100L, "x", 30L), (200L, "y", 40L))))
+    // stats + partitionValues are keyed by PHYSICAL names as well
+    def stats(n: Long, lo: Long, hi: Long) =
+      s"""{\\"numRecords\\":$n,\\"minValues\\":{\\"col-11\\":$lo},\\"maxValues\\":{\\"col-11\\":$hi},\\"nullCount\\":{\\"col-11\\":0}}"""
+    writeCommit(log, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      metaLine(schema, partCols = Seq("p"),
+        config = """{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"5"}"""),
+      s"""{"add":{"path":"part1/$fa","partitionValues":{"col-33":"1"},"size":$sa,"modificationTime":1,"dataChange":true,"stats":"${stats(2, 1, 2)}"}}""",
+      s"""{"add":{"path":"part2/$fb","partitionValues":{"col-33":"2"},"size":$sb,"modificationTime":1,"dataChange":true,"stats":"${stats(2, 100, 200)}"}}"""))
+
+    val df = DeltaTable.read(spark, root)
+    // logical shape, logical names — nested included
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v", "s", "p"))
+    assert(df.schema("s").dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("x"))
+    val all = df.select($"id", $"v", $"s.x", $"p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(all == Set((1L, "a", 10L, 1), (2L, "b", 20L, 1),
+      (100L, "x", 30L, 2), (200L, "y", 40L, 2)))
+    // stats pruning still works through the physical keys: id > 50 → 1 file
+    val prunedS = df.filter($"id" > 50L)
+    assert(prunedS.select("id").as[Long].collect().sorted.toSeq == Seq(100L, 200L))
+    def lastPruning(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location
+      }.collectFirst { case g: org.apache.spark.sql.graft.DeltaFileIndex => g }
+        .flatMap(_.lastPruning)
+    assert(lastPruning(prunedS).contains((1, 2)), s"got ${lastPruning(prunedS)}")
+    // partition pruning on the logical partition column name
+    val prunedP = df.filter($"p" === 2)
+    assert(prunedP.count() == 2)
+    assert(lastPruning(prunedP).contains((1, 2)), s"got ${lastPruning(prunedP)}")
+    // the source seam surfaces logical columns
+    val src = new graft.sources.DeltaTableSource(root, pks = Seq("id"))
+    assert(src.columns(spark).map(_.name).toSet == Set("id", "v", "s", "p"))
+  }
+
   test("timestampAsOf resolves against commit mtimes") {
     val root = tmpDir("dt-ts")
     val t = new VersionedTable(spark, root)
@@ -217,11 +276,11 @@ class DeltaReaderSpec extends SparkSuite {
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
       metaLine(schemaJ)))
     intercept[UnsupportedOperationException](DeltaTable.snapshot(spark, r1))
-    // column mapping via configuration
+    // id-mode column mapping (needs parquet field-id resolution) stays out
     val r2 = tmpDir("dt-cm")
     writeCommit(s"$r2/_delta_log", 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      metaLine(schemaJ, config = """{"delta.columnMapping.mode":"name"}""")))
+      metaLine(schemaJ, config = """{"delta.columnMapping.mode":"id"}""")))
     intercept[UnsupportedOperationException](DeltaTable.snapshot(spark, r2))
     // a per-file deletion vector with an otherwise-fine protocol
     val r3 = tmpDir("dt-dv2")
