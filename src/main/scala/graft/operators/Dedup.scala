@@ -128,13 +128,26 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // build params ride the schema as column metadata (Spark persists field
+    // metadata in the parquet footer, so it survives a write/read round
+    // trip): an incremental query against an index built with DIFFERENT
+    // params would silently return garbage buckets/hashes — the metadata
+    // lets minhashLshIncremental require() a match instead
+    val buildMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(MinhashMetaNumHashes, numHashes.toLong)
+      .putLong(MinhashMetaBands, bands.toLong)
+      .putLong(MinhashMetaShingleN, shingleN.toLong).build()
     shingleSets(df.select(col(idCol).as("id"), col(textCol)), "id", textCol, shingleN)
       .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
       .select(col("id"),
-        lshBands(col("sig"), bands, rowsPerBand).as("buckets"),
+        lshBands(col("sig"), bands, rowsPerBand).as("buckets", buildMeta),
         size(col("sh")).cast("long").as("shn"),
         sort_array(transform(col("sh"), s => xxhash64(s))).as("shs"))
   }
+
+  private[graft] val MinhashMetaNumHashes = "graft.minhash.numHashes"
+  private[graft] val MinhashMetaBands = "graft.minhash.bands"
+  private[graft] val MinhashMetaShingleN = "graft.minhash.shingleN"
 
   /** Near-duplicate pairs between a NEW batch and an existing
     * [[minhashIndex]] — the incremental form of [[minhashLshPairs]] for
@@ -144,8 +157,20 @@ object Dedup {
     * hashes STORED in the index. The corpus itself is never touched.
     * Returns (id_a = index doc, id_b = batch doc, jaccard_x1000 ≥
     * threshold); cross-side pairs only — batch-internal duplicates are
-    * [[minhashLshPairs]] on the batch. Index and batch ids must be
-    * disjoint. `numHashes`/`bands`/`shingleN` must match the index build.
+    * [[minhashLshPairs]] on the batch.
+    *
+    * Contracts, ENFORCED: `numHashes`/`bands`/`shingleN` must match the
+    * index build — [[minhashIndex]] records them as schema metadata on the
+    * `buckets` column and a mismatch raises here (an index stripped of its
+    * metadata by a schema-rewriting transform skips the check — rebuild
+    * indexes through [[minhashIndex]] to keep it). Id-identical pairs
+    * (id_a == id_b — a re-ingest of an already-indexed doc) are excluded
+    * structurally: a self-pair is never a dedup decision, and letting one
+    * through would make downstream clustering collapse the doc into a
+    * wrong keep-decision. Overlapping re-ingests beyond self-pairs simply
+    * re-derive the pairs already recorded for that id. `candidateObs`,
+    * when set, observes `candidates` = post-dedup candidate-pair count
+    * (for plan audits, like [[editDistancePairs]]).
     *
     * Scale shape: index postings are narrow (id, band, bucket) rows; the
     * candidate join keys on (band, bucket) where the batch side is small —
@@ -155,8 +180,20 @@ object Dedup {
   def minhashLshIncremental(
       batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      shingleN: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+      shingleN: Int = 3, maxBucketSize: Int = 1000,
+      candidateObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // validate against the build params the index carries in its schema
+    // metadata — a silent mismatch would compare incompatible bucket
+    // hashes (empty result) or incompatible shingle hashes (wrong jaccard)
+    index.schema.find(_.name == "buckets").map(_.metadata).foreach { m =>
+      def chk(key: String, passed: Int, label: String): Unit =
+        if (m.contains(key)) require(m.getLong(key) == passed.toLong,
+          s"minhash index was built with $label=${m.getLong(key)}, caller passed $passed")
+      chk(MinhashMetaNumHashes, numHashes, "numHashes")
+      chk(MinhashMetaBands, bands, "bands")
+      chk(MinhashMetaShingleN, shingleN, "shingleN")
+    }
     // the batch side is hashed by the SAME index builder — the verify join
     // below depends on batch and index shingle hashes being bit-compatible,
     // so there must be exactly one place that computes them
@@ -172,10 +209,16 @@ object Dedup {
     val oversized = iPost.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
       .select("band", "bucket")
-    val candidates = spillPersist(
-      bPost.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
-        .join(iPost, Seq("band", "bucket"))
-        .select("id_a", "id_b").dropDuplicates("id_a", "id_b"))
+    val cand0 = bPost.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+      .join(iPost, Seq("band", "bucket"))
+      // re-ingest guard: a batch doc that already sits in the index under
+      // the same id must not pair with itself
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val candidates = spillPersist(candidateObs match {
+      case Some(o) => cand0.observe(o, count(lit(1)).as("candidates"))
+      case scala.None => cand0
+    })
     val tX1000 = (threshold * 1000).toLong
     candidates
       .join(index.select(col("id").as("id_a"), col("shn").as("shn_a"), col("shs").as("sh_a")), "id_a")
@@ -854,16 +897,42 @@ object Dedup {
     *  3. spans merge per document with one window (gaps-and-islands:
     *     windows at pos and prev merge iff pos − prev ≤ k); the following
     *     groupBy reuses the window's hash partitioning on doc_id.
+    *
+    * `persistPositions` materializes the position stream once instead of
+    * recomputing it for the census and the candidate join — see the
+    * inline tradeoff note (default recompute is right for sparse
+    * duplication; dense/boilerplate corpora flip it). `candidateObs`
+    * observes `candidates` = hash-matched position count, the signal for
+    * that choice.
     */
   def duplicateSpans(
-      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      persistPositions: Boolean = false,
+      candidateObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val posH = df.select(col(idCol).as("doc_id"),
+    val posH0 = df.select(col(idCol).as("doc_id"),
       posexplode(graft.functions.NativeHash.kgramWindowHashes(col(textCol), k))
         .as(Seq("pos", "h")))
+    // The position stream is consumed TWICE (duplicated-hash census, then
+    // the candidate join; AQE broadcasts the census so there is no
+    // exchange to reuse between them). Default = recompute: the stream is
+    // ~24 bytes/token, LARGER than the corpus text it derives from, so at
+    // 100 TB persisting it costs more I/O than running the codegen'd
+    // window-hash kernel a second time. `persistPositions = true` flips
+    // that for candidate-DENSE corpora (boilerplate-heavy web scrapes,
+    // where most positions survive the census and the downstream joins
+    // re-read the stream hot) — there the one materialization beats two
+    // full kernel passes. Identical results either way.
+    val posH = if (persistPositions) spillPersistEager(posH0) else posH0
     val dupHashes = posH.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")
-    val cand = posH.join(dupHashes, "h").select("doc_id", "pos", "h")
+    val cand0 = posH.join(dupHashes, "h").select("doc_id", "pos", "h")
+    // plan-audit seam (like editDistancePairs): candidate-position volume
+    // is THE sparse-vs-dense signal that decides persistPositions
+    val cand = candidateObs match {
+      case Some(o) => cand0.observe(o, count(lit(1)).as("candidates"))
+      case scala.None => cand0
+    }
     // gram strings exist ONLY for candidates: tokenize once per doc on the
     // build side, slice per candidate row
     val docsT = df.select(col(idCol).as("doc_id"),

@@ -331,9 +331,13 @@ object TextCorpus {
     * so buckets are balanced regardless of id clustering.
     *
     * Output: (id, shard, pos) with shard = rank div rowsPerShard and pos
-    * the offset inside the shard. SQL mirror of the key (m = 2147483648):
+    * the offset inside the shard. SQL mirror of the key (m = 2147483648),
+    * for NON-NEGATIVE ids and seed — the regime of every oracle here:
     * {{{ (((id % m + seed) % m) * 1103515245 + 12345) % m }}}
-    * then `row_number() OVER (ORDER BY key, id) - 1` for the rank. */
+    * then `row_number() OVER (ORDER BY key, id) - 1` for the rank.
+    * (The Spark side uses `pmod`, so negative ids still shard correctly;
+    * ANSI `%` is sign-preserving, so a general-id SQL mirror must wrap
+    * each step as `((x % m) + m) % m` to match.) */
   def deterministicShards(
       df: DataFrame, idCol: String, seed: Long, rowsPerShard: Long,
       buckets: Int = 1024): DataFrame = {

@@ -32,7 +32,11 @@ object Catalog {
     spark.read.parquet(s"$dir/$name.parquet")
 
   private def deleteDir(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteDir))
+    // never recurse THROUGH a symlink: streaming gates symlink shared
+    // fixtures into temp dirs this later removes — following a link into a
+    // directory-format fixture would delete the fixture's real contents
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles).foreach(_.foreach(deleteDir))
     f.delete(): Unit
   }
 
@@ -1308,7 +1312,15 @@ object Catalog {
     // Copies die at the fingerprint stage, near-copies at the index stage
     // (J ≈ 0.9 to their source), reversed docs have disjoint 3-shingles
     // and survive to the quality cut. The oracle replays every stage from
-    // first principles (md5 set, exact Jaccard truth, quality SQL)
+    // first principles (md5 set, exact Jaccard truth, quality SQL).
+    // FIXTURE-DEPENDENT RECALL: the oracle's near-copy stage is EXACT
+    // Jaccard while the engine's is LSH (16 bands × 4 rows) — a J≈0.9
+    // pair fails to band-collide with p ≈ 3e-8, so a REGENERATED documents
+    // fixture could in principle flip one near-copy's verdict without any
+    // code bug (dedup_minhash_incremental stays structural: its exact
+    // copies band-collide by construction). If this gate ever mismatches
+    // by exactly the near-copy rows after a fixture refresh, re-check
+    // band collision before suspecting the operator.
     Q("pipeline_ingest_incremental",
       (s, d) => {
         val corpus = t(s, d, "documents")

@@ -17,8 +17,9 @@ object IncPlanDrive {
     val index = spark.read.parquet(dir)
     val batch = corpus.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val obs = org.apache.spark.sql.Observation()
     val out = graft.operators.Dedup.minhashLshIncremental(
-      batch, index, "doc_id", "text", threshold = 0.5)
+      batch, index, "doc_id", "text", threshold = 0.5, candidateObs = Some(obs))
     out.explain("formatted")
     val plan = out.queryExecution.executedPlan.toString
     def check(what: String, ok: Boolean): Unit =
@@ -28,5 +29,13 @@ object IncPlanDrive {
     check("no cartesian / nested-loop joins",
       !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
     println(s"rows=${out.count()}")
+    println(s"minhash_candidates=${obs.get("candidates")}")
+    // the span operator's counter, over the same corpus — the two numbers
+    // plan audits compare when sizing persistPositions
+    val spanObs = org.apache.spark.sql.Observation()
+    val spans = graft.operators.Dedup.duplicateSpans(
+      corpus, "doc_id", "text", 8, candidateObs = Some(spanObs))
+    println(s"span_rows=${spans.count()}")
+    println(s"span_candidates=${spanObs.get("candidates")}")
   }
 }

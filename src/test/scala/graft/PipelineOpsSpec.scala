@@ -93,6 +93,39 @@ class PipelineOpsSpec extends SparkSuite {
     assert(inc.nonEmpty) // the planted copies guarantee at least one pair
   }
 
+  test("incremental minhash enforces build params and excludes self-pairs on re-ingest") {
+    // one-token tail edit: 6 shingles each, 5 shared → J = 5/7 ≈ 0.714
+    val corpusDf = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
+    val dir = tmpDir("mh-idx-guard")
+    Dedup.minhashIndex(corpusDf, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    // metadata survives the parquet round trip and mismatched params raise
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.minhashLshIncremental(corpusDf, index, "doc_id", "text", bands = 8))
+    assert(e1.getMessage.contains("bands"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.minhashLshIncremental(corpusDf, index, "doc_id", "text",
+        numHashes = 128, bands = 16))
+    assert(e2.getMessage.contains("numHashes"))
+    val e3 = intercept[IllegalArgumentException](
+      Dedup.minhashLshIncremental(corpusDf, index, "doc_id", "text", shingleN = 5))
+    assert(e3.getMessage.contains("shingleN"))
+    // re-ingest of the EXACT same batch (overlapping ids): self-pairs are
+    // excluded structurally; the genuine cross-doc near-dup (1↔2 share
+    // half their shingles) still surfaces in both directions of the id
+    // roles — never as id_a == id_b
+    val obs = org.apache.spark.sql.Observation()
+    val rows = Dedup.minhashLshIncremental(corpusDf, index, "doc_id", "text",
+        threshold = 0.3, candidateObs = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (a, b) => a != b }, rows.toSeq)
+    assert(rows.toSet == Set((1L, 2L), (2L, 1L)))
+    // the audit counter saw the deduped candidate volume
+    assert(obs.get("candidates").asInstanceOf[Long] == 2L)
+  }
+
   test("direct n-gram jaccard: exact per-mille, total recall, threshold cut") {
     val base = "the cat sat on the mat and looked at the moon while birds sang softly in the trees near the river bank at dusk"
     val near = base.replace("softly", "loudly")

@@ -123,6 +123,28 @@ class SpanDedupSpec extends SparkSuite {
       3L -> ""))
   }
 
+  test("persistPositions mode agrees with the recompute default; counter observes") {
+    val boiler = "p q r s t u v w x y"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $boiler a4 $boiler a5"),
+      (2L, s"b1 b2 $boiler b3 b4 b5 b6 b7"),
+      (3L, "all unique tokens here nothing repeats at window scale ever"))
+      .toDF("doc_id", "text")
+    def run(persist: Boolean) =
+      Dedup.duplicateSpans(docs, "doc_id", "text", 8, persistPositions = persist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (re, pe) = (run(false), run(true))
+    assert(re == pe, s"modes diverged: $re vs $pe")
+    assert(re.nonEmpty)
+    Dedup.releaseIntermediates()
+    // the audit counter sees the hash-matched candidate-position volume
+    val obs = org.apache.spark.sql.Observation()
+    val n = Dedup.duplicateSpans(docs, "doc_id", "text", 8,
+      candidateObs = Some(obs)).count()
+    assert(n == re.size.toLong)
+    assert(obs.get("candidates").asInstanceOf[Long] > 0L)
+  }
+
   test("detect + apply leaves a corpus with no duplicated k-window") {
     val boiler = "p q r s t u v w x y"
     val docs = Seq(
