@@ -199,6 +199,44 @@ object Similarity {
       nearestCentroid(col(vecCol), centroids).as("cell"),
       col(vecCol).as("v"))
 
+  /** Cell-occupancy census of an IVF assignment: (cell, n). ≤ k rows out.
+    * The incremental-maintenance shape for a rolling index: census each
+    * APPEND BATCH as it's assigned (cost ∝ batch, map-side combinable) and
+    * fold it into a stored census with [[ivfCensusMerge]] — the full index
+    * is never re-scanned to know its occupancy. */
+  def ivfCellCensus(assignment: DataFrame): DataFrame =
+    assignment.groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /** Fold a batch census into a stored one (≤ 2k tiny rows; union+sum). */
+  def ivfCensusMerge(stored: DataFrame, batch: DataFrame): DataFrame =
+    stored.unionByName(batch).groupBy("cell").agg(sum("n").as("n"))
+
+  /** Retrain trigger for an appended-to IVF index. [[ivfAssign]] appends
+    * never move centroids, so under distribution drift new vectors pile
+    * into few cells: probes over those cells degrade toward a full scan
+    * while their neighbours go stale — recall decays SILENTLY because
+    * every query still returns k rows. This probe makes the decay
+    * observable from the census alone (k-row driver math, no index scan):
+    * trip when the largest cell exceeds `skewThreshold ×` the mean
+    * occupancy over all `numCells` TRAINED cells (empty cells count in
+    * the mean — emptying is itself drift), or when more than
+    * `maxEmptyFrac` of trained cells hold nothing. On trip: retrain with
+    * [[ivfTrain]] over the current corpus and rebuild via [[ivfAssign]]
+    * (the spec proves post-retrain recall equals brute force again). */
+  def ivfNeedsRetrain(
+      census: DataFrame, numCells: Int,
+      skewThreshold: Double = 4.0, maxEmptyFrac: Double = 0.5): Boolean = {
+    require(numCells > 0, "numCells must be positive")
+    require(skewThreshold > 1.0, "skewThreshold must exceed 1")
+    val rows = census.select(col("cell"), col("n").cast("long")).collect()
+    val total = rows.map(_.getLong(1)).sum
+    if (total == 0L) return false
+    val mean = total.toDouble / numCells
+    val maxN = rows.map(_.getLong(1)).max
+    val emptyCells = numCells - rows.count(_.getLong(1) > 0L)
+    maxN > skewThreshold * mean || emptyCells > maxEmptyFrac * numCells
+  }
+
   /** Top-k over a prebuilt assignment ([[ivfAssign]] output, typically read
     * back from cell-partitioned storage): probes only `nprobe` cells. */
   def topKIvfIndexed(

@@ -275,6 +275,49 @@ class PipelineOpsSpec extends SparkSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("cell"))
   }
 
+  test("IVF drift census: skewed appends trip needsRetrain; retrain restores recall") {
+    // two tight clusters along axes 0 and 1 → k=2 training separates them
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i < 20) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i, base.zipWithIndex.map { case (v, j) => v + (i % 5) * 0.01f * (j + 1) })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 2
+    val centroids = Similarity.ivfTrain(df, "vec_id", "embedding", k = k, iters = 3)
+    val census0 = Similarity.ivfCellCensus(
+      Similarity.ivfAssign(df, "vec_id", "embedding", centroids))
+    // balanced 20/20 split: no retrain needed
+    assert(!Similarity.ivfNeedsRetrain(census0, numCells = k))
+    // DRIFT: a new modality arrives — vectors along axis 2, nowhere near
+    // either centroid; all of them pile into ONE nearest cell
+    val drift = (100L until 180L).map(i => (i, Array(0f, 0f, 1f + (i % 3) * 0.01f, 0f)))
+      .toDF("vec_id", "embedding")
+    val driftCensus = Similarity.ivfCellCensus(
+      Similarity.ivfAssign(drift, "vec_id", "embedding", centroids))
+    val merged = Similarity.ivfCensusMerge(census0, driftCensus)
+    // merged: 100 vs 20 of 120 → max = 1.67 × mean. With k=2 cells the max
+    // possible skew is 2× mean, so a 2-cell monitor must run a threshold
+    // under that; 1.5 is the natural choice and trips here
+    assert(Similarity.ivfNeedsRetrain(merged, numCells = k, skewThreshold = 1.5))
+    assert(!Similarity.ivfNeedsRetrain(merged, numCells = k, skewThreshold = 1.9))
+    // empty-cell trigger: all appends + corpus in one cell of a 4-cell book
+    val oneCell = Seq((0, 120L)).toDF("cell", "n")
+    assert(Similarity.ivfNeedsRetrain(oneCell, numCells = 4))
+    // retrain round over the grown corpus: queries in the drifted region
+    // match brute force again with a 1-cell probe
+    val grown = df.unionByName(drift)
+    val c2 = Similarity.ivfTrain(grown, "vec_id", "embedding", k = 3, iters = 3)
+    val census2 = Similarity.ivfCellCensus(
+      Similarity.ivfAssign(grown, "vec_id", "embedding", c2))
+    assert(!Similarity.ivfNeedsRetrain(census2, numCells = 3, skewThreshold = 3.0))
+    val q = Seq(0f, 0f, 1f, 0f)
+    val ivf = Similarity.topKIvf(grown, "vec_id", "embedding", q, 5, c2, nprobe = 1)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val brute = Similarity.topKBruteForce(grown, "vec_id", "embedding", q, 5)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(ivf == brute)
+  }
+
   test("LSH buckets: query-side scala math matches the column expression (non-64 dim)") {
     // dim=48 deliberately != the old hardcoded 64 (round-2 ADVICE): the
     // expression must derive its plane length from the true vector dim
