@@ -1517,48 +1517,54 @@ object Catalog {
 
     // stream-stream INTERVAL join (view→purchase attribution): a self-join
     // of the event stream where the time-range condition + watermarks bound
-    // both join buffers. AvailableNow over the static fixture processes one
-    // batch, and inner-join matches emit immediately, so the result is
-    // batch-SQL-exact — the oracle is the same interval join in DuckDB
+    // both join buffers. TWO AvailableNow file drops against one checkpoint
+    // (views + even-id purchases, then the odd-id purchases): even-purchase
+    // matches emit in run 1, odd-purchase matches join drop-1 views
+    // BUFFERED IN STATE across the batch boundary — so the gate proves the
+    // join buffer survives restarts inside the watermark, not just one-
+    // batch inner-join semantics. Inner matches emit immediately, so the
+    // two runs' union is batch-SQL-exact — same DuckDB oracle
     Q("streaming_interval_join",
       (s, d) => {
-        val schema = t(s, d, "events").schema
-        val name = s"gj_${math.abs(d.hashCode)}_${System.nanoTime()}"
+        val ev = t(s, d, "events")
+        val schema = ev.schema
         val dir = java.nio.file.Files.createTempDirectory("graft-stream-ij")
-        java.nio.file.Files.createSymbolicLink(
-          dir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
-        val raw = s.readStream.schema(schema).parquet(dir.toString)
-          .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-        def side(kind: String) = raw.filter(col("event_type") === kind)
-          .select(col("event_id"), col("user_id"), col("ets"))
-        val q = graft.streaming.StreamingIngest.intervalJoin(
-            side("view"), side("purchase"), "user_id", "ets",
-            maxDelay = "30 minutes", watermark = "100 days")
-          .select(col("l_key").as("user_id"),
-            col("l_event_id").as("view_id"), col("r_event_id").as("purchase_id"),
-            unix_micros(col("l_ts")).as("view_us"),
-            unix_micros(col("r_ts")).as("purchase_us"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        val out = s.createDataFrame(
-          java.util.Arrays.asList(s.table(name).collect(): _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("user_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("view_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("purchase_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("view_us",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("purchase_us",
-              org.apache.spark.sql.types.LongType))))
-        s.catalog.dropTempView(name)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ij-ck")
+        // parquet sink, NOT memory: the memory sink refuses checkpoint
+        // recovery, and recovery is exactly what run 2 exercises
+        val sink = java.nio.file.Files.createTempDirectory("graft-stream-ij-out")
+        def runOnce(): Unit = {
+          val raw = s.readStream.schema(schema).parquet(dir.toString)
+            .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+          def side(kind: String) = raw.filter(col("event_type") === kind)
+            .select(col("event_id"), col("user_id"), col("ets"))
+          val q = graft.streaming.StreamingIngest.intervalJoin(
+              side("view"), side("purchase"), "user_id", "ets",
+              maxDelay = "30 minutes", watermark = "100 days")
+            .select(col("l_key").as("user_id"),
+              col("l_event_id").as("view_id"), col("r_event_id").as("purchase_id"),
+              unix_micros(col("l_ts")).as("view_us"),
+              unix_micros(col("r_ts")).as("purchase_us"))
+            .writeStream.format("parquet")
+            .option("path", sink.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        // drop 1: every view + the even-id purchases
+        ev.filter(col("event_type") =!= "purchase" || pmod(col("event_id"), lit(2)) === 0)
+          .write.mode("append").parquet(dir.toString)
+        runOnce()
+        // drop 2: the odd-id purchases — their views are already in state
+        ev.filter(col("event_type") === "purchase" && pmod(col("event_id"), lit(2)) === 1)
+          .write.mode("append").parquet(dir.toString)
+        runOnce()
+        // the sink dir (incl. _spark_metadata) backs the returned frame;
+        // source drops and checkpoint are done
+        deleteDir(ckpt.toFile)
         deleteDir(dir.toFile)
-        out
+        s.read.parquet(sink.toString)
       },
       Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
           CAST(epoch_us(v.ts) AS BIGINT) AS view_us,
