@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.sources.JdbcSqlGen
+
+/** Golden TEXT snapshots of the generated remote SQL for the two dialects
+  * the reference actually deploys against — tsql (MS SQL Server) and
+  * postgres (reference db_to_delta.py:54-164, metadata.py:74-177). No
+  * live DB here (the sandbox has neither); Derby executes the same
+  * generator in JdbcSourceSpec, so these tests pin the per-dialect
+  * RENDERINGS — quoting, TRIM spelling, rowversion→BIGINT,
+  * xid-through-text casts, IN-list literals — against reference-shaped
+  * expectations so a Spark JdbcDialects change or a generator edit can't
+  * silently alter what a production sync sends over the wire. */
+class JdbcSqlGenDialectSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val tsqlUrl = "jdbc:sqlserver://host;databaseName=db"
+  private val pgUrl = "jdbc:postgresql://host/db"
+
+  test("tsql: rowversion maps to BIGINT, trim+cap via LTRIM/RTRIM + SUBSTRING") {
+    // the reference's canonical T-SQL table shape (metadata.py:74-177):
+    // int pk, varchar payload, uniqueidentifier, rowversion delta col
+    val cols = Seq(
+      ColInfo("Id", IntegerType, sourceType = Some("int")),
+      ColInfo("Name", StringType, sourceType = Some("varchar")),
+      ColInfo("RowId", StringType, sourceType = Some("uniqueidentifier")),
+      ColInfo("Version", BinaryType, sourceType = Some("rowversion")))
+    val cfg = WriteConfig(dataTypeMap = WriteConfig.tsqlTypeMap, maxTextSize = Some(300))
+    val (sql, handled) = JdbcSqlGen.projectedSql(cols, cfg, tsqlUrl,
+      Left("dbo.[User]")).get
+    assert(sql ==
+      """SELECT "Id", SUBSTRING(LTRIM(RTRIM("Name")), 1, 300) AS "Name", """ +
+      """SUBSTRING("RowId", 1, 300) AS "RowId", CAST("Version" AS BIGINT) AS "Version" """.trim +
+      " FROM dbo.[User]")
+    // fixed-form uniqueidentifier is capped but NEVER trimmed
+    // (reference no-trim exemption); rowversion ships as BIGINT
+    // (write_init.py:29-38 default type map)
+    assert(!sql.contains("""RTRIM("RowId")"""))
+    assert(handled == Set("Name", "RowId", "Version"))
+  }
+
+  test("tsql: the T-SQL 'timestamp' alias of rowversion maps through tsqlTypeMap only") {
+    val cols = Seq(ColInfo("TS", BinaryType, sourceType = Some("timestamp")))
+    // with the tsql map: BIGINT cast renders
+    val (sql, _) = JdbcSqlGen.projectedSql(cols,
+      WriteConfig(dataTypeMap = WriteConfig.tsqlTypeMap), tsqlUrl, Left("T")).get
+    assert(sql == """SELECT CAST("TS" AS BIGINT) AS "TS" FROM T""")
+    // with the DEFAULT map: no conversion, no wrapping (a genuine
+    // timestamp column must not be cast to epoch BIGINT)
+    assert(JdbcSqlGen.projectedSql(cols, WriteConfig(), tsqlUrl, Left("T")).isEmpty)
+  }
+
+  test("postgres: xid delta column double-casts through text (xmin path)") {
+    // reference db_to_delta.py:73-77 renders xmin::text::bigint — the
+    // generator's portable spelling is nested CASTs
+    val cols = Seq(
+      ColInfo("id", IntegerType, sourceType = Some("int4")),
+      ColInfo("xmin", IntegerType, sourceType = Some("xid")),
+      ColInfo("note", StringType, sourceType = Some("text")))
+    val cfg = WriteConfig()
+    val (sql, handled) = JdbcSqlGen.projectedSql(cols, cfg, pgUrl,
+      Left("public.accounts")).get
+    assert(sql ==
+      """SELECT "id", CAST(CAST("xmin" AS VARCHAR(32)) AS BIGINT) AS "xmin", """ +
+      """LTRIM(RTRIM("note")) AS "note" FROM public.accounts""")
+    assert(handled == Set("xmin", "note"))
+  }
+
+  test("postgres: oid/uuid are trim-exempt; uncapped strings trim only") {
+    val cols = Seq(
+      ColInfo("u", StringType, sourceType = Some("uuid")),
+      ColInfo("o", StringType, sourceType = Some("oid")),
+      ColInfo("s", StringType, sourceType = Some("varchar")))
+    val (sql, handled) = JdbcSqlGen.projectedSql(cols, WriteConfig(), pgUrl,
+      Left("t")).get
+    // exempt columns pass through UNWRAPPED (no conversion at all),
+    // plain strings trim; nothing caps without maxTextSize
+    assert(sql == """SELECT "u", "o", LTRIM(RTRIM("s")) AS "s" FROM t""")
+    assert(handled == Set("s"))
+    assert(!sql.contains("SUBSTRING") && !sql.contains("SUBSTR("))
+  }
+
+  test("dialect-typed casts come from Spark's JdbcDialects registry") {
+    // a dataTypeMap retarget to SMALLINT renders the dialect's own type
+    // name on both dialects (tinyint is unsigned in T-SQL —
+    // write_init.py:29-38)
+    val cols = Seq(ColInfo("flag", ByteType, sourceType = Some("tinyint")))
+    val cfg = WriteConfig() // defaultTypeMap maps tinyint → SMALLINT
+    val (tq, _) = JdbcSqlGen.projectedSql(cols, cfg, tsqlUrl, Left("T")).get
+    val (pq, _) = JdbcSqlGen.projectedSql(cols, cfg, pgUrl, Left("T")).get
+    assert(tq == """SELECT CAST("flag" AS SMALLINT) AS "flag" FROM T""")
+    assert(pq == """SELECT CAST("flag" AS SMALLINT) AS "flag" FROM T""")
+  }
+
+  test("query sources wrap as a derived table on both dialects") {
+    val cols = Seq(ColInfo("n", StringType, sourceType = Some("varchar")))
+    val (tq, _) = JdbcSqlGen.projectedSql(cols, WriteConfig(), tsqlUrl,
+      Right("SELECT * FROM dbo.T WHERE x = 1")).get
+    assert(tq == """SELECT LTRIM(RTRIM("n")) AS "n" FROM (SELECT * FROM dbo.T WHERE x = 1) graft_src""")
+    val (pq, _) = JdbcSqlGen.projectedSql(cols, WriteConfig(), pgUrl,
+      Right("SELECT * FROM t WHERE x = 1")).get
+    assert(pq == """SELECT LTRIM(RTRIM("n")) AS "n" FROM (SELECT * FROM t WHERE x = 1) graft_src""")
+  }
+
+  test("pk IN-list literals render portably for both dialects") {
+    // strings escape by doubling; temporals ship as JDBC {ts}/{d} escapes
+    // every driver expands dialect-correctly — the strange-update fetch
+    // (db_to_delta.py:907-992) must not depend on dialect literal syntax
+    val sqls = JdbcSqlGen.pkFilterSqls(
+      Seq("\"K\"", "\"W\""),
+      Seq(Seq("o'neil", java.sql.Timestamp.valueOf("2024-03-04 05:06:07")),
+        Seq("plain", null)),
+      Left("dbo.T")).get
+    assert(sqls == Seq(
+      """SELECT * FROM dbo.T WHERE ("K" = 'o''neil' AND "W" = {ts '2024-03-04 05:06:07.0'}) """.trim +
+      """ OR ("K" = 'plain' AND "W" IS NULL)"""))
+  }
+
+  test("openquery gateway wrap pins the reference's linked-server spelling") {
+    // reference spark_reader.py:187-196: bracket-quoted server name,
+    // inner quotes doubled
+    assert(graft.sources.JdbcSource.openQuery("WH", "select 1 as 'a'") ==
+      "select * from openquery([WH], 'select 1 as ''a''')")
+  }
+}
