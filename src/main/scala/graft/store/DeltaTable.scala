@@ -27,17 +27,21 @@ import org.apache.spark.sql.types._
   * architecture).
   *
   * Supported: reader protocol 1; 2 and 3 when no unsupported table feature
-  * is active. NAME-mode column mapping is read natively (modern
-  * Databricks-written tables default to it): parquet files, partition-value
-  * keys and stats are keyed by each field's
-  * `delta.columnMapping.physicalName` metadata, so the scan runs over the
-  * physical schema and renames back to logical names on top (nested
-  * renames via a same-typed struct cast). ID-mode column mapping, deletion
-  * vectors and v2 checkpoints are rejected LOUDLY — silently misreading
-  * them would drop or resurrect rows. Partitioned tables reconstruct
-  * partition columns from `partitionValues` via Spark's own string casts.
-  * Snapshot resolution is driver-side over the log only; data stays
-  * distributed.
+  * is active. COLUMN MAPPING is read natively in both modes (modern
+  * Databricks-written tables default to name mode): partition-value keys
+  * and stats are keyed by each field's `delta.columnMapping.physicalName`
+  * metadata, so the scan runs over the physical schema and renames back
+  * to logical names on top (nested renames via a same-typed struct cast).
+  * Name mode resolves parquet columns by physical name; id mode attaches
+  * each field's `delta.columnMapping.id` as `parquet.field.id` metadata
+  * and rides Spark's own field-id resolution (the reader enables
+  * `spark.sql.parquet.fieldId.read.enabled` on the session — field-id
+  * matching only activates for schemas that carry the metadata, so other
+  * reads are unaffected). Deletion vectors and v2 checkpoints are rejected
+  * LOUDLY — silently misreading them would drop or resurrect rows.
+  * Partitioned tables reconstruct partition columns from `partitionValues`
+  * via Spark's own string casts. Snapshot resolution is driver-side over
+  * the log only; data stays distributed.
   */
 object DeltaTable {
   import VersionedTable.mapper
@@ -88,24 +92,41 @@ object DeltaTable {
       versionAsOf: Option[Long] = None,
       timestampAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, versionAsOf, timestampAsOf)
-    // NAME-mode column mapping (PROTOCOL.md "Column Mapping"): the logical
-    // schema lives in schemaString field NAMES; parquet columns, partition-
-    // value keys and stats keys all use the per-field physicalName
-    // metadata. The scan therefore runs over the PHYSICAL schema and the
-    // final projection renames back — so file pruning (stats + partitions)
-    // keeps working unchanged on the physical keys it actually gets.
-    val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
+    // Column mapping (PROTOCOL.md "Column Mapping"): the logical schema
+    // lives in schemaString field NAMES; partition-value keys and stats
+    // keys use the per-field physicalName metadata in BOTH modes. The scan
+    // therefore runs over the PHYSICAL schema and the final projection
+    // renames back — so file pruning (stats + partitions) keeps working
+    // unchanged on the physical keys it actually gets. Parquet column
+    // resolution differs by mode: name mode matches the physical names in
+    // the files; id mode attaches parquet.field.id metadata and lets
+    // Spark's reader match by the field ids the writer stamped.
+    val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val mapped = mode != "none" // snapshot() already rejected unknown modes
+    val idMode = mode == "id"
+    if (idMode)
+      // field-id matching only activates for schemas carrying the
+      // metadata (ours below) — other session reads are unaffected
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val PhysKey = "delta.columnMapping.physicalName"
+    val IdKey = "delta.columnMapping.id"
     def physName(f: StructField): String =
       if (!mapped) f.name
       else if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
       else throw new IllegalArgumentException(
         s"column-mapped Delta table $path: field ${f.name} has no $PhysKey metadata")
+    def fieldMeta(f: StructField): Metadata =
+      if (!idMode) Metadata.empty
+      else if (f.metadata.contains(IdKey)) new MetadataBuilder()
+        .putLong("parquet.field.id", f.metadata.getLong(IdKey)).build()
+      else throw new IllegalArgumentException(
+        s"id-mapped Delta table $path: field ${f.name} has no $IdKey metadata")
+    def physField(f: StructField): StructField =
+      StructField(physName(f), physType(f.dataType), f.nullable, fieldMeta(f))
     def physType(dt: DataType): DataType =
       if (!mapped) dt
       else dt match {
-        case s: StructType => StructType(s.fields.map(f =>
-          StructField(physName(f), physType(f.dataType), f.nullable)))
+        case s: StructType => StructType(s.fields.map(physField))
         case a: ArrayType => a.copy(elementType = physType(a.elementType))
         case m: MapType =>
           m.copy(keyType = physType(m.keyType), valueType = physType(m.valueType))
@@ -115,12 +136,13 @@ object DeltaTable {
     val partSchema = StructType(snap.partitionColumns.map { c =>
       val f = snap.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"partition column $c missing from schema"))
-      // physical NAME (partitionValues are keyed physically), logical type
+      // physical NAME (partitionValues are keyed physically), logical type;
+      // partition values never come from parquet columns → no field id
       StructField(physName(f), f.dataType, f.nullable)
     })
     val dataSchema = StructType(
       snap.schema.fields.filterNot(f => lowerParts.contains(f.name.toLowerCase))
-        .map(f => StructField(physName(f), physType(f.dataType), f.nullable)))
+        .map(physField))
     val root = new HPath(path)
     val entries = snap.adds.map { a =>
       DeltaFileEntry(resolvePath(root, a.rawPath), a.size, a.mtime,
@@ -206,11 +228,12 @@ object DeltaTable {
     }
     def checkConfig(): Unit = {
       val cm = config.getOrElse("delta.columnMapping.mode", "none")
-      // name mode reads natively (read() scans the physical schema and
-      // renames); id mode needs parquet field-id resolution Spark's
-      // vanilla reader doesn't expose here → loud refusal, not a misread
-      if (cm != "none" && cm != "name") throw new UnsupportedOperationException(
-        s"Delta table $path uses column mapping mode '$cm' — only 'name' is supported")
+      // name mode scans by physical name; id mode rides Spark's parquet
+      // field-id resolution (read() wires both); anything else is a
+      // protocol we don't know → loud refusal, not a misread
+      if (cm != "none" && cm != "name" && cm != "id")
+        throw new UnsupportedOperationException(
+          s"Delta table $path uses column mapping mode '$cm' — not supported")
     }
     def rejectDv(hasDv: Boolean): Unit =
       if (hasDv) throw new UnsupportedOperationException(

@@ -253,6 +253,42 @@ class DeltaReaderSpec extends SparkSuite {
     assert(src.columns(spark).map(_.name).toSet == Set("id", "v", "s", "p"))
   }
 
+  test("id-mode column mapping: parquet columns resolve by field id, not name") {
+    val root = tmpDir("dt-im")
+    val log = s"$root/_delta_log"
+    def fm(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, fm(1, "col-aa")),
+      StructField("v", StringType, nullable = true, fm(2, "col-bb"))))
+    // the data file's column NAMES deliberately differ from the log's
+    // physicalName — only the stamped parquet field ids line up, so a
+    // name-based read would MISS both columns; id resolution must win
+    def pfid(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val fileSchema = StructType(Seq(
+      StructField("legacy_id", LongType, nullable = true, pfid(1)),
+      StructField("legacy_v", StringType, nullable = true, pfid(2))))
+    assert(spark.conf.get("spark.sql.parquet.fieldId.write.enabled") == "true")
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(2L, "b")),
+      fileSchema)
+    val (fa, sa) = onePart(root, df)
+    // stats keyed by PHYSICAL name (protocol), as in name mode
+    val stats =
+      """{\"numRecords\":2,\"minValues\":{\"col-aa\":1},\"maxValues\":{\"col-aa\":2},\"nullCount\":{\"col-aa\":0}}"""
+    writeCommit(log, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      metaLine(schema,
+        config = """{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}"""),
+      s"""{"add":{"path":"$fa","partitionValues":{},"size":$sa,"modificationTime":1,"dataChange":true,"stats":"$stats"}}"""))
+    val got = DeltaTable.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("timestampAsOf resolves against commit mtimes") {
     val root = tmpDir("dt-ts")
     val t = new VersionedTable(spark, root)
@@ -276,11 +312,11 @@ class DeltaReaderSpec extends SparkSuite {
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
       metaLine(schemaJ)))
     intercept[UnsupportedOperationException](DeltaTable.snapshot(spark, r1))
-    // id-mode column mapping (needs parquet field-id resolution) stays out
+    // an unknown column-mapping mode stays out (name and id are read)
     val r2 = tmpDir("dt-cm")
     writeCommit(s"$r2/_delta_log", 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      metaLine(schemaJ, config = """{"delta.columnMapping.mode":"id"}""")))
+      metaLine(schemaJ, config = """{"delta.columnMapping.mode":"hash"}""")))
     intercept[UnsupportedOperationException](DeltaTable.snapshot(spark, r2))
     // a per-file deletion vector with an otherwise-fine protocol
     val r3 = tmpDir("dt-dv2")
