@@ -37,11 +37,12 @@ import org.apache.spark.sql.types._
   * and rides Spark's own field-id resolution (the reader enables
   * `spark.sql.parquet.fieldId.read.enabled` on the session — field-id
   * matching only activates for schemas that carry the metadata, so other
-  * reads are unaffected). Deletion vectors and v2 checkpoints are rejected
-  * LOUDLY — silently misreading them would drop or resurrect rows.
-  * Partitioned tables reconstruct partition columns from `partitionValues`
-  * via Spark's own string casts. Snapshot resolution is driver-side over
-  * the log only; data stays distributed.
+  * reads are unaffected). V2 checkpoints (json or parquet manifest +
+  * `_sidecars/` action files) resolve like classic ones. Deletion vectors
+  * are rejected LOUDLY — silently misreading them would resurrect deleted
+  * rows. Partitioned tables reconstruct partition columns from
+  * `partitionValues` via Spark's own string casts. Snapshot resolution is
+  * driver-side over the log only; data stays distributed.
   */
 object DeltaTable {
   import VersionedTable.mapper
@@ -49,6 +50,11 @@ object DeltaTable {
   private val CommitRe = """(\d{20})\.json""".r
   private val CheckpointRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  // v2 checkpoints: <version>.checkpoint.<unique>.{json,parquet} manifest
+  // carrying non-file actions + `sidecar` pointers into _delta_log/_sidecars/
+  // (PROTOCOL.md "V2 Spec Checkpoints"). The unique part is a UUID, so the
+  // two numeric groups of a multi-part classic name never match it.
+  private val V2CheckpointRe = """(\d{20})\.checkpoint\.([0-9a-zA-Z-]+)\.(json|parquet)""".r
 
   /** Reader-relevant table features this reader actually implements.
     * (`vacuumProtocolCheck` only constrains VACUUM, which we never run on
@@ -58,8 +64,7 @@ object DeltaTable {
     Set("timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed", "domainMetadata",
       "inCommitTimestamp", "icebergCompatV1", "icebergCompatV2",
-      // name mode only; id mode is still rejected by the configuration check
-      "columnMapping")
+      "columnMapping", "v2Checkpoint")
 
   /** One live file as recorded by the log (path still raw/percent-encoded). */
   private[store] final case class Add(
@@ -79,7 +84,8 @@ object DeltaTable {
   def isDeltaTable(spark: SparkSession, path: String): Boolean = {
     val fsu = new Fs(spark, path)
     fsu.list(new HPath(path, "_delta_log")).map(_.getName).exists {
-      case CommitRe(_) | CheckpointRe(_) | MultiCheckpointRe(_, _, _) => true
+      case CommitRe(_) | CheckpointRe(_) | MultiCheckpointRe(_, _, _) |
+           V2CheckpointRe(_, _, _) => true
       case _ => false
     }
   }
@@ -193,9 +199,17 @@ object DeltaTable {
         v -> parts.sortBy(_._3).map(_._4)
     }.toMap
     val checkpoints = singleCps ++ multiCps
-    if (commits.isEmpty && checkpoints.isEmpty)
+    // v2 checkpoints: any manifest per version is complete by spec; pick
+    // the lexicographically greatest name for determinism
+    val v2Cps: Map[Long, HPath] = statuses.flatMap { st =>
+      st.getPath.getName match {
+        case V2CheckpointRe(v, _, _) => Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).maxBy(_.getName) }
+    if (commits.isEmpty && checkpoints.isEmpty && v2Cps.isEmpty)
       throw new IllegalArgumentException(s"$path is not a Delta table: no _delta_log commits")
-    val latest = (commits.keySet ++ checkpoints.keySet).max
+    val latest = (commits.keySet ++ checkpoints.keySet ++ v2Cps.keySet).max
     val target = versionAsOf.orElse(timestampAsOf.map { ts =>
       val ok = commits.filter(_._2.getModificationTime <= ts).keys
       if (ok.isEmpty) throw new IllegalArgumentException(
@@ -206,7 +220,7 @@ object DeltaTable {
       s"version $target out of range [0, $latest]")
     // newest usable checkpoint = the latest one whose JSON tail to the
     // target is gap-free (a vacuumed-then-recheckpointed log may have holes)
-    val cpVersion = checkpoints.keys.filter(_ <= target).toSeq.sortBy(-_)
+    val cpVersion = (checkpoints.keySet ++ v2Cps.keySet).filter(_ <= target).toSeq.sortBy(-_)
       .find(cp => ((cp + 1) to target).forall(commits.contains))
     val replayFrom = cpVersion.map(_ + 1).getOrElse(0L)
     (replayFrom to target).foreach { v =>
@@ -239,9 +253,9 @@ object DeltaTable {
       if (hasDv) throw new UnsupportedOperationException(
         s"Delta table $path has files with deletion vectors — not supported by this reader")
 
-    // ---- checkpoint state
-    cpVersion.foreach { cp =>
-      val df = spark.read.parquet(checkpoints(cp).map(_.toString): _*)
+    // one parquet action-frame (classic checkpoint, v2 manifest, or v2
+    // sidecar): protocol/metaData when present, live adds into `files`
+    def processActionFrame(df: DataFrame): Unit = {
       def sub(action: String): Option[StructType] =
         df.schema.fields.find(_.name == action).map(_.dataType.asInstanceOf[StructType])
       sub("protocol").foreach { ps =>
@@ -253,12 +267,13 @@ object DeltaTable {
           checkProtocol(r.getInt(r.fieldIndex("minReaderVersion")), feats)
         }
       }
-      df.select("metaData.*").where(col("schemaString").isNotNull).collect().foreach { r =>
-        schemaJson = Some(r.getString(r.fieldIndex("schemaString")))
-        partCols = r.getSeq[String](r.fieldIndex("partitionColumns"))
-        config = Option(r.getJavaMap[String, String](r.fieldIndex("configuration")))
-          .map(_.asScala.toMap).getOrElse(Map.empty)
-      }
+      if (sub("metaData").isDefined)
+        df.select("metaData.*").where(col("schemaString").isNotNull).collect().foreach { r =>
+          schemaJson = Some(r.getString(r.fieldIndex("schemaString")))
+          partCols = r.getSeq[String](r.fieldIndex("partitionColumns"))
+          config = Option(r.getJavaMap[String, String](r.fieldIndex("configuration")))
+            .map(_.asScala.toMap).getOrElse(Map.empty)
+        }
       val addFields = sub("add").map(_.fieldNames.toSet).getOrElse(Set.empty)
       if (addFields.nonEmpty) {
         val dvCol =
@@ -281,38 +296,73 @@ object DeltaTable {
       }
     }
 
+    // one JSON action line (commit tail or v2 json manifest)
+    def applyJsonAction(node: JsonNode): Unit = {
+      if (node.has("protocol")) {
+        val p = node.get("protocol")
+        val feats = Option(p.get("readerFeatures"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        checkProtocol(p.get("minReaderVersion").asInt(), feats)
+      }
+      if (node.has("metaData")) {
+        val md = node.get("metaData")
+        schemaJson = Some(md.get("schemaString").asText())
+        partCols = Option(md.get("partitionColumns"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        config = Option(md.get("configuration")).map(_.fields().asScala
+          .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+          .getOrElse(Map.empty)
+      }
+      if (node.has("add")) {
+        val a = node.get("add")
+        rejectDv(a.has("deletionVector") && !a.get("deletionVector").isNull)
+        val p = a.get("path").asText()
+        val pv = Option(a.get("partitionValues")).map(_.fields().asScala.map { e =>
+          e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+        }.toMap).getOrElse(Map.empty[String, Option[String]])
+        files(p) = Add(p, a.get("size").asLong(),
+          Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
+          pv, Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+      }
+      if (node.has("remove")) files.remove(node.get("remove").get("path").asText())
+    }
+
+    // ---- checkpoint state (classic parquet parts, or v2 manifest+sidecars)
+    cpVersion.foreach { cp =>
+      if (checkpoints.contains(cp))
+        processActionFrame(spark.read.parquet(checkpoints(cp).map(_.toString): _*))
+      else {
+        val manifest = v2Cps(cp)
+        val sidecars = scala.collection.mutable.ArrayBuffer[String]()
+        if (manifest.getName.endsWith(".json"))
+          fsu.readString(manifest).split('\n').filter(_.nonEmpty).foreach { line =>
+            val node = mapper.readTree(line)
+            applyJsonAction(node)
+            if (node.has("sidecar")) sidecars += node.get("sidecar").get("path").asText()
+          }
+        else {
+          val df = spark.read.parquet(manifest.toString)
+          processActionFrame(df)
+          if (df.schema.fieldNames.contains("sidecar"))
+            df.where(col("sidecar.path").isNotNull).select("sidecar.path").collect()
+              .foreach(r => sidecars += r.getString(0))
+        }
+        // sidecar paths are file names under _delta_log/_sidecars/ (or
+        // absolute URIs); each holds add/remove actions only
+        val sidecarDir = new HPath(logDir, "_sidecars")
+        val paths = sidecars.toSeq.map { p =>
+          val u = new java.net.URI(p)
+          if (u.isAbsolute) new HPath(u) else new HPath(sidecarDir, u.getPath)
+        }
+        if (paths.nonEmpty)
+          processActionFrame(spark.read.parquet(paths.map(_.toString): _*))
+      }
+    }
+
     // ---- JSON tail
     (replayFrom to target).foreach { v =>
-      fsu.readString(commits(v).getPath).split('\n').filter(_.nonEmpty).foreach { line =>
-        val node = mapper.readTree(line)
-        if (node.has("protocol")) {
-          val p = node.get("protocol")
-          val feats = Option(p.get("readerFeatures"))
-            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-          checkProtocol(p.get("minReaderVersion").asInt(), feats)
-        }
-        if (node.has("metaData")) {
-          val md = node.get("metaData")
-          schemaJson = Some(md.get("schemaString").asText())
-          partCols = Option(md.get("partitionColumns"))
-            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-          config = Option(md.get("configuration")).map(_.fields().asScala
-            .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
-            .getOrElse(Map.empty)
-        }
-        if (node.has("add")) {
-          val a = node.get("add")
-          rejectDv(a.has("deletionVector") && !a.get("deletionVector").isNull)
-          val p = a.get("path").asText()
-          val pv = Option(a.get("partitionValues")).map(_.fields().asScala.map { e =>
-            e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
-          }.toMap).getOrElse(Map.empty[String, Option[String]])
-          files(p) = Add(p, a.get("size").asLong(),
-            Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
-            pv, Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
-        }
-        if (node.has("remove")) files.remove(node.get("remove").get("path").asText())
-      }
+      fsu.readString(commits(v).getPath).split('\n').filter(_.nonEmpty)
+        .foreach(line => applyJsonAction(mapper.readTree(line)))
     }
 
     checkConfig()

@@ -253,6 +253,87 @@ class DeltaReaderSpec extends SparkSuite {
     assert(src.columns(spark).map(_.name).toSet == Set("id", "v", "s", "p"))
   }
 
+  test("v2 checkpoint: json manifest + parquet sidecars reconstruct state alone") {
+    val root = tmpDir("dt-v2j")
+    val log = s"$root/_delta_log"
+    val (f0, s0) = onePart(root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val (f1, s1) = onePart(root, Seq((3L, "c")).toDF("id", "v"))
+    // sidecar parquet carrying the two live adds (action-frame shape)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    val sideRows = Seq(
+      Row(null, null, Row(f0, Map.empty[String, String], s0, 1000L, false)),
+      Row(null, null, Row(f1, Map.empty[String, String], s1, 2000L, false)))
+    val sideDf = spark.createDataFrame(sideRows.asJava, DeltaLogMirror.checkpointSchema)
+      .coalesce(1)
+    val stage = tmpDir("dt-v2j-stage")
+    sideDf.write.mode("overwrite").parquet(stage)
+    val part = new File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    new File(s"$log/_sidecars").mkdirs()
+    val sideName = "00000-aaaa-bbbb.parquet"
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$log/_sidecars/$sideName"))
+    // v2 JSON manifest: protocol (v2Checkpoint feature) + metaData +
+    // checkpointMetadata + sidecar pointer; NO json commits survive
+    Files.write(java.nio.file.Paths.get(
+      s"$log/00000000000000000001.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+        metaLine(fixtureSchema),
+        """{"checkpointMetadata":{"version":1,"tags":{}}}""",
+        s"""{"sidecar":{"path":"$sideName","sizeInBytes":1234,"modificationTime":2000,"tags":{}}}""")
+        .mkString("\n").getBytes("UTF-8"))
+    assert(DeltaTable.isDeltaTable(spark, root))
+    val snap = DeltaTable.snapshot(spark, root)
+    assert(snap.version == 1L && snap.numFiles == 2)
+    assert(DeltaTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // a JSON commit after the v2 checkpoint replays on top
+    writeCommit(log, 2L, Seq(
+      s"""{"remove":{"path":"$f0","deletionTimestamp":3000,"dataChange":true}}"""))
+    assert(DeltaTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L))
+  }
+
+  test("v2 checkpoint: parquet manifest with sidecar actions") {
+    val root = tmpDir("dt-v2p")
+    val log = s"$root/_delta_log"
+    val (f0, s0) = onePart(root, Seq((7L, "x"), (8L, "y")).toDF("id", "v"))
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    // manifest parquet: protocol + metaData + sidecar columns (no adds)
+    val sidecarT = StructType(Seq(
+      StructField("path", StringType), StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val manifestSchema = StructType(
+      DeltaLogMirror.checkpointSchema.fields.toSeq :+ StructField("sidecar", sidecarT))
+    // sidecar file itself uses the plain action shape
+    val sideDf = spark.createDataFrame(
+      Seq(Row(null, null, Row(f0, Map.empty[String, String], s0, 1000L, false))).asJava,
+      DeltaLogMirror.checkpointSchema).coalesce(1)
+    val stage = tmpDir("dt-v2p-stage")
+    sideDf.write.mode("overwrite").parquet(stage)
+    val sidePart = new File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    new File(s"$log/_sidecars").mkdirs()
+    val sideName = "00001-cccc-dddd.parquet"
+    Files.move(sidePart.toPath, java.nio.file.Paths.get(s"$log/_sidecars/$sideName"))
+    val manifestRows = Seq(
+      Row(Row(3, 7), null, null, null),
+      Row(null, Row("fix-2", null, null, Row("parquet", Map.empty[String, String]),
+        fixtureSchema.json, Seq.empty[String], Map.empty[String, String], 1L), null, null),
+      Row(null, null, null, Row(sideName, 1234L, 2000L)))
+    val mDf = spark.createDataFrame(manifestRows.asJava, manifestSchema).coalesce(1)
+    val mStage = tmpDir("dt-v2p-mstage")
+    mDf.write.mode("overwrite").parquet(mStage)
+    val mPart = new File(mStage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(mPart.toPath, java.nio.file.Paths.get(
+      s"$log/00000000000000000000.checkpoint.11111111-2222-3333-4444-555555555555.parquet"))
+    assert(DeltaTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(7L, 8L))
+  }
+
   test("id-mode column mapping: parquet columns resolve by field id, not name") {
     val root = tmpDir("dt-im")
     val log = s"$root/_delta_log"
