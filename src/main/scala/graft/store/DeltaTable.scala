@@ -39,10 +39,13 @@ import org.apache.spark.sql.types._
   * matching only activates for schemas that carry the metadata, so other
   * reads are unaffected). V2 checkpoints (json or parquet manifest +
   * `_sidecars/` action files) resolve like classic ones. Deletion vectors
-  * are rejected LOUDLY — silently misreading them would resurrect deleted
-  * rows. Partitioned tables reconstruct partition columns from
-  * `partitionValues` via Spark's own string casts. Snapshot resolution is
-  * driver-side over the log only; data stays distributed.
+  * decode driver-side ([[DeletionVectors]]) and filter via the parquet
+  * reader's `_metadata.row_index`. Partitioned tables reconstruct
+  * partition columns from `partitionValues` via Spark's own string casts.
+  * Snapshot resolution is driver-side over the log only; data stays
+  * distributed. With all of column mapping (both modes), v2 checkpoints
+  * and deletion vectors readable, this reader opens any table the
+  * reference's delta-rs/delta-spark readers can.
   */
 object DeltaTable {
   import VersionedTable.mapper
@@ -64,12 +67,13 @@ object DeltaTable {
     Set("timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed", "domainMetadata",
       "inCommitTimestamp", "icebergCompatV1", "icebergCompatV2",
-      "columnMapping", "v2Checkpoint")
+      "columnMapping", "v2Checkpoint", "deletionVectors")
 
   /** One live file as recorded by the log (path still raw/percent-encoded). */
   private[store] final case class Add(
       rawPath: String, size: Long, mtime: Long,
-      partitionValues: Map[String, Option[String]], statsJson: Option[String])
+      partitionValues: Map[String, Option[String]], statsJson: Option[String],
+      dv: Option[DeletionVectors.Descriptor] = None)
 
   final case class Snapshot(
       version: Long,
@@ -154,8 +158,32 @@ object DeltaTable {
       DeltaFileEntry(resolvePath(root, a.rawPath), a.size, a.mtime,
         a.partitionValues, a.statsJson.flatMap(parseStats(_, dataSchema)))
     }
-    DeltaFileIndex.scan(spark, root, entries, partSchema, dataSchema)
-      .select(snap.schema.fields.map { f =>
+    val scanned = DeltaFileIndex.scan(spark, root, entries, partSchema, dataSchema)
+    // Deletion vectors: decode each referenced bitmap driver-side (DVs are
+    // small — bounded by sizeInBytes; same broadcast shape delta-spark
+    // uses) and drop marked row indexes via the parquet reader's own
+    // _metadata.row_index. Stats-based file skipping stays sound: a DV'd
+    // file's min/max/nullCount describe a SUPERSET of its live rows.
+    // The per-row probe is a broadcast binary search keyed by the decoded
+    // URI path (scheme-insensitive) — not expressible relationally without
+    // exploding every bitmap into a join side.
+    val dvAdds = snap.adds.filter(_.dv.isDefined)
+    val withDv: DataFrame =
+      if (dvAdds.isEmpty) scanned
+      else {
+        val fs = new Fs(spark, path).fs
+        val deleted: Map[String, Array[Long]] = dvAdds.map { a =>
+          resolvePath(root, a.rawPath).toUri.getPath ->
+            DeletionVectors.load(fs, root, a.dv.get)
+        }.toMap
+        val bc = spark.sparkContext.broadcast(deleted)
+        val live = org.apache.spark.sql.functions.udf { (p: String, i: Long) =>
+          !bc.value.get(new HPath(p).toUri.getPath)
+            .exists(arr => java.util.Arrays.binarySearch(arr, i) >= 0)
+        }
+        scanned.where(live(col("_metadata.file_path"), col("_metadata.row_index")))
+      }
+    withDv.select(snap.schema.fields.map { f =>
         val c = col(s"`${physName(f)}`")
         val pt = physType(f.dataType)
         // nested physical names rename via a same-typed positional cast
@@ -249,9 +277,8 @@ object DeltaTable {
         throw new UnsupportedOperationException(
           s"Delta table $path uses column mapping mode '$cm' — not supported")
     }
-    def rejectDv(hasDv: Boolean): Unit =
-      if (hasDv) throw new UnsupportedOperationException(
-        s"Delta table $path has files with deletion vectors — not supported by this reader")
+    // deletion vectors are read natively (read() filters the marked row
+    // indexes via _metadata.row_index); the descriptor just rides the Add
 
     // one parquet action-frame (classic checkpoint, v2 manifest, or v2
     // sidecar): protocol/metaData when present, live adds into `files`
@@ -277,21 +304,29 @@ object DeltaTable {
       val addFields = sub("add").map(_.fieldNames.toSet).getOrElse(Set.empty)
       if (addFields.nonEmpty) {
         val dvCol =
-          if (addFields.contains("deletionVector")) col("add.deletionVector").isNotNull
-          else org.apache.spark.sql.functions.lit(false)
+          if (addFields.contains("deletionVector"))
+            col("add.deletionVector").cast(
+              "struct<storageType:string,pathOrInlineDv:string,offset:int," +
+                "sizeInBytes:int,cardinality:bigint>")
+          else org.apache.spark.sql.functions.lit(null).cast(
+            "struct<storageType:string,pathOrInlineDv:string,offset:int," +
+              "sizeInBytes:int,cardinality:bigint>")
         val statsCol =
           if (addFields.contains("stats")) col("add.stats")
           else org.apache.spark.sql.functions.lit(null).cast("string")
         df.where(col("add.path").isNotNull)
           .select(col("add.path"), col("add.partitionValues"), col("add.size"),
-            col("add.modificationTime"), statsCol.as("stats"), dvCol.as("hasDv"))
+            col("add.modificationTime"), statsCol.as("stats"), dvCol.as("dv"))
           .collect().foreach { r =>
-            rejectDv(r.getBoolean(5))
+            val dv = Option(r.getStruct(5)).map(d => DeletionVectors.Descriptor(
+              d.getString(0), d.getString(1),
+              if (d.isNullAt(2)) None else Some(d.getInt(2)),
+              d.getInt(3), d.getLong(4)))
             val pv = Option(r.getJavaMap[String, String](1))
               .map(_.asScala.map { case (k, v) => k -> Option(v) }.toMap)
               .getOrElse(Map.empty[String, Option[String]])
             files(r.getString(0)) = Add(r.getString(0), r.getLong(2), r.getLong(3),
-              pv, Option(r.getString(4)))
+              pv, Option(r.getString(4)), dv)
           }
       }
     }
@@ -315,14 +350,19 @@ object DeltaTable {
       }
       if (node.has("add")) {
         val a = node.get("add")
-        rejectDv(a.has("deletionVector") && !a.get("deletionVector").isNull)
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+          DeletionVectors.Descriptor(
+            d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+            Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+            d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
+        }
         val p = a.get("path").asText()
         val pv = Option(a.get("partitionValues")).map(_.fields().asScala.map { e =>
           e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
         }.toMap).getOrElse(Map.empty[String, Option[String]])
         files(p) = Add(p, a.get("size").asLong(),
           Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
-          pv, Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+          pv, Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), dv)
       }
       if (node.has("remove")) files.remove(node.get("remove").get("path").asText())
     }

@@ -15,8 +15,9 @@ import graft.SparkSuite
   *  - replays a hand-crafted protocol fixture with remove actions, a
   *    classic checkpoint, percent-encoded paths, partition columns, and
   *    per-file stats (pruning included);
-  *  - rejects unreadable tables (deletion vectors, column mapping,
-  *    unknown reader features) LOUDLY instead of misreading them. */
+  *  - reads column mapping (name + id), v2 checkpoints and (in
+  *    DeletionVectorSpec) deletion vectors; rejects genuinely unknown
+  *    protocol features LOUDLY instead of misreading them. */
 class DeltaReaderSpec extends SparkSuite {
   import spark.implicits._
 
@@ -387,10 +388,10 @@ class DeltaReaderSpec extends SparkSuite {
 
   test("unsupported tables are rejected loudly") {
     val schemaJ = fixtureSchema
-    // deletion vectors on an add
-    val r1 = tmpDir("dt-dv")
+    // an unknown reader feature this reader has never heard of
+    val r1 = tmpDir("dt-unk")
     writeCommit(s"$r1/_delta_log", 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["futureFancyEncoding"],"writerFeatures":["futureFancyEncoding"]}}""",
       metaLine(schemaJ)))
     intercept[UnsupportedOperationException](DeltaTable.snapshot(spark, r1))
     // an unknown column-mapping mode stays out (name and id are read)
@@ -399,17 +400,17 @@ class DeltaReaderSpec extends SparkSuite {
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       metaLine(schemaJ, config = """{"delta.columnMapping.mode":"hash"}""")))
     intercept[UnsupportedOperationException](DeltaTable.snapshot(spark, r2))
-    // a per-file deletion vector with an otherwise-fine protocol
-    val r3 = tmpDir("dt-dv2")
+    // a reader version above anything specified
+    val r3 = tmpDir("dt-v9")
     writeCommit(s"$r3/_delta_log", 0L, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      metaLine(schemaJ),
-      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
+      """{"protocol":{"minReaderVersion":9,"minWriterVersion":9}}""",
+      metaLine(schemaJ)))
     intercept[UnsupportedOperationException](DeltaTable.snapshot(spark, r3))
-    // supported v3 features pass
+    // supported v3 features pass (deletionVectors decoding is covered by
+    // DeletionVectorSpec)
     val r4 = tmpDir("dt-ok3")
     writeCommit(s"$r4/_delta_log", 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","deletionVectors"],"writerFeatures":["timestampNtz","deletionVectors"]}}""",
       metaLine(schemaJ)))
     assert(DeltaTable.snapshot(spark, r4).version == 0L)
     // not a delta table at all
