@@ -174,4 +174,63 @@ class DeletionVectorSpec extends SparkSuite {
     // snapshot still reports both physical files; filtering is row-level
     assert(DeltaTable.snapshot(spark, root).numFiles == 2)
   }
+
+  test("deletion vectors compose with name-mode column mapping") {
+    // the modern-Databricks default shape: name-mapped physical columns
+    // AND row-level deletes in one table — the DV filter runs on the
+    // physical scan (with _metadata), the rename select sits on top
+    val root = tmpDir("dv-cm")
+    val log = s"$root/_delta_log"
+    def fmeta(id: Long, phys: String) =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true, fmeta(1, "col-x")),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType, nullable = true, fmeta(2, "col-y"))))
+    val (fa, sa) = onePart(root,
+      (0L until 8L).map(i => (i, s"r$i")).toDF("col-x", "col-y"))
+    val dv = dvData(Seq(2L, 5L))
+    val padded = dv ++ new Array[Byte]((4 - dv.length % 4) % 4)
+    val metaCm =
+      s"""{"metaData":{"id":"dv-cm","format":{"provider":"parquet","options":{}},
+         |"schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+           .writeValueAsString(schema.json)},
+         |"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}"""
+        .stripMargin.replaceAll("\n", "")
+    writeCommit(log, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors"],"writerFeatures":["columnMapping","deletionVectors"]}}""",
+      metaCm,
+      s"""{"add":{"path":"$fa","partitionValues":{},"size":$sa,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"${z85Encode(padded)}","sizeInBytes":${dv.length},"cardinality":2}}}"""))
+    val df = DeltaTable.read(spark, root)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(df.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 3L, 4L, 6L, 7L))
+  }
+
+  test("SCD2 sync ingests from a DV'd external Delta table (live rows only)") {
+    val root = tmpDir("dv-sync-src")
+    val log = s"$root/_delta_log"
+    val (fa, sa) = onePart(root,
+      (1L to 6L).map(i => (i, s"n$i", 1L)).toDF("id", "name", "ver"))
+    val dv = dvData(Seq(1L, 4L)) // row indexes → ids 2 and 5 deleted
+    val padded = dv ++ new Array[Byte]((4 - dv.length % 4) % 4)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ver", org.apache.spark.sql.types.LongType)))
+    writeCommit(log, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaLine(schema),
+      s"""{"add":{"path":"$fa","partitionValues":{},"size":$sa,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"${z85Encode(padded)}","sizeInBytes":${dv.length},"cardinality":2}}}"""))
+    val dest = tmpDir("dv-sync-dest")
+    val src = new graft.sources.DeltaTableSource(root, pks = Seq("id"))
+    val cfg = graft.WriteConfig(deltaCol = Some("ver"))
+    assert(graft.Graft.sync(spark, src, dest, cfg) == graft.LoadResult.FullLoad(4))
+    val cur = graft.Graft.writer(spark, src, dest, cfg).currentState()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(cur == Seq(1L, 3L, 4L, 6L))
+  }
 }
