@@ -312,6 +312,48 @@ object TextCorpus {
           .otherwise(0L).cast("long").as("novelty_permille"))
   }
 
+  /** Corpus bigram language-model scoring — the CCNet-style "score
+    * documents by LM likelihood, filter the tail" pretraining step,
+    * re-expressed in EXACT integer arithmetic so any engine reproduces
+    * it bit-for-bit (no float log-prob: two engines' `ln` can differ in
+    * ULPs, which flips rounded outputs on boundary values). The model is
+    * add-one-smoothed bigram conditional frequency trained ON the corpus:
+    * per bigram p_x1e6 = (c(w1,w2) + 1) · 1e6 div (h(w1) + V), with
+    * h(w1) = bigram-history occurrences and V = corpus vocabulary size;
+    * per document lm_x1e6 = Σ p_x1e6 div n_bigrams. A low score means
+    * the document's transitions are rare in the corpus — the same
+    * rank-ordering signal as log-likelihood (integer div of a monotone
+    * per-bigram statistic), exactly SQL-mirrorable.
+    *
+    * Shape at 100 TB: the exploded bigram stream is consumed three times
+    * (count model, history model, scoring join) — persisted once, spill-
+    * safe. Both count models are map-side-combinable groupBys (Zipfian
+    * skew soaks into partial aggregation); the scoring joins are N:1
+    * against aggregated sides, so no row ever fans out. Output:
+    * (doc_id, n_bigrams, lm_x1e6) for every doc with ≥ 1 bigram. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(
+      slice(toks, lit(1), n1),
+      slice(toks, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val ex = Caching.spillPersistEager(
+      df.select(col(idCol).as("doc_id"), explode(pairs).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")))
+    val c2 = ex.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val hist = ex.groupBy("w1").agg(count(lit(1)).as("h"))
+    val vocab = df.select(explode(toks).as("t")).agg(countDistinct("t")).head().getLong(0)
+    ex.join(c2, Seq("w1", "w2"))
+      .join(hist, Seq("w1"))
+      .select(col("doc_id"),
+        expr(s"(c2 + 1) * 1000000 div (h + ${vocab}L)").as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p").as("sp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sp div n_bigrams").cast("long").as("lm_x1e6"))
+  }
+
   /** Deterministic global shuffle + fixed-size shard assignment for
     * training export: every document gets a pseudo-random but REPRODUCIBLE
     * global rank (order by (lcg-mixed key, id) — same answer at any

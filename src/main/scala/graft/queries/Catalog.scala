@@ -766,6 +766,25 @@ object Catalog {
             ELSE 0 END AS BIGINT) AS novelty_permille
         FROM tot LEFT JOIN n ON tot.doc_id = n.doc_id""")),
 
+    // Corpus bigram-LM scoring (CCNet-style likelihood filter), exact
+    // integer arithmetic end to end: add-one-smoothed conditional
+    // frequency per bigram (×1e6, integer div), mean per doc — no float
+    // log-prob, so the oracle replays the identical statistic bit-for-bit
+    Q("text_lm_score",
+      (s, d) => TextCorpus.bigramLmScore(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+          FROM base, unnest(range(1, len(toks))) AS r(i)),
+        c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS h FROM bg GROUP BY 1),
+        v AS (SELECT count(DISTINCT t) AS vs
+          FROM (SELECT unnest(toks) AS t FROM base)),
+        sc AS (SELECT doc_id, (c2.c + 1) * 1000000 // (c1.h + v.vs) AS p
+          FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(p) // count(*) AS BIGINT) AS lm_x1e6
+        FROM sc GROUP BY doc_id""")),
+
     // Within-document dedup: drop repeated tokens keeping FIRST occurrence
     // (the intra-doc flavor of corpus dedup — boilerplate-token collapse);
     // array_distinct is order-preserving in Spark, the oracle rebuilds the

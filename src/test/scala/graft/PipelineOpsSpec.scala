@@ -275,6 +275,22 @@ class PipelineOpsSpec extends SparkSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("cell"))
   }
 
+  test("bigram LM score: exact integer statistic matches hand computation") {
+    // corpus: d1 "a b a", d2 "a b", d3 "c"
+    // bigrams: d1 (a,b),(b,a); d2 (a,b); c2: (a,b)=2, (b,a)=1
+    // histories: h(a)=2, h(b)=1; vocab V=3
+    // p(a,b) = (2+1)*1e6 div (2+3) = 600000
+    // p(b,a) = (1+1)*1e6 div (1+3) = 500000
+    // d1: (600000+500000) div 2 = 550000; d2: 600000; d3: no bigrams
+    val docsDf = Seq((1L, "a b a"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val got = graft.operators.TextCorpus.bigramLmScore(docsDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 550000L), (2L, 1L, 600000L)))
+    // the rare transition (b,a) scores d1 BELOW the all-common d2 —
+    // the rank-ordering signal an LM filter cuts on
+    Dedup.releaseIntermediates()
+  }
+
   test("IVF drift census: skewed appends trip needsRetrain; retrain restores recall") {
     // two tight clusters along axes 0 and 1 → k=2 training separates them
     val vecs = (0L until 40L).map { i =>
