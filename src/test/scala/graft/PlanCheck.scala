@@ -64,7 +64,14 @@ object PlanCheck {
           p.contains("BroadcastHashJoin")),
       ("sample_shuffle_shards", "shard rank windowed per key bucket (no global window), bases broadcast",
         p => p.contains("windowspecdefinition(__bk") &&
-          p.contains("BroadcastHashJoin")))
+          p.contains("BroadcastHashJoin")),
+      ("text_lm_score", "LM models partial-agg'd, vocab a literal, no cartesian/fan-out join",
+        // the vocab size must be folded into the expression as a driver
+        // scalar (no CROSS JOIN in the plan), and both count models must
+        // partial-aggregate map-side before their exchange
+        p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin") &&
+          p.contains("partial_count")))
     println("\n========== invariants ==========")
     var failed = 0
     checks.foreach { case (name, what, ok) =>
