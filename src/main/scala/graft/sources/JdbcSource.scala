@@ -73,7 +73,7 @@ final class JdbcSource(
     }
     for {
       l <- lhs
-      sqls <- JdbcSqlGen.pkFilterSqls(l, tuples.map(_.toSeq), tableOrQuery)
+      sqls <- JdbcSqlGen.pkFilterSqls(l, tuples.map(_.toSeq), tableOrQuery, url)
     } yield {
       val dfs = sqls.map { sql =>
         val r = spark.read.format("jdbc").option("url", url).option("query", sql)
@@ -293,12 +293,23 @@ object JdbcSqlGen {
     }
   }
 
-  /** One value as a portable SQL literal, or None for types with no
-    * portable rendering (binary, structs — caller falls back to the
-    * broadcast join). Temporal values use JDBC escape syntax ({ts}/{d}),
-    * which every driver the reference targets expands dialect-correctly. */
-  private[graft] def sqlLiteral(v: Any): Option[String] = v match {
-    case s: String => Some("'" + s.replace("'", "''") + "'")
+  /** One value as a portable SQL literal, or None for values with no
+    * SAFE rendering — the caller falls back to the broadcast join, because
+    * an under-fetching literal is silent data loss, not an optimization
+    * miss. String rules per dialect: T-SQL gets `N'...'` (a plain varchar
+    * literal code-page-substitutes characters outside the DB default
+    * collation — the pushed predicate would then never match the row);
+    * other dialects render only ASCII strings with no backslash (MySQL-
+    * family escape processing and non-UTF8 server charsets both corrupt
+    * past that, and we can't see server settings from here). Temporal
+    * values use JDBC escape syntax ({ts}/{d}), which every driver the
+    * reference targets expands dialect-correctly. */
+  private[graft] def sqlLiteral(v: Any, url: String = ""): Option[String] = v match {
+    case s: String =>
+      val quoted = "'" + s.replace("'", "''") + "'"
+      if (url.startsWith("jdbc:sqlserver")) Some("N" + quoted)
+      else if (s.forall(c => c >= 0x20 && c < 0x7f && c != '\\')) Some(quoted)
+      else None // non-ASCII / backslash on an unknown dialect → fallback
     case _: Byte | _: Short | _: Int | _: Long => Some(v.toString)
     case b: Boolean => Some(if (b) "TRUE" else "FALSE")
     case d: java.math.BigDecimal => Some(d.toPlainString)
@@ -307,9 +318,9 @@ object JdbcSqlGen {
     case d: Double => Some(d.toString)
     case t: java.sql.Timestamp => Some(s"{ts '${t.toString}'}")
     case d: java.sql.Date => Some(s"{d '${d.toString}'}")
-    case i: java.time.Instant => sqlLiteral(java.sql.Timestamp.from(i))
-    case d: java.time.LocalDate => sqlLiteral(java.sql.Date.valueOf(d))
-    case t: java.time.LocalDateTime => sqlLiteral(java.sql.Timestamp.valueOf(t))
+    case i: java.time.Instant => sqlLiteral(java.sql.Timestamp.from(i), url)
+    case d: java.time.LocalDate => sqlLiteral(java.sql.Date.valueOf(d), url)
+    case t: java.time.LocalDateTime => sqlLiteral(java.sql.Timestamp.valueOf(t), url)
     case _ => None
   }
 
@@ -332,7 +343,8 @@ object JdbcSqlGen {
   private[graft] def pkFilterSqls(
       lhs: Seq[String],
       tuples: Seq[Seq[Any]],
-      tableOrQuery: Either[String, String]): Option[Seq[String]] = {
+      tableOrQuery: Either[String, String],
+      url: String = ""): Option[Seq[String]] = {
     require(tuples.nonEmpty, "pkFilterSqls needs at least one pk tuple")
     val from = tableOrQuery match {
       case Left(table) => table
@@ -366,14 +378,14 @@ object JdbcSqlGen {
       chunks.result()
     }
     if (lhs.size == 1 && tuples.forall(t => t.head != null))
-      traverse(tuples)(t => sqlLiteral(t.head)).map { lits =>
+      traverse(tuples)(t => sqlLiteral(t.head, url)).map { lits =>
         packed(lits, lhs.head.length + 6, // "<lhs> IN ()"
           ls => s"$prefix${lhs.head} IN (${ls.mkString(", ")})")
       }
     else
       traverse(tuples) { t =>
         traverse(lhs.zip(t)) { case (l, v) =>
-          if (v == null) Some(s"$l IS NULL") else sqlLiteral(v).map(lit => s"$l = $lit")
+          if (v == null) Some(s"$l IS NULL") else sqlLiteral(v, url).map(lit => s"$l = $lit")
         }.map(conjs => s"(${conjs.mkString(" AND ")})")
       }.map(preds => packed(preds, 0, ps => prefix + ps.mkString(" OR ")))
   }

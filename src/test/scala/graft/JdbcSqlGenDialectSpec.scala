@@ -117,6 +117,31 @@ class JdbcSqlGenDialectSpec extends org.scalatest.funsuite.AnyFunSuite {
       """ OR ("K" = 'plain' AND "W" IS NULL)"""))
   }
 
+  test("tsql string pk literals ship as N'...' national-character literals") {
+    // a plain varchar literal code-page-substitutes characters outside the
+    // DB's default collation — the pushed predicate would then never match
+    // the row it was meant to fetch (silent under-fetch = data loss)
+    val sqls = JdbcSqlGen.pkFilterSqls(
+      Seq("\"K\""), Seq(Seq("müller"), Seq("o'neil")), Left("dbo.T"), tsqlUrl).get
+    assert(sqls == Seq("""SELECT * FROM dbo.T WHERE "K" IN (N'müller', N'o''neil')"""))
+  }
+
+  test("non-ASCII string pks on an unknown dialect fall back to the broadcast join") {
+    // we can't see the server charset / escape mode from the URL alone, so
+    // anything past printable-ASCII (or containing a backslash, which the
+    // MySQL family escape-processes) refuses to render; the caller's
+    // Spark-side tuple join then fetches via the full read — over-fetch,
+    // never under-fetch
+    assert(JdbcSqlGen.pkFilterSqls(
+      Seq("\"K\""), Seq(Seq("müller")), Left("T"), pgUrl).isEmpty)
+    assert(JdbcSqlGen.pkFilterSqls(
+      Seq("\"K\""), Seq(Seq("a\\b")), Left("T"), pgUrl).isEmpty)
+    // ASCII stays pushable on any dialect
+    assert(JdbcSqlGen.pkFilterSqls(
+      Seq("\"K\""), Seq(Seq("plain")), Left("T"), pgUrl).get ==
+      Seq("""SELECT * FROM T WHERE "K" IN ('plain')"""))
+  }
+
   test("openquery gateway wrap pins the reference's linked-server spelling") {
     // reference spark_reader.py:187-196: bracket-quoted server name,
     // inner quotes doubled
