@@ -189,6 +189,84 @@ object HashKernels {
     sum
   }
 
+  /** Real byte-pair-encoding APPLY (the GPT-2 `bpe()` greedy loop): per
+    * whitespace-separated word, start from code-point tokens and repeatedly
+    * merge ALL left-to-right occurrences of the lowest-RANK adjacent pair
+    * until no ranked pair remains. Rank table keys are `"a b"` (tokens
+    * never contain spaces — words are whitespace-split first). Returns the
+    * concatenated token stream of the document. Merged tokens are eligible
+    * for later (higher-rank) merges — chaining like (a,b)→ab, (ab,c)→abc
+    * works exactly as in the reference implementation. */
+  def bpeEncode(
+      text: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (Character.isWhitespace(s.charAt(i))) i += 1
+      else {
+        var j = i
+        while (j < n && !Character.isWhitespace(s.charAt(j))) j += 1
+        bpeWord(s.substring(i, j), ranks, out)
+        i = j
+      }
+    }
+    new GenericArrayData(out.toArray(Array.empty[AnyRef]))
+  }
+
+  private def bpeWord(
+      w: String,
+      ranks: java.util.HashMap[String, Integer],
+      out: java.util.ArrayList[UTF8String]): Unit = {
+    var toks = new java.util.ArrayList[String]()
+    var k = 0
+    while (k < w.length) {
+      val cp = w.codePointAt(k)
+      toks.add(new String(Character.toChars(cp)))
+      k += Character.charCount(cp)
+    }
+    var done = toks.size < 2
+    while (!done) {
+      var bestIdx = -1
+      var bestRank = Int.MaxValue
+      var x = 0
+      while (x < toks.size - 1) {
+        val r = ranks.get(toks.get(x) + " " + toks.get(x + 1))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bestIdx = x
+        }
+        x += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        val a = toks.get(bestIdx)
+        val b = toks.get(bestIdx + 1)
+        val merged = new java.util.ArrayList[String](toks.size)
+        var y = 0
+        while (y < toks.size) {
+          if (y < toks.size - 1 && toks.get(y) == a && toks.get(y + 1) == b) {
+            merged.add(a + b); y += 2
+          } else { merged.add(toks.get(y)); y += 1 }
+        }
+        toks = merged
+        done = toks.size < 2
+      }
+    }
+    var z = 0
+    while (z < toks.size) { out.add(UTF8String.fromString(toks.get(z))); z += 1 }
+  }
+
+  /** Bloom membership probe over a string's UTF-8 bytes — the same bytes
+    * `DataFrameStatFunctions.bloomFilter` inserts for a string column (it
+    * puts the UTF-8 encoding via putBinary/putString, which hash
+    * identically), so a driver-built batch bloom probes executor-side rows
+    * consistently; pinned by BloomDedupSpec. */
+  def bloomMightContain(
+      bf: org.apache.spark.util.sketch.BloomFilter, s: UTF8String): Boolean =
+    bf.mightContainBinary(s.getBytes)
+
   private final val PolyM = (1L << 61) - 1 // Mersenne prime 2^61 - 1
   private final val PolyB = 131L
   // SplitMix64's multiplier: the final WRAPPING multiply (mod 2^64 — Java's
@@ -308,6 +386,67 @@ case class LinearTextScore(child: Expression, weights: Map[String, Long], bias: 
   override protected def withNewChildInternal(newChild: Expression): LinearTextScore =
     copy(child = newChild)
   override def prettyName: String = "graft_linear_score"
+}
+
+/** string → array<string>: byte-pair-encoding apply over a ranked merge
+  * table (codegen'd; the rank table rides as one reference hash map). The
+  * greedy per-word loop is [[HashKernels.bpeEncode]] — the real GPT-2
+  * `bpe()` algorithm, not the regex token-count proxy. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_encode expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val table: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      require(!a.contains(' ') && !b.contains(' '),
+        s"merge tokens must not contain spaces: ('$a', '$b')")
+      m.put(a + " " + b, Integer.valueOf(r))
+    }
+    m
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bpeEncode(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.bpeEncode($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bpe_encode"
+}
+
+/** string → boolean: membership probe against a driver-built bloom filter
+  * (codegen'd; the sketch rides as ONE reference object, not a literal —
+  * megabit bloom bits must never be embedded in the expression tree text).
+  * False positives are the sketch's contract; callers that need exactness
+  * re-check survivors exactly (see Dedup.exactIncremental's bloom
+  * strategy, where the exact anti-join makes the result FP-independent). */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_might_contain expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bloomMightContain(bloom, input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.bloomMightContain($ref, $c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bloom_might_contain"
 }
 
 /** array<string> → bigint: the 64-bit SimHash (codegen'd). */
@@ -691,6 +830,11 @@ object NativeHash {
     Bridge.column(LinearTextScore(Bridge.expression(text), weights, bias))
   def simhash64(tokens: Column, poly: Boolean = false): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens), poly))
+  def bloomMightContain(c: Column,
+      bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    Bridge.column(BloomMightContain(Bridge.expression(c), bf))
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncode(Bridge.expression(text), merges))
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
   def cosineToQuery(vec: Column, q: Array[Double], qNorm: Double): Column =

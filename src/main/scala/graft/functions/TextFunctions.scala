@@ -33,6 +33,21 @@ object TextFunctions {
     size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
       t => length(t) > 0)).cast("long")
 
+  /** REAL byte-pair-encoding apply (GPT-2 `bpe()` greedy merge loop) over
+    * a ranked merge table: per whitespace word, start from code points and
+    * repeatedly merge every left-to-right occurrence of the lowest-rank
+    * adjacent pair (merged tokens chain into later merges). Returns the
+    * document's token array; the merge table — trained offline, e.g. by
+    * [[bpeTrainMerges]] — rides the codegen'd kernel as one broadcast-like
+    * reference object, so scoring is a narrow map with no shuffle and no
+    * UDF. `merges` order IS the rank order. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    NativeHash.bpeEncode(text, merges)
+
+  /** BPE token COUNT under a merge table, as BIGINT. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeTokens(text, merges)).cast("long")
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")

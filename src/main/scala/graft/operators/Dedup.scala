@@ -48,15 +48,59 @@ object Dedup {
   /** Incremental EXACT dedup: drop batch rows whose normalized-text
     * fingerprint already exists in `seen` — a persisted fingerprint set
     * (e.g. the `fp` column of prior [[exact]] runs, appended per ingest).
-    * One anti-join on the fingerprint; corpus text is never read. At scale
-    * the seen-set side is the big one, so the join shuffles on the
-    * fingerprint (AQE broadcasts the batch when it is small). */
+    * Corpus text is never read. Three execution strategies, identical
+    * results (spec-proven), different 100 TB shapes:
+    *
+    *  - `"join"`: one anti-join on the fingerprint. The anti-join's BUILD
+    *    side is `seen`, so with a billion-doc history the WHOLE seen set
+    *    shuffles (sort-merge) every ingest — AQE cannot flip anti-join
+    *    sides. Right only when batch and history are comparable sizes.
+    *  - `"probe"`: the batch's distinct fingerprints BROADCAST into a
+    *    semi-join probe over `seen` (narrow scan, zero shuffle of the
+    *    history), the tiny hit set broadcasts back into the anti-join.
+    *    The daily-ingest shape: cost = one narrow pass over the history,
+    *    no exchange of it. Requires the batch fp set to fit a broadcast.
+    *  - `"bloom"`: like probe, but the probe is a driver-built bloom
+    *    filter over the batch fps ([[graft.functions.BloomMightContain]],
+    *    codegen'd) — constant-size regardless of batch row width, for
+    *    batches whose fp set is too wide to broadcast outright. False
+    *    positives only inflate the re-checked hit set (result is exact:
+    *    survivors re-join the batch by fingerprint EQUALITY, and every
+    *    hit is a real `seen` fp, so a false positive matches nothing);
+    *    size `bloomFpp` so fpp × |seen| stays broadcastable.
+    *
+    * Probe/bloom persist the fingerprinted batch (two consumers) — release
+    * with [[releaseIntermediates]] after consuming the result. */
   def exactIncremental(
       batch: DataFrame, idCol: String, textCol: String,
-      seen: DataFrame, fpCol: String = "fp"): DataFrame =
-    batch.withColumn("__fp", fingerprint(col(textCol)))
-      .join(seen.select(col(fpCol).as("__fp")).distinct(), Seq("__fp"), "left_anti")
-      .drop("__fp")
+      seen: DataFrame, fpCol: String = "fp", strategy: String = "join",
+      bloomFpp: Double = 0.01): DataFrame = {
+    val withFp = batch.withColumn("__fp", fingerprint(col(textCol)))
+    val seenFps = seen.select(col(fpCol).as("__fp"))
+    strategy match {
+      case "join" =>
+        withFp.join(seenFps.distinct(), Seq("__fp"), "left_anti").drop("__fp")
+      case "probe" =>
+        val cached = spillPersistEager(withFp)
+        val hits = seenFps
+          .join(broadcast(cached.select("__fp").distinct()), Seq("__fp"), "left_semi")
+          .distinct()
+        cached.join(broadcast(hits), Seq("__fp"), "left_anti").drop("__fp")
+      case "bloom" =>
+        val cached = spillPersistEager(withFp)
+        // expected-item sizing rides the persist's materialized count; the
+        // sketch aggregates executor-side and merges on the driver (bits ≈
+        // 1.44·n·log2(1/fpp) — ~12 MB for 10M fps at 1%)
+        val n = math.max(cached.count(), 64L)
+        val bloom = cached.stat.bloomFilter("__fp", n, bloomFpp)
+        val hits = seenFps
+          .filter(graft.functions.NativeHash.bloomMightContain(col("__fp"), bloom))
+          .distinct()
+        cached.join(broadcast(hits), Seq("__fp"), "left_anti").drop("__fp")
+      case other => throw new IllegalArgumentException(
+        s"unknown exactIncremental strategy '$other' (join | probe | bloom)")
+    }
+  }
 
   /** Per-row MinHash signature: array of `numHashes` 64-bit minima over the
     * shingle set. Delegates to the native codegen'd expression
@@ -729,6 +773,60 @@ object Dedup {
       .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** SemDeDup — cluster-then-prune semantic deduplication (Abbas et al.
+    * 2023, arXiv:2303.09540): k-means-cluster the embedding space
+    * ([[Similarity.ivfTrain]] — deterministic Lloyd iterations, k×dim
+    * driver-side centroids), then inside each cluster drop every document
+    * that has a SMALLER-id cluster-mate with cosine ≥ `threshold`. Returns
+    * the kept ids as a single `id` column. (The paper keeps the example
+    * farthest from the centroid; the min-id policy is the deterministic,
+    * oracle-checkable variant of the same one-per-similar-group rule.)
+    *
+    * The whole point of clustering before comparing is scale: pairwise
+    * work is confined to clusters, so the quadratic term is (n/k)² per
+    * cluster, and the cluster key is the shuffle key — no all-pairs join
+    * ever exists in the plan. Real embedding corpora are CLUSTERED, so one
+    * dense cell can still go quadratic: cells over `maxCellSize` are split
+    * by `refinePlanes` random hyperplanes from an independent seed stream
+    * (same guard as [[embeddingNearDupPairs]]): identical/scaled vectors
+    * keep identical refinement signatures — exact-duplicate recall is
+    * structural through the split — while merely-close pairs inside a hot
+    * cell degrade to per-plane Bernoulli recall, the documented SemDeDup
+    * recall/cost dial.
+    *
+    * All-null / empty corpora keep every id (nothing is comparable).
+    * Persists the cell assignment (census + both join sides) — release
+    * with [[releaseIntermediates]] after consuming the result. */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, k: Int = 16, iters: Int = 2,
+      maxCellSize: Int = 1000, refinePlanes: Int = 8): DataFrame = {
+    val ids = df.select(col(idCol).as("id"))
+    val dim = Similarity.dimOf(df, vecCol).getOrElse(return ids)
+    // null-vector ids can never be compared — they are kept unconditionally
+    // and must not feed the trainer (a null in a Lloyd mean poisons it)
+    val nonNull = df.filter(col(vecCol).isNotNull)
+    val centroids = Similarity.ivfTrain(nonNull, idCol, vecCol, k, iters)
+    val assigned = spillPersistEager(
+      Similarity.ivfAssign(nonNull, idCol, vecCol, centroids))
+    // hot-cell census: ≤ k tiny rows of driver state
+    val hot = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCellSize).select("cell")
+      .collect().map(_.getInt(0)).toSet
+    val keyed =
+      if (hot.isEmpty) assigned.withColumn("sub", lit(0L))
+      else assigned.withColumn("sub",
+        when(col("cell").isin(hot.toSeq: _*),
+          Similarity.refineKey(col("v"), refinePlanes, dim)).otherwise(lit(0L)))
+    val a = keyed.select(col("cell"), col("sub"), col("id").as("id_a"), col("v").as("va"))
+    val b = keyed.select(col("cell"), col("sub"), col("id").as("id_b"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cell", "sub"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    ids.join(dropped, Seq("id"), "left_anti")
   }
 
   /** Edit-distance (Levenshtein ≤ maxDist) similarity self-join — fuzzy

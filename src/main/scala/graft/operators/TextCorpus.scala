@@ -420,4 +420,53 @@ object TextCorpus {
       .select(col(idCol), expr(s"__rank DIV ${rowsPerShard}L").as("shard"),
         pmod(col("__rank"), lit(rowsPerShard)).as("pos"))
   }
+
+  /** Train a byte-pair-encoding merge table on the corpus — the Sennrich
+    * et al. 2016 algorithm in its word-HISTOGRAM form: tokenize to
+    * (distinct word, frequency) once (one shuffle; the histogram is
+    * orders of magnitude smaller than the corpus and Zipf-partials
+    * map-side), then per merge round re-segment the distinct words under
+    * the current merges (the codegen'd [[TextFunctions.bpeTokens]]
+    * kernel), count adjacent pairs weighted by word frequency, and take
+    * the most frequent pair (count desc, pair asc — deterministic
+    * tie-break). Each round is one small aggregation over DISTINCT WORDS,
+    * not the corpus — the reason every real BPE trainer uses the
+    * histogram form. Returns the merges in rank order, ready for
+    * [[TextFunctions.bpeTokens]]/[[TextFunctions.bpeTokenCount]].
+    *
+    * 100 TB: the corpus pass happens once (the histogram groupBy); rounds
+    * run over the ≤`maxVocabWords` most frequent words (capping bounds
+    * round cost at gigascale — standard practice, and EXACT for any pair
+    * whose count within the kept words already exceeds the dropped
+    * tail). */
+  def bpeTrainMerges(
+      df: DataFrame, textCol: String, numMerges: Int,
+      maxVocabWords: Int = 1000000): Seq[(String, String)] = {
+    val words = Caching.spillPersistEager(
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc).limit(maxVocabWords))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val toks = words.select(col("n"),
+        TextFunctions.bpeTokens(col("w"), merges.toSeq).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val best = toks.select(col("n"), explode(
+          expr("transform(sequence(0, size(tk)-2), " +
+            "i -> concat(element_at(tk, i+1), ' ', element_at(tk, i+2)))")).as("p"))
+        .groupBy("p").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("p").asc).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = best(0).getString(0).split(" ", 2)
+        merges += ((a, b))
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
 }

@@ -21,6 +21,29 @@ import graft.operators.{Dedup, Similarity, TextCorpus}
   *    `size()` is INT — both sides cast to BIGINT explicitly;
   *  - float similarity values never appear in outputs, only ranks.
   */
+/** Fixture readers shared by the catalog and the SCD2 scenarios. */
+private[queries] object Fixtures {
+  /** `events` with `ts` normalized to BIGINT epoch NANOSECONDS whatever the
+    * fixture vintage. TIMESTAMP(NANOS) files surface `ts` as BIGINT nanos
+    * directly (the `nanosAsLong` legacy read every session sets);
+    * TIMESTAMP(MICROS) files — the 2026-08 regenerated fixtures — surface
+    * TIMESTAMP/TIMESTAMP_NTZ, converted here via the UTC session and
+    * rescaled (µs·1000 is exact in a long until 2262, same horizon as
+    * nanos timestamps). Downstream code keeps its `ts div 1000` microsecond
+    * truncation, which matches the DuckDB oracles' `epoch_us(ts)` on the
+    * same file under EITHER vintage. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case _ =>
+        raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
+    }
+  }
+}
+
 object Catalog {
 
   final case class Q(
@@ -29,7 +52,8 @@ object Catalog {
       oracle: Option[String])
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") Fixtures.events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   private def deleteDir(f: java.io.File): Unit = {
     // never recurse THROUGH a symlink: streaming gates symlink shared
@@ -43,6 +67,19 @@ object Catalog {
   /** cents(x) = CAST(round(x*100) AS BIGINT) — exact money arithmetic. */
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
+
+  /** Event-time TIMESTAMP column for streams reading the RAW events
+    * fixture (whose `ts` vintage varies — see [[Fixtures.events]]):
+    * BIGINT nanos → µs-truncated timestamp; TIMESTAMP_NTZ → reinterpreted
+    * in the UTC session. Both yield the instant `epoch_us(ts)` denotes. */
+  private def rawEventTime(schema: org.apache.spark.sql.types.StructType) =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast("timestamp")
+      case _ => col("ts")
+    }
 
   // ----------------------------------------------------------- relational
 
@@ -628,6 +665,27 @@ object Catalog {
   private val stopWordsSql =
     Seq("the", "a", "and", "of", "to", "in", "is").map(stopSql).mkString(" + ")
 
+  /** The synthetic "daily batch" for the incremental exact-dedup gates:
+    * exact copies of every 7th doc (die at the fingerprint stage) and
+    * order-reversed every-13th docs (novel content, survive). */
+  private def ingestBatch(corpus: DataFrame): DataFrame =
+    corpus.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(corpus.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+
+  /** Replays [[ingestBatch]] + the fingerprint filter from first
+    * principles; shared by the probe and bloom strategy gates (their
+    * results are contract-identical). */
+  private def incrementalExactOracle = s"""WITH batch AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL SELECT doc_id + 3000000,
+        array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        FROM documents WHERE doc_id % 13 = 0)
+    SELECT doc_id FROM batch
+    WHERE md5($normSql) NOT IN (SELECT md5($normSql) FROM documents)"""
+
   private val pipeline: Seq[Q] = Seq(
     Q("dedup_exact",
       (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text"),
@@ -1075,6 +1133,32 @@ object Catalog {
         SELECT a.id AS id_a, b.id AS id_b FROM corpus a, corpus b
         WHERE a.id < b.id AND list_cosine_similarity(a.v, b.v) >= 0.95""")),
 
+    // SemDeDup (cluster-then-prune semantic dedup): plant IDENTICAL copies
+    // of every 3rd vector under new ids — an identical vector is
+    // structurally co-cell with its source (deterministic L2 argmin over
+    // the same centroid table), and the fixtures' max NATURAL pairwise
+    // cosine is ≈0.60 (sf0.1; lower at smaller sf) << the 0.95 threshold —
+    // so the kept set is provably independent of where k-means put the
+    // cluster boundaries, and the oracle needs no clustering at all: a doc
+    // is dropped iff a smaller-id member of the union has cosine ≥ 0.95
+    Q("dedup_semantic",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.select(col("vec_id"), col("embedding"))
+          .unionByName(emb.filter(col("vec_id") % 3 === 0)
+            .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        val out = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+          threshold = 0.95, k = 16, iters = 2).localCheckpoint(true)
+        Dedup.releaseIntermediates()
+        out
+      },
+      Some("""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id + 100000, embedding
+            FROM embeddings WHERE vec_id % 3 = 0)
+        SELECT c.vec_id AS id FROM corpus c WHERE NOT EXISTS (
+          SELECT 1 FROM corpus o WHERE o.vec_id < c.vec_id
+            AND list_cosine_similarity(o.embedding, c.embedding) >= 0.95)""")),
+
     // int8 quantization: per-component codes flattened to scalars (both
     // engines do the same IEEE double math + floor(x+0.5) rounding)
     Q("emb_quantize",
@@ -1397,6 +1481,37 @@ object Catalog {
         WHERE CAST(len($toksSql) AS BIGINT) >= 5 AND ($stopWordsSql) > 0"""))
       ,
 
+    // INCREMENTAL EXACT DEDUP, history-probe strategies: the same daily
+    // batch (exact copies of every 7th doc = dupes, order-reversed every
+    // 13th = novel) deduped against the persisted fingerprint history —
+    // once via the broadcast semi-probe (zero shuffle of the history) and
+    // once via the driver bloom prefilter (constant-size probe; false
+    // positives are re-checked exactly, so all three strategies are
+    // result-identical). One oracle text serves both gates.
+    Q("dedup_exact_probe",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+        val seen = Dedup.exact(corpus, "doc_id", "text").select("fp")
+        val out = Dedup.exactIncremental(ingestBatch(corpus), "doc_id", "text",
+            seen, strategy = "probe")
+          .select("doc_id").localCheckpoint(true)
+        Dedup.releaseIntermediates()
+        out
+      },
+      Some(incrementalExactOracle)),
+
+    Q("dedup_exact_bloom",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+        val seen = Dedup.exact(corpus, "doc_id", "text").select("fp")
+        val out = Dedup.exactIncremental(ingestBatch(corpus), "doc_id", "text",
+            seen, strategy = "bloom", bloomFpp = 0.01)
+          .select("doc_id").localCheckpoint(true)
+        Dedup.releaseIntermediates()
+        out
+      },
+      Some(incrementalExactOracle)),
+
     // vector-corpus CDC: array<float> payloads through the whole SCD2
     // engine (projection, union, delete tombstones with NULL arrays);
     // oracle checks every scalar derivation incl. dim-of-NULL for deletes
@@ -1439,7 +1554,10 @@ object Catalog {
     // 1-hour windows align to epoch hours on both sides.
     Q("streaming_window_counts",
       (s, d) => {
-        val schema = t(s, d, "events").schema
+        // the stream reads the RAW fixture file, so its schema (and the
+        // event-time conversion) must come from the file, not the
+        // vintage-normalizing t() reader
+        val schema = s.read.parquet(s"$d/events.parquet").schema
         val name = s"gw_${math.abs(d.hashCode)}_${System.nanoTime()}"
         // the file stream source needs a DIRECTORY; the fixture is a single
         // file — symlink it into a temp dir (local-fs listing follows links)
@@ -1448,7 +1566,7 @@ object Catalog {
           dir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
         val in = s.readStream.schema(schema).parquet(dir.toString)
-          .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ets", rawEventTime(schema))
         val q = graft.streaming.StreamingIngest.windowedCounts(in, "ets")
           .writeStream.format("memory").queryName(name)
           .outputMode("complete")
@@ -1482,14 +1600,15 @@ object Catalog {
     // ride as exact integer cents
     Q("streaming_session_counts",
       (s, d) => {
-        val schema = t(s, d, "events").schema
+        // raw file schema — see streaming_window_counts
+        val schema = s.read.parquet(s"$d/events.parquet").schema
         val name = s"gs_${math.abs(d.hashCode)}_${System.nanoTime()}"
         val dir = java.nio.file.Files.createTempDirectory("graft-stream-sess")
         java.nio.file.Files.createSymbolicLink(
           dir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
         val in = s.readStream.schema(schema).parquet(dir.toString)
-          .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ets", rawEventTime(schema))
           .withColumn("value", floor(col("value") * 100).cast("long"))
         val q = graft.streaming.StreamingIngest.sessionCounts(
             in, "user_id", "ets", gap = "1 hour", watermark = "100 days")
@@ -1631,6 +1750,29 @@ object Catalog {
             'https?://[^ \t\n]+', '<URL>', 'g'),
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
         FROM documents""")),
+
+    // REAL BPE apply in the matrix: the general greedy merge kernel
+    // (TextFunctions.bpeTokens — rank-ordered, chaining, all-occurrence)
+    // runs with a merge table over DISJOINT character sets, which makes
+    // the oracle closed-form: disjoint merges can't chain, can't overlap
+    // each other, and can't create or destroy other pairs' adjacencies,
+    // so token count = chars − Σ per-pair non-overlapping LTR substring
+    // occurrences — exactly what DuckDB's global replace() counts. (The
+    // general chaining/rank behavior is spec-checked in BpeSpec; this
+    // gate proves the kernel over the whole corpus.)
+    Q("text_bpe_tokens",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.bpeTokenCount(TextFunctions.normalizeWs(col("text")),
+          Seq(("t", "h"), ("e", "r"), ("o", "n"), ("a", "l"))).as("bpe_tokens")),
+      Some(s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents)
+        SELECT doc_id, CAST(
+          length(replace(t, ' ', ''))
+          - (length(t) - length(replace(t, 'th', ''))) // 2
+          - (length(t) - length(replace(t, 'er', ''))) // 2
+          - (length(t) - length(replace(t, 'on', ''))) // 2
+          - (length(t) - length(replace(t, 'al', ''))) // 2
+          AS BIGINT) AS bpe_tokens
+        FROM n""")),
 
     // BPE-ish sub-word token counting (alnum runs + single non-alnum chars)
     Q("text_bpeish_tokens",

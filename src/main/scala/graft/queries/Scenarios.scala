@@ -95,7 +95,7 @@ object Scenarios {
   /** 80% of events full-loaded, then append_inserts of the rest. */
   def appendInsertsDest(spark: SparkSession, dir: String): String =
     run("appins", spark, dir) { dest =>
-      val events = spark.read.parquet(s"$dir/events.parquet")
+      val events = Fixtures.events(spark, dir)
       val thr = events.agg(max("event_id")).head().getLong(0) * 4 / 5
       val c = WriteConfig(loadMode = LoadMode.AppendInserts, deltaCol = Some("event_id"))
       new Synchronizer(spark,

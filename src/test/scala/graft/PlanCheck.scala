@@ -65,6 +65,11 @@ object PlanCheck {
       ("sample_shuffle_shards", "shard rank windowed per key bucket (no global window), bases broadcast",
         p => p.contains("windowspecdefinition(__bk") &&
           p.contains("BroadcastHashJoin")),
+      ("dedup_exact_probe", "history probed via broadcast semi/anti — seen side never sort-merge-shuffled",
+        p => p.contains("LeftSemi") && p.contains("LeftAnti") &&
+          !p.contains("SortMergeJoin")),
+      ("dedup_semantic", "semantic pairing confined to cluster cells (no cartesian, no nested-loop)",
+        p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
       ("text_lm_score", "LM models partial-agg'd, vocab a literal, no cartesian/fan-out join",
         // the vocab size must be folded into the expression as a driver
         // scalar (no CROSS JOIN in the plan), and both count models must

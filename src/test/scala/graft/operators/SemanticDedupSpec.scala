@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** SemDeDup (cluster-then-prune semantic dedup): keep/drop policy,
+  * structural recall of identical vectors through the hot-cell
+  * refinement, and null/empty handling. */
+class SemanticDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // two well-separated directions plus near-copies: ids 1,2 point along
+  // +x (cosine 1.0 to each other via identical vectors), 3 along +y,
+  // 4 is a scaled copy of 3 (cosine exactly 1.0), 5 is -x (cosine -1 to
+  // the x family — never dropped at any positive threshold)
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 3.0f, 0.0f)),
+    (5L, Array(-1.0f, 0.0f, 0.0f))).toDF("id", "v")
+
+  test("drops every doc with a smaller-id similar doc, keeps the rest") {
+    val kept = Dedup.semanticDedup(vecs, "id", "v",
+      threshold = 0.95, k = 2, iters = 2).as[Long].collect().toSet
+    // 2 dies to 1 (identical), 4 dies to 3 (scaled copy), 5 survives
+    // (cosine -1 to everything x-ish)
+    assert(kept === Set(1L, 3L, 5L))
+    Dedup.releaseIntermediates()
+  }
+
+  test("identical vectors are dropped through the hot-cell refinement") {
+    // maxCellSize=1 forces EVERY cell hot: identical vectors must still
+    // pair (identical refinement signature — structural recall)
+    val kept = Dedup.semanticDedup(vecs, "id", "v",
+      threshold = 0.95, k = 2, iters = 2, maxCellSize = 1)
+      .as[Long].collect().toSet
+    assert(!kept.contains(2L) && !kept.contains(4L))
+    assert(kept.contains(1L) && kept.contains(3L) && kept.contains(5L))
+    Dedup.releaseIntermediates()
+  }
+
+  test("null vectors and empty corpora keep every id") {
+    val withNull = Seq((1L, Array(1.0f, 0.0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    assert(Dedup.semanticDedup(withNull, "id", "v", k = 1)
+      .as[Long].collect().toSet === Set(1L, 2L))
+    Dedup.releaseIntermediates()
+    val allNull = Seq((7L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+    assert(Dedup.semanticDedup(allNull, "id", "v")
+      .as[Long].collect().toSet === Set(7L))
+    val empty = vecs.filter(col("id") > 100)
+    assert(Dedup.semanticDedup(empty, "id", "v").collect().isEmpty)
+    Dedup.releaseIntermediates()
+  }
+
+  test("pairs crossing a cluster boundary are NOT dropped (SemDeDup contract)") {
+    // two tight groups far apart; k=2 separates them. A cross-group pair
+    // can never be dropped even at threshold 0 — pruning is within-cell
+    // by design (that recall loss is the documented SemDeDup tradeoff).
+    val two = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("id", "v")
+    val kept = Dedup.semanticDedup(two, "id", "v",
+      threshold = -1.0, k = 2, iters = 2).as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+    Dedup.releaseIntermediates()
+  }
+}
