@@ -421,6 +421,69 @@ object TextCorpus {
         pmod(col("__rank"), lit(rowsPerShard)).as("pos"))
   }
 
+  /** EXACT distributed ordinary-least-squares fit — train the quality
+    * model ON the cluster, reproducibly. Features and label must be
+    * INTEGER-valued columns (counts, capped ratios — the standard quality
+    * signals), so the normal equations X'X w = X'y accumulate as EXACT
+    * long sums in ONE map-side-combinable aggregation over the corpus
+    * (d(d+3)/2 scalars — no matrix library, no per-row state, no second
+    * pass), and the d×d solve happens driver-side in BigInt via Cramer's
+    * rule — no floating point anywhere, so any engine reproduces the
+    * weights bit-for-bit (float summation order differs across engines
+    * and run-to-run; integer sums cannot).
+    *
+    * Returns (feature, w_x1000): each weight as floor-magnitude
+    * (truncate-toward-zero, BigInt `/` ≡ DuckDB HUGEINT `//`) thousandths
+    * — the same fixed-point convention the scoring kernel
+    * ([[graft.functions.NativeHash.linearTextScore]]-style appliers)
+    * consumes. An `intercept` row leads. Rows with a NULL feature or
+    * label are excluded (they'd poison the sums).
+    *
+    * 100 TB: the corpus pass is a single narrow scan + partial agg; the
+    * driver solve is O(d·d!) BigInt work on d ≤ ~6 features. Overflow:
+    * long moment sums are exact while Σ f·f' < 2^63 (cap features so
+    * max|f|²·N stays under ~9e18 — e.g. 255-capped counts support 140
+    * trillion rows); the BigInt solve itself cannot overflow. */
+  def fitLinearModelX1000(
+      df: DataFrame, features: Seq[(String, Column)],
+      label: Column): DataFrame = {
+    val spark = df.sparkSession
+    require(features.nonEmpty, "need at least one feature")
+    val d = features.size + 1
+    val xs: Seq[Column] = lit(1L) +: features.map(_._2.cast("long"))
+    val y = label.cast("long")
+    val clean = df.filter(y.isNotNull && xs.tail.map(_.isNotNull).reduce(_ && _))
+    val pairs = for { i <- 0 until d; j <- i until d } yield (i, j)
+    val aggs = pairs.map { case (i, j) => sum(xs(i) * xs(j)).as(s"m_${i}_$j") } ++
+      (0 until d).map(i => sum(xs(i) * y).as(s"v_$i"))
+    val row = clean.agg(aggs.head, aggs.tail: _*).head()
+    val idx = pairs.zipWithIndex.toMap
+    def m(i: Int, j: Int): BigInt =
+      BigInt(row.getLong(idx(if (i <= j) (i, j) else (j, i))))
+    val a = Array.tabulate(d, d)((i, j) => m(i, j))
+    val b = Array.tabulate(d)(i => BigInt(row.getLong(pairs.size + i)))
+    def det(mat: Array[Array[BigInt]]): BigInt = mat.length match {
+      case 1 => mat(0)(0)
+      case n =>
+        (0 until n).foldLeft(BigInt(0)) { (acc, c) =>
+          val minor = mat.tail.map(r => r.patch(c, Nil, 1))
+          val term = mat(0)(c) * det(minor)
+          if (c % 2 == 0) acc + term else acc - term
+        }
+    }
+    val detA = det(a)
+    require(detA != 0,
+      "singular normal equations — features are linearly dependent on this corpus")
+    val names = "intercept" +: features.map(_._1)
+    val rows = (0 until d).map { i =>
+      val ai = Array.tabulate(d, d)((r, c) => if (c == i) b(r) else a(r)(c))
+      // BigInt `/` truncates toward zero — DuckDB HUGEINT `//` semantics
+      (names(i), ((det(ai) * 1000) / detA).toLong)
+    }
+    import spark.implicits._
+    rows.toDF("feature", "w_x1000")
+  }
+
   /** Train a byte-pair-encoding merge table on the corpus — the Sennrich
     * et al. 2016 algorithm in its word-HISTOGRAM form: tokenize to
     * (distinct word, frequency) once (one shuffle; the histogram is

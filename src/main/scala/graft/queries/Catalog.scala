@@ -1751,6 +1751,34 @@ object Catalog {
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
         FROM documents""")),
 
+    // TRAIN the quality model on the cluster: exact distributed OLS via
+    // integer normal equations (one map-side-combinable aggregation) +
+    // driver-side BigInt Cramer solve — no floats anywhere, so the oracle
+    // replays the identical moments as HUGEINT and the identical 3x3
+    // determinants, down to the truncate-toward-zero fixed-point division
+    // (BigInt `/` == DuckDB `//`)
+    Q("text_fit_linear",
+      (s, d) => TextCorpus.fitLinearModelX1000(t(s, d, "documents"),
+        Seq("tokens" -> TextFunctions.tokenCount(col("text")),
+          "utokens" -> size(array_distinct(TextFunctions.tokens(col("text"))))
+            .cast("long")),
+        col("n_chars")),
+      Some(s"""WITH f AS (SELECT CAST(len($toksSql) AS HUGEINT) AS t,
+            CAST(len(list_distinct($toksSql)) AS HUGEINT) AS p,
+            CAST(n_chars AS HUGEINT) AS y FROM documents),
+        m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(t) AS st, sum(p) AS sp,
+            sum(t*t) AS stt, sum(t*p) AS stp, sum(p*p) AS spp,
+            sum(y) AS sy, sum(t*y) AS sty, sum(p*y) AS spy FROM f),
+        dets AS (SELECT
+          n*(stt*spp - stp*stp) - st*(st*spp - stp*sp) + sp*(st*stp - stt*sp) AS det,
+          sy*(stt*spp - stp*stp) - st*(sty*spp - stp*spy) + sp*(sty*stp - stt*spy) AS det0,
+          n*(sty*spp - stp*spy) - sy*(st*spp - stp*sp) + sp*(st*spy - sty*sp) AS det1,
+          n*(stt*spy - sty*stp) - st*(st*spy - sty*sp) + sy*(st*stp - stt*sp) AS det2
+          FROM m)
+        SELECT 'intercept' AS feature, CAST((1000*det0) // det AS BIGINT) AS w_x1000 FROM dets
+        UNION ALL SELECT 'tokens', CAST((1000*det1) // det AS BIGINT) FROM dets
+        UNION ALL SELECT 'utokens', CAST((1000*det2) // det AS BIGINT) FROM dets""")),
+
     // REAL BPE apply in the matrix: the general greedy merge kernel
     // (TextFunctions.bpeTokens — rank-ordered, chaining, all-occurrence)
     // runs with a merge table over DISJOINT character sets, which makes
