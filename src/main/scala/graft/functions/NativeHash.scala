@@ -645,6 +645,77 @@ object VectorKernels {
     sig
   }
 
+  /** Product-quantization codes: the vector is cut into `m` contiguous
+    * `subDim`-wide subspaces; each yields the index of its nearest codeword
+    * (squared L2) in that subspace's codebook. `codebooks` is flat,
+    * indexed [s·k + c]. Returns array<int> of length m. Vectors shorter
+    * than a subspace's span compare only the overlapping prefix (callers
+    * validate dims — same contract as [[nearestDouble]]). */
+  def pqCodes(
+      vec: ArrayData, codebooks: Array[Array[Double]],
+      m: Int, k: Int, subDim: Int, isFloat: Boolean,
+      normalize: Boolean): ArrayData = {
+    val xs = toDoubles(vec, isFloat)
+    if (normalize) {
+      var n2 = 0.0
+      var i = 0
+      while (i < xs.length) { n2 += xs(i) * xs(i); i += 1 }
+      if (n2 > 0) {
+        val inv = 1.0 / math.sqrt(n2)
+        i = 0
+        while (i < xs.length) { xs(i) *= inv; i += 1 }
+      }
+    }
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      var best = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cw = codebooks(s * k + c)
+        var d = 0.0
+        var i = 0
+        val lim = math.min(cw.length, math.min(subDim, math.max(0, xs.length - off)))
+        while (i < lim) {
+          val diff = xs(off + i) - cw(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** L2 norm of a vector (one primitive pass). */
+  def l2Norm(vec: ArrayData, isFloat: Boolean): Double = {
+    val xs = toDoubles(vec, isFloat)
+    var n2 = 0.0
+    var i = 0
+    while (i < xs.length) { n2 += xs(i) * xs(i); i += 1 }
+    math.sqrt(n2)
+  }
+
+  /** Asymmetric-distance computation: Σ_s lut[s·k + codes(s)] — the
+    * query's per-subspace distance table rides as one flat reference
+    * array, so scoring a row touches m doubles, never the vector. */
+  def adcDistance(codes: ArrayData, lut: Array[Double], k: Int): Double = {
+    val n = codes.numElements()
+    var s = 0
+    var d = 0.0
+    while (s < n) {
+      val c = codes.getInt(s)
+      if (c >= 0) d += lut(s * k + c)
+      s += 1
+    }
+    d
+  }
+
   /** Float-array fast path (the embeddings column's actual type). */
   def nearestFloat(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
     val n = vec.numElements()
@@ -818,6 +889,76 @@ case class HyperplaneSigAt(
   override def prettyName: String = "hyperplane_sig_at"
 }
 
+/** array<float|double> → array<int>: product-quantization codes (codegen'd;
+  * the flat [s·k + c] codebook rides as one reference object). */
+case class PqCodes(
+    child: Expression, codebooks: Array[Array[Double]],
+    m: Int, k: Int, subDim: Int, normalize: Boolean)
+    extends UnaryExpression {
+  require(m > 0 && k > 0 && subDim > 0, s"bad PQ shape: m=$m k=$k subDim=$subDim")
+  require(codebooks.length == m * k,
+    s"codebooks length ${codebooks.length} != m*k = ${m * k}")
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqCodes(input.asInstanceOf[ArrayData], codebooks,
+      m, k, subDim, VectorExprs.isFloatArray(child), normalize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][]")
+    val fl = VectorExprs.isFloatArray(child)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.pqCodes($c, $ref, $m, $k, $subDim, $fl, $normalize)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pq_codes"
+}
+
+/** array<float|double> → double: L2 norm (codegen'd; the train path's
+  * normalized-mean aggregation divides slice elements by it without an
+  * interpreted per-element lambda). */
+case class VecL2Norm(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(prettyName, child.dataType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.l2Norm(input.asInstanceOf[ArrayData],
+      VectorExprs.isFloatArray(child))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fl = VectorExprs.isFloatArray(child)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.l2Norm($c, $fl)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): VecL2Norm =
+    copy(child = newChild)
+  override def prettyName: String = "graft_l2_norm"
+}
+
+/** array<int> → double: asymmetric PQ distance against a query's
+  * per-subspace LUT (codegen'd; the flat [s·k + c] table is one reference
+  * array — scoring never touches the original vector). */
+case class AdcDistance(child: Expression, lut: Array[Double], k: Int)
+    extends UnaryExpression {
+  require(k > 0 && lut.length % k == 0, s"lut length ${lut.length} not a multiple of k=$k")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_adc_distance expects array<int>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.adcDistance(input.asInstanceOf[ArrayData], lut, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lut", lut, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.adcDistance($c, $ref, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AdcDistance =
+    copy(child = newChild)
+  override def prettyName: String = "graft_adc_distance"
+}
+
 /** Column-API entry points. */
 object NativeHash {
   def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column =
@@ -848,4 +989,11 @@ object NativeHash {
       planes: Array[Array[Double]], planesPerTable: Int): Column =
     Bridge.column(HyperplaneSigAt(Bridge.expression(vec), Bridge.expression(tableIdx),
       planes, planesPerTable))
+  def pqCodes(vec: Column, codebooks: Array[Array[Double]],
+      m: Int, k: Int, subDim: Int, normalize: Boolean = true): Column =
+    Bridge.column(PqCodes(Bridge.expression(vec), codebooks, m, k, subDim, normalize))
+  def adcDistance(codes: Column, lut: Array[Double], k: Int): Column =
+    Bridge.column(AdcDistance(Bridge.expression(codes), lut, k))
+  def l2Norm(vec: Column): Column =
+    Bridge.column(VecL2Norm(Bridge.expression(vec)))
 }

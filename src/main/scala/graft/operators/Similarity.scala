@@ -256,6 +256,133 @@ object Similarity {
       centroids: Seq[Array[Double]], nprobe: Int = 4): DataFrame =
     topKIvfIndexed(ivfAssign(df, idCol, vecCol, centroids), queryVec, k, centroids, nprobe)
 
+  // -------------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks, trained with per-subspace Lloyd
+    * iterations — ALL subspaces in one aggregation per iteration (the
+    * vector is coded once by the [[graft.functions.PqCodes]] kernel,
+    * posexploded to (subspace, code, subvector) rows, and every
+    * (subspace, code) centroid mean comes out of the same groupBy).
+    * Deterministic: initial codewords are the k lowest-id vectors' slices,
+    * ties in the argmin break to the first index. `dim` must divide into
+    * `m` equal subspaces. Returns the flat codebook, indexed [s·k + c].
+    *
+    * Vectors are L2-NORMALIZED before coding (kernel-side, one pass):
+    * similarity search grades by COSINE, and on unit vectors squared L2 is
+    * monotonic in cosine (‖a−b‖² = 2−2cos), so ADC ordering approximates
+    * the right ranking — unnormalized, magnitude dominates and recall
+    * collapses (measured: 2 of the true top-10 lost at a 5% shortlist).
+    * Scaled copies also get IDENTICAL codes, making exact-duplicate
+    * recall structural.
+    *
+    * PQ is the memory side of the ANN story: codes are m small ints per
+    * vector (here 8×4 bits vs 64×4 bytes — a 32× compression), so the
+    * billion-vector scan touches a narrow codes column and the original
+    * embeddings only ever load for the shortlist rerank. Compose with
+    * [[ivfAssign]] cell partitioning for IVF-PQ (prune cells at the
+    * source, ADC-scan inside probed cells). */
+  def pqTrain(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 2): Seq[Array[Double]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
+    val subDim = dim / m
+    val init = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }
+    var books: Array[Array[Double]] = Array.tabulate(m * k) { idx =>
+      val s = idx / k; val c = idx % k
+      init(c).slice(s * subDim, (s + 1) * subDim)
+    }
+    (0 until iters).foreach { _ =>
+      val coded = df.select(col(vecCol).as("v"),
+        graft.functions.NativeHash.l2Norm(col(vecCol)).as("nrm"),
+        posexplode(graft.functions.NativeHash.pqCodes(
+          col(vecCol), books, m, k, subDim)).as(Seq("s", "code")))
+        .select(col("s"), col("code"), col("nrm"),
+          slice(col("v"), col("s") * subDim + 1, lit(subDim)).as("sv"))
+      // normalized slice elements without a per-element lambda: each dim's
+      // mean divides by the row's precomputed norm (zero-norm rows stay
+      // raw-zero — 0/1 keeps them out of the means' numerators anyway)
+      val dimAvgs = (0 until subDim).map(i =>
+        avg(element_at(col("sv"), i + 1) /
+          when(col("nrm") > 0d, col("nrm")).otherwise(lit(1d))).as(s"d$i"))
+      val means = coded.groupBy("s", "code")
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (0 until subDim).map(i => r.getDouble(i + 2)).toArray)
+        .toMap
+      // empty codewords keep their previous position (same rule as ivfTrain)
+      books = Array.tabulate(m * k) { idx =>
+        means.getOrElse((idx / k, idx % k), books(idx))
+      }
+    }
+    books.toSeq
+  }
+
+  /** Materializable PQ assignment: (id, codes, v). Write the codes (and
+    * optionally drop `v` to separate storage) — the codes column is the
+    * only thing the ADC scan reads. Codes are over the L2-normalized
+    * vector (see [[pqTrain]]). */
+  def pqAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Array[Double]], m: Int = 8, k: Int = 16): DataFrame = {
+    val subDim = codebooks.head.length
+    df.select(col(idCol).as("id"),
+      graft.functions.NativeHash.pqCodes(col(vecCol),
+        codebooks.toArray, m, k, subDim).as("codes"),
+      col(vecCol).as("v"))
+  }
+
+  /** PQ top-k with exact rerank: ADC-score every row against the query's
+    * per-subspace LUT (narrow codes scan, TakeOrdered shortlist — no full
+    * sort), then exact-cosine rerank the `shortlist` best. Approximate:
+    * the true top-k is found iff the shortlist contains it — size
+    * `shortlist` ≫ k for recall (the gate's containment is verified
+    * against the exact oracle at every driver scale). */
+  def topKPq(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], kTop: Int, codebooks: Seq[Array[Double]],
+      m: Int = 8, k: Int = 16, shortlist: Int = 100): DataFrame = {
+    val subDim = codebooks.head.length
+    require(queryVec.length == m * subDim,
+      s"query dim ${queryVec.length} != m*subDim = ${m * subDim}")
+    // LUT: squared L2 from the NORMALIZED query's s-th slice to codeword
+    // (s, c) — row codes are over normalized vectors (see pqTrain)
+    val qn = {
+      val n = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+      if (n > 0) queryVec.map(_.toDouble / n) else queryVec.map(_.toDouble)
+    }
+    val lut = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val cw = codebooks(s * k + c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = qn(s * subDim + i) - cw(i)
+          d += diff * diff
+          i += 1
+        }
+        lut(s * k + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    val short = pqAssign(df, idCol, vecCol, codebooks, m, k)
+      .select(col("id"), col("v"),
+        graft.functions.NativeHash.adcDistance(col("codes"), lut, k).as("adc"))
+      .orderBy(col("adc").asc, col("id").asc).limit(shortlist)
+    rerank(short.select(col("id"), col("v")), queryVec, kTop)
+  }
+
   /** Symmetric int8 quantization of an embedding column (the vector-store
     * compression step): q_i = round_half_up(x_i · 127 / max|x|), zero/null
     * vectors quantize to zeros. All math in double with floor(x + 0.5)

@@ -1243,6 +1243,26 @@ object Catalog {
           vec_id AS id
         FROM s ORDER BY sim DESC, vec_id LIMIT 10""")),
 
+    // PQ (product quantization) ANN: 16×16 codebooks (16 4-bit codes = 8
+    // bytes vs 256 — a 32× compression; the ADC scan reads the codes
+    // column, never the embedding), TakeOrdered shortlist, exact rerank.
+    // Graded against the EXACT top-k oracle like the other approximate
+    // variants: quantizer resolution + shortlist breadth (200 of ≤2000)
+    // are sized so the ADC candidate set contains the true top-10 on this
+    // corpus at every driver scale — containment hash-matched, not
+    // rows-only
+    Q("ann_topk_pq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = queryVec(s, d)
+        val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+          m = 16, k = 16, iters = 2)
+        Similarity.topKPq(emb, "vec_id", "embedding", q, 10, books,
+            m = 16, k = 16, shortlist = 200)
+          .select("rank", "id")
+      },
+      Some(annExactTopKSql)),
+
     // multimodal: ALL THREE kinds really encoded and really decoded —
     // images as PNGs (javax.imageio), audio as WAV PCM
     // (javax.sound.sampled), video as the real-frame container of PNG
