@@ -349,11 +349,70 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Float], kTop: Int, codebooks: Seq[Array[Double]],
       m: Int = 8, k: Int = 16, shortlist: Int = 100): DataFrame = {
+    // row codes are over normalized vectors (see pqTrain); the LUT
+    // normalizes the query to match
+    val lut = adcLut(queryVec, codebooks, m, k)
+    val short = pqAssign(df, idCol, vecCol, codebooks, m, k)
+      .select(col("id"), col("v"),
+        graft.functions.NativeHash.adcDistance(col("codes"), lut, k).as("adc"))
+      .orderBy(col("adc").asc, col("id").asc).limit(shortlist)
+    rerank(short.select(col("id"), col("v")), queryVec, kTop)
+  }
+
+  /** Materializable IVF-PQ index row set: (id, cell, codes, v). Write
+    * `partitionBy("cell")` and the two-level scale shape composes: a query
+    * PRUNES to its probed cells' files at the source (IVF), then ADC-scans
+    * only those cells' narrow codes column (PQ), loading vectors just for
+    * the shortlist rerank — at a billion vectors the per-query work is
+    * (nprobe/k)·corpus codes-bytes, not one embedding byte outside the
+    * shortlist. */
+  def ivfPqAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], codebooks: Seq[Array[Double]],
+      m: Int = 8, k: Int = 16): DataFrame = {
+    val subDim = codebooks.head.length
+    df.select(col(idCol).as("id"),
+      nearestCentroid(col(vecCol), centroids).as("cell"),
+      graft.functions.NativeHash.pqCodes(col(vecCol),
+        codebooks.toArray, m, k, subDim).as("codes"),
+      col(vecCol).as("v"))
+  }
+
+  /** IVF-PQ top-k over a prebuilt [[ivfPqAssign]] index: probe `nprobe`
+    * cells, ADC-score their codes, exact-rerank the shortlist. */
+  def topKIvfPqIndexed(
+      index: DataFrame, queryVec: Seq[Float], kTop: Int,
+      centroids: Seq[Array[Double]], codebooks: Seq[Array[Double]],
+      m: Int = 8, k: Int = 16, nprobe: Int = 4,
+      shortlist: Int = 100): DataFrame = {
+    val qCells = probeCells(centroids, queryVec, nprobe)
+    val lut = adcLut(queryVec, codebooks, m, k)
+    val short = index.filter(col("cell").isin(qCells: _*))
+      .select(col("id"), col("v"),
+        graft.functions.NativeHash.adcDistance(col("codes"), lut, k).as("adc"))
+      .orderBy(col("adc").asc, col("id").asc).limit(shortlist)
+    rerank(short.select(col("id"), col("v")), queryVec, kTop)
+  }
+
+  /** Single-shot IVF-PQ (assign inline; repeated querying should persist
+    * [[ivfPqAssign]] cell-partitioned and use [[topKIvfPqIndexed]]). */
+  def topKIvfPq(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], kTop: Int,
+      centroids: Seq[Array[Double]], codebooks: Seq[Array[Double]],
+      m: Int = 8, k: Int = 16, nprobe: Int = 4,
+      shortlist: Int = 100): DataFrame =
+    topKIvfPqIndexed(ivfPqAssign(df, idCol, vecCol, centroids, codebooks, m, k),
+      queryVec, kTop, centroids, codebooks, m, k, nprobe, shortlist)
+
+  /** The query's ADC lookup table: squared L2 from the NORMALIZED query's
+    * s-th slice to codeword (s, c), flat [s·k + c]. */
+  private def adcLut(
+      queryVec: Seq[Float], codebooks: Seq[Array[Double]],
+      m: Int, k: Int): Array[Double] = {
     val subDim = codebooks.head.length
     require(queryVec.length == m * subDim,
       s"query dim ${queryVec.length} != m*subDim = ${m * subDim}")
-    // LUT: squared L2 from the NORMALIZED query's s-th slice to codeword
-    // (s, c) — row codes are over normalized vectors (see pqTrain)
     val qn = {
       val n = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
       if (n > 0) queryVec.map(_.toDouble / n) else queryVec.map(_.toDouble)
@@ -376,11 +435,7 @@ object Similarity {
       }
       s += 1
     }
-    val short = pqAssign(df, idCol, vecCol, codebooks, m, k)
-      .select(col("id"), col("v"),
-        graft.functions.NativeHash.adcDistance(col("codes"), lut, k).as("adc"))
-      .orderBy(col("adc").asc, col("id").asc).limit(shortlist)
-    rerank(short.select(col("id"), col("v")), queryVec, kTop)
+    lut
   }
 
   /** Symmetric int8 quantization of an embedding column (the vector-store

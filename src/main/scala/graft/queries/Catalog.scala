@@ -1263,6 +1263,23 @@ object Catalog {
       },
       Some(annExactTopKSql)),
 
+    // IVF-PQ composed: coarse cells prune the scan (nprobe=8 of 16 — the
+    // breadth the ivf gate already proves contains the true top-10), PQ
+    // codes ADC-score inside the probed cells, exact rerank. The
+    // billion-vector shape end-to-end, graded against the EXACT oracle
+    Q("ann_topk_ivfpq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = queryVec(s, d)
+        val centroids = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16, iters = 2)
+        val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+          m = 16, k = 16, iters = 2)
+        Similarity.topKIvfPq(emb, "vec_id", "embedding", q, 10,
+            centroids, books, m = 16, k = 16, nprobe = 8, shortlist = 200)
+          .select("rank", "id")
+      },
+      Some(annExactTopKSql)),
+
     // multimodal: ALL THREE kinds really encoded and really decoded —
     // images as PNGs (javax.imageio), audio as WAV PCM
     // (javax.sound.sampled), video as the real-frame container of PNG

@@ -55,6 +55,28 @@ class PqSpec extends SparkSuite {
     assert(top === Set(0L, 4L))
   }
 
+  test("IVF-PQ with full probes and shortlist reproduces brute force") {
+    val centroids = Similarity.ivfTrain(vecs, "id", "v", k = 2, iters = 2)
+    val books = Similarity.pqTrain(vecs, "id", "v", m = 2, k = 4, iters = 2)
+    val q = Seq(1.0f, 0.05f, 0.0f, 0.0f)
+    val full = Similarity.topKIvfPq(vecs, "id", "v", q, 3, centroids, books,
+        m = 2, k = 4, nprobe = 2, shortlist = 8)
+      .select("rank", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bf = Similarity.topKBruteForce(vecs, "id", "v", q, 3)
+      .select("rank", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(full.toSeq === bf.toSeq)
+    // nprobe=1 really prunes: the scanned candidate set shrinks to the
+    // query's own cell (every returned id must share it)
+    val idx = Similarity.ivfPqAssign(vecs, "id", "v", centroids, books, m = 2, k = 4)
+    val qCell = idx.filter(col("id") === 0L).head().getInt(1)
+    val pruned = Similarity.topKIvfPqIndexed(idx, Seq(1.0f, 0.0f, 0.0f, 0.0f),
+        8, centroids, books, m = 2, k = 4, nprobe = 1, shortlist = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val cellIds = idx.filter(col("cell") === qCell)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pruned.subsetOf(cellIds) && pruned.nonEmpty)
+  }
+
   test("dim must divide into m subspaces; query dim validated") {
     intercept[IllegalArgumentException] {
       Similarity.pqTrain(vecs, "id", "v", m = 3, k = 2)
