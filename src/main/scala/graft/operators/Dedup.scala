@@ -829,6 +829,71 @@ object Dedup {
     ids.join(dropped, Seq("id"), "left_anti")
   }
 
+  /** Incremental SemDeDup: drop batch documents with a cosine-≥`threshold`
+    * neighbor in their k-means cell, where the cell-mates come from a
+    * PERSISTED corpus index ([[Similarity.ivfAssign]] output — (id, cell,
+    * v), typically written `partitionBy("cell")`) or from the batch itself
+    * (smaller-id batch-mates, [[semanticDedup]]'s rule). The daily-ingest
+    * shape for embeddings, completing the incremental family (exact →
+    * [[exactIncremental]], MinHash → [[minhashLshIncremental]], ANN append
+    * → ivfAssign append): the batch is assigned against the SAME stored
+    * centroids (k×dim driver state), and with a cell-partitioned index the
+    * comparison loads ONLY the cells the batch touches — partition pruning
+    * does the candidate generation, corpus vectors outside those cells are
+    * never read.
+    *
+    * Hot cells (more cell-mates than `maxCellSize` among the TOUCHED
+    * cells) are refined with independent-seed hyperplanes on both sides —
+    * identical vectors keep identical refinement keys, so exact-duplicate
+    * recall stays structural (same dial as [[semanticDedup]]).
+    *
+    * Returns the surviving batch rows' ids (`id` column). Batch ids must
+    * be disjoint from index ids (same contract as
+    * [[minhashLshIncremental]] — a re-ingested id would self-pair). */
+  def semanticDedupIncremental(
+      batch: DataFrame, idCol: String, vecCol: String,
+      index: DataFrame, centroids: Seq[Array[Double]],
+      threshold: Double = 0.95, maxCellSize: Int = 1000,
+      refinePlanes: Int = 8): DataFrame = {
+    val ids = batch.select(col(idCol).as("id"))
+    val dim = Similarity.dimOf(batch, vecCol).getOrElse(return ids)
+    val assigned = spillPersistEager(
+      Similarity.ivfAssign(batch.filter(col(vecCol).isNotNull),
+        idCol, vecCol, centroids))
+    // only the touched cells' index slices ever load (partition pruning on
+    // a cell-partitioned index); isin over ≤ k driver-known cells
+    val touched = assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val mates = spillPersistEager(
+      index.filter(col("cell").isin(touched: _*)).select("id", "cell", "v"))
+    // hot-cell census over batch + touched index slices only
+    val hot = assigned.select("cell").unionByName(mates.select("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCellSize).select("cell")
+      .collect().map(_.getInt(0)).toSet
+    def keyed(df: DataFrame) =
+      if (hot.isEmpty) df.withColumn("sub", lit(0L))
+      else df.withColumn("sub",
+        when(col("cell").isin(hot.toSeq: _*),
+          Similarity.refineKey(col("v"), refinePlanes, dim)).otherwise(lit(0L)))
+    val b = keyed(assigned)
+    // corpus-side kill: ANY index cell-mate above threshold
+    val vsIndex = b.select(col("cell"), col("sub"), col("id"), col("v"))
+      .join(keyed(mates).select(col("cell"), col("sub"), col("v").as("cv")),
+        Seq("cell", "sub"))
+      .filter(Similarity.cosine(col("v"), col("cv")) >= threshold)
+      .select("id")
+    // batch-internal kill: smaller-id batch cell-mate above threshold
+    val vsBatch = b.select(col("cell"), col("sub"), col("id").as("id_a"), col("v").as("va"))
+      .join(b.select(col("cell"), col("sub"), col("id").as("id_b"), col("v").as("vb")),
+        Seq("cell", "sub"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("id"))
+    val dropped = vsIndex.unionByName(vsBatch).distinct()
+    ids.join(dropped, Seq("id"), "left_anti")
+  }
+
   /** Edit-distance (Levenshtein ≤ maxDist) similarity self-join — fuzzy
     * dedup for OCR noise, typo'd records, lightly-edited copies, where
     * token-level Jaccard is too coarse. EXACT: every output pair truly has

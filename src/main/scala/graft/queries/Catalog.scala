@@ -1159,6 +1159,44 @@ object Catalog {
           SELECT 1 FROM corpus o WHERE o.vec_id < c.vec_id
             AND list_cosine_similarity(o.embedding, c.embedding) >= 0.95)""")),
 
+    // INCREMENTAL SemDeDup: the daily embedding batch deduped against a
+    // PERSISTED cell index (ivfAssign round-tripped through parquet,
+    // partitionBy(cell) — only touched cells load). Batch = identical
+    // copies of every 4th vector (structurally co-cell with their source;
+    // die on the corpus side) + NEGATED every-5th vectors (cosine to
+    // everything is the negation of a ≤0.60 natural cosine, and −1 to
+    // their own source — never ≥ 0.95; survive). Kept set is provably
+    // cluster-independent, so the oracle needs no clustering
+    Q("dedup_semantic_incremental",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val centroids = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16, iters = 2)
+        val dir = java.nio.file.Files.createTempDirectory("graft-sem-idx")
+        Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+          .write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
+        val batch = emb.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+          .unionByName(emb.filter(col("vec_id") % 5 === 0)
+            .select((col("vec_id") + 200000L).as("vec_id"),
+              transform(col("embedding"), x => (-x).cast("float")).as("embedding")))
+        val out = Dedup.semanticDedupIncremental(batch, "vec_id", "embedding",
+            s.read.parquet(dir.toString), centroids, threshold = 0.95)
+          .localCheckpoint(true)
+        Dedup.releaseIntermediates()
+        deleteDir(dir.toFile)
+        out
+      },
+      Some("""WITH batch AS (
+          SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+          UNION ALL SELECT vec_id + 200000,
+            list_transform(embedding, x -> CAST(-x AS FLOAT))
+            FROM embeddings WHERE vec_id % 5 = 0)
+        SELECT b.vec_id AS id FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM embeddings c
+            WHERE list_cosine_similarity(c.embedding, b.embedding) >= 0.95)
+          AND NOT EXISTS (SELECT 1 FROM batch o WHERE o.vec_id < b.vec_id
+            AND list_cosine_similarity(o.embedding, b.embedding) >= 0.95)""")),
+
     // int8 quantization: per-component codes flattened to scalars (both
     // engines do the same IEEE double math + floor(x+0.5) rounding)
     Q("emb_quantize",

@@ -55,6 +55,40 @@ class SemanticDedupSpec extends SparkSuite {
     Dedup.releaseIntermediates()
   }
 
+  test("incremental: batch deduped against a persisted cell index") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("id", "v")
+    val centroids = Similarity.ivfTrain(corpus, "id", "v", k = 2, iters = 2)
+    val index = Similarity.ivfAssign(corpus, "id", "v", centroids)
+    val batch = Seq(
+      (11L, Array(2.0f, 0.0f, 0.0f)), // scaled copy of corpus 1 → dropped
+      (12L, Array(-1.0f, 0.0f, 0.0f)), // negation → kept
+      (13L, Array(0.0f, 3.0f, 0.0f)), // scaled copy of corpus 2 → dropped
+      (14L, Array(-1.0f, 0.0f, 0.0f))) // identical to 12 → batch-internal drop
+      .toDF("id", "v")
+    val kept = Dedup.semanticDedupIncremental(batch, "id", "v",
+      index, centroids, threshold = 0.95).as[Long].collect().toSet
+    assert(kept === Set(12L))
+    Dedup.releaseIntermediates()
+  }
+
+  test("incremental: hot-cell refinement keeps identical-vector recall") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.8f, 0.2f))).toDF("id", "v")
+    val centroids = Similarity.ivfTrain(corpus, "id", "v", k = 1, iters = 1)
+    val index = Similarity.ivfAssign(corpus, "id", "v", centroids)
+    // every cell hot (maxCellSize=1): the identical copy must still die
+    val batch = Seq((11L, Array(1.0f, 0.0f))).toDF("id", "v")
+    val kept = Dedup.semanticDedupIncremental(batch, "id", "v",
+      index, centroids, threshold = 0.95, maxCellSize = 1)
+      .as[Long].collect().toSet
+    assert(kept.isEmpty)
+    Dedup.releaseIntermediates()
+  }
+
   test("pairs crossing a cluster boundary are NOT dropped (SemDeDup contract)") {
     // two tight groups far apart; k=2 separates them. A cross-group pair
     // can never be dropped even at threshold 0 — pruning is within-cell
