@@ -16,7 +16,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "scd2_history", "q1_agg", "q3_top_orders", "w1_latest_per_key",
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_incremental",
-    "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_semantic",
     "dedup_clusters", "dedup_spans", "ann_topk_bruteforce", "ann_topk_ivf",
     "asof_join", "range_join", "pack_concat_chunks",
     "text_term_stats", "text_heavy_hitters", "text_quality",
