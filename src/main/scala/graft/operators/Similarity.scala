@@ -457,6 +457,54 @@ object Similarity {
             floor(x.cast("double") * 127d / col("__maxabs") + 0.5d).cast("int"))))
       .drop("__maxabs")
 
+  /** Hybrid lexical + vector retrieval with DETERMINISTIC rank fusion.
+    * Text score = shared-distinct-token count with the query terms; vector
+    * score = cosine to the query embedding. Each modality takes its top
+    * `pool` candidates (TakeOrdered — no global sort), ranks within the
+    * pool (the only windows run over ≤ pool rows), and the pools fuse by
+    * BORDA RANK-SUM — the integer-exact cousin of reciprocal-rank fusion
+    * (RRF's 1/(k+r) weights are floats whose sums are order-sensitive;
+    * rank sums are exact, so any engine reproduces the fused order
+    * bit-for-bit). Candidates are the UNION of the two pools: a document
+    * missing from one modality's pool gets the penalty rank `pool + 1`,
+    * and one in neither pool is absent (retrieval only ever surfaces pool
+    * members).
+    *
+    * Returns (rank, id, borda) — the top `kTop` by (borda asc, id asc).
+    * 100 TB: both modality scans are narrow one-pass scoring (the text
+    * side never shuffles the corpus; the TakeOrdered pools are k-sized
+    * driver merges), and the fusion join touches 2·pool rows. */
+  def hybridTopK(
+      df: DataFrame, idCol: String, textCol: String, vecCol: String,
+      queryTerms: Seq[String], queryVec: Seq[Float], kTop: Int,
+      pool: Int = 1000): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val terms = array(queryTerms.map(t => lit(t.toLowerCase)).distinct: _*)
+    val scored = df.select(col(idCol).as("id"),
+      size(array_intersect(
+        array_distinct(graft.functions.TextFunctions.tokens(col(textCol))),
+        terms)).cast("long").as("ts"),
+      cosineToQuery(col(vecCol), queryVec).as("vs"))
+    val w = org.apache.spark.sql.expressions.Window
+    val tPool = scored.orderBy(col("ts").desc, col("id").asc).limit(pool)
+      .withColumn("tr", row_number().over(
+        w.orderBy(col("ts").desc, col("id").asc)).cast("long"))
+      .select("id", "tr")
+    val vPool = scored.orderBy(col("vs").desc, col("id").asc).limit(pool)
+      .withColumn("vr", row_number().over(
+        w.orderBy(col("vs").desc, col("id").asc)).cast("long"))
+      .select("id", "vr")
+    val penalty = (pool + 1).toLong
+    val fused = tPool.join(vPool, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(col("tr"), lit(penalty)) +
+          coalesce(col("vr"), lit(penalty))).as("borda"))
+      .orderBy(col("borda").asc, col("id").asc).limit(kTop)
+    fused.withColumn("rank", row_number().over(
+        w.orderBy(col("borda").asc, col("id").asc)).cast("long"))
+      .select("rank", "id", "borda")
+  }
+
   /** Exact cosine rerank of candidate (id, v) rows → (rank, id, sim). */
   private def rerank(candidates: DataFrame, queryVec: Seq[Float], k: Int): DataFrame = {
     candidates.select(col("id"), cosineToQuery(col("v"), queryVec).as("sim"))

@@ -1301,6 +1301,35 @@ object Catalog {
       },
       Some(annExactTopKSql)),
 
+    // HYBRID retrieval: lexical (shared-distinct-token count) + vector
+    // (cosine) ranks fused by Borda rank-sum — the integer-exact cousin of
+    // RRF, so the fused order is engine-reproducible bit-for-bit. The gate
+    // corpus is documents ⋈ embeddings on id; pool ≥ corpus, so the oracle
+    // is the full two-ranking fusion with no pool-boundary semantics
+    Q("hybrid_topk",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+          .join(t(s, d, "embeddings"),
+            col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("text"), col("embedding"))
+        Similarity.hybridTopK(corpus, "doc_id", "text", "embedding",
+          Seq("join", "hash", "window"), queryVec(s, d), kTop = 10,
+          pool = 100000)
+      },
+      Some(s"""WITH c AS (SELECT d.doc_id AS id, $toksSql AS toks, e.embedding AS v
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        sc AS (SELECT id,
+            CAST(len(list_intersect(list_distinct(toks),
+              ['join', 'hash', 'window'])) AS BIGINT) AS ts,
+            list_cosine_similarity(v, qv) AS vs FROM c, q),
+        r AS (SELECT id,
+            row_number() OVER (ORDER BY ts DESC, id) AS tr,
+            row_number() OVER (ORDER BY vs DESC, id) AS vr FROM sc)
+        SELECT CAST(row_number() OVER (ORDER BY tr + vr, id) AS BIGINT) AS rank,
+          id, CAST(tr + vr AS BIGINT) AS borda
+        FROM r ORDER BY tr + vr, id LIMIT 10""")),
+
     // IVF-PQ composed: coarse cells prune the scan (nprobe=8 of 16 — the
     // breadth the ivf gate already proves contains the true top-10), PQ
     // codes ADC-score inside the probed cells, exact rerank. The
