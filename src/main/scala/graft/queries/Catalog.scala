@@ -1341,9 +1341,18 @@ object Catalog {
         val centroids = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16, iters = 2)
         val books = Similarity.pqTrain(emb, "vec_id", "embedding",
           m = 16, k = 16, iters = 2)
-        Similarity.topKIvfPq(emb, "vec_id", "embedding", q, 10,
-            centroids, books, m = 16, k = 16, nprobe = 8, shortlist = 200)
-          .select("rank", "id")
+        // the index round-trips through cell-partitioned parquet, so the
+        // probe really does prune at the source (partition pruning), not
+        // just filter in memory
+        val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
+        Similarity.ivfPqAssign(emb, "vec_id", "embedding", centroids, books,
+            m = 16, k = 16)
+          .write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
+        val out = Similarity.topKIvfPqIndexed(s.read.parquet(dir.toString),
+            q, 10, centroids, books, m = 16, k = 16, nprobe = 8, shortlist = 200)
+          .select("rank", "id").localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
       },
       Some(annExactTopKSql)),
 
@@ -1882,6 +1891,39 @@ object Catalog {
         SELECT 'intercept' AS feature, CAST((1000*det0) // det AS BIGINT) AS w_x1000 FROM dets
         UNION ALL SELECT 'tokens', CAST((1000*det1) // det AS BIGINT) FROM dets
         UNION ALL SELECT 'utokens', CAST((1000*det2) // det AS BIGINT) FROM dets""")),
+
+    // TRAIN → APPLY composed: the exact-OLS weights from text_fit_linear
+    // score every document as a fixed-point integer dot product — the
+    // whole learn-a-filter-then-run-it pipeline, end-to-end integer-exact
+    // (oracle recomputes the moments, the Cramer solve, AND the scoring)
+    Q("text_fit_apply",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tokens = TextFunctions.tokenCount(col("text"))
+        val utokens = size(array_distinct(TextFunctions.tokens(col("text")))).cast("long")
+        val w = TextCorpus.fitLinearModelX1000(docs,
+            Seq("tokens" -> tokens, "utokens" -> utokens), col("n_chars"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        docs.select(col("doc_id"),
+          (lit(w("intercept")) + lit(w("tokens")) * tokens +
+            lit(w("utokens")) * utokens).as("pred_x1000"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, CAST(len($toksSql) AS HUGEINT) AS t,
+            CAST(len(list_distinct($toksSql)) AS HUGEINT) AS p,
+            CAST(n_chars AS HUGEINT) AS y FROM documents),
+        m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(t) AS st, sum(p) AS sp,
+            sum(t*t) AS stt, sum(t*p) AS stp, sum(p*p) AS spp,
+            sum(y) AS sy, sum(t*y) AS sty, sum(p*y) AS spy FROM f),
+        dets AS (SELECT
+          n*(stt*spp - stp*stp) - st*(st*spp - stp*sp) + sp*(st*stp - stt*sp) AS det,
+          sy*(stt*spp - stp*stp) - st*(sty*spp - stp*spy) + sp*(sty*stp - stt*spy) AS det0,
+          n*(sty*spp - stp*spy) - sy*(st*spp - stp*sp) + sp*(st*spy - sty*sp) AS det1,
+          n*(stt*spy - sty*stp) - st*(st*spy - sty*sp) + sy*(st*stp - stt*sp) AS det2
+          FROM m),
+        w AS (SELECT (1000*det0) // det AS w0, (1000*det1) // det AS w1,
+            (1000*det2) // det AS w2 FROM dets)
+        SELECT doc_id, CAST(w0 + w1*t + w2*p AS BIGINT) AS pred_x1000
+        FROM f, w""")),
 
     // REAL BPE apply in the matrix: the general greedy merge kernel
     // (TextFunctions.bpeTokens — rank-ordered, chaining, all-occurrence)

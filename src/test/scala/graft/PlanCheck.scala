@@ -65,11 +65,15 @@ object PlanCheck {
       ("sample_shuffle_shards", "shard rank windowed per key bucket (no global window), bases broadcast",
         p => p.contains("windowspecdefinition(__bk") &&
           p.contains("BroadcastHashJoin")),
-      ("dedup_exact_probe", "history probed via broadcast semi/anti — seen side never sort-merge-shuffled",
-        p => p.contains("LeftSemi") && p.contains("LeftAnti") &&
-          !p.contains("SortMergeJoin")),
+      // (dedup_exact_probe's gate checkpoints its result, which truncates
+      // the returned plan — its no-SMJ invariant runs below on the raw
+      // operator instead)
       ("dedup_semantic", "semantic pairing confined to cluster cells (no cartesian, no nested-loop)",
         p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+      ("ann_topk_pq", "ADC shortlist via TakeOrdered, not a global sort",
+        p => p.contains("TakeOrderedAndProject")),
+      ("hybrid_topk", "modality pools via TakeOrdered; fusion join has no cartesian",
+        p => p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct")),
       ("text_lm_score", "LM models partial-agg'd, vocab a literal, no cartesian/fan-out join",
         // the vocab size must be folded into the expression as a driver
         // scalar (no CROSS JOIN in the plan), and both count models must
@@ -84,6 +88,26 @@ object PlanCheck {
       if (!pass) failed += 1
       println(f"${if (pass) "PASS" else "FAIL"}  $name%-22s $what")
     }
+    // probe-strategy incremental dedup: the history side must reach the
+    // plan as a narrow scan probed by broadcast semi/anti joins — never a
+    // sort-merge shuffle (the gate checkpoints its result, so this checks
+    // the raw operator's executed plan)
+    locally {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val seen = graft.operators.Dedup.exact(docs, "doc_id", "text").select("fp")
+      val out = graft.operators.Dedup.exactIncremental(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", seen,
+        strategy = "probe")
+      out.collect()
+      val p = out.queryExecution.executedPlan.toString
+      val pass = p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
+        !p.contains("SortMergeJoin")
+      graft.operators.Dedup.releaseIntermediates()
+      if (!pass) failed += 1
+      println(f"${if (pass) "PASS" else "FAIL"}  dedup_exact_probe      history probed via broadcast semi/anti — never sort-merge-shuffled")
+    }
+
     // runtime pruning counter: execute the skipping query and ask the index
     // how many dirs the pushed dataFilters kept (transparent-path check)
     locally {
