@@ -717,6 +717,27 @@ object Dedup {
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
+  /** Pick each duplicate cluster's KEEP document by QUALITY — the
+    * production policy after clustering ([[duplicateClusters]] returns
+    * min-id labels; real pipelines keep the best-scoring copy, not the
+    * lowest id). Deterministic: (score desc, id asc) per cluster via a
+    * cluster-keyed window (never global). Returns (cluster_id, keep_id).
+    * `scores` rows for ids outside any cluster are ignored; cluster
+    * members missing a score are excluded from candidacy (inner join). */
+  def clusterRepresentatives(
+      clusters: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("__score").desc, col("id").asc)
+    clusters.join(
+        scores.select(col(idCol).as("id"), col(scoreCol).as("__score")),
+        Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("id").as("keep_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates via
     * random-hyperplane LSH buckets (see Similarity.hyperplaneBucket).
     *

@@ -421,6 +421,34 @@ object TextCorpus {
         pmod(col("__rank"), lit(rowsPerShard)).as("pos"))
   }
 
+  /** Sliding-window document chunking — the long-document preparation step
+    * (sequence models want ≤ `chunkTokens`-token pieces; `overlap` tokens
+    * of context carry across adjacent chunks). Chunk i of a document
+    * covers normalized-token positions [i·step, i·step + chunkTokens) with
+    * step = chunkTokens − overlap; the last chunk may be short, and every
+    * document yields ≥ 1 chunk. Returns (id, chunk_idx, chunk_text,
+    * n_tokens). Pure per-row fan-out (posexplode over a computed
+    * sequence) — no shuffle, no state; at 100 TB this is a narrow map
+    * whose output is ~(1 + overlap/step)× the corpus. */
+  def chunkDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap ($overlap) must be in [0, chunkTokens)")
+    val step = chunkTokens - overlap
+    df.select(col(idCol),
+        TextFunctions.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"),
+        posexplode(sequence(lit(0),
+          floor((size(col("__tk")) - 1) / step).cast("int"))).as(Seq("chunk_idx", "__i")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__tk"), col("chunk_idx") * step + 1,
+          lit(chunkTokens))).as("chunk_text"),
+        size(slice(col("__tk"), col("chunk_idx") * step + 1,
+          lit(chunkTokens))).cast("long").as("n_tokens"))
+  }
+
   /** EXACT distributed ordinary-least-squares fit — train the quality
     * model ON the cluster, reproducibly. Features and label must be
     * INTEGER-valued columns (counts, capped ratios — the standard quality

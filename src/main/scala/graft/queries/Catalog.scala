@@ -1033,6 +1033,46 @@ object Catalog {
         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY id""")),
 
+    // cluster representative by QUALITY (keep the longest copy, not the
+    // min id): clusters from the total-recall Jaccard truth, then one
+    // keyed window picks (n_chars desc, id asc) per cluster — the oracle
+    // replays reachability + the same QUALIFY
+    Q("dedup_cluster_keep_best",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val clusters = Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+            .select("id_a", "id_b"))
+        Dedup.clusterRepresentatives(clusters,
+          docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+      },
+      Some(s"""WITH RECURSIVE tp AS (${jaccardTruthSql(300)}),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM tp
+            UNION SELECT id_b, id_a FROM tp),
+          reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+          cl AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id)
+        SELECT cluster_id, doc_id AS keep_id
+        FROM cl JOIN documents USING (doc_id)
+        QUALIFY row_number() OVER (PARTITION BY cluster_id
+          ORDER BY n_chars DESC, doc_id) = 1""")),
+
+    // sliding-window chunking: ≤12-token chunks advancing by 9 (3-token
+    // overlap), last chunk short, every doc ≥1 chunk — the oracle rebuilds
+    // every window positionally with list slices
+    Q("text_chunk_windows",
+      (s, d) => TextCorpus.chunkDocs(t(s, d, "documents"),
+        "doc_id", "text", chunkTokens = 12, overlap = 3),
+      Some(s"""WITH s AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+            array_to_string(tk[i*9+1 : i*9+12], ' ') AS chunk_text,
+            CAST(len(tk[i*9+1 : i*9+12]) AS BIGINT) AS n_tokens
+          FROM s, unnest(range(0, ((len(tk)-1)//9) + 1)) AS r(i))
+        SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM c""")),
+
     // benchmark decontamination: train docs sharing ≥ 5 distinct shingles
     // with any "benchmark" doc (here: the doc_id % 17 = 3 slice) — the
     // bench posting list broadcasts, train text is one pass
