@@ -1127,6 +1127,13 @@ object Dedup {
       .withColumn("c", count(lit(1)).over(wGram))
       .filter(col("c") > 1)
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    mergeIslands(dupPos, k)
+  }
+
+  /** Merge hit window positions into maximal spans: runs of hits within k
+    * of each other become one [span_start, span_end] interval per doc
+    * (doc-keyed windows — never global). Input: (doc_id, pos: long). */
+  private def mergeIslands(dupPos: DataFrame, k: Int): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     dupPos
@@ -1138,6 +1145,48 @@ object Dedup {
       .agg(min("pos").as("span_start"),
         (max("pos") + lit(k - 1).cast("long")).as("span_end"))
       .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Cross-corpus span CONTAMINATION — maximal ≥ k-token spans of `train`
+    * documents that appear VERBATIM anywhere in `bench` (the Lee et al.
+    * exact-substring decontamination step; the shingle-overlap
+    * [[TextCorpus.contamination]] flags documents, this finds the exact
+    * token ranges so [[removeSpans]] can scrub instead of dropping whole
+    * documents).
+    *
+    * Same layering as [[duplicateSpans]]: the codegen'd window-hash kernel
+    * streams both corpora as 24-byte position rows; the bench HASH SET
+    * (distinct, tiny — benchmarks are small by definition) prunes train
+    * positions first, then surviving candidates rebuild gram strings on
+    * both sides and verify (hash, gram) equality — collision-exact. Train
+    * text is never shuffled; both joins key on the hash and AQE broadcasts
+    * the bench side. Returns (doc_id, span_start, span_end) over train. */
+  def contaminatedSpans(
+      train: DataFrame, trainIdCol: String, trainTextCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val tPos = train.select(col(trainIdCol).as("doc_id"),
+      posexplode(graft.functions.NativeHash.kgramWindowHashes(col(trainTextCol), k))
+        .as(Seq("pos", "h")))
+    val bPos = bench.select(col(benchTextCol).as("__btext"),
+      posexplode(graft.functions.NativeHash.kgramWindowHashes(col(benchTextCol), k))
+        .as(Seq("bpos", "h")))
+    val bHashes = bPos.select("h").distinct()
+    val cand = tPos.join(bHashes, "h")
+    // gram strings only where hashes collide, on both sides
+    val docsT = train.select(col(trainIdCol).as("doc_id"),
+      split(col(trainTextCol), " ").as("__t"))
+    val tGram = cand.join(docsT, "doc_id")
+      .withColumn("gram", concat_ws(" ", slice(col("__t"), col("pos") + 1, lit(k))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("h"), col("gram"))
+    val bGram = bPos
+      .withColumn("gram", concat_ws(" ",
+        slice(split(col("__btext"), " "), col("bpos") + 1, lit(k))))
+      .select("h", "gram").distinct()
+    val verified = tGram.join(bGram, Seq("h", "gram"), "left_semi")
+      .select("doc_id", "pos")
+    mergeIslands(verified, k)
   }
 
   /** Apply a span set (e.g. [[duplicateSpans]] output) to the corpus: drop

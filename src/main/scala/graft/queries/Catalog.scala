@@ -1073,6 +1073,34 @@ object Catalog {
           FROM s, unnest(range(0, ((len(tk)-1)//9) + 1)) AS r(i))
         SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM c""")),
 
+    // EXACT-SUBSTRING decontamination: token ranges of train docs that
+    // appear verbatim in the benchmark slice (doc_id % 17 = 3) — the
+    // span-level complement of text_decontaminate's doc-level flagging;
+    // oracle recomputes from RAW gram strings so the hash-prune +
+    // string-verify layering is proven collision-exact
+    Q("text_decontaminate_spans",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.contaminatedSpans(
+          docs.filter(col("doc_id") % 17 =!= 3), "doc_id", "text",
+          docs.filter(col("doc_id") % 17 === 3), "text", k = 8)
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, i - 1 AS p, array_to_string(t[i:i+7], ' ') AS gr
+          FROM s, unnest(range(1, len(t) - 6)) AS r(i)),
+        bg AS (SELECT DISTINCT gr FROM g WHERE doc_id % 17 = 3),
+        hit AS (SELECT doc_id, p FROM g
+          WHERE doc_id % 17 <> 3 AND gr IN (SELECT gr FROM bg)),
+        m AS (SELECT doc_id, p,
+            CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+              THEN 0 ELSE 1 END AS ni
+          FROM hit),
+        isl AS (SELECT doc_id, p,
+            sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS il FROM m)
+        SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+          CAST(max(p) + 7 AS BIGINT) AS span_end
+        FROM isl GROUP BY doc_id, il""")),
+
     // benchmark decontamination: train docs sharing ≥ 5 distinct shingles
     // with any "benchmark" doc (here: the doc_id % 17 = 3 slice) — the
     // bench posting list broadcasts, train text is one pass

@@ -145,6 +145,26 @@ class SpanDedupSpec extends SparkSuite {
     assert(obs.get("candidates").asInstanceOf[Long] > 0L)
   }
 
+  test("cross-corpus contamination finds exactly the benchmark-verbatim spans") {
+    val leak = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val train = Seq(
+      (1L, s"t1 t2 $leak t3 t4 t5 t6 t7"), // contains the benchmark span
+      (2L, "clean doc nothing shared with benchmark at all here"),
+      (3L, s"$leak x1 x2 x3 x4 x5 x6 x7")) // span at position 0
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"intro words $leak outro words")).toDF("bid", "text")
+    val got = Dedup.contaminatedSpans(train, "doc_id", "text", bench, "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: leak at tokens 2..9; doc 3: tokens 0..7; doc 2 clean
+    assert(got === Set((1L, 2L, 9L), (3L, 0L, 7L)))
+    // composing with removeSpans scrubs the contamination
+    val cleaned = Dedup.removeSpans(train, "doc_id", "text",
+      Dedup.contaminatedSpans(train, "doc_id", "text", bench, "text", 8))
+      .withColumnRenamed("clean_text", "text")
+    assert(Dedup.contaminatedSpans(cleaned, "doc_id", "text", bench, "text", 8)
+      .count() === 0L)
+  }
+
   test("detect + apply leaves a corpus with no duplicated k-window") {
     val boiler = "p q r s t u v w x y"
     val docs = Seq(
