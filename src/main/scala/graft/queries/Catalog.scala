@@ -1893,6 +1893,40 @@ object Catalog {
           AND epoch_us(p.ts) >= epoch_us(v.ts)
           AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000""")),
 
+    // ROLLING STREAMING DEDUP INGEST: two AvailableNow drops against one
+    // checkpoint — drop 1 (even docs) seeds the persisted fingerprint
+    // store, drop 2 (all docs) must dedup against BOTH the store (evens
+    // die) and itself (min-id per fp wins). The probe strategy means the
+    // store is never shuffled; the oracle replays the two-epoch keep rule
+    Q("streaming_dedup_ingest",
+      (s, d) => {
+        val schema = t(s, d, "documents").schema
+        val src = java.nio.file.Files.createTempDirectory("graft-sdi-src")
+        val dest = java.nio.file.Files.createTempDirectory("graft-sdi-out")
+        val fps = java.nio.file.Files.createTempDirectory("graft-sdi-fp")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sdi-ck")
+        // parquet readers refuse empty dirs; foreachBatch handles absence
+        java.nio.file.Files.delete(fps)
+        val docs = t(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.dedupIngest(s, src.toString, schema,
+          "doc_id", "text", dest.toString, fps.toString, ckpt.toString)
+        docs.write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.dedupIngest(s, src.toString, schema,
+          "doc_id", "text", dest.toString, fps.toString, ckpt.toString)
+        val out = s.read.parquet(dest.toString).select("doc_id").localCheckpoint(true)
+        Seq(src, dest, fps, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some(s"""WITH n AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+        k1 AS (SELECT fp, min(doc_id) AS doc_id FROM n
+          WHERE doc_id % 2 = 0 GROUP BY fp),
+        k2 AS (SELECT fp, min(doc_id) AS doc_id FROM n
+          WHERE fp NOT IN (SELECT fp FROM k1) GROUP BY fp)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM k1
+        UNION ALL SELECT CAST(doc_id AS BIGINT) FROM k2""")),
+
     // stateful streaming dedup (flatMapGroupsWithState) in the matrix:
     // AvailableNow over one file = one micro-batch, and within a batch the
     // lowest doc_id per fingerprint wins — deterministic, batch-SQL-exact

@@ -169,4 +169,58 @@ object StreamingIngest {
     q.awaitTermination()
     q
   }
+
+  /** Rolling DEDUP ingest — the production streaming shape of
+    * [[graft.operators.Dedup.exactIncremental]]: per micro-batch, drop
+    * rows whose normalized-text fingerprint exists in the persisted store
+    * (probe strategy: the batch's fp set broadcasts into a semi-join
+    * probe, the store is NEVER shuffled), dedup within the batch
+    * (min-id per fingerprint), append survivors to `destDir` and their
+    * fingerprints to `fpDir`. Batches are totally ordered by the
+    * streaming engine, so the kept set is deterministic for a given drop
+    * sequence. `foreachBatch` rather than a stateful operator because the
+    * fingerprint store must OUTLIVE the query (the next day's run — or a
+    * batch engine — reads the same store; flatMapGroupsWithState state is
+    * checkpoint-private and unbounded-keyspace state does not evict). */
+  def dedupIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      textCol: String,
+      destDir: String,
+      fpDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import graft.functions.TextFunctions
+    import graft.operators.Dedup
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        // within-batch winners: min id per fingerprint
+        val winners = batch
+          .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("__fp").orderBy(col(idCol).asc)))
+          .filter(col("__rn") === 1).drop("__rn")
+        val fpExists = new graft.store.Fs(s, fpDir)
+          .exists(new org.apache.hadoop.fs.Path(fpDir))
+        val survivors =
+          if (fpExists)
+            Dedup.exactIncremental(winners.drop("__fp"), idCol, textCol,
+              s.read.parquet(fpDir), strategy = "probe")
+          else winners.drop("__fp")
+        val out = survivors.localCheckpoint(true)
+        Dedup.releaseIntermediates()
+        out.write.mode("append").parquet(destDir)
+        out.select(TextFunctions.fingerprint(col(textCol)).as("fp"))
+          .write.mode("append").parquet(fpDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 }
