@@ -421,6 +421,61 @@ object TextCorpus {
         pmod(col("__rank"), lit(rowsPerShard)).as("pos"))
   }
 
+  /** Corpus DATA CARD: the one-aggregation summary every dataset release
+    * ships — document/token/char counts, exact distinct-content count and
+    * duplicate rate, and per-language doc counts. One narrow pass + one
+    * count-distinct shuffle (the md5 fingerprint is the distinct key, so
+    * partial aggregation soaks the Zipf head). Returns tidy (metric,
+    * value) rows; languages appear as `docs_lang_<lang>`. All integers —
+    * exact at any scale (the dup rate is a per-mille integer). */
+  def corpusCard(df: DataFrame, idCol: String, textCol: String,
+      langCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as("__fp"),
+      TextFunctions.tokenCount(col(textCol)).as("__tok"),
+      length(col(textCol)).cast("long").as("__ch"),
+      langCol.map(c => col(c)).getOrElse(lit(null).cast("string")).as("__lang"))
+    val row = base.agg(
+      count(lit(1)).as("docs"),
+      sum("__tok").as("tokens"),
+      sum("__ch").as("chars"),
+      countDistinct("__fp").as("distinct_docs")).head()
+    val (docs, tokens, chars, distinct) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val core = Seq(
+      ("docs", docs), ("tokens", tokens), ("chars", chars),
+      ("distinct_docs", distinct),
+      ("dup_rate_x1000", if (docs == 0) 0L else (docs - distinct) * 1000L / docs))
+    val langs =
+      if (langCol.isEmpty) Seq.empty[(String, Long)]
+      else base.groupBy("__lang").agg(count(lit(1)).as("n"))
+        .collect().map(r => (s"docs_lang_${Option(r.getString(0)).getOrElse("null")}",
+          r.getLong(1))).toSeq
+    (core ++ langs).toDF("metric", "value")
+  }
+
+  /** Deterministic train/val/test split labels — pure function of the id
+    * (LCG-mixed, same generator as [[deterministicShards]]) so the split
+    * is stable across runs, engines, and partitionings, with no sampling
+    * state. `valPerMille`/`testPerMille` select by mixed-key residue mod
+    * 1000. Returns (id, split ∈ train|val|test). */
+  def splitLabels(
+      df: DataFrame, idCol: String, seed: Long,
+      valPerMille: Int, testPerMille: Int): DataFrame = {
+    require(valPerMille >= 0 && testPerMille >= 0 &&
+      valPerMille + testPerMille <= 1000, "per-mille fractions must fit in [0, 1000]")
+    val m = 2147483648L
+    val key = pmod(pmod(pmod(col(idCol).cast("long"), lit(m))
+      + (seed % m), lit(m)) * 1103515245L + 12345L, lit(m))
+    val bucket = pmod(key, lit(1000L))
+    df.select(col(idCol),
+      when(bucket < valPerMille, lit("val"))
+        .when(bucket < valPerMille + testPerMille, lit("test"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   /** Sliding-window document chunking — the long-document preparation step
     * (sequence models want ≤ `chunkTokens`-token pieces; `overlap` tokens
     * of context carry across adjacent chunks). Chunk i of a document

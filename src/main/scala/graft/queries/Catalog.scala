@@ -1073,6 +1073,38 @@ object Catalog {
           FROM s, unnest(range(0, ((len(tk)-1)//9) + 1)) AS r(i))
         SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM c""")),
 
+    // corpus DATA CARD: the dataset-release summary as one aggregation —
+    // counts, exact distinct-content count, integer per-mille dup rate,
+    // per-language doc counts
+    Q("corpus_card",
+      (s, d) => TextCorpus.corpusCard(t(s, d, "documents"),
+        "doc_id", "text", langCol = Some("lang")),
+      Some(s"""WITH b AS (SELECT doc_id, md5($normSql) AS fp,
+            CAST(len($toksSql) AS BIGINT) AS tok,
+            CAST(length(text) AS BIGINT) AS ch, lang FROM documents),
+        agg AS (SELECT count(*) AS docs, sum(tok) AS tokens, sum(ch) AS chars,
+            count(DISTINCT fp) AS dd FROM b)
+        SELECT 'docs' AS metric, CAST(docs AS BIGINT) AS value FROM agg
+        UNION ALL SELECT 'tokens', CAST(tokens AS BIGINT) FROM agg
+        UNION ALL SELECT 'chars', CAST(chars AS BIGINT) FROM agg
+        UNION ALL SELECT 'distinct_docs', CAST(dd AS BIGINT) FROM agg
+        UNION ALL SELECT 'dup_rate_x1000',
+          CAST((docs - dd) * 1000 // docs AS BIGINT) FROM agg
+        UNION ALL SELECT 'docs_lang_' || lang, count(*) FROM b GROUP BY lang""")),
+
+    // deterministic train/val/test split: labels are a pure LCG function
+    // of the id (same generator + documented non-negative-id SQL mirror as
+    // sample_shuffle_shards) — stable across runs, engines, partitionings
+    Q("sample_split_labels",
+      (s, d) => TextCorpus.splitLabels(t(s, d, "documents"), "doc_id",
+        seed = 7L, valPerMille = 10, testPerMille = 20),
+      Some("""WITH k AS (SELECT doc_id,
+          (((doc_id % 2147483648 + 7) % 2147483648) * 1103515245 + 12345)
+            % 2147483648 AS key
+        FROM documents)
+        SELECT doc_id, CASE WHEN key % 1000 < 10 THEN 'val'
+          WHEN key % 1000 < 30 THEN 'test' ELSE 'train' END AS split FROM k""")),
+
     // EXACT-SUBSTRING decontamination: token ranges of train docs that
     // appear verbatim in the benchmark slice (doc_id % 17 = 3) — the
     // span-level complement of text_decontaminate's doc-level flagging;

@@ -32,6 +32,33 @@ class ChunkRepresentativeSpec extends SparkSuite {
     }
   }
 
+  test("corpus card: exact counts, dup rate, language histogram") {
+    val df = Seq(
+      (1L, "a b c", "en"), (2L, "A  b C", "en"), // same fingerprint
+      (3L, "totally different", "de")).toDF("id", "text", "lang")
+    val card = TextCorpus.corpusCard(df, "id", "text", Some("lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card("docs") === 3L)
+    assert(card("tokens") === 8L)
+    assert(card("distinct_docs") === 2L)
+    assert(card("dup_rate_x1000") === 333L)
+    assert(card("docs_lang_en") === 2L && card("docs_lang_de") === 1L)
+  }
+
+  test("split labels are a pure function of the id and cover all rows") {
+    val df = spark.range(0, 5000).toDF("id")
+    val s1 = TextCorpus.splitLabels(df, "id", seed = 7L, 100, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = TextCorpus.splitLabels(df.repartition(7), "id", seed = 7L, 100, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 === s2) // partitioning-independent
+    val hist = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    // ~10% val, ~10% test (LCG-uniform; generous tolerance)
+    assert(hist("val") > 300 && hist("val") < 700)
+    assert(hist("test") > 300 && hist("test") < 700)
+    assert(hist("train") + hist("val") + hist("test") === 5000)
+  }
+
   test("cluster representative = highest score, id breaks ties") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
       .toDF("id", "cluster_id")
