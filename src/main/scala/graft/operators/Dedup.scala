@@ -870,7 +870,12 @@ object Dedup {
     *
     * Returns the surviving batch rows' ids (`id` column). Batch ids must
     * be disjoint from index ids (same contract as
-    * [[minhashLshIncremental]] — a re-ingested id would self-pair). */
+    * [[minhashLshIncremental]] — a re-ingested id is its own identical
+    * vector, lands in its own cell, and would self-pair into a wrong
+    * drop). ENFORCED: any overlap between batch ids and the touched index
+    * cells' ids raises (the probe rides the already-materialized touched
+    * slice — no extra index scan; run [[exactIncremental]] or filter
+    * re-ingests first). */
   def semanticDedupIncremental(
       batch: DataFrame, idCol: String, vecCol: String,
       index: DataFrame, centroids: Seq[Array[Double]],
@@ -887,6 +892,16 @@ object Dedup {
       .collect().map(_.getInt(0)).toSeq
     val mates = spillPersistEager(
       index.filter(col("cell").isin(touched: _*)).select("id", "cell", "v"))
+    // disjointness guard: a re-ingested id self-pairs (identical vector,
+    // same cell) and would be silently dropped — fail loudly instead. The
+    // probe scans only the touched, already-persisted slice.
+    val overlap = mates.select("id")
+      .join(broadcast(assigned.select("id").distinct()), Seq("id"), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      "semanticDedupIncremental: batch ids overlap index ids — re-ingested " +
+        "ids would self-pair into wrong drops; dedup re-ingests first " +
+        "(exactIncremental) or assign fresh ids")
     // hot-cell census over batch + touched index slices only
     val hot = assigned.select("cell").unionByName(mates.select("cell"))
       .groupBy("cell").agg(count(lit(1)).as("n"))

@@ -74,6 +74,19 @@ class SemanticDedupSpec extends SparkSuite {
     Dedup.releaseIntermediates()
   }
 
+  test("incremental: overlapping batch/index ids raise (self-pair guard)") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("id", "v")
+    val centroids = Similarity.ivfTrain(corpus, "id", "v", k = 2, iters = 1)
+    val index = Similarity.ivfAssign(corpus, "id", "v", centroids)
+    val reIngest = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedupIncremental(reIngest, "id", "v", index, centroids)
+    }
+    assert(e.getMessage.contains("overlap"))
+    Dedup.releaseIntermediates()
+  }
+
   test("incremental: hot-cell refinement keeps identical-vector recall") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
