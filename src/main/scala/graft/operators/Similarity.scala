@@ -457,6 +457,21 @@ object Similarity {
             floor(x.cast("double") * 127d / col("__maxabs") + 0.5d).cast("int"))))
       .drop("__maxabs")
 
+  /** Radius (range) search: every id with cosine ≥ `minSim` to the query —
+    * the FAISS `range_search` analogue (dedup-by-query, recall-first
+    * retrieval). One narrow scoring pass, filter, no shuffle, no top-k
+    * heap; result size is data-dependent by design. */
+  def rangeSearch(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], minSim: Double): DataFrame = {
+    dimOf(df, vecCol).foreach(dim => require(queryVec.length == dim,
+      s"query vector dim ${queryVec.length} != corpus dim $dim"))
+    df.select(col(idCol).as("id"),
+        cosineToQuery(col(vecCol), queryVec).as("sim"))
+      .filter(col("sim") >= minSim)
+      .select("id")
+  }
+
   /** Hybrid lexical + vector retrieval with DETERMINISTIC rank fusion.
     * Text score = shared-distinct-token count with the query terms; vector
     * score = cosine to the query embedding. Each modality takes its top

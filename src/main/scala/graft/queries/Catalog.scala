@@ -1430,6 +1430,16 @@ object Catalog {
           id, CAST(tr + vr AS BIGINT) AS borda
         FROM r ORDER BY tr + vr, id LIMIT 10""")),
 
+    // radius search (FAISS range_search analogue): everything with cosine
+    // ≥ 0.2 to the query — one narrow pass, no top-k heap; both engines
+    // compute the identical double cosine so the id set matches exactly
+    Q("ann_range_search",
+      (s, d) => Similarity.rangeSearch(t(s, d, "embeddings"),
+        "vec_id", "embedding", queryVec(s, d), minSim = 0.2),
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id FROM embeddings, q
+        WHERE list_cosine_similarity(embedding, qe) >= 0.2""")),
+
     // IVF-PQ composed: coarse cells prune the scan (nprobe=8 of 16 — the
     // breadth the ivf gate already proves contains the true top-10), PQ
     // codes ADC-score inside the probed cells, exact rerank. The

@@ -74,6 +74,10 @@ object PlanCheck {
         p => p.contains("TakeOrderedAndProject")),
       ("hybrid_topk", "modality pools via TakeOrdered; fusion join has no cartesian",
         p => p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct")),
+      ("text_chunk_windows", "chunking is a pure narrow fan-out (no exchange, no join)",
+        p => !p.contains("Exchange") && !p.contains("Join")),
+      ("ann_range_search", "radius search is one narrow filtered scan (no exchange, no sort)",
+        p => !p.contains("Exchange") && !p.contains("Sort")),
       ("text_lm_score", "LM models partial-agg'd, vocab a literal, no cartesian/fan-out join",
         // the vocab size must be folded into the expression as a driver
         // scalar (no CROSS JOIN in the plan), and both count models must
