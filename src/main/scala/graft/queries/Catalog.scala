@@ -1947,7 +1947,8 @@ object Catalog {
         val dest = java.nio.file.Files.createTempDirectory("graft-sdi-out")
         val fps = java.nio.file.Files.createTempDirectory("graft-sdi-fp")
         val ckpt = java.nio.file.Files.createTempDirectory("graft-sdi-ck")
-        // parquet readers refuse empty dirs; foreachBatch handles absence
+        // both sinks are VersionedTables (exactly-once appendIdempotent);
+        // an absent/empty dir just means "table does not exist yet"
         java.nio.file.Files.delete(fps)
         val docs = t(s, d, "documents")
         docs.filter(col("doc_id") % 2 === 0)
@@ -1957,7 +1958,8 @@ object Catalog {
         docs.write.mode("append").parquet(src.toString)
         graft.streaming.StreamingIngest.dedupIngest(s, src.toString, schema,
           "doc_id", "text", dest.toString, fps.toString, ckpt.toString)
-        val out = s.read.parquet(dest.toString).select("doc_id").localCheckpoint(true)
+        val out = new graft.store.VersionedTable(s, dest.toString).read()
+          .select("doc_id").localCheckpoint(true)
         Seq(src, dest, fps, ckpt).foreach(p => deleteDir(p.toFile))
         out
       },

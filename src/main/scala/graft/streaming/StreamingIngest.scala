@@ -191,36 +191,67 @@ object StreamingIngest {
       destDir: String,
       fpDir: String,
       checkpointDir: String): StreamingQuery = {
-    import graft.functions.TextFunctions
-    import graft.operators.Dedup
+    // The stream's identity for idempotency is its checkpoint: restarting
+    // from the same checkpoint replays uncommitted batches with the SAME
+    // batchId, so (appId derived from checkpointDir, batchId) uniquely
+    // names each micro-batch across restarts.
+    val appId = "dedupIngest-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
     val in = spark.readStream.schema(schema).parquet(sourceDir)
     val q = in.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        // within-batch winners: min id per fingerprint
-        val winners = batch
-          .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
-          .withColumn("__rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("__fp").orderBy(col(idCol).asc)))
-          .filter(col("__rn") === 1).drop("__rn")
-        val fpExists = new graft.store.Fs(s, fpDir)
-          .exists(new org.apache.hadoop.fs.Path(fpDir))
-        val survivors =
-          if (fpExists)
-            Dedup.exactIncremental(winners.drop("__fp"), idCol, textCol,
-              s.read.parquet(fpDir), strategy = "probe")
-          else winners.drop("__fp")
-        val out = survivors.localCheckpoint(true)
-        Dedup.releaseIntermediates()
-        out.write.mode("append").parquet(destDir)
-        out.select(TextFunctions.fingerprint(col(textCol)).as("fp"))
-          .write.mode("append").parquet(fpDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        dedupIngestBatch(batch, batchId, idCol, textCol, destDir, fpDir, appId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** One `dedupIngest` micro-batch — EXACTLY-ONCE under foreachBatch's
+    * at-least-once retries. Both sinks are [[graft.store.VersionedTable]]s
+    * written via `appendIdempotent(appId, batchId)` (the Delta
+    * txnAppId/txnVersion pattern): a replayed batch is a manifest-level
+    * no-op on whichever sink already applied it.
+    *
+    * Commit ORDER is load-bearing: destination BEFORE fingerprints. The
+    * retry recomputes survivors by probing the fp store, so if the fp
+    * append committed first and we crashed before the dest append, the
+    * replay would see the batch's own fingerprints already in the store,
+    * compute zero survivors, and commit an EMPTY dest batch — silent data
+    * loss. With dest-first, a crash between the two commits replays as:
+    * survivors identical (fp store unchanged), dest append no-op, fp
+    * append applies — the strandable window heals instead of corrupting. */
+  private[graft] def dedupIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      destDir: String,
+      fpDir: String,
+      appId: String): Unit = {
+    import graft.functions.TextFunctions
+    import graft.operators.Dedup
+    val s = batch.sparkSession
+    // within-batch winners: min id per fingerprint
+    val winners = batch
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__fp").orderBy(col(idCol).asc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val fpTable = new graft.store.VersionedTable(s, fpDir)
+    val survivors =
+      if (fpTable.exists)
+        Dedup.exactIncremental(winners.drop("__fp"), idCol, textCol,
+          fpTable.read(), strategy = "probe")
+      else winners.drop("__fp")
+    val out = survivors.localCheckpoint(true)
+    Dedup.releaseIntermediates()
+    new graft.store.VersionedTable(s, destDir).appendIdempotent(out, appId, batchId)
+    fpTable.appendIdempotent(
+      out.select(TextFunctions.fingerprint(col(textCol)).as("fp")), appId, batchId)
   }
 }
