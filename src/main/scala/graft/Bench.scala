@@ -8,7 +8,18 @@ import org.apache.spark.sql.SparkSession
   * run-to-run noise, and medians keep round-over-round comparisons
   * meaningful. scd2_history is the exception (1 run): it writes SCD2 state
   * to a fresh temp dir per call, so repetition measures setup, not the
-  * engine. */
+  * engine.
+  *
+  * CONTENTION SELF-DEFENSE: a fixed ~100 ms CPU probe (the sentinel) runs
+  * between every individual query run. A run whose adjacent probes sat
+  * within 1.5× of the whole run's sentinel minimum executed in a
+  * certified-quiet window ("clean"); a query with no clean run is retried
+  * up to SPARK_GRAFT_BENCH_RETRIES (default 2) extra times chasing one.
+  * `queries_min` is the BEST-OF-CLEAN minimum (falling back to all runs
+  * when no window was ever quiet), `clean` flags which queries got a quiet
+  * window, and `sentinel_per_query` reports each query's cleanest adjacent
+  * probe ratio — so a single noisy query reading >2× its baseline can be
+  * dismissed (or confirmed) without re-running the whole suite. */
 object Bench {
   /** Headline set: the flagship SCD2 CDC run + one representative of each
     * heavy operator family (agg, join+topk, window, dedup families, ANN,
@@ -59,6 +70,14 @@ object Bench {
 
     val fns = SparkEntry.queries
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val retries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    // a run is CLEAN when both sentinel samples adjacent to it sat within
+    // CLEAN_RATIO of the whole run's sentinel minimum — the probe is
+    // constant work, so an inflated adjacent probe certifies external
+    // contention DURING that window, and the query's time there is weather,
+    // not code (two consecutive driver rounds were uninterpretable without
+    // this: sentinel spreads 6.15× and 9.7×)
+    val CleanRatio = 1.5
     // a failing query must NOT fold its (fast-fail) wall time into the
     // median as if it were a green run — it reports null and is excluded
     // from the total, with its name listed under "failed"
@@ -74,32 +93,71 @@ object Bench {
       }
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    // (median, min) per query: this box shares a host and shows ±2-3×
-    // run-to-run contention noise; the median is the honest throughput
-    // number, the min estimates the structural (noise-free) cost
-    val results: Seq[(String, Option[(Double, Double)])] =
-      headline.filter(fns.contains).map { name =>
-        val n = if (name.startsWith("scd2_")) 1 else runs
-        val times = Seq.fill(n)(once(name))
-        sentinels += sentinelOnce() // one probe between headline queries
-        name -> (if (times.exists(_.isEmpty)) None
-          else Some((median(times.flatten), times.flatten.min)))
+    // every individual run records the sentinel sample indices adjacent to
+    // it; cleanliness is judged at the END against the final sentinel min
+    case class Run(time: Option[Double], sBefore: Int, sAfter: Int)
+    def timedRun(name: String): Run = {
+      val before = sentinels.size - 1
+      val t = once(name)
+      sentinels += sentinelOnce()
+      Run(t, before, sentinels.size - 1)
+    }
+    val names = headline.filter(fns.contains)
+    val allRuns = scala.collection.mutable.Map[String, Vector[Run]]()
+    names.foreach { name =>
+      val n = if (name.startsWith("scd2_")) 1 else runs
+      allRuns(name) = Vector.fill(n)(timedRun(name))
+    }
+    // retry pass: a query with NO clean run gets up to `retries` more
+    // attempts — the whole point is one certified-quiet window per query
+    def ratioOf(r: Run, sMin: Double): Double =
+      math.max(sentinels(r.sBefore), sentinels(r.sAfter)) / sMin
+    names.foreach { name =>
+      var left = retries
+      while (left > 0 && {
+        val sMin = sentinels.min
+        !allRuns(name).exists(r => r.time.isDefined && ratioOf(r, sMin) <= CleanRatio)
+      }) {
+        allRuns(name) = allRuns(name) :+ timedRun(name)
+        left -= 1
+      }
+    }
+    // (median over all runs, best-of-clean min, cleanest window ratio)
+    val sMinF = sentinels.min
+    val results: Seq[(String, Option[(Double, Double)], Double, Boolean)] =
+      names.map { name =>
+        val rs = allRuns(name)
+        val ok = rs.filter(_.time.isDefined)
+        val failedAny = rs.exists(_.time.isEmpty)
+        val cleanOk = ok.filter(r => ratioOf(r, sMinF) <= CleanRatio)
+        val bestRatio =
+          if (ok.isEmpty) Double.NaN
+          else ok.map(r => ratioOf(r, sMinF)).min
+        val stats = if (failedAny || ok.isEmpty) None else Some((
+          median(ok.flatMap(_.time)),
+          (if (cleanOk.nonEmpty) cleanOk else ok).flatMap(_.time).min))
+        (name, stats, bestRatio, cleanOk.nonEmpty)
       }
     // Locale.ROOT: the JVM default locale may render decimals with a comma
     // ("0,123"), silently breaking the machine-parsable JSON contract
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def render(f: ((Double, Double)) => Double): String = results.map {
-      case (k, Some(t)) => "\"" + k + "\":" + fmt(f(t))
-      case (k, None) => "\"" + k + "\":null"
+      case (k, Some(t), _, _) => "\"" + k + "\":" + fmt(f(t))
+      case (k, None, _, _) => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, None, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val cleanJson = results.map { case (k, _, _, c) => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val perQuerySentinel = results.map { case (k, _, r, _) =>
+      "\"" + k + "\":" + (if (r.isNaN) "null" else fmt(r))
+    }.mkString("{", ",", "}")
     val total = results.flatMap(_._2.map(_._1)).sum
     val totalMin = results.flatMap(_._2.map(_._2)).sum
-    val sMin = sentinels.min; val sMax = sentinels.max
-    val sentinelJson = s"""{"median":${fmt(median(sentinels.toSeq))},"min":${fmt(sMin)},"max":${fmt(sMax)},"spread":${fmt(sMax / sMin)},"samples":${sentinels.size}}"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${render(_._1)},"queries_min":${render(_._2)},"total_min":${fmt(totalMin)},"failed":$failed,"sentinel":$sentinelJson,"sf":"$sfDir","runs":$runs,"stat":"median"}""")
+    val sMax = sentinels.max
+    val sentinelJson = s"""{"median":${fmt(median(sentinels.toSeq))},"min":${fmt(sMinF)},"max":${fmt(sMax)},"spread":${fmt(sMax / sMinF)},"samples":${sentinels.size}}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${render(_._1)},"queries_min":${render(_._2)},"total_min":${fmt(totalMin)},"failed":$failed,"sentinel":$sentinelJson,"sentinel_per_query":$perQuerySentinel,"clean":$cleanJson,"sf":"$sfDir","runs":$runs,"stat":"median"}""")
     spark.stop()
   }
 }

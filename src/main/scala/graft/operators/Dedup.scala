@@ -875,13 +875,25 @@ object Dedup {
     * drop). ENFORCED: any overlap between batch ids and the touched index
     * cells' ids raises (the probe rides the already-materialized touched
     * slice — no extra index scan; run [[exactIncremental]] or filter
-    * re-ingests first). */
+    * re-ingests first). The touched-cell probe misses a colliding id
+    * whose vector DRIFTED into an untouched cell; pass
+    * `strictIdCheck = true` to probe the full index id column (one extra
+    * narrow scan — ids only, never vectors) when re-ingestion with
+    * changed embeddings is possible. */
   def semanticDedupIncremental(
       batch: DataFrame, idCol: String, vecCol: String,
       index: DataFrame, centroids: Seq[Array[Double]],
       threshold: Double = 0.95, maxCellSize: Int = 1000,
-      refinePlanes: Int = 8): DataFrame = {
+      refinePlanes: Int = 8, strictIdCheck: Boolean = false): DataFrame = {
     val ids = batch.select(col(idCol).as("id"))
+    if (strictIdCheck) {
+      val fullOverlap = index.select("id")
+        .join(broadcast(ids.distinct()), Seq("id"), "left_semi")
+        .limit(1).count()
+      require(fullOverlap == 0L,
+        "semanticDedupIncremental(strictIdCheck): batch ids overlap index " +
+          "ids — dedup re-ingests first (exactIncremental) or assign fresh ids")
+    }
     val dim = Similarity.dimOf(batch, vecCol).getOrElse(return ids)
     val assigned = spillPersistEager(
       Similarity.ivfAssign(batch.filter(col(vecCol).isNotNull),
@@ -1173,9 +1185,12 @@ object Dedup {
     * streams both corpora as 24-byte position rows; the bench HASH SET
     * (distinct, tiny — benchmarks are small by definition) prunes train
     * positions first, then surviving candidates rebuild gram strings on
-    * both sides and verify (hash, gram) equality — collision-exact. Train
-    * text is never shuffled; both joins key on the hash and AQE broadcasts
-    * the bench side. Returns (doc_id, span_start, span_end) over train. */
+    * both sides and verify (hash, gram) equality — collision-exact. The
+    * FULL train text never shuffles — only the token arrays of docs with
+    * at least one hash-colliding position join back to their candidates
+    * (and when that contaminated subset is small, AQE broadcasts it);
+    * both hash joins broadcast the bench side. Returns
+    * (doc_id, span_start, span_end) over train. */
   def contaminatedSpans(
       train: DataFrame, trainIdCol: String, trainTextCol: String,
       bench: DataFrame, benchTextCol: String, k: Int): DataFrame = {

@@ -287,13 +287,27 @@ object Similarity {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
     val subDim = dim / m
+    // element type follows the column (float OR double, like the kernels)
+    val isFloat = df.select(col(vecCol)).schema.head.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => false
+      case other => throw new IllegalArgumentException(
+        s"pqTrain expects $vecCol: array<float|double>, got ${other.simpleString}")
+    }
     val init = df.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { r =>
+        if (isFloat) r.getSeq[Float](0).map(_.toDouble).toArray
+        else r.getSeq[Double](0).toArray
+      }
       .map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n > 0) v.map(_ / n) else v
       }
+    require(init.length >= k,
+      s"pqTrain needs at least k=$k rows to seed codebooks; corpus has ${init.length}")
     var books: Array[Array[Double]] = Array.tabulate(m * k) { idx =>
       val s = idx / k; val c = idx % k
       init(c).slice(s * subDim, (s + 1) * subDim)
@@ -486,20 +500,24 @@ object Similarity {
     * members).
     *
     * Returns (rank, id, borda) — the top `kTop` by (borda asc, id asc).
-    * 100 TB: both modality scans are narrow one-pass scoring (the text
-    * side never shuffles the corpus; the TakeOrdered pools are k-sized
-    * driver merges), and the fusion join touches 2·pool rows. */
+    * 100 TB: the corpus is scanned and scored ONCE — the scored (id, ts,
+    * vs) projection is persisted eagerly (the narrow 3-column frame, not
+    * the corpus) and both TakeOrdered pools read the cache, so text
+    * tokenize + cosine run one time per document; the TakeOrdered pools
+    * are k-sized driver merges, and the fusion join touches 2·pool rows.
+    * Release the persisted intermediate with
+    * [[graft.operators.Dedup.releaseIntermediates]] after consuming. */
   def hybridTopK(
       df: DataFrame, idCol: String, textCol: String, vecCol: String,
       queryTerms: Seq[String], queryVec: Seq[Float], kTop: Int,
       pool: Int = 1000): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
     val terms = array(queryTerms.map(t => lit(t.toLowerCase)).distinct: _*)
-    val scored = df.select(col(idCol).as("id"),
+    val scored = Caching.spillPersistEager(df.select(col(idCol).as("id"),
       size(array_intersect(
         array_distinct(graft.functions.TextFunctions.tokens(col(textCol))),
         terms)).cast("long").as("ts"),
-      cosineToQuery(col(vecCol), queryVec).as("vs"))
+      cosineToQuery(col(vecCol), queryVec).as("vs")))
     val w = org.apache.spark.sql.expressions.Window
     val tPool = scored.orderBy(col("ts").desc, col("id").asc).limit(pool)
       .withColumn("tr", row_number().over(

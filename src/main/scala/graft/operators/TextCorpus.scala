@@ -437,10 +437,11 @@ object TextCorpus {
       TextFunctions.tokenCount(col(textCol)).as("__tok"),
       length(col(textCol)).cast("long").as("__ch"),
       langCol.map(c => col(c)).getOrElse(lit(null).cast("string")).as("__lang"))
+    // sums are null on an empty corpus — coalesce so the card reads zeros
     val row = base.agg(
       count(lit(1)).as("docs"),
-      sum("__tok").as("tokens"),
-      sum("__ch").as("chars"),
+      coalesce(sum("__tok"), lit(0L)).as("tokens"),
+      coalesce(sum("__ch"), lit(0L)).as("chars"),
       countDistinct("__fp").as("distinct_docs")).head()
     val (docs, tokens, chars, distinct) =
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
@@ -492,11 +493,15 @@ object TextCorpus {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap ($overlap) must be in [0, chunkTokens)")
     val step = chunkTokens - overlap
-    df.select(col(idCol),
+    // null-text docs yield ZERO chunks (size(null) = -1 would otherwise
+    // make sequence(0, -1) count DOWN and emit two spurious null chunks);
+    // the greatest(0, …) clamp keeps degenerate token arrays at one chunk
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
         TextFunctions.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), col("__tk"),
-        posexplode(sequence(lit(0),
-          floor((size(col("__tk")) - 1) / step).cast("int"))).as(Seq("chunk_idx", "__i")))
+        posexplode(sequence(lit(0), greatest(lit(0),
+          floor((size(col("__tk")) - 1) / step)).cast("int"))).as(Seq("chunk_idx", "__i")))
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         concat_ws(" ", slice(col("__tk"), col("chunk_idx") * step + 1,
           lit(chunkTokens))).as("chunk_text"),
@@ -540,6 +545,10 @@ object TextCorpus {
     val aggs = pairs.map { case (i, j) => sum(xs(i) * xs(j)).as(s"m_${i}_$j") } ++
       (0 until d).map(i => sum(xs(i) * y).as(s"v_$i"))
     val row = clean.agg(aggs.head, aggs.tail: _*).head()
+    // all moment sums are null iff no row survived the null filter — fail
+    // with the documented contract instead of an NPE in getLong
+    require(!row.isNullAt(0),
+      "fitLinearModelX1000 needs at least one row with non-null features and label")
     val idx = pairs.zipWithIndex.toMap
     def m(i: Int, j: Int): BigInt =
       BigInt(row.getLong(idx(if (i <= j) (i, j) else (j, i))))
@@ -568,48 +577,115 @@ object TextCorpus {
   }
 
   /** Train a byte-pair-encoding merge table on the corpus — the Sennrich
-    * et al. 2016 algorithm in its word-HISTOGRAM form: tokenize to
-    * (distinct word, frequency) once (one shuffle; the histogram is
-    * orders of magnitude smaller than the corpus and Zipf-partials
-    * map-side), then per merge round re-segment the distinct words under
-    * the current merges (the codegen'd [[TextFunctions.bpeTokens]]
-    * kernel), count adjacent pairs weighted by word frequency, and take
-    * the most frequent pair (count desc, pair asc — deterministic
-    * tie-break). Each round is one small aggregation over DISTINCT WORDS,
-    * not the corpus — the reason every real BPE trainer uses the
-    * histogram form. Returns the merges in rank order, ready for
-    * [[TextFunctions.bpeTokens]]/[[TextFunctions.bpeTokenCount]].
+    * et al. 2016 algorithm in its word-HISTOGRAM form: ONE distributed
+    * pass tokenizes to (distinct word, frequency) (one shuffle; the
+    * histogram is orders of magnitude smaller than the corpus,
+    * Zipf-partials map-side, and hard-capped at `maxVocabWords` rows), the
+    * capped histogram collects ONCE, and the merge loop runs DRIVER-SIDE
+    * over it — the standard trainer shape (the histogram is small by
+    * construction; a per-merge Spark job would serialize 32 000 rounds of
+    * driver latency for a real vocab, days of wall-clock for work the
+    * driver does in seconds).
     *
-    * 100 TB: the corpus pass happens once (the histogram groupBy); rounds
-    * run over the ≤`maxVocabWords` most frequent words (capping bounds
-    * round cost at gigascale — standard practice, and EXACT for any pair
-    * whose count within the kept words already exceeds the dropped
+    * Per round: take the most frequent adjacent pair (count desc, pair
+    * asc — deterministic tie-break), then re-segment ONLY the words whose
+    * current segmentation contains the merged pair adjacently, with the
+    * SAME greedy lowest-rank-first kernel the distributed apply uses
+    * ([[graft.functions.HashKernels.bpeEncode]]) — a word without the
+    * adjacency segments identically under the grown table (the new merge
+    * has the highest rank, so greedy only ever reaches it where nothing
+    * else applies and the pair is adjacent), so pair counts update
+    * incrementally and exactly. Returns the merges in rank order, ready
+    * for [[TextFunctions.bpeTokens]]/[[TextFunctions.bpeTokenCount]].
+    *
+    * 100 TB: the corpus pass happens once (the histogram groupBy); the
+    * driver loop touches ≤ `maxVocabWords` words (capping bounds memory
+    * and round cost at gigascale — standard practice, and EXACT for any
+    * pair whose count within the kept words already exceeds the dropped
     * tail). */
   def bpeTrainMerges(
       df: DataFrame, textCol: String, numMerges: Int,
       maxVocabWords: Int = 1000000): Seq[(String, String)] = {
-    val words = Caching.spillPersistEager(
+    val hist: Array[(String, Long)] =
       df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("w").asc).limit(maxVocabWords))
+        .orderBy(col("n").desc, col("w").asc).limit(maxVocabWords)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainMergesDriver(hist, numMerges)
+  }
+
+  /** Driver-side BPE merge loop over a (word, freq) histogram — exact,
+    * incremental pair-count bookkeeping (see [[bpeTrainMerges]]). */
+  private[graft] def trainMergesDriver(
+      hist: Array[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    // initial segmentation = code points (what greedy with no merges yields)
+    val segs: Array[Array[String]] = hist.map { case (w, _) =>
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var k = 0
+      while (k < w.length) {
+        val cp = w.codePointAt(k)
+        out += new String(Character.toChars(cp))
+        k += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    val cnt = new java.util.HashMap[String, java.lang.Long]()
+    // sparse pair → word-index sets (a BitSet per pair would be 125 KB
+    // per distinct pair at a 1M-word vocab)
+    val occ = new java.util.HashMap[String, java.util.HashSet[Integer]]()
+    def applyPairs(i: Int, sign: Long): Unit = {
+      val tk = segs(i); val n = hist(i)._2
+      val boxed = Integer.valueOf(i)
+      var x = 0
+      while (x < tk.length - 1) {
+        val p = tk(x) + " " + tk(x + 1)
+        val c = cnt.merge(p, java.lang.Long.valueOf(sign * n), (a, b) =>
+          java.lang.Long.valueOf(a.longValue() + b.longValue()))
+        if (c.longValue() <= 0) cnt.remove(p)
+        if (sign > 0) {
+          occ.computeIfAbsent(p, _ => new java.util.HashSet[Integer]()).add(boxed)
+        } else {
+          val s = occ.get(p)
+          if (s != null) { s.remove(boxed); if (s.isEmpty) occ.remove(p) }
+        }
+        x += 1
+      }
+    }
+    segs.indices.foreach(applyPairs(_, 1L))
+    val ranks = new java.util.HashMap[String, Integer]()
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var round = 0
     var exhausted = false
     while (round < numMerges && !exhausted) {
-      val toks = words.select(col("n"),
-        TextFunctions.bpeTokens(col("w"), merges.toSeq).as("tk"))
-        .filter(size(col("tk")) >= 2)
-      val best = toks.select(col("n"), explode(
-          expr("transform(sequence(0, size(tk)-2), " +
-            "i -> concat(element_at(tk, i+1), ' ', element_at(tk, i+2)))")).as("p"))
-        .groupBy("p").agg(sum("n").as("cnt"))
-        .orderBy(col("cnt").desc, col("p").asc).limit(1)
-        .collect()
-      if (best.isEmpty) exhausted = true
+      // best pair: count desc, pair-string asc (same order the SQL form used)
+      var bestP: String = null
+      var bestC = 0L
+      cnt.forEach { (p, c) =>
+        if (c.longValue() > bestC ||
+          (c.longValue() == bestC && bestP != null && p.compareTo(bestP) < 0)) {
+          bestP = p; bestC = c.longValue()
+        }
+      }
+      if (bestP == null) exhausted = true
       else {
-        val Array(a, b) = best(0).getString(0).split(" ", 2)
+        val Array(a, b) = bestP.split(" ", 2)
         merges += ((a, b))
+        ranks.put(bestP, Integer.valueOf(round))
+        // only words currently containing the adjacency can change
+        val touched = occ.get(bestP)
+        if (touched != null) {
+          val idxs = touched.asScala.toArray.map(_.intValue())
+          idxs.foreach { i =>
+            applyPairs(i, -1L)
+            val seg = graft.functions.HashKernels.bpeEncode(
+              org.apache.spark.unsafe.types.UTF8String.fromString(hist(i)._1), ranks)
+            segs(i) = (0 until seg.numElements())
+              .map(j => seg.getUTF8String(j).toString).toArray
+            applyPairs(i, 1L)
+          }
+        }
       }
       round += 1
     }

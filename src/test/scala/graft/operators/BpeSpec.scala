@@ -74,4 +74,77 @@ class BpeSpec extends SparkSuite {
     // one merge exhausts the corpus (single word collapses to one token)
     assert(merges === Seq(("a", "b")))
   }
+
+  /** Reference trainer: full greedy re-segmentation of EVERY word each
+    * round (the shape the pre-round-9 per-merge Spark loop computed),
+    * using the same kernel — the oracle for the incremental driver loop. */
+  private def naiveTrain(
+      hist: Array[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ranks = new java.util.HashMap[String, Integer]()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val cnt = scala.collection.mutable.HashMap[String, Long]()
+      hist.foreach { case (w, n) =>
+        val seg = graft.functions.HashKernels.bpeEncode(UTF8String.fromString(w), ranks)
+        val tk = (0 until seg.numElements()).map(j => seg.getUTF8String(j).toString)
+        var x = 0
+        while (x < tk.length - 1) {
+          val p = tk(x) + " " + tk(x + 1)
+          cnt(p) = cnt.getOrElse(p, 0L) + n
+          x += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        val (bestP, _) = cnt.minBy { case (p, c) => (-c, p) }
+        val Array(a, b) = bestP.split(" ", 2)
+        merges += ((a, b))
+        ranks.put(bestP, Integer.valueOf(round))
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  test("incremental driver trainer matches full re-segmentation, merge for merge") {
+    // small alphabet + skewed freqs force heavy merge chaining, ties, and
+    // words re-touched by many rounds — the cases the incremental
+    // bookkeeping must get right
+    val rnd = new scala.util.Random(42)
+    val hist = (0 until 300).map { i =>
+      val len = 3 + rnd.nextInt(8)
+      val w = (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      (w, (1 + rnd.nextInt(50)).toLong)
+    }.distinct.toMap.toArray.sortBy { case (w, n) => (-n, w) }
+    val expect = naiveTrain(hist, 80)
+    val got = TextCorpus.trainMergesDriver(hist, 80)
+    assert(got === expect)
+    // and exhaustion agrees on a corpus that runs dry
+    val tiny = Array(("abc", 3L), ("abd", 1L))
+    assert(TextCorpus.trainMergesDriver(tiny, 50) === naiveTrain(tiny, 50))
+  }
+
+  test("500-merge train completes in seconds (driver-side loop)") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 2000).map { i =>
+      val words = (0 until 20).map { _ =>
+        val len = 4 + rnd.nextInt(9)
+        (0 until len).map(_ => ('a' + rnd.nextInt(10)).toChar).mkString
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("id", "text")
+    val t0 = System.nanoTime()
+    val merges = TextCorpus.bpeTrainMerges(docs, "text", numMerges = 500)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"500 merges in $secs%.1f s")
+    assert(merges.size === 500)
+    assert(secs < 60.0, f"driver-side train took $secs%.1f s — should be seconds")
+    // the learned table is usable by the codegen'd apply
+    val n = docs.select(TextFunctions.bpeTokenCount(col("text"), merges).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(n > 0L)
+  }
 }

@@ -32,6 +32,29 @@ class ChunkRepresentativeSpec extends SparkSuite {
     }
   }
 
+  test("null-text docs yield zero chunks; others unaffected") {
+    val df = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = TextCorpus.chunkDocs(df, "id", "text", chunkTokens = 3, overlap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out === Set((1L, 0L, "a b c"), (1L, 1L, "d")))
+  }
+
+  test("corpus card on an empty corpus reads zeros, no NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val card = TextCorpus.corpusCard(empty, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card("docs") === 0L && card("tokens") === 0L &&
+      card("chars") === 0L && card("distinct_docs") === 0L &&
+      card("dup_rate_x1000") === 0L)
+    // the OLS trainer states its contract instead of NPEing on the same shape
+    val e = intercept[IllegalArgumentException] {
+      TextCorpus.fitLinearModelX1000(empty,
+        Seq("len" -> length(col("text")).cast("long")), lit(null).cast("long"))
+    }
+    assert(e.getMessage.contains("at least one row"))
+  }
+
   test("corpus card: exact counts, dup rate, language histogram") {
     val df = Seq(
       (1L, "a b c", "en"), (2L, "A  b C", "en"), // same fingerprint

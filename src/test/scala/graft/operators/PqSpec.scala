@@ -77,6 +77,28 @@ class PqSpec extends SparkSuite {
     assert(pruned.subsetOf(cellIds) && pruned.nonEmpty)
   }
 
+  test("array<double> corpora train and code like array<float>") {
+    val dv = vecs.select(col("id"),
+      transform(col("v"), x => x.cast("double")).as("v"))
+    val bf = Similarity.pqTrain(vecs, "id", "v", m = 2, k = 2, iters = 2)
+    val bd = Similarity.pqTrain(dv, "id", "v", m = 2, k = 2, iters = 2)
+    assert(bf.map(_.toSeq) === bd.map(_.toSeq))
+    val q = Seq(1.0f, 0.05f, 0.0f, 0.0f)
+    val rf = Similarity.topKPq(vecs, "id", "v", q, 3, bf, m = 2, k = 2, shortlist = 8)
+      .select("rank", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rd = Similarity.topKPq(dv, "id", "v", q, 3, bd, m = 2, k = 2, shortlist = 8)
+      .select("rank", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rf.toSeq === rd.toSeq)
+  }
+
+  test("fewer corpus rows than k codewords fails with a clear error") {
+    val tiny = vecs.limit(2)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(tiny, "id", "v", m = 2, k = 4)
+    }
+    assert(e.getMessage.contains("at least k=4"))
+  }
+
   test("dim must divide into m subspaces; query dim validated") {
     intercept[IllegalArgumentException] {
       Similarity.pqTrain(vecs, "id", "v", m = 3, k = 2)

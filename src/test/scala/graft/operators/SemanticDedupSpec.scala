@@ -87,6 +87,29 @@ class SemanticDedupSpec extends SparkSuite {
     Dedup.releaseIntermediates()
   }
 
+  test("incremental: strictIdCheck catches ids that drifted to untouched cells") {
+    // corpus ids 1 (x-axis cell) and 2 (y-axis cell); the re-ingested id 2
+    // arrives with a vector near the x-axis, so its batch only TOUCHES
+    // cell(x) — the touched-cell probe can't see index id 2 in cell(y)
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("id", "v")
+    val centroids = Similarity.ivfTrain(corpus, "id", "v", k = 2, iters = 2)
+    val index = Similarity.ivfAssign(corpus, "id", "v", centroids)
+    val drifted = Seq((2L, Array(0.99f, 0.14f))).toDF("id", "v")
+    // documented default behavior: the touched-cell probe passes it
+    val kept = Dedup.semanticDedupIncremental(drifted, "id", "v",
+      index, centroids, threshold = 0.999).as[Long].collect().toSet
+    assert(kept === Set(2L))
+    Dedup.releaseIntermediates()
+    // strict mode scans the full index id column and raises
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedupIncremental(drifted, "id", "v",
+        index, centroids, threshold = 0.999, strictIdCheck = true)
+    }
+    assert(e.getMessage.contains("strictIdCheck"))
+    Dedup.releaseIntermediates()
+  }
+
   test("incremental: hot-cell refinement keeps identical-vector recall") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
