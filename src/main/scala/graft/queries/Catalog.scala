@@ -2245,6 +2245,25 @@ object Catalog {
           CAST(sum(CAST(round((s_acctbal + CASE WHEN s_suppkey % 5 = 0 THEN 1000.0 ELSE 0 END)*100) AS BIGINT)) AS BIGINT) AS bal_cents
         FROM supplier GROUP BY 1""")),
 
+    // External Delta WRITE: the full SCD2 delta load continued IN PLACE on
+    // a foreign `_delta_log`-only destination (no _graft_log, no aux
+    // tables — the shape a migrating odbc2deltalake deployment hands us);
+    // the combined history is read back through the pure Delta log and
+    // must equal the all-graft deltaDest history bit for bit
+    Q("store_delta_writer",
+      (s, d) => graft.store.DeltaTable
+        .read(s, s"${Scenarios.foreignDeltaDest(s, d)}/delta")
+        .drop(SystemCols.timestamp),
+      Some(s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,
+          FALSE AS __is_deleted, TRUE AS __is_full_load FROM customer
+        UNION ALL SELECT c_custkey, trim(c_name), c_acctbal + 100, trim(c_mktsegment),
+          CAST(2 AS BIGINT), FALSE, FALSE
+          FROM customer WHERE c_custkey % 89 = 0 AND c_custkey % 97 <> 0
+        UNION ALL SELECT c_custkey + 10000000, trim(c_name), c_acctbal, trim(c_mktsegment),
+          CAST(2 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 83 = 0
+        UNION ALL SELECT c_custkey, NULL, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
+          FROM customer WHERE c_custkey % 97 = 0""")),
+
     Q("store_cdf",
       (s, d) => {
         val tbl = new graft.store.VersionedTable(s, s"${Scenarios.deltaDest(s, d)}/delta")

@@ -387,6 +387,32 @@ object Scenarios {
       }
     }
 
+  /** Migration continuation (the external-Delta WRITE path): batch 1 full
+    * loads through the normal graft engine, then the destination is
+    * STRIPPED to what a reference (delta-spark/delta-rs) deployment's
+    * `dest/delta` is — the pure `_delta_log/` (graft's mirror emits real
+    * protocol commits), no `_graft_log`, no aux snapshot tables — and the
+    * batch-2 delta load CONTINUES that foreign table in place through
+    * [[graft.store.ForeignDeltaTable]]: pk state rebuilds from history
+    * (restore path), inserts/updates append and deletes tombstone as
+    * native Delta JSON commits. The combined history must equal what the
+    * all-graft `deltaDest` run produces → the same oracle as
+    * `scd2_history`. */
+  def foreignDeltaDest(spark: SparkSession, dir: String): String =
+    run("foreigndelta", spark, dir) { dest =>
+      new Synchronizer(spark, new DataFrameSource(batch1(spark, dir), pk), dest, cfg).execute()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      Seq("delta/_graft_log", "delta_load", "meta", "log")
+        .foreach(p => rm(new java.io.File(s"$dest/$p")))
+      val w = new Synchronizer(spark, new DataFrameSource(batch2(spark, dir), pk), dest, cfg)
+      require(w.dest.delta.isInstanceOf[graft.store.ForeignDeltaTable],
+        "stripped destination must engage the foreign-Delta writer")
+      w.execute(): Unit
+    }
+
   /** History of a destination without the wall-clock column. */
   def history(spark: SparkSession, dest: String): DataFrame =
     new graft.store.VersionedTable(spark, s"$dest/delta").read().drop(SystemCols.timestamp)

@@ -16,7 +16,20 @@ final class SyncDestination(spark: SparkSession, rawRoot: String) {
   /** Destination root, with Databricks `/dbfs/…` fuse paths normalized to
     * the `dbfs:/` scheme (graft.store.Fs.normalize). */
   val root: String = graft.store.Fs.normalize(rawRoot)
-  val delta = new VersionedTable(spark, s"$root/delta")
+  /** The SCD2 history table. A graft-created destination is a
+    * [[VersionedTable]]; a path holding a FOREIGN `_delta_log` (an
+    * existing odbc2deltalake deployment's `dest/delta`, or any table
+    * delta-spark/delta-rs wrote) with no `_graft_log` is continued
+    * in place through [[graft.store.ForeignDeltaTable]] — real Delta
+    * commits, readable by the original clients throughout. */
+  val delta: graft.store.HistoryTable = {
+    val p = s"$root/delta"
+    val fsu = new Fs(spark, p)
+    if (!fsu.exists(new HPath(p, "_graft_log")) &&
+        graft.store.DeltaTable.isDeltaTable(spark, p))
+      new graft.store.ForeignDeltaTable(spark, p)
+    else new VersionedTable(spark, p)
+  }
   val delta1 = new VersionedTable(spark, s"$root/delta_load/delta_1")
   val delta2 = new VersionedTable(spark, s"$root/delta_load/delta_2")
   val primaryKeysTs = new VersionedTable(spark, s"$root/delta_load/primary_keys_ts")

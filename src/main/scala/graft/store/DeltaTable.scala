@@ -80,7 +80,10 @@ object DeltaTable {
       schema: StructType,
       partitionColumns: Seq[String],
       configuration: Map[String, String],
-      private[store] val adds: Seq[Add]) {
+      private[store] val adds: Seq[Add],
+      tableId: String = "",
+      minWriterVersion: Int = 1,
+      writerFeatures: Seq[String] = Nil) {
     def numFiles: Int = adds.size
   }
 
@@ -259,6 +262,9 @@ object DeltaTable {
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
+    var tableId: String = ""
+    var minWriter: Int = 1
+    var writerFeats: Seq[String] = Nil
     val files = scala.collection.mutable.LinkedHashMap[String, Add]()
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
@@ -292,11 +298,16 @@ object DeltaTable {
               r.getSeq[String](r.fieldIndex("readerFeatures"))
             else Nil
           checkProtocol(r.getInt(r.fieldIndex("minReaderVersion")), feats)
+          if (ps.fieldNames.contains("minWriterVersion") && !r.isNullAt(r.fieldIndex("minWriterVersion")))
+            minWriter = r.getInt(r.fieldIndex("minWriterVersion"))
+          if (ps.fieldNames.contains("writerFeatures") && !r.isNullAt(r.fieldIndex("writerFeatures")))
+            writerFeats = r.getSeq[String](r.fieldIndex("writerFeatures"))
         }
       }
       if (sub("metaData").isDefined)
         df.select("metaData.*").where(col("schemaString").isNotNull).collect().foreach { r =>
           schemaJson = Some(r.getString(r.fieldIndex("schemaString")))
+          tableId = r.getString(r.fieldIndex("id"))
           partCols = r.getSeq[String](r.fieldIndex("partitionColumns"))
           config = Option(r.getJavaMap[String, String](r.fieldIndex("configuration")))
             .map(_.asScala.toMap).getOrElse(Map.empty)
@@ -338,10 +349,14 @@ object DeltaTable {
         val feats = Option(p.get("readerFeatures"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
         checkProtocol(p.get("minReaderVersion").asInt(), feats)
+        minWriter = Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(1)
+        writerFeats = Option(p.get("writerFeatures")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
       }
       if (node.has("metaData")) {
         val md = node.get("metaData")
         schemaJson = Some(md.get("schemaString").asText())
+        tableId = Option(md.get("id")).map(_.asText()).getOrElse("")
         partCols = Option(md.get("partitionColumns"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
         config = Option(md.get("configuration")).map(_.fields().asScala
@@ -411,7 +426,8 @@ object DeltaTable {
       case None => throw new IllegalArgumentException(
         s"no metaData action found up to version $target in $logDir")
     }
-    Snapshot(target, schema, partCols, config, files.values.toSeq)
+    Snapshot(target, schema, partCols, config, files.values.toSeq,
+      tableId, minWriter, writerFeats)
   }
 
   /** Log paths are percent-encoded relative URIs (or absolute URIs for

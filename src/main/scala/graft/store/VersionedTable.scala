@@ -38,7 +38,8 @@ import graft.SchemaDrift
   * reference db_to_delta.py:218-229); manifest writes are temp-file + atomic
   * rename so readers never observe a torn manifest.
   */
-final class VersionedTable(spark: SparkSession, val path: String) {
+final class VersionedTable(spark: SparkSession, val path: String)
+    extends HistoryTable {
   import VersionedTable._
 
   private val fsu = new Fs(spark, path)
