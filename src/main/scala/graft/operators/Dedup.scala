@@ -1203,9 +1203,15 @@ object Dedup {
         .as(Seq("bpos", "h")))
     val bHashes = bPos.select("h").distinct()
     val cand = tPos.join(bHashes, "h")
-    // gram strings only where hashes collide, on both sides
+    // gram strings only where hashes collide, on both sides. docsT is
+    // semi-join-pruned to candidate doc ids BEFORE the candidate join, so
+    // even when the candidate set is too large for AQE to broadcast (dense
+    // contamination), only colliding docs' token arrays ever shuffle — the
+    // untouched bulk of the train corpus stays a pruned scan either way.
+    val candIds = cand.select("doc_id").distinct()
     val docsT = train.select(col(trainIdCol).as("doc_id"),
       split(col(trainTextCol), " ").as("__t"))
+      .join(candIds, Seq("doc_id"), "left_semi")
     val tGram = cand.join(docsT, "doc_id")
       .withColumn("gram", concat_ws(" ", slice(col("__t"), col("pos") + 1, lit(k))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),

@@ -173,6 +173,14 @@ final class Synchronizer(
     if (pushedCols(c.name)) Projection.aliasConverted(c, cfg)
     else Projection.sourceConvert(c, cfg)
 
+  /** Test-only failure injection: invoked with a step label at the
+    * committed step boundaries of [[deltaLoad]] ("mid_step2",
+    * "after_step2", "after_step3", "after_step4"). A spec-installed hook
+    * that throws simulates a crash between steps; the default is a no-op
+    * (reference tests/test_12 probes the same window by mutating the
+    * source mid-load). */
+  private[graft] var failpoint: String => Unit = _ => ()
+
   /** Engine clock, strictly monotonic per JVM: SCD2 ordering relies on
     * `__timestamp` strictly increasing across load steps even when steps run
     * within one millisecond. */
@@ -279,8 +287,18 @@ final class Synchronizer(
           pkVersionBefore.foreach { v =>
             if (dest.latestPkVersion.latestVersion.exists(_ > v)) dest.latestPkVersion.restore(v)
           }
-          pkTsVersionBefore.foreach { v =>
-            if (dest.primaryKeysTs.latestVersion.exists(_ > v)) dest.primaryKeysTs.restore(v)
+          pkTsVersionBefore match {
+            case Some(v) =>
+              if (dest.primaryKeysTs.latestVersion.exists(_ > v)) dest.primaryKeysTs.restore(v)
+            case scala.None =>
+              // first delta load after a full load: primary_keys_ts did not
+              // exist before this run, so there is no version to restore —
+              // DROP it instead. Leaving the step-1 snapshot behind would
+              // advance the watermark past rows step 2 never committed, and
+              // the next run's (max, count) short-circuit would silently
+              // skip them (data loss; the restore branch above guards the
+              // same channel for re-runs).
+              if (dest.primaryKeysTs.exists) dest.primaryKeysTs.dropTable()
           }
           dest.log.error(s"sync failed, snapshots rolled back", e)
           throw e
@@ -389,6 +407,7 @@ final class Synchronizer(
       val obsIns = org.apache.spark.sql.Observation()
       dest.delta1.overwrite(updates.observe(obsIns, count(lit(1)).as("n")))
       val n = obsIns.get("n").asInstanceOf[Long]
+      failpoint("mid_step2") // delta_1 written, history append NOT committed
       if (n > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
       n
     } finally {
@@ -399,10 +418,12 @@ final class Synchronizer(
       try await(step1) catch { case _: Throwable => () }
     }
     await(step1)
+    failpoint("after_step2") // history append + pk/ts snapshot committed
 
     // step 3: out-of-band ("strange") updates (db_to_delta.py:995-1184)
     val (strangeCount, newWatermark) = handleAdditionalUpdates(oldPkVersion, local.deltaMax)
     val upperBound = newWatermark.orElse(Option(local.deltaMax))
+    failpoint("after_step3") // strange-row history appends committed
 
     // step 4 BEFORE deletes: persist latest_pk_version once, then compute
     // deletes against the PERSISTED snapshot instead of re-evaluating the
@@ -415,6 +436,7 @@ final class Synchronizer(
     dest.latestPkVersion.overwrite(
       latestPkQuery(upperBound).observe(obsPk, count(lit(1)).as("n")))
     val targetCount = obsPk.get("n").asInstanceOf[Long]
+    failpoint("after_step4") // latest_pk_version overwritten, deletes pending
 
     // step 3.5: deletes (db_to_delta.py:620-629,749-859)
     val deletes = doDeletes(oldPkVersion)

@@ -424,6 +424,14 @@ final class VersionedTable(spark: SparkSession, val path: String)
     nextV
   }
 
+  /** Remove the table entirely (log, data, Delta mirror). The rollback
+    * counterpart of [[restore]] for a table that did NOT exist before the
+    * failed run: there is no prior version to restore to, and leaving the
+    * partial table behind would hand later reads (e.g. the sync engine's
+    * watermark probe) state the failed run never finished earning. */
+  def dropTable(): Unit =
+    fsu.delete(new HPath(path), recursive = true)
+
   /** Restore the table to an earlier version as a NEW commit (reference
     * reader.py:24, spark_reader.py:40-44 — rollback of latest_pk_version).
     * `graft.txn.*` idempotency watermarks are carried FORWARD (max of both
