@@ -488,6 +488,24 @@ object Catalog {
         UNION ALL SELECT c_custkey, NULL, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
           FROM customer WHERE c_custkey % 97 = 0""")),
 
+    // U2-d consistency auto-fix gated end-to-end (reference test_10):
+    // latest_pk_version corrupted both ways (dropped delete-candidates +
+    // a bogus pk), detected, auto-repaired from history, then the normal
+    // batch-2 delta load — the history must hash-match the never-corrupted
+    // oracle (an unrepaired snapshot would lose the % 97 tombstones and
+    // emit a spurious one for the bogus pk)
+    Q("scd2_consistency_fix",
+      (s, d) => Scenarios.history(s, Scenarios.consistencyFixDest(s, d)),
+      Some(s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,
+          FALSE AS __is_deleted, TRUE AS __is_full_load FROM customer
+        UNION ALL SELECT c_custkey, trim(c_name), c_acctbal + 100, trim(c_mktsegment),
+          CAST(2 AS BIGINT), FALSE, FALSE
+          FROM customer WHERE c_custkey % 89 = 0 AND c_custkey % 97 <> 0
+        UNION ALL SELECT c_custkey + 10000000, trim(c_name), c_acctbal, trim(c_mktsegment),
+          CAST(2 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 83 = 0
+        UNION ALL SELECT c_custkey, NULL, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
+          FROM customer WHERE c_custkey % 97 = 0""")),
+
     // Two tables synced CONCURRENTLY through Graft.syncAll (parallelism 2):
     // each destination's history must be EXACTLY what a standalone batch
     // run produces — concurrency must not leak between table states

@@ -414,6 +414,33 @@ object Scenarios {
     }
 
   /** History of a destination without the wall-clock column. */
+  /** Consistency auto-fix end-to-end (reference consistency.py:17-56 +
+    * tests/test_10_consistency_fix.py): full load, then CORRUPT
+    * latest_pk_version BOTH ways — drop the rows batch 2 will delete
+    * (% 97) and add a bogus pk — so an unrepaired snapshot would
+    * mis-detect deletes in the next run (missing rows → lost tombstones;
+    * the bogus row → a spurious tombstone). checkConsistency(autoFix)
+    * must flag both corruption classes and rewrite the snapshot from
+    * history; the subsequent batch-2 delta load must then produce a
+    * history indistinguishable from the never-corrupted sequence (same
+    * DuckDB oracle as `scd2_history`). */
+  def consistencyFixDest(spark: SparkSession, dir: String): String =
+    run("consfix", spark, dir) { dest =>
+      val s1 = new Synchronizer(spark, new DataFrameSource(batch1(spark, dir), pk), dest, cfg)
+      s1.execute()
+      val pkTable = s1.dest.latestPkVersion
+      val bogus = pkTable.read().limit(1)
+        .withColumn("c_custkey", lit(99999999L))
+      pkTable.overwrite(
+        pkTable.read().filter(col("c_custkey") % 97 =!= 0).unionByName(bogus))
+      val issues = s1.checkConsistency(autoFix = true).select("__issue")
+        .distinct().collect().map(_.getString(0)).toSet
+      require(issues == Set("added in persisted data", "missing in persisted data"),
+        s"corruption must be detected both ways, got $issues")
+      require(s1.checkConsistency().isEmpty, "autoFix must repair the snapshot")
+      new Synchronizer(spark, new DataFrameSource(batch2(spark, dir), pk), dest, cfg).execute()
+    }
+
   def history(spark: SparkSession, dest: String): DataFrame =
     new graft.store.VersionedTable(spark, s"$dest/delta").read().drop(SystemCols.timestamp)
 
