@@ -1,46 +1,146 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** sf1-scale exactness sweep (round-7 verdict item 8): the oracle matrix
-  * tops out at sf0.1, so this drive synthesizes a 10× corpus — ten copies
-  * of the sf0.1 documents with per-copy token salting, which preserves each
-  * copy's internal duplication character while keeping copies disjoint in
-  * shingle/q-gram/window space (weak scaling, not a pathological 10×-
-  * exact-duplication corpus) — runs the five heaviest dedup gates on it,
-  * and dumps their outputs for the DuckDB oracle comparison script.
+/** sf1-scale exactness sweep (round-7 verdict item 8; embedding gates added
+  * per round-8 item 6): the oracle matrix tops out at sf0.1, so this drive
+  * synthesizes a 10× corpus — ten copies of the sf0.1 documents with
+  * per-copy token salting (see below) and ten copies of the sf0.1
+  * embeddings with a per-copy CYCLIC component rotation — runs the
+  * heaviest gates on it, and dumps their outputs for the DuckDB oracle
+  * comparison script (`tools/sf1_check.py`).
   *
-  * The salt is TWO copy digits per token ("tok_33"): the corpus text
-  * contains no digits (checked), so for any cross-copy doc pair the
+  * Documents: the salt is TWO copy digits per token ("tok_33"): the corpus
+  * text contains no digits (checked), so for any cross-copy doc pair the
   * edit distance is ≥ (count of the target copy's digit) = 2 × tokens ≥
   * 20 > the gate's maxDist 10 — cross-copy editdist pairs are impossible
   * BY CONSTRUCTION, which lets the (quadratic-cost) editdist oracle run
   * per copy instead of over the full 50k-doc corpus.
-  * Run: sbt "Test/runMain graft.Sf1Drive"; compare with tools/sf1_check.py. */
+  *
+  * Embeddings: copy c rotates every vector's components left by c
+  * positions and offsets vec_id by the SAME 10M-per-copy stride as the
+  * documents (so the hybrid gate's doc_id = vec_id join stays aligned
+  * per copy). Rotation preserves norms and all WITHIN-copy dot products
+  * (both sides rotate), so each copy is the natural sf0.1 distribution
+  * verbatim; cross-copy similarities are left to the FULL-corpus DuckDB
+  * oracle — no per-copy shortcut is taken for any embedding gate (the
+  * 64-dim cosine oracle is ~0.4 s per 7M pairs, so even the quadratic
+  * SemDeDup oracle stays O(minutes) at 26.7k vectors).
+  *
+  * Run: `sbt "Test/runMain graft.Sf1Drive"` (documents gates) and
+  * `sbt "Test/runMain graft.Sf1Drive emb"` (embedding gates); then
+  * `python3 tools/sf1_check.py` / `python3 tools/sf1_check.py emb`. */
 object Sf1Drive {
   val gates = Seq("dedup_spans", "dedup_minhash_incremental", "dedup_editdist",
     "dedup_clusters", "dedup_simhash")
 
+  /** Embedding gates: the two SemDeDup gates replay the Catalog entry
+    * verbatim; the three retrieval gates mirror the Catalog entry's code
+    * with the shortlist SCALED to the corpus (2000 = the same 10% ratio
+    * the sf0.1 gate uses; nprobe unchanged at 8). Measured: the unscaled
+    * shortlist (200 = 1% at 20k vectors) drops 1–2 of the exact top-10 —
+    * the recall decay the `ivfNeedsRetrain` drift census exists to
+    * surface — while the 10%-ratio run is exact, so shortlist ∝ corpus is
+    * the documented sweep protocol. The hybrid gate swaps the query terms
+    * for their copy-0 salted forms ("join_00" …) so the lexical ranking
+    * stays populated. */
+  val embGates = Seq("dedup_semantic", "dedup_semantic_incremental",
+    "ann_topk_pq", "ann_topk_ivfpq", "hybrid_topk")
+
+  private val out = "/root/repo/tmp/sf1"
+  private val outDir = "/root/repo/tmp/sf1-out"
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSuite.spark
-    val out = "/root/repo/tmp/sf1"
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    if (args.headOption.contains("emb")) runEmb(spark) else runDocs(spark)
+  }
+
+  private def synthDocs(spark: SparkSession): Unit = {
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val copies = spark.range(0, 10).select(col("id").as("cp"))
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
     docs0.crossJoin(broadcast(copies))
       .select((col("doc_id") + col("cp") * 10000000L).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           t => concat(t, lit("_"), col("cp"), col("cp")))).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    println(s"corpus rows=${spark.read.parquet(s"$out/documents.parquet").count()}")
+    println(s"doc corpus rows=${spark.read.parquet(s"$out/documents.parquet").count()}")
+  }
+
+  private def runDocs(spark: SparkSession): Unit = {
+    synthDocs(spark)
     gates.foreach { g =>
       val t0 = System.nanoTime()
       graft.queries.Catalog.queries(g)(spark, out)
-        .write.mode("overwrite").parquet(s"/root/repo/tmp/sf1-out/$g")
+        .write.mode("overwrite").parquet(s"$outDir/$g")
       graft.operators.Dedup.releaseIntermediates()
       println(f"GATE $g ${(System.nanoTime() - t0) / 1e9}%.1f s " +
-        s"rows=${spark.read.parquet(s"/root/repo/tmp/sf1-out/$g").count()}")
+        s"rows=${spark.read.parquet(s"$outDir/$g").count()}")
+    }
+  }
+
+  private def runEmb(spark: SparkSession): Unit = {
+    import graft.operators.{Dedup, Similarity}
+    synthDocs(spark)
+    val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val dim = emb0.select(size(col("embedding"))).head().getInt(0)
+    val copies = spark.range(0, 10).select(col("id").cast("int").as("cp"))
+    emb0.crossJoin(broadcast(copies))
+      .select((col("vec_id") + col("cp") * 10000000L).as("vec_id"),
+        concat(
+          slice(col("embedding"), col("cp") + 1, lit(dim) - col("cp")),
+          slice(col("embedding"), lit(1), col("cp"))).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    println(s"emb corpus rows=${emb.count()} dim=$dim")
+
+    def run(g: String)(body: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      body.write.mode("overwrite").parquet(s"$outDir/$g")
+      Dedup.releaseIntermediates()
+      println(f"GATE $g ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"rows=${spark.read.parquet(s"$outDir/$g").count()}")
+    }
+
+    run("dedup_semantic")(
+      graft.queries.Catalog.queries("dedup_semantic")(spark, out))
+    run("dedup_semantic_incremental")(
+      graft.queries.Catalog.queries("dedup_semantic_incremental")(spark, out))
+
+    val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    run("ann_topk_pq") {
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 16, k = 16, iters = 2)
+      Similarity.topKPq(emb, "vec_id", "embedding", qv, 10, books,
+        m = 16, k = 16, shortlist = 2000).select("rank", "id")
+    }
+    // IVF geometry scales with the corpus: CONSTANT cell size (~125
+    // vectors, so 160 cells at 20k = the sf0.1 gate's 16 cells at 2k) and
+    // a constant probe fraction (nprobe/k = 1/2). Measured: the UNSCALED
+    // geometry (16 cells, nprobe 8) missed the rank-10 id at 10× corpus —
+    // a probed-breadth recall miss, the other face of the shortlist decay
+    // above — while constant-cell-size scaling is exact.
+    run("ann_topk_ivfpq") {
+      val centroids = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 160, iters = 2)
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 16, k = 16, iters = 2)
+      val dir = java.nio.file.Files.createTempDirectory("graft-sf1-ivfpq")
+      Similarity.ivfPqAssign(emb, "vec_id", "embedding", centroids, books,
+          m = 16, k = 16)
+        .write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
+      Similarity.topKIvfPqIndexed(spark.read.parquet(dir.toString),
+          qv, 10, centroids, books, m = 16, k = 16, nprobe = 80, shortlist = 2000)
+        .select("rank", "id").localCheckpoint(true)
+    }
+    run("hybrid_topk") {
+      val corpus = spark.read.parquet(s"$out/documents.parquet")
+        .join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      Similarity.hybridTopK(corpus, "doc_id", "text", "embedding",
+        Seq("join_00", "hash_00", "window_00"), qv, kTop = 10, pool = 100000)
     }
   }
 }

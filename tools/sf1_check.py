@@ -37,8 +37,44 @@ def compare(con, got_rel, oracle_sql):
     return n_got, n_ora, n_got == n_ora and d1 == 0 and d2 == 0
 
 
+EMB = "/root/repo/tmp/sf1/embeddings.parquet/*.parquet"
+EMB_GATES = ["dedup_semantic", "dedup_semantic_incremental",
+             "ann_topk_pq", "ann_topk_ivfpq", "hybrid_topk"]
+
+
+def main_emb(oracle_path):
+    """Embedding-gate sweep (round-8 verdict item 6): every oracle replays
+    over the FULL 10x corpus — no per-copy shortcut (the 64-dim cosine
+    oracle is cheap enough that even the quadratic SemDeDup check stays
+    O(minutes)). hybrid_topk swaps the query terms for their copy-0
+    salted forms, matching the drive."""
+    sqls = json.load(open(oracle_path))
+    ok = True
+    for g in EMB_GATES:
+        con = duckdb.connect()
+        con.execute("SET threads TO 32")
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF1}'")
+        sql = sqls[g]
+        if g == "hybrid_topk":
+            assert "['join', 'hash', 'window']" in sql
+            sql = sql.replace("['join', 'hash', 'window']",
+                              "['join_00', 'hash_00', 'window_00']")
+        t0 = time.time()
+        n_got, n_ora, m = compare(con, f"SELECT * FROM '{OUT}/{g}/*.parquet'", sql)
+        print(f"{g}: rows={n_got} oracle={n_ora} "
+              f"{'MATCH' if m else 'MISMATCH'} ({time.time() - t0:.0f}s)")
+        ok &= m
+        con.close()
+    print("SF1 EMB SWEEP:", "ALL MATCH" if ok else "FAILURES")
+    sys.exit(0 if ok else 1)
+
+
 def main():
-    oracle_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify-out/oracle_sql.json"
+    args = [a for a in sys.argv[1:] if a != "emb"]
+    oracle_path = args[0] if args else "/tmp/verify-out/oracle_sql.json"
+    if "emb" in sys.argv[1:]:
+        return main_emb(oracle_path)
     sqls = json.load(open(oracle_path))
     ok = True
     for g in GATES:
