@@ -692,6 +692,38 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Binary sign quantization: bit (i mod 64) of word (i div 64) is set
+    * iff component i ≥ 0 (IEEE `>=`, so −0.0 packs as 1 — the same rule a
+    * SQL `x >= 0` mirror evaluates). ceil(dim/64) words per vector: the
+    * 64×-compressed scan body for Hamming shortlisting. */
+  def signBits(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Long]((n + 63) >> 6)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      if (x >= 0) out(i >> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hamming distance of a packed sign signature to the query's packed
+    * signature (popcount over XOR; shorter side zero-extends). */
+  def hammingToQuery(bits: ArrayData, q: Array[Long]): Long = {
+    val nb = bits.numElements()
+    val n = math.max(nb, q.length)
+    var d = 0L
+    var w = 0
+    while (w < n) {
+      val a = if (w < nb) bits.getLong(w) else 0L
+      val b = if (w < q.length) q(w) else 0L
+      d += java.lang.Long.bitCount(a ^ b)
+      w += 1
+    }
+    d
+  }
+
   /** L2 norm of a vector (one primitive pass). */
   def l2Norm(vec: ArrayData, isFloat: Boolean): Double = {
     val xs = toDoubles(vec, isFloat)
@@ -959,6 +991,50 @@ case class AdcDistance(child: Expression, lut: Array[Double], k: Int)
   override def prettyName: String = "graft_adc_distance"
 }
 
+/** array<float|double> → array<long>: packed sign bits (codegen'd) — the
+  * 1-bit-per-component binary quantization whose Hamming distance
+  * approximates angular distance (Charikar 2002 SimHash bound applied to
+  * the coordinate basis). */
+case class SignBits(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.signBits(input.asInstanceOf[ArrayData],
+      VectorExprs.isFloatArray(child))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fl = VectorExprs.isFloatArray(child)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.signBits($c, $fl)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SignBits =
+    copy(child = newChild)
+  override def prettyName: String = "graft_sign_bits"
+}
+
+/** array<long> → bigint: Hamming distance to a literal packed query
+  * signature (codegen'd; the query words ride as one reference array —
+  * scoring a row is ceil(dim/64) XOR+popcounts, never a float). */
+case class HammingToQuery(child: Expression, q: Array[Long])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> sign bits, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.hammingToQuery(input.asInstanceOf[ArrayData], q)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qbits", q, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.hammingToQuery($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HammingToQuery =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hamming_to_query"
+}
+
 /** Column-API entry points. */
 object NativeHash {
   def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column =
@@ -996,4 +1072,8 @@ object NativeHash {
     Bridge.column(AdcDistance(Bridge.expression(codes), lut, k))
   def l2Norm(vec: Column): Column =
     Bridge.column(VecL2Norm(Bridge.expression(vec)))
+  def signBits(vec: Column): Column =
+    Bridge.column(SignBits(Bridge.expression(vec)))
+  def hammingToQuery(bits: Column, q: Array[Long]): Column =
+    Bridge.column(HammingToQuery(Bridge.expression(bits), q))
 }

@@ -471,6 +471,52 @@ object Similarity {
             floor(x.cast("double") * 127d / col("__maxabs") + 0.5d).cast("int"))))
       .drop("__maxabs")
 
+  /** Binary sign quantization: (id, bits: array<long>, v) with bit i of
+    * the packed words = (component i ≥ 0) — 1 bit per component, the
+    * 64×-compressed sibling of [[quantizeInt8]] (int8) and PQ codes. The
+    * Hamming distance between two sign signatures approximates angular
+    * distance (Charikar's SimHash bound applied to the coordinate basis),
+    * so the bits column alone supports shortlisting: write it (drop `v`
+    * to separate storage) and a billion-vector scan reads ceil(dim/64)
+    * longs per row. */
+  def binarySign(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.NativeHash.signBits(col(vecCol)).as("bits"),
+      col(vecCol).as("v"))
+
+  /** Driver-side sign packing of a literal query vector (same ≥ 0 rule as
+    * the [[graft.functions.SignBits]] kernel). */
+  def signBitsOf(vec: Seq[Float]): Array[Long] = {
+    val out = new Array[Long]((vec.length + 63) >> 6)
+    var i = 0
+    while (i < vec.length) {
+      if (vec(i) >= 0) out(i >> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    out
+  }
+
+  /** Binary top-k with exact rerank: Hamming-score every row's packed sign
+    * signature against the query's (XOR + popcount — ceil(dim/64) long ops
+    * per row, codegen'd), TakeOrdered the `shortlist` smallest distances,
+    * then exact-cosine rerank. Approximate with the same contract as
+    * [[topKPq]]: exact iff the shortlist contains the true top-k — size it
+    * ≫ kTop (and ∝ corpus, per the sf1 sweep protocol). The cheapest
+    * shortlister in the family: the scan body is pure integer ALU over
+    * 1/64th of the int8 bytes. */
+  def topKBinary(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], kTop: Int, shortlist: Int = 100): DataFrame = {
+    dimOf(df, vecCol).foreach(dim => require(queryVec.length == dim,
+      s"query vector dim ${queryVec.length} != corpus dim $dim"))
+    val qbits = signBitsOf(queryVec)
+    val short = binarySign(df.filter(col(vecCol).isNotNull), idCol, vecCol)
+      .select(col("id"), col("v"),
+        graft.functions.NativeHash.hammingToQuery(col("bits"), qbits).as("ham"))
+      .orderBy(col("ham").asc, col("id").asc).limit(shortlist)
+    rerank(short.select(col("id"), col("v")), queryVec, kTop)
+  }
+
   /** Radius (range) search: every id with cosine ≥ `minSim` to the query —
     * the FAISS `range_search` analogue (dedup-by-query, recall-first
     * retrieval). One narrow scoring pass, filter, no shuffle, no top-k

@@ -1422,6 +1422,39 @@ object Catalog {
     // HYBRID retrieval: lexical (shared-distinct-token count) + vector
     // (cosine) ranks fused by Borda rank-sum — the integer-exact cousin of
     // RRF, so the fused order is engine-reproducible bit-for-bit. The gate
+    // binary sign quantization scored directly: per-vector Hamming
+    // distance to the query's packed sign bits — proves the 1-bit pack +
+    // XOR/popcount kernel BIT-EXACTLY (the oracle counts sign
+    // disagreements component-wise; any packing or popcount slip shifts
+    // a count)
+    Q("emb_hamming",
+      (s, d) => {
+        val qbits = Similarity.signBitsOf(queryVec(s, d))
+        Similarity.binarySign(t(s, d, "embeddings"), "vec_id", "embedding")
+          .select(col("id"),
+            graft.functions.NativeHash.hammingToQuery(col("bits"), qbits)
+              .as("hamming"))
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+          CAST(len(list_filter(range(1, len(embedding) + 1),
+            i -> (embedding[i] >= 0) != (qe[i] >= 0))) AS BIGINT) AS hamming
+        FROM embeddings, q""")),
+
+    // binary-shortlist ANN: Hamming distance over packed sign bits (1 bit
+    // per component — 64× less scan than the raw floats, pure integer
+    // ALU) shortlists, exact cosine reranks; graded against the EXACT
+    // oracle like the PQ family (exact iff the shortlist contains the
+    // true top-10). A 64-bit sign sketch is the COARSEST shortlister in
+    // the family — measured at sf0.1 the true top-10's worst Hamming rank
+    // is 255 of 2000, so this gate runs shortlist 400 (20%) where the
+    // ADC gates run 10%; the scan is still 1/64th the bytes
+    Q("ann_topk_binary",
+      (s, d) => Similarity.topKBinary(t(s, d, "embeddings"),
+        "vec_id", "embedding", queryVec(s, d), 10, shortlist = 400)
+        .select("rank", "id"),
+      Some(annExactTopKSql)),
+
     // corpus is documents ⋈ embeddings on id; pool ≥ corpus, so the oracle
     // is the full two-ranking fusion with no pool-boundary semantics
     Q("hybrid_topk",
