@@ -159,10 +159,24 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 2): Seq[Array[Double]] = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // element type follows the column (float OR double, like pqTrain)
+    val isFloat = df.select(col(vecCol)).schema.head.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => false
+      case other => throw new IllegalArgumentException(
+        s"ivfTrain expects $vecCol: array<float|double>, got ${other.simpleString}")
+    }
     var centroids: Seq[Array[Double]] = df
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+      .map { r =>
+        if (isFloat) r.getSeq[Float](0).map(_.toDouble).toArray
+        else r.getSeq[Double](0).toArray
+      }.toSeq
+    require(centroids.length >= k,
+      s"ivfTrain needs at least k=$k rows to seed centroids; corpus has ${centroids.length}")
     (0 until iters).foreach { _ =>
       val assigned = df.select(col(vecCol).as("v"),
         nearestCentroid(col(vecCol), centroids).as("c"))

@@ -1419,14 +1419,14 @@ object Catalog {
       },
       Some(annExactTopKSql)),
 
-    // HYBRID retrieval: lexical (shared-distinct-token count) + vector
-    // (cosine) ranks fused by Borda rank-sum — the integer-exact cousin of
-    // RRF, so the fused order is engine-reproducible bit-for-bit. The gate
     // binary sign quantization scored directly: per-vector Hamming
     // distance to the query's packed sign bits — proves the 1-bit pack +
     // XOR/popcount kernel BIT-EXACTLY (the oracle counts sign
     // disagreements component-wise; any packing or popcount slip shifts
-    // a count)
+    // a count). ASSUMES finite embeddings: DuckDB orders NaN above all
+    // floats so its `x >= 0` is TRUE for NaN while the JVM kernel's is
+    // FALSE — the harness fixtures contain no NaN, and signBitsOf/
+    // binarySign document sign(NaN)=negative as the engine contract
     Q("emb_hamming",
       (s, d) => {
         val qbits = Similarity.signBitsOf(queryVec(s, d))
@@ -1455,6 +1455,9 @@ object Catalog {
         .select("rank", "id"),
       Some(annExactTopKSql)),
 
+    // HYBRID retrieval: lexical (shared-distinct-token count) + vector
+    // (cosine) ranks fused by Borda rank-sum — the integer-exact cousin of
+    // RRF, so the fused order is engine-reproducible bit-for-bit. The gate's
     // corpus is documents ⋈ embeddings on id; pool ≥ corpus, so the oracle
     // is the full two-ranking fusion with no pool-boundary semantics
     Q("hybrid_topk",

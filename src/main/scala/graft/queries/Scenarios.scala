@@ -413,7 +413,6 @@ object Scenarios {
       w.execute(): Unit
     }
 
-  /** History of a destination without the wall-clock column. */
   /** Consistency auto-fix end-to-end (reference consistency.py:17-56 +
     * tests/test_10_consistency_fix.py): full load, then CORRUPT
     * latest_pk_version BOTH ways — drop the rows batch 2 will delete
@@ -441,6 +440,7 @@ object Scenarios {
       new Synchronizer(spark, new DataFrameSource(batch2(spark, dir), pk), dest, cfg).execute()
     }
 
+  /** History of a destination without the wall-clock column. */
   def history(spark: SparkSession, dest: String): DataFrame =
     new graft.store.VersionedTable(spark, s"$dest/delta").read().drop(SystemCols.timestamp)
 

@@ -91,6 +91,22 @@ class PqSpec extends SparkSuite {
     assert(rf.toSeq === rd.toSeq)
   }
 
+  test("ivfTrain on array<double> matches array<float>; corpus<k is clear") {
+    val dv = vecs.select(col("id"),
+      transform(col("v"), x => x.cast("double")).as("v"))
+    val cf = Similarity.ivfTrain(vecs, "id", "v", k = 2, iters = 2)
+    val cd = Similarity.ivfTrain(dv, "id", "v", k = 2, iters = 2)
+    assert(cf.map(_.toSeq) === cd.map(_.toSeq))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTrain(vecs.limit(1), "id", "v", k = 2)
+    }
+    assert(e.getMessage.contains("at least k=2"))
+    val iv = vecs.select(col("id"), transform(col("v"), x => x.cast("int")).as("v"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTrain(iv, "id", "v", k = 2)
+    }
+  }
+
   test("fewer corpus rows than k codewords fails with a clear error") {
     val tiny = vecs.limit(2)
     val e = intercept[IllegalArgumentException] {
