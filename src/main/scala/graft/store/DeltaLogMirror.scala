@@ -147,25 +147,8 @@ final class DeltaLogMirror(
       Row(null, null, Row(p, Map.empty[String, String], sz, now, false))
     }
     val rows: Seq[Row] = Seq(protoRow, metaRow) ++ addRows
-    val df = spark.createDataFrame(rows.asJava, DeltaLogMirror.checkpointSchema)
-      .coalesce(1)
-    // Spark writes a directory; the protocol wants a single FILE — write to
-    // a temp sibling dir and rename the part file into place
-    val tmp = new HPath(logDir, s".cptmp-${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    val part = fsu.fs.listStatus(tmp).map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-    val dest = new HPath(logDir, f"$v%020d.checkpoint.parquet")
-    fsu.deleteIfExists(dest)
-    if (!fsu.fs.rename(part, dest))
-      throw new java.io.IOException(s"rename $part -> $dest failed")
-    fsu.delete(tmp, recursive = true)
-    val lc = mapper.createObjectNode()
-    lc.put("version", v)
-    lc.put("size", rows.size.toLong)
-    fsu.writeStringAtomic(new HPath(logDir, "_last_checkpoint"),
-      mapper.writeValueAsString(lc))
+    DeltaLogMirror.publishCheckpoint(spark, fsu, logDir, v, rows,
+      DeltaLogMirror.checkpointSchema)
   }
 
   /** (relative path → (size, mtime)) of one data dir, listed from disk. */
@@ -269,6 +252,34 @@ object DeltaLogMirror {
 
   /** Delta's default checkpoint cadence. */
   val CheckpointInterval = 10L
+
+  /** Publish `rows` as the classic single-file parquet checkpoint for
+    * version `v` plus the `_last_checkpoint` pointer. Spark writes a
+    * directory; the protocol wants a single FILE — write to a temp sibling
+    * dir and rename the part file into place. Shared by the graft-manifest
+    * mirror and the foreign-Delta writer. */
+  private[store] def publishCheckpoint(
+      spark: SparkSession, fsu: Fs, logDir: HPath, v: Long,
+      rows: Seq[org.apache.spark.sql.Row], schema: StructType): Unit = {
+    import scala.jdk.CollectionConverters._
+    import VersionedTable.mapper
+    val df = spark.createDataFrame(rows.asJava, schema).coalesce(1)
+    val tmp = new HPath(logDir, s".cptmp-${UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val part = fsu.fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val dest = new HPath(logDir, f"$v%020d.checkpoint.parquet")
+    fsu.deleteIfExists(dest)
+    if (!fsu.fs.rename(part, dest))
+      throw new java.io.IOException(s"rename $part -> $dest failed")
+    fsu.delete(tmp, recursive = true)
+    val lc = mapper.createObjectNode()
+    lc.put("version", v)
+    lc.put("size", rows.size.toLong)
+    fsu.writeStringAtomic(new HPath(logDir, "_last_checkpoint"),
+      mapper.writeValueAsString(lc))
+  }
 
   /** The protocol checkpoint row schema (public Delta transaction protocol;
     * optional action columns omitted stay absent — readers treat missing

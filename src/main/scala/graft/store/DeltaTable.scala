@@ -83,7 +83,14 @@ object DeltaTable {
       private[store] val adds: Seq[Add],
       tableId: String = "",
       minWriterVersion: Int = 1,
-      writerFeatures: Seq[String] = Nil) {
+      writerFeatures: Seq[String] = Nil,
+      minReaderVersion: Int = 1,
+      readerFeatures: Seq[String] = Nil,
+      // unexpired remove tombstones (rawPath -> deletionTimestamp), carried
+      // so a checkpoint writer can retain them per PROTOCOL.md ("Checkpoints
+      // must contain all remove tombstones that have not expired") — VACUUM
+      // by other engines depends on them
+      private[store] val tombstones: Seq[(String, Long)] = Nil) {
     def numFiles: Int = adds.size
   }
 
@@ -265,7 +272,11 @@ object DeltaTable {
     var tableId: String = ""
     var minWriter: Int = 1
     var writerFeats: Seq[String] = Nil
+    var minReader: Int = 1
+    var readerFeats: Seq[String] = Nil
     val files = scala.collection.mutable.LinkedHashMap[String, Add]()
+    // remove tombstones; a re-add of the same path cancels its tombstone
+    val gone = scala.collection.mutable.LinkedHashMap[String, Long]()
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
       val unsupported = readerFeatures.filterNot(SupportedReaderFeatures)
@@ -298,6 +309,8 @@ object DeltaTable {
               r.getSeq[String](r.fieldIndex("readerFeatures"))
             else Nil
           checkProtocol(r.getInt(r.fieldIndex("minReaderVersion")), feats)
+          minReader = r.getInt(r.fieldIndex("minReaderVersion"))
+          readerFeats = feats
           if (ps.fieldNames.contains("minWriterVersion") && !r.isNullAt(r.fieldIndex("minWriterVersion")))
             minWriter = r.getInt(r.fieldIndex("minWriterVersion"))
           if (ps.fieldNames.contains("writerFeatures") && !r.isNullAt(r.fieldIndex("writerFeatures")))
@@ -340,6 +353,18 @@ object DeltaTable {
               pv, Option(r.getString(4)), dv)
           }
       }
+      // checkpoint remove rows are pure tombstones (their file set is
+      // disjoint from the checkpoint's adds) — retained for re-checkpointing
+      val rmFields = sub("remove").map(_.fieldNames.toSet).getOrElse(Set.empty)
+      if (rmFields.nonEmpty) {
+        val tsCol =
+          if (rmFields.contains("deletionTimestamp")) col("remove.deletionTimestamp")
+          else org.apache.spark.sql.functions.lit(0L)
+        df.where(col("remove.path").isNotNull)
+          .select(col("remove.path"), tsCol.cast("long").as("ts"))
+          .collect().foreach(r =>
+            gone(r.getString(0)) = if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
     }
 
     // one JSON action line (commit tail or v2 json manifest)
@@ -349,6 +374,8 @@ object DeltaTable {
         val feats = Option(p.get("readerFeatures"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
         checkProtocol(p.get("minReaderVersion").asInt(), feats)
+        minReader = p.get("minReaderVersion").asInt()
+        readerFeats = feats
         minWriter = Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(1)
         writerFeats = Option(p.get("writerFeatures")).filterNot(_.isNull)
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
@@ -378,8 +405,15 @@ object DeltaTable {
         files(p) = Add(p, a.get("size").asLong(),
           Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
           pv, Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), dv)
+        gone.remove(p): Unit
       }
-      if (node.has("remove")) files.remove(node.get("remove").get("path").asText())
+      if (node.has("remove")) {
+        val rm = node.get("remove")
+        val p = rm.get("path").asText()
+        files.remove(p)
+        gone(p) = Option(rm.get("deletionTimestamp")).filterNot(_.isNull)
+          .map(_.asLong()).getOrElse(0L)
+      }
     }
 
     // ---- checkpoint state (classic parquet parts, or v2 manifest+sidecars)
@@ -427,7 +461,7 @@ object DeltaTable {
         s"no metaData action found up to version $target in $logDir")
     }
     Snapshot(target, schema, partCols, config, files.values.toSeq,
-      tableId, minWriter, writerFeats)
+      tableId, minWriter, writerFeats, minReader, readerFeats, gone.toSeq)
   }
 
   /** Log paths are percent-encoded relative URIs (or absolute URIs for

@@ -101,9 +101,6 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     Set("appendOnly", "invariants", "vacuumProtocolCheck", "timestampNtz")
 
   private def validateWritable(s: DeltaTable.Snapshot, forOverwrite: Boolean): Unit = {
-    if (s.partitionColumns.nonEmpty)
-      refuse(s"partitioned tables (${s.partitionColumns.mkString(",")}) are not " +
-        "supported by this writer")
     val cm = s.configuration.getOrElse("delta.columnMapping.mode", "none")
     if (cm != "none") refuse(s"column mapping mode '$cm'")
     if (s.configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
@@ -157,22 +154,56 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       if (overwrite) SchemaEvolution.relaxNullable(df.schema)
       else SchemaEvolution.merge(s.schema,
         SchemaEvolution.relaxNullable(df.schema), drift)
+    val partCols = s.partitionColumns
+    partCols.foreach { c =>
+      val was = s.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+      val now = merged.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+      if (now.isEmpty || now != was) refuse(
+        s"partition column $c must survive the write unchanged " +
+          s"(was ${was.fold("absent")(_.simpleString)}, " +
+          s"would become ${now.fold("absent")(_.simpleString)})")
+    }
     val aligned = align(df, merged)
 
     // data files land inside the table under a per-commit unique dir — the
     // protocol allows any relative path, and an uncommitted dir is
-    // invisible to every Delta reader until the JSON commit publishes
+    // invisible to every Delta reader until the JSON commit publishes.
+    // Partitioned tables write hive-layout subdirs (col=value) inside it
+    // and each add action carries the partitionValues map, so every Delta
+    // reader keeps partition-pruning the rows graft appends.
     val dirName = s"graft_data/${UUID.randomUUID().toString.take(12)}"
     val dataDir = new HPath(path, dirName)
-    aligned.write.parquet(dataDir.toString)
-    val parts = fsu.fs.listStatus(dataDir).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
-      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+    if (partCols.isEmpty) aligned.write.parquet(dataDir.toString)
+    else aligned.write.partitionBy(partCols: _*).parquet(dataDir.toString)
+    // relative path under dataDir (partition subdirs included), size, mtime
+    def walk(p: HPath, prefix: String): Seq[(String, Long, Long)] =
+      fsu.fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") || n.startsWith("_")) Nil
+        else if (st.isDirectory) walk(st.getPath, s"$prefix$n/")
+        else if (n.endsWith(".parquet"))
+          Seq((s"$prefix$n", st.getLen, st.getModificationTime))
+        else Nil
+      }
+    val parts = walk(dataDir, "")
+    // partition values per file, decoded from the hive dir names Spark
+    // wrote (escapePathName inverse; __HIVE_DEFAULT_PARTITION__ → null)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def partValuesOf(rel: String): Seq[(String, Option[String])] =
+      rel.split('/').dropRight(1).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"unexpected non-hive partition dir segment $seg")
+        val v = ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
+        ExternalCatalogUtils.unescapePathName(seg.substring(0, i)) ->
+          (if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None else Some(v))
+      }
 
     // one narrow pass over the new files only: per-file numRecords +
-    // nullCount/min/max of stat-eligible top-level columns
-    val statCols = merged.fields.filter(f => statEligible(f.dataType)).toSeq
+    // nullCount/min/max of stat-eligible top-level DATA columns (partition
+    // columns prune via partitionValues, not stats)
+    val lowerParts = partCols.map(_.toLowerCase).toSet
+    val statCols = merged.fields.filter(f =>
+      statEligible(f.dataType) && !lowerParts.contains(f.name.toLowerCase)).toSeq
     val statsByFile: Map[String, String] =
       if (parts.isEmpty) Map.empty
       else {
@@ -182,11 +213,13 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
             max(col(s"`${f.name}`")).as(s"__mx_$i"),
             sum(when(col(s"`${f.name}`").isNull, 1L).otherwise(0L)).as(s"__nc_$i"))
         }
+        val dirUriPath = fsu.fs.makeQualified(dataDir).toUri.getPath
         spark.read.schema(merged).parquet(dataDir.toString)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect().map { r =>
-            val fileName = new HPath(new java.net.URI(r.getString(0)).getPath).getName
+            val abs = new java.net.URI(r.getString(0)).getPath
+            val relPath = abs.stripPrefix(dirUriPath).stripPrefix("/")
             val root = mapper.createObjectNode()
             root.put("numRecords", r.getLong(1))
             val mnN = root.putObject("minValues")
@@ -204,20 +237,30 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
                     case LongType => o.put(f.name, r.getLong(idx))
                     case FloatType => o.put(f.name, r.getFloat(idx).toDouble)
                     case DoubleType => o.put(f.name, r.getDouble(idx))
-                    case StringType => o.put(f.name, r.getString(idx))
                     case BooleanType => o.put(f.name, r.getBoolean(idx))
                     case DateType => o.put(f.name, r.getDate(idx).toLocalDate.toString)
                     case _ => ()
                   }
-                val isFloatNaN = f.dataType match {
-                  case FloatType => r.getFloat(mnI).isNaN || r.getFloat(mxI).isNaN
-                  case DoubleType => r.getDouble(mnI).isNaN || r.getDouble(mxI).isNaN
-                  case _ => false
+                f.dataType match {
+                  case StringType =>
+                    // bounded stats, Delta-style: a 20 KB text value must
+                    // not become 40 KB of log JSON per file per column —
+                    // min truncates to a 32-cp prefix (a prefix is always
+                    // ≤), max takes the prefix-SUCCESSOR (strictly greater
+                    // than anything with that prefix); when no successor
+                    // exists both bounds drop (omitting is always sound)
+                    val mn = ForeignDeltaTable.truncateMin(r.getString(mnI))
+                    ForeignDeltaTable.truncateMaxBound(r.getString(mxI)) match {
+                      case Some(mx) => mnN.put(f.name, mn); mxN.put(f.name, mx)
+                      case None => ()
+                    }
+                  case FloatType if r.getFloat(mnI).isNaN || r.getFloat(mxI).isNaN => ()
+                  case DoubleType if r.getDouble(mnI).isNaN || r.getDouble(mxI).isNaN => ()
+                  case _ => putVal(mnN, mnI); putVal(mxN, mxI)
                 }
-                if (!isFloatNaN) { putVal(mnN, mnI); putVal(mxN, mxI) }
               }
             }
-            fileName -> mapper.writeValueAsString(root)
+            relPath -> mapper.writeValueAsString(root)
           }.toMap
       }
 
@@ -240,7 +283,8 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       fmt.put("provider", "parquet")
       fmt.putObject("options")
       mdn.put("schemaString", merged.json)
-      mdn.putArray("partitionColumns")
+      val pcArr = mdn.putArray("partitionColumns")
+      partCols.foreach(pcArr.add)
       val cfg = mdn.putObject("configuration")
       s.configuration.foreach { case (k, v) => cfg.put(k, v) }
       mdn.put("createdTime", now)
@@ -259,15 +303,23 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         lines += mapper.writeValueAsString(rm)
       }
     }
-    parts.foreach { case (name, size, mtime) =>
+    parts.foreach { case (rel, size, mtime) =>
       val ad = obj()
       val adn = ad.putObject("add")
-      adn.put("path", s"$dirName/$name")
-      adn.putObject("partitionValues")
+      // log paths are percent-encoded relative URIs; the multi-arg URI
+      // constructor encodes what the on-disk segment escaping produced
+      // (e.g. a literal '%' in an escaped partition value)
+      adn.put("path",
+        new java.net.URI(null, null, s"$dirName/$rel", null).toASCIIString)
+      val pvn = adn.putObject("partitionValues")
+      partValuesOf(rel).foreach {
+        case (k, Some(v)) => pvn.put(k, v): Unit
+        case (k, None) => pvn.putNull(k): Unit
+      }
       adn.put("size", size)
       adn.put("modificationTime", mtime)
       adn.put("dataChange", true)
-      statsByFile.get(name).foreach(adn.put("stats", _))
+      statsByFile.get(rel).foreach(adn.put("stats", _))
       lines += mapper.writeValueAsString(ad)
     }
 
@@ -279,9 +331,147 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         throw new java.util.ConcurrentModificationException(
           s"version $v of Delta table $path was committed by another writer")
     }
+    if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
     v
+  }
+
+  /** Classic parquet checkpoint + `_last_checkpoint` at version `v`, so a
+    * long-continued migration never forces readers (delta-spark, delta-rs,
+    * [[DeltaTable]] itself) to replay an unboundedly growing JSON tail —
+    * the same every-10-commits cadence delta-spark uses. Faithful to the
+    * foreign table: the TABLE's protocol (reader/writer features included),
+    * metaData with its partitionColumns, every live add with its
+    * partitionValues + stats + deletionVector, and the unexpired remove
+    * tombstones (PROTOCOL.md requires them in checkpoints — other engines'
+    * VACUUM depends on them; expiry honors
+    * `delta.deletedFileRetentionDuration`, default one week). */
+  private def writeCheckpoint(v: Long): Unit = {
+    import org.apache.spark.sql.Row
+    val s = DeltaTable.snapshot(spark, path, versionAsOf = Some(v))
+    val now = System.currentTimeMillis()
+    val keepSince = now - ForeignDeltaTable.retentionMillis(
+      s.configuration.get("delta.deletedFileRetentionDuration"))
+    def emptyTo[A](xs: Seq[A]): Seq[A] = if (xs.isEmpty) null else xs
+    val protoRow = Row(
+      Row(s.minReaderVersion, s.minWriterVersion,
+        emptyTo(s.readerFeatures), emptyTo(s.writerFeatures)),
+      null, null, null)
+    val metaRow = Row(null,
+      Row(if (s.tableId.nonEmpty) s.tableId else UUID.randomUUID().toString,
+        null, null, Row("parquet", Map.empty[String, String]),
+        s.schema.json, s.partitionColumns, s.configuration, now),
+      null, null)
+    val addRows = s.adds.map { a =>
+      Row(null, null,
+        Row(a.rawPath, a.partitionValues.map { case (k, ov) => k -> ov.orNull },
+          a.size, a.mtime, false, a.statsJson.orNull,
+          a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull),
+        null)
+    }
+    // ts 0 = the foreign log carried no deletionTimestamp: keep (sound —
+    // dropping a live tombstone could let a foreign VACUUM miss the file)
+    val rmRows = s.tombstones
+      .filter { case (_, ts) => ts == 0L || ts >= keepSince }
+      .map { case (p, ts) => Row(null, null, null, Row(p, ts, false)) }
+    DeltaLogMirror.publishCheckpoint(spark, fsu, logDir, v,
+      Seq(protoRow, metaRow) ++ addRows ++ rmRows,
+      ForeignDeltaTable.checkpointSchema)
   }
 
   private def snapAdds(s: DeltaTable.Snapshot): Seq[String] =
     s.adds.map(_.rawPath)
+}
+
+object ForeignDeltaTable {
+  /** Delta's bounded string statistics (delta-spark truncates at 32):
+    * the min bound becomes a 32-code-point prefix — a prefix is always ≤
+    * every string it prefixes. */
+  private[store] def truncateMin(s: String, cap: Int = 32): String =
+    if (s.codePointCount(0, s.length) <= cap) s
+    else s.substring(0, s.offsetByCodePoints(0, cap))
+
+  /** The max bound becomes the prefix-SUCCESSOR: truncate to `cap` code
+    * points, then increment the last incrementable code point (skipping
+    * the surrogate gap so the result stays a valid string), dropping any
+    * trailing max-code-points first. Every string with that prefix orders
+    * strictly below the successor, so it is a valid upper bound; None when
+    * no successor exists (all U+10FFFF) — omitting a bound is always
+    * sound. */
+  private[store] def truncateMaxBound(s: String, cap: Int = 32): Option[String] = {
+    if (s.codePointCount(0, s.length) <= cap) return Some(s)
+    val cps = s.codePoints().toArray.take(cap)
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
+    if (i < 0) None
+    else {
+      // 0xD7FF + 1 lands in the surrogate range — unpaired surrogates are
+      // not representable, so jump the gap to 0xE000 (still a successor)
+      val next = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+      val kept = cps.take(i) :+ next
+      Some(new String(kept, 0, kept.length))
+    }
+  }
+
+  /** `delta.deletedFileRetentionDuration` ("interval N unit") → millis;
+    * absent/unparseable → the protocol default of one week. */
+  private[store] def retentionMillis(cfg: Option[String]): Long = {
+    val Default = 7L * 24 * 3600 * 1000
+    cfg.map(_.trim.toLowerCase) match {
+      case Some(IntervalRe(n, unit)) =>
+        val per = unit match {
+          case u if u.startsWith("nanosecond") => return math.max(0L, n.toLong / 1000000L)
+          case u if u.startsWith("microsecond") => return math.max(0L, n.toLong / 1000L)
+          case u if u.startsWith("millisecond") => 1L
+          case u if u.startsWith("second") => 1000L
+          case u if u.startsWith("minute") => 60L * 1000
+          case u if u.startsWith("hour") => 3600L * 1000
+          case u if u.startsWith("day") => 24L * 3600 * 1000
+          case u if u.startsWith("week") => 7L * 24 * 3600 * 1000
+          case _ => return Default
+        }
+        n.toLong * per
+      case _ => Default
+    }
+  }
+  private val IntervalRe = """interval\s+(\d+)\s+(\w+)""".r
+
+  /** Checkpoint action-row schema for foreign tables: the mirror's columns
+    * plus reader/writer features, partition metadata, per-file stats +
+    * deletion vectors, and remove tombstones (PROTOCOL.md checkpoint
+    * spec; absent optional columns read as null). */
+  private[store] val checkpointSchema: StructType = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType))))))
 }

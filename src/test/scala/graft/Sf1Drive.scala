@@ -48,13 +48,67 @@ object Sf1Drive {
   val embGates = Seq("dedup_semantic", "dedup_semantic_incremental",
     "ann_topk_pq", "ann_topk_ivfpq", "hybrid_topk")
 
+  /** SCD2 engine gates (round-9 verdict item 6): the flagship CDC path at
+    * 10× — ten copies of the sf0.1 customer at stride 100,000,000, so the
+    * batch-2 inserts (+10,000,000) land in the gap BELOW the next copy and
+    * pk ranges stay disjoint by construction (a 10M stride would collide
+    * copy c's inserts with copy c+1's keys and make the delta batch carry
+    * duplicate pks). The mod-class predicates (%97/%89/%83) hit different
+    * rows per copy than at sf0.1 — irrelevant, the oracle replays the same
+    * predicates over the same synthesized table. Phases run through the
+    * real Synchronizer exactly as Scenarios.deltaDest/strangeDest build
+    * them, but invoked directly so each phase's wall time is observable. */
+  val scd2Gates = Seq("scd2_history", "scd2_latest_pk", "scd2_strange_inline")
+
   private val out = "/root/repo/tmp/sf1"
   private val outDir = "/root/repo/tmp/sf1-out"
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSuite.spark
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    if (args.headOption.contains("emb")) runEmb(spark) else runDocs(spark)
+    args.headOption match {
+      case Some("emb") => runEmb(spark)
+      case Some("scd2") => runScd2(spark)
+      case _ => runDocs(spark)
+    }
+  }
+
+  private def runScd2(spark: SparkSession): Unit = {
+    import graft.queries.Scenarios
+    import graft.scd2.Synchronizer
+    import graft.sources.DataFrameSource
+    val c0 = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    val copies = spark.range(0, 10).select(col("id").as("cp"))
+    c0.crossJoin(broadcast(copies))
+      .select((col("c_custkey") + col("cp") * 100000000L).as("c_custkey"),
+        col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    println(s"customer corpus rows=${spark.read.parquet(s"$out/customer.parquet").count()}")
+
+    def phase(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"PHASE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val pk = Seq("c_custkey")
+    val cfg = WriteConfig(deltaCol = Some("ver"))
+    def sync(df: org.apache.spark.sql.DataFrame, dest: String): Unit =
+      new Synchronizer(spark, new DataFrameSource(df, pk), dest, cfg).execute(): Unit
+
+    val destD = java.nio.file.Files.createTempDirectory("sf1scd2-delta").toString
+    phase("full_load")(sync(Scenarios.batch1(spark, out), destD))
+    phase("delta_load_ins_upd_del")(sync(Scenarios.batch2(spark, out), destD))
+    val destS = java.nio.file.Files.createTempDirectory("sf1scd2-strange").toString
+    phase("strange_full_load")(sync(Scenarios.batch1(spark, out), destS))
+    phase("strange_backwards_delta")(sync(Scenarios.batchStrange(spark, out), destS))
+
+    def dump(g: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$g")
+      println(s"GATE $g rows=${spark.read.parquet(s"$outDir/$g").count()}")
+    }
+    dump("scd2_history", Scenarios.history(spark, destD))
+    dump("scd2_latest_pk", Scenarios.latestPk(spark, destD))
+    dump("scd2_strange_inline", Scenarios.history(spark, destS))
   }
 
   private def synthDocs(spark: SparkSession): Unit = {

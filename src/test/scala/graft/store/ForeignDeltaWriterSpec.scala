@@ -106,12 +106,6 @@ class ForeignDeltaWriterSpec extends SparkSuite {
 
   test("unsupported tables refuse loudly; appendOnly allows append only") {
     val df = Seq((1L, "a")).toDF("id", "s")
-    // partitioned
-    val p1 = tmpDir("fdw-part")
-    foreignTable(p1, df, partCols = Seq("s"))
-    intercept[UnsupportedOperationException] {
-      new ForeignDeltaTable(spark, p1).append(df)
-    }
     // column mapping
     val p2 = tmpDir("fdw-cm")
     foreignTable(p2, df, config = """{"delta.columnMapping.mode":"name"}""")
@@ -150,6 +144,154 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     val t6 = new ForeignDeltaTable(spark, p6)
     assert(t6.append(Seq((9L, "x")).toDF("id", "s")) == 2L)
     assert(new File(p6, "_delta_log/00000000000000000002.json").exists())
+  }
+
+  test("partitioned appends: hive dirs, partitionValues, planning-time pruning") {
+    val root = tmpDir("fdw-partapp")
+    // hand-crafted PARTITIONED foreign table the way delta-spark lays one
+    // out: the data file sits under seg=a/ and does NOT contain the
+    // partition column — that lives in metaData.partitionColumns + each
+    // add's partitionValues
+    val staging = tmpDir("fdw-partstage")
+    Seq(1L).toDF("id").coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    new File(root, "seg=a").mkdirs()
+    Files.copy(part.toPath,
+      java.nio.file.Paths.get(root, "seg=a", "part-0-foreign.parquet")): Unit
+    rm(staging)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("seg", StringType)))
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val meta = s"""{"metaData":{"id":"foreign-p","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(schema.json)},""" +
+      s""""partitionColumns":["seg"],"configuration":{},"createdTime":1}}"""
+    val add = s"""{"add":{"path":"seg=a/part-0-foreign.parquet","partitionValues":{"seg":"a"},""" +
+      s""""size":${new File(root, "seg=a/part-0-foreign.parquet").length()},"modificationTime":1,"dataChange":true}}"""
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log", "00000000000000000000.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta, add)
+        .mkString("\n").getBytes("UTF-8")): Unit
+
+    val t = new ForeignDeltaTable(spark, root)
+    // append across three partitions, one value with a space (URI-encoding
+    // path) and one null (__HIVE_DEFAULT_PARTITION__ path)
+    assert(t.append(Seq((2L, "a"), (3L, "b b"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "seg")) == 1L)
+    val got = DeltaTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a"), (2L, "a"), (3L, "b b"), (4L, null)))
+    // the commit's add actions carry decoded partitionValues and the
+    // on-disk hive dir in the (percent-encoded) path
+    val commit = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", "00000000000000000001.json")), "UTF-8")
+    val adds = commit.split('\n').filter(_.contains("\"add\"")).toSeq
+      .map(l => mapper.readTree(l).get("add"))
+    assert(adds.exists(a => a.get("partitionValues").get("seg") != null &&
+      !a.get("partitionValues").get("seg").isNull &&
+      a.get("partitionValues").get("seg").asText() == "b b"))
+    assert(adds.exists(a => a.get("partitionValues").get("seg") != null &&
+      a.get("partitionValues").get("seg").isNull))
+    assert(adds.exists(a => a.get("path").asText().contains("seg=b%20b/")))
+    // partition stats exclude the partition column itself
+    adds.filter(_.has("stats")).foreach { a =>
+      val st = mapper.readTree(a.get("stats").asText())
+      assert(st.get("minValues").get("seg") == null)
+      assert(st.get("nullCount").get("id") != null)
+    }
+    // PLANNING-TIME pruning: hand-commit an add whose file does not exist
+    // in partition seg=zz — a partition-filtered read must never try to
+    // open it, while an unfiltered read fails on the missing file
+    Files.write(java.nio.file.Paths.get(root, "_delta_log", "00000000000000000002.json"),
+      ("""{"add":{"path":"seg=zz/ghost.parquet","partitionValues":{"seg":"zz"},""" +
+        """"size":10,"modificationTime":1,"dataChange":true}}""").getBytes("UTF-8")): Unit
+    assert(DeltaTable.read(spark, root).filter(col("seg") === "a")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    intercept[Throwable] { DeltaTable.read(spark, root).count() }
+    // partitioned overwrite: removes every live file (ghost included —
+    // remove actions never touch disk), rewrites hive-layout content
+    assert(t.overwrite(Seq((7L, "x"), (8L, "y")).toDF("id", "seg")) == 3L)
+    assert(DeltaTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((7L, "x"), (8L, "y")))
+    // a write that would DROP the partition column refuses loudly
+    intercept[UnsupportedOperationException] { t.overwrite(Seq(9L).toDF("id")) }
+  }
+
+  test("checkpoint every 10 commits: readers resolve from checkpoint + tail") {
+    val root = tmpDir("fdw-cp")
+    foreignTable(root, Seq((0L, "r0")).toDF("id", "s"))
+    val t = new ForeignDeltaTable(spark, root)
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s")))
+    // v5 is an overwrite — its removed files must survive as checkpoint
+    // tombstones (foreign VACUUMs depend on them)
+    t.overwrite(Seq((100L, "base")).toDF("id", "s"))
+    (6 to 12).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s")))
+    val cp = new File(root, "_delta_log/00000000000000000010.checkpoint.parquet")
+    assert(cp.exists())
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val lc = mapper.readTree(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", "_last_checkpoint")), "UTF-8"))
+    assert(lc.get("version").asLong() == 10L)
+    // the checkpoint carries the table's protocol, unexpired remove
+    // tombstones, and per-file stats on its adds
+    val cpDf = spark.read.parquet(cp.toString)
+    assert(cpDf.filter(col("protocol.minReaderVersion") === 1).count() == 1)
+    assert(cpDf.filter(col("remove.path").isNotNull).count() >= 5)
+    assert(cpDf.filter(col("add.path").isNotNull &&
+      col("add.stats").isNotNull).count() >= 6)
+    val before = DeltaTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(before == (Seq((100L, "base")) ++ (6 to 12).map(i => (i.toLong, s"r$i"))).sorted)
+    // resolution from checkpoint@10 + JSON tail ALONE: delete commits 0-10
+    (0 to 10).foreach(v => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json")))
+    val after = DeltaTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(after == before)
+    // stats survived through the checkpoint — equality skipping still exact
+    assert(t.readWhere(col("id") === 7L).count() == 1)
+    // and the writer itself keeps committing on the truncated log
+    assert(t.append(Seq((13L, "r13")).toDF("id", "s")) == 13L)
+    assert(DeltaTable.read(spark, root).count() == before.size + 1L)
+  }
+
+  test("string stats are bounded: 32-cp prefix min, prefix-successor max") {
+    val root = tmpDir("fdw-longstr")
+    foreignTable(root, Seq((1L, "a")).toDF("id", "s"))
+    val t = new ForeignDeltaTable(spark, root)
+    val long = "zz" + ("x" * 20000)
+    t.append(Seq((2L, long)).toDF("id", "s"))
+    val commit = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", "00000000000000000001.json")), "UTF-8")
+    // the whole commit stays small — no 20 KB value embedded twice
+    assert(commit.length < 2000, s"commit is ${commit.length} bytes")
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val st = commit.split('\n').filter(_.contains("\"add\"")).toSeq
+      .map(l => mapper.readTree(mapper.readTree(l).get("add").get("stats").asText())).head
+    assert(st.get("minValues").get("s").asText() == long.take(32))
+    assert(st.get("maxValues").get("s").asText() == long.take(31) + "y")
+    // bounded stats never FALSELY prune: the long value is still found
+    assert(t.readWhere(col("s") === long).count() == 1)
+    assert(t.readWhere(col("s") === "a").count() == 1)
+  }
+
+  test("truncation + retention helpers") {
+    import ForeignDeltaTable.{truncateMin, truncateMaxBound, retentionMillis}
+    assert(truncateMin("short") == "short")
+    assert(truncateMin("a" * 40) == "a" * 32)
+    assert(truncateMaxBound("short") == Some("short"))
+    assert(truncateMaxBound("a" * 40) == Some("a" * 31 + "b"))
+    // surrogate gap: 0xD7FF increments to 0xE000, never an unpaired surrogate
+    assert(truncateMaxBound("퟿" * 40) == Some("퟿" * 31 + ""))
+    // trailing max code points drop until something can increment
+    val maxCp = new String(Character.toChars(Character.MAX_CODE_POINT))
+    assert(truncateMaxBound("a" + maxCp * 39) == Some("b"))
+    assert(truncateMaxBound(maxCp * 40) == None)
+    assert(retentionMillis(None) == 7L * 24 * 3600 * 1000)
+    assert(retentionMillis(Some("interval 1 hour")) == 3600L * 1000)
+    assert(retentionMillis(Some("INTERVAL 2 days")) == 2L * 24 * 3600 * 1000)
+    assert(retentionMillis(Some("not an interval")) == 7L * 24 * 3600 * 1000)
   }
 
   test("Graft.sync continues a foreign (mirror-log-only) destination in place") {

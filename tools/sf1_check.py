@@ -70,11 +70,38 @@ def main_emb(oracle_path):
     sys.exit(0 if ok else 1)
 
 
+CUST = "/root/repo/tmp/sf1/customer.parquet/*.parquet"
+SCD2_GATES = ["scd2_history", "scd2_latest_pk", "scd2_strange_inline"]
+
+
+def main_scd2(oracle_path):
+    """SCD2 engine sweep (round-9 verdict item 6): the flagship CDC path on
+    a 10x customer corpus (stride 100M keeps the +10M batch-2 inserts
+    collision-free; see Sf1Drive.runScd2). Each gate's DuckDB oracle
+    replays verbatim over the synthesized table."""
+    sqls = json.load(open(oracle_path))
+    ok = True
+    for g in SCD2_GATES:
+        con = duckdb.connect()
+        con.execute("SET threads TO 32")
+        con.execute(f"CREATE VIEW customer AS SELECT * FROM '{CUST}'")
+        t0 = time.time()
+        n_got, n_ora, m = compare(con, f"SELECT * FROM '{OUT}/{g}/*.parquet'", sqls[g])
+        print(f"{g}: rows={n_got} oracle={n_ora} "
+              f"{'MATCH' if m else 'MISMATCH'} ({time.time() - t0:.0f}s)")
+        ok &= m
+        con.close()
+    print("SF1 SCD2 SWEEP:", "ALL MATCH" if ok else "FAILURES")
+    sys.exit(0 if ok else 1)
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "emb"]
+    args = [a for a in sys.argv[1:] if a not in ("emb", "scd2")]
     oracle_path = args[0] if args else "/tmp/verify-out/oracle_sql.json"
     if "emb" in sys.argv[1:]:
         return main_emb(oracle_path)
+    if "scd2" in sys.argv[1:]:
+        return main_scd2(oracle_path)
     sqls = json.load(open(oracle_path))
     ok = True
     for g in GATES:
