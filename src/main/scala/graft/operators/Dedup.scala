@@ -1202,7 +1202,11 @@ object Dedup {
       posexplode(graft.functions.NativeHash.kgramWindowHashes(col(benchTextCol), k))
         .as(Seq("bpos", "h")))
     val bHashes = bPos.select("h").distinct()
-    val cand = tPos.join(bHashes, "h")
+    // persisted: `cand` feeds BOTH candIds (the semi-join prune) and the
+    // gram-rebuild join — unpersisted, the full-corpus window-hash explode
+    // would run twice; the colliding-position set itself is small by
+    // construction (bounded by bench hashes, and benchmarks are small)
+    val cand = spillPersistEager(tPos.join(bHashes, "h"))
     // gram strings only where hashes collide, on both sides. docsT is
     // semi-join-pruned to candidate doc ids BEFORE the candidate join, so
     // even when the candidate set is too large for AQE to broadcast (dense

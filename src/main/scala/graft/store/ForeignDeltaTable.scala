@@ -335,6 +335,35 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     v
   }
 
+  /** VACUUM for a foreign destination: physically delete data files whose
+    * remove tombstones have EXPIRED (deletionTimestamp older than
+    * `delta.deletedFileRetentionDuration`, default one week — override
+    * with `retentionMs` for tests/compaction flows). Only tombstoned
+    * files are touched: live adds and not-yet-committed in-flight
+    * `graft_data/` dirs are never candidates, so vacuum can run
+    * concurrently with a writer (the delta-spark guarantee). Tombstones
+    * stay in the log — they age out of the next checkpoint naturally.
+    * Returns the table-relative paths deleted (or, with `dryRun`, the
+    * ones that WOULD be). Mirrors `VersionedTable.vacuum` (reference gets
+    * this from delta-spark/delta-rs, reader/spark_reader.py:307-324). */
+  def vacuum(retentionMs: Option[Long] = None, dryRun: Boolean = false): Seq[String] = {
+    val s = snap
+    val keepSince = System.currentTimeMillis() - retentionMs.getOrElse(
+      ForeignDeltaTable.retentionMillis(
+        s.configuration.get("delta.deletedFileRetentionDuration")))
+    val live = s.adds.map(_.rawPath).toSet
+    val root = new HPath(path)
+    val expired = s.tombstones.collect {
+      case (p, ts) if ts > 0L && ts < keepSince && !live.contains(p) => p
+    }
+    if (!dryRun) expired.foreach { raw =>
+      val u = new java.net.URI(raw)
+      val hp = if (u.isAbsolute) new HPath(u) else new HPath(root, u.getPath)
+      fsu.deleteIfExists(hp): Unit
+    }
+    expired
+  }
+
   /** Classic parquet checkpoint + `_last_checkpoint` at version `v`, so a
     * long-continued migration never forces readers (delta-spark, delta-rs,
     * [[DeltaTable]] itself) to replay an unboundedly growing JSON tail —

@@ -276,6 +276,30 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     assert(t.readWhere(col("s") === "a").count() == 1)
   }
 
+  test("vacuum deletes only expired tombstoned files; live data untouched") {
+    val root = tmpDir("fdw-vac")
+    foreignTable(root, Seq((1L, "a")).toDF("id", "s"))
+    val t = new ForeignDeltaTable(spark, root)
+    t.append(Seq((2L, "b")).toDF("id", "s"))
+    t.overwrite(Seq((9L, "z")).toDF("id", "s")) // tombstones v0 + append files
+    val goneCount = DeltaTable.snapshot(spark, root).tombstones.size
+    assert(goneCount >= 2)
+    // inside retention: nothing deleted, dry or not
+    assert(t.vacuum() == Nil)
+    // dry run past retention lists but leaves files on disk
+    val dry = t.vacuum(retentionMs = Some(0L), dryRun = true)
+    assert(dry.size == goneCount)
+    assert(new File(root, "part-00000-foreign.snappy.parquet").exists())
+    // real vacuum deletes them; the live table reads back unchanged
+    val deleted = t.vacuum(retentionMs = Some(0L))
+    assert(deleted.toSet == dry.toSet)
+    assert(!new File(root, "part-00000-foreign.snappy.parquet").exists())
+    assert(DeltaTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // and the writer keeps committing afterwards
+    assert(t.append(Seq((10L, "y")).toDF("id", "s")) == 3L)
+    assert(DeltaTable.read(spark, root).count() == 2)
+  }
+
   test("truncation + retention helpers") {
     import ForeignDeltaTable.{truncateMin, truncateMaxBound, retentionMillis}
     assert(truncateMin("short") == "short")
