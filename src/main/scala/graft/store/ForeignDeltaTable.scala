@@ -64,22 +64,41 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
   def readWhere(cond: Column): DataFrame = read().filter(cond)
 
   def readCommit(version: Long): DataFrame = {
+    import org.apache.spark.sql.graft.{DeltaFileEntry, DeltaFileIndex}
     val s = DeltaTable.snapshot(spark, path, versionAsOf = Some(version))
     val p = logPath(version)
     if (!fsu.exists(p)) throw new IllegalArgumentException(
       s"commit $version of $path has no JSON commit file (checkpoint-only)")
     val root = new HPath(path)
-    val paths = fsu.readString(p).split('\n').filter(_.nonEmpty).toSeq
+    val adds = fsu.readString(p).split('\n').filter(_.nonEmpty).toSeq
       .map(mapper.readTree)
       .filter(_.has("add"))
-      .map { n =>
-        val raw = n.get("add").get("path").asText()
-        val u = new java.net.URI(raw)
-        (if (u.isAbsolute) new HPath(u) else new HPath(root, u.getPath)).toString
-      }
-    if (paths.isEmpty) spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), s.schema)
-    else spark.read.schema(s.schema).parquet(paths: _*)
+      .map(_.get("add"))
+    if (adds.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s.schema)
+    // ride DeltaFileIndex like read() does, so PARTITION columns (absent
+    // from the data files) reconstruct from the adds' partitionValues —
+    // the SCD2 full-load pk snapshot depends on them being real values
+    val lowerParts = s.partitionColumns.map(_.toLowerCase).toSet
+    val partSchema = StructType(s.partitionColumns.map { c =>
+      s.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"partition column $c missing from schema"))
+    })
+    val dataSchema = StructType(
+      s.schema.fields.filterNot(f => lowerParts.contains(f.name.toLowerCase)))
+    val entries = adds.map { a =>
+      val raw = a.get("path").asText()
+      val u = new java.net.URI(raw)
+      val hp = if (u.isAbsolute) new HPath(u) else new HPath(root, u.getPath)
+      val pv = Option(a.get("partitionValues")).map(_.fields().asScala.map { e =>
+        e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+      }.toMap).getOrElse(Map.empty[String, Option[String]])
+      DeltaFileEntry(hp, a.get("size").asLong(),
+        Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L), pv, None)
+    }
+    DeltaFileIndex.scan(spark, root, entries, partSchema, dataSchema)
+      .select(s.schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
   }
 
   def append(df: DataFrame, drift: SchemaDrift = SchemaDrift.NewOnly): Long =
@@ -264,76 +283,109 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           }.toMap
       }
 
-    val now = System.currentTimeMillis()
-    val lines = scala.collection.mutable.ArrayBuffer[String]()
-    def obj() = mapper.createObjectNode()
-    val ci = obj()
-    val cin = ci.putObject("commitInfo")
-    cin.put("timestamp", now)
-    cin.put("operation", "WRITE")
-    cin.putObject("operationParameters")
-      .put("mode", if (overwrite) "Overwrite" else "Append")
-    cin.put("engineInfo", "graft-foreign-delta-writer")
-    lines += mapper.writeValueAsString(ci)
-    if (merged.json != s.schema.json) {
-      val md = obj()
-      val mdn = md.putObject("metaData")
-      mdn.put("id", if (s.tableId.nonEmpty) s.tableId else UUID.randomUUID().toString)
-      val fmt = mdn.putObject("format")
-      fmt.put("provider", "parquet")
-      fmt.putObject("options")
-      mdn.put("schemaString", merged.json)
-      val pcArr = mdn.putArray("partitionColumns")
-      partCols.foreach(pcArr.add)
-      val cfg = mdn.putObject("configuration")
-      s.configuration.foreach { case (k, v) => cfg.put(k, v) }
-      mdn.put("createdTime", now)
-      lines += mapper.writeValueAsString(md)
-    }
-    if (overwrite) {
-      // Add.rawPath is exactly what the foreign log recorded — emitting the
-      // identical string guarantees the remove cancels its add for every
-      // reader, percent-encoding included
-      snapAdds(s).foreach { raw =>
-        val rm = obj()
-        val rmn = rm.putObject("remove")
-        rmn.put("path", raw)
-        rmn.put("deletionTimestamp", now)
-        rmn.put("dataChange", true)
-        lines += mapper.writeValueAsString(rm)
+    // OPTIMISTIC COMMIT with bounded retry (the delta-spark shape): the
+    // data files above are written ONCE; losing the put-if-absent version
+    // claim to a concurrent writer re-resolves the snapshot and re-derives
+    // the commit (schema re-merged — a conflicting writer's new columns
+    // survive; an overwrite's remove set recomputed from the FRESH live
+    // set, i.e. the overwrite serializes AFTER the other commit, which is
+    // exactly what "replace table content" means). Unretriable drift — the
+    // partitioning layout changed under us, or the table became
+    // unwritable — still throws.
+    var cur = s
+    var attempts = 0
+    while (true) {
+      if (attempts > 0) {
+        cur = snap
+        validateWritable(cur, overwrite)
+        if (cur.partitionColumns != partCols)
+          throw new java.util.ConcurrentModificationException(
+            s"partition columns of $path changed concurrently " +
+              s"(${partCols.mkString(",")} -> ${cur.partitionColumns.mkString(",")}) — " +
+              "the written file layout no longer matches")
       }
-    }
-    parts.foreach { case (rel, size, mtime) =>
-      val ad = obj()
-      val adn = ad.putObject("add")
-      // log paths are percent-encoded relative URIs; the multi-arg URI
-      // constructor encodes what the on-disk segment escaping produced
-      // (e.g. a literal '%' in an escaped partition value)
-      adn.put("path",
-        new java.net.URI(null, null, s"$dirName/$rel", null).toASCIIString)
-      val pvn = adn.putObject("partitionValues")
-      partValuesOf(rel).foreach {
-        case (k, Some(v)) => pvn.put(k, v): Unit
-        case (k, None) => pvn.putNull(k): Unit
+      val mergedNow =
+        if (overwrite || attempts == 0) merged
+        else SchemaEvolution.merge(cur.schema, merged, drift)
+      val now = System.currentTimeMillis()
+      val lines = scala.collection.mutable.ArrayBuffer[String]()
+      def obj() = mapper.createObjectNode()
+      val ci = obj()
+      val cin = ci.putObject("commitInfo")
+      cin.put("timestamp", now)
+      cin.put("operation", "WRITE")
+      cin.putObject("operationParameters")
+        .put("mode", if (overwrite) "Overwrite" else "Append")
+      cin.put("engineInfo", "graft-foreign-delta-writer")
+      lines += mapper.writeValueAsString(ci)
+      if (mergedNow.json != cur.schema.json) {
+        val md = obj()
+        val mdn = md.putObject("metaData")
+        mdn.put("id", if (cur.tableId.nonEmpty) cur.tableId else UUID.randomUUID().toString)
+        val fmt = mdn.putObject("format")
+        fmt.put("provider", "parquet")
+        fmt.putObject("options")
+        mdn.put("schemaString", mergedNow.json)
+        val pcArr = mdn.putArray("partitionColumns")
+        partCols.foreach(pcArr.add)
+        val cfg = mdn.putObject("configuration")
+        cur.configuration.foreach { case (k, v) => cfg.put(k, v) }
+        mdn.put("createdTime", now)
+        lines += mapper.writeValueAsString(md)
       }
-      adn.put("size", size)
-      adn.put("modificationTime", mtime)
-      adn.put("dataChange", true)
-      statsByFile.get(rel).foreach(adn.put("stats", _))
-      lines += mapper.writeValueAsString(ad)
-    }
+      if (overwrite) {
+        // Add.rawPath is exactly what the foreign log recorded — emitting
+        // the identical string guarantees the remove cancels its add for
+        // every reader, percent-encoding included
+        snapAdds(cur).foreach { raw =>
+          val rm = obj()
+          val rmn = rm.putObject("remove")
+          rmn.put("path", raw)
+          rmn.put("deletionTimestamp", now)
+          rmn.put("dataChange", true)
+          lines += mapper.writeValueAsString(rm)
+        }
+      }
+      parts.foreach { case (rel, size, mtime) =>
+        val ad = obj()
+        val adn = ad.putObject("add")
+        // log paths are percent-encoded relative URIs; the multi-arg URI
+        // constructor encodes what the on-disk segment escaping produced
+        // (e.g. a literal '%' in an escaped partition value)
+        adn.put("path",
+          new java.net.URI(null, null, s"$dirName/$rel", null).toASCIIString)
+        val pvn = adn.putObject("partitionValues")
+        partValuesOf(rel).foreach {
+          case (k, Some(v)) => pvn.put(k, v): Unit
+          case (k, None) => pvn.putNull(k): Unit
+        }
+        adn.put("size", size)
+        adn.put("modificationTime", mtime)
+        adn.put("dataChange", true)
+        statsByFile.get(rel).foreach(adn.put("stats", _))
+        lines += mapper.writeValueAsString(ad)
+      }
 
-    val v = s.version + 1
-    try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException =>
+      val v = cur.version + 1
+      val claimed =
+        try { fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n")); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException => false
+        }
+      if (claimed) {
+        if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
+        return v
+      }
+      attempts += 1
+      if (attempts >= MaxCommitAttempts)
         throw new java.util.ConcurrentModificationException(
-          s"version $v of Delta table $path was committed by another writer")
+          s"lost the commit race on Delta table $path $attempts times — giving up")
     }
-    if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
-    v
+    -1L // unreachable
   }
+
+  private val MaxCommitAttempts = 20
 
   /** VACUUM for a foreign destination: physically delete data files whose
     * remove tombstones have EXPIRED (deletionTimestamp older than

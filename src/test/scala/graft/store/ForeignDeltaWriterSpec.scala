@@ -193,6 +193,11 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     assert(adds.exists(a => a.get("partitionValues").get("seg") != null &&
       a.get("partitionValues").get("seg").isNull))
     assert(adds.exists(a => a.get("path").asText().contains("seg=b%20b/")))
+    // readCommit reconstructs partition columns from the adds'
+    // partitionValues (the SCD2 full-load pk snapshot rides this)
+    assert(t.readCommit(1L).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1).toSeq == Seq((2L, "a"), (3L, "b b"), (4L, null)))
     // partition stats exclude the partition column itself
     adds.filter(_.has("stats")).foreach { a =>
       val st = mapper.readTree(a.get("stats").asText())
@@ -274,6 +279,30 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     // bounded stats never FALSELY prune: the long value is still found
     assert(t.readWhere(col("s") === long).count() == 1)
     assert(t.readWhere(col("s") === "a").count() == 1)
+  }
+
+  test("two concurrent appenders both land every commit (optimistic retry)") {
+    val root = tmpDir("fdw-conc")
+    foreignTable(root, Seq((0L, "seed")).toDF("id", "s"))
+    val perWriter = 6
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 2).map { w =>
+      Future {
+        val t = new ForeignDeltaTable(spark, root)
+        (1 to perWriter).map { i =>
+          t.append(Seq((w * 1000L + i, s"w$w-$i")).toDF("id", "s"))
+        }
+      }
+    }
+    val versions = fs.flatMap(Await.result(_, 5.minutes))
+    // every commit landed on its own version, log is contiguous
+    assert(versions.size == 2 * perWriter)
+    assert(versions.toSet.size == 2 * perWriter)
+    assert(versions.toSet == (1L to 2L * perWriter).toSet)
+    val got = DeltaTable.read(spark, root).collect().map(_.getLong(0)).toSet
+    assert(got.size == 2 * perWriter + 1)
   }
 
   test("vacuum deletes only expired tombstoned files; live data untouched") {
