@@ -387,33 +387,62 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
 
   private val MaxCommitAttempts = 20
 
-  /** VACUUM for a foreign destination: physically delete data files whose
-    * remove tombstones have EXPIRED (deletionTimestamp older than
+  /** VACUUM for a foreign destination: physically delete (a) data files
+    * whose remove tombstones have EXPIRED (deletionTimestamp older than
     * `delta.deletedFileRetentionDuration`, default one week — override
-    * with `retentionMs` for tests/compaction flows). Only tombstoned
-    * files are touched: live adds and not-yet-committed in-flight
-    * `graft_data/` dirs are never candidates, so vacuum can run
-    * concurrently with a writer (the delta-spark guarantee). Tombstones
-    * stay in the log — they age out of the next checkpoint naturally.
-    * Returns the table-relative paths deleted (or, with `dryRun`, the
-    * ones that WOULD be). Mirrors `VersionedTable.vacuum` (reference gets
-    * this from delta-spark/delta-rs, reader/spark_reader.py:307-324). */
+    * with `retentionMs` for tests/compaction flows), and (b) ORPHANS —
+    * parquet files on disk that no log action references at all, once
+    * older than the same retention (a writer that crashed between its
+    * data write and its commit claim leaves an invisible uncommitted dir;
+    * delta-spark's vacuum sweeps exactly this class). The retention
+    * window is what makes orphan deletion writer-concurrent-safe: an
+    * IN-FLIGHT commit's files are by definition younger than it.
+    * Tombstones stay in the log — they age out of the next checkpoint
+    * naturally. Returns the table-relative paths deleted (or, with
+    * `dryRun`, the ones that WOULD be). Mirrors `VersionedTable.vacuum`
+    * (reference gets this from delta-spark/delta-rs,
+    * reader/spark_reader.py:307-324). */
   def vacuum(retentionMs: Option[Long] = None, dryRun: Boolean = false): Seq[String] = {
     val s = snap
     val keepSince = System.currentTimeMillis() - retentionMs.getOrElse(
       ForeignDeltaTable.retentionMillis(
         s.configuration.get("delta.deletedFileRetentionDuration")))
-    val live = s.adds.map(_.rawPath).toSet
     val root = new HPath(path)
-    val expired = s.tombstones.collect {
-      case (p, ts) if ts > 0L && ts < keepSince && !live.contains(p) => p
-    }
-    if (!dryRun) expired.foreach { raw =>
+    val rootUriPath = fsu.fs.makeQualified(root).toUri.getPath
+    // table-relative path, or None for an absolute URI OUTSIDE the table
+    // (a shallow clone's source files — never ours to delete)
+    def relOf(raw: String): Option[String] = {
       val u = new java.net.URI(raw)
-      val hp = if (u.isAbsolute) new HPath(u) else new HPath(root, u.getPath)
-      fsu.deleteIfExists(hp): Unit
+      if (!u.isAbsolute) Some(u.getPath)
+      else if (u.getPath.startsWith(rootUriPath + "/"))
+        Some(u.getPath.stripPrefix(rootUriPath + "/"))
+      else None
     }
-    expired
+    val live = s.adds.flatMap(a => relOf(a.rawPath)).toSet
+    val tombstoned = s.tombstones.flatMap { case (p, ts) => relOf(p).map(_ -> ts) }.toMap
+    val expired = s.tombstones.collect {
+      case (p, ts) if ts > 0L && ts < keepSince &&
+        relOf(p).exists(r => !live.contains(r)) => relOf(p).get
+    }
+    // orphans: on-disk parquet under the table (the log dir aside) that no
+    // add or unexpired tombstone references, older than retention
+    def walk(p: HPath, prefix: String): Seq[(String, Long)] =
+      fsu.fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n == "_delta_log" || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath, s"$prefix$n/")
+        else if (n.endsWith(".parquet")) Seq((s"$prefix$n", st.getModificationTime))
+        else Nil
+      }
+    val orphans = walk(root, "").collect {
+      case (rel, mt) if mt < keepSince && !live.contains(rel) &&
+        !tombstoned.contains(rel) => rel
+    }
+    val doomed = (expired ++ orphans).distinct
+    if (!dryRun) doomed.foreach { rel =>
+      fsu.deleteIfExists(new HPath(root, rel)): Unit
+    }
+    doomed
   }
 
   /** Classic parquet checkpoint + `_last_checkpoint` at version `v`, so a

@@ -319,10 +319,23 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     val dry = t.vacuum(retentionMs = Some(0L), dryRun = true)
     assert(dry.size == goneCount)
     assert(new File(root, "part-00000-foreign.snappy.parquet").exists())
-    // real vacuum deletes them; the live table reads back unchanged
+    // an ORPHAN (crashed writer's uncommitted dir — no log action at all):
+    // swept once past retention, kept while fresh
+    new File(root, "graft_data/orphan1").mkdirs()
+    val orphan = new File(root, "graft_data/orphan1/part-0-orphan.parquet")
+    Files.write(orphan.toPath, Array[Byte](1, 2, 3)): Unit
+    orphan.setLastModified(System.currentTimeMillis() - 1000000L): Unit
+    val fresh = new File(root, "graft_data/orphan1/part-1-fresh.parquet")
+    Files.write(fresh.toPath, Array[Byte](4, 5)): Unit
+    // future mtime stands in for "younger than retention" under the
+    // retention-0 sweep that the tombstone assertions need
+    fresh.setLastModified(System.currentTimeMillis() + 600000L): Unit
+    // real vacuum deletes tombstoned + aged orphan; the fresh orphan (a
+    // possibly in-flight commit) and the live table survive
     val deleted = t.vacuum(retentionMs = Some(0L))
-    assert(deleted.toSet == dry.toSet)
+    assert(deleted.toSet == dry.toSet + "graft_data/orphan1/part-0-orphan.parquet")
     assert(!new File(root, "part-00000-foreign.snappy.parquet").exists())
+    assert(!orphan.exists() && fresh.exists())
     assert(DeltaTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(9L))
     // and the writer keeps committing afterwards
     assert(t.append(Seq((10L, "y")).toDF("id", "s")) == 3L)
