@@ -2343,6 +2343,51 @@ object Catalog {
         UNION ALL SELECT c_custkey + 10000000, c_name, c_acctbal, 'insert',
           CAST(2 AS BIGINT) FROM customer WHERE c_custkey % 83 = 0""")),
 
+    // Writer-side deletion vectors (merge-on-read DELETE WHERE): two DV
+    // deletes over a two-dir lineitem table — the surviving-row aggregate
+    // must match DuckDB filtering the raw table with the same predicates
+    // (rows marked in roaring bitmaps, never rewritten; the read path is
+    // the codegen'd DvRowDeleted probe over _metadata.row_index)
+    Q("store_dv_delete",
+      (s, d) => {
+        val t = new graft.store.VersionedTable(s, Scenarios.dvDeleteDest(s, d))
+        t.read()
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("long")).as("qty"),
+            sum(cents(col("l_extendedprice"))).as("price_cents"),
+            sum(col("l_orderkey")).as("key_sum"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS cnt,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+          CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        FROM lineitem
+        WHERE NOT (l_quantity >= 45) AND NOT (l_suppkey % 7 = 0)
+        GROUP BY l_returnflag""")),
+
+    // The same DV'd destination resolved through its mirrored `_delta_log`
+    // by the EXTERNAL Delta reader: add actions carry "p"-storage DV
+    // descriptors and the (3,7) deletionVectors protocol feature — any
+    // Delta client must see exactly the live rows the native read sees
+    Q("store_dv_mirror",
+      (s, d) => {
+        val dest = Scenarios.dvDeleteDest(s, d)
+        graft.store.DeltaTable.read(s, dest)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("long")).as("qty"),
+            sum(cents(col("l_extendedprice"))).as("price_cents"),
+            sum(col("l_orderkey")).as("key_sum"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS cnt,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+          CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        FROM lineitem
+        WHERE NOT (l_quantity >= 45) AND NOT (l_suppkey % 7 = 0)
+        GROUP BY l_returnflag""")),
+
     // The SQL-only surface, gated end-to-end: the same snapshot + CDF
     // slices as store_skipping/store_cdf but phrased THROUGH spark.sql over
     // the graft_table/graft_changes TVFs — proving the TVF plans carry the

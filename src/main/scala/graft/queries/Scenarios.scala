@@ -345,6 +345,26 @@ object Scenarios {
       t.merge(src, Seq("c_custkey")): Unit // v2
     }
 
+  /** VersionedTable on lineitem split into two data dirs, then two DV
+    * DELETE WHEREs (merge-on-read: rows are marked in per-file roaring
+    * bitmaps, no data file is rewritten — StoreDvSpec carries the
+    * structural assertions). Shared by `store_dv_delete` (native read) and
+    * `store_dv_mirror` (the SAME surviving rows resolved through the
+    * mirrored `_delta_log` by the external Delta reader, deletionVectors
+    * protocol feature and all). */
+  def dvDeleteDest(spark: SparkSession, dir: String): String =
+    run("dvdelete", spark, dir) { dest =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      val half = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2
+      val t = new graft.store.VersionedTable(spark, dest)
+      t.append(li.filter(col("l_orderkey") <= half)) // v0
+      t.append(li.filter(col("l_orderkey") > half)) // v1
+      t.delete(col("l_quantity") >= 45) // v2: DVs across both dirs
+      t.delete(col("l_suppkey") % 7 === 0): Unit // v3: unions into v2's DVs
+    }
+
   /** Supplier batch 1/2 for the multi-table sync: same mutation grammar as
     * the customer batches on coprime moduli (deletes %19, updates %13 get
     * +50, inserts %17 under shifted keys). */

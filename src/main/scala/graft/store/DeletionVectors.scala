@@ -172,6 +172,164 @@ object DeletionVectors {
     }
   }
 
+  // ---------------------------------------------------------------- encode
+  /** Sorted distinct row indexes → DV data (magic + portable 64-bit
+    * RoaringBitmapArray), the exact inverse of [[decode]] and byte-level
+    * interchangeable with delta-spark/delta-rs (RoaringFormatSpec cookie
+    * 12346 "no run containers": descriptive header, offset header, then
+    * array containers for cardinality ≤ 4096 and 8 KiB bitmap containers
+    * above — offsets are measured from the start of each 32-bit bitmap's
+    * serialization, which external roaring readers validate even though
+    * [[decode]] reads sequentially). High 32-bit keys are dense 0..n-1 per
+    * the RoaringBitmapArray portable form; empty intermediate keys
+    * serialize as zero-container bitmaps. */
+  def encode(indexes: Array[Long]): Array[Byte] = {
+    require(indexes.nonEmpty, "refusing to encode an empty deletion vector")
+    var i = 1
+    while (i < indexes.length) {
+      require(indexes(i - 1) < indexes(i),
+        s"deletion-vector indexes must be sorted distinct at $i")
+      i += 1
+    }
+    require(indexes.head >= 0, s"negative row index ${indexes.head}")
+    val nBitmaps = (indexes.last >>> 32) + 1
+    val parts = new Array[Array[Byte]](nBitmaps.toInt)
+    var lo = 0
+    var high = 0L
+    while (high < nBitmaps) {
+      var hi = lo
+      while (hi < indexes.length && (indexes(hi) >>> 32) == high) hi += 1
+      parts(high.toInt) = encodeRoaring32(indexes, lo, hi)
+      lo = hi
+      high += 1
+    }
+    val total = 4 + 8 + parts.map(_.length).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(Magic)
+    bb.putLong(nBitmaps)
+    parts.foreach(bb.put)
+    bb.array()
+  }
+
+  /** One portable 32-bit roaring bitmap over `indexes[lo, hi)` (whose low
+    * 32 bits are the values; caller guarantees sorted distinct). */
+  private def encodeRoaring32(indexes: Array[Long], lo: Int, hi: Int): Array[Byte] = {
+    // split into 16-bit-key containers
+    final case class Slice(key: Int, from: Int, until: Int) { def card: Int = until - from }
+    val slices = scala.collection.mutable.ArrayBuffer[Slice]()
+    var i = lo
+    while (i < hi) {
+      val key = ((indexes(i) >>> 16) & 0xffff).toInt
+      var j = i
+      while (j < hi && ((indexes(j) >>> 16) & 0xffff).toInt == key) j += 1
+      slices += Slice(key, i, j)
+      i = j
+    }
+    val n = slices.size
+    val containerBytes = slices.map(s => if (s.card > 4096) 8192 else 2 * s.card)
+    val total = 8 + 8 * n + containerBytes.sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(SerialCookieNoRun)
+    bb.putInt(n)
+    slices.foreach { s =>
+      bb.putShort((s.key & 0xffff).toShort)
+      bb.putShort(((s.card - 1) & 0xffff).toShort)
+    }
+    // offset header: byte offset of each container from this bitmap's start
+    var off = 8 + 8 * n
+    containerBytes.foreach { sz => bb.putInt(off); off += sz }
+    slices.foreach { s =>
+      if (s.card > 4096) {
+        val words = new Array[Long](1024)
+        var v = s.from
+        while (v < s.until) {
+          val low = (indexes(v) & 0xffff).toInt
+          words(low >>> 6) |= 1L << (low & 63)
+          v += 1
+        }
+        words.foreach(bb.putLong)
+      } else {
+        var v = s.from
+        while (v < s.until) { bb.putShort((indexes(v) & 0xffff).toShort); v += 1 }
+      }
+    }
+    bb.array()
+  }
+
+  /** Union of two sorted distinct index arrays (both stay sorted distinct). */
+  def union(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Long](a.length + b.length)
+    var i = 0; var j = 0; var o = 0
+    while (i < a.length && j < b.length) {
+      val v = if (a(i) <= b(j)) a(i) else b(j)
+      if (i < a.length && a(i) == v) i += 1
+      if (j < b.length && b(j) == v) j += 1
+      out(o) = v; o += 1
+    }
+    while (i < a.length) { out(o) = a(i); o += 1; i += 1 }
+    while (j < b.length) { out(o) = b(j); o += 1; j += 1 }
+    java.util.Arrays.copyOf(out, o)
+  }
+
+  // ---------------------------------------------------- graft DV bin files
+  /** Write several DVs into ONE `.bin` file with the protocol's on-disk
+    * layout (1-byte format version, then per DV: 4-byte BE length, data,
+    * 4-byte BE CRC-32) — the same layout [[load]]'s "u"/"p" storage reads,
+    * so graft DV files double as valid Delta DV files for the log mirror.
+    * Returns each DV's (offset, sizeInBytes). */
+  def writeBin(
+      fs: org.apache.hadoop.fs.FileSystem, p: HPath,
+      datas: Seq[Array[Byte]]): Seq[(Int, Int)] = {
+    val out = fs.create(p, false)
+    try {
+      out.write(1) // format version
+      var off = 1
+      datas.map { data =>
+        val at = off
+        val crc = new java.util.zip.CRC32
+        crc.update(data)
+        val bb = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        out.write(bb.putInt(data.length).array())
+        out.write(data)
+        out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+          .putInt(crc.getValue.toInt).array())
+        off += 4 + data.length + 4
+        (at, data.length)
+      }
+    } finally out.close()
+  }
+
+  /** Read one DV from a graft `.bin` file (offset/size/cardinality as
+    * recorded in the manifest). */
+  def loadBin(
+      fs: org.apache.hadoop.fs.FileSystem, p: HPath,
+      offset: Int, size: Int, cardinality: Long): Array[Long] = {
+    val idx = decode(readAt(fs, p,
+      Descriptor("p", p.toString, Some(offset), size, cardinality)))
+    require(idx.length == cardinality,
+      s"deletion vector at $p:$offset decoded ${idx.length} rows, manifest says $cardinality")
+    idx
+  }
+
+  /** Static probe for the codegen'd scan filter: is `rowIndex` of the file
+    * keyed `key` marked deleted? (`map` values are sorted index arrays.) */
+  def contains(
+      map: java.util.HashMap[String, Array[Long]], key: String, rowIndex: Long): Boolean = {
+    val arr = map.get(key)
+    arr != null && java.util.Arrays.binarySearch(arr, rowIndex) >= 0
+  }
+
+  /** "<dataDir>/<fileName>" key of a scanned file's full `file_path` URI —
+    * the manifest-side key of [[contains]]'s map. */
+  def dirFileKey(path: String): String = {
+    val p1 = path.lastIndexOf('/')
+    if (p1 <= 0) return path
+    val p2 = path.lastIndexOf('/', p1 - 1)
+    path.substring(p2 + 1)
+  }
+
   // ------------------------------------------------------------------ load
   /** Resolve + decode one descriptor into sorted deleted row indexes. */
   def load(fs: org.apache.hadoop.fs.FileSystem, tableRoot: HPath, d: Descriptor): Array[Long] = {

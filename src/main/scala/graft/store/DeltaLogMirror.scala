@@ -55,12 +55,14 @@ final class DeltaLogMirror(
   private def logPath(v: Long) = new HPath(logDir, f"$v%020d.json")
 
   /** Live mirror state after version `version`: table id + last-emitted
-    * schema/config + live (relative path → size) file set. */
+    * schema/config + live (relative path → size/DV) file set + whether the
+    * deletion-vectors protocol upgrade has been emitted. */
   // (case class nested in a final class: the unchecked-outer warning is moot,
   // State never crosses instances)
   private case class State(
       version: Long, tableId: String, schemaJson: String,
-      config: Map[String, String], files: Map[String, Long])
+      config: Map[String, String], files: Map[String, FileEntry],
+      dvProtocol: Boolean = false)
 
   // one cold replay per instance, then incremental
   private var cached: Option[State] = None
@@ -76,7 +78,8 @@ final class DeltaLogMirror(
   /** Replay own emitted actions — driver-side, tiny JSON files. */
   private def replay(upTo: Long): State = {
     var s = freshState
-    val files = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var dvProto = false
+    val files = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
     (0L to upTo).foreach { v =>
       val p = logPath(v)
       if (fsu.exists(p)) fsu.readString(p).split('\n').filter(_.nonEmpty).foreach { line =>
@@ -88,14 +91,24 @@ final class DeltaLogMirror(
             config = Option(md.get("configuration")).map(_.fields().asScala
               .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
         }
+        if (node.has("protocol")) {
+          val rf = Option(node.get("protocol").get("readerFeatures"))
+          if (rf.exists(_.elements().asScala.exists(_.asText() == "deletionVectors")))
+            dvProto = true
+        }
         if (node.has("add")) {
           val a = node.get("add")
-          files(a.get("path").asText()) = a.get("size").asLong()
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+            DvDesc(d.get("pathOrInlineDv").asText(),
+              Option(d.get("offset")).map(_.asInt()).getOrElse(1),
+              d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
+          }
+          files(a.get("path").asText()) = FileEntry(a.get("size").asLong(), dv)
         }
         if (node.has("remove")) files.remove(node.get("remove").get("path").asText())
       }
     }
-    s.copy(version = upTo, files = files.toMap)
+    s.copy(version = upTo, files = files.toMap, dvProtocol = dvProto)
   }
 
   /** Mirror everything up to (and including) manifest `m`. Called after
@@ -138,13 +151,18 @@ final class DeltaLogMirror(
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     val now = System.currentTimeMillis()
-    val protoRow = Row(Row(1, 2), null, null)
+    val protoRow =
+      if (state.dvProtocol)
+        Row(Row(3, 7, Seq("deletionVectors"),
+          Seq("appendOnly", "invariants", "deletionVectors")), null, null)
+      else Row(Row(1, 2, null, null), null, null)
     val metaRow = Row(null,
       Row(state.tableId, null, null, Row("parquet", Map.empty[String, String]),
         state.schemaJson, Seq.empty[String], state.config, now),
       null)
-    val addRows = state.files.toSeq.sortBy(_._1).map { case (p, sz) =>
-      Row(null, null, Row(p, Map.empty[String, String], sz, now, false))
+    val addRows = state.files.toSeq.sortBy(_._1).map { case (p, fe) =>
+      Row(null, null, Row(p, Map.empty[String, String], fe.size, now, false,
+        fe.dv.map(d => Row("p", d.path, d.offset, d.size, d.card)).orNull))
     }
     val rows: Seq[Row] = Seq(protoRow, metaRow) ++ addRows
     DeltaLogMirror.publishCheckpoint(spark, fsu, logDir, v, rows,
@@ -188,11 +206,26 @@ final class DeltaLogMirror(
     cin.put("engineInfo", "graft-versioned-table")
     lines += mapper.writeValueAsString(ci)
 
-    if (v == 0L) {
+    // Protocol: (1,2) at table creation; the FIRST commit whose manifest
+    // carries deletion vectors upgrades in place to the table-features form
+    // (3,7) listing deletionVectors — exactly how delta-spark upgrades when
+    // `delta.enableDeletionVectors` first bites. Legacy writer-2 features
+    // stay listed so the feature set is complete after the upgrade.
+    val targetHasDv = target.exists(_.dirs.exists(_.dv.nonEmpty))
+    val upgradeDv = targetHasDv && !state.dvProtocol
+    if (v == 0L || upgradeDv) {
       val pr = obj()
       val prn = pr.putObject("protocol")
-      prn.put("minReaderVersion", 1)
-      prn.put("minWriterVersion", 2)
+      if (upgradeDv) {
+        prn.put("minReaderVersion", 3)
+        prn.put("minWriterVersion", 7)
+        prn.putArray("readerFeatures").add("deletionVectors")
+        val wf = prn.putArray("writerFeatures")
+        Seq("appendOnly", "invariants", "deletionVectors").foreach(wf.add)
+      } else {
+        prn.put("minReaderVersion", 1)
+        prn.put("minWriterVersion", 2)
+      }
       lines += mapper.writeValueAsString(pr)
     }
 
@@ -208,26 +241,44 @@ final class DeltaLogMirror(
       case Some(man) =>
         if (v == 0L || man.schemaJson != state.schemaJson || man.properties != state.config)
           emitMetaData(man.schemaJson, man.properties)
+        // manifest DV entries → Delta descriptors ("p" storage: graft DV
+        // container files use the protocol's exact on-disk block layout, so
+        // an absolute path + offset is all an external reader needs)
+        val dvByPath: Map[String, DvDesc] = man.dirs.flatMap { d =>
+          d.dv.map { e =>
+            s"data/${d.dir}/${e.file}" -> DvDesc(
+              fsu.fs.makeQualified(
+                new HPath(tablePath, s"deletion_vectors/${e.bin}")).toString,
+              e.offset, e.size, e.cardinality)
+          }
+        }.toMap
         // target live set: reuse replayed entries for dirs already live
         // (immutable), list only unseen dirs from disk
-        val targetFiles = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+        val targetFiles = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Option[DvDesc])]()
         man.dirs.foreach { d =>
           val prefix = s"data/${d.dir}/"
-          val known = state.files.collect { case (p, sz) if p.startsWith(prefix) => (p, sz, 0L) }
+          val known = state.files.collect { case (p, fe) if p.startsWith(prefix) => (p, fe.size, 0L) }
           (if (known.nonEmpty) known.toSeq else listDir(d.dir)).foreach {
-            case (p, sz, mt) => targetFiles(p) = (sz, mt)
+            case (p, sz, mt) => targetFiles(p) = (sz, mt, dvByPath.get(p))
           }
         }
-        state.files.keysIterator.filterNot(targetFiles.contains).foreach { p =>
-          val rm = obj()
-          val rmn = rm.putObject("remove")
-          rmn.put("path", p)
-          rmn.put("deletionTimestamp", now)
-          rmn.put("dataChange", true)
-          lines += mapper.writeValueAsString(rm)
+        // a file whose DV changed is logically replaced: remove + re-add
+        // with the new descriptor (the Delta DV-commit shape)
+        state.files.foreach { case (p, fe) =>
+          val gone = !targetFiles.contains(p)
+          val dvChanged = targetFiles.get(p).exists(_._3 != fe.dv)
+          if (gone || dvChanged) {
+            val rm = obj()
+            val rmn = rm.putObject("remove")
+            rmn.put("path", p)
+            rmn.put("deletionTimestamp", now)
+            rmn.put("dataChange", true)
+            lines += mapper.writeValueAsString(rm)
+          }
         }
-        targetFiles.foreach { case (p, (sz, mt)) =>
-          if (!state.files.contains(p)) {
+        targetFiles.foreach { case (p, (sz, mt, dv)) =>
+          val prev = state.files.get(p)
+          if (prev.isEmpty || prev.exists(_.dv != dv)) {
             val ad = obj()
             val adn = ad.putObject("add")
             adn.put("path", p)
@@ -235,11 +286,21 @@ final class DeltaLogMirror(
             adn.put("size", sz)
             adn.put("modificationTime", if (mt > 0) mt else now)
             adn.put("dataChange", true)
+            dv.foreach { d =>
+              val dvn = adn.putObject("deletionVector")
+              dvn.put("storageType", "p")
+              dvn.put("pathOrInlineDv", d.path)
+              dvn.put("offset", d.offset)
+              dvn.put("sizeInBytes", d.size)
+              dvn.put("cardinality", d.card)
+            }
             lines += mapper.writeValueAsString(ad)
           }
         }
         state.copy(version = v, schemaJson = man.schemaJson,
-          config = man.properties, files = targetFiles.map { case (p, (sz, _)) => p -> sz }.toMap)
+          config = man.properties,
+          files = targetFiles.map { case (p, (sz, _, dv)) => p -> FileEntry(sz, dv) }.toMap,
+          dvProtocol = state.dvProtocol || upgradeDv)
     }
     fsu.mkdirs(logDir)
     fsu.writeStringAtomic(logPath(v), lines.mkString("\n"))
@@ -284,10 +345,19 @@ object DeltaLogMirror {
   /** The protocol checkpoint row schema (public Delta transaction protocol;
     * optional action columns omitted stay absent — readers treat missing
     * nullable columns as null). */
+  /** One live file of the mirrored state: size + optional DV descriptor. */
+  private[store] final case class FileEntry(size: Long, dv: Option[DvDesc])
+  /** A Delta deletion-vector descriptor as the mirror emits it ("p"
+    * storage: absolute container path + block offset/size/cardinality). */
+  private[store] final case class DvDesc(
+      path: String, offset: Int, size: Int, card: Long)
+
   private[store] val checkpointSchema: StructType = StructType(Seq(
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("name", StringType),
@@ -304,5 +374,11 @@ object DeltaLogMirror {
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType))))))
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType)))))))))
 }

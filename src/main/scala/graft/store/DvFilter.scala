@@ -1,0 +1,68 @@
+package graft.store
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row deletion-vector probe for the scan filter (the executor side of
+  * merge-on-read): `deleted(file_path, row_index)` against a broadcast-sized
+  * map of per-file sorted deleted-index arrays. Consecutive rows of a scan
+  * share their file path, so the map+key work runs once per file chunk via a
+  * thread-local memo; the per-row cost is one UTF8String byte-compare plus a
+  * binary search over that file's (small) DV. */
+final class DvProbe(map: java.util.HashMap[String, Array[Long]]) extends Serializable {
+  // (path, resolved array) of the previous row, per thread — UTF8String from
+  // the scan may wrap a reused buffer, so the memo key is a defensive copy
+  @transient private lazy val last: ThreadLocal[Array[AnyRef]] =
+    ThreadLocal.withInitial(() => new Array[AnyRef](2))
+
+  def deleted(path: UTF8String, rowIndex: Long): Boolean = {
+    val l = last.get()
+    val arr: Array[Long] =
+      if (l(0) != null && l(0).asInstanceOf[UTF8String].equals(path))
+        l(1).asInstanceOf[Array[Long]]
+      else {
+        val a = map.get(DeletionVectors.dirFileKey(path.toString))
+        l(0) = path.clone()
+        l(1) = a
+        a
+      }
+    arr != null && java.util.Arrays.binarySearch(arr, rowIndex) >= 0
+  }
+}
+
+/** `(file_path, row_index) → row is DV-deleted` as a codegen'd Catalyst
+  * predicate: the scan filter stays inside whole-stage codegen (one static
+  * call per row), unlike a Scala UDF which would box both inputs and break
+  * the codegen span around every DV'd table read. */
+case class DvRowDeleted(
+    left: Expression, right: Expression,
+    dvs: Map[String, Array[Long]]) extends BinaryExpression with Predicate {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_dv_deleted expects (string, bigint), got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def nullable: Boolean = false
+
+  @transient private lazy val probe: DvProbe = {
+    val m = new java.util.HashMap[String, Array[Long]](dvs.size * 2)
+    dvs.foreach { case (k, v) => m.put(k, v) }
+    new DvProbe(m)
+  }
+
+  override def nullSafeEval(p: Any, i: Any): Any =
+    probe.deleted(p.asInstanceOf[UTF8String], i.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dvProbe", probe, "graft.store.DvProbe")
+    defineCodeGen(ctx, ev, (p, i) => s"$ref.deleted($p, $i)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DvRowDeleted =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dv_deleted"
+}

@@ -45,6 +45,16 @@ final class VersionedTable(spark: SparkSession, val path: String)
   private val fsu = new Fs(spark, path)
   private val logDir: HPath = new HPath(path, "_graft_log")
   private val dataDir: HPath = new HPath(path, "data")
+  /** Deletion-vector container files (one per delete/merge commit). */
+  private val dvDir: HPath = new HPath(path, "deletion_vectors")
+  /** Decoded-DV cache: DV blocks are immutable once written (each belongs to
+    * exactly one commit), so decoded bitmaps are safe to reuse across reads
+    * and versions within this table handle. */
+  private val dvCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Long]]
+  private def dvIndexes(e: DvEntry): Array[Long] =
+    dvCache.getOrElseUpdate((e.bin, e.offset), DeletionVectors.loadBin(
+      fsu.fs, new HPath(dvDir, e.bin), e.offset, e.size, e.cardinality))
   /** Delta-protocol `_delta_log/` mirror: every manifest publish is also
     * emitted as a Delta commit so downstream Delta clients can open the
     * table directly (reference reader/spark_reader.py:307-324). */
@@ -72,8 +82,12 @@ final class VersionedTable(spark: SparkSession, val path: String)
     val node = mapper.readTree(fsu.readString(manifestPath(v)))
     val dirs = node.get("dirs").elements().asScala.map { d =>
       val schemaJson = d.get("schema").asText()
+      val dv = Option(d.get("dv")).map(_.elements().asScala.map { e =>
+        DvEntry(e.get("file").asText(), e.get("bin").asText(),
+          e.get("offset").asInt(), e.get("size").asInt(), e.get("card").asLong())
+      }.toSeq).getOrElse(Nil)
       DataDir(d.get("dir").asText(), schemaJson,
-        DirStats.read(d, DataType.fromJson(schemaJson).asInstanceOf[StructType]))
+        DirStats.read(d, DataType.fromJson(schemaJson).asInstanceOf[StructType]), dv)
     }.toSeq
     val props = Option(node.get("properties")).map { pn =>
       pn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
@@ -107,6 +121,15 @@ final class VersionedTable(spark: SparkSession, val path: String)
     m.dirs.foreach { d =>
       val o = arr.addObject(); o.put("dir", d.dir); o.put("schema", d.schemaJson)
       d.stats.foreach(DirStats.write(o, _))
+      if (d.dv.nonEmpty) {
+        val dvArr = o.putArray("dv")
+        d.dv.foreach { e =>
+          val eo = dvArr.addObject()
+          eo.put("file", e.file); eo.put("bin", e.bin)
+          eo.put("offset", e.offset); eo.put("size", e.size)
+          eo.put("card", e.cardinality)
+        }
+      }
     }
     if (m.properties.nonEmpty) {
       val pn = root.putObject("properties")
@@ -171,7 +194,9 @@ final class VersionedTable(spark: SparkSession, val path: String)
       .collect { case ManifestName(v) => v.toLong }.sorted.reverse
       .map(readManifest)
       .map { m =>
-        val rows = m.dirs.flatMap(_.stats.map(_.rows))
+        // stats row counts are physical; DV'd rows are logically gone
+        val rows = m.dirs.flatMap(d =>
+          d.stats.map(_.rows - d.dv.map(_.cardinality).sum))
         val bytes = m.dirs.flatMap(_.stats.map(_.bytes))
         (m.version, new java.sql.Timestamp(m.tsMs),
           if (m.op.nonEmpty) m.op else null,
@@ -298,10 +323,13 @@ final class VersionedTable(spark: SparkSession, val path: String)
 
   private def scanDirs(
       dirs: Seq[DataDir], logical: StructType,
-      withDirCol: Boolean = false): DataFrame = {
+      withDirCol: Boolean = false, withFilePos: Boolean = false): DataFrame = {
     if (dirs.isEmpty) {
-      return emptyDf(if (withDirCol)
-        StructType(logical.fields :+ StructField(DirCol, StringType)) else logical)
+      var s = logical
+      if (withDirCol) s = StructType(s.fields :+ StructField(DirCol, StringType))
+      if (withFilePos) s = StructType(s.fields ++
+        Seq(StructField(FileKeyCol, StringType), StructField(RowIdxCol, LongType)))
+      return emptyDf(s)
     }
     // One FileScan per distinct physical schema generation; columns added by
     // later drift read as NULL for older generations, then align + union.
@@ -311,13 +339,32 @@ final class VersionedTable(spark: SparkSession, val path: String)
     // pruned dirs are never even listed (the delta-spark architecture).
     val scans = dirs.groupBy(_.schemaJson).map { case (schemaJson, ds) =>
       val phys = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-      val df = org.apache.spark.sql.graft.GraftFileIndex.scan(
+      val scanned = org.apache.spark.sql.graft.GraftFileIndex.scan(
         spark, path, ds.map(d => d.dir -> d.stats), phys)
+      // merge-on-read: rows marked deleted by this version's deletion
+      // vectors are dropped via the parquet reader's own _metadata.row_index
+      // and a codegen'd probe over the (driver-decoded, broadcast-sized)
+      // bitmaps — the delta-spark DV read shape. Stats pruning above stays
+      // sound: a DV'd dir's min/max/nullCount describe a SUPERSET of its
+      // live rows, so pruning only ever keeps extra dirs, never drops rows.
+      val dvMap: Map[String, Array[Long]] = ds.iterator.flatMap(d =>
+        d.dv.map(e => s"${d.dir}/${e.file}" -> dvIndexes(e))).toMap
+      val df =
+        if (dvMap.isEmpty) scanned
+        else scanned.filter(!org.apache.spark.sql.graft.Bridge.column(DvRowDeleted(
+          org.apache.spark.sql.graft.Bridge.expression(col("_metadata.file_path")),
+          org.apache.spark.sql.graft.Bridge.expression(col("_metadata.row_index")),
+          dvMap)))
       val cols = alignCols(df, logical) ++ (if (withDirCol)
         // originating data dir from the file-source metadata column — no
         // extra scan, prunes away when unused
         Seq(regexp_extract(col("_metadata.file_path"),
-          "/data/([^/]+)/[^/]*$", 1).as(DirCol)) else Nil)
+          "/data/([^/]+)/[^/]*$", 1).as(DirCol)) else Nil) ++ (if (withFilePos)
+        // row provenance for deletion-vector writes: "<dir>/<file>" key +
+        // physical row index within the file
+        Seq(regexp_extract(col("_metadata.file_path"),
+            "/data/([^/]+/[^/]+)$", 1).as(FileKeyCol),
+          col("_metadata.row_index").as(RowIdxCol)) else Nil)
       df.select(cols: _*)
     }.toSeq
     scans.reduce(_.unionByName(_))
@@ -462,7 +509,8 @@ final class VersionedTable(spark: SparkSession, val path: String)
     * touching 1% of keys rewrites ~1% of a 100 TB table instead of all of it.
     */
   def merge(src: DataFrame, pkCols: Seq[String],
-      drift: SchemaDrift = SchemaDrift.NewOnly): Long = {
+      drift: SchemaDrift = SchemaDrift.NewOnly,
+      useDeletionVectors: Boolean = false): Long = {
     if (!exists) return overwrite(src)
     val m = readManifest(requireVersion)
     val logical = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -488,11 +536,8 @@ final class VersionedTable(spark: SparkSession, val path: String)
     val (touched, untouched) = m.dirs.partition(d => hit(d.dir))
     val merged = SchemaEvolution.merge(logical,
       SchemaEvolution.relaxNullable(src.schema), drift)
-    val kept = scanDirs(touched, logical).join(srcPks, pkCols, "left_anti")
-    val out = align(kept, merged).unionByName(align(src, merged))
     val nextV = m.version + 1
     val dirName = f"v$nextV%010d-${UUID.randomUUID().toString.take(8)}"
-    val newDir = writeDataDir(out, merged, dirName)
     // Change-data feed (Delta's delta.enableChangeDataFeed): when the table
     // property is set, the merge also materializes its row-level changes —
     // matched rows as update_preimage/update_postimage pairs, unmatched
@@ -514,9 +559,108 @@ final class VersionedTable(spark: SparkSession, val path: String)
       changes.write.mode("overwrite").parquet(s"$path/_change_data/$dirName")
       Some(dirName)
     }
-    writeManifest(Manifest(nextV, untouched :+ newDir, merged.json, m.properties,
+    val dirsOut =
+      if (useDeletionVectors) {
+        // merge-on-read (Delta's DV merge): matched rows are marked in
+        // per-file deletion vectors instead of rewriting the touched dirs —
+        // the write cost is the source batch plus small bitmap files,
+        // independent of how many table files the matches land in. The
+        // read-side cost is the codegen'd DV probe until the next
+        // optimize() rewrites the dirs clean.
+        val marked = scanDirs(touched, logical, withFilePos = true)
+          .join(srcPks, pkCols, "left_semi")
+          .select(col(FileKeyCol), col(RowIdxCol))
+        dvDeletes(m.dirs, marked, nextV).getOrElse(m.dirs) :+
+          writeDataDir(align(src, merged), merged, dirName)
+      } else {
+        val kept = scanDirs(touched, logical).join(srcPks, pkCols, "left_anti")
+        val out = align(kept, merged).unionByName(align(src, merged))
+        untouched :+ writeDataDir(out, merged, dirName)
+      }
+    writeManifest(Manifest(nextV, dirsOut, merged.json, m.properties,
       op = "merge", changeDir = changeDir))
     nextV
+  }
+
+  /** Row-level DELETE WHERE as merge-on-read (the Delta deletion-vector
+    * DELETE; beyond the reference, which delegates deletes to delta-rs
+    * copy-on-write): rows matching `cond` are marked in per-file roaring
+    * bitmaps and NO data file is rewritten — a delete touching 0.1% of rows
+    * spread over every file of a 100 TB table writes kilobytes of bitmaps,
+    * not 100 TB of parquet. Dir-stats pruning bounds the scan to dirs that
+    * can contain matches; subsequent reads drop marked rows via the
+    * codegen'd [[DvRowDeleted]] probe; [[optimize]] rewrites dirs clean
+    * (rows physically gone, DVs dropped). With [[CdfProp]] set, the deleted
+    * rows are also materialized as `_change_type = "delete"` change rows.
+    * Returns the new version, or the CURRENT version (no commit) when
+    * nothing matched. */
+  def delete(cond: org.apache.spark.sql.Column): Long = {
+    val m = readManifest(requireVersion)
+    val logical = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val candidates = pruneDirs(m, cond)
+    val marked = scanDirs(candidates, logical, withFilePos = true)
+      .filter(cond).select(col(FileKeyCol), col(RowIdxCol))
+    val nextV = m.version + 1
+    dvDeletes(m.dirs, marked, nextV) match {
+      case None => m.version // nothing matched: no-op, no commit
+      case Some(newDirs) =>
+        val changeDir = if (!m.properties.get(CdfProp).contains("true")) None else {
+          val cd = f"v$nextV%010d-${UUID.randomUUID().toString.take(8)}"
+          // one extra pass over the candidate dirs only (pre-commit state,
+          // so the DV filter still shows the rows being deleted)
+          scanDirs(candidates, logical).filter(cond)
+            .withColumn(ChangeTypeCol, lit("delete"))
+            .write.mode("overwrite").parquet(s"$path/_change_data/$cd")
+          Some(cd)
+        }
+        writeManifest(Manifest(nextV, newDirs, m.schemaJson, m.properties,
+          op = "delete", changeDir = changeDir))
+        nextV
+    }
+  }
+
+  /** Encode + publish deletion vectors for `marked` (file key, row index)
+    * rows: per-file bitmaps are built and roaring-encoded ON EXECUTORS (the
+    * driver only ever sees the compressed bytes — bounded by design, DVs
+    * are small or the caller should rewrite instead), unioned with any
+    * existing DV of the same file (scans filter DV'd rows, so new indexes
+    * are disjoint from old by construction), and written into ONE container
+    * file for the whole commit. Returns the full dir list with updated
+    * entries, or None when `marked` is empty. */
+  private def dvDeletes(
+      dirs: Seq[DataDir], marked: DataFrame, nextV: Long): Option[Seq[DataDir]] = {
+    import spark.implicits._
+    val existing: Map[String, Array[Long]] = dirs.iterator.flatMap(d =>
+      d.dv.map(e => s"${d.dir}/${e.file}" -> dvIndexes(e))).toMap
+    val bc = spark.sparkContext.broadcast(existing)
+    val perFile: Array[(String, Array[Byte], Long)] = marked
+      .groupBy(col(FileKeyCol)).agg(
+        sort_array(collect_list(col(RowIdxCol))).as("idxs"))
+      .as[(String, Seq[Long])]
+      .map { case (key, idxs) =>
+        val all = DeletionVectors.union(
+          bc.value.getOrElse(key, Array.emptyLongArray), idxs.toArray)
+        (key, DeletionVectors.encode(all), all.length.toLong)
+      }.collect().sortBy(_._1)
+    if (perFile.isEmpty) return None
+    val binName = f"v$nextV%010d-${UUID.randomUUID().toString.take(8)}.bin"
+    fsu.mkdirs(dvDir)
+    val offs = DeletionVectors.writeBin(
+      fsu.fs, new HPath(dvDir, binName), perFile.map(_._2).toSeq)
+    val byDir: Map[String, Seq[DvEntry]] = perFile.zip(offs).map {
+      case ((key, _, card), (off, size)) =>
+        val slash = key.indexOf('/')
+        (key.substring(0, slash),
+          DvEntry(key.substring(slash + 1), binName, off, size, card))
+    }.groupBy(_._1).map { case (d, es) => d -> es.map(_._2).toSeq }
+    Some(dirs.map { d =>
+      byDir.get(d.dir) match {
+        case None => d
+        case Some(mine) =>
+          val replaced = mine.map(_.file).toSet
+          d.copy(dv = d.dv.filterNot(e => replaced(e.file)) ++ mine)
+      }
+    })
   }
 
   /** Write one data dir, collecting per-column min/max/nullCount stats on an
@@ -731,6 +875,11 @@ final class VersionedTable(spark: SparkSession, val path: String)
     fsu.list(dataDir).foreach { d =>
       if (!live(d.getName)) fsu.delete(d, recursive = true)
     }
+    // deletion-vector container files referenced by no kept manifest go too
+    val liveBins: Set[String] = kept.flatMap(_.dirs.flatMap(_.dv.map(_.bin))).toSet
+    if (fsu.exists(dvDir)) fsu.list(dvDir).foreach { f =>
+      if (!liveBins(f.getName)) fsu.deleteIfExists(f)
+    }
     // change-data dirs of vacuumed commits go with them
     val liveChanges: Set[String] = kept.flatMap(_.changeDir).toSet
     val cdDir = new HPath(path, "_change_data")
@@ -752,6 +901,9 @@ object VersionedTable {
   private val ManifestName = """v(\d{10})\.json""".r
   /** Internal column carrying a row's originating data dir in pruning scans. */
   private val DirCol = "__graft_dir"
+  /** Internal columns carrying row provenance for deletion-vector writes. */
+  private val FileKeyCol = "__graft_file"
+  private val RowIdxCol = "__graft_row_idx"
   /** Internal columns used only inside [[VersionedTable.optimize]]. */
   private val ChunkCol = "__gchunk"
   private val ZCol = "__gz"
@@ -765,8 +917,15 @@ object VersionedTable {
   val CdfProp = "graft.enableChangeDataFeed"
   private[store] val mapper = new ObjectMapper()
 
+  /** One parquet file's deletion vector inside a data dir: `file` is the
+    * parquet file name, `bin` the DV container file under
+    * `deletion_vectors/`, and (offset, size, cardinality) locate + describe
+    * the bitmap exactly as a Delta add-action descriptor would. */
+  private[store] final case class DvEntry(
+      file: String, bin: String, offset: Int, size: Int, cardinality: Long)
   private[store] final case class DataDir(
-      dir: String, schemaJson: String, stats: Option[DirStats.Stats] = None)
+      dir: String, schemaJson: String, stats: Option[DirStats.Stats] = None,
+      dv: Seq[DvEntry] = Nil)
   private[store] final case class Manifest(
       version: Long, dirs: Seq[DataDir], schemaJson: String,
       properties: Map[String, String] = Map.empty,

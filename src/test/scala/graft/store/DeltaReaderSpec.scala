@@ -146,11 +146,11 @@ class DeltaReaderSpec extends SparkSuite {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     val cpRows: Seq[Row] = Seq(
-      Row(Row(1, 2), null, null),
+      Row(Row(1, 2, null, null), null, null),
       Row(null, Row("fix-1", null, null, Row("parquet", Map.empty[String, String]),
         fixtureSchema.json, Seq.empty[String], Map.empty[String, String], 1L), null),
-      Row(null, null, Row(f1, Map.empty[String, String], s1, 2000L, false)),
-      Row(null, null, Row(f2, Map.empty[String, String], s2, 3000L, false)))
+      Row(null, null, Row(f1, Map.empty[String, String], s1, 2000L, false, null)),
+      Row(null, null, Row(f2, Map.empty[String, String], s2, 3000L, false, null)))
     val cpDf = spark.createDataFrame(cpRows.asJava, DeltaLogMirror.checkpointSchema).coalesce(1)
     val cpStage = tmpDir("dt-cpstage")
     cpDf.write.mode("overwrite").parquet(cpStage)
@@ -263,8 +263,8 @@ class DeltaReaderSpec extends SparkSuite {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     val sideRows = Seq(
-      Row(null, null, Row(f0, Map.empty[String, String], s0, 1000L, false)),
-      Row(null, null, Row(f1, Map.empty[String, String], s1, 2000L, false)))
+      Row(null, null, Row(f0, Map.empty[String, String], s0, 1000L, false, null)),
+      Row(null, null, Row(f1, Map.empty[String, String], s1, 2000L, false, null)))
     val sideDf = spark.createDataFrame(sideRows.asJava, DeltaLogMirror.checkpointSchema)
       .coalesce(1)
     val stage = tmpDir("dt-v2j-stage")
@@ -310,7 +310,7 @@ class DeltaReaderSpec extends SparkSuite {
       DeltaLogMirror.checkpointSchema.fields.toSeq :+ StructField("sidecar", sidecarT))
     // sidecar file itself uses the plain action shape
     val sideDf = spark.createDataFrame(
-      Seq(Row(null, null, Row(f0, Map.empty[String, String], s0, 1000L, false))).asJava,
+      Seq(Row(null, null, Row(f0, Map.empty[String, String], s0, 1000L, false, null))).asJava,
       DeltaLogMirror.checkpointSchema).coalesce(1)
     val stage = tmpDir("dt-v2p-stage")
     sideDf.write.mode("overwrite").parquet(stage)
@@ -320,7 +320,7 @@ class DeltaReaderSpec extends SparkSuite {
     val sideName = "00001-cccc-dddd.parquet"
     Files.move(sidePart.toPath, java.nio.file.Paths.get(s"$log/_sidecars/$sideName"))
     val manifestRows = Seq(
-      Row(Row(3, 7), null, null, null),
+      Row(Row(3, 7, null, null), null, null, null),
       Row(null, Row("fix-2", null, null, Row("parquet", Map.empty[String, String]),
         fixtureSchema.json, Seq.empty[String], Map.empty[String, String], 1L), null, null),
       Row(null, null, null, Row(sideName, 1234L, 2000L)))
