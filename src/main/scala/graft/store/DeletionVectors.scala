@@ -73,6 +73,34 @@ object DeletionVectors {
     out
   }
 
+  /** Z85 encode (inverse of [[z85Decode]]): 4 bytes → 5 chars. The input
+    * length must be a multiple of 4 (a 16-byte UUID encodes to 20 chars —
+    * the "u"-storage reference form). */
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, s"z85 input length ${bytes.length} not a multiple of 4")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      var div = 85L * 85 * 85 * 85
+      while (div >= 1) { sb.append(Z85Chars(((v / div) % 85).toInt)); div /= 85 }
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** "u"-storage reference (the 20-char Z85 of the UUID, no prefix) and the
+    * on-disk file name for a fresh deletion-vector container file. */
+  def newUuidRef(): (String, String) = {
+    val uuid = java.util.UUID.randomUUID()
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    (z85Encode(bb.array()), s"deletion_vector_$uuid.bin")
+  }
+
   /** "u"-storage path: [prefix]<20-char z85 uuid> →
     * `<table>/[prefix/]deletion_vector_<uuid>.bin`. */
   def uuidPath(tableRoot: HPath, pathOrInlineDv: String): HPath = {

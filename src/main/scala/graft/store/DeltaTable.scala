@@ -110,7 +110,25 @@ object DeltaTable {
   def read(
       spark: SparkSession, path: String,
       versionAsOf: Option[Long] = None,
-      timestampAsOf: Option[Long] = None): DataFrame = {
+      timestampAsOf: Option[Long] = None): DataFrame =
+    readInternal(spark, path, versionAsOf, timestampAsOf, withFilePos = false)
+
+  /** Provenance columns [[readWithFilePos]] appends after the logical ones:
+    * scanned file URI + physical row index within it. */
+  private[store] val FilePathCol = "__delta_file"
+  private[store] val RowIndexCol = "__delta_row_idx"
+
+  /** [[read]] plus per-row file provenance (`__delta_file` = scanned file
+    * URI, `__delta_row_idx` = physical row index) — what the foreign
+    * writer's deletion-vector DELETE needs to mark rows. */
+  private[store] def readWithFilePos(spark: SparkSession, path: String): DataFrame =
+    readInternal(spark, path, None, None, withFilePos = true)
+
+  private def readInternal(
+      spark: SparkSession, path: String,
+      versionAsOf: Option[Long],
+      timestampAsOf: Option[Long],
+      withFilePos: Boolean): DataFrame = {
     val snap = snapshot(spark, path, versionAsOf, timestampAsOf)
     // Column mapping (PROTOCOL.md "Column Mapping"): the logical schema
     // lives in schemaString field NAMES; partition-value keys and stats
@@ -193,12 +211,16 @@ object DeltaTable {
         }
         scanned.where(live(col("_metadata.file_path"), col("_metadata.row_index")))
       }
-    withDv.select(snap.schema.fields.map { f =>
-        val c = col(s"`${physName(f)}`")
-        val pt = physType(f.dataType)
-        // nested physical names rename via a same-typed positional cast
-        (if (pt == f.dataType) c else c.cast(f.dataType)).as(f.name)
-      }.toSeq: _*)
+    val logicalCols = snap.schema.fields.map { f =>
+      val c = col(s"`${physName(f)}`")
+      val pt = physType(f.dataType)
+      // nested physical names rename via a same-typed positional cast
+      (if (pt == f.dataType) c else c.cast(f.dataType)).as(f.name)
+    }.toSeq
+    val extra = if (!withFilePos) Nil else Seq(
+      col("_metadata.file_path").as(FilePathCol),
+      col("_metadata.row_index").as(RowIndexCol))
+    withDv.select(logicalCols ++ extra: _*)
   }
 
   /** Resolve the target version's live state from the log: newest classic
@@ -466,7 +488,7 @@ object DeltaTable {
 
   /** Log paths are percent-encoded relative URIs (or absolute URIs for
     * shallow clones) — PROTOCOL.md "Add File and Remove File". */
-  private def resolvePath(root: HPath, raw: String): HPath = {
+  private[store] def resolvePath(root: HPath, raw: String): HPath = {
     val u = new java.net.URI(raw)
     if (u.isAbsolute) new HPath(u) else new HPath(root, u.getPath)
   }

@@ -107,17 +107,159 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
   def overwrite(df: DataFrame, drift: SchemaDrift = SchemaDrift.Full): Long =
     commitWrite(df, drift, overwrite = true)
 
+  /** Row-level DELETE WHERE on the FOREIGN table via real Delta deletion
+    * vectors (merge-on-read, the delta-spark DV-delete shape): matching
+    * rows are marked in per-file roaring bitmaps written to a
+    * `deletion_vector_<uuid>.bin` container at the table root ("u"
+    * storage), and each affected file is removed + re-added with the new
+    * descriptor — no parquet file is rewritten, partition values and stats
+    * carry over verbatim (physical numRecords and loose-but-valid bounds,
+    * the semantics every Delta reader applies to DV'd adds). Existing DVs
+    * union in (the scan already hides their rows, so new indexes are
+    * disjoint by construction).
+    *
+    * Protocol: requires `deletionVectors` in BOTH feature lists. When the
+    * table doesn't have it, refuses unless `allowProtocolUpgrade = true` —
+    * upgrading a FOREIGN table's protocol can lock out its other, older
+    * readers, a call its owner must make, not a migration tool. The
+    * upgrade emits (3,7) with the legacy-implied writer features of the
+    * previous protocol version plus deletionVectors, in the same commit.
+    *
+    * Concurrency: single optimistic attempt — a lost version race aborts
+    * (row-level conflict detection against an unknown concurrent commit is
+    * not decidable from the version number alone; delta-spark aborts
+    * conflicting DV deletes the same way). Re-run to retry.
+    *
+    * Returns the committed version, or the CURRENT version (no commit)
+    * when nothing matched. */
+  def deleteWhere(cond: Column, allowProtocolUpgrade: Boolean = false): Long = {
+    val s = snap
+    validateWritable(s, forOverwrite = false)
+    if (s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+      refuse("delta.appendOnly table — DELETE refused")
+    val hasDv = s.readerFeatures.contains("deletionVectors") &&
+      s.writerFeatures.contains("deletionVectors")
+    if (!hasDv && !allowProtocolUpgrade)
+      refuse("protocol does not list the deletionVectors feature — pass " +
+        "allowProtocolUpgrade=true to upgrade it (may lock out older readers)")
+
+    // matching rows → (file URI path, sorted row indexes); encode the
+    // bitmaps ON EXECUTORS, driver collects only compressed bytes
+    import spark.implicits._
+    val root = new HPath(path)
+    val addByAbs: Map[String, DeltaTable.Add] = s.adds.map(a =>
+      DeltaTable.resolvePath(root, a.rawPath).toUri.getPath -> a).toMap
+    val existing: Map[String, Array[Long]] = s.adds.flatMap { a =>
+      a.dv.map(d => DeltaTable.resolvePath(root, a.rawPath).toUri.getPath ->
+        DeletionVectors.load(fsu.fs, root, d))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(existing)
+    val perFile: Array[(String, Array[Byte], Long)] =
+      DeltaTable.readWithFilePos(spark, path).filter(cond)
+        .select(col(DeltaTable.FilePathCol), col(DeltaTable.RowIndexCol))
+        .groupBy(col(DeltaTable.FilePathCol))
+        .agg(sort_array(collect_list(col(DeltaTable.RowIndexCol))).as("idxs"))
+        .as[(String, Seq[Long])]
+        .map { case (uri, idxs) =>
+          val abs = new java.net.URI(uri).getPath
+          val all = DeletionVectors.union(
+            bc.value.getOrElse(abs, Array.emptyLongArray), idxs.toArray)
+          (abs, DeletionVectors.encode(all), all.length.toLong)
+        }.collect().sortBy(_._1)
+    if (perFile.isEmpty) return s.version
+
+    // one container file for the whole commit, protocol "u" layout
+    val (uuidRef, binName) = DeletionVectors.newUuidRef()
+    val offs = DeletionVectors.writeBin(
+      fsu.fs, new HPath(root, binName), perFile.map(_._2).toSeq)
+
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    def obj() = mapper.createObjectNode()
+    val ci = obj()
+    val cin = ci.putObject("commitInfo")
+    cin.put("timestamp", now)
+    cin.put("operation", "DELETE")
+    cin.putObject("operationParameters")
+    cin.put("engineInfo", "graft-foreign-delta-writer")
+    lines += mapper.writeValueAsString(ci)
+    if (!hasDv) {
+      // (3,7) with the legacy protocol's implied writer features listed,
+      // so the feature set stays complete after the upgrade
+      val implied = s.minWriterVersion match {
+        case v if v >= 7 => s.writerFeatures
+        case v =>
+          (if (v >= 2) Seq("appendOnly", "invariants") else Nil) ++
+            (if (v >= 3) Seq("checkConstraints") else Nil) ++
+            (if (v >= 4) Seq("changeDataFeed", "generatedColumns") else Nil)
+      }
+      val pr = obj()
+      val prn = pr.putObject("protocol")
+      prn.put("minReaderVersion", 3)
+      prn.put("minWriterVersion", 7)
+      val rf = prn.putArray("readerFeatures")
+      ((if (s.minReaderVersion >= 3) s.readerFeatures else Nil) :+
+        "deletionVectors").distinct.foreach(rf.add)
+      val wf = prn.putArray("writerFeatures")
+      (implied :+ "deletionVectors").distinct.foreach(wf.add)
+      lines += mapper.writeValueAsString(pr)
+    }
+    perFile.zip(offs).foreach { case ((abs, _, card), (off, size)) =>
+      val add = addByAbs.getOrElse(abs, throw new IllegalStateException(
+        s"scanned file $abs not in the snapshot's add set"))
+      val rm = obj()
+      val rmn = rm.putObject("remove")
+      rmn.put("path", add.rawPath)
+      rmn.put("deletionTimestamp", now)
+      rmn.put("dataChange", true)
+      lines += mapper.writeValueAsString(rm)
+      val ad = obj()
+      val adn = ad.putObject("add")
+      adn.put("path", add.rawPath)
+      val pvn = adn.putObject("partitionValues")
+      add.partitionValues.foreach {
+        case (k, Some(v)) => pvn.put(k, v): Unit
+        case (k, None) => pvn.putNull(k): Unit
+      }
+      adn.put("size", add.size)
+      adn.put("modificationTime", add.mtime)
+      adn.put("dataChange", true)
+      add.statsJson.foreach(adn.put("stats", _))
+      val dvn = adn.putObject("deletionVector")
+      dvn.put("storageType", "u")
+      dvn.put("pathOrInlineDv", uuidRef)
+      dvn.put("offset", off)
+      dvn.put("sizeInBytes", size)
+      dvn.put("cardinality", card)
+      lines += mapper.writeValueAsString(ad)
+    }
+    val v = s.version + 1
+    try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        fsu.deleteIfExists(new HPath(root, binName))
+        throw new java.util.ConcurrentModificationException(
+          s"lost the commit race on Delta table $path at version $v — " +
+            "re-run the delete against the fresh snapshot")
+    }
+    if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
+    v
+  }
+
   // --------------------------------------------------------------- internals
 
   private def refuse(msg: String): Nothing =
     throw new UnsupportedOperationException(
       s"cannot write external Delta table $path: $msg")
 
-  /** Benign writer features: capabilities whose obligations an append-only
-    * plain-parquet writer already satisfies (invariants only when none is
-    * defined in the schema — checked separately). */
+  /** Benign writer features: capabilities whose obligations this writer
+    * already satisfies (invariants only when none is defined in the
+    * schema — checked separately; deletionVectors because appends never
+    * touch existing DVs and [[deleteWhere]] writes protocol-correct ones). */
   private val BenignWriterFeatures =
-    Set("appendOnly", "invariants", "vacuumProtocolCheck", "timestampNtz")
+    Set("appendOnly", "invariants", "vacuumProtocolCheck", "timestampNtz",
+      "deletionVectors")
 
   private def validateWritable(s: DeltaTable.Snapshot, forOverwrite: Boolean): Unit = {
     val cm = s.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -438,7 +580,30 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       case (rel, mt) if mt < keepSince && !live.contains(rel) &&
         !tombstoned.contains(rel) => rel
     }
-    val doomed = (expired ++ orphans).distinct
+    // dead deletion-vector containers: `.bin` files no LIVE add's descriptor
+    // references, older than retention (a later delete supersedes the old
+    // container with a new one; delta-spark's vacuum sweeps these too)
+    val liveDvs: Set[String] = s.adds.flatMap(_.dv).flatMap { d =>
+      d.storageType match {
+        case "u" => relOf(fsu.fs.makeQualified(
+          DeletionVectors.uuidPath(root, d.pathOrInlineDv)).toUri.toString)
+        case "p" => relOf(d.pathOrInlineDv)
+        case _ => None // "i": inline, nothing on disk
+      }
+    }.toSet
+    def walkBins(p: HPath, prefix: String): Seq[(String, Long)] =
+      fsu.fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n == "_delta_log" || n.startsWith(".")) Nil
+        else if (st.isDirectory) walkBins(st.getPath, s"$prefix$n/")
+        else if (n.startsWith("deletion_vector_") && n.endsWith(".bin"))
+          Seq((s"$prefix$n", st.getModificationTime))
+        else Nil
+      }
+    val deadBins = walkBins(root, "").collect {
+      case (rel, mt) if mt < keepSince && !liveDvs.contains(rel) => rel
+    }
+    val doomed = (expired ++ orphans ++ deadBins).distinct
     if (!dryRun) doomed.foreach { rel =>
       fsu.deleteIfExists(new HPath(root, rel)): Unit
     }
