@@ -204,12 +204,13 @@ object DeltaTable {
           resolvePath(root, a.rawPath).toUri.getPath ->
             DeletionVectors.load(fs, root, a.dv.get)
         }.toMap
-        val bc = spark.sparkContext.broadcast(deleted)
-        val live = org.apache.spark.sql.functions.udf { (p: String, i: Long) =>
-          !bc.value.get(new HPath(p).toUri.getPath)
-            .exists(arr => java.util.Arrays.binarySearch(arr, i) >= 0)
-        }
-        scanned.where(live(col("_metadata.file_path"), col("_metadata.row_index")))
+        // codegen'd probe (same expression the graft-native scan uses,
+        // URI-path keyed) — a Scala UDF here would box both inputs and
+        // split the whole-stage-codegen span around every DV'd table read
+        scanned.filter(!org.apache.spark.sql.graft.Bridge.column(DvRowDeleted(
+          org.apache.spark.sql.graft.Bridge.expression(col("_metadata.file_path")),
+          org.apache.spark.sql.graft.Bridge.expression(col("_metadata.row_index")),
+          deleted, uriKeys = true)))
       }
     val logicalCols = snap.schema.fields.map { f =>
       val c = col(s"`${physName(f)}`")

@@ -12,7 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * share their file path, so the map+key work runs once per file chunk via a
   * thread-local memo; the per-row cost is one UTF8String byte-compare plus a
   * binary search over that file's (small) DV. */
-final class DvProbe(map: java.util.HashMap[String, Array[Long]]) extends Serializable {
+final class DvProbe(
+    map: java.util.HashMap[String, Array[Long]],
+    uriKeys: Boolean) extends Serializable {
   // (path, resolved array) of the previous row, per thread — UTF8String from
   // the scan may wrap a reused buffer, so the memo key is a defensive copy
   @transient private lazy val last: ThreadLocal[Array[AnyRef]] =
@@ -24,7 +26,14 @@ final class DvProbe(map: java.util.HashMap[String, Array[Long]]) extends Seriali
       if (l(0) != null && l(0).asInstanceOf[UTF8String].equals(path))
         l(1).asInstanceOf[Array[Long]]
       else {
-        val a = map.get(DeletionVectors.dirFileKey(path.toString))
+        // graft-native tables key by "<dir>/<file>"; external Delta tables
+        // key by the decoded URI path (scheme-insensitive — log rawPaths
+        // are percent-encoded URIs, scan paths carry the fs scheme)
+        val key =
+          if (uriKeys)
+            new org.apache.hadoop.fs.Path(path.toString).toUri.getPath
+          else DeletionVectors.dirFileKey(path.toString)
+        val a = map.get(key)
         l(0) = path.clone()
         l(1) = a
         a
@@ -39,7 +48,8 @@ final class DvProbe(map: java.util.HashMap[String, Array[Long]]) extends Seriali
   * the codegen span around every DV'd table read. */
 case class DvRowDeleted(
     left: Expression, right: Expression,
-    dvs: Map[String, Array[Long]]) extends BinaryExpression with Predicate {
+    dvs: Map[String, Array[Long]],
+    uriKeys: Boolean = false) extends BinaryExpression with Predicate {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
@@ -51,7 +61,7 @@ case class DvRowDeleted(
   @transient private lazy val probe: DvProbe = {
     val m = new java.util.HashMap[String, Array[Long]](dvs.size * 2)
     dvs.foreach { case (k, v) => m.put(k, v) }
-    new DvProbe(m)
+    new DvProbe(m, uriKeys)
   }
 
   override def nullSafeEval(p: Any, i: Any): Any =

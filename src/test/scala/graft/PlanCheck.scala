@@ -112,6 +112,22 @@ object PlanCheck {
       println(f"${if (pass) "PASS" else "FAIL"}  dedup_exact_probe      history probed via broadcast semi/anti — never sort-merge-shuffled")
     }
 
+    // deletion-vector read: the probe must print under a WholeStageCodegen
+    // node (the `*(n)` prefix on its Filter line) in the FINALIZED adaptive
+    // plan — a regression to a UDF or interpreted predicate would split the
+    // span and box every scanned row of a DV'd table (needs execution: AQE
+    // only assigns codegen ids once stages finalize)
+    locally {
+      val df = fns("store_dv_delete")(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val pass = p.linesIterator.exists(l =>
+        l.contains("graft_dv_deleted") &&
+          """\*\(\d+\) Filter""".r.findFirstIn(l).isDefined)
+      if (!pass) failed += 1
+      println(f"${if (pass) "PASS" else "FAIL"}  store_dv_delete        DV probe codegen'd inside the scan stage (no UDF codegen break)")
+    }
+
     // runtime pruning counter: execute the skipping query and ask the index
     // how many dirs the pushed dataFilters kept (transparent-path check)
     locally {
