@@ -22,14 +22,18 @@ import graft.SchemaDrift
   * both claim a version. The original Delta readers keep working on the
   * combined history; graft keeps syncing into it.
   *
-  * Scope (refusals are LOUD, never silent misreads): unpartitioned tables
-  * with writer protocol ≤ 4 and none of CDF / CHECK constraints /
-  * generated columns / identity columns / column mapping active; protocol
-  * 7 tables whose writerFeatures are all benign (appendOnly, invariants —
-  * when no invariant is actually defined — vacuumProtocolCheck,
-  * timestampNtz). `delta.appendOnly` tables accept appends but refuse
-  * overwrite. Deletion vectors on EXISTING files are fine (append never
-  * touches them; overwrite removes whole files).
+  * Scope (refusals are LOUD, never silent misreads): partitioned and
+  * unpartitioned tables, column mapping in BOTH modes (physical column
+  * names — parquet field ids in id mode — in the data files, physically
+  * keyed stats/partitionValues; schema DRIFT under mapping refuses, since
+  * new columns need fresh mapping ids only the table owner should assign),
+  * deletion vectors (existing DVs read; [[deleteWhere]] writes
+  * protocol-correct ones), writer protocol ≤ 6 or protocol-7 tables whose
+  * writerFeatures are all benign (appendOnly, invariants — when no
+  * invariant is actually defined — vacuumProtocolCheck, timestampNtz,
+  * columnMapping, deletionVectors). Refused when ACTIVE: CDF, CHECK
+  * constraints, generated columns, identity columns. `delta.appendOnly`
+  * tables accept appends but refuse overwrite and DELETE.
   *
   * Stats: one distributed pass over the just-written files (grouped by
   * `_metadata.file_path`) computes numRecords + per-column
@@ -259,11 +263,12 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     * touch existing DVs and [[deleteWhere]] writes protocol-correct ones). */
   private val BenignWriterFeatures =
     Set("appendOnly", "invariants", "vacuumProtocolCheck", "timestampNtz",
-      "deletionVectors")
+      "deletionVectors", "columnMapping")
 
   private def validateWritable(s: DeltaTable.Snapshot, forOverwrite: Boolean): Unit = {
     val cm = s.configuration.getOrElse("delta.columnMapping.mode", "none")
-    if (cm != "none") refuse(s"column mapping mode '$cm'")
+    if (cm != "none" && cm != "name" && cm != "id")
+      refuse(s"unknown column mapping mode '$cm'")
     if (s.configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
       refuse("change data feed is enabled — this writer does not emit cdc actions")
     if (s.configuration.keys.exists(_.startsWith("delta.constraints.")))
@@ -280,11 +285,11 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         refuse(s"column ${f.name} is an identity column — not assigned by this writer")
     }
     s.minWriterVersion match {
-      case v if v <= 4 => // plain / appendOnly / invariants / constraints / CDF
-        // gens — the active-feature configs above already vetoed what we
+      case v if v <= 6 => // plain / appendOnly / invariants / constraints /
+        // CDF / gens (≤4), column mapping (5 — handled natively), identity
+        // (6 — the schema-metadata scan above vetoed any actual identity
+        // column); the active-feature configs already vetoed what we
         // cannot honor
-      case 5 | 6 => refuse(s"writer protocol ${s.minWriterVersion} " +
-        "(column mapping / identity columns)")
       case _ =>
         val bad = s.writerFeatures.filterNot(BenignWriterFeatures)
         if (bad.nonEmpty) refuse(s"writer features ${bad.mkString(", ")}")
@@ -324,7 +329,65 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           s"(was ${was.fold("absent")(_.simpleString)}, " +
           s"would become ${now.fold("absent")(_.simpleString)})")
     }
-    val aligned = align(df, merged)
+    // Column mapping (PROTOCOL.md "Column Mapping", writer obligations):
+    // data files carry PHYSICAL column names — parquet field ids too in id
+    // mode — and stats/partitionValues key physically; the user-facing
+    // DataFrame stays logical. Schema DRIFT under column mapping is
+    // refused: a new column needs a fresh column-mapping id assigned
+    // against delta.columnMapping.maxColumnId — a table-evolution decision
+    // for the table's owner, not a migration tool.
+    val cmMode = s.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val mapped = cmMode != "none"
+    val idMode = cmMode == "id"
+    if (mapped) {
+      val same = merged.fields.length == s.schema.fields.length &&
+        merged.fields.zip(s.schema.fields).forall { case (a, b) =>
+          a.name.equalsIgnoreCase(b.name) &&
+            a.dataType.catalogString == b.dataType.catalogString }
+      if (!same) refuse("schema drift under column mapping — new/widened " +
+        "columns need fresh column-mapping ids this writer does not assign")
+    }
+    val outSchema = if (mapped) s.schema else merged
+    val PhysKey = "delta.columnMapping.physicalName"
+    val IdKey = "delta.columnMapping.id"
+    def physName(f: StructField): String =
+      if (!mapped) f.name
+      else if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+      else refuse(s"column-mapped table: field ${f.name} has no $PhysKey metadata")
+    def fieldMeta(f: StructField): Metadata =
+      if (!idMode) Metadata.empty
+      else if (f.metadata.contains(IdKey)) new MetadataBuilder()
+        .putLong("parquet.field.id", f.metadata.getLong(IdKey)).build()
+      else refuse(s"id-mapped table: field ${f.name} has no $IdKey metadata")
+    def physField(f: StructField): StructField =
+      StructField(physName(f), physType(f.dataType), f.nullable, fieldMeta(f))
+    def physType(dt: DataType): DataType =
+      if (!mapped) dt
+      else dt match {
+        case st: StructType => StructType(st.fields.map(physField))
+        case a: ArrayType => a.copy(elementType = physType(a.elementType))
+        case m: MapType =>
+          m.copy(keyType = physType(m.keyType), valueType = physType(m.valueType))
+        case other => other
+      }
+    val writeSchema =
+      if (mapped) StructType(outSchema.fields.map(physField)) else outSchema
+    val physPartCols = partCols.map(c =>
+      physName(outSchema.fields.find(_.name.equalsIgnoreCase(c)).get))
+    val alignedLogical = align(df, outSchema)
+    val aligned =
+      if (!mapped) alignedLogical
+      else {
+        // field ids ride the write schema's parquet.field.id metadata;
+        // nested physical names rename via a same-shaped positional cast
+        if (idMode) spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        alignedLogical.select(outSchema.fields.toSeq.map { f =>
+          val pf = physField(f)
+          val c = col(s"`${f.name}`")
+          (if (pf.dataType == f.dataType) c else c.cast(pf.dataType))
+            .as(pf.name, pf.metadata)
+        }: _*)
+      }
 
     // data files land inside the table under a per-commit unique dir — the
     // protocol allows any relative path, and an uncommitted dir is
@@ -335,7 +398,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val dirName = s"graft_data/${UUID.randomUUID().toString.take(12)}"
     val dataDir = new HPath(path, dirName)
     if (partCols.isEmpty) aligned.write.parquet(dataDir.toString)
-    else aligned.write.partitionBy(partCols: _*).parquet(dataDir.toString)
+    else aligned.write.partitionBy(physPartCols: _*).parquet(dataDir.toString)
     // relative path under dataDir (partition subdirs included), size, mtime
     def walk(p: HPath, prefix: String): Seq[(String, Long, Long)] =
       fsu.fs.listStatus(p).toSeq.flatMap { st =>
@@ -362,8 +425,8 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     // one narrow pass over the new files only: per-file numRecords +
     // nullCount/min/max of stat-eligible top-level DATA columns (partition
     // columns prune via partitionValues, not stats)
-    val lowerParts = partCols.map(_.toLowerCase).toSet
-    val statCols = merged.fields.filter(f =>
+    val lowerParts = physPartCols.map(_.toLowerCase).toSet
+    val statCols = writeSchema.fields.filter(f =>
       statEligible(f.dataType) && !lowerParts.contains(f.name.toLowerCase)).toSeq
     val statsByFile: Map[String, String] =
       if (parts.isEmpty) Map.empty
@@ -375,7 +438,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
             sum(when(col(s"`${f.name}`").isNull, 1L).otherwise(0L)).as(s"__nc_$i"))
         }
         val dirUriPath = fsu.fs.makeQualified(dataDir).toUri.getPath
-        spark.read.schema(merged).parquet(dataDir.toString)
+        spark.read.schema(writeSchema).parquet(dataDir.toString)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect().map { r =>
@@ -460,7 +523,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         .put("mode", if (overwrite) "Overwrite" else "Append")
       cin.put("engineInfo", "graft-foreign-delta-writer")
       lines += mapper.writeValueAsString(ci)
-      if (mergedNow.json != cur.schema.json) {
+      if (!mapped && mergedNow.json != cur.schema.json) {
         val md = obj()
         val mdn = md.putObject("metaData")
         mdn.put("id", if (cur.tableId.nonEmpty) cur.tableId else UUID.randomUUID().toString)
