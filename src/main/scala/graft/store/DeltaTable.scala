@@ -124,12 +124,20 @@ object DeltaTable {
   private[store] def readWithFilePos(spark: SparkSession, path: String): DataFrame =
     readInternal(spark, path, None, None, withFilePos = true)
 
+  /** [[read]] restricted to the adds accepted by `keep` — the foreign
+    * OPTIMIZE scans only its candidate files (DV filtering included). */
+  private[store] def readAddsWhere(
+      spark: SparkSession, path: String, keep: Add => Boolean): DataFrame =
+    readInternal(spark, path, None, None, withFilePos = false, addFilter = keep)
+
   private def readInternal(
       spark: SparkSession, path: String,
       versionAsOf: Option[Long],
       timestampAsOf: Option[Long],
-      withFilePos: Boolean): DataFrame = {
-    val snap = snapshot(spark, path, versionAsOf, timestampAsOf)
+      withFilePos: Boolean,
+      addFilter: Add => Boolean = _ => true): DataFrame = {
+    val snap0 = snapshot(spark, path, versionAsOf, timestampAsOf)
+    val snap = snap0.copy(adds = snap0.adds.filter(addFilter))
     // Column mapping (PROTOCOL.md "Column Mapping"): the logical schema
     // lives in schemaString field NAMES; partition-value keys and stats
     // keys use the per-field physicalName metadata in BOTH modes. The scan

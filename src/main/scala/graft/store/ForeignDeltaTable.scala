@@ -251,6 +251,99 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     v
   }
 
+  /** OPTIMIZE for the foreign table: bin-packing compaction + DV purge.
+    * Candidates are files smaller than `smallFileBytes` or carrying a
+    * deletion vector; per hive partition, a group qualifies when it has a
+    * DV'd file (purge is always worth one rewrite) or at least `minFiles`
+    * small ones (no churn on already-compact layouts). The candidates'
+    * LIVE rows are rewritten into fresh compacted files (column mapping
+    * honored, stats recomputed TIGHT — the DVs dissolve), and the commit
+    * removes candidates + adds rewrites with `dataChange = false`, so
+    * readers see identical rows and streaming consumers skip it — exactly
+    * delta-spark's OPTIMIZE commit shape. Untouched files carry over by
+    * reference. The old files become vacuum-eligible tombstones.
+    *
+    * 100 TB: reads ONLY the candidate files (the add filter prunes at
+    * snapshot resolution, before any listing); output sizing is
+    * bytes-proportional (`ceil(liveBytes / targetFileBytes)` shuffle
+    * partitions, hive-partitioned writes split per dir). Allowed on
+    * `delta.appendOnly` tables (no logical change). Returns the committed
+    * version, or the current one when nothing qualified. */
+  def optimize(
+      smallFileBytes: Long = 128L << 20,
+      targetFileBytes: Long = 128L << 20,
+      minFiles: Int = 2): Long = {
+    val s = snap
+    validateWritable(s, forOverwrite = false)
+    val doomed: Seq[DeltaTable.Add] = s.adds.groupBy(_.partitionValues)
+      .values.flatMap { files =>
+        val cands = files.filter(a => a.dv.isDefined || a.size < smallFileBytes)
+        if (cands.exists(_.dv.isDefined) || cands.size >= minFiles) cands else Nil
+      }.toSeq
+    if (doomed.isEmpty) return s.version
+    val doomedRaw = doomed.map(_.rawPath).toSet
+    val live = DeltaTable.readAddsWhere(spark, path, a => doomedRaw(a.rawPath))
+    val phys = new PhysPlan(s, s.schema)
+    val aligned = phys.toPhysical(align(live, s.schema))
+    // size the rewrite by bytes, not file count; partitioned tables
+    // repartition BY the partition columns so each hive value lands in one
+    // task → one compacted file per partition dir
+    val nOut = math.max(1, math.ceil(
+      doomed.map(_.size).sum.toDouble / targetFileBytes).toInt)
+    val packed =
+      if (phys.physPartCols.isEmpty) aligned.repartition(nOut)
+      else aligned.repartition(math.max(nOut, 1),
+        phys.physPartCols.map(c => col(s"`$c`")): _*)
+    val w = writeFiles(packed, phys.writeSchema, phys.physPartCols)
+
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    def obj() = mapper.createObjectNode()
+    val ci = obj()
+    val cin = ci.putObject("commitInfo")
+    cin.put("timestamp", now)
+    cin.put("operation", "OPTIMIZE")
+    cin.putObject("operationParameters")
+    cin.put("engineInfo", "graft-foreign-delta-writer")
+    lines += mapper.writeValueAsString(ci)
+    doomed.foreach { a =>
+      val rm = obj()
+      val rmn = rm.putObject("remove")
+      rmn.put("path", a.rawPath)
+      rmn.put("deletionTimestamp", now)
+      rmn.put("dataChange", false)
+      lines += mapper.writeValueAsString(rm)
+    }
+    w.parts.foreach { case (rel, size, mtime) =>
+      val ad = obj()
+      val adn = ad.putObject("add")
+      adn.put("path",
+        new java.net.URI(null, null, s"${w.dirName}/$rel", null).toASCIIString)
+      val pvn = adn.putObject("partitionValues")
+      w.partValues(rel).foreach {
+        case (k, Some(v)) => pvn.put(k, v): Unit
+        case (k, None) => pvn.putNull(k): Unit
+      }
+      adn.put("size", size)
+      adn.put("modificationTime", mtime)
+      adn.put("dataChange", false)
+      w.statsByFile.get(rel).foreach(adn.put("stats", _))
+      lines += mapper.writeValueAsString(ad)
+    }
+    val v = s.version + 1
+    try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"lost the commit race on Delta table $path at version $v — " +
+            "re-run OPTIMIZE against the fresh snapshot (the staged " +
+            s"rewrite dir ${w.dirName} ages out via vacuum)")
+    }
+    if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
+    v
+  }
+
   // --------------------------------------------------------------- internals
 
   private def refuse(msg: String): Nothing =
@@ -313,55 +406,29 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     case _ => false
   }
 
-  private def commitWrite(df: DataFrame, drift: SchemaDrift, overwrite: Boolean): Long = {
-    val s = snap
-    validateWritable(s, overwrite)
-    val merged =
-      if (overwrite) SchemaEvolution.relaxNullable(df.schema)
-      else SchemaEvolution.merge(s.schema,
-        SchemaEvolution.relaxNullable(df.schema), drift)
-    val partCols = s.partitionColumns
-    partCols.foreach { c =>
-      val was = s.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
-      val now = merged.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
-      if (now.isEmpty || now != was) refuse(
-        s"partition column $c must survive the write unchanged " +
-          s"(was ${was.fold("absent")(_.simpleString)}, " +
-          s"would become ${now.fold("absent")(_.simpleString)})")
-    }
-    // Column mapping (PROTOCOL.md "Column Mapping", writer obligations):
-    // data files carry PHYSICAL column names — parquet field ids too in id
-    // mode — and stats/partitionValues key physically; the user-facing
-    // DataFrame stays logical. Schema DRIFT under column mapping is
-    // refused: a new column needs a fresh column-mapping id assigned
-    // against delta.columnMapping.maxColumnId — a table-evolution decision
-    // for the table's owner, not a migration tool.
-    val cmMode = s.configuration.getOrElse("delta.columnMapping.mode", "none")
-    val mapped = cmMode != "none"
-    val idMode = cmMode == "id"
-    if (mapped) {
-      val same = merged.fields.length == s.schema.fields.length &&
-        merged.fields.zip(s.schema.fields).forall { case (a, b) =>
-          a.name.equalsIgnoreCase(b.name) &&
-            a.dataType.catalogString == b.dataType.catalogString }
-      if (!same) refuse("schema drift under column mapping — new/widened " +
-        "columns need fresh column-mapping ids this writer does not assign")
-    }
-    val outSchema = if (mapped) s.schema else merged
-    val PhysKey = "delta.columnMapping.physicalName"
-    val IdKey = "delta.columnMapping.id"
-    def physName(f: StructField): String =
+
+  /** Column-mapping write plan for one snapshot: physical rename/cast of a
+    * logically-named DataFrame, the physical write schema (parquet field
+    * ids in id mode), physical partition column names. Identity when the
+    * table is unmapped. */
+  private final class PhysPlan(s: DeltaTable.Snapshot, outSchema: StructType) {
+    private val cmMode = s.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val mapped: Boolean = cmMode != "none"
+    private val idMode = cmMode == "id"
+    private val PhysKey = "delta.columnMapping.physicalName"
+    private val IdKey = "delta.columnMapping.id"
+    private def physName(f: StructField): String =
       if (!mapped) f.name
       else if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
       else refuse(s"column-mapped table: field ${f.name} has no $PhysKey metadata")
-    def fieldMeta(f: StructField): Metadata =
+    private def fieldMeta(f: StructField): Metadata =
       if (!idMode) Metadata.empty
       else if (f.metadata.contains(IdKey)) new MetadataBuilder()
         .putLong("parquet.field.id", f.metadata.getLong(IdKey)).build()
       else refuse(s"id-mapped table: field ${f.name} has no $IdKey metadata")
-    def physField(f: StructField): StructField =
+    private def physField(f: StructField): StructField =
       StructField(physName(f), physType(f.dataType), f.nullable, fieldMeta(f))
-    def physType(dt: DataType): DataType =
+    private def physType(dt: DataType): DataType =
       if (!mapped) dt
       else dt match {
         case st: StructType => StructType(st.fields.map(physField))
@@ -370,16 +437,17 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           m.copy(keyType = physType(m.keyType), valueType = physType(m.valueType))
         case other => other
       }
-    val writeSchema =
+    val writeSchema: StructType =
       if (mapped) StructType(outSchema.fields.map(physField)) else outSchema
-    val physPartCols = partCols.map(c =>
-      physName(outSchema.fields.find(_.name.equalsIgnoreCase(c)).get))
-    val alignedLogical = align(df, outSchema)
-    val aligned =
+    val physPartCols: Seq[String] = s.partitionColumns.map(c =>
+      physName(outSchema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        refuse(s"partition column $c missing from schema"))))
+    /** Logically-aligned df → physically-named df (field ids ride the
+      * parquet.field.id metadata; nested renames via a same-shaped
+      * positional cast). */
+    def toPhysical(alignedLogical: DataFrame): DataFrame =
       if (!mapped) alignedLogical
       else {
-        // field ids ride the write schema's parquet.field.id metadata;
-        // nested physical names rename via a same-shaped positional cast
         if (idMode) spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         alignedLogical.select(outSchema.fields.toSeq.map { f =>
           val pf = physField(f)
@@ -388,7 +456,20 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
             .as(pf.name, pf.metadata)
         }: _*)
       }
+  }
 
+  /** One physical write under a fresh `graft_data/<uuid>/` dir: the files
+    * (relative path, size, mtime), decoded partition values per file, and
+    * per-file stats JSON. Shared by append/overwrite and OPTIMIZE. */
+  private final case class Written(
+      dirName: String,
+      parts: Seq[(String, Long, Long)],
+      partValues: String => Seq[(String, Option[String])],
+      statsByFile: Map[String, String])
+
+  private def writeFiles(
+      aligned: DataFrame, writeSchema: StructType,
+      physPartCols: Seq[String]): Written = {
     // data files land inside the table under a per-commit unique dir — the
     // protocol allows any relative path, and an uncommitted dir is
     // invisible to every Delta reader until the JSON commit publishes.
@@ -397,7 +478,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     // reader keeps partition-pruning the rows graft appends.
     val dirName = s"graft_data/${UUID.randomUUID().toString.take(12)}"
     val dataDir = new HPath(path, dirName)
-    if (partCols.isEmpty) aligned.write.parquet(dataDir.toString)
+    if (physPartCols.isEmpty) aligned.write.parquet(dataDir.toString)
     else aligned.write.partitionBy(physPartCols: _*).parquet(dataDir.toString)
     // relative path under dataDir (partition subdirs included), size, mtime
     def walk(p: HPath, prefix: String): Seq[(String, Long, Long)] =
@@ -487,6 +568,53 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
             relPath -> mapper.writeValueAsString(root)
           }.toMap
       }
+    Written(dirName, parts, partValuesOf, statsByFile)
+  }
+
+  private def commitWrite(df: DataFrame, drift: SchemaDrift, overwrite: Boolean): Long = {
+    val s = snap
+    validateWritable(s, overwrite)
+    val merged =
+      if (overwrite) SchemaEvolution.relaxNullable(df.schema)
+      else SchemaEvolution.merge(s.schema,
+        SchemaEvolution.relaxNullable(df.schema), drift)
+    val partCols = s.partitionColumns
+    partCols.foreach { c =>
+      val was = s.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+      val now = merged.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+      if (now.isEmpty || now != was) refuse(
+        s"partition column $c must survive the write unchanged " +
+          s"(was ${was.fold("absent")(_.simpleString)}, " +
+          s"would become ${now.fold("absent")(_.simpleString)})")
+    }
+    // Column mapping (PROTOCOL.md "Column Mapping", writer obligations):
+    // data files carry PHYSICAL column names — parquet field ids too in id
+    // mode — and stats/partitionValues key physically; the user-facing
+    // DataFrame stays logical. Schema DRIFT under column mapping is
+    // refused: a new column needs a fresh column-mapping id assigned
+    // against delta.columnMapping.maxColumnId — a table-evolution decision
+    // for the table's owner, not a migration tool.
+    val mapped =
+      s.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
+    if (mapped) {
+      val same = merged.fields.length == s.schema.fields.length &&
+        merged.fields.zip(s.schema.fields).forall { case (a, b) =>
+          a.name.equalsIgnoreCase(b.name) &&
+            a.dataType.catalogString == b.dataType.catalogString }
+      if (!same) refuse("schema drift under column mapping — new/widened " +
+        "columns need fresh column-mapping ids this writer does not assign")
+    }
+    val outSchema = if (mapped) s.schema else merged
+    val phys = new PhysPlan(s, outSchema)
+    val writeSchema = phys.writeSchema
+    val physPartCols = phys.physPartCols
+    val aligned = phys.toPhysical(align(df, outSchema))
+
+    val w = writeFiles(aligned, writeSchema, physPartCols)
+    val dirName = w.dirName
+    val parts = w.parts
+    val partValuesOf = w.partValues
+    val statsByFile = w.statsByFile
 
     // OPTIMISTIC COMMIT with bounded retry (the delta-spark shape): the
     // data files above are written ONCE; losing the put-if-absent version

@@ -1,0 +1,190 @@
+package graft.store
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** OPTIMIZE on a foreign Delta table: small-file compaction, DV purge
+  * (merge-on-read debt paid down), dataChange=false commit shape,
+  * partition-wise grouping, column-mapping composition, and vacuum of the
+  * compacted-away files. */
+class ForeignOptimizeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rm(path: String): Unit = {
+    def loop(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(loop)
+      f.delete(): Unit
+    }
+    loop(new File(path))
+  }
+
+  private def foreignTable(root: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val staging = tmpDir("fop-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dataName = "part-00000-foreign.snappy.parquet"
+    Files.copy(part.toPath, java.nio.file.Paths.get(root, dataName)): Unit
+    rm(staging)
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val meta = s"""{"metaData":{"id":"foreign-op","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(df.schema.json)},""" +
+      s""""partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    val add = s"""{"add":{"path":"$dataName","partitionValues":{},""" +
+      s""""size":${new File(root, dataName).length()},"modificationTime":1,"dataChange":true}}"""
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log",
+      "00000000000000000000.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta, add)
+        .mkString("\n").getBytes("UTF-8")): Unit
+  }
+
+  test("compacts small files into one; dataChange=false; content identical") {
+    val root = tmpDir("fop-compact")
+    foreignTable(root, Seq((0L, "r0")).toDF("id", "s"))
+    val t = new ForeignDeltaTable(spark, root)
+    // five tiny single-row appends → 6 small files
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s")))
+    val before = DeltaTable.read(spark, root).orderBy("id").collect().toSeq
+    assert(DeltaTable.snapshot(spark, root).numFiles == 6)
+    val v = t.optimize()
+    assert(v == 6L)
+    val s = DeltaTable.snapshot(spark, root)
+    assert(s.numFiles == 1)
+    assert(DeltaTable.read(spark, root).orderBy("id").collect().toSeq == before)
+    // commit shape: all removes and adds carry dataChange=false
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val actions = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      root, "_delta_log", "00000000000000000006.json")), "UTF-8")
+      .split('\n').filter(_.nonEmpty).map(mapper.readTree)
+    actions.filter(_.has("remove")).foreach(a =>
+      assert(!a.get("remove").get("dataChange").asBoolean))
+    actions.filter(_.has("add")).foreach(a =>
+      assert(!a.get("add").get("dataChange").asBoolean))
+    assert(actions.count(_.has("remove")) == 6)
+    assert(actions.count(_.has("add")) == 1)
+    // re-optimize is a no-op (one compact file left, no DVs)
+    assert(t.optimize() == 6L)
+    // the compacted-away files vacuum out once expired; reads stay intact
+    val doomed = t.vacuum(retentionMs = Some(0L))
+    assert(doomed.size == 6)
+    assert(DeltaTable.read(spark, root).orderBy("id").collect().toSeq == before)
+  }
+
+  test("purges deletion vectors: DV'd file rewritten live-only, tight stats") {
+    val root = tmpDir("fop-dv")
+    foreignTable(root, (0L until 100L).map(i => (i, i % 10)).toDF("id", "k"))
+    val t = new ForeignDeltaTable(spark, root)
+    t.deleteWhere(col("k") === 0, allowProtocolUpgrade = true) // v1: DV
+    assert(DeltaTable.snapshot(spark, root).adds.exists(_.dv.isDefined))
+    val v = t.optimize()
+    assert(v == 2L)
+    val s = DeltaTable.snapshot(spark, root)
+    // DV gone, one compact file, identical live rows
+    assert(s.adds.forall(_.dv.isEmpty))
+    assert(s.numFiles == 1)
+    val got = DeltaTable.read(spark, root)
+    assert(got.count() == 90)
+    assert(got.filter(col("k") === 0).count() == 0)
+    // fresh stats are TIGHT: numRecords is the live count again
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val stats = mapper.readTree(s.adds.head.statsJson.get)
+    assert(stats.get("numRecords").asLong == 90L)
+    // the superseded DV container vacuums away with the old file
+    assert(t.vacuum(retentionMs = Some(0L)).exists(_.startsWith("deletion_vector_")))
+  }
+
+  test("partition-wise grouping: lone small file per partition stays put") {
+    val root = tmpDir("fop-part")
+    // partitioned fixture via the writer itself: hand-craft partitioned
+    // metaData, then append per partition
+    val stage = tmpDir("fop-pstage")
+    Seq(1L).toDF("id").coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    new File(root, "seg=a").mkdirs()
+    Files.copy(part.toPath,
+      java.nio.file.Paths.get(root, "seg=a", "part-0-foreign.parquet")): Unit
+    rm(stage)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("seg", StringType)))
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val meta = s"""{"metaData":{"id":"fop-p","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(schema.json)},""" +
+      s""""partitionColumns":["seg"],"configuration":{},"createdTime":1}}"""
+    val add = s"""{"add":{"path":"seg=a/part-0-foreign.parquet","partitionValues":{"seg":"a"},""" +
+      s""""size":${new File(root, "seg=a/part-0-foreign.parquet").length()},"modificationTime":1,"dataChange":true}}"""
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log", "00000000000000000000.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta, add)
+        .mkString("\n").getBytes("UTF-8")): Unit
+
+    val t = new ForeignDeltaTable(spark, root)
+    // partition b gets 3 small files; partition a keeps its lone file
+    (0 until 3).foreach(i => t.append(Seq((10L + i, "b")).toDF("id", "seg")))
+    val before = DeltaTable.read(spark, root).orderBy("id").collect().toSeq
+    val v = t.optimize()
+    assert(v == 4L)
+    val s = DeltaTable.snapshot(spark, root)
+    // a's lone file untouched (same rawPath), b compacted to one
+    assert(s.adds.exists(_.rawPath == "seg=a/part-0-foreign.parquet"))
+    assert(s.adds.count(_.partitionValues.get("seg").flatten.contains("b")) == 1)
+    assert(DeltaTable.read(spark, root).orderBy("id").collect().toSeq == before)
+    // compacted add still carries its partitionValues (pruning works)
+    assert(DeltaTable.read(spark, root).filter(col("seg") === "b").count() == 3)
+  }
+
+  test("composes with column mapping: compacted files keep physical names") {
+    val root = tmpDir("fop-cm")
+    // name-mode CM fixture (shape from ForeignCmWriteSpec)
+    def fm(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val cmSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, fm(1, "col-11")),
+      StructField("v", StringType, nullable = true, fm(2, "col-22"))))
+    val stage = tmpDir("fop-cmstage")
+    Seq((1L, "a")).toDF("col-11", "col-22").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dataName = "part-00000-foreign.snappy.parquet"
+    Files.copy(part.toPath, java.nio.file.Paths.get(root, dataName)): Unit
+    rm(stage)
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val meta = s"""{"metaData":{"id":"fop-cm","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(cmSchema.json)},""" +
+      s""""partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name",""" +
+      s""""delta.columnMapping.maxColumnId":"2"},"createdTime":1}}"""
+    val add = s"""{"add":{"path":"$dataName","partitionValues":{},""" +
+      s""""size":${new File(root, dataName).length()},"modificationTime":1,"dataChange":true}}"""
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log", "00000000000000000000.json"),
+      (Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+        meta, add)).mkString("\n").getBytes("UTF-8")): Unit
+
+    val t = new ForeignDeltaTable(spark, root)
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val v = t.optimize()
+    assert(v == 3L)
+    val s = DeltaTable.snapshot(spark, root)
+    assert(s.numFiles == 1)
+    val got = DeltaTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the compacted parquet carries PHYSICAL column names
+    val newFile = new File(root, "graft_data").listFiles
+      .flatMap(d => Option(d.listFiles).toSeq.flatten)
+      .filter(_.getName.endsWith(".parquet"))
+      .maxBy(_.lastModified)
+    assert(spark.read.parquet(newFile.getAbsolutePath)
+      .schema.fieldNames.toSeq == Seq("col-11", "col-22"))
+  }
+}
