@@ -2366,6 +2366,21 @@ object Catalog {
         WHERE NOT (l_quantity >= 45) AND NOT (l_suppkey % 7 = 0)
         GROUP BY l_returnflag""")),
 
+    // Deletion-vector-mode MERGE (merge-on-read upsert): matched rows DV'd
+    // in place, source appended — the final snapshot must equal the plain
+    // SQL merge of the same batch (updates %89 +100, inserts %83 shifted)
+    Q("store_dv_merge",
+      (s, d) => {
+        val t = new graft.store.VersionedTable(s, Scenarios.dvMergeDest(s, d))
+        t.read()
+      },
+      Some("""SELECT c_custkey, c_name,
+          CASE WHEN c_custkey % 89 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 10000000 AS c_custkey, c_name, c_acctbal
+        FROM customer WHERE c_custkey % 83 = 0""")),
+
     // The same DV'd destination resolved through its mirrored `_delta_log`
     // by the EXTERNAL Delta reader: add actions carry "p"-storage DV
     // descriptors and the (3,7) deletionVectors protocol feature — any

@@ -365,6 +365,24 @@ object Scenarios {
       t.delete(col("l_suppkey") % 7 === 0): Unit // v3: unions into v2's DVs
     }
 
+  /** VersionedTable on customer, then one DELETION-VECTOR-mode merge
+    * (updates %89 get +100, inserts %83 under shifted keys): matched rows
+    * are DV'd in place instead of rewriting the touched dirs — the
+    * `store_dv_merge` gate proves the merge-on-read snapshot equals the
+    * plain SQL merge result. */
+  def dvMergeDest(spark: SparkSession, dir: String): String =
+    run("dvmerge", spark, dir) { dest =>
+      val cust = customer(spark, dir).select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val t = new graft.store.VersionedTable(spark, dest)
+      t.append(cust) // v0
+      val src = cust.filter(col("c_custkey") % 89 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .unionByName(cust.filter(col("c_custkey") % 83 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L))
+      t.merge(src, Seq("c_custkey"), useDeletionVectors = true): Unit // v1
+    }
+
   /** Supplier batch 1/2 for the multi-table sync: same mutation grammar as
     * the customer batches on coprime moduli (deletes %19, updates %13 get
     * +50, inserts %17 under shifted keys). */
