@@ -51,6 +51,14 @@ object Bench {
   private def memoized(name: String): Boolean =
     name.startsWith("scd2_") || name == "store_delta_writer"
 
+  /** Queries whose FIRST invocation lazily builds a memoized scenario the
+    * query itself then reads (store_skipping builds the 4-dir table once;
+    * the operator under test is the pruned read): run once UNTIMED before
+    * the timed passes, or the build run can end up the only
+    * certified-quiet sample and best-of-clean exceeds the median (seen at
+    * sf0.1: 2.32 s "min" vs 0.255 s median). */
+  private val prewarm: Seq[String] = Seq("store_skipping")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -119,6 +127,7 @@ object Bench {
       Run(t, before, sentinels.size - 1)
     }
     val names = headline.filter(fns.contains)
+    prewarm.filter(fns.contains).foreach(once) // scenario builds, untimed
     val allRuns = scala.collection.mutable.Map[String, Vector[Run]]()
     names.foreach { name =>
       val n = if (memoized(name)) 1 else runs

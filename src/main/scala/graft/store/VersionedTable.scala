@@ -321,6 +321,31 @@ final class VersionedTable(spark: SparkSession, val path: String)
       DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
   }
 
+  /** (version, op) of every still-present manifest in [from, to] — the
+    * streaming source's commit classifier. A version inside the range with
+    * NO manifest was vacuumed (its data may be gone too): surfaced as op
+    * "(vacuumed)" so the caller can fail loudly instead of silently
+    * skipping rows. */
+  def commitOps(from: Long, to: Long): Seq[(Long, String)] =
+    (from to to).map { v =>
+      if (fsu.exists(manifestPath(v))) v -> readManifest(v).op
+      else v -> "(vacuumed)"
+    }
+
+  /** Rows ADDED by exactly the given commits (their own data dirs), ONE
+    * scan, no `__commit_version` column — the streaming source's
+    * micro-batch body. Resolution is against the newest requested
+    * version's manifest, so dirs rewritten after it don't resurface. */
+  def readCommits(versions: Seq[Long]): DataFrame = {
+    val logical = schemaAt(requireVersion)
+    if (versions.isEmpty) return emptyDf(logical)
+    val m = readManifest(versions.max)
+    val want = versions.toSet
+    // dirs resolve from the NEWEST requested manifest (replay-stable), rows
+    // align to the CURRENT logical schema (later drift reads as nulls)
+    scanDirs(m.dirs.filter(d => want(dirVersion(d.dir))), logical)
+  }
+
   private def scanDirs(
       dirs: Seq[DataDir], logical: StructType,
       withDirCol: Boolean = false, withFilePos: Boolean = false): DataFrame = {

@@ -1,0 +1,101 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuite
+
+/** The graft-table STREAMING SOURCE: initial snapshot, incremental
+  * commits-as-batches, optimize transparency, and the append-only contract
+  * (merge/delete refusals + the documented ignore options). */
+class GraftTableStreamSpec extends SparkSuite {
+
+  private def table(path: String): VersionedTable = new VersionedTable(spark, path)
+
+  /** Drain everything currently available into a parquet sink; returns the
+    * sink rows. */
+  private def drain(src: String, sink: String, ckpt: String,
+      opts: Map[String, String] = Map.empty): Seq[(Long, Long)] = {
+    val reader = spark.readStream.format("graft-table").option("path", src)
+    val q = opts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+  }
+
+  test("initial snapshot, then each append streams exactly once") {
+    val src = tmpDir("gts-src"); val sink = tmpDir("gts-sink") + "/out"
+    val ckpt = tmpDir("gts-ckpt")
+    val t = table(src)
+    t.append(spark.range(0, 10).select(col("id"), (col("id") % 3).as("k")))
+    t.append(spark.range(10, 20).select(col("id"), (col("id") % 3).as("k")))
+    // initial snapshot: both commits' rows in one batch
+    assert(drain(src, sink, ckpt).map(_._1) == (0L until 20L))
+    // two more commits stream incrementally (same checkpoint)
+    t.append(spark.range(20, 25).select(col("id"), (col("id") % 3).as("k")))
+    t.append(spark.range(25, 30).select(col("id"), (col("id") % 3).as("k")))
+    assert(drain(src, sink, ckpt).map(_._1) == (0L until 30L))
+    // no new commits → no new rows
+    assert(drain(src, sink, ckpt).map(_._1) == (0L until 30L))
+  }
+
+  test("optimize commits stream nothing (no duplicated rewrites)") {
+    val src = tmpDir("gts-opt"); val sink = tmpDir("gts-optsink") + "/out"
+    val ckpt = tmpDir("gts-optckpt")
+    val t = table(src)
+    t.append(spark.range(0, 10).select(col("id"), lit(0L).as("k")))
+    assert(drain(src, sink, ckpt).size == 10)
+    t.optimize() // rewrites all rows into one dir — dataChange=false
+    t.append(spark.range(10, 12).select(col("id"), lit(0L).as("k")))
+    val got = drain(src, sink, ckpt)
+    assert(got.size == 12) // the 10 optimize-rewritten rows did NOT resurface
+  }
+
+  test("merge refuses without ignoreChanges; with it, the rewrite streams") {
+    val src = tmpDir("gts-mrg"); val sink = tmpDir("gts-mrgsink") + "/out"
+    val ckpt = tmpDir("gts-mrgckpt")
+    val t = table(src)
+    t.append(spark.range(0, 10).select(col("id"), col("id").as("k")))
+    assert(drain(src, sink, ckpt).size == 10)
+    t.merge(spark.range(5, 8).select(col("id"), (col("id") + 100).as("k")),
+      Seq("id"))
+    // the merge commit is INCREMENTAL for the existing checkpoint → refuse
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(src, sink, ckpt)
+    }
+    assert(e.getCause.getMessage.contains("ignoreChanges"))
+    // with the flag, the rewritten dir streams whole (updated AND
+    // carried-over rows resurface — the documented ignoreChanges caveat):
+    // the merge touched ONE dir of 10 rows and added 3 updates
+    val got = drain(src, sink, ckpt, Map("ignoreChanges" -> "true"))
+    assert(got.count(_._2 >= 100) == 3)
+    assert(got.size == 10 + 10) // snapshot + the whole rewritten dir
+  }
+
+  test("DV delete refuses without ignoreDeletes; with it, streams nothing") {
+    val src = tmpDir("gts-del"); val sink = tmpDir("gts-delsink") + "/out"
+    val ckpt = tmpDir("gts-delckpt")
+    val t = table(src)
+    t.append(spark.range(0, 10).select(col("id"), (col("id") % 2).as("k")))
+    assert(drain(src, sink, ckpt).size == 10)
+    t.delete(col("k") === 1)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(src, sink, ckpt)
+    }
+    // ignoreDeletes skips the delete commit; a later append still streams.
+    // (The failed run left a PENDING offsets-log entry at the delete
+    // commit; the next AvailableNow run recovers exactly that batch — now
+    // empty under ignoreDeletes — and ends its window there, so the append
+    // lands on the run after: standard V1 recovery semantics.)
+    t.append(spark.range(10, 13).select(col("id"), lit(0L).as("k")))
+    drain(src, sink, ckpt, Map("ignoreDeletes" -> "true"))
+    val got = drain(src, sink, ckpt, Map("ignoreDeletes" -> "true"))
+    assert(got.map(_._1) == (0L until 13L)) // sink is append-only: old rows stay
+  }
+}
