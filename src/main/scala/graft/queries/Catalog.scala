@@ -2366,6 +2366,18 @@ object Catalog {
         WHERE NOT (l_quantity >= 45) AND NOT (l_suppkey % 7 = 0)
         GROUP BY l_returnflag""")),
 
+    // The graft-table streaming source, gated end-to-end: snapshot drain +
+    // incremental drain over one checkpoint must reassemble EXACTLY the
+    // source table (no loss, no duplicates) — the Delta table-as-stream
+    // contract on the graft store
+    Q("streaming_table_source",
+      (s, d) => {
+        val dest = Scenarios.tableStreamDest(s, d)
+        s.read.parquet(s"$dest/sink")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      },
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
+
     // Deletion-vector-mode MERGE (merge-on-read upsert): matched rows DV'd
     // in place, source appended — the final snapshot must equal the plain
     // SQL merge of the same batch (updates %89 +100, inserts %83 shifted)

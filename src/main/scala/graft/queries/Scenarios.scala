@@ -383,6 +383,33 @@ object Scenarios {
       t.merge(src, Seq("c_custkey"), useDeletionVectors = true): Unit // v1
     }
 
+  /** The graft-table STREAMING SOURCE end-to-end: a VersionedTable built
+    * in two appends (even keys, then odd keys), each followed by an
+    * AvailableNow drain through `format("graft-table")` into one parquet
+    * sink over one checkpoint — the first drain is the initial snapshot,
+    * the second streams exactly the second commit; the sink must therefore
+    * equal the full customer table with no duplicates. */
+  def tableStreamDest(spark: SparkSession, dir: String): String =
+    run("tblstream", spark, dir) { dest =>
+      val cust = customer(spark, dir).select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val t = new graft.store.VersionedTable(spark, s"$dest/tbl")
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft-table")
+          .option("path", s"$dest/tbl").load()
+          .writeStream.format("parquet")
+          .option("path", s"$dest/sink")
+          .option("checkpointLocation", s"$dest/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      t.append(cust.filter(col("c_custkey") % 2 === 0)) // v0
+      drain() // initial snapshot
+      t.append(cust.filter(col("c_custkey") % 2 =!= 0)) // v1
+      drain() // incremental: exactly commit v1's rows
+    }
+
   /** Supplier batch 1/2 for the multi-table sync: same mutation grammar as
     * the customer batches on coprime moduli (deletes %19, updates %13 get
     * +50, inserts %17 under shifted keys). */

@@ -52,8 +52,29 @@ final class GraftTableSource(
     options.get("ignorechanges").exists(_.equalsIgnoreCase("true"))
   private val ignoreDeletes = ignoreChanges ||
     options.get("ignoredeletes").exists(_.equalsIgnoreCase("true"))
+  /** `readChangeFeed=true`: stream the ROW-LEVEL change feed instead of the
+    * snapshot+appends — each micro-batch is `readChangeFeed(from, to]`, so
+    * CDF-materializing merges stream their exact pre/post pairs and CDF
+    * deletes their delete rows (no ignoreChanges approximation needed);
+    * appends stream as inserts, optimize/setProperties as nothing. The
+    * Delta `readChangeFeed` streaming shape, `_change_type` column and all. */
+  private val cdf =
+    options.get("readchangefeed").exists(_.equalsIgnoreCase("true"))
+  /** First version to stream (CDF mode: changes from here; plain mode:
+    * SKIP the initial snapshot and stream commits from here on). Default:
+    * plain mode takes the full snapshot, CDF mode starts at version 0. */
+  private val startingVersion: Option[Long] =
+    options.get("startingversion").map(_.toLong)
 
-  override val schema: StructType = table.schema
+  override val schema: StructType =
+    if (!cdf) table.schema
+    else org.apache.spark.sql.types.StructType(table.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        VersionedTable.ChangeTypeCol, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        VersionedTable.VersionCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        VersionedTable.CommitTsCol, org.apache.spark.sql.types.TimestampType)))
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -65,42 +86,59 @@ final class GraftTableSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
-    val batch = start match {
-      case None =>
-        // initial snapshot: the full table as of the stream's start
-        table.readVersion(endV)
-      case Some(s) =>
-        val fromV = versionOf(s) + 1
+    val batch =
+      if (cdf) {
+        val fromV = start.map(versionOf(_) + 1)
+          .getOrElse(startingVersion.getOrElse(0L))
         if (fromV > endV) return StreamingBridge.emptyStreaming(spark, schema)
-        val ops = table.commitOps(fromV, endV)
-        val include = ops.flatMap { case (v, op) =>
-          op match {
-            case "append" | "" => Some(v)
-            case "optimize" | "setProperties" => None // dataChange=false
-            case "delete" =>
-              if (!ignoreDeletes) throw new UnsupportedOperationException(
-                s"streaming source at $path: commit $v is a DELETE — " +
-                  "deleted rows cannot stream; set ignoreDeletes=true to skip")
-              None
-            case "merge" | "overwrite" | "restore" =>
-              if (!ignoreChanges) throw new UnsupportedOperationException(
-                s"streaming source at $path: commit $v is a $op (not " +
-                  "append-only); set ignoreChanges=true to stream its " +
-                  "rewritten dirs (updated AND carried-over rows resurface)")
-              Some(v)
-            case "(vacuumed)" => throw new IllegalStateException(
-              s"streaming source at $path: commit $v was vacuumed below " +
-                "the stream's position — its rows are unrecoverable")
-            case other => throw new UnsupportedOperationException(
-              s"streaming source at $path: unknown commit op '$other' at $v")
-          }
-        }
-        if (include.isEmpty) return StreamingBridge.emptyStreaming(spark, schema)
-        table.readCommits(include)
-    }
+        guardVacuumed(fromV, endV)
+        table.readChangeFeed(fromV, endV)
+      } else start match {
+        case None if startingVersion.isEmpty =>
+          // initial snapshot: the full table as of the stream's start
+          table.readVersion(endV)
+        case None => incremental(startingVersion.get, endV)
+        case Some(s) => incremental(versionOf(s) + 1, endV)
+      }
     StreamingBridge.asStreaming(
       batch.select(schema.fieldNames.map(n =>
         org.apache.spark.sql.functions.col(s"`$n`")).toSeq: _*))
+  }
+
+  private def guardVacuumed(fromV: Long, endV: Long): Unit =
+    table.commitOps(fromV, endV).collectFirst { case (v, "(vacuumed)") => v }
+      .foreach(v => throw new IllegalStateException(
+        s"streaming source at $path: commit $v was vacuumed below the " +
+          "stream's position — its rows are unrecoverable"))
+
+  private def incremental(fromV: Long, endV: Long): DataFrame = {
+    if (fromV > endV) return StreamingBridge.emptyStreaming(spark, schema)
+    val include = table.commitOps(fromV, endV).flatMap { case (v, op) =>
+      op match {
+        case "append" | "" => Some(v)
+        case "optimize" | "setProperties" => None // dataChange=false
+        case "delete" =>
+          if (!ignoreDeletes) throw new UnsupportedOperationException(
+            s"streaming source at $path: commit $v is a DELETE — " +
+              "deleted rows cannot stream; set ignoreDeletes=true to skip " +
+              "(or readChangeFeed=true to stream delete rows)")
+          None
+        case "merge" | "overwrite" | "restore" =>
+          if (!ignoreChanges) throw new UnsupportedOperationException(
+            s"streaming source at $path: commit $v is a $op (not " +
+              "append-only); set ignoreChanges=true to stream its " +
+              "rewritten dirs (updated AND carried-over rows resurface), " +
+              "or readChangeFeed=true for exact row-level changes")
+          Some(v)
+        case "(vacuumed)" => throw new IllegalStateException(
+          s"streaming source at $path: commit $v was vacuumed below " +
+            "the stream's position — its rows are unrecoverable")
+        case other => throw new UnsupportedOperationException(
+          s"streaming source at $path: unknown commit op '$other' at $v")
+      }
+    }
+    if (include.isEmpty) StreamingBridge.emptyStreaming(spark, schema)
+    else table.readCommits(include)
   }
 
   override def stop(): Unit = ()
@@ -117,8 +155,11 @@ final class GraftTableSourceProvider extends StreamSourceProvider with DataSourc
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    val p = pathOf(parameters)
-    (shortName(), schema.getOrElse(new VersionedTable(sqlContext.sparkSession, p).schema))
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    // delegate so mode-dependent columns (readChangeFeed adds
+    // _change_type/__commit_version/_commit_timestamp) stay in ONE place
+    (shortName(),
+      schema.getOrElse(new GraftTableSource(sqlContext, pathOf(parameters), lower).schema))
   }
 
   override def createSource(

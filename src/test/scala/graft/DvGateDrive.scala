@@ -6,7 +6,7 @@ object DvGateDrive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSuite.spark
     val d = "/root/testdata/sf0.01"
-    val names = Seq("store_dv_delete", "store_dv_mirror", "store_dv_merge")
+    val names = Seq("store_dv_delete", "store_dv_mirror", "store_dv_merge", "streaming_table_source")
     names.foreach { n =>
       val df = graft.queries.Catalog.queries(n)(spark, d)
       df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/dvgate/$n")

@@ -78,6 +78,49 @@ class GraftTableStreamSpec extends SparkSuite {
     assert(got.size == 10 + 10) // snapshot + the whole rewritten dir
   }
 
+  test("CDF mode streams exact row-level changes across merge and delete") {
+    val src = tmpDir("gts-cdf"); val sink = tmpDir("gts-cdfsink") + "/out"
+    val ckpt = tmpDir("gts-cdfckpt")
+    val t = table(src)
+    t.append(spark.range(0, 10).select(col("id"), col("id").as("k"))) // v0
+    t.setProperties(Map(VersionedTable.CdfProp -> "true")) // v1
+    def drainCdf(): Seq[(Long, String)] = {
+      val q = spark.readStream.format("graft-table")
+        .option("path", src).option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(sink)
+        .select(col("id"), col(VersionedTable.ChangeTypeCol))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    }
+    // initial CDF batch: the v0 append as inserts
+    assert(drainCdf() == (0L until 10L).map(_ -> "insert"))
+    // a CDF merge streams exact pre/post pairs + inserts — NO flags needed
+    t.merge(spark.range(8, 12).select(col("id"), (col("id") + 100).as("k")),
+      Seq("id")) // v2: updates 8,9; inserts 10,11
+    val afterMerge = drainCdf()
+    assert(afterMerge.count(_._2 == "update_preimage") == 2)
+    assert(afterMerge.count(_._2 == "update_postimage") == 2)
+    assert(afterMerge.count(_._2 == "insert") == 12) // 10 initial + 2 new
+    // a CDF delete streams its delete rows
+    t.delete(col("id") < 2) // v3
+    val afterDelete = drainCdf()
+    assert(afterDelete.filter(_._2 == "delete").map(_._1) == Seq(0L, 1L))
+  }
+
+  test("startingVersion skips the initial snapshot in plain mode") {
+    val src = tmpDir("gts-sv"); val sink = tmpDir("gts-svsink") + "/out"
+    val ckpt = tmpDir("gts-svckpt")
+    val t = table(src)
+    t.append(spark.range(0, 10).select(col("id"), lit(0L).as("k"))) // v0
+    t.append(spark.range(10, 15).select(col("id"), lit(0L).as("k"))) // v1
+    val got = drain(src, sink, ckpt, Map("startingVersion" -> "1"))
+    assert(got.map(_._1) == (10L until 15L)) // v0's rows skipped
+  }
+
   test("DV delete refuses without ignoreDeletes; with it, streams nothing") {
     val src = tmpDir("gts-del"); val sink = tmpDir("gts-delsink") + "/out"
     val ckpt = tmpDir("gts-delckpt")
