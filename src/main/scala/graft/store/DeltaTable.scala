@@ -70,7 +70,7 @@ object DeltaTable {
       "columnMapping", "v2Checkpoint", "deletionVectors")
 
   /** One live file as recorded by the log (path still raw/percent-encoded). */
-  private[store] final case class Add(
+  private[graft] final case class Add(
       rawPath: String, size: Long, mtime: Long,
       partitionValues: Map[String, Option[String]], statsJson: Option[String],
       dv: Option[DeletionVectors.Descriptor] = None)
@@ -125,10 +125,12 @@ object DeltaTable {
     readInternal(spark, path, None, None, withFilePos = true)
 
   /** [[read]] restricted to the adds accepted by `keep` — the foreign
-    * OPTIMIZE scans only its candidate files (DV filtering included). */
-  private[store] def readAddsWhere(
-      spark: SparkSession, path: String, keep: Add => Boolean): DataFrame =
-    readInternal(spark, path, None, None, withFilePos = false, addFilter = keep)
+    * OPTIMIZE scans only its candidate files, the foreign streaming source
+    * scans only its batch's commits' files (DV filtering included). */
+  private[graft] def readAddsWhere(
+      spark: SparkSession, path: String, keep: Add => Boolean,
+      versionAsOf: Option[Long] = None): DataFrame =
+    readInternal(spark, path, versionAsOf, None, withFilePos = false, addFilter = keep)
 
   private def readInternal(
       spark: SparkSession, path: String,

@@ -144,7 +144,11 @@ final class GraftTableSource(
   override def stop(): Unit = ()
 }
 
-/** `format("graft-table")` registration (META-INF/services). */
+/** `format("graft-table")` registration (META-INF/services). Auto-detects
+  * the table kind: a `_graft_log/` destination streams through
+  * [[GraftTableSource]] (manifest offsets, CDF mode available); a bare
+  * `_delta_log/` destination — a FOREIGN Delta table — streams through
+  * [[DeltaStreamSource]] (Delta-version offsets, external-reader scan). */
 final class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
 
@@ -152,21 +156,32 @@ final class GraftTableSourceProvider extends StreamSourceProvider with DataSourc
     parameters.map { case (k, v) => k.toLowerCase -> v }.getOrElse("path",
       throw new IllegalArgumentException("graft-table source requires .option(\"path\", ...)"))
 
+  private def build(sqlContext: SQLContext, parameters: Map[String, String]): Source = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val p = pathOf(parameters)
+    val fsu = new graft.store.Fs(sqlContext.sparkSession, p)
+    if (fsu.isDir(new org.apache.hadoop.fs.Path(p, "_graft_log")))
+      new GraftTableSource(sqlContext, p, lower)
+    else if (graft.store.DeltaTable.isDeltaTable(sqlContext.sparkSession, p)) {
+      if (lower.get("readchangefeed").exists(_.equalsIgnoreCase("true")))
+        throw new UnsupportedOperationException(
+          s"readChangeFeed streaming is only available on graft tables; $p " +
+            "is a foreign Delta table (no change feed is materialized there)")
+      new DeltaStreamSource(sqlContext, p, lower)
+    } else throw new IllegalArgumentException(
+      s"$p holds neither a graft manifest log nor a Delta transaction log")
+  }
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
     // delegate so mode-dependent columns (readChangeFeed adds
     // _change_type/__commit_version/_commit_timestamp) stay in ONE place
-    (shortName(),
-      schema.getOrElse(new GraftTableSource(sqlContext, pathOf(parameters), lower).schema))
-  }
+    (shortName(), schema.getOrElse(build(sqlContext, parameters).schema))
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source = {
-    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
-    new GraftTableSource(sqlContext, pathOf(parameters), lower)
-  }
+      parameters: Map[String, String]): Source =
+    build(sqlContext, parameters)
 }

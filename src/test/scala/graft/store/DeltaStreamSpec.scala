@@ -1,0 +1,103 @@
+package graft.store
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuite
+
+/** Streaming FROM a foreign Delta table through the auto-detecting
+  * `graft-table` source: snapshot + incremental appends, OPTIMIZE
+  * transparency (dataChange=false), DV-delete refusal, and the log-cleaned
+  * guard. */
+class DeltaStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rm(path: String): Unit = {
+    def loop(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(loop)
+      f.delete(): Unit
+    }
+    loop(new File(path))
+  }
+
+  private def foreignTable(root: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val staging = tmpDir("dss-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dataName = "part-00000-foreign.snappy.parquet"
+    Files.copy(part.toPath, java.nio.file.Paths.get(root, dataName)): Unit
+    rm(staging)
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val meta = s"""{"metaData":{"id":"dss-1","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(df.schema.json)},""" +
+      s""""partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    val add = s"""{"add":{"path":"$dataName","partitionValues":{},""" +
+      s""""size":${new File(root, dataName).length()},"modificationTime":1,"dataChange":true}}"""
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log",
+      "00000000000000000000.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta, add)
+        .mkString("\n").getBytes("UTF-8")): Unit
+  }
+
+  private def drain(src: String, sink: String, ckpt: String): Seq[Long] = {
+    val q = spark.readStream.format("graft-table").option("path", src).load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sink).select("id").as[Long].collect().sorted.toSeq
+  }
+
+  test("foreign table: snapshot, then each writer append streams once") {
+    val root = tmpDir("dss-app"); val sink = tmpDir("dss-appsink") + "/out"
+    val ckpt = tmpDir("dss-appckpt")
+    foreignTable(root, (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s"))
+    val t = new ForeignDeltaTable(spark, root)
+    t.append((10L until 15L).map(i => (i, s"r$i")).toDF("id", "s")) // v1
+    assert(drain(root, sink, ckpt) == (0L until 15L))
+    t.append((15L until 20L).map(i => (i, s"r$i")).toDF("id", "s")) // v2
+    assert(drain(root, sink, ckpt) == (0L until 20L))
+    assert(drain(root, sink, ckpt) == (0L until 20L)) // no dupes
+  }
+
+  test("foreign OPTIMIZE streams nothing; DV delete refuses cleanly") {
+    val root = tmpDir("dss-opt"); val sink = tmpDir("dss-optsink") + "/out"
+    val ckpt = tmpDir("dss-optckpt")
+    foreignTable(root, (0L until 6L).map(i => (i, i % 3)).toDF("id", "k"))
+    val t = new ForeignDeltaTable(spark, root)
+    (0 until 3).foreach(i => t.append(Seq((10L + i, 0L)).toDF("id", "k")))
+    assert(drain(root, sink, ckpt).size == 9)
+    t.optimize() // dataChange=false rewrite of all 4 small files
+    t.append(Seq((100L, 0L)).toDF("id", "k"))
+    assert(drain(root, sink, ckpt).size == 10) // nothing resurfaced
+    // a DV delete is a rewrite (remove+re-add) → refuse without the flag
+    t.deleteWhere(col("k") === 1, allowProtocolUpgrade = true)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(root, sink, ckpt)
+    }
+    assert(e.getCause.getMessage.contains("ignoreChanges"))
+  }
+
+  test("log-cleaned commit below the stream position fails loudly") {
+    val root = tmpDir("dss-gap"); val sink = tmpDir("dss-gapsink") + "/out"
+    val ckpt = tmpDir("dss-gapckpt")
+    foreignTable(root, (0L until 5L).map(i => (i, s"r$i")).toDF("id", "s"))
+    val t = new ForeignDeltaTable(spark, root)
+    assert(drain(root, sink, ckpt).size == 5)
+    t.append(Seq((10L, "x")).toDF("id", "s")) // v1
+    t.append(Seq((11L, "y")).toDF("id", "s")) // v2
+    new File(root, "_delta_log/00000000000000000001.json").delete()
+    // fails loudly — either at stream setup (snapshot resolution rejects
+    // the non-contiguous log) or in getBatch (the source's own guard)
+    val e = intercept[Exception] { drain(root, sink, ckpt) }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("log-cleaned") || msg.toLowerCase.contains("missing") ||
+      msg.toLowerCase.contains("contiguous") || msg.contains("commit"))
+  }
+}
