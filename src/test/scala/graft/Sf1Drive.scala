@@ -69,8 +69,63 @@ object Sf1Drive {
     args.headOption match {
       case Some("emb") => runEmb(spark)
       case Some("scd2") => runScd2(spark)
+      case Some("dv") => runDv(spark)
       case _ => runDocs(spark)
     }
+  }
+
+  /** Deletion-vector DELETE at 10× lineitem (round-10): two DV deletes over
+    * a two-dir table synthesized from ten key-shifted copies of the sf0.1
+    * lineitem — the phase walls show delete cost tracks MATCHED-BITMAP
+    * bytes, not table bytes, and the data-file set is asserted untouched.
+    * The gate dump replays `store_dv_delete`'s aggregate over the final
+    * snapshot; `tools/sf1_check.py dv` replays its DuckDB oracle over the
+    * synthesized corpus. */
+  private def runDv(spark: SparkSession): Unit = {
+    val li0 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    val copies = spark.range(0, 10).select(col("id").as("cp"))
+    li0.crossJoin(broadcast(copies))
+      .select((col("l_orderkey") + col("cp") * 100000000L).as("l_orderkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val corpus = spark.read.parquet(s"$out/lineitem.parquet")
+    println(s"lineitem corpus rows=${corpus.count()}")
+
+    def phase(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"PHASE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    def bytesUnder(p: java.io.File): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        else f.length
+      if (p.exists) walk(p) else 0L
+    }
+    val half = corpus.agg(max(col("l_orderkey"))).head().getLong(0) / 2
+    val dest = java.nio.file.Files.createTempDirectory("sf1dv").toString
+    val t = new graft.store.VersionedTable(spark, dest)
+    phase("append_lo")(t.append(corpus.filter(col("l_orderkey") <= half)): Unit)
+    phase("append_hi")(t.append(corpus.filter(col("l_orderkey") > half)): Unit)
+    val dataBefore = bytesUnder(new java.io.File(dest, "data"))
+    phase("dv_delete_quantity")(t.delete(col("l_quantity") >= 45): Unit)
+    phase("dv_delete_suppkey")(t.delete(col("l_suppkey") % 7 === 0): Unit)
+    require(bytesUnder(new java.io.File(dest, "data")) == dataBefore,
+      "merge-on-read contract violated: a data file changed")
+    println(s"data bytes=$dataBefore (unchanged) dv bytes=" +
+      bytesUnder(new java.io.File(dest, "deletion_vectors")))
+    val agg = t.read()
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        sum(col("l_orderkey")).as("key_sum"))
+    agg.write.mode("overwrite").parquet(s"$outDir/store_dv_delete")
+    println(s"GATE store_dv_delete rows=" +
+      spark.read.parquet(s"$outDir/store_dv_delete").count())
   }
 
   private def runScd2(spark: SparkSession): Unit = {

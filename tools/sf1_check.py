@@ -95,13 +95,35 @@ def main_scd2(oracle_path):
     sys.exit(0 if ok else 1)
 
 
+LINEITEM = "/root/repo/tmp/sf1/lineitem.parquet/*.parquet"
+
+
+def main_dv(oracle_path):
+    """Deletion-vector DELETE sweep (round 10): store_dv_delete's oracle
+    replays over the 10x synthesized lineitem (see Sf1Drive.runDv)."""
+    sqls = json.load(open(oracle_path))
+    g = "store_dv_delete"
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
+    t0 = time.time()
+    n_got, n_ora, m = compare(con, f"SELECT * FROM '{OUT}/{g}/*.parquet'", sqls[g])
+    print(f"{g}: rows={n_got} oracle={n_ora} "
+          f"{'MATCH' if m else 'MISMATCH'} ({time.time() - t0:.0f}s)")
+    con.close()
+    print("SF1 DV SWEEP:", "ALL MATCH" if m else "FAILURES")
+    sys.exit(0 if m else 1)
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a not in ("emb", "scd2")]
+    args = [a for a in sys.argv[1:] if a not in ("emb", "scd2", "dv")]
     oracle_path = args[0] if args else "/tmp/verify-out/oracle_sql.json"
     if "emb" in sys.argv[1:]:
         return main_emb(oracle_path)
     if "scd2" in sys.argv[1:]:
         return main_scd2(oracle_path)
+    if "dv" in sys.argv[1:]:
+        return main_dv(oracle_path)
     sqls = json.load(open(oracle_path))
     ok = True
     for g in GATES:
