@@ -74,7 +74,8 @@ class StoreDvSpec extends SparkSuite {
 
   private def dvBins(path: String): Set[String] = {
     val d = new File(path, "deletion_vectors")
-    if (!d.exists) Set.empty else d.listFiles.map(_.getName).toSet
+    if (!d.exists) Set.empty
+    else d.listFiles.map(_.getName).filterNot(_.startsWith(".")).toSet
   }
 
   private def freshTable(path: String): VersionedTable = {
@@ -154,6 +155,23 @@ class StoreDvSpec extends SparkSuite {
     assert(dvBins(path).nonEmpty)
     t.vacuum(keepVersions = 1)
     assert(dvBins(path).isEmpty)
+    assert(t.read().count() == 180)
+  }
+
+  test("orphan DV container (crash between bin write and commit) vacuums away") {
+    val path = tmpDir("dvorphan")
+    val t = freshTable(path)
+    t.delete(col("k") === 5)
+    // simulate a writer that died after writing its container but before
+    // publishing the manifest: an unreferenced .bin appears on disk
+    val fs = new Fs(spark, path).fs
+    DeletionVectors.writeBin(fs,
+      new HPath(s"$path/deletion_vectors/v0000000099-orphan.bin"),
+      Seq(DeletionVectors.encode(Array(1L, 2L))))
+    assert(dvBins(path).size == 2)
+    t.vacuum(keepVersions = 10) // keeps every real version
+    // the orphan is referenced by no manifest → swept; the live DV stays
+    assert(dvBins(path).size == 1)
     assert(t.read().count() == 180)
   }
 
