@@ -1,0 +1,107 @@
+package graft.store
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Randomized op-mix property test for the FOREIGN Delta writer: a seeded
+  * sequence of append / DV DELETE WHERE / OPTIMIZE / overwrite against a
+  * driver-side model, checked through the external reader after every op,
+  * with version time travel and a final vacuum. Cross-op coverage for the
+  * foreign surface (DVs over compacted files, optimize over DV'd files,
+  * overwrite cancelling DV history). */
+class ForeignOpsPropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private type Model = Map[Long, Long]
+
+  private def rm(path: String): Unit = {
+    def loop(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(loop)
+      f.delete(): Unit
+    }
+    loop(new File(path))
+  }
+
+  private def foreignTable(root: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val staging = tmpDir("fprop-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dataName = "part-00000-foreign.snappy.parquet"
+    Files.copy(part.toPath, java.nio.file.Paths.get(root, dataName)): Unit
+    rm(staging)
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val meta = s"""{"metaData":{"id":"fprop","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(df.schema.json)},""" +
+      s""""partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    val add = s"""{"add":{"path":"$dataName","partitionValues":{},""" +
+      s""""size":${new File(root, dataName).length()},"modificationTime":1,"dataChange":true}}"""
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log",
+      "00000000000000000000.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta, add)
+        .mkString("\n").getBytes("UTF-8")): Unit
+  }
+
+  private def snapshot(path: String): Model =
+    DeltaTable.read(spark, path).select("id", "k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def runMix(seed: Int, ops: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val path = tmpDir(s"fprop$seed")
+    var model: Model = (0L until 30L).map(i => i -> rnd.nextLong(20)).toMap
+    var nextId = 30L
+    foreignTable(path, model.toSeq.toDF("id", "k"))
+    val t = new ForeignDeltaTable(spark, path)
+    val history = scala.collection.mutable.ArrayBuffer(0L -> model)
+
+    (1 to ops).foreach { i =>
+      rnd.nextInt(5) match {
+        case 0 | 1 => // append fresh ids
+          val n = 1 + rnd.nextInt(15)
+          val rows = (nextId until nextId + n).map(id => id -> rnd.nextLong(20))
+          nextId += n
+          t.append(rows.toDF("id", "k"))
+          model = model ++ rows
+        case 2 => // DV delete on a k-slice
+          val kk = rnd.nextLong(20)
+          t.deleteWhere(col("k") === kk, allowProtocolUpgrade = true)
+          model = model.filterNot(_._2 == kk)
+        case 3 => // compaction (+ DV purge): content-neutral
+          t.optimize(minFiles = 2)
+        case 4 => // overwrite with a mutated snapshot
+          val rows = model.toSeq.map { case (id, k) =>
+            id -> (if (rnd.nextBoolean()) k else rnd.nextLong(20)) }
+          t.overwrite(rows.toDF("id", "k"))
+          model = rows.toMap
+      }
+      val got = snapshot(path)
+      assert(got == model, s"seed=$seed op=$i diverged: " +
+        s"extra=${(got.toSet -- model.toSet).take(5)} " +
+        s"missing=${(model.toSet -- got.toSet).take(5)}")
+      history += DeltaTable.snapshot(spark, path).version -> model
+    }
+
+    // version time travel replays exactly (distinct versions only —
+    // content-neutral ops may leave the version pointing at the same model)
+    rnd.shuffle(history.toSeq).take(5).foreach { case (v, m) =>
+      val got = DeltaTable.read(spark, path, versionAsOf = Some(v))
+        .select("id", "k").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == m, s"seed=$seed version $v time travel diverged")
+    }
+
+    // vacuum expired tombstones + superseded DV containers; reads intact
+    t.vacuum(retentionMs = Some(0L))
+    assert(snapshot(path) == model, s"seed=$seed post-vacuum diverged")
+  }
+
+  test("randomized foreign append/delete/optimize/overwrite mix equals the model") {
+    runMix(seed = 11, ops = 18)
+    runMix(seed = 83, ops = 18)
+  }
+}
