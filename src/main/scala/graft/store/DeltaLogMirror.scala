@@ -62,7 +62,7 @@ final class DeltaLogMirror(
   private case class State(
       version: Long, tableId: String, schemaJson: String,
       config: Map[String, String], files: Map[String, FileEntry],
-      dvProtocol: Boolean = false)
+      dvProtocol: Boolean = false, cdfProtocol: Boolean = false)
 
   // one cold replay per instance, then incremental
   private var cached: Option[State] = None
@@ -79,6 +79,7 @@ final class DeltaLogMirror(
   private def replay(upTo: Long): State = {
     var s = freshState
     var dvProto = false
+    var cdfProto = false
     val files = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
     (0L to upTo).foreach { v =>
       val p = logPath(v)
@@ -92,9 +93,14 @@ final class DeltaLogMirror(
               .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
         }
         if (node.has("protocol")) {
-          val rf = Option(node.get("protocol").get("readerFeatures"))
+          val pn = node.get("protocol")
+          val rf = Option(pn.get("readerFeatures"))
           if (rf.exists(_.elements().asScala.exists(_.asText() == "deletionVectors")))
             dvProto = true
+          val wf = Option(pn.get("writerFeatures"))
+          if (Option(pn.get("minWriterVersion")).exists(w => w.asInt() >= 4 && w.asInt() < 7) ||
+              wf.exists(_.elements().asScala.exists(_.asText() == "changeDataFeed")))
+            cdfProto = true
         }
         if (node.has("add")) {
           val a = node.get("add")
@@ -108,7 +114,8 @@ final class DeltaLogMirror(
         if (node.has("remove")) files.remove(node.get("remove").get("path").asText())
       }
     }
-    s.copy(version = upTo, files = files.toMap, dvProtocol = dvProto)
+    s.copy(version = upTo, files = files.toMap,
+      dvProtocol = dvProto, cdfProtocol = cdfProto)
   }
 
   /** Mirror everything up to (and including) manifest `m`. Called after
@@ -154,7 +161,9 @@ final class DeltaLogMirror(
     val protoRow =
       if (state.dvProtocol)
         Row(Row(3, 7, Seq("deletionVectors"),
-          Seq("appendOnly", "invariants", "deletionVectors")), null, null)
+          Seq("appendOnly", "invariants", "deletionVectors") ++
+            (if (state.cdfProtocol) Seq("changeDataFeed") else Nil)), null, null)
+      else if (state.cdfProtocol) Row(Row(1, 4, null, null), null, null)
       else Row(Row(1, 2, null, null), null, null)
     val metaRow = Row(null,
       Row(state.tableId, null, null, Row("parquet", Map.empty[String, String]),
@@ -194,6 +203,9 @@ final class DeltaLogMirror(
       mdn.putArray("partitionColumns")
       val cfg = mdn.putObject("configuration")
       props.foreach { case (k, value) => cfg.put(k, value) }
+      // Delta clients discover the feed through their own config key
+      if (props.get(VersionedTable.CdfProp).contains("true"))
+        cfg.put("delta.enableChangeDataFeed", "true")
       mdn.put("createdTime", now)
       lines += mapper.writeValueAsString(md)
     }
@@ -209,19 +221,30 @@ final class DeltaLogMirror(
     // Protocol: (1,2) at table creation; the FIRST commit whose manifest
     // carries deletion vectors upgrades in place to the table-features form
     // (3,7) listing deletionVectors — exactly how delta-spark upgrades when
-    // `delta.enableDeletionVectors` first bites. Legacy writer-2 features
-    // stay listed so the feature set is complete after the upgrade.
+    // `delta.enableDeletionVectors` first bites; the FIRST commit under the
+    // change-data-feed property upgrades to the legacy CDF writer (1,4) —
+    // or joins the (3,7) feature list when DVs are also in play. Legacy
+    // writer features stay listed so the set is complete after upgrades.
     val targetHasDv = target.exists(_.dirs.exists(_.dv.nonEmpty))
+    val targetCdf = target.exists(
+      _.properties.get(VersionedTable.CdfProp).contains("true"))
     val upgradeDv = targetHasDv && !state.dvProtocol
-    if (v == 0L || upgradeDv) {
+    val upgradeCdf = targetCdf && !state.cdfProtocol
+    val needDv = targetHasDv || state.dvProtocol
+    val needCdf = targetCdf || state.cdfProtocol
+    if (v == 0L || upgradeDv || upgradeCdf) {
       val pr = obj()
       val prn = pr.putObject("protocol")
-      if (upgradeDv) {
+      if (needDv) {
         prn.put("minReaderVersion", 3)
         prn.put("minWriterVersion", 7)
         prn.putArray("readerFeatures").add("deletionVectors")
         val wf = prn.putArray("writerFeatures")
-        Seq("appendOnly", "invariants", "deletionVectors").foreach(wf.add)
+        (Seq("appendOnly", "invariants", "deletionVectors") ++
+          (if (needCdf) Seq("changeDataFeed") else Nil)).foreach(wf.add)
+      } else if (needCdf) {
+        prn.put("minReaderVersion", 1)
+        prn.put("minWriterVersion", 4)
       } else {
         prn.put("minReaderVersion", 1)
         prn.put("minWriterVersion", 2)
@@ -297,10 +320,31 @@ final class DeltaLogMirror(
             lines += mapper.writeValueAsString(ad)
           }
         }
+        // real Delta cdc actions over the graft-materialized change files:
+        // a CDF-enabled merge/delete commit points `table_changes` readers
+        // at its exact row-level changes (commits carrying cdc actions are
+        // read from those ALONE; others derive from dataChange add/remove)
+        if (targetCdf) man.changeDir.foreach { cd =>
+          val cdDir = new HPath(tablePath, s"_change_data/$cd")
+          if (fsu.isDir(cdDir)) fsu.fs.listStatus(cdDir).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+              !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+            .foreach { st =>
+              val cdc = obj()
+              val cn = cdc.putObject("cdc")
+              cn.put("path", new java.net.URI(null, null,
+                s"_change_data/$cd/${st.getPath.getName}", null).toASCIIString)
+              cn.putObject("partitionValues")
+              cn.put("size", st.getLen)
+              cn.put("dataChange", false)
+              lines += mapper.writeValueAsString(cdc)
+            }
+        }
         state.copy(version = v, schemaJson = man.schemaJson,
           config = man.properties,
           files = targetFiles.map { case (p, (sz, _, dv)) => p -> FileEntry(sz, dv) }.toMap,
-          dvProtocol = state.dvProtocol || upgradeDv)
+          dvProtocol = state.dvProtocol || upgradeDv,
+          cdfProtocol = state.cdfProtocol || upgradeCdf)
     }
     fsu.mkdirs(logDir)
     fsu.writeStringAtomic(logPath(v), lines.mkString("\n"))

@@ -141,6 +141,9 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     validateWritable(s, forOverwrite = false)
     if (s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       refuse("delta.appendOnly table — DELETE refused")
+    if (s.configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
+      refuse("change data feed is enabled — a DV delete without cdc " +
+        "actions would mis-derive as whole-file delete+insert changes")
     val hasDv = s.readerFeatures.contains("deletionVectors") &&
       s.writerFeatures.contains("deletionVectors")
     if (!hasDv && !allowProtocolUpgrade)
@@ -351,19 +354,29 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       s"cannot write external Delta table $path: $msg")
 
   /** Benign writer features: capabilities whose obligations this writer
-    * already satisfies (invariants only when none is defined in the
-    * schema — checked separately; deletionVectors because appends never
-    * touch existing DVs and [[deleteWhere]] writes protocol-correct ones). */
+    * already satisfies, or whose ACTIVE use is vetoed separately by the
+    * config/schema scans above (invariants when none is defined,
+    * checkConstraints when no `delta.constraints.*` config, CDF per the
+    * blind-append rule with [[deleteWhere]] refusing, generated/identity
+    * columns when none appears in the schema; deletionVectors because
+    * appends never touch existing DVs and [[deleteWhere]] writes
+    * protocol-correct ones). The feature LISTED but inactive imposes no
+    * obligation on the commits this writer emits. */
   private val BenignWriterFeatures =
     Set("appendOnly", "invariants", "vacuumProtocolCheck", "timestampNtz",
-      "deletionVectors", "columnMapping")
+      "deletionVectors", "columnMapping", "changeDataFeed",
+      "checkConstraints", "generatedColumns", "identityColumns")
 
   private def validateWritable(s: DeltaTable.Snapshot, forOverwrite: Boolean): Unit = {
     val cm = s.configuration.getOrElse("delta.columnMapping.mode", "none")
     if (cm != "none" && cm != "name" && cm != "id")
       refuse(s"unknown column mapping mode '$cm'")
-    if (s.configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
-      refuse("change data feed is enabled — this writer does not emit cdc actions")
+    // CDF-enabled tables: PROTOCOL.md requires cdc actions only for
+    // commits that MODIFY existing data — blind appends (and full
+    // overwrites, whose changes CDF readers derive from the dataChange
+    // add/remove actions) are legal without them; deleteWhere refuses
+    // separately (a DV remove+re-add would mis-derive as whole-file
+    // delete+insert changes)
     if (s.configuration.keys.exists(_.startsWith("delta.constraints.")))
       refuse("CHECK constraints are defined — not enforced by this writer")
     if (forOverwrite && s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))

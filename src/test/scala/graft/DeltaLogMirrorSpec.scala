@@ -208,4 +208,62 @@ class DeltaLogMirrorSpec extends SparkSuite {
     assert(versions == Seq(0L, 1L, 2L))
     assert(live.keys.size == manifestFiles(root).size)
   }
+  test("CDF-enabled merges/deletes mirror real cdc actions + protocol (1,4)") {
+    val path = tmpDir("dlm-cdf")
+    val t = new VersionedTable(spark, path)
+    t.append(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "k")) // v0
+    t.setProperties(Map(VersionedTable.CdfProp -> "true")) // v1: CDF on
+    t.merge(Seq((2L, 99L), (4L, 40L)).toDF("id", "k"), Seq("id")) // v2
+    t.delete(col("id") === 1L) // v3
+
+    def lines(v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        path, "_delta_log", f"$v%020d.json")), "UTF-8")
+        .split('\n').filter(_.nonEmpty).toSeq.map(mapper.readTree)
+
+    // v1 carries the protocol upgrade (legacy CDF writer) and the
+    // translated config key Delta clients look for
+    val v1 = lines(1L)
+    val proto = v1.find(_.has("protocol")).get.get("protocol")
+    assert(proto.get("minReaderVersion").asInt == 1)
+    assert(proto.get("minWriterVersion").asInt == 4)
+    val cfg = v1.find(_.has("metaData")).get.get("metaData").get("configuration")
+    assert(cfg.get("delta.enableChangeDataFeed").asText == "true")
+
+    // the merge commit carries cdc actions pointing at the materialized
+    // change files; a CDF reader uses those ALONE for this commit
+    val v2cdc = lines(2L).filter(_.has("cdc")).map(_.get("cdc"))
+    assert(v2cdc.nonEmpty)
+    assert(v2cdc.forall(c => c.get("path").asText.startsWith("_change_data/")))
+    assert(v2cdc.forall(c => !c.get("dataChange").asBoolean))
+    // the referenced change parquet exists and holds the exact row changes
+    val cdcPaths = v2cdc.map(c => s"$path/" + c.get("path").asText)
+    val changes = spark.read.parquet(cdcPaths: _*)
+    assert(changes.columns.contains(VersionedTable.ChangeTypeCol))
+    val byType = changes.groupBy(VersionedTable.ChangeTypeCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map(
+      "update_preimage" -> 1L, "update_postimage" -> 1L, "insert" -> 1L))
+
+    // the DV delete commit ALSO carries its delete-row cdc actions, and
+    // the mirror still reads correctly through the external reader
+    val v3cdc = lines(3L).filter(_.has("cdc")).map(_.get("cdc"))
+    assert(v3cdc.nonEmpty)
+    val delChanges = spark.read.parquet(
+      v3cdc.map(c => s"$path/" + c.get("path").asText): _*)
+    assert(delChanges.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val ext = graft.store.DeltaTable.read(spark, path)
+      .select("id", "k").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ext == Set((2L, 99L), (3L, 30L), (4L, 40L)))
+    // protocol stays (1,4) — no DV reader feature is needed by the MIRROR
+    // read path... unless DVs appeared, which this table's delete DID add:
+    // the delete commit must therefore upgrade to (3,7) with BOTH features
+    val v3proto = lines(3L).find(_.has("protocol")).map(_.get("protocol"))
+    assert(v3proto.isDefined)
+    assert(v3proto.get.get("minWriterVersion").asInt == 7)
+    val wf = v3proto.get.get("writerFeatures").elements()
+    val feats = scala.jdk.CollectionConverters.IteratorHasAsScala(wf)
+      .asScala.map(_.asText).toSet
+    assert(feats.contains("deletionVectors") && feats.contains("changeDataFeed"))
+  }
 }

@@ -106,18 +106,25 @@ class ForeignDeltaWriterSpec extends SparkSuite {
 
   test("unsupported tables refuse loudly; appendOnly allows append only") {
     val df = Seq((1L, "a")).toDF("id", "s")
-    // column mapping
+    // column mapping DECLARED but the schema carries no physicalName
+    // metadata — malformed; a well-formed CM table writes fine
+    // (ForeignCmWriteSpec)
     val p2 = tmpDir("fdw-cm")
     foreignTable(p2, df, config = """{"delta.columnMapping.mode":"name"}""")
     intercept[UnsupportedOperationException] {
       new ForeignDeltaTable(spark, p2).append(df)
     }
-    // CDF
+    // CDF: blind appends are protocol-legal WITHOUT cdc actions; a DV
+    // delete would mis-derive as whole-file changes → refused
     val p3 = tmpDir("fdw-cdf")
     foreignTable(p3, df, config = """{"delta.enableChangeDataFeed":"true"}""")
-    intercept[UnsupportedOperationException] {
-      new ForeignDeltaTable(spark, p3).append(df)
+    val t3 = new ForeignDeltaTable(spark, p3)
+    t3.append(Seq((2L, "b")).toDF("id", "s"))
+    assert(DeltaTable.read(spark, p3).count() == 2)
+    val eCdf = intercept[UnsupportedOperationException] {
+      t3.deleteWhere(col("id") === 1, allowProtocolUpgrade = true)
     }
+    assert(eCdf.getMessage.contains("change data feed"))
     // writer protocol 7 with a non-benign feature
     val p4 = tmpDir("fdw-feat")
     foreignTable(p4, df, protocol = """{"protocol":{"minReaderVersion":1,""" +
