@@ -30,6 +30,14 @@ class TvfSpec extends SparkSuite {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location
     }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
     assert(idx.flatMap(_.lastPruning).contains((1, 3)), s"got ${idx.flatMap(_.lastPruning)}")
+    // deletion vectors apply through the SQL surface too: the TVF plans the
+    // same scanDirs read, so DV'd rows are gone without any file rewrite
+    t.delete(org.apache.spark.sql.functions.col("id") < 5)
+    assert(spark.sql(s"SELECT * FROM graft_table('$root')").count() == 25)
+    assert(spark.sql(
+      s"SELECT * FROM graft_table('$root') WHERE id < 5").count() == 0)
+    // time travel through the TVF still shows the pre-delete snapshot
+    assert(spark.sql(s"SELECT * FROM graft_table('$root', 2)").count() == 30)
   }
 
   test("graft_change_feed TVF surfaces _change_type provenance through SQL") {
