@@ -165,9 +165,17 @@ final class DeltaLogMirror(
             (if (state.cdfProtocol) Seq("changeDataFeed") else Nil)), null, null)
       else if (state.cdfProtocol) Row(Row(1, 4, null, null), null, null)
       else Row(Row(1, 2, null, null), null, null)
+    // same config translation emitMetaData applies to the JSON commits:
+    // external CDF readers resolve configuration from the checkpoint once
+    // no later metaData action is in the tail, so the delta key must be
+    // present here too or table_changes dies every CheckpointInterval
+    val ckptConfig = state.config ++
+      (if (state.config.get(VersionedTable.CdfProp).contains("true"))
+        Map("delta.enableChangeDataFeed" -> "true")
+      else Map.empty[String, String])
     val metaRow = Row(null,
       Row(state.tableId, null, null, Row("parquet", Map.empty[String, String]),
-        state.schemaJson, Seq.empty[String], state.config, now),
+        state.schemaJson, Seq.empty[String], ckptConfig, now),
       null)
     val addRows = state.files.toSeq.sortBy(_._1).map { case (p, fe) =>
       Row(null, null, Row(p, Map.empty[String, String], fe.size, now, false,

@@ -198,15 +198,22 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         case v =>
           (if (v >= 2) Seq("appendOnly", "invariants") else Nil) ++
             (if (v >= 3) Seq("checkConstraints") else Nil) ++
-            (if (v >= 4) Seq("changeDataFeed", "generatedColumns") else Nil)
+            (if (v >= 4) Seq("changeDataFeed", "generatedColumns") else Nil) ++
+            (if (v >= 5) Seq("columnMapping") else Nil) ++
+            (if (v >= 6) Seq("identityColumns") else Nil)
       }
       val pr = obj()
       val prn = pr.putObject("protocol")
       prn.put("minReaderVersion", 3)
       prn.put("minWriterVersion", 7)
       val rf = prn.putArray("readerFeatures")
-      ((if (s.minReaderVersion >= 3) s.readerFeatures else Nil) :+
-        "deletionVectors").distinct.foreach(rf.add)
+      // legacy reader version 2 IS column mapping — the upgraded feature
+      // list must keep licensing the table's active columnMapping.mode
+      val impliedReader =
+        if (s.minReaderVersion >= 3) s.readerFeatures
+        else if (s.minReaderVersion >= 2) Seq("columnMapping")
+        else Nil
+      ((impliedReader :+ "deletionVectors").distinct).foreach(rf.add)
       val wf = prn.putArray("writerFeatures")
       (implied :+ "deletionVectors").distinct.foreach(wf.add)
       lines += mapper.writeValueAsString(pr)
@@ -231,7 +238,18 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       adn.put("size", add.size)
       adn.put("modificationTime", add.mtime)
       adn.put("dataChange", true)
-      add.statsJson.foreach(adn.put("stats", _))
+      // a file gaining a DV must mark its carried stats WIDE (protocol DV
+      // writer requirement): numRecords stays physical, but min/max may
+      // now cover deleted rows only — tightBounds=false stops metadata-only
+      // MIN/MAX answers from reading deleted values
+      add.statsJson.foreach { sj =>
+        val wide = mapper.readTree(sj) match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+            o.put("tightBounds", false); o
+          case other => other
+        }
+        adn.put("stats", mapper.writeValueAsString(wide)): Unit
+      }
       val dvn = adn.putObject("deletionVector")
       dvn.put("storageType", "u")
       dvn.put("pathOrInlineDv", uuidRef)
@@ -289,15 +307,44 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val phys = new PhysPlan(s, s.schema)
     val aligned = phys.toPhysical(align(live, s.schema))
     // size the rewrite by bytes, not file count; partitioned tables
-    // repartition BY the partition columns so each hive value lands in one
-    // task → one compacted file per partition dir
+    // repartition by (partition columns, salt) where the salt modulus is
+    // that hive partition's bytes-proportional split count — a partition
+    // holding several large DV'd candidates splits across tasks instead of
+    // funneling multi-GB through one
     val nOut = math.max(1, math.ceil(
       doomed.map(_.size).sum.toDouble / targetFileBytes).toInt)
     val packed =
       if (phys.physPartCols.isEmpty) aligned.repartition(nOut)
-      else aligned.repartition(math.max(nOut, 1),
-        phys.physPartCols.map(c => col(s"`$c`")): _*)
-    val w = writeFiles(packed, phys.writeSchema, phys.physPartCols)
+      else {
+        val Sep = "\u0001"
+        val Nul = "\u0000"
+        def keyOf(pv: Map[String, Option[String]]): String = {
+          val ci = pv.map { case (k, ov) => k.toLowerCase -> ov }
+          phys.physPartCols.map(c =>
+            ci.getOrElse(c.toLowerCase, None).getOrElse(Nul)).mkString(Sep)
+        }
+        val splits: Map[String, Int] = doomed.groupBy(_.partitionValues).map {
+          case (pv, fs) => keyOf(pv) -> math.max(1, math.ceil(
+            fs.map(_.size).sum.toDouble / targetFileBytes).toInt)
+        }
+        val keyCol = concat_ws(Sep, phys.physPartCols.map(c =>
+          coalesce(col(s"`$c`").cast("string"), lit(Nul))): _*)
+        // string round-trip of a partition value can differ from the log's
+        // form for exotic types — a missed lookup degrades to modulus 1,
+        // i.e. exactly the previous one-task-per-partition behavior
+        val saltMod = coalesce(element_at(typedLit(splits), keyCol), lit(1))
+        val dataCols = phys.writeSchema.fieldNames.toSeq
+          .filterNot(phys.physPartCols.contains)
+        val rowHash =
+          if (dataCols.isEmpty) spark_partition_id().cast("long")
+          else hash(dataCols.map(c => col(s"`$c`")): _*).cast("long")
+        aligned.withColumn("__graft_salt", pmod(rowHash, saltMod.cast("long")))
+          .repartition(math.max(nOut, 1),
+            phys.physPartCols.map(c => col(s"`$c`")) :+ col("__graft_salt"): _*)
+          .drop("__graft_salt")
+      }
+    val w = writeFiles(packed, phys.writeSchema, phys.physPartCols,
+      phys.fieldIdWrite)
 
     val now = System.currentTimeMillis()
     val lines = scala.collection.mutable.ArrayBuffer[String]()
@@ -458,10 +505,13 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     /** Logically-aligned df → physically-named df (field ids ride the
       * parquet.field.id metadata; nested renames via a same-shaped
       * positional cast). */
+    /** id-mode writes need `spark.sql.parquet.fieldId.write.enabled`
+      * during the parquet write — scoped there ([[writeFiles]]), never a
+      * lasting session-conf mutation. */
+    val fieldIdWrite: Boolean = mapped && idMode
     def toPhysical(alignedLogical: DataFrame): DataFrame =
       if (!mapped) alignedLogical
       else {
-        if (idMode) spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         alignedLogical.select(outSchema.fields.toSeq.map { f =>
           val pf = physField(f)
           val c = col(s"`${f.name}`")
@@ -480,9 +530,21 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       partValues: String => Seq[(String, Option[String])],
       statsByFile: Map[String, String])
 
+  /** Restore-on-exit scope for a session SQL conf (the write-path flags
+    * must not leak onto unrelated writes in the same session). */
+  private def withSessionConf[T](key: String, value: Option[String])(body: => T): T =
+    value match {
+      case None => body
+      case Some(v) =>
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, v)
+        try body
+        finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+
   private def writeFiles(
       aligned: DataFrame, writeSchema: StructType,
-      physPartCols: Seq[String]): Written = {
+      physPartCols: Seq[String], fieldIdWrite: Boolean = false): Written = {
     // data files land inside the table under a per-commit unique dir — the
     // protocol allows any relative path, and an uncommitted dir is
     // invisible to every Delta reader until the JSON commit publishes.
@@ -491,8 +553,11 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     // reader keeps partition-pruning the rows graft appends.
     val dirName = s"graft_data/${UUID.randomUUID().toString.take(12)}"
     val dataDir = new HPath(path, dirName)
-    if (physPartCols.isEmpty) aligned.write.parquet(dataDir.toString)
-    else aligned.write.partitionBy(physPartCols: _*).parquet(dataDir.toString)
+    withSessionConf("spark.sql.parquet.fieldId.write.enabled",
+      if (fieldIdWrite) Some("true") else None) {
+      if (physPartCols.isEmpty) aligned.write.parquet(dataDir.toString)
+      else aligned.write.partitionBy(physPartCols: _*).parquet(dataDir.toString)
+    }
     // relative path under dataDir (partition subdirs included), size, mtime
     def walk(p: HPath, prefix: String): Seq[(String, Long, Long)] =
       fsu.fs.listStatus(p).toSeq.flatMap { st =>
@@ -623,7 +688,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val physPartCols = phys.physPartCols
     val aligned = phys.toPhysical(align(df, outSchema))
 
-    val w = writeFiles(aligned, writeSchema, physPartCols)
+    val w = writeFiles(aligned, writeSchema, physPartCols, phys.fieldIdWrite)
     val dirName = w.dirName
     val parts = w.parts
     val partValuesOf = w.partValues

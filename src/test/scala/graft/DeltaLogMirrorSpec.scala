@@ -151,6 +151,27 @@ class DeltaLogMirrorSpec extends SparkSuite {
     assertMirrored(root) // full-JSON replay unchanged by checkpointing
   }
 
+  test("checkpoint metaData carries the translated CDF config key") {
+    val root = tmpDir("dlm-cdf-cp")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1, "a")).toDF("id", "s")) // v0
+    t.setProperties(Map(VersionedTable.CdfProp -> "true")) // v1
+    // push past the checkpoint interval: external CDF readers resolve
+    // configuration from the checkpoint when no later metaData action is
+    // in the JSON tail — the delta key must survive the translation there
+    (1 to 10).foreach(i => t.append(Seq((10 + i, s"r$i")).toDF("id", "s")))
+    val cp = new java.io.File(s"$root/_delta_log/${"%020d".format(10)}.checkpoint.parquet")
+    assert(cp.isFile, "checkpoint file missing")
+    val cfg = spark.read.parquet(cp.getPath)
+      .filter(col("metaData").isNotNull)
+      .select("metaData.configuration").collect()
+    assert(cfg.length == 1)
+    val m = cfg(0).getMap[String, String](0)
+    assert(m.get("delta.enableChangeDataFeed").contains("true"),
+      s"checkpoint config must carry the delta CDF key, got $m")
+    assert(m.get(VersionedTable.CdfProp).contains("true")) // graft key kept too
+  }
+
   test("a mirror-only IO failure does not fail the committed write, and heals") {
     val root = tmpDir("dlm-iofail")
     val t = new VersionedTable(spark, root)

@@ -100,6 +100,19 @@ class ForeignCmWriteSpec extends SparkSuite {
     val got = DeltaTable.read(spark, root).orderBy("id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
     assert(got == Seq((1L, "a", 1), (2L, "b", 2), (10L, "x", 9)))
+    // the field-id write flag is scoped to the write, not a lasting
+    // session-conf mutation: an explicit user setting survives the append
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    try {
+      assert(t.append(Seq((11L, "y", 9)).toDF("id", "v", "p")) == 2L)
+      assert(spark.conf.get("spark.sql.parquet.fieldId.write.enabled") == "false",
+        "fieldId.write.enabled leaked onto the session conf")
+      // and the write itself still stamped ids despite the session value
+      val files = new File(root, "graft_data").listFiles
+        .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+      assert(files.forall(f => spark.read.parquet(f.getAbsolutePath)
+        .schema.fields.forall(_.metadata.contains("parquet.field.id"))))
+    } finally spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
     // the new file's parquet schema carries field ids (read back with id
     // resolution against DELIBERATELY different physical names would only
     // work via ids — DeltaTable.read's id mode exercises exactly that)

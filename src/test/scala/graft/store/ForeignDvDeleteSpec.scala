@@ -104,6 +104,14 @@ class ForeignDvDeleteSpec extends SparkSuite {
     assert(adds.size == 5)
     assert(adds.forall(a => a.get("deletionVector").get("storageType").asText() == "u"))
     assert(adds.exists(_.has("stats"))) // v1's writer-computed stats carried
+    // a file gaining a DV must mark its carried stats WIDE — otherwise a
+    // metadata-only MIN/MAX read can answer from deleted rows' values
+    val carried = adds.filter(_.has("stats"))
+      .map(a => mapper.readTree(a.get("stats").asText()))
+    assert(carried.nonEmpty)
+    assert(carried.forall(s =>
+      s.has("tightBounds") && !s.get("tightBounds").asBoolean()))
+    assert(carried.forall(_.has("numRecords"))) // physical count stays
     // time travel to v1 still sees everything
     assert(DeltaTable.read(spark, root, versionAsOf = Some(1L)).count() == 200)
   }
@@ -125,6 +133,24 @@ class ForeignDvDeleteSpec extends SparkSuite {
     assert(DeltaTable.read(spark, root).count() == 30) // still intact
     // the live container survived
     assert(dvBins(root).size == 1)
+  }
+
+  test("upgrade from (2,6) keeps columnMapping/identityColumns implied") {
+    val root = tmpDir("fdv-legacy26")
+    // legacy reader 2 IS column mapping; legacy writer 6 implies every
+    // feature through identityColumns — the (3,7) upgrade must keep
+    // licensing them all or other engines reject the table afterwards
+    foreignTable(root, (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s"),
+      protocol = """{"protocol":{"minReaderVersion":2,"minWriterVersion":6}}""")
+    val t = new ForeignDeltaTable(spark, root)
+    t.deleteWhere(col("id") < 3, allowProtocolUpgrade = true)
+    val s = DeltaTable.snapshot(spark, root)
+    assert(s.minReaderVersion == 3 && s.minWriterVersion == 7)
+    assert(Set("columnMapping", "deletionVectors").subsetOf(s.readerFeatures.toSet))
+    assert(Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+      "generatedColumns", "columnMapping", "identityColumns", "deletionVectors")
+      .subsetOf(s.writerFeatures.toSet))
+    assert(DeltaTable.read(spark, root).count() == 7)
   }
 
   test("delete with no matches commits nothing") {

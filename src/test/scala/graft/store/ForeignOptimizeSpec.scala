@@ -139,6 +139,49 @@ class ForeignOptimizeSpec extends SparkSuite {
     assert(DeltaTable.read(spark, root).filter(col("seg") === "b").count() == 3)
   }
 
+  test("oversized hive partition splits across tasks (bytes-proportional salt)") {
+    val root = tmpDir("fop-salt")
+    val stage = tmpDir("fop-salt-stage")
+    Seq((0L, "a")).toDF("id", "seg").coalesce(1)
+      .write.mode("overwrite").partitionBy("seg").parquet(stage)
+    val part = new File(stage, "seg=a").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    new File(root, "seg=a").mkdirs()
+    Files.copy(part.toPath,
+      java.nio.file.Paths.get(root, "seg=a", "part-0-foreign.parquet")): Unit
+    rm(stage)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("seg", StringType)))
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val meta = s"""{"metaData":{"id":"fop-salt","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(schema.json)},""" +
+      s""""partitionColumns":["seg"],"configuration":{},"createdTime":1}}"""
+    val add = s"""{"add":{"path":"seg=a/part-0-foreign.parquet","partitionValues":{"seg":"a"},""" +
+      s""""size":${new File(root, "seg=a/part-0-foreign.parquet").length()},"modificationTime":1,"dataChange":true}}"""
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log", "00000000000000000000.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta, add)
+        .mkString("\n").getBytes("UTF-8")): Unit
+
+    val t = new ForeignDeltaTable(spark, root)
+    // two sizeable appends into the SAME hive partition; a tiny
+    // targetFileBytes makes the partition's candidate bytes demand
+    // several output files — without the salt everything would funnel
+    // through one task into one file
+    t.append((1L until 4000L).map(i => (i, "a")).toDF("id", "seg"))
+    t.append((4000L until 8000L).map(i => (i, "a")).toDF("id", "seg"))
+    val before = DeltaTable.read(spark, root).orderBy("id").collect().toSeq
+    t.optimize(smallFileBytes = 10L << 20, targetFileBytes = 8 << 10,
+      minFiles = 2)
+    val s = DeltaTable.snapshot(spark, root)
+    val aAdds = s.adds.filter(_.partitionValues.get("seg").flatten.contains("a"))
+    assert(aAdds.size > 1,
+      s"an over-target partition must split into several files, got ${aAdds.size}")
+    // still hive-partitioned correctly and content-identical
+    assert(aAdds.forall(_.rawPath.contains("seg=a")))
+    assert(DeltaTable.read(spark, root).orderBy("id").collect().toSeq == before)
+  }
+
   test("composes with column mapping: compacted files keep physical names") {
     val root = tmpDir("fop-cm")
     // name-mode CM fixture (shape from ForeignCmWriteSpec)
