@@ -606,9 +606,17 @@ object Dedup {
 
   private def duplicateClustersLabel(
       pairs: DataFrame, maxIters: Int): DataFrame = {
+    // both edge directions from ONE scan of `pairs` (explode, not a
+    // self-union): the pair set is usually the output of an expensive
+    // candidate+verify pipeline, and a union of two selects over it
+    // computes that upstream TWICE unless exchange reuse happens to fire
+    // (measured: the sf0.1 bench gate spent more time on the second
+    // upstream pass than on the entire propagation loop)
     val edges = spillPersistEager(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
     val idType = pairs.schema("id_a").dataType
     // round 1 is a plain aggregation, no label join needed: with identity
@@ -669,14 +677,18 @@ object Dedup {
     * centered at its minimum id. Fixpoint detection is EXACT (same
     * count + empty EXCEPT), not a hash heuristic. */
   def duplicateClustersStars(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    // materialize the (often expensive) pair pipeline ONCE; nodes and the
+    // directed edge list both derive from the persisted base instead of
+    // re-running the upstream three times
+    val base = spillPersistEager(pairs.select("id_a", "id_b"))
     val nodes = spillPersistEager(
-      pairs.select(col("id_a").as("id"))
-        .unionByName(pairs.select(col("id_b").as("id"))).distinct())
+      base.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct())
     // directed u → v with v < u; self-pairs dropped defensively
     var edges = spillPersistEager(
-      pairs.select(greatest(col("id_a"), col("id_b")).as("u"),
+      base.select(greatest(col("id_a"), col("id_b")).as("u"),
           least(col("id_a"), col("id_b")).as("v"))
         .filter(col("u") =!= col("v")).distinct())
+    base.unpersist(blocking = false)
     var edgeCnt = edges.count()
     var iters = 0
     var converged = false
