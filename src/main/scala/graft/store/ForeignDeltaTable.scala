@@ -28,12 +28,15 @@ import graft.SchemaDrift
   * keyed stats/partitionValues; schema DRIFT under mapping refuses, since
   * new columns need fresh mapping ids only the table owner should assign),
   * deletion vectors (existing DVs read; [[deleteWhere]] writes
-  * protocol-correct ones), writer protocol ≤ 6 or protocol-7 tables whose
-  * writerFeatures are all benign (appendOnly, invariants — when no
-  * invariant is actually defined — vacuumProtocolCheck, timestampNtz,
-  * columnMapping, deletionVectors). Refused when ACTIVE: CDF, CHECK
-  * constraints, generated columns, identity columns. `delta.appendOnly`
-  * tables accept appends but refuse overwrite and DELETE.
+  * protocol-correct ones), change data feed (blind appends are
+  * cdc-action-free per the protocol; [[deleteWhere]] materializes
+  * `_change_data/` delete rows + cdc actions), writer protocol ≤ 6 or
+  * protocol-7 tables whose writerFeatures are all benign (appendOnly,
+  * invariants — when no invariant is actually defined —
+  * vacuumProtocolCheck, timestampNtz, columnMapping, deletionVectors).
+  * Refused when ACTIVE: CHECK constraints, generated columns, identity
+  * columns. `delta.appendOnly` tables accept appends but refuse
+  * overwrite and DELETE.
   *
   * Stats: one distributed pass over the just-written files (grouped by
   * `_metadata.file_path`) computes numRecords + per-column
@@ -122,6 +125,12 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     * union in (the scan already hides their rows, so new indexes are
     * disjoint by construction).
     *
+    * CDF-enabled tables: the commit also carries real `cdc` actions over
+    * `_change_data/` files holding the deleted rows with
+    * `_change_type = "delete"` (hive-partitioned like the table, physical
+    * column names under column mapping) — a table_changes reader sees the
+    * exact row-level deletes instead of mis-deriving whole-file changes.
+    *
     * Protocol: requires `deletionVectors` in BOTH feature lists. When the
     * table doesn't have it, refuses unless `allowProtocolUpgrade = true` —
     * upgrading a FOREIGN table's protocol can lock out its other, older
@@ -141,9 +150,8 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     validateWritable(s, forOverwrite = false)
     if (s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       refuse("delta.appendOnly table — DELETE refused")
-    if (s.configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
-      refuse("change data feed is enabled — a DV delete without cdc " +
-        "actions would mis-derive as whole-file delete+insert changes")
+    val cdfEnabled = s.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
     val hasDv = s.readerFeatures.contains("deletionVectors") &&
       s.writerFeatures.contains("deletionVectors")
     if (!hasDv && !allowProtocolUpgrade)
@@ -174,6 +182,26 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           (abs, DeletionVectors.encode(all), all.length.toLong)
         }.collect().sortBy(_._1)
     if (perFile.isEmpty) return s.version
+
+    // CDF tables: a commit that modifies existing data must carry cdc
+    // actions (PROTOCOL.md change-data-files) — readers of table_changes
+    // consume a cdc-bearing commit from those ALONE, so the deleted rows
+    // are materialized as `_change_type = "delete"` change files under
+    // `_change_data/`, hive-partitioned like the table (physical column
+    // names under column mapping), BEFORE the commit publishes them.
+    // One extra pass over the stats-pruned candidate files only.
+    val cdcW: Option[Written] =
+      if (!cdfEnabled) None
+      else {
+        val phys = new PhysPlan(s, s.schema)
+        val deleted = phys.toPhysical(
+            align(DeltaTable.read(spark, path).filter(cond), s.schema))
+          .withColumn(VersionedTable.ChangeTypeCol, lit("delete"))
+        val cdcSchema = StructType(phys.writeSchema.fields :+
+          StructField(VersionedTable.ChangeTypeCol, StringType))
+        Some(writeFiles(deleted, cdcSchema, phys.physPartCols,
+          phys.fieldIdWrite, baseDir = "_change_data", withStats = false))
+      }
 
     // one container file for the whole commit, protocol "u" layout
     val (uuidRef, binName) = DeletionVectors.newUuidRef()
@@ -258,12 +286,29 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       dvn.put("cardinality", card)
       lines += mapper.writeValueAsString(ad)
     }
+    cdcW.foreach { w =>
+      w.parts.foreach { case (rel, size, _) =>
+        val c = obj()
+        val cn = c.putObject("cdc")
+        cn.put("path",
+          new java.net.URI(null, null, s"${w.dirName}/$rel", null).toASCIIString)
+        val pvn = cn.putObject("partitionValues")
+        w.partValues(rel).foreach {
+          case (k, Some(pv)) => pvn.put(k, pv): Unit
+          case (k, None) => pvn.putNull(k): Unit
+        }
+        cn.put("size", size)
+        cn.put("dataChange", false)
+        lines += mapper.writeValueAsString(c)
+      }
+    }
     val v = s.version + 1
     try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: java.nio.file.FileAlreadyExistsException =>
         fsu.deleteIfExists(new HPath(root, binName))
+        cdcW.foreach(w => fsu.fs.delete(new HPath(root, w.dirName), true))
         throw new java.util.ConcurrentModificationException(
           s"lost the commit race on Delta table $path at version $v — " +
             "re-run the delete against the fresh snapshot")
@@ -421,9 +466,8 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     // CDF-enabled tables: PROTOCOL.md requires cdc actions only for
     // commits that MODIFY existing data — blind appends (and full
     // overwrites, whose changes CDF readers derive from the dataChange
-    // add/remove actions) are legal without them; deleteWhere refuses
-    // separately (a DV remove+re-add would mis-derive as whole-file
-    // delete+insert changes)
+    // add/remove actions) are legal without them; deleteWhere emits real
+    // cdc actions over materialized `_change_data/` delete rows
     if (s.configuration.keys.exists(_.startsWith("delta.constraints.")))
       refuse("CHECK constraints are defined — not enforced by this writer")
     if (forOverwrite && s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
@@ -544,14 +588,17 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
 
   private def writeFiles(
       aligned: DataFrame, writeSchema: StructType,
-      physPartCols: Seq[String], fieldIdWrite: Boolean = false): Written = {
+      physPartCols: Seq[String], fieldIdWrite: Boolean = false,
+      baseDir: String = "graft_data", withStats: Boolean = true): Written = {
     // data files land inside the table under a per-commit unique dir — the
     // protocol allows any relative path, and an uncommitted dir is
     // invisible to every Delta reader until the JSON commit publishes.
     // Partitioned tables write hive-layout subdirs (col=value) inside it
     // and each add action carries the partitionValues map, so every Delta
     // reader keeps partition-pruning the rows graft appends.
-    val dirName = s"graft_data/${UUID.randomUUID().toString.take(12)}"
+    // (`baseDir = "_change_data"` + `withStats = false` is the CDF
+    // change-file variant: same layout/partitioning, no stats pass.)
+    val dirName = s"$baseDir/${UUID.randomUUID().toString.take(12)}"
     val dataDir = new HPath(path, dirName)
     withSessionConf("spark.sql.parquet.fieldId.write.enabled",
       if (fieldIdWrite) Some("true") else None) {
@@ -588,7 +635,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val statCols = writeSchema.fields.filter(f =>
       statEligible(f.dataType) && !lowerParts.contains(f.name.toLowerCase)).toSeq
     val statsByFile: Map[String, String] =
-      if (parts.isEmpty) Map.empty
+      if (parts.isEmpty || !withStats) Map.empty
       else {
         val aggs = count(lit(1)).as("__n") +: statCols.zipWithIndex.flatMap {
           case (f, i) => Seq(

@@ -115,16 +115,16 @@ class ForeignDeltaWriterSpec extends SparkSuite {
       new ForeignDeltaTable(spark, p2).append(df)
     }
     // CDF: blind appends are protocol-legal WITHOUT cdc actions; a DV
-    // delete would mis-derive as whole-file changes → refused
+    // delete emits real cdc actions (row-level coverage in
+    // ForeignDvDeleteSpec) — supported, not refused
     val p3 = tmpDir("fdw-cdf")
     foreignTable(p3, df, config = """{"delta.enableChangeDataFeed":"true"}""")
     val t3 = new ForeignDeltaTable(spark, p3)
     t3.append(Seq((2L, "b")).toDF("id", "s"))
     assert(DeltaTable.read(spark, p3).count() == 2)
-    val eCdf = intercept[UnsupportedOperationException] {
-      t3.deleteWhere(col("id") === 1, allowProtocolUpgrade = true)
-    }
-    assert(eCdf.getMessage.contains("change data feed"))
+    t3.deleteWhere(col("id") === 1, allowProtocolUpgrade = true)
+    assert(DeltaTable.read(spark, p3).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(new java.io.File(p3, "_change_data").isDirectory)
     // writer protocol 7 with a non-benign feature
     val p4 = tmpDir("fdw-feat")
     foreignTable(p4, df, protocol = """{"protocol":{"minReaderVersion":1,""" +

@@ -153,6 +153,42 @@ class ForeignDvDeleteSpec extends SparkSuite {
     assert(DeltaTable.read(spark, root).count() == 7)
   }
 
+  test("CDF table: delete emits cdc actions whose files hold the exact rows") {
+    val root = tmpDir("fdv-cdf")
+    foreignTable(root, (0L until 40L).map(i => (i, s"r$i")).toDF("id", "s"),
+      config = """{"delta.enableChangeDataFeed":"true"}""",
+      protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""")
+    val t = new ForeignDeltaTable(spark, root)
+    val v = t.deleteWhere(col("id") % 8 === 0, allowProtocolUpgrade = true)
+    assert(v == 1L)
+    // the snapshot hides the deleted rows
+    val got = DeltaTable.read(spark, root)
+    assert(got.count() == 35)
+    assert(got.filter(col("id") % 8 === 0).count() == 0)
+    // external table_changes-style read: parse the commit's cdc actions,
+    // load exactly those files — they must contain the deleted rows with
+    // _change_type = "delete" and nothing else
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val actions = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      root, "_delta_log", "00000000000000000001.json")), "UTF-8")
+      .split('\n').filter(_.nonEmpty).toSeq.map(mapper.readTree)
+    val cdcs = actions.filter(_.has("cdc")).map(_.get("cdc"))
+    assert(cdcs.nonEmpty, "CDF delete commit must carry cdc actions")
+    assert(cdcs.forall(c => !c.get("dataChange").asBoolean()))
+    assert(cdcs.forall(_.get("path").asText().startsWith("_change_data/")))
+    val changeRows = cdcs.map(c => spark.read.parquet(
+        new File(root, c.get("path").asText()).getAbsolutePath))
+      .reduce(_.unionByName(_))
+    assert(changeRows.columns.toSet == Set("id", "s", "_change_type"))
+    assert(changeRows.filter(col("_change_type") =!= "delete").count() == 0)
+    assert(changeRows.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 40L by 8L).toSeq)
+    // a cdc-bearing commit is read from cdc actions ALONE — the re-added
+    // DV'd files still carry dataChange=true add/remove, but readers must
+    // not derive from them; assert both action kinds coexist
+    assert(actions.exists(_.has("add")) && actions.exists(_.has("remove")))
+  }
+
   test("delete with no matches commits nothing") {
     val root = tmpDir("fdv-noop")
     foreignTable(root, Seq((1L, "a")).toDF("id", "s"))
