@@ -44,7 +44,11 @@ object Bench {
     "store_skipping",
     // foreign `_delta_log` continuation: scenario-memoized like scd2_*
     // (single run times the full-load→foreign-delta-append→log-replay read)
-    "store_delta_writer")
+    "store_delta_writer",
+    // LIVE two-drop graft-table stream (fresh table per run, never
+    // memoized): offset resolution + 2 AvailableNow micro-batches — an
+    // O(table) regression in commit/offset resolution surfaces here
+    "streaming_drain_bench")
 
   /** Queries whose scenario memoizes per (scenario, sfDir): repetition (or
     * a retry) would time a cache read, not the engine — single run, never

@@ -2378,6 +2378,30 @@ object Catalog {
       },
       Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
 
+    // The FOREIGN-Delta streaming source (stream FROM a pure _delta_log
+    // destination): snapshot drain + a ForeignDeltaTable-append increment
+    // over one checkpoint must reassemble exactly the source table — the
+    // delta-spark table-as-stream contract without a Delta jar
+    Q("streaming_delta_source",
+      (s, d) => {
+        val dest = Scenarios.deltaStreamDest(s, d)
+        s.read.parquet(s"$dest/sink")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      },
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
+
+    // NON-memoized live stream drain (bench headline): builds a fresh
+    // table, streams two drops through AvailableNow — times the actual
+    // offset-resolution + micro-batch path, never a cache read; the
+    // reassembly oracle keeps it honest
+    Q("streaming_drain_bench",
+      (s, d) => {
+        val dest = Scenarios.freshStreamDrain(s, d)
+        s.read.parquet(s"$dest/sink")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      },
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
+
     // Deletion-vector-mode MERGE (merge-on-read upsert): matched rows DV'd
     // in place, source appended — the final snapshot must equal the plain
     // SQL merge of the same batch (updates %89 +100, inserts %83 shifted)

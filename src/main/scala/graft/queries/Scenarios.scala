@@ -410,6 +410,67 @@ object Scenarios {
       drain() // incremental: exactly commit v1's rows
     }
 
+  /** The FOREIGN-Delta streaming source end-to-end: a graft-mirrored v0
+    * stripped to a pure `_delta_log` destination, drained as a stream
+    * (snapshot batch), then continued with a [[graft.store.ForeignDeltaTable]]
+    * append and drained again (incremental batch = exactly commit v1's
+    * files) — `format("graft-table")` auto-detects the foreign table and
+    * engages [[graft.streaming.DeltaStreamSource]]. */
+  def deltaStreamDest(spark: SparkSession, dir: String): String =
+    run("deltastream", spark, dir) { dest =>
+      val cust = customer(spark, dir).select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val t = new graft.store.VersionedTable(spark, s"$dest/tbl")
+      t.append(cust.filter(col("c_custkey") % 2 === 0)) // v0, mirrored
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$dest/tbl/_graft_log")) // now a foreign table
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft-table")
+          .option("path", s"$dest/tbl").load()
+          .writeStream.format("parquet")
+          .option("path", s"$dest/sink")
+          .option("checkpointLocation", s"$dest/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // initial snapshot at v0
+      val f = new graft.store.ForeignDeltaTable(spark, s"$dest/tbl")
+      f.append(cust.filter(col("c_custkey") % 2 =!= 0)) // v1: foreign commit
+      drain() // incremental: exactly commit v1's files
+    }
+
+  /** NON-memoized two-drop stream drain for the BENCH headline: every call
+    * builds a fresh graft table (v0 = half of customer), drains the
+    * snapshot, appends v1, drains the increment — so the measured figure
+    * is the live streaming path (offset resolution + 2 AvailableNow
+    * micro-batch plans + sink commit), not a cache read. An O(table)
+    * regression in offset/commit resolution shows here first. */
+  def freshStreamDrain(spark: SparkSession, dir: String): String = {
+    val dest = Files.createTempDirectory("graft-drainbench").toString
+    val cust = customer(spark, dir).select(
+      col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val t = new graft.store.VersionedTable(spark, s"$dest/tbl")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("path", s"$dest/tbl").load()
+        .writeStream.format("parquet")
+        .option("path", s"$dest/sink")
+        .option("checkpointLocation", s"$dest/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    t.append(cust.filter(col("c_custkey") % 2 === 0)) // v0
+    drain()
+    t.append(cust.filter(col("c_custkey") % 2 =!= 0)) // v1
+    drain()
+    dest
+  }
+
   /** Supplier batch 1/2 for the multi-table sync: same mutation grammar as
     * the customer batches on coprime moduli (deletes %19, updates %13 get
     * +50, inserts %17 under shifted keys). */
