@@ -13,8 +13,13 @@ import graft.{ColInfo, SystemCols, WriteConfig}
 object Projection {
 
   /** Source types whose values must NOT be trimmed even when they surface
-    * as strings — fixed-form identifiers (reference db_to_delta.py:80-88). */
-  private val trimExempt = Set("uuid", "uniqueidentifier", "guid", "oid", "xid")
+    * as strings — fixed-form identifiers (reference db_to_delta.py:80-88),
+    * plus xml: the reference's trim rule keys on the SOURCE type being a
+    * string type, which xml is not (an XML document's leading/trailing
+    * whitespace is part of the value), even though it lands as a string
+    * column here. */
+  private val trimExempt =
+    Set("uuid", "uniqueidentifier", "guid", "oid", "xid", "xml")
 
   private[graft] def isXid(c: ColInfo, cfg: WriteConfig): Boolean =
     !cfg.dataTypeMap.contains(c.typeKey) && c.sourceType.map(_.toLowerCase).contains("xid")

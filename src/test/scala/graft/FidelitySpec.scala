@@ -54,6 +54,39 @@ class FidelitySpec extends SparkSuite {
     assert(sync.dest.delta.read().schema("xmin").dataType == LongType)
   }
 
+  test("ROW START column is auto-detected as the delta column (temporal tables)") {
+    // the reference's system-versioned fixture class (init_mssql.sql
+    // company/company3, write_init.py:155 AS_ROW_START): no rowversion →
+    // the generated-always row-start timestamp IS the delta source
+    val srcPath = tmpDir("graft-rowstart-src")
+    Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, "b", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("id", "v", "SysStartTime")
+      .write.mode("overwrite").parquet(srcPath)
+    val inner = new ParquetSource(srcPath, pks = Seq("id"))
+    val source = new graft.sources.Source {
+      def read(s: org.apache.spark.sql.SparkSession) = inner.read(s)
+      def primaryKeys(s: org.apache.spark.sql.SparkSession) = inner.primaryKeys(s)
+      def columns(s: org.apache.spark.sql.SparkSession): Seq[ColInfo] =
+        inner.columns(s).map(c =>
+          if (c.name == "SysStartTime")
+            c.copy(sourceType = Some("datetime2"), isRowStart = true)
+          else c)
+    }
+    val sync = Graft.writer(spark, source, tmpDir("graft-rowstart-dest"), WriteConfig())
+    assert(sync.deltaCol.map(_.name).contains("SysStartTime"))
+    assert(sync.execute() == LoadResult.FullLoad(2))
+  }
+
+  test("xml source values are never trimmed (not a string type at the source)") {
+    val c = ColInfo("dt", org.apache.spark.sql.types.StringType,
+      sourceType = Some("xml"))
+    val df = Seq("  <root>x</root>  ").toDF("dt")
+    val out = df.select(graft.scd2.Projection.sourceConvert(c, WriteConfig()))
+      .collect().head.getString(0)
+    assert(out == "  <root>x</root>  ")
+  }
+
   test("maxTextSize / maxBinarySize cap values after trim") {
     val cfg = WriteConfig(maxTextSize = Some(4), maxBinarySize = Some(3))
     val df = Seq(("  abcdefgh  ", Array[Byte](1, 2, 3, 4, 5))).toDF("t", "b")

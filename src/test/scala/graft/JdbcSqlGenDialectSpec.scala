@@ -148,4 +148,54 @@ class JdbcSqlGenDialectSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(graft.sources.JdbcSource.openQuery("WH", "select 1 as 'a'") ==
       "select * from openquery([WH], 'select 1 as ''a''')")
   }
+
+  test("tsql: temporal-table shape (ROW START) — datetimes pass through, varchars trim+cap") {
+    // the reference's system-versioned fixture (tests/sqls/init_mssql.sql
+    // company3: varchar pk + payload, datetime, GENERATED ALWAYS AS ROW
+    // START/END datetime2 pair) — the delta source for temporal tables.
+    // datetime/datetime2 have no tsqlTypeMap entry (they land as Spark
+    // timestamps unchanged), so only the varchars rewrite source-side
+    val cols = Seq(
+      ColInfo("id", StringType, sourceType = Some("varchar")),
+      ColInfo("name", StringType, sourceType = Some("varchar")),
+      ColInfo("date_timer", TimestampType, sourceType = Some("datetime")),
+      ColInfo("Start", TimestampType, sourceType = Some("datetime2"), isRowStart = true),
+      ColInfo("End", TimestampType, sourceType = Some("datetime2")))
+    val cfg = WriteConfig(dataTypeMap = WriteConfig.tsqlTypeMap, maxTextSize = Some(300))
+    val (sql, handled) = JdbcSqlGen.projectedSql(cols, cfg, tsqlUrl,
+      Left("dbo.[company3]")).get
+    assert(sql ==
+      """SELECT SUBSTRING(LTRIM(RTRIM("id")), 1, 300) AS "id", """ +
+      """SUBSTRING(LTRIM(RTRIM("name")), 1, 300) AS "name", """ +
+      """"date_timer", "Start", "End" FROM dbo.[company3]""")
+    assert(handled == Set("id", "name"))
+    // the ROW-START watermark ships as a JDBC temporal escape — every
+    // driver the reference targets expands it dialect-correctly
+    assert(JdbcSqlGen.sqlLiteral(
+      java.sql.Timestamp.valueOf("2024-03-01 10:15:30.123"), tsqlUrl) ==
+      Some("{ts '2024-03-01 10:15:30.123'}"))
+  }
+
+  test("tsql: no-pk xml table shape — spaced names quote, xml caps but never trims") {
+    // the reference's always-full fixture ([long schema].[long table name]:
+    // spaced identifiers, an xml column, uniqueidentifier default, date) —
+    // no pk means every load is a full load, but the projection SQL must
+    // still render: xml is NOT a string type at the source (leading
+    // whitespace is part of the document), so like uniqueidentifier it is
+    // capped, never trimmed
+    val cols = Seq(
+      ColInfo("long column name", IntegerType, sourceType = Some("int")),
+      ColInfo("dt", StringType, sourceType = Some("xml")),
+      ColInfo("uid", StringType, sourceType = Some("uniqueidentifier")),
+      ColInfo("date", DateType, sourceType = Some("date")))
+    val cfg = WriteConfig(dataTypeMap = WriteConfig.tsqlTypeMap, maxTextSize = Some(300))
+    val (sql, handled) = JdbcSqlGen.projectedSql(cols, cfg, tsqlUrl,
+      Left("[long schema].[long table name]")).get
+    assert(sql ==
+      """SELECT "long column name", SUBSTRING("dt", 1, 300) AS "dt", """ +
+      """SUBSTRING("uid", 1, 300) AS "uid", "date" """.trim +
+      " FROM [long schema].[long table name]")
+    assert(!sql.contains("RTRIM"))
+    assert(handled == Set("dt", "uid"))
+  }
 }
