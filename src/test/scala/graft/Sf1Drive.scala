@@ -70,8 +70,61 @@ object Sf1Drive {
       case Some("emb") => runEmb(spark)
       case Some("scd2") => runScd2(spark)
       case Some("dv") => runDv(spark)
+      case Some("foreign") => runForeign(spark)
       case _ => runDocs(spark)
     }
+  }
+
+  /** Foreign-writer migration path at 10× (round-11): full SCD2 load into
+    * a graft destination (mirror publishes `_delta_log`), STRIP the graft
+    * log — the stripped table is now exactly what a migrating
+    * odbc2deltalake deployment hands over — then run the batch-2 delta
+    * load THROUGH [[graft.store.ForeignDeltaTable]] (pk state rebuilt from
+    * history, native Delta JSON commits) and read the combined history
+    * back through the pure Delta log. `tools/sf1_check.py foreign` replays
+    * the `store_delta_writer` oracle over the synthesized corpus. */
+  private def runForeign(spark: SparkSession): Unit = {
+    import graft.queries.Scenarios
+    import graft.scd2.Synchronizer
+    import graft.sources.DataFrameSource
+    val c0 = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    val copies = spark.range(0, 10).select(col("id").as("cp"))
+    c0.crossJoin(broadcast(copies))
+      .select((col("c_custkey") + col("cp") * 100000000L).as("c_custkey"),
+        col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    println(s"customer corpus rows=${spark.read.parquet(s"$out/customer.parquet").count()}")
+
+    def phase(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"PHASE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val pk = Seq("c_custkey")
+    val cfg = WriteConfig(deltaCol = Some("ver"))
+    val dest = java.nio.file.Files.createTempDirectory("sf1foreign").toString
+    phase("full_load")(new Synchronizer(spark,
+      new DataFrameSource(Scenarios.batch1(spark, out), pk), dest, cfg).execute(): Unit)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    phase("strip_graft_log")(Seq("delta/_graft_log", "delta_load", "meta", "log")
+      .foreach(p => rm(new java.io.File(s"$dest/$p"))))
+    phase("foreign_delta_load") {
+      val w = new Synchronizer(spark,
+        new DataFrameSource(Scenarios.batch2(spark, out), pk), dest, cfg)
+      require(w.dest.delta.isInstanceOf[graft.store.ForeignDeltaTable],
+        "stripped destination must engage the foreign-Delta writer")
+      w.execute(): Unit
+    }
+    phase("external_readback") {
+      graft.store.DeltaTable.read(spark, s"$dest/delta")
+        .drop(graft.SystemCols.timestamp)
+        .write.mode("overwrite").parquet(s"$outDir/store_delta_writer")
+    }
+    println(s"GATE store_delta_writer rows=" +
+      spark.read.parquet(s"$outDir/store_delta_writer").count())
   }
 
   /** Deletion-vector DELETE at 10× lineitem (round-10): two DV deletes over

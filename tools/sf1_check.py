@@ -115,8 +115,28 @@ def main_dv(oracle_path):
     sys.exit(0 if m else 1)
 
 
+def main_foreign(oracle_path):
+    """Foreign-writer migration sweep (round 11): store_delta_writer's
+    oracle (the full SCD2 history) replays over the 10x synthesized
+    customer; the engine side ran full-load -> graft-log strip ->
+    ForeignDeltaTable delta load -> pure-_delta_log read-back (see
+    Sf1Drive.runForeign)."""
+    sqls = json.load(open(oracle_path))
+    g = "store_delta_writer"
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{CUST}'")
+    t0 = time.time()
+    n_got, n_ora, m = compare(con, f"SELECT * FROM '{OUT}/{g}/*.parquet'", sqls[g])
+    print(f"{g}: rows={n_got} oracle={n_ora} "
+          f"{'MATCH' if m else 'MISMATCH'} ({time.time() - t0:.0f}s)")
+    con.close()
+    print("SF1 FOREIGN SWEEP:", "ALL MATCH" if m else "FAILURES")
+    sys.exit(0 if m else 1)
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a not in ("emb", "scd2", "dv")]
+    args = [a for a in sys.argv[1:] if a not in ("emb", "scd2", "dv", "foreign")]
     oracle_path = args[0] if args else "/tmp/verify-out/oracle_sql.json"
     if "emb" in sys.argv[1:]:
         return main_emb(oracle_path)
@@ -124,6 +144,8 @@ def main():
         return main_scd2(oracle_path)
     if "dv" in sys.argv[1:]:
         return main_dv(oracle_path)
+    if "foreign" in sys.argv[1:]:
+        return main_foreign(oracle_path)
     sqls = json.load(open(oracle_path))
     ok = True
     for g in GATES:
