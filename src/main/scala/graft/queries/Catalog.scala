@@ -2390,6 +2390,23 @@ object Catalog {
       },
       Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
 
+    // Batch CDF read over a FOREIGN _delta_log (table_changes without a
+    // Delta jar): v1 metadata commit contributes nothing, the v2 blind
+    // append derives as inserts, the v3 DV delete is consumed from its
+    // cdc actions ALONE — exact row-level deletes with _change_type and
+    // __commit_version matching the SQL replay of the same mutations
+    Q("store_cdf_foreign",
+      (s, d) => {
+        val dest = Scenarios.foreignCdfDest(s, d)
+        graft.store.DeltaTable.readChanges(s, s"$dest/tbl", 1L, 3L)
+          .drop(graft.store.VersionedTable.CommitTsCol)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal,
+          'insert' AS _change_type, CAST(2 AS BIGINT) AS __commit_version
+          FROM customer WHERE c_custkey % 2 = 1
+        UNION ALL SELECT c_custkey, c_name, c_acctbal, 'delete', CAST(3 AS BIGINT)
+          FROM customer WHERE c_custkey % 3 = 0""")),
+
     // NON-memoized live stream drain (bench headline): builds a fresh
     // table, streams two drops through AvailableNow — times the actual
     // offset-resolution + micro-batch path, never a cache read; the

@@ -443,6 +443,31 @@ object Scenarios {
       drain() // incremental: exactly commit v1's files
     }
 
+  /** CDF-enabled FOREIGN table for the batch change-feed gate: graft v0
+    * (half of customer) + the CDF property, graft log stripped — then a
+    * blind append (v2, derives as inserts) and a DV deleteWhere (v3, real
+    * cdc actions) through [[graft.store.ForeignDeltaTable]]. The gate
+    * reads `DeltaTable.readChanges(1, 3)` — exactly delta-spark's
+    * `table_changes` over the same log. */
+  def foreignCdfDest(spark: SparkSession, dir: String): String =
+    run("foreigncdf", spark, dir) { dest =>
+      val cust = customer(spark, dir).select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val t = new graft.store.VersionedTable(spark, s"$dest/tbl")
+      t.append(cust.filter(col("c_custkey") % 2 === 0)) // v0
+      t.setProperties(Map(
+        graft.store.VersionedTable.CdfProp -> "true")) // v1: (1,4) + delta key
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$dest/tbl/_graft_log"))
+      val f = new graft.store.ForeignDeltaTable(spark, s"$dest/tbl")
+      f.append(cust.filter(col("c_custkey") % 2 =!= 0)) // v2: blind append
+      f.deleteWhere(col("c_custkey") % 3 === 0,
+        allowProtocolUpgrade = true): Unit // v3: DV delete + cdc actions
+    }
+
   /** NON-memoized two-drop stream drain for the BENCH headline: every call
     * builds a fresh graft table (v0 = half of customer), drains the
     * snapshot, appends v1, drains the increment — so the measured figure

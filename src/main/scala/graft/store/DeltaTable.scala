@@ -5,8 +5,8 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.JsonNode
 
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
 import org.apache.spark.sql.graft.{DeltaFileEntry, DeltaFileIndex}
 import org.apache.spark.sql.types._
 
@@ -132,38 +132,136 @@ object DeltaTable {
       versionAsOf: Option[Long] = None): DataFrame =
     readInternal(spark, path, versionAsOf, None, withFilePos = false, addFilter = keep)
 
-  private def readInternal(
+  /** Delta CDF batch read over a FOREIGN `_delta_log` — the `table_changes`
+    * contract without a Delta jar, same output shape as
+    * [[VersionedTable.readChangeFeed]]: the logical schema plus
+    * `_change_type`, `__commit_version`, `_commit_timestamp`.
+    *
+    * Per commit in [fromVersion, toVersion] (PROTOCOL.md "Change Data
+    * Files"): a commit carrying `cdc` actions is read from those files
+    * ALONE (exact row-level changes — the shape every CDF writer,
+    * including [[ForeignDeltaTable.deleteWhere]] and the graft mirror,
+    * emits for data-modifying commits); a commit without them derives from
+    * its dataChange actions — added files' rows as `insert`, removed
+    * files' rows (resolved against the PREVIOUS version's snapshot, so
+    * existing deletion vectors keep hiding already-dead rows) as
+    * `delete` — the documented whole-file derivation delta-spark applies.
+    * Metadata-only commits contribute nothing. Schema drift across the
+    * range aligns every frame to the END version's schema (missing
+    * columns null). A commit whose JSON was log-cleaned fails loudly —
+    * its changes are unrecoverable, and silence would under-report.
+    *
+    * 100 TB: per commit this reads ONLY that commit's change/added/removed
+    * files (no table-wide scan); the driver-side work is one JSON parse
+    * per commit in the range. */
+  def readChanges(
       spark: SparkSession, path: String,
-      versionAsOf: Option[Long],
-      timestampAsOf: Option[Long],
-      withFilePos: Boolean,
-      addFilter: Add => Boolean = _ => true): DataFrame = {
-    val snap0 = snapshot(spark, path, versionAsOf, timestampAsOf)
-    val snap = snap0.copy(adds = snap0.adds.filter(addFilter))
-    // Column mapping (PROTOCOL.md "Column Mapping"): the logical schema
-    // lives in schemaString field NAMES; partition-value keys and stats
-    // keys use the per-field physicalName metadata in BOTH modes. The scan
-    // therefore runs over the PHYSICAL schema and the final projection
-    // renames back — so file pruning (stats + partitions) keeps working
-    // unchanged on the physical keys it actually gets. Parquet column
-    // resolution differs by mode: name mode matches the physical names in
-    // the files; id mode attaches parquet.field.id metadata and lets
-    // Spark's reader match by the field ids the writer stamped.
-    val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    val mapped = mode != "none" // snapshot() already rejected unknown modes
-    val idMode = mode == "id"
-    if (idMode)
-      // field-id matching only activates for schemas carrying the
-      // metadata (ours below) — other session reads are unaffected
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val PhysKey = "delta.columnMapping.physicalName"
-    val IdKey = "delta.columnMapping.id"
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"bad change range [$fromVersion, $toVersion]")
+    import VersionedTable.{ChangeTypeCol, CommitTsCol, VersionCol}
+    val fsu = new Fs(spark, path)
+    val root = new HPath(path)
+    val endSnap = snapshot(spark, path, versionAsOf = Some(toVersion))
+    val logical = endSnap.schema
+    def aligned(df: DataFrame): Seq[Column] = {
+      val have = df.columns.map(c => c.toLowerCase -> c).toMap
+      logical.fields.toSeq.map { f =>
+        have.get(f.name.toLowerCase) match {
+          case Some(c) if df.schema(c).dataType == f.dataType => col(s"`$c`").as(f.name)
+          case Some(c) => col(s"`$c`").cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+    }
+    val parts: Seq[DataFrame] = (fromVersion to toVersion).flatMap { v =>
+      val p = new HPath(path, f"_delta_log/$v%020d.json")
+      if (!fsu.exists(p)) throw new IllegalStateException(
+        s"change feed of $path: commit $v's JSON was log-cleaned — its " +
+          "row-level changes are unrecoverable")
+      val nodes = fsu.readString(p).split('\n').filter(_.nonEmpty).toSeq
+        .map(mapper.readTree)
+      val ts = nodes.find(_.has("commitInfo"))
+        .flatMap(n => Option(n.get("commitInfo").get("timestamp")).map(_.asLong()))
+        .getOrElse(fsu.fs.getFileStatus(p).getModificationTime)
+      def stamp(df: DataFrame, changeType: Option[String]): DataFrame = {
+        val ct = changeType.map(lit(_).as(ChangeTypeCol))
+          .getOrElse(col(ChangeTypeCol))
+        df.select(aligned(df) ++ Seq(ct,
+          lit(v).as(VersionCol), timestamp_millis(lit(ts)).as(CommitTsCol)): _*)
+      }
+      val cdcs = nodes.filter(_.has("cdc")).map(_.get("cdc"))
+      if (cdcs.nonEmpty) {
+        // cdc-bearing commits are consumed from their change files ALONE
+        val snapV = snapshot(spark, path, versionAsOf = Some(v))
+        val pv = new PhysView(path, snapV)
+        pv.prepareSession(spark)
+        val dataSchema = StructType(
+          pv.dataSchema.fields :+ StructField(ChangeTypeCol, StringType))
+        val entries = cdcs.map { c =>
+          val pvs = Option(c.get("partitionValues")).map(_.fields().asScala.map { e =>
+            e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+          }.toMap).getOrElse(Map.empty[String, Option[String]])
+          DeltaFileEntry(resolvePath(root, c.get("path").asText()),
+            c.get("size").asLong(), 0L, pvs, None)
+        }
+        val scanned = DeltaFileIndex.scan(spark, root, entries, pv.partSchema, dataSchema)
+          .select(pv.logicalCols :+ col(s"`$ChangeTypeCol`"): _*)
+        Some(stamp(scanned, None))
+      } else {
+        def dc(n: JsonNode): Boolean =
+          Option(n.get("dataChange")).forall(_.asBoolean(true))
+        val addPaths = nodes.filter(_.has("add")).map(_.get("add"))
+          .filter(dc).map(_.get("path").asText()).toSet
+        val rmPaths = nodes.filter(_.has("remove")).map(_.get("remove"))
+          .filter(dc).map(_.get("path").asText()).toSet
+        val ins =
+          if (addPaths.isEmpty) None
+          else Some(stamp(readAddsWhere(spark, path,
+            a => addPaths(a.rawPath), versionAsOf = Some(v)), Some("insert")))
+        val del =
+          if (rmPaths.isEmpty) None
+          else Some(stamp(readAddsWhere(spark, path,
+            a => rmPaths(a.rawPath), versionAsOf = Some(v - 1)), Some("delete")))
+        (ins, del) match {
+          case (Some(i), Some(d)) => Some(i.unionByName(d))
+          case (i, d) => i.orElse(d)
+        }
+      }
+    }
+    parts.reduceOption(_.unionByName(_)).getOrElse {
+      val outSchema = StructType(logical.fields ++ Seq(
+        StructField(ChangeTypeCol, StringType),
+        StructField(VersionCol, LongType),
+        StructField(CommitTsCol, TimestampType)))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    }
+  }
+
+  /** Physical-schema view of a snapshot under column mapping (PROTOCOL.md
+    * "Column Mapping"): the logical schema lives in schemaString field
+    * NAMES; partition-value keys and stats keys use the per-field
+    * physicalName metadata in BOTH modes. Scans run over the PHYSICAL
+    * schema and the final projection renames back — so file pruning
+    * (stats + partitions) keeps working unchanged on the physical keys it
+    * actually gets. Parquet column resolution differs by mode: name mode
+    * matches the physical names in the files; id mode attaches
+    * parquet.field.id metadata and lets Spark's reader match by the field
+    * ids the writer stamped. Identity view for unmapped tables. Shared by
+    * [[readInternal]] and the CDF change-file scan ([[readChanges]]). */
+  private final class PhysView(path: String, snap: Snapshot) {
+    private val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val mapped: Boolean = mode != "none" // snapshot() already rejected unknown modes
+    val idMode: Boolean = mode == "id"
+    private val PhysKey = "delta.columnMapping.physicalName"
+    private val IdKey = "delta.columnMapping.id"
     def physName(f: StructField): String =
       if (!mapped) f.name
       else if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
       else throw new IllegalArgumentException(
         s"column-mapped Delta table $path: field ${f.name} has no $PhysKey metadata")
-    def fieldMeta(f: StructField): Metadata =
+    private def fieldMeta(f: StructField): Metadata =
       if (!idMode) Metadata.empty
       else if (f.metadata.contains(IdKey)) new MetadataBuilder()
         .putLong("parquet.field.id", f.metadata.getLong(IdKey)).build()
@@ -180,17 +278,43 @@ object DeltaTable {
           m.copy(keyType = physType(m.keyType), valueType = physType(m.valueType))
         case other => other
       }
-    val lowerParts = snap.partitionColumns.map(_.toLowerCase).toSet
-    val partSchema = StructType(snap.partitionColumns.map { c =>
+    private val lowerParts = snap.partitionColumns.map(_.toLowerCase).toSet
+    val partSchema: StructType = StructType(snap.partitionColumns.map { c =>
       val f = snap.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"partition column $c missing from schema"))
       // physical NAME (partitionValues are keyed physically), logical type;
       // partition values never come from parquet columns → no field id
       StructField(physName(f), f.dataType, f.nullable)
     })
-    val dataSchema = StructType(
+    val dataSchema: StructType = StructType(
       snap.schema.fields.filterNot(f => lowerParts.contains(f.name.toLowerCase))
         .map(physField))
+    /** Rename-back projection: physical scan columns → logical names. */
+    def logicalCols: Seq[Column] = snap.schema.fields.map { f =>
+      val c = col(s"`${physName(f)}`")
+      val pt = physType(f.dataType)
+      // nested physical names rename via a same-typed positional cast
+      (if (pt == f.dataType) c else c.cast(f.dataType)).as(f.name)
+    }.toSeq
+    /** Enable field-id parquet resolution for id-mode scans — only
+      * activates for schemas carrying the metadata (ours), so other
+      * session reads are unaffected. */
+    def prepareSession(spark: SparkSession): Unit =
+      if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+  }
+
+  private def readInternal(
+      spark: SparkSession, path: String,
+      versionAsOf: Option[Long],
+      timestampAsOf: Option[Long],
+      withFilePos: Boolean,
+      addFilter: Add => Boolean = _ => true): DataFrame = {
+    val snap0 = snapshot(spark, path, versionAsOf, timestampAsOf)
+    val snap = snap0.copy(adds = snap0.adds.filter(addFilter))
+    val pv = new PhysView(path, snap)
+    pv.prepareSession(spark)
+    val partSchema = pv.partSchema
+    val dataSchema = pv.dataSchema
     val root = new HPath(path)
     val entries = snap.adds.map { a =>
       DeltaFileEntry(resolvePath(root, a.rawPath), a.size, a.mtime,
@@ -222,16 +346,10 @@ object DeltaTable {
           org.apache.spark.sql.graft.Bridge.expression(col("_metadata.row_index")),
           deleted, uriKeys = true)))
       }
-    val logicalCols = snap.schema.fields.map { f =>
-      val c = col(s"`${physName(f)}`")
-      val pt = physType(f.dataType)
-      // nested physical names rename via a same-typed positional cast
-      (if (pt == f.dataType) c else c.cast(f.dataType)).as(f.name)
-    }.toSeq
     val extra = if (!withFilePos) Nil else Seq(
       col("_metadata.file_path").as(FilePathCol),
       col("_metadata.row_index").as(RowIndexCol))
-    withDv.select(logicalCols ++ extra: _*)
+    withDv.select(pv.logicalCols ++ extra: _*)
   }
 
   /** Resolve the target version's live state from the log: newest classic
