@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graft.StreamingBridge
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.store.{DeltaTable, Fs}
 
@@ -43,10 +43,29 @@ final class DeltaStreamSource(
     options.get("ignorechanges").exists(_.equalsIgnoreCase("true"))
   private val ignoreDeletes = ignoreChanges ||
     options.get("ignoredeletes").exists(_.equalsIgnoreCase("true"))
+  /** `readChangeFeed=true`: stream the foreign table's ROW-LEVEL change
+    * feed — each micro-batch is [[DeltaTable.readChanges]] over its commit
+    * range, so cdc-bearing commits (CDF merges/deletes from any Delta
+    * writer, including [[graft.store.ForeignDeltaTable.deleteWhere]])
+    * stream their exact change rows and append commits their inserts — no
+    * ignoreChanges approximation. The delta-spark `readChangeFeed`
+    * streaming shape, `_change_type` column and all. */
+  private val cdf =
+    options.get("readchangefeed").exists(_.equalsIgnoreCase("true"))
   private val startingVersion: Option[Long] =
     options.get("startingversion").map(_.toLong)
 
-  override val schema: StructType = DeltaTable.snapshot(spark, path).schema
+  override val schema: StructType = {
+    val logical = DeltaTable.snapshot(spark, path).schema
+    if (!cdf) logical
+    else StructType(logical.fields ++ Seq(
+      StructField(graft.store.VersionedTable.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType),
+      StructField(graft.store.VersionedTable.VersionCol,
+        org.apache.spark.sql.types.LongType),
+      StructField(graft.store.VersionedTable.CommitTsCol,
+        org.apache.spark.sql.types.TimestampType)))
+  }
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -59,12 +78,19 @@ final class DeltaStreamSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
-    val batch = start match {
-      case None if startingVersion.isEmpty =>
-        DeltaTable.read(spark, path, versionAsOf = Some(endV))
-      case None => incremental(startingVersion.get, endV)
-      case Some(s) => incremental(versionOf(s) + 1, endV)
-    }
+    val batch =
+      if (cdf) {
+        val fromV = start.map(versionOf(_) + 1)
+          .getOrElse(startingVersion.getOrElse(0L))
+        if (fromV > endV) StreamingBridge.emptyStreaming(spark, schema)
+        // readChanges guards log-cleaned commits loudly itself
+        else DeltaTable.readChanges(spark, path, fromV, endV)
+      } else start match {
+        case None if startingVersion.isEmpty =>
+          DeltaTable.read(spark, path, versionAsOf = Some(endV))
+        case None => incremental(startingVersion.get, endV)
+        case Some(s) => incremental(versionOf(s) + 1, endV)
+      }
     StreamingBridge.asStreaming(
       batch.select(schema.fieldNames.map(n =>
         org.apache.spark.sql.functions.col(s"`$n`")).toSeq: _*))

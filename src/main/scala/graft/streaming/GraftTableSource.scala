@@ -162,13 +162,9 @@ final class GraftTableSourceProvider extends StreamSourceProvider with DataSourc
     val fsu = new graft.store.Fs(sqlContext.sparkSession, p)
     if (fsu.isDir(new org.apache.hadoop.fs.Path(p, "_graft_log")))
       new GraftTableSource(sqlContext, p, lower)
-    else if (graft.store.DeltaTable.isDeltaTable(sqlContext.sparkSession, p)) {
-      if (lower.get("readchangefeed").exists(_.equalsIgnoreCase("true")))
-        throw new UnsupportedOperationException(
-          s"readChangeFeed streaming is only available on graft tables; $p " +
-            "is a foreign Delta table (no change feed is materialized there)")
+    else if (graft.store.DeltaTable.isDeltaTable(sqlContext.sparkSession, p))
       new DeltaStreamSource(sqlContext, p, lower)
-    } else throw new IllegalArgumentException(
+    else throw new IllegalArgumentException(
       s"$p holds neither a graft manifest log nor a Delta transaction log")
   }
 

@@ -10,8 +10,9 @@ import graft.SparkSuite
 
 /** Streaming FROM a foreign Delta table through the auto-detecting
   * `graft-table` source: snapshot + incremental appends, OPTIMIZE
-  * transparency (dataChange=false), DV-delete refusal, and the log-cleaned
-  * guard. */
+  * transparency (dataChange=false), DV-delete refusal, the log-cleaned
+  * guard, and CDF mode (`readChangeFeed=true` — exact row-level changes
+  * via [[DeltaTable.readChanges]], cdc deletes included). */
 class DeltaStreamSpec extends SparkSuite {
   import spark.implicits._
 
@@ -99,5 +100,39 @@ class DeltaStreamSpec extends SparkSuite {
       Option(e.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("log-cleaned") || msg.toLowerCase.contains("missing") ||
       msg.toLowerCase.contains("contiguous") || msg.contains("commit"))
+  }
+
+  test("foreign CDF mode streams exact row-level changes incl. cdc deletes") {
+    val root = tmpDir("dss-cdf"); val sink = tmpDir("dss-cdfsink") + "/out"
+    val ckpt = tmpDir("dss-cdfckpt")
+    // CDF-enabled foreign fixture: the legacy CDF protocol + config key
+    foreignTable(root, (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s"))
+    val v0 = java.nio.file.Paths.get(root, "_delta_log", "00000000000000000000.json")
+    Files.write(v0, new String(Files.readAllBytes(v0), "UTF-8")
+      .replace(""""minWriterVersion":2""", """"minWriterVersion":4""")
+      .replace(""""configuration":{}""",
+        """"configuration":{"delta.enableChangeDataFeed":"true"}""")
+      .getBytes("UTF-8")): Unit
+    def drainCdf(): Set[(Long, String, Long)] = {
+      val q = spark.readStream.format("graft-table")
+        .option("path", root).option("readChangeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(sink)
+        .select(col("id"), col("_change_type"), col("__commit_version"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
+    // batch 1: v0's add derives as inserts
+    assert(drainCdf() == (0L until 10L).map(i => (i, "insert", 0L)).toSet)
+    val t = new ForeignDeltaTable(spark, root)
+    t.append((10L until 15L).map(i => (i, s"r$i")).toDF("id", "s")) // v1
+    t.deleteWhere(col("id") < 3, allowProtocolUpgrade = true) // v2: cdc
+    // batch 2: exactly v1's inserts + v2's cdc delete rows, no resurfacing
+    assert(drainCdf() ==
+      (0L until 10L).map(i => (i, "insert", 0L)).toSet ++
+        (10L until 15L).map(i => (i, "insert", 1L)).toSet ++
+        (0L until 3L).map(i => (i, "delete", 2L)).toSet)
   }
 }
