@@ -26,7 +26,9 @@ class ForeignOpsPropertySpec extends SparkSuite {
     loop(new File(path))
   }
 
-  private def foreignTable(root: String, df: org.apache.spark.sql.DataFrame): Unit = {
+  private def foreignTable(
+      root: String, df: org.apache.spark.sql.DataFrame,
+      cdf: Boolean = false): Unit = {
     val staging = tmpDir("fprop-stage")
     df.coalesce(1).write.mode("overwrite").parquet(staging)
     val part = new File(staging).listFiles()
@@ -35,28 +37,33 @@ class ForeignOpsPropertySpec extends SparkSuite {
     Files.copy(part.toPath, java.nio.file.Paths.get(root, dataName)): Unit
     rm(staging)
     val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val config =
+      if (cdf) """{"delta.enableChangeDataFeed":"true"}""" else "{}"
+    val protocol =
+      if (cdf) """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     val meta = s"""{"metaData":{"id":"fprop","format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${mapper.writeValueAsString(df.schema.json)},""" +
-      s""""partitionColumns":[],"configuration":{},"createdTime":1}}"""
+      s""""partitionColumns":[],"configuration":$config,"createdTime":1}}"""
     val add = s"""{"add":{"path":"$dataName","partitionValues":{},""" +
       s""""size":${new File(root, dataName).length()},"modificationTime":1,"dataChange":true}}"""
     new File(root, "_delta_log").mkdirs()
     Files.write(java.nio.file.Paths.get(root, "_delta_log",
       "00000000000000000000.json"),
-      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta, add)
-        .mkString("\n").getBytes("UTF-8")): Unit
+      Seq(protocol, meta, add).mkString("\n").getBytes("UTF-8")): Unit
   }
 
   private def snapshot(path: String): Model =
     DeltaTable.read(spark, path).select("id", "k").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  private def runMix(seed: Int, ops: Int): Unit = {
+  private def runMix(seed: Int, ops: Int, cdf: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val path = tmpDir(s"fprop$seed")
     var model: Model = (0L until 30L).map(i => i -> rnd.nextLong(20)).toMap
     var nextId = 30L
-    foreignTable(path, model.toSeq.toDF("id", "k"))
+    val initial = model
+    foreignTable(path, model.toSeq.toDF("id", "k"), cdf)
     val t = new ForeignDeltaTable(spark, path)
     val history = scala.collection.mutable.ArrayBuffer(0L -> model)
 
@@ -95,6 +102,30 @@ class ForeignOpsPropertySpec extends SparkSuite {
       assert(got == m, s"seed=$seed version $v time travel diverged")
     }
 
+    // CDF tables: the FULL change feed must fold back to the final state —
+    // every commit's cdc actions (DV deletes) or derivation (appends,
+    // overwrites) is a complete, ordered change history
+    if (cdf) {
+      val latest = DeltaTable.snapshot(spark, path).version
+      val byVersion = DeltaTable.readChanges(spark, path, 1L, latest)
+        .select(col("id"), col("k"), col("_change_type"), col("__commit_version"))
+        .collect().map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      var folded = initial
+      byVersion.foreach { case (_, rows) =>
+        // within a version: deletes first, then inserts (the overwrite
+        // derivation re-inserts surviving ids)
+        rows.filter(_._2 == "delete").foreach { case (_, _, id, _) => folded -= id }
+        rows.filter(_._2 == "insert").foreach { case (_, _, id, k) => folded += id -> k }
+        assert(rows.forall(r => r._2 == "delete" || r._2 == "insert"),
+          s"unexpected change type in ${rows.map(_._2).distinct}")
+      }
+      assert(folded == model,
+        s"seed=$seed change-feed fold diverged: " +
+          s"extra=${(folded.toSet -- model.toSet).take(5)} " +
+          s"missing=${(model.toSet -- folded.toSet).take(5)}")
+    }
+
     // vacuum expired tombstones + superseded DV containers; reads intact
     t.vacuum(retentionMs = Some(0L))
     assert(snapshot(path) == model, s"seed=$seed post-vacuum diverged")
@@ -103,5 +134,10 @@ class ForeignOpsPropertySpec extends SparkSuite {
   test("randomized foreign append/delete/optimize/overwrite mix equals the model") {
     runMix(seed = 11, ops = 18)
     runMix(seed = 83, ops = 18)
+  }
+
+  test("CDF table: same op mix, and the change feed folds back to the state") {
+    runMix(seed = 29, ops = 18, cdf = true)
+    runMix(seed = 57, ops = 18, cdf = true)
   }
 }
