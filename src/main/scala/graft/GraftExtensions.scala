@@ -85,6 +85,8 @@ object GraftExtensions {
     *   SELECT * FROM graft_changes('/data/dest/delta', 1, 5)   -- CDF slice
     *   SELECT * FROM graft_change_feed('/data/dest/delta', 1, 5) -- _change_type feed
     *   SELECT * FROM graft_history('/data/dest/delta')         -- DESCRIBE HISTORY
+    *   SELECT * FROM delta_table('/ext/tbl')                   -- FOREIGN Delta snapshot
+    *   SELECT * FROM delta_changes('/ext/tbl', 1, 5)           -- FOREIGN table_changes
     * }}}
     * The builder runs at analysis time on the driver; the returned plan is
     * the same manifest-backed scan the Scala API produces (GraftFileIndex
@@ -126,6 +128,28 @@ object GraftExtensions {
         (children: Seq[Expression]) => {
           require(children.size == 1, "graft_history(path)")
           table(children.head).history().queryExecution.logical
+        }),
+      // FOREIGN Delta tables, SQL-only: the external reader
+      // (checkpoint+JSON resolution, column mapping, DVs, stats skipping)
+      // and the batch change feed ride plain SELECTs — no Delta jar
+      (FunctionIdentifier("delta_table"),
+        new ExpressionInfo(classOf[graft.store.DeltaTable.type].getName, "delta_table"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1 || children.size == 2,
+            "delta_table(path[, versionAsOf])")
+          val spark = org.apache.spark.sql.SparkSession.active
+          graft.store.DeltaTable.read(spark, strLit(children.head, "path"),
+            versionAsOf = children.lift(1).map(longLit(_, "versionAsOf")))
+            .queryExecution.logical
+        }),
+      (FunctionIdentifier("delta_changes"),
+        new ExpressionInfo(classOf[graft.store.DeltaTable.type].getName, "delta_changes"),
+        (children: Seq[Expression]) => {
+          require(children.size == 3, "delta_changes(path, fromVersion, toVersion)")
+          val spark = org.apache.spark.sql.SparkSession.active
+          graft.store.DeltaTable.readChanges(spark, strLit(children.head, "path"),
+            longLit(children(1), "fromVersion"), longLit(children(2), "toVersion"))
+            .queryExecution.logical
         }))
   }
 

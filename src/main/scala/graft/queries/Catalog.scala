@@ -2480,6 +2480,24 @@ object Catalog {
         WHERE l_orderkey > q AND l_orderkey <= 2*q AND l_quantity >= 25
         GROUP BY 1""")),
 
+    // The foreign-table SQL surface: the same change feed as
+    // store_cdf_foreign but phrased THROUGH spark.sql over the
+    // delta_changes TVF — proving the external reader + cdc plans carry to
+    // SQL-only users hash-exactly
+    Q("store_tvf_delta_changes",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val dest = Scenarios.foreignCdfDest(s, d)
+        s.sql(s"""SELECT c_custkey, c_name, c_acctbal, `_change_type`,
+            `__commit_version`
+          FROM delta_changes('$dest/tbl', 1, 3)""")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal,
+          'insert' AS _change_type, CAST(2 AS BIGINT) AS __commit_version
+          FROM customer WHERE c_custkey % 2 = 1
+        UNION ALL SELECT c_custkey, c_name, c_acctbal, 'delete', CAST(3 AS BIGINT)
+          FROM customer WHERE c_custkey % 3 = 0""")),
+
     Q("store_tvf_changes",
       (s, d) => {
         graft.GraftExtensions.register(s)

@@ -55,4 +55,31 @@ class TvfSpec extends SparkSuite {
       (2L, "B", "update_postimage"), (2L, "b", "update_preimage"),
       (3L, "c", "insert")))
   }
+
+  test("delta_table / delta_changes TVFs: the foreign surface through SQL") {
+    GraftExtensions.register(spark)
+    // a FOREIGN table = a graft-mirrored log with the graft side stripped
+    val root = tmpDir("tvf-delta")
+    val t = new VersionedTable(spark, root)
+    t.append((0L until 10L).map(i => (i, s"s$i")).toDF("id", "s")) // v0
+    t.append((10L until 20L).map(i => (i, s"s$i")).toDF("id", "s")) // v1
+    t.setProperties(Map(VersionedTable.CdfProp -> "true")) // v2: CDF on
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$root/_graft_log"))
+    assert(spark.sql(s"SELECT * FROM delta_table('$root')").count() == 20)
+    assert(spark.sql(s"SELECT * FROM delta_table('$root', 0)").count() == 10)
+    // a foreign DV delete's cdc actions read back exactly through SQL
+    new graft.store.ForeignDeltaTable(spark, root)
+      .deleteWhere(org.apache.spark.sql.functions.col("id") < 3,
+        allowProtocolUpgrade = true) // v3
+    assert(spark.sql(s"SELECT * FROM delta_table('$root')").count() == 17)
+    val ch = spark.sql(
+      s"SELECT id, `_change_type` FROM delta_changes('$root', 1, 3)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == ((10L until 20L).map(i => (i, "insert")).toSet ++
+      (0L until 3L).map(i => (i, "delete")).toSet))
+  }
 }
