@@ -149,6 +149,31 @@ class JdbcSqlGenDialectSpec extends org.scalatest.funsuite.AnyFunSuite {
       "select * from openquery([WH], 'select 1 as ''a''')")
   }
 
+  test("postgres: canonical user-table shape — spaced pk, text/varchar trim+cap, numeric passthrough, xmin delta") {
+    // the reference's pg fixture class (tests/sqls/init_postgres.sql
+    // "user": bigserial "User - iD" pk, varchar/text payload,
+    // numeric(15,3), xmin as the auto-detected delta source)
+    val cols = Seq(
+      ColInfo("User - iD", LongType, sourceType = Some("bigint")),
+      ColInfo("FirstName", StringType, sourceType = Some("varchar")),
+      ColInfo("LastName", StringType, sourceType = Some("text")),
+      ColInfo("Age", DecimalType(15, 3), sourceType = Some("numeric")),
+      ColInfo("xmin", LongType, sourceType = Some("xid")))
+    val cfg = WriteConfig(maxTextSize = Some(300))
+    val (sql, handled) = JdbcSqlGen.projectedSql(cols, cfg, pgUrl,
+      Left("dbo.\"user\"")).get
+    assert(sql ==
+      """SELECT "User - iD", """ +
+      """SUBSTRING(LTRIM(RTRIM("FirstName")), 1, 300) AS "FirstName", """ +
+      """SUBSTRING(LTRIM(RTRIM("LastName")), 1, 300) AS "LastName", """ +
+      """"Age", CAST(CAST("xmin" AS VARCHAR(32)) AS BIGINT) AS "xmin" """.trim +
+      " FROM dbo.\"user\"")
+    // bigserial pk and numeric(15,3) pass through untouched; xmin
+    // double-casts through text (the reference's db_to_delta.py:73-77
+    // rendering — a direct xid→bigint cast is invalid SQL on pg)
+    assert(handled == Set("FirstName", "LastName", "xmin"))
+  }
+
   test("tsql: temporal-table shape (ROW START) — datetimes pass through, varchars trim+cap") {
     // the reference's system-versioned fixture (tests/sqls/init_mssql.sql
     // company3: varchar pk + payload, datetime, GENERATED ALWAYS AS ROW
