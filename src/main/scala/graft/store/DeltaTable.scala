@@ -181,8 +181,11 @@ object DeltaTable {
           "row-level changes are unrecoverable")
       val nodes = fsu.readString(p).split('\n').filter(_.nonEmpty).toSeq
         .map(mapper.readTree)
-      val ts = nodes.find(_.has("commitInfo"))
-        .flatMap(n => Option(n.get("commitInfo").get("timestamp")).map(_.asLong()))
+      // ICT tables: the embedded monotonic clock outranks both the
+      // commitInfo.timestamp field and the file mtime
+      val ts = nodes.find(_.has("commitInfo")).map(_.get("commitInfo"))
+        .flatMap(ci => Option(ci.get("inCommitTimestamp")).map(_.asLong())
+          .orElse(Option(ci.get("timestamp")).map(_.asLong())))
         .getOrElse(fsu.fs.getFileStatus(p).getModificationTime)
       def stamp(df: DataFrame, changeType: Option[String]): DataFrame = {
         val ct = changeType.map(lit(_).as(ChangeTypeCol))
@@ -352,6 +355,28 @@ object DeltaTable {
     withDv.select(pv.logicalCols ++ extra: _*)
   }
 
+  /** `commitInfo.inCommitTimestamp` of one commit JSON, reading only as
+    * far as the first commitInfo action (every known writer emits it
+    * first; the ICT spec requires it to live there). */
+  private def commitInfoIct(fsu: Fs, p: HPath): Option[Long] = {
+    val in = fsu.fs.open(p)
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      var line = br.readLine()
+      while (line != null) {
+        if (line.nonEmpty) {
+          val n = mapper.readTree(line)
+          if (n.has("commitInfo"))
+            return Option(n.get("commitInfo").get("inCommitTimestamp"))
+              .map(_.asLong())
+        }
+        line = br.readLine()
+      }
+      None
+    } finally in.close()
+  }
+
   /** Resolve the target version's live state from the log: newest classic
     * checkpoint at or below the target, then the JSON commit tail. */
   def snapshot(
@@ -400,10 +425,36 @@ object DeltaTable {
       throw new IllegalArgumentException(s"$path is not a Delta table: no _delta_log commits")
     val latest = (commits.keySet ++ checkpoints.keySet ++ v2Cps.keySet).max
     val target = versionAsOf.orElse(timestampAsOf.map { ts =>
-      val ok = commits.filter(_._2.getModificationTime <= ts).keys
-      if (ok.isEmpty) throw new IllegalArgumentException(
-        s"no commit at or before timestamp $ts (earliest: ${commits.values.map(_.getModificationTime).minOption})")
-      ok.max
+      // In-commit timestamps (Delta "inCommitTimestamp" writer feature):
+      // when the latest table state enables them, the time-travel clock
+      // for commits >= the enablement version is the MONOTONIC
+      // commitInfo.inCommitTimestamp, not the file mtime (which log
+      // replication / restore can scramble). Earlier commits keep the
+      // mtime clock, per the enablement-version rule. The latest config
+      // is one extra (checkpoint-bounded) resolution, paid only by
+      // timestamp queries.
+      val cfg = snapshot(spark, path).configuration
+      val ictOn = cfg.get("delta.enableInCommitTimestamps")
+        .exists(_.equalsIgnoreCase("true"))
+      if (!ictOn) {
+        val ok = commits.filter(_._2.getModificationTime <= ts).keys
+        if (ok.isEmpty) throw new IllegalArgumentException(
+          s"no commit at or before timestamp $ts (earliest: ${commits.values.map(_.getModificationTime).minOption})")
+        ok.max
+      } else {
+        val enableV = cfg.get("delta.inCommitTimestampEnablementVersion")
+          .map(_.toLong).getOrElse(0L)
+        def clock(v: Long): Long =
+          if (v >= enableV)
+            commitInfoIct(fsu, commits(v).getPath)
+              .getOrElse(commits(v).getModificationTime)
+          else commits(v).getModificationTime
+        // the combined clock is monotonic by spec → newest-first scan,
+        // first satisfying version wins; bounded JSON reads
+        commits.keys.toSeq.sortBy(-_).find(v => clock(v) <= ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"no commit at or before timestamp $ts (in-commit clock)"))
+      }
     }).getOrElse(latest)
     require(target >= 0 && target <= latest,
       s"version $target out of range [0, $latest]")

@@ -386,6 +386,46 @@ class DeltaReaderSpec extends SparkSuite {
       DeltaTable.snapshot(spark, root, timestampAsOf = Some(1L)))
   }
 
+  test("in-commit timestamps outrank scrambled file mtimes for time travel") {
+    // the Delta inCommitTimestamp feature: the monotonic embedded clock is
+    // the time-travel authority — file mtimes (scrambled here the way log
+    // replication or a restore would) must be ignored for enabled commits
+    val root = tmpDir("dt-ict")
+    val log = s"$root/_delta_log"
+    val schemaJ = fixtureSchema
+    val cfg = """{"delta.enableInCommitTimestamps":"true",""" +
+      """"delta.inCommitTimestampEnablementVersion":"0"}"""
+    def addLine(name: String, size: Long) =
+      s"""{"add":{"path":"$name","partitionValues":{},"size":$size,""" +
+        s""""modificationTime":1,"dataChange":true}}"""
+    val icts = Seq(1000000L, 2000000L, 3000000L)
+    (0 to 2).foreach { v =>
+      val (name, size) = onePart(root, Seq((v.toLong, s"r$v")).toDF("id", "v"))
+      writeCommit(log, v.toLong, Seq(
+        s"""{"commitInfo":{"timestamp":9,"inCommitTimestamp":${icts(v)}}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["inCommitTimestamp"],"writerFeatures":["inCommitTimestamp"]}}""",
+        metaLine(schemaJ, config = cfg),
+        addLine(name, size)))
+    }
+    // scramble mtimes REVERSED: newest commit gets the oldest mtime
+    val fs = new graft.store.Fs(spark, root).fs
+    (0 to 2).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(f"$log/$v%020d.json"),
+        (3 - v) * 1000000L, -1)
+    }
+    // the ICT clock resolves: 2.5M → v1 (rows 0,1); mtimes would say v0
+    assert(DeltaTable.read(spark, root, timestampAsOf = Some(2500000L))
+      .count() == 2)
+    assert(DeltaTable.read(spark, root, timestampAsOf = Some(1000000L))
+      .count() == 1)
+    intercept[IllegalArgumentException](
+      DeltaTable.snapshot(spark, root, timestampAsOf = Some(999L)))
+    // readChanges stamps _commit_timestamp from the embedded clock
+    val ts = DeltaTable.readChanges(spark, root, 1L, 1L)
+      .select(col("_commit_timestamp").cast("long")).head().getLong(0)
+    assert(ts == 2000L, s"expected ICT seconds 2000, got $ts") // 2000000 ms
+  }
+
   test("unsupported tables are rejected loudly") {
     val schemaJ = fixtureSchema
     // an unknown reader feature this reader has never heard of
