@@ -358,7 +358,7 @@ object DeltaTable {
   /** `commitInfo.inCommitTimestamp` of one commit JSON, reading only as
     * far as the first commitInfo action (every known writer emits it
     * first; the ICT spec requires it to live there). */
-  private def commitInfoIct(fsu: Fs, p: HPath): Option[Long] = {
+  private[store] def commitInfoIct(fsu: Fs, p: HPath): Option[Long] = {
     val in = fsu.fs.open(p)
     try {
       val br = new java.io.BufferedReader(

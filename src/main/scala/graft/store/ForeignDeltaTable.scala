@@ -214,6 +214,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val ci = obj()
     val cin = ci.putObject("commitInfo")
     cin.put("timestamp", now)
+    ictFor(s, now).foreach(v => cin.put("inCommitTimestamp", v): Unit)
     cin.put("operation", "DELETE")
     cin.putObject("operationParameters")
     cin.put("engineInfo", "graft-foreign-delta-writer")
@@ -397,6 +398,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val ci = obj()
     val cin = ci.putObject("commitInfo")
     cin.put("timestamp", now)
+    ictFor(s, now).foreach(v => cin.put("inCommitTimestamp", v): Unit)
     cin.put("operation", "OPTIMIZE")
     cin.putObject("operationParameters")
     cin.put("engineInfo", "graft-foreign-delta-writer")
@@ -445,6 +447,23 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     throw new UnsupportedOperationException(
       s"cannot write external Delta table $path: $msg")
 
+  /** The in-commit timestamp this commit must carry when the table has the
+    * `inCommitTimestamp` feature ACTIVE (delta-spark's recent default):
+    * max(now, previous commit's ICT + 1) — the embedded clock is required
+    * to be strictly monotonic even when the wall clock skews backwards.
+    * None when the feature is inactive (the field must then be absent).
+    * A checkpoint-cleaned previous JSON falls back to the wall clock. */
+  private def ictFor(s: DeltaTable.Snapshot, now: Long): Option[Long] =
+    if (!s.configuration.get("delta.enableInCommitTimestamps")
+      .exists(_.equalsIgnoreCase("true"))) None
+    else {
+      val prevP = logPath(s.version)
+      val prev =
+        if (!fsu.exists(prevP)) None
+        else DeltaTable.commitInfoIct(fsu, prevP)
+      Some(math.max(now, prev.fold(Long.MinValue)(_ + 1)))
+    }
+
   /** Benign writer features: capabilities whose obligations this writer
     * already satisfies, or whose ACTIVE use is vetoed separately by the
     * config/schema scans above (invariants when none is defined,
@@ -457,7 +476,11 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
   private val BenignWriterFeatures =
     Set("appendOnly", "invariants", "vacuumProtocolCheck", "timestampNtz",
       "deletionVectors", "columnMapping", "changeDataFeed",
-      "checkConstraints", "generatedColumns", "identityColumns")
+      "checkConstraints", "generatedColumns", "identityColumns",
+      // honored, not merely benign: when delta.enableInCommitTimestamps is
+      // active every commit carries a strictly monotonic
+      // commitInfo.inCommitTimestamp (ictFor)
+      "inCommitTimestamp")
 
   private def validateWritable(s: DeltaTable.Snapshot, forOverwrite: Boolean): Unit = {
     val cm = s.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -771,6 +794,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       val ci = obj()
       val cin = ci.putObject("commitInfo")
       cin.put("timestamp", now)
+      ictFor(cur, now).foreach(v => cin.put("inCommitTimestamp", v): Unit)
       cin.put("operation", "WRITE")
       cin.putObject("operationParameters")
         .put("mode", if (overwrite) "Overwrite" else "Append")

@@ -34,7 +34,8 @@ class ForeignDeltaWriterSpec extends SparkSuite {
       root: String, df: org.apache.spark.sql.DataFrame,
       partCols: Seq[String] = Nil, config: String = "{}",
       protocol: String = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      schemaOverride: Option[StructType] = None): Unit = {
+      schemaOverride: Option[StructType] = None,
+      commitInfo: Option[String] = None): Unit = {
     val staging = tmpDir("fdw-stage")
     df.coalesce(1).write.mode("overwrite").parquet(staging)
     val part = new File(staging).listFiles()
@@ -53,7 +54,8 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     new File(root, "_delta_log").mkdirs()
     Files.write(java.nio.file.Paths.get(root, "_delta_log",
       "00000000000000000000.json"),
-      Seq(protocol, meta, add).mkString("\n").getBytes("UTF-8")): Unit
+      (commitInfo.toSeq ++ Seq(protocol, meta, add))
+        .mkString("\n").getBytes("UTF-8")): Unit
   }
 
   test("append commits a real Delta JSON entry with per-file stats") {
@@ -102,6 +104,35 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     // time travel still reaches the foreign v0
     assert(DeltaTable.read(spark, root, versionAsOf = Some(0L))
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("in-commit timestamps: active feature honored with a monotonic clock") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val root = tmpDir("fdw-ict")
+    // ICT-active fixture whose v0 carries a FUTURE in-commit timestamp —
+    // the next commit must emit prev+1 (monotonic), not the wall clock
+    val future = System.currentTimeMillis() + 10000000000L
+    foreignTable(root, df,
+      config = """{"delta.enableInCommitTimestamps":"true"}""",
+      protocol = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["inCommitTimestamp"],"writerFeatures":["inCommitTimestamp"]}}""",
+      commitInfo = Some(s"""{"commitInfo":{"timestamp":1,"inCommitTimestamp":$future}}"""))
+    val t = new ForeignDeltaTable(spark, root)
+    t.append(Seq((2L, "b")).toDF("id", "s")) // v1
+    t.append(Seq((3L, "c")).toDF("id", "s")) // v2
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    def ictOf(v: Long): Long = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json")), "UTF-8")
+      .split('\n').filter(_.nonEmpty).map(mapper.readTree)
+      .find(_.has("commitInfo")).get.get("commitInfo")
+      .get("inCommitTimestamp").asLong()
+    assert(ictOf(1) == future + 1)
+    assert(ictOf(2) == future + 2)
+    // timestamp time travel over the combined log rides the ICT clock
+    assert(DeltaTable.read(spark, root,
+      timestampAsOf = Some(future + 1)).count() == 2)
+    assert(DeltaTable.read(spark, root,
+      timestampAsOf = Some(future + 2)).count() == 3)
   }
 
   test("unsupported tables refuse loudly; appendOnly allows append only") {
