@@ -69,11 +69,16 @@ object DeltaTable {
       "inCommitTimestamp", "icebergCompatV1", "icebergCompatV2",
       "columnMapping", "v2Checkpoint", "deletionVectors")
 
-  /** One live file as recorded by the log (path still raw/percent-encoded). */
+  /** One live file as recorded by the log (path still raw/percent-encoded).
+    * `baseRowId`/`defaultRowCommitVersion` carry the row-tracking fields
+    * when the table assigns them — a writer re-adding the file (DV
+    * delete) must preserve them verbatim. */
   private[graft] final case class Add(
       rawPath: String, size: Long, mtime: Long,
       partitionValues: Map[String, Option[String]], statsJson: Option[String],
-      dv: Option[DeletionVectors.Descriptor] = None)
+      dv: Option[DeletionVectors.Descriptor] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   final case class Snapshot(
       version: Long,
@@ -90,7 +95,11 @@ object DeltaTable {
       // so a checkpoint writer can retain them per PROTOCOL.md ("Checkpoints
       // must contain all remove tombstones that have not expired") — VACUUM
       // by other engines depends on them
-      private[store] val tombstones: Seq[(String, Long)] = Nil) {
+      private[store] val tombstones: Seq[(String, Long)] = Nil,
+      // LIVE domain metadata (domain name -> configuration JSON string):
+      // row tracking keeps its rowIdHighWaterMark here; a writer honoring
+      // the domainMetadata feature must carry these through checkpoints
+      private[store] val domainMetadata: Map[String, String] = Map.empty) {
     def numFiles: Int = adds.size
   }
 
@@ -479,6 +488,8 @@ object DeltaTable {
     val files = scala.collection.mutable.LinkedHashMap[String, Add]()
     // remove tombstones; a re-add of the same path cancels its tombstone
     val gone = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // live domain metadata (removed=true drops the domain)
+    val domains = scala.collection.mutable.LinkedHashMap[String, String]()
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
       val unsupported = readerFeatures.filterNot(SupportedReaderFeatures)
@@ -540,9 +551,13 @@ object DeltaTable {
         val statsCol =
           if (addFields.contains("stats")) col("add.stats")
           else org.apache.spark.sql.functions.lit(null).cast("string")
+        def optLong(name: String) =
+          if (addFields.contains(name)) col(s"add.$name").cast("long")
+          else org.apache.spark.sql.functions.lit(null).cast("long")
         df.where(col("add.path").isNotNull)
           .select(col("add.path"), col("add.partitionValues"), col("add.size"),
-            col("add.modificationTime"), statsCol.as("stats"), dvCol.as("dv"))
+            col("add.modificationTime"), statsCol.as("stats"), dvCol.as("dv"),
+            optLong("baseRowId"), optLong("defaultRowCommitVersion"))
           .collect().foreach { r =>
             val dv = Option(r.getStruct(5)).map(d => DeletionVectors.Descriptor(
               d.getString(0), d.getString(1),
@@ -552,9 +567,19 @@ object DeltaTable {
               .map(_.asScala.map { case (k, v) => k -> Option(v) }.toMap)
               .getOrElse(Map.empty[String, Option[String]])
             files(r.getString(0)) = Add(r.getString(0), r.getLong(2), r.getLong(3),
-              pv, Option(r.getString(4)), dv)
+              pv, Option(r.getString(4)), dv,
+              if (r.isNullAt(6)) None else Some(r.getLong(6)),
+              if (r.isNullAt(7)) None else Some(r.getLong(7)))
           }
       }
+      if (df.schema.fieldNames.contains("domainMetadata"))
+        df.where(col("domainMetadata.domain").isNotNull)
+          .select(col("domainMetadata.domain"), col("domainMetadata.configuration"),
+            col("domainMetadata.removed"))
+          .collect().foreach { r =>
+            if (!r.isNullAt(2) && r.getBoolean(2)) domains.remove(r.getString(0)): Unit
+            else domains(r.getString(0)) = r.getString(1)
+          }
       // checkpoint remove rows are pure tombstones (their file set is
       // disjoint from the checkpoint's adds) — retained for re-checkpointing
       val rmFields = sub("remove").map(_.fieldNames.toSet).getOrElse(Set.empty)
@@ -606,7 +631,9 @@ object DeltaTable {
         }.toMap).getOrElse(Map.empty[String, Option[String]])
         files(p) = Add(p, a.get("size").asLong(),
           Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
-          pv, Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), dv)
+          pv, Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), dv,
+          Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
+          Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong()))
         gone.remove(p): Unit
       }
       if (node.has("remove")) {
@@ -615,6 +642,14 @@ object DeltaTable {
         files.remove(p)
         gone(p) = Option(rm.get("deletionTimestamp")).filterNot(_.isNull)
           .map(_.asLong()).getOrElse(0L)
+      }
+      if (node.has("domainMetadata")) {
+        val dm = node.get("domainMetadata")
+        val name = dm.get("domain").asText()
+        if (Option(dm.get("removed")).exists(_.asBoolean(false)))
+          domains.remove(name): Unit
+        else domains(name) =
+          Option(dm.get("configuration")).map(_.asText()).getOrElse("{}")
       }
     }
 
@@ -663,7 +698,8 @@ object DeltaTable {
         s"no metaData action found up to version $target in $logDir")
     }
     Snapshot(target, schema, partCols, config, files.values.toSeq,
-      tableId, minWriter, writerFeats, minReader, readerFeats, gone.toSeq)
+      tableId, minWriter, writerFeats, minReader, readerFeats, gone.toSeq,
+      domains.toMap)
   }
 
   /** Log paths are percent-encoded relative URIs (or absolute URIs for

@@ -279,6 +279,11 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         }
         adn.put("stats", mapper.writeValueAsString(wide)): Unit
       }
+      // row tracking: the re-added file keeps its identity — both
+      // row-tracking fields carry verbatim or existing row ids would shift
+      add.baseRowId.foreach(b => adn.put("baseRowId", b): Unit)
+      add.defaultRowCommitVersion.foreach(d =>
+        adn.put("defaultRowCommitVersion", d): Unit)
       val dvn = adn.putObject("deletionVector")
       dvn.put("storageType", "u")
       dvn.put("pathOrInlineDv", uuidRef)
@@ -342,6 +347,10 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       minFiles: Int = 2): Long = {
     val s = snap
     validateWritable(s, forOverwrite = false)
+    if (s.writerFeatures.contains("rowTracking"))
+      refuse("row tracking is active — compaction cannot preserve row ids " +
+        "without materialized row-id columns; run OPTIMIZE with the " +
+        "table's owner engine")
     val doomed: Seq[DeltaTable.Add] = s.adds.groupBy(_.partitionValues)
       .values.flatMap { files =>
         val cands = files.filter(a => a.dv.isDefined || a.size < smallFileBytes)
@@ -447,6 +456,25 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     throw new UnsupportedOperationException(
       s"cannot write external Delta table $path: $msg")
 
+  /** Current row-id high-water mark from the `delta.rowTracking` domain
+    * metadata (-1 when the domain has never been written — ids then start
+    * at 0). */
+  private def rowIdHighWaterMark(s: DeltaTable.Snapshot): Long =
+    s.domainMetadata.get("delta.rowTracking")
+      .flatMap(cfg => Option(mapper.readTree(cfg).get("rowIdHighWaterMark"))
+        .map(_.asLong()))
+      .getOrElse(-1L)
+
+  /** The domainMetadata action advancing the row-id high-water mark. */
+  private def rowTrackingDomainLine(hwm: Long): String = {
+    val dm = mapper.createObjectNode()
+    val dn = dm.putObject("domainMetadata")
+    dn.put("domain", "delta.rowTracking")
+    dn.put("configuration", s"""{"rowIdHighWaterMark":$hwm}""")
+    dn.put("removed", false)
+    mapper.writeValueAsString(dm)
+  }
+
   /** The in-commit timestamp this commit must carry when the table has the
     * `inCommitTimestamp` feature ACTIVE (delta-spark's recent default):
     * max(now, previous commit's ICT + 1) — the embedded clock is required
@@ -480,7 +508,14 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       // honored, not merely benign: when delta.enableInCommitTimestamps is
       // active every commit carries a strictly monotonic
       // commitInfo.inCommitTimestamp (ictFor)
-      "inCommitTimestamp")
+      "inCommitTimestamp",
+      // honored: fresh adds take disjoint baseRowId ranges above the
+      // delta.rowTracking high-water mark (commitWrite), DV re-adds carry
+      // their row-tracking fields verbatim (deleteWhere), domain metadata
+      // survives checkpoints (writeCheckpoint); OPTIMIZE refuses — a
+      // compaction cannot preserve row ids without materialized row-id
+      // columns, which only the table's owner engine writes
+      "rowTracking", "domainMetadata")
 
   private def validateWritable(s: DeltaTable.Snapshot, forOverwrite: Boolean): Unit = {
     val cm = s.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -789,6 +824,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         if (overwrite || attempts == 0) merged
         else SchemaEvolution.merge(cur.schema, merged, drift)
       val now = System.currentTimeMillis()
+      val v = cur.version + 1
       val lines = scala.collection.mutable.ArrayBuffer[String]()
       def obj() = mapper.createObjectNode()
       val ci = obj()
@@ -828,6 +864,12 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           lines += mapper.writeValueAsString(rm)
         }
       }
+      // row tracking ACTIVE (the feature listed obliges every writer):
+      // fresh files take disjoint baseRowId ranges above the table's
+      // high-water mark; the same commit advances the mark in the
+      // delta.rowTracking domain. Carried stats give the per-file counts.
+      val rowTracking = cur.writerFeatures.contains("rowTracking")
+      var hwm = rowIdHighWaterMark(cur)
       parts.foreach { case (rel, size, mtime) =>
         val ad = obj()
         val adn = ad.putObject("add")
@@ -845,10 +887,21 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         adn.put("modificationTime", mtime)
         adn.put("dataChange", true)
         statsByFile.get(rel).foreach(adn.put("stats", _))
+        if (rowTracking) {
+          val n = statsByFile.get(rel)
+            .flatMap(sj => Option(mapper.readTree(sj).get("numRecords"))
+              .map(_.asLong()))
+            .getOrElse(refuse(
+              s"row tracking needs a numRecords stat for $rel to assign ids"))
+          adn.put("baseRowId", hwm + 1)
+          adn.put("defaultRowCommitVersion", v)
+          hwm += n
+        }
         lines += mapper.writeValueAsString(ad)
       }
+      if (rowTracking && parts.nonEmpty)
+        lines += rowTrackingDomainLine(hwm)
 
-      val v = cur.version + 1
       val claimed =
         try { fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n")); true }
         catch {
@@ -970,27 +1023,35 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val protoRow = Row(
       Row(s.minReaderVersion, s.minWriterVersion,
         emptyTo(s.readerFeatures), emptyTo(s.writerFeatures)),
-      null, null, null)
+      null, null, null, null)
     val metaRow = Row(null,
       Row(if (s.tableId.nonEmpty) s.tableId else UUID.randomUUID().toString,
         null, null, Row("parquet", Map.empty[String, String]),
         s.schema.json, s.partitionColumns, s.configuration, now),
-      null, null)
+      null, null, null)
     val addRows = s.adds.map { a =>
       Row(null, null,
         Row(a.rawPath, a.partitionValues.map { case (k, ov) => k -> ov.orNull },
           a.size, a.mtime, false, a.statsJson.orNull,
           a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull),
-        null)
+            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull,
+          a.baseRowId.map(Long.box).orNull,
+          a.defaultRowCommitVersion.map(Long.box).orNull),
+        null, null)
     }
     // ts 0 = the foreign log carried no deletionTimestamp: keep (sound —
     // dropping a live tombstone could let a foreign VACUUM miss the file)
     val rmRows = s.tombstones
       .filter { case (_, ts) => ts == 0L || ts >= keepSince }
-      .map { case (p, ts) => Row(null, null, null, Row(p, ts, false)) }
+      .map { case (p, ts) => Row(null, null, null, Row(p, ts, false), null) }
+    // live domain metadata must survive checkpointing (the domainMetadata
+    // feature's writer obligation — row tracking keeps its high-water
+    // mark here)
+    val dmRows = s.domainMetadata.toSeq.sortBy(_._1).map { case (name, cfg) =>
+      Row(null, null, null, null, Row(name, cfg, false))
+    }
     DeltaLogMirror.publishCheckpoint(spark, fsu, logDir, v,
-      Seq(protoRow, metaRow) ++ addRows ++ rmRows,
+      Seq(protoRow, metaRow) ++ addRows ++ rmRows ++ dmRows,
       ForeignDeltaTable.checkpointSchema)
   }
 
@@ -1084,9 +1145,15 @@ object ForeignDeltaTable {
         StructField("pathOrInlineDv", StringType),
         StructField("offset", IntegerType),
         StructField("sizeInBytes", IntegerType),
-        StructField("cardinality", LongType))))))),
+        StructField("cardinality", LongType)))),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
-      StructField("dataChange", BooleanType))))))
+      StructField("dataChange", BooleanType)))),
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType))))))
 }

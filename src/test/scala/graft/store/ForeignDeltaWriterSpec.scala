@@ -135,6 +135,81 @@ class ForeignDeltaWriterSpec extends SparkSuite {
       timestampAsOf = Some(future + 2)).count() == 3)
   }
 
+  test("row tracking honored: fresh disjoint id ranges, DV re-add carries, checkpoint keeps the mark") {
+    val root = tmpDir("fdw-rt")
+    // hand-build an rt-active fixture: v0 add owns row ids [0,0], the
+    // delta.rowTracking domain records high-water mark 0
+    val stage = tmpDir("fdw-rt-stage")
+    Seq((1L, "a")).toDF("id", "s").coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, java.nio.file.Paths.get(root, "part-0-rt.parquet")): Unit
+    rm(stage)
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val schemaJ = mapper.writeValueAsString(
+      Seq((1L, "a")).toDF("id", "s").schema.json)
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log", "00000000000000000000.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","domainMetadata"]}}""",
+        s"""{"metaData":{"id":"rt-1","format":{"provider":"parquet","options":{}},"schemaString":$schemaJ,"partitionColumns":[],"configuration":{"delta.enableRowTracking":"true"},"createdTime":1}}""",
+        s"""{"add":{"path":"part-0-rt.parquet","partitionValues":{},"size":${new File(root, "part-0-rt.parquet").length()},"modificationTime":1,"dataChange":true,"baseRowId":0,"defaultRowCommitVersion":0}}""",
+        """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":0}","removed":false}}""")
+        .mkString("\n").getBytes("UTF-8")): Unit
+
+    val t = new ForeignDeltaTable(spark, root)
+    t.append((2L until 5L).map(i => (i, s"r$i")).toDF("id", "s")) // v1: 3 rows
+    def addsOf(v: Long) = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      root, "_delta_log", f"$v%020d.json")), "UTF-8")
+      .split('\n').filter(_.nonEmpty).map(mapper.readTree)
+    val v1 = addsOf(1)
+    val v1Adds = v1.filter(_.has("add")).map(_.get("add"))
+    // fresh files take DISJOINT ranges above the water mark, covering
+    // exactly [1, 3]; every add stamps this commit's version
+    val ranges = v1Adds.map { a =>
+      val base = a.get("baseRowId").asLong()
+      val n = mapper.readTree(a.get("stats").asText()).get("numRecords").asLong()
+      assert(a.get("defaultRowCommitVersion").asLong() == 1L)
+      (base, base + n - 1)
+    }.sortBy(_._1)
+    assert(ranges.head._1 == 1L)
+    assert(ranges.last._2 == 3L)
+    ranges.sliding(2).foreach {
+      case Array((_, e), (b, _)) => assert(b == e + 1, "ranges must tile")
+      case _ => ()
+    }
+    val dm1 = v1.find(_.has("domainMetadata")).get.get("domainMetadata")
+    assert(dm1.get("domain").asText() == "delta.rowTracking")
+    assert(mapper.readTree(dm1.get("configuration").asText())
+      .get("rowIdHighWaterMark").asLong() == 3L)
+    // DV delete re-adds carry the row-tracking fields verbatim
+    t.deleteWhere(col("id") === 1L, allowProtocolUpgrade = true) // v2
+    val readd = addsOf(2).filter(_.has("add")).map(_.get("add"))
+      .find(_.get("path").asText() == "part-0-rt.parquet").get
+    assert(readd.get("baseRowId").asLong() == 0L)
+    assert(readd.get("defaultRowCommitVersion").asLong() == 0L)
+    // OPTIMIZE cannot preserve ids → refuses
+    val e = intercept[UnsupportedOperationException](t.optimize())
+    assert(e.getMessage.contains("row tracking"))
+    // checkpoint at v10 keeps the domain + per-add ids; later appends
+    // continue ABOVE the mark even when early JSONs are gone
+    (3 to 10).foreach(i => t.append(Seq((100L + i, "x")).toDF("id", "s"))) // ...v10
+    assert(new File(root, "_delta_log/00000000000000000010.checkpoint.parquet").exists)
+    (0L to 5L).foreach(v =>
+      new File(root, f"_delta_log/$v%020d.json").delete())
+    val hwmAfter = {
+      val s = DeltaTable.snapshot(spark, root)
+      mapper.readTree(s.domainMetadata("delta.rowTracking"))
+        .get("rowIdHighWaterMark").asLong()
+    }
+    t.append(Seq((999L, "z")).toDF("id", "s")) // v11, resolved via checkpoint
+    val v11Add = addsOf(11).filter(_.has("add")).map(_.get("add")).head
+    assert(v11Add.get("baseRowId").asLong() == hwmAfter + 1)
+    // the checkpointed snapshot still exposes every add's row ids
+    val snap = DeltaTable.snapshot(spark, root)
+    assert(snap.adds.forall(_.baseRowId.isDefined))
+  }
+
   test("unsupported tables refuse loudly; appendOnly allows append only") {
     val df = Seq((1L, "a")).toDF("id", "s")
     // column mapping DECLARED but the schema carries no physicalName
@@ -156,10 +231,10 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     t3.deleteWhere(col("id") === 1, allowProtocolUpgrade = true)
     assert(DeltaTable.read(spark, p3).collect().map(_.getLong(0)).toSeq == Seq(2L))
     assert(new java.io.File(p3, "_change_data").isDirectory)
-    // writer protocol 7 with a non-benign feature
+    // writer protocol 7 with a feature this writer does not implement
     val p4 = tmpDir("fdw-feat")
     foreignTable(p4, df, protocol = """{"protocol":{"minReaderVersion":1,""" +
-      """"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""")
+      """"minWriterVersion":7,"writerFeatures":["futureFancyFeature"]}}""")
     intercept[UnsupportedOperationException] {
       new ForeignDeltaTable(spark, p4).append(df)
     }
