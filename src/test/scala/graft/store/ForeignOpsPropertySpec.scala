@@ -28,7 +28,7 @@ class ForeignOpsPropertySpec extends SparkSuite {
 
   private def foreignTable(
       root: String, df: org.apache.spark.sql.DataFrame,
-      cdf: Boolean = false): Unit = {
+      cdf: Boolean = false, rt: Boolean = false): Unit = {
     val staging = tmpDir("fprop-stage")
     df.coalesce(1).write.mode("overwrite").parquet(staging)
     val part = new File(staging).listFiles()
@@ -38,32 +38,44 @@ class ForeignOpsPropertySpec extends SparkSuite {
     rm(staging)
     val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
     val config =
-      if (cdf) """{"delta.enableChangeDataFeed":"true"}""" else "{}"
+      if (cdf) """{"delta.enableChangeDataFeed":"true"}"""
+      else if (rt) """{"delta.enableRowTracking":"true"}"""
+      else "{}"
     val protocol =
       if (cdf) """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
+      else if (rt) """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["rowTracking","domainMetadata"]}}"""
       else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     val meta = s"""{"metaData":{"id":"fprop","format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${mapper.writeValueAsString(df.schema.json)},""" +
       s""""partitionColumns":[],"configuration":$config,"createdTime":1}}"""
+    val n = df.count()
+    val rtFields =
+      if (rt) s""","stats":"{\\"numRecords\\":$n}","baseRowId":0,"defaultRowCommitVersion":0"""
+      else ""
     val add = s"""{"add":{"path":"$dataName","partitionValues":{},""" +
-      s""""size":${new File(root, dataName).length()},"modificationTime":1,"dataChange":true}}"""
+      s""""size":${new File(root, dataName).length()},"modificationTime":1,"dataChange":true$rtFields}}"""
+    val lines = Seq(protocol, meta, add) ++ (if (rt) Seq(
+      s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\\"rowIdHighWaterMark\\":${n - 1}}","removed":false}}""")
+      else Nil)
     new File(root, "_delta_log").mkdirs()
     Files.write(java.nio.file.Paths.get(root, "_delta_log",
       "00000000000000000000.json"),
-      Seq(protocol, meta, add).mkString("\n").getBytes("UTF-8")): Unit
+      lines.mkString("\n").getBytes("UTF-8")): Unit
   }
 
   private def snapshot(path: String): Model =
     DeltaTable.read(spark, path).select("id", "k").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  private def runMix(seed: Int, ops: Int, cdf: Boolean = false): Unit = {
+  private def runMix(seed: Int, ops: Int, cdf: Boolean = false,
+      rt: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val path = tmpDir(s"fprop$seed")
     var model: Model = (0L until 30L).map(i => i -> rnd.nextLong(20)).toMap
     var nextId = 30L
     val initial = model
-    foreignTable(path, model.toSeq.toDF("id", "k"), cdf)
+    foreignTable(path, model.toSeq.toDF("id", "k"), cdf, rt)
     val t = new ForeignDeltaTable(spark, path)
     val history = scala.collection.mutable.ArrayBuffer(0L -> model)
 
@@ -79,8 +91,10 @@ class ForeignOpsPropertySpec extends SparkSuite {
           val kk = rnd.nextLong(20)
           t.deleteWhere(col("k") === kk, allowProtocolUpgrade = true)
           model = model.filterNot(_._2 == kk)
-        case 3 => // compaction (+ DV purge): content-neutral
-          t.optimize(minFiles = 2)
+        case 3 => // compaction (+ DV purge): content-neutral; on a
+          // row-tracked table it must refuse (ids can't survive a rewrite)
+          if (rt) intercept[UnsupportedOperationException](t.optimize(minFiles = 2)): Unit
+          else t.optimize(minFiles = 2): Unit
         case 4 => // overwrite with a mutated snapshot
           val rows = model.toSeq.map { case (id, k) =>
             id -> (if (rnd.nextBoolean()) k else rnd.nextLong(20)) }
@@ -126,6 +140,29 @@ class ForeignOpsPropertySpec extends SparkSuite {
           s"missing=${(model.toSet -- folded.toSet).take(5)}")
     }
 
+    // row-tracked tables: every live file carries row ids, the id ranges
+    // tile without overlap (fresh ranges disjoint from everything live,
+    // DV re-adds verbatim), and the domain's high-water mark bounds them
+    if (rt) {
+      val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      val s = DeltaTable.snapshot(spark, path)
+      val hwm = mapper.readTree(s.domainMetadata("delta.rowTracking"))
+        .get("rowIdHighWaterMark").asLong()
+      val ranges = s.adds.map { a =>
+        assert(a.baseRowId.isDefined && a.defaultRowCommitVersion.isDefined,
+          s"seed=$seed live file ${a.rawPath} lost its row-tracking fields")
+        val n = mapper.readTree(a.statsJson.get).get("numRecords").asLong()
+        (a.baseRowId.get, a.baseRowId.get + n - 1)
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, e1), (b2, _)) =>
+          assert(b2 > e1, s"seed=$seed row-id ranges overlap: $ranges")
+        case _ => ()
+      }
+      assert(ranges.isEmpty || ranges.last._2 <= hwm,
+        s"seed=$seed high-water mark $hwm below live range ${ranges.last}")
+    }
+
     // vacuum expired tombstones + superseded DV containers; reads intact
     t.vacuum(retentionMs = Some(0L))
     assert(snapshot(path) == model, s"seed=$seed post-vacuum diverged")
@@ -139,5 +176,10 @@ class ForeignOpsPropertySpec extends SparkSuite {
   test("CDF table: same op mix, and the change feed folds back to the state") {
     runMix(seed = 29, ops = 18, cdf = true)
     runMix(seed = 57, ops = 18, cdf = true)
+  }
+
+  test("row-tracked table: same op mix, id ranges stay disjoint under the mark") {
+    runMix(seed = 41, ops = 18, rt = true)
+    runMix(seed = 73, ops = 18, rt = true)
   }
 }
