@@ -2419,6 +2419,32 @@ object Catalog {
       },
       Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
 
+    // Row tracking end-to-end (PROTOCOL.md Row Tracking): two deterministic
+    // single-file appends to an rt-ACTIVE foreign table take fresh
+    // baseRowId ranges (read back as _row_id = base + row_index, stamped
+    // with each commit's _row_commit_version), then a DV delete — every
+    // surviving row's id must be EXACTLY what the SQL row_number replay
+    // assigns, proving ids are stable under merge-on-read deletes
+    Q("store_row_ids",
+      (s, d) => {
+        val dest = Scenarios.rowTrackedDest(s, d)
+        graft.store.DeltaTable.read(s, s"$dest/tbl", rowIds = true)
+          .select(col("c_custkey"),
+            col(graft.store.DeltaTable.RowIdCol),
+            col(graft.store.DeltaTable.RowCommitVersionCol))
+      },
+      Some("""WITH evens AS (SELECT c_custkey,
+            row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+          FROM customer WHERE c_custkey % 2 = 0),
+        odds AS (SELECT c_custkey,
+            (SELECT count(*) FROM evens) + row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+          FROM customer WHERE c_custkey % 2 = 1),
+        ids AS (SELECT c_custkey, rid, CAST(1 AS BIGINT) AS ver FROM evens
+          UNION ALL SELECT c_custkey, rid, CAST(2 AS BIGINT) FROM odds)
+        SELECT c_custkey, CAST(rid AS BIGINT) AS _row_id,
+          ver AS _row_commit_version
+        FROM ids WHERE c_custkey % 5 <> 0""")),
+
     // Deletion-vector-mode MERGE (merge-on-read upsert): matched rows DV'd
     // in place, source appended — the final snapshot must equal the plain
     // SQL merge of the same batch (updates %89 +100, inserts %83 shifted)

@@ -468,6 +468,38 @@ object Scenarios {
         allowProtocolUpgrade = true): Unit // v3: DV delete + cdc actions
     }
 
+  /** Row-tracked FOREIGN table for the `store_row_ids` gate: a hand-built
+    * rt-ACTIVE empty v0 (protocol (1,7), rowTracking + domainMetadata, no
+    * files), then two deterministic single-file appends through
+    * [[graft.store.ForeignDeltaTable]] — even c_custkey sorted asc takes
+    * fresh ids 0..n1-1 at commit 1, odd sorted asc takes n1..n1+n2-1 at
+    * commit 2 — and a DV deleteWhere (%5) that must keep every SURVIVING
+    * row's id stable (the protocol's row-identity contract). */
+  def rowTrackedDest(spark: SparkSession, dir: String): String =
+    run("rowids", spark, dir) { dest =>
+      val cust = customer(spark, dir).select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      val tbl = s"$dest/tbl"
+      new java.io.File(s"$tbl/_delta_log").mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tbl, "_delta_log", "00000000000000000000.json"),
+        Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+            """"writerFeatures":["rowTracking","domainMetadata"]}}""",
+          s"""{"metaData":{"id":"graft-rowids","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":${mapper.writeValueAsString(cust.schema.json)},""" +
+            s""""partitionColumns":[],"configuration":{"delta.enableRowTracking":"true"},"createdTime":1}}""")
+          .mkString("\n").getBytes("UTF-8")): Unit
+      val f = new graft.store.ForeignDeltaTable(spark, tbl)
+      def oneFile(df: DataFrame): DataFrame =
+        df.repartition(1).sortWithinPartitions("c_custkey")
+      f.append(oneFile(cust.filter(col("c_custkey") % 2 === 0))) // v1
+      f.append(oneFile(cust.filter(col("c_custkey") % 2 =!= 0))) // v2
+      f.deleteWhere(col("c_custkey") % 5 === 0,
+        allowProtocolUpgrade = true): Unit // v3: ids must not shift
+    }
+
   /** NON-memoized two-drop stream drain for the BENCH headline: every call
     * builds a fresh graft table (v0 = half of customer), drains the
     * snapshot, appends v1, drains the increment — so the measured figure

@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.JsonNode
 
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+import org.apache.spark.sql.functions.{coalesce, col, lit, timestamp_millis}
 import org.apache.spark.sql.graft.{DeltaFileEntry, DeltaFileIndex}
 import org.apache.spark.sql.types._
 
@@ -115,17 +115,38 @@ object DeltaTable {
 
   /** Open an external Delta table as a DataFrame, optionally as of a
     * version or a timestamp (epoch millis; resolved against commit-file
-    * modification times, the protocol's default time-travel clock). */
+    * modification times, the protocol's default time-travel clock).
+    *
+    * `rowIds = true` (row-tracked tables only) appends the protocol's
+    * stable row identity after the logical columns: `_row_id` (the
+    * materialized row-id column when a writer stored one, else the fresh
+    * `baseRowId + row_index` derivation) and `_row_commit_version`
+    * (materialized value, else the file's `defaultRowCommitVersion`) —
+    * what delta-spark surfaces as row-tracking metadata fields. */
   def read(
       spark: SparkSession, path: String,
       versionAsOf: Option[Long] = None,
-      timestampAsOf: Option[Long] = None): DataFrame =
-    readInternal(spark, path, versionAsOf, timestampAsOf, withFilePos = false)
+      timestampAsOf: Option[Long] = None,
+      rowIds: Boolean = false): DataFrame =
+    readInternal(spark, path, versionAsOf, timestampAsOf, withFilePos = false,
+      withRowIds = rowIds)
 
   /** Provenance columns [[readWithFilePos]] appends after the logical ones:
     * scanned file URI + physical row index within it. */
   private[store] val FilePathCol = "__delta_file"
   private[store] val RowIndexCol = "__delta_row_idx"
+
+  /** Row-identity columns `read(rowIds = true)` appends. */
+  val RowIdCol = "_row_id"
+  val RowCommitVersionCol = "_row_commit_version"
+
+  /** Table-config keys naming the MATERIALIZED row-tracking columns —
+    * physical parquet columns outside the logical schema where writers
+    * persist ids that the fresh derivation can no longer produce (e.g.
+    * after compaction). Their values outrank the derivation. */
+  private val MatRowIdKey = "delta.rowTracking.materializedRowIdColumnName"
+  private val MatRowVersionKey =
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
 
   /** [[read]] plus per-row file provenance (`__delta_file` = scanned file
     * URI, `__delta_row_idx` = physical row index) — what the foreign
@@ -320,13 +341,23 @@ object DeltaTable {
       versionAsOf: Option[Long],
       timestampAsOf: Option[Long],
       withFilePos: Boolean,
-      addFilter: Add => Boolean = _ => true): DataFrame = {
+      addFilter: Add => Boolean = _ => true,
+      withRowIds: Boolean = false): DataFrame = {
     val snap0 = snapshot(spark, path, versionAsOf, timestampAsOf)
     val snap = snap0.copy(adds = snap0.adds.filter(addFilter))
+    if (withRowIds && !snap.writerFeatures.contains("rowTracking"))
+      throw new IllegalArgumentException(
+        s"rowIds requested but $path does not carry the rowTracking feature")
     val pv = new PhysView(path, snap)
     pv.prepareSession(spark)
     val partSchema = pv.partSchema
-    val dataSchema = pv.dataSchema
+    // materialized row-tracking columns are physical parquet columns
+    // OUTSIDE the logical schema — scan them too (files lacking them
+    // read as null, which the fresh derivation then covers)
+    val matId = if (withRowIds) snap.configuration.get(MatRowIdKey) else None
+    val matVer = if (withRowIds) snap.configuration.get(MatRowVersionKey) else None
+    val dataSchema = StructType(pv.dataSchema.fields ++
+      (matId.toSeq ++ matVer.toSeq).map(StructField(_, LongType)))
     val root = new HPath(path)
     val entries = snap.adds.map { a =>
       DeltaFileEntry(resolvePath(root, a.rawPath), a.size, a.mtime,
@@ -361,7 +392,29 @@ object DeltaTable {
     val extra = if (!withFilePos) Nil else Seq(
       col("_metadata.file_path").as(FilePathCol),
       col("_metadata.row_index").as(RowIndexCol))
-    withDv.select(pv.logicalCols ++ extra: _*)
+    // row identity (PROTOCOL.md Row Tracking): fresh values derive from the
+    // file's baseRowId/defaultRowCommitVersion (one broadcast map entry per
+    // live file — the same footprint as the file index) + the scan's own
+    // row_index; a materialized column, when the table names one, outranks
+    // the derivation. Computed after the DV filter — _metadata.row_index is
+    // the PHYSICAL position, unchanged by row filtering, so DV'd tables
+    // keep surviving rows' ids stable.
+    val rowIdCols = if (!withRowIds) Nil else {
+      def fileMap(f: Add => Option[Long]): Map[String, Long] =
+        snap.adds.flatMap(a => f(a).map(
+          resolvePath(root, a.rawPath).toUri.getPath -> _)).toMap
+      def lookup(m: Map[String, Long]): Column =
+        org.apache.spark.sql.graft.Bridge.column(FileAttrLookup(
+          org.apache.spark.sql.graft.Bridge.expression(col("_metadata.file_path")), m))
+      val fresh = lookup(fileMap(_.baseRowId)) + col("_metadata.row_index")
+      val freshVer = lookup(fileMap(_.defaultRowCommitVersion))
+      Seq(
+        matId.map(c => coalesce(col(s"`$c`"), fresh)).getOrElse(fresh)
+          .cast(LongType).as(RowIdCol),
+        matVer.map(c => coalesce(col(s"`$c`"), freshVer)).getOrElse(freshVer)
+          .cast(LongType).as(RowCommitVersionCol))
+    }
+    withDv.select(pv.logicalCols ++ extra ++ rowIdCols: _*)
   }
 
   /** `commitInfo.inCommitTimestamp` of one commit JSON, reading only as

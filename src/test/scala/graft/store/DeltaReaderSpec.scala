@@ -55,6 +55,70 @@ class DeltaReaderSpec extends SparkSuite {
     assert(src.columns(spark).map(_.name).map(_.toLowerCase).toSet == Set("id", "s"))
   }
 
+  test("rowIds: fresh derivation, DV stability, materialized override") {
+    val root = tmpDir("dt-rowids")
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    // data file 1: plain (fresh ids only); data file 2: carries a
+    // materialized row-id column where one row overrides and one is null
+    def oneFile(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+      val stage = tmpDir(s"dt-rowids-st-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(root, name)): Unit
+      rm(stage)
+      new File(root, name).length()
+    }
+    val sz1 = oneFile(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), "f1.parquet")
+    val sz2 = oneFile(
+      Seq((10L, "x", Some(7000L)), (11L, "y", None: Option[Long]))
+        .toDF("id", "s", "_mat_rid"),
+      "f2.parquet")
+    val logical = Seq((1L, "a")).toDF("id", "s").schema
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log", "00000000000000000000.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","domainMetadata"]}}""",
+        s"""{"metaData":{"id":"rid-1","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{"delta.enableRowTracking":"true","delta.rowTracking.materializedRowIdColumnName":"_mat_rid"},"createdTime":1}}""",
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":3}","baseRowId":0,"defaultRowCommitVersion":0}}""",
+        s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":$sz2,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":2}","baseRowId":3,"defaultRowCommitVersion":0}}""",
+        """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":4}","removed":false}}""")
+        .mkString("\n").getBytes("UTF-8")): Unit
+
+    def ids(): Map[Long, (Long, Long)] =
+      DeltaTable.read(spark, root, rowIds = true)
+        .select(col("id"), col(DeltaTable.RowIdCol), col(DeltaTable.RowCommitVersionCol))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // fresh = baseRowId + row_index; the materialized 7000 outranks fresh;
+    // the null materialized value falls back to the derivation
+    assert(ids() == Map(
+      1L -> (0L, 0L), 2L -> (1L, 0L), 3L -> (2L, 0L),
+      10L -> (7000L, 0L), 11L -> (4L, 0L)))
+    // logical read shape is unchanged (no row-id columns unless asked)
+    assert(DeltaTable.read(spark, root).columns.toSeq == Seq("id", "s"))
+
+    // a DV delete keeps every SURVIVING row's id stable
+    val t = new ForeignDeltaTable(spark, root)
+    t.deleteWhere(col("id") === 2L, allowProtocolUpgrade = true)
+    assert(ids() == Map(
+      1L -> (0L, 0L), 3L -> (2L, 0L), 10L -> (7000L, 0L), 11L -> (4L, 0L)))
+    // a fresh append takes ids above the mark, stamped with its commit
+    t.append(Seq((20L, "n")).toDF("id", "s"))
+    val after = ids()
+    assert(after(20L) == (5L, 2L))
+    assert(after - 20L == Map(
+      1L -> (0L, 0L), 3L -> (2L, 0L), 10L -> (7000L, 0L), 11L -> (4L, 0L)))
+
+    // non-row-tracked tables refuse the option loudly
+    val plain = tmpDir("dt-rowids-plain")
+    val tp = new VersionedTable(spark, plain)
+    tp.append(Seq((1L, "a")).toDF("id", "s"))
+    rm(s"$plain/_graft_log")
+    intercept[IllegalArgumentException] {
+      DeltaTable.read(spark, plain, rowIds = true).collect()
+    }
+  }
+
   test("opens a mirror-written table from its parquet checkpoint") {
     val root = tmpDir("dt-cp")
     val t = new VersionedTable(spark, root)
