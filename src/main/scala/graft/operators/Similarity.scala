@@ -144,6 +144,42 @@ object Similarity {
 
   // ------------------------------------------------------------------- IVF
 
+  /** Corpus-proportional IVF geometry — the measured scaling protocol as
+    * API instead of prose. Fixed small-corpus parameters measurably lose
+    * exact-top-k recall at 10× (the sf1 sweep's probed-breadth miss);
+    * what holds recall across scales is constant CELL SIZE with a
+    * constant PROBE FRACTION: `nlist = ceil(n / targetCellSize)` cells of
+    * ~targetCellSize vectors each, `nprobe = ceil(nlist ×
+    * probeFraction)` of them scanned per query. Per-query work stays
+    * `probeFraction × n` rows regardless of corpus size — dial
+    * `probeFraction` down (and `targetCellSize` up) as the corpus grows
+    * past what a fraction-½ scan affords; the recall/latency trade is then
+    * ONE explicit number instead of two coupled absolutes. */
+  def ivfGeometry(
+      n: Long, targetCellSize: Int = 128,
+      probeFraction: Double = 0.5): (Int, Int) = {
+    require(n > 0, "ivfGeometry needs a positive corpus size")
+    require(targetCellSize > 0, "targetCellSize must be positive")
+    require(probeFraction > 0 && probeFraction <= 1.0,
+      "probeFraction must be in (0, 1]")
+    val nlist = math.max(1L, math.min(
+      (n + targetCellSize - 1) / targetCellSize, n)).toInt
+    val nprobe = math.max(1, math.ceil(nlist * probeFraction).toInt)
+    (nlist, nprobe)
+  }
+
+  /** Corpus-proportional PQ/IVF-PQ re-rank shortlist: `fraction × n`
+    * candidates (never below `floor`, never above n). A FIXED shortlist is
+    * the other measured recall leak — 1% of a 10× corpus dropped exact
+    * top-10 members that 10% kept; proportionality keeps the re-rank
+    * cost/recall ratio constant as the corpus grows. */
+  def pqShortlist(n: Long, fraction: Double = 0.1, floor: Int = 200): Int = {
+    require(n > 0, "pqShortlist needs a positive corpus size")
+    require(fraction > 0 && fraction <= 1.0, "fraction must be in (0, 1]")
+    require(floor > 0, "floor must be positive")
+    math.min(n, math.max(floor.toLong, math.ceil(n * fraction).toLong)).toInt
+  }
+
   /** Nearest-centroid index (argmin of squared distance), via the native
     * codegen'd expression — the equivalent per-centroid zip_with/aggregate
     * formulation is interpreted and measured ~10× slower on a 16×64

@@ -291,6 +291,51 @@ class PipelineOpsSpec extends SparkSuite {
     Dedup.releaseIntermediates()
   }
 
+  test("ivfGeometry/pqShortlist: proportional dials hold exact recall across 10x") {
+    // the dials themselves: constant cell size, constant probe fraction,
+    // proportional shortlist — clamped sanely at the edges
+    assert(Similarity.ivfGeometry(600) == (5, 3))
+    assert(Similarity.ivfGeometry(6000) == (47, 24))
+    assert(Similarity.ivfGeometry(6000, probeFraction = 0.25) == (47, 12))
+    assert(Similarity.ivfGeometry(10) == (1, 1)) // tiny corpus: one cell
+    assert(Similarity.pqShortlist(600) == 200) // floor engages
+    assert(Similarity.pqShortlist(60000) == 6000) // 10%
+    assert(Similarity.pqShortlist(1500, fraction = 1.0) == 1500) // capped at n
+
+    // clustered corpus at n and 10n from the same generator: 16 cluster
+    // directions in 8-dim, deterministic LCG jitter. The SAME
+    // ivfGeometry-derived (nlist, nprobe) call must return the exact
+    // brute-force top-10 at BOTH scales — the property fixed absolutes
+    // measurably lose (the sf1 sweep's probed-breadth miss)
+    def corpus(n: Int): DataFrame = {
+      val rows = (0 until n).map { i =>
+        val c = i % 16
+        var s = i.toLong * 6364136223846793005L + 1442695040888963407L
+        def nxt(): Float = {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          ((s >>> 40).toInt % 1000) / 10000.0f
+        }
+        val v = Array.tabulate(8) { j =>
+          (if (j == c % 8) 1.0f else 0.0f) +
+            (if (c >= 8 && j == (c + 3) % 8) 0.7f else 0.0f) + nxt()
+        }
+        (i.toLong, v)
+      }
+      rows.toDF("vec_id", "embedding")
+    }
+    val q = Seq.tabulate(8)(j => if (j == 3) 1.0f else 0.02f)
+    Seq(600, 6000).foreach { n =>
+      val df = corpus(n)
+      val brute = Similarity.topKBruteForce(df, "vec_id", "embedding", q, 10)
+        .collect().map(_.getAs[Long]("id")).toSeq
+      val (nlist, nprobe) = Similarity.ivfGeometry(n)
+      val centroids = Similarity.ivfTrain(df, "vec_id", "embedding", k = nlist, iters = 2)
+      val ivf = Similarity.topKIvf(df, "vec_id", "embedding", q, 10, centroids, nprobe)
+        .collect().map(_.getAs[Long]("id")).toSeq
+      assert(ivf == brute, s"n=$n geometry ($nlist, $nprobe) lost recall")
+    }
+  }
+
   test("IVF drift census: skewed appends trip needsRetrain; retrain restores recall") {
     // two tight clusters along axes 0 and 1 → k=2 training separates them
     val vecs = (0L until 40L).map { i =>
