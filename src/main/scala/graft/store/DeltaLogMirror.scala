@@ -162,9 +162,9 @@ final class DeltaLogMirror(
       if (state.dvProtocol)
         Row(Row(3, 7, Seq("deletionVectors"),
           Seq("appendOnly", "invariants", "deletionVectors") ++
-            (if (state.cdfProtocol) Seq("changeDataFeed") else Nil)), null, null)
-      else if (state.cdfProtocol) Row(Row(1, 4, null, null), null, null)
-      else Row(Row(1, 2, null, null), null, null)
+            (if (state.cdfProtocol) Seq("changeDataFeed") else Nil)), null, null, null)
+      else if (state.cdfProtocol) Row(Row(1, 4, null, null), null, null, null)
+      else Row(Row(1, 2, null, null), null, null, null)
     // same config translation emitMetaData applies to the JSON commits:
     // external CDF readers resolve configuration from the checkpoint once
     // no later metaData action is in the tail, so the delta key must be
@@ -176,12 +176,20 @@ final class DeltaLogMirror(
     val metaRow = Row(null,
       Row(state.tableId, null, null, Row("parquet", Map.empty[String, String]),
         state.schemaJson, Seq.empty[String], ckptConfig, now),
-      null)
+      null, null)
     val addRows = state.files.toSeq.sortBy(_._1).map { case (p, fe) =>
       Row(null, null, Row(p, Map.empty[String, String], fe.size, now, false,
-        fe.dv.map(d => Row("p", d.path, d.offset, d.size, d.card)).orNull))
+        fe.dv.map(d => Row("p", d.path, d.offset, d.size, d.card)).orNull),
+        null)
     }
-    val rows: Seq[Row] = Seq(protoRow, metaRow) ++ addRows
+    // graft.txn.* idempotency watermarks as protocol SetTransaction rows:
+    // an external delta-spark txnVersion(appId) keeps working from the
+    // checkpoint alone (same retention rule as the JSON translation)
+    val txnRows = state.config.toSeq
+      .collect { case (k, value) if k.startsWith("graft.txn.") =>
+        Row(null, null, null, Row(k.stripPrefix("graft.txn."), value.toLong, null))
+      }.sortBy(_.getStruct(3).getString(0))
+    val rows: Seq[Row] = Seq(protoRow, metaRow) ++ addRows ++ txnRows
     DeltaLogMirror.publishCheckpoint(spark, fsu, logDir, v, rows,
       DeltaLogMirror.checkpointSchema)
   }
@@ -328,6 +336,19 @@ final class DeltaLogMirror(
             lines += mapper.writeValueAsString(ad)
           }
         }
+        // graft.txn.* watermarks that moved in THIS commit become protocol
+        // SetTransaction actions — an external engine's txnVersion(appId)
+        // sees graft's exactly-once state natively
+        man.properties.foreach { case (k, value) =>
+          if (k.startsWith("graft.txn.") && !state.config.get(k).contains(value)) {
+            val tx = obj()
+            val txn = tx.putObject("txn")
+            txn.put("appId", k.stripPrefix("graft.txn."))
+            txn.put("version", value.toLong)
+            txn.put("lastUpdated", now)
+            lines += mapper.writeValueAsString(tx)
+          }
+        }
         // real Delta cdc actions over the graft-materialized change files:
         // a CDF-enabled merge/delete commit points `table_changes` readers
         // at its exact row-level changes (commits carrying cdc actions are
@@ -432,5 +453,9 @@ object DeltaLogMirror {
         StructField("pathOrInlineDv", StringType),
         StructField("offset", IntegerType),
         StructField("sizeInBytes", IntegerType),
-        StructField("cardinality", LongType)))))))))
+        StructField("cardinality", LongType))))))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType),
+      StructField("lastUpdated", LongType))))))
 }

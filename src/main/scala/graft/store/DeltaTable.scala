@@ -99,7 +99,12 @@ object DeltaTable {
       // LIVE domain metadata (domain name -> configuration JSON string):
       // row tracking keeps its rowIdHighWaterMark here; a writer honoring
       // the domainMetadata feature must carry these through checkpoints
-      private[store] val domainMetadata: Map[String, String] = Map.empty) {
+      private[store] val domainMetadata: Map[String, String] = Map.empty,
+      // SetTransaction watermarks (appId -> highest applied version):
+      // streaming writers' exactly-once state; PROTOCOL.md requires
+      // checkpoints to retain unexpired txn actions — dropping them would
+      // let another engine's restarted stream double-apply a batch
+      private[store] val txns: Map[String, Long] = Map.empty) {
     def numFiles: Int = adds.size
   }
 
@@ -543,6 +548,8 @@ object DeltaTable {
     val gone = scala.collection.mutable.LinkedHashMap[String, Long]()
     // live domain metadata (removed=true drops the domain)
     val domains = scala.collection.mutable.LinkedHashMap[String, String]()
+    // SetTransaction watermarks (last action per appId wins, replay order)
+    val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
       val unsupported = readerFeatures.filterNot(SupportedReaderFeatures)
@@ -633,6 +640,10 @@ object DeltaTable {
             if (!r.isNullAt(2) && r.getBoolean(2)) domains.remove(r.getString(0)): Unit
             else domains(r.getString(0)) = r.getString(1)
           }
+      if (df.schema.fieldNames.contains("txn"))
+        df.where(col("txn.appId").isNotNull)
+          .select(col("txn.appId"), col("txn.version").cast("long"))
+          .collect().foreach(r => txns(r.getString(0)) = r.getLong(1))
       // checkpoint remove rows are pure tombstones (their file set is
       // disjoint from the checkpoint's adds) — retained for re-checkpointing
       val rmFields = sub("remove").map(_.fieldNames.toSet).getOrElse(Set.empty)
@@ -704,6 +715,10 @@ object DeltaTable {
         else domains(name) =
           Option(dm.get("configuration")).map(_.asText()).getOrElse("{}")
       }
+      if (node.has("txn")) {
+        val t = node.get("txn")
+        txns(t.get("appId").asText()) = t.get("version").asLong()
+      }
     }
 
     // ---- checkpoint state (classic parquet parts, or v2 manifest+sidecars)
@@ -752,8 +767,15 @@ object DeltaTable {
     }
     Snapshot(target, schema, partCols, config, files.values.toSeq,
       tableId, minWriter, writerFeats, minReader, readerFeats, gone.toSeq,
-      domains.toMap)
+      domains.toMap, txns.toMap)
   }
+
+  /** Highest SetTransaction version another engine's writer recorded for
+    * `appId` (Delta's `txnVersion` — the exactly-once watermark streaming
+    * writers consult before applying a batch). */
+  def latestTxnVersion(
+      spark: SparkSession, path: String, appId: String): Option[Long] =
+    snapshot(spark, path).txns.get(appId)
 
   /** Log paths are percent-encoded relative URIs (or absolute URIs for
     * shallow clones) — PROTOCOL.md "Add File and Remove File". */

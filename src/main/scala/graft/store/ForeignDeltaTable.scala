@@ -114,6 +114,22 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
   def overwrite(df: DataFrame, drift: SchemaDrift = SchemaDrift.Full): Long =
     commitWrite(df, drift, overwrite = true)
 
+  /** Exactly-once append via the protocol's SetTransaction action (Delta's
+    * `txnAppId`/`txnVersion` idempotent-write contract): a batch whose
+    * `txnVersion` is at or below the appId's recorded watermark is a NO-OP
+    * returning the current version — including when a concurrent retry of
+    * the same batch wins the commit race mid-write (the already-staged
+    * parquet files are then unreferenced orphans, reclaimed by [[vacuum]]).
+    * The txn watermark rides the SAME commit as the data, so any engine's
+    * restarted stream resumes exactly-once against this table. */
+  def appendIdempotent(
+      df: DataFrame, appId: String, txnVersion: Long,
+      drift: SchemaDrift = SchemaDrift.NewOnly): Long = {
+    val s = snap
+    if (s.txns.get(appId).exists(_ >= txnVersion)) return s.version
+    commitWrite(df, drift, overwrite = false, txn = Some(appId -> txnVersion))
+  }
+
   /** Row-level DELETE WHERE on the FOREIGN table via real Delta deletion
     * vectors (merge-on-read, the delta-spark DV-delete shape): matching
     * rows are marked in per-file roaring bitmaps written to a
@@ -754,7 +770,9 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     Written(dirName, parts, partValuesOf, statsByFile)
   }
 
-  private def commitWrite(df: DataFrame, drift: SchemaDrift, overwrite: Boolean): Long = {
+  private def commitWrite(
+      df: DataFrame, drift: SchemaDrift, overwrite: Boolean,
+      txn: Option[(String, Long)] = None): Long = {
     val s = snap
     validateWritable(s, overwrite)
     val merged =
@@ -825,6 +843,13 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         else SchemaEvolution.merge(cur.schema, merged, drift)
       val now = System.currentTimeMillis()
       val v = cur.version + 1
+      // a concurrent retry of the SAME idempotent batch may have won the
+      // race while we were losing it — re-check the watermark against the
+      // re-resolved snapshot and bail as a no-op (staged files become
+      // vacuum-reclaimable orphans, never duplicate rows)
+      txn.foreach { case (appId, tv) =>
+        if (cur.txns.get(appId).exists(_ >= tv)) return cur.version
+      }
       val lines = scala.collection.mutable.ArrayBuffer[String]()
       def obj() = mapper.createObjectNode()
       val ci = obj()
@@ -836,6 +861,16 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         .put("mode", if (overwrite) "Overwrite" else "Append")
       cin.put("engineInfo", "graft-foreign-delta-writer")
       lines += mapper.writeValueAsString(ci)
+      // SetTransaction rides the same commit as its data (commitInfo stays
+      // the FIRST line — the ICT fast-path reads only that far)
+      txn.foreach { case (appId, tv) =>
+        val tx = obj()
+        val txn2 = tx.putObject("txn")
+        txn2.put("appId", appId)
+        txn2.put("version", tv)
+        txn2.put("lastUpdated", now)
+        lines += mapper.writeValueAsString(tx)
+      }
       if (!mapped && mergedNow.json != cur.schema.json) {
         val md = obj()
         val mdn = md.putObject("metaData")
@@ -1023,12 +1058,12 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val protoRow = Row(
       Row(s.minReaderVersion, s.minWriterVersion,
         emptyTo(s.readerFeatures), emptyTo(s.writerFeatures)),
-      null, null, null, null)
+      null, null, null, null, null)
     val metaRow = Row(null,
       Row(if (s.tableId.nonEmpty) s.tableId else UUID.randomUUID().toString,
         null, null, Row("parquet", Map.empty[String, String]),
         s.schema.json, s.partitionColumns, s.configuration, now),
-      null, null, null)
+      null, null, null, null)
     val addRows = s.adds.map { a =>
       Row(null, null,
         Row(a.rawPath, a.partitionValues.map { case (k, ov) => k -> ov.orNull },
@@ -1037,21 +1072,26 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
             d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull,
           a.baseRowId.map(Long.box).orNull,
           a.defaultRowCommitVersion.map(Long.box).orNull),
-        null, null)
+        null, null, null)
     }
     // ts 0 = the foreign log carried no deletionTimestamp: keep (sound —
     // dropping a live tombstone could let a foreign VACUUM miss the file)
     val rmRows = s.tombstones
       .filter { case (_, ts) => ts == 0L || ts >= keepSince }
-      .map { case (p, ts) => Row(null, null, null, Row(p, ts, false), null) }
+      .map { case (p, ts) => Row(null, null, null, Row(p, ts, false), null, null) }
     // live domain metadata must survive checkpointing (the domainMetadata
     // feature's writer obligation — row tracking keeps its high-water
     // mark here)
     val dmRows = s.domainMetadata.toSeq.sortBy(_._1).map { case (name, cfg) =>
-      Row(null, null, null, null, Row(name, cfg, false))
+      Row(null, null, null, null, Row(name, cfg, false), null)
+    }
+    // SetTransaction watermarks must survive checkpointing (PROTOCOL.md:
+    // dropping one would let a restarted external stream double-apply)
+    val txnRows = s.txns.toSeq.sortBy(_._1).map { case (appId, tv) =>
+      Row(null, null, null, null, null, Row(appId, tv, null))
     }
     DeltaLogMirror.publishCheckpoint(spark, fsu, logDir, v,
-      Seq(protoRow, metaRow) ++ addRows ++ rmRows ++ dmRows,
+      Seq(protoRow, metaRow) ++ addRows ++ rmRows ++ dmRows ++ txnRows,
       ForeignDeltaTable.checkpointSchema)
   }
 
@@ -1155,5 +1195,9 @@ object ForeignDeltaTable {
     StructField("domainMetadata", StructType(Seq(
       StructField("domain", StringType),
       StructField("configuration", StringType),
-      StructField("removed", BooleanType))))))
+      StructField("removed", BooleanType)))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType),
+      StructField("lastUpdated", LongType))))))
 }

@@ -55,6 +55,24 @@ class DeltaReaderSpec extends SparkSuite {
     assert(src.columns(spark).map(_.name).map(_.toLowerCase).toSet == Set("id", "s"))
   }
 
+  test("graft.txn.* watermarks mirror as protocol txn actions (json + checkpoint)") {
+    val root = tmpDir("dt-txn")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((1L, "a")).toDF("id", "s")) // v0
+    t.appendIdempotent(Seq((2L, "b")).toDF("id", "s"), "appX", 5L) // v1
+    t.appendIdempotent(Seq((3L, "c")).toDF("id", "s"), "appX", 6L) // v2
+    // external delta-spark-style txnVersion over the MIRRORED log
+    assert(DeltaTable.latestTxnVersion(spark, root, "appX").contains(6L))
+    // replayed batch: no mirror commit, watermark unchanged
+    t.appendIdempotent(Seq((3L, "c")).toDF("id", "s"), "appX", 6L)
+    assert(DeltaTable.snapshot(spark, root).version == 2L)
+    // watermark survives the mirror checkpoint once early JSONs are gone
+    (3 to 10).foreach(i => t.append(Seq((10L + i, "z")).toDF("id", "s"))) // ...v10
+    assert(new File(root, "_delta_log/00000000000000000010.checkpoint.parquet").exists)
+    (0L to 5L).foreach(v => new File(root, f"_delta_log/$v%020d.json").delete())
+    assert(DeltaTable.latestTxnVersion(spark, root, "appX").contains(6L))
+  }
+
   test("rowIds: fresh derivation, DV stability, materialized override") {
     val root = tmpDir("dt-rowids")
     val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
@@ -210,11 +228,11 @@ class DeltaReaderSpec extends SparkSuite {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     val cpRows: Seq[Row] = Seq(
-      Row(Row(1, 2, null, null), null, null),
+      Row(Row(1, 2, null, null), null, null, null),
       Row(null, Row("fix-1", null, null, Row("parquet", Map.empty[String, String]),
-        fixtureSchema.json, Seq.empty[String], Map.empty[String, String], 1L), null),
-      Row(null, null, Row(f1, Map.empty[String, String], s1, 2000L, false, null)),
-      Row(null, null, Row(f2, Map.empty[String, String], s2, 3000L, false, null)))
+        fixtureSchema.json, Seq.empty[String], Map.empty[String, String], 1L), null, null),
+      Row(null, null, Row(f1, Map.empty[String, String], s1, 2000L, false, null), null),
+      Row(null, null, Row(f2, Map.empty[String, String], s2, 3000L, false, null), null))
     val cpDf = spark.createDataFrame(cpRows.asJava, DeltaLogMirror.checkpointSchema).coalesce(1)
     val cpStage = tmpDir("dt-cpstage")
     cpDf.write.mode("overwrite").parquet(cpStage)
@@ -327,8 +345,8 @@ class DeltaReaderSpec extends SparkSuite {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     val sideRows = Seq(
-      Row(null, null, Row(f0, Map.empty[String, String], s0, 1000L, false, null)),
-      Row(null, null, Row(f1, Map.empty[String, String], s1, 2000L, false, null)))
+      Row(null, null, Row(f0, Map.empty[String, String], s0, 1000L, false, null), null),
+      Row(null, null, Row(f1, Map.empty[String, String], s1, 2000L, false, null), null))
     val sideDf = spark.createDataFrame(sideRows.asJava, DeltaLogMirror.checkpointSchema)
       .coalesce(1)
     val stage = tmpDir("dt-v2j-stage")
@@ -374,7 +392,8 @@ class DeltaReaderSpec extends SparkSuite {
       DeltaLogMirror.checkpointSchema.fields.toSeq :+ StructField("sidecar", sidecarT))
     // sidecar file itself uses the plain action shape
     val sideDf = spark.createDataFrame(
-      Seq(Row(null, null, Row(f0, Map.empty[String, String], s0, 1000L, false, null))).asJava,
+      Seq(Row(null, null,
+        Row(f0, Map.empty[String, String], s0, 1000L, false, null), null)).asJava,
       DeltaLogMirror.checkpointSchema).coalesce(1)
     val stage = tmpDir("dt-v2p-stage")
     sideDf.write.mode("overwrite").parquet(stage)
@@ -384,10 +403,10 @@ class DeltaReaderSpec extends SparkSuite {
     val sideName = "00001-cccc-dddd.parquet"
     Files.move(sidePart.toPath, java.nio.file.Paths.get(s"$log/_sidecars/$sideName"))
     val manifestRows = Seq(
-      Row(Row(3, 7, null, null), null, null, null),
+      Row(Row(3, 7, null, null), null, null, null, null),
       Row(null, Row("fix-2", null, null, Row("parquet", Map.empty[String, String]),
-        fixtureSchema.json, Seq.empty[String], Map.empty[String, String], 1L), null, null),
-      Row(null, null, null, Row(sideName, 1234L, 2000L)))
+        fixtureSchema.json, Seq.empty[String], Map.empty[String, String], 1L), null, null, null),
+      Row(null, null, null, null, Row(sideName, 1234L, 2000L)))
     val mDf = spark.createDataFrame(manifestRows.asJava, manifestSchema).coalesce(1)
     val mStage = tmpDir("dt-v2p-mstage")
     mDf.write.mode("overwrite").parquet(mStage)

@@ -210,6 +210,43 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     assert(snap.adds.forall(_.baseRowId.isDefined))
   }
 
+  test("appendIdempotent: txn watermark makes replays no-ops and survives checkpoints") {
+    val root = tmpDir("fdw-txn")
+    val df = Seq((1L, "a")).toDF("id", "s")
+    foreignTable(root, df) // v0, one row
+    val t = new ForeignDeltaTable(spark, root)
+    val v1 = t.appendIdempotent(Seq((2L, "b")).toDF("id", "s"), "streamA", 7L)
+    assert(v1 == 1L)
+    assert(DeltaTable.latestTxnVersion(spark, root, "streamA").contains(7L))
+    assert(DeltaTable.latestTxnVersion(spark, root, "other").isEmpty)
+    // the txn action is IN the commit, after commitInfo
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val v1Lines = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      root, "_delta_log", f"${1L}%020d.json")), "UTF-8")
+      .split('\n').filter(_.nonEmpty).map(mapper.readTree)
+    assert(v1Lines.head.has("commitInfo"))
+    val tx = v1Lines.find(_.has("txn")).get.get("txn")
+    assert(tx.get("appId").asText() == "streamA" && tx.get("version").asLong() == 7L)
+    // replay of the same batch (and anything older): NO-OP, no new version
+    assert(t.appendIdempotent(Seq((2L, "b")).toDF("id", "s"), "streamA", 7L) == 1L)
+    assert(t.appendIdempotent(Seq((9L, "x")).toDF("id", "s"), "streamA", 3L) == 1L)
+    assert(DeltaTable.read(spark, root).count() == 2L)
+    // the next batch applies; independent appIds don't interfere
+    assert(t.appendIdempotent(Seq((3L, "c")).toDF("id", "s"), "streamA", 8L) == 2L)
+    assert(t.appendIdempotent(Seq((4L, "d")).toDF("id", "s"), "streamB", 1L) == 3L)
+    assert(DeltaTable.latestTxnVersion(spark, root, "streamA").contains(8L))
+    assert(DeltaTable.latestTxnVersion(spark, root, "streamB").contains(1L))
+    // checkpoint at v10, drop the early JSONs: watermarks must survive
+    (4 to 10).foreach(i => t.append(Seq((100L + i, "z")).toDF("id", "s")))
+    assert(new File(root, "_delta_log/00000000000000000010.checkpoint.parquet").exists)
+    (0L to 5L).foreach(v => new File(root, f"_delta_log/$v%020d.json").delete())
+    assert(DeltaTable.latestTxnVersion(spark, root, "streamA").contains(8L))
+    assert(DeltaTable.latestTxnVersion(spark, root, "streamB").contains(1L))
+    assert(t.appendIdempotent(Seq((9L, "x")).toDF("id", "s"), "streamA", 8L)
+      == 10L) // still a no-op, resolved via the checkpoint
+    assert(DeltaTable.read(spark, root).count() == 11L)
+  }
+
   test("unsupported tables refuse loudly; appendOnly allows append only") {
     val df = Seq((1L, "a")).toDF("id", "s")
     // column mapping DECLARED but the schema carries no physicalName
