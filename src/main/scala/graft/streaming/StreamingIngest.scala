@@ -80,6 +80,35 @@ object StreamingIngest {
     q
   }
 
+  /** Stream INTO a foreign Delta table exactly-once: `foreachBatch` lands
+    * each micro-batch via
+    * [[graft.store.ForeignDeltaTable.appendIdempotent]] with
+    * `(appId, batchId)` as the SetTransaction identity — Delta's
+    * txnAppId/txnVersion sink pattern. The sink is NOT transactional with
+    * the stream checkpoint, so a batch whose foreachBatch committed but
+    * whose stream commit never landed (crash between the two) is RE-RUN on
+    * restart with the same batchId — the table's own txn watermark then
+    * no-ops the replay instead of double-appending. Protects replays under
+    * one checkpoint lineage; a deleted/rebuilt checkpoint restarts
+    * batchIds and needs a fresh appId like every txnVersion consumer. */
+  def deltaSinkStream(
+      spark: SparkSession,
+      source: DataFrame,
+      tablePath: String,
+      appId: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = source.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        new graft.store.ForeignDeltaTable(spark, tablePath)
+          .appendIdempotent(batch.localCheckpoint(true), appId, batchId): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * stateful-op capability probe (counts + sums per window × event_type).
     * `tsCol` must be a TimestampType column. */

@@ -135,4 +135,37 @@ class DeltaStreamSpec extends SparkSuite {
         (10L until 15L).map(i => (i, "insert", 1L)).toSet ++
         (0L until 3L).map(i => (i, "delete", 2L)).toSet)
   }
+
+  test("deltaSinkStream: txn-backed sink no-ops a replayed micro-batch") {
+    val srcDir = tmpDir("dss-sink-src")
+    val tbl = tmpDir("dss-sink-tbl")
+    val ckpt = tmpDir("dss-sink-ckpt") + "/c"
+    foreignTable(tbl, Seq((0L, "seed")).toDF("id", "s")) // v0
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val in = spark.readStream
+        .schema(Seq((1L, "a")).toDF("id", "s").schema).parquet(srcDir)
+      graft.streaming.StreamingIngest.deltaSinkStream(
+        spark, in, tbl, "sinkA", ckpt): Unit
+    }
+    run() // batch 0 lands
+    assert(DeltaTable.read(spark, tbl).count() == 3L)
+    assert(DeltaTable.latestTxnVersion(spark, tbl, "sinkA").contains(0L))
+    // crash-between-sink-and-stream-commit: the stream recorded its offsets
+    // but not the commit, so restart RE-RUNS batch 0 with the same batchId;
+    // the table's txn watermark must swallow the replay
+    val commit0 = new File(s"$ckpt/commits/0")
+    assert(commit0.exists, "commit marker expected")
+    commit0.delete(): Unit
+    new File(s"$ckpt/commits/.0.crc").delete(): Unit
+    run()
+    assert(DeltaTable.read(spark, tbl).count() == 3L, "replay double-applied")
+    // new data continues as batch 1
+    Seq((3L, "c")).toDF("id", "s").coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    assert(DeltaTable.read(spark, tbl).select("id").as[Long].collect().sorted.toSeq
+      == Seq(0L, 1L, 2L, 3L))
+    assert(DeltaTable.latestTxnVersion(spark, tbl, "sinkA").contains(1L))
+  }
 }
