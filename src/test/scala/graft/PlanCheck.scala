@@ -128,6 +128,22 @@ object PlanCheck {
       println(f"${if (pass) "PASS" else "FAIL"}  store_dv_delete        DV probe codegen'd inside the scan stage (no UDF codegen break)")
     }
 
+    // row-id read: both FileAttrLookup probes must print under a
+    // WholeStageCodegen Project in the FINALIZED plan (fresh derivation is
+    // map-side arithmetic over the scan — no exchange, no join against a
+    // file table), riding the store_row_ids gate's scenario table
+    locally {
+      val df = fns("store_row_ids")(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val pass = p.linesIterator.exists(l =>
+        l.contains("graft_file_attr") &&
+          """\*\(\d+\) Project""".r.findFirstIn(l).isDefined) &&
+        !p.contains("Exchange") && !p.contains("Join")
+      if (!pass) failed += 1
+      println(f"${if (pass) "PASS" else "FAIL"}  store_row_ids          row-id derivation codegen'd map-side (no exchange/join)")
+    }
+
     // runtime pruning counter: execute the skipping query and ask the index
     // how many dirs the pushed dataFilters kept (transparent-path check)
     locally {
