@@ -87,6 +87,7 @@ object GraftExtensions {
     *   SELECT * FROM graft_history('/data/dest/delta')         -- DESCRIBE HISTORY
     *   SELECT * FROM delta_table('/ext/tbl')                   -- FOREIGN Delta snapshot
     *   SELECT * FROM delta_changes('/ext/tbl', 1, 5)           -- FOREIGN table_changes
+    *   SELECT * FROM delta_row_ids('/ext/tbl')                 -- + _row_id identity
     * }}}
     * The builder runs at analysis time on the driver; the returned plan is
     * the same manifest-backed scan the Scala API produces (GraftFileIndex
@@ -149,6 +150,19 @@ object GraftExtensions {
           val spark = org.apache.spark.sql.SparkSession.active
           graft.store.DeltaTable.readChanges(spark, strLit(children.head, "path"),
             longLit(children(1), "fromVersion"), longLit(children(2), "toVersion"))
+            .queryExecution.logical
+        }),
+      // row-tracked foreign tables: the snapshot plus the protocol's
+      // stable `_row_id` / `_row_commit_version` identity columns
+      (FunctionIdentifier("delta_row_ids"),
+        new ExpressionInfo(classOf[graft.store.DeltaTable.type].getName, "delta_row_ids"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1 || children.size == 2,
+            "delta_row_ids(path[, versionAsOf])")
+          val spark = org.apache.spark.sql.SparkSession.active
+          graft.store.DeltaTable.read(spark, strLit(children.head, "path"),
+            versionAsOf = children.lift(1).map(longLit(_, "versionAsOf")),
+            rowIds = true)
             .queryExecution.logical
         }))
   }

@@ -82,4 +82,32 @@ class TvfSpec extends SparkSuite {
     assert(ch == ((10L until 20L).map(i => (i, "insert")).toSet ++
       (0L until 3L).map(i => (i, "delete")).toSet))
   }
+
+  test("delta_row_ids TVF: row identity through SQL on a row-tracked table") {
+    GraftExtensions.register(spark)
+    val root = tmpDir("tvf-rowids")
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val schemaJ = mapper.writeValueAsString(
+      Seq((1L, "a")).toDF("id", "s").schema.json)
+    new java.io.File(s"$root/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", "00000000000000000000.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+          """"writerFeatures":["rowTracking","domainMetadata"]}}""",
+        s"""{"metaData":{"id":"tvf-rt","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":$schemaJ,"partitionColumns":[],""" +
+          s""""configuration":{"delta.enableRowTracking":"true"},"createdTime":1}}""")
+        .mkString("\n").getBytes("UTF-8")): Unit
+    val t = new graft.store.ForeignDeltaTable(spark, root)
+    t.append((0L until 5L).map(i => (i, s"s$i")).toDF("id", "s")
+      .repartition(1).sortWithinPartitions("id")) // v1: ids 0..4
+    val got = spark.sql(
+      s"SELECT id, `_row_id`, `_row_commit_version` FROM delta_row_ids('$root')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == (0L until 5L).map(i => (i, i, 1L)).toSet)
+    // plain delta_table stays id-free
+    assert(!spark.sql(s"SELECT * FROM delta_table('$root')")
+      .columns.contains("_row_id"))
+  }
 }
