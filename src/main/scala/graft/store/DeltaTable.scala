@@ -60,9 +60,11 @@ object DeltaTable {
   private val V2CheckpointRe = """(\d{20})\.checkpoint\.([0-9a-zA-Z-]+)\.(json|parquet)""".r
 
   /** Reader-relevant table features this reader actually implements.
-    * (`vacuumProtocolCheck` only constrains VACUUM, which we never run on
-    * an external table; `timestampNtz`/`typeWidening-preview` read as plain
-    * parquet through Spark's reader.) */
+    * (`vacuumProtocolCheck` constrains VACUUM — which
+    * [[graft.store.ForeignDeltaTable.vacuum]] honors with a writer-feature
+    * protocol check before deleting anything; `timestampNtz`/
+    * `typeWidening-preview` read as plain parquet through Spark's
+    * reader.) */
   private val SupportedReaderFeatures =
     Set("timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed", "domainMetadata",

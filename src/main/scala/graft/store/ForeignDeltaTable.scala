@@ -974,6 +974,17 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     * reader/spark_reader.py:307-324). */
   def vacuum(retentionMs: Option[Long] = None, dryRun: Boolean = false): Seq[String] = {
     val s = snap
+    // the vacuumProtocolCheck contract (enforced here regardless of the
+    // feature flag — it is the only safe behavior): an unrecognized WRITER
+    // feature may make files this vacuum would classify dead actually
+    // live, exactly as deletionVectors once did to pre-DV vacuums — refuse
+    // rather than delete another writer's live data
+    if (s.minWriterVersion >= 7) {
+      val bad = s.writerFeatures.filterNot(BenignWriterFeatures)
+      if (bad.nonEmpty) refuse(
+        s"VACUUM protocol check failed: writer features ${bad.mkString(", ")} " +
+          "are not understood by this vacuum and may govern file liveness")
+    }
     val keepSince = System.currentTimeMillis() - retentionMs.getOrElse(
       ForeignDeltaTable.retentionMillis(
         s.configuration.get("delta.deletedFileRetentionDuration")))

@@ -275,6 +275,12 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     intercept[UnsupportedOperationException] {
       new ForeignDeltaTable(spark, p4).append(df)
     }
+    // ... and VACUUM runs the same protocol check (vacuumProtocolCheck
+    // semantics): an ununderstood writer feature may govern file liveness
+    val eVac = intercept[UnsupportedOperationException] {
+      new ForeignDeltaTable(spark, p4).vacuum(retentionMs = Some(0L))
+    }
+    assert(eVac.getMessage.contains("VACUUM protocol check"))
     // appendOnly: append fine, overwrite refused
     val p5 = tmpDir("fdw-ao")
     foreignTable(p5, df, config = """{"delta.appendOnly":"true"}""")
