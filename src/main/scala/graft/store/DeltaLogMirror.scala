@@ -415,6 +415,65 @@ object DeltaLogMirror {
       mapper.writeValueAsString(lc))
   }
 
+  /** Publish a V2-spec checkpoint for version `v` (PROTOCOL.md "V2 Spec
+    * Checkpoints" — what `delta.checkpointPolicy = v2` obliges writers to
+    * produce): the FILE actions (add/remove) land in one parquet sidecar
+    * under `_delta_log/_sidecars/`, and the manifest
+    * `<v>.checkpoint.<uuid>.parquet` carries the non-file actions plus the
+    * required `checkpointMetadata` row and the `sidecar` pointer. At scale
+    * this is the point of the v2 layout: the (large) file listing is
+    * referenced, not rewritten into every engine's manifest variant. */
+  private[store] def publishCheckpointV2(
+      spark: SparkSession, fsu: Fs, logDir: HPath, v: Long,
+      manifestRows: Seq[org.apache.spark.sql.Row],
+      fileRows: Seq[org.apache.spark.sql.Row],
+      baseSchema: StructType): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import VersionedTable.mapper
+    def writeOnePart(df: org.apache.spark.sql.DataFrame, dest: HPath): Unit = {
+      val tmp = new HPath(logDir, s".cptmp-${UUID.randomUUID()}")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fsu.fs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      fsu.deleteIfExists(dest)
+      if (!fsu.fs.rename(part, dest))
+        throw new java.io.IOException(s"rename $part -> $dest failed")
+      fsu.delete(tmp, recursive = true)
+    }
+    val sidecarDir = new HPath(logDir, "_sidecars")
+    fsu.mkdirs(sidecarDir)
+    val sideName = s"${UUID.randomUUID()}.parquet"
+    val sideDest = new HPath(sidecarDir, sideName)
+    writeOnePart(spark.createDataFrame(fileRows.asJava, baseSchema), sideDest)
+    val sideStat = fsu.fs.getFileStatus(sideDest)
+    val cmT = StructType(Seq(
+      StructField("version", LongType),
+      StructField("tags", MapType(StringType, StringType))))
+    val scT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType),
+      StructField("tags", MapType(StringType, StringType))))
+    val schema = StructType(baseSchema.fields ++ Seq(
+      StructField("checkpointMetadata", cmT), StructField("sidecar", scT)))
+    val pad = Seq(null, null)
+    val blank = Seq.fill[Any](baseSchema.size)(null)
+    val rows: Seq[Row] = manifestRows.map(r => Row.fromSeq(r.toSeq ++ pad)) ++ Seq(
+      Row.fromSeq(blank ++ Seq(Row(v, Map.empty[String, String]), null)),
+      Row.fromSeq(blank ++ Seq(null,
+        Row(sideName, sideStat.getLen, sideStat.getModificationTime,
+          Map.empty[String, String]))))
+    writeOnePart(spark.createDataFrame(rows.asJava, schema),
+      new HPath(logDir, f"$v%020d.checkpoint.${UUID.randomUUID()}.parquet"))
+    val lc = mapper.createObjectNode()
+    lc.put("version", v)
+    lc.put("size", (rows.size + fileRows.size).toLong)
+    fsu.writeStringAtomic(new HPath(logDir, "_last_checkpoint"),
+      mapper.writeValueAsString(lc))
+  }
+
   /** The protocol checkpoint row schema (public Delta transaction protocol;
     * optional action columns omitted stay absent — readers treat missing
     * nullable columns as null). */

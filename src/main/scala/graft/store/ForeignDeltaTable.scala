@@ -531,7 +531,11 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       // survives checkpoints (writeCheckpoint); OPTIMIZE refuses — a
       // compaction cannot preserve row ids without materialized row-id
       // columns, which only the table's owner engine writes
-      "rowTracking", "domainMetadata")
+      "rowTracking", "domainMetadata",
+      // honored: when delta.checkpointPolicy=v2 the table owner chose the
+      // V2 checkpoint spec — writeCheckpoint emits a v2 manifest +
+      // sidecar instead of a classic single-file checkpoint
+      "v2Checkpoint")
 
   private def validateWritable(s: DeltaTable.Snapshot, forOverwrite: Boolean): Unit = {
     val cm = s.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -1101,9 +1105,19 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val txnRows = s.txns.toSeq.sortBy(_._1).map { case (appId, tv) =>
       Row(null, null, null, null, null, Row(appId, tv, null))
     }
-    DeltaLogMirror.publishCheckpoint(spark, fsu, logDir, v,
-      Seq(protoRow, metaRow) ++ addRows ++ rmRows ++ dmRows ++ txnRows,
-      ForeignDeltaTable.checkpointSchema)
+    // delta.checkpointPolicy = v2 on a v2Checkpoint table: the owner chose
+    // the V2 spec — honor it (manifest + file-action sidecar) instead of
+    // emitting a classic checkpoint the policy forbids
+    if (s.configuration.get("delta.checkpointPolicy").contains("v2") &&
+        s.readerFeatures.contains("v2Checkpoint"))
+      DeltaLogMirror.publishCheckpointV2(spark, fsu, logDir, v,
+        Seq(protoRow, metaRow) ++ dmRows ++ txnRows,
+        addRows ++ rmRows,
+        ForeignDeltaTable.checkpointSchema)
+    else
+      DeltaLogMirror.publishCheckpoint(spark, fsu, logDir, v,
+        Seq(protoRow, metaRow) ++ addRows ++ rmRows ++ dmRows ++ txnRows,
+        ForeignDeltaTable.checkpointSchema)
   }
 
   private def snapAdds(s: DeltaTable.Snapshot): Seq[String] =

@@ -247,6 +247,33 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     assert(DeltaTable.read(spark, root).count() == 11L)
   }
 
+  test("checkpointPolicy v2: the 10th commit writes a v2 manifest + sidecar, not classic") {
+    val root = tmpDir("fdw-v2cp")
+    val df = Seq((0L, "seed")).toDF("id", "s")
+    foreignTable(root, df, protocol = """{"protocol":{"minReaderVersion":3,""" +
+      """"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],""" +
+      """"writerFeatures":["v2Checkpoint"]}}""",
+      config = """{"delta.checkpointPolicy":"v2"}""")
+    val t = new ForeignDeltaTable(spark, root)
+    (1 to 10).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s")))
+    val logFiles = new File(root, "_delta_log").listFiles().map(_.getName)
+    // the policy forbids the classic single-file form; the v2 manifest +
+    // exactly one sidecar must be there instead
+    assert(!logFiles.contains("00000000000000000010.checkpoint.parquet"))
+    assert(logFiles.exists(n => n.startsWith("00000000000000000010.checkpoint.")
+      && n.endsWith(".parquet")))
+    val sidecars = new File(root, "_delta_log/_sidecars").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(sidecars.length == 1)
+    // state resolves from the v2 checkpoint ALONE once early JSONs are gone
+    (0L to 5L).foreach(v => new File(root, f"_delta_log/$v%020d.json").delete())
+    assert(DeltaTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq
+      == (0L to 10L))
+    // and the table keeps accepting commits on top of it
+    t.append(Seq((99L, "z")).toDF("id", "s"))
+    assert(DeltaTable.read(spark, root).count() == 12L)
+  }
+
   test("unsupported tables refuse loudly; appendOnly allows append only") {
     val df = Seq((1L, "a")).toDF("id", "s")
     // column mapping DECLARED but the schema carries no physicalName
