@@ -28,7 +28,8 @@ class ForeignOpsPropertySpec extends SparkSuite {
 
   private def foreignTable(
       root: String, df: org.apache.spark.sql.DataFrame,
-      cdf: Boolean = false, rt: Boolean = false): Unit = {
+      cdf: Boolean = false, rt: Boolean = false,
+      v2cp: Boolean = false): Unit = {
     val staging = tmpDir("fprop-stage")
     df.coalesce(1).write.mode("overwrite").parquet(staging)
     val part = new File(staging).listFiles()
@@ -40,11 +41,14 @@ class ForeignOpsPropertySpec extends SparkSuite {
     val config =
       if (cdf) """{"delta.enableChangeDataFeed":"true"}"""
       else if (rt) """{"delta.enableRowTracking":"true"}"""
+      else if (v2cp) """{"delta.checkpointPolicy":"v2"}"""
       else "{}"
     val protocol =
       if (cdf) """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
       else if (rt) """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
         """"writerFeatures":["rowTracking","domainMetadata"]}}"""
+      else if (v2cp) """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
       else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     val meta = s"""{"metaData":{"id":"fprop","format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${mapper.writeValueAsString(df.schema.json)},""" +
@@ -69,13 +73,13 @@ class ForeignOpsPropertySpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   private def runMix(seed: Int, ops: Int, cdf: Boolean = false,
-      rt: Boolean = false): Unit = {
+      rt: Boolean = false, v2cp: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val path = tmpDir(s"fprop$seed")
     var model: Model = (0L until 30L).map(i => i -> rnd.nextLong(20)).toMap
     var nextId = 30L
     val initial = model
-    foreignTable(path, model.toSeq.toDF("id", "k"), cdf, rt)
+    foreignTable(path, model.toSeq.toDF("id", "k"), cdf, rt, v2cp)
     val t = new ForeignDeltaTable(spark, path)
     val history = scala.collection.mutable.ArrayBuffer(0L -> model)
 
@@ -181,5 +185,12 @@ class ForeignOpsPropertySpec extends SparkSuite {
   test("row-tracked table: same op mix, id ranges stay disjoint under the mark") {
     runMix(seed = 41, ops = 18, rt = true)
     runMix(seed = 73, ops = 18, rt = true)
+  }
+
+  test("checkpointPolicy v2 table: same op mix through v2 checkpoints") {
+    // 18+ versions cross the checkpoint cadence at least once, so the
+    // time-travel and final-state assertions resolve THROUGH a v2
+    // manifest + sidecar (early versions replay the JSON tail)
+    runMix(seed = 19, ops = 18, v2cp = true)
   }
 }
