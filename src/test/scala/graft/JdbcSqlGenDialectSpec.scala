@@ -174,6 +174,37 @@ class JdbcSqlGenDialectSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(handled == Set("FirstName", "LastName", "xmin"))
   }
 
+  test("tsql: canonical user-table shape — spaced pk + spaced rowversion, nvarchar(max), collated fk") {
+    // the reference's PRIMARY fixture class (tests/sqls/init_mssql.sql
+    // "user"…"user8", every scenario test 01–12 runs on it): spaced
+    // bracket pk [User - iD] bigint identity, varchar(100) FirstName,
+    // nvarchar(max) LastName, decimal(15,3) Age, companyid varchar(10)
+    // under an Icelandic collation (collation is a comparison property —
+    // it must NOT change the projection rendering), and the SPACED
+    // [time stamp] rowversion delta column
+    val cols = Seq(
+      ColInfo("User - iD", LongType, sourceType = Some("bigint")),
+      ColInfo("FirstName", StringType, sourceType = Some("varchar")),
+      ColInfo("LastName", StringType, sourceType = Some("nvarchar")),
+      ColInfo("Age", DecimalType(15, 3), sourceType = Some("decimal")),
+      ColInfo("companyid", StringType, sourceType = Some("varchar")),
+      ColInfo("time stamp", BinaryType, sourceType = Some("rowversion")))
+    val cfg = WriteConfig(dataTypeMap = WriteConfig.tsqlTypeMap, maxTextSize = Some(300))
+    val (sql, handled) = JdbcSqlGen.projectedSql(cols, cfg, tsqlUrl,
+      Left("dbo.[user]")).get
+    assert(sql ==
+      """SELECT "User - iD", """ +
+      """SUBSTRING(LTRIM(RTRIM("FirstName")), 1, 300) AS "FirstName", """ +
+      """SUBSTRING(LTRIM(RTRIM("LastName")), 1, 300) AS "LastName", """ +
+      """"Age", SUBSTRING(LTRIM(RTRIM("companyid")), 1, 300) AS "companyid", """ +
+      """CAST("time stamp" AS BIGINT) AS "time stamp" FROM dbo.[user]""")
+    // bigint pk and decimal(15,3) pass through; nvarchar(max) gets the
+    // same trim+cap as varchar (max-typed text is exactly what
+    // maxTextSize exists to bound); the spaced rowversion quotes inside
+    // its BIGINT cast
+    assert(handled == Set("FirstName", "LastName", "companyid", "time stamp"))
+  }
+
   test("tsql: temporal-table shape (ROW START) — datetimes pass through, varchars trim+cap") {
     // the reference's system-versioned fixture (tests/sqls/init_mssql.sql
     // company3: varchar pk + payload, datetime, GENERATED ALWAYS AS ROW
