@@ -2445,6 +2445,22 @@ object Catalog {
           ver AS _row_commit_version
         FROM ids WHERE c_custkey % 5 <> 0""")),
 
+    // MERGE on a FOREIGN _delta_log (one commit: matched keys DV'd in
+    // place, source landed as fresh files) — the same %89/%83 batch as
+    // store_dv_merge, so any external Delta reader of the upserted table
+    // must equal the plain SQL merge
+    Q("store_foreign_merge",
+      (s, d) => {
+        val dest = Scenarios.foreignMergeDest(s, d)
+        graft.store.DeltaTable.read(s, s"$dest/tbl")
+      },
+      Some("""SELECT c_custkey, c_name,
+          CASE WHEN c_custkey % 89 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 10000000 AS c_custkey, c_name, c_acctbal
+        FROM customer WHERE c_custkey % 83 = 0""")),
+
     // Deletion-vector-mode MERGE (merge-on-read upsert): matched rows DV'd
     // in place, source appended — the final snapshot must equal the plain
     // SQL merge of the same batch (updates %89 +100, inserts %83 shifted)

@@ -468,6 +468,31 @@ object Scenarios {
         allowProtocolUpgrade = true): Unit // v3: DV delete + cdc actions
     }
 
+  /** FOREIGN-table MERGE for the `store_foreign_merge` gate: a graft table
+    * on customer stripped to its pure `_delta_log`, then ONE
+    * [[graft.store.ForeignDeltaTable.merge]] commit (updates %89 get +100,
+    * inserts %83 under shifted keys — the same batch the graft-native
+    * `store_dv_merge` gate uses, so the two gates share an oracle shape):
+    * matched rows DV'd in place, source landed as fresh files. */
+  def foreignMergeDest(spark: SparkSession, dir: String): String =
+    run("foreignmerge", spark, dir) { dest =>
+      val cust = customer(spark, dir).select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val t = new graft.store.VersionedTable(spark, s"$dest/tbl")
+      t.append(cust) // v0, mirrored
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$dest/tbl/_graft_log"))
+      val src = cust.filter(col("c_custkey") % 89 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .unionByName(cust.filter(col("c_custkey") % 83 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L))
+      new graft.store.ForeignDeltaTable(spark, s"$dest/tbl")
+        .merge(src, Seq("c_custkey"), allowProtocolUpgrade = true): Unit // v1
+    }
+
   /** Row-tracked FOREIGN table for the `store_row_ids` gate: a hand-built
     * rt-ACTIVE empty v0 (protocol (1,7), rowTracking + domainMetadata, no
     * files), then two deterministic single-file appends through

@@ -174,29 +174,10 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       refuse("protocol does not list the deletionVectors feature — pass " +
         "allowProtocolUpgrade=true to upgrade it (may lock out older readers)")
 
-    // matching rows → (file URI path, sorted row indexes); encode the
-    // bitmaps ON EXECUTORS, driver collects only compressed bytes
-    import spark.implicits._
     val root = new HPath(path)
     val addByAbs: Map[String, DeltaTable.Add] = s.adds.map(a =>
       DeltaTable.resolvePath(root, a.rawPath).toUri.getPath -> a).toMap
-    val existing: Map[String, Array[Long]] = s.adds.flatMap { a =>
-      a.dv.map(d => DeltaTable.resolvePath(root, a.rawPath).toUri.getPath ->
-        DeletionVectors.load(fsu.fs, root, d))
-    }.toMap
-    val bc = spark.sparkContext.broadcast(existing)
-    val perFile: Array[(String, Array[Byte], Long)] =
-      DeltaTable.readWithFilePos(spark, path).filter(cond)
-        .select(col(DeltaTable.FilePathCol), col(DeltaTable.RowIndexCol))
-        .groupBy(col(DeltaTable.FilePathCol))
-        .agg(sort_array(collect_list(col(DeltaTable.RowIndexCol))).as("idxs"))
-        .as[(String, Seq[Long])]
-        .map { case (uri, idxs) =>
-          val abs = new java.net.URI(uri).getPath
-          val all = DeletionVectors.union(
-            bc.value.getOrElse(abs, Array.emptyLongArray), idxs.toArray)
-          (abs, DeletionVectors.encode(all), all.length.toLong)
-        }.collect().sortBy(_._1)
+    val perFile = dvPerFile(s, _.filter(cond))
     if (perFile.isEmpty) return s.version
 
     // CDF tables: a commit that modifies existing data must carry cdc
@@ -235,95 +216,9 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     cin.putObject("operationParameters")
     cin.put("engineInfo", "graft-foreign-delta-writer")
     lines += mapper.writeValueAsString(ci)
-    if (!hasDv) {
-      // (3,7) with the legacy protocol's implied writer features listed,
-      // so the feature set stays complete after the upgrade
-      val implied = s.minWriterVersion match {
-        case v if v >= 7 => s.writerFeatures
-        case v =>
-          (if (v >= 2) Seq("appendOnly", "invariants") else Nil) ++
-            (if (v >= 3) Seq("checkConstraints") else Nil) ++
-            (if (v >= 4) Seq("changeDataFeed", "generatedColumns") else Nil) ++
-            (if (v >= 5) Seq("columnMapping") else Nil) ++
-            (if (v >= 6) Seq("identityColumns") else Nil)
-      }
-      val pr = obj()
-      val prn = pr.putObject("protocol")
-      prn.put("minReaderVersion", 3)
-      prn.put("minWriterVersion", 7)
-      val rf = prn.putArray("readerFeatures")
-      // legacy reader version 2 IS column mapping — the upgraded feature
-      // list must keep licensing the table's active columnMapping.mode
-      val impliedReader =
-        if (s.minReaderVersion >= 3) s.readerFeatures
-        else if (s.minReaderVersion >= 2) Seq("columnMapping")
-        else Nil
-      ((impliedReader :+ "deletionVectors").distinct).foreach(rf.add)
-      val wf = prn.putArray("writerFeatures")
-      (implied :+ "deletionVectors").distinct.foreach(wf.add)
-      lines += mapper.writeValueAsString(pr)
-    }
-    perFile.zip(offs).foreach { case ((abs, _, card), (off, size)) =>
-      val add = addByAbs.getOrElse(abs, throw new IllegalStateException(
-        s"scanned file $abs not in the snapshot's add set"))
-      val rm = obj()
-      val rmn = rm.putObject("remove")
-      rmn.put("path", add.rawPath)
-      rmn.put("deletionTimestamp", now)
-      rmn.put("dataChange", true)
-      lines += mapper.writeValueAsString(rm)
-      val ad = obj()
-      val adn = ad.putObject("add")
-      adn.put("path", add.rawPath)
-      val pvn = adn.putObject("partitionValues")
-      add.partitionValues.foreach {
-        case (k, Some(v)) => pvn.put(k, v): Unit
-        case (k, None) => pvn.putNull(k): Unit
-      }
-      adn.put("size", add.size)
-      adn.put("modificationTime", add.mtime)
-      adn.put("dataChange", true)
-      // a file gaining a DV must mark its carried stats WIDE (protocol DV
-      // writer requirement): numRecords stays physical, but min/max may
-      // now cover deleted rows only — tightBounds=false stops metadata-only
-      // MIN/MAX answers from reading deleted values
-      add.statsJson.foreach { sj =>
-        val wide = mapper.readTree(sj) match {
-          case o: com.fasterxml.jackson.databind.node.ObjectNode =>
-            o.put("tightBounds", false); o
-          case other => other
-        }
-        adn.put("stats", mapper.writeValueAsString(wide)): Unit
-      }
-      // row tracking: the re-added file keeps its identity — both
-      // row-tracking fields carry verbatim or existing row ids would shift
-      add.baseRowId.foreach(b => adn.put("baseRowId", b): Unit)
-      add.defaultRowCommitVersion.foreach(d =>
-        adn.put("defaultRowCommitVersion", d): Unit)
-      val dvn = adn.putObject("deletionVector")
-      dvn.put("storageType", "u")
-      dvn.put("pathOrInlineDv", uuidRef)
-      dvn.put("offset", off)
-      dvn.put("sizeInBytes", size)
-      dvn.put("cardinality", card)
-      lines += mapper.writeValueAsString(ad)
-    }
-    cdcW.foreach { w =>
-      w.parts.foreach { case (rel, size, _) =>
-        val c = obj()
-        val cn = c.putObject("cdc")
-        cn.put("path",
-          new java.net.URI(null, null, s"${w.dirName}/$rel", null).toASCIIString)
-        val pvn = cn.putObject("partitionValues")
-        w.partValues(rel).foreach {
-          case (k, Some(pv)) => pvn.put(k, pv): Unit
-          case (k, None) => pvn.putNull(k): Unit
-        }
-        cn.put("size", size)
-        cn.put("dataChange", false)
-        lines += mapper.writeValueAsString(c)
-      }
-    }
+    if (!hasDv) lines += protocolUpgradeLine(s)
+    lines ++= dvReAddLines(perFile, offs, addByAbs, uuidRef, now)
+    cdcW.foreach(lines ++= cdcLines(_))
     val v = s.version + 1
     try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
     catch {
@@ -334,6 +229,275 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         throw new java.util.ConcurrentModificationException(
           s"lost the commit race on Delta table $path at version $v — " +
             "re-run the delete against the fresh snapshot")
+    }
+    if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
+    v
+  }
+
+  /** The (3,7) protocol-upgrade action adding `deletionVectors`, with the
+    * legacy protocol's implied reader/writer features listed so the
+    * feature set stays complete after the upgrade (legacy reader version 2
+    * IS column mapping — the upgraded list must keep licensing the table's
+    * active columnMapping.mode). */
+  private def protocolUpgradeLine(s: DeltaTable.Snapshot): String = {
+    val implied = s.minWriterVersion match {
+      case v if v >= 7 => s.writerFeatures
+      case v =>
+        (if (v >= 2) Seq("appendOnly", "invariants") else Nil) ++
+          (if (v >= 3) Seq("checkConstraints") else Nil) ++
+          (if (v >= 4) Seq("changeDataFeed", "generatedColumns") else Nil) ++
+          (if (v >= 5) Seq("columnMapping") else Nil) ++
+          (if (v >= 6) Seq("identityColumns") else Nil)
+    }
+    val pr = mapper.createObjectNode()
+    val prn = pr.putObject("protocol")
+    prn.put("minReaderVersion", 3)
+    prn.put("minWriterVersion", 7)
+    val rf = prn.putArray("readerFeatures")
+    val impliedReader =
+      if (s.minReaderVersion >= 3) s.readerFeatures
+      else if (s.minReaderVersion >= 2) Seq("columnMapping")
+      else Nil
+    ((impliedReader :+ "deletionVectors").distinct).foreach(rf.add)
+    val wf = prn.putArray("writerFeatures")
+    (implied :+ "deletionVectors").distinct.foreach(wf.add)
+    mapper.writeValueAsString(pr)
+  }
+
+  /** remove + re-add action pairs for files gaining a deletion vector:
+    * partition values/stats carry verbatim (stats marked WIDE —
+    * tightBounds=false stops metadata-only MIN/MAX answers from reading
+    * deleted values; numRecords stays physical), row-tracking fields carry
+    * verbatim (or existing row ids would shift), and the new descriptor
+    * points into the commit's shared "u"-storage container. */
+  private def dvReAddLines(
+      perFile: Array[(String, Array[Byte], Long)],
+      offs: Seq[(Int, Int)],
+      addByAbs: Map[String, DeltaTable.Add],
+      uuidRef: String, now: Long): Seq[String] =
+    perFile.zip(offs).toSeq.flatMap { case ((abs, _, card), (off, size)) =>
+      val add = addByAbs.getOrElse(abs, throw new IllegalStateException(
+        s"scanned file $abs not in the snapshot's add set"))
+      val rm = mapper.createObjectNode()
+      val rmn = rm.putObject("remove")
+      rmn.put("path", add.rawPath)
+      rmn.put("deletionTimestamp", now)
+      rmn.put("dataChange", true)
+      val ad = mapper.createObjectNode()
+      val adn = ad.putObject("add")
+      adn.put("path", add.rawPath)
+      val pvn = adn.putObject("partitionValues")
+      add.partitionValues.foreach {
+        case (k, Some(v)) => pvn.put(k, v): Unit
+        case (k, None) => pvn.putNull(k): Unit
+      }
+      adn.put("size", add.size)
+      adn.put("modificationTime", add.mtime)
+      adn.put("dataChange", true)
+      add.statsJson.foreach { sj =>
+        val wide = mapper.readTree(sj) match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+            o.put("tightBounds", false); o
+          case other => other
+        }
+        adn.put("stats", mapper.writeValueAsString(wide)): Unit
+      }
+      add.baseRowId.foreach(b => adn.put("baseRowId", b): Unit)
+      add.defaultRowCommitVersion.foreach(d =>
+        adn.put("defaultRowCommitVersion", d): Unit)
+      val dvn = adn.putObject("deletionVector")
+      dvn.put("storageType", "u")
+      dvn.put("pathOrInlineDv", uuidRef)
+      dvn.put("offset", off)
+      dvn.put("sizeInBytes", size)
+      dvn.put("cardinality", card)
+      Seq(mapper.writeValueAsString(rm), mapper.writeValueAsString(ad))
+    }
+
+  /** cdc actions pointing at the commit's materialized `_change_data/`
+    * files (dataChange=false — change files are metadata to the snapshot). */
+  private def cdcLines(w: Written): Seq[String] =
+    w.parts.map { case (rel, size, _) =>
+      val c = mapper.createObjectNode()
+      val cn = c.putObject("cdc")
+      cn.put("path",
+        new java.net.URI(null, null, s"${w.dirName}/$rel", null).toASCIIString)
+      val pvn = cn.putObject("partitionValues")
+      w.partValues(rel).foreach {
+        case (k, Some(pv)) => pvn.put(k, pv): Unit
+        case (k, None) => pvn.putNull(k): Unit
+      }
+      cn.put("size", size)
+      cn.put("dataChange", false)
+      mapper.writeValueAsString(c)
+    }
+
+  /** Rows selected by `matcher` (over the DV-filtered live scan with file
+    * provenance) → per-file `(URI path, encoded bitmap, cardinality)`,
+    * existing DVs unioned in. Bitmaps encode ON EXECUTORS; the driver
+    * collects only compressed bytes — one tuple per AFFECTED file. */
+  private def dvPerFile(
+      s: DeltaTable.Snapshot,
+      matcher: DataFrame => DataFrame): Array[(String, Array[Byte], Long)] = {
+    import spark.implicits._
+    val root = new HPath(path)
+    val existing: Map[String, Array[Long]] = s.adds.flatMap { a =>
+      a.dv.map(d => DeltaTable.resolvePath(root, a.rawPath).toUri.getPath ->
+        DeletionVectors.load(fsu.fs, root, d))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(existing)
+    matcher(DeltaTable.readWithFilePos(spark, path))
+      .select(col(DeltaTable.FilePathCol), col(DeltaTable.RowIndexCol))
+      .groupBy(col(DeltaTable.FilePathCol))
+      .agg(sort_array(collect_list(col(DeltaTable.RowIndexCol))).as("idxs"))
+      .as[(String, Seq[Long])]
+      .map { case (uri, idxs) =>
+        val abs = new java.net.URI(uri).getPath
+        val all = DeletionVectors.union(
+          bc.value.getOrElse(abs, Array.emptyLongArray), idxs.toArray)
+        (abs, DeletionVectors.encode(all), all.length.toLong)
+      }.collect().sortBy(_._1)
+  }
+
+  /** MERGE upsert on the FOREIGN table, merge-on-read (the delta-spark
+    * DV-merge shape, mirroring [[VersionedTable.merge]]'s DV mode): every
+    * target row whose `keys` tuple appears in `src` is DV'd in place, and
+    * ALL source rows land as fresh files — whole-key replace for matched
+    * keys, insert for new ones — in ONE commit, so no reader ever sees the
+    * deleted-but-not-yet-upserted intermediate state. Source rows align to
+    * the target schema (MERGE does not drift schemas; delta-spark requires
+    * explicit schema evolution there too). CDF tables get exact cdc
+    * actions: matched keys as `update_preimage`/`update_postimage` pairs,
+    * unmatched as `insert`. Row-tracked tables: DV re-adds carry their ids
+    * verbatim, fresh files take ranges above the high-water mark.
+    *
+    * 100 TB: the matched-row probe is a semi join of the live scan against
+    * the source's DISTINCT key tuples (AQE broadcasts a small source side
+    * at runtime); per affected file only a compressed bitmap reaches the
+    * driver. Concurrency: single optimistic attempt, like [[deleteWhere]].
+    * Returns the committed version (current version when src is empty). */
+  def merge(
+      src: DataFrame, keys: Seq[String],
+      allowProtocolUpgrade: Boolean = false): Long = {
+    val s = snap
+    validateWritable(s, forOverwrite = false)
+    if (s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+      refuse("delta.appendOnly table — MERGE refused")
+    require(keys.nonEmpty, "merge needs at least one key column")
+    keys.foreach { k =>
+      require(s.schema.fields.exists(_.name.equalsIgnoreCase(k)),
+        s"merge key $k not in the table schema")
+    }
+    val cdfEnabled = s.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+    val hasDv = s.readerFeatures.contains("deletionVectors") &&
+      s.writerFeatures.contains("deletionVectors")
+    if (!hasDv && !allowProtocolUpgrade)
+      refuse("protocol does not list the deletionVectors feature — pass " +
+        "allowProtocolUpgrade=true to upgrade it (may lock out older readers)")
+    val root = new HPath(path)
+    val aligned = align(src, s.schema).localCheckpoint(true)
+    if (aligned.isEmpty) return s.version
+    val keyCols = keys.map(k => s.schema.fields
+      .find(_.name.equalsIgnoreCase(k)).get.name)
+    val srcKeys = aligned.select(keyCols.map(col): _*).distinct()
+
+    // matched target rows → per-file DVs (may be empty: pure-insert merge)
+    val perFile = dvPerFile(s, _.join(srcKeys, keyCols, "left_semi"))
+    val addByAbs: Map[String, DeltaTable.Add] = s.adds.map(a =>
+      DeltaTable.resolvePath(root, a.rawPath).toUri.getPath -> a).toMap
+
+    // all source rows land as fresh files
+    val phys = new PhysPlan(s, s.schema)
+    val w = writeFiles(phys.toPhysical(aligned), phys.writeSchema,
+      phys.physPartCols, phys.fieldIdWrite)
+
+    // CDF: matched keys are updates (pre image from the live scan, post
+    // from the source), unmatched are inserts — the exact cdc shape
+    // delta-spark's MERGE emits
+    val cdcW: Option[Written] =
+      if (!cdfEnabled) None
+      else {
+        val ct = VersionedTable.ChangeTypeCol
+        val target = DeltaTable.read(spark, path)
+        val targetKeys = target.select(keyCols.map(col): _*).distinct()
+        // stamp the change type AFTER the physical projection (per leg) —
+        // a per-row ct column would not survive toPhysical's column-mapped
+        // select
+        def leg(df: DataFrame, kind: String): DataFrame =
+          phys.toPhysical(align(df, s.schema)).withColumn(ct, lit(kind))
+        val changes =
+          leg(target.join(srcKeys, keyCols, "left_semi"), "update_preimage")
+            .unionByName(
+              leg(aligned.join(targetKeys, keyCols, "left_semi"), "update_postimage"))
+            .unionByName(
+              leg(aligned.join(targetKeys, keyCols, "left_anti"), "insert"))
+        val cdcSchema = StructType(phys.writeSchema.fields :+
+          StructField(ct, StringType))
+        Some(writeFiles(changes, cdcSchema, phys.physPartCols,
+          phys.fieldIdWrite, baseDir = "_change_data", withStats = false))
+      }
+
+    // ---- ONE commit: DV re-adds + fresh adds (+ protocol upgrade + cdc)
+    val (uuidRef, binName) = DeletionVectors.newUuidRef()
+    val offs =
+      if (perFile.isEmpty) Seq.empty
+      else DeletionVectors.writeBin(
+        fsu.fs, new HPath(root, binName), perFile.map(_._2).toSeq)
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    def obj() = mapper.createObjectNode()
+    val ci = obj()
+    val cin = ci.putObject("commitInfo")
+    cin.put("timestamp", now)
+    ictFor(s, now).foreach(v => cin.put("inCommitTimestamp", v): Unit)
+    cin.put("operation", "MERGE")
+    cin.putObject("operationParameters")
+    cin.put("engineInfo", "graft-foreign-delta-writer")
+    lines += mapper.writeValueAsString(ci)
+    if (!hasDv) lines += protocolUpgradeLine(s)
+    lines ++= dvReAddLines(perFile, offs, addByAbs, uuidRef, now)
+    val v = s.version + 1
+    val rowTracking = s.writerFeatures.contains("rowTracking")
+    var hwm = rowIdHighWaterMark(s)
+    w.parts.foreach { case (rel, size, mtime) =>
+      val ad = obj()
+      val adn = ad.putObject("add")
+      adn.put("path",
+        new java.net.URI(null, null, s"${w.dirName}/$rel", null).toASCIIString)
+      val pvn = adn.putObject("partitionValues")
+      w.partValues(rel).foreach {
+        case (k, Some(pv)) => pvn.put(k, pv): Unit
+        case (k, None) => pvn.putNull(k): Unit
+      }
+      adn.put("size", size)
+      adn.put("modificationTime", mtime)
+      adn.put("dataChange", true)
+      w.statsByFile.get(rel).foreach(adn.put("stats", _))
+      if (rowTracking) {
+        val n = w.statsByFile.get(rel)
+          .flatMap(sj => Option(mapper.readTree(sj).get("numRecords"))
+            .map(_.asLong()))
+          .getOrElse(refuse(
+            s"row tracking needs a numRecords stat for $rel to assign ids"))
+        adn.put("baseRowId", hwm + 1)
+        adn.put("defaultRowCommitVersion", v)
+        hwm += n
+      }
+      lines += mapper.writeValueAsString(ad)
+    }
+    if (rowTracking && w.parts.nonEmpty) lines += rowTrackingDomainLine(hwm)
+    cdcW.foreach(lines ++= cdcLines(_))
+    try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        if (perFile.nonEmpty) fsu.deleteIfExists(new HPath(root, binName))
+        fsu.fs.delete(new HPath(root, w.dirName), true)
+        cdcW.foreach(cw => fsu.fs.delete(new HPath(root, cw.dirName), true))
+        throw new java.util.ConcurrentModificationException(
+          s"lost the commit race on Delta table $path at version $v — " +
+            "re-run the merge against the fresh snapshot")
     }
     if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
     v

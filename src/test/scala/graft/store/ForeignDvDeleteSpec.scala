@@ -264,4 +264,46 @@ class ForeignDvDeleteSpec extends SparkSuite {
     assert(got.count() == 50 + 9)
     assert(got.filter(col("k") === 0).count() == 0)
   }
+
+  test("MERGE: one commit DVs matched keys and lands the source; CDF gets update pairs") {
+    val root = tmpDir("fdv-merge")
+    foreignTable(root, (0L until 40L).map(i => (i, s"r$i")).toDF("id", "s"),
+      config = """{"delta.enableChangeDataFeed":"true"}""",
+      protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""")
+    val t = new ForeignDeltaTable(spark, root)
+    val before = parquetFiles(root)
+    // update ids %8 (new payload), insert 100/101
+    val src = ((0L until 40L by 8L).map(i => (i, s"u$i")) ++
+      Seq((100L, "n100"), (101L, "n101"))).toDF("id", "s")
+    val v = t.merge(src, Seq("id"), allowProtocolUpgrade = true)
+    assert(v == 1L, "merge must be ONE commit")
+    // final state: whole-key replace + inserts, merge-on-read (original
+    // data files untouched on disk)
+    val got = DeltaTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (0L until 40L).map(i =>
+      i -> (if (i % 8 == 0) s"u$i" else s"r$i")).toMap ++
+      Map(100L -> "n100", 101L -> "n101")
+    assert(got == want)
+    assert(before.subsetOf(parquetFiles(root)), "merge-on-read must not rewrite")
+    assert(dvBins(root).size == 1)
+    // cdc actions carry exact update pre/post pairs + inserts
+    val ch = graft.store.DeltaTable.readChanges(spark, root, 1L, 1L)
+      .select(col("id"), col("s"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val wantCh =
+      (0L until 40L by 8L).flatMap(i => Seq(
+        (i, s"r$i", "update_preimage"), (i, s"u$i", "update_postimage"))).toSet ++
+        Set((100L, "n100", "insert"), (101L, "n101", "insert"))
+    assert(ch == wantCh)
+    // a second merge with NO matches is a pure insert (no new DV bin)
+    val v2 = t.merge(Seq((200L, "n200")).toDF("id", "s"), Seq("id"))
+    assert(v2 == 2L)
+    assert(dvBins(root).size == 1)
+    assert(DeltaTable.read(spark, root).count() == 43)
+    // empty source: no commit
+    assert(t.merge(spark.emptyDataFrame
+      .withColumn("id", lit(0L)).withColumn("s", lit("x")).limit(0)
+      .select(col("id"), col("s")), Seq("id")) == 2L)
+  }
 }

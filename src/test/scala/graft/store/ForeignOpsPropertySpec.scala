@@ -84,7 +84,7 @@ class ForeignOpsPropertySpec extends SparkSuite {
     val history = scala.collection.mutable.ArrayBuffer(0L -> model)
 
     (1 to ops).foreach { i =>
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 | 1 => // append fresh ids
           val n = 1 + rnd.nextInt(15)
           val rows = (nextId until nextId + n).map(id => id -> rnd.nextLong(20))
@@ -104,6 +104,18 @@ class ForeignOpsPropertySpec extends SparkSuite {
             id -> (if (rnd.nextBoolean()) k else rnd.nextLong(20)) }
           t.overwrite(rows.toDF("id", "k"))
           model = rows.toMap
+        case 5 => // MERGE: update a random live slice + insert fresh ids
+          val updates = model.toSeq.filter(_ => rnd.nextInt(4) == 0)
+            .map { case (id, _) => id -> rnd.nextLong(20) }
+          val n = rnd.nextInt(5)
+          val inserts = (nextId until nextId + n).map(id => id -> rnd.nextLong(20))
+          nextId += n
+          val srcRows = updates ++ inserts
+          if (srcRows.nonEmpty) {
+            t.merge(srcRows.toDF("id", "k"), Seq("id"),
+              allowProtocolUpgrade = true)
+            model = model ++ srcRows
+          }
       }
       val got = snapshot(path)
       assert(got == model, s"seed=$seed op=$i diverged: " +
@@ -131,11 +143,14 @@ class ForeignOpsPropertySpec extends SparkSuite {
         .groupBy(_._1).toSeq.sortBy(_._1)
       var folded = initial
       byVersion.foreach { case (_, rows) =>
-        // within a version: deletes first, then inserts (the overwrite
-        // derivation re-inserts surviving ids)
+        // within a version: deletes/preimages first, then inserts and
+        // postimages (the overwrite derivation re-inserts surviving ids;
+        // a merge's postimage replaces its preimage's key)
         rows.filter(_._2 == "delete").foreach { case (_, _, id, _) => folded -= id }
-        rows.filter(_._2 == "insert").foreach { case (_, _, id, k) => folded += id -> k }
-        assert(rows.forall(r => r._2 == "delete" || r._2 == "insert"),
+        rows.filter(r => r._2 == "insert" || r._2 == "update_postimage")
+          .foreach { case (_, _, id, k) => folded += id -> k }
+        val legal = Set("delete", "insert", "update_preimage", "update_postimage")
+        assert(rows.forall(r => legal(r._2)),
           s"unexpected change type in ${rows.map(_._2).distinct}")
       }
       assert(folded == model,
