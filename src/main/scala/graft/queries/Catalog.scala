@@ -2461,6 +2461,16 @@ object Catalog {
         SELECT c_custkey + 10000000 AS c_custkey, c_name, c_acctbal
         FROM customer WHERE c_custkey % 83 = 0""")),
 
+    // RESTORE on a FOREIGN _delta_log: a DV delete + a DV update layered
+    // on customer, then restore(0) — the external read must be EXACTLY
+    // the original table (both mutations roll back as one forward commit)
+    Q("store_foreign_restore",
+      (s, d) => {
+        val dest = Scenarios.foreignRestoreDest(s, d)
+        graft.store.DeltaTable.read(s, s"$dest/tbl")
+      },
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
+
     // Deletion-vector-mode MERGE (merge-on-read upsert): matched rows DV'd
     // in place, source appended — the final snapshot must equal the plain
     // SQL merge of the same batch (updates %89 +100, inserts %83 shifted)

@@ -493,6 +493,29 @@ object Scenarios {
         .merge(src, Seq("c_custkey"), allowProtocolUpgrade = true): Unit // v1
     }
 
+  /** FOREIGN-table RESTORE for the `store_foreign_restore` gate: customer
+    * stripped to a pure `_delta_log`, a DV deleteWhere (%3) and an
+    * updateWhere (%7 gets +1000) layered on, then `restore(0)` — the
+    * external read must be EXACTLY the original customer again (the DV and
+    * the update both roll back as one forward commit). */
+  def foreignRestoreDest(spark: SparkSession, dir: String): String =
+    run("foreignrestore", spark, dir) { dest =>
+      val cust = customer(spark, dir).select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val t = new graft.store.VersionedTable(spark, s"$dest/tbl")
+      t.append(cust) // v0
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$dest/tbl/_graft_log"))
+      val f = new graft.store.ForeignDeltaTable(spark, s"$dest/tbl")
+      f.deleteWhere(col("c_custkey") % 3 === 0, allowProtocolUpgrade = true) // v1
+      f.updateWhere(col("c_custkey") % 7 === 0,
+        Map("c_acctbal" -> (col("c_acctbal") + 1000))) // v2
+      f.restore(0): Unit // v3: both mutations roll back
+    }
+
   /** Row-tracked FOREIGN table for the `store_row_ids` gate: a hand-built
     * rt-ACTIVE empty v0 (protocol (1,7), rowTracking + domainMetadata, no
     * files), then two deterministic single-file appends through

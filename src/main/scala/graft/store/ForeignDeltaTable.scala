@@ -438,7 +438,23 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           phys.fieldIdWrite, baseDir = "_change_data", withStats = false))
       }
 
-    // ---- ONE commit: DV re-adds + fresh adds (+ protocol upgrade + cdc)
+    mutationCommit(s, hasDv, perFile, addByAbs, Some(w), cdcW, "MERGE")
+  }
+
+  /** The shared one-commit assembly for DV mutations (MERGE/UPDATE):
+    * commitInfo (+ ICT), optional (3,7) protocol upgrade, DV remove/re-add
+    * pairs over the shared "u" container, fresh adds with row-tracking id
+    * assignment above the high-water mark, cdc actions. Single optimistic
+    * attempt — a lost version race cleans up the staged container/data/
+    * change files and aborts (row-level conflict detection against an
+    * unknown concurrent commit is not decidable from the version alone). */
+  private def mutationCommit(
+      s: DeltaTable.Snapshot, hasDv: Boolean,
+      perFile: Array[(String, Array[Byte], Long)],
+      addByAbs: Map[String, DeltaTable.Add],
+      newW: Option[Written], cdcW: Option[Written],
+      opName: String): Long = {
+    val root = new HPath(path)
     val (uuidRef, binName) = DeletionVectors.newUuidRef()
     val offs =
       if (perFile.isEmpty) Seq.empty
@@ -451,7 +467,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val cin = ci.putObject("commitInfo")
     cin.put("timestamp", now)
     ictFor(s, now).foreach(v => cin.put("inCommitTimestamp", v): Unit)
-    cin.put("operation", "MERGE")
+    cin.put("operation", opName)
     cin.putObject("operationParameters")
     cin.put("engineInfo", "graft-foreign-delta-writer")
     lines += mapper.writeValueAsString(ci)
@@ -460,44 +476,224 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val v = s.version + 1
     val rowTracking = s.writerFeatures.contains("rowTracking")
     var hwm = rowIdHighWaterMark(s)
-    w.parts.foreach { case (rel, size, mtime) =>
-      val ad = obj()
-      val adn = ad.putObject("add")
-      adn.put("path",
-        new java.net.URI(null, null, s"${w.dirName}/$rel", null).toASCIIString)
-      val pvn = adn.putObject("partitionValues")
-      w.partValues(rel).foreach {
-        case (k, Some(pv)) => pvn.put(k, pv): Unit
-        case (k, None) => pvn.putNull(k): Unit
+    newW.foreach { w =>
+      w.parts.foreach { case (rel, size, mtime) =>
+        val ad = obj()
+        val adn = ad.putObject("add")
+        adn.put("path",
+          new java.net.URI(null, null, s"${w.dirName}/$rel", null).toASCIIString)
+        val pvn = adn.putObject("partitionValues")
+        w.partValues(rel).foreach {
+          case (k, Some(pv)) => pvn.put(k, pv): Unit
+          case (k, None) => pvn.putNull(k): Unit
+        }
+        adn.put("size", size)
+        adn.put("modificationTime", mtime)
+        adn.put("dataChange", true)
+        w.statsByFile.get(rel).foreach(adn.put("stats", _))
+        if (rowTracking) {
+          val n = w.statsByFile.get(rel)
+            .flatMap(sj => Option(mapper.readTree(sj).get("numRecords"))
+              .map(_.asLong()))
+            .getOrElse(refuse(
+              s"row tracking needs a numRecords stat for $rel to assign ids"))
+          adn.put("baseRowId", hwm + 1)
+          adn.put("defaultRowCommitVersion", v)
+          hwm += n
+        }
+        lines += mapper.writeValueAsString(ad)
       }
-      adn.put("size", size)
-      adn.put("modificationTime", mtime)
-      adn.put("dataChange", true)
-      w.statsByFile.get(rel).foreach(adn.put("stats", _))
-      if (rowTracking) {
-        val n = w.statsByFile.get(rel)
-          .flatMap(sj => Option(mapper.readTree(sj).get("numRecords"))
-            .map(_.asLong()))
-          .getOrElse(refuse(
-            s"row tracking needs a numRecords stat for $rel to assign ids"))
-        adn.put("baseRowId", hwm + 1)
-        adn.put("defaultRowCommitVersion", v)
-        hwm += n
-      }
-      lines += mapper.writeValueAsString(ad)
+      if (rowTracking && w.parts.nonEmpty) lines += rowTrackingDomainLine(hwm)
     }
-    if (rowTracking && w.parts.nonEmpty) lines += rowTrackingDomainLine(hwm)
     cdcW.foreach(lines ++= cdcLines(_))
     try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: java.nio.file.FileAlreadyExistsException =>
         if (perFile.nonEmpty) fsu.deleteIfExists(new HPath(root, binName))
-        fsu.fs.delete(new HPath(root, w.dirName), true)
+        newW.foreach(w => fsu.fs.delete(new HPath(root, w.dirName), true))
         cdcW.foreach(cw => fsu.fs.delete(new HPath(root, cw.dirName), true))
         throw new java.util.ConcurrentModificationException(
           s"lost the commit race on Delta table $path at version $v — " +
-            "re-run the merge against the fresh snapshot")
+            s"re-run the ${opName.toLowerCase} against the fresh snapshot")
+    }
+    if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
+    v
+  }
+
+  /** UPDATE ... SET on the FOREIGN table, merge-on-read: rows matching
+    * `cond` are DV'd in their files and re-land with `set`'s expressions
+    * applied — one commit, no parquet rewrite (the delta-spark DV-update
+    * shape). `set` maps existing column names to expressions over the old
+    * row (e.g. `Map("price" -> col("price") * 1.1)`). CDF tables get exact
+    * `update_preimage`/`update_postimage` cdc pairs. Returns the committed
+    * version (current version when nothing matched). */
+  def updateWhere(
+      cond: Column, set: Map[String, Column],
+      allowProtocolUpgrade: Boolean = false): Long = {
+    val s = snap
+    validateWritable(s, forOverwrite = false)
+    if (s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+      refuse("delta.appendOnly table — UPDATE refused")
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    set.keys.foreach { k =>
+      require(s.schema.fields.exists(_.name.equalsIgnoreCase(k)),
+        s"SET column $k not in the table schema")
+    }
+    if (s.partitionColumns.exists(pc => set.keys.exists(_.equalsIgnoreCase(pc))))
+      refuse("UPDATE of a partition column would move rows across " +
+        "partition directories — rewrite via merge instead")
+    val cdfEnabled = s.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+    val hasDv = s.readerFeatures.contains("deletionVectors") &&
+      s.writerFeatures.contains("deletionVectors")
+    if (!hasDv && !allowProtocolUpgrade)
+      refuse("protocol does not list the deletionVectors feature — pass " +
+        "allowProtocolUpgrade=true to upgrade it (may lock out older readers)")
+    val root = new HPath(path)
+    val perFile = dvPerFile(s, _.filter(cond))
+    if (perFile.isEmpty) return s.version
+    val addByAbs: Map[String, DeltaTable.Add] = s.adds.map(a =>
+      DeltaTable.resolvePath(root, a.rawPath).toUri.getPath -> a).toMap
+    val matched = DeltaTable.read(spark, path).filter(cond)
+    val updated = set.foldLeft(matched) { case (df, (k, expr)) =>
+      df.withColumn(s.schema.fields.find(_.name.equalsIgnoreCase(k)).get.name, expr)
+    }
+    val phys = new PhysPlan(s, s.schema)
+    val w = writeFiles(phys.toPhysical(align(updated, s.schema)),
+      phys.writeSchema, phys.physPartCols, phys.fieldIdWrite)
+    val cdcW: Option[Written] =
+      if (!cdfEnabled) None
+      else {
+        val ct = VersionedTable.ChangeTypeCol
+        def leg(df: DataFrame, kind: String): DataFrame =
+          phys.toPhysical(align(df, s.schema)).withColumn(ct, lit(kind))
+        val changes = leg(matched, "update_preimage")
+          .unionByName(leg(updated, "update_postimage"))
+        val cdcSchema = StructType(phys.writeSchema.fields :+
+          StructField(ct, StringType))
+        Some(writeFiles(changes, cdcSchema, phys.physPartCols,
+          phys.fieldIdWrite, baseDir = "_change_data", withStats = false))
+      }
+    mutationCommit(s, hasDv, perFile, addByAbs, Some(w), cdcW, "UPDATE")
+  }
+
+  /** RESTORE the FOREIGN table to an earlier version as a NEW commit (the
+    * delta-spark RESTORE shape — history only moves forward): files live
+    * in the target version but not now are re-ADDED with their
+    * then-current stats/DV descriptors/row-tracking fields verbatim, files
+    * live now but absent then are REMOVED, and files whose deletion vector
+    * CHANGED are removed + re-added with the old descriptor. Schema and
+    * configuration restore too (a metaData action) when they differ.
+    * Refuses when a file or DV container the target version needs was
+    * already VACUUMed — that state is unrecoverable and silence would
+    * resurrect a corrupt snapshot. CDF readers derive this commit's
+    * changes from its dataChange add/removes (delta-spark emits RESTORE
+    * the same derivable way). Returns the committed version (current
+    * version when nothing differs). */
+  def restore(version: Long): Long = {
+    val cur = snap
+    validateWritable(cur, forOverwrite = false)
+    if (cur.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+      refuse("delta.appendOnly table — RESTORE removes files")
+    require(version >= 0 && version <= cur.version,
+      s"restore target $version out of range [0, ${cur.version}]")
+    val old = DeltaTable.snapshot(spark, path, versionAsOf = Some(version))
+    val root = new HPath(path)
+    val curByPath = cur.adds.map(a => a.rawPath -> a).toMap
+    val oldByPath = old.adds.map(a => a.rawPath -> a).toMap
+    val removes = cur.adds.filterNot(a =>
+      oldByPath.get(a.rawPath).exists(_.dv == a.dv))
+    val readds = old.adds.filterNot(a =>
+      curByPath.get(a.rawPath).exists(_.dv == a.dv))
+    val sameMeta = old.schema.json == cur.schema.json &&
+      old.configuration == cur.configuration
+    if (removes.isEmpty && readds.isEmpty && sameMeta) return cur.version
+    // every re-added file (and its DV container) must still exist — a
+    // vacuumed target version is unrecoverable
+    readds.foreach { a =>
+      val p = DeltaTable.resolvePath(root, a.rawPath)
+      if (!fsu.exists(p)) refuse(
+        s"RESTORE to $version needs ${a.rawPath}, already vacuumed")
+      a.dv.foreach { d =>
+        val dvPath = d.storageType match {
+          case "u" => Some(DeletionVectors.uuidPath(root, d.pathOrInlineDv))
+          case "p" => Some(new HPath(new java.net.URI(d.pathOrInlineDv)))
+          case _ => None // "i": inline
+        }
+        dvPath.foreach(dp => if (!fsu.exists(dp)) refuse(
+          s"RESTORE to $version needs deletion vector ${d.pathOrInlineDv}, " +
+            "already vacuumed"))
+      }
+    }
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    def obj() = mapper.createObjectNode()
+    val ci = obj()
+    val cin = ci.putObject("commitInfo")
+    cin.put("timestamp", now)
+    ictFor(cur, now).foreach(v => cin.put("inCommitTimestamp", v): Unit)
+    cin.put("operation", "RESTORE")
+    cin.putObject("operationParameters").put("version", version)
+    cin.put("engineInfo", "graft-foreign-delta-writer")
+    lines += mapper.writeValueAsString(ci)
+    if (!sameMeta) {
+      val md = obj()
+      val mdn = md.putObject("metaData")
+      mdn.put("id", if (cur.tableId.nonEmpty) cur.tableId else UUID.randomUUID().toString)
+      val fmt = mdn.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      mdn.put("schemaString", old.schema.json)
+      val pcArr = mdn.putArray("partitionColumns")
+      old.partitionColumns.foreach(pcArr.add)
+      val cfg = mdn.putObject("configuration")
+      old.configuration.foreach { case (k, v) => cfg.put(k, v) }
+      mdn.put("createdTime", now)
+      lines += mapper.writeValueAsString(md)
+    }
+    removes.foreach { a =>
+      val rm = obj()
+      val rmn = rm.putObject("remove")
+      rmn.put("path", a.rawPath)
+      rmn.put("deletionTimestamp", now)
+      rmn.put("dataChange", true)
+      lines += mapper.writeValueAsString(rm)
+    }
+    readds.foreach { a =>
+      val ad = obj()
+      val adn = ad.putObject("add")
+      adn.put("path", a.rawPath)
+      val pvn = adn.putObject("partitionValues")
+      a.partitionValues.foreach {
+        case (k, Some(v)) => pvn.put(k, v): Unit
+        case (k, None) => pvn.putNull(k): Unit
+      }
+      adn.put("size", a.size)
+      adn.put("modificationTime", a.mtime)
+      adn.put("dataChange", true)
+      a.statsJson.foreach(adn.put("stats", _))
+      a.baseRowId.foreach(b => adn.put("baseRowId", b): Unit)
+      a.defaultRowCommitVersion.foreach(d =>
+        adn.put("defaultRowCommitVersion", d): Unit)
+      a.dv.foreach { d =>
+        val dvn = adn.putObject("deletionVector")
+        dvn.put("storageType", d.storageType)
+        dvn.put("pathOrInlineDv", d.pathOrInlineDv)
+        d.offset.foreach(o => dvn.put("offset", o): Unit)
+        dvn.put("sizeInBytes", d.sizeInBytes)
+        dvn.put("cardinality", d.cardinality)
+      }
+      lines += mapper.writeValueAsString(ad)
+    }
+    val v = cur.version + 1
+    try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"lost the commit race on Delta table $path at version $v — " +
+            "re-run the restore against the fresh snapshot")
     }
     if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
     v

@@ -594,4 +594,32 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     val cur2 = currentState().select("id").collect().map(_.getLong(0)).toSet
     assert(cur2 == Set(1L, 2L))
   }
+
+  test("RESTORE: rollback as a forward commit; DV states restore; vacuumed targets refuse") {
+    val root = tmpDir("fdw-restore")
+    foreignTable(root, (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s")) // v0
+    val t = new ForeignDeltaTable(spark, root)
+    t.append((10L until 15L).map(i => (i, s"r$i")).toDF("id", "s")) // v1
+    t.deleteWhere(col("id") % 3 === 0, allowProtocolUpgrade = true) // v2: DVs
+    def ids() = DeltaTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq
+    assert(ids() == (0L until 15L).filter(_ % 3 != 0))
+    // back to v1: the DV dissolves (files re-added with their v1 no-DV state)
+    assert(t.restore(1) == 3L)
+    assert(ids() == (0L until 15L))
+    // back to v0: the appended file drops
+    assert(t.restore(0) == 4L)
+    assert(ids() == (0L until 10L))
+    // restoring to the just-restored state: nothing differs, no commit
+    assert(t.restore(4) == 4L)
+    // time travel across the restores still replays every epoch
+    assert(DeltaTable.read(spark, root, versionAsOf = Some(2L))
+      .select("id").as[Long].collect().sorted.toSeq
+      == (0L until 15L).filter(_ % 3 != 0))
+    // a vacuumed target version refuses loudly: overwrite tombstones the
+    // original file, vacuum reclaims it, v0 is then unrecoverable
+    t.overwrite(Seq((99L, "z")).toDF("id", "s")) // v5
+    t.vacuum(retentionMs = Some(0L))
+    val e = intercept[UnsupportedOperationException](t.restore(0))
+    assert(e.getMessage.contains("vacuum"))
+  }
 }

@@ -306,4 +306,33 @@ class ForeignDvDeleteSpec extends SparkSuite {
       .withColumn("id", lit(0L)).withColumn("s", lit("x")).limit(0)
       .select(col("id"), col("s")), Seq("id")) == 2L)
   }
+
+  test("UPDATE WHERE: matched rows DV'd + re-landed with SET applied, one commit") {
+    val root = tmpDir("fdv-upd")
+    foreignTable(root, (0L until 30L).map(i => (i, s"r$i")).toDF("id", "s"),
+      config = """{"delta.enableChangeDataFeed":"true"}""",
+      protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""")
+    val t = new ForeignDeltaTable(spark, root)
+    val before = parquetFiles(root)
+    val v = t.updateWhere(col("id") % 5 === 0,
+      Map("s" -> concat(col("s"), lit("_upd"))), allowProtocolUpgrade = true)
+    assert(v == 1L, "update must be ONE commit")
+    val got = DeltaTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (0L until 30L).map(i =>
+      i -> (if (i % 5 == 0) s"r${i}_upd" else s"r$i")).toMap
+    assert(got == want)
+    assert(before.subsetOf(parquetFiles(root)), "merge-on-read must not rewrite")
+    // exact cdc update pairs
+    val ch = DeltaTable.readChanges(spark, root, 1L, 1L)
+      .select(col("id"), col("s"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ch == (0L until 30L by 5L).flatMap(i => Seq(
+      (i, s"r$i", "update_preimage"), (i, s"r${i}_upd", "update_postimage"))).toSet)
+    // no matches: no commit; unknown SET column refuses
+    assert(t.updateWhere(col("id") === 999L, Map("s" -> lit("x"))) == 1L)
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") === 1L, Map("nope" -> lit("x")))
+    }
+  }
 }
