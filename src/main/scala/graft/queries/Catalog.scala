@@ -2471,6 +2471,21 @@ object Catalog {
       },
       Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
 
+    // Declared column contracts on the foreign writer: CHECK constraint
+    // enforced in-plan (violating batch aborts untouched), generated
+    // column computed on append and RECOMPUTED by updateWhere, NOT NULL
+    // preserved — the final table must equal the plain-SQL projection
+    Q("store_foreign_policy",
+      (s, d) => {
+        val dest = Scenarios.foreignPolicyDest(s, d)
+        graft.store.DeltaTable.read(s, s"$dest/tbl")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000
+             |       ELSE c_acctbal END AS c_acctbal,
+             |  c_custkey % 5 AS c_mod
+             |FROM customer""".stripMargin)),
+
     // Deletion-vector-mode MERGE (merge-on-read upsert): matched rows DV'd
     // in place, source appended — the final snapshot must equal the plain
     // SQL merge of the same batch (updates %89 +100, inserts %83 shifted)

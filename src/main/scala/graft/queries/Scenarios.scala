@@ -516,6 +516,54 @@ object Scenarios {
       f.restore(0): Unit // v3: both mutations roll back
     }
 
+  /** FOREIGN table with DECLARED column contracts for the
+    * `store_foreign_policy` gate: a hand-built empty v0 whose schema
+    * carries a NOT NULL key, a generated column (`c_mod = c_custkey % 5`)
+    * and a CHECK constraint on `c_acctbal`. Customer is appended WITHOUT
+    * the generated column (the writer computes it in-plan), a violating
+    * append is refused in-flight (the table must stay untouched), then an
+    * updateWhere (%7 gets +1000) re-lands rows with the generated column
+    * recomputed. The external read must equal the plain-SQL projection of
+    * the same operations — proving enforcement/compute happened without
+    * corrupting anything. */
+  def foreignPolicyDest(spark: SparkSession, dir: String): String =
+    run("foreignpolicy", spark, dir) { dest =>
+      import org.apache.spark.sql.types._
+      val cust = customer(spark, dir).select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      val genMeta = new MetadataBuilder()
+        .putString("delta.generationExpression", "c_custkey % 5").build()
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType, nullable = false),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mod", LongType, nullable = true, genMeta)))
+      val tbl = s"$dest/tbl"
+      new java.io.File(s"$tbl/_delta_log").mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tbl, "_delta_log", "00000000000000000000.json"),
+        Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+            """"writerFeatures":["checkConstraints","generatedColumns","invariants"]}}""",
+          s"""{"metaData":{"id":"graft-policy","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":${mapper.writeValueAsString(schema.json)},""" +
+            s""""partitionColumns":[],"configuration":{""" +
+            s""""delta.constraints.bal_range":"c_acctbal > -100000.0 and c_acctbal < 1000000.0"},""" +
+            s""""createdTime":1}}""").mkString("\n").getBytes("UTF-8")): Unit
+      val f = new graft.store.ForeignDeltaTable(spark, tbl)
+      f.append(cust) // v1: c_mod computed in the write plan
+      // a violating batch must abort IN-FLIGHT and leave the table at v1
+      val refused =
+        try { f.append(cust.limit(1).withColumn("c_acctbal", lit(-5e6))); false }
+        catch { case scala.util.control.NonFatal(_) => true }
+      require(refused && graft.store.DeltaTable.snapshot(spark, tbl).version == 1L,
+        "constraint violation did not abort untouched")
+      f.updateWhere(col("c_custkey") % 7 === 0,
+        Map("c_acctbal" -> (col("c_acctbal") + 1000)),
+        allowProtocolUpgrade = true): Unit // v2: c_mod recomputed per row
+    }
+
   /** Row-tracked FOREIGN table for the `store_row_ids` gate: a hand-built
     * rt-ACTIVE empty v0 (protocol (1,7), rowTracking + domainMetadata, no
     * files), then two deterministic single-file appends through

@@ -31,12 +31,18 @@ import graft.SchemaDrift
   * protocol-correct ones), change data feed (blind appends are
   * cdc-action-free per the protocol; [[deleteWhere]] materializes
   * `_change_data/` delete rows + cdc actions), writer protocol ≤ 6 or
-  * protocol-7 tables whose writerFeatures are all benign (appendOnly,
-  * invariants — when no invariant is actually defined —
-  * vacuumProtocolCheck, timestampNtz, columnMapping, deletionVectors).
-  * Refused when ACTIVE: CHECK constraints, generated columns, identity
-  * columns. `delta.appendOnly` tables accept appends but refuse
-  * overwrite and DELETE.
+  * protocol-7 tables whose writerFeatures are all honored or benign
+  * (appendOnly, invariants, checkConstraints, generatedColumns,
+  * identityColumns, vacuumProtocolCheck, timestampNtz, columnMapping,
+  * deletionVectors, changeDataFeed, inCommitTimestamp, rowTracking,
+  * domainMetadata, v2Checkpoint). Declared column contracts are
+  * ENFORCED/COMPUTED in the write plan ([[ColumnPolicies]]): CHECK
+  * constraints + legacy invariants + NOT NULL raise in the write tasks
+  * on violation; generated columns compute when absent and
+  * equality-check when provided; identity columns assign on the
+  * start/step lattice past the high-water mark, which the same commit's
+  * metaData advances. `delta.appendOnly` tables accept appends but
+  * refuse overwrite and DELETE.
   *
   * Stats: one distributed pass over the just-written files (grouped by
   * `_metadata.file_path`) computes numRecords + per-column
@@ -396,7 +402,32 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       refuse("protocol does not list the deletionVectors feature — pass " +
         "allowProtocolUpgrade=true to upgrade it (may lock out older readers)")
     val root = new HPath(path)
-    val aligned = align(src, s.schema).localCheckpoint(true)
+    // declared-contract handling on the source rows (they land as fresh
+    // files): identity must be PROVIDED (matched rows keep their identity
+    // in a whole-key replace — assignment would forge new ids for them;
+    // explicit insert values advance the high-water mark via this commit's
+    // metaData), absent generated columns are computed, and CHECK/
+    // invariant/NOT NULL/provided-generated rules ride the write plan
+    val lowerIn = src.columns.map(_.toLowerCase).toSet
+    val idSpecM = ColumnPolicies.identity(s.schema).headOption
+    idSpecM.foreach { is =>
+      if (!lowerIn.contains(is.name.toLowerCase)) refuse(
+        s"MERGE into a table with identity column ${is.name} requires the " +
+          "source to provide it — matched rows must keep their identity " +
+          "(use append for pure inserts with assignment)")
+    }
+    val genColsM = ColumnPolicies.generated(s.schema)
+    val providedGenM = genColsM.collect {
+      case (f, _) if lowerIn.contains(f.name.toLowerCase) => f.name.toLowerCase
+    }.toSet
+    val srcGen = genColsM.foldLeft(src) { case (d, (f, sql)) =>
+      if (lowerIn.contains(f.name.toLowerCase)) d
+      else d.withColumn(f.name, expr(sql).cast(f.dataType))
+    }
+    val rulesM = ColumnPolicies.rules(s.schema, s.configuration, providedGenM)
+    val aligned = ColumnPolicies
+      .enforce(align(srcGen, s.schema), s.schema, rulesM)
+      .localCheckpoint(true)
     if (aligned.isEmpty) return s.version
     val keyCols = keys.map(k => s.schema.fields
       .find(_.name.equalsIgnoreCase(k)).get.name)
@@ -438,7 +469,11 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           phys.fieldIdWrite, baseDir = "_change_data", withStats = false))
       }
 
-    mutationCommit(s, hasDv, perFile, addByAbs, Some(w), cdcW, "MERGE")
+    val metaSchemaM = idSpecM.flatMap(is =>
+      advancedHwm(is, w.statsByFile, phys.physNameOf(is.name))
+        .map(h => ColumnPolicies.withHighWaterMark(s.schema, is.name, h)))
+    mutationCommit(s, hasDv, perFile, addByAbs, Some(w), cdcW, "MERGE",
+      metaSchemaM)
   }
 
   /** The shared one-commit assembly for DV mutations (MERGE/UPDATE):
@@ -453,7 +488,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       perFile: Array[(String, Array[Byte], Long)],
       addByAbs: Map[String, DeltaTable.Add],
       newW: Option[Written], cdcW: Option[Written],
-      opName: String): Long = {
+      opName: String, metaSchema: Option[StructType] = None): Long = {
     val root = new HPath(path)
     val (uuidRef, binName) = DeletionVectors.newUuidRef()
     val offs =
@@ -472,6 +507,23 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     cin.put("engineInfo", "graft-foreign-delta-writer")
     lines += mapper.writeValueAsString(ci)
     if (!hasDv) lines += protocolUpgradeLine(s)
+    // schema-metadata update riding the mutation (identity high-water
+    // mark advanced by explicit MERGE inserts)
+    metaSchema.filter(_.json != s.schema.json).foreach { ms =>
+      val md = obj()
+      val mdn = md.putObject("metaData")
+      mdn.put("id", if (s.tableId.nonEmpty) s.tableId else UUID.randomUUID().toString)
+      val fmt = mdn.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      mdn.put("schemaString", ms.json)
+      val pcArr = mdn.putArray("partitionColumns")
+      s.partitionColumns.foreach(pcArr.add)
+      val cfg = mdn.putObject("configuration")
+      s.configuration.foreach { case (k, cv) => cfg.put(k, cv) }
+      mdn.put("createdTime", now)
+      lines += mapper.writeValueAsString(md)
+    }
     lines ++= dvReAddLines(perFile, offs, addByAbs, uuidRef, now)
     val v = s.version + 1
     val rowTracking = s.writerFeatures.contains("rowTracking")
@@ -543,6 +595,17 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     if (s.partitionColumns.exists(pc => set.keys.exists(_.equalsIgnoreCase(pc))))
       refuse("UPDATE of a partition column would move rows across " +
         "partition directories — rewrite via merge instead")
+    ColumnPolicies.identity(s.schema).headOption.foreach { is =>
+      if (set.keys.exists(_.equalsIgnoreCase(is.name)))
+        refuse(s"SET on identity column ${is.name} — identity values are " +
+          "writer-assigned and immutable")
+    }
+    val genColsU = ColumnPolicies.generated(s.schema)
+    genColsU.foreach { case (f, sql) =>
+      if (set.keys.exists(_.equalsIgnoreCase(f.name)))
+        refuse(s"SET on generated column ${f.name} — it is computed from " +
+          s"($sql); update its dependencies instead")
+    }
     val cdfEnabled = s.configuration.get("delta.enableChangeDataFeed")
       .exists(_.equalsIgnoreCase("true"))
     val hasDv = s.readerFeatures.contains("deletionVectors") &&
@@ -556,11 +619,20 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val addByAbs: Map[String, DeltaTable.Add] = s.adds.map(a =>
       DeltaTable.resolvePath(root, a.rawPath).toUri.getPath -> a).toMap
     val matched = DeltaTable.read(spark, path).filter(cond)
-    val updated = set.foldLeft(matched) { case (df, (k, expr)) =>
+    val updated0 = set.foldLeft(matched) { case (df, (k, expr)) =>
       df.withColumn(s.schema.fields.find(_.name.equalsIgnoreCase(k)).get.name, expr)
     }
+    // generated columns recompute from the POST-SET row (their
+    // dependencies may have moved — the delta-spark UPDATE contract);
+    // CHECK/invariant/NOT NULL rules ride the re-land write plan
+    val updated = genColsU.foldLeft(updated0) { case (d, (f, sql)) =>
+      d.withColumn(f.name, expr(sql).cast(f.dataType))
+    }
+    val rulesU = ColumnPolicies.rules(s.schema, s.configuration, Set.empty)
     val phys = new PhysPlan(s, s.schema)
-    val w = writeFiles(phys.toPhysical(align(updated, s.schema)),
+    val w = writeFiles(
+      phys.toPhysical(ColumnPolicies.enforce(
+        align(updated, s.schema), s.schema, rulesU)),
       phys.writeSchema, phys.physPartCols, phys.fieldIdWrite)
     val cdcW: Option[Written] =
       if (!cdfEnabled) None
@@ -905,20 +977,15 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     // commits that MODIFY existing data — blind appends (and full
     // overwrites, whose changes CDF readers derive from the dataChange
     // add/remove actions) are legal without them; deleteWhere emits real
-    // cdc actions over materialized `_change_data/` delete rows
-    if (s.configuration.keys.exists(_.startsWith("delta.constraints.")))
-      refuse("CHECK constraints are defined — not enforced by this writer")
+    // cdc actions over materialized `_change_data/` delete rows.
+    // CHECK constraints, column invariants, NOT NULL, generated columns,
+    // and identity columns are ENFORCED/COMPUTED by the write paths
+    // ([[ColumnPolicies]]), not refused.
     if (forOverwrite && s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       refuse("delta.appendOnly table — overwrite refused (append is allowed)")
-    s.schema.fields.foreach { f =>
-      val mj = f.metadata.json
-      if (mj.contains("delta.invariants"))
-        refuse(s"column ${f.name} carries an invariant — not enforced by this writer")
-      if (mj.contains("delta.generationExpression"))
-        refuse(s"column ${f.name} is a generated column — not computed by this writer")
-      if (mj.contains("delta.identity."))
-        refuse(s"column ${f.name} is an identity column — not assigned by this writer")
-    }
+    if (ColumnPolicies.identity(s.schema).length > 1)
+      refuse("more than one identity column declared — the Delta protocol " +
+        "allows at most one; the table metadata is corrupt")
     s.minWriterVersion match {
       case v if v <= 6 => // plain / appendOnly / invariants / constraints /
         // CDF / gens (≤4), column mapping (5 — handled natively), identity
@@ -991,6 +1058,11 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       * during the parquet write — scoped there ([[writeFiles]]), never a
       * lasting session-conf mutation. */
     val fieldIdWrite: Boolean = mapped && idMode
+    /** Physical (stats-key) name of a logical column — identity under no
+      * mapping. */
+    def physNameOf(logical: String): String =
+      outSchema.fields.find(_.name.equalsIgnoreCase(logical))
+        .map(physName).getOrElse(logical)
     def toPhysical(alignedLogical: DataFrame): DataFrame =
       if (!mapped) alignedLogical
       else {
@@ -1001,6 +1073,29 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
             .as(pf.name, pf.metadata)
         }: _*)
       }
+  }
+
+  /** The identity high-water mark after a write, read off the written
+    * files' OWN stats pass (maxValues for a positive step, minValues for a
+    * negative one — keyed by the column's PHYSICAL name): the furthest
+    * assigned-or-provided value in step direction, None when nothing moved
+    * past the recorded mark (e.g. allowExplicitInsert values below it, or
+    * an empty batch). */
+  private def advancedHwm(
+      is: ColumnPolicies.Identity, statsByFile: Map[String, String],
+      physName: String): Option[Long] = {
+    val key = if (is.step >= 0) "maxValues" else "minValues"
+    val vals = statsByFile.values.toSeq.flatMap { sj =>
+      Option(mapper.readTree(sj).get(key)).flatMap(n => Option(n.get(physName)))
+        .filterNot(_.isNull).map(_.asLong())
+    }
+    if (vals.isEmpty) None
+    else {
+      val v = if (is.step >= 0) vals.max else vals.min
+      if (is.highWaterMark.forall(h => if (is.step >= 0) v > h else v < h))
+        Some(v)
+      else None
+    }
   }
 
   /** One physical write under a fresh `graft_data/<uuid>/` dir: the files
@@ -1139,10 +1234,55 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       txn: Option[(String, Long)] = None): Long = {
     val s = snap
     validateWritable(s, overwrite)
-    val merged =
-      if (overwrite) SchemaEvolution.relaxNullable(df.schema)
+    val lowerIn = df.columns.map(_.toLowerCase).toSet
+    // IDENTITY: a batch without the column gets values assigned on the
+    // protocol's start+k*step lattice, strictly past the recorded
+    // high-water mark (ColumnPolicies.Identity.base) — unique via
+    // monotonically_increasing_id (deterministic per partition/position,
+    // gaps allowed by the spec, exactly delta-spark's generation shape).
+    // The advanced mark is read back from the written files' OWN stats
+    // pass (zero extra jobs) and rides this commit's metaData action.
+    val idSpec = ColumnPolicies.identity(s.schema).headOption
+    val dfIdent = idSpec match {
+      case Some(is) if lowerIn.contains(is.name.toLowerCase) =>
+        if (!is.allowExplicit) refuse(
+          s"column ${is.name} is GENERATED ALWAYS AS IDENTITY — explicit " +
+            "values are not allowed (delta.identity.allowExplicitInsert=false)")
+        df
+      case Some(is) =>
+        df.withColumn(is.name,
+          (lit(is.base) + lit(is.step) * (monotonically_increasing_id() + 1L))
+            .cast(is.dataType))
+      case None => df
+    }
+    // GENERATED columns absent from the batch are computed from their
+    // generation expression BEFORE align would null-fill them; provided
+    // ones are equality-enforced below (the delta-spark contract)
+    val genCols = ColumnPolicies.generated(s.schema)
+    val providedGen = genCols.collect {
+      case (f, _) if lowerIn.contains(f.name.toLowerCase) => f.name.toLowerCase
+    }.toSet
+    val dfGen = genCols.foldLeft(dfIdent) { case (d, (f, sql)) =>
+      if (lowerIn.contains(f.name.toLowerCase)) d
+      else d.withColumn(f.name, expr(sql).cast(f.dataType))
+    }
+    val merged0 =
+      if (overwrite) SchemaEvolution.relaxNullable(dfGen.schema)
       else SchemaEvolution.merge(s.schema,
-        SchemaEvolution.relaxNullable(df.schema), drift)
+        SchemaEvolution.relaxNullable(dfGen.schema), drift)
+    // the table's declared column contracts SURVIVE the write: same-named
+    // fields keep their nullability (a null write into a NOT NULL column
+    // is a loud in-plan error, not a silently relaxed schema) and — on
+    // overwrite, whose incoming schema carries no Delta metadata — their
+    // invariant/generated/identity field metadata
+    val merged = StructType(merged0.fields.map { f =>
+      s.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(of) =>
+          val meta = if (overwrite) of.metadata else f.metadata
+          f.copy(nullable = of.nullable && f.nullable, metadata = meta)
+        case None => f
+      }
+    })
     val partCols = s.partitionColumns
     partCols.foreach { c =>
       val was = s.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
@@ -1155,27 +1295,89 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     // Column mapping (PROTOCOL.md "Column Mapping", writer obligations):
     // data files carry PHYSICAL column names — parquet field ids too in id
     // mode — and stats/partitionValues key physically; the user-facing
-    // DataFrame stays logical. Schema DRIFT under column mapping is
-    // refused: a new column needs a fresh column-mapping id assigned
-    // against delta.columnMapping.maxColumnId — a table-evolution decision
-    // for the table's owner, not a migration tool.
+    // DataFrame stays logical. Schema drift under mapping is ADD-ONLY:
+    // new columns get fresh mapping ids above delta.columnMapping
+    // .maxColumnId and delta-spark's `col-<uuid>` physical-name
+    // convention (ids stamped on nested struct fields too), and the
+    // commit's metaData bumps maxColumnId — the exact evolution
+    // delta-spark performs. WIDENING an existing mapped column still
+    // refuses (it would need the typeWidening table feature only the
+    // owner engine should enable); an overwrite may not DROP a mapped
+    // column for the same reason.
     val mapped =
       s.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
-    if (mapped) {
-      val same = merged.fields.length == s.schema.fields.length &&
-        merged.fields.zip(s.schema.fields).forall { case (a, b) =>
-          a.name.equalsIgnoreCase(b.name) &&
-            a.dataType.catalogString == b.dataType.catalogString }
-      if (!same) refuse("schema drift under column mapping — new/widened " +
-        "columns need fresh column-mapping ids this writer does not assign")
-    }
-    val outSchema = if (mapped) s.schema else merged
+    val (outSchema: StructType, configDelta: Map[String, String]) =
+      if (!mapped) (merged, Map.empty[String, String])
+      else {
+        val byLower = s.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+        merged.fields.foreach { f =>
+          byLower.get(f.name.toLowerCase).foreach { of =>
+            if (of.dataType.catalogString != f.dataType.catalogString)
+              refuse("schema drift under column mapping — widening column " +
+                s"${of.name} (${of.dataType.simpleString} → " +
+                s"${f.dataType.simpleString}) needs the typeWidening table " +
+                "feature only the table's owner engine should enable")
+          }
+        }
+        val mergedLower = merged.fields.map(_.name.toLowerCase).toSet
+        s.schema.fields.foreach { of =>
+          if (!mergedLower.contains(of.name.toLowerCase))
+            refuse(s"overwrite under column mapping drops column ${of.name} — " +
+              "dropping a mapped column is a table-evolution decision for " +
+              "the owner engine")
+        }
+        val added = merged.fields.filterNot(f => byLower.contains(f.name.toLowerCase))
+        if (added.isEmpty) (s.schema, Map.empty[String, String])
+        else {
+          val IdKey = "delta.columnMapping.id"
+          val PhysKey = "delta.columnMapping.physicalName"
+          var nextId = s.configuration.get("delta.columnMapping.maxColumnId")
+            .map(_.toLong).getOrElse(
+              s.schema.fields.collect {
+                case f if f.metadata.contains(IdKey) => f.metadata.getLong(IdKey)
+              }.foldLeft(0L)(_ max _))
+          def stamp(f: StructField): StructField = {
+            nextId += 1
+            val id = nextId
+            def deep(dt: DataType): DataType = dt match {
+              case st: StructType => StructType(st.fields.map(stamp))
+              case a: ArrayType => a.copy(elementType = deep(a.elementType))
+              case m: MapType =>
+                m.copy(keyType = deep(m.keyType), valueType = deep(m.valueType))
+              case o => o
+            }
+            f.copy(dataType = deep(f.dataType),
+              metadata = new MetadataBuilder().withMetadata(f.metadata)
+                .putLong(IdKey, id)
+                .putString(PhysKey, s"col-${UUID.randomUUID()}").build())
+          }
+          val stamped = added.map(stamp)
+          (StructType(s.schema.fields ++ stamped),
+            Map("delta.columnMapping.maxColumnId" -> nextId.toString))
+        }
+      }
     val phys = new PhysPlan(s, outSchema)
     val writeSchema = phys.writeSchema
     val physPartCols = phys.physPartCols
-    val aligned = phys.toPhysical(align(df, outSchema))
+    // declared-contract enforcement rides the write plan itself: CHECK
+    // constraints + invariants + NOT NULL + provided-generated equality
+    // (ColumnPolicies.enforce — raise_error in the write tasks, zero
+    // extra passes over the batch)
+    val ruleSeq = ColumnPolicies.rules(outSchema, s.configuration, providedGen)
+    val checked =
+      try ColumnPolicies.enforce(align(dfGen, outSchema), outSchema, ruleSeq)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException => refuse(
+          "a declared constraint no longer resolves against the written " +
+            s"schema (an overwrite dropping a constrained column?): ${e.getMessage}")
+      }
+    val aligned = phys.toPhysical(checked)
 
     val w = writeFiles(aligned, writeSchema, physPartCols, phys.fieldIdWrite)
+    // identity high-water mark after this batch, read off the written
+    // files' stats pass — advances the schema metadata in this commit
+    val newHwm: Option[Long] = idSpec.flatMap(is =>
+      advancedHwm(is, w.statsByFile, phys.physNameOf(is.name)))
     val dirName = w.dirName
     val parts = w.parts
     val partValuesOf = w.partValues
@@ -1201,10 +1403,28 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
             s"partition columns of $path changed concurrently " +
               s"(${partCols.mkString(",")} -> ${cur.partitionColumns.mkString(",")}) — " +
               "the written file layout no longer matches")
+        // a mapped table whose schema moved under us may have consumed the
+        // mapping ids this write assigned — never re-commit stale ids
+        if (mapped && cur.schema.json != s.schema.json)
+          throw new java.util.ConcurrentModificationException(
+            s"schema of column-mapped table $path changed concurrently — " +
+              "the assigned column-mapping ids may collide; re-run the write")
       }
-      val mergedNow =
+      val mergedNow0 =
         if (overwrite || attempts == 0) merged
         else SchemaEvolution.merge(cur.schema, merged, drift)
+      // the schema this commit's metaData would declare: the mapped path
+      // carries the freshly-id-stamped outSchema; the identity high-water
+      // mark (from the written files' stats) advances its field metadata
+      val mergedNow = {
+        val base = if (mapped) outSchema else mergedNow0
+        (idSpec, newHwm) match {
+          case (Some(is), Some(h)) =>
+            ColumnPolicies.withHighWaterMark(base, is.name, h)
+          case _ => base
+        }
+      }
+      val configNow = cur.configuration ++ configDelta
       val now = System.currentTimeMillis()
       val v = cur.version + 1
       // a concurrent retry of the SAME idempotent batch may have won the
@@ -1235,7 +1455,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         txn2.put("lastUpdated", now)
         lines += mapper.writeValueAsString(tx)
       }
-      if (!mapped && mergedNow.json != cur.schema.json) {
+      if (mergedNow.json != cur.schema.json || configNow != cur.configuration) {
         val md = obj()
         val mdn = md.putObject("metaData")
         mdn.put("id", if (cur.tableId.nonEmpty) cur.tableId else UUID.randomUUID().toString)
@@ -1246,7 +1466,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         val pcArr = mdn.putArray("partitionColumns")
         partCols.foreach(pcArr.add)
         val cfg = mdn.putObject("configuration")
-        cur.configuration.foreach { case (k, v) => cfg.put(k, v) }
+        configNow.foreach { case (k, v) => cfg.put(k, v) }
         mdn.put("createdTime", now)
         lines += mapper.writeValueAsString(md)
       }

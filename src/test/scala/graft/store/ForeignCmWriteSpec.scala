@@ -122,15 +122,39 @@ class ForeignCmWriteSpec extends SparkSuite {
     assert(meta.fields.forall(_.metadata.contains("parquet.field.id")))
   }
 
-  test("schema drift under column mapping refuses loudly") {
+  test("schema drift under column mapping assigns fresh ids; widening refuses") {
     val root = tmpDir("cmw-drift")
     cmTable(root, "name")
     val t = new ForeignDeltaTable(spark, root)
+    // ADD-ONLY drift: the new column takes a fresh mapping id above
+    // maxColumnId and a col-<uuid> physical name; the same commit's
+    // metaData bumps delta.columnMapping.maxColumnId
+    assert(t.append(Seq((5L, "e", 5, "extra")).toDF("id", "v", "p", "brand_new")) == 1L)
+    val s = DeltaTable.snapshot(spark, root)
+    val nf = s.schema.fields.find(_.name == "brand_new").get
+    assert(nf.metadata.getLong("delta.columnMapping.id") == 4L)
+    assert(nf.metadata.getString("delta.columnMapping.physicalName").startsWith("col-"))
+    assert(s.configuration("delta.columnMapping.maxColumnId") == "4")
+    // logical reads: fixture rows null out the new column, new row carries it
+    val got = DeltaTable.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "p", "brand_new"))
+    assert(got.filter(col("brand_new") === "extra").count() == 1)
+    assert(got.filter(col("id") === 1L).select("brand_new").head().isNullAt(0))
+    // the new data file carries the PHYSICAL col-<uuid> name, not the
+    // logical one
+    val physName = nf.metadata.getString("delta.columnMapping.physicalName")
+    val newFile = new File(root, "graft_data").listFiles.head.listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    val fileCols = spark.read.parquet(newFile.getAbsolutePath).schema.fieldNames.toSeq
+    assert(fileCols.contains(physName) && !fileCols.contains("brand_new"))
+    // WIDENING an existing mapped column still refuses (typeWidening is
+    // the owner engine's call)
     val e = intercept[UnsupportedOperationException](
-      t.append(Seq((5L, "e", 5, "extra")).toDF("id", "v", "p", "brand_new")))
-    assert(e.getMessage.contains("column mapping"))
-    // same-shape appends still fine afterwards
-    assert(t.append(Seq((5L, "e", 5)).toDF("id", "v", "p")) == 1L)
+      t.append(Seq((6L, "f", 7L, "y")).toDF("id", "v", "p", "brand_new"),
+        drift = graft.SchemaDrift.Full))
+    assert(e.getMessage.contains("typeWidening"))
+    // appends in the NEW shape keep working
+    assert(t.append(Seq((6L, "f", 6, "x")).toDF("id", "v", "p", "brand_new")) == 2L)
   }
 
   test("DV delete composes with column mapping (logical predicate)") {
