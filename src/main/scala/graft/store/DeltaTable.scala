@@ -166,8 +166,9 @@ object DeltaTable {
     * scans only its batch's commits' files (DV filtering included). */
   private[graft] def readAddsWhere(
       spark: SparkSession, path: String, keep: Add => Boolean,
-      versionAsOf: Option[Long] = None): DataFrame =
-    readInternal(spark, path, versionAsOf, None, withFilePos = false, addFilter = keep)
+      versionAsOf: Option[Long] = None, rowIds: Boolean = false): DataFrame =
+    readInternal(spark, path, versionAsOf, None, withFilePos = false,
+      addFilter = keep, withRowIds = rowIds)
 
   /** Delta CDF batch read over a FOREIGN `_delta_log` — the `table_changes`
     * contract without a Delta jar, same output shape as

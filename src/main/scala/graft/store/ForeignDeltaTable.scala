@@ -783,6 +783,17 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     * delta-spark's OPTIMIZE commit shape. Untouched files carry over by
     * reference. The old files become vacuum-eligible tombstones.
     *
+    * Row-tracked tables compact too: each candidate row's CURRENT row id /
+    * commit version is read (materialized-or-derived, the reader's own
+    * rule) and persisted into the rewritten files as the table's
+    * materialized row-tracking columns — extra physical parquet columns
+    * outside the logical schema, named by the `delta.rowTracking
+    * .materialized*` config keys (assigned and recorded via this commit's
+    * metaData on first materialization). The compacted adds still take
+    * fresh baseRowId ranges above the high-water mark, as every rt add
+    * must; the materialized values outrank them, so row identity is
+    * stable across the rewrite for every protocol-correct reader.
+    *
     * 100 TB: reads ONLY the candidate files (the add filter prunes at
     * snapshot resolution, before any listing); output sizing is
     * bytes-proportional (`ceil(liveBytes / targetFileBytes)` shuffle
@@ -795,10 +806,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       minFiles: Int = 2): Long = {
     val s = snap
     validateWritable(s, forOverwrite = false)
-    if (s.writerFeatures.contains("rowTracking"))
-      refuse("row tracking is active — compaction cannot preserve row ids " +
-        "without materialized row-id columns; run OPTIMIZE with the " +
-        "table's owner engine")
+    val rowTracking = s.writerFeatures.contains("rowTracking")
     val doomed: Seq[DeltaTable.Add] = s.adds.groupBy(_.partitionValues)
       .values.flatMap { files =>
         val cands = files.filter(a => a.dv.isDefined || a.size < smallFileBytes)
@@ -806,9 +814,36 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       }.toSeq
     if (doomed.isEmpty) return s.version
     val doomedRaw = doomed.map(_.rawPath).toSet
-    val live = DeltaTable.readAddsWhere(spark, path, a => doomedRaw(a.rawPath))
+    // Row-tracked tables: compaction changes every row's physical position,
+    // so the fresh baseRowId+row_index derivation can no longer produce the
+    // original ids — the protocol's answer is MATERIALIZED row-tracking
+    // columns (extra physical parquet columns named by the
+    // delta.rowTracking.materialized* config keys, invisible to
+    // schema-driven readers, outranking the derivation). The rewrite reads
+    // each candidate row's current identity and persists it; names are
+    // taken from the table config or assigned here (and recorded via this
+    // commit's metaData) when no writer materialized before.
+    val MatIdKey = "delta.rowTracking.materializedRowIdColumnName"
+    val MatVerKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
+    val matIdName = s.configuration.getOrElse(MatIdKey,
+      s"_row-id-col-${UUID.randomUUID()}")
+    val matVerName = s.configuration.getOrElse(MatVerKey,
+      s"_row-commit-version-col-${UUID.randomUUID()}")
+    val optCfgDelta: Map[String, String] =
+      if (!rowTracking) Map.empty
+      else Map(MatIdKey -> matIdName, MatVerKey -> matVerName) -- s.configuration.keys
+    val live = DeltaTable.readAddsWhere(spark, path, a => doomedRaw(a.rawPath),
+      rowIds = rowTracking)
     val phys = new PhysPlan(s, s.schema)
-    val aligned = phys.toPhysical(align(live, s.schema))
+    // readAddsWhere emits the logical schema exactly (+ the two row-id
+    // columns when asked), so no align is needed; the identity columns
+    // carry through the physical projection under their materialized names
+    val aligned =
+      if (!rowTracking) phys.toPhysical(align(live, s.schema))
+      else phys.toPhysical(
+        live.withColumnRenamed(DeltaTable.RowIdCol, matIdName)
+          .withColumnRenamed(DeltaTable.RowCommitVersionCol, matVerName),
+        carry = Seq(matIdName, matVerName))
     // size the rewrite by bytes, not file count; partitioned tables
     // repartition by (partition columns, salt) where the salt modulus is
     // that hive partition's bytes-proportional split count — a partition
@@ -860,6 +895,23 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     cin.putObject("operationParameters")
     cin.put("engineInfo", "graft-foreign-delta-writer")
     lines += mapper.writeValueAsString(ci)
+    // first materialization on this table: record the column names so
+    // every reader (this one included) knows where the persisted ids live
+    if (optCfgDelta.nonEmpty) {
+      val md = obj()
+      val mdn = md.putObject("metaData")
+      mdn.put("id", if (s.tableId.nonEmpty) s.tableId else UUID.randomUUID().toString)
+      val fmt = mdn.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      mdn.put("schemaString", s.schema.json)
+      val pcArr = mdn.putArray("partitionColumns")
+      s.partitionColumns.foreach(pcArr.add)
+      val cfg = mdn.putObject("configuration")
+      (s.configuration ++ optCfgDelta).foreach { case (k, cv) => cfg.put(k, cv) }
+      mdn.put("createdTime", now)
+      lines += mapper.writeValueAsString(md)
+    }
     doomed.foreach { a =>
       val rm = obj()
       val rmn = rm.putObject("remove")
@@ -868,6 +920,11 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       rmn.put("dataChange", false)
       lines += mapper.writeValueAsString(rm)
     }
+    val v = s.version + 1
+    // the compacted adds still take fresh disjoint baseRowId ranges above
+    // the high-water mark (every rt add must carry one) — the materialized
+    // columns inside the files outrank them, preserving original identity
+    var hwmRt = if (rowTracking) rowIdHighWaterMark(s) else 0L
     w.parts.foreach { case (rel, size, mtime) =>
       val ad = obj()
       val adn = ad.putObject("add")
@@ -882,9 +939,19 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       adn.put("modificationTime", mtime)
       adn.put("dataChange", false)
       w.statsByFile.get(rel).foreach(adn.put("stats", _))
+      if (rowTracking) {
+        val n = w.statsByFile.get(rel)
+          .flatMap(sj => Option(mapper.readTree(sj).get("numRecords"))
+            .map(_.asLong()))
+          .getOrElse(refuse(
+            s"row tracking needs a numRecords stat for $rel to assign ids"))
+        adn.put("baseRowId", hwmRt + 1)
+        adn.put("defaultRowCommitVersion", v)
+        hwmRt += n
+      }
       lines += mapper.writeValueAsString(ad)
     }
-    val v = s.version + 1
+    if (rowTracking && w.parts.nonEmpty) lines += rowTrackingDomainLine(hwmRt)
     try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -960,9 +1027,10 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       // honored: fresh adds take disjoint baseRowId ranges above the
       // delta.rowTracking high-water mark (commitWrite), DV re-adds carry
       // their row-tracking fields verbatim (deleteWhere), domain metadata
-      // survives checkpoints (writeCheckpoint); OPTIMIZE refuses — a
-      // compaction cannot preserve row ids without materialized row-id
-      // columns, which only the table's owner engine writes
+      // survives checkpoints (writeCheckpoint), and OPTIMIZE preserves
+      // row identity by MATERIALIZING each row's current id/commit
+      // version into the compacted files (the protocol's
+      // delta.rowTracking.materialized* columns)
       "rowTracking", "domainMetadata",
       // honored: when delta.checkpointPolicy=v2 the table owner chose the
       // V2 checkpoint spec — writeCheckpoint emits a v2 manifest +
@@ -1063,15 +1131,19 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     def physNameOf(logical: String): String =
       outSchema.fields.find(_.name.equalsIgnoreCase(logical))
         .map(physName).getOrElse(logical)
-    def toPhysical(alignedLogical: DataFrame): DataFrame =
-      if (!mapped) alignedLogical
+    /** `carry` names EXTRA (non-schema) columns to keep through the
+      * physical projection verbatim — e.g. the materialized row-tracking
+      * columns an OPTIMIZE rewrite persists alongside the data. */
+    def toPhysical(alignedLogical: DataFrame, carry: Seq[String] = Nil): DataFrame =
+      if (!mapped && carry.isEmpty) alignedLogical
       else {
+        val carryCols = carry.map(n => col(s"`$n`"))
         alignedLogical.select(outSchema.fields.toSeq.map { f =>
           val pf = physField(f)
           val c = col(s"`${f.name}`")
           (if (pf.dataType == f.dataType) c else c.cast(pf.dataType))
             .as(pf.name, pf.metadata)
-        }: _*)
+        } ++ carryCols: _*)
       }
   }
 

@@ -188,9 +188,7 @@ class ForeignDeltaWriterSpec extends SparkSuite {
       .find(_.get("path").asText() == "part-0-rt.parquet").get
     assert(readd.get("baseRowId").asLong() == 0L)
     assert(readd.get("defaultRowCommitVersion").asLong() == 0L)
-    // OPTIMIZE cannot preserve ids → refuses
-    val e = intercept[UnsupportedOperationException](t.optimize())
-    assert(e.getMessage.contains("row tracking"))
+    // (OPTIMIZE on rt tables materializes ids — ForeignOptimizeSpec)
     // checkpoint at v10 keeps the domain + per-add ids; later appends
     // continue ABOVE the mark even when early JSONs are gone
     (3 to 10).foreach(i => t.append(Seq((100L + i, "x")).toDF("id", "s"))) // ...v10

@@ -96,9 +96,8 @@ class ForeignOpsPropertySpec extends SparkSuite {
           t.deleteWhere(col("k") === kk, allowProtocolUpgrade = true)
           model = model.filterNot(_._2 == kk)
         case 3 => // compaction (+ DV purge): content-neutral; on a
-          // row-tracked table it must refuse (ids can't survive a rewrite)
-          if (rt) intercept[UnsupportedOperationException](t.optimize(minFiles = 2)): Unit
-          else t.optimize(minFiles = 2): Unit
+          // row-tracked table ids survive via materialized columns
+          t.optimize(minFiles = 2): Unit
         case 4 => // overwrite with a mutated snapshot
           val rows = model.toSeq.map { case (id, k) =>
             id -> (if (rnd.nextBoolean()) k else rnd.nextLong(20)) }

@@ -230,4 +230,74 @@ class ForeignOptimizeSpec extends SparkSuite {
     assert(spark.read.parquet(newFile.getAbsolutePath)
       .schema.fieldNames.toSeq == Seq("col-11", "col-22"))
   }
+
+  test("row-tracked compaction materializes ids; identity stable across rewrite") {
+    val root = tmpDir("fop-rt")
+    // rt-ACTIVE empty v0, the delta-spark enablement shape
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log",
+      "00000000000000000000.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+          """"writerFeatures":["rowTracking","domainMetadata"]}}""",
+        s"""{"metaData":{"id":"fop-rt","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${mapper.writeValueAsString(schema.json)},""" +
+          s""""partitionColumns":[],"configuration":{"delta.enableRowTracking":"true"},""" +
+          s""""createdTime":1}}""").mkString("\n").getBytes("UTF-8")): Unit
+    val t = new ForeignDeltaTable(spark, root)
+    (0 until 4).foreach(i => t.append(
+      Seq((i * 10L, s"a$i"), (i * 10L + 1, s"b$i")).toDF("id", "s"))) // v1..v4
+    t.deleteWhere(col("id") === 10L, allowProtocolUpgrade = true) // v5: DV
+    def identity(): Map[Long, (Long, Long)] =
+      DeltaTable.read(spark, root, rowIds = true).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val before = identity()
+    val hwmBefore = {
+      val s = DeltaTable.snapshot(spark, root)
+      mapper.readTree(s.domainMetadata("delta.rowTracking"))
+        .get("rowIdHighWaterMark").asLong()
+    }
+
+    val v = t.optimize(minFiles = 2)
+    assert(v == 6L)
+    val s = DeltaTable.snapshot(spark, root)
+    assert(s.numFiles == 1)
+    // every surviving row keeps its EXACT (_row_id, _row_commit_version)
+    assert(identity() == before, "row identity shifted across compaction")
+    // the materialized column names were assigned and recorded in config
+    val matId = s.configuration("delta.rowTracking.materializedRowIdColumnName")
+    val matVer = s.configuration("delta.rowTracking.materializedRowCommitVersionColumnName")
+    assert(matId.startsWith("_row-id-col-"))
+    // the compacted file physically carries both extra columns
+    val newFile = new File(root, "graft_data").listFiles
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+      .maxBy(_.lastModified)
+    val fileSchema = spark.read.parquet(newFile.getAbsolutePath).schema
+    assert(fileSchema.fieldNames.contains(matId) &&
+      fileSchema.fieldNames.contains(matVer))
+    // ...but they stay OUT of the logical surface and the stats
+    assert(DeltaTable.read(spark, root).schema.fieldNames.toSeq ==
+      Seq("id", "s"))
+    val add6 = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      root, "_delta_log", "00000000000000000006.json")), "UTF-8")
+      .split('\n').filter(_.contains("\"add\"")).map(mapper.readTree).head.get("add")
+    assert(!add6.get("stats").asText().contains(matId))
+    // the compacted add took a FRESH range above the old mark (the
+    // materialized values outrank it), and the domain advanced
+    assert(add6.get("baseRowId").asLong() > hwmBefore)
+    val hwmAfter = mapper.readTree(s.domainMetadata("delta.rowTracking"))
+      .get("rowIdHighWaterMark").asLong()
+    assert(hwmAfter > hwmBefore)
+    // appends + a SECOND optimize reuse the SAME materialized names and
+    // still preserve identity (mixed files with and without the columns)
+    t.append(Seq((100L, "z1"), (101L, "z2")).toDF("id", "s")) // v7
+    val before2 = identity()
+    t.optimize(minFiles = 2) // v8
+    assert(identity() == before2, "second compaction shifted identity")
+    assert(DeltaTable.snapshot(spark, root)
+      .configuration("delta.rowTracking.materializedRowIdColumnName") == matId)
+  }
 }
