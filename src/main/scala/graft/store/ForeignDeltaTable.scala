@@ -1705,6 +1705,72 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     doomed
   }
 
+  /** Expired-LOG cleanup — the `delta.logRetentionDuration` contract
+    * (default 30 days), delta-spark's metadata cleanup as an explicit
+    * maintenance call like [[vacuum]]: picks the NEWEST checkpoint older
+    * than the retention as the new history floor, then deletes every JSON
+    * commit and checkpoint strictly BELOW the floor that is itself
+    * expired. The floor checkpoint and the full JSON tail above it
+    * survive, so the current snapshot and time travel at-or-above the
+    * floor keep resolving; history below it is gone — exactly the trade
+    * delta documents. V2 manifests' `_sidecars/` action files are removed
+    * only when no SURVIVING manifest references them (the spec allows
+    * sidecar sharing across checkpoints). Data files are [[vacuum]]'s
+    * job; `_last_checkpoint` always points at-or-above the floor and is
+    * never touched. Returns the deleted `_delta_log`-relative paths. */
+  def cleanupMetadata(retentionMs: Option[Long] = None): Seq[String] = {
+    val s = snap
+    val cutoff = System.currentTimeMillis() - retentionMs.getOrElse(
+      ForeignDeltaTable.retentionMillis(
+        s.configuration.get("delta.logRetentionDuration"),
+        defaultMs = 30L * 24 * 3600 * 1000))
+    val JsonRe = """(\d{20})\.json""".r
+    val CpRe = """(\d{20})\.checkpoint(?:\..+)?\.parquet""".r
+    val V2Re = """(\d{20})\.checkpoint\.[0-9a-zA-Z-]+\.(?:json|parquet)""".r
+    final case class LogF(
+        st: org.apache.hadoop.fs.FileStatus, version: Long,
+        isJson: Boolean, isV2: Boolean)
+    val entries = fsu.fs.listStatus(logDir).toSeq.filter(_.isFile)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case JsonRe(v) => Some(LogF(st, v.toLong, isJson = true, isV2 = false))
+          case V2Re(v) => Some(LogF(st, v.toLong, isJson = false, isV2 = true))
+          case CpRe(v) => Some(LogF(st, v.toLong, isJson = false, isV2 = false))
+          case _ => None // _last_checkpoint, crc, temp files — not ours
+        }
+      }
+    def expired(e: LogF): Boolean = e.st.getModificationTime < cutoff
+    val floorOpt = entries.filter(e => !e.isJson && expired(e)).map(_.version).maxOption
+    if (floorOpt.isEmpty) return Nil
+    val floor = floorOpt.get
+    val doomed = entries.filter(e => e.version < floor && expired(e))
+    if (doomed.isEmpty) return Nil
+    // sidecars: delete those referenced ONLY by doomed v2 manifests
+    def sidecarRefs(fs: Seq[LogF]): Set[String] = fs.filter(_.isV2).flatMap { e =>
+      scala.util.Try {
+        if (e.st.getPath.getName.endsWith(".json"))
+          fsu.readString(e.st.getPath).split('\n').filter(_.contains("\"sidecar\""))
+            .toSeq.map(mapper.readTree).flatMap(n =>
+              Option(n.get("sidecar")).map(_.get("path").asText()))
+        else
+          spark.read.parquet(e.st.getPath.toString)
+            .select(col("sidecar.path")).na.drop()
+            .collect().toSeq.map(_.getString(0))
+      }.getOrElse(Nil)
+    }.toSet
+    val doomedRefs = sidecarRefs(doomed)
+    val liveRefs =
+      if (doomedRefs.isEmpty) Set.empty[String]
+      else sidecarRefs(entries.filterNot(doomed.contains))
+    val deadSidecars = (doomedRefs -- liveRefs).toSeq.sorted.map { p =>
+      val u = new java.net.URI(p)
+      if (u.isAbsolute) new HPath(u) else new HPath(new HPath(logDir, "_sidecars"), p)
+    }
+    val deleted = doomed.map(e => e.st.getPath) ++ deadSidecars
+    deleted.foreach(p => fsu.deleteIfExists(p): Unit)
+    deleted.map(_.getName)
+  }
+
   /** Classic parquet checkpoint + `_last_checkpoint` at version `v`, so a
     * long-continued migration never forces readers (delta-spark, delta-rs,
     * [[DeltaTable]] itself) to replay an unboundedly growing JSON tail —
@@ -1808,8 +1874,9 @@ object ForeignDeltaTable {
 
   /** `delta.deletedFileRetentionDuration` ("interval N unit") → millis;
     * absent/unparseable → the protocol default of one week. */
-  private[store] def retentionMillis(cfg: Option[String]): Long = {
-    val Default = 7L * 24 * 3600 * 1000
+  private[store] def retentionMillis(
+      cfg: Option[String], defaultMs: Long = 7L * 24 * 3600 * 1000): Long = {
+    val Default = defaultMs
     cfg.map(_.trim.toLowerCase) match {
       case Some(IntervalRe(n, unit)) =>
         val per = unit match {

@@ -42,13 +42,24 @@ final class Fs(spark: SparkSession, anyPathInFs: String) {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Publish atomically: write a temp sibling, then rename into place. */
+  /** Publish atomically, REPLACING any existing file: write a temp
+    * sibling, then rename into place. Hadoop's FileSystem contract makes
+    * rename-onto-existing return false (LocalFileSystem enforces it), so
+    * replacement needs the delete-then-rename fallback — without it the
+    * SECOND `_last_checkpoint` publication of a table's life (commit 20)
+    * fails. The fallback's window is benign for every current caller:
+    * `_last_checkpoint` is a hint file whose readers fall back to log
+    * listing. Exclusive put-if-absent publication is
+    * [[writeStringAtomicNew]]. */
   def writeStringAtomic(p: Path, s: String): Unit = {
     val tmp = new Path(p.getParent, s".tmp-${java.util.UUID.randomUUID()}")
     writeString(tmp, s)
     if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"rename $tmp -> $p failed")
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"rename $tmp -> $p failed")
+      }
     }
   }
 

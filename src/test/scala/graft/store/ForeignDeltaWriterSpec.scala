@@ -272,6 +272,52 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     assert(DeltaTable.read(spark, root).count() == 12L)
   }
 
+  test("cleanupMetadata: expired logs below the newest expired checkpoint go") {
+    val root = tmpDir("fdw-logclean")
+    foreignTable(root, Seq((0L, "seed")).toDF("id", "s"))
+    val t = new ForeignDeltaTable(spark, root)
+    (1 to 12).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s"))) // v1..v12, cp@10
+    val before = DeltaTable.read(spark, root).count()
+    // everything "expired" (cutoff in the future): floor = checkpoint 10,
+    // jsons 0..9 deleted, json 10..12 + the checkpoint survive
+    val gone = t.cleanupMetadata(retentionMs = Some(-60000L))
+    assert(gone.toSet == (0L to 9L).map(v => f"$v%020d.json").toSet, gone)
+    assert(new File(root, "_delta_log/00000000000000000010.checkpoint.parquet").exists)
+    assert(DeltaTable.read(spark, root).count() == before)
+    assert(DeltaTable.snapshot(spark, root).version == 12L)
+    // time travel at/above the floor resolves; below it is gone, loudly
+    assert(DeltaTable.read(spark, root, versionAsOf = Some(10L)).count() == 11)
+    intercept[Exception](
+      DeltaTable.read(spark, root, versionAsOf = Some(5L)).count())
+    // idempotent: nothing further below the floor
+    assert(t.cleanupMetadata(retentionMs = Some(-60000L)).isEmpty)
+    // nothing expired (cutoff in the past) → no-op
+    (13 to 22).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s"))) // cp@20
+    assert(t.cleanupMetadata(retentionMs = Some(3600L * 1000)).isEmpty)
+  }
+
+  test("cleanupMetadata on a v2 table deletes the doomed manifest's sidecar") {
+    val root = tmpDir("fdw-logclean2")
+    foreignTable(root, Seq((0L, "seed")).toDF("id", "s"),
+      protocol = """{"protocol":{"minReaderVersion":3,""" +
+        """"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],""" +
+        """"writerFeatures":["v2Checkpoint"]}}""",
+      config = """{"delta.checkpointPolicy":"v2"}""")
+    val t = new ForeignDeltaTable(spark, root)
+    (1 to 20).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s"))) // cps @10, @20
+    def sidecars() = new File(root, "_delta_log/_sidecars").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(sidecars().size == 2)
+    val gone = t.cleanupMetadata(retentionMs = Some(-60000L))
+    // floor = v2 checkpoint 20: jsons 0..19, the v10 manifest, AND the
+    // v10 manifest's sidecar are gone; v20's sidecar survives
+    assert(gone.exists(n => n.startsWith("00000000000000000010.checkpoint.")))
+    assert(sidecars().size == 1)
+    assert(DeltaTable.read(spark, root).count() == 21)
+    // the surviving v2 checkpoint still resolves the whole state
+    assert(DeltaTable.read(spark, root, versionAsOf = Some(20L)).count() == 21)
+  }
+
   test("unsupported tables refuse loudly; appendOnly allows append only") {
     val df = Seq((1L, "a")).toDF("id", "s")
     // column mapping DECLARED but the schema carries no physicalName
