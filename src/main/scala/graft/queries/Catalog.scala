@@ -2471,6 +2471,17 @@ object Catalog {
       },
       Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
 
+    // SHALLOW CLONE: metadata-only copy via absolute-URI adds; the clone
+    // takes a DV delete while the source stays untouched (asserted
+    // in-scenario) — the mutated clone must equal the plain-SQL filter
+    Q("store_foreign_clone",
+      (s, d) => {
+        val dest = Scenarios.foreignCloneDest(s, d)
+        graft.store.DeltaTable.read(s, s"$dest/clone")
+      },
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "WHERE c_custkey % 3 <> 0")),
+
     // Declared column contracts on the foreign writer: CHECK constraint
     // enforced in-plan (violating batch aborts untouched), generated
     // column computed on append and RECOMPUTED by updateWhere, NOT NULL

@@ -564,6 +564,31 @@ object Scenarios {
         allowProtocolUpgrade = true): Unit // v2: c_mod recomputed per row
     }
 
+  /** SHALLOW CLONE for the `store_foreign_clone` gate: customer stripped
+    * to a pure `_delta_log`, cloned (metadata-only, absolute-URI adds),
+    * then the CLONE takes a DV delete (%3) while the source must stay
+    * byte-for-byte untouched — divergence is asserted in-scenario, and
+    * the gate compares the mutated clone against the plain-SQL filter. */
+  def foreignCloneDest(spark: SparkSession, dir: String): String =
+    run("foreignclone", spark, dir) { dest =>
+      val cust = customer(spark, dir).select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val t = new graft.store.VersionedTable(spark, s"$dest/src")
+      t.append(cust) // v0
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$dest/src/_graft_log"))
+      graft.store.ForeignDeltaTable.shallowClone(
+        spark, s"$dest/src", s"$dest/clone"): Unit
+      new graft.store.ForeignDeltaTable(spark, s"$dest/clone")
+        .deleteWhere(col("c_custkey") % 3 === 0, allowProtocolUpgrade = true): Unit
+      val srcCount = graft.store.DeltaTable.read(spark, s"$dest/src").count()
+      require(srcCount == cust.count(),
+        "clone mutation leaked into the source table")
+    }
+
   /** Row-tracked FOREIGN table for the `store_row_ids` gate: a hand-built
     * rt-ACTIVE empty v0 (protocol (1,7), rowTracking + domainMetadata, no
     * files), then two deterministic single-file appends through

@@ -1035,7 +1035,12 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       // honored: when delta.checkpointPolicy=v2 the table owner chose the
       // V2 checkpoint spec — writeCheckpoint emits a v2 manifest +
       // sidecar instead of a classic single-file checkpoint
-      "v2Checkpoint")
+      "v2Checkpoint",
+      // benign per the spec: liquid clustering is BEST-EFFORT — a writer
+      // that does not cluster may still append (its files are simply
+      // unclustered until the owner's next OPTIMIZE); the clustering
+      // domain metadata rides the domainMetadata handling untouched
+      "clustering")
 
   private def validateWritable(s: DeltaTable.Snapshot, forOverwrite: Boolean): Unit = {
     val cm = s.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -1843,6 +1848,121 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
 }
 
 object ForeignDeltaTable {
+  /** SHALLOW CLONE (the delta-spark CLONE shape): creates a NEW table at
+    * `destPath` whose v0 references the SOURCE's current data files by
+    * fully-qualified absolute URI — zero data copied; the clone then
+    * evolves independently (its own writes land under its own root, and
+    * vacuum classifies outside-root paths as untouchable, so a clone can
+    * never delete source data). Protocol, schema, partitioning,
+    * configuration, per-file stats, row-tracking fields, and live domain
+    * metadata (e.g. the rowIdHighWaterMark) carry verbatim; "u"-storage
+    * deletion vectors re-emit as "p" (absolute container path)
+    * descriptors, since relative DV resolution is root-relative and the
+    * clone has a different root. SetTransaction watermarks do NOT carry —
+    * they are per-destination stream state, and carrying them would make
+    * an external stream silently skip its first batches against the
+    * clone. Returns the clone's version (0).
+    *
+    * 100 TB: the clone is one driver-side metadata write — O(live files)
+    * JSON, no data movement; subsequent reads prune through the carried
+    * stats exactly like the source. */
+  def shallowClone(
+      spark: SparkSession, sourcePath: String, destPath: String): Long = {
+    import VersionedTable.mapper
+    val s = DeltaTable.snapshot(spark, sourcePath)
+    val destFsu = new Fs(spark, destPath)
+    if (destFsu.exists(new HPath(destPath, "_delta_log")))
+      throw new IllegalArgumentException(
+        s"clone destination $destPath already has a _delta_log")
+    val srcFsu = new Fs(spark, sourcePath)
+    val srcRoot = new HPath(sourcePath)
+    def qualify(p: HPath): String =
+      srcFsu.fs.makeQualified(p).toUri.toASCIIString
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    def obj() = mapper.createObjectNode()
+    val ci = obj()
+    val cin = ci.putObject("commitInfo")
+    cin.put("timestamp", now)
+    cin.put("operation", "CLONE")
+    val op = cin.putObject("operationParameters")
+    op.put("source", sourcePath)
+    op.put("sourceVersion", s.version)
+    cin.put("engineInfo", "graft-foreign-delta-writer")
+    lines += mapper.writeValueAsString(ci)
+    val pr = obj()
+    val prn = pr.putObject("protocol")
+    prn.put("minReaderVersion", s.minReaderVersion)
+    prn.put("minWriterVersion", s.minWriterVersion)
+    if (s.minReaderVersion >= 3) {
+      val rf = prn.putArray("readerFeatures")
+      s.readerFeatures.foreach(rf.add)
+    }
+    if (s.minWriterVersion >= 7) {
+      val wf = prn.putArray("writerFeatures")
+      s.writerFeatures.foreach(wf.add)
+    }
+    lines += mapper.writeValueAsString(pr)
+    val md = obj()
+    val mdn = md.putObject("metaData")
+    mdn.put("id", UUID.randomUUID().toString) // a clone is a NEW table
+    val fmt = mdn.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    mdn.put("schemaString", s.schema.json)
+    val pcArr = mdn.putArray("partitionColumns")
+    s.partitionColumns.foreach(pcArr.add)
+    val cfg = mdn.putObject("configuration")
+    s.configuration.foreach { case (k, v) => cfg.put(k, v) }
+    mdn.put("createdTime", now)
+    lines += mapper.writeValueAsString(md)
+    s.domainMetadata.toSeq.sortBy(_._1).foreach { case (domain, conf) =>
+      val dm = obj()
+      val dmn = dm.putObject("domainMetadata")
+      dmn.put("domain", domain)
+      dmn.put("configuration", conf)
+      dmn.put("removed", false)
+      lines += mapper.writeValueAsString(dm)
+    }
+    s.adds.foreach { a =>
+      val ad = obj()
+      val adn = ad.putObject("add")
+      adn.put("path", qualify(DeltaTable.resolvePath(srcRoot, a.rawPath)))
+      val pvn = adn.putObject("partitionValues")
+      a.partitionValues.foreach {
+        case (k, Some(v)) => pvn.put(k, v): Unit
+        case (k, None) => pvn.putNull(k): Unit
+      }
+      adn.put("size", a.size)
+      adn.put("modificationTime", a.mtime)
+      adn.put("dataChange", true)
+      a.statsJson.foreach(adn.put("stats", _))
+      a.baseRowId.foreach(b => adn.put("baseRowId", b): Unit)
+      a.defaultRowCommitVersion.foreach(d =>
+        adn.put("defaultRowCommitVersion", d): Unit)
+      a.dv.foreach { d =>
+        val dvn = adn.putObject("deletionVector")
+        if (d.storageType == "u") {
+          dvn.put("storageType", "p")
+          dvn.put("pathOrInlineDv",
+            qualify(DeletionVectors.uuidPath(srcRoot, d.pathOrInlineDv)))
+        } else {
+          dvn.put("storageType", d.storageType)
+          dvn.put("pathOrInlineDv", d.pathOrInlineDv)
+        }
+        d.offset.foreach(o => dvn.put("offset", o): Unit)
+        dvn.put("sizeInBytes", d.sizeInBytes)
+        dvn.put("cardinality", d.cardinality)
+      }
+      lines += mapper.writeValueAsString(ad)
+    }
+    destFsu.mkdirs(new HPath(destPath, "_delta_log"))
+    destFsu.writeStringAtomicNew(
+      new HPath(new HPath(destPath, "_delta_log"), f"${0L}%020d.json"),
+      lines.mkString("\n"))
+    0L
+  }
+
   /** Delta's bounded string statistics (delta-spark truncates at 32):
     * the min bound becomes a 32-code-point prefix — a prefix is always ≤
     * every string it prefixes. */

@@ -352,6 +352,15 @@ class ForeignDeltaWriterSpec extends SparkSuite {
       new ForeignDeltaTable(spark, p4).vacuum(retentionMs = Some(0L))
     }
     assert(eVac.getMessage.contains("VACUUM protocol check"))
+    // liquid-clustered tables accept appends: clustering is BEST-EFFORT
+    // per the spec — a non-clustering writer's files are simply
+    // unclustered until the owner's next OPTIMIZE
+    val p7 = tmpDir("fdw-cluster")
+    foreignTable(p7, df, protocol = """{"protocol":{"minReaderVersion":1,""" +
+      """"minWriterVersion":7,"writerFeatures":["clustering","domainMetadata"]}}""")
+    val t7 = new ForeignDeltaTable(spark, p7)
+    t7.append(Seq((2L, "b")).toDF("id", "s"))
+    assert(DeltaTable.read(spark, p7).count() == 2)
     // appendOnly: append fine, overwrite refused
     val p5 = tmpDir("fdw-ao")
     foreignTable(p5, df, config = """{"delta.appendOnly":"true"}""")
