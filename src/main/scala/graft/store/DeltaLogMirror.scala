@@ -191,7 +191,9 @@ final class DeltaLogMirror(
       }.sortBy(_.getStruct(3).getString(0))
     val rows: Seq[Row] = Seq(protoRow, metaRow) ++ addRows ++ txnRows
     DeltaLogMirror.publishCheckpoint(spark, fsu, logDir, v, rows,
-      DeltaLogMirror.checkpointSchema)
+      DeltaLogMirror.checkpointSchema,
+      partSize = state.config.get("delta.checkpoint.partSize")
+        .flatMap(x => scala.util.Try(x.trim.toLong).toOption))
   }
 
   /** (relative path → (size, mtime)) of one data dir, listed from disk. */
@@ -387,30 +389,51 @@ object DeltaLogMirror {
   /** Delta's default checkpoint cadence. */
   val CheckpointInterval = 10L
 
-  /** Publish `rows` as the classic single-file parquet checkpoint for
-    * version `v` plus the `_last_checkpoint` pointer. Spark writes a
-    * directory; the protocol wants a single FILE — write to a temp sibling
-    * dir and rename the part file into place. Shared by the graft-manifest
-    * mirror and the foreign-Delta writer. */
+  /** Publish `rows` as the classic parquet checkpoint for version `v`
+    * plus the `_last_checkpoint` pointer — single-file, or MULTI-PART
+    * when the table sets `delta.checkpoint.partSize` and the action count
+    * exceeds it (the protocol's
+    * `%020d.checkpoint.%010d.%010d.parquet` form, 1-based part over
+    * total). At 100 TB a legacy-protocol table (no v2Checkpoint feature
+    * available) can hold millions of add actions; partSize bounds each
+    * checkpoint file so no single write or read materializes the whole
+    * state in one task. Spark writes a directory; the protocol wants
+    * plain FILES — write to a temp sibling dir and rename into place.
+    * Shared by the graft-manifest mirror and the foreign-Delta writer. */
   private[store] def publishCheckpoint(
       spark: SparkSession, fsu: Fs, logDir: HPath, v: Long,
-      rows: Seq[org.apache.spark.sql.Row], schema: StructType): Unit = {
+      rows: Seq[org.apache.spark.sql.Row], schema: StructType,
+      partSize: Option[Long] = None): Unit = {
     import scala.jdk.CollectionConverters._
     import VersionedTable.mapper
-    val df = spark.createDataFrame(rows.asJava, schema).coalesce(1)
-    val tmp = new HPath(logDir, s".cptmp-${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    val part = fsu.fs.listStatus(tmp).map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-    val dest = new HPath(logDir, f"$v%020d.checkpoint.parquet")
-    fsu.deleteIfExists(dest)
-    if (!fsu.fs.rename(part, dest))
-      throw new java.io.IOException(s"rename $part -> $dest failed")
-    fsu.delete(tmp, recursive = true)
+    def writeOne(slice: Seq[org.apache.spark.sql.Row], destName: String): Unit = {
+      val df = spark.createDataFrame(slice.asJava, schema).coalesce(1)
+      val tmp = new HPath(logDir, s".cptmp-${UUID.randomUUID()}")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val part = fsu.fs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      val dest = new HPath(logDir, destName)
+      fsu.deleteIfExists(dest)
+      if (!fsu.fs.rename(part, dest))
+        throw new java.io.IOException(s"rename $part -> $dest failed")
+      fsu.delete(tmp, recursive = true)
+    }
+    val nParts = partSize.filter(ps => ps > 0 && rows.size > ps)
+      .map(ps => math.ceil(rows.size.toDouble / ps).toInt)
+    nParts match {
+      case None =>
+        writeOne(rows, f"$v%020d.checkpoint.parquet")
+      case Some(p) =>
+        val per = math.ceil(rows.size.toDouble / p).toInt
+        rows.grouped(per).zipWithIndex.foreach { case (slice, i) =>
+          writeOne(slice, f"$v%020d.checkpoint.${i + 1}%010d.$p%010d.parquet")
+        }
+    }
     val lc = mapper.createObjectNode()
     lc.put("version", v)
     lc.put("size", rows.size.toLong)
+    nParts.foreach(p => lc.put("parts", p): Unit)
     fsu.writeStringAtomic(new HPath(logDir, "_last_checkpoint"),
       mapper.writeValueAsString(lc))
   }

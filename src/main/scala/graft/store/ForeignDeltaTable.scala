@@ -441,7 +441,8 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     // all source rows land as fresh files
     val phys = new PhysPlan(s, s.schema)
     val w = writeFiles(phys.toPhysical(aligned), phys.writeSchema,
-      phys.physPartCols, phys.fieldIdWrite)
+      phys.physPartCols, phys.fieldIdWrite,
+      statsAllow = statsAllowOf(s.configuration, s.schema, phys.physNameOf))
 
     // CDF: matched keys are updates (pre image from the live scan, post
     // from the source), unmatched are inserts — the exact cdc shape
@@ -633,7 +634,8 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val w = writeFiles(
       phys.toPhysical(ColumnPolicies.enforce(
         align(updated, s.schema), s.schema, rulesU)),
-      phys.writeSchema, phys.physPartCols, phys.fieldIdWrite)
+      phys.writeSchema, phys.physPartCols, phys.fieldIdWrite,
+      statsAllow = statsAllowOf(s.configuration, s.schema, phys.physNameOf))
     val cdcW: Option[Written] =
       if (!cdfEnabled) None
       else {
@@ -882,7 +884,8 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           .drop("__graft_salt")
       }
     val w = writeFiles(packed, phys.writeSchema, phys.physPartCols,
-      phys.fieldIdWrite)
+      phys.fieldIdWrite,
+      statsAllow = statsAllowOf(s.configuration, s.schema, phys.physNameOf))
 
     val now = System.currentTimeMillis()
     val lines = scala.collection.mutable.ArrayBuffer[String]()
@@ -1196,10 +1199,35 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
 
+  /** Physical-name allow-set for the stats pass, honoring the table's
+    * data-skipping configuration: `delta.dataSkippingStatsColumns` (an
+    * explicit logical-name list) outranks
+    * `delta.dataSkippingNumIndexedCols` (stats for the first N schema
+    * columns, delta's wide-table cost lever — at 100 TB a 500-column
+    * table statting everything pays 1500 aggregates per file for columns
+    * nobody filters on); absent or -1 → all columns, this writer's
+    * historical behavior. */
+  private def statsAllowOf(
+      config: Map[String, String], logicalSchema: StructType,
+      physOf: String => String): Option[Set[String]] =
+    config.get("delta.dataSkippingStatsColumns") match {
+      case Some(cols) => Some(cols.split(',').toSeq.map(_.trim)
+        .filter(_.nonEmpty).map(c =>
+          physOf(c.stripPrefix("`").stripSuffix("`"))).toSet)
+      case None =>
+        config.get("delta.dataSkippingNumIndexedCols")
+          .flatMap(v => scala.util.Try(v.trim.toInt).toOption) match {
+          case Some(n) if n >= 0 =>
+            Some(logicalSchema.fields.take(n).toSeq.map(f => physOf(f.name)).toSet)
+          case _ => None
+        }
+    }
+
   private def writeFiles(
       aligned: DataFrame, writeSchema: StructType,
       physPartCols: Seq[String], fieldIdWrite: Boolean = false,
-      baseDir: String = "graft_data", withStats: Boolean = true): Written = {
+      baseDir: String = "graft_data", withStats: Boolean = true,
+      statsAllow: Option[Set[String]] = None): Written = {
     // data files land inside the table under a per-commit unique dir — the
     // protocol allows any relative path, and an uncommitted dir is
     // invisible to every Delta reader until the JSON commit publishes.
@@ -1243,7 +1271,8 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     // columns prune via partitionValues, not stats)
     val lowerParts = physPartCols.map(_.toLowerCase).toSet
     val statCols = writeSchema.fields.filter(f =>
-      statEligible(f.dataType) && !lowerParts.contains(f.name.toLowerCase)).toSeq
+      statEligible(f.dataType) && !lowerParts.contains(f.name.toLowerCase) &&
+        statsAllow.forall(_.contains(f.name))).toSeq
     val statsByFile: Map[String, String] =
       if (parts.isEmpty || !withStats) Map.empty
       else {
@@ -1450,7 +1479,8 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       }
     val aligned = phys.toPhysical(checked)
 
-    val w = writeFiles(aligned, writeSchema, physPartCols, phys.fieldIdWrite)
+    val w = writeFiles(aligned, writeSchema, physPartCols, phys.fieldIdWrite,
+      statsAllow = statsAllowOf(s.configuration, outSchema, phys.physNameOf))
     // identity high-water mark after this batch, read off the written
     // files' stats pass — advances the schema metadata in this commit
     val newHwm: Option[Long] = idSpec.flatMap(is =>
@@ -1840,7 +1870,9 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     else
       DeltaLogMirror.publishCheckpoint(spark, fsu, logDir, v,
         Seq(protoRow, metaRow) ++ addRows ++ rmRows ++ dmRows ++ txnRows,
-        ForeignDeltaTable.checkpointSchema)
+        ForeignDeltaTable.checkpointSchema,
+        partSize = s.configuration.get("delta.checkpoint.partSize")
+          .flatMap(x => scala.util.Try(x.trim.toLong).toOption))
   }
 
   private def snapAdds(s: DeltaTable.Snapshot): Seq[String] =

@@ -172,6 +172,36 @@ class DeltaLogMirrorSpec extends SparkSuite {
     assert(m.get(VersionedTable.CdfProp).contains("true")) // graft key kept too
   }
 
+  test("delta.checkpoint.partSize: the mirror writes protocol multi-part checkpoints") {
+    val root = tmpDir("dlm-multicp")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((0, "seed")).toDF("id", "s")) // v0
+    t.setProperties(Map("delta.checkpoint.partSize" -> "4")) // v1
+    (1 to 9).foreach(i => t.append(Seq((i, s"r$i")).toDF("id", "s"))) // ..v10
+    val dlog = new java.io.File(s"$root/_delta_log")
+    val names = dlog.listFiles().map(_.getName)
+    assert(!names.contains("00000000000000000010.checkpoint.parquet"),
+      "partSize table must not write the single-file form")
+    val parts = names.filter(_.matches(
+      """00000000000000000010\.checkpoint\.\d{10}\.\d{10}\.parquet""")).sorted
+    assert(parts.length >= 2, s"expected multi-part checkpoint, got ${names.toSeq}")
+    val lc = mapper.readTree(new java.io.File(s"$root/_delta_log/_last_checkpoint"))
+    assert(lc.get("version").asLong() == 10L)
+    assert(lc.get("parts").asInt() == parts.length)
+    // an external reader's path: union of all parts = exactly one protocol
+    // row, one metaData row, and the live file set
+    val cpDf = spark.read.parquet(parts.map(p => s"$root/_delta_log/$p"): _*)
+    assert(lc.get("size").asLong() == cpDf.count())
+    assert(cpDf.filter(col("protocol").isNotNull).count() == 1)
+    assert(cpDf.filter(col("metaData").isNotNull).count() == 1)
+    val cpFiles = cpDf.filter(col("add").isNotNull)
+      .select("add.path", "add.size").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cpFiles == manifestFiles(root),
+      "multi-part checkpoint union must reconstruct the manifest file set")
+    assertMirrored(root) // full-JSON replay unchanged by checkpointing
+  }
+
   test("a mirror-only IO failure does not fail the committed write, and heals") {
     val root = tmpDir("dlm-iofail")
     val t = new VersionedTable(spark, root)

@@ -272,6 +272,57 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     assert(DeltaTable.read(spark, root).count() == 12L)
   }
 
+  test("data-skipping config bounds the stats pass (numIndexedCols / statsColumns)") {
+    val df = Seq((1L, "a", 10)).toDF("id", "s", "q")
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    def statsOfAppend(root: String): com.fasterxml.jackson.databind.JsonNode = {
+      val t = new ForeignDeltaTable(spark, root)
+      t.append(Seq((2L, "b", 20)).toDF("id", "s", "q"))
+      val commit = new String(Files.readAllBytes(java.nio.file.Paths.get(
+        root, "_delta_log", "00000000000000000001.json")), "UTF-8")
+      val add = commit.split('\n').filter(_.contains("\"add\"")).head
+      mapper.readTree(mapper.readTree(add).get("add").get("stats").asText())
+    }
+    // first-N rule: only `id` (schema column 1) gets min/max/nullCount
+    val p1 = tmpDir("fdw-skipn")
+    foreignTable(p1, df, config = """{"delta.dataSkippingNumIndexedCols":"1"}""")
+    val s1 = statsOfAppend(p1)
+    assert(s1.get("numRecords").asLong() == 1L)
+    assert(s1.get("minValues").has("id") && !s1.get("minValues").has("s") &&
+      !s1.get("minValues").has("q"))
+    assert(!s1.get("nullCount").has("s"))
+    // explicit list OUTRANKS the count: only `q` gets stats
+    val p2 = tmpDir("fdw-skipc")
+    foreignTable(p2, df, config = """{"delta.dataSkippingStatsColumns":"q",""" +
+      """"delta.dataSkippingNumIndexedCols":"1"}""")
+    val s2 = statsOfAppend(p2)
+    assert(s2.get("minValues").has("q") && !s2.get("minValues").has("id"))
+  }
+
+  test("delta.checkpoint.partSize: the checkpoint splits into protocol multi-part files") {
+    val root = tmpDir("fdw-multicp")
+    foreignTable(root, Seq((0L, "seed")).toDF("id", "s"),
+      config = """{"delta.checkpoint.partSize":"5"}""")
+    val t = new ForeignDeltaTable(spark, root)
+    (1 to 10).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s"))) // cp@10
+    val logFiles = new File(root, "_delta_log").listFiles().map(_.getName)
+    // multi-part form only — no single-file checkpoint
+    assert(!logFiles.contains("00000000000000000010.checkpoint.parquet"))
+    val parts = logFiles.filter(_.matches(
+      """00000000000000000010\.checkpoint\.\d{10}\.\d{10}\.parquet"""))
+    assert(parts.length >= 2, s"expected multi-part checkpoint, got ${logFiles.toSeq}")
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val lc = mapper.readTree(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", "_last_checkpoint")), "UTF-8"))
+    assert(lc.get("parts").asInt() == parts.length)
+    // the state resolves from the parts alone once early JSONs are gone
+    (0L to 5L).foreach(v => new File(root, f"_delta_log/$v%020d.json").delete())
+    assert(DeltaTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq
+      == (0L to 10L))
+    t.append(Seq((99L, "z")).toDF("id", "s"))
+    assert(DeltaTable.read(spark, root).count() == 12L)
+  }
+
   test("cleanupMetadata: expired logs below the newest expired checkpoint go") {
     val root = tmpDir("fdw-logclean")
     foreignTable(root, Seq((0L, "seed")).toDF("id", "s"))
