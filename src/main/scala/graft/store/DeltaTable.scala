@@ -62,14 +62,20 @@ object DeltaTable {
   /** Reader-relevant table features this reader actually implements.
     * (`vacuumProtocolCheck` constrains VACUUM — which
     * [[graft.store.ForeignDeltaTable.vacuum]] honors with a writer-feature
-    * protocol check before deleting anything; `timestampNtz`/
-    * `typeWidening-preview` read as plain parquet through Spark's
-    * reader.) */
+    * protocol check before deleting anything; `timestampNtz` reads as
+    * plain parquet through Spark's reader. `typeWidening`: files written
+    * before a widening keep their NARROW parquet type and the reader must
+    * serve them under the current wider schema — Spark 4's parquet
+    * readers, vectorized and parquet-mr both, perform exactly the
+    * protocol's promotion lattice (int32→long/double/decimal,
+    * float→double, date→timestamp_ntz — probed empirically), so the scan
+    * path needs nothing beyond passing the snapshot schema.) */
   private val SupportedReaderFeatures =
     Set("timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed", "domainMetadata",
       "inCommitTimestamp", "icebergCompatV1", "icebergCompatV2",
-      "columnMapping", "v2Checkpoint", "deletionVectors")
+      "columnMapping", "v2Checkpoint", "deletionVectors",
+      "typeWidening", "typeWidening-preview")
 
   /** One live file as recorded by the log (path still raw/percent-encoded).
     * `baseRowId`/`defaultRowCommitVersion` carry the row-tracking fields

@@ -454,6 +454,49 @@ class DeltaReaderSpec extends SparkSuite {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("typeWidening: pre-widening narrow files read under the widened schema") {
+    val root = tmpDir("dt-widen")
+    val log = s"$root/_delta_log"
+    // v0: int id, float score — the NARROW vintage
+    val narrow = StructType(Seq(
+      StructField("id", IntegerType), StructField("score", FloatType)))
+    val (f0, s0) = onePart(root, spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1, 1.5f),
+        org.apache.spark.sql.Row(2, 2.5f)), narrow))
+    writeCommit(log, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(narrow),
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1000,"dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"id\\":1},\\"maxValues\\":{\\"id\\":2},\\"nullCount\\":{\\"id\\":0}}"}}"""))
+    // v1: the owner engine widens id→long, score→double (protocol
+    // typeWidening in BOTH feature lists + delta.typeChanges field
+    // metadata, the PROTOCOL.md Type Widening shape)
+    val wide = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        Metadata.fromJson("""{"delta.typeChanges":[{"fromType":"integer","toType":"long","tableVersion":1}]}""")),
+      StructField("score", DoubleType, nullable = true,
+        Metadata.fromJson("""{"delta.typeChanges":[{"fromType":"float","toType":"double","tableVersion":1}]}"""))))
+    val (f1, s1) = onePart(root, Seq((3L, 3.5d)).toDF("id", "score"))
+    writeCommit(log, 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      metaLine(wide),
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,"modificationTime":2000,"dataChange":true,"stats":"{\\"numRecords\\":1,\\"minValues\\":{\\"id\\":3},\\"maxValues\\":{\\"id\\":3},\\"nullCount\\":{\\"id\\":0}}"}}"""))
+    val df = DeltaTable.read(spark, root)
+    assert(df.schema("id").dataType == LongType)
+    assert(df.schema("score").dataType == DoubleType)
+    assert(df.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    // the narrow file's int-vintage stats still prune under the long schema
+    val pf = DeltaTable.read(spark, root).filter($"id" >= 3L)
+    assert(pf.as[(Long, Double)].collect().toSeq == Seq((3L, 3.5)))
+    val idx = pf.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.DeltaFileIndex => g }
+    assert(idx.get.lastPruning.contains((1, 2)), s"got ${idx.get.lastPruning}")
+    // time travel to the narrow vintage serves the NARROW schema
+    assert(DeltaTable.read(spark, root, versionAsOf = Some(0L))
+      .schema("id").dataType == IntegerType)
+  }
+
   test("timestampAsOf resolves against commit mtimes") {
     val root = tmpDir("dt-ts")
     val t = new VersionedTable(spark, root)
