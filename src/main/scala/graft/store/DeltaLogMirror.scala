@@ -62,7 +62,8 @@ final class DeltaLogMirror(
   private case class State(
       version: Long, tableId: String, schemaJson: String,
       config: Map[String, String], files: Map[String, FileEntry],
-      dvProtocol: Boolean = false, cdfProtocol: Boolean = false)
+      dvProtocol: Boolean = false, cdfProtocol: Boolean = false,
+      twProtocol: Boolean = false)
 
   // one cold replay per instance, then incremental
   private var cached: Option[State] = None
@@ -80,6 +81,7 @@ final class DeltaLogMirror(
     var s = freshState
     var dvProto = false
     var cdfProto = false
+    var twProto = false
     val files = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
     (0L to upTo).foreach { v =>
       val p = logPath(v)
@@ -97,6 +99,8 @@ final class DeltaLogMirror(
           val rf = Option(pn.get("readerFeatures"))
           if (rf.exists(_.elements().asScala.exists(_.asText() == "deletionVectors")))
             dvProto = true
+          if (rf.exists(_.elements().asScala.exists(_.asText() == TypeWidening.Feature)))
+            twProto = true
           val wf = Option(pn.get("writerFeatures"))
           if (Option(pn.get("minWriterVersion")).exists(w => w.asInt() >= 4 && w.asInt() < 7) ||
               wf.exists(_.elements().asScala.exists(_.asText() == "changeDataFeed")))
@@ -115,7 +119,7 @@ final class DeltaLogMirror(
       }
     }
     s.copy(version = upTo, files = files.toMap,
-      dvProtocol = dvProto, cdfProtocol = cdfProto)
+      dvProtocol = dvProto, cdfProtocol = cdfProto, twProtocol = twProto)
   }
 
   /** Mirror everything up to (and including) manifest `m`. Called after
@@ -159,10 +163,11 @@ final class DeltaLogMirror(
     import org.apache.spark.sql.Row
     val now = System.currentTimeMillis()
     val protoRow =
-      if (state.dvProtocol)
-        Row(Row(3, 7, Seq("deletionVectors"),
-          Seq("appendOnly", "invariants", "deletionVectors") ++
-            (if (state.cdfProtocol) Seq("changeDataFeed") else Nil)), null, null, null)
+      if (state.dvProtocol || state.twProtocol) {
+        val (rs, ws) = DeltaLogMirror.featureLists(
+          state.dvProtocol, state.cdfProtocol, state.twProtocol)
+        Row(Row(3, 7, rs, ws), null, null, null)
+      }
       else if (state.cdfProtocol) Row(Row(1, 4, null, null), null, null, null)
       else Row(Row(1, 2, null, null), null, null, null)
     // same config translation emitMetaData applies to the JSON commits:
@@ -246,20 +251,41 @@ final class DeltaLogMirror(
     val targetHasDv = target.exists(_.dirs.exists(_.dv.nonEmpty))
     val targetCdf = target.exists(
       _.properties.get(VersionedTable.CdfProp).contains("true"))
+    // graft-store schema drift that WIDENED an existing column (drift=Full,
+    // SchemaEvolution.widen): the pre-change mirrored files keep their
+    // narrow parquet type, so the mirrored metaData must carry the
+    // protocol's delta.typeChanges trail and the log must list the
+    // typeWidening feature — or external engines refuse/misread the old
+    // files. Changes OUTSIDE the Delta lattice (date→timestamp is
+    // graft-legal) emit unstamped: not representable, best-effort.
+    // The stamped schema is what `state.schemaJson` stores, so trails
+    // accumulate across commits and survive replay.
+    val (mirSchemaJson, targetTw) = target match {
+      case Some(man) if state.schemaJson.nonEmpty =>
+        val prev = DataType.fromJson(state.schemaJson).asInstanceOf[StructType]
+        val nw = DataType.fromJson(man.schemaJson).asInstanceOf[StructType]
+        val (stamped, ch) = TypeWidening.stamp(prev, nw)
+        (stamped.json, ch.exists(_.legalForDelta))
+      case Some(man) => (man.schemaJson, false)
+      case None => (state.schemaJson, false)
+    }
     val upgradeDv = targetHasDv && !state.dvProtocol
     val upgradeCdf = targetCdf && !state.cdfProtocol
+    val upgradeTw = targetTw && !state.twProtocol
     val needDv = targetHasDv || state.dvProtocol
     val needCdf = targetCdf || state.cdfProtocol
-    if (v == 0L || upgradeDv || upgradeCdf) {
+    val needTw = targetTw || state.twProtocol
+    if (v == 0L || upgradeDv || upgradeCdf || upgradeTw) {
       val pr = obj()
       val prn = pr.putObject("protocol")
-      if (needDv) {
+      if (needDv || needTw) {
         prn.put("minReaderVersion", 3)
         prn.put("minWriterVersion", 7)
-        prn.putArray("readerFeatures").add("deletionVectors")
+        val rf = prn.putArray("readerFeatures")
         val wf = prn.putArray("writerFeatures")
-        (Seq("appendOnly", "invariants", "deletionVectors") ++
-          (if (needCdf) Seq("changeDataFeed") else Nil)).foreach(wf.add)
+        DeltaLogMirror.featureLists(needDv, needCdf, needTw) match {
+          case (rs, ws) => rs.foreach(rf.add); ws.foreach(wf.add)
+        }
       } else if (needCdf) {
         prn.put("minReaderVersion", 1)
         prn.put("minWriterVersion", 4)
@@ -280,8 +306,8 @@ final class DeltaLogMirror(
         state.copy(version = v, schemaJson = fb.schemaJson, config = fb.properties)
       case None => state.copy(version = v) // heal gap: no-op commit
       case Some(man) =>
-        if (v == 0L || man.schemaJson != state.schemaJson || man.properties != state.config)
-          emitMetaData(man.schemaJson, man.properties)
+        if (v == 0L || mirSchemaJson != state.schemaJson || man.properties != state.config)
+          emitMetaData(mirSchemaJson, man.properties)
         // manifest DV entries → Delta descriptors ("p" storage: graft DV
         // container files use the protocol's exact on-disk block layout, so
         // an absolute path + offset is all an external reader needs)
@@ -371,11 +397,12 @@ final class DeltaLogMirror(
               lines += mapper.writeValueAsString(cdc)
             }
         }
-        state.copy(version = v, schemaJson = man.schemaJson,
+        state.copy(version = v, schemaJson = mirSchemaJson,
           config = man.properties,
           files = targetFiles.map { case (p, (sz, _, dv)) => p -> FileEntry(sz, dv) }.toMap,
           dvProtocol = state.dvProtocol || upgradeDv,
-          cdfProtocol = state.cdfProtocol || upgradeCdf)
+          cdfProtocol = state.cdfProtocol || upgradeCdf,
+          twProtocol = state.twProtocol || upgradeTw)
     }
     fsu.mkdirs(logDir)
     fsu.writeStringAtomic(logPath(v), lines.mkString("\n"))
@@ -388,6 +415,19 @@ object DeltaLogMirror {
 
   /** Delta's default checkpoint cadence. */
   val CheckpointInterval = 10L
+
+  /** (readerFeatures, writerFeatures) for the mirror's (3,7) protocol —
+    * one builder so the JSON commits and the checkpoint rows agree. */
+  private[store] def featureLists(
+      dv: Boolean, cdf: Boolean, tw: Boolean): (Seq[String], Seq[String]) = {
+    val rs = (if (dv) Seq("deletionVectors") else Nil) ++
+      (if (tw) Seq(TypeWidening.Feature) else Nil)
+    val ws = Seq("appendOnly", "invariants") ++
+      (if (dv) Seq("deletionVectors") else Nil) ++
+      (if (cdf) Seq("changeDataFeed") else Nil) ++
+      (if (tw) Seq(TypeWidening.Feature) else Nil)
+    (rs, ws)
+  }
 
   /** Publish `rows` as the classic parquet checkpoint for version `v`
     * plus the `_last_checkpoint` pointer — single-file, or MULTI-PART

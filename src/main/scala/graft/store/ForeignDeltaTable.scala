@@ -222,7 +222,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     cin.putObject("operationParameters")
     cin.put("engineInfo", "graft-foreign-delta-writer")
     lines += mapper.writeValueAsString(ci)
-    if (!hasDv) lines += protocolUpgradeLine(s)
+    if (!hasDv) lines += protocolUpgradeLine(s, "deletionVectors")
     lines ++= dvReAddLines(perFile, offs, addByAbs, uuidRef, now)
     cdcW.foreach(lines ++= cdcLines(_))
     val v = s.version + 1
@@ -240,12 +240,14 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     v
   }
 
-  /** The (3,7) protocol-upgrade action adding `deletionVectors`, with the
-    * legacy protocol's implied reader/writer features listed so the
-    * feature set stays complete after the upgrade (legacy reader version 2
-    * IS column mapping — the upgraded list must keep licensing the table's
-    * active columnMapping.mode). */
-  private def protocolUpgradeLine(s: DeltaTable.Snapshot): String = {
+  /** The (3,7) protocol-upgrade action adding `feature` (a reader+writer
+    * feature — deletionVectors, typeWidening), with the legacy protocol's
+    * implied reader/writer features listed so the feature set stays
+    * complete after the upgrade (legacy reader version 2 IS column
+    * mapping — the upgraded list must keep licensing the table's active
+    * columnMapping.mode). */
+  private def protocolUpgradeLine(
+      s: DeltaTable.Snapshot, feature: String): String = {
     val implied = s.minWriterVersion match {
       case v if v >= 7 => s.writerFeatures
       case v =>
@@ -264,9 +266,9 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       if (s.minReaderVersion >= 3) s.readerFeatures
       else if (s.minReaderVersion >= 2) Seq("columnMapping")
       else Nil
-    ((impliedReader :+ "deletionVectors").distinct).foreach(rf.add)
+    ((impliedReader :+ feature).distinct).foreach(rf.add)
     val wf = prn.putArray("writerFeatures")
-    (implied :+ "deletionVectors").distinct.foreach(wf.add)
+    (implied :+ feature).distinct.foreach(wf.add)
     mapper.writeValueAsString(pr)
   }
 
@@ -507,7 +509,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     cin.putObject("operationParameters")
     cin.put("engineInfo", "graft-foreign-delta-writer")
     lines += mapper.writeValueAsString(ci)
-    if (!hasDv) lines += protocolUpgradeLine(s)
+    if (!hasDv) lines += protocolUpgradeLine(s, "deletionVectors")
     // schema-metadata update riding the mutation (identity high-water
     // mark advanced by explicit MERGE inserts)
     metaSchema.filter(_.json != s.schema.json).foreach { ms =>
@@ -1043,7 +1045,13 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       // that does not cluster may still append (its files are simply
       // unclustered until the owner's next OPTIMIZE); the clustering
       // domain metadata rides the domainMetadata handling untouched
-      "clustering")
+      "clustering",
+      // honored: a drift=Full append widening an existing column stamps
+      // delta.typeChanges on the widened fields and refuses changes
+      // outside the Delta lattice or without the owner's
+      // delta.enableTypeWidening opt-in ([[TypeWidening]]); this writer
+      // never narrows a type
+      "typeWidening", "typeWidening-preview")
 
   private def validateWritable(s: DeltaTable.Snapshot, forOverwrite: Boolean): Unit = {
     val cm = s.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -1398,6 +1406,32 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           s"(was ${was.fold("absent")(_.simpleString)}, " +
           s"would become ${now.fold("absent")(_.simpleString)})")
     }
+    // Type Widening (PROTOCOL.md): an append whose drift=Full merge widens
+    // an EXISTING column leaves the pre-change files narrow on disk, so the
+    // protocol only licenses it through the typeWidening table feature —
+    // the change must be inside the Delta lattice (STRICTER than graft's
+    // own, [[TypeWidening.legal]]), the owner must have opted in via
+    // delta.enableTypeWidening, and the commit stamps delta.typeChanges on
+    // each widened field (done against the FRESH snapshot inside the
+    // commit loop). Overwrites are exempt: they remove every narrow file
+    // in the same commit. Widening a partition column was refused above
+    // (the protocol forbids widening partition/clustering columns).
+    val widened = if (overwrite) Nil else TypeWidening.changes(s.schema, merged)
+    if (widened.nonEmpty) {
+      val bad = widened.filterNot(_.legalForDelta)
+      if (bad.nonEmpty) refuse(
+        s"schema drift changes ${bad.mkString("; ")} — outside the Delta " +
+          "typeWidening lattice, other readers of this table could not " +
+          "serve the pre-change files")
+      if (!s.configuration.get(TypeWidening.EnableProp).exists(_.equalsIgnoreCase("true")))
+        refuse(s"schema drift widens ${widened.mkString("; ")} — that needs " +
+          s"the typeWidening table feature, and ${TypeWidening.EnableProp} " +
+          "is not set on the table; enabling type widening is a " +
+          "table-evolution decision for the owner engine")
+    }
+    // preview-variant entries carry tableVersion; stable entries must not
+    val twPreviewOnly = s.writerFeatures.contains(TypeWidening.PreviewFeature) &&
+      !s.writerFeatures.contains(TypeWidening.Feature)
     // Column mapping (PROTOCOL.md "Column Mapping", writer obligations):
     // data files carry PHYSICAL column names — parquet field ids too in id
     // mode — and stats/partitionValues key physically; the user-facing
@@ -1406,25 +1440,16 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     // .maxColumnId and delta-spark's `col-<uuid>` physical-name
     // convention (ids stamped on nested struct fields too), and the
     // commit's metaData bumps maxColumnId — the exact evolution
-    // delta-spark performs. WIDENING an existing mapped column still
-    // refuses (it would need the typeWidening table feature only the
-    // owner engine should enable); an overwrite may not DROP a mapped
-    // column for the same reason.
+    // delta-spark performs. WIDENING an existing mapped column rides the
+    // typeWidening gate above (physical names and field ids survive the
+    // widen — merge copies the old fields' metadata); an overwrite may not
+    // DROP a mapped column (a table-evolution decision for the owner).
     val mapped =
       s.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
     val (outSchema: StructType, configDelta: Map[String, String]) =
       if (!mapped) (merged, Map.empty[String, String])
       else {
         val byLower = s.schema.fields.map(f => f.name.toLowerCase -> f).toMap
-        merged.fields.foreach { f =>
-          byLower.get(f.name.toLowerCase).foreach { of =>
-            if (of.dataType.catalogString != f.dataType.catalogString)
-              refuse("schema drift under column mapping — widening column " +
-                s"${of.name} (${of.dataType.simpleString} → " +
-                s"${f.dataType.simpleString}) needs the typeWidening table " +
-                "feature only the table's owner engine should enable")
-          }
-        }
         val mergedLower = merged.fields.map(_.name.toLowerCase).toSet
         s.schema.fields.foreach { of =>
           if (!mergedLower.contains(of.name.toLowerCase))
@@ -1432,8 +1457,11 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
               "dropping a mapped column is a table-evolution decision for " +
               "the owner engine")
         }
+        // base on MERGED, not s.schema: overlapping fields carry their
+        // mapping metadata through the merge (ids/physical names survive a
+        // typeWidening-licensed widen); only ADDED fields need fresh ids
         val added = merged.fields.filterNot(f => byLower.contains(f.name.toLowerCase))
-        if (added.isEmpty) (s.schema, Map.empty[String, String])
+        if (added.isEmpty) (merged, Map.empty[String, String])
         else {
           val IdKey = "delta.columnMapping.id"
           val PhysKey = "delta.columnMapping.physicalName"
@@ -1458,7 +1486,8 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
                 .putString(PhysKey, s"col-${UUID.randomUUID()}").build())
           }
           val stamped = added.map(stamp)
-          (StructType(s.schema.fields ++ stamped),
+          val keep = merged.fields.filter(f => byLower.contains(f.name.toLowerCase))
+          (StructType(keep ++ stamped),
             Map("delta.columnMapping.maxColumnId" -> nextId.toString))
         }
       }
@@ -1534,6 +1563,13 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       val configNow = cur.configuration ++ configDelta
       val now = System.currentTimeMillis()
       val v = cur.version + 1
+      // typeWidening trail: stamp delta.typeChanges on every widened field
+      // against the FRESH snapshot's schema (a retry re-diffs — a
+      // concurrent writer may already have applied the same widen)
+      val (mergedFinal, twChangesNow) =
+        if (overwrite) (mergedNow, Nil)
+        else TypeWidening.stamp(cur.schema, mergedNow,
+          if (twPreviewOnly) Some(v) else None)
       // a concurrent retry of the SAME idempotent batch may have won the
       // race while we were losing it — re-check the watermark against the
       // re-resolved snapshot and bail as a no-op (staged files become
@@ -1562,14 +1598,21 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         txn2.put("lastUpdated", now)
         lines += mapper.writeValueAsString(tx)
       }
-      if (mergedNow.json != cur.schema.json || configNow != cur.configuration) {
+      // a widening commit on a table without the feature lists it first:
+      // the owner's delta.enableTypeWidening=true (vetted above) IS the
+      // opt-in delta-spark would have stamped the protocol with
+      val curHasTw = cur.writerFeatures.contains(TypeWidening.Feature) ||
+        cur.writerFeatures.contains(TypeWidening.PreviewFeature)
+      if (twChangesNow.nonEmpty && !curHasTw)
+        lines += protocolUpgradeLine(cur, TypeWidening.Feature)
+      if (mergedFinal.json != cur.schema.json || configNow != cur.configuration) {
         val md = obj()
         val mdn = md.putObject("metaData")
         mdn.put("id", if (cur.tableId.nonEmpty) cur.tableId else UUID.randomUUID().toString)
         val fmt = mdn.putObject("format")
         fmt.put("provider", "parquet")
         fmt.putObject("options")
-        mdn.put("schemaString", mergedNow.json)
+        mdn.put("schemaString", mergedFinal.json)
         val pcArr = mdn.putArray("partitionColumns")
         partCols.foreach(pcArr.add)
         val cfg = mdn.putObject("configuration")
