@@ -30,7 +30,7 @@ import graft.functions.TextFunctions._
   * entries otherwise accumulate local disk for the session's lifetime.
   */
 object Dedup {
-  import Caching.{spillPersist, spillPersistEager}
+  import Caching.{spillPersist, spillPersistEager, spread}
 
   /** Unpersist every intermediate the pipeline operators persisted since
     * the last call (shared registry — see [[Caching.release]]). Call AFTER
@@ -140,7 +140,7 @@ object Dedup {
     // source in the un-materialized plan). DISK_ONLY, not localCheckpoint:
     // at 100 TB the ~16 narrow rows/doc must spill to local disk, not pin
     // executor storage memory (round-2 verdict watch-item).
-    val bucketed = spillPersistEager(shingleSets(df.select(col(idCol).as("id"), col(textCol)), "id", textCol, shingleN)
+    val bucketed = spillPersistEager(shingleSets(spread(df.select(col(idCol).as("id"), col(textCol))), "id", textCol, shingleN)
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket")))
@@ -181,7 +181,7 @@ object Dedup {
       .putLong(MinhashMetaNumHashes, numHashes.toLong)
       .putLong(MinhashMetaBands, bands.toLong)
       .putLong(MinhashMetaShingleN, shingleN.toLong).build()
-    shingleSets(df.select(col(idCol).as("id"), col(textCol)), "id", textCol, shingleN)
+    shingleSets(spread(df.select(col(idCol).as("id"), col(textCol))), "id", textCol, shingleN)
       .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
       .select(col("id"),
         lshBands(col("sig"), bands, rowsPerBand).as("buckets", buildMeta),
@@ -298,12 +298,15 @@ object Dedup {
     // exchanges are pure fixed cost — shingle the full corpus once and
     // stream the pairs straight into the verify joins instead.
     val p = if (restrictSetsToCandidates) spillPersist(pairs) else pairs
-    val setsBase =
+    // spread: the shingle+sort pass below is CPU-dense, and BOTH branches
+    // inherit the source scan's partitioning (a broadcast semi-join adds
+    // no exchange) — a one-row-group corpus file would run it on one core
+    val setsBase = spread(
       if (restrictSetsToCandidates) {
         val ids = p.select(col("id_a").as(idCol))
           .unionByName(p.select(col("id_b").as(idCol))).distinct()
-        df.join(ids, Seq(idCol), "left_semi")
-      } else df
+        df.select(col(idCol), col(textCol)).join(ids, Seq(idCol), "left_semi")
+      } else df.select(col(idCol), col(textCol)))
     // both pair sides broadcast these sets under different aliases (no
     // exchange reuse across aliases) — persist so doc shingling runs
     // once, not once per broadcast build
@@ -379,7 +382,7 @@ object Dedup {
     // sorted hashed shingles: the verify step's per-pair intersect is a
     // native merge walk (see verifyJaccard) — sort once per doc here
     val hsets = spillPersistEager(
-      shingleSets(df.select(col(idCol).as("id"), col(textCol)), "id", textCol, shingleN)
+      shingleSets(spread(df.select(col(idCol).as("id"), col(textCol))), "id", textCol, shingleN)
         .select(col("id"), size(col("sh")).cast("long").as("sz"),
           sort_array(transform(col("sh"), s => xxhash64(s))).as("hs")))
     val posting0 = hsets.select(col("id"), col("sz"), explode(col("hs")).as("shh"))
@@ -425,8 +428,9 @@ object Dedup {
     * exactly, making hamming-bounded output contracts testable. */
   def simhashed(df: DataFrame, idCol: String, textCol: String,
       polyHash: Boolean = false): DataFrame =
-    df.select(col(idCol).as("id"),
-      graft.functions.NativeHash.simhash64(tokens(col(textCol)), polyHash).as("sig"))
+    spread(df.select(col(idCol).as("id"), col(textCol).as("__gr_text")))
+      .select(col("id"),
+        graft.functions.NativeHash.simhash64(tokens(col("__gr_text")), polyHash).as("sig"))
 
   /** SimHash near-duplicate pairs: band the 64-bit signature into
     * `numChunks` equal-width chunks (pigeonhole guarantees recall for
@@ -778,9 +782,11 @@ object Dedup {
         .limit(0).select("id_a", "id_b"))
     // feeds the size census + ok + hot branches — persist (vectors are the
     // heavy payload; spill, don't pin)
-    val withB = spillPersistEager(df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.hyperplaneBuckets(col(vecCol), planes, tables, dim).as("buckets"))
-      .select(col("id"), col("v"), explode(col("buckets")).as("b")))
+    val withB = spillPersistEager(
+      spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+        .select(col("id"), col("v"),
+          Similarity.hyperplaneBuckets(col("v"), planes, tables, dim).as("buckets"))
+        .select(col("id"), col("v"), explode(col("buckets")).as("b")))
     val oversized = withB.groupBy("b")
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
       .select("b")
@@ -1016,9 +1022,10 @@ object Dedup {
     // base feeds the prefix index, the short set AND both verify joins —
     // persist so tokenize+hash runs once (spill-safe, released by
     // releaseIntermediates)
-    val base = spillPersistEager(df.select(col(idCol).as("__id"), t.as("__txt"),
-      length(t).cast("long").as("__len"), qg.as("__qg"),
-      size(qg).cast("long").as("__nq")))
+    val base = spillPersistEager(spread(df.select(col(idCol), t.as(textCol)))
+      .select(col(idCol).as("__id"), t.as("__txt"),
+        length(t).cast("long").as("__len"), qg.as("__qg"),
+        size(qg).cast("long").as("__nq")))
     val shortCap = maxDist.toLong * q
     // ---- path 1: rare-prefix candidates (docs with at least one q-gram)
     val posting0 = base.select(col("__id"), explode(col("__qg")).as("qh"))
@@ -1133,9 +1140,10 @@ object Dedup {
       persistPositions: Boolean = false,
       candidateObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val posH0 = df.select(col(idCol).as("doc_id"),
-      posexplode(graft.functions.NativeHash.kgramWindowHashes(col(textCol), k))
-        .as(Seq("pos", "h")))
+    val posH0 = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("__gr_text")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.NativeHash.kgramWindowHashes(col("__gr_text"), k))
+          .as(Seq("pos", "h")))
     // The position stream is consumed TWICE (duplicated-hash census, then
     // the candidate join; AQE broadcasts the census so there is no
     // exchange to reuse between them). Default = recompute: the stream is
@@ -1207,9 +1215,10 @@ object Dedup {
       train: DataFrame, trainIdCol: String, trainTextCol: String,
       bench: DataFrame, benchTextCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val tPos = train.select(col(trainIdCol).as("doc_id"),
-      posexplode(graft.functions.NativeHash.kgramWindowHashes(col(trainTextCol), k))
-        .as(Seq("pos", "h")))
+    val tPos = spread(train.select(col(trainIdCol).as("doc_id"), col(trainTextCol).as("__gr_text")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.NativeHash.kgramWindowHashes(col("__gr_text"), k))
+          .as(Seq("pos", "h")))
     val bPos = bench.select(col(benchTextCol).as("__btext"),
       posexplode(graft.functions.NativeHash.kgramWindowHashes(col(benchTextCol), k))
         .as(Seq("bpos", "h")))

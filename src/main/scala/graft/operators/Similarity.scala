@@ -91,8 +91,9 @@ object Similarity {
           org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType)))))
     require(queryVec.length == dim,
       s"query vector dim ${queryVec.length} != corpus dim $dim")
-    val corpus = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(hyperplaneBucketsExpr(col(vecCol), planes, tables, dim)).as("b"))
+    val corpus = Caching.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .select(col("id"), col("v"),
+        explode(hyperplaneBucketsExpr(col("v"), planes, tables, dim)).as("b"))
     val qBuckets = bucketsOf(queryVec, planes, tables)
     val candidates = corpus.filter(col("b").isin(qBuckets: _*))
       .dropDuplicates("id")
@@ -245,9 +246,11 @@ object Similarity {
   def ivfAssign(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Double]]): DataFrame =
-    df.select(col(idCol).as("id"),
-      nearestCentroid(col(vecCol), centroids).as("cell"),
-      col(vecCol).as("v"))
+    // spread: k centroid distances per row is the CPU-dense pass; a
+    // one-row-group corpus file would otherwise assign on a single core
+    Caching.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .select(col("id"), nearestCentroid(col("v"), centroids).as("cell"),
+        col("v"))
 
   /** Cell-occupancy census of an IVF assignment: (cell, n). ≤ k rows out.
     * The incremental-maintenance shape for a rolling index: census each
@@ -397,10 +400,11 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       codebooks: Seq[Array[Double]], m: Int = 8, k: Int = 16): DataFrame = {
     val subDim = codebooks.head.length
-    df.select(col(idCol).as("id"),
-      graft.functions.NativeHash.pqCodes(col(vecCol),
-        codebooks.toArray, m, k, subDim).as("codes"),
-      col(vecCol).as("v"))
+    Caching.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .select(col("id"),
+        graft.functions.NativeHash.pqCodes(col("v"),
+          codebooks.toArray, m, k, subDim).as("codes"),
+        col("v"))
   }
 
   /** PQ top-k with exact rerank: ADC-score every row against the query's
@@ -435,11 +439,12 @@ object Similarity {
       centroids: Seq[Array[Double]], codebooks: Seq[Array[Double]],
       m: Int = 8, k: Int = 16): DataFrame = {
     val subDim = codebooks.head.length
-    df.select(col(idCol).as("id"),
-      nearestCentroid(col(vecCol), centroids).as("cell"),
-      graft.functions.NativeHash.pqCodes(col(vecCol),
-        codebooks.toArray, m, k, subDim).as("codes"),
-      col(vecCol).as("v"))
+    Caching.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .select(col("id"),
+        nearestCentroid(col("v"), centroids).as("cell"),
+        graft.functions.NativeHash.pqCodes(col("v"),
+          codebooks.toArray, m, k, subDim).as("codes"),
+        col("v"))
   }
 
   /** IVF-PQ top-k over a prebuilt [[ivfPqAssign]] index: probe `nprobe`
