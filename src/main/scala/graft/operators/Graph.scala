@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for training-data pipelines.
+  *
+  * Web-crawl quality filtering classically ranks pages by link centrality
+  * (PageRank/harmonic over the crawl graph) and keeps the head — the same
+  * signal a pretraining mix wants per document. This is the Spark-first,
+  * ENGINE-EXACT form: every score is scaled integer arithmetic (truncating
+  * integer division, order-independent integer sums), so an external
+  * engine replays the identical numbers — no float mass vector whose value
+  * depends on summation order.
+  *
+  * Scale shape (100 TB of edges): each iteration is one equi-join of the
+  * edge list against the (node, score) relation on src plus one groupBy
+  * dst — both shuffles on well-distributed node keys, the standard
+  * message-passing round. Nothing reaches the driver; iteration count is
+  * fixed (the contract is "k damped rounds", not convergence detection,
+  * so the gate is deterministic at any scale). Scores persist per round
+  * (spill-safe) so round n+1 reads a materialized round n instead of
+  * recursively recomputing the whole prefix.
+  */
+object Graph {
+
+  /** Damped PageRank after `iters` synchronous rounds, in scaled-integer
+    * arithmetic. Nodes = every id appearing as src or dst. Each node
+    * starts at 10^9. One round:
+    *
+    *   contrib(j → i) = (s_j * dampNum) div (dampDen * outdeg_j)
+    *   s'_i           = ((10^9 * (dampDen - dampNum)) div dampDen)
+    *                    + Σ_j contrib(j → i)
+    *
+    * (default damp 85/100 — the classic 0.85). Truncating div matches
+    * DuckDB's `//`; the sum is an integer sum, so the result is
+    * bit-reproducible across engines and partitionings. Dangling nodes
+    * (outdeg 0) emit no mass — their share simply decays, the usual
+    * no-redistribution variant; total mass is NOT conserved and the
+    * contract is the per-node recurrence above, not a probability vector.
+    *
+    * Input `edges` must have columns (src, dst); duplicate edges count
+    * multiply (pre-`distinct` them for simple-graph semantics). Returns
+    * (id, pr_x1e9). */
+  def pageRankX1e9(
+      edges: DataFrame, iters: Int = 3,
+      dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
+    // edge list feeds the node set, the outdegree relation and every
+    // round's join — materialize once, spill-safe
+    val e = Caching.spillPersistEager(
+      edges.select(col("src"), col("dst")))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val base = lit(1000000000L * (dampDen - dampNum) / dampDen)
+    var scores = Caching.spillPersistEager(
+      nodes.select(col("id"), lit(1000000000L).as("pr_x1e9")))
+    (1 to iters).foreach { _ =>
+      val contrib = e
+        .join(scores.withColumnRenamed("id", "src"), "src")
+        .join(outdeg.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr(s"pr_x1e9 * $dampNum div (${dampDen}L * outdeg)"))
+          .as("mass"))
+      scores = Caching.spillPersistEager(
+        nodes.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (base + coalesce(col("mass"), lit(0L))).as("pr_x1e9")))
+    }
+    scores
+  }
+}

@@ -272,6 +272,82 @@ object TextCorpus {
     tf.join(dfq, "term").select(col(idCol), col("term"), col("tf"), col("df"))
   }
 
+  /** BM25 lexical retrieval (Robertson/Sparck-Jones), top-k docs for a
+    * literal term query — in EXACT integer arithmetic so any engine
+    * reproduces the ranking bit-for-bit. Standard BM25 takes ln() in the
+    * idf and float division in the length normalizer; two engines' libm
+    * can differ in ULPs, which flips ranks on near-ties. This variant
+    * keeps BM25's structure but replaces both with scaled truncating
+    * integer division (matching DuckDB's `//` exactly):
+    *
+    *   idf_x1e3(t) = ((2·(N − df_t) + 1) · 1000) div (2·df_t + 1)
+    *                 — the classic (N − df + 0.5)/(df + 0.5) ratio,
+    *                 scaled instead of log-damped
+    *   w_x1e6(t,d) = (tf·(k1N+k1D)·bD·TL·10^6)
+    *                 div (tf·k1D·bD·TL + k1N·(bD−bN)·TL + k1N·bN·len·N)
+    *                 — tf·(k1+1) / (tf + k1·(1−b + b·len/avglen)) with
+    *                 k1 = k1N/k1D, b = bN/bD and avglen = TL/N, cleared of
+    *                 denominators (TL = corpus token count)
+    *   score_x1e6(d) = Σ_t (idf_x1e3 · w_x1e6) div 1000
+    *
+    * Defaults k1 = 12/10, b = 3/4 — the classic 1.2/0.75. Returns
+    * (rank, doc_id, score_x1e6) for the k best (score desc, doc_id asc);
+    * only docs containing ≥ 1 query term score.
+    *
+    * Shape at 100 TB: one corpus pass for per-doc lengths (narrow rows,
+    * persisted), one for query-term occurrences — the isin filter runs
+    * map-side, so only matching (doc, term) rows ever shuffle; df per term
+    * is ≤ |q| rows (broadcast); the score is one aggregation keyed by doc
+    * and the top-k is a TakeOrdered, never a full sort. Only the two
+    * corpus totals (N, TL) reach the driver. Long arithmetic bounds: the
+    * widest product is tf·(k1N+k1D)·bD·TL·10^6 — safe to ~10^5-token docs
+    * over a ~10^12-token corpus; beyond that, rescale the weights. */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1Num: Int = 12, k1Den: Int = 10,
+      bNum: Int = 3, bDen: Int = 4): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1Num >= 0 && k1Den > 0, "k1 must be a non-negative rational")
+    require(bNum >= 0 && bDen > 0 && bNum <= bDen, "b must be in [0, 1]")
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val toks = Caching.spread(df.select(col(idCol).as("doc_id"), col(textCol).as("__gr_text")))
+      .select(col("doc_id"), TextFunctions.tokens(col("__gr_text")).as("__t"))
+    // narrow per-doc lengths, persisted: feeds the corpus totals AND the
+    // per-doc normalizer join
+    val lens = Caching.spillPersistEager(
+      toks.select(col("doc_id"), size(col("__t")).cast("long").as("len")))
+    val totRow = lens.agg(count(lit(1)).cast("long"), sum("len")).head()
+    val nDocs = totRow.getLong(0)
+    val totLen = Option(totRow.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (nDocs == 0L || totLen == 0L)
+      return lens.select(lit(0L).as("rank"), col("doc_id"),
+        lit(0L).as("score_x1e6")).limit(0)
+    val occ = toks.select(col("doc_id"), explode(col("__t")).as("term"))
+      .filter(col("term").isin(q: _*))
+    val tf = occ.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term) — df_t is a count over them; ≤ |q|
+    // rows, broadcast into the scoring join
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wNum = (k1Num + k1Den).toLong * bDen
+    val wDen1 = k1Den.toLong * bDen
+    val wDen2 = k1Num.toLong * (bDen - bNum)
+    val wDen3 = k1Num.toLong * bNum
+    val scored = tf.join(broadcast(dfq), "term").join(lens, "doc_id")
+      .select(col("doc_id"),
+        expr(s"(((2 * (${nDocs}L - df) + 1) * 1000) div (2 * df + 1)) * " +
+          s"((tf * ${wNum}L * ${totLen}L * 1000000) div " +
+          s"(tf * ${wDen1}L * ${totLen}L + ${wDen2}L * ${totLen}L + " +
+          s"${wDen3}L * len * ${nDocs}L)) div 1000").as("c"))
+      .groupBy("doc_id").agg(sum("c").as("score_x1e6"))
+      .orderBy(col("score_x1e6").desc, col("doc_id").asc).limit(k)
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_x1e6").desc, col("doc_id").asc)).cast("long"))
+      .select("rank", "doc_id", "score_x1e6")
+  }
+
   /** Statistical (corpus-LM) novelty scoring — the integer-exact core of
     * CCNet-style language-model filtering: train a bigram model on the
     * corpus itself, score each document by how many of its bigrams are NOT

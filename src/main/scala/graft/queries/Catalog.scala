@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity, TextCorpus}
+import graft.operators.{Dedup, Graph, Similarity, TextCorpus}
 
 /** The driver-contract query catalog: every operator of SURVEY.md §2 plus
   * the training-data-pipeline operators, each as a deterministic DataFrame
@@ -1201,6 +1201,72 @@ object Catalog {
           dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
             FROM occ GROUP BY 1)
         SELECT doc_id, term, tf, df FROM tf JOIN dfq USING (term)""")),
+
+    // BM25 lexical top-k in EXACT integer arithmetic (scaled rational idf,
+    // cleared-denominator length normalizer — TextCorpus.bm25TopK): ranks
+    // AND scores are engine-reproducible bit-for-bit, so the oracle replays
+    // the formula verbatim instead of containment-grading float ranks.
+    // Constants below are the k1=12/10, b=3/4 defaults cleared of
+    // denominators: 88 = (k1N+k1D)·bD, 40 = k1D·bD, 12 = k1N·(bD−bN),
+    // 36 = k1N·bN
+    Q("text_bm25_topk",
+      (s, d) => TextCorpus.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("merge", "window", "spark"), 10),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+          lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM toks),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(len) AS BIGINT) AS tl FROM lens),
+          occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM occ
+            WHERE term IN ('merge', 'window', 'spark') GROUP BY 1, 2),
+          dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT tf.doc_id,
+              CAST(sum((((2 * (tot.n - dfq.df) + 1) * 1000) // (2 * dfq.df + 1)) *
+                ((tf.tf * 88 * tot.tl * 1000000) //
+                 (tf.tf * 40 * tot.tl + 12 * tot.tl + 36 * lens.len * tot.n)) // 1000)
+                AS BIGINT) AS score_x1e6
+            FROM tf CROSS JOIN tot
+            JOIN dfq ON dfq.term = tf.term
+            JOIN lens ON lens.doc_id = tf.doc_id
+            GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY score_x1e6 DESC, doc_id) AS BIGINT) AS rank,
+          doc_id, score_x1e6
+        FROM sc ORDER BY score_x1e6 DESC, doc_id LIMIT 10""")),
+
+    // link-centrality quality signal (the crawl-graph PageRank classic),
+    // integer-exact: 3 damped message-passing rounds over the UNDIRECTED
+    // near-dup graph (both directions of the total-recall Jaccard pairs).
+    // Scaled truncating-div arithmetic means the oracle replays the exact
+    // recurrence — no float mass vector whose value depends on sum order
+    Q("graph_pagerank",
+      (s, d) => {
+        val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.3)
+        val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        Graph.pageRankX1e9(e, iters = 3)
+          .select(col("id").as("doc_id"), col("pr_x1e9"))
+      },
+      Some(s"""WITH tp AS (${jaccardTruthSql(300)}),
+          e AS (SELECT id_a AS src, id_b AS dst FROM tp
+            UNION ALL SELECT id_b, id_a FROM tp),
+          nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY 1),
+          s0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+          c1 AS (SELECT e.dst AS id, SUM((s.pr * 85) // (100 * d.outdeg)) AS mass
+            FROM e JOIN s0 s ON s.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
+          s1 AS (SELECT n.id, CAST(150000000 + COALESCE(c.mass, 0) AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN c1 c ON c.id = n.id),
+          c2 AS (SELECT e.dst AS id, SUM((s.pr * 85) // (100 * d.outdeg)) AS mass
+            FROM e JOIN s1 s ON s.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
+          s2 AS (SELECT n.id, CAST(150000000 + COALESCE(c.mass, 0) AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN c2 c ON c.id = n.id),
+          c3 AS (SELECT e.dst AS id, SUM((s.pr * 85) // (100 * d.outdeg)) AS mass
+            FROM e JOIN s2 s ON s.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
+          s3 AS (SELECT n.id, CAST(150000000 + COALESCE(c.mass, 0) AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN c3 c ON c.id = n.id)
+        SELECT id AS doc_id, pr AS pr_x1e9 FROM s3""")),
 
     // deterministic stratified sampling: LCG bucket arithmetic reproduces
     // bit-for-bit in any engine — the training-mix rate table, with the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Graph, Similarity, TextCorpus}
 import graft.multimodal.Multimodal
 
 /** Unit specs for the training-data-pipeline operators (dedup, similarity,
@@ -680,5 +680,47 @@ class PipelineOpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 10L), (1L, 11L)))
     spark.catalog.dropTempView("ij_test")
+  }
+
+  test("pageRankX1e9: hand-computed rounds, dangling node, determinism") {
+    // 1→2, 2→1, 2→3; node 3 dangles (outdeg 0)
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    def scores(iters: Int): Map[Long, Long] =
+      Graph.pageRankX1e9(e, iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: base 150e6; 1←2: (1e9·85) div 200 = 425e6; 2←1: 850e6
+    assert(scores(1) == Map(
+      1L -> 575000000L, 2L -> 1000000000L, 3L -> 575000000L))
+    // round 2: 2←1: (575e6·85) div 100 = 488750000; 1←2, 3←2: (1e9·85) div 200
+    assert(scores(2) == Map(
+      1L -> 575000000L, 2L -> 638750000L, 3L -> 575000000L))
+    // iters=0 = the init vector; repeated runs identical (integer-exact)
+    assert(scores(0).values.toSet == Set(1000000000L))
+    assert(scores(3) == scores(3))
+    Dedup.releaseIntermediates()
+  }
+
+  test("bm25TopK: hand-computed integer scores, rank order, absent terms") {
+    val df = docs(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian durian durian"))
+    // N=3, TL=8; df(apple)=1 → idf_x1e3 = 5000 div 3 = 1666;
+    // df(banana)=2 → idf_x1e3 = 3000 div 5 = 600
+    // d1: apple tf=2 len=3 → w = 1408000000 div 1060 = 1328301,
+    //     c = (1666·1328301) div 1000 = 2212949
+    //     banana tf=1 → w = 704000000 div 740 = 951351, c = 570810
+    // d2: banana tf=1 len=2 → w = 704000000 div 632 = 1113924, c = 668354
+    val got = TextCorpus.bm25TopK(df, "doc_id", "text",
+        Seq("apple", "banana", "zzz_absent"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2212949L + 570810L),
+      (2L, 2L, 668354L)))
+    // k cuts the list; doc without query terms never appears
+    val top1 = TextCorpus.bm25TopK(df, "doc_id", "text", Seq("banana"), 1)
+      .collect().map(_.getLong(1)).toSeq
+    assert(top1 == Seq(2L)) // shorter doc wins the length normalizer
+    Dedup.releaseIntermediates()
   }
 }
