@@ -168,4 +168,25 @@ class DeltaStreamSpec extends SparkSuite {
       == Seq(0L, 1L, 2L, 3L))
     assert(DeltaTable.latestTxnVersion(spark, tbl, "sinkA").contains(1L))
   }
+
+  test("foreign source honors maxCommitsPerTrigger; AvailableNow drains fully") {
+    val root = tmpDir("dss-rate"); val sink = tmpDir("dss-ratesink") + "/out"
+    val ckpt = tmpDir("dss-rateckpt")
+    foreignTable(root, (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s"))
+    val t = new ForeignDeltaTable(spark, root)
+    (1 to 4).foreach(v =>
+      t.append((v * 10L until v * 10L + 10).map(i => (i, s"r$i")).toDF("id", "s")))
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("startingVersion", "0").option("maxCommitsPerTrigger", "2")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // 5 commits (v0..v4) at cap 2 → 20+20+10 rows over 3 micro-batches
+    assert(q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0) ==
+      Seq(20L, 20L, 10L))
+    assert(spark.read.parquet(sink).select("id").as[Long].collect().sorted.toSeq
+      == (0L until 50L))
+  }
 }

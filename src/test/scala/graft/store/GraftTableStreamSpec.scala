@@ -141,4 +141,58 @@ class GraftTableStreamSpec extends SparkSuite {
     val got = drain(src, sink, ckpt, Map("ignoreDeletes" -> "true"))
     assert(got.map(_._1) == (0L until 13L)) // sink is append-only: old rows stay
   }
+
+  /** Like [[drain]] but returns the non-empty micro-batch row counts, so
+    * admission control is observable. */
+  private def drainCounts(src: String, sink: String, ckpt: String,
+      opts: Map[String, String]): Seq[Long] = {
+    val reader = spark.readStream.format("graft-table").option("path", src)
+    val q = opts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+  }
+
+  test("maxCommitsPerTrigger bounds each micro-batch; AvailableNow still drains fully") {
+    val src = tmpDir("gts-rate"); val sink = tmpDir("gts-ratesink") + "/out"
+    val ckpt = tmpDir("gts-rateckpt")
+    val t = table(src)
+    (0 until 5).foreach(i =>
+      t.append(spark.range(i * 10L, i * 10L + 10).select(col("id"), lit(i.toLong).as("k"))))
+    // startingVersion=0 → commits stream individually; cap 2 → 2+2+1
+    val batches = drainCounts(src, sink, ckpt,
+      Map("startingVersion" -> "0", "maxCommitsPerTrigger" -> "2"))
+    assert(batches == Seq(20L, 20L, 10L))
+    assert(spark.read.parquet(sink).count() == 50L)
+    // the rate limit persists across runs: 3 more commits, cap 1 → 1+1+1,
+    // resuming from the checkpointed position (no row re-delivered)
+    (5 until 8).foreach(i =>
+      t.append(spark.range(i * 10L, i * 10L + 10).select(col("id"), lit(i.toLong).as("k"))))
+    val batches2 = drainCounts(src, sink, ckpt,
+      Map("startingVersion" -> "0", "maxCommitsPerTrigger" -> "1"))
+    assert(batches2 == Seq(10L, 10L, 10L))
+    assert(spark.read.parquet(sink).collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 80L))
+  }
+
+  test("maxCommitsPerTrigger: plain initial snapshot is one uncapped unit") {
+    val src = tmpDir("gts-rate2"); val sink = tmpDir("gts-rate2sink") + "/out"
+    val ckpt = tmpDir("gts-rate2ckpt")
+    val t = table(src)
+    (0 until 4).foreach(i =>
+      t.append(spark.range(i * 10L, i * 10L + 10).select(col("id"), lit(i.toLong).as("k"))))
+    // no startingVersion: the first batch is the whole snapshot (40 rows)
+    // regardless of the cap; later commits then cap at 1 each
+    assert(drainCounts(src, sink, ckpt, Map("maxCommitsPerTrigger" -> "1")) ==
+      Seq(40L))
+    (4 until 6).foreach(i =>
+      t.append(spark.range(i * 10L, i * 10L + 10).select(col("id"), lit(i.toLong).as("k"))))
+    assert(drainCounts(src, sink, ckpt, Map("maxCommitsPerTrigger" -> "1")) ==
+      Seq(10L, 10L))
+  }
 }
