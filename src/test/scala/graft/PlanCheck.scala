@@ -84,7 +84,17 @@ object PlanCheck {
         // partial-aggregate map-side before their exchange
         p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin") &&
-          p.contains("partial_count")))
+          p.contains("partial_count")),
+      ("text_bm25_topk", "BM25: df broadcast, top-k via TakeOrdered, no cartesian",
+        // corpus totals fold in as driver scalars (no cross join); the
+        // per-term df side broadcasts; the final top-k is a TakeOrdered
+        p => p.contains("TakeOrderedAndProject") &&
+          p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      ("graph_pagerank", "PageRank rounds are keyed joins only (no cartesian/nested-loop)",
+        p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
     println("\n========== invariants ==========")
     var failed = 0
     checks.foreach { case (name, what, ok) =>
