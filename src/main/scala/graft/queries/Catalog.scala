@@ -1247,11 +1247,14 @@ object Catalog {
         Graph.pageRankX1e9(e, iters = 3)
           .select(col("id").as("doc_id"), col("pr_x1e9"))
       },
-      Some(s"""WITH tp AS (${jaccardTruthSql(300)}),
-          e AS (SELECT id_a AS src, id_b AS dst FROM tp
+      // `e` is referenced six times (nodes/deg/three contribution rounds):
+      // MATERIALIZED stops DuckDB inlining six copies of the shingle
+      // self-join (unmaterialized, the sf1 sweep spilled ~77 GB)
+      Some(s"""WITH tp AS MATERIALIZED (${jaccardTruthSql(300)}),
+          e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM tp
             UNION ALL SELECT id_b, id_a FROM tp),
-          nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-          deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
+          nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          deg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
             FROM e GROUP BY 1),
           s0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
           c1 AS (SELECT e.dst AS id, SUM((s.pr * 85) // (100 * d.outdeg)) AS mass

@@ -71,8 +71,34 @@ object Sf1Drive {
       case Some("scd2") => runScd2(spark)
       case Some("dv") => runDv(spark)
       case Some("foreign") => runForeign(spark)
+      case Some("graph") => runGraph(spark)
       case _ => runDocs(spark)
     }
+  }
+
+  /** Round-11 operator sweep: integer-exact PageRank over the 10× near-dup
+    * graph (the Catalog gate fn verbatim — per-copy token salting confines
+    * pairs within copies, so the 10× graph is ten disjoint copies of the
+    * sf0.1 graph and the centrality recurrence runs over 10× nodes/edges)
+    * and BM25 top-k with copy-salted query terms spanning three copies
+    * (N, TL, and every df shift 10×; the cross-copy terms make one ranking
+    * compete across copy sub-corpora). `tools/sf1_check.py graph` replays
+    * both oracles over the synthesized corpus. */
+  private def runGraph(spark: SparkSession): Unit = {
+    synthDocs(spark)
+    def run(g: String)(body: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      body.write.mode("overwrite").parquet(s"$outDir/$g")
+      graft.operators.Dedup.releaseIntermediates()
+      println(f"GATE $g ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"rows=${spark.read.parquet(s"$outDir/$g").count()}")
+    }
+    run("graph_pagerank")(
+      graft.queries.Catalog.queries("graph_pagerank")(spark, out))
+    run("text_bm25_topk")(
+      graft.operators.TextCorpus.bm25TopK(
+        spark.read.parquet(s"$out/documents.parquet"), "doc_id", "text",
+        Seq("merge_00", "window_33", "spark_77"), 10))
   }
 
   /** Foreign-writer migration path at 10× (round-11): full SCD2 load into

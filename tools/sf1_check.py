@@ -135,8 +135,35 @@ def main_foreign(oracle_path):
     sys.exit(0 if m else 1)
 
 
+def main_graph(oracle_path):
+    """Round-11 operator sweep: PageRank over the 10x near-dup graph (the
+    gate oracle verbatim — salting keeps pairs within copies, so the 10x
+    graph is ten disjoint sf0.1 graphs) and BM25 with copy-salted query
+    terms (the gate SQL with the term list swapped, like hybrid_topk's
+    handling in main_emb)."""
+    sqls = json.load(open(oracle_path))
+    ok = True
+    for g in ["graph_pagerank", "text_bm25_topk"]:
+        con = duckdb.connect()
+        con.execute("SET threads TO 32")
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF1}'")
+        sql = sqls[g]
+        if g == "text_bm25_topk":
+            assert "('merge', 'window', 'spark')" in sql
+            sql = sql.replace("('merge', 'window', 'spark')",
+                              "('merge_00', 'window_33', 'spark_77')")
+        t0 = time.time()
+        n_got, n_ora, m = compare(con, f"SELECT * FROM '{OUT}/{g}/*.parquet'", sql)
+        print(f"{g}: rows={n_got} oracle={n_ora} "
+              f"{'MATCH' if m else 'MISMATCH'} ({time.time() - t0:.0f}s)")
+        ok &= m
+        con.close()
+    print("SF1 GRAPH SWEEP:", "ALL MATCH" if ok else "FAILURES")
+    sys.exit(0 if ok else 1)
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a not in ("emb", "scd2", "dv", "foreign")]
+    args = [a for a in sys.argv[1:] if a not in ("emb", "scd2", "dv", "foreign", "graph")]
     oracle_path = args[0] if args else "/tmp/verify-out/oracle_sql.json"
     if "emb" in sys.argv[1:]:
         return main_emb(oracle_path)
@@ -146,6 +173,8 @@ def main():
         return main_dv(oracle_path)
     if "foreign" in sys.argv[1:]:
         return main_foreign(oracle_path)
+    if "graph" in sys.argv[1:]:
+        return main_graph(oracle_path)
     sqls = json.load(open(oracle_path))
     ok = True
     for g in GATES:
