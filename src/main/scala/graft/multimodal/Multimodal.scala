@@ -531,8 +531,12 @@ object Multimodal {
   def imageAHashes(media: DataFrame, grid: Int = 8): Dataset[ImageSig] = {
     require(grid >= 2 && grid * grid <= 64, s"grid² must fit 64 bits, got $grid")
     implicit val enc = Encoders.product[ImageSig]
-    media.filter(col("kind") === "image")
-      .select("media_id", "kind", "width", "height", "sample_rate", "n_frames", "payload")
+    // spread: per-row PNG decode is the heaviest kernel in the repo — a
+    // one-row-group media file must not decode on a single core
+    graft.operators.Caching.spread(
+        media.filter(col("kind") === "image")
+          .select("media_id", "kind", "width", "height", "sample_rate",
+            "n_frames", "payload"))
       .as(Encoders.product[MediaRow])
       .mapPartitions(_.flatMap { r =>
         if (!ImageCodec.isPng(r.payload)) None

@@ -700,6 +700,67 @@ class PipelineOpsSpec extends SparkSuite {
     Dedup.releaseIntermediates()
   }
 
+  test("pageRankX1e9: randomized graphs equal a driver-side reference") {
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val n = 2 + rnd.nextInt(30)
+      val edges = Seq.fill(1 + rnd.nextInt(80))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val iters = rnd.nextInt(4)
+      // driver reference: the exact integer recurrence
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      var ref = nodes.map(_ -> 1000000000L).toMap
+      (1 to iters).foreach { _ =>
+        val mass = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        edges.foreach { case (s, d) =>
+          mass(d) += ref(s) * 85L / (100L * outdeg(s))
+        }
+        ref = nodes.map(id => id -> (150000000L + mass(id))).toMap
+      }
+      val got = Graph.pageRankX1e9(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref, s"n=$n edges=${edges.size} iters=$iters")
+      Dedup.releaseIntermediates()
+    }
+  }
+
+  test("bm25TopK: randomized corpora equal a driver-side reference") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    (1 to 3).foreach { _ =>
+      val docs = (0L until (3 + rnd.nextInt(20)).toLong).map(i =>
+        (i, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val q = rnd.shuffle(vocab).take(1 + rnd.nextInt(3))
+      val k = 1 + rnd.nextInt(docs.size)
+      // driver reference: the exact integer formula over whitespace tokens
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val nDocs = docs.size.toLong
+      val tl = toks.values.map(_.size.toLong).sum
+      val dfT = q.map(t => t -> toks.values.count(_.contains(t)).toLong).toMap
+      val scores = docs.flatMap { case (id, _) =>
+        val len = toks(id).size.toLong
+        val cs = q.flatMap { t =>
+          val tf = toks(id).count(_ == t).toLong
+          if (tf == 0) None
+          else {
+            val idf = (2L * (nDocs - dfT(t)) + 1L) * 1000L / (2L * dfT(t) + 1L)
+            val w = tf * 88L * tl * 1000000L /
+              (tf * 40L * tl + 12L * tl + 36L * len * nDocs)
+            Some(idf * w / 1000L)
+          }
+        }
+        if (cs.isEmpty) None else Some(id -> cs.sum)
+      }
+      val ref = scores.sortBy { case (id, s) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((id, s), i) => (i + 1L, id, s) }
+      val got = TextCorpus.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text", q, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == ref, s"docs=${docs.size} q=$q k=$k")
+      Dedup.releaseIntermediates()
+    }
+  }
+
   test("bm25TopK: hand-computed integer scores, rank order, absent terms") {
     val df = docs(
       (1L, "apple banana apple"),
