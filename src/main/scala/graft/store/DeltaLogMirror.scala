@@ -147,7 +147,12 @@ final class DeltaLogMirror(
     (state.version + 1 to m.version).foreach { v =>
       val target = if (v == m.version) Some(m) else lookupManifest(v)
       state = emit(v, state, target, earliest)
-      if (v > 0 && v % CheckpointInterval == 0) writeCheckpoint(v, state)
+      // cadence: the table's delta.checkpointInterval property when set
+      // (rides graft table properties into the mirrored configuration,
+      // same key delta-spark reads), else the protocol default 10
+      val every = state.config.get("delta.checkpointInterval")
+        .map(_.trim.toLong).filter(_ > 0).getOrElse(CheckpointInterval)
+      if (v > 0 && v % every == 0) writeCheckpoint(v, state)
     }
     cached = Some(state)
   }

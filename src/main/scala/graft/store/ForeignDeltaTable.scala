@@ -236,7 +236,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           s"lost the commit race on Delta table $path at version $v — " +
             "re-run the delete against the fresh snapshot")
     }
-    if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
+    if (v % checkpointEvery(s.configuration) == 0) writeCheckpoint(v)
     v
   }
 
@@ -572,7 +572,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           s"lost the commit race on Delta table $path at version $v — " +
             s"re-run the ${opName.toLowerCase} against the fresh snapshot")
     }
-    if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
+    if (v % checkpointEvery(s.configuration) == 0) writeCheckpoint(v)
     v
   }
 
@@ -771,7 +771,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           s"lost the commit race on Delta table $path at version $v — " +
             "re-run the restore against the fresh snapshot")
     }
-    if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
+    if (v % checkpointEvery(cur.configuration) == 0) writeCheckpoint(v)
     v
   }
 
@@ -966,7 +966,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
             "re-run OPTIMIZE against the fresh snapshot (the staged " +
             s"rewrite dir ${w.dirName} ages out via vacuum)")
     }
-    if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
+    if (v % checkpointEvery(s.configuration) == 0) writeCheckpoint(v)
     v
   }
 
@@ -1678,7 +1678,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
                _: java.nio.file.FileAlreadyExistsException => false
         }
       if (claimed) {
-        if (v % DeltaLogMirror.CheckpointInterval == 0) writeCheckpoint(v)
+        if (v % checkpointEvery(cur.configuration) == 0) writeCheckpoint(v)
         return v
       }
       attempts += 1
@@ -1859,6 +1859,13 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     * tombstones (PROTOCOL.md requires them in checkpoints — other engines'
     * VACUUM depends on them; expiry honors
     * `delta.deletedFileRetentionDuration`, default one week). */
+  /** The owner's chosen checkpoint cadence — delta-spark's
+    * `delta.checkpointInterval` table property (default 10). Evaluated
+    * against the committing snapshot's config like delta-spark does. */
+  private def checkpointEvery(config: Map[String, String]): Long =
+    config.get("delta.checkpointInterval").map(_.trim.toLong).filter(_ > 0)
+      .getOrElse(DeltaLogMirror.CheckpointInterval)
+
   private def writeCheckpoint(v: Long): Unit = {
     import org.apache.spark.sql.Row
     val s = DeltaTable.snapshot(spark, path, versionAsOf = Some(v))

@@ -73,6 +73,20 @@ class DeltaReaderSpec extends SparkSuite {
     assert(DeltaTable.latestTxnVersion(spark, root, "appX").contains(6L))
   }
 
+  test("delta.checkpointInterval on a graft table drives the mirror's cadence") {
+    val root = tmpDir("dt-cpint")
+    val t = new VersionedTable(spark, root)
+    t.append(Seq((0L, "seed")).toDF("id", "s")) // v0
+    t.setProperties(Map("delta.checkpointInterval" -> "3")) // v1
+    (2 to 7).foreach(i => t.append(Seq((i.toLong, "x")).toDF("id", "s")))
+    def cp(v: Long) = new File(root, f"_delta_log/$v%020d.checkpoint.parquet")
+    assert(cp(3).exists && cp(6).exists, "cadence-3 mirror checkpoints")
+    assert(!cp(4).exists && !cp(5).exists && !cp(7).exists)
+    // the early checkpoint is a usable external snapshot
+    (0L to 2L).foreach(v => new File(root, f"_delta_log/$v%020d.json").delete())
+    assert(DeltaTable.read(spark, root).count() == 7L)
+  }
+
   test("rowIds: fresh derivation, DV stability, materialized override") {
     val root = tmpDir("dt-rowids")
     val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()

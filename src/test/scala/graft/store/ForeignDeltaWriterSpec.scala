@@ -245,6 +245,20 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     assert(DeltaTable.read(spark, root).count() == 11L)
   }
 
+  test("delta.checkpointInterval: the owner's cadence is honored (foreign writes)") {
+    val root = tmpDir("fdw-cpint")
+    foreignTable(root, Seq((0L, "seed")).toDF("id", "s"),
+      config = """{"delta.checkpointInterval": "2"}""")
+    val t = new ForeignDeltaTable(spark, root)
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, "x")).toDF("id", "s")))
+    def cp(v: Long) = new File(root, f"_delta_log/$v%020d.checkpoint.parquet")
+    assert(cp(2).exists && cp(4).exists, "cadence-2 checkpoints at v2/v4")
+    assert(!cp(1).exists && !cp(3).exists && !cp(5).exists)
+    // the checkpoint is a usable snapshot: drop the JSONs below it
+    (0L to 3L).foreach(v => new File(root, f"_delta_log/$v%020d.json").delete())
+    assert(DeltaTable.read(spark, root).count() == 6L)
+  }
+
   test("checkpointPolicy v2: the 10th commit writes a v2 manifest + sidecar, not classic") {
     val root = tmpDir("fdw-v2cp")
     val df = Seq((0L, "seed")).toDF("id", "s")
