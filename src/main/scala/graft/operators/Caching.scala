@@ -17,8 +17,11 @@ private[graft] object Caching {
     * meets or exceeds the core count and this is the IDENTITY — no shuffle
     * is ever added; when it fires, the round-robin exchange moves only the
     * rows the caller already projected (narrow (id, text) / (id, vec)).
-    * Computing the partition count plans the input physically (driver-side
-    * only, no job). */
+    * The partition probe plans the input physically: for a scan/projection
+    * that is driver-side only, but planning a JOIN executes its broadcast
+    * build (and, under AQE, its query stages) with no cross-query reuse —
+    * callers must pass the narrow pre-join projection and apply joins on
+    * top of the spread result (see Dedup.verifyJaccard). */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)

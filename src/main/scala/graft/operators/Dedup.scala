@@ -300,13 +300,19 @@ object Dedup {
     val p = if (restrictSetsToCandidates) spillPersist(pairs) else pairs
     // spread: the shingle+sort pass below is CPU-dense, and BOTH branches
     // inherit the source scan's partitioning (a broadcast semi-join adds
-    // no exchange) — a one-row-group corpus file would run it on one core
-    val setsBase = spread(
+    // no exchange) — a one-row-group corpus file would run it on one core.
+    // The spread wraps the NARROW PROJECTION and the semi-join is applied
+    // on top: spread's partition probe plans its input, and planning a
+    // join would execute the ids-distinct/broadcast-build stages once for
+    // the probe and again for the real query — probing the bare scan
+    // projection launches nothing
+    val narrow = spread(df.select(col(idCol), col(textCol)))
+    val setsBase =
       if (restrictSetsToCandidates) {
         val ids = p.select(col("id_a").as(idCol))
           .unionByName(p.select(col("id_b").as(idCol))).distinct()
-        df.select(col(idCol), col(textCol)).join(ids, Seq(idCol), "left_semi")
-      } else df.select(col(idCol), col(textCol)))
+        narrow.join(ids, Seq(idCol), "left_semi")
+      } else narrow
     // both pair sides broadcast these sets under different aliases (no
     // exchange reuse across aliases) — persist so doc shingling runs
     // once, not once per broadcast build

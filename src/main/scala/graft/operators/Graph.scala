@@ -39,6 +39,14 @@ object Graph {
     * no-redistribution variant; total mass is NOT conserved and the
     * contract is the per-node recurrence above, not a probability vector.
     *
+    * Arithmetic bounds: the per-edge multiply s_j · dampNum runs in
+    * DECIMAL(38,0) (a hub can aggregate > 10^17 mass, where a bare long
+    * multiply would overflow), mirrored by HUGEINT in the oracle — both
+    * exact integer arithmetic, identical values. Per-node scores stay
+    * longs: a score is bounded by the total graph mass ≈ |V| · 10^9, so
+    * the long representation holds to ~7 × 10^9 nodes; beyond that,
+    * lower the 10^9 score scale.
+    *
     * Input `edges` must have columns (src, dst); duplicate edges count
     * multiply (pre-`distinct` them for simple-graph semantics). Returns
     * (id, pr_x1e9). */
@@ -52,9 +60,13 @@ object Graph {
     // round's join — materialize once, spill-safe
     val e = Caching.spillPersistEager(
       edges.select(col("src"), col("dst")))
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    // node set and outdegree are loop-invariant — persist once, not one
+    // distinct + one groupBy over the full edge relation per round
+    val nodes = Caching.spillPersistEager(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
+    val outdeg = Caching.spillPersistEager(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg")))
     val base = lit(1000000000L * (dampDen - dampNum) / dampDen)
     var scores = Caching.spillPersistEager(
       nodes.select(col("id"), lit(1000000000L).as("pr_x1e9")))
@@ -63,7 +75,8 @@ object Graph {
         .join(scores.withColumnRenamed("id", "src"), "src")
         .join(outdeg.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
-        .agg(sum(expr(s"pr_x1e9 * $dampNum div (${dampDen}L * outdeg)"))
+        .agg(sum(expr(s"(CAST(pr_x1e9 AS DECIMAL(38,0)) * $dampNum) div " +
+            s"(${dampDen}L * outdeg)"))
           .as("mass"))
       scores = Caching.spillPersistEager(
         nodes.join(contrib, Seq("id"), "left")

@@ -299,9 +299,13 @@ object TextCorpus {
     * map-side, so only matching (doc, term) rows ever shuffle; df per term
     * is ≤ |q| rows (broadcast); the score is one aggregation keyed by doc
     * and the top-k is a TakeOrdered, never a full sort. Only the two
-    * corpus totals (N, TL) reach the driver. Long arithmetic bounds: the
-    * widest product is tf·(k1N+k1D)·bD·TL·10^6 — safe to ~10^5-token docs
-    * over a ~10^12-token corpus; beyond that, rescale the weights. */
+    * corpus totals (N, TL) reach the driver. Arithmetic bounds: the wide
+    * products (tf·(k1N+k1D)·bD·TL·10^6 exceeds a long already at
+    * tf·TL ≳ 10^11 — a few-billion-token corpus) run in DECIMAL(38,0),
+    * mirrored by HUGEINT in the oracle: exact integer arithmetic on both
+    * sides, identical values, safe to ~10^38 — far past any real corpus.
+    * Per-term contributions and the per-doc sum stay longs (bounded by
+    * idf ≤ (2N+1)·10^3/3 times w ≤ (k1+1)·10^6). */
   def bm25TopK(
       df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
@@ -334,12 +338,18 @@ object TextCorpus {
     val wDen1 = k1Den.toLong * bDen
     val wDen2 = k1Num.toLong * (bDen - bNum)
     val wDen3 = k1Num.toLong * bNum
+    // DECIMAL(38,0) intermediates: the tf·TL products overflow a long on
+    // multi-billion-token corpora; IntegralDivide over decimals truncates
+    // exactly like long `div` / DuckDB `//` and returns a long
     val scored = tf.join(broadcast(dfq), "term").join(lens, "doc_id")
       .select(col("doc_id"),
-        expr(s"(((2 * (${nDocs}L - df) + 1) * 1000) div (2 * df + 1)) * " +
-          s"((tf * ${wNum}L * ${totLen}L * 1000000) div " +
-          s"(tf * ${wDen1}L * ${totLen}L + ${wDen2}L * ${totLen}L + " +
-          s"${wDen3}L * len * ${nDocs}L)) div 1000").as("c"))
+        expr("(CAST(((2 * (" + nDocs + "L - df) + 1) * 1000) div (2 * df + 1) " +
+          "AS DECIMAL(38,0)) * " +
+          s"((CAST(tf AS DECIMAL(38,0)) * ${wNum}L * ${totLen}L * 1000000) div " +
+          s"(CAST(tf AS DECIMAL(38,0)) * ${wDen1}L * ${totLen}L + " +
+          s"CAST(${wDen2}L AS DECIMAL(38,0)) * ${totLen}L + " +
+          s"CAST(${wDen3}L AS DECIMAL(38,0)) * len * ${nDocs}L))) div 1000")
+          .as("c"))
       .groupBy("doc_id").agg(sum("c").as("score_x1e6"))
       .orderBy(col("score_x1e6").desc, col("doc_id").asc).limit(k)
     scored.withColumn("rank", row_number().over(

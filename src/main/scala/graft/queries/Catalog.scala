@@ -1221,9 +1221,10 @@ object Catalog {
             WHERE term IN ('merge', 'window', 'spark') GROUP BY 1, 2),
           dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
           sc AS (SELECT tf.doc_id,
-              CAST(sum((((2 * (tot.n - dfq.df) + 1) * 1000) // (2 * dfq.df + 1)) *
-                ((tf.tf * 88 * tot.tl * 1000000) //
-                 (tf.tf * 40 * tot.tl + 12 * tot.tl + 36 * lens.len * tot.n)) // 1000)
+              CAST(sum(CAST(((2 * (tot.n - dfq.df) + 1) * 1000) // (2 * dfq.df + 1) AS HUGEINT) *
+                ((CAST(tf.tf AS HUGEINT) * 88 * tot.tl * 1000000) //
+                 (CAST(tf.tf AS HUGEINT) * 40 * tot.tl + CAST(12 AS HUGEINT) * tot.tl +
+                  CAST(36 AS HUGEINT) * lens.len * tot.n)) // 1000)
                 AS BIGINT) AS score_x1e6
             FROM tf CROSS JOIN tot
             JOIN dfq ON dfq.term = tf.term
@@ -1257,15 +1258,15 @@ object Catalog {
           deg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
             FROM e GROUP BY 1),
           s0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
-          c1 AS (SELECT e.dst AS id, SUM((s.pr * 85) // (100 * d.outdeg)) AS mass
+          c1 AS (SELECT e.dst AS id, SUM((CAST(s.pr AS HUGEINT) * 85) // (100 * d.outdeg)) AS mass
             FROM e JOIN s0 s ON s.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
           s1 AS (SELECT n.id, CAST(150000000 + COALESCE(c.mass, 0) AS BIGINT) AS pr
             FROM nodes n LEFT JOIN c1 c ON c.id = n.id),
-          c2 AS (SELECT e.dst AS id, SUM((s.pr * 85) // (100 * d.outdeg)) AS mass
+          c2 AS (SELECT e.dst AS id, SUM((CAST(s.pr AS HUGEINT) * 85) // (100 * d.outdeg)) AS mass
             FROM e JOIN s1 s ON s.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
           s2 AS (SELECT n.id, CAST(150000000 + COALESCE(c.mass, 0) AS BIGINT) AS pr
             FROM nodes n LEFT JOIN c2 c ON c.id = n.id),
-          c3 AS (SELECT e.dst AS id, SUM((s.pr * 85) // (100 * d.outdeg)) AS mass
+          c3 AS (SELECT e.dst AS id, SUM((CAST(s.pr AS HUGEINT) * 85) // (100 * d.outdeg)) AS mass
             FROM e JOIN s2 s ON s.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
           s3 AS (SELECT n.id, CAST(150000000 + COALESCE(c.mass, 0) AS BIGINT) AS pr
             FROM nodes n LEFT JOIN c3 c ON c.id = n.id)

@@ -149,9 +149,12 @@ final class DeltaLogMirror(
       state = emit(v, state, target, earliest)
       // cadence: the table's delta.checkpointInterval property when set
       // (rides graft table properties into the mirrored configuration,
-      // same key delta-spark reads), else the protocol default 10
+      // same key delta-spark reads), else the protocol default 10.
+      // Tolerant parse — a junk property value must not fail the mirror
+      // of an already-committed graft write
       val every = state.config.get("delta.checkpointInterval")
-        .map(_.trim.toLong).filter(_ > 0).getOrElse(CheckpointInterval)
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .filter(_ > 0).getOrElse(CheckpointInterval)
       if (v > 0 && v % every == 0) writeCheckpoint(v, state)
     }
     cached = Some(state)

@@ -1861,9 +1861,14 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     * `delta.deletedFileRetentionDuration`, default one week). */
   /** The owner's chosen checkpoint cadence — delta-spark's
     * `delta.checkpointInterval` table property (default 10). Evaluated
-    * against the committing snapshot's config like delta-spark does. */
+    * against the committing snapshot's config like delta-spark does.
+    * TOLERANT parse: this runs AFTER the commit JSON is claimed, so a
+    * malformed value another tool wrote must fall back to the default,
+    * never make a durably-committed write appear to fail (the caller
+    * would retry and duplicate rows). */
   private def checkpointEvery(config: Map[String, String]): Long =
-    config.get("delta.checkpointInterval").map(_.trim.toLong).filter(_ > 0)
+    config.get("delta.checkpointInterval")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ > 0)
       .getOrElse(DeltaLogMirror.CheckpointInterval)
 
   private def writeCheckpoint(v: Long): Unit = {

@@ -2,9 +2,8 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow, Offset => V2Offset}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.StreamingBridge
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -36,7 +35,7 @@ final class DeltaStreamSource(
     sqlContext: SQLContext,
     path: String,
     options: Map[String, String])
-  extends Source with SupportsTriggerAvailableNow {
+  extends Source with CommitRateLimit {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private val spark = sqlContext.sparkSession
@@ -56,15 +55,13 @@ final class DeltaStreamSource(
     options.get("readchangefeed").exists(_.equalsIgnoreCase("true"))
   private val startingVersion: Option[Long] =
     options.get("startingversion").map(_.toLong)
-  /** Admission control (same contract as [[GraftTableSource]]): at most
-    * this many Delta commits per micro-batch; the plain-mode initial
-    * snapshot is one uncappable unit. */
-  private val maxCommits: Option[Long] =
-    options.get("maxcommitspertrigger").map(_.toLong).map { n =>
-      require(n >= 1, s"maxCommitsPerTrigger must be >= 1, got $n")
-      n
-    }
-  @volatile private var pos: Option[Long] = None
+
+  // maxCommitsPerTrigger admission control — see [[CommitRateLimit]]
+  override protected def rlOptions: Map[String, String] = options
+  override protected def liveLatestVersion: Option[Long] =
+    Some(DeltaTable.snapshot(spark, path).version)
+  override protected def rlCdf: Boolean = cdf
+  override protected def rlStartingVersion: Option[Long] = startingVersion
 
   override val schema: StructType = {
     val logical = DeltaTable.snapshot(spark, path).schema
@@ -78,52 +75,13 @@ final class DeltaStreamSource(
         org.apache.spark.sql.types.TimestampType)))
   }
 
-  private def versionOf(o: V2Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => throw new IllegalStateException(s"unexpected offset $other")
-  }
-
-  private def freshBase: Option[Long] =
-    if (cdf) Some(startingVersion.getOrElse(0L) - 1)
-    else startingVersion.map(_ - 1)
-
-  @volatile private var availableNowLatch: Long = -1L
-  @volatile private var latched = false
-
-  override def prepareForTriggerAvailableNow(): Unit = {
-    availableNowLatch = DeltaTable.snapshot(spark, path).version
-    latched = true
-  }
-
-  override def getDefaultReadLimit: ReadLimit =
-    maxCommits.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
-
-  /** Admission-controlled offset resolution — same contract as
-    * [[GraftTableSource.latestOffset]]. */
-  override def latestOffset(startOffset: V2Offset, limit: ReadLimit): V2Offset = {
-    val live = DeltaTable.snapshot(spark, path).version
-    val latest = if (latched) math.min(availableNowLatch, live) else live
-    val cap = limit match {
-      case r: ReadMaxRows => Some(r.maxRows())
-      case _ => None
-    }
-    val base = Option(startOffset).map(versionOf).orElse(pos).orElse(freshBase)
-    val endV = cap match {
-      case Some(m) => base.fold(latest)(b => math.min(latest, b + m))
-      case None => latest
-    }
-    pos = Some(math.max(endV, pos.getOrElse(Long.MinValue)))
-    LongOffset(endV)
-  }
-
   override def getOffset: Option[Offset] =
     Some(LongOffset(versionOf(latestOffset(null, getDefaultReadLimit))))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
     // restart replay precedes any getOffset — sync the rate-limit base
-    pos = Some(math.max(endV, pos.getOrElse(Long.MinValue)))
+    syncPos(endV)
     val batch =
       if (cdf) {
         val fromV = start.map(versionOf(_) + 1)

@@ -1,9 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow, Offset => V2Offset}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.StreamingBridge
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
@@ -46,7 +45,7 @@ final class GraftTableSource(
     sqlContext: SQLContext,
     path: String,
     options: Map[String, String])
-  extends Source with SupportsTriggerAvailableNow {
+  extends Source with CommitRateLimit {
 
   private val spark = sqlContext.sparkSession
   private val table = new VersionedTable(spark, path)
@@ -67,22 +66,11 @@ final class GraftTableSource(
     * plain mode takes the full snapshot, CDF mode starts at version 0. */
   private val startingVersion: Option[Long] =
     options.get("startingversion").map(_.toLong)
-  /** Admission control — the Delta `maxFilesPerTrigger` analogue at graft's
-    * offset granularity: at most this many COMMITS per micro-batch, so a
-    * stream catching up on a long table history drains in bounded batches
-    * instead of one giant range (bounded state, bounded sink transactions).
-    * The plain-mode initial snapshot is ONE unit (a snapshot is not
-    * splittable by commits); with `startingVersion` (or CDF mode) the
-    * first range is capped like any other. */
-  private val maxCommits: Option[Long] =
-    options.get("maxcommitspertrigger").map(_.toLong).map { n =>
-      require(n >= 1, s"maxCommitsPerTrigger must be >= 1, got $n")
-      n
-    }
-  /** Highest version handed to the engine (getBatch syncs it on restart
-    * replay, so a recovered stream rate-limits from its checkpoint, not
-    * from scratch). */
-  @volatile private var pos: Option[Long] = None
+  // maxCommitsPerTrigger admission control — see [[CommitRateLimit]]
+  override protected def rlOptions: Map[String, String] = options
+  override protected def liveLatestVersion: Option[Long] = table.latestVersion
+  override protected def rlCdf: Boolean = cdf
+  override protected def rlStartingVersion: Option[Long] = startingVersion
 
   override val schema: StructType =
     if (!cdf) table.schema
@@ -94,56 +82,6 @@ final class GraftTableSource(
       org.apache.spark.sql.types.StructField(
         VersionedTable.CommitTsCol, org.apache.spark.sql.types.TimestampType)))
 
-  private def versionOf(o: V2Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => throw new IllegalStateException(s"unexpected offset $other")
-  }
-
-  /** First-batch rate-limit base when no position is known: CDF /
-    * startingVersion ranges start just below their first version; the
-    * plain-mode initial snapshot has no base — it is ONE unit at `latest`
-    * (a snapshot is not splittable by commits). */
-  private def freshBase: Option[Long] =
-    if (cdf) Some(startingVersion.getOrElse(0L) - 1)
-    else startingVersion.map(_ - 1)
-
-  /** Trigger.AvailableNow latch: versions beyond it (commits racing the
-    * drain) wait for the next run — with the admission-control cap, the
-    * run drains to the latch in ⌈commits/maxCommitsPerTrigger⌉ batches. */
-  @volatile private var availableNowLatch: Option[Long] = None
-  @volatile private var latched = false
-
-  override def prepareForTriggerAvailableNow(): Unit = {
-    availableNowLatch = table.latestVersion
-    latched = true // empty-at-prepare stays empty: commits racing the run wait
-  }
-
-  override def getDefaultReadLimit: ReadLimit =
-    maxCommits.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
-
-  /** Admission-controlled offset resolution (the engine prefers this over
-    * [[getOffset]]): end = min(latest-or-latch, base + maxCommits), where
-    * base is the engine's start offset, falling back to the highest
-    * version this instance handed out, then to [[freshBase]]. */
-  override def latestOffset(startOffset: V2Offset, limit: ReadLimit): V2Offset = {
-    val live = table.latestVersion
-    val latest =
-      if (latched) availableNowLatch.flatMap(l => live.map(math.min(l, _)))
-      else live
-    val cap = limit match {
-      case r: ReadMaxRows => Some(r.maxRows())
-      case _ => None
-    }
-    val base = Option(startOffset).map(versionOf).orElse(pos).orElse(freshBase)
-    val endV = (latest, cap) match {
-      case (Some(l), Some(m)) => Some(base.fold(l)(b => math.min(l, b + m)))
-      case (l, _) => l
-    }
-    endV.foreach(v => pos = Some(math.max(v, pos.getOrElse(Long.MinValue))))
-    endV.map(LongOffset(_)).orNull
-  }
-
   override def getOffset: Option[Offset] =
     Option(latestOffset(null, getDefaultReadLimit))
       .map(o => LongOffset(versionOf(o)))
@@ -152,7 +90,7 @@ final class GraftTableSource(
     val endV = versionOf(end)
     // restart replay hands us the checkpointed range before any getOffset —
     // sync the rate-limit base so the recovered stream caps from there
-    pos = Some(math.max(endV, pos.getOrElse(Long.MinValue)))
+    syncPos(endV)
     val batch =
       if (cdf) {
         val fromV = start.map(versionOf(_) + 1)
