@@ -40,6 +40,24 @@ class JdbcSqlGenDialectSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(handled == Set("Name", "RowId", "Version"))
   }
 
+  test("tsql: append-only log shape — identity int pk, nvarchar(max), datetime default") {
+    // the reference's dbo.[log] fixture (tests/sqls/init_mssql.sql:17):
+    // identity pk needs no rendering (plain int), nvarchar(max) trims and
+    // caps (maxTextSize bounds the unbounded column), the delta-capable
+    // datetime passes through untouched — the AppendInserts load shape
+    val cols = Seq(
+      ColInfo("id", IntegerType, sourceType = Some("int")),
+      ColInfo("message", StringType, sourceType = Some("nvarchar")),
+      ColInfo("inserted_at", TimestampType, sourceType = Some("datetime")))
+    val cfg = WriteConfig(dataTypeMap = WriteConfig.tsqlTypeMap, maxTextSize = Some(300))
+    val (sql, handled) = JdbcSqlGen.projectedSql(cols, cfg, tsqlUrl,
+      Left("dbo.[log]")).get
+    assert(sql ==
+      """SELECT "id", SUBSTRING(LTRIM(RTRIM("message")), 1, 300) AS "message", """ +
+      """"inserted_at" FROM dbo.[log]""")
+    assert(handled == Set("message"))
+  }
+
   test("tsql: the T-SQL 'timestamp' alias of rowversion maps through tsqlTypeMap only") {
     val cols = Seq(ColInfo("TS", BinaryType, sourceType = Some("timestamp")))
     // with the tsql map: BIGINT cast renders
