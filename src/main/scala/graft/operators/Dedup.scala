@@ -426,6 +426,67 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_x1000")
   }
 
+  /** CONTAINMENT pairs — the asymmetric cousin of [[ngramJaccardPairs]]:
+    * C(A,B) = |A∩B| / min(|A|,|B|) ≥ `threshold`, which catches a small
+    * document QUOTED INSIDE a large one (Jaccard punishes the size gap:
+    * a 50-shingle doc fully contained in a 5000-shingle doc has J ≈ 0.01
+    * but C = 1.0) — the boilerplate/quotation detector a pretraining
+    * pipeline runs next to near-dup.
+    *
+    * Recall contract: TOTAL for every pair whose SMALLER side has at
+    * least `minShingles` distinct shingles (and both sides ≥ 1). The
+    * prefix-filter lemma needs a lower bound on the overlap to know how
+    * much of each doc must be indexed; containment only bounds it
+    * relative to the smaller side, so o = ⌈threshold · minShingles⌉ is
+    * the corpus-wide floor and every doc indexes its first
+    * |s| − o + 1 shingles in the canonical rarest-first order — any
+    * qualifying pair overlaps in ≥ o shingles and must collide in the
+    * indexed prefixes (pigeonhole). Pairs whose smaller side is below
+    * `minShingles` are OUT OF CONTRACT (they are near-empty docs;
+    * lower `minShingles` to chase them, at prefix-length cost).
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — hashed shingle
+    * sets persisted once (sorted, for the codegen merge-walk verify),
+    * prefix posting join keyed on the shingle hash, size-ratio-free
+    * exact verify (containment has no size-ratio prune: a 100× size gap
+    * is exactly what it looks for). Returns (id_a, id_b,
+    * containment_x1000) with id_a < id_b. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3,
+      minShingles: Int = 10): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
+    val o = math.ceil(threshold * minShingles).toLong.max(1L)
+    val hsets = spillPersistEager(
+      shingleSets(spread(df.select(col(idCol).as("id"), col(textCol))), "id", textCol, shingleN)
+        .select(col("id"), size(col("sh")).cast("long").as("sz"),
+          sort_array(transform(col("sh"), s => xxhash64(s))).as("hs")))
+    val posting = hsets.select(col("id"), col("sz"), explode(col("hs")).as("shh"))
+    val dfreq = posting.groupBy("shh").agg(count(lit(1)).as("sdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("sdf"), col("shh"))
+    // constant overlap floor o ⇒ prefix |s| − o + 1 for EVERY doc
+    val prefix = posting.join(dfreq, "shh")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - o + 1)
+      .select("shh", "id")
+    val cand = prefix.select(col("shh"), col("id").as("id_a"))
+      .join(prefix.select(col("shh"), col("id").as("id_b")), Seq("shh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val tX1000 = (threshold * 1000).toLong
+    cand
+      .join(hsets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a")), "id_a")
+      .join(hsets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b")), "id_b")
+      .filter(least(col("sz_a"), col("sz_b")) >= minShingles)
+      .withColumn("containment_x1000",
+        floor((graft.functions.NativeHash.sortedIntersectCount(col("hs_a"), col("hs_b")) * 1000L) /
+          least(col("sz_a"), col("sz_b"))).cast("long"))
+      .filter(col("containment_x1000") >= tX1000)
+      .select("id_a", "id_b", "containment_x1000")
+  }
+
   /** Per-row 64-bit SimHash of a document's token multiset, via the native
     * codegen'd expression ([[graft.functions.SimHash64]]). Returns (id, sig)
     * rows. `polyHash = true` swaps the xxhash64 token hash for the

@@ -1009,6 +1009,31 @@ object Catalog {
         maxHamming = 7, threshold = 0.9, numChunks = 8, polyHash = true),
       Some(simhashTruthSql(7, 900))),
 
+    // CONTAINMENT pairs — the asymmetric quote/boilerplate detector:
+    // |A∩B| / min(|A|,|B|) ≥ 0.8 with the documented ≥ 10-shingle floor
+    // on the smaller side (the prefix filter's recall bound); the oracle
+    // brute-forces the identical contract, so recall AND the integer
+    // per-mille values must match exactly
+    Q("dedup_containment",
+      (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8, minShingles = 10),
+      Some(s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks)-1),
+                i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+          FROM base),
+        sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+        posting AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST((i*1000) // least(sa.sz, sb.sz) AS BIGINT) AS containment_x1000
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE least(sa.sz, sb.sz) >= 10
+          AND (i*1000) // least(sa.sz, sb.sz) >= 800""")),
+
     // direct inverted-index n-gram Jaccard — guaranteed-total recall (any
     // J > 0 pair shares a shingle), so spark output ≡ oracle by construction
     Q("dedup_ngram_jaccard",

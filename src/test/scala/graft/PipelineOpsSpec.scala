@@ -682,6 +682,55 @@ class PipelineOpsSpec extends SparkSuite {
     spark.catalog.dropTempView("ij_test")
   }
 
+  test("containmentPairs: quoted small doc found where Jaccard misses it") {
+    val small = (1 to 12).map(i => s"tok$i").mkString(" ") // 10 3-shingles
+    val big = ((1 to 12) ++ (100 to 187)).map(i => s"tok$i").mkString(" ")
+    val other = (200 to 260).map(i => s"tok$i").mkString(" ")
+    val df = docs((1L, small), (2L, big), (3L, other))
+    val got = Dedup.containmentPairs(df, "doc_id", "text",
+        threshold = 0.8, minShingles = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // small has 10 shingles; 9 of them (all but the boundary shingle
+    // tok11 tok12 tok100... wait — big embeds tokens 1..12 as a prefix,
+    // so shingles tok10-tok11-tok12 survive and tok11-tok12-tok100 /
+    // tok12-tok100-tok101 replace nothing of small's: small's shingles
+    // are windows over 1..12 (10 of them) and big contains those whose
+    // three tokens all sit in 1..12 — all 10. C = 1000.
+    assert(got.toSeq == Seq((1L, 2L, 1000L)))
+    // Jaccard would have been 10 / (10 + 98 - 10) ≈ 0.10 — invisible at
+    // any usable threshold
+    val j = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.5)
+    assert(j.count() == 0)
+    Dedup.releaseIntermediates()
+  }
+
+  test("containmentPairs: randomized ≡ brute force within the size-floor contract") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    (1 to 3).foreach { _ =>
+      val docs0 = (0L until 40L).map { i =>
+        val n = 6 + rnd.nextInt(30)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      def shingles(t: String): Set[String] = {
+        val toks = t.split(" ").toSeq
+        if (toks.size <= 3) Set(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val ref = (for {
+        (ia, ta) <- docs0; (ib, tb) <- docs0 if ia < ib
+        sa = shingles(ta); sb = shingles(tb)
+        m = math.min(sa.size, sb.size) if m >= 5
+        c = sa.intersect(sb).size.toLong * 1000L / m if c >= 700L
+      } yield (ia, ib, c)).toSet
+      val got = Dedup.containmentPairs(docs0.toDF("doc_id", "text"), "doc_id", "text",
+          threshold = 0.7, minShingles = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == ref, s"seedcase: got ${got.size} ref ${ref.size}")
+      Dedup.releaseIntermediates()
+    }
+  }
+
   test("pageRankX1e9: hand-computed rounds, dangling node, determinism") {
     // 1→2, 2→1, 2→3; node 3 dangles (outdeg 0)
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
