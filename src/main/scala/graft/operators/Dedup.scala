@@ -487,6 +487,93 @@ object Dedup {
       .select("id_a", "id_b", "containment_x1000")
   }
 
+  private[graft] val ContainmentMetaShingleN = "graft.containment.shingleN"
+  private[graft] val ContainmentMetaOverlap = "graft.containment.minOverlap"
+
+  /** Persistable containment corpus INDEX: one row per doc with its size,
+    * sorted hashed shingle set (the verify store), and its rarest-first
+    * PREFIX hashes of length |s| − o + 1 under the build corpus's
+    * canonical document-frequency order, o = ⌈threshold · minShingles⌉.
+    * Write as parquet and feed [[containmentIncremental]] — a daily batch
+    * is then containment-checked against an N-billion-doc corpus without
+    * re-reading or re-shingling corpus text. Build params ride the schema
+    * metadata (like [[minhashIndex]]) so a mismatched query raises. */
+  def containmentIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3,
+      minShingles: Int = 10): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
+    val o = math.ceil(threshold * minShingles).toLong.max(1L)
+    val buildMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ContainmentMetaShingleN, shingleN.toLong)
+      .putLong(ContainmentMetaOverlap, o).build()
+    val hsets = spillPersistEager(
+      shingleSets(spread(df.select(col(idCol).as("id"), col(textCol))), "id", textCol, shingleN)
+        .select(col("id"), size(col("sh")).cast("long").as("sz"),
+          sort_array(transform(col("sh"), s => xxhash64(s))).as("hs")))
+    val posting = hsets.select(col("id"), col("sz"), explode(col("hs")).as("shh"))
+    val dfreq = posting.groupBy("shh").agg(count(lit(1)).as("sdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("sdf"), col("shh"))
+    val prefixes = posting.join(dfreq, "shh")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - o + 1)
+      .groupBy("id").agg(collect_list(col("shh")).as("prefix"))
+    hsets.join(prefixes, Seq("id"), "left")
+      .select(col("id"), col("sz"), col("hs"),
+        coalesce(col("prefix"), array().cast("array<bigint>")).as("prefix", buildMeta))
+  }
+
+  /** Containment pairs between a NEW batch and a [[containmentIndex]] —
+    * the rolling-ingest form: the batch is shingled once and posts ALL its
+    * shingle hashes; the index side contributes only its STORED prefixes.
+    * Recall stays total for in-contract pairs by pigeonhole: a qualifying
+    * pair shares ≥ o shingles, and an index doc's prefix excludes only its
+    * o − 1 canonically-last shingles, so at least one shared shingle sits
+    * in the stored prefix — the batch side needs no canonical order at
+    * all, which is what makes the incremental form possible (global
+    * document frequencies shift as the corpus grows; stored prefixes
+    * don't). Verification intersects the batch's sorted hashes with the
+    * hashes STORED in the index — corpus text is never touched. Returns
+    * (id_a = index doc, id_b = batch doc, containment_x1000); batch ids
+    * must be disjoint from index ids (same contract as
+    * [[minhashLshIncremental]] — id-identical pairs are excluded
+    * structurally). */
+  def containmentIncremental(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3,
+      minShingles: Int = 10): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val o = math.ceil(threshold * minShingles).toLong.max(1L)
+    index.schema.find(_.name == "prefix").map(_.metadata).foreach { m =>
+      def chk(key: String, passed: Long, label: String): Unit =
+        if (m.contains(key)) require(m.getLong(key) == passed,
+          s"containment index was built with $label=${m.getLong(key)}, caller passed $passed")
+      chk(ContainmentMetaShingleN, shingleN.toLong, "shingleN")
+      chk(ContainmentMetaOverlap, o, "minOverlap ⌈t·minShingles⌉")
+    }
+    val bsets = spillPersistEager(
+      shingleSets(spread(batch.select(col(idCol).as("id"), col(textCol))), "id", textCol, shingleN)
+        .select(col("id"), size(col("sh")).cast("long").as("sz"),
+          sort_array(transform(col("sh"), s => xxhash64(s))).as("hs")))
+    val iPost = index.select(col("id").as("id_a"), explode(col("prefix")).as("shh"))
+    val bPost = bsets.select(col("id").as("id_b"), explode(col("hs")).as("shh"))
+    val cand = iPost.join(bPost, Seq("shh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val tX1000 = (threshold * 1000).toLong
+    cand
+      .join(index.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a")), "id_a")
+      .join(bsets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b")), "id_b")
+      .filter(least(col("sz_a"), col("sz_b")) >= minShingles)
+      .withColumn("containment_x1000",
+        floor((graft.functions.NativeHash.sortedIntersectCount(col("hs_a"), col("hs_b")) * 1000L) /
+          least(col("sz_a"), col("sz_b"))).cast("long"))
+      .filter(col("containment_x1000") >= tX1000)
+      .select("id_a", "id_b", "containment_x1000")
+  }
+
   /** Per-row 64-bit SimHash of a document's token multiset, via the native
     * codegen'd expression ([[graft.functions.SimHash64]]). Returns (id, sig)
     * rows. `polyHash = true` swaps the xxhash64 token hash for the

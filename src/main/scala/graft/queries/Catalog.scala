@@ -1034,6 +1034,47 @@ object Catalog {
         WHERE least(sa.sz, sb.sz) >= 10
           AND (i*1000) // least(sa.sz, sb.sz) >= 800""")),
 
+    // INCREMENTAL containment: corpus indexed once (stored prefixes under
+    // the build-time canonical order + sorted shingle hashes), round-trips
+    // through parquet, then a batch of every-7th-doc copies is checked
+    // against the index WITHOUT touching corpus text — the batch posts ALL
+    // its shingles, so no canonical-order agreement is needed (the
+    // pigeonhole recall argument in Dedup.containmentIncremental). Oracle
+    // recomputes exact batch×corpus containment truth with the same floor
+    Q("dedup_containment_incremental",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+        val dir = java.nio.file.Files.createTempDirectory("graft-ct-idx")
+        Dedup.containmentIndex(corpus, "doc_id", "text",
+          threshold = 0.8, minShingles = 10).write
+          .mode("overwrite").parquet(dir.toString)
+        val index = s.read.parquet(dir.toString)
+        val batch = corpus.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val out = Dedup.containmentIncremental(batch, index, "doc_id", "text",
+          threshold = 0.8, minShingles = 10).localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some(s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks)-1),
+                i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+          FROM base),
+        batch AS (SELECT doc_id + 1000000 AS doc_id, sh FROM sets WHERE doc_id % 7 = 0),
+        pa AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+        pb AS (SELECT doc_id, unnest(sh) AS s FROM batch),
+        sa AS (SELECT doc_id, len(sh) AS sz FROM sets),
+        sb AS (SELECT doc_id, len(sh) AS sz FROM batch),
+        inter AS (SELECT pa.doc_id AS id_a, pb.doc_id AS id_b, count(*) AS i
+          FROM pa JOIN pb ON pa.s = pb.s GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST((i*1000) // least(sa.sz, sb.sz) AS BIGINT) AS containment_x1000
+        FROM inter JOIN sa ON sa.doc_id = id_a JOIN sb ON sb.doc_id = id_b
+        WHERE least(sa.sz, sb.sz) >= 10
+          AND (i*1000) // least(sa.sz, sb.sz) >= 800""")),
+
     // direct inverted-index n-gram Jaccard — guaranteed-total recall (any
     // J > 0 pair shares a shingle), so spark output ≡ oracle by construction
     Q("dedup_ngram_jaccard",

@@ -731,6 +731,39 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("containmentIncremental: equals batch-mode cross pairs; params enforced") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val corpus = (0L until 30L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val batch = (100L until 112L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // reference: run the BATCH operator over the union, keep cross pairs
+    val all = (corpus ++ batch).toDF("doc_id", "text")
+    val ref = Dedup.containmentPairs(all, "doc_id", "text",
+        threshold = 0.7, minShingles = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => (a < 100L) != (b < 100L) }
+      .map { case (a, b, c) => if (a < 100L) (a, b, c) else (b, a, c) }.toSet
+    val tmp = tmpDir("ct-idx")
+    Dedup.containmentIndex(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.7, minShingles = 5).write.mode("overwrite").parquet(tmp)
+    val index = spark.read.parquet(tmp)
+    val got = Dedup.containmentIncremental(batch.toDF("doc_id", "text"), index,
+        "doc_id", "text", threshold = 0.7, minShingles = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref, s"got ${got.size} ref ${ref.size}")
+    // build-param mismatch raises (metadata survives the parquet round trip)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.containmentIncremental(batch.toDF("doc_id", "text"), index,
+        "doc_id", "text", threshold = 0.9, minShingles = 5).count()
+    }
+    assert(e.getMessage.contains("minOverlap"))
+    Dedup.releaseIntermediates()
+  }
+
   test("pageRankX1e9: hand-computed rounds, dangling node, determinism") {
     // 1→2, 2→1, 2→3; node 3 dangles (outdeg 0)
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")

@@ -94,6 +94,9 @@ object PlanCheck {
           !p.contains("BroadcastNestedLoopJoin")),
       ("graph_pagerank", "PageRank rounds are keyed joins only (no cartesian/nested-loop)",
         p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      ("dedup_containment", "containment join rides the prefix posting index (no cartesian)",
+        p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")))
     println("\n========== invariants ==========")
     var failed = 0

@@ -33,7 +33,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `python3 tools/sf1_check.py` / `python3 tools/sf1_check.py emb`. */
 object Sf1Drive {
   val gates = Seq("dedup_spans", "dedup_minhash_incremental", "dedup_editdist",
-    "dedup_clusters", "dedup_simhash")
+    "dedup_clusters", "dedup_simhash", "dedup_containment")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry
     * verbatim; the three retrieval gates mirror the Catalog entry's code

@@ -20,7 +20,8 @@ import time
 
 SF1 = "/root/repo/tmp/sf1/documents.parquet/*.parquet"
 OUT = "/root/repo/tmp/sf1-out"
-GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_simhash"]
+GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_simhash",
+         "dedup_containment"]
 
 
 def compare(con, got_rel, oracle_sql):
