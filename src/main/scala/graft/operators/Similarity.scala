@@ -247,10 +247,15 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Double]]): DataFrame =
     // spread: k centroid distances per row is the CPU-dense pass; a
-    // one-row-group corpus file would otherwise assign on a single core
+    // one-row-group corpus file would otherwise assign on a single core.
+    // The result is then CLUSTERED BY CELL: `partitionBy("cell")` writes
+    // land one file per cell instead of one per upstream task × cell (the
+    // kernel still runs at full spread parallelism — the repartition
+    // exchange sits after the select)
     Caching.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .select(col("id"), nearestCentroid(col("v"), centroids).as("cell"),
         col("v"))
+      .repartition(col("cell"))
 
   /** Cell-occupancy census of an IVF assignment: (cell, n). ≤ k rows out.
     * The incremental-maintenance shape for a rolling index: census each
@@ -439,12 +444,14 @@ object Similarity {
       centroids: Seq[Array[Double]], codebooks: Seq[Array[Double]],
       m: Int = 8, k: Int = 16): DataFrame = {
     val subDim = codebooks.head.length
+    // cell-clustered like ivfAssign — one file per cell on partitioned writes
     Caching.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .select(col("id"),
         nearestCentroid(col("v"), centroids).as("cell"),
         graft.functions.NativeHash.pqCodes(col("v"),
           codebooks.toArray, m, k, subDim).as("codes"),
         col("v"))
+      .repartition(col("cell"))
   }
 
   /** IVF-PQ top-k over a prebuilt [[ivfPqAssign]] index: probe `nprobe`
