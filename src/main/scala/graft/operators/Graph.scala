@@ -58,10 +58,16 @@ object Graph {
       s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
     // edge list feeds the node set, the outdegree relation and every
     // round's join — materialize once, spill-safe
+    // the edge list is persisted HASH-PARTITIONED ON src: every round's
+    // two joins key on src, so the cached partitioning satisfies their
+    // distribution requirement and the (dominant) edge relation is never
+    // re-shuffled after round 0 — per round only the (node, score)
+    // relation exchanges
     val e = Caching.spillPersistEager(
-      edges.select(col("src"), col("dst")))
+      edges.select(col("src"), col("dst")).repartition(col("src")))
     // node set and outdegree are loop-invariant — persist once, not one
     // distinct + one groupBy over the full edge relation per round
+    // (outdeg inherits hash(src) from the groupBy, co-partitioned with e)
     val nodes = Caching.spillPersistEager(
       e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct())
