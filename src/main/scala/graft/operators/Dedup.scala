@@ -301,18 +301,21 @@ object Dedup {
     // spread: the shingle+sort pass below is CPU-dense, and BOTH branches
     // inherit the source scan's partitioning (a broadcast semi-join adds
     // no exchange) — a one-row-group corpus file would run it on one core.
-    // The spread wraps the NARROW PROJECTION and the semi-join is applied
-    // on top: spread's partition probe plans its input, and planning a
-    // join would execute the ids-distinct/broadcast-build stages once for
-    // the probe and again for the real query — probing the bare scan
-    // projection launches nothing
-    val narrow = spread(df.select(col(idCol), col(textCol)))
-    val setsBase =
+    // The partition-count PROBE runs against the bare projection (probing
+    // a join plan would execute its broadcast-build stages once for the
+    // probe and again for the real query), but the REPARTITION applies to
+    // the semi-joined result so only candidate-matched rows ever shuffle
+    val narrow = df.select(col(idCol), col(textCol))
+    val joined =
       if (restrictSetsToCandidates) {
         val ids = p.select(col("id_a").as(idCol))
           .unionByName(p.select(col("id_b").as(idCol))).distinct()
         narrow.join(ids, Seq(idCol), "left_semi")
       } else narrow
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val setsBase =
+      if (narrow.rdd.getNumPartitions >= target) joined
+      else joined.repartition(target)
     // both pair sides broadcast these sets under different aliases (no
     // exchange reuse across aliases) — persist so doc shingling runs
     // once, not once per broadcast build
@@ -376,38 +379,56 @@ object Dedup {
     * than that many docs from the index via a broadcast anti-join — the
     * belt-and-braces skew cap, at the cost of exactness on pairs that ONLY
     * share dropped shingles. Default None = exact. */
+  /** (id, sz, hs) — the similarity-join family's shared verify store:
+    * hs = the doc's distinct shingles hashed to longs and SORTED, so
+    * per-pair verification is the native merge walk; persisted spill-safe
+    * (released by [[releaseIntermediates]]). `sz` rides alongside `hs` so
+    * CollapseProject keeps the shingle tree out of the transform lambda.
+    * ONE implementation — batch operators, index builders and incremental
+    * probes all hash through here, so their hashes stay bit-compatible. */
+  private def hashedShingleSets(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    spillPersistEager(
+      shingleSets(spread(df.select(col(idCol).as("id"), col(textCol))), "id", textCol, shingleN)
+        .select(col("id"), size(col("sh")).cast("long").as("sz"),
+          sort_array(transform(col("sh"), s => xxhash64(s))).as("hs")))
+
+  /** Exploded (id, sz, shh) postings of a [[hashedShingleSets]] relation,
+    * minus shingles in more than `maxDocFreq` docs (broadcast anti-join) —
+    * the belt-and-braces skew cap, at the cost of exactness on pairs whose
+    * every shared shingle is dropped. */
+  private def cappedPostings(hsets: DataFrame, maxDocFreq: Option[Int]): DataFrame = {
+    val posting0 = hsets.select(col("id"), col("sz"), explode(col("hs")).as("shh"))
+    maxDocFreq.fold(posting0) { cap =>
+      val hot = posting0.groupBy("shh").agg(count(lit(1)).as("hdf"))
+        .filter(col("hdf") > cap).select("shh")
+      posting0.join(broadcast(hot), Seq("shh"), "left_anti")
+    }
+  }
+
+  /** Rarest-first canonical prefix of each doc's postings (global
+    * document-frequency order, hash tiebreak): rows (shh, id) keeping each
+    * doc's first `prefixLen(sz)` postings. */
+  private def prefixPostings(
+      posting: DataFrame, prefixLen: Column => Column): DataFrame = {
+    val dfreq = posting.groupBy("shh").agg(count(lit(1)).as("sdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("sdf"), col("shh"))
+    posting.join(dfreq, "shh")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen(col("sz")))
+      .select("shh", "id")
+  }
+
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.3, shingleN: Int = 3,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    // shingles hashed ONCE per doc to array<long>: postings explode the
-    // hashed array, and the verify intersects primitive-long arrays (the
-    // candidate volume at low thresholds makes string intersects the
-    // dominant cost). `sz` is referenced alongside `hs` so CollapseProject
-    // keeps the shingle tree out of the transform lambda.
-    // sorted hashed shingles: the verify step's per-pair intersect is a
-    // native merge walk (see verifyJaccard) — sort once per doc here
-    val hsets = spillPersistEager(
-      shingleSets(spread(df.select(col(idCol).as("id"), col(textCol))), "id", textCol, shingleN)
-        .select(col("id"), size(col("sh")).cast("long").as("sz"),
-          sort_array(transform(col("sh"), s => xxhash64(s))).as("hs")))
-    val posting0 = hsets.select(col("id"), col("sz"), explode(col("hs")).as("shh"))
-    val posting = maxDocFreq match {
-      case None => posting0
-      case Some(cap) =>
-        val hot = posting0.groupBy("shh").agg(count(lit(1)).as("hdf"))
-          .filter(col("hdf") > cap).select("shh")
-        posting0.join(broadcast(hot), Seq("shh"), "left_anti")
-    }
-    // canonical rarest-first order + per-doc prefix; prefix length
-    // |s| − ⌈t·|s|⌉ + 1 keeps recall total for J ≥ t
-    val dfreq = posting.groupBy("shh").agg(count(lit(1)).as("sdf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("sdf"), col("shh"))
-    val prefix = posting.join(dfreq, "shh")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select("shh", "id")
+    val hsets = hashedShingleSets(df, idCol, textCol, shingleN)
+    val posting = cappedPostings(hsets, maxDocFreq)
+    // prefix length |s| − ⌈t·|s|⌉ + 1 keeps recall total for J ≥ t
+    val prefix = prefixPostings(posting,
+      sz => sz - ceil(sz * threshold) + 1)
     val cand = prefix.select(col("shh"), col("id").as("id_a"))
       .join(prefix.select(col("shh"), col("id").as("id_b")), Seq("shh"))
       .filter(col("id_a") < col("id_b"))
@@ -454,23 +475,19 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3,
-      minShingles: Int = 10): DataFrame = {
+      minShingles: Int = 10, maxDocFreq: Option[Int] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
     val o = math.ceil(threshold * minShingles).toLong.max(1L)
-    val hsets = spillPersistEager(
-      shingleSets(spread(df.select(col(idCol).as("id"), col(textCol))), "id", textCol, shingleN)
-        .select(col("id"), size(col("sh")).cast("long").as("sz"),
-          sort_array(transform(col("sh"), s => xxhash64(s))).as("hs")))
-    val posting = hsets.select(col("id"), col("sz"), explode(col("hs")).as("shh"))
-    val dfreq = posting.groupBy("shh").agg(count(lit(1)).as("sdf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("sdf"), col("shh"))
+    val hsets = hashedShingleSets(df, idCol, textCol, shingleN)
+    // NOTE on skew: the constant-o prefix (|s| − o + 1) excludes only each
+    // doc's o − 1 most-common shingles, so a mid-frequency boilerplate
+    // shingle stays indexed corpus-wide — `maxDocFreq` is the skew escape
+    // hatch here even more than in the Jaccard join (same exactness
+    // caveat: pairs sharing ONLY dropped shingles are missed)
+    val posting = cappedPostings(hsets, maxDocFreq)
     // constant overlap floor o ⇒ prefix |s| − o + 1 for EVERY doc
-    val prefix = posting.join(dfreq, "shh")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - o + 1)
-      .select("shh", "id")
+    val prefix = prefixPostings(posting, sz => sz - o + 1)
     val cand = prefix.select(col("shh"), col("id").as("id_a"))
       .join(prefix.select(col("shh"), col("id").as("id_b")), Seq("shh"))
       .filter(col("id_a") < col("id_b"))
@@ -501,24 +518,20 @@ object Dedup {
   def containmentIndex(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3,
-      minShingles: Int = 10): DataFrame = {
+      minShingles: Int = 10, maxDocFreq: Option[Int] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
     val o = math.ceil(threshold * minShingles).toLong.max(1L)
     val buildMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(ContainmentMetaShingleN, shingleN.toLong)
       .putLong(ContainmentMetaOverlap, o).build()
-    val hsets = spillPersistEager(
-      shingleSets(spread(df.select(col(idCol).as("id"), col(textCol))), "id", textCol, shingleN)
-        .select(col("id"), size(col("sh")).cast("long").as("sz"),
-          sort_array(transform(col("sh"), s => xxhash64(s))).as("hs")))
-    val posting = hsets.select(col("id"), col("sz"), explode(col("hs")).as("shh"))
-    val dfreq = posting.groupBy("shh").agg(count(lit(1)).as("sdf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("sdf"), col("shh"))
-    val prefixes = posting.join(dfreq, "shh")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - o + 1)
+    val hsets = hashedShingleSets(df, idCol, textCol, shingleN)
+    // maxDocFreq caps the STORED prefixes; since candidates come from
+    // joining batch postings against these, capping here alone bounds the
+    // incremental join's fan-out (a batch shingle matching nothing dies in
+    // the join) — same exactness caveat as the batch operator
+    val prefixes = prefixPostings(cappedPostings(hsets, maxDocFreq),
+        sz => sz - o + 1)
       .groupBy("id").agg(collect_list(col("shh")).as("prefix"))
     hsets.join(prefixes, Seq("id"), "left")
       .select(col("id"), col("sz"), col("hs"),
@@ -545,6 +558,7 @@ object Dedup {
       threshold: Double = 0.8, shingleN: Int = 3,
       minShingles: Int = 10): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
     val o = math.ceil(threshold * minShingles).toLong.max(1L)
     index.schema.find(_.name == "prefix").map(_.metadata).foreach { m =>
       def chk(key: String, passed: Long, label: String): Unit =
@@ -553,10 +567,7 @@ object Dedup {
       chk(ContainmentMetaShingleN, shingleN.toLong, "shingleN")
       chk(ContainmentMetaOverlap, o, "minOverlap ⌈t·minShingles⌉")
     }
-    val bsets = spillPersistEager(
-      shingleSets(spread(batch.select(col(idCol).as("id"), col(textCol))), "id", textCol, shingleN)
-        .select(col("id"), size(col("sh")).cast("long").as("sz"),
-          sort_array(transform(col("sh"), s => xxhash64(s))).as("hs")))
+    val bsets = hashedShingleSets(batch, idCol, textCol, shingleN)
     val iPost = index.select(col("id").as("id_a"), explode(col("prefix")).as("shh"))
     val bPost = bsets.select(col("id").as("id_b"), explode(col("hs")).as("shh"))
     val cand = iPost.join(bPost, Seq("shh"))

@@ -248,14 +248,24 @@ object Similarity {
       centroids: Seq[Array[Double]]): DataFrame =
     // spread: k centroid distances per row is the CPU-dense pass; a
     // one-row-group corpus file would otherwise assign on a single core.
-    // The result is then CLUSTERED BY CELL: `partitionBy("cell")` writes
-    // land one file per cell instead of one per upstream task × cell (the
-    // kernel still runs at full spread parallelism — the repartition
-    // exchange sits after the select)
+    // NOT cell-clustered here: index writers apply [[clusterForIndexWrite]]
+    // themselves — an unconditional repartition(cell) would tax non-write
+    // consumers with a full-corpus shuffle AND let the cached hash(cell)
+    // partitioning satisfy semanticDedup's (cell, sub) join, collapsing a
+    // refined hot cell back into one task (the exact skew the refinement
+    // splits)
     Caching.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .select(col("id"), nearestCentroid(col("v"), centroids).as("cell"),
         col("v"))
-      .repartition(col("cell"))
+
+  /** Cluster an assignment by cell FOR A PARTITIONED INDEX WRITE:
+    * `clusterForIndexWrite(a).write.partitionBy("cell")` lands ONE file
+    * per cell at any upstream partitioning (the spread assignment would
+    * otherwise emit one file per task × cell). Apply only at write time —
+    * see the [[ivfAssign]] note for why the assignment itself stays
+    * unclustered. */
+  def clusterForIndexWrite(assignment: DataFrame): DataFrame =
+    assignment.repartition(col("cell"))
 
   /** Cell-occupancy census of an IVF assignment: (cell, n). ≤ k rows out.
     * The incremental-maintenance shape for a rolling index: census each
@@ -444,14 +454,13 @@ object Similarity {
       centroids: Seq[Array[Double]], codebooks: Seq[Array[Double]],
       m: Int = 8, k: Int = 16): DataFrame = {
     val subDim = codebooks.head.length
-    // cell-clustered like ivfAssign — one file per cell on partitioned writes
+    // unclustered like ivfAssign — writers apply [[clusterForIndexWrite]]
     Caching.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .select(col("id"),
         nearestCentroid(col("v"), centroids).as("cell"),
         graft.functions.NativeHash.pqCodes(col("v"),
           codebooks.toArray, m, k, subDim).as("codes"),
         col("v"))
-      .repartition(col("cell"))
   }
 
   /** IVF-PQ top-k over a prebuilt [[ivfPqAssign]] index: probe `nprobe`

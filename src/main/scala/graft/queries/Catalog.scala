@@ -1427,7 +1427,7 @@ object Catalog {
         val centroids = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16, iters = 2)
         val dir = java.nio.file.Files.createTempDirectory("graft-sem-idx")
         Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
-          .write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
+          .transform(Similarity.clusterForIndexWrite).write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
         val batch = emb.filter(col("vec_id") % 4 === 0)
           .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
           .unionByName(emb.filter(col("vec_id") % 5 === 0)
@@ -1514,12 +1514,12 @@ object Catalog {
         val centroids = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16, iters = 2)
         val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
         Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
-          .write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
+          .transform(Similarity.clusterForIndexWrite).write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
         Similarity.ivfAssign(
             emb.filter(col("vec_id") % 5 === 0)
               .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
             "vec_id", "embedding", centroids)
-          .write.partitionBy("cell").mode("append").parquet(dir.toString)
+          .transform(Similarity.clusterForIndexWrite).write.partitionBy("cell").mode("append").parquet(dir.toString)
         val out = Similarity.topKIvfIndexed(
             s.read.parquet(dir.toString), q, 10, centroids, nprobe = 8)
           .select("rank", "id").localCheckpoint(true)
@@ -1647,7 +1647,7 @@ object Catalog {
         val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
         Similarity.ivfPqAssign(emb, "vec_id", "embedding", centroids, books,
             m = 16, k = 16)
-          .write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
+          .transform(Similarity.clusterForIndexWrite).write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
         val out = Similarity.topKIvfPqIndexed(s.read.parquet(dir.toString),
             q, 10, centroids, books, m = 16, k = 16, nprobe = 8, shortlist = 200)
           .select("rank", "id").localCheckpoint(true)

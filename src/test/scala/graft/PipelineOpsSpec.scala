@@ -261,7 +261,7 @@ class PipelineOpsSpec extends SparkSuite {
     // prune to their cells' files at the source)
     val idxDir = tmpDir("graft-ivf-idx")
     Similarity.ivfAssign(df, "vec_id", "embedding", centroids)
-      .write.partitionBy("cell").mode("overwrite").parquet(idxDir)
+      .transform(Similarity.clusterForIndexWrite).write.partitionBy("cell").mode("overwrite").parquet(idxDir)
     val index = spark.read.parquet(idxDir)
     val q = Seq(0.95f, 0.05f, 0f, 0f)
     val fromIndex = Similarity.topKIvfIndexed(index, q, 3, centroids, nprobe = 1)
@@ -690,12 +690,8 @@ class PipelineOpsSpec extends SparkSuite {
     val got = Dedup.containmentPairs(df, "doc_id", "text",
         threshold = 0.8, minShingles = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // small has 10 shingles; 9 of them (all but the boundary shingle
-    // tok11 tok12 tok100... wait — big embeds tokens 1..12 as a prefix,
-    // so shingles tok10-tok11-tok12 survive and tok11-tok12-tok100 /
-    // tok12-tok100-tok101 replace nothing of small's: small's shingles
-    // are windows over 1..12 (10 of them) and big contains those whose
-    // three tokens all sit in 1..12 — all 10. C = 1000.
+    // small's shingles are the 10 windows over tokens 1..12; big embeds
+    // 1..12 as a prefix, so it contains all 10 of them — C = 1000
     assert(got.toSeq == Seq((1L, 2L, 1000L)))
     // Jaccard would have been 10 / (10 + 98 - 10) ≈ 0.10 — invisible at
     // any usable threshold

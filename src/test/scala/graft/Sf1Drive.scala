@@ -318,7 +318,7 @@ object Sf1Drive {
       val dir = java.nio.file.Files.createTempDirectory("graft-sf1-ivfpq")
       Similarity.ivfPqAssign(emb, "vec_id", "embedding", centroids, books,
           m = 16, k = 16)
-        .write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
+        .transform(Similarity.clusterForIndexWrite).write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
       Similarity.topKIvfPqIndexed(spark.read.parquet(dir.toString),
           qv, 10, centroids, books, m = 16, k = 16, nprobe = 80, shortlist = 2000)
         .select("rank", "id").localCheckpoint(true)
