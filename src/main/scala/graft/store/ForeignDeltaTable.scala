@@ -798,6 +798,20 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     * must; the materialized values outrank them, so row identity is
     * stable across the rewrite for every protocol-correct reader.
     *
+    * CLUSTERING: when the table is liquid-clustered (the owner's
+    * `delta.clustering` domain metadata names the clustering columns) or
+    * the caller passes `clusterBy` (logical names — the OPTIMIZE ZORDER BY
+    * shape), the rewrite range-partitions and sorts the candidate rows by
+    * those columns — one column sorts directly (any orderable type), 2–4
+    * numeric/date/timestamp columns sort by the interleaved-bit z-value
+    * ([[ZOrder]], shared with the graft store's optimize) so EVERY
+    * clustered column gets tight per-file min/max stats, not just the
+    * leading one. Compaction is best-effort per the clustering spec:
+    * by default only the usual candidates (small / DV'd files) re-cluster;
+    * `full = true` rewrites every live file — delta-spark's OPTIMIZE FULL,
+    * the "owner's next OPTIMIZE" that restores clustering after a stretch
+    * of non-clustering writers' appends.
+    *
     * 100 TB: reads ONLY the candidate files (the add filter prunes at
     * snapshot resolution, before any listing); output sizing is
     * bytes-proportional (`ceil(liveBytes / targetFileBytes)` shuffle
@@ -807,15 +821,37 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
   def optimize(
       smallFileBytes: Long = 128L << 20,
       targetFileBytes: Long = 128L << 20,
-      minFiles: Int = 2): Long = {
+      minFiles: Int = 2,
+      clusterBy: Seq[String] = Nil,
+      full: Boolean = false): Long = {
     val s = snap
     validateWritable(s, forOverwrite = false)
     val rowTracking = s.writerFeatures.contains("rowTracking")
-    val doomed: Seq[DeltaTable.Add] = s.adds.groupBy(_.partitionValues)
-      .values.flatMap { files =>
-        val cands = files.filter(a => a.dv.isDefined || a.size < smallFileBytes)
-        if (cands.exists(_.dv.isDefined) || cands.size >= minFiles) cands else Nil
-      }.toSeq
+    val physEarly = new PhysPlan(s, s.schema)
+    // physical clustering column names: explicit clusterBy (logical,
+    // resolved through the mapping) outranks the table's own liquid
+    // clustering domain (which stores PHYSICAL names already)
+    val clusterPhys: Seq[String] =
+      if (clusterBy.nonEmpty) clusterBy.map(physEarly.physNameOf)
+      else clusteringPhysCols(s)
+    clusterPhys.filter(c => physEarly.physPartCols.exists(_.equalsIgnoreCase(c)))
+      .foreach(c => refuse(s"clustering column $c is a partition column — " +
+        "hive partitioning already splits files by it"))
+    clusterPhys.filterNot(c =>
+        physEarly.writeSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .foreach(c => refuse(s"clustering column $c missing from the table schema"))
+    if (full && clusterPhys.isEmpty)
+      refuse("OPTIMIZE FULL needs clustering columns — the table has no " +
+        "delta.clustering domain and no clusterBy was passed")
+    if (clusterPhys.size >= 2)
+      ZOrder.requireZOrderable(physEarly.writeSchema, clusterPhys)
+    val doomed: Seq[DeltaTable.Add] =
+      if (full) s.adds
+      else s.adds.groupBy(_.partitionValues)
+        .values.flatMap { files =>
+          val cands = files.filter(a => a.dv.isDefined || a.size < smallFileBytes)
+          if (cands.exists(_.dv.isDefined) || cands.size >= minFiles) cands else Nil
+        }.toSeq
     if (doomed.isEmpty) return s.version
     val doomedRaw = doomed.map(_.rawPath).toSet
     // Row-tracked tables: compaction changes every row's physical position,
@@ -838,7 +874,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       else Map(MatIdKey -> matIdName, MatVerKey -> matVerName) -- s.configuration.keys
     val live = DeltaTable.readAddsWhere(spark, path, a => doomedRaw(a.rawPath),
       rowIds = rowTracking)
-    val phys = new PhysPlan(s, s.schema)
+    val phys = physEarly
     // readAddsWhere emits the logical schema exactly (+ the two row-id
     // columns when asked), so no align is needed; the identity columns
     // carry through the physical projection under their materialized names
@@ -856,7 +892,26 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val nOut = math.max(1, math.ceil(
       doomed.map(_.size).sum.toDouble / targetFileBytes).toInt)
     val packed =
-      if (phys.physPartCols.isEmpty) aligned.repartition(nOut)
+      if (clusterPhys.nonEmpty) {
+        // clustered rewrite: range-split then sort so per-file stats come
+        // out tight on every clustering column. One column sorts directly;
+        // several sort by the interleaved z-value. On hive-partitioned
+        // tables the partition columns lead both the range and the sort,
+        // so the partitionBy writer's required ordering is a satisfied
+        // prefix — no re-sort, the cluster order inside each file survives
+        val ZTmp = "__graft_z"
+        val (df0, orderCols) =
+          if (clusterPhys.size == 1)
+            (aligned, clusterPhys.map(c => col(s"`$c`")))
+          else
+            (aligned.withColumn(ZTmp, ZOrder.zValue(aligned, clusterPhys)),
+              Seq(col(ZTmp)))
+        val keyCols = phys.physPartCols.map(c => col(s"`$c`")) ++ orderCols
+        df0.repartitionByRange(nOut, keyCols: _*)
+          .sortWithinPartitions(keyCols: _*)
+          .drop(ZTmp)
+      }
+      else if (phys.physPartCols.isEmpty) aligned.repartition(nOut)
       else {
         val Sep = "\u0001"
         val Nul = "\u0000"
@@ -897,7 +952,10 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     cin.put("timestamp", now)
     ictFor(s, now).foreach(v => cin.put("inCommitTimestamp", v): Unit)
     cin.put("operation", "OPTIMIZE")
-    cin.putObject("operationParameters")
+    val opn = cin.putObject("operationParameters")
+    if (clusterPhys.nonEmpty)
+      opn.put("zOrderBy",
+        mapper.writeValueAsString(clusterPhys.toArray)): Unit
     cin.put("engineInfo", "graft-foreign-delta-writer")
     lines += mapper.writeValueAsString(ci)
     // first materialization on this table: record the column names so
@@ -975,6 +1033,24 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
   private def refuse(msg: String): Nothing =
     throw new UnsupportedOperationException(
       s"cannot write external Delta table $path: $msg")
+
+  /** Physical clustering column names from the table's liquid-clustering
+    * domain metadata (delta-spark's `delta.clustering` domain,
+    * configuration `{"clusteringColumns":[["physName"],…]}` — PHYSICAL
+    * name paths). Nested clustering paths refuse: stats clustering targets
+    * top-level parquet columns. Empty when the table is not clustered. */
+  private def clusteringPhysCols(s: DeltaTable.Snapshot): Seq[String] =
+    s.domainMetadata.get("delta.clustering").toSeq.flatMap { cfg =>
+      Option(mapper.readTree(cfg).get("clusteringColumns")).toSeq.flatMap { arr =>
+        (0 until arr.size).map { i =>
+          val p = arr.get(i)
+          if (p.size != 1) refuse("liquid clustering on a nested field is " +
+            "unsupported by graft's OPTIMIZE — stats clustering targets " +
+            "top-level columns")
+          p.get(0).asText
+        }
+      }
+    }
 
   /** Current row-id high-water mark from the `delta.rowTracking` domain
     * metadata (-1 when the domain has never been written — ids then start

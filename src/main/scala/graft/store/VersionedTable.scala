@@ -757,40 +757,11 @@ final class VersionedTable(spark: SparkSession, val path: String)
           .withColumn(ChunkCol, spark_partition_id())
           .sortWithinPartitions((ChunkCol +: clusterBy).map(col): _*)
       else {
-        require(clusterBy.size <= 4, s"zorder supports at most 4 columns, got ${clusterBy.size}")
-        clusterBy.foreach { c =>
-          val dt = logical(logical.fieldIndex(c)).dataType
-          require(zOrderable(dt),
-            s"zorder column $c has type ${dt.simpleString}; use numeric/date/timestamp " +
-              "columns or zorder=false range clustering")
-        }
         // global [min,max] per column (one tiny agg job) → uniform bucket
-        // ids → bit-interleaved z-value, all codegen'd. Bits per column are
-        // capped so the TOP interleaved bit stays below bit 63: with 4
-        // columns a 16-bit bucket would land column 3's high bit on the
-        // SIGN bit, flipping the long's order for the top half of that
-        // column's range and shredding z locality
-        val zBits = math.min(16, 63 / clusterBy.size)
-        val maxBucket = (1L << zBits) - 1
-        val boundAggs = clusterBy.flatMap(c =>
-          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-        val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).head()
-        val z = clusterBy.zipWithIndex.map { case (c, i) =>
-          val lo = if (bounds.isNullAt(2 * i)) 0.0 else bounds.getDouble(2 * i)
-          val hi = if (bounds.isNullAt(2 * i + 1)) 0.0 else bounds.getDouble(2 * i + 1)
-          val span = if (hi > lo) hi - lo else 1.0
-          // null values: the scaled expression is null, greatest/least
-          // skip nulls, so nulls land in bucket 0 — deterministic,
-          // clustered together at the BOTTOM of the range
-          val bucket = least(lit(maxBucket), greatest(lit(0L),
-            ((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxBucket.toDouble))
-              .cast("long")))
-          // spread bucket bits to positions i, i+k, i+2k, … (k = #cols)
-          (0 until zBits).map { b =>
-            shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)), b * clusterBy.size + i)
-          }.reduce(_.bitwiseOR(_))
-        }.reduce(_.bitwiseOR(_))
-        val withZ = df.withColumn(ZCol, z)
+        // ids → bit-interleaved z-value, all codegen'd (shared with the
+        // foreign writer's clustered OPTIMIZE — [[ZOrder]])
+        ZOrder.requireZOrderable(logical, clusterBy)
+        val withZ = df.withColumn(ZCol, ZOrder.zValue(df, clusterBy))
         // chunk boundaries from a DETERMINISTIC full-pass quantile sketch
         // over z, not sampled range partitioning: RangePartitioner seeds
         // its reservoir sample from the RDD id, so two optimize runs over
@@ -858,13 +829,6 @@ final class VersionedTable(spark: SparkSession, val path: String)
     fsu.delete(staging, recursive = true)
     writeManifest(Manifest(nextV, newDirs, logical.json, m.properties, op = "optimize"))
     nextV
-  }
-
-  private def zOrderable(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
-         DateType | TimestampType => true
-    case _: DecimalType => true
-    case _ => false
   }
 
   /** Drop data dirs no longer referenced by the last `keepVersions` manifests

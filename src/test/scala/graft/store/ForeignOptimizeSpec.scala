@@ -300,4 +300,153 @@ class ForeignOptimizeSpec extends SparkSuite {
     assert(DeltaTable.snapshot(spark, root)
       .configuration("delta.rowTracking.materializedRowIdColumnName") == matId)
   }
+
+  test("liquid-clustered table: OPTIMIZE FULL re-clusters by the domain's columns") {
+    val root = tmpDir("fop-liquid")
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val schema = StructType(Seq(
+      StructField("x", LongType), StructField("s", StringType)))
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log",
+      "00000000000000000000.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+          """"writerFeatures":["clustering","domainMetadata"]}}""",
+        s"""{"metaData":{"id":"fop-liquid","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${mapper.writeValueAsString(schema.json)},""" +
+          s""""partitionColumns":[],"configuration":{},"createdTime":1}}""",
+        """{"domainMetadata":{"domain":"delta.clustering",""" +
+          """"configuration":"{\"clusteringColumns\":[[\"x\"]]}","removed":false}}"""
+      ).mkString("\n").getBytes("UTF-8")): Unit
+    val t = new ForeignDeltaTable(spark, root)
+    // four appends, EACH spanning the full x range — every file's stats
+    // cover every probe, so data skipping prunes nothing before optimize
+    (0 until 4).foreach { i =>
+      t.append(Seq(i.toLong, 100L + i, 200L + i, 300L + i)
+        .map(x => (x, s"r$x")).toDF("x", "s").coalesce(1))
+    }
+    val before = DeltaTable.read(spark, root).orderBy("x").collect().toSeq
+    def spans(): Seq[(Long, Long)] = DeltaTable.snapshot(spark, root).adds.map { a =>
+      val st = mapper.readTree(a.statsJson.get)
+      (st.get("minValues").get("x").asLong, st.get("maxValues").get("x").asLong)
+    }
+    assert(spans().forall { case (lo, hi) => lo <= 3 && hi >= 300 })
+    val bytes = DeltaTable.snapshot(spark, root).adds.map(_.size).sum
+    val v = t.optimize(targetFileBytes = math.max(1L, bytes / 4), full = true)
+    assert(v == 5L)
+    // clustered: the rewritten files' x-ranges are pairwise DISJOINT —
+    // a point probe now matches exactly one file's stats
+    val after = spans().sortBy(_._1)
+    assert(after.size >= 2, s"expected a multi-file clustered rewrite, got $after")
+    after.zip(after.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"overlapping clustered file ranges: $after")
+    }
+    assert(DeltaTable.read(spark, root).orderBy("x").collect().toSeq == before)
+    // commit fidelity: OPTIMIZE with dataChange=false, clustering recorded
+    val lines5 = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      root, "_delta_log", "00000000000000000005.json")), "UTF-8")
+      .split('\n').filter(_.nonEmpty).map(mapper.readTree)
+    val ci = lines5.find(_.has("commitInfo")).get.get("commitInfo")
+    assert(ci.get("operationParameters").get("zOrderBy").asText.contains("x"))
+    lines5.filter(_.has("add")).foreach(a =>
+      assert(!a.get("add").get("dataChange").asBoolean))
+    // without full=true, already-compact clustered files (not small by the
+    // caller's threshold, no DVs) are left alone
+    assert(t.optimize(smallFileBytes = 1L,
+      targetFileBytes = math.max(1L, bytes / 4)) == 5L)
+  }
+
+  test("OPTIMIZE ZORDER BY: explicit 2-column z clustering tightens both dims") {
+    val root = tmpDir("fop-z")
+    foreignTable(root, Seq((0L, 0L)).toDF("x", "y"))
+    val t = new ForeignDeltaTable(spark, root)
+    // an 8×8 grid dealt round-robin so every file spans BOTH full ranges
+    val grid = for (x <- 0 until 8; y <- 0 until 8) yield (x.toLong, y.toLong)
+    (0 until 4).foreach { i =>
+      t.append(grid.filter { case (x, y) => (x * 8 + y) % 4 == i }
+        .toDF("x", "y").coalesce(1))
+    }
+    val before = DeltaTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val bytes = DeltaTable.snapshot(spark, root).adds.map(_.size).sum
+    t.optimize(targetFileBytes = math.max(1L, bytes / 4),
+      clusterBy = Seq("x", "y"), full = true)
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val spans = DeltaTable.snapshot(spark, root).adds.map { a =>
+      val st = mapper.readTree(a.statsJson.get)
+      def g(k: String, c: String) = st.get(k).get(c).asLong
+      (g("maxValues", "x") - g("minValues", "x"),
+        g("maxValues", "y") - g("minValues", "y"))
+    }
+    assert(spans.size >= 2)
+    // z-order gives BOTH columns locality: each file's stats BOX covers a
+    // bounded patch of the 8×8 grid, not the whole thing (a contiguous
+    // z-range crossing a quadrant boundary may legitimately span one full
+    // dimension, so bound the AREA, not each span: ~13–16 cells per file
+    // cover ≤ ~2× their cell count; unclustered files covered all 64)
+    val areas = spans.map { case (sx, sy) => (sx + 1) * (sy + 1) }
+    assert(areas.forall(_ <= 40), s"loose clustered spans: $spans")
+    assert(areas.sum <= (64 * spans.size * 6) / 10,
+      s"clustering barely tightened stats: $spans")
+    assert(DeltaTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == before)
+    // a clustering column missing from the schema refuses loudly
+    intercept[UnsupportedOperationException] {
+      t.optimize(clusterBy = Seq("x", "nope"), full = true)
+    }
+    // OPTIMIZE FULL without any clustering columns refuses
+    val plain = tmpDir("fop-nofull")
+    foreignTable(plain, Seq((1L, "a")).toDF("id", "s"))
+    intercept[UnsupportedOperationException] {
+      new ForeignDeltaTable(spark, plain).optimize(full = true)
+    }
+  }
+
+  test("clustered optimize under column mapping resolves physical names") {
+    val root = tmpDir("fop-cmz")
+    def fm(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val cmSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, fm(1, "col-11")),
+      StructField("v", StringType, nullable = true, fm(2, "col-22"))))
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log",
+      "00000000000000000000.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["columnMapping"],""" +
+          """"writerFeatures":["columnMapping","clustering","domainMetadata"]}}""",
+        s"""{"metaData":{"id":"fop-cmz","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${mapper.writeValueAsString(cmSchema.json)},""" +
+          s""""partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""",
+        // the clustering domain stores PHYSICAL names
+        """{"domainMetadata":{"domain":"delta.clustering",""" +
+          """"configuration":"{\"clusteringColumns\":[[\"col-11\"]]}","removed":false}}"""
+      ).mkString("\n").getBytes("UTF-8")): Unit
+    val t = new ForeignDeltaTable(spark, root)
+    (0 until 3).foreach { i =>
+      t.append(Seq(i.toLong, 100L + i, 200L + i).map(x => (x, s"v$x")).toDF("id", "v"))
+    }
+    val before = DeltaTable.read(spark, root).orderBy("id").collect().toSeq
+    val bytes = DeltaTable.snapshot(spark, root).adds.map(_.size).sum
+    t.optimize(targetFileBytes = math.max(1L, bytes / 3), full = true)
+    // stats keys are physical; clustered ranges disjoint
+    val spans = DeltaTable.snapshot(spark, root).adds.map { a =>
+      val st = mapper.readTree(a.statsJson.get)
+      (st.get("minValues").get("col-11").asLong,
+        st.get("maxValues").get("col-11").asLong)
+    }.sortBy(_._1)
+    assert(spans.size >= 2)
+    spans.zip(spans.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"overlapping clustered cm ranges: $spans")
+    }
+    assert(DeltaTable.read(spark, root).orderBy("id").collect().toSeq == before)
+    // explicit clusterBy takes LOGICAL names and resolves the mapping
+    t.append(Seq((500L, "z")).toDF("id", "v"))
+    val v2 = t.optimize(clusterBy = Seq("id"), full = true)
+    assert(DeltaTable.snapshot(spark, root).version == v2)
+  }
 }
