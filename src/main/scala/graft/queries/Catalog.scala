@@ -2607,6 +2607,18 @@ object Catalog {
       },
       Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
 
+    // Liquid-clustered OPTIMIZE FULL: four appends each spanning the full
+    // acctbal range, then the rewrite re-clusters by the delta.clustering
+    // domain's column (disjoint per-file spans asserted in-scenario) — the
+    // external read must equal plain SQL over customer, proving the
+    // clustered rewrite moved rows between files without changing any
+    Q("store_foreign_cluster",
+      (s, d) => {
+        val dest = Scenarios.foreignClusterDest(s, d)
+        graft.store.DeltaTable.read(s, s"$dest/tbl")
+      },
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
+
     // SHALLOW CLONE: metadata-only copy via absolute-URI adds; the clone
     // takes a DV delete while the source stays untouched (asserted
     // in-scenario) — the mutated clone must equal the plain-SQL filter

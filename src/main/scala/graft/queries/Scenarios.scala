@@ -564,6 +564,53 @@ object Scenarios {
         allowProtocolUpgrade = true): Unit // v2: c_mod recomputed per row
     }
 
+  /** Liquid-clustered FOREIGN table for the `store_foreign_cluster` gate:
+    * a hand-built empty clustered v0 (clustering + domainMetadata writer
+    * features; the `delta.clustering` domain names `c_acctbal`), customer
+    * appended as four modulo slices — every file spans the full acctbal
+    * range, so stats prune NOTHING — then OPTIMIZE FULL re-clusters by the
+    * domain's column. In-scenario asserts pin the clustered layout
+    * (several files, pairwise-disjoint acctbal spans); the gate compares
+    * the external read against plain SQL over customer, proving the
+    * rewrite moved rows between files without changing any. */
+  def foreignClusterDest(spark: SparkSession, dir: String): String =
+    run("foreigncluster", spark, dir) { dest =>
+      import org.apache.spark.sql.types._
+      val cust = customer(spark, dir).select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType)))
+      val tbl = s"$dest/tbl"
+      new java.io.File(s"$tbl/_delta_log").mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tbl, "_delta_log", "00000000000000000000.json"),
+        Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+            """"writerFeatures":["clustering","domainMetadata"]}}""",
+          s"""{"metaData":{"id":"graft-cluster","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":${mapper.writeValueAsString(schema.json)},""" +
+            s""""partitionColumns":[],"configuration":{},"createdTime":1}}""",
+          """{"domainMetadata":{"domain":"delta.clustering",""" +
+            """"configuration":"{\"clusteringColumns\":[[\"c_acctbal\"]]}","removed":false}}"""
+        ).mkString("\n").getBytes("UTF-8")): Unit
+      val f = new graft.store.ForeignDeltaTable(spark, tbl)
+      (0 until 4).foreach(i =>
+        f.append(cust.filter(col("c_custkey") % 4 === i).coalesce(1))) // v1..v4
+      val bytes = graft.store.DeltaTable.snapshot(spark, tbl).numBytes
+      f.optimize(targetFileBytes = math.max(1L, bytes / 6), full = true): Unit // v5
+      // pin the clustered layout: several files, disjoint acctbal spans
+      val spans = graft.store.DeltaTable.statsRanges(spark, tbl, "c_acctbal")
+      require(spans.size >= 3, s"expected a multi-file clustered rewrite: $spans")
+      spans.sortBy(_._1).sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) =>
+          require(hi <= lo2, s"overlapping clustered spans: $spans")
+        case _ => ()
+      }
+    }
+
   /** SHALLOW CLONE for the `store_foreign_clone` gate: customer stripped
     * to a pure `_delta_log`, cloned (metadata-only, absolute-URI adds),
     * then the CLONE takes a DV delete (%3) while the source must stay

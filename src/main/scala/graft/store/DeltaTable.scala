@@ -114,6 +114,27 @@ object DeltaTable {
       // let another engine's restarted stream double-apply a batch
       private[store] val txns: Map[String, Long] = Map.empty) {
     def numFiles: Int = adds.size
+    def numBytes: Long = adds.map(_.size).sum
+  }
+
+  /** Per-live-file (min, max) stats range of one top-level column — the
+    * data-skipping layout probe (e.g. "did OPTIMIZE cluster this column?").
+    * Files without a recorded min/max for the column are skipped. */
+  def statsRanges(
+      spark: SparkSession, path: String, column: String): Seq[(Double, Double)] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    snapshot(spark, path).adds.flatMap { a =>
+      a.statsJson.flatMap { sj =>
+        val st = mapper.readTree(sj)
+        (Option(st.get("minValues")).map(_.get(column)),
+          Option(st.get("maxValues")).map(_.get(column))) match {
+          case (Some(lo), Some(hi)) if lo != null && hi != null &&
+              lo.isNumber && hi.isNumber =>
+            Some((lo.asDouble(), hi.asDouble()))
+          case _ => None
+        }
+      }
+    }
   }
 
   /** Does `path` hold a Delta transaction log? */
