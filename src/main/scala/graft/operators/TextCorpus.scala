@@ -139,6 +139,72 @@ object TextCorpus {
       .select(col(idCol), col(groupCol), col("n_tokens"))
   }
 
+  /** Water-filling mixture allocation — "data mixing": split `totalBudget`
+    * tokens across groups proportionally to integer `weights` ("1 part
+    * wiki, 2 parts code, 5 parts web"), capping every group at its
+    * AVAILABLE tokens and redistributing the surplus among the still-
+    * uncapped groups, repeated until nothing caps (each round caps at
+    * least one group, so ≤ |groups| rounds). Every proportional split
+    * rounds by LARGEST REMAINDER (ties by group name ascending), so the
+    * result is integer-exact, deterministic, and sums to
+    * min(totalBudget, Σ avail). Driver arithmetic is BigInt — a
+    * 100-trillion-token budget times a weight cannot overflow.
+    *
+    * Scale shape: ONE map-side-combinable agg over the corpus (per-group
+    * token totals — ≤ |groups| rows reach the driver); the loop itself is
+    * O(|groups|²) driver-side integer arithmetic. */
+  def mixtureAllocate(
+      df: DataFrame, textCol: String, groupCol: String,
+      weights: Map[String, Long], totalBudget: Long): Map[String, Long] = {
+    require(weights.nonEmpty, "weights must list at least one group")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    val totals = df.filter(col(groupCol).isInCollection(weights.keys.toSeq))
+      .groupBy(groupCol)
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    allocateDriver(weights, weights.keys.map(g =>
+      g -> totals.getOrElse(g, 0L)).toMap, totalBudget)
+  }
+
+  /** The driver-side water-filling loop of [[mixtureAllocate]], exposed
+    * for availability maps that are already known (and for specs). */
+  private[graft] def allocateDriver(
+      weights: Map[String, Long], avail: Map[String, Long],
+      totalBudget: Long): Map[String, Long] = {
+    var active = weights.keys.toSeq.sorted
+    var fixed = Map.empty[String, Long]
+    var rem = totalBudget
+    while (active.nonEmpty && rem > 0) {
+      val wSum = active.map(g => BigInt(weights(g))).sum
+      val floorOf = active.map(g =>
+        g -> (BigInt(rem) * weights(g) / wSum).toLong).toMap
+      val leftover = (rem - floorOf.values.sum).toInt
+      val bumped = active.sortBy(g =>
+          (BigInt(rem) * weights(g) mod wSum, g))(
+          Ordering.Tuple2(Ordering[BigInt].reverse, Ordering[String]))
+        .take(leftover).toSet
+      val share = active.map(g =>
+        g -> (floorOf(g) + (if (bumped(g)) 1L else 0L))).toMap
+      val capped = active.filter(g => share(g) >= avail(g))
+      if (capped.isEmpty) { fixed ++= share; active = Nil; rem = 0 }
+      else {
+        capped.foreach { g => fixed += g -> avail(g); rem -= avail(g) }
+        active = active.filterNot(capped.toSet)
+      }
+    }
+    weights.keys.map(g => g -> fixed.getOrElse(g, 0L)).toMap
+  }
+
+  /** [[mixtureAllocate]] + [[tokenBudgetSample]] in one call: "1 part
+    * wiki, 2 parts code, 5 parts web, N tokens total" as one operator —
+    * the fixed-proportion corpus mixture a pretraining run requests. */
+  def mixtureSample(
+      df: DataFrame, idCol: String, textCol: String, groupCol: String,
+      weights: Map[String, Long], totalBudget: Long): DataFrame =
+    tokenBudgetSample(df, idCol, textCol, groupCol,
+      mixtureAllocate(df, textCol, groupCol, weights, totalBudget))
+
   /** Sequence packing (concat-then-chunk): documents are concatenated in
     * `idCol` order and split into `capacity`-token context windows; each
     * doc reports its global token start offset and the first/last chunk

@@ -804,6 +804,70 @@ object Catalog {
         WHERE cb < CASE source WHEN 'src0' THEN 600 WHEN 'src3' THEN 600
           ELSE 450 END""")),
 
+    // Data MIXING: weights 1:2:5 over three sources, 2000 tokens total —
+    // water-filling allocation (largest-remainder splits; groups capped at
+    // availability redistribute their surplus) then the deterministic
+    // token-budget sample. The oracle replays the full allocation: with 3
+    // groups at most 3 rounds, each unrolled as a CTE stage (at sf0.01
+    // src8's 5/8 share exceeds its availability, so the multi-round path
+    // is live exactly where the driver checks). Engine and SQL bump the
+    // same largest remainders (ties by group name), so the sampled doc
+    // set matches bit-for-bit
+    Q("sample_mixture",
+      (s, d) => TextCorpus.mixtureSample(t(s, d, "documents"),
+        "doc_id", "text", "source",
+        Map("src1" -> 1L, "src4" -> 2L, "src8" -> 5L), totalBudget = 2000L),
+      Some("""WITH wts(g, wt) AS (VALUES ('src1', 1), ('src4', 2), ('src8', 5)),
+        tot AS (SELECT source AS g,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+          FROM documents WHERE source IN ('src1','src4','src8') GROUP BY 1),
+        a0 AS (SELECT w.g, w.wt, COALESCE(tot.avail, 0) AS avail
+          FROM wts w LEFT JOIN tot USING (g)),
+        r1 AS (SELECT g, wt, avail,
+            2000 * wt // (SELECT SUM(wt) FROM a0) AS fl,
+            2000 * wt % (SELECT SUM(wt) FROM a0) AS rm FROM a0),
+        r1s AS (SELECT *, fl + CASE WHEN row_number() OVER (ORDER BY rm DESC, g)
+            <= 2000 - (SELECT SUM(fl) FROM r1) THEN 1 ELSE 0 END AS share FROM r1),
+        c1 AS (SELECT g, avail FROM r1s WHERE share >= avail),
+        u1 AS (SELECT g, wt, avail FROM r1s WHERE share < avail),
+        b2v AS (SELECT 2000 - COALESCE((SELECT SUM(avail) FROM c1), 0) AS b),
+        r2 AS (SELECT g, wt, avail,
+            (SELECT b FROM b2v) * wt // (SELECT SUM(wt) FROM u1) AS fl,
+            (SELECT b FROM b2v) * wt % (SELECT SUM(wt) FROM u1) AS rm FROM u1),
+        r2s AS (SELECT *, fl + CASE WHEN row_number() OVER (ORDER BY rm DESC, g)
+            <= (SELECT b FROM b2v) - (SELECT SUM(fl) FROM r2) THEN 1 ELSE 0 END
+            AS share FROM r2),
+        c2 AS (SELECT g, avail FROM r2s WHERE share >= avail),
+        u2 AS (SELECT g, wt, avail FROM r2s WHERE share < avail),
+        b3v AS (SELECT (SELECT b FROM b2v)
+            - COALESCE((SELECT SUM(avail) FROM c2), 0) AS b),
+        r3 AS (SELECT g, wt, avail,
+            (SELECT b FROM b3v) * wt // (SELECT SUM(wt) FROM u2) AS fl,
+            (SELECT b FROM b3v) * wt % (SELECT SUM(wt) FROM u2) AS rm FROM u2),
+        r3s AS (SELECT *, fl + CASE WHEN row_number() OVER (ORDER BY rm DESC, g)
+            <= (SELECT b FROM b3v) - (SELECT SUM(fl) FROM r3) THEN 1 ELSE 0 END
+            AS share FROM r3),
+        fin AS (SELECT a0.g, CAST(CASE
+            WHEN (SELECT count(*) FROM c1) = 0
+              THEN (SELECT share FROM r1s x WHERE x.g = a0.g)
+            WHEN a0.g IN (SELECT g FROM c1) THEN a0.avail
+            WHEN (SELECT count(*) FROM c2) = 0
+              THEN (SELECT share FROM r2s x WHERE x.g = a0.g)
+            WHEN a0.g IN (SELECT g FROM c2) THEN a0.avail
+            WHEN (SELECT count(*) FROM r3s WHERE share >= avail) = 0
+              THEN (SELECT share FROM r3s x WHERE x.g = a0.g)
+            ELSE a0.avail END AS BIGINT) AS budget
+          FROM a0),
+        t AS (SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 1000 AS bk
+          FROM documents WHERE source IN ('src1','src4','src8')),
+        o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY bk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+        SELECT o.doc_id, o.source, o.n_tokens FROM o JOIN fin ON o.source = fin.g
+        WHERE o.cb < fin.budget""")),
+
     // Learned-quality scoring: a fasttext-style LINEAR classifier applied
     // per document (bias + Σ token milli-weights, integer-exact) by the
     // codegen'd LinearTextScore kernel — the model rides as one hash map

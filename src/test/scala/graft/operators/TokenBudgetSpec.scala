@@ -60,4 +60,51 @@ class TokenBudgetSpec extends SparkSuite {
       Map("g0" -> 1L)).collect()
     assert(got.length == 1 && got.head.getString(1) == "g0")
   }
+
+  test("mixtureAllocate: hand-computed water-filling rounds") {
+    // round 1: 5/8 share 1250 caps at 1136; round 2 splits 864 as 1:2
+    assert(TextCorpus.allocateDriver(
+      Map("a" -> 1L, "b" -> 2L, "c" -> 5L),
+      Map("a" -> 10000L, "b" -> 10000L, "c" -> 1136L), 2000L) ==
+      Map("a" -> 288L, "b" -> 576L, "c" -> 1136L))
+    // cascading caps: everything fits → allocation = availability
+    assert(TextCorpus.allocateDriver(
+      Map("a" -> 1L, "b" -> 1L), Map("a" -> 10L, "b" -> 20L), 1000L) ==
+      Map("a" -> 10L, "b" -> 20L))
+    // largest remainder, tie by group name ascending: 10 as 1:1:1 → a bumped
+    assert(TextCorpus.allocateDriver(
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L),
+      Map("a" -> 100L, "b" -> 100L, "c" -> 100L), 10L) ==
+      Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+  }
+
+  test("mixtureAllocate: randomized invariants") {
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val n = 1 + rnd.nextInt(6)
+      val gs = (0 until n).map(i => s"g$i")
+      val w = gs.map(g => g -> (1L + rnd.nextInt(9))).toMap
+      val av = gs.map(g => g -> rnd.nextInt(500).toLong).toMap
+      val b = rnd.nextInt(2000).toLong
+      val al = TextCorpus.allocateDriver(w, av, b)
+      assert(al.keySet == w.keySet)
+      al.foreach { case (g, a) =>
+        assert(a >= 0 && a <= av(g), s"over-allocated $g: $a > ${av(g)}") }
+      // exact budget conservation: the whole budget lands unless the
+      // corpus runs out first
+      assert(al.values.sum == math.min(b, av.values.sum),
+        s"b=$b w=$w av=$av al=$al")
+      // deterministic
+      assert(al == TextCorpus.allocateDriver(w, av, b))
+    }
+  }
+
+  test("mixtureSample equals allocate-then-sample composition") {
+    val weights = Map("g0" -> 1L, "g1" -> 3L)
+    val got = TextCorpus.mixtureSample(corpus, "id", "text", "grp", weights, 150L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val budgets = TextCorpus.mixtureAllocate(corpus, "text", "grp", weights, 150L)
+    assert(got == brute(budgets.filter(_._2 > 0L)))
+    assert(budgets.values.sum == 150L)
+  }
 }
