@@ -72,8 +72,61 @@ object Sf1Drive {
       case Some("dv") => runDv(spark)
       case Some("foreign") => runForeign(spark)
       case Some("graph") => runGraph(spark)
+      case Some("streaming") => runStreaming(spark)
       case _ => runDocs(spark)
     }
+  }
+
+  /** Streaming table source at 10× (round-11): the 1.5M-row synthesized
+    * customer streamed through the `graft-table` source — an AvailableNow
+    * snapshot drain of the five-copy v0, then five appended commits
+    * drained incrementally under `maxCommitsPerTrigger = 3` (two
+    * micro-batches), resuming from the same checkpoint. The phase walls
+    * pin the scale claim: the incremental drain costs O(new commits), not
+    * O(table) — offset/commit resolution never rescans v0. The sink must
+    * reassemble the full corpus exactly; `tools/sf1_check.py streaming`
+    * diffs it against the synthesized customer in DuckDB. */
+  private def runStreaming(spark: SparkSession): Unit = {
+    val c0 = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    val copies = spark.range(0, 10).select(col("id").as("cp"))
+    c0.crossJoin(broadcast(copies))
+      .select((col("c_custkey") + col("cp") * 100000000L).as("c_custkey"),
+        col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    val corpus = spark.read.parquet(s"$out/customer.parquet")
+    println(s"customer corpus rows=${corpus.count()}")
+    def phase(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"PHASE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val src = java.nio.file.Files.createTempDirectory("sf1stream-src").toString
+    val sink = java.nio.file.Files.createTempDirectory("sf1stream-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sf1stream-ckpt").toString
+    val t = new graft.store.VersionedTable(spark, src)
+    val stride = 100000000L
+    phase("append_v0")(
+      t.append(corpus.filter(col("c_custkey") < 5L * stride)): Unit)
+    def drain(label: String): Unit = phase(label) {
+      val q = spark.readStream.format("graft-table").option("path", src)
+        .option("maxCommitsPerTrigger", "3")
+        .load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain("snapshot_drain")
+    phase("append_5_commits")((5 until 10).foreach(c =>
+      t.append(corpus.filter(col("c_custkey").between(
+        c * stride, (c + 1) * stride - 1))): Unit))
+    drain("incremental_drain")
+    val got = spark.read.parquet(sink)
+    require(got.count() == corpus.count(),
+      s"sink must reassemble the corpus: ${got.count()} vs ${corpus.count()}")
+    got.write.mode("overwrite").parquet(s"$outDir/streaming_reassembly")
+    println(s"GATE streaming_reassembly rows=" +
+      spark.read.parquet(s"$outDir/streaming_reassembly").count())
   }
 
   /** Round-11 operator sweep: integer-exact PageRank over the 10× near-dup

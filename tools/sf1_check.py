@@ -136,6 +136,24 @@ def main_foreign(oracle_path):
     sys.exit(0 if m else 1)
 
 
+def main_streaming(oracle_path):
+    """Streaming table-source sweep (round 11): the sink of the two
+    AvailableNow drains (snapshot + capped incremental) must reassemble
+    the 10x synthesized customer exactly (see Sf1Drive.runStreaming)."""
+    g = "streaming_reassembly"
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{CUST}'")
+    sql = "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"
+    t0 = time.time()
+    n_got, n_ora, m = compare(con, f"SELECT * FROM '{OUT}/{g}/*.parquet'", sql)
+    print(f"{g}: rows={n_got} oracle={n_ora} "
+          f"{'MATCH' if m else 'MISMATCH'} ({time.time() - t0:.0f}s)")
+    con.close()
+    print("SF1 STREAMING SWEEP:", "ALL MATCH" if m else "FAILURES")
+    sys.exit(0 if m else 1)
+
+
 def main_graph(oracle_path):
     """Round-11 operator sweep: PageRank over the 10x near-dup graph (the
     gate oracle verbatim — salting keeps pairs within copies, so the 10x
@@ -164,7 +182,8 @@ def main_graph(oracle_path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a not in ("emb", "scd2", "dv", "foreign", "graph")]
+    args = [a for a in sys.argv[1:]
+            if a not in ("emb", "scd2", "dv", "foreign", "graph", "streaming")]
     oracle_path = args[0] if args else "/tmp/verify-out/oracle_sql.json"
     if "emb" in sys.argv[1:]:
         return main_emb(oracle_path)
@@ -176,6 +195,8 @@ def main():
         return main_foreign(oracle_path)
     if "graph" in sys.argv[1:]:
         return main_graph(oracle_path)
+    if "streaming" in sys.argv[1:]:
+        return main_streaming(oracle_path)
     sqls = json.load(open(oracle_path))
     ok = True
     for g in GATES:
