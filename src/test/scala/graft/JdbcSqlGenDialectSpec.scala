@@ -272,4 +272,40 @@ class JdbcSqlGenDialectSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!sql.contains("RTRIM"))
     assert(handled == Set("dt", "uid"))
   }
+
+  test("user2$ shape: dollar identifiers; tsql tinyint widens to SMALLINT source-side") {
+    // the reference's user2$ fixture (tests/sqls/init_mssql.sql /
+    // init_postgres.sql): a $ in the TABLE name (quoted by the caller's
+    // catalog spelling) and an `nbr` column that is tinyint on tsql —
+    // UNSIGNED 0–255, so the reference maps it to SMALLINT before Spark
+    // ever sees it (write_init.py tinyint note; defaultTypeMap) — but a
+    // plain SIGNED smallint on postgres, which passes through untouched
+    val tcols = Seq(
+      ColInfo("User - iD", LongType, sourceType = Some("bigint")),
+      ColInfo("FirstName", StringType, sourceType = Some("varchar")),
+      ColInfo("nbr", ByteType, sourceType = Some("tinyint")),
+      ColInfo("time stamp", BinaryType, sourceType = Some("rowversion")))
+    val cfg = WriteConfig(dataTypeMap = WriteConfig.tsqlTypeMap, maxTextSize = Some(300))
+    val (tsql, thandled) = JdbcSqlGen.projectedSql(tcols, cfg, tsqlUrl,
+      Left("dbo.[user2$]")).get
+    assert(tsql ==
+      """SELECT "User - iD", """ +
+      """SUBSTRING(LTRIM(RTRIM("FirstName")), 1, 300) AS "FirstName", """ +
+      """CAST("nbr" AS SMALLINT) AS "nbr", """ +
+      """CAST("time stamp" AS BIGINT) AS "time stamp" FROM dbo.[user2$]""")
+    assert(thandled == Set("FirstName", "nbr", "time stamp"))
+    // postgres: smallint is already signed-correct — no cast, no rewrite
+    val pcols = Seq(
+      ColInfo("User - iD", LongType, sourceType = Some("bigint")),
+      ColInfo("FirstName", StringType, sourceType = Some("varchar")),
+      ColInfo("nbr", ShortType, sourceType = Some("smallint")))
+    val (psql, phandled) = JdbcSqlGen.projectedSql(pcols,
+      WriteConfig(maxTextSize = Some(300)), pgUrl,
+      Left("dbo.\"user2$\"")).get
+    assert(psql ==
+      """SELECT "User - iD", """ +
+      """SUBSTRING(LTRIM(RTRIM("FirstName")), 1, 300) AS "FirstName", """ +
+      """"nbr" FROM dbo."user2$"""")
+    assert(phandled == Set("FirstName"))
+  }
 }
