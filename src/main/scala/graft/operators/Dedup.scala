@@ -1415,6 +1415,83 @@ object Dedup {
     mergeIslands(verified, k)
   }
 
+  /** Content-defined chunking (CDC) dedup — storage-style redundancy
+    * measurement over the corpus. Each document is partitioned into
+    * variable-length token chunks whose boundaries are a pure function of
+    * LOCAL content (a token is a cut point iff the first hex digit of its
+    * md5 is below `cutBelow`; mean chunk length = 16/(hex value of
+    * cutBelow) tokens). Content-defined boundaries are what distinguish
+    * this from fixed windows ([[duplicateSpans]]): inserting or deleting
+    * text early in a document does not re-chunk the remainder, so shared
+    * trailing content keeps producing IDENTICAL chunks — the
+    * rolling-hash chunking of storage dedup systems (LBFS/Venti lineage,
+    * FastCDC), re-expressed at token granularity. The deliberate
+    * difference from FastCDC: NO min/max chunk-size constraint, because
+    * the constraint makes boundary selection sequential per document —
+    * the constraint-free gear rule is per-token independent (a pure
+    * codegen'd column expression), embarrassingly parallel, and
+    * resynchronizes instantly after any edit.
+    *
+    * Output: (doc_id, n_chunks, dup_chunks, dup_tokens) — a chunk is
+    * "dup" when its exact token content occupies more than one
+    * (doc, chunk) slot corpus-wide. Downstream policy (drop docs over a
+    * duplicated-token ratio, keep one canonical occurrence per chunk)
+    * composes on these integer-exact stats.
+    *
+    * Scale shape (the 100 TB story):
+    *  1. chunk assembly is ONE exchange: the running cut-count window
+    *     partitions by doc_id, and the following (doc_id, chunk_id)
+    *     groupBy reuses that partitioning (hash on doc_id already
+    *     clusters every (doc_id, cid) group).
+    *  2. the duplicate census never shuffles chunk text: a narrow
+    *     (doc_id, cid, n_toks, xxhash64) stream feeds the hot-hash count
+    *     (map-side combinable), and only hash-colliding chunks — a small
+    *     fraction of a natural corpus — carry their text into the
+    *     raw-verify window on (hash, chunk). Hash collisions can only
+    *     inflate the candidate superset, never the verified dup set.
+    *  3. the assembled chunk stream is consumed twice (census +
+    *     candidate verify), so it is persisted once (DISK_ONLY, registered
+    *     — release with [[releaseIntermediates]]); recomputing would
+    *     re-run the assembly exchange's map side per consumer. */
+  def cdcChunkStats(
+      df: DataFrame, idCol: String, textCol: String,
+      cutBelow: String = "1"): DataFrame = {
+    require(cutBelow.length == 1 && "123456789abcdef".contains(cutBelow),
+      s"cutBelow must be one hex digit in [1, f], got '$cutBelow'")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // a cut token ENDS its chunk: chunk id = cuts strictly before this
+    // position, so chunks are a partition of the token sequence
+    val withCid = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("__gr_text")))
+      .select(col("doc_id"),
+        posexplode(split(col("__gr_text"), " ")).as(Seq("p", "tok")))
+      .withColumn("__cut",
+        when(substring(md5(col("tok")), 1, 1) < cutBelow, 1L).otherwise(0L))
+      .withColumn("cid", coalesce(sum(col("__cut")).over(wDoc), lit(0L)))
+    val chunks = spillPersistEager(
+      withCid.groupBy(col("doc_id"), col("cid"))
+        .agg(count(lit(1)).as("n_toks"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("tok")))),
+            s => s("tok")), " ").as("chunk"))
+        .withColumn("h", xxhash64(col("chunk"))))
+    val narrow = chunks.select("doc_id", "cid", "n_toks", "h")
+    val hot = narrow.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val wChunk = org.apache.spark.sql.expressions.Window.partitionBy("h", "chunk")
+    val dupSlots = chunks.join(hot, Seq("h"), "left_semi")
+      .withColumn("occ", count(lit(1)).over(wChunk))
+      .filter(col("occ") > 1)
+    val totals = narrow.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val dups = dupSlots.groupBy("doc_id").agg(
+      count(lit(1)).as("__dc"), sum("n_toks").as("__dt"))
+    totals.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("__dc"), lit(0L)).as("dup_chunks"),
+        coalesce(col("__dt"), lit(0L)).as("dup_tokens"))
+  }
+
   /** Apply a span set (e.g. [[duplicateSpans]] output) to the corpus: drop
     * every token whose 0-based position falls inside one of the document's
     * [span_start, span_end] ranges and rejoin with single spaces — the

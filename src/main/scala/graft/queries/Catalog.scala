@@ -786,6 +786,34 @@ object Catalog {
           coalesce(string_agg(kept.tok, ' ' ORDER BY kept.p), '') AS clean_text
         FROM s LEFT JOIN kept ON s.doc_id = kept.doc_id GROUP BY s.doc_id""")),
 
+    // Content-defined chunking dedup: variable-length token chunks whose
+    // boundaries are a pure function of local content (md5 gear rule —
+    // IDENTICAL in Spark and DuckDB, so the oracle replays the exact
+    // chunking), then a corpus-wide exact-content duplicate census. The
+    // operator's hash-prefilter + raw-verify layering must reproduce the
+    // oracle's direct group-by-chunk-text counts integer-exactly
+    Q("dedup_cdc_chunks",
+      (s, d) => Dedup.cdcChunkStats(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tk AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+          FROM s, unnest(range(1, len(t) + 1)) AS r(i)),
+        c AS (SELECT doc_id, p, tok,
+            coalesce(sum(CASE WHEN substr(md5(tok), 1, 1) < '1' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+          FROM tk),
+        ch AS (SELECT doc_id, cid, count(*) AS n_toks,
+            string_agg(tok, ' ' ORDER BY p) AS chunk
+          FROM c GROUP BY doc_id, cid),
+        occ AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(*) > 1)
+        SELECT ch.doc_id, count(*) AS n_chunks,
+          CAST(sum(CASE WHEN occ.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS dup_chunks,
+          CAST(coalesce(sum(CASE WHEN occ.chunk IS NOT NULL THEN n_toks ELSE 0 END), 0)
+            AS BIGINT) AS dup_tokens
+        FROM ch LEFT JOIN occ ON ch.chunk = occ.chunk
+        GROUP BY ch.doc_id""")),
+
     // Data-mixture sampling by token budget: per source, keep documents in
     // the deterministic LCG order until the budget is crossed — selection
     // is a pure function of ids, so DuckDB replays it exactly

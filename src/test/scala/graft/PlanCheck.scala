@@ -97,7 +97,15 @@ object PlanCheck {
           !p.contains("BroadcastNestedLoopJoin")),
       ("dedup_containment", "containment join rides the prefix posting index (no cartesian)",
         p => !p.contains("CartesianProduct") &&
-          !p.contains("BroadcastNestedLoopJoin")))
+          !p.contains("BroadcastNestedLoopJoin")),
+      ("dedup_cdc_chunks", "CDC windows keyed (doc-keyed assembly, (h,chunk) verify — never global), no cartesian",
+        // a regression to windowspecdefinition(p#...) with no leading
+        // partition column would serialize the whole token stream on one
+        // executor; the raw-verify window must key on the chunk hash
+        p => p.contains("windowspecdefinition(doc_id#") &&
+          p.contains("windowspecdefinition(h#") &&
+          !p.contains("windowspecdefinition(p#") &&
+          !p.contains("CartesianProduct")))
     println("\n========== invariants ==========")
     var failed = 0
     checks.foreach { case (name, what, ok) =>
