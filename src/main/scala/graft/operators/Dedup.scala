@@ -1453,9 +1453,12 @@ object Dedup {
     *     candidate verify), so it is persisted once (DISK_ONLY, registered
     *     — release with [[releaseIntermediates]]); recomputing would
     *     re-run the assembly exchange's map side per consumer. */
-  def cdcChunkStats(
-      df: DataFrame, idCol: String, textCol: String,
-      cutBelow: String = "1"): DataFrame = {
+  /** Shared chunk assembly for the CDC family: (doc_id, cid, n_toks,
+    * chunk) — one exchange (the (doc_id, cid) groupBy reuses the
+    * doc-keyed window's partitioning). See [[cdcChunkStats]] for the
+    * boundary rule. */
+  private def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String, cutBelow: String): DataFrame = {
     require(cutBelow.length == 1 && "123456789abcdef".contains(cutBelow),
       s"cutBelow must be one hex digit in [1, f], got '$cutBelow'")
     val wDoc = org.apache.spark.sql.expressions.Window
@@ -1463,18 +1466,24 @@ object Dedup {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     // a cut token ENDS its chunk: chunk id = cuts strictly before this
     // position, so chunks are a partition of the token sequence
-    val withCid = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("__gr_text")))
+    spread(df.select(col(idCol).as("doc_id"), col(textCol).as("__gr_text")))
       .select(col("doc_id"),
         posexplode(split(col("__gr_text"), " ")).as(Seq("p", "tok")))
       .withColumn("__cut",
         when(substring(md5(col("tok")), 1, 1) < cutBelow, 1L).otherwise(0L))
       .withColumn("cid", coalesce(sum(col("__cut")).over(wDoc), lit(0L)))
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(count(lit(1)).as("n_toks"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s("tok")), " ").as("chunk"))
+  }
+
+  def cdcChunkStats(
+      df: DataFrame, idCol: String, textCol: String,
+      cutBelow: String = "1"): DataFrame = {
     val chunks = spillPersistEager(
-      withCid.groupBy(col("doc_id"), col("cid"))
-        .agg(count(lit(1)).as("n_toks"),
-          array_join(transform(
-            array_sort(collect_list(struct(col("p"), col("tok")))),
-            s => s("tok")), " ").as("chunk"))
+      cdcChunks(df, idCol, textCol, cutBelow)
         .withColumn("h", xxhash64(col("chunk"))))
     val narrow = chunks.select("doc_id", "cid", "n_toks", "h")
     val hot = narrow.groupBy("h").agg(count(lit(1)).as("c"))
@@ -1490,6 +1499,53 @@ object Dedup {
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("__dc"), lit(0L)).as("dup_chunks"),
         coalesce(col("__dt"), lit(0L)).as("dup_tokens"))
+  }
+
+  /** Persisted CDC chunk index: one NARROW row per distinct chunk content
+    * — (chunk_md5, n_toks, occ). Identity is the 128-bit md5 of the chunk
+    * text (the storage-dedup contract — and, deliberately, a hash both
+    * this engine and the DuckDB oracle compute bit-identically, so the
+    * gate verifies the exact deployed contract, not a proxy). The corpus
+    * text itself never enters the index: at 100 TB the index is a small
+    * constant factor of the DISTINCT chunk count, ~50 bytes/chunk. */
+  def cdcChunkIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      cutBelow: String = "1"): DataFrame =
+    cdcChunks(df, idCol, textCol, cutBelow)
+      .groupBy(md5(col("chunk")).as("chunk_md5"))
+      .agg(first(col("n_toks")).as("n_toks"), count(lit(1)).as("occ"))
+
+  /** Incremental CDC dedup: the daily batch is chunked (same boundary
+    * rule — chunking is per-document, so new docs never touch old text)
+    * and every chunk slot is checked against the PERSISTED index plus the
+    * batch's own slots. Same output shape as [[cdcChunkStats]]: a chunk is
+    * dup when its md5 is already in the index OR occupies >1 slot within
+    * the batch. Scale shape: O(new data) — batch chunks carry only their
+    * md5 into one join against the narrow index (AQE broadcasts whichever
+    * side is small: a daily batch against a huge index, or a backfill
+    * against a young index), and the within-batch census is one window on
+    * the md5 key. The shift-resilience of content-defined boundaries is
+    * what makes this sound: an edited re-crawl still produces the
+    * corpus's chunk md5s for its unchanged tail, so incremental probing
+    * loses nothing to offset drift. */
+  def cdcChunkStatsIncremental(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      cutBelow: String = "1"): DataFrame = {
+    val chunks = spillPersistEager(
+      cdcChunks(batch, idCol, textCol, cutBelow)
+        .withColumn("chunk_md5", md5(col("chunk")))
+        .select("doc_id", "cid", "n_toks", "chunk_md5"))
+    val wM = org.apache.spark.sql.expressions.Window.partitionBy("chunk_md5")
+    val marked = chunks
+      .join(index.select(col("chunk_md5"), lit(1L).as("__in_idx")),
+        Seq("chunk_md5"), "left")
+      .withColumn("__batch_occ", count(lit(1)).over(wM))
+      .withColumn("__dup",
+        col("__in_idx").isNotNull || col("__batch_occ") > 1L)
+    marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_chunks"),
+      sum(when(col("__dup"), col("n_toks")).otherwise(0L)).as("dup_tokens"))
   }
 
   /** Apply a span set (e.g. [[duplicateSpans]] output) to the corpus: drop

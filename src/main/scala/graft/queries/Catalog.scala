@@ -814,6 +814,61 @@ object Catalog {
         FROM ch LEFT JOIN occ ON ch.chunk = occ.chunk
         GROUP BY ch.doc_id""")),
 
+    // INCREMENTAL CDC dedup: the corpus is chunk-indexed once (one narrow
+    // md5 row per distinct chunk, round-tripped through parquet), then a
+    // batch of every-7th-doc copies EDITED with a prefix token is checked
+    // against the index without touching corpus text. The prefix edit is
+    // the point: content-defined boundaries resynchronize after it, so the
+    // copies' unchanged tails still produce the corpus's chunk md5s (a
+    // fixed-stride chunker would report near-zero dups here). Identity is
+    // md5 on BOTH sides, so the oracle verifies the exact deployed contract
+    Q("dedup_cdc_incremental",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+        val dir = java.nio.file.Files.createTempDirectory("graft-cdc-idx")
+        Dedup.cdcChunkIndex(corpus, "doc_id", "text").write
+          .mode("overwrite").parquet(dir.toString)
+        val index = s.read.parquet(dir.toString)
+        val batch = corpus.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("graftpfx "), col("text")).as("text"))
+        val out = Dedup.cdcChunkStatsIncremental(batch, index, "doc_id", "text")
+          .localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tk AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+          FROM s, unnest(range(1, len(t) + 1)) AS r(i)),
+        c AS (SELECT doc_id, p, tok,
+            coalesce(sum(CASE WHEN substr(md5(tok), 1, 1) < '1' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+          FROM tk),
+        idx AS (SELECT DISTINCT md5(string_agg(tok, ' ' ORDER BY p)) AS m
+          FROM c GROUP BY doc_id, cid),
+        bs AS (SELECT doc_id + 1000000 AS doc_id,
+            string_split('graftpfx ' || text, ' ') AS t
+          FROM documents WHERE doc_id % 7 = 0),
+        btk AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+          FROM bs, unnest(range(1, len(t) + 1)) AS r(i)),
+        bc AS (SELECT doc_id, p, tok,
+            coalesce(sum(CASE WHEN substr(md5(tok), 1, 1) < '1' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+          FROM btk),
+        bch AS (SELECT doc_id, cid, count(*) AS n_toks,
+            md5(string_agg(tok, ' ' ORDER BY p)) AS m
+          FROM bc GROUP BY doc_id, cid),
+        occ AS (SELECT m, count(*) AS n FROM bch GROUP BY m)
+        SELECT bch.doc_id, count(*) AS n_chunks,
+          CAST(sum(CASE WHEN idx.m IS NOT NULL OR occ.n > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS dup_chunks,
+          CAST(coalesce(sum(CASE WHEN idx.m IS NOT NULL OR occ.n > 1
+            THEN n_toks ELSE 0 END), 0) AS BIGINT) AS dup_tokens
+        FROM bch LEFT JOIN idx ON bch.m = idx.m JOIN occ ON bch.m = occ.m
+        GROUP BY bch.doc_id""")),
+
     // Data-mixture sampling by token budget: per source, keep documents in
     // the deterministic LCG order until the budget is crossed — selection
     // is a pure function of ids, so DuckDB replays it exactly

@@ -156,8 +156,41 @@ final class DeltaLogMirror(
         .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
         .filter(_ > 0).getOrElse(CheckpointInterval)
       if (v > 0 && v % every == 0) writeCheckpoint(v, state)
+      writeCrc(v, state)
     }
     cached = Some(state)
+  }
+
+  /** Version-checksum sidecar ([[VersionChecksum]]) for a mirrored commit —
+    * counts come from the INCREMENTAL state (no log replay on the hot
+    * graft write path), and the embedded protocol/metadata are derived by
+    * the same rules [[emit]] uses (cumulative feature booleans →
+    * featureLists; graft CdfProp → delta.enableChangeDataFeed), so the crc
+    * agrees with the emitted actions. Skipped only while no metaData has
+    * ever been emitted (cannot happen past v0 — emit heals v0 with a
+    * fallback metaData). */
+  private def writeCrc(v: Long, st: State): Unit = {
+    if (st.schemaJson.isEmpty) return
+    val (minR, minW, rf, wf) =
+      if (st.dvProtocol || st.twProtocol) {
+        val (rs, ws) = DeltaLogMirror.featureLists(
+          st.dvProtocol, st.cdfProtocol, st.twProtocol)
+        (3, 7, rs, ws)
+      } else if (st.cdfProtocol) (1, 4, Seq.empty[String], Seq.empty[String])
+      else (1, 2, Seq.empty[String], Seq.empty[String])
+    val cfg = st.config ++
+      (if (st.config.get(VersionedTable.CdfProp).contains("true"))
+        Map("delta.enableChangeDataFeed" -> "true")
+      else Map.empty[String, String])
+    val adds = st.files.toSeq.map { case (p, fe) =>
+      DeltaTable.Add(p, fe.size, 0L, Map.empty, None,
+        fe.dv.map(d => DeletionVectors.Descriptor(
+          "p", d.path, Some(d.offset), d.size, d.card)))
+    }
+    val snap = DeltaTable.Snapshot(v,
+      DataType.fromJson(st.schemaJson).asInstanceOf[StructType],
+      Nil, cfg, adds, st.tableId, minW, wf, minR, rf)
+    VersionChecksum.write(fsu, logDir, snap, None)
   }
 
   /** Protocol parquet checkpoint of the full state at version `v`: one row

@@ -492,6 +492,15 @@ object DeltaTable {
         case _ => None
       }
     }.toMap
+    // version-checksum sidecars, already in the same listing (no extra
+    // RPC): when one exists for the resolved version, the reconstructed
+    // snapshot is verified against it below
+    val crcs: Map[Long, HPath] = statuses.flatMap { st =>
+      st.getPath.getName match {
+        case VersionChecksum.CrcRe(v) => Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.toMap
     // classic checkpoints: single-file, or multi-part keyed by (version, numParts)
     val singleCps: Map[Long, Seq[HPath]] = statuses.flatMap { st =>
       st.getPath.getName match {
@@ -795,9 +804,15 @@ object DeltaTable {
       case None => throw new IllegalArgumentException(
         s"no metaData action found up to version $target in $logDir")
     }
-    Snapshot(target, schema, partCols, config, files.values.toSeq,
+    val out = Snapshot(target, schema, partCols, config, files.values.toSeq,
       tableId, minWriter, writerFeats, minReader, readerFeats, gone.toSeq,
       domains.toMap, txns.toMap)
+    // checksum cross-check (advisory sidecar, strict when present): a
+    // mismatch means this replay did not see the log the committing writer
+    // saw — truncated copy, deleted commit, doctored add — and reading on
+    // would silently serve wrong data
+    crcs.get(target).foreach(p => VersionChecksum.verify(fsu, p, out))
+    out
   }
 
   /** Highest SetTransaction version another engine's writer recorded for

@@ -236,7 +236,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           s"lost the commit race on Delta table $path at version $v — " +
             "re-run the delete against the fresh snapshot")
     }
-    if (v % checkpointEvery(s.configuration) == 0) writeCheckpoint(v)
+    postCommit(v)
     v
   }
 
@@ -572,7 +572,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           s"lost the commit race on Delta table $path at version $v — " +
             s"re-run the ${opName.toLowerCase} against the fresh snapshot")
     }
-    if (v % checkpointEvery(s.configuration) == 0) writeCheckpoint(v)
+    postCommit(v)
     v
   }
 
@@ -771,7 +771,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           s"lost the commit race on Delta table $path at version $v — " +
             "re-run the restore against the fresh snapshot")
     }
-    if (v % checkpointEvery(cur.configuration) == 0) writeCheckpoint(v)
+    postCommit(v)
     v
   }
 
@@ -1024,7 +1024,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
             "re-run OPTIMIZE against the fresh snapshot (the staged " +
             s"rewrite dir ${w.dirName} ages out via vacuum)")
     }
-    if (v % checkpointEvery(s.configuration) == 0) writeCheckpoint(v)
+    postCommit(v)
     v
   }
 
@@ -1754,7 +1754,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
                _: java.nio.file.FileAlreadyExistsException => false
         }
       if (claimed) {
-        if (v % checkpointEvery(cur.configuration) == 0) writeCheckpoint(v)
+        postCommit(v)
         return v
       }
       attempts += 1
@@ -1890,7 +1890,11 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           case JsonRe(v) => Some(LogF(st, v.toLong, isJson = true, isV2 = false))
           case V2Re(v) => Some(LogF(st, v.toLong, isJson = false, isV2 = true))
           case CpRe(v) => Some(LogF(st, v.toLong, isJson = false, isV2 = false))
-          case _ => None // _last_checkpoint, crc, temp files — not ours
+          // crc sidecars expire with their commit (isJson: per-version
+          // files that are never a history-floor candidate)
+          case VersionChecksum.CrcRe(v) =>
+            Some(LogF(st, v.toLong, isJson = true, isV2 = false))
+          case _ => None // _last_checkpoint, temp files — not ours
         }
       }
     def expired(e: LogF): Boolean = e.st.getModificationTime < cutoff
@@ -1947,9 +1951,22 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ > 0)
       .getOrElse(DeltaLogMirror.CheckpointInterval)
 
-  private def writeCheckpoint(v: Long): Unit = {
+  /** Post-commit bookkeeping, after `v`'s JSON is durably claimed: the
+    * version-checksum sidecar for EVERY commit (delta-spark writes one per
+    * commit; [[VersionChecksum]]), and the classic checkpoint at the
+    * owner's cadence. One snapshot reconstruction serves both — and since
+    * it replays the just-written commit, it doubles as a read-back check
+    * that the emitted actions parse. The crc is built FROM that replay, so
+    * its embedded metadata/protocol can never drift from the log. */
+  private def postCommit(v: Long): Unit = {
+    val cur = DeltaTable.snapshot(spark, path, versionAsOf = Some(v))
+    VersionChecksum.write(fsu, logDir, cur,
+      DeltaTable.commitInfoIct(fsu, logPath(v)))
+    if (v % checkpointEvery(cur.configuration) == 0) writeCheckpoint(v, cur)
+  }
+
+  private def writeCheckpoint(v: Long, s: DeltaTable.Snapshot): Unit = {
     import org.apache.spark.sql.Row
-    val s = DeltaTable.snapshot(spark, path, versionAsOf = Some(v))
     val now = System.currentTimeMillis()
     val keepSince = now - ForeignDeltaTable.retentionMillis(
       s.configuration.get("delta.deletedFileRetentionDuration"))

@@ -344,9 +344,11 @@ class ForeignDeltaWriterSpec extends SparkSuite {
     (1 to 12).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s"))) // v1..v12, cp@10
     val before = DeltaTable.read(spark, root).count()
     // everything "expired" (cutoff in the future): floor = checkpoint 10,
-    // jsons 0..9 deleted, json 10..12 + the checkpoint survive
+    // jsons 0..9 + their crc sidecars deleted (v0 was fabricated by hand,
+    // so it has no crc), json 10..12 + the checkpoint survive
     val gone = t.cleanupMetadata(retentionMs = Some(-60000L))
-    assert(gone.toSet == (0L to 9L).map(v => f"$v%020d.json").toSet, gone)
+    assert(gone.toSet == ((0L to 9L).map(v => f"$v%020d.json") ++
+      (1L to 9L).map(v => f"$v%020d.crc")).toSet, gone)
     assert(new File(root, "_delta_log/00000000000000000010.checkpoint.parquet").exists)
     assert(DeltaTable.read(spark, root).count() == before)
     assert(DeltaTable.snapshot(spark, root).version == 12L)
