@@ -18,13 +18,32 @@ private[graft] object Caching {
     * is ever added; when it fires, the round-robin exchange moves only the
     * rows the caller already projected (narrow (id, text) / (id, vec)).
     * The partition probe plans the input physically: for a scan/projection
-    * that is driver-side only, but planning a JOIN executes its broadcast
-    * build (and, under AQE, its query stages) with no cross-query reuse —
-    * callers must pass the narrow pre-join projection and apply joins on
-    * top of the spread result (see Dedup.verifyJaccard). */
+    * that is driver-side only, but planning a JOIN would execute its
+    * broadcast build (and, under AQE, its query stages) with no
+    * cross-query reuse. The probe is therefore FENCED: a plan carrying an
+    * exchange-bearing operator (join, aggregate, window, global sort,
+    * distinct, set op, repartition) is returned UNCHANGED without probing
+    * — such a plan already went through a shuffle whose partitioning is
+    * `spark.sql.shuffle.partitions`/AQE-sized, so the one-file-one-task
+    * scan pathology spread exists for cannot apply, and probing it would
+    * silently run its upstream stages twice. */
   def spread(df: DataFrame): DataFrame = {
+    if (!probeSafe(df)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  /** True when physically planning (`.rdd`) the DataFrame is a driver-side
+    * no-op: no operator in the analyzed plan triggers an exchange,
+    * broadcast build, or AQE query-stage execution. */
+  private[graft] def probeSafe(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    !df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Window | _: Distinct | _: Deduplicate |
+           _: Intersect | _: Except | _: RepartitionOperation => true
+      case s: Sort => s.global
+      case _ => false
+    }
   }
 
   // DataFrame refs are tiny (plans, not data)

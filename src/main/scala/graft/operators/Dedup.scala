@@ -471,27 +471,44 @@ object Dedup {
     * prefix posting join keyed on the shingle hash, size-ratio-free
     * exact verify (containment has no size-ratio prune: a 100× size gap
     * is exactly what it looks for). Returns (id_a, id_b,
-    * containment_x1000) with id_a < id_b. */
+    * containment_x1000) with id_a < id_b.
+    *
+    * SKEW GUARD (the 100 TB path): the constant-o prefix (|s| − o + 1) is
+    * nearly the WHOLE doc, so — unlike the Jaccard join, whose prefix
+    * shrinks with doc size — a mid-frequency boilerplate shingle stays
+    * indexed corpus-wide and its posting list self-joins QUADRATICALLY.
+    * `maxDocFreq` therefore defaults ON ([[Dedup.ContainmentDefaultMaxDocFreq]]):
+    * shingles appearing in more docs than the cap are dropped from the
+    * posting index before the join, bounding any posting list's pair
+    * fan-out at cap²/2. Exactness trade (documented, deliberate): a pair
+    * whose EVERY shared shingle is above the cap is missed — at the
+    * default cap that means two docs sharing only corpus-boilerplate text,
+    * which is the pair a containment dedup WANTS to ignore. Pass
+    * `maxDocFreq = None` to force total recall on a corpus known to be
+    * skew-free. `candidateObs`, when set, observes `candidates` =
+    * post-dedup candidate-pair count (plan audits, the
+    * [[editDistancePairs]] pattern). */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3,
-      minShingles: Int = 10, maxDocFreq: Option[Int] = None): DataFrame = {
+      minShingles: Int = 10,
+      maxDocFreq: Option[Int] = Some(ContainmentDefaultMaxDocFreq),
+      candidateObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
     val o = math.ceil(threshold * minShingles).toLong.max(1L)
     val hsets = hashedShingleSets(df, idCol, textCol, shingleN)
-    // NOTE on skew: the constant-o prefix (|s| − o + 1) excludes only each
-    // doc's o − 1 most-common shingles, so a mid-frequency boilerplate
-    // shingle stays indexed corpus-wide — `maxDocFreq` is the skew escape
-    // hatch here even more than in the Jaccard join (same exactness
-    // caveat: pairs sharing ONLY dropped shingles are missed)
     val posting = cappedPostings(hsets, maxDocFreq)
     // constant overlap floor o ⇒ prefix |s| − o + 1 for EVERY doc
     val prefix = prefixPostings(posting, sz => sz - o + 1)
-    val cand = prefix.select(col("shh"), col("id").as("id_a"))
+    val cand0 = prefix.select(col("shh"), col("id").as("id_a"))
       .join(prefix.select(col("shh"), col("id").as("id_b")), Seq("shh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val cand = candidateObs match {
+      case Some(ob) => cand0.observe(ob, count(lit(1)).as("candidates"))
+      case scala.None => cand0
+    }
     val tX1000 = (threshold * 1000).toLong
     cand
       .join(hsets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a")), "id_a")
@@ -507,6 +524,17 @@ object Dedup {
   private[graft] val ContainmentMetaShingleN = "graft.containment.shingleN"
   private[graft] val ContainmentMetaOverlap = "graft.containment.minOverlap"
 
+  /** Default posting-list document-frequency cap for the containment
+    * family: a shingle present in more documents than this is dropped from
+    * the posting index (it is corpus boilerplate, and containment's
+    * near-full prefixes would otherwise self-join its posting list
+    * quadratically). 100k bounds a single posting list's candidate
+    * fan-out at ~5·10⁹ pairs corpus-wide — large but finite and banded
+    * across the cluster — while being far above any real shingle's
+    * document frequency at the gate scales (sf0.01: max df ≈ corpus
+    * size ≪ 100k), so correctness gates are cap-invariant. */
+  val ContainmentDefaultMaxDocFreq: Int = 100000
+
   /** Persistable containment corpus INDEX: one row per doc with its size,
     * sorted hashed shingle set (the verify store), and its rarest-first
     * PREFIX hashes of length |s| − o + 1 under the build corpus's
@@ -518,7 +546,8 @@ object Dedup {
   def containmentIndex(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3,
-      minShingles: Int = 10, maxDocFreq: Option[Int] = None): DataFrame = {
+      minShingles: Int = 10,
+      maxDocFreq: Option[Int] = Some(ContainmentDefaultMaxDocFreq)): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
     val o = math.ceil(threshold * minShingles).toLong.max(1L)
@@ -556,7 +585,8 @@ object Dedup {
   def containmentIncremental(
       batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3,
-      minShingles: Int = 10): DataFrame = {
+      minShingles: Int = 10,
+      candidateObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
     val o = math.ceil(threshold * minShingles).toLong.max(1L)
@@ -570,9 +600,13 @@ object Dedup {
     val bsets = hashedShingleSets(batch, idCol, textCol, shingleN)
     val iPost = index.select(col("id").as("id_a"), explode(col("prefix")).as("shh"))
     val bPost = bsets.select(col("id").as("id_b"), explode(col("hs")).as("shh"))
-    val cand = iPost.join(bPost, Seq("shh"))
+    val cand0 = iPost.join(bPost, Seq("shh"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val cand = candidateObs match {
+      case Some(ob) => cand0.observe(ob, count(lit(1)).as("candidates"))
+      case scala.None => cand0
+    }
     val tX1000 = (threshold * 1000).toLong
     cand
       .join(index.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a")), "id_a")

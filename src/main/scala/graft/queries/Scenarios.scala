@@ -27,6 +27,22 @@ import graft.sources.DataFrameSource
 object Scenarios {
   private val cache = TrieMap.empty[String, String]
 
+  // Scenario EPOCH — the bench's retry path for memoized entries. Inside
+  // `withFreshScenarios` every lookup misses (the epoch rides the cache
+  // key) and rebuilds into a fresh destination, so a RE-RUN of a
+  // memoized-scenario query times the full engine run, not a cache read;
+  // the surrounding epoch-0 destinations stay cached and untouched for
+  // every other caller. Single-threaded by contract (the bench driver).
+  @volatile private var epoch: Int = 0
+  private val epochCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run `body` in a fresh scenario epoch: memoized scenarios rebuild from
+    * scratch inside, the default epoch's cache survives outside. */
+  def withFreshScenarios[T](body: => T): T = {
+    epoch = epochCounter.incrementAndGet()
+    try body finally epoch = 0
+  }
+
   private def customer(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/customer.parquet")
 
@@ -68,7 +84,7 @@ object Scenarios {
 
   private def run(key: String, spark: SparkSession, dir: String)(
       body: String => Unit): String =
-    cache.getOrElseUpdate(s"$key|$dir", {
+    cache.getOrElseUpdate(s"$key|$dir|$epoch", {
       val dest = Files.createTempDirectory(s"graft-$key").toString
       body(dest)
       dest

@@ -122,9 +122,16 @@ private[store] object ColumnPolicies {
       case (name, sql) =>
         Rule(s"CHECK constraint $name ($sql)", !coalesce(expr(sql), lit(false)))
     }
-    val notNulls = tableSchema.fields.toSeq.collect {
-      case f if !f.nullable =>
-        Rule(s"NOT NULL constraint on column ${f.name}", col(s"`${f.name}`").isNull)
+    val notNulls = tableSchema.fields.toSeq.flatMap { f =>
+      val top =
+        if (!f.nullable)
+          Some(Rule(s"NOT NULL constraint on column ${f.name}",
+            col(s"`${f.name}`").isNull))
+        else None
+      val nested = nestedNullPred(f.dataType).map(p =>
+        Rule(s"NOT NULL constraint on a nested field under column ${f.name}",
+          col(s"`${f.name}`").isNotNull && p(col(s"`${f.name}`"))))
+      top.toSeq ++ nested.toSeq
     }
     val gens = generated(tableSchema).collect {
       case (f, sql) if providedGenerated.contains(f.name.toLowerCase) =>
@@ -133,6 +140,49 @@ private[store] object ColumnPolicies {
           !(col(s"`${f.name}`") <=> expr(sql).cast(f.dataType)))
     }
     checks ++ notNulls ++ gens
+  }
+
+  /** Predicate builder for NESTED non-nullable positions: given a
+    * NON-NULL value of type `dt`, does it contain a null somewhere a
+    * non-nullable field forbids one? Struct chains guard each step on the
+    * parent being non-null (a NULL parent is the parent's own rule's
+    * concern); array elements and map values are probed in-plan with
+    * `exists()` (higher-order, codegen'd — no UDF). delta-spark rejects
+    * such rows too; writing them silently would publish data its readers
+    * refuse. None ⟺ the type declares no nested non-nullable position. */
+  private def nestedNullPred(dt: DataType): Option[Column => Column] = dt match {
+    case st: StructType =>
+      val per: Seq[Column => Column] = st.fields.toSeq.flatMap { f =>
+        val own: Option[Column => Column] =
+          if (!f.nullable) Some((c: Column) => c.getField(f.name).isNull)
+          else None
+        val deeper: Option[Column => Column] =
+          nestedNullPred(f.dataType).map(p => (c: Column) => {
+            val fc = c.getField(f.name)
+            fc.isNotNull && p(fc)
+          })
+        own.toSeq ++ deeper.toSeq
+      }
+      if (per.isEmpty) None
+      else Some((c: Column) => per.map(_(c)).reduce(_ || _))
+    case at: ArrayType =>
+      val elemNull: Option[Column => Column] =
+        if (!at.containsNull) Some((x: Column) => x.isNull) else None
+      val deeper: Option[Column => Column] =
+        nestedNullPred(at.elementType).map(p => (x: Column) => x.isNotNull && p(x))
+      val per = elemNull.toSeq ++ deeper.toSeq
+      if (per.isEmpty) None
+      else Some((c: Column) => exists(c, x => per.map(_(x)).reduce(_ || _)))
+    case mt: MapType =>
+      val valNull: Option[Column => Column] =
+        if (!mt.valueContainsNull) Some((x: Column) => x.isNull) else None
+      val deeper: Option[Column => Column] =
+        nestedNullPred(mt.valueType).map(p => (x: Column) => x.isNotNull && p(x))
+      val per = valNull.toSeq ++ deeper.toSeq
+      if (per.isEmpty) None
+      else Some((c: Column) =>
+        exists(map_values(c), x => per.map(_(x)).reduce(_ || _)))
+    case _ => None
   }
 
   /** Wrap `anchor` (one column of the aligned batch, by name) so that any

@@ -446,7 +446,20 @@ final class DeltaLogMirror(
           twProtocol = state.twProtocol || upgradeTw)
     }
     fsu.mkdirs(logDir)
-    fsu.writeStringAtomic(logPath(v), lines.mkString("\n"))
+    // put-if-absent: a published Delta commit JSON is immutable — a
+    // duplicate or racing emit must never silently replace it. Two racers
+    // mirroring the SAME graft manifest write byte-identical lines, so a
+    // lost race with identical content is a benign no-op; differing
+    // content is a real conflict and fails loudly.
+    val body = lines.mkString("\n")
+    try fsu.writeStringAtomicNew(logPath(v), body)
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
+        if (fsu.readString(logPath(v)) != body) throw new java.io.IOException(
+          s"mirror commit ${logPath(v)} already exists with DIFFERENT " +
+            "content — refusing to replace a published Delta commit", e)
+    }
     next
   }
 }

@@ -167,7 +167,11 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     *
     * Returns the committed version, or the CURRENT version (no commit)
     * when nothing matched. */
-  def deleteWhere(cond: Column, allowProtocolUpgrade: Boolean = false): Long = {
+  def deleteWhere(cond: Column, allowProtocolUpgrade: Boolean = false): Long =
+    withConflictRetry()(() => deleteWhereAttempt(cond, allowProtocolUpgrade))
+
+  private def deleteWhereAttempt(
+      cond: Column, allowProtocolUpgrade: Boolean): Long = {
     val s = snap
     validateWritable(s, forOverwrite = false)
     if (s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
@@ -226,6 +230,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     lines ++= dvReAddLines(perFile, offs, addByAbs, uuidRef, now)
     cdcW.foreach(lines ++= cdcLines(_))
     val v = s.version + 1
+    onBeforeCommit()
     try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -386,7 +391,12 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     * Returns the committed version (current version when src is empty). */
   def merge(
       src: DataFrame, keys: Seq[String],
-      allowProtocolUpgrade: Boolean = false): Long = {
+      allowProtocolUpgrade: Boolean = false): Long =
+    withConflictRetry()(() => mergeAttempt(src, keys, allowProtocolUpgrade))
+
+  private def mergeAttempt(
+      src: DataFrame, keys: Seq[String],
+      allowProtocolUpgrade: Boolean): Long = {
     val s = snap
     validateWritable(s, forOverwrite = false)
     if (s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
@@ -411,18 +421,46 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     // metaData), absent generated columns are computed, and CHECK/
     // invariant/NOT NULL/provided-generated rules ride the write plan
     val lowerIn = src.columns.map(_.toLowerCase).toSet
+    val keyCols = keys.map(k => s.schema.fields
+      .find(_.name.equalsIgnoreCase(k)).get.name)
     val idSpecM = ColumnPolicies.identity(s.schema).headOption
-    idSpecM.foreach { is =>
-      if (!lowerIn.contains(is.name.toLowerCase)) refuse(
-        s"MERGE into a table with identity column ${is.name} requires the " +
-          "source to provide it — matched rows must keep their identity " +
-          "(use append for pure inserts with assignment)")
+    // identity under MERGE mirrors append's policy split:
+    // GENERATED BY DEFAULT (allowExplicitInsert=true) — the source must
+    //   PROVIDE the column: matched rows keep their identity in a
+    //   whole-key replace, explicit insert values advance the mark.
+    // GENERATED ALWAYS (allowExplicitInsert=false) — provided values are
+    //   forged ids and are refused (exactly as append refuses them);
+    //   instead, matched rows RECOVER their current identity from the live
+    //   table by key and unmatched (inserted) rows get fresh values past
+    //   the high-water mark, delta-spark's MERGE semantics.
+    val srcId = idSpecM match {
+      case Some(is) if is.allowExplicit =>
+        if (!lowerIn.contains(is.name.toLowerCase)) refuse(
+          s"MERGE into a table with identity column ${is.name} requires the " +
+            "source to provide it — matched rows must keep their identity " +
+            "(use append for pure inserts with assignment)")
+        src
+      case Some(is) =>
+        if (lowerIn.contains(is.name.toLowerCase)) refuse(
+          s"column ${is.name} is GENERATED ALWAYS AS IDENTITY — explicit " +
+            "values are not allowed through MERGE " +
+            "(delta.identity.allowExplicitInsert=false)")
+        val tgtIdCol = "__graft_merge_identity"
+        val tgtIds = DeltaTable.read(spark, path)
+          .select(keyCols.map(col) :+ col(s"`${is.name}`").as(tgtIdCol): _*)
+          .dropDuplicates(keyCols)
+        src.join(tgtIds, keyCols, "left")
+          .withColumn(is.name, coalesce(col(tgtIdCol),
+            (lit(is.base) + lit(is.step) * (monotonically_increasing_id() + 1L))
+              .cast(is.dataType)))
+          .drop(tgtIdCol)
+      case None => src
     }
     val genColsM = ColumnPolicies.generated(s.schema)
     val providedGenM = genColsM.collect {
       case (f, _) if lowerIn.contains(f.name.toLowerCase) => f.name.toLowerCase
     }.toSet
-    val srcGen = genColsM.foldLeft(src) { case (d, (f, sql)) =>
+    val srcGen = genColsM.foldLeft(srcId) { case (d, (f, sql)) =>
       if (lowerIn.contains(f.name.toLowerCase)) d
       else d.withColumn(f.name, expr(sql).cast(f.dataType))
     }
@@ -431,8 +469,6 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       .enforce(align(srcGen, s.schema), s.schema, rulesM)
       .localCheckpoint(true)
     if (aligned.isEmpty) return s.version
-    val keyCols = keys.map(k => s.schema.fields
-      .find(_.name.equalsIgnoreCase(k)).get.name)
     val srcKeys = aligned.select(keyCols.map(col): _*).distinct()
 
     // matched target rows → per-file DVs (may be empty: pure-insert merge)
@@ -444,7 +480,9 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val phys = new PhysPlan(s, s.schema)
     val w = writeFiles(phys.toPhysical(aligned), phys.writeSchema,
       phys.physPartCols, phys.fieldIdWrite,
-      statsAllow = statsAllowOf(s.configuration, s.schema, phys.physNameOf))
+      statsAllow = statsAllowWithIdentity(
+        statsAllowOf(s.configuration, s.schema, phys.physNameOf),
+        s.schema, phys.physNameOf))
 
     // CDF: matched keys are updates (pre image from the live scan, post
     // from the source), unmatched are inserts — the exact cdc shape
@@ -473,8 +511,24 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       }
 
     val metaSchemaM = idSpecM.flatMap(is =>
-      advancedHwm(is, w.statsByFile, phys.physNameOf(is.name))
+      advancedHwm(is, w, phys.physNameOf(is.name))
         .map(h => ColumnPolicies.withHighWaterMark(s.schema, is.name, h)))
+    // backstop (mirrors commitWrite's): under GENERATED ALWAYS, unmatched
+    // source rows were ASSIGNED fresh values strictly past the mark — if
+    // any exist, the mark MUST advance in this commit or the next append
+    // reassigns the same ids. One cheap pass over the (localCheckpoint'd)
+    // source, only on the anomaly path.
+    idSpecM.filterNot(_.allowExplicit).foreach { is =>
+      if (metaSchemaM.isEmpty) {
+        val c = col(s"`${is.name}`").cast(LongType)
+        val past = if (is.step >= 0) c > lit(is.base) else c < lit(is.base)
+        if (aligned.where(past).limit(1).count() > 0L)
+          throw new IllegalStateException(
+            s"identity values were assigned for column ${is.name} in MERGE " +
+              "but no advanced high-water mark could be derived from the " +
+              "written files' stats or partition values — refusing to commit")
+      }
+    }
     mutationCommit(s, hasDv, perFile, addByAbs, Some(w), cdcW, "MERGE",
       metaSchemaM)
   }
@@ -561,6 +615,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       if (rowTracking && w.parts.nonEmpty) lines += rowTrackingDomainLine(hwm)
     }
     cdcW.foreach(lines ++= cdcLines(_))
+    onBeforeCommit()
     try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -585,7 +640,12 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     * version (current version when nothing matched). */
   def updateWhere(
       cond: Column, set: Map[String, Column],
-      allowProtocolUpgrade: Boolean = false): Long = {
+      allowProtocolUpgrade: Boolean = false): Long =
+    withConflictRetry()(() => updateWhereAttempt(cond, set, allowProtocolUpgrade))
+
+  private def updateWhereAttempt(
+      cond: Column, set: Map[String, Column],
+      allowProtocolUpgrade: Boolean): Long = {
     val s = snap
     validateWritable(s, forOverwrite = false)
     if (s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
@@ -667,7 +727,10 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     * changes from its dataChange add/removes (delta-spark emits RESTORE
     * the same derivable way). Returns the committed version (current
     * version when nothing differs). */
-  def restore(version: Long): Long = {
+  def restore(version: Long): Long =
+    withConflictRetry()(() => restoreAttempt(version))
+
+  private def restoreAttempt(version: Long): Long = {
     val cur = snap
     validateWritable(cur, forOverwrite = false)
     if (cur.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
@@ -763,6 +826,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       lines += mapper.writeValueAsString(ad)
     }
     val v = cur.version + 1
+    onBeforeCommit()
     try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -823,7 +887,13 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       targetFileBytes: Long = 128L << 20,
       minFiles: Int = 2,
       clusterBy: Seq[String] = Nil,
-      full: Boolean = false): Long = {
+      full: Boolean = false): Long =
+    withConflictRetry()(() =>
+      optimizeAttempt(smallFileBytes, targetFileBytes, minFiles, clusterBy, full))
+
+  private def optimizeAttempt(
+      smallFileBytes: Long, targetFileBytes: Long, minFiles: Int,
+      clusterBy: Seq[String], full: Boolean): Long = {
     val s = snap
     validateWritable(s, forOverwrite = false)
     val rowTracking = s.writerFeatures.contains("rowTracking")
@@ -1015,6 +1085,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       lines += mapper.writeValueAsString(ad)
     }
     if (rowTracking && w.parts.nonEmpty) lines += rowTrackingDomainLine(hwmRt)
+    onBeforeCommit()
     try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -1029,6 +1100,50 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
   }
 
   // --------------------------------------------------------------- internals
+
+  /** Test seam: invoked immediately before a mutation attempt publishes
+    * its commit JSON — specs interleave a concurrent writer here to
+    * exercise the lost-race conflict analysis deterministically. */
+  private[store] var onBeforeCommit: () => Unit = () => ()
+
+  /** True when commit `v` is a PURE data append: no remove, no metaData,
+    * no protocol action (commitInfo/txn/add/cdc/domainMetadata only). Such
+    * a commit's files are brand-new — disjoint by construction from any
+    * file a concurrent mutation read or DV'd — so losing a commit race to
+    * it is safe to resolve by re-running against the fresh snapshot
+    * (delta-spark's ConflictChecker resolution for disjoint concurrent
+    * appends; the re-run even sees the appended rows, i.e. the serial
+    * append→mutation order). Unreadable commit → NOT benign. */
+  private def isPureAppend(v: Long): Boolean =
+    scala.util.Try {
+      fsu.readString(logPath(v)).split('\n').filter(_.nonEmpty).forall { line =>
+        val n = mapper.readTree(line)
+        !(n.has("remove") || n.has("metaData") || n.has("protocol"))
+      }
+    }.getOrElse(false)
+
+  /** Optimistic-concurrency wrapper for the mutations (deleteWhere /
+    * updateWhere / merge / restore / optimize): a lost commit race runs
+    * LOGICAL conflict analysis over the commits that won — every one a
+    * pure disjoint append ⇒ internal retry against the fresh snapshot
+    * (bounded); any remove / metaData / protocol change among them ⇒
+    * abort exactly as before (row-level conflict against an unknown
+    * mutation is not decidable here, and delta-spark aborts those too). */
+  private def withConflictRetry[T](maxRetries: Int = 3)(attempt: () => T): T = {
+    var tries = 0
+    while (true) {
+      val before = snap.version
+      try return attempt()
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          val after = snap.version
+          val benign = after > before && (before + 1 to after).forall(isPureAppend)
+          if (!benign || tries >= maxRetries) throw e
+          tries += 1
+      }
+    }
+    sys.error("unreachable")
+  }
 
   private def refuse(msg: String): Nothing =
     throw new UnsupportedOperationException(
@@ -1161,10 +1276,16 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
   private def align(df: DataFrame, target: StructType): DataFrame = {
     val have = df.columns.map(c => c.toLowerCase -> c).toMap
     df.select(target.fields.toSeq.map { f =>
+      // cast to the deep-RELAXED type: Spark refuses casting a nullable
+      // struct/array/map onto a non-nullable nested shape, and nested
+      // NOT NULL is a declaration enforced on VALUES (ColumnPolicies),
+      // not a cast target
+      val relaxed = SchemaEvolution.relaxDeep(f.dataType)
       have.get(f.name.toLowerCase) match {
-        case Some(c) if df.schema(c).dataType == f.dataType => col(c).as(f.name)
-        case Some(c) => col(c).cast(f.dataType).as(f.name)
-        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(c) if SchemaEvolution.relaxDeep(df.schema(c).dataType) ==
+            relaxed => col(c).as(f.name)
+        case Some(c) => col(c).cast(relaxed).as(f.name)
+        case None => lit(null).cast(relaxed).as(f.name)
       }
     }: _*)
   }
@@ -1244,15 +1365,25 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     * negative one — keyed by the column's PHYSICAL name): the furthest
     * assigned-or-provided value in step direction, None when nothing moved
     * past the recorded mark (e.g. allowExplicitInsert values below it, or
-    * an empty batch). */
+    * an empty batch). The stats pass is forced to include the identity
+    * column regardless of the table's data-skipping config
+    * ([[statsAllowWithIdentity]]); an identity column that is ALSO a
+    * partition column never appears in stats, so its exact per-file value
+    * is recovered from the hive partition dir names instead — between the
+    * two, a written row can never advance the mark invisibly. */
   private def advancedHwm(
-      is: ColumnPolicies.Identity, statsByFile: Map[String, String],
-      physName: String): Option[Long] = {
+      is: ColumnPolicies.Identity, w: Written, physName: String): Option[Long] = {
     val key = if (is.step >= 0) "maxValues" else "minValues"
-    val vals = statsByFile.values.toSeq.flatMap { sj =>
+    val fromStats = w.statsByFile.values.toSeq.flatMap { sj =>
       Option(mapper.readTree(sj).get(key)).flatMap(n => Option(n.get(physName)))
         .filterNot(_.isNull).map(_.asLong())
     }
+    val fromParts = w.parts.flatMap { case (rel, _, _) =>
+      w.partValues(rel).collectFirst {
+        case (n, Some(v)) if n == physName => v
+      }.flatMap(v => scala.util.Try(v.toLong).toOption)
+    }
+    val vals = fromStats ++ fromParts
     if (vals.isEmpty) None
     else {
       val v = if (is.step >= 0) vals.max else vals.min
@@ -1291,6 +1422,19 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     * table statting everything pays 1500 aggregates per file for columns
     * nobody filters on); absent or -1 → all columns, this writer's
     * historical behavior. */
+  /** `statsAllowOf` with the identity column FORCED into the allow-set:
+    * the identity high-water mark is recovered from the written files'
+    * stats pass ([[advancedHwm]]), so excluding the identity column via
+    * `delta.dataSkippingStatsColumns` / `delta.dataSkippingNumIndexedCols`
+    * must never silence it — a lost mark means the next append reassigns
+    * the same identity values (delta-spark tracks the mark with a
+    * dedicated stats tracker independent of data-skipping config). */
+  private def statsAllowWithIdentity(
+      allow: Option[Set[String]], logicalSchema: StructType,
+      physOf: String => String): Option[Set[String]] =
+    ColumnPolicies.identity(logicalSchema).headOption
+      .fold(allow)(is => allow.map(_ + physOf(is.name)))
+
   private def statsAllowOf(
       config: Map[String, String], logicalSchema: StructType,
       physOf: String => String): Option[Set[String]] =
@@ -1585,11 +1729,28 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val aligned = phys.toPhysical(checked)
 
     val w = writeFiles(aligned, writeSchema, physPartCols, phys.fieldIdWrite,
-      statsAllow = statsAllowOf(s.configuration, outSchema, phys.physNameOf))
+      statsAllow = statsAllowWithIdentity(
+        statsAllowOf(s.configuration, outSchema, phys.physNameOf),
+        outSchema, phys.physNameOf))
     // identity high-water mark after this batch, read off the written
-    // files' stats pass — advances the schema metadata in this commit
+    // files' stats pass (or partition dir values when the identity column
+    // is a partition column) — advances the schema metadata in this commit
     val newHwm: Option[Long] = idSpec.flatMap(is =>
-      advancedHwm(is, w.statsByFile, phys.physNameOf(is.name)))
+      advancedHwm(is, w, phys.physNameOf(is.name)))
+    // backstop: ids were ASSIGNED to a non-empty batch, so the mark MUST
+    // advance — committing without it would make the next append reassign
+    // the very same identity values (silent duplicate keys). Hard-fail
+    // before the commit is claimed; the staged files stay vacuum-reclaimable.
+    val idsAssigned = idSpec.exists(is => !lowerIn.contains(is.name.toLowerCase))
+    if (idsAssigned && newHwm.isEmpty) {
+      val rowsWritten = w.statsByFile.values.exists(sj =>
+        Option(mapper.readTree(sj).get("numRecords")).exists(_.asLong() > 0L)) ||
+        (w.statsByFile.isEmpty && w.parts.nonEmpty)
+      if (rowsWritten) throw new IllegalStateException(
+        s"identity values were assigned for column ${idSpec.get.name} but no " +
+          "advanced high-water mark could be derived from the written files' " +
+          "stats or partition values — refusing to commit the batch")
+    }
     val dirName = w.dirName
     val parts = w.parts
     val partValuesOf = w.partValues
@@ -1898,32 +2059,57 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
         }
       }
     def expired(e: LogF): Boolean = e.st.getModificationTime < cutoff
-    val floorOpt = entries.filter(e => !e.isJson && expired(e)).map(_.version).maxOption
+    // a v2 manifest's sidecar refs; None when the manifest itself is
+    // unreadable (a crashed partial write — never a usable floor)
+    def sidecarRefsOf(e: LogF): Option[Seq[String]] = scala.util.Try {
+      if (e.st.getPath.getName.endsWith(".json"))
+        fsu.readString(e.st.getPath).split('\n').filter(_.contains("\"sidecar\""))
+          .toSeq.map(mapper.readTree).flatMap(n =>
+            Option(n.get("sidecar")).map(_.get("path").asText()))
+      else
+        spark.read.parquet(e.st.getPath.toString)
+          .select(col("sidecar.path")).na.drop()
+          .collect().toSeq.map(_.getString(0))
+    }.toOption
+    def resolveSidecar(p: String): HPath = {
+      val u = new java.net.URI(p)
+      if (u.isAbsolute) new HPath(u) else new HPath(new HPath(logDir, "_sidecars"), p)
+    }
+    // the history floor must be a USABLE checkpoint — deleting every
+    // commit below an unusable one (crashed partial multipart write, v2
+    // manifest with missing sidecars) would leave no way to reconstruct
+    // state at the floor. Complete ⟺ a single-part file, OR a full
+    // 1..n multipart set, OR a readable v2 manifest whose sidecars all
+    // exist. Incomplete candidates fall back to the next older version.
+    val SingleRe = """\d{20}\.checkpoint\.parquet""".r
+    val MultiRe = """\d{20}\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    def completeAt(v: Long): Boolean = {
+      val grp = entries.filter(x => !x.isJson && x.version == v)
+      val names = grp.map(_.st.getPath.getName)
+      val hasSingle = names.exists(n => SingleRe.pattern.matcher(n).matches())
+      lazy val multiOk = {
+        val parts = names.collect { case MultiRe(k, n) => (k.toInt, n.toInt) }
+        parts.nonEmpty && parts.map(_._2).distinct.size == 1 &&
+          parts.map(_._1).toSet == (1 to parts.head._2).toSet
+      }
+      lazy val v2Ok = grp.filter(_.isV2).exists(e =>
+        sidecarRefsOf(e).exists(_.forall(p => fsu.exists(resolveSidecar(p)))))
+      hasSingle || multiOk || v2Ok
+    }
+    val floorOpt = entries.filter(e => !e.isJson && expired(e)).map(_.version)
+      .distinct.sorted(Ordering[Long].reverse).find(completeAt)
     if (floorOpt.isEmpty) return Nil
     val floor = floorOpt.get
     val doomed = entries.filter(e => e.version < floor && expired(e))
     if (doomed.isEmpty) return Nil
     // sidecars: delete those referenced ONLY by doomed v2 manifests
-    def sidecarRefs(fs: Seq[LogF]): Set[String] = fs.filter(_.isV2).flatMap { e =>
-      scala.util.Try {
-        if (e.st.getPath.getName.endsWith(".json"))
-          fsu.readString(e.st.getPath).split('\n').filter(_.contains("\"sidecar\""))
-            .toSeq.map(mapper.readTree).flatMap(n =>
-              Option(n.get("sidecar")).map(_.get("path").asText()))
-        else
-          spark.read.parquet(e.st.getPath.toString)
-            .select(col("sidecar.path")).na.drop()
-            .collect().toSeq.map(_.getString(0))
-      }.getOrElse(Nil)
-    }.toSet
+    def sidecarRefs(fs: Seq[LogF]): Set[String] =
+      fs.filter(_.isV2).flatMap(e => sidecarRefsOf(e).getOrElse(Nil)).toSet
     val doomedRefs = sidecarRefs(doomed)
     val liveRefs =
       if (doomedRefs.isEmpty) Set.empty[String]
       else sidecarRefs(entries.filterNot(doomed.contains))
-    val deadSidecars = (doomedRefs -- liveRefs).toSeq.sorted.map { p =>
-      val u = new java.net.URI(p)
-      if (u.isAbsolute) new HPath(u) else new HPath(new HPath(logDir, "_sidecars"), p)
-    }
+    val deadSidecars = (doomedRefs -- liveRefs).toSeq.sorted.map(resolveSidecar)
     val deleted = doomed.map(e => e.st.getPath) ++ deadSidecars
     deleted.foreach(p => fsu.deleteIfExists(p): Unit)
     deleted.map(_.getName)

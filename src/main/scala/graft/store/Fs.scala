@@ -72,13 +72,26 @@ final class Fs(spark: SparkSession, anyPathInFs: String) {
   def writeStringAtomicNew(p: Path, s: String): Unit = {
     val tmp = new Path(p.getParent, s".tmp-${java.util.UUID.randomUUID()}")
     writeString(tmp, s)
+    def crcOf(f: Path) = new Path(f.getParent, s".${f.getName}.crc")
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         fs.getUri, fs.getConf)
+      // the FileContext for checksummed schemes is itself checksum-aware
+      // (LocalFs extends ChecksumFs): the rename moves the `.crc` sidecar
+      // under the SAME no-replace rule as the file. A stale sidecar whose
+      // file was raw-deleted externally (crash, manual cleanup) would
+      // therefore fail a legitimate re-publication into the free slot —
+      // clear it through the RAW fs while `p` is verifiably absent; the
+      // put-if-absent guarantee stays on `p` itself.
+      val raw = fs match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+        case f => f
+      }
+      if (!raw.exists(p)) raw.delete(crcOf(p), false)
       fc.rename(fc.makeQualified(tmp), fc.makeQualified(p))
     } catch {
       case e: Throwable =>
-        fs.delete(tmp, false)
+        fs.delete(tmp, false) // checksum-aware: removes tmp's sidecar too
         throw e
     }
   }

@@ -946,10 +946,22 @@ object SchemaEvolution {
     * widening exists (decimal(15)→(20) ok; decimal→string raises — reference
     * test_11_schema_drift.py:89-102). */
   def merge(existing: StructType, incoming: StructType, drift: graft.SchemaDrift): StructType = {
+    // drift compares SHAPES: nested nullability and nested field metadata
+    // are declarations (the table's contract survives the write and is
+    // value-enforced separately), not type changes
+    def comparable(dt: DataType): DataType = dt match {
+      case ArrayType(e, _) => ArrayType(comparable(e), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(comparable(k), comparable(v), valueContainsNull = true)
+      case st: StructType => StructType(st.fields.map(f => StructField(
+        f.name, comparable(f.dataType), nullable = true)))
+      case other => other
+    }
     val byLower = incoming.fields.map(f => f.name.toLowerCase -> f).toMap
     val updated = existing.fields.map { old =>
       byLower.get(old.name.toLowerCase) match {
-        case Some(nw) if nw.dataType == old.dataType => old.copy(nullable = true)
+        case Some(nw) if comparable(nw.dataType) == comparable(old.dataType) =>
+          old.copy(nullable = true)
         case Some(nw) =>
           drift match {
             case graft.SchemaDrift.Full =>

@@ -273,6 +273,55 @@ class JdbcSqlGenDialectSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(handled == Set("dt", "uid"))
   }
 
+  test("postgres: company3 shape — varchar trim+cap, timestamp passthrough, xmin watermark") {
+    // the same fixture class the tsql temporal test pins, in its postgres
+    // spelling (tests/sqls/init_postgres.sql company3: varchar pk +
+    // payload, plain timestamp) — postgres has no system-versioned ROW
+    // START, so the delta watermark there is xmin, double-cast through
+    // text exactly like the canonical user-table shape
+    val cols = Seq(
+      ColInfo("id", StringType, sourceType = Some("varchar")),
+      ColInfo("name", StringType, sourceType = Some("varchar")),
+      ColInfo("date_timer", TimestampType, sourceType = Some("timestamp")),
+      ColInfo("xmin", LongType, sourceType = Some("xid")))
+    val cfg = WriteConfig(maxTextSize = Some(300))
+    val (sql, handled) = JdbcSqlGen.projectedSql(cols, cfg, pgUrl,
+      Left("dbo.\"company3\"")).get
+    assert(sql ==
+      """SELECT SUBSTRING(LTRIM(RTRIM("id")), 1, 300) AS "id", """ +
+      """SUBSTRING(LTRIM(RTRIM("name")), 1, 300) AS "name", """ +
+      """"date_timer", CAST(CAST("xmin" AS VARCHAR(32)) AS BIGINT) AS "xmin" """.trim +
+      " FROM dbo.\"company3\"")
+    assert(handled == Set("id", "name", "xmin"))
+    // the timestamp watermark ships as the same JDBC temporal escape on
+    // postgres — the driver expands it dialect-correctly
+    assert(JdbcSqlGen.sqlLiteral(
+      java.sql.Timestamp.valueOf("2024-03-01 10:15:30.123"), pgUrl) ==
+      Some("{ts '2024-03-01 10:15:30.123'}"))
+  }
+
+  test("postgres: no-pk xml table shape — spaced names quote, xml/uuid cap but never trim") {
+    // the postgres spelling of the always-full fixture
+    // (init_postgres.sql "long schema"."long table name": spaced
+    // identifiers, xml, uuid default, date) — xml and uuid are not string
+    // types at the source, so both cap without trimming (the tsql twin
+    // pins the identical rule through uniqueidentifier)
+    val cols = Seq(
+      ColInfo("long column name", IntegerType, sourceType = Some("int4")),
+      ColInfo("dt", StringType, sourceType = Some("xml")),
+      ColInfo("uid", StringType, sourceType = Some("uuid")),
+      ColInfo("date", DateType, sourceType = Some("date")))
+    val cfg = WriteConfig(maxTextSize = Some(300))
+    val (sql, handled) = JdbcSqlGen.projectedSql(cols, cfg, pgUrl,
+      Left("\"long schema\".\"long table name\"")).get
+    assert(sql ==
+      """SELECT "long column name", SUBSTRING("dt", 1, 300) AS "dt", """ +
+      """SUBSTRING("uid", 1, 300) AS "uid", "date" """.trim +
+      " FROM \"long schema\".\"long table name\"")
+    assert(!sql.contains("RTRIM"))
+    assert(handled == Set("dt", "uid"))
+  }
+
   test("user2$ shape: dollar identifiers; tsql tinyint widens to SMALLINT source-side") {
     // the reference's user2$ fixture (tests/sqls/init_mssql.sql /
     // init_postgres.sql): a $ in the TABLE name (quoted by the caller's

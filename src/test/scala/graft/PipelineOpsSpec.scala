@@ -727,6 +727,47 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("containmentPairs: maxDocFreq cap bounds candidates on a boilerplate corpus") {
+    // skewed corpus: every doc opens with the SAME boilerplate (shingles in
+    // all 60 docs), then a distinct rare tail; 5 planted near-dup pairs
+    // share rare tails. Uncapped, the boilerplate posting lists join all
+    // docs pairwise (60·59/2 candidate ceiling); capped at 10, boilerplate
+    // shingles leave the index and candidates collapse to ~the planted
+    // pairs — while every pair sharing RARE shingles is still found.
+    val boiler = (1 to 20).map(i => s"common$i").mkString(" ")
+    val base = (0L until 60L).map(i =>
+      (i, boiler + " " + (0 to 14).map(j => s"tail${i}x$j").mkString(" ")))
+    val dups = (0L until 5L).map(i =>
+      (i + 1000L, base(i.toInt)._2 + " extratok"))
+    val corpus = (base ++ dups).toDF("doc_id", "text")
+    val obsFull = new org.apache.spark.sql.Observation("ct-full")
+    val full = Dedup.containmentPairs(corpus, "doc_id", "text",
+        threshold = 0.8, minShingles = 10, maxDocFreq = None,
+        candidateObs = Some(obsFull))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseIntermediates()
+    val obsCap = new org.apache.spark.sql.Observation("ct-cap")
+    val capped = Dedup.containmentPairs(corpus, "doc_id", "text",
+        threshold = 0.8, minShingles = 10, maxDocFreq = Some(10),
+        candidateObs = Some(obsCap))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseIntermediates()
+    val candFull = obsFull.get("candidates").asInstanceOf[Long]
+    val candCap = obsCap.get("candidates").asInstanceOf[Long]
+    // uncapped the boilerplate joins (nearly) everything pairwise
+    assert(candFull > 1000L,
+      s"corpus must be boilerplate-degenerate for the test to bite ($candFull)")
+    // the cap collapses the candidate volume by >10× on this corpus
+    assert(candCap * 10 < candFull,
+      s"capped candidates $candCap vs uncapped $candFull")
+    // the planted pairs share 15+ RARE shingles — all survive the cap
+    (0L until 5L).foreach(i => assert(capped.contains((i, i + 1000L)),
+      s"planted pair $i lost under the cap"))
+    // and emitted pairs remain a SUBSET of the exact answer (never wrong,
+    // only — documented-ly — fewer when a pair shares ONLY hot shingles)
+    assert(capped.subsetOf(full))
+  }
+
   test("containmentIncremental: equals batch-mode cross pairs; params enforced") {
     val rnd = new scala.util.Random(31)
     val vocab = Vector.tabulate(30)(i => s"w$i")

@@ -33,7 +33,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `python3 tools/sf1_check.py` / `python3 tools/sf1_check.py emb`. */
 object Sf1Drive {
   val gates = Seq("dedup_spans", "dedup_minhash_incremental", "dedup_editdist",
-    "dedup_clusters", "dedup_simhash", "dedup_containment")
+    "dedup_clusters", "dedup_simhash", "dedup_containment",
+    // round-12: the r11 operators' 10× runs (r11 verdict item 5) —
+    // containment additionally reports its candidate-pair count (the
+    // constant-o prefix is the shape whose candidate volume could
+    // surprise at 10×; the default maxDocFreq cap is the guard)
+    "dedup_cdc_chunks", "sample_mixture")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry
     * verbatim; the three retrieval gates mirror the Catalog entry's code
@@ -314,11 +319,24 @@ object Sf1Drive {
     synthDocs(spark)
     gates.foreach { g =>
       val t0 = System.nanoTime()
-      graft.queries.Catalog.queries(g)(spark, out)
-        .write.mode("overwrite").parquet(s"$outDir/$g")
+      // containment runs the gate's exact parameterization but with the
+      // candidate audit observation attached, so the sweep RECORDS the
+      // candidate volume at 10× next to the wall time
+      val obs =
+        if (g == "dedup_containment")
+          Some(new org.apache.spark.sql.Observation(s"sf1-$g-cands"))
+        else None
+      val df = obs match {
+        case Some(o) => graft.operators.Dedup.containmentPairs(
+          spark.read.parquet(s"$out/documents.parquet"), "doc_id", "text",
+          threshold = 0.8, minShingles = 10, candidateObs = Some(o))
+        case None => graft.queries.Catalog.queries(g)(spark, out)
+      }
+      df.write.mode("overwrite").parquet(s"$outDir/$g")
       graft.operators.Dedup.releaseIntermediates()
       println(f"GATE $g ${(System.nanoTime() - t0) / 1e9}%.1f s " +
-        s"rows=${spark.read.parquet(s"$outDir/$g").count()}")
+        s"rows=${spark.read.parquet(s"$outDir/$g").count()}" +
+        obs.fold("")(o => s" candidates=${o.get("candidates")}"))
     }
   }
 

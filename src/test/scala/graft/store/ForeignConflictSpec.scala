@@ -1,0 +1,142 @@
+package graft.store
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Logical conflict analysis for lost commit races on the foreign Delta
+  * writer: a mutation (deleteWhere/updateWhere/merge/optimize) that loses
+  * its optimistic commit to a concurrent PURE APPEND retries internally
+  * against the fresh snapshot — the appended files are disjoint from
+  * anything the mutation read, and the retry even applies the mutation to
+  * the appended rows (the serializable append→mutation order). A race
+  * lost to anything carrying remove/metaData/protocol actions still
+  * aborts loudly (delta-spark's ConflictChecker does the same). The
+  * concurrent writer fires deterministically through the
+  * `onBeforeCommit` test seam, exactly between the loser's snapshot
+  * resolution and its commit publish. */
+class ForeignConflictSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def foreignTable(root: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val staging = tmpDir("fcx-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dataName = "part-00000-seed.snappy.parquet"
+    Files.copy(part.toPath, java.nio.file.Paths.get(root, dataName)): Unit
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val meta = s"""{"metaData":{"id":"conflict-1","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(df.schema.json)},""" +
+      s""""partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    val add = s"""{"add":{"path":"$dataName","partitionValues":{},""" +
+      s""""size":${new File(root, dataName).length()},"modificationTime":1,"dataChange":true}}"""
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log",
+      "00000000000000000000.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta, add)
+        .mkString("\n").getBytes("UTF-8")): Unit
+  }
+
+  /** Arm `t.onBeforeCommit` to run `body` exactly once (the loser's FIRST
+    * publish attempt), then disarm — the retry publishes unimpeded. */
+  private def interleaveOnce(t: ForeignDeltaTable)(body: => Unit): Unit = {
+    var fired = false
+    t.onBeforeCommit = () => {
+      if (!fired) { fired = true; body }
+    }
+  }
+
+  test("deleteWhere auto-retries over a concurrent disjoint append") {
+    val root = tmpDir("fcx-del")
+    foreignTable(root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val loser = new ForeignDeltaTable(spark, root)
+    val winner = new ForeignDeltaTable(spark, root)
+    // the append lands BETWEEN the delete's snapshot and its publish —
+    // and even inserts a row MATCHING the delete predicate
+    interleaveOnce(loser) {
+      winner.append(Seq((4L, "keep"), (5L, "drop-me")).toDF("id", "v")): Unit
+    }
+    val committed = loser.deleteWhere(
+      col("id") === 2L || col("v") === "drop-me", allowProtocolUpgrade = true)
+    // both landed without a manual re-run: v1 = append, v2 = delete
+    assert(committed == 2L)
+    val rows = DeltaTable.read(spark, root)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    // the retry ran against the FRESH snapshot: the appended matching row
+    // is deleted too (serial append→delete order)
+    assert(rows == Set((1L, "a"), (3L, "c"), (4L, "keep")))
+  }
+
+  test("updateWhere auto-retries over a concurrent disjoint append") {
+    val root = tmpDir("fcx-upd")
+    foreignTable(root, Seq((1L, 10), (2L, 20)).toDF("id", "qty"))
+    val loser = new ForeignDeltaTable(spark, root)
+    val winner = new ForeignDeltaTable(spark, root)
+    interleaveOnce(loser) {
+      winner.append(Seq((3L, 30)).toDF("id", "qty")): Unit
+    }
+    val committed = loser.updateWhere(col("qty") >= 20,
+      Map("qty" -> (col("qty") + 1)), allowProtocolUpgrade = true)
+    assert(committed == 2L)
+    val rows = DeltaTable.read(spark, root)
+      .select("id", "qty").as[(Long, Int)].collect().toSet
+    assert(rows == Set((1L, 10), (2L, 21), (3L, 31)))
+  }
+
+  test("merge auto-retries over a concurrent disjoint append") {
+    val root = tmpDir("fcx-mrg")
+    foreignTable(root, Seq((1L, "old"), (2L, "old")).toDF("id", "v"))
+    val loser = new ForeignDeltaTable(spark, root)
+    val winner = new ForeignDeltaTable(spark, root)
+    interleaveOnce(loser) {
+      winner.append(Seq((9L, "appended")).toDF("id", "v")): Unit
+    }
+    val committed = loser.merge(Seq((1L, "new"), (5L, "ins")).toDF("id", "v"),
+      Seq("id"), allowProtocolUpgrade = true)
+    assert(committed == 2L)
+    val rows = DeltaTable.read(spark, root)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "new"), (2L, "old"), (5L, "ins"), (9L, "appended")))
+  }
+
+  test("a race lost to a MUTATION (removes) still aborts loudly") {
+    val root = tmpDir("fcx-abort")
+    foreignTable(root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val loser = new ForeignDeltaTable(spark, root)
+    val winner = new ForeignDeltaTable(spark, root)
+    // the winner OVERWRITES (remove actions) — not a pure append: the
+    // loser's predicate analysis cannot prove disjointness, so it aborts
+    loser.onBeforeCommit = () => {
+      loser.onBeforeCommit = () => ()
+      winner.overwrite(Seq((7L, "ow")).toDF("id", "v")): Unit
+    }
+    val e = intercept[java.util.ConcurrentModificationException](
+      loser.deleteWhere(col("id") === 1L, allowProtocolUpgrade = true))
+    assert(e.getMessage.contains("commit race"))
+    // the winner's state is intact; nothing half-applied
+    val rows = DeltaTable.read(spark, root)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(rows == Set((7L, "ow")))
+  }
+
+  test("bounded retries: a writer appending at every attempt exhausts the budget") {
+    val root = tmpDir("fcx-bound")
+    foreignTable(root, Seq((1L, "a")).toDF("id", "v"))
+    val loser = new ForeignDeltaTable(spark, root)
+    val winner = new ForeignDeltaTable(spark, root)
+    var appends = 0L
+    // fires on EVERY publish attempt — the retry budget (3) must bound it
+    loser.onBeforeCommit = () => {
+      appends += 1
+      winner.append(Seq((100L + appends, "w")).toDF("id", "v")): Unit
+    }
+    val e = intercept[java.util.ConcurrentModificationException](
+      loser.deleteWhere(col("id") === 1L, allowProtocolUpgrade = true))
+    assert(e.getMessage.contains("commit race"))
+    assert(appends == 4L, s"1 initial + 3 retries, got $appends")
+  }
+}

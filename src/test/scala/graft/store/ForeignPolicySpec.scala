@@ -205,6 +205,170 @@ class ForeignPolicySpec extends SparkSuite {
     assert(e.getMessage.contains("identity"))
   }
 
+  test("NOT NULL enforces on nested struct/array/map positions") {
+    val root = tmpDir("fps-nnn")
+    // s: nullable struct with a NON-nullable inner field; xs: array of
+    // structs with a non-nullable field; m: map with non-nullable values
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StructType(Seq(
+        StructField("a", IntegerType, nullable = false),
+        StructField("b", StringType))), nullable = true),
+      StructField("xs", ArrayType(StructType(Seq(
+        StructField("q", IntegerType, nullable = false)))), nullable = true),
+      StructField("m", MapType(StringType, IntegerType,
+        valueContainsNull = false), nullable = true)))
+    def mk(id: Long, a: java.lang.Integer, withNullElem: Boolean,
+        withNullVal: Boolean): DataFrame = {
+      import org.apache.spark.sql.Row
+      val xs = if (withNullElem) Seq(Row(null.asInstanceOf[Any])) else Seq(Row(1))
+      val m = if (withNullVal) Map("k" -> null.asInstanceOf[Integer])
+        else Map("k" -> Integer.valueOf(2))
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(id, Row(a, "x"), xs, m)),
+        StructType(schema.fields.map(f => f.copy(nullable = true))
+          .map {
+            case f if f.name == "s" => f.copy(dataType = StructType(Seq(
+              StructField("a", IntegerType, nullable = true),
+              StructField("b", StringType))))
+            case f if f.name == "xs" => f.copy(dataType = ArrayType(StructType(Seq(
+              StructField("q", IntegerType, nullable = true)))))
+            case f if f.name == "m" => f.copy(dataType =
+              MapType(StringType, IntegerType, valueContainsNull = true))
+            case f => f
+          }))
+    }
+    policyTable(root, mk(1L, 1, withNullElem = false, withNullVal = false), schema)
+    val t = new ForeignDeltaTable(spark, root)
+    // valid nested values commit
+    assert(t.append(mk(2L, 5, withNullElem = false, withNullVal = false)) == 1L)
+    // null in the non-nullable struct field fails LOUDLY
+    val e1 = intercept[Exception](
+      t.append(mk(3L, null, withNullElem = false, withNullVal = false)))
+    assert(e1.getMessage.contains("NOT NULL") ||
+      Option(e1.getCause).exists(_.getMessage.contains("NOT NULL")))
+    // null array element's non-nullable field fails
+    intercept[Exception](
+      t.append(mk(4L, 5, withNullElem = true, withNullVal = false)))
+    // null map value where valueContainsNull=false fails
+    intercept[Exception](
+      t.append(mk(5L, 5, withNullElem = false, withNullVal = true)))
+    // a NULL struct PARENT is fine — the parent itself is nullable
+    import org.apache.spark.sql.Row
+    val nullParent = spark.createDataFrame(
+      java.util.Arrays.asList(Row(6L, null, null, null)),
+      StructType(schema.fields.map(_.copy(nullable = true))))
+    assert(t.append(nullParent) == 2L)
+    assert(DeltaTable.read(spark, root).count() == 3)
+  }
+
+  test("identity GENERATED ALWAYS under MERGE: matched keep ids, unmatched assigned") {
+    val root = tmpDir("fps-identm")
+    val idMeta = new MetadataBuilder()
+      .putLong("delta.identity.start", 100L)
+      .putLong("delta.identity.step", 10L)
+      .putBoolean("delta.identity.allowExplicitInsert", false).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, idMeta),
+      StructField("k", StringType), StructField("v", StringType)))
+    policyTable(root, Seq((100L, "a", "old")).toDF("id", "k", "v"), schema)
+    val t = new ForeignDeltaTable(spark, root)
+    // explicit identity values through MERGE refuse — forged ids
+    val e = intercept[UnsupportedOperationException](
+      t.merge(Seq((999L, "a", "forged")).toDF("id", "k", "v"), Seq("k"),
+        allowProtocolUpgrade = true))
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // merge WITHOUT the column: matched row "a" keeps id=100, unmatched
+    // "b"/"c" get fresh lattice values past the mark; mark advances
+    t.merge(Seq(("a", "new"), ("b", "ins"), ("c", "ins")).toDF("k", "v"),
+      Seq("k"), allowProtocolUpgrade = true)
+    val out = DeltaTable.read(spark, root)
+      .select("id", "k", "v").as[(Long, String, String)].collect().toSeq
+    assert(out.size == 3)
+    val byK = out.map(r => r._2 -> r).toMap
+    assert(byK("a")._1 == 100L && byK("a")._3 == "new")
+    val fresh = Seq(byK("b")._1, byK("c")._1)
+    assert(fresh.forall(i => i > 100L && (i - 100L) % 10L == 0L))
+    assert(fresh.distinct.size == 2)
+    val hwm = DeltaTable.snapshot(spark, root).schema.fields
+      .find(_.name == "id").get.metadata.getLong("delta.identity.highWaterMark")
+    assert(hwm == fresh.max)
+    // a second merge keeps allocating strictly past the advanced mark
+    t.merge(Seq(("d", "ins")).toDF("k", "v"), Seq("k"))
+    val idD = DeltaTable.read(spark, root).filter(col("k") === "d")
+      .select("id").as[Long].head()
+    assert(idD > hwm && (idD - 100L) % 10L == 0L)
+  }
+
+  test("identity hwm advances even when data-skipping stats exclude the column") {
+    // delta.dataSkippingStatsColumns lists only v — the identity column is
+    // FORCED into the written-files stats pass regardless, so the mark
+    // still advances (a lost mark would silently reassign duplicate ids)
+    val root = tmpDir("fps-identskip")
+    val idMeta = new MetadataBuilder()
+      .putLong("delta.identity.start", 1L)
+      .putLong("delta.identity.step", 1L)
+      .putLong("delta.identity.highWaterMark", 1L) // covers the seed row
+      .putBoolean("delta.identity.allowExplicitInsert", false).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, idMeta),
+      StructField("v", StringType)))
+    policyTable(root, Seq((1L, "seed")).toDF("id", "v"), schema,
+      config = """{"delta.dataSkippingStatsColumns":"v"}""")
+    val t = new ForeignDeltaTable(spark, root)
+    assert(t.append(Seq("a", "b").toDF("v")) == 1L)
+    val hwm = DeltaTable.snapshot(spark, root).schema.fields
+      .find(_.name == "id").get.metadata.getLong("delta.identity.highWaterMark")
+    val ids1 = DeltaTable.read(spark, root).filter(col("v") =!= "seed")
+      .select("id").as[Long].collect().toSeq
+    assert(hwm == ids1.max)
+    // second batch strictly past the mark — no duplicate assignment
+    assert(t.append(Seq("c").toDF("v")) == 2L)
+    val all = DeltaTable.read(spark, root).select("id").as[Long].collect().toSeq
+    assert(all.distinct.size == all.size)
+    // and numIndexedCols=0 (stats effectively off) — same guarantee
+    val root2 = tmpDir("fps-identskip0")
+    policyTable(root2, Seq((1L, "seed")).toDF("id", "v"), schema,
+      config = """{"delta.dataSkippingNumIndexedCols":"0"}""")
+    val t2 = new ForeignDeltaTable(spark, root2)
+    assert(t2.append(Seq("a", "b").toDF("v")) == 1L)
+    assert(t2.append(Seq("c").toDF("v")) == 2L)
+    val all2 = DeltaTable.read(spark, root2).select("id").as[Long].collect().toSeq
+    assert(all2.distinct.size == all2.size)
+  }
+
+  test("identity as PARTITION column: hwm recovered from partition values") {
+    // partition columns never appear in file stats — the mark is recovered
+    // from the hive partition dir values instead
+    val root = tmpDir("fps-identpart")
+    val idMeta = new MetadataBuilder()
+      .putLong("delta.identity.start", 7L)
+      .putLong("delta.identity.step", 3L)
+      .putBoolean("delta.identity.allowExplicitInsert", false).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, idMeta),
+      StructField("v", StringType)))
+    // hand-craft v0 with id as a partition column and no seed data
+    val meta = s"""{"metaData":{"id":"policy-p","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jmapper.writeValueAsString(schema.json)},""" +
+      s""""partitionColumns":["id"],"configuration":{},"createdTime":1}}"""
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log",
+      "00000000000000000000.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta)
+        .mkString("\n").getBytes("UTF-8")): Unit
+    val t = new ForeignDeltaTable(spark, root)
+    assert(t.append(Seq("a", "b").toDF("v")) == 1L)
+    val ids1 = DeltaTable.read(spark, root).select("id").as[Long].collect().toSeq
+    assert(ids1.size == 2 && ids1.forall(i => i >= 7L && (i - 7L) % 3L == 0L))
+    val hwm = DeltaTable.snapshot(spark, root).schema.fields
+      .find(_.name == "id").get.metadata.getLong("delta.identity.highWaterMark")
+    assert(hwm == ids1.max)
+    assert(t.append(Seq("c").toDF("v")) == 2L)
+    val all = DeltaTable.read(spark, root).select("id").as[Long].collect().toSeq
+    assert(all.distinct.size == 3 && all.max > hwm)
+  }
+
   test("merge enforces constraints on source rows") {
     val root = tmpDir("fps-mc")
     policyTable(root, Seq((1L, 10)).toDF("id", "qty"),
