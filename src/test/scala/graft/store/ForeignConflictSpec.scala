@@ -123,6 +123,81 @@ class ForeignConflictSpec extends SparkSuite {
     assert(rows == Set((7L, "ow")))
   }
 
+  test("two-writer op mix: mutations raced by appends auto-resolve, model exact") {
+    // randomized serialization check: writer A runs a seeded op mix; for
+    // every MUTATION, writer B appends fresh rows exactly between A's
+    // snapshot and A's publish (the onBeforeCommit seam). The expected
+    // model applies B's append FIRST, then A's mutation — the serial
+    // order the conflict retry must realize. Appends that never fire
+    // (the mutation short-circuited on an empty match) are detected via
+    // the `appended` capture and excluded from the model.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val root = tmpDir("fcx-mix")
+    var model: Map[Long, Long] = (0L until 30L).map(i => i -> rnd.nextLong(8)).toMap
+    var nextId = 30L
+    foreignTable(root, model.toSeq.toDF("id", "k"))
+    val a = new ForeignDeltaTable(spark, root)
+    val b = new ForeignDeltaTable(spark, root)
+    def freshRows(n: Int): Seq[(Long, Long)] = {
+      val rows = (nextId until nextId + n).map(id => id -> rnd.nextLong(8))
+      nextId += n
+      rows
+    }
+    def armedAppend(): () => Seq[(Long, Long)] = {
+      var appended: Seq[(Long, Long)] = Nil
+      var fired = false
+      a.onBeforeCommit = () => {
+        if (!fired) {
+          fired = true
+          val rows = freshRows(1 + rnd.nextInt(4))
+          b.append(rows.toDF("id", "k")): Unit
+          appended = rows
+        }
+      }
+      () => { a.onBeforeCommit = () => (); appended }
+    }
+    (1 to 18).foreach { i =>
+      rnd.nextInt(4) match {
+        case 0 => // plain append, no race
+          val rows = freshRows(1 + rnd.nextInt(6))
+          a.append(rows.toDF("id", "k")): Unit
+          model = model ++ rows
+        case 1 => // raced DV delete
+          val kk = rnd.nextLong(8)
+          val take = armedAppend()
+          a.deleteWhere(col("k") === kk, allowProtocolUpgrade = true): Unit
+          model = (model ++ take()).filterNot(_._2 == kk)
+        case 2 => // raced MERGE (updates a slice + inserts)
+          val updates = model.toSeq.filter(_ => rnd.nextInt(4) == 0)
+            .map { case (id, _) => id -> rnd.nextLong(8) }
+          val inserts = freshRows(rnd.nextInt(3))
+          val src = updates ++ inserts
+          if (src.nonEmpty) {
+            val take = armedAppend()
+            a.merge(src.toDF("id", "k"), Seq("id"), allowProtocolUpgrade = true): Unit
+            model = model ++ take() ++ src
+          }
+        case 3 => // raced UPDATE WHERE
+          val kk = rnd.nextLong(8)
+          val take = armedAppend()
+          a.updateWhere(col("k") === kk, Map("k" -> lit(99L)),
+            allowProtocolUpgrade = true): Unit
+          val app = take()
+          // serial order: B's append lands first, so appended rows with
+          // k == kk are updated too
+          model = (model ++ app).map {
+            case (id, k) if k == kk => id -> 99L
+            case kv => kv
+          }
+      }
+      val got = DeltaTable.read(spark, root)
+        .select("id", "k").as[(Long, Long)].collect().toMap
+      assert(got == model, s"op $i diverged: " +
+        s"extra=${(got.toSet -- model.toSet).take(5)} " +
+        s"missing=${(model.toSet -- got.toSet).take(5)}")
+    }
+  }
+
   test("bounded retries: a writer appending at every attempt exhausts the budget") {
     val root = tmpDir("fcx-bound")
     foreignTable(root, Seq((1L, "a")).toDF("id", "v"))
