@@ -847,4 +847,67 @@ object TextCorpus {
     }
     merges.toSeq
   }
+
+  /** DSIR-style importance scores for data selection (hashed n-gram
+    * importance weighting, after the public DSIR recipe — "Data Selection
+    * for Language Models via Importance Resampling", Xie et al. 2023):
+    * rank the SOURCE documents (rows where `isTarget` is false) by how
+    * target-like their hashed-bigram profile is.
+    *
+    * Features are adjacent-token bigrams of the normalized text, hashed to
+    * a 4096-way key = the first 3 hex chars of md5(bigram) — a string key
+    * both engines compute identically, so the contract is integer-exact.
+    * Per-feature importance weight (floor division, all BIGINT):
+    *   w_f = ((target_count_f + 1) · scale) div (source_count_f + 1)
+    * (+1 Laplace smoothing on both histograms); a document's score is the
+    * sum of w_f over its bigram OCCURRENCES. Documents with fewer than two
+    * tokens have no bigrams and no score row.
+    *
+    * Scale shape (100 TB): ONE pass over the corpus builds the exploded
+    * (id, tgt, feature) postings (persisted); the two histograms are a
+    * 4096-row map-side-combinable agg; scoring re-reads the postings with
+    * the weight table BROADCAST, so corpus text is never shuffled — the
+    * only doc-keyed exchange carries (id, partial score) pairs with
+    * map-side combine. Overflow bound: Long holds w_f sums while the
+    * target corpus stays under ~9·10¹² bigrams at the default scale —
+    * targets in importance resampling are small by construction.
+    * Returns (id, n_bigrams, dsir_score) for source docs. */
+  def dsirScores(
+      df: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val toks = TextFunctions.tokens(col("__gr_text"))
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val posting = Caching.spillPersistEager(
+      Caching.spread(df.select(col(idCol).as("id"), isTarget.as("tgt"),
+          col(textCol).as("__gr_text")))
+        .select(col("id"), col("tgt"), explode(bigrams).as("bg"))
+        .select(col("id"), col("tgt"),
+          substring(md5(col("bg").cast("binary")), 1, 3).as("f")))
+    val hist = posting.groupBy("f").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tf"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).as("sf"))
+    val weights = hist.select(col("f"),
+      expr(s"((tf + 1L) * ${scale}L) div (sf + 1L)").as("wf"))
+    posting.filter(!col("tgt"))
+      .join(broadcast(weights), Seq("f"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("wf").as("dsir_score"))
+  }
+
+  /** Top-`k` most target-like source documents under [[dsirScores]] —
+    * deterministic total order (score desc, id asc), planned as a
+    * TakeOrdered (no global sort materialization). The greedy top-k is the
+    * exact-oracle stand-in for DSIR's gumbel resampling step: sampling
+    * needs randomness, selection needs only the ranking. */
+  def dsirSelect(
+      df: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      k: Int, scale: Long = 1000000L): DataFrame =
+    dsirScores(df, idCol, textCol, isTarget, scale)
+      .orderBy(col("dsir_score").desc, col("id").asc).limit(k)
 }

@@ -1485,6 +1485,33 @@ object Catalog {
             FROM nodes n LEFT JOIN c3 c ON c.id = n.id)
         SELECT id AS doc_id, pr AS pr_x1e9 FROM s3""")),
 
+    // DSIR-style data selection (public recipe: hashed n-gram importance
+    // resampling): target = the English slice, pool = everything else;
+    // features are md5-prefix-hashed token bigrams, weights are
+    // Laplace-smoothed integer ratios, selection is the deterministic
+    // top-50 by score — every step integer-exact, so the oracle replays
+    // the full histogram → weight → score → rank pipeline bit-for-bit
+    Q("text_dsir_select",
+      (s, d) => TextCorpus.dsirSelect(t(s, d, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", k = 50)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("dsir_score")),
+      Some(s"""WITH base AS (SELECT doc_id, lang = 'en' AS tgt,
+            string_split($normSql, ' ') AS toks FROM documents),
+          bg AS (SELECT doc_id, tgt,
+              substr(md5(toks[i] || ' ' || toks[i+1]), 1, 3) AS f
+            FROM base, unnest(range(1, len(toks))) AS r(i)
+            WHERE len(toks) >= 2),
+          hist AS (SELECT f,
+              CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tf,
+              CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS sf
+            FROM bg GROUP BY f),
+          w AS (SELECT f, (tf + 1) * 1000000 // (sf + 1) AS wf FROM hist),
+          sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(wf) AS BIGINT) AS dsir_score
+            FROM bg JOIN w USING (f) WHERE NOT tgt GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, dsir_score FROM sc
+        ORDER BY dsir_score DESC, doc_id LIMIT 50""")),
+
     // deterministic stratified sampling: LCG bucket arithmetic reproduces
     // bit-for-bit in any engine — the training-mix rate table, with the
     // 'es' stratum deliberately absent (dropped entirely)
