@@ -145,7 +145,31 @@ object Bench {
     def timedRun(name: String): Run = {
       val before = sentinels.size - 1
       val t = once(name)
-      sentinels += sentinelOnce()
+      // settle-and-drain before the after-probe: a heavy run leaves GC
+      // debt and ASYNC cleanup (ContextCleaner unpersists, temp dirs,
+      // shuffle files, stream shutdown) that a 100 ms probe fired
+      // immediately absorbs — reading as a "dirty window" on a perfectly
+      // quiet host (measured: the two memoized scenario builds and the
+      // live-stream bench were the only entries whose ADJACENT probes sat
+      // 2–4.6× while every probe elsewhere was ≤1.5×; a single 120 ms
+      // settle fixed the stream but not the scenario builds). The probe
+      // re-fires up to 3 times while its sample stays above the absolute
+      // quiet bar, so a SELF-inflicted tail drains out of the record while
+      // SUSTAINED external contention — what the sentinel exists to
+      // certify — reads high on every re-probe and keeps the window
+      // dirty. (A sub-second external burst could slip past the drain;
+      // that residual risk is the same order as the probe's own 100 ms
+      // sampling granularity.)
+      System.gc()
+      Thread.sleep(120)
+      var s = sentinelOnce()
+      var extraProbes = 0
+      while (s > CleanRatio * structCost && extraProbes < 3) {
+        Thread.sleep(120)
+        s = sentinelOnce()
+        extraProbes += 1
+      }
+      sentinels += s
       Run(t, before, sentinels.size - 1)
     }
     // local triage aid: SPARK_GRAFT_BENCH_ONLY=a,b,c runs a subset
@@ -168,8 +192,16 @@ object Bench {
     // clean:true on a noisy-then-quiet host like everything else (r11
     // verdict: the two memoized entries were the only ones structurally
     // unable to, and both recorded the round's biggest outliers).
+    // the relative gate's denominator is FLOORED at the structural cost: a
+    // single lucky-fast probe sample (measured: sMin 0.077 s vs median
+    // 0.123 s on one run) must not redefine "quiet" below what the probe
+    // structurally costs — with a raw sMin floor, ordinary 0.12 s probes
+    // read 1.56× and a quiet run certified only 11/25 queries. On a box
+    // genuinely slower than the assumed struct, sMin > struct and the
+    // relative gate binds as before.
     def ratioOf(r: Run, sMin: Double): Double =
-      math.max(sentinels(r.sBefore), sentinels(r.sAfter)) / sMin
+      math.max(sentinels(r.sBefore), sentinels(r.sAfter)) /
+        math.max(sMin, structCost)
     def isClean(r: Run, sMin: Double): Boolean =
       ratioOf(r, sMin) <= CleanRatio &&
         math.max(sentinels(r.sBefore), sentinels(r.sAfter)) <=
