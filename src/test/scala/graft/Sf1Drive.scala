@@ -37,8 +37,10 @@ object Sf1Drive {
     // round-12: the r11 operators' 10× runs (r11 verdict item 5) —
     // containment additionally reports its candidate-pair count (the
     // constant-o prefix is the shape whose candidate volume could
-    // surprise at 10×; the default maxDocFreq cap is the guard)
-    "dedup_cdc_chunks", "sample_mixture")
+    // surprise at 10×; the default maxDocFreq cap is the guard) — plus
+    // the new DSIR selection gate (histogram/weight arithmetic must stay
+    // integer-exact when the bigram volume grows 10×)
+    "dedup_cdc_chunks", "sample_mixture", "text_dsir_select")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry
     * verbatim; the three retrieval gates mirror the Catalog entry's code

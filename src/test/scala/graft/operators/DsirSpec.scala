@@ -43,6 +43,10 @@ class DsirSpec extends SparkSuite {
     val plan = sel.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must plan as TakeOrdered, got:\n$plan")
+    // the weight table (≤4096 rows) joins BROADCAST into the scoring pass
+    // — corpus postings must never shuffle for the join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights must broadcast into the scoring join, got:\n$plan")
     val ids = sel.collect().map(_.getLong(0)).toSeq
     Caching.release()
     assert(ids == (10L until 15L).toSeq, s"tie broken by id asc: $ids")
