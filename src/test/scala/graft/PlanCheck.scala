@@ -98,6 +98,14 @@ object PlanCheck {
       ("dedup_containment", "containment join rides the prefix posting index (no cartesian)",
         p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")),
+      ("text_dsir_select", "DSIR: weight table broadcast, top-k via TakeOrdered, no cartesian",
+        // the 4096-bucket weight histogram must broadcast into the scoring
+        // join (corpus postings never shuffle for it) and the final rank
+        // must be a TakeOrdered, never a global sort materialization
+        p => p.contains("BroadcastHashJoin") &&
+          p.contains("TakeOrderedAndProject") &&
+          !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
       ("dedup_cdc_chunks", "CDC windows keyed (doc-keyed assembly, (h,chunk) verify — never global), no cartesian",
         // a regression to windowspecdefinition(p#...) with no leading
         // partition column would serialize the whole token stream on one
