@@ -1468,8 +1468,13 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val dataDir = new HPath(path, dirName)
     withSessionConf("spark.sql.parquet.fieldId.write.enabled",
       if (fieldIdWrite) Some("true") else None) {
-      if (physPartCols.isEmpty) aligned.write.parquet(dataDir.toString)
-      else aligned.write.partitionBy(physPartCols: _*).parquet(dataDir.toString)
+      // bound the footer's binary min/max at write time: parquet-mr DROPS
+      // chunk statistics outright past 4 KB, which would erase the string
+      // bounds the stats pass reads back from the footer; its truncator
+      // keeps bound validity (prefix min, incremented-successor max)
+      val w = aligned.write.option("parquet.statistics.truncate.length", "256")
+      if (physPartCols.isEmpty) w.parquet(dataDir.toString)
+      else w.partitionBy(physPartCols: _*).parquet(dataDir.toString)
     }
     // relative path under dataDir (partition subdirs included), size, mtime
     def walk(p: HPath, prefix: String): Seq[(String, Long, Long)] =
@@ -1494,9 +1499,15 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
           (if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None else Some(v))
       }
 
-    // one narrow pass over the new files only: per-file numRecords +
-    // nullCount/min/max of stat-eligible top-level DATA columns (partition
-    // columns prune via partitionValues, not stats)
+    // stats come from the written files' parquet FOOTERS, not a re-scan:
+    // numRecords / nullCount / min / max per stat-eligible top-level DATA
+    // column are already recorded per row group (partition columns prune
+    // via partitionValues, not stats), so the stats pass reads KBs of
+    // metadata per file instead of re-decoding every written page — the
+    // previous Spark-aggregation pass was a full second read of the batch
+    // (2× write amplification at 100 TB). String bounds are capped
+    // Delta-style inside [[ParquetFooterStats]]; anything a footer cannot
+    // vouch for is OMITTED, which the protocol always allows.
     val lowerParts = physPartCols.map(_.toLowerCase).toSet
     val statCols = writeSchema.fields.filter(f =>
       statEligible(f.dataType) && !lowerParts.contains(f.name.toLowerCase) &&
@@ -1504,61 +1515,19 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val statsByFile: Map[String, String] =
       if (parts.isEmpty || !withStats) Map.empty
       else {
-        val aggs = count(lit(1)).as("__n") +: statCols.zipWithIndex.flatMap {
-          case (f, i) => Seq(
-            min(col(s"`${f.name}`")).as(s"__mn_$i"),
-            max(col(s"`${f.name}`")).as(s"__mx_$i"),
-            sum(when(col(s"`${f.name}`").isNull, 1L).otherwise(0L)).as(s"__nc_$i"))
-        }
-        val dirUriPath = fsu.fs.makeQualified(dataDir).toUri.getPath
-        spark.read.schema(writeSchema).parquet(dataDir.toString)
-          .groupBy(input_file_name().as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect().map { r =>
-            val abs = new java.net.URI(r.getString(0)).getPath
-            val relPath = abs.stripPrefix(dirUriPath).stripPrefix("/")
-            val root = mapper.createObjectNode()
-            root.put("numRecords", r.getLong(1))
-            val mnN = root.putObject("minValues")
-            val mxN = root.putObject("maxValues")
-            val ncN = root.putObject("nullCount")
-            statCols.zipWithIndex.foreach { case (f, i) =>
-              val (mnI, mxI, ncI) = (2 + i * 3, 3 + i * 3, 4 + i * 3)
-              ncN.put(f.name, r.getLong(ncI))
-              if (!r.isNullAt(mnI) && !r.isNullAt(mxI)) {
-                def putVal(o: com.fasterxml.jackson.databind.node.ObjectNode, idx: Int): Unit =
-                  f.dataType match {
-                    case ByteType => o.put(f.name, r.getByte(idx).toLong)
-                    case ShortType => o.put(f.name, r.getShort(idx).toLong)
-                    case IntegerType => o.put(f.name, r.getInt(idx).toLong)
-                    case LongType => o.put(f.name, r.getLong(idx))
-                    case FloatType => o.put(f.name, r.getFloat(idx).toDouble)
-                    case DoubleType => o.put(f.name, r.getDouble(idx))
-                    case BooleanType => o.put(f.name, r.getBoolean(idx))
-                    case DateType => o.put(f.name, r.getDate(idx).toLocalDate.toString)
-                    case _ => ()
-                  }
-                f.dataType match {
-                  case StringType =>
-                    // bounded stats, Delta-style: a 20 KB text value must
-                    // not become 40 KB of log JSON per file per column —
-                    // min truncates to a 32-cp prefix (a prefix is always
-                    // ≤), max takes the prefix-SUCCESSOR (strictly greater
-                    // than anything with that prefix); when no successor
-                    // exists both bounds drop (omitting is always sound)
-                    val mn = ForeignDeltaTable.truncateMin(r.getString(mnI))
-                    ForeignDeltaTable.truncateMaxBound(r.getString(mxI)) match {
-                      case Some(mx) => mnN.put(f.name, mn); mxN.put(f.name, mx)
-                      case None => ()
-                    }
-                  case FloatType if r.getFloat(mnI).isNaN || r.getFloat(mxI).isNaN => ()
-                  case DoubleType if r.getDouble(mnI).isNaN || r.getDouble(mxI).isNaN => ()
-                  case _ => putVal(mnN, mnI); putVal(mxN, mxI)
-                }
-              }
-            }
-            relPath -> mapper.writeValueAsString(root)
-          }.toMap
+        val dirStr = fsu.fs.makeQualified(dataDir).toString
+        val cols = statCols.map(f => f.name -> f.dataType)
+        val sconf = new SerializableHadoopConf(
+          spark.sparkContext.hadoopConfiguration)
+        val rels = parts.map(_._1)
+        // footer reads are metadata-scale but remote-storage round-trips:
+        // distribute across the cluster (one task per slice of files)
+        spark.sparkContext
+          .parallelize(rels, math.max(1,
+            math.min(rels.size, spark.sparkContext.defaultParallelism)))
+          .map(rel =>
+            rel -> ParquetFooterStats.statsJson(sconf.value, s"$dirStr/$rel", cols))
+          .collect().toMap
       }
     Written(dirName, parts, partValuesOf, statsByFile)
   }
