@@ -52,7 +52,52 @@ object Bench {
     // LIVE two-drop graft-table stream (fresh table per run, never
     // memoized): offset resolution + 2 AvailableNow micro-batches — an
     // O(table) regression in commit/offset resolution surfaces here
-    "streaming_drain_bench")
+    "streaming_drain_bench",
+    // r13: the newest operator families, previously un-tracked round-over-
+    // round (r12 verdict item 6) — asymmetric containment (near-full
+    // prefixes + capped postings), CDC gear-hash chunk census, DSIR
+    // importance scoring, integer-exact BM25. (graph_pagerank was
+    // measured for inclusion and rejected: ~12 s at sf0.01 — its
+    // fixed-cost round structure would add ~40 s of wall per bench run
+    // for no extra signal; its sf1 sweep tracks it instead.)
+    "dedup_containment", "dedup_cdc_chunks", "text_dsir_select",
+    "text_bm25_topk")
+
+  /** Expected QUIET band per headline query: the upper edge of the
+    * builder-box certified-quiet readings recorded in BASELINE.md (sf0.1,
+    * local[32]) — updated each round from fresh certified-quiet
+    * measurements whenever an operator's structure changes (the update
+    * protocol is documented in BASELINE.md). The compact JSON emits these
+    * plus `over_band` = queries whose best-of-clean min exceeded
+    * [[OverBandRatio]]× their band, so a clean-but-slow reading (r12's
+    * dedup_semantic: clean:true at 2.4× band) is machine-visible without
+    * cross-referencing BASELINE prose. A query missing here (new this
+    * round, band not yet certified) is never flagged. */
+  val bands: Map[String, Double] = Map(
+    "scd2_history" -> 3.3, "q1_agg" -> 0.35, "q3_top_orders" -> 0.8,
+    "w1_latest_per_key" -> 0.35, "dedup_exact" -> 0.4,
+    "dedup_minhash_lsh" -> 2.7, "dedup_minhash_incremental" -> 2.2,
+    "dedup_simhash" -> 2.6, "dedup_ngram_jaccard" -> 2.4,
+    // dedup_semantic's band moved 1.5 → 2.1 at r11's 3dbd051 (the hot-cell
+    // refinement join deliberately stopped riding the cached hash(cell)
+    // partitioning — skew guard); the r12 "weak" was a stale band, not a
+    // regression (r13 triage: 10-run floor 2.08 clean on a 1.2× box)
+    "dedup_semantic" -> 2.1, "dedup_clusters" -> 3.5, "dedup_spans" -> 1.1,
+    "ann_topk_bruteforce" -> 0.4, "ann_topk_ivf" -> 1.2,
+    "ann_topk_ivfpq" -> 2.1, "hybrid_topk" -> 0.6, "asof_join" -> 0.25,
+    "range_join" -> 0.3, "pack_concat_chunks" -> 0.7,
+    "text_term_stats" -> 0.5, "text_heavy_hitters" -> 0.6,
+    "text_quality" -> 0.16, "store_skipping" -> 0.4,
+    "store_delta_writer" -> 5.0, "streaming_drain_bench" -> 1.4,
+    // first-round bands for the r13 headline additions, measured this
+    // session on a ~1.2×-loaded box (min_clean 3.47/1.06/1.00/1.13) and
+    // de-rated to the quiet estimate — tighten on the next quiet window
+    "dedup_containment" -> 3.0, "dedup_cdc_chunks" -> 1.0,
+    "text_dsir_select" -> 0.9, "text_bm25_topk" -> 1.0)
+
+  /** A clean reading above this multiple of its band is flagged
+    * `over_band` — the same >2×-band rule the round verdicts apply. */
+  val OverBandRatio = 2.0
 
   /** Queries whose scenario memoizes per (scenario, sfDir): a PLAIN
     * repetition would time a cache read, not the engine (VERDICT r9
@@ -103,6 +148,12 @@ object Bench {
     }
     (1 to 3).foreach(_ => sentinelOnce()) // JIT the probe itself (not recorded)
     val sentinels = scala.collection.mutable.ArrayBuffer(sentinelOnce())
+    // probes DISCARDED by the settle-and-drain loop: excluded from window
+    // judgment (a heavy run's self-inflicted GC/cleanup tail is not host
+    // weather) but fed into the summary's contention telemetry below, so
+    // a short external burst the drain absorbed still shows in the
+    // recorded median/max/spread instead of vanishing entirely
+    val drained = scala.collection.mutable.ArrayBuffer[Double]()
 
     val fns = SparkEntry.queries
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
@@ -165,6 +216,7 @@ object Bench {
       var s = sentinelOnce()
       var extraProbes = 0
       while (s > CleanRatio * structCost && extraProbes < 3) {
+        drained += s // keep the discarded sample in the contention record
         Thread.sleep(120)
         s = sentinelOnce()
         extraProbes += 1
@@ -252,8 +304,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2.map(_._1)).sum
     val totalMin = results.flatMap(_._2.map(_._2)).sum
-    val sMax = sentinels.max
-    val sentinelJson = s"""{"median":${fmt(median(sentinels.toSeq))},"min":${fmt(sMinF)},"max":${fmt(sMax)},"spread":${fmt(sMax / sMinF)},"struct":${fmt(structCost)},"samples":${sentinels.size}}"""
+    // summary stats see EVERY observed probe sample — recorded windows AND
+    // drain-discarded ones — so the contention record cannot under-report
+    // a burst the drain absorbed; only window JUDGMENT (sMinF, per-run
+    // adjacency) excludes the drained list
+    val allSamples = sentinels.toSeq ++ drained
+    val sMax = allSamples.max
+    val sentinelJson = s"""{"median":${fmt(median(allSamples))},"min":${fmt(sMinF)},"max":${fmt(sMax)},"spread":${fmt(sMax / sMinF)},"struct":${fmt(structCost)},"samples":${sentinels.size},"drained":${drained.size}}"""
     // TWO lines: a detail line first (medians, per-query cleanest sentinel
     // ratios, clean flags — everything a human or the judge wants), then
     // ONE COMPACT line LAST. The driver parses a 2,000-char stdout tail;
@@ -261,12 +318,34 @@ object Bench {
     // (VERDICT r9 What's-wrong #2). The compact line keeps the driver
     // contract ("queries" per-query seconds = best-of-clean min, the
     // trustworthy statistic) and stays well under the tail window.
+    // per-query quiet bands + the over-band flag: a reading can be CLEAN
+    // (quiet window) yet far above its recorded band — r12's
+    // dedup_semantic read 3.72 s clean against a 1.4–1.5 s band and the
+    // gap was only visible by hand-reading BASELINE prose
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val bandsJson = names.flatMap(n => bands.get(n).map(b =>
+      "\"" + n + "\":" + fmt2(b))).mkString("{", ",", "}")
+    val overBand = results.collect {
+      case (k, Some((_, mn)), _, _)
+        if bands.get(k).exists(b => mn > OverBandRatio * b) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     println(s"""{"detail":"medians","queries_median":${render(_._1)},"sentinel_per_query":$perQuerySentinel,"clean":$cleanJson}""")
-    val compact = s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","queries":${render(_._2)},"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"failed":$failed,"sentinel":$sentinelJson,"sf":"$sfDir","runs":$runs,"stat":"min_clean"}"""
-    if (compact.length > 1900)
+    def compactLine(withBands: Boolean) = {
+      val bandFields =
+        if (withBands) s""""bands":$bandsJson,"over_band":$overBand,"""
+        else s""""over_band":$overBand,"""
+      s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","queries":${render(_._2)},"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"failed":$failed,$bandFields"sentinel":$sentinelJson,"sf":"$sfDir","runs":$runs,"stat":"min_clean"}"""
+    }
+    val compact = compactLine(withBands = true)
+    if (compact.length <= 1900) println(compact)
+    else if (compactLine(withBands = false).length <= 1900)
+      // degrade gracefully: drop the band map (recoverable from source),
+      // keep the over_band verdicts
+      println(compactLine(withBands = false))
+    else
       // belt-and-braces: never let the final line outgrow the tail window
       println(s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","queries":{},"total_min":${fmt(totalMin)},"failed":$failed,"sf":"$sfDir"}""")
-    else println(compact)
     spark.stop()
   }
 }

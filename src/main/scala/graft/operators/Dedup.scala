@@ -396,13 +396,30 @@ object Dedup {
   /** Exploded (id, sz, shh) postings of a [[hashedShingleSets]] relation,
     * minus shingles in more than `maxDocFreq` docs (broadcast anti-join) —
     * the belt-and-braces skew cap, at the cost of exactness on pairs whose
-    * every shared shingle is dropped. */
-  private def cappedPostings(hsets: DataFrame, maxDocFreq: Option[Int]): DataFrame = {
+    * every shared shingle is dropped. `capObs`, when set, observes
+    * `capped_shingles` (distinct shingles the cap dropped) and
+    * `capped_postings` (posting rows they carried) — zero on both means
+    * the capped run was in fact EXACT, so a production job can tell a
+    * lossy run from a lossless one at runtime instead of trusting the
+    * corpus to be skew-free. */
+  private def cappedPostings(hsets: DataFrame, maxDocFreq: Option[Int],
+      capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val posting0 = hsets.select(col("id"), col("sz"), explode(col("hs")).as("shh"))
     maxDocFreq.fold(posting0) { cap =>
-      val hot = posting0.groupBy("shh").agg(count(lit(1)).as("hdf"))
-        .filter(col("hdf") > cap).select("shh")
-      posting0.join(broadcast(hot), Seq("shh"), "left_anti")
+      val hot0 = posting0.groupBy("shh").agg(count(lit(1)).as("hdf"))
+        .filter(col("hdf") > cap)
+      val hot = capObs match {
+        // the consumer self-joins the capped postings, so the observed
+        // subtree would appear TWICE in the final plan and the metrics
+        // never surface — persist the (tiny: only above-cap shingles)
+        // audit relation eagerly so the observation fires exactly once,
+        // in its own action, and the join reads the cached rows
+        case Some(ob) => spillPersistEager(hot0.observe(ob,
+          count(lit(1)).as("capped_shingles"),
+          coalesce(sum("hdf"), lit(0L)).as("capped_postings")))
+        case scala.None => hot0
+      }
+      posting0.join(broadcast(hot.select("shh")), Seq("shh"), "left_anti")
     }
   }
 
@@ -487,18 +504,22 @@ object Dedup {
     * `maxDocFreq = None` to force total recall on a corpus known to be
     * skew-free. `candidateObs`, when set, observes `candidates` =
     * post-dedup candidate-pair count (plan audits, the
-    * [[editDistancePairs]] pattern). */
+    * [[editDistancePairs]] pattern); `capObs` observes `capped_shingles` /
+    * `capped_postings` — zero on both means the capped run was in fact
+    * EXACT (nothing crossed the doc-frequency cap), so lossy and lossless
+    * runs are distinguishable at runtime. */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3,
       minShingles: Int = 10,
       maxDocFreq: Option[Int] = Some(ContainmentDefaultMaxDocFreq),
-      candidateObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      candidateObs: Option[org.apache.spark.sql.Observation] = None,
+      capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
     val o = math.ceil(threshold * minShingles).toLong.max(1L)
     val hsets = hashedShingleSets(df, idCol, textCol, shingleN)
-    val posting = cappedPostings(hsets, maxDocFreq)
+    val posting = cappedPostings(hsets, maxDocFreq, capObs)
     // constant overlap floor o ⇒ prefix |s| − o + 1 for EVERY doc
     val prefix = prefixPostings(posting, sz => sz - o + 1)
     val cand0 = prefix.select(col("shh"), col("id").as("id_a"))
@@ -547,7 +568,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3,
       minShingles: Int = 10,
-      maxDocFreq: Option[Int] = Some(ContainmentDefaultMaxDocFreq)): DataFrame = {
+      maxDocFreq: Option[Int] = Some(ContainmentDefaultMaxDocFreq),
+      capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
     val o = math.ceil(threshold * minShingles).toLong.max(1L)
@@ -559,7 +581,7 @@ object Dedup {
     // joining batch postings against these, capping here alone bounds the
     // incremental join's fan-out (a batch shingle matching nothing dies in
     // the join) — same exactness caveat as the batch operator
-    val prefixes = prefixPostings(cappedPostings(hsets, maxDocFreq),
+    val prefixes = prefixPostings(cappedPostings(hsets, maxDocFreq, capObs),
         sz => sz - o + 1)
       .groupBy("id").agg(collect_list(col("shh")).as("prefix"))
     hsets.join(prefixes, Seq("id"), "left")

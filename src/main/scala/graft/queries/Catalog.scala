@@ -68,6 +68,15 @@ object Catalog {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  /** The dedup_containment gate's parameterization — a SINGLE source of
+    * truth shared with the sf1 sweep (Sf1Drive re-runs the query with a
+    * candidate-audit observation attached, which the `(SparkSession, dir)`
+    * query signature cannot carry): both the Spark query below and its
+    * DuckDB oracle interpolate these, so a parameter change here cannot
+    * silently diverge the sweep from the oracle. */
+  val ContainmentGateThreshold: Double = 0.8
+  val ContainmentGateMinShingles: Int = 10
+
   /** Event-time TIMESTAMP column for streams reading the RAW events
     * fixture (whose `ts` vintage varies — see [[Fixtures.events]]):
     * BIGINT nanos → µs-truncated timestamp; TIMESTAMP_NTZ → reinterpreted
@@ -1160,10 +1169,14 @@ object Catalog {
     // |A∩B| / min(|A|,|B|) ≥ 0.8 with the documented ≥ 10-shingle floor
     // on the smaller side (the prefix filter's recall bound); the oracle
     // brute-forces the identical contract, so recall AND the integer
-    // per-mille values must match exactly
+    // per-mille values must match exactly. Parameters come from the
+    // shared ContainmentGate* constants so the sf1 sweep (which re-runs
+    // this query with a candidate-audit observation attached) provably
+    // runs the same parameterization the oracle grades.
     Q("dedup_containment",
       (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.8, minShingles = 10),
+        threshold = ContainmentGateThreshold,
+        minShingles = ContainmentGateMinShingles),
       Some(s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
         sets AS (SELECT doc_id,
             list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
@@ -1178,8 +1191,8 @@ object Catalog {
         SELECT id_a, id_b,
           CAST((i*1000) // least(sa.sz, sb.sz) AS BIGINT) AS containment_x1000
         FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-        WHERE least(sa.sz, sb.sz) >= 10
-          AND (i*1000) // least(sa.sz, sb.sz) >= 800""")),
+        WHERE least(sa.sz, sb.sz) >= ${ContainmentGateMinShingles}
+          AND (i*1000) // least(sa.sz, sb.sz) >= ${(ContainmentGateThreshold * 1000).toInt}""")),
 
     // INCREMENTAL containment: corpus indexed once (stored prefixes under
     // the build-time canonical order + sorted shingle hashes), round-trips

@@ -230,6 +230,8 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     lines ++= dvReAddLines(perFile, offs, addByAbs, uuidRef, now)
     cdcW.foreach(lines ++= cdcLines(_))
     val v = s.version + 1
+    attemptFootprint =
+      Some((s.version, perFile.map(pf => addByAbs(pf._1).rawPath).toSet))
     onBeforeCommit()
     try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
     catch {
@@ -615,6 +617,8 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       if (rowTracking && w.parts.nonEmpty) lines += rowTrackingDomainLine(hwm)
     }
     cdcW.foreach(lines ++= cdcLines(_))
+    attemptFootprint =
+      Some((s.version, perFile.map(pf => addByAbs(pf._1).rawPath).toSet))
     onBeforeCommit()
     try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
     catch {
@@ -826,6 +830,13 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       lines += mapper.writeValueAsString(ad)
     }
     val v = cur.version + 1
+    // RESTORE's footprint is every file live at its snapshot plus every
+    // file it resurrects: any remove-bearing winner conflicts (a restore
+    // over a concurrent mutation would silently undo it), while pure
+    // appends retry — the re-run's fresh diff then removes the appended
+    // files too, which IS what "restore to version N" means serially
+    attemptFootprint = Some((cur.version,
+      cur.adds.map(_.rawPath).toSet ++ readds.map(_.rawPath)))
     onBeforeCommit()
     try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
     catch {
@@ -1085,6 +1096,7 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       lines += mapper.writeValueAsString(ad)
     }
     if (rowTracking && w.parts.nonEmpty) lines += rowTrackingDomainLine(hwmRt)
+    attemptFootprint = Some((s.version, doomed.map(_.rawPath).toSet))
     onBeforeCommit()
     try fsu.writeStringAtomicNew(logPath(v), lines.mkString("\n"))
     catch {
@@ -1106,39 +1118,56 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     * exercise the lost-race conflict analysis deterministically. */
   private[store] var onBeforeCommit: () => Unit = () => ()
 
-  /** True when commit `v` is a PURE data append: no remove, no metaData,
-    * no protocol action (commitInfo/txn/add/cdc/domainMetadata only). Such
-    * a commit's files are brand-new — disjoint by construction from any
-    * file a concurrent mutation read or DV'd — so losing a commit race to
-    * it is safe to resolve by re-running against the fresh snapshot
-    * (delta-spark's ConflictChecker resolution for disjoint concurrent
-    * appends; the re-run even sees the appended rows, i.e. the serial
-    * append→mutation order). Unreadable commit → NOT benign. */
-  private def isPureAppend(v: Long): Boolean =
+  /** Paths of commit `v`'s remove actions, or None when the commit
+    * carries a metaData / protocol action (or is unreadable) — those are
+    * never retry-compatible. commitInfo/txn/add/cdc/domainMetadata lines
+    * are benign under a FULL re-run retry: fresh adds and advanced domain
+    * high-water marks are re-read from the fresh snapshot. A pure append
+    * reports an empty set. */
+  private def commitRemoves(v: Long): Option[Set[String]] =
     scala.util.Try {
-      fsu.readString(logPath(v)).split('\n').filter(_.nonEmpty).forall { line =>
-        val n = mapper.readTree(line)
-        !(n.has("remove") || n.has("metaData") || n.has("protocol"))
-      }
-    }.getOrElse(false)
+      val nodes = fsu.readString(logPath(v)).split('\n')
+        .filter(_.nonEmpty).map(mapper.readTree)
+      if (nodes.exists(n => n.has("metaData") || n.has("protocol"))) None
+      else Some(nodes.filter(_.has("remove"))
+        .map(_.get("remove").get("path").asText).toSet)
+    }.toOption.flatten
+
+  /** Set by every mutation attempt immediately before it publishes its
+    * commit: (the snapshot version the attempt actually read, the raw add
+    * paths it removes / re-adds). [[withConflictRetry]] runs its conflict
+    * analysis FROM that version — not from a version probed before the
+    * attempt started — so a commit landing between the wrapper's probe
+    * and the attempt's own snapshot read is never double-counted as a
+    * winner (it was already incorporated). */
+  private[store] var attemptFootprint: Option[(Long, Set[String])] = None
 
   /** Optimistic-concurrency wrapper for the mutations (deleteWhere /
     * updateWhere / merge / restore / optimize): a lost commit race runs
-    * LOGICAL conflict analysis over the commits that won — every one a
-    * pure disjoint append ⇒ internal retry against the fresh snapshot
-    * (bounded); any remove / metaData / protocol change among them ⇒
-    * abort exactly as before (row-level conflict against an unknown
-    * mutation is not decidable here, and delta-spark aborts those too). */
+    * LOGICAL conflict analysis over the commits that won, from the
+    * snapshot version the attempt actually used ([[attemptFootprint]]).
+    * Retry-compatible winners are commits with no metaData / protocol
+    * action whose removed (and re-added — DV commits pair them) file set
+    * is DISJOINT from the files this attempt touched: the retry re-runs
+    * the WHOLE attempt against the fresh snapshot, realizing the serial
+    * winner→loser order (delta-spark's ConflictChecker resolves disjoint
+    * DV deletes the same way; files the loser merely READ are safe
+    * because the re-run re-reads them from the fresh snapshot). A winner
+    * that removed a file this attempt touched is a TRUE write-write
+    * conflict — two writers targeting the same rows — and aborts loudly,
+    * as delta-spark's ConcurrentDeleteDelete/DeleteRead do. */
   private def withConflictRetry[T](maxRetries: Int = 3)(attempt: () => T): T = {
     var tries = 0
     while (true) {
-      val before = snap.version
+      attemptFootprint = None
       try return attempt()
       catch {
         case e: java.util.ConcurrentModificationException =>
+          val (readV, touched) = attemptFootprint.getOrElse(throw e)
           val after = snap.version
-          val benign = after > before && (before + 1 to after).forall(isPureAppend)
-          if (!benign || tries >= maxRetries) throw e
+          val compatible = after > readV && (readV + 1 to after).forall(v =>
+            commitRemoves(v).exists(_.intersect(touched).isEmpty))
+          if (!compatible || tries >= maxRetries) throw e
           tries += 1
       }
     }

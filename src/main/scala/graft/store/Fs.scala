@@ -63,36 +63,47 @@ final class Fs(spark: SparkSession, anyPathInFs: String) {
     }
   }
 
-  /** Publish atomically AND exclusively: the rename itself fails when the
-    * destination exists (FileContext with the default Rename.NONE — the
-    * put-if-absent primitive commit protocols need), closing the
-    * exists-then-rename TOCTOU window where a second writer could silently
-    * replace a committed file. Throws [[FileAlreadyExistsException]] when
-    * the slot is taken. */
+  /** Publish atomically AND exclusively — the put-if-absent primitive
+    * commit protocols need: the publish itself fails when the destination
+    * exists (a hard link on the local checksummed scheme, FileContext
+    * rename with the default Rename.NONE elsewhere), closing the
+    * exists-then-rename TOCTOU window where a second writer could
+    * silently replace a committed file. Throws a FileAlreadyExists
+    * exception (hadoop's or java.nio's, scheme-dependent) when the slot
+    * is taken. */
   def writeStringAtomicNew(p: Path, s: String): Unit = {
     val tmp = new Path(p.getParent, s".tmp-${java.util.UUID.randomUUID()}")
     writeString(tmp, s)
     def crcOf(f: Path) = new Path(f.getParent, s".${f.getName}.crc")
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri, fs.getConf)
-      // the FileContext for checksummed schemes is itself checksum-aware
-      // (LocalFs extends ChecksumFs): the rename moves the `.crc` sidecar
-      // under the SAME no-replace rule as the file. A stale sidecar whose
-      // file was raw-deleted externally (crash, manual cleanup) would
-      // therefore fail a legitimate re-publication into the free slot —
-      // clear it through the RAW fs while `p` is verifiably absent; the
-      // put-if-absent guarantee stays on `p` itself.
-      val raw = fs match {
-        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-        case f => f
-      }
-      if (!raw.exists(p)) raw.delete(crcOf(p), false)
-      fc.rename(fc.makeQualified(tmp), fc.makeQualified(p))
-    } catch {
-      case e: Throwable =>
-        fs.delete(tmp, false) // checksum-aware: removes tmp's sidecar too
-        throw e
+    fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        // Local (checksummed) scheme. The put-if-absent primitive is a
+        // hard LINK — atomic (link(2) EEXIST), and it touches NO sidecar,
+        // so the `.crc` moves strictly AFTER the link succeeds, i.e. only
+        // by the writer that OWNS the slot. This closes the r12 TOCTOU
+        // two ways at once: a loser fails at the link and never touches
+        // any sidecar (a racing winner's fresh crc is safe), and a stale
+        // sidecar orphaned by an external raw delete cannot block a
+        // legitimate re-publication (any sidecar present when our link
+        // just succeeded is an orphan by definition — `p` did not exist
+        // an instant ago). The previous shape (checksum-aware
+        // FileContext.rename after an exists-guarded sidecar pre-delete)
+        // could strip a winner's fresh crc in the guard's window, and on
+        // a blocked crc rename left the data file already moved.
+        val raw = c.getRawFileSystem
+        def local(f: Path) = java.nio.file.Paths.get(raw.makeQualified(f).toUri)
+        try java.nio.file.Files.createLink(local(p), local(tmp))
+        catch { case e: Throwable => fs.delete(tmp, false); throw e }
+        raw.delete(crcOf(p), false) // only ever an orphan: we own p now
+        if (raw.exists(crcOf(tmp))) raw.rename(crcOf(tmp), crcOf(p)): Unit
+        raw.delete(tmp, false): Unit
+      case _ =>
+        // non-checksummed schemes (HDFS, ABFS, …): FileContext rename with
+        // the default Rename.NONE is the native put-if-absent rename
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, fs.getConf)
+        try fc.rename(fc.makeQualified(tmp), fc.makeQualified(p))
+        catch { case e: Throwable => fs.delete(tmp, false); throw e }
     }
   }
 

@@ -747,9 +747,10 @@ class PipelineOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     Dedup.releaseIntermediates()
     val obsCap = new org.apache.spark.sql.Observation("ct-cap")
+    val obsDropped = new org.apache.spark.sql.Observation("ct-dropped")
     val capped = Dedup.containmentPairs(corpus, "doc_id", "text",
         threshold = 0.8, minShingles = 10, maxDocFreq = Some(10),
-        candidateObs = Some(obsCap))
+        candidateObs = Some(obsCap), capObs = Some(obsDropped))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     Dedup.releaseIntermediates()
     val candFull = obsFull.get("candidates").asInstanceOf[Long]
@@ -766,6 +767,23 @@ class PipelineOpsSpec extends SparkSuite {
     // and emitted pairs remain a SUBSET of the exact answer (never wrong,
     // only — documented-ly — fewer when a pair shares ONLY hot shingles)
     assert(capped.subsetOf(full))
+    // the capObs audit makes a LOSSY run distinguishable at runtime: the
+    // biting cap reports the dropped boilerplate shingles (df > 10 on a
+    // 60-doc corpus) and the posting rows they carried...
+    val droppedSh = obsDropped.get("capped_shingles").asInstanceOf[Long]
+    val droppedPost = obsDropped.get("capped_postings").asInstanceOf[Long]
+    assert(droppedSh > 0L, "biting cap must report dropped shingles")
+    assert(droppedPost > 10L * droppedSh,
+      s"dropped shingles had df > cap ($droppedPost rows / $droppedSh shingles)")
+    // ...while a cap that never bites certifies the run was in fact EXACT
+    val obsNoBite = new org.apache.spark.sql.Observation("ct-nobite")
+    Dedup.containmentPairs(corpus, "doc_id", "text",
+        threshold = 0.8, minShingles = 10, maxDocFreq = Some(100000),
+        capObs = Some(obsNoBite))
+      .collect(): Unit
+    Dedup.releaseIntermediates()
+    assert(obsNoBite.get("capped_shingles").asInstanceOf[Long] == 0L)
+    assert(obsNoBite.get("capped_postings").asInstanceOf[Long] == 0L)
   }
 
   test("containmentIncremental: equals batch-mode cross pairs; params enforced") {

@@ -321,9 +321,12 @@ object Sf1Drive {
     synthDocs(spark)
     gates.foreach { g =>
       val t0 = System.nanoTime()
-      // containment runs the gate's exact parameterization but with the
-      // candidate audit observation attached, so the sweep RECORDS the
-      // candidate volume at 10× next to the wall time
+      // containment runs the gate's exact parameterization (the shared
+      // Catalog.ContainmentGate* constants — the same values the Catalog
+      // entry and its DuckDB oracle interpolate, so the sweep cannot
+      // silently validate a different query) but with the candidate audit
+      // observation attached, so the sweep RECORDS the candidate volume
+      // at 10× next to the wall time
       val obs =
         if (g == "dedup_containment")
           Some(new org.apache.spark.sql.Observation(s"sf1-$g-cands"))
@@ -331,7 +334,9 @@ object Sf1Drive {
       val df = obs match {
         case Some(o) => graft.operators.Dedup.containmentPairs(
           spark.read.parquet(s"$out/documents.parquet"), "doc_id", "text",
-          threshold = 0.8, minShingles = 10, candidateObs = Some(o))
+          threshold = graft.queries.Catalog.ContainmentGateThreshold,
+          minShingles = graft.queries.Catalog.ContainmentGateMinShingles,
+          candidateObs = Some(o))
         case None => graft.queries.Catalog.queries(g)(spark, out)
       }
       df.write.mode("overwrite").parquet(s"$outDir/$g")

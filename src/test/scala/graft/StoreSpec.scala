@@ -178,6 +178,34 @@ class StoreSpec extends SparkSuite {
       .forall(!_.getName.startsWith(".tmp-")))
   }
 
+  test("put-if-absent recovers a slot orphaned by an external raw delete") {
+    // crash/manual-cleanup shape: the FILE was removed through a raw
+    // (non-checksummed) channel, its `.crc` sidecar left behind. The
+    // sidecar must not block a legitimate re-publication into the free
+    // slot — and the recovery runs from the FAILURE path (r12 ADVICE
+    // TOCTOU: an up-front exists-then-delete could strip a racing
+    // winner's fresh sidecar), so a taken slot still refuses afterwards.
+    val dir = tmpDir("fs-stalecrc")
+    val fsu = new graft.store.Fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/v0000000002.json")
+    fsu.writeStringAtomicNew(p, "one")
+    val raw = fsu.fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+    raw.delete(p, false) // raw delete leaves `.v…json.crc` orphaned
+    val crc = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.crc")
+    assert(raw.exists(crc), "precondition: orphaned sidecar present")
+    fsu.writeStringAtomicNew(p, "two") // republication into the freed slot
+    assert(fsu.readString(p) == "two")
+    // the slot is committed again: a third writer refuses as usual
+    intercept[Exception](fsu.writeStringAtomicNew(p, "three"))
+    assert(fsu.readString(p) == "two")
+    // the re-publication refreshed the sidecar (reads stay verifiable)
+    assert(raw.exists(crc))
+  }
+
   test("table properties persist across commits and restores") {
     val t = table("vt-props")
     t.overwrite(Seq((1, "a")).toDF("id", "s"))

@@ -9,15 +9,18 @@ import graft.SparkSuite
 
 /** Logical conflict analysis for lost commit races on the foreign Delta
   * writer: a mutation (deleteWhere/updateWhere/merge/optimize) that loses
-  * its optimistic commit to a concurrent PURE APPEND retries internally
-  * against the fresh snapshot — the appended files are disjoint from
-  * anything the mutation read, and the retry even applies the mutation to
-  * the appended rows (the serializable append→mutation order). A race
-  * lost to anything carrying remove/metaData/protocol actions still
-  * aborts loudly (delta-spark's ConflictChecker does the same). The
-  * concurrent writer fires deterministically through the
-  * `onBeforeCommit` test seam, exactly between the loser's snapshot
-  * resolution and its commit publish. */
+  * its optimistic commit retries internally against the fresh snapshot
+  * when every winning commit is retry-COMPATIBLE — no metaData/protocol
+  * action and a removed/re-added file set DISJOINT from the files the
+  * loser's attempt touched (its [[ForeignDeltaTable.attemptFootprint]]).
+  * Pure appends are always compatible; since r13 two MUTATIONS on
+  * disjoint files (e.g. DV deletes in different partitions) both land
+  * too — delta-spark's ConflictChecker resolves the same cases. A winner
+  * that removed a file the loser touched is a true write-write conflict
+  * and still aborts loudly (ConcurrentDeleteDelete). The concurrent
+  * writer fires deterministically through the `onBeforeCommit` test
+  * seam, exactly between the loser's snapshot resolution and its commit
+  * publish. */
 class ForeignConflictSpec extends SparkSuite {
   import spark.implicits._
 
@@ -101,6 +104,99 @@ class ForeignConflictSpec extends SparkSuite {
     val rows = DeltaTable.read(spark, root)
       .select("id", "v").as[(Long, String)].collect().toSet
     assert(rows == Set((1L, "new"), (2L, "old"), (5L, "ins"), (9L, "appended")))
+  }
+
+  /** Two-file seed table with the deletionVectors feature ALREADY on the
+    * protocol (no upgrade line in the racers' commits — a protocol action
+    * is never retry-compatible): `dfA`'s rows land in one parquet file,
+    * `dfB`'s in another, so predicates selecting rows from only one side
+    * touch disjoint file sets. */
+  private def foreignTableDvTwoFiles(
+      root: String, dfA: org.apache.spark.sql.DataFrame,
+      dfB: org.apache.spark.sql.DataFrame): Unit = {
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val staging = tmpDir(s"fcx2-stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(root, name)): Unit
+      s"""{"add":{"path":"$name","partitionValues":{},""" +
+        s""""size":${new File(root, name).length()},"modificationTime":1,"dataChange":true}}"""
+    }
+    val addA = stage(dfA, "part-00000-a.snappy.parquet")
+    val addB = stage(dfB, "part-00000-b.snappy.parquet")
+    val meta = s"""{"metaData":{"id":"conflict-dv","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(dfA.schema.json)},""" +
+      s""""partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    val proto = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    new File(root, "_delta_log").mkdirs()
+    Files.write(java.nio.file.Paths.get(root, "_delta_log",
+      "00000000000000000000.json"),
+      Seq(proto, meta, addA, addB).mkString("\n").getBytes("UTF-8")): Unit
+  }
+
+  test("two MUTATING writers on DISJOINT files both land (DV deletes)") {
+    val root = tmpDir("fcx-dj")
+    foreignTableDvTwoFiles(root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      Seq((4L, "d"), (5L, "e"), (6L, "f")).toDF("id", "v"))
+    val loser = new ForeignDeltaTable(spark, root)
+    val winner = new ForeignDeltaTable(spark, root)
+    // the winner's DELETE (remove + DV re-add of file B) lands between the
+    // loser's snapshot and publish; the loser's delete touches only file A
+    // — footprints disjoint, so the loser retries and BOTH mutations land
+    interleaveOnce(loser) {
+      winner.deleteWhere(col("id") === 5L): Unit
+    }
+    val committed = loser.deleteWhere(col("id") === 2L)
+    assert(committed == 2L, "winner v1, loser retried into v2")
+    val rows = DeltaTable.read(spark, root)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (3L, "c"), (4L, "d"), (6L, "f")))
+  }
+
+  test("two MUTATING writers touching the SAME file still abort loudly") {
+    val root = tmpDir("fcx-ovl")
+    foreignTableDvTwoFiles(root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      Seq((4L, "d"), (5L, "e"), (6L, "f")).toDF("id", "v"))
+    val loser = new ForeignDeltaTable(spark, root)
+    val winner = new ForeignDeltaTable(spark, root)
+    // both deletes target rows in file A: the winner's commit removed and
+    // re-added the very file the loser DV'd — a true write-write conflict
+    // (delta-spark's ConcurrentDeleteDelete) that must surface, not retry
+    interleaveOnce(loser) {
+      winner.deleteWhere(col("id") === 1L): Unit
+    }
+    val e = intercept[java.util.ConcurrentModificationException](
+      loser.deleteWhere(col("id") === 3L))
+    assert(e.getMessage.contains("commit race"))
+    // the winner's delete is intact; the loser's never half-applied
+    val rows = DeltaTable.read(spark, root)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(rows == Set((2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f")))
+  }
+
+  test("disjoint-file UPDATE over a concurrent DV delete retries; model exact") {
+    val root = tmpDir("fcx-updj")
+    foreignTableDvTwoFiles(root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "qty"),
+      Seq((3L, 30L), (4L, 40L)).toDF("id", "qty"))
+    val loser = new ForeignDeltaTable(spark, root)
+    val winner = new ForeignDeltaTable(spark, root)
+    interleaveOnce(loser) {
+      winner.deleteWhere(col("id") === 4L): Unit // touches file B only
+    }
+    // the update touches file A only; serial order winner→loser means the
+    // deleted row must NOT reappear updated
+    val committed = loser.updateWhere(col("id") <= 2L,
+      Map("qty" -> (col("qty") + 1L)))
+    assert(committed == 2L)
+    val rows = DeltaTable.read(spark, root)
+      .select("id", "qty").as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 11L), (2L, 21L), (3L, 30L)))
   }
 
   test("a race lost to a MUTATION (removes) still aborts loudly") {
