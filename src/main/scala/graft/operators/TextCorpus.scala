@@ -904,10 +904,75 @@ object TextCorpus {
     * deterministic total order (score desc, id asc), planned as a
     * TakeOrdered (no global sort materialization). The greedy top-k is the
     * exact-oracle stand-in for DSIR's gumbel resampling step: sampling
-    * needs randomness, selection needs only the ranking. */
+    * needs randomness, selection needs only the ranking. The seeded
+    * sampling step itself is [[dsirSample]]. */
   def dsirSelect(
       df: DataFrame, idCol: String, textCol: String, isTarget: Column,
       k: Int, scale: Long = 1000000L): DataFrame =
     dsirScores(df, idCol, textCol, isTarget, scale)
       .orderBy(col("dsir_score").desc, col("id").asc).limit(k)
+
+  /** Quantization width of [[dsirExpTableX1e6]]: the 31-bit LCG key space
+    * splits into this many equal buckets (key div 2²¹ indexes the table). */
+  private[graft] val DsirSampleBuckets = 1024
+
+  /** ⌊−ln((b + 0.5)/B) · 10⁶⌋ for b ∈ [0, B): the integer-quantized
+    * standard-exponential sample [[dsirSample]] draws per document.
+    * StrictMath (fdlibm — bit-specified on every JVM) computes it once;
+    * the DuckDB oracle embeds these SAME integers literally (a VALUES
+    * table generated from this array), so no engine ever evaluates a
+    * transcendental at query time and the contract stays integer-exact.
+    * Range: 7 (b = B−1) … 7,624,618 (b = 0). */
+  private[graft] lazy val dsirExpTableX1e6: IndexedSeq[Long] =
+    (0 until DsirSampleBuckets).map(b => math.floor(
+      -StrictMath.log((b + 0.5) / DsirSampleBuckets) * 1e6).toLong)
+
+  /** SEEDED DSIR resampling — the sampling step of the public DSIR recipe
+    * (Xie et al. 2023 resample ∝ importance weight; [[dsirSelect]] is the
+    * deterministic-ranking stand-in): draw `k` source documents WITHOUT
+    * replacement with probability proportional to their [[dsirScores]]
+    * importance score, deterministically from `seed`.
+    *
+    * Mechanism — gumbel-top-k via the EXPONENTIAL RACE equivalence
+    * (Efraimidis–Spirakis): keeping the k smallest e_i / w_i with
+    * e_i ~ Exp(1) selects exactly like keeping the k largest
+    * ln(w_i) + Gumbel_i, and needs ONE transcendental draw instead of
+    * two. Here e_i is quantized: the house LCG mixes (id, seed) into a
+    * 31-bit key, the key's high bits pick one of [[DsirSampleBuckets]]
+    * equal-probability buckets, and the bucket's ⌊−ln((b+0.5)/B)·10⁶⌋
+    * value comes from the PRECOMPUTED integer table — so the ranking key
+    * e_i / w_i is a division of two exact integers (each < 2⁵³),
+    * correctly rounded identically by every IEEE-754 engine: the
+    * selection replays bit-for-bit in a SQL oracle with the same embedded
+    * table, and is a pure function of (id, seed) — stable under any
+    * partitioning, plan, or engine. Ties (same bucket AND same score)
+    * break by id. Quantization truncates each draw to its bucket's
+    * representative (1/B probability mass each) — the sampling law is
+    * exact over bucket representatives and converges to the continuous
+    * gumbel law as B grows; determinism and replayability are exact at
+    * any B. Zero-score documents carry zero sampling probability and are
+    * excluded structurally. Planned as a TakeOrdered over the scored
+    * relation — no global sort, nothing driver-side but the k winners.
+    * Returns (id, n_bigrams, dsir_score) like [[dsirSelect]]. */
+  def dsirSample(
+      df: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      k: Int, seed: Long = 0L, scale: Long = 1000000L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val m = 2147483648L
+    val width = m / DsirSampleBuckets
+    val key = pmod(pmod(pmod(col("id").cast("long"), lit(m))
+      + (seed % m), lit(m)) * 1103515245L + 12345L, lit(m))
+    // bucket = key div width, computed exactly in double space: the
+    // numerator is an exact multiple of width and both operands are
+    // < 2³¹, so the division is exact and the cast cannot misround
+    val bucket = ((key - pmod(key, lit(width))) / lit(width)).cast("int")
+    dsirScores(df, idCol, textCol, isTarget, scale)
+      .filter(col("dsir_score") > 0L)
+      .withColumn("__gr_e",
+        element_at(typedLit(dsirExpTableX1e6), bucket + 1))
+      .withColumn("__gr_race",
+        col("__gr_e").cast("double") / col("dsir_score").cast("double"))
+      .orderBy(col("__gr_race").asc, col("id").asc).limit(k)
+      .select(col("id"), col("n_bigrams"), col("dsir_score"))
+  }
 }

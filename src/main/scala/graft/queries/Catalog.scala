@@ -77,6 +77,14 @@ object Catalog {
   val ContainmentGateThreshold: Double = 0.8
   val ContainmentGateMinShingles: Int = 10
 
+  /** The dsirSample quantized-exponential table rendered as a SQL VALUES
+    * list "(0, 7624618), (1, …)", generated from the SAME array the Spark
+    * operator reads ([[TextCorpus.dsirExpTableX1e6]]) so the two sides
+    * cannot diverge and no engine evaluates ln at query time. */
+  private lazy val dsirExpTableValues: String =
+    TextCorpus.dsirExpTableX1e6.zipWithIndex
+      .map { case (e, b) => s"($b, $e)" }.mkString(", ")
+
   /** Event-time TIMESTAMP column for streams reading the RAW events
     * fixture (whose `ts` vintage varies — see [[Fixtures.events]]):
     * BIGINT nanos → µs-truncated timestamp; TIMESTAMP_NTZ → reinterpreted
@@ -1524,6 +1532,42 @@ object Catalog {
             FROM bg JOIN w USING (f) WHERE NOT tgt GROUP BY doc_id)
         SELECT doc_id, n_bigrams, dsir_score FROM sc
         ORDER BY dsir_score DESC, doc_id LIMIT 50""")),
+
+    // DSIR SEEDED RESAMPLING — the public recipe's gumbel sampling step,
+    // realized as the exponential race (Efraimidis–Spirakis): keep the 40
+    // smallest e/score with e a quantized −ln(u) drawn per (doc_id, seed)
+    // from the LCG + the PRE-COMPUTED integer table (embedded verbatim in
+    // this oracle as a VALUES relation — no engine evaluates ln at query
+    // time). The race key is a division of two exact integers, correctly
+    // rounded identically by both engines, so selection replays
+    // bit-for-bit: ranks AND the race are engine-reproducible
+    Q("text_dsir_sample",
+      (s, d) => TextCorpus.dsirSample(t(s, d, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", k = 40, seed = 7L)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("dsir_score")),
+      Some(s"""WITH base AS (SELECT doc_id, lang = 'en' AS tgt,
+            string_split($normSql, ' ') AS toks FROM documents),
+          bg AS (SELECT doc_id, tgt,
+              substr(md5(toks[i] || ' ' || toks[i+1]), 1, 3) AS f
+            FROM base, unnest(range(1, len(toks))) AS r(i)
+            WHERE len(toks) >= 2),
+          hist AS (SELECT f,
+              CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tf,
+              CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS sf
+            FROM bg GROUP BY f),
+          w AS (SELECT f, (tf + 1) * 1000000 // (sf + 1) AS wf FROM hist),
+          sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(wf) AS BIGINT) AS dsir_score
+            FROM bg JOIN w USING (f) WHERE NOT tgt GROUP BY doc_id),
+          et AS (SELECT * FROM (VALUES ${dsirExpTableValues}) AS v(b, e)),
+          keyed AS (SELECT doc_id, n_bigrams, dsir_score,
+              (((doc_id % 2147483648 + 7) % 2147483648)
+                * 1103515245 + 12345) % 2147483648 AS lk
+            FROM sc WHERE dsir_score > 0)
+        SELECT doc_id, n_bigrams, dsir_score
+        FROM keyed JOIN et ON et.b = keyed.lk // ${2147483648L / 1024}
+        ORDER BY CAST(e AS DOUBLE) / CAST(dsir_score AS DOUBLE), doc_id
+        LIMIT 40""")),
 
     // deterministic stratified sampling: LCG bucket arithmetic reproduces
     // bit-for-bit in any engine — the training-mix rate table, with the

@@ -1,14 +1,30 @@
 package graft
 
-/** Ad-hoc single-gate driver: args(0)=gate name, args(1)=sf dir. Dumps the gate
-  * result to /tmp/gate-out/<name> for DuckDB comparison. */
+import org.apache.spark.sql.SparkSession
+
+/** One-gate scratch drive: run a single Catalog gate against an sf dir,
+  * print its formatted plan, and dump the result as parquet so the DuckDB
+  * oracle (see [[PrintOracle]]) can be replayed against it locally without
+  * a full `graft.Verify` pass.
+  *
+  * `sbt "Test/runMain graft.GateDrive <gate> [sfDir] [outDir]"` */
 object GateDrive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSuite.spark
-    val name = args(0)
-    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val df = graft.queries.Catalog.queries(name)(spark, dir)
-    df.write.mode("overwrite").parquet(s"/tmp/gate-out/$name")
-    println(s"GATE $name rows=" + spark.read.parquet(s"/tmp/gate-out/$name").count())
+    require(args.nonEmpty, "usage: GateDrive <gate> [sfDir] [outDir]")
+    val gate = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 2) args(2) else "/tmp/gate-drive"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = queries.Catalog.queries(gate)(spark, sfDir)
+    df.explain("formatted")
+    df.write.mode("overwrite").parquet(s"$outDir/$gate")
+    println(s"rows=${spark.read.parquet(s"$outDir/$gate").count()}")
+    spark.stop()
   }
 }

@@ -40,7 +40,8 @@ object Sf1Drive {
     // surprise at 10×; the default maxDocFreq cap is the guard) — plus
     // the new DSIR selection gate (histogram/weight arithmetic must stay
     // integer-exact when the bigram volume grows 10×)
-    "dedup_cdc_chunks", "sample_mixture", "text_dsir_select")
+    "dedup_cdc_chunks", "sample_mixture", "text_dsir_select",
+    "text_dsir_sample")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry
     * verbatim; the three retrieval gates mirror the Catalog entry's code

@@ -60,4 +60,80 @@ class DsirSpec extends SparkSuite {
     Caching.release()
     assert(got == Set(2L))
   }
+
+  /** The dsirSample race replayed in plain Scala — the same LCG, bucket
+    * split, exponential table, and double-division key the operator (and
+    * its SQL oracle) use. */
+  private def raceModel(
+      scores: Map[Long, Long], seed: Long, k: Int): Seq[Long] = {
+    val m = 2147483648L
+    val width = m / TextCorpus.DsirSampleBuckets
+    scores.toSeq.filter(_._2 > 0L).map { case (id, w) =>
+      val key = ((((id % m + m) % m + seed % m) % m) * 1103515245L + 12345L) % m
+      val e = TextCorpus.dsirExpTableX1e6((key / width).toInt)
+      (e.toDouble / w.toDouble, id)
+    }.sorted.take(k).map(_._2)
+  }
+
+  test("dsirSample: model-exact, deterministic, partition-invariant") {
+    // heavy doc 100 reuses target bigrams; 20 light docs are disjoint
+    val target = (0L until 6L).map(i => (i, "alpha beta gamma alpha beta", true))
+    val heavy = Seq((100L, Array.fill(8)("alpha beta gamma").mkString(" "), false))
+    // mid-score doc: ~2× a light doc — enough to be favored, not enough
+    // to always win (the witness that this is SAMPLING, not ranking)
+    val mid = Seq((150L, "alpha beta gamma alpha beta", false))
+    val light = (200L until 220L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e", false))
+    val df = (target ++ heavy ++ mid ++ light).toDF("doc_id", "text", "tgt")
+    val scores = TextCorpus.dsirScores(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    Caching.release()
+    Seq(7L, 8L).foreach { seed =>
+      val expected = raceModel(scores, seed, k = 5)
+      val got = TextCorpus.dsirSample(df, "doc_id", "text", col("tgt"),
+        k = 5, seed = seed).collect().map(_.getLong(0)).toSeq
+      Caching.release()
+      assert(got == expected, s"seed $seed: engine $got vs model $expected")
+      // partition-invariance: the selection is a pure function of
+      // (id, seed, corpus content) — any physical layout must agree
+      val got17 = TextCorpus.dsirSample(df.repartition(17), "doc_id", "text",
+        col("tgt"), k = 5, seed = seed).collect().map(_.getLong(0)).toSeq
+      Caching.release()
+      assert(got17 == expected, s"seed $seed at 17 partitions: $got17")
+    }
+    // different seeds draw different exponential clocks: across 64 seeds
+    // the model must not produce one constant selection (and the heavy
+    // doc must sometimes lose — it is SAMPLING, not ranking)
+    val draws = (0L until 64L).map(s => raceModel(scores, s, k = 5))
+    assert(draws.distinct.size > 10, "seeds must vary the selection")
+    val midIn = draws.count(_.contains(150L))
+    assert(midIn > 0 && midIn < 64,
+      s"mid-score doc must win some draws and lose others ($midIn/64)")
+    // ...while selection stays ∝ score: the heavy doc (score ≫ each
+    // light doc's) survives in the large majority of draws
+    val heavyWins = draws.count(_.contains(100L))
+    assert(scores(100L) > 10L * scores(200L),
+      s"corpus must be skewed for the test to bite (${scores(100L)} vs ${scores(200L)})")
+    assert(heavyWins >= 48, s"heavy doc selected only $heavyWins/64")
+  }
+
+  test("dsirSample: plan shape (TakeOrdered + broadcast weights)") {
+    // zero-score docs (every feature driven to wf = 0 by > 1e6 source-only
+    // occurrences) are excluded by the score > 0 filter — unreachable at
+    // spec scale, so the pin here is the plan shape the 100 TB story
+    // depends on: top-k as TakeOrdered, weight table broadcast
+    val target = Seq((0L, "a b c", true))
+    val sources = (10L until 40L).map(i => (i, s"x${i} y${i} z${i}", false))
+    val df = (target ++ sources).toDF("doc_id", "text", "tgt")
+    val sel = TextCorpus.dsirSample(df, "doc_id", "text", col("tgt"),
+      k = 7, seed = 3L)
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sampling top-k must plan as TakeOrdered, got:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights must broadcast into the scoring join, got:\n$plan")
+    val got = sel.collect().map(_.getLong(0)).toSeq
+    Caching.release()
+    assert(got.size == 7 && got.toSet.subsetOf((10L until 40L).toSet))
+  }
 }
