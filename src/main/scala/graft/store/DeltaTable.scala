@@ -75,7 +75,16 @@ object DeltaTable {
       "checkConstraints", "generatedColumns", "changeDataFeed", "domainMetadata",
       "inCommitTimestamp", "icebergCompatV1", "icebergCompatV2",
       "columnMapping", "v2Checkpoint", "deletionVectors",
-      "typeWidening", "typeWidening-preview")
+      "typeWidening", "typeWidening-preview",
+      // VARIANT (semi-structured) columns: the schemaString type "variant"
+      // parses to Spark's native VariantType and the UNSHREDDED physical
+      // layout (a two-binary-field group) is exactly what Spark 4's
+      // parquet readers produce/consume — verified end-to-end in
+      // VariantInteropSpec. variantShredding-preview is deliberately
+      // ABSENT: a shredded file restructures the physical layout into
+      // typed subcolumns this reader has never been pointed at, so it
+      // refuses loudly rather than misread.
+      "variantType", "variantType-preview")
 
   /** One live file as recorded by the log (path still raw/percent-encoded).
     * `baseRowId`/`defaultRowCommitVersion` carry the row-tracking fields

@@ -1271,7 +1271,21 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       // outside the Delta lattice or without the owner's
       // delta.enableTypeWidening opt-in ([[TypeWidening]]); this writer
       // never narrows a type
-      "typeWidening", "typeWidening-preview")
+      "typeWidening", "typeWidening-preview",
+      // honored natively: Spark 4 writes VARIANT values in the spec's
+      // unshredded binary encoding; variant columns are not stat-eligible
+      // (bounds omitted — protocol-legal) and NOT NULL / CHECK rules ride
+      // the write plan like any other column. variantShredding-preview is
+      // deliberately absent (a shredded layout is a different physical
+      // contract) and refuses loudly.
+      "variantType", "variantType-preview",
+      // honored: commits are unconstrained by the feature; METADATA
+      // CLEANUP is the constrained operation, and [[cleanupMetadata]]
+      // refuses to pick a history floor below
+      // delta.requireCheckpointProtectionBeforeVersion (the always-safe
+      // reading of the spec's "clean everything below it in one go with a
+      // validated boundary checkpoint, or clean nothing below it")
+      "checkpointProtection")
 
   private def validateWritable(s: DeltaTable.Snapshot, forOverwrite: Boolean): Unit = {
     val cm = s.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -2100,6 +2114,27 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val floor = floorOpt.get
     val doomed = entries.filter(e => e.version < floor && expired(e))
     if (doomed.isEmpty) return Nil
+    // checkpointProtection: commits below the protected version may only
+    // be cleaned by a writer that truncates up to the boundary in ONE
+    // operation while writing and VALIDATING a fresh checkpoint there
+    // (the history may contain actions of since-removed features that an
+    // existing checkpoint does not capture) — this writer reuses existing
+    // checkpoints as floors, so the always-safe compliant behavior is to
+    // refuse whenever the cleanup would delete a protected commit;
+    // cleanup whose doomed set sits entirely at/above the boundary
+    // proceeds normally
+    if (s.writerFeatures.contains("checkpointProtection")) {
+      val protectedBelow = s.configuration
+        .get("delta.requireCheckpointProtectionBeforeVersion")
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(0L)
+      if (doomed.exists(_.version < protectedBelow)) refuse(
+        s"metadata cleanup would delete commits below the " +
+          s"checkpointProtection boundary $protectedBelow — cleaning that " +
+          "history requires re-checkpointing and validating at the " +
+          "boundary in one operation, which this writer does not do; " +
+          "raise the retention or clean from a writer that supports " +
+          "boundary checkpointing")
+    }
     // sidecars: delete those referenced ONLY by doomed v2 manifests
     def sidecarRefs(fs: Seq[LogF]): Set[String] =
       fs.filter(_.isV2).flatMap(e => sidecarRefsOf(e).getOrElse(Nil)).toSet
