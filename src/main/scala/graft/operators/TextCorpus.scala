@@ -975,4 +975,90 @@ object TextCorpus {
       .orderBy(col("__gr_race").asc, col("id").asc).limit(k)
       .select(col("id"), col("n_bigrams"), col("dsir_score"))
   }
+
+  /** Fixed `segWords`-word-group segmentation of `textCol`, positionally
+    * complete: ⌈len/segWords⌉ segments, the last one short, ≥ 1 segment for
+    * any text (the empty string is its own single segment). The word-group
+    * stands in for a "line" in corpora without line structure — the unit of
+    * [[boilerplateSegments]]/[[removeBoilerplate]]. SQL mirror (1-based
+    * inclusive slices): `t[i*W+1 : i*W+W]` for i in [0, ⌈len/W⌉). */
+  private[graft] def segmentArray(textCol: Column, segWords: Int): Column = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    val toks = split(textCol, " ")
+    // integer ceil; both operands are exact in double space (counts < 2^31)
+    val nseg = ((size(toks) + (segWords - 1)) / segWords).cast("int")
+    transform(sequence(lit(0), greatest(nseg, lit(1)) - 1),
+      i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " "))
+  }
+
+  /** Corpus-frequent BOILERPLATE segments: the `segWords`-word groups that
+    * appear in ≥ `minDocs` DISTINCT documents — the CCNet/RefinedWeb
+    * frequent-line filter list (headers, footers, cookie banners, license
+    * blurbs), built exactly in two passes.
+    *
+    * Pass 1 censuses 8-byte segment HASHES over per-document-DISTINCT
+    * segments: only (hash) longs shuffle, with map-side combine soaking the
+    * Zipfian head — document text never shuffles. Pass 2 recounts ONLY the
+    * candidate hashes' RAW segment strings (again per-doc-distinct, again
+    * map-side combinable), so a hash collision can only promote an extra
+    * candidate that the string-keyed recount then judges exactly — a
+    * collision can never remove an innocent segment. The result is small by
+    * construction (≤ total_segments / minDocs) and additionally bounded by
+    * `maxBoilerplate`: exceeding it throws rather than silently truncating
+    * the filter list (a truncated list would UNDER-clean — the failure mode
+    * must be loud). Returns the boilerplate segment strings, sorted. */
+  def boilerplateSegments(
+      df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 8, minDocs: Int = 10,
+      maxBoilerplate: Int = 100000): Array[String] = {
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    require(maxBoilerplate > 0, s"maxBoilerplate must be positive, got $maxBoilerplate")
+    val perDoc = df.select(col(idCol).as("id"),
+      array_distinct(segmentArray(col(textCol), segWords)).as("segs"))
+    val postings = perDoc.select(col("id"), explode(col("segs")).as("seg"))
+    val candidates = postings
+      .groupBy(xxhash64(col("seg")).as("h")).agg(count(lit(1)).as("hdf"))
+      .filter(col("hdf") >= minDocs)
+      .select("h").limit(maxBoilerplate + 1)
+      .collect().map(_.getLong(0))
+    if (candidates.length > maxBoilerplate)
+      throw new IllegalStateException(
+        s"boilerplateSegments: more than $maxBoilerplate candidate segments at " +
+          s"minDocs=$minDocs — refusing to truncate the filter list (raise " +
+          "maxBoilerplate or minDocs)")
+    if (candidates.isEmpty) return Array.empty
+    val exact = postings
+      .filter(xxhash64(col("seg")).isin(candidates.map(_.asInstanceOf[Any]): _*))
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("seg").collect().map(_.getString(0))
+    exact.sorted
+  }
+
+  /** Strip a boilerplate filter list out of every document — ONE shuffle-free
+    * projection: segments are rebuilt positionally, membership-tested against
+    * the set (an InSet hash probe, O(1) per segment, codegen'd), and the
+    * survivors re-joined. Within-doc repeats of a boilerplate segment all go;
+    * order and repeats of surviving segments are preserved; a document that
+    * was pure boilerplate keeps its row with empty text (dropping it is the
+    * caller's policy decision). At 100 TB this is a map-only pass — the
+    * filter list rides the closure, no join, no exchange. Returns
+    * (idCol, clean_text, n_segments, n_removed). */
+  def removeBoilerplate(
+      df: DataFrame, idCol: String, textCol: String,
+      boilerplate: Seq[String], segWords: Int = 8): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.InSet
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.graft.Bridge
+    val hset: Set[Any] = boilerplate.iterator
+      .map(s => UTF8String.fromString(s): Any).toSet
+    val segs = segmentArray(col(textCol), segWords)
+    val kept =
+      if (boilerplate.isEmpty) segs
+      else filter(segs, s => !Bridge.column(InSet(Bridge.expression(s), hset)))
+    df.select(col(idCol),
+      array_join(kept, " ").as("clean_text"),
+      size(segs).cast("long").as("n_segments"),
+      (size(segs) - size(kept)).cast("long").as("n_removed"))
+  }
 }

@@ -1041,6 +1041,35 @@ object Catalog {
           CAST(count(*) AS BIGINT) AS uniq_tokens
         FROM f GROUP BY doc_id""")),
 
+    // CCNet/RefinedWeb-style frequent-segment (boilerplate) removal:
+    // 3-word groups appearing in ≥ 5 distinct docs are censused exactly
+    // (hash-pruned pass 1, string-recount pass 2) and stripped from every
+    // document in one shuffle-free projection — the oracle replays the
+    // census and the positional reassembly from raw segment strings, so
+    // the hash-prune layer is proven collision-exact
+    Q("text_boilerplate_removal",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bp = TextCorpus.boilerplateSegments(docs, "doc_id", "text",
+          segWords = 3, minDocs = 5)
+        TextCorpus.removeBoilerplate(docs, "doc_id", "text", bp.toSeq,
+          segWords = 3)
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, list_transform(range(0, (len(t)+2)//3),
+            i -> array_to_string(t[i*3+1:i*3+3], ' ')) AS segs FROM s),
+        e AS (SELECT doc_id, unnest(list_distinct(segs)) AS seg FROM g),
+        bp AS (SELECT seg FROM e GROUP BY seg HAVING count(*) >= 5),
+        a AS (SELECT doc_id, i, segs[CAST(i AS BIGINT)+1] AS seg
+          FROM g, unnest(range(0, len(segs))) AS r(i)),
+        k AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
+            count(*) AS kept
+          FROM a WHERE seg NOT IN (SELECT seg FROM bp) GROUP BY doc_id)
+        SELECT g.doc_id, coalesce(k.clean_text, '') AS clean_text,
+          CAST(len(g.segs) AS BIGINT) AS n_segments,
+          CAST(len(g.segs) - coalesce(k.kept, 0) AS BIGINT) AS n_removed
+        FROM g LEFT JOIN k USING (doc_id)""")),
+
     Q("text_quality",
       (s, d) => {
         val comps = TextFunctions.qualityComponents(col("text"))
