@@ -1035,6 +1035,46 @@ object TextCorpus {
     exact.sorted
   }
 
+  /** Per-document-DISTINCT segment census: (seg, df) with df counting
+    * documents. THE incremental-maintenance shape for a rolling corpus:
+    * census each INGEST BATCH as it arrives (cost ∝ batch, map-side
+    * combinable) and fold it into a stored census with
+    * [[segmentCensusMerge]] — old text is never re-scanned, and
+    * [[boilerplateFromCensus]] re-derives the filter list from the fold
+    * alone. The census is ONE row per distinct segment (the same
+    * row-per-key contract as the persisted MinHash/IVF indexes); a merge
+    * shuffles distinct segments, never documents. For a one-shot corpus
+    * prefer [[boilerplateSegments]], whose hash-pruned first pass avoids
+    * shuffling segment strings at all. */
+  def segmentCensus(
+      df: DataFrame, idCol: String, textCol: String, segWords: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(segmentArray(col(textCol), segWords))).as("seg"))
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+
+  /** Fold a batch census into a stored one (union + sum; exact as long as
+    * batches partition the corpus by document — each doc censused once). */
+  def segmentCensusMerge(stored: DataFrame, batch: DataFrame): DataFrame =
+    stored.unionByName(batch).groupBy("seg").agg(sum("df").as("df"))
+
+  /** The boilerplate filter list from a (merged) census — same threshold,
+    * cap, and loud refusal as [[boilerplateSegments]], no corpus scan. */
+  def boilerplateFromCensus(
+      census: DataFrame, minDocs: Int = 10,
+      maxBoilerplate: Int = 100000): Array[String] = {
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    require(maxBoilerplate > 0, s"maxBoilerplate must be positive, got $maxBoilerplate")
+    val hot = census.filter(col("df") >= minDocs)
+      .select("seg").limit(maxBoilerplate + 1)
+      .collect().map(_.getString(0))
+    if (hot.length > maxBoilerplate)
+      throw new IllegalStateException(
+        s"boilerplateFromCensus: more than $maxBoilerplate segments at " +
+          s"minDocs=$minDocs — refusing to truncate the filter list (raise " +
+          "maxBoilerplate or minDocs)")
+    hot.sorted
+  }
+
   /** Strip a boilerplate filter list out of every document — ONE shuffle-free
     * projection: segments are rebuilt positionally, membership-tested against
     * the set (an InSet hash probe, O(1) per segment, codegen'd), and the

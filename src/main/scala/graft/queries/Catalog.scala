@@ -1070,6 +1070,41 @@ object Catalog {
           CAST(len(g.segs) - coalesce(k.kept, 0) AS BIGINT) AS n_removed
         FROM g LEFT JOIN k USING (doc_id)""")),
 
+    // INCREMENTAL boilerplate maintenance: the stored census (docs with
+    // doc_id % 3 != 0) is folded with an ingest batch's census (% 3 = 0)
+    // — old text never re-scanned — and the merged filter list cleans the
+    // new batch; batches partition the corpus by document, so the fold
+    // equals the full-corpus census exactly and the oracle replays it
+    // from the whole table
+    Q("text_boilerplate_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val stored = TextCorpus.segmentCensus(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", segWords = 3)
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+        val merged = TextCorpus.segmentCensusMerge(
+          stored, TextCorpus.segmentCensus(batch, "doc_id", "text", segWords = 3))
+        val bp = TextCorpus.boilerplateFromCensus(merged, minDocs = 5)
+        TextCorpus.removeBoilerplate(batch, "doc_id", "text", bp.toSeq,
+          segWords = 3)
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, list_transform(range(0, (len(t)+2)//3),
+            i -> array_to_string(t[i*3+1:i*3+3], ' ')) AS segs FROM s),
+        e AS (SELECT doc_id, unnest(list_distinct(segs)) AS seg FROM g),
+        bp AS (SELECT seg FROM e GROUP BY seg HAVING count(*) >= 5),
+        a AS (SELECT doc_id, i, segs[CAST(i AS BIGINT)+1] AS seg
+          FROM g, unnest(range(0, len(segs))) AS r(i)
+          WHERE doc_id % 3 = 0),
+        k AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
+            count(*) AS kept
+          FROM a WHERE seg NOT IN (SELECT seg FROM bp) GROUP BY doc_id)
+        SELECT g.doc_id, coalesce(k.clean_text, '') AS clean_text,
+          CAST(len(g.segs) AS BIGINT) AS n_segments,
+          CAST(len(g.segs) - coalesce(k.kept, 0) AS BIGINT) AS n_removed
+        FROM g LEFT JOIN k USING (doc_id)
+        WHERE g.doc_id % 3 = 0""")),
+
     Q("text_quality",
       (s, d) => {
         val comps = TextFunctions.qualityComponents(col("text"))

@@ -106,6 +106,12 @@ object PlanCheck {
           p.contains("TakeOrderedAndProject") &&
           !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")),
+      ("text_boilerplate_removal", "boilerplate apply is one shuffle-free projection (InSet probe, no join)",
+        // the filter list must ride the closure as an InSet literal — a
+        // regression to a join (text shuffles) or a linear In scan would
+        // change the 100 TB cost class of the apply pass
+        p => !p.contains("Exchange") && !p.contains("Join") &&
+          p.contains("INSET")),
       ("dedup_cdc_chunks", "CDC windows keyed (doc-keyed assembly, (h,chunk) verify — never global), no cartesian",
         // a regression to windowspecdefinition(p#...) with no leading
         // partition column would serialize the whole token stream on one

@@ -41,7 +41,13 @@ object Sf1Drive {
     // the new DSIR selection gate (histogram/weight arithmetic must stay
     // integer-exact when the bigram volume grows 10×)
     "dedup_cdc_chunks", "sample_mixture", "text_dsir_select",
-    "text_dsir_sample")
+    "text_dsir_sample",
+    // round-13: boilerplate removal at 10× — per-copy salting makes each
+    // copy's segments distinct, so every sf0.1 boilerplate segment
+    // reappears once PER COPY with its original document frequency: the
+    // filter list grows linearly with the corpus (the designed shape)
+    // while the shuffle-free apply stays one projection
+    "text_boilerplate_removal")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry
     * verbatim; the three retrieval gates mirror the Catalog entry's code

@@ -100,6 +100,26 @@ class BoilerplateSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("incremental census fold equals the one-shot corpus list") {
+    val df = plantedDocs
+    val oneShot = TextCorpus.boilerplateSegments(df, "id", "text", 3, 5)
+    val stored = TextCorpus.segmentCensus(df.filter($"id" % 2 === 0), "id", "text", 3)
+    val batch = TextCorpus.segmentCensus(df.filter($"id" % 2 =!= 0), "id", "text", 3)
+    val merged = TextCorpus.segmentCensusMerge(stored, batch)
+    assert(TextCorpus.boilerplateFromCensus(merged, 5).toSeq == oneShot.toSeq)
+    // the fold IS the full census: every (seg, df) row matches
+    val full = TextCorpus.segmentCensus(df, "id", "text", 3)
+    assert(rowsOf(merged.orderBy("seg")) == rowsOf(full.orderBy("seg")))
+  }
+
+  test("boilerplateFromCensus refuses an over-cap filter list loudly") {
+    val census = Seq(("p q r", 6L), ("s t u", 6L)).toDF("seg", "df")
+    val e = intercept[IllegalStateException] {
+      TextCorpus.boilerplateFromCensus(census, minDocs = 5, maxBoilerplate = 1)
+    }
+    assert(e.getMessage.contains("refusing to truncate"))
+  }
+
   test("the apply plan is a single shuffle-free projection") {
     // parquet-backed so the projection survives to the physical plan
     // (a local relation constant-folds into a LocalTableScan)

@@ -22,7 +22,7 @@ SF1 = "/root/repo/tmp/sf1/documents.parquet/*.parquet"
 OUT = "/root/repo/tmp/sf1-out"
 GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_simhash",
          "dedup_containment", "dedup_cdc_chunks", "sample_mixture", "text_dsir_select",
-         "text_dsir_sample"]
+         "text_dsir_sample", "text_boilerplate_removal"]
 
 
 def compare(con, got_rel, oracle_sql):
