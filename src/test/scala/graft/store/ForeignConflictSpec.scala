@@ -294,6 +294,116 @@ class ForeignConflictSpec extends SparkSuite {
     }
   }
 
+  test("three-writer mix: one race carries an append AND a disjoint mutation; true overlap aborts; model exact") {
+    // Extends the two-writer model: while writer A's mutation is between
+    // snapshot and publish, writer B APPENDS and writer C runs a MUTATION
+    // of its own — so A's retry must judge a MULTI-commit winner set
+    // (one pure append + one remove-bearing commit) in a single race.
+    // Region discipline keeps footprints predictable at the FILE level:
+    // region-A rows (k in 0..3) and region-B rows (k in 4..7) never share
+    // a data file (separate seed/appends; updates keep k inside the
+    // region), so C's region-B delete is disjoint from A's region-A
+    // mutation by construction and the serial order B → C → A must land.
+    // On deliberate COLLISION rounds C deletes A's own target k: C's
+    // commit then removed/re-added files A touched — a true write-write
+    // conflict that must abort A loudly, leaving exactly B + C applied.
+    val rnd = new scala.util.Random(0xBEEF13)
+    val root = tmpDir("fcx-three")
+    var model: Map[Long, Long] = (0L until 24L).map(i => i -> rnd.nextLong(4)).toMap
+    foreignTable(root, model.toSeq.toDF("id", "k"))
+    val a = new ForeignDeltaTable(spark, root)
+    val b = new ForeignDeltaTable(spark, root)
+    val c = new ForeignDeltaTable(spark, root)
+    val regionB = (100L until 124L).map(i => i -> (4L + rnd.nextLong(4)))
+    b.append(regionB.toDF("id", "k")): Unit
+    model = model ++ regionB
+    // pre-upgrade the protocol (DV feature) with one unraced delete: a
+    // protocol action inside a RACED winner commit is correctly
+    // non-retryable and would turn every first-collision round into an
+    // abort for the wrong reason
+    b.append(Seq(999L -> 98L).toDF("id", "k")): Unit
+    c.deleteWhere(col("k") === 98L, allowProtocolUpgrade = true): Unit
+    var nextId = 200L
+    def fresh(n: Int, region: Int): Seq[(Long, Long)] = {
+      val base = if (region == 0) 0L else 4L
+      val rows = (nextId until nextId + n).map(id => id -> (base + rnd.nextLong(4)))
+      nextId += n
+      rows
+    }
+    var bRows: Seq[(Long, Long)] = Nil
+    var cK: Option[Long] = None
+    var fired = false
+    def arm(collideWith: Option[Long]): Unit = {
+      bRows = Nil; cK = None; fired = false
+      a.onBeforeCommit = () => if (!fired) {
+        fired = true
+        // B appends a single-region batch (a mixed batch would create a
+        // file spanning both regions and break the disjointness argument)
+        val rows = fresh(1 + rnd.nextInt(3), rnd.nextInt(2))
+        b.append(rows.toDF("id", "k")): Unit
+        bRows = rows
+        val kk = collideWith.getOrElse(4L + rnd.nextLong(4))
+        cK = Some(kk)
+        c.deleteWhere(col("k") === kk, allowProtocolUpgrade = true): Unit
+      }
+    }
+    def dropCk(m: Map[Long, Long]): Map[Long, Long] =
+      m.filterNot(kv => cK.contains(kv._2))
+    (1 to 15).foreach { i =>
+      rnd.nextInt(3) match {
+        case 0 => // raced region-A DV delete; 1-in-3 rounds a true collision
+          val kk = rnd.nextLong(4)
+          val collide = rnd.nextInt(3) == 0 && model.values.exists(_ == kk)
+          arm(if (collide) Some(kk) else None)
+          if (collide) {
+            val e = intercept[java.util.ConcurrentModificationException](
+              a.deleteWhere(col("k") === kk, allowProtocolUpgrade = true))
+            assert(e.getMessage.contains("commit race"))
+            assert(fired, "a collision round must have reached the seam")
+            model = (model ++ bRows).filterNot(_._2 == kk) // B then C; A aborted
+          } else {
+            a.deleteWhere(col("k") === kk, allowProtocolUpgrade = true): Unit
+            if (fired) model = dropCk(model ++ bRows).filterNot(_._2 == kk)
+          }
+        case 1 => // raced region-A UPDATE (k folds to 2, staying in-region)
+          val kk = rnd.nextLong(4)
+          val collide = rnd.nextInt(3) == 0 && model.values.exists(_ == kk)
+          arm(if (collide) Some(kk) else None)
+          if (collide) {
+            val e = intercept[java.util.ConcurrentModificationException](
+              a.updateWhere(col("k") === kk, Map("k" -> lit(2L)),
+                allowProtocolUpgrade = true))
+            assert(e.getMessage.contains("commit race"))
+            assert(fired)
+            model = (model ++ bRows).filterNot(_._2 == kk)
+          } else {
+            a.updateWhere(col("k") === kk, Map("k" -> lit(2L)),
+              allowProtocolUpgrade = true): Unit
+            if (fired) model = dropCk(model ++ bRows)
+              .map { case (id, k) => if (k == kk) id -> 2L else id -> k }
+          }
+        case 2 => // raced region-A MERGE (updates + inserts); C stays disjoint
+          val updates = model.toSeq
+            .filter { case (_, k) => k < 4 && rnd.nextInt(4) == 0 }
+            .map { case (id, _) => id -> rnd.nextLong(4) }
+          val inserts = fresh(rnd.nextInt(3), region = 0)
+          val src = updates ++ inserts
+          if (src.nonEmpty) {
+            arm(None)
+            a.merge(src.toDF("id", "k"), Seq("id"), allowProtocolUpgrade = true): Unit
+            if (fired) model = dropCk(model ++ bRows) ++ src
+            else model = model ++ src
+          }
+      }
+      a.onBeforeCommit = () => ()
+      val got = DeltaTable.read(spark, root)
+        .select("id", "k").as[(Long, Long)].collect().toMap
+      assert(got == model, s"round $i diverged: " +
+        s"extra=${(got.toSet -- model.toSet).take(5)} " +
+        s"missing=${(model.toSet -- got.toSet).take(5)}")
+    }
+  }
+
   test("bounded retries: a writer appending at every attempt exhausts the budget") {
     val root = tmpDir("fcx-bound")
     foreignTable(root, Seq((1L, "a")).toDF("id", "v"))
