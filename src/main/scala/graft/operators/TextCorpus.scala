@@ -205,6 +205,45 @@ object TextCorpus {
     tokenBudgetSample(df, idCol, textCol, groupCol,
       mixtureAllocate(df, textCol, groupCol, weights, totalBudget))
 
+  /** Temperature-based mixture sampling — the p^(1/T) domain reweighting
+    * of multilingual/pretraining data mixing (upsample small domains,
+    * damp dominant ones): per-group sampling weights ∝ (group token
+    * total)^(1/T), then [[mixtureSample]]'s exact water-filling
+    * allocation and deterministic LCG selection.
+    *
+    * Inverse temperatures are DYADIC — 1/T = 1/2^m via
+    * `sqrtApplications` = m (T = 2 at m = 1, the canonical setting) —
+    * because IEEE-754 `sqrt` is correctly rounded on every engine while
+    * `pow` is not: the quantized weight floor(sqrt^∘m(tokens) · scale)
+    * is a composition of correctly-rounded ops on exactly-representable
+    * inputs (token totals < 2⁵³), so a SQL oracle replays it
+    * bit-for-bit. Weights clamp to ≥ 1 so a listed-but-tiny group keeps
+    * nonzero probability — the upsampling effect the technique exists
+    * for. Cost: ONE extra map-side-combinable agg over the listed
+    * groups (≤ |groups| rows to the driver); selection is
+    * [[tokenBudgetSample]]'s bucketed-prefix-sum shape. */
+  def temperatureMixtureSample(
+      df: DataFrame, idCol: String, textCol: String, groupCol: String,
+      groups: Seq[String], totalBudget: Long,
+      sqrtApplications: Int = 1, scale: Long = 1000L): DataFrame = {
+    require(groups.nonEmpty, "groups must be non-empty")
+    require(sqrtApplications >= 1 && sqrtApplications <= 6,
+      s"sqrtApplications must be in [1, 6], got $sqrtApplications")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val totals = df.filter(col(groupCol).isInCollection(groups))
+      .groupBy(groupCol)
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = groups.map { g =>
+      var x = totals.getOrElse(g, 0L).toDouble
+      (0 until sqrtApplications).foreach(_ => x = math.sqrt(x))
+      g -> math.max(1L, math.floor(x * scale).toLong)
+    }.toMap
+    tokenBudgetSample(df, idCol, textCol, groupCol,
+      allocateDriver(weights,
+        groups.map(g => g -> totals.getOrElse(g, 0L)).toMap, totalBudget))
+  }
+
   /** Sequence packing (concat-then-chunk): documents are concatenated in
     * `idCol` order and split into `capacity`-token context windows; each
     * doc reports its global token start offset and the first/last chunk

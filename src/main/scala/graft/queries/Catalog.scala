@@ -968,6 +968,70 @@ object Catalog {
         SELECT o.doc_id, o.source, o.n_tokens FROM o JOIN fin ON o.source = fin.g
         WHERE o.cb < fin.budget""")),
 
+    // Temperature-based mixture (the p^(1/T) reweighting of multilingual
+    // pretraining, T=2): weights = floor(sqrt(group tokens)·1000) — IEEE
+    // sqrt is correctly rounded on BOTH engines so the quantized weights
+    // replay bit-for-bit — then the same exact water-fill + LCG selection
+    // as sample_mixture (budget 3800 caps src8 at sf0.01, no cap at
+    // sf0.001: both allocator paths are exercised across the sf matrix)
+    Q("sample_temperature",
+      (s, d) => TextCorpus.temperatureMixtureSample(t(s, d, "documents"),
+        "doc_id", "text", "source", Seq("src1", "src4", "src8"),
+        totalBudget = 3800L),
+      Some("""WITH gl(g) AS (VALUES ('src1'), ('src4'), ('src8')),
+        tot AS (SELECT source AS g,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+          FROM documents WHERE source IN ('src1','src4','src8') GROUP BY 1),
+        a0 AS (SELECT gl.g,
+            GREATEST(CAST(floor(sqrt(CAST(COALESCE(tot.avail, 0) AS DOUBLE))
+              * 1000) AS BIGINT), 1) AS wt,
+            COALESCE(tot.avail, 0) AS avail
+          FROM gl LEFT JOIN tot ON gl.g = tot.g),
+        r1 AS (SELECT g, wt, avail,
+            3800 * wt // (SELECT SUM(wt) FROM a0) AS fl,
+            3800 * wt % (SELECT SUM(wt) FROM a0) AS rm FROM a0),
+        r1s AS (SELECT *, fl + CASE WHEN row_number() OVER (ORDER BY rm DESC, g)
+            <= 3800 - (SELECT SUM(fl) FROM r1) THEN 1 ELSE 0 END AS share FROM r1),
+        c1 AS (SELECT g, avail FROM r1s WHERE share >= avail),
+        u1 AS (SELECT g, wt, avail FROM r1s WHERE share < avail),
+        b2v AS (SELECT 3800 - COALESCE((SELECT SUM(avail) FROM c1), 0) AS b),
+        r2 AS (SELECT g, wt, avail,
+            (SELECT b FROM b2v) * wt // (SELECT SUM(wt) FROM u1) AS fl,
+            (SELECT b FROM b2v) * wt % (SELECT SUM(wt) FROM u1) AS rm FROM u1),
+        r2s AS (SELECT *, fl + CASE WHEN row_number() OVER (ORDER BY rm DESC, g)
+            <= (SELECT b FROM b2v) - (SELECT SUM(fl) FROM r2) THEN 1 ELSE 0 END
+            AS share FROM r2),
+        c2 AS (SELECT g, avail FROM r2s WHERE share >= avail),
+        u2 AS (SELECT g, wt, avail FROM r2s WHERE share < avail),
+        b3v AS (SELECT (SELECT b FROM b2v)
+            - COALESCE((SELECT SUM(avail) FROM c2), 0) AS b),
+        r3 AS (SELECT g, wt, avail,
+            (SELECT b FROM b3v) * wt // (SELECT SUM(wt) FROM u2) AS fl,
+            (SELECT b FROM b3v) * wt % (SELECT SUM(wt) FROM u2) AS rm FROM u2),
+        r3s AS (SELECT *, fl + CASE WHEN row_number() OVER (ORDER BY rm DESC, g)
+            <= (SELECT b FROM b3v) - (SELECT SUM(fl) FROM r3) THEN 1 ELSE 0 END
+            AS share FROM r3),
+        fin AS (SELECT a0.g, CAST(CASE
+            WHEN (SELECT count(*) FROM c1) = 0
+              THEN (SELECT share FROM r1s x WHERE x.g = a0.g)
+            WHEN a0.g IN (SELECT g FROM c1) THEN a0.avail
+            WHEN (SELECT count(*) FROM c2) = 0
+              THEN (SELECT share FROM r2s x WHERE x.g = a0.g)
+            WHEN a0.g IN (SELECT g FROM c2) THEN a0.avail
+            WHEN (SELECT count(*) FROM r3s WHERE share >= avail) = 0
+              THEN (SELECT share FROM r3s x WHERE x.g = a0.g)
+            ELSE a0.avail END AS BIGINT) AS budget
+          FROM a0),
+        t AS (SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 1000 AS bk
+          FROM documents WHERE source IN ('src1','src4','src8')),
+        o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY bk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+        SELECT o.doc_id, o.source, o.n_tokens FROM o JOIN fin ON o.source = fin.g
+        WHERE o.cb < fin.budget""")),
+
     // Learned-quality scoring: a fasttext-style LINEAR classifier applied
     // per document (bias + Σ token milli-weights, integer-exact) by the
     // codegen'd LinearTextScore kernel — the model rides as one hash map

@@ -15,10 +15,11 @@ class TokenBudgetSpec extends SparkSuite {
     (i, g, words)
   }.toDF("id", "grp", "text")
 
-  private def brute(budgets: Map[String, Long]): Set[(Long, String, Long)] = {
+  private def brute(budgets: Map[String, Long],
+      over: org.apache.spark.sql.DataFrame = corpus): Set[(Long, String, Long)] = {
     def bucket(id: Long): Long =
       ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L % 1000L
-    corpus.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    over.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .filter { case (_, g, _) => budgets.contains(g) }
       .groupBy(_._2).toSeq.flatMap { case (g, rows) =>
         val ordered = rows.sortBy { case (id, _, _) => (bucket(id), id) }
@@ -106,5 +107,59 @@ class TokenBudgetSpec extends SparkSuite {
     val budgets = TextCorpus.mixtureAllocate(corpus, "text", "grp", weights, 150L)
     assert(got == brute(budgets.filter(_._2 > 0L)))
     assert(budgets.values.sum == 150L)
+  }
+
+  /** Skewed corpus for the temperature tests: g0 dominates by ~100× so
+    * the p^(1/T) damping is visible in the allocation proportions. */
+  private def skewed = ((0L until 300L).map { i =>
+    (i, "g0", (0 until 40).map(j => s"a${i}_$j").mkString(" "))
+  } ++ (1000L until 1030L).map { i =>
+    (i, "g1", (0 until 4).map(j => s"b${i}_$j").mkString(" "))
+  }).toDF("id", "grp", "text")
+
+  test("temperature T=2 damps the dominant group toward sqrt proportions") {
+    // g0: 12000 tokens, g1: 120 — raw ratio 100×, sqrt ratio 10×. The
+    // T=2 allocation must hand g1 ~1/11 of the budget (uniform-by-tokens
+    // would give it under 1/100), replaying the driver weight math.
+    val got = TextCorpus.temperatureMixtureSample(
+      skewed, "id", "text", "grp", Seq("g0", "g1"), totalBudget = 660L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val w0 = math.floor(math.sqrt(12000.0) * 1000).toLong
+    val w1 = math.floor(math.sqrt(120.0) * 1000).toLong
+    val budgets = TextCorpus.allocateDriver(
+      Map("g0" -> w0, "g1" -> w1), Map("g0" -> 12000L, "g1" -> 120L), 660L)
+    assert(got.toSet == brute(budgets, skewed).filter(t => budgets(t._2) > 0))
+    // damping: g1's share is ≥ 8% of the budget, far above its 1% token share
+    assert(budgets("g1") * 100 / 660 >= 8, s"budgets=$budgets")
+  }
+
+  test("temperature selection is plan-independent and deeper sqrt damps harder") {
+    val a = TextCorpus.temperatureMixtureSample(skewed.repartition(1),
+      "id", "text", "grp", Seq("g0", "g1"), 660L)
+    val b = TextCorpus.temperatureMixtureSample(skewed.repartition(13),
+      "id", "text", "grp", Seq("g0", "g1"), 660L)
+    assert(rowsOf(a.orderBy("id")) == rowsOf(b.orderBy("id")))
+    // T=4 (two sqrt applications): ratio 100^(1/4) ≈ 3.2× — g1's share rises
+    def g1Share(m: Int): Long = {
+      val rows = TextCorpus.temperatureMixtureSample(skewed, "id", "text",
+        "grp", Seq("g0", "g1"), 660L, sqrtApplications = m)
+        .filter(col("grp") === "g1")
+      rows.agg(sum("n_tokens")).head().getLong(0)
+    }
+    assert(g1Share(2) > g1Share(1), "deeper sqrt must upsample the small group more")
+  }
+
+  test("a listed-but-absent group clamps to weight 1 and caps at zero") {
+    val budgets = {
+      val got = TextCorpus.temperatureMixtureSample(
+        skewed, "id", "text", "grp", Seq("g0", "g1", "ghost"), 660L)
+        .collect().map(r => r.getString(1)).toSet
+      got
+    }
+    assert(budgets == Set("g0", "g1"), "ghost group contributes no rows")
+    val e = intercept[IllegalArgumentException](
+      TextCorpus.temperatureMixtureSample(skewed, "id", "text", "grp",
+        Seq("g0"), 10L, sqrtApplications = 0))
+    assert(e.getMessage.contains("sqrtApplications"))
   }
 }
