@@ -61,7 +61,13 @@ object Bench {
     // fixed-cost round structure would add ~40 s of wall per bench run
     // for no extra signal; its sf1 sweep tracks it instead.)
     "dedup_containment", "dedup_cdc_chunks", "text_dsir_select",
-    "text_bm25_topk")
+    "text_bm25_topk",
+    // r13 (this session): the new boilerplate family's one-shot path —
+    // two census passes + the shuffle-free InSet apply, the shape whose
+    // filter-list growth could surprise at scale (sample_temperature is
+    // NOT added: its selection shape is already tracked by sample_mixture
+    // via the shared tokenBudgetSample machinery)
+    "text_boilerplate_removal")
 
   /** Expected QUIET band per headline query: the upper edge of the
     * builder-box certified-quiet readings recorded in BASELINE.md (sf0.1,
@@ -93,7 +99,10 @@ object Bench {
     // session on a ~1.2×-loaded box (min_clean 3.47/1.06/1.00/1.13) and
     // de-rated to the quiet estimate — tighten on the next quiet window
     "dedup_containment" -> 3.0, "dedup_cdc_chunks" -> 1.0,
-    "text_dsir_select" -> 0.9, "text_bm25_topk" -> 1.0)
+    "text_dsir_select" -> 0.9, "text_bm25_topk" -> 1.0,
+    // first-round band for the r13 boilerplate gate: 2.837 min_clean on a
+    // ~1.5×-sentinel box, de-rated to the quiet estimate
+    "text_boilerplate_removal" -> 2.4)
 
   /** A clean reading above this multiple of its band is flagged
     * `over_band` — the same >2×-band rule the round verdicts apply. */
