@@ -1015,6 +1015,58 @@ object TextCorpus {
       .select(col("id"), col("n_bigrams"), col("dsir_score"))
   }
 
+  /** CCNet-style per-group score bucketing (head/middle/tail at the
+    * default k = 3): each group's INTEGER score distribution is cut into
+    * `k` equal-mass buckets by threshold scores, and every row is
+    * assigned `1 + (number of thresholds strictly below its score)` —
+    * ascending buckets, ties always sharing a bucket (the CCNet contract:
+    * cuts are on score VALUES computed from the distribution, not exact
+    * row-count quantiles, so equal scores are never split). Threshold j
+    * is the smallest score whose ascending cumulative count satisfies
+    * `cum · k ≥ j · total` — pure integer arithmetic, replayable in SQL.
+    *
+    * Scale shape (100 TB): NO per-group window — "PARTITION BY language"
+    * over a corpus is the textbook single-reducer trap (one language can
+    * be half the corpus). Instead ONE map-side-combinable count over
+    * (group, score) — bounded by distinct pairs, cap-guarded with a loud
+    * refusal, not by corpus rows — cumulates driver-side into per-group
+    * threshold arrays that ride the closure into a broadcast join, and
+    * the assignment is one map-only projection. Returns the input plus a
+    * `bucket` column. */
+  def scoreBuckets(
+      df: DataFrame, scoreCol: String, groupCol: String, k: Int = 3,
+      maxHistRows: Int = 1000000): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    require(maxHistRows > 0, s"maxHistRows must be positive, got $maxHistRows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.groupBy(col(groupCol).as("__g"), col(scoreCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__c"))
+      .limit(maxHistRows + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (hist.length > maxHistRows)
+      throw new IllegalStateException(
+        s"scoreBuckets: more than $maxHistRows distinct (group, score) pairs — " +
+          "refusing a truncated histogram (coarsen the score or raise maxHistRows)")
+    val cuts: Seq[(String, Seq[Long])] = hist.groupBy(_._1).map { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      var cum = 0L
+      val cumBy = sorted.map { case (_, s, c) => cum += c; (s, cum) }
+      val cs = (1 until k).map { j =>
+        // smallest score with cum·k ≥ j·total (BigInt: no overflow at any corpus size)
+        cumBy.find { case (_, cm) => BigInt(cm) * k >= BigInt(j) * total }.get._1
+      }
+      g -> cs
+    }.toSeq
+    val cutsDf = broadcast(cuts.toDF("__g", "__cuts"))
+    df.join(cutsDf, col(groupCol) === col("__g"), "inner")
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("__cuts"),
+          c => col(scoreCol).cast("long") > c))).cast("long"))
+      .drop("__g", "__cuts")
+  }
+
   /** Fixed `segWords`-word-group segmentation of `textCol`, positionally
     * complete: ⌈len/segWords⌉ segments, the last one short, ≥ 1 segment for
     * any text (the empty string is its own single segment). The word-group

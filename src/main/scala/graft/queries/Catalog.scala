@@ -1050,6 +1050,37 @@ object Catalog {
         SELECT doc_id, CAST(s AS BIGINT) AS score_milli, s >= 150 AS keep
         FROM sc""")),
 
+    // CCNet-style head/middle/tail buckets: per-language integer-score
+    // thresholds (cum·3 ≥ j·total over the ascending score histogram) cut
+    // the distribution into 3 mass buckets, ties sharing a bucket — NO
+    // per-language window (the single-reducer trap); the oracle replays
+    // the histogram, the threshold rule, and the assignment exactly
+    Q("text_score_buckets",
+      (s, d) => TextCorpus.scoreBuckets(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          graft.functions.NativeHash.linearTextScore(col("text"),
+            Map("scan" -> 40L, "query" -> 25L, "join" -> 15L, "a" -> -5L,
+              "sort" -> -30L, "merge" -> -20L), bias = 100L).as("score_milli")),
+        "score_milli", "lang"),
+      Some("""WITH w(tok, wt) AS (VALUES ('scan', 40), ('query', 25), ('join', 15),
+          ('a', -5), ('sort', -30), ('merge', -20)),
+        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        sc AS (SELECT t.doc_id, d.lang,
+            CAST(100 + coalesce(sum(wt), 0) AS BIGINT) AS score_milli
+          FROM tk t LEFT JOIN w USING (tok) JOIN documents d ON t.doc_id = d.doc_id
+          GROUP BY 1, 2),
+        hist AS (SELECT lang, score_milli AS s, count(*) AS c FROM sc GROUP BY 1, 2),
+        cum AS (SELECT lang, s, sum(c) OVER (PARTITION BY lang ORDER BY s) AS cm,
+            sum(c) OVER (PARTITION BY lang) AS tot FROM hist),
+        cuts AS (SELECT lang,
+            min(CASE WHEN cm * 3 >= tot THEN s END) AS c1,
+            min(CASE WHEN cm * 3 >= 2 * tot THEN s END) AS c2
+          FROM cum GROUP BY lang)
+        SELECT sc.doc_id, sc.lang, sc.score_milli,
+          CAST(1 + CASE WHEN sc.score_milli > c.c1 THEN 1 ELSE 0 END
+             + CASE WHEN sc.score_milli > c.c2 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+        FROM sc JOIN cuts c ON sc.lang = c.lang""")),
+
     // Corpus-LM novelty (CCNet-style statistical filtering, integer-exact):
     // bigram model trained on the corpus itself with an adaptive commonness
     // threshold; per-doc novel-bigram counts + truncating permille
