@@ -100,9 +100,10 @@ object Bench {
     // de-rated to the quiet estimate — tighten on the next quiet window
     "dedup_containment" -> 3.0, "dedup_cdc_chunks" -> 1.0,
     "text_dsir_select" -> 0.9, "text_bm25_topk" -> 1.0,
-    // first-round band for the r13 boilerplate gate: 2.837 min_clean on a
-    // ~1.5×-sentinel box, de-rated to the quiet estimate
-    "text_boilerplate_removal" -> 2.4)
+    // r13 boilerplate gate: 1.947 min_clean on a ~1.4×-sentinel box AFTER
+    // the postings persist removed the second tokenize pass (2.837 before,
+    // same session) — band = the de-rated quiet estimate
+    "text_boilerplate_removal" -> 1.7)
 
   /** A clean reading above this multiple of its band is flagged
     * `over_band` — the same >2×-band rule the round verdicts apply. */

@@ -1104,11 +1104,15 @@ object TextCorpus {
       maxBoilerplate: Int = 100000): Array[String] = {
     require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
     require(maxBoilerplate > 0, s"maxBoilerplate must be positive, got $maxBoilerplate")
-    val perDoc = df.select(col(idCol).as("id"),
-      array_distinct(segmentArray(col(textCol), segWords)).as("segs"))
-    val postings = perDoc.select(col("id"), explode(col("segs")).as("seg"))
+    // tokenize+segment ONCE: both census passes re-read the persisted
+    // (hash, seg) postings instead of re-splitting the corpus text (the
+    // dsirScores posting pattern — pass 2 was a full second tokenize)
+    val postings = Caching.spillPersistEager(
+      df.select(col(idCol).as("id"),
+          explode(array_distinct(segmentArray(col(textCol), segWords))).as("seg"))
+        .select(xxhash64(col("seg")).as("h"), col("seg")))
     val candidates = postings
-      .groupBy(xxhash64(col("seg")).as("h")).agg(count(lit(1)).as("hdf"))
+      .groupBy("h").agg(count(lit(1)).as("hdf"))
       .filter(col("hdf") >= minDocs)
       .select("h").limit(maxBoilerplate + 1)
       .collect().map(_.getLong(0))
@@ -1118,12 +1122,12 @@ object TextCorpus {
           s"minDocs=$minDocs — refusing to truncate the filter list (raise " +
           "maxBoilerplate or minDocs)")
     if (candidates.isEmpty) return Array.empty
-    val exact = postings
-      .filter(xxhash64(col("seg")).isin(candidates.map(_.asInstanceOf[Any]): _*))
+    postings
+      .filter(col("h").isin(candidates.map(_.asInstanceOf[Any]): _*))
       .groupBy("seg").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
       .select("seg").collect().map(_.getString(0))
-    exact.sorted
+      .sorted
   }
 
   /** Per-document-DISTINCT segment census: (seg, df) with df counting
