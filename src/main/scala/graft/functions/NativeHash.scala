@@ -1035,6 +1035,112 @@ case class HammingToQuery(child: Expression, q: Array[Long])
   override def prettyName: String = "graft_hamming_to_query"
 }
 
+/** Byte-level Aho–Corasick automaton over a phrase blocklist — the
+  * content-filter primitive (LDNOOBW-style phrase lists) where a regex
+  * alternation explodes at thousands of patterns. Built ONCE on the driver,
+  * shipped as a single reference object per executor; matching is one
+  * amortized-O(1) transition per input byte. `endCount(s)` pre-folds the
+  * number of phrases ending at state s or anywhere along its fail chain,
+  * so EVERY occurrence end position is counted — overlapping matches
+  * included (the oracle-replayable contract: count of (phrase, end
+  * position) pairs). Matching is exact-bytes and case-sensitive —
+  * normalize upstream; UTF-8 is self-synchronizing, so byte-level equals
+  * character-level matching for valid UTF-8 phrases. */
+final class AcAutomaton(phrases: Seq[String]) extends Serializable {
+  require(phrases.nonEmpty, "phrase blocklist must be non-empty")
+  require(phrases.forall(_.nonEmpty), "blocklist phrases must be non-empty")
+  // single (state << 8 | byte) → next map: no per-state objects, and the
+  // memory stays ∝ total phrase bytes rather than states × 256
+  private val trans = new java.util.HashMap[java.lang.Long, Integer]()
+  private def key(s: Int, b: Int): java.lang.Long =
+    java.lang.Long.valueOf((s.toLong << 8) | (b & 0xFFL))
+  private var nStates = 1
+  private val endsAt = scala.collection.mutable.ArrayBuffer(0)
+  phrases.foreach { p =>
+    var s = 0
+    p.getBytes("UTF-8").foreach { b =>
+      val nxt = trans.get(key(s, b))
+      s = if (nxt != null) nxt.intValue()
+      else {
+        endsAt += 0
+        trans.put(key(s, b), Integer.valueOf(nStates)): Unit
+        nStates += 1
+        nStates - 1
+      }
+    }
+    endsAt(s) += 1
+  }
+  private val fail = new Array[Int](nStates)
+  private val endCount = new Array[Int](nStates)
+  locally { // BFS fail links; endCount folds the fail chain (shallower first)
+    val queue = scala.collection.mutable.Queue[Int]()
+    endCount(0) = endsAt(0)
+    trans.forEach { (k, v) =>
+      if ((k.longValue() >>> 8) == 0L) { fail(v.intValue()) = 0; queue.enqueue(v.intValue()) }
+    }
+    // children must be found per dequeued state: collect (state → children bytes)
+    val childBytes = Array.fill(nStates)(List.empty[Int])
+    trans.forEach { (k, v) =>
+      val s = (k.longValue() >>> 8).toInt
+      childBytes(s) = (k.longValue() & 0xFF).toInt :: childBytes(s)
+      val _ = v
+    }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      endCount(u) = endsAt(u) + endCount(fail(u))
+      childBytes(u).foreach { b =>
+        val v = trans.get(key(u, b)).intValue()
+        var f = fail(u)
+        var fn = trans.get(key(f, b))
+        while (fn == null && f != 0) { f = fail(f); fn = trans.get(key(f, b)) }
+        fail(v) = if (fn != null && fn.intValue() != v) fn.intValue() else 0
+        queue.enqueue(v)
+      }
+    }
+  }
+
+  /** Total occurrence count (every end position, overlaps included). */
+  def count(text: UTF8String): Long = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nb = text.numBytes
+    var s = 0
+    var total = 0L
+    var i = 0
+    while (i < nb) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xFF
+      var nxt = trans.get(key(s, b))
+      while (nxt == null && s != 0) { s = fail(s); nxt = trans.get(key(s, b)) }
+      s = if (nxt != null) nxt.intValue() else 0
+      total += endCount(s)
+      i += 1
+    }
+    total
+  }
+}
+
+/** string → bigint: total blocklist-phrase occurrences in the text via a
+  * shared [[AcAutomaton]] (codegen'd: one static call per row). */
+case class PhraseMatchCount(child: Expression, phrases: Seq[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  @transient private lazy val ac = new AcAutomaton(phrases)
+  override def nullSafeEval(input: Any): Any =
+    ac.count(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ac", ac, "graft.functions.AcAutomaton")
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PhraseMatchCount =
+    copy(child = newChild)
+  override def prettyName: String = "graft_phrase_matches"
+}
+
 /** Column-API entry points. */
 object NativeHash {
   def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column =
@@ -1076,4 +1182,6 @@ object NativeHash {
     Bridge.column(SignBits(Bridge.expression(vec)))
   def hammingToQuery(bits: Column, q: Array[Long]): Column =
     Bridge.column(HammingToQuery(Bridge.expression(bits), q))
+  def phraseMatchCount(text: Column, phrases: Seq[String]): Column =
+    Bridge.column(PhraseMatchCount(Bridge.expression(text), phrases))
 }

@@ -1050,6 +1050,29 @@ object Catalog {
         SELECT doc_id, CAST(s AS BIGINT) AS score_milli, s >= 150 AS keep
         FROM sc""")),
 
+    // Phrase-blocklist content filter: total occurrences of a multi-word
+    // phrase list per document via the codegen'd byte-level Aho–Corasick
+    // kernel (one automaton object per executor, O(1)/byte — the shape a
+    // 10k-phrase LDNOOBW list needs where regex alternation explodes);
+    // the oracle counts every (phrase, end position) pair positionally,
+    // so overlap semantics are pinned exactly
+    Q("text_phrase_blocklist",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+          graft.functions.NativeHash.phraseMatchCount(col("text"),
+            Seq("query spark hash", "scan filter", "slow table", "key agg"))
+            .as("blocked_hits"))
+        .withColumn("blocked", col("blocked_hits") > 0L),
+      Some("""WITH p(ph) AS (VALUES ('query spark hash'), ('scan filter'),
+          ('slow table'), ('key agg')),
+        occ AS (SELECT d.doc_id, count(*) AS c
+          FROM documents d, p,
+            unnest(range(1, length(d.text) - length(p.ph) + 2)) AS r(i)
+          WHERE substr(d.text, CAST(i AS BIGINT), length(p.ph)) = p.ph
+          GROUP BY d.doc_id)
+        SELECT d.doc_id, CAST(coalesce(occ.c, 0) AS BIGINT) AS blocked_hits,
+          coalesce(occ.c, 0) > 0 AS blocked
+        FROM documents d LEFT JOIN occ USING (doc_id)""")),
+
     // CCNet-style head/middle/tail buckets: per-language integer-score
     // thresholds (cum·3 ≥ j·total over the ascending score histogram) cut
     // the distribution into 3 mass buckets, ties sharing a bucket — NO
