@@ -63,7 +63,29 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_misra_gries(item, capacity)")
         MisraGries(children.head, intLit(children(1), "capacity"))
+      }),
+    (FunctionIdentifier("graft_phrase_matches"),
+      new ExpressionInfo(classOf[graft.functions.PhraseMatchCount].getName,
+        "graft_phrase_matches"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_phrase_matches(text, array('phrase', ...))")
+        graft.functions.PhraseMatchCount(children.head,
+          strArrayLit(children(1), "phrases"))
       }))
+
+  /** A foldable array<string> literal (e.g. `array('a', 'b')`) → Seq. */
+  private def strArrayLit(e: Expression, what: String): Seq[String] = {
+    val ok = e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$what must be a foldable array<string> literal, got $e")
+    val data = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until data.numElements()).map(i => data.getUTF8String(i).toString)
+  }
 
   private def strLit(e: Expression, what: String): String = e match {
     case Literal(s, org.apache.spark.sql.types.StringType) if s != null => s.toString

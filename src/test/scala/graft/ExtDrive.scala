@@ -40,6 +40,14 @@ object ExtDrive {
     val cos = spark.sql(
       "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F))").head().getDouble(0)
     println(s"cos identical vectors = $cos (expect 1.0)")
+    println("graft_phrase_matches via SQL:")
+    val ph = spark.sql(
+      """SELECT graft_phrase_matches('aa b aa aa', array('aa', 'b aa'))""")
+      .head().getLong(0)
+    println(s"phrase hits = $ph (expect 4: three 'aa' + one 'b aa')")
+    println("PROBE non-literal phrase array:")
+    try { spark.sql("SELECT graft_phrase_matches('x', array(rand()::string))").show() }
+    catch { case e: Exception => println("error (expected): " + e.getMessage.split("\n").head) }
     spark.stop()
   }
 }
