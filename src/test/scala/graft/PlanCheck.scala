@@ -106,6 +106,11 @@ object PlanCheck {
           p.contains("TakeOrderedAndProject") &&
           !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")),
+      ("text_score_buckets", "bucket thresholds broadcast; NO per-language window (single-reducer trap)",
+        p => p.contains("BroadcastHashJoin") && !p.contains("Window") &&
+          !p.contains("SortMergeJoin")),
+      ("text_phrase_blocklist", "phrase filter is a map-only pass (automaton rides the closure)",
+        p => !p.contains("Exchange") && !p.contains("Join")),
       ("text_boilerplate_removal", "boilerplate apply is one shuffle-free projection (InSet probe, no join)",
         // the filter list must ride the closure as an InSet literal — a
         // regression to a join (text shuffles) or a linear In scan would
