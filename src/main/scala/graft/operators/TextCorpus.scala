@@ -1082,6 +1082,26 @@ object TextCorpus {
       i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " "))
   }
 
+  /** WITHIN-document segment dedup — the Gopher/MassiveText "remove
+    * duplicated paragraphs within a document" rule, with fixed word-groups
+    * as the paragraph unit (the same segment contract as
+    * [[boilerplateSegments]]): every repeat of an earlier segment in the
+    * SAME document is dropped, first occurrences keep their order
+    * (`array_distinct` preserves first-occurrence order). Distinct from
+    * [[removeBoilerplate]] (cross-corpus frequency) and from token-level
+    * dedup (a repeated 8-word paragraph of individually-common words is
+    * invisible to both). Pure per-row projection — nothing shuffles at any
+    * corpus size. Returns (idCol, clean_text, n_segments, n_removed). */
+  def dedupSegmentsWithinDoc(
+      df: DataFrame, idCol: String, textCol: String, segWords: Int = 8): DataFrame = {
+    val segs = segmentArray(col(textCol), segWords)
+    val kept = array_distinct(segs)
+    df.select(col(idCol),
+      array_join(kept, " ").as("clean_text"),
+      size(segs).cast("long").as("n_segments"),
+      (size(segs) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Corpus-frequent BOILERPLATE segments: the `segWords`-word groups that
     * appear in ≥ `minDocs` DISTINCT documents — the CCNet/RefinedWeb
     * frequent-line filter list (headers, footers, cookie banners, license

@@ -1188,6 +1188,28 @@ object Catalog {
           CAST(len(g.segs) - coalesce(k.kept, 0) AS BIGINT) AS n_removed
         FROM g LEFT JOIN k USING (doc_id)""")),
 
+    // WITHIN-doc segment dedup (the Gopher "remove duplicated paragraphs
+    // within a document" rule, word-groups as paragraphs): repeats of an
+    // earlier segment in the SAME doc drop, first occurrences keep order —
+    // a pure per-row projection; the oracle rebuilds first-occurrence
+    // order via min(position) like text_dedup_tokens does for tokens
+    Q("text_dedup_segments",
+      (s, d) => TextCorpus.dedupSegmentsWithinDoc(
+        t(s, d, "documents"), "doc_id", "text", segWords = 2),
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, list_transform(range(0, (len(t)+1)//2),
+            i -> array_to_string(t[i*2+1:i*2+2], ' ')) AS segs FROM s),
+        a AS (SELECT doc_id, i, segs[CAST(i AS BIGINT)+1] AS seg
+          FROM g, unnest(range(0, len(segs))) AS r(i)),
+        f AS (SELECT doc_id, seg, min(i) AS mi FROM a GROUP BY 1, 2)
+        SELECT g.doc_id,
+          (SELECT string_agg(f.seg, ' ' ORDER BY f.mi) FROM f
+            WHERE f.doc_id = g.doc_id) AS clean_text,
+          CAST(len(g.segs) AS BIGINT) AS n_segments,
+          CAST(len(g.segs) - (SELECT count(*) FROM f WHERE f.doc_id = g.doc_id)
+            AS BIGINT) AS n_removed
+        FROM g""")),
+
     // INCREMENTAL boilerplate maintenance: the stored census (docs with
     // doc_id % 3 != 0) is folded with an ingest batch's census (% 3 = 0)
     // — old text never re-scanned — and the merged filter list cleans the
