@@ -42,6 +42,24 @@ class PhraseBlocklistSpec extends SparkSuite {
     }
   }
 
+  test("randomized PHRASE SETS: automaton construction equals the naive matcher") {
+    // random phrase sets stress goto/fail construction (shared prefixes,
+    // phrases that are substrings/suffixes of each other), not just the
+    // matching walk
+    val rnd = new scala.util.Random(9001)
+    (1 to 60).foreach { round =>
+      val n = 1 + rnd.nextInt(6)
+      val phrases = Seq.fill(n)(
+        Seq.fill(1 + rnd.nextInt(5))("ab ".charAt(rnd.nextInt(3))).mkString).distinct
+      val ac = new AcAutomaton(phrases)
+      (1 to 20).foreach { _ =>
+        val s = Seq.fill(rnd.nextInt(30))("ab ".charAt(rnd.nextInt(3))).mkString
+        assert(ac.count(UTF8String.fromString(s)) == naive(s, phrases),
+          s"round=$round phrases=$phrases text='$s'")
+      }
+    }
+  }
+
   test("multi-byte UTF-8 phrases match exactly (self-synchronizing bytes)") {
     val ac = new AcAutomaton(Seq("héllo", "wörld"))
     assert(ac.count(UTF8String.fromString("héllo wörld héllo")) == 3L)
