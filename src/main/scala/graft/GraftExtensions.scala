@@ -84,7 +84,12 @@ object GraftExtensions {
     if (!ok) throw new IllegalArgumentException(
       s"$what must be a foldable array<string> literal, got $e")
     val data = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    (0 until data.numElements()).map(i => data.getUTF8String(i).toString)
+    (0 until data.numElements()).map { i =>
+      val u = data.getUTF8String(i)
+      if (u == null) throw new IllegalArgumentException(
+        s"$what must not contain NULL elements (element $i is NULL)")
+      u.toString
+    }
   }
 
   private def strLit(e: Expression, what: String): String = e match {

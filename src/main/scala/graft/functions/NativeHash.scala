@@ -1043,64 +1043,35 @@ case class HammingToQuery(child: Expression, q: Array[Long])
   * number of phrases ending at state s or anywhere along its fail chain,
   * so EVERY occurrence end position is counted — overlapping matches
   * included (the oracle-replayable contract: count of (phrase, end
-  * position) pairs). Matching is exact-bytes and case-sensitive —
-  * normalize upstream; UTF-8 is self-synchronizing, so byte-level equals
-  * character-level matching for valid UTF-8 phrases. */
-final class AcAutomaton(phrases: Seq[String]) extends Serializable {
-  require(phrases.nonEmpty, "phrase blocklist must be non-empty")
-  require(phrases.forall(_.nonEmpty), "blocklist phrases must be non-empty")
-  // single (state << 8 | byte) → next map: no per-state objects, and the
-  // memory stays ∝ total phrase bytes rather than states × 256
-  private val trans = new java.util.HashMap[java.lang.Long, Integer]()
-  private def key(s: Int, b: Int): java.lang.Long =
-    java.lang.Long.valueOf((s.toLong << 8) | (b & 0xFFL))
-  private var nStates = 1
-  private val endsAt = scala.collection.mutable.ArrayBuffer(0)
-  phrases.foreach { p =>
-    var s = 0
-    p.getBytes("UTF-8").foreach { b =>
-      val nxt = trans.get(key(s, b))
-      s = if (nxt != null) nxt.intValue()
-      else {
-        endsAt += 0
-        trans.put(key(s, b), Integer.valueOf(nStates)): Unit
-        nStates += 1
-        nStates - 1
-      }
-    }
-    endsAt(s) += 1
-  }
-  private val fail = new Array[Int](nStates)
-  private val endCount = new Array[Int](nStates)
-  locally { // BFS fail links; endCount folds the fail chain (shallower first)
-    val queue = scala.collection.mutable.Queue[Int]()
-    endCount(0) = endsAt(0)
-    trans.forEach { (k, v) =>
-      if ((k.longValue() >>> 8) == 0L) { fail(v.intValue()) = 0; queue.enqueue(v.intValue()) }
-    }
-    // children must be found per dequeued state: collect (state → children bytes)
-    val childBytes = Array.fill(nStates)(List.empty[Int])
-    trans.forEach { (k, v) =>
-      val s = (k.longValue() >>> 8).toInt
-      childBytes(s) = (k.longValue() & 0xFF).toInt :: childBytes(s)
-      val _ = v
-    }
-    while (queue.nonEmpty) {
-      val u = queue.dequeue()
-      endCount(u) = endsAt(u) + endCount(fail(u))
-      childBytes(u).foreach { b =>
-        val v = trans.get(key(u, b)).intValue()
-        var f = fail(u)
-        var fn = trans.get(key(f, b))
-        while (fn == null && f != 0) { f = fail(f); fn = trans.get(key(f, b)) }
-        fail(v) = if (fn != null && fn.intValue() != v) fn.intValue() else 0
-        queue.enqueue(v)
-      }
-    }
-  }
+  * position) pairs). The blocklist is a SET: duplicate list entries are
+  * deduplicated, so each occurrence counts once regardless of how many
+  * times the phrase was listed. Matching is exact-bytes and
+  * case-sensitive — normalize upstream; UTF-8 is self-synchronizing, so
+  * byte-level equals character-level matching for valid UTF-8 phrases.
+  *
+  * After BFS construction the automaton is FROZEN into flat primitive
+  * arrays: a dense 256-entry DFA row for the root (where the fail chain
+  * always terminates) plus per-state unsigned-sorted byte/next edge
+  * slices. The match loop is allocation-free — no boxing, no hashing —
+  * because at 100 TB of text this per-byte constant factor IS the
+  * operator. */
+final class AcAutomaton(phrasesIn: Seq[String]) extends Serializable {
+  require(phrasesIn.nonEmpty, "phrase blocklist must be non-empty")
+  require(phrasesIn.forall(p => p != null && p.nonEmpty),
+    "blocklist phrases must be non-empty, non-null strings")
+  private val t = AcAutomaton.build(phrasesIn.distinct)
+
+  /** Number of automaton states (diagnostics / scale probes). */
+  def numStates: Int = t.fail.length
 
   /** Total occurrence count (every end position, overlaps included). */
   def count(text: UTF8String): Long = {
+    val rootNext = t.rootNext
+    val fail = t.fail
+    val endCount = t.endCount
+    val edgeOff = t.edgeOff
+    val edgeByte = t.edgeByte
+    val edgeTo = t.edgeTo
     val base = text.getBaseObject
     val off = text.getBaseOffset
     val nb = text.numBytes
@@ -1109,9 +1080,25 @@ final class AcAutomaton(phrases: Seq[String]) extends Serializable {
     var i = 0
     while (i < nb) {
       val b = org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xFF
-      var nxt = trans.get(key(s, b))
-      while (nxt == null && s != 0) { s = fail(s); nxt = trans.get(key(s, b)) }
-      s = if (nxt != null) nxt.intValue() else 0
+      var ns = -1
+      while (ns < 0) {
+        if (s == 0) ns = rootNext(b) // dense root row: 0 when no edge
+        else {
+          // unsigned-sorted binary search in this state's edge slice
+          var lo = edgeOff(s)
+          var hi = edgeOff(s + 1) - 1
+          var found = -1
+          while (found < 0 && lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            val mb = edgeByte(mid) & 0xFF
+            if (mb == b) found = edgeTo(mid)
+            else if (mb < b) lo = mid + 1
+            else hi = mid - 1
+          }
+          if (found >= 0) ns = found else s = fail(s)
+        }
+      }
+      s = ns
       total += endCount(s)
       i += 1
     }
@@ -1119,10 +1106,101 @@ final class AcAutomaton(phrases: Seq[String]) extends Serializable {
   }
 }
 
+object AcAutomaton {
+  /** Frozen transition tables: all primitive arrays, compact on the wire
+    * (∝ total distinct phrase bytes) and allocation-free to probe. */
+  private final case class Tables(
+      rootNext: Array[Int], fail: Array[Int], endCount: Array[Int],
+      edgeOff: Array[Int], edgeByte: Array[Byte], edgeTo: Array[Int])
+
+  private def build(phrases: Seq[String]): Tables = {
+    // trie via a single (state << 8 | byte) → next map: build-time only,
+    // discarded after the freeze
+    val trans = new java.util.HashMap[java.lang.Long, Integer]()
+    def key(s: Int, b: Int): java.lang.Long =
+      java.lang.Long.valueOf((s.toLong << 8) | (b & 0xFFL))
+    var nStates = 1
+    val endsAt = scala.collection.mutable.ArrayBuffer(0)
+    phrases.foreach { p =>
+      var s = 0
+      p.getBytes("UTF-8").foreach { b =>
+        val nxt = trans.get(key(s, b))
+        s = if (nxt != null) nxt.intValue()
+        else {
+          endsAt += 0
+          trans.put(key(s, b), Integer.valueOf(nStates)): Unit
+          nStates += 1
+          nStates - 1
+        }
+      }
+      endsAt(s) += 1
+    }
+    val fail = new Array[Int](nStates)
+    val endCount = new Array[Int](nStates)
+    // per-state edge lists, unsigned-byte-sorted — built once, reused for
+    // both the BFS and the frozen slices
+    val childBytes = Array.fill(nStates)(List.empty[Int])
+    trans.forEach { (k, v) =>
+      val s = (k.longValue() >>> 8).toInt
+      childBytes(s) = (k.longValue() & 0xFF).toInt :: childBytes(s)
+      val _ = v
+    }
+    val sortedChildren: Array[Array[Int]] = childBytes.map(_.sorted.toArray)
+    // BFS fail links; endCount folds the fail chain (shallower first)
+    val queue = scala.collection.mutable.Queue[Int]()
+    endCount(0) = endsAt(0)
+    sortedChildren(0).foreach { b =>
+      val v = trans.get(key(0, b)).intValue()
+      fail(v) = 0
+      queue.enqueue(v)
+    }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      endCount(u) = endsAt(u) + endCount(fail(u))
+      sortedChildren(u).foreach { b =>
+        val v = trans.get(key(u, b)).intValue()
+        var f = fail(u)
+        var fn = trans.get(key(f, b))
+        while (fn == null && f != 0) { f = fail(f); fn = trans.get(key(f, b)) }
+        fail(v) = if (fn != null && fn.intValue() != v) fn.intValue() else 0
+        queue.enqueue(v)
+      }
+    }
+    // freeze: dense root row + flattened sorted edge slices
+    val rootNext = new Array[Int](256)
+    sortedChildren(0).foreach(b => rootNext(b) = trans.get(key(0, b)).intValue())
+    val edgeOff = new Array[Int](nStates + 1)
+    var off = 0
+    var s = 0
+    while (s < nStates) { edgeOff(s) = off; off += sortedChildren(s).length; s += 1 }
+    edgeOff(nStates) = off
+    val edgeByte = new Array[Byte](off)
+    val edgeTo = new Array[Int](off)
+    s = 0
+    while (s < nStates) {
+      var j = edgeOff(s)
+      sortedChildren(s).foreach { b =>
+        edgeByte(j) = b.toByte
+        edgeTo(j) = trans.get(key(s, b)).intValue()
+        j += 1
+      }
+      s += 1
+    }
+    Tables(rootNext, fail, endCount, edgeOff, edgeByte, edgeTo)
+  }
+}
+
 /** string → bigint: total blocklist-phrase occurrences in the text via a
-  * shared [[AcAutomaton]] (codegen'd: one static call per row). */
+  * shared [[AcAutomaton]] (codegen'd: one static call per row). Phrase-list
+  * validation is EAGER (construction = analysis time, on the driver):
+  * the automaton itself is built lazily per executor, so a bad list must
+  * not wait to fail per-task behind the `@transient lazy val`. */
 case class PhraseMatchCount(child: Expression, phrases: Seq[String])
     extends UnaryExpression {
+  require(phrases != null && phrases.nonEmpty,
+    s"$prettyName: phrase blocklist must be non-empty")
+  require(phrases.forall(p => p != null && p.nonEmpty),
+    s"$prettyName: blocklist phrases must be non-empty, non-null strings")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

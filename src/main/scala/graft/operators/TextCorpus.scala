@@ -1040,7 +1040,14 @@ object TextCorpus {
     require(maxHistRows > 0, s"maxHistRows must be positive, got $maxHistRows")
     val spark = df.sparkSession
     import spark.implicits._
-    val hist = df.groupBy(col(groupCol).as("__g"), col(scoreCol).cast("long").as("__s"))
+    // any atomic group type works: the histogram and the join key are both
+    // the group cast to string (1:1 for the usual int/long domain ids).
+    // NULL group or NULL score rows are excluded from the histogram (a NULL
+    // can't rank in a score distribution) and pass through with bucket NULL.
+    val gStr = col(groupCol).cast("string")
+    val hist = df
+      .filter(gStr.isNotNull && col(scoreCol).isNotNull)
+      .groupBy(gStr.as("__g"), col(scoreCol).cast("long").as("__s"))
       .agg(count(lit(1)).as("__c"))
       .limit(maxHistRows + 1)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -1060,10 +1067,14 @@ object TextCorpus {
       g -> cs
     }.toSeq
     val cutsDf = broadcast(cuts.toDF("__g", "__cuts"))
-    df.join(cutsDf, col(groupCol) === col("__g"), "inner")
+    // LEFT join: every input row survives — null/unseen groups get __cuts
+    // NULL, and 1 + size(NULL) / a NULL score comparison both yield bucket
+    // NULL (size(NULL) is NULL; a NULL score never enters the lambda filter)
+    df.join(cutsDf, gStr === col("__g"), "left")
       .withColumn("bucket",
-        (lit(1) + size(filter(col("__cuts"),
-          c => col(scoreCol).cast("long") > c))).cast("long"))
+        when(col(scoreCol).isNull, lit(null).cast("long")).otherwise(
+          (lit(1) + size(filter(col("__cuts"),
+            c => col(scoreCol).cast("long") > c))).cast("long")))
       .drop("__g", "__cuts")
   }
 
@@ -1142,12 +1153,26 @@ object TextCorpus {
           s"minDocs=$minDocs — refusing to truncate the filter list (raise " +
           "maxBoilerplate or minDocs)")
     if (candidates.isEmpty) return Array.empty
-    postings
-      .filter(col("h").isin(candidates.map(_.asInstanceOf[Any]): _*))
+    candidateRecount(postings, candidates)
       .groupBy("seg").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
       .select("seg").collect().map(_.getString(0))
       .sorted
+  }
+
+  /** Pass-2 candidate pruning: keep postings whose hash is in the
+    * candidate set — a typed InSet probe, NOT `.isin(...)`: at the 100k
+    * cap an In(...) literal list is a 100k-arm expression tree the driver
+    * spends seconds analyzing before the optimizer collapses it; InSet is
+    * the collapsed form directly (O(1) hash probe per row, codegen'd). */
+  private[graft] def candidateRecount(
+      postings: DataFrame, candidates: Array[Long]): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val candSet: Set[Any] =
+      candidates.iterator.map(l => java.lang.Long.valueOf(l): Any).toSet
+    postings.filter(Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.InSet(
+        Bridge.expression(col("h")), candSet)))
   }
 
   /** Per-document-DISTINCT segment census: (seg, df) with df counting

@@ -143,6 +143,24 @@ class BoilerplateSpec extends SparkSuite {
     assert(segOut == "p q r")
   }
 
+  test("pass-2 candidate pruning is a typed InSet, not a 100k-arm In list") {
+    val dir = tmpDir("bp-inset-plan")
+    plantedDocs.select(xxhash64(col("text")).as("h"), col("text").as("seg"))
+      .write.mode("overwrite").parquet(dir)
+    val postings = spark.read.parquet(dir)
+    val plan = TextCorpus.candidateRecount(postings, Array(1L, 2L, 3L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("INSET"), s"pass 2 must probe an InSet:\n$plan")
+    assert(!plan.contains(" IN ("), s"no literal In list:\n$plan")
+    // at the 100k cap the plan must still materialize instantly — an
+    // In(...) tree here costs seconds of driver analysis before collapse
+    val cands = Array.tabulate(100000)(_.toLong)
+    val t0 = System.nanoTime()
+    TextCorpus.candidateRecount(postings, cands).queryExecution.executedPlan
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 3000.0, f"100k-candidate plan took $ms%.0f ms to analyze")
+  }
+
   test("the apply plan is a single shuffle-free projection") {
     // parquet-backed so the projection survives to the physical plan
     // (a local relation constant-folds into a LocalTableScan)

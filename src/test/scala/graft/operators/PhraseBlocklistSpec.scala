@@ -85,4 +85,58 @@ class PhraseBlocklistSpec extends SparkSuite {
     intercept[IllegalArgumentException](new AcAutomaton(Nil))
     intercept[IllegalArgumentException](new AcAutomaton(Seq("ok", "")))
   }
+
+  test("the blocklist is a SET: duplicate entries count once") {
+    val dup = new AcAutomaton(Seq("aa", "aa", "b", "aa"))
+    val uniq = new AcAutomaton(Seq("aa", "b"))
+    Seq("aaaa", "b aa b", "ababab").foreach { s =>
+      val u = UTF8String.fromString(s)
+      assert(dup.count(u) == uniq.count(u), s"text='$s'")
+      assert(dup.count(u) == naive(s, Seq("aa", "b")), s"text='$s'")
+    }
+  }
+
+  test("bad literals fail eagerly at analysis time on the driver") {
+    graft.GraftExtensions.register(spark)
+    // an empty phrase in the array literal must fail when the expression
+    // is BUILT (analysis), not per-task behind the transient lazy automaton
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_phrase_matches('x', array('ok', ''))").collect())
+    assert(e1.getMessage.contains("non-empty"), e1.getMessage)
+    // a NULL element gets a typed message, not an NPE
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_phrase_matches('x', array('ok', NULL))").collect())
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+    // the Column API path fails at construction too
+    val e3 = intercept[Exception](
+      NativeHash.phraseMatchCount(col("text"), Seq("ok", "")))
+    assert(e3.getMessage.contains("non-empty"), e3.getMessage)
+  }
+
+  test("10k-phrase scale probe: build is sub-second-ish, matching is allocation-free fast") {
+    val rnd = new scala.util.Random(4242)
+    val words = Array("query", "scan", "spark", "table", "filter", "join",
+      "agg", "sort", "merge", "hash", "key", "slow", "fast", "index", "plan")
+    def phrase() = Seq.fill(2 + rnd.nextInt(3))(words(rnd.nextInt(words.length))).mkString(" ")
+    val phrases = Iterator.continually(phrase()).distinct.take(10000).toSeq
+    val t0 = System.nanoTime()
+    val ac = new AcAutomaton(phrases)
+    val buildMs = (System.nanoTime() - t0) / 1e6
+    assert(ac.numStates > 10000, s"trie must materialize (${ac.numStates} states)")
+    // generous bound: a frozen-array build is ~tens of ms; 5 s catches a
+    // quadratic regression without box-weather flakiness
+    assert(buildMs < 5000.0, s"10k-phrase build took ${buildMs}ms")
+    // ~8 MB of text from the same vocabulary (worst case: every byte walks
+    // deep into the trie) — pin throughput well above a boxed-HashMap path
+    val text = Seq.fill(1000000)(words(rnd.nextInt(words.length))).mkString(" ")
+    val u = UTF8String.fromString(text)
+    ac.count(u) // warm the JIT once
+    val t1 = System.nanoTime()
+    val hits = ac.count(u)
+    val matchSec = (System.nanoTime() - t1) / 1e9
+    val mbPerSec = u.numBytes / 1e6 / matchSec
+    assert(hits > 0L, "the probe text must contain blocklist phrases")
+    info(f"10k phrases: build ${buildMs}%.1f ms, match $mbPerSec%.0f MB/s")
+    assert(mbPerSec > 20.0, f"match throughput $mbPerSec%.1f MB/s is too slow")
+  }
 }

@@ -62,6 +62,30 @@ class ScoreBucketsSpec extends SparkSuite {
     assert(e.getMessage.contains("refusing a truncated histogram"))
   }
 
+  test("NULL group/score rows pass through with bucket NULL, others unaffected") {
+    val withNulls = (Seq((0L, Some("en"), Some(1L)), (1L, Some("en"), Some(2L)),
+      (2L, Some("en"), Some(3L)), (3L, None, Some(5L)), (4L, Some("en"), None),
+      (5L, None, None)))
+      .toDF("id", "lang", "score")
+    val got = TextCorpus.scoreBuckets(withNulls, "score", "lang")
+      .select("id", "bucket").as[(Long, Option[Long])].collect().toMap
+    // rows 0-2: a clean 1/2/3 split over the en distribution
+    assert(got(0L).contains(1L) && got(1L).contains(2L) && got(2L).contains(3L))
+    // null group, null score, both-null: row survives, bucket NULL
+    assert(got(3L).isEmpty && got(4L).isEmpty && got(5L).isEmpty)
+    assert(got.size == 6, "every input row must survive the left join")
+  }
+
+  test("non-string group columns (int domain ids) bucket correctly") {
+    val intGroups = ((0L until 30L).map(i => (i, 7, i % 10)) ++
+      (30L until 60L).map(i => (i, 8, i % 3))).toDF("id", "domain", "score")
+    val rows = intGroups.collect()
+      .map(r => (r.getLong(0), r.getInt(1).toString, r.getLong(2))).toSeq
+    val got = TextCorpus.scoreBuckets(intGroups, "score", "domain")
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got == replay(rows, 3))
+  }
+
   test("the assignment plan broadcasts the cuts (no shuffle of the corpus)") {
     val dir = tmpDir("buckets-plan")
     scored.write.mode("overwrite").parquet(dir)
