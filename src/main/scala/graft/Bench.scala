@@ -67,7 +67,13 @@ object Bench {
     // filter-list growth could surprise at scale (sample_temperature is
     // NOT added: its selection shape is already tracked by sample_mixture
     // via the shared tokenBudgetSample machinery)
-    "text_boilerplate_removal")
+    "text_boilerplate_removal",
+    // r14: multi-table orchestration (Graft.syncAll, two tables at
+    // parallelism 2, full+delta rounds) — scd2_history was the only SCD2
+    // entry with a round-over-round wall signal; this one tracks the
+    // concurrent-orchestration path (lock handling, per-table engines
+    // sharing one session). Scenario-memoized like scd2_*.
+    "syncall_customer_history")
 
   /** Expected QUIET band per headline query: the upper edge of the
     * builder-box certified-quiet readings recorded in BASELINE.md (sf0.1,
@@ -116,7 +122,8 @@ object Bench {
     * recorded best-of-clean min) — so these run once in the first pass and
     * retry only via fresh-epoch scenario rebuilds. */
   private def memoized(name: String): Boolean =
-    name.startsWith("scd2_") || name == "store_delta_writer"
+    name.startsWith("scd2_") || name.startsWith("syncall_") ||
+      name == "store_delta_writer"
 
   /** Queries whose FIRST invocation lazily builds a memoized scenario the
     * query itself then reads (store_skipping builds the 4-dir table once;

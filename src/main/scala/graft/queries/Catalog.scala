@@ -1245,6 +1245,46 @@ object Catalog {
         FROM g LEFT JOIN k USING (doc_id)
         WHERE g.doc_id % 3 = 0""")),
 
+    // PERSISTED census round trip: the operational shape of incremental
+    // boilerplate maintenance — the census lives in a versioned store
+    // table across ingest batches (the minhashIndex pattern). Version 0
+    // holds the pre-batch census, the batch fold is written back as
+    // version 1, and the filter list derives from the STORED table alone
+    // (old text never re-scanned); the oracle replays the one-shot census
+    // from the whole corpus, proving the store round trip is lossless
+    Q("text_boilerplate_census_store",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = java.nio.file.Files.createTempDirectory("graft-bp-census")
+        val tbl = new graft.store.VersionedTable(s, dir.toString)
+        tbl.overwrite(TextCorpus.segmentCensus(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", segWords = 3))
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+        val merged = TextCorpus.segmentCensusMerge(tbl.read(),
+          TextCorpus.segmentCensus(batch, "doc_id", "text", segWords = 3))
+        tbl.overwrite(merged)
+        val bp = TextCorpus.boilerplateFromCensus(tbl.read(), minDocs = 5)
+        deleteDir(dir.toFile)
+        TextCorpus.removeBoilerplate(batch, "doc_id", "text", bp.toSeq,
+          segWords = 3)
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, list_transform(range(0, (len(t)+2)//3),
+            i -> array_to_string(t[i*3+1:i*3+3], ' ')) AS segs FROM s),
+        e AS (SELECT doc_id, unnest(list_distinct(segs)) AS seg FROM g),
+        bp AS (SELECT seg FROM e GROUP BY seg HAVING count(*) >= 5),
+        a AS (SELECT doc_id, i, segs[CAST(i AS BIGINT)+1] AS seg
+          FROM g, unnest(range(0, len(segs))) AS r(i)
+          WHERE doc_id % 3 = 0),
+        k AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
+            count(*) AS kept
+          FROM a WHERE seg NOT IN (SELECT seg FROM bp) GROUP BY doc_id)
+        SELECT g.doc_id, coalesce(k.clean_text, '') AS clean_text,
+          CAST(len(g.segs) AS BIGINT) AS n_segments,
+          CAST(len(g.segs) - coalesce(k.kept, 0) AS BIGINT) AS n_removed
+        FROM g LEFT JOIN k USING (doc_id)
+        WHERE g.doc_id % 3 = 0""")),
+
     Q("text_quality",
       (s, d) => {
         val comps = TextFunctions.qualityComponents(col("text"))

@@ -80,11 +80,15 @@ object DeltaTable {
       // parses to Spark's native VariantType and the UNSHREDDED physical
       // layout (a two-binary-field group) is exactly what Spark 4's
       // parquet readers produce/consume — verified end-to-end in
-      // VariantInteropSpec. variantShredding-preview is deliberately
-      // ABSENT: a shredded file restructures the physical layout into
-      // typed subcolumns this reader has never been pointed at, so it
-      // refuses loudly rather than misread.
-      "variantType", "variantType-preview")
+      // VariantInteropSpec. variantShredding-preview: a shredded file adds
+      // a typed_value subcolumn group per the parquet variant-shredding
+      // spec; Spark 4's parquet reader reassembles it to the logical
+      // VariantType natively (spark.sql.variant.allowReadingShredded,
+      // default true — readInternal refuses loudly when a session disables
+      // it, so the feature can never silently misread). Shredded and
+      // unshredded files coexist per spec; FeatureFrontierSpec round-trips
+      // a genuinely shredded fixture.
+      "variantType", "variantType-preview", "variantShredding-preview")
 
   /** One live file as recorded by the log (path still raw/percent-encoded).
     * `baseRowId`/`defaultRowCommitVersion` carry the row-tracking fields
@@ -389,6 +393,15 @@ object DeltaTable {
       withRowIds: Boolean = false): DataFrame = {
     val snap0 = snapshot(spark, path, versionAsOf, timestampAsOf)
     val snap = snap0.copy(adds = snap0.adds.filter(addFilter))
+    // shredded-variant tables delegate subcolumn reassembly to Spark's
+    // parquet reader; if the session has disabled that path the scan
+    // would fail per-file with an opaque parquet error — refuse up front
+    if (snap.readerFeatures.contains("variantShredding-preview") &&
+        spark.conf.get("spark.sql.variant.allowReadingShredded", "true") != "true")
+      throw new UnsupportedOperationException(
+        s"Delta table $path carries variantShredding-preview but " +
+          "spark.sql.variant.allowReadingShredded is false — enable it to " +
+          "read shredded variant files")
     if (withRowIds && !snap.writerFeatures.contains("rowTracking"))
       throw new IllegalArgumentException(
         s"rowIds requested but $path does not carry the rowTracking feature")

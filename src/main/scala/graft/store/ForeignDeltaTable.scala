@@ -1276,9 +1276,12 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       // unshredded binary encoding; variant columns are not stat-eligible
       // (bounds omitted — protocol-legal) and NOT NULL / CHECK rules ride
       // the write plan like any other column. variantShredding-preview is
-      // deliberately absent (a shredded layout is a different physical
-      // contract) and refuses loudly.
-      "variantType", "variantType-preview",
+      // honored-benign on the write side: shredding is a PER-FILE option
+      // (the spec's shredded and unshredded files coexist in one table),
+      // so this writer's appends simply land unshredded — always legal —
+      // while reads reassemble the owner's shredded files natively
+      // (see DeltaTable.SupportedReaderFeatures).
+      "variantType", "variantType-preview", "variantShredding-preview",
       // honored: commits are unconstrained by the feature; METADATA
       // CLEANUP is the constrained operation, and [[cleanupMetadata]]
       // refuses to pick a history floor below

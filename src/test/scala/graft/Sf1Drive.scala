@@ -47,7 +47,13 @@ object Sf1Drive {
     // reappears once PER COPY with its original document frequency: the
     // filter list grows linearly with the corpus (the designed shape)
     // while the shuffle-free apply stays one projection
-    "text_boilerplate_removal")
+    "text_boilerplate_removal",
+    // round-14: the remaining r13 operators (r13 verdict item 3) —
+    // temperature sampling exercises 10×-wider per-source token totals
+    // against the same 3800 budget (deeper water-fill), segment dedup is
+    // the map-only projection at 10× rows; both run the Catalog gate
+    // verbatim (salting changes token SPELLING, not counts or positions)
+    "sample_temperature", "text_dedup_segments")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry
     * verbatim; the three retrieval gates mirror the Catalog entry's code
@@ -352,6 +358,31 @@ object Sf1Drive {
         s"rows=${spark.read.parquet(s"$outDir/$g").count()}" +
         obs.fold("")(o => s" candidates=${o.get("candidates")}"))
     }
+    // round-14 adapted gates (r13 verdict item 3). Phrase blocklist: the
+    // gate's phrases can't occur in the salted corpus, so the sweep salts
+    // them to copy 0 (the bm25/hybrid protocol — sf1_check.py applies the
+    // same substitution to the oracle); hits land only in copy 0, which
+    // still walks the full automaton over all 10 copies of text. Score
+    // buckets: the linear score degenerates to the constant bias on salted
+    // tokens, so the sweep buckets on n_chars by lang — 10×-deeper
+    // per-language histograms, same integer threshold rule (custom oracle
+    // in sf1_check.py).
+    def run(g: String)(body: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      body.write.mode("overwrite").parquet(s"$outDir/$g")
+      graft.operators.Dedup.releaseIntermediates()
+      println(f"GATE $g ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"rows=${spark.read.parquet(s"$outDir/$g").count()}")
+    }
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    run("text_phrase_blocklist")(docs.select(col("doc_id"),
+      graft.functions.NativeHash.phraseMatchCount(col("text"),
+        Seq("query_00 spark_00 hash_00", "scan_00 filter_00",
+          "slow_00 table_00", "key_00 agg_00")).as("blocked_hits"))
+      .withColumn("blocked", col("blocked_hits") > 0L))
+    run("text_score_buckets")(graft.operators.TextCorpus.scoreBuckets(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      "n_chars", "lang"))
   }
 
   private def runEmb(spark: SparkSession): Unit = {

@@ -83,15 +83,55 @@ class FeatureFrontierSpec extends SparkSuite {
     assert(stats.forall(s => !s.get("minValues").has("v")))
   }
 
-  test("variantShredding-preview reads refuse loudly (different physical layout)") {
+  test("variantShredding-preview: genuinely shredded files read back unshredded") {
     val root = tmpDir("ffx-shred")
-    val seed = Seq((1L, """{"a": 1}""")).toDF("id", "js")
+    val seed = Seq((1L, """{"a": 1, "b": "x"}"""), (2L, """{"a": 2, "b": "y"}"""),
+      (3L, """[7, 8]""")) // not an object: lands in the residual value field
+      .toDF("id", "js")
       .select(col("id"), parse_json(col("js")).as("v"))
-    table(root, seed, proto(
+    // produce a SHREDDED data file: Spark's writer splits matching paths
+    // into typed_value subcolumns per the parquet variant-shredding spec
+    spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+    spark.conf.set("spark.sql.variant.forceShreddingSchemaForTest", "a int, b string")
+    try table(root, seed, proto(
       Seq("variantType", "variantShredding-preview"),
       Seq("variantType", "variantShredding-preview")))
-    val e = intercept[Exception](DeltaTable.read(spark, root).collect())
-    assert(e.getMessage.contains("variantShredding"), e.getMessage)
+    finally {
+      spark.conf.unset("spark.sql.variant.forceShreddingSchemaForTest")
+      spark.conf.unset("spark.sql.variant.writeShredding.enabled")
+    }
+    // the fixture must actually be shredded, or this test proves nothing
+    val dataFile = new File(root).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val phys = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(dataFile.getAbsolutePath))
+      .getFileMetaData.getSchema.toString
+    assert(phys.contains("typed_value"), s"fixture not shredded:\n$phys")
+    // read: typed subcolumns reassemble to the logical variant values
+    val got = DeltaTable.read(spark, root)
+      .select(col("id"), to_json(col("v")).as("j"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> """{"a":1,"b":"x"}""", 2L -> """{"a":2,"b":"y"}""",
+      3L -> "[7,8]"))
+    // append: the foreign writer lands UNSHREDDED files (per-file choice
+    // the spec allows) and the combined table reads both layouts
+    val t = new ForeignDeltaTable(spark, root)
+    t.append(Seq((4L, """{"a": 9}""")).toDF("id", "js")
+      .select(col("id"), parse_json(col("js")).as("v"))): Unit
+    val all = DeltaTable.read(spark, root)
+      .select(col("id"), variant_get(col("v"), "$.a", "int").as("a"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(all == Map(1L -> Some(1), 2L -> Some(2), 3L -> None, 4L -> Some(9)))
+    // a session that disables shredded reads gets a typed refusal, not a
+    // per-file parquet error
+    spark.conf.set("spark.sql.variant.allowReadingShredded", "false")
+    try {
+      val e = intercept[UnsupportedOperationException](
+        DeltaTable.read(spark, root).collect())
+      assert(e.getMessage.contains("allowReadingShredded"), e.getMessage)
+    } finally spark.conf.unset("spark.sql.variant.allowReadingShredded")
   }
 
   test("catalogOwned-preview reads refuse loudly (commits live in a catalog)") {
@@ -103,8 +143,11 @@ class FeatureFrontierSpec extends SparkSuite {
   }
 
   test("coordinator / defaults / collations writer features refuse writes loudly") {
-    Seq("coordinatedCommits", "allowColumnDefaults", "collations-preview",
-        "variantShredding-preview").foreach { feat =>
+    // variantShredding-preview is NOT in this list: shredding is a
+    // per-file option, so appends to a shredded table are honored-benign
+    // (land unshredded) — covered by the round-trip test above
+    Seq("coordinatedCommits", "allowColumnDefaults", "collations-preview")
+      .foreach { feat =>
       val root = tmpDir(s"ffx-w-${feat.take(8)}")
       table(root, Seq((1L, "a")).toDF("id", "s"),
         proto(Nil, Seq("appendOnly", feat)))

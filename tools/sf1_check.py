@@ -22,7 +22,37 @@ SF1 = "/root/repo/tmp/sf1/documents.parquet/*.parquet"
 OUT = "/root/repo/tmp/sf1-out"
 GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_simhash",
          "dedup_containment", "dedup_cdc_chunks", "sample_mixture", "text_dsir_select",
-         "text_dsir_sample", "text_boilerplate_removal"]
+         "text_dsir_sample", "text_boilerplate_removal",
+         # round-14: sample_temperature and text_dedup_segments replay the
+         # Catalog oracle verbatim (salting changes token spelling, not
+         # counts/positions); text_phrase_blocklist replays with its phrase
+         # literals salted to copy 0 (the hybrid_topk protocol)
+         "sample_temperature", "text_dedup_segments", "text_phrase_blocklist"]
+
+# the drive salts the gate's phrase literals to copy 0 — mirror it here
+PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
+               "scan filter": "scan_00 filter_00",
+               "slow table": "slow_00 table_00",
+               "key agg": "key_00 agg_00"}
+
+# text_score_buckets at sf1 buckets n_chars by lang (the gate's linear
+# score degenerates to the constant bias on salted tokens): the same
+# histogram / threshold (cum*3 >= j*total) / assignment rule as the
+# Catalog oracle, with n_chars standing in for the score column
+SCORE_BUCKETS_SF1_SQL = """
+  WITH sc AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents),
+    hist AS (SELECT lang, n_chars AS s, count(*) AS c FROM sc GROUP BY 1, 2),
+    cum AS (SELECT lang, s, sum(c) OVER (PARTITION BY lang ORDER BY s) AS cm,
+        sum(c) OVER (PARTITION BY lang) AS tot FROM hist),
+    cuts AS (SELECT lang,
+        min(CASE WHEN cm * 3 >= tot THEN s END) AS c1,
+        min(CASE WHEN cm * 3 >= 2 * tot THEN s END) AS c2
+      FROM cum GROUP BY lang)
+    SELECT sc.doc_id, sc.lang, sc.n_chars,
+      CAST(1 + CASE WHEN sc.n_chars > c.c1 THEN 1 ELSE 0 END
+         + CASE WHEN sc.n_chars > c.c2 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+    FROM sc JOIN cuts c ON sc.lang = c.lang"""
 
 
 def compare(con, got_rel, oracle_sql):
@@ -200,11 +230,19 @@ def main():
         return main_streaming(oracle_path)
     sqls = json.load(open(oracle_path))
     ok = True
-    for g in GATES:
+    for g in GATES + ["text_score_buckets"]:
         con = duckdb.connect()
         con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF1}'")
         t0 = time.time()
-        n_got, n_ora, m = compare(con, f"SELECT * FROM '{OUT}/{g}/*.parquet'", sqls[g])
+        if g == "text_score_buckets":
+            sql = SCORE_BUCKETS_SF1_SQL
+        else:
+            sql = sqls[g]
+        if g == "text_phrase_blocklist":
+            for orig, salted in PHRASE_SALT.items():
+                assert orig in sql, f"phrase literal '{orig}' missing from oracle"
+                sql = sql.replace(orig, salted)
+        n_got, n_ora, m = compare(con, f"SELECT * FROM '{OUT}/{g}/*.parquet'", sql)
         print(f"{g}: rows={n_got} oracle={n_ora} "
               f"{'MATCH' if m else 'MISMATCH'} ({time.time() - t0:.0f}s)")
         ok &= m
