@@ -1241,4 +1241,75 @@ object TextCorpus {
       size(segs).cast("long").as("n_segments"),
       (size(segs) - size(kept)).cast("long").as("n_removed"))
   }
+
+  /** Train a CCNet/fastText-style linear QUALITY CLASSIFIER in-engine,
+    * integer-exact: a full-batch perceptron over whitespace-token COUNT
+    * features, labels ∈ {+1, −1}. Returns (weights, bias) in exactly the
+    * shape [[graft.functions.NativeHash.linearTextScore]] applies — train
+    * on a labeled sample, score the corpus with the existing codegen'd
+    * map-only kernel (the CCNet pipeline's "train a fastText filter on
+    * Wikipedia-vs-crawl, score everything" step, Wenzek et al. 2020).
+    *
+    * Full-batch, not SGD: the epoch-e update is
+    * `w += Σ_{d: label_d · margin_d ≤ 0} label_d · count_d` — a pure
+    * aggregate, so training is partition- and order-invariant (bit-exact
+    * on any cluster layout) and replayable in SQL epoch by epoch.
+    * Margins are computed by the SAME kernel that applies the model, so
+    * train and apply can never disagree on tokenization.
+    *
+    * Scale shape: the vocabulary is the top-`vocabSize` tokens by document
+    * frequency (ties by token — deterministic), built with one
+    * map-side-combinable census and a TakeOrdered; each epoch is one
+    * map-only scoring pass (weights ride the closure) plus one aggregate
+    * that shuffles only the misclassified docs' vocab tokens with map-side
+    * combine — the driver holds ≤ vocabSize longs. Converged (no
+    * misclassified rows) stops early: remaining epochs are no-ops. */
+  def trainQualityClassifier(
+      df: DataFrame, labelCol: String, textCol: String,
+      epochs: Int = 3, vocabSize: Int = 10000): (Map[String, Long], Long) = {
+    require(epochs >= 1, s"epochs must be at least 1, got $epochs")
+    require(vocabSize >= 1, s"vocabSize must be at least 1, got $vocabSize")
+    import org.apache.spark.sql.catalyst.expressions.InSet
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.unsafe.types.UTF8String
+    val lbl = col(labelCol).cast("long")
+    if (df.filter(lbl.isNull || (lbl =!= 1L && lbl =!= -1L)).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"trainQualityClassifier: $labelCol must be exactly +1 or -1 on every row")
+    val vocab: Array[String] = df
+      .select(explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(vocabSize)
+      .collect().map(_.getString(0))
+    val vocabSet: Set[Any] =
+      vocab.iterator.map(s => UTF8String.fromString(s): Any).toSet
+    // bias rides the same aggregate as the token updates via a sentinel no
+    // space-split token can be (it contains a space)
+    val Bias = " bias"
+    var w = Map.empty[String, Long]
+    var b = 0L
+    var converged = false
+    (1 to epochs).foreach { _ =>
+      if (!converged) {
+        val margin = graft.functions.NativeHash.linearTextScore(col(textCol), w, b)
+        val mis = df.filter(lbl * margin <= 0L)
+        val vocabToks = filter(split(col(textCol), " "),
+          t => Bridge.column(InSet(Bridge.expression(t), vocabSet)))
+        val upd = mis.select(lbl.as("l"),
+            explode(concat(array(lit(Bias)), vocabToks)).as("tok"))
+          .groupBy("tok").agg(sum(col("l")).as("g"))
+          .collect()
+        if (upd.isEmpty) converged = true
+        else upd.foreach { r =>
+          val tok = r.getString(0)
+          val g = r.getLong(1)
+          if (tok == Bias) b += g
+          else w = w.updated(tok, w.getOrElse(tok, 0L) + g)
+        }
+      }
+    }
+    (w.filter(_._2 != 0L), b)
+  }
 }

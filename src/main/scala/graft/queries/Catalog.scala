@@ -1104,6 +1104,53 @@ object Catalog {
              + CASE WHEN sc.score_milli > c.c2 THEN 1 ELSE 0 END AS BIGINT) AS bucket
         FROM sc JOIN cuts c ON sc.lang = c.lang""")),
 
+    // In-engine QUALITY-CLASSIFIER TRAINING (the CCNet "train a fastText
+    // filter, score everything" step): full-batch integer perceptron over
+    // token counts, 2 epochs, 300-token df-ranked vocabulary, labels from
+    // lang — then the corpus is scored with the SAME codegen kernel the
+    // pipeline applies at scale. The oracle replays both epochs (epoch 1
+    // from zero weights = every doc misclassified) and the final margins
+    // exactly, so training is proven bit-replayable
+    Q("text_quality_classifier",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val labeled = docs.withColumn("label",
+          when(col("lang") === "en", 1L).otherwise(-1L))
+        val (wts, bias) = TextCorpus.trainQualityClassifier(
+          labeled, "label", "text", epochs = 2, vocabSize = 300)
+        docs.select(col("doc_id"),
+            graft.functions.NativeHash.linearTextScore(col("text"), wts, bias)
+              .as("margin"))
+          .withColumn("pred_quality", col("margin") > 0L)
+      },
+      Some("""WITH lab AS (SELECT doc_id,
+            CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS l FROM documents),
+        tk AS (SELECT doc_id, tok FROM (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE tok <> ''),
+        dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
+        vocab AS (SELECT tok FROM dfq ORDER BY df DESC, tok LIMIT 300),
+        w1 AS (SELECT tk.tok, CAST(sum(l) AS BIGINT) AS w
+          FROM tk JOIN lab USING (doc_id) JOIN vocab USING (tok) GROUP BY tk.tok),
+        b1 AS (SELECT CAST(sum(l) AS BIGINT) AS b FROM lab),
+        m1 AS (SELECT d.doc_id, (SELECT b FROM b1) + coalesce(sum(w1.w), 0) AS m
+          FROM documents d LEFT JOIN tk ON tk.doc_id = d.doc_id
+          LEFT JOIN w1 ON tk.tok = w1.tok GROUP BY d.doc_id),
+        mis AS (SELECT lab.doc_id, lab.l FROM lab JOIN m1 USING (doc_id)
+          WHERE lab.l * m1.m <= 0),
+        u2 AS (SELECT tk.tok, CAST(sum(l) AS BIGINT) AS g
+          FROM tk JOIN mis USING (doc_id) JOIN vocab USING (tok) GROUP BY tk.tok),
+        w2 AS (SELECT w1.tok, CAST(w1.w + coalesce(u2.g, 0) AS BIGINT) AS w
+          FROM w1 LEFT JOIN u2 USING (tok)),
+        b2 AS (SELECT (SELECT b FROM b1)
+            + CAST(coalesce((SELECT sum(l) FROM mis), 0) AS BIGINT) AS b)
+        SELECT d.doc_id,
+          CAST((SELECT b FROM b2) + coalesce(sum(w2.w), 0) AS BIGINT) AS margin,
+          ((SELECT b FROM b2) + coalesce(sum(w2.w), 0)) > 0 AS pred_quality
+        FROM documents d LEFT JOIN tk ON tk.doc_id = d.doc_id
+        LEFT JOIN w2 ON tk.tok = w2.tok
+        GROUP BY d.doc_id""")),
+
     // Corpus-LM novelty (CCNet-style statistical filtering, integer-exact):
     // bigram model trained on the corpus itself with an adaptive commonness
     // threshold; per-doc novel-bigram counts + truncating permille
