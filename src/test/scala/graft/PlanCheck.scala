@@ -111,6 +111,12 @@ object PlanCheck {
           !p.contains("SortMergeJoin")),
       ("text_phrase_blocklist", "phrase filter is a map-only pass (automaton rides the closure)",
         p => !p.contains("Exchange") && !p.contains("Join")),
+      ("text_quality_classifier", "classifier APPLY is a map-only pass (weights ride the closure)",
+        // training runs eagerly at gate build (driver-side epochs); the
+        // returned plan is the corpus-wide scoring pass, which must stay
+        // one codegen projection — a regression to a weights JOIN would
+        // shuffle the corpus at apply time
+        p => !p.contains("Exchange") && !p.contains("Join")),
       ("text_boilerplate_removal", "boilerplate apply is one shuffle-free projection (InSet probe, no join)",
         // the filter list must ride the closure as an InSet literal — a
         // regression to a join (text shuffles) or a linear In scan would
