@@ -101,15 +101,21 @@ object Bench {
     "text_term_stats" -> 0.5, "text_heavy_hitters" -> 0.6,
     "text_quality" -> 0.16, "store_skipping" -> 0.4,
     "store_delta_writer" -> 5.0, "streaming_drain_bench" -> 1.4,
-    // first-round bands for the r13 headline additions, measured this
-    // session on a ~1.2×-loaded box (min_clean 3.47/1.06/1.00/1.13) and
-    // de-rated to the quiet estimate — tighten on the next quiet window
-    "dedup_containment" -> 3.0, "dedup_cdc_chunks" -> 1.0,
-    "text_dsir_select" -> 0.9, "text_bm25_topk" -> 1.0,
-    // r13 boilerplate gate: 1.947 min_clean on a ~1.4×-sentinel box AFTER
-    // the postings persist removed the second tokenize pass (2.837 before,
-    // same session) — band = the de-rated quiet estimate
-    "text_boilerplate_removal" -> 1.7)
+    // r14 re-certification of the r13 first-round bands (r13 verdict item
+    // 1): two certified-quiet passes (load 0.00, sentinel floors 0.084 /
+    // 0.094 at 0.100 struct), runs=5 each — band = the upper edge of the
+    // quiet readings. Quiet pairs: containment 2.78/3.22, cdc 0.96/1.03,
+    // dsir 1.00/1.01, bm25 0.87/1.06, boilerplate 1.17/1.71 (r13: 1.50).
+    // scd2_history read 2.22/2.79 (r13 cluster 2.6-3.0) — its 3.3 band
+    // stands; the r13 driver's 4.35 was box weather, as suspected.
+    "dedup_containment" -> 3.2, "dedup_cdc_chunks" -> 1.1,
+    "text_dsir_select" -> 1.1, "text_bm25_topk" -> 1.1,
+    "text_boilerplate_removal" -> 1.8,
+    // r14 first-round band: quiet single-run readings 2.76/3.76 (memoized
+    // scenario — each reading is one full two-table, two-round syncAll
+    // orchestration into a fresh tmp destination; the spread is scenario
+    // build variance) — de-rated upper edge
+    "syncall_customer_history" -> 4.0)
 
   /** A clean reading above this multiple of its band is flagged
     * `over_band` — the same >2×-band rule the round verdicts apply. */
