@@ -53,7 +53,11 @@ object Sf1Drive {
     // against the same 3800 budget (deeper water-fill), segment dedup is
     // the map-only projection at 10× rows; both run the Catalog gate
     // verbatim (salting changes token SPELLING, not counts or positions)
-    "sample_temperature", "text_dedup_segments")
+    "sample_temperature", "text_dedup_segments",
+    // round-14: in-engine classifier training at 10× — the vocab census,
+    // both epoch aggregates, and the final margins replay verbatim over
+    // the salted corpus (labels ride lang, untouched by salting)
+    "text_quality_classifier")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry
     * verbatim; the three retrieval gates mirror the Catalog entry's code
