@@ -1287,7 +1287,7 @@ object TextCorpus {
       vocab.iterator.map(s => UTF8String.fromString(s): Any).toSet
     // bias rides the same aggregate as the token updates via a sentinel no
     // space-split token can be (it contains a space)
-    val Bias = " bias"
+    val Bias = " bias"
     var w = Map.empty[String, Long]
     var b = 0L
     var converged = false
