@@ -549,6 +549,52 @@ object TextCorpus {
         expr("sp div n_bigrams").cast("long").as("lm_x1e6"))
   }
 
+  /** CROSS-corpus bigram LM scoring — the exact CCNet shape: the model
+    * trains on a REFERENCE corpus (their Wikipedia-trained KenLM) and
+    * scores a DIFFERENT target corpus (the crawl), where [[bigramLmScore]]
+    * trains and scores the same corpus. Same integer-exact statistic:
+    * p_x1e6 = (c_ref(w1,w2) + 1) · 1e6 div (h_ref(w1) + V_ref), with
+    * bigrams the reference never saw taking the add-one-smoothed floor
+    * (c=0, h=0) — a target doc full of transitions unseen in the clean
+    * corpus scores low, which is the filter signal. With ref == target
+    * this reduces to [[bigramLmScore]] exactly (every bigram then exists
+    * in the model, so the left joins fill nothing).
+    *
+    * Shape at 100 TB: the model sides are map-side-combinable groupBys
+    * over the REFERENCE (typically the small, curated side); scoring is
+    * two N:1 left joins of the target bigram stream against aggregated
+    * model sides — no row fans out, and only bigram pairs shuffle.
+    * Output: (doc_id, n_bigrams, lm_x1e6) for target docs with ≥ 1
+    * bigram. */
+  def bigramLmScoreAgainst(
+      ref: DataFrame, target: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = {
+      val toks = TextFunctions.tokens(col(textCol))
+      val n1 = greatest(size(toks) - 1, lit(0))
+      val pairs = zip_with(
+        slice(toks, lit(1), n1),
+        slice(toks, lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      df.select(col(idCol).as("doc_id"), explode(pairs).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    }
+    val exRef = Caching.spillPersistEager(bigrams(ref))
+    val c2 = exRef.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val hist = exRef.groupBy("w1").agg(count(lit(1)).as("h"))
+    val vocab = ref.select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .agg(countDistinct("t")).head().getLong(0)
+    bigrams(target)
+      .join(c2, Seq("w1", "w2"), "left").na.fill(0L, Seq("c2"))
+      .join(hist, Seq("w1"), "left").na.fill(0L, Seq("h"))
+      .select(col("doc_id"),
+        expr(s"(c2 + 1) * 1000000 div (h + ${vocab}L)").as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p").as("sp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sp div n_bigrams").cast("long").as("lm_x1e6"))
+  }
+
   /** Deterministic global shuffle + fixed-size shard assignment for
     * training export: every document gets a pseudo-random but REPRODUCIBLE
     * global rank (order by (lcg-mixed key, id) — same answer at any

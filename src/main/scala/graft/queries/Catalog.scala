@@ -1190,6 +1190,36 @@ object Catalog {
           CAST(sum(p) // count(*) AS BIGINT) AS lm_x1e6
         FROM sc GROUP BY doc_id""")),
 
+    // CROSS-corpus LM scoring (the exact CCNet shape): the bigram model
+    // trains on the 'en' docs (the clean reference side) and scores the
+    // REST of the corpus; transitions the reference never saw take the
+    // add-one-smoothed floor. Same integer statistic as text_lm_score —
+    // the oracle replays model, floor, and per-doc means exactly
+    Q("text_lm_cross_score",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextCorpus.bigramLmScoreAgainst(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"),
+          "doc_id", "text")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+        rbg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+          FROM base, unnest(range(1, len(toks))) AS r(i) WHERE lang = 'en'),
+        c2 AS (SELECT w1, w2, count(*) AS c FROM rbg GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS h FROM rbg GROUP BY 1),
+        v AS (SELECT count(DISTINCT t) AS vs
+          FROM (SELECT unnest(toks) AS t FROM base WHERE lang = 'en')),
+        tbg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+          FROM base, unnest(range(1, len(toks))) AS r(i) WHERE lang <> 'en'),
+        sc AS (SELECT doc_id,
+            (coalesce(c2.c, 0) + 1) * 1000000 // (coalesce(c1.h, 0) + v.vs) AS p
+          FROM tbg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+          CROSS JOIN v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(p) // count(*) AS BIGINT) AS lm_x1e6
+        FROM sc GROUP BY doc_id""")),
+
     // Within-document dedup: drop repeated tokens keeping FIRST occurrence
     // (the intra-doc flavor of corpus dedup — boilerplate-token collapse);
     // array_distinct is order-preserving in Spark, the oracle rebuilds the

@@ -291,6 +291,28 @@ class PipelineOpsSpec extends SparkSuite {
     Dedup.releaseIntermediates()
   }
 
+  test("bigramLmScoreAgainst: cross-corpus model, unseen floor, ref==target reduction") {
+    // ref model: bigrams (a,b)x2, (b,a)x1; h(a)=2, h(b)=1; V=2
+    // p(a,b) = 3*1e6 div 4 = 750000 ; p(b,a) = 2*1e6 div 3 = 666666
+    // unseen w1 seen (b,c): (0+1)*1e6 div (1+2) = 333333
+    // unseen w1 unseen (c,c): 1e6 div (0+2) = 500000
+    val ref = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val target = Seq((10L, "a b"), (11L, "b c"), (12L, "c c"), (13L, "x")).toDF("doc_id", "text")
+    val got = graft.operators.TextCorpus
+      .bigramLmScoreAgainst(ref, target, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 1L, 750000L), (11L, 1L, 333333L), (12L, 1L, 500000L)))
+    // with ref == target the cross scorer IS the one-corpus scorer
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val cross = graft.operators.TextCorpus
+      .bigramLmScoreAgainst(docs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val one = graft.operators.TextCorpus.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cross == one)
+    Dedup.releaseIntermediates()
+  }
+
   test("ivfGeometry/pqShortlist: proportional dials hold exact recall across 10x") {
     // the dials themselves: constant cell size, constant probe fraction,
     // proportional shortlist — clamped sanely at the edges
