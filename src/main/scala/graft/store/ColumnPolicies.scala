@@ -89,6 +89,20 @@ private[store] object ColumnPolicies {
         f -> f.metadata.getString(GenerationKey)
     }
 
+  private val DefaultKey = "CURRENT_DEFAULT"
+
+  /** Declared column DEFAULTS (the allowColumnDefaults writer feature):
+    * (field, default SQL) from the spec's `CURRENT_DEFAULT` field
+    * metadata. The obligation is write-side only — a column omitted from
+    * an INSERT takes its default instead of NULL; provided values always
+    * win. (Delta disallows adding a default WITH a new column, so the
+    * read-side `EXISTS_DEFAULT` back-fill key cannot legally occur.) */
+  def defaults(schema: StructType): Seq[(StructField, String)] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains(DefaultKey) =>
+        f -> f.metadata.getString(DefaultKey)
+    }
+
   /** The identity column, when one is declared. Delta allows at most one
     * identity column per table; a metadata mishap declaring several is
     * refused by the caller. */

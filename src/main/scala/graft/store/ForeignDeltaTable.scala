@@ -462,9 +462,16 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val providedGenM = genColsM.collect {
       case (f, _) if lowerIn.contains(f.name.toLowerCase) => f.name.toLowerCase
     }.toSet
-    val srcGen = genColsM.foldLeft(srcId) { case (d, (f, sql)) =>
+    val srcGen0 = genColsM.foldLeft(srcId) { case (d, (f, sql)) =>
       if (lowerIn.contains(f.name.toLowerCase)) d
       else d.withColumn(f.name, expr(sql).cast(f.dataType))
+    }
+    // declared defaults fill source columns the batch omitted (MERGE
+    // source rows land as fresh files — the same insert obligation)
+    val srcGen = ColumnPolicies.defaults(s.schema).foldLeft(srcGen0) {
+      case (d, (f, sql)) =>
+        if (lowerIn.contains(f.name.toLowerCase)) d
+        else d.withColumn(f.name, expr(sql).cast(f.dataType))
     }
     val rulesM = ColumnPolicies.rules(s.schema, s.configuration, providedGenM)
     val aligned = ColumnPolicies
@@ -1288,7 +1295,13 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
       // delta.requireCheckpointProtectionBeforeVersion (the always-safe
       // reading of the spec's "clean everything below it in one go with a
       // validated boundary checkpoint, or clean nothing below it")
-      "checkpointProtection")
+      "checkpointProtection",
+      // honored: columns omitted from an INSERT batch take their
+      // CURRENT_DEFAULT expression instead of NULL (append/overwrite and
+      // MERGE source rows — the feature's write obligation); provided
+      // values always win, and a default that no longer resolves fails
+      // the write loudly at plan time
+      "allowColumnDefaults")
 
   private def validateWritable(s: DeltaTable.Snapshot, forOverwrite: Boolean): Unit = {
     val cm = s.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -1611,9 +1624,18 @@ final class ForeignDeltaTable(spark: SparkSession, val path: String)
     val providedGen = genCols.collect {
       case (f, _) if lowerIn.contains(f.name.toLowerCase) => f.name.toLowerCase
     }.toSet
-    val dfGen = genCols.foldLeft(dfIdent) { case (d, (f, sql)) =>
+    val dfGen0 = genCols.foldLeft(dfIdent) { case (d, (f, sql)) =>
       if (lowerIn.contains(f.name.toLowerCase)) d
       else d.withColumn(f.name, expr(sql).cast(f.dataType))
+    }
+    // DECLARED DEFAULTS (allowColumnDefaults): a column omitted from the
+    // batch takes its CURRENT_DEFAULT expression instead of the NULL that
+    // align would fill — the feature's write obligation; provided values
+    // always win (defaults never overwrite)
+    val dfGen = ColumnPolicies.defaults(s.schema).foldLeft(dfGen0) {
+      case (d, (f, sql)) =>
+        if (lowerIn.contains(f.name.toLowerCase)) d
+        else d.withColumn(f.name, expr(sql).cast(f.dataType))
     }
     val merged0 =
       if (overwrite) SchemaEvolution.relaxNullable(dfGen.schema)

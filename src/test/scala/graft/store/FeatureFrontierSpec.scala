@@ -142,11 +142,42 @@ class FeatureFrontierSpec extends SparkSuite {
     assert(e.getMessage.contains("catalogOwned"), e.getMessage)
   }
 
-  test("coordinator / defaults / collations writer features refuse writes loudly") {
+  test("allowColumnDefaults: omitted columns take CURRENT_DEFAULT, provided win") {
+    val root = tmpDir("ffx-defaults")
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField}
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("region", StringType,
+        metadata = new MetadataBuilder()
+          .putString("CURRENT_DEFAULT", "'emea'").build()),
+      StructField("qty", LongType,
+        metadata = new MetadataBuilder()
+          .putString("CURRENT_DEFAULT", "40 + 2").build())))
+    table(root,
+      Seq((1L, "apac", 7L)).toDF("id", "region", "qty"),
+      proto(Nil, Seq("appendOnly", "allowColumnDefaults")),
+      schemaOverride = Some(schema))
+    val t = new ForeignDeltaTable(spark, root)
+    // batch omits BOTH default columns → defaults land, not NULLs
+    t.append(Seq(Tuple1(2L)).toDF("id")): Unit
+    // batch provides one of them → the provided value wins
+    t.append(Seq((3L, "amer")).toDF("id", "region")): Unit
+    val got = DeltaTable.read(spark, root)
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (("apac", 7L)),
+      2L -> (("emea", 42L)),
+      3L -> (("amer", 42L))))
+  }
+
+  test("coordinator / collations writer features refuse writes loudly") {
     // variantShredding-preview is NOT in this list: shredding is a
     // per-file option, so appends to a shredded table are honored-benign
-    // (land unshredded) — covered by the round-trip test above
-    Seq("coordinatedCommits", "allowColumnDefaults", "collations-preview")
+    // (land unshredded) — covered by the round-trip test above.
+    // allowColumnDefaults moved to honored (defaults test above).
+    Seq("coordinatedCommits", "collations-preview")
       .foreach { feat =>
       val root = tmpDir(s"ffx-w-${feat.take(8)}")
       table(root, Seq((1L, "a")).toDF("id", "s"),
