@@ -73,7 +73,12 @@ object Bench {
     // entry with a round-over-round wall signal; this one tracks the
     // concurrent-orchestration path (lock handling, per-table engines
     // sharing one session). Scenario-memoized like scd2_*.
-    "syncall_customer_history")
+    "syncall_customer_history",
+    // r14: the two new text families — in-engine classifier training
+    // (vocab census + 2 epochs of score-filter-aggregate + the map-only
+    // apply) and cross-corpus LM scoring (reference-side model aggs + two
+    // N:1 scoring joins)
+    "text_quality_classifier", "text_lm_cross_score")
 
   /** Expected QUIET band per headline query: the upper edge of the
     * builder-box certified-quiet readings recorded in BASELINE.md (sf0.1,
@@ -115,7 +120,11 @@ object Bench {
     // scenario — each reading is one full two-table, two-round syncAll
     // orchestration into a fresh tmp destination; the spread is scenario
     // build variance) — de-rated upper edge
-    "syncall_customer_history" -> 4.0)
+    "syncall_customer_history" -> 4.0,
+    // r14 first-round bands for the two new text families: quiet pairs
+    // 0.88/1.06 (classifier: vocab census + 2 training epochs + apply)
+    // and 0.96/1.31 (cross-LM) at runs=5 — de-rated upper edges
+    "text_quality_classifier" -> 1.2, "text_lm_cross_score" -> 1.4)
 
   /** A clean reading above this multiple of its band is flagged
     * `over_band` — the same >2×-band rule the round verdicts apply. */

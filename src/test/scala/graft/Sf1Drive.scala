@@ -56,8 +56,10 @@ object Sf1Drive {
     "sample_temperature", "text_dedup_segments",
     // round-14: in-engine classifier training at 10× — the vocab census,
     // both epoch aggregates, and the final margins replay verbatim over
-    // the salted corpus (labels ride lang, untouched by salting)
-    "text_quality_classifier")
+    // the salted corpus (labels ride lang, untouched by salting) — and
+    // cross-corpus LM scoring (model on the 'en' side, smoothed floor on
+    // unseen transitions), also a verbatim replay
+    "text_quality_classifier", "text_lm_cross_score")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry
     * verbatim; the three retrieval gates mirror the Catalog entry's code
