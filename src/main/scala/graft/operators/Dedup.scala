@@ -681,6 +681,59 @@ object Dedup {
     require(maxHamming < numChunks,
       s"maxHamming ($maxHamming) must be < numChunks ($numChunks) for pigeonhole-complete recall")
     val w = 64 / numChunks
+    val withSig = simhashed(df, idCol, textCol, polyHash)
+    // every downstream branch (size census, ok-side, hot-side, both join
+    // sides) consumes the banded rows — persist (spill-safe) so the
+    // tokenize+simhash pipeline runs once, not once per branch
+    val banded = spillPersistEager(simhashBand(
+      withSig.select(col("id"), col("sig")), numChunks))
+    // oversized-bucket census: tiny (≤ numChunks · 2^w keys), broadcast.
+    // With sub-banding unavailable the census is skipped and every bucket
+    // takes the plain path.
+    val oversized =
+      if (64 - w >= maxHamming + 1)
+        banded.groupBy("chunk", "key")
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
+          .select("chunk", "key")
+      else banded.select("chunk", "key").limit(0)
+    val tagged = simhashTag(banded, oversized, numChunks, maxHamming)
+    // hamming-filter BEFORE the dedup shuffle: the bucket join's raw pair
+    // stream is dominated by random small-key collisions, and bit_count is
+    // a per-row codegen'd op — cutting 10-40× of the volume ahead of
+    // dropDuplicates' exchange
+    tagged.select(col("chunk"), col("key"), col("sub"), col("skey"),
+        col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(tagged.select(col("chunk"), col("key"), col("sub"), col("skey"),
+        col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("chunk", "key", "sub", "skey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** (id, sig) → one banded row per chunk: (id, sig, chunk, key). */
+  private def simhashBand(sigs: DataFrame, numChunks: Int): DataFrame = {
+    val w = 64 / numChunks
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    sigs.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(numChunks - 1)), c =>
+        struct(c.as("chunk"),
+          call_function("shiftright", col("sig"), c * w).bitwiseAND(lit(mask)).as("key")))).as("b"))
+      .select(col("id"), col("sig"), col("b.chunk").as("chunk"), col("b.key").as("key"))
+  }
+
+  /** Tag banded rows for the single-shuffle join: rows in buckets NOT in
+    * `oversized` keep a sentinel (sub, skey) = (-1, 0) — they join only
+    * within their bucket; rows in oversized buckets explode maxHamming + 1
+    * complement sub-keys (pigeonhole on the 64 − w complement bits keeps
+    * recall EXACT — see [[simhashPairs]]'s scaladoc). Tagging BEFORE one
+    * join on the 4-part key means ONE shuffle join total, not
+    * ok-join + hot-join + union. */
+  private def simhashTag(banded: DataFrame, oversized: DataFrame,
+      numChunks: Int, maxHamming: Int): DataFrame = {
+    val w = 64 / numChunks
     val numSub = maxHamming + 1
     // sub-banding needs complement bits to band on; numChunks=1 (exact
     // 64-bit signature match, maxHamming=0) has none — hot buckets there
@@ -688,30 +741,6 @@ object Dedup {
     // the plain bucket join is the only (and correct) plan
     val subBand = 64 - w >= numSub
     val subW = if (subBand) (64 - w) / numSub else 1
-    val mask = if (w == 64) -1L else (1L << w) - 1L
-    val withSig = simhashed(df, idCol, textCol, polyHash)
-    // every downstream branch (size census, ok-side, hot-side, both join
-    // sides) consumes the banded rows — persist (spill-safe) so the
-    // tokenize+simhash pipeline runs once, not once per branch
-    val banded = spillPersistEager(withSig.select(col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(numChunks - 1)), c =>
-        struct(c.as("chunk"),
-          call_function("shiftright", col("sig"), c * w).bitwiseAND(lit(mask)).as("key")))).as("b"))
-      .select(col("id"), col("sig"), col("b.chunk").as("chunk"), col("b.key").as("key")))
-    // oversized-bucket census: tiny (≤ numChunks · 2^w keys), broadcast.
-    // With sub-banding unavailable the census is skipped and every bucket
-    // takes the plain path.
-    val oversized =
-      if (subBand)
-        banded.groupBy("chunk", "key")
-          .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
-          .select("chunk", "key")
-      else banded.select("chunk", "key").limit(0)
-    // ok rows keep a sentinel (sub, skey) = (-1, 0): they join only within
-    // their bucket. Hot rows explode real sub-keys. Tagging BEFORE a
-    // single self-join on the 4-part key means ONE shuffle join total,
-    // not ok-join + hot-join + union (each its own exchange — measured as
-    // pure fixed stage cost at bench scale).
     val ok = banded.join(broadcast(oversized), Seq("chunk", "key"), "left_anti")
       .select(col("id"), col("sig"), col("chunk"), col("key"),
         lit(-1).as("sub"), lit(0L).as("skey"))
@@ -736,17 +765,74 @@ object Dedup {
             .bitwiseAND(lit(subMask))).as("skey")))).as("s"))
       .select(col("id"), col("sig"), col("chunk"), col("key"),
         col("s.sub").as("sub"), col("s.skey").as("skey"))
-    val tagged = ok.unionByName(sub)
-    // hamming-filter BEFORE the dedup shuffle: the bucket join's raw pair
-    // stream is dominated by random small-key collisions, and bit_count is
-    // a per-row codegen'd op — cutting 10-40× of the volume ahead of
-    // dropDuplicates' exchange
-    tagged.select(col("chunk"), col("key"), col("sub"), col("skey"),
+    ok.unionByName(sub)
+  }
+
+  private[graft] val SimhashMetaNumChunks = "graft.simhash.numChunks"
+  private[graft] val SimhashMetaPoly = "graft.simhash.polyHash"
+
+  /** Persisted SimHash index — ONE row per document, just (id, sig): the
+    * incremental counterpart stores 8 bytes of signature per doc, nothing
+    * else (band keys are recomputed from the signature with four shifts —
+    * cheaper than storing them). Build params ride the sig column's field
+    * metadata (parquet-footer-persistent, like [[minhashIndex]]) so
+    * [[simhashIncremental]] can refuse a param mismatch instead of
+    * comparing incompatible signatures. */
+  def simhashIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      numChunks: Int = 4, polyHash: Boolean = false): DataFrame = {
+    require(64 % numChunks == 0, "numChunks must divide 64")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SimhashMetaNumChunks, numChunks.toLong)
+      .putBoolean(SimhashMetaPoly, polyHash).build()
+    simhashed(df, idCol, textCol, polyHash)
+      .select(col("id"), col("sig").as("sig", meta))
+  }
+
+  /** Hamming pairs between a NEW batch and an existing [[simhashIndex]] —
+    * the incremental form of [[simhashPairs]] for rolling ingestion:
+    * history text is never re-read (the index is one 8-byte signature per
+    * doc), the batch is signed once, and recall stays pigeonhole-EXACT —
+    * including through the oversized-bucket guard, whose complement
+    * sub-banding (built over the COMBINED two-sided bucket census, since
+    * join cost in a bucket is |batch|·|index|) preserves the exact-recall
+    * argument unchanged. Output: (id_a = index doc, id_b = batch doc,
+    * hamming ≤ maxHamming); a batch doc already in the index under the
+    * same id does not pair with itself (the [[minhashLshIncremental]]
+    * re-ingest guard). */
+  def simhashIncremental(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 100): DataFrame = {
+    val meta = index.schema.find(_.name == "sig").map(_.metadata).getOrElse(
+      throw new IllegalArgumentException(
+        "simhash index must carry a 'sig' column"))
+    require(meta.contains(SimhashMetaNumChunks),
+      "index was not built by simhashIndex (missing build metadata)")
+    val numChunks = meta.getLong(SimhashMetaNumChunks).toInt
+    val polyHash = meta.getBoolean(SimhashMetaPoly)
+    require(maxHamming < numChunks,
+      s"maxHamming ($maxHamming) must be < the index's numChunks ($numChunks)")
+    val w = 64 / numChunks
+    val bBand = spillPersistEager(simhashBand(
+      simhashed(batch, idCol, textCol, polyHash).select(col("id"), col("sig")),
+      numChunks))
+    val iBand = spillPersistEager(simhashBand(
+      index.select(col("id"), col("sig")), numChunks))
+    val oversized =
+      if (64 - w >= maxHamming + 1)
+        bBand.select("chunk", "key").unionAll(iBand.select("chunk", "key"))
+          .groupBy("chunk", "key")
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
+          .select("chunk", "key")
+      else iBand.select("chunk", "key").limit(0)
+    val ti = simhashTag(iBand, oversized, numChunks, maxHamming)
+    val tb = simhashTag(bBand, oversized, numChunks, maxHamming)
+    ti.select(col("chunk"), col("key"), col("sub"), col("skey"),
         col("id").as("id_a"), col("sig").as("sig_a"))
-      .join(tagged.select(col("chunk"), col("key"), col("sub"), col("skey"),
+      .join(tb.select(col("chunk"), col("key"), col("sub"), col("skey"),
         col("id").as("id_b"), col("sig").as("sig_b")),
         Seq("chunk", "key", "sub", "skey"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -1494,6 +1494,32 @@ object Catalog {
         maxHamming = 7, threshold = 0.9, numChunks = 8, polyHash = true),
       Some(simhashTruthSql(7, 900))),
 
+    // INCREMENTAL SimHash against a persisted (id, sig) index: the batch
+    // (docs %7, re-keyed +1M) pairs against the full-corpus index without
+    // re-reading history text; recall is pigeonhole-exact, so the oracle
+    // is the FULL brute-force cross check over recomputed signatures
+    Q("dedup_simhash_incremental",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+        val dir = java.nio.file.Files.createTempDirectory("graft-sh-idx")
+        Dedup.simhashIndex(corpus, "doc_id", "text",
+            numChunks = 8, polyHash = true)
+          .write.mode("overwrite").parquet(dir.toString)
+        val index = s.read.parquet(dir.toString)
+        val batch = corpus.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val out = Dedup.simhashIncremental(batch, index, "doc_id", "text",
+          maxHamming = 7).localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some(s"""WITH sg AS ($polySigSql),
+        b AS (SELECT doc_id + 1000000 AS id_b, sig FROM sg WHERE doc_id % 7 = 0)
+        SELECT sg.doc_id AS id_a, b.id_b,
+          CAST(bit_count(xor(sg.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sg, b
+        WHERE sg.doc_id <> b.id_b AND bit_count(xor(sg.sig, b.sig)) <= 7""")),
+
     // CONTAINMENT pairs — the asymmetric quote/boilerplate detector:
     // |A∩B| / min(|A|,|B|) ≥ 0.8 with the documented ≥ 10-shingle floor
     // on the smaller side (the prefix filter's recall bound); the oracle

@@ -59,7 +59,10 @@ object Sf1Drive {
     // the salted corpus (labels ride lang, untouched by salting) — and
     // cross-corpus LM scoring (model on the 'en' side, smoothed floor on
     // unseen transitions), also a verbatim replay
-    "text_quality_classifier", "text_lm_cross_score")
+    "text_quality_classifier", "text_lm_cross_score",
+    // round-14: persisted-index simhash at 10× — the brute-force cross
+    // oracle recomputes 50k+7k signatures and checks all pairs
+    "dedup_simhash_incremental")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry
     * verbatim; the three retrieval gates mirror the Catalog entry's code

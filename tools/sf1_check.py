@@ -28,7 +28,8 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          # counts/positions); text_phrase_blocklist replays with its phrase
          # literals salted to copy 0 (the hybrid_topk protocol)
          "sample_temperature", "text_dedup_segments", "text_phrase_blocklist",
-         "text_quality_classifier", "text_lm_cross_score"]
+         "text_quality_classifier", "text_lm_cross_score",
+         "dedup_simhash_incremental"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
