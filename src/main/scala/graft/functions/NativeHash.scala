@@ -88,6 +88,36 @@ object HashKernels {
     c
   }
 
+  /** Weighted merge-walk dot product: Σ over common keys of wa·wb. Keys
+    * are SORTED-ascending long arrays; `wa`/`wb` are weight arrays
+    * parallel to their key arrays (callers build both with a single
+    * struct-sort, so the pairing is positional by construction). Keys are
+    * expected DISTINCT per side (one weight per term); a duplicated key
+    * pairs positionally once per occurrence — callers that aggregate
+    * weights per key before sorting never hit that case. No allocation,
+    * no boxing — the pair-verify inner loop of the tf-idf cosine dedup,
+    * same rationale as [[sortedIntersectCount]]. Overflow contract: exact
+    * while Σ wa·wb fits a long — callers bound per-term weights (the
+    * tf-idf family caps idf at 100 000, so ~10⁸ shared terms fit). */
+  def sortedWeightedDot(ka: ArrayData, wa: ArrayData, kb: ArrayData, wb: ArrayData): Long = {
+    val na = ka.numElements()
+    val nb = kb.numElements()
+    var i = 0
+    var j = 0
+    var dot = 0L
+    while (i < na && j < nb) {
+      val x = ka.getLong(i)
+      val y = kb.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        dot += wa.getLong(i) * wb.getLong(j)
+        i += 1; j += 1
+      }
+    }
+    dot
+  }
+
   private def simhashImpl(elems: ArrayData, poly: Boolean): Long = {
     val counts = new Array[Int](64)
     val n = elems.numElements()
@@ -488,6 +518,44 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_sorted_intersect"
+}
+
+/** (array<long>, array<long>, array<long>, array<long>) → bigint: weighted
+  * merge-walk dot product over two (sorted keys, parallel weights) vector
+  * encodings — [[HashKernels.sortedWeightedDot]], codegen'd. The
+  * candidate-pair verify kernel of [[graft.operators.Dedup.tfidfCosinePairs]]. */
+case class SortedWeightedDot(
+    keysA: Expression, weightsA: Expression,
+    keysB: Expression, weightsB: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def first: Expression = keysA
+  override def second: Expression = weightsA
+  override def third: Expression = keysB
+  override def fourth: Expression = weightsB
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = children.map(_.dataType).zipWithIndex.collectFirst {
+      case (dt, i) if dt != ArrayType(LongType, containsNull = false) &&
+        dt != ArrayType(LongType, containsNull = true) => (dt, i)
+    }
+    bad match {
+      case Some((dt, i)) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_dot expects four array<bigint>, argument ${i + 1} is ${dt.simpleString}")
+      case scala.None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def nullSafeEval(ka: Any, wa: Any, kb: Any, wb: Any): Any =
+    HashKernels.sortedWeightedDot(ka.asInstanceOf[ArrayData], wa.asInstanceOf[ArrayData],
+      kb.asInstanceOf[ArrayData], wb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (ka, wa, kb, wb) =>
+      s"graft.functions.HashKernels.sortedWeightedDot($ka, $wa, $kb, $wb)")
+  override protected def withNewChildrenInternal(
+      first: Expression, second: Expression, third: Expression,
+      fourth: Expression): SortedWeightedDot =
+    copy(keysA = first, weightsA = second, keysB = third, weightsB = fourth)
+  override def prettyName: String = "graft_sorted_dot"
 }
 
 /** Vector kernels for the similarity operators (same rationale as
@@ -1238,6 +1306,9 @@ object NativeHash {
     Bridge.column(BpeEncode(Bridge.expression(text), merges))
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+  def sortedWeightedDot(ka: Column, wa: Column, kb: Column, wb: Column): Column =
+    Bridge.column(SortedWeightedDot(Bridge.expression(ka), Bridge.expression(wa),
+      Bridge.expression(kb), Bridge.expression(wb)))
   def cosineToQuery(vec: Column, q: Array[Double], qNorm: Double): Column =
     Bridge.column(CosineToQuery(Bridge.expression(vec), q, qNorm))
   def cosinePair(a: Column, b: Column): Column =

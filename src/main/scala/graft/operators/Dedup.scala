@@ -556,6 +556,128 @@ object Dedup {
     * size ≪ 100k), so correctness gates are cap-invariant. */
   val ContainmentDefaultMaxDocFreq: Int = 100000
 
+  /** Default candidate document-frequency cap for [[tfidfCosinePairs]] —
+    * same role as [[ContainmentDefaultMaxDocFreq]]: a term in more
+    * documents than this generates no candidate pairs (its posting list
+    * would self-join quadratically), bounding per-term pair fan-out at
+    * cap²/2 while `capObs` makes any loss runtime-observable. */
+  val TfidfDefaultMaxDocFreq: Int = 10000
+
+  /** TF-IDF weighted cosine near-dup pairs — the "embedding-cosine"
+    * dedup family computed from RAW TEXT in-engine: each document becomes
+    * a sparse weighted vector over its token n-gram shingles
+    * (`w = min(tf, tfCap) · min(N·100 DIV df, idfCapX100)` — saturating
+    * term frequency, rational idf ×100; both caps bound every magnitude so
+    * the whole pipeline stays in EXACT integer arithmetic — see the
+    * bounds below), and pairs with cos²(a,b) ≥ threshold² are returned as
+    * (id_a, id_b, cos2_x1e6) with `cos2_x1e6 = dot²·10⁶ DIV (‖a‖²·‖b‖²)`
+    * — cosine SQUARED ×1e6, monotone in cosine, exact with no square
+    * root. Unlike Jaccard (set overlap) this downweights corpus-common
+    * shingles and upweights repeated rare content; unlike
+    * [[semanticDupes]] it needs no embedding column.
+    *
+    * Integer-exactness bounds (the reason for the caps): with tfCap = 15
+    * and idfCapX100 = 10000, w ≤ 150 000, so for documents up to 10⁵
+    * distinct shingles ‖·‖² ≤ 2.25e15 (long-exact), dot ≤ 2.25e15
+    * (long-exact in the merge-walk kernel), and dot²·10⁶ ≤ 5.1e36 <
+    * 10³⁸ — inside DECIMAL(38,0) here and HUGEINT in a SQL oracle, so the
+    * final predicate is replayable bit-for-bit on any engine.
+    *
+    * Scale shape (100 TB): one corpus shuffle builds (doc, shingle-hash,
+    * tf); df is a map-side-combinable count; candidates come from the
+    * inverted index restricted to sub-`maxDocFreq` terms (self-join keyed
+    * on the term hash — only docs sharing a sub-cap term ever meet);
+    * verify is ONE row per candidate pair through the codegen'd
+    * merge-walk dot kernel over the persisted sorted vectors — full
+    * vectors, so the df cap affects WHICH pairs are checked, never the
+    * score of a checked pair. Exactness trade (the [[containmentPairs]]
+    * contract): a pair sharing ONLY above-cap terms is missed; `capObs`
+    * observes `capped_terms`/`capped_postings` — zero on both means the
+    * run was in fact EXACT. The candidate volume is Σ_{df≤cap} df²/2 (no
+    * weighted prefix filter yet — Bayardo et al., WWW'07 "Scaling Up All
+    * Pairs Similarity Search" is the known tightening); `maxDocFreq` is
+    * the knob that bounds it. Gram identity is the 64-bit hash
+    * (collisions indistinguishable at any real vocabulary). */
+  def tfidfCosinePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3,
+      tfCap: Int = 15, idfCapX100: Long = 10000L,
+      maxDocFreq: Option[Int] = Some(TfidfDefaultMaxDocFreq),
+      candidateObs: Option[org.apache.spark.sql.Observation] = None,
+      capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    require(tfCap >= 1 && tfCap <= 1000, s"tfCap in [1,1000], got $tfCap")
+    require(idfCapX100 >= 100L && idfCapX100 <= 150000L,
+      s"idfCapX100 in [100, 150000], got $idfCapX100")
+    // w ≤ tfCap·idfCapX100 =: W must satisfy (10⁵·W²)²·10⁶ < 10³⁸ (dot over
+    // up to 10⁵ shared terms, squared, ×1e6, inside DECIMAL(38,0)/HUGEINT)
+    // → W ≤ 3·10⁵
+    require(tfCap.toLong * idfCapX100 <= 300000L,
+      s"tfCap·idfCapX100 = ${tfCap.toLong * idfCapX100} exceeds the " +
+        "3e5 integer-exactness budget (dot²·1e6 must fit DECIMAL(38,0))")
+    val n = df.count()
+    // (doc, shingle-hash, saturated-tf · idf weight, df): the one corpus
+    // shuffle; weights use FULL df (the cap below gates candidates only)
+    val tf = spread(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(shinglesFromTokens(col("__toks"), shingleN)).as("term"))
+      .groupBy(col("id"), xxhash64(col("term")).as("th"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
+    val weighted = spillPersistEager(tf.join(dfreq, "th")
+      .select(col("id"), col("th"), col("df"),
+        (least(col("tf"), lit(tfCap.toLong)) *
+          least(expr(s"CAST(${n * 100L} DIV df AS BIGINT)"), lit(idfCapX100)))
+          .as("w")))
+    // per-doc sorted sparse vectors + squared norms (long-exact, see bounds)
+    val vecs = spillPersistEager(weighted
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("th"), col("w")))).as("kw"),
+        sum(col("w") * col("w")).as("n2"))
+      .select(col("id"), col("n2"),
+        transform(col("kw"), x => x.getField("th")).as("ks"),
+        transform(col("kw"), x => x.getField("w")).as("ws")))
+    val posting = maxDocFreq.fold(weighted.select("th", "id")) { cap =>
+      capObs match {
+        case Some(ob) =>
+          // persist the (tiny: above-cap terms only) audit relation eagerly
+          // so the observation fires exactly once — the cappedPostings rule
+          val hot = spillPersistEager(dfreq.filter(col("df") > cap).observe(ob,
+            count(lit(1)).as("capped_terms"),
+            coalesce(sum("df"), lit(0L)).as("capped_postings")))
+          weighted.select("th", "id")
+            .join(broadcast(hot.select("th")), Seq("th"), "left_anti")
+        case scala.None =>
+          weighted.filter(col("df") <= cap).select("th", "id")
+      }
+    }
+    val cand0 = posting.select(col("th"), col("id").as("id_a"))
+      .join(posting.select(col("th"), col("id").as("id_b")), Seq("th"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val cand = candidateObs match {
+      case Some(ob) => cand0.observe(ob, count(lit(1)).as("candidates"))
+      case scala.None => cand0
+    }
+    val t2x1e6 = math.round(threshold * threshold * 1e6)
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("n2").as("n2_a"),
+        col("ks").as("ks_a"), col("ws").as("ws_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("n2").as("n2_b"),
+        col("ks").as("ks_b"), col("ws").as("ws_b")), "id_b")
+      .withColumn("dot", graft.functions.NativeHash.sortedWeightedDot(
+        col("ks_a"), col("ws_a"), col("ks_b"), col("ws_b")))
+      // exact integral quotient: DECIMAL(38,0) products, DIV (IntegralDivide
+      // truncates — decimal `/` would ROUND at the result scale and disagree
+      // with a HUGEINT `//` oracle near bucket edges)
+      .withColumn("cos2_x1e6", expr(
+        "(CAST(dot AS DECIMAL(19,0)) * CAST(dot AS DECIMAL(19,0)) * 1000000)" +
+          " DIV (CAST(n2_a AS DECIMAL(19,0)) * CAST(n2_b AS DECIMAL(19,0)))"))
+      .filter(col("cos2_x1e6") >= t2x1e6)
+      .select("id_a", "id_b", "cos2_x1e6")
+  }
+
   /** Persistable containment corpus INDEX: one row per doc with its size,
     * sorted hashed shingle set (the verify store), and its rarest-first
     * PREFIX hashes of length |s| − o + 1 under the build corpus's

@@ -55,6 +55,90 @@ object TextCorpus {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** Per-document benchmark-contamination RATE — the GPT-3 appendix-C
+    * "dirtiness" statistic: the fraction of a document's DISTINCT token
+    * n-grams that appear anywhere in the benchmark corpus, as an exact
+    * permille. Complements [[contamination]] (per-pair overlap counts,
+    * flags WHO overlaps) and [[graft.operators.Dedup.contaminatedSpans]]
+    * (WHERE the overlap sits) with HOW MUCH of each doc is contaminated —
+    * the number a filtering threshold is actually set on.
+    *
+    * Shape at 100 TB: the benchmark's distinct gram hashes collect ONCE
+    * (eval suites are metadata-scale next to a training corpus; the
+    * driver-side set is cap-guarded with a loud refusal, never truncated)
+    * and ride the closure as a codegen'd InSet probe — the corpus pass is
+    * MAP-ONLY: per row one in-place window-hash scan
+    * ([[graft.functions.HashKernels.kgramWindowHashes]] — no gram-string
+    * or token-array allocation), one distinct, one set-membership filter.
+    * No join, no exchange, train text never shuffles. Gram identity is the
+    * 64-bit window hash (the corpus-wide convention of the dedup family —
+    * collisions across ~2⁶⁴ indistinguishable at any real gram count).
+    * Documents with fewer than `n` tokens have no n-grams: rate 0 over 0
+    * grams. Returns (idCol, n_grams, n_hits, contamination_permille). */
+  def contaminationRate(
+      train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      maxBenchGrams: Int = 5000000): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maxBenchGrams > 0, s"maxBenchGrams must be positive, got $maxBenchGrams")
+    import org.apache.spark.sql.catalyst.expressions.InSet
+    import org.apache.spark.sql.graft.Bridge
+    val benchGrams = bench
+      .select(explode(graft.functions.NativeHash.kgramWindowHashes(
+        TextFunctions.normalizeWs(col(benchTextCol)), n)).as("gh"))
+      .distinct().limit(maxBenchGrams + 1)
+      .collect().map(_.getLong(0))
+    if (benchGrams.length > maxBenchGrams)
+      throw new IllegalStateException(
+        s"contaminationRate: benchmark corpus has more than $maxBenchGrams " +
+          "distinct n-grams — refusing a truncated reference set (raise " +
+          "maxBenchGrams or shrink the benchmark side)")
+    val hset: Set[Any] = benchGrams.iterator
+      .map(java.lang.Long.valueOf(_): Any).toSet
+    val grams = graft.functions.NativeHash.kgramWindowHashes(
+      TextFunctions.normalizeWs(col(textCol)), n)
+    train
+      .select(col(idCol), array_distinct(grams).as("__dg"))
+      .select(col(idCol),
+        size(col("__dg")).cast("long").as("n_grams"),
+        (if (benchGrams.isEmpty) lit(0L)
+         else size(filter(col("__dg"),
+           g => Bridge.column(InSet(Bridge.expression(g), hset)))).cast("long"))
+          .as("n_hits"))
+      .withColumn("contamination_permille",
+        when(col("n_grams") > 0,
+          expr("CAST(n_hits * 1000 DIV n_grams AS BIGINT)")).otherwise(lit(0L)))
+  }
+
+  /** Per-document TF-IDF keyword extraction: the top `k` tokens of each
+    * document by `tf · idf_x1000`, integer-exact (`idf_x1000 = N·1000 DIV
+    * df` — rational idf, no logarithm, so a SQL oracle replays every score
+    * bit-for-bit; the log-idf ordering differs only in scale, not in which
+    * terms rank high). Tie-break: score desc, term asc — fully
+    * deterministic. The window partitions BY DOCUMENT (bounded by one
+    * doc's vocabulary — never the per-language single-reducer trap that
+    * [[scoreBuckets]] avoids). Term strings shuffle once into the
+    * (doc, term) count; the df side is a map-side-combinable count joined
+    * back on the term. Returns (idCol, term, tfidf_x1000, rank ≤ k). */
+  def keywordsTfidf(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = df.count()
+    val tf = df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf_x1000").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("tfidf_x1000",
+        col("tf") * expr(s"CAST(${n * 1000L} DIV df AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tfidf_x1000"), col("rank"))
+  }
+
   /** Deterministic per-stratum hash sampling — the training-mix builder:
     * keep a row iff `lcgBucket(key) < rate(stratum) · m`. The "hash" is a
     * linear-congruential mix over the key column so the SAME selection is

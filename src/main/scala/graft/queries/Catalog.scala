@@ -77,6 +77,12 @@ object Catalog {
   val ContainmentGateThreshold: Double = 0.8
   val ContainmentGateMinShingles: Int = 10
 
+  /** The dedup_tfidf_cosine gate's parameterization — same single-source
+    * rule as the ContainmentGate* constants: the Spark query, its DuckDB
+    * oracle, and the sf1 sweep all interpolate these. */
+  val TfidfGateThreshold: Double = 0.8
+  val TfidfGateMaxDocFreq: Int = 50
+
   /** The dsirSample quantized-exponential table rendered as a SQL VALUES
     * list "(0, 7624618), (1, …)", generated from the SAME array the Spark
     * operator reads ([[TextCorpus.dsirExpTableX1e6]]) so the two sides
@@ -1590,6 +1596,43 @@ object Catalog {
         WHERE least(sa.sz, sb.sz) >= 10
           AND (i*1000) // least(sa.sz, sb.sz) >= 800""")),
 
+    // TF-IDF weighted cosine near-dup from RAW text ("embedding cosine"
+    // with the embedding computed in-engine): saturating-tf × capped
+    // rational-idf weights over 3-gram shingles, candidates from the
+    // sub-df-cap inverted index, verify = exact integer cos²·1e6 over the
+    // FULL vectors (dot²·1e6 DIV n2a·n2b — HUGEINT in DuckDB, DECIMAL(38)
+    // + IntegralDivide in Spark, identical truncation). The df cap (50)
+    // binds nothing at gate vocabulary (max shingle df = 7 at sf0.01), so
+    // the oracle's shared-term candidate rule is provably identical
+    Q("dedup_tfidf_cosine",
+      (s, d) => Dedup.tfidfCosinePairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = TfidfGateThreshold,
+        maxDocFreq = Some(TfidfGateMaxDocFreq)),
+      Some(s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        nn AS (SELECT count(*) AS nd FROM documents),
+        g AS (SELECT doc_id, unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_transform(range(1, len(toks)-1),
+              i -> array_to_string(toks[i:i+2], ' ')) END) AS gr
+          FROM base),
+        tf AS (SELECT doc_id, gr, count(*) AS c FROM g GROUP BY 1, 2),
+        dfq AS (SELECT gr, count(*) AS df FROM tf GROUP BY gr),
+        w AS (SELECT doc_id, gr, df,
+            least(c, 15) * least(100 * (SELECT nd FROM nn) // df, 10000) AS w
+          FROM tf JOIN dfq USING (gr)),
+        n2 AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM w GROUP BY doc_id),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM w a JOIN w b ON a.gr = b.gr AND a.doc_id < b.doc_id
+          WHERE a.df <= ${TfidfGateMaxDocFreq}),
+        dot AS (SELECT id_a, id_b, sum(CAST(wa.w AS HUGEINT) * wb.w) AS dot
+          FROM cand JOIN w wa ON wa.doc_id = id_a
+          JOIN w wb ON wb.doc_id = id_b AND wb.gr = wa.gr
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(dot*dot*1000000 // (na.n2 * nb.n2) AS BIGINT) AS cos2_x1e6
+        FROM dot JOIN n2 na ON na.doc_id = id_a JOIN n2 nb ON nb.doc_id = id_b
+        WHERE dot*dot*1000000 // (na.n2 * nb.n2) >=
+          ${math.round(TfidfGateThreshold * TfidfGateThreshold * 1e6)}""")),
+
     // direct inverted-index n-gram Jaccard — guaranteed-total recall (any
     // J > 0 pair shares a shingle), so spark output ≡ oracle by construction
     Q("dedup_ngram_jaccard",
@@ -1755,6 +1798,51 @@ object Catalog {
           CAST(count(*) AS BIGINT) AS overlap
         FROM tp t JOIN bp b ON t.s = b.s
         GROUP BY 1, 2 HAVING count(*) >= 5""")),
+
+    // per-doc contamination RATE (the GPT-3 appendix-C dirtiness metric):
+    // permille of each doc's DISTINCT 8-grams present anywhere in the
+    // benchmark slice (doc_id % 17 = 3); the bench gram set broadcasts as
+    // an InSet probe, the corpus pass is map-only. Oracle recomputes from
+    // RAW gram strings (hash identity proven collision-exact at gate scale)
+    Q("text_contamination_rate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextCorpus.contaminationRate(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 17 === 3), "text", n = 8)
+      },
+      Some(s"""WITH s AS (SELECT doc_id, $toksSql AS t FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gr
+          FROM s, unnest(range(1, len(t) - 6)) AS r(i)),
+        bg AS (SELECT DISTINCT gr FROM g WHERE doc_id % 17 = 3),
+        h AS (SELECT doc_id, count(*) AS ng,
+            count(*) FILTER (gr IN (SELECT gr FROM bg)) AS nh
+          FROM g GROUP BY doc_id)
+        SELECT s.doc_id, CAST(coalesce(ng, 0) AS BIGINT) AS n_grams,
+          CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+          CAST(CASE WHEN coalesce(ng, 0) > 0 THEN nh * 1000 // ng
+            ELSE 0 END AS BIGINT) AS contamination_permille
+        FROM s LEFT JOIN h USING (doc_id)""")),
+
+    // per-doc TF-IDF keyword extraction: top-3 tokens by tf · (N·1000 DIV
+    // df) — rational idf, integer-exact, ties broken (score desc, term
+    // asc); the window partitions by document, never by a corpus-wide key
+    Q("text_keywords",
+      (s, d) => TextCorpus.keywordsTfidf(t(s, d, "documents"),
+        "doc_id", "text", k = 3),
+      Some(s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        nn AS (SELECT count(*) AS nd FROM documents),
+        tp AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        tf AS (SELECT doc_id, term, count(*) AS c FROM tp GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        w AS (SELECT doc_id, term,
+            c * (1000 * (SELECT nd FROM nn) // df) AS w
+          FROM tf JOIN dfq USING (term)),
+        r AS (SELECT doc_id, term, w,
+            row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rk
+          FROM w)
+        SELECT doc_id, term, CAST(w AS BIGINT) AS tfidf_x1000,
+          CAST(rk AS BIGINT) AS rank
+        FROM r WHERE rk <= 3""")),
 
     // sequence packing (concat-then-chunk): distributed prefix-sum offsets
     // vs a plain window-cumsum truth — same numbers at any partition count

@@ -123,6 +123,20 @@ object PlanCheck {
         // change the 100 TB cost class of the apply pass
         p => !p.contains("Exchange") && !p.contains("Join") &&
           p.contains("INSET")),
+      ("text_contamination_rate", "contamination pass is map-only (bench set rides the closure as InSet)",
+        // the benchmark gram set must fold into the projection as an InSet
+        // literal — a regression to a join would shuffle corpus text for a
+        // metadata-scale reference set
+        p => !p.contains("Exchange") && !p.contains("Join") &&
+          p.contains("INSET")),
+      ("text_keywords", "keyword window keyed BY DOCUMENT; df side broadcast or partial-agg'd",
+        // a regression to windowspecdefinition(term…) or an un-keyed window
+        // would rank the whole corpus on one executor
+        p => p.contains("windowspecdefinition(doc_id#") &&
+          !p.contains("CartesianProduct")),
+      ("dedup_tfidf_cosine", "cosine verify rides the capped inverted index (no cartesian/nested-loop)",
+        p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
       ("dedup_cdc_chunks", "CDC windows keyed (doc-keyed assembly, (h,chunk) verify — never global), no cartesian",
         // a regression to windowspecdefinition(p#...) with no leading
         // partition column would serialize the whole token stream on one

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.Observation
+
+import graft.SparkSuite
+
+/** [[Dedup.tfidfCosinePairs]]: the hashed-inverted-index + merge-walk-dot
+  * pipeline must equal a direct driver-side reference of the documented
+  * formula (saturating tf × capped rational idf, cos²·1e6 by truncating
+  * integral division), the df cap must be runtime-observable, and the
+  * integer-exactness budget must refuse loudly. */
+class TfidfCosineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val ShingleN = 3
+  private val TfCap = 15
+  private val IdfCapX100 = 10000L
+
+  private def norm(s: String): String =
+    s.trim.toLowerCase.replaceAll("\\s+", " ")
+
+  private def shingles(text: String): Seq[String] = {
+    val t = norm(text).split(" ", -1).toSeq
+    if (t.size <= ShingleN) Seq(t.mkString(" "))
+    else t.sliding(ShingleN).map(_.mkString(" ")).toSeq
+  }
+
+  /** The documented formula, verbatim, in BigInt space. */
+  private def reference(
+      docs: Seq[(Long, String)], threshold: Double,
+      cap: Option[Int]): Set[(Long, Long, Long)] = {
+    val n = docs.size.toLong
+    val tf: Map[(Long, String), Long] = docs
+      .flatMap { case (id, t) => shingles(t).map(g => (id, g)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val dfq: Map[String, Long] =
+      tf.keys.toSeq.groupBy(_._2).map { case (g, v) => g -> v.size.toLong }
+    val w: Map[(Long, String), Long] = tf.map { case ((id, g), c) =>
+      (id, g) -> (math.min(c, TfCap.toLong) *
+        math.min(n * 100L / dfq(g), IdfCapX100))
+    }
+    val byDoc: Map[Long, Map[String, Long]] =
+      w.groupBy(_._1._1).map { case (id, m) =>
+        id -> m.map { case ((_, g), x) => g -> x }
+      }
+    val n2: Map[Long, BigInt] =
+      byDoc.map { case (id, m) => id -> m.values.map(x => BigInt(x) * x).sum }
+    val ids = docs.map(_._1)
+    val candOk: (Long, Long) => Boolean = (a, b) => cap match {
+      case Some(c) => byDoc(a).keySet.intersect(byDoc(b).keySet)
+        .exists(g => dfq(g) <= c)
+      case None => byDoc(a).keySet.intersect(byDoc(b).keySet).nonEmpty
+    }
+    val t2 = math.round(threshold * threshold * 1e6)
+    (for {
+      a <- ids; b <- ids if a < b && candOk(a, b)
+      dot = byDoc(a).keySet.intersect(byDoc(b).keySet).toSeq
+        .map(g => BigInt(byDoc(a)(g)) * byDoc(b)(g)).sum
+      cos2 = dot * dot * 1000000 / (n2(a) * n2(b))
+      if cos2 >= t2
+    } yield (a, b, cos2.toLong)).toSet
+  }
+
+  private def runOp(
+      docs: Seq[(Long, String)], threshold: Double,
+      cap: Option[Int],
+      capObs: Option[Observation] = None): Set[(Long, Long, Long)] = {
+    val out = Dedup.tfidfCosinePairs(docs.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = threshold, shingleN = ShingleN,
+      tfCap = TfCap, idfCapX100 = IdfCapX100, maxDocFreq = cap,
+      capObs = capObs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Dedup.releaseIntermediates()
+    out
+  }
+
+  private val rnd = new scala.util.Random(1413)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+  private def sentence(n: Int): String =
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  test("randomized corpus with salted copies matches the BigInt reference") {
+    val base = (0L until 12L).map(i => (i, sentence(12 + rnd.nextInt(30))))
+    val copies = base.take(5).map { case (id, t) =>
+      (id + 100L, if (id % 2 == 0) t else s"$t ${sentence(3)}")
+    }
+    val docs = base ++ copies
+    for (th <- Seq(0.5, 0.8, 0.95))
+      assert(runOp(docs, th, cap = None) == reference(docs, th, cap = None),
+        s"threshold $th")
+  }
+
+  test("identical documents score exactly cos2_x1e6 = 1000000") {
+    val t = sentence(25)
+    val got = runOp(Seq((1L, t), (2L, t), (3L, sentence(25))), 0.99, None)
+    assert(got.contains((1L, 2L, 1000000L)))
+  }
+
+  test("df cap drops only-boilerplate pairs and capObs reports it") {
+    // two docs sharing ONLY a common phrase that 9 other docs also carry
+    // (df = 11 > cap 10): with the cap their pair is not a candidate, and
+    // the audit shows exactly what was dropped; uncapped it IS found
+    val phrase = "alpha beta gamma delta epsilon zeta"
+    val docs = (0L until 9L).map(i => (i, s"${sentence(20)} $phrase")) ++
+      Seq((20L, phrase), (21L, phrase))
+    val obs = Observation("tfidf-cap")
+    val capped = runOp(docs, 0.9, cap = Some(10), capObs = Some(obs))
+    assert(!capped.exists(p => p._1 == 20L && p._2 == 21L))
+    assert(obs.get("capped_terms").asInstanceOf[Long] > 0L)
+    val uncapped = runOp(docs, 0.9, cap = None)
+    assert(uncapped.contains((20L, 21L, 1000000L)))
+  }
+
+  test("capObs reads zero on a cap-free corpus (the run was exact)") {
+    val obs = Observation("tfidf-cap-zero")
+    val docs = (0L until 8L).map(i => (i, sentence(15)))
+    runOp(docs, 0.8, cap = Some(1000), capObs = Some(obs))
+    assert(obs.get("capped_terms") == 0L)
+    assert(obs.get("capped_postings") == 0L)
+  }
+
+  test("cap-invariant result when the cap binds nothing") {
+    val docs = (0L until 10L).map(i => (i, sentence(20))) ++
+      Seq((50L, sentence(30))).flatMap(d => Seq(d, (51L, d._2)))
+    assert(runOp(docs, 0.7, Some(1000)) == runOp(docs, 0.7, None))
+  }
+
+  test("integer-exactness budget refuses loudly") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.tfidfCosinePairs(df, "doc_id", "text",
+        tfCap = 100, idfCapX100 = 10000L)
+    }
+    assert(e.getMessage.contains("integer-exactness budget"))
+  }
+}
