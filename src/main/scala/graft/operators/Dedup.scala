@@ -605,39 +605,16 @@ object Dedup {
       maxDocFreq: Option[Int] = Some(TfidfDefaultMaxDocFreq),
       candidateObs: Option[org.apache.spark.sql.Observation] = None,
       capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    require(tfCap >= 1 && tfCap <= 1000, s"tfCap in [1,1000], got $tfCap")
-    require(idfCapX100 >= 100L && idfCapX100 <= 150000L,
-      s"idfCapX100 in [100, 150000], got $idfCapX100")
     // w ≤ tfCap·idfCapX100 =: W must satisfy (10⁵·W²)²·10⁶ < 10³⁸ (dot over
     // up to 10⁵ shared terms, squared, ×1e6, inside DECIMAL(38,0)/HUGEINT)
-    // → W ≤ 3·10⁵
-    require(tfCap.toLong * idfCapX100 <= 300000L,
-      s"tfCap·idfCapX100 = ${tfCap.toLong * idfCapX100} exceeds the " +
-        "3e5 integer-exactness budget (dot²·1e6 must fit DECIMAL(38,0))")
-    val n = df.count()
+    // → W ≤ 3·10⁵ — enforced by tfidfRequire
+    tfidfRequire(threshold, tfCap, idfCapX100)
     // (doc, shingle-hash, saturated-tf · idf weight, df): the one corpus
     // shuffle; weights use FULL df (the cap below gates candidates only)
-    val tf = spread(df.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), tokens(col(textCol)).as("__toks"))
-      .select(col("id"),
-        explode(shinglesFromTokens(col("__toks"), shingleN)).as("term"))
-      .groupBy(col("id"), xxhash64(col("term")).as("th"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
-    val weighted = spillPersistEager(tf.join(dfreq, "th")
-      .select(col("id"), col("th"), col("df"),
-        (least(col("tf"), lit(tfCap.toLong)) *
-          least(expr(s"CAST(${n * 100L} DIV df AS BIGINT)"), lit(idfCapX100)))
-          .as("w")))
+    val (weighted, dfreq) =
+      tfidfWeightedPostings(df, idCol, textCol, shingleN, tfCap, idfCapX100)
     // per-doc sorted sparse vectors + squared norms (long-exact, see bounds)
-    val vecs = spillPersistEager(weighted
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("th"), col("w")))).as("kw"),
-        sum(col("w") * col("w")).as("n2"))
-      .select(col("id"), col("n2"),
-        transform(col("kw"), x => x.getField("th")).as("ks"),
-        transform(col("kw"), x => x.getField("w")).as("ws")))
+    val vecs = tfidfVecsOf(weighted)
     val posting = maxDocFreq.fold(weighted.select("th", "id")) { cap =>
       capObs match {
         case Some(ob) =>
@@ -671,6 +648,156 @@ object Dedup {
       // exact integral quotient: DECIMAL(38,0) products, DIV (IntegralDivide
       // truncates — decimal `/` would ROUND at the result scale and disagree
       // with a HUGEINT `//` oracle near bucket edges)
+      .withColumn("cos2_x1e6", expr(
+        "(CAST(dot AS DECIMAL(19,0)) * CAST(dot AS DECIMAL(19,0)) * 1000000)" +
+          " DIV (CAST(n2_a AS DECIMAL(19,0)) * CAST(n2_b AS DECIMAL(19,0)))"))
+      .filter(col("cos2_x1e6") >= t2x1e6)
+      .select("id_a", "id_b", "cos2_x1e6")
+  }
+
+  /** Weighted tf-idf postings (id, th, df, w) + the (th, df) census — the
+    * shared construction of the tf-idf cosine family (one corpus shuffle;
+    * magnitude discipline documented on [[tfidfCosinePairs]]). */
+  private def tfidfWeightedPostings(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      tfCap: Int, idfCapX100: Long): (DataFrame, DataFrame) = {
+    val n = df.count()
+    val tf = spread(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(shinglesFromTokens(col("__toks"), shingleN)).as("term"))
+      .groupBy(col("id"), xxhash64(col("term")).as("th"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
+    val weighted = spillPersistEager(tf.join(dfreq, "th")
+      .select(col("id"), col("th"), col("df"),
+        (least(col("tf"), lit(tfCap.toLong)) *
+          least(expr(s"CAST(${n * 100L} DIV df AS BIGINT)"), lit(idfCapX100)))
+          .as("w")))
+    (weighted, dfreq)
+  }
+
+  /** (id, n2, ks, ws) sorted sparse vectors of a weighted-postings
+    * relation — the merge-walk dot kernel's operand encoding. */
+  private def tfidfVecsOf(weighted: DataFrame): DataFrame =
+    spillPersistEager(weighted
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("th"), col("w")))).as("kw"),
+        sum(col("w") * col("w")).as("n2"))
+      .select(col("id"), col("n2"),
+        transform(col("kw"), x => x.getField("th")).as("ks"),
+        transform(col("kw"), x => x.getField("w")).as("ws")))
+
+  private def tfidfRequire(threshold: Double, tfCap: Int, idfCapX100: Long): Unit = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    require(tfCap >= 1 && tfCap <= 1000, s"tfCap in [1,1000], got $tfCap")
+    require(idfCapX100 >= 100L && idfCapX100 <= 150000L,
+      s"idfCapX100 in [100, 150000], got $idfCapX100")
+    require(tfCap.toLong * idfCapX100 <= 300000L,
+      s"tfCap·idfCapX100 = ${tfCap.toLong * idfCapX100} exceeds the " +
+        "3e5 integer-exactness budget (dot²·1e6 must fit DECIMAL(38,0))")
+  }
+
+  private[graft] val TfidfMetaShingleN = "graft.tfidf.shingleN"
+  private[graft] val TfidfMetaTfCap = "graft.tfidf.tfCap"
+  private[graft] val TfidfMetaIdfCap = "graft.tfidf.idfCapX100"
+
+  /** Persistable tf-idf cosine corpus INDEX: one row per doc — squared
+    * norm `n2` plus the sorted (shingle-hash, weight) sparse vector as the
+    * parallel `ks`/`ws` arrays (the [[graft.functions.HashKernels
+    * .sortedWeightedDot]] operand encoding). Write as parquet and feed
+    * [[tfidfCosineIncremental]]: a daily batch is cosine-checked against
+    * an N-billion-doc corpus without re-reading or re-shingling corpus
+    * text. The index is SELF-CONTAINED — the build-time document count
+    * and per-term document frequencies are recoverable from the stored
+    * vectors themselves (`count(*)` and an explode-count over `ks`), so
+    * no side table has to travel with it. Build params ride the schema
+    * metadata (the [[minhashIndex]]/[[containmentIndex]] rule) so a
+    * mismatched query raises instead of silently scoring with different
+    * weights. */
+  def tfidfIndex(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
+      tfCap: Int = 15, idfCapX100: Long = 10000L): DataFrame = {
+    tfidfRequire(1.0, tfCap, idfCapX100)
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    val (weighted, _) =
+      tfidfWeightedPostings(df, idCol, textCol, shingleN, tfCap, idfCapX100)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(TfidfMetaShingleN, shingleN.toLong)
+      .putLong(TfidfMetaTfCap, tfCap.toLong)
+      .putLong(TfidfMetaIdfCap, idfCapX100).build()
+    tfidfVecsOf(weighted)
+      .select(col("id"), col("n2"), col("ks").as("ks", meta), col("ws"))
+  }
+
+  /** Cosine pairs between a NEW batch and a [[tfidfIndex]] — the
+    * rolling-ingest form of [[tfidfCosinePairs]], under the FROZEN-IDF
+    * serving convention (the standard way a trained tf-idf model scores
+    * unseen documents): the batch weights itself with the INDEX's
+    * document count and per-term document frequencies, both recovered
+    * from the stored vectors (one narrow hash-only pass — corpus text is
+    * never touched); a term the index never saw takes `df = 1`, the
+    * rarest-possible idf (capped as always). Candidates come from joining
+    * the batch's postings against the index's sub-`maxDocFreq` postings
+    * (cap measured on the frozen census); verify is the same merge-walk
+    * dot + exact integer cos²·1e6 predicate over full vectors. Batch ids
+    * must be disjoint from index ids (the [[containmentIncremental]]
+    * contract). Returns (id_a = index doc, id_b = batch doc, cos2_x1e6).
+    *
+    * At 100 TB the census derivation is an O(index-postings) narrow scan
+    * per ingest; an operation folding many batches should persist the
+    * (th, df) census alongside the index and maintain it with the
+    * [[graft.operators.Similarity.ivfCensusMerge]] pattern instead. */
+  def tfidfCosineIncremental(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3,
+      tfCap: Int = 15, idfCapX100: Long = 10000L,
+      maxDocFreq: Option[Int] = Some(TfidfDefaultMaxDocFreq),
+      candidateObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    tfidfRequire(threshold, tfCap, idfCapX100)
+    index.schema.find(_.name == "ks").map(_.metadata).foreach { m =>
+      def chk(key: String, passed: Long, label: String): Unit =
+        if (m.contains(key)) require(m.getLong(key) == passed,
+          s"tfidf index was built with $label=${m.getLong(key)}, caller passed $passed")
+      chk(TfidfMetaShingleN, shingleN.toLong, "shingleN")
+      chk(TfidfMetaTfCap, tfCap.toLong, "tfCap")
+      chk(TfidfMetaIdfCap, idfCapX100, "idfCapX100")
+    }
+    val n0 = index.count()
+    val df0 = spillPersistEager(index
+      .select(explode(col("ks")).as("th"))
+      .groupBy("th").agg(count(lit(1)).as("df")))
+    val tf = spread(batch.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(shinglesFromTokens(col("__toks"), shingleN)).as("term"))
+      .groupBy(col("id"), xxhash64(col("term")).as("th"))
+      .agg(count(lit(1)).as("tf"))
+    val bw = spillPersistEager(tf.join(df0, Seq("th"), "left")
+      .select(col("id"), col("th"),
+        (least(col("tf"), lit(tfCap.toLong)) *
+          least(expr(s"CAST(${n0 * 100L} DIV coalesce(df, 1) AS BIGINT)"),
+            lit(idfCapX100))).as("w")))
+    val bvecs = tfidfVecsOf(bw)
+    val iPost0 = index.select(col("id").as("id_a"), explode(col("ks")).as("th"))
+    val iPost = maxDocFreq.fold(iPost0)(cap =>
+      iPost0.join(df0.filter(col("df") <= cap).select("th"), "th"))
+    val cand0 = iPost
+      .join(bw.select(col("th"), col("id").as("id_b")), Seq("th"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val cand = candidateObs match {
+      case Some(ob) => cand0.observe(ob, count(lit(1)).as("candidates"))
+      case scala.None => cand0
+    }
+    val t2x1e6 = math.round(threshold * threshold * 1e6)
+    cand
+      .join(index.select(col("id").as("id_a"), col("n2").as("n2_a"),
+        col("ks").as("ks_a"), col("ws").as("ws_a")), "id_a")
+      .join(bvecs.select(col("id").as("id_b"), col("n2").as("n2_b"),
+        col("ks").as("ks_b"), col("ws").as("ws_b")), "id_b")
+      .withColumn("dot", graft.functions.NativeHash.sortedWeightedDot(
+        col("ks_a"), col("ws_a"), col("ks_b"), col("ws_b")))
       .withColumn("cos2_x1e6", expr(
         "(CAST(dot AS DECIMAL(19,0)) * CAST(dot AS DECIMAL(19,0)) * 1000000)" +
           " DIV (CAST(n2_a AS DECIMAL(19,0)) * CAST(n2_b AS DECIMAL(19,0)))"))

@@ -62,7 +62,16 @@ object Sf1Drive {
     "text_quality_classifier", "text_lm_cross_score",
     // round-14: persisted-index simhash at 10× — the brute-force cross
     // oracle recomputes 50k+7k signatures and checks all pairs
-    "dedup_simhash_incremental")
+    "dedup_simhash_incremental",
+    // round-14: TF-IDF family at 10×. Cosine: per-copy salting keeps
+    // shingles copy-local, so candidates stay within copies and the
+    // Catalog oracle replays verbatim over the full corpus (N grows 10×
+    // while per-copy df doesn't, so idf saturates at its cap — the
+    // documented quantization, identical on both sides). Contamination
+    // rate: the % 17 bench slice lands on different docs per copy —
+    // irrelevant, the oracle replays the same predicate. Keywords: salting
+    // changes spelling, not counts.
+    "dedup_tfidf_cosine", "text_contamination_rate", "text_keywords")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry
     * verbatim; the three retrieval gates mirror the Catalog entry's code
@@ -350,16 +359,21 @@ object Sf1Drive {
       // observation attached, so the sweep RECORDS the candidate volume
       // at 10× next to the wall time
       val obs =
-        if (g == "dedup_containment")
+        if (g == "dedup_containment" || g == "dedup_tfidf_cosine")
           Some(new org.apache.spark.sql.Observation(s"sf1-$g-cands"))
         else None
-      val df = obs match {
-        case Some(o) => graft.operators.Dedup.containmentPairs(
+      val df = (g, obs) match {
+        case ("dedup_containment", Some(o)) => graft.operators.Dedup.containmentPairs(
           spark.read.parquet(s"$out/documents.parquet"), "doc_id", "text",
           threshold = graft.queries.Catalog.ContainmentGateThreshold,
           minShingles = graft.queries.Catalog.ContainmentGateMinShingles,
           candidateObs = Some(o))
-        case None => graft.queries.Catalog.queries(g)(spark, out)
+        case ("dedup_tfidf_cosine", Some(o)) => graft.operators.Dedup.tfidfCosinePairs(
+          spark.read.parquet(s"$out/documents.parquet"), "doc_id", "text",
+          threshold = graft.queries.Catalog.TfidfGateThreshold,
+          maxDocFreq = Some(graft.queries.Catalog.TfidfGateMaxDocFreq),
+          candidateObs = Some(o))
+        case _ => graft.queries.Catalog.queries(g)(spark, out)
       }
       df.write.mode("overwrite").parquet(s"$outDir/$g")
       graft.operators.Dedup.releaseIntermediates()

@@ -126,6 +126,63 @@ class TfidfCosineSpec extends SparkSuite {
     assert(runOp(docs, 0.7, Some(1000)) == runOp(docs, 0.7, None))
   }
 
+  test("incremental: parquet round-trip finds batch-vs-corpus pairs under frozen idf") {
+    val base = (0L until 10L).map(i => (i, sentence(15 + rnd.nextInt(20))))
+    val dir = tmpDir("tfidf-idx")
+    Dedup.tfidfIndex(base.toDF("doc_id", "text"), "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    Dedup.releaseIntermediates()
+    val index = spark.read.parquet(dir)
+    // batch = copies of docs 0 and 3 (must pair with their originals at
+    // exactly 1e6) plus one novel doc (whose unseen grams take df = 1)
+    val batch = Seq((100L, base(0)._2), (103L, base(3)._2),
+      (200L, sentence(20)))
+    val got = Dedup.tfidfCosineIncremental(batch.toDF("doc_id", "text"),
+      index, "doc_id", "text", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Dedup.releaseIntermediates()
+    assert(got.contains((0L, 100L, 1000000L)))
+    assert(got.contains((3L, 103L, 1000000L)))
+    assert(!got.exists(_._2 == 200L))
+  }
+
+  test("incremental: frozen idf means the batch does not shift corpus weights") {
+    // scoring the SAME batch against the index twice (with an unrelated doc
+    // added to the second batch) must give identical pairs for the common
+    // docs — batch composition cannot leak into the weights
+    val base = (0L until 8L).map(i => (i, sentence(20)))
+    val dir = tmpDir("tfidf-idx2")
+    Dedup.tfidfIndex(base.toDF("doc_id", "text"), "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    Dedup.releaseIntermediates()
+    val index = spark.read.parquet(dir)
+    val b1 = Seq((100L, base(2)._2))
+    val b2 = b1 ++ Seq((300L, sentence(40)))
+    def pairsFor(b: Seq[(Long, String)]) = {
+      val r = Dedup.tfidfCosineIncremental(b.toDF("doc_id", "text"),
+        index, "doc_id", "text", threshold = 0.5)
+        .collect().filter(_.getLong(1) == 100L)
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      Dedup.releaseIntermediates()
+      r
+    }
+    assert(pairsFor(b1) == pairsFor(b2))
+  }
+
+  test("incremental: index build-param mismatch refuses loudly") {
+    val base = Seq((1L, sentence(15)))
+    val dir = tmpDir("tfidf-idx3")
+    Dedup.tfidfIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3).write.mode("overwrite").parquet(dir)
+    Dedup.releaseIntermediates()
+    val index = spark.read.parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.tfidfCosineIncremental(Seq((9L, sentence(10))).toDF("doc_id", "text"),
+        index, "doc_id", "text", shingleN = 4)
+    }
+    assert(e.getMessage.contains("index was built with"))
+  }
+
   test("integer-exactness budget refuses loudly") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

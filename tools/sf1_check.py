@@ -29,7 +29,12 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          # literals salted to copy 0 (the hybrid_topk protocol)
          "sample_temperature", "text_dedup_segments", "text_phrase_blocklist",
          "text_quality_classifier", "text_lm_cross_score",
-         "dedup_simhash_incremental"]
+         "dedup_simhash_incremental",
+         # round-14: TF-IDF family — all three Catalog oracles replay
+         # verbatim over the synthesized corpus (per-copy salting keeps
+         # shingles copy-local, so cosine candidates never cross copies;
+         # the bench slice / keyword counts replay the same predicates)
+         "dedup_tfidf_cosine", "text_contamination_rate", "text_keywords"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
