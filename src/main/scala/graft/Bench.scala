@@ -78,7 +78,11 @@ object Bench {
     // (vocab census + 2 epochs of score-filter-aggregate + the map-only
     // apply) and cross-corpus LM scoring (reference-side model aggs + two
     // N:1 scoring joins)
-    "text_quality_classifier", "text_lm_cross_score")
+    "text_quality_classifier", "text_lm_cross_score",
+    // r14: tf-idf weighted cosine near-dup — the candidate join is the
+    // wall signal (norm-prefix-filtered inverted index, 258k candidates
+    // at sf0.1 vs 1.13M unfiltered)
+    "dedup_tfidf_cosine")
 
   /** Expected QUIET band per headline query: the upper edge of the
     * builder-box certified-quiet readings recorded in BASELINE.md (sf0.1,
@@ -124,7 +128,11 @@ object Bench {
     // r14 first-round bands for the two new text families: quiet pairs
     // 0.88/1.06 (classifier: vocab census + 2 training epochs + apply)
     // and 0.96/1.31 (cross-LM) at runs=5 — de-rated upper edges
-    "text_quality_classifier" -> 1.2, "text_lm_cross_score" -> 1.4)
+    "text_quality_classifier" -> 1.2, "text_lm_cross_score" -> 1.4,
+    // r14 first-round band: warm single-run readings 3.27/4.57 on a
+    // working box (TfidfProbe), de-rated upper edge per the BASELINE
+    // first-round protocol
+    "dedup_tfidf_cosine" -> 4.5)
 
   /** A clean reading above this multiple of its band is flagged
     * `over_band` — the same >2×-band rule the round verdicts apply. */

@@ -585,19 +585,20 @@ object Dedup {
     *
     * Scale shape (100 TB): one corpus shuffle builds (doc, shingle-hash,
     * tf); df is a map-side-combinable count; candidates come from the
-    * inverted index restricted to sub-`maxDocFreq` terms (self-join keyed
-    * on the term hash — only docs sharing a sub-cap term ever meet);
+    * inverted index restricted to each doc's NORM PREFIX (the
+    * Bayardo-style cosine prefix filter, Bayardo et al. WWW'07 — see the
+    * recall proof at the construction site: only the rarest-first terms
+    * carrying the top 1 − t² of each doc's squared mass are indexed,
+    * recall stays TOTAL) intersected with sub-`maxDocFreq` terms;
     * verify is ONE row per candidate pair through the codegen'd
-    * merge-walk dot kernel over the persisted sorted vectors — full
-    * vectors, so the df cap affects WHICH pairs are checked, never the
+    * merge-walk dot kernel over the persisted sorted vectors — FULL
+    * vectors, so prefix and cap affect WHICH pairs are checked, never the
     * score of a checked pair. Exactness trade (the [[containmentPairs]]
     * contract): a pair sharing ONLY above-cap terms is missed; `capObs`
     * observes `capped_terms`/`capped_postings` — zero on both means the
-    * run was in fact EXACT. The candidate volume is Σ_{df≤cap} df²/2 (no
-    * weighted prefix filter yet — Bayardo et al., WWW'07 "Scaling Up All
-    * Pairs Similarity Search" is the known tightening); `maxDocFreq` is
-    * the knob that bounds it. Gram identity is the 64-bit hash
-    * (collisions indistinguishable at any real vocabulary). */
+    * run was in fact EXACT (the prefix filter, unlike the cap, loses
+    * nothing ever). Gram identity is the 64-bit hash (collisions
+    * indistinguishable at any real vocabulary). */
   def tfidfCosinePairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3,
@@ -615,7 +616,37 @@ object Dedup {
       tfidfWeightedPostings(df, idCol, textCol, shingleN, tfCap, idfCapX100)
     // per-doc sorted sparse vectors + squared norms (long-exact, see bounds)
     val vecs = tfidfVecsOf(weighted)
-    val posting = maxDocFreq.fold(weighted.select("th", "id")) { cap =>
+    val t2x1e6Pre = math.round(threshold * threshold * 1e6)
+    // NORM PREFIX FILTER (the Bayardo/PPJoin cosine prefix, integer-exact):
+    // under the global canonical order (df asc, th asc — rarest first),
+    // each doc indexes only its shortest prefix whose remaining TAIL has
+    // suffix-norm² · 10⁶ < t²x1e6 · ‖d‖² — i.e. the prefix carries the top
+    // 1 − t² of squared mass. Recall is total: for a qualifying pair let s
+    // be the canonically-FIRST shared term; if s were outside doc a's
+    // prefix, every shared term would sit in a's tail, and Cauchy-Schwarz
+    // gives dot² ≤ suf·‖b‖², so dot²·10⁶ < t²x1e6·‖a‖²·‖b‖² — NOT
+    // qualifying. Hence s is in BOTH prefixes, and (df-cap interaction) s
+    // is the rarest shared term, so whenever any shared term is sub-cap, s
+    // is sub-cap and posted — the join finds every pair the full-posting
+    // rule finds. At t = 0.8 the tail may hold up to 64% of the squared
+    // mass, so the quadratic candidate volume rides only the rare-heavy
+    // 36% head. The row-k keep test sums w² over [current, end) of the
+    // canonical order: keep iff that (w_k² + tail) · 10⁶ ≥ t²x1e6 · ‖d‖²
+    // (suffix sums shrink monotonically, so kept rows are exactly the
+    // prefix). 128-bit compare — both sides exceed a long at full caps.
+    val wPre = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("th").asc)
+    val prefixKeep = weighted
+      .withColumn("__suf", sum(col("w") * col("w")).over(
+        wPre.rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("__n2", sum(col("w") * col("w")).over(
+        wPre.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(expr(s"CAST(__suf AS DECIMAL(19,0)) * 1000000 >= " +
+        s"$t2x1e6Pre * CAST(__n2 AS DECIMAL(19,0))"))
+      .select("th", "id", "df")
+    val posting = maxDocFreq.fold(prefixKeep.select("th", "id")) { cap =>
       capObs match {
         case Some(ob) =>
           // persist the (tiny: above-cap terms only) audit relation eagerly
@@ -623,10 +654,10 @@ object Dedup {
           val hot = spillPersistEager(dfreq.filter(col("df") > cap).observe(ob,
             count(lit(1)).as("capped_terms"),
             coalesce(sum("df"), lit(0L)).as("capped_postings")))
-          weighted.select("th", "id")
+          prefixKeep.select("th", "id")
             .join(broadcast(hot.select("th")), Seq("th"), "left_anti")
         case scala.None =>
-          weighted.filter(col("df") <= cap).select("th", "id")
+          prefixKeep.filter(col("df") <= cap).select("th", "id")
       }
     }
     val cand0 = posting.select(col("th"), col("id").as("id_a"))

@@ -126,6 +126,27 @@ class TfidfCosineSpec extends SparkSuite {
     assert(runOp(docs, 0.7, Some(1000)) == runOp(docs, 0.7, None))
   }
 
+  test("norm prefix filter prunes candidates below the all-shared-pairs volume") {
+    // corpus with heavy overlap: every doc shares a long common passage, so
+    // all-pairs share terms (the full-posting candidate count is n·(n−1)/2)
+    // while at t = 0.9 the prefix must cut candidates strictly below that —
+    // and the BigInt reference (which models NO prefix) still agrees on the
+    // output, proving the prune lost nothing
+    val common = sentence(30)
+    val docs = (0L until 20L).map(i => (i, s"${sentence(15 + rnd.nextInt(10))} $common"))
+    val obs = new Observation("tfidf-cands")
+    val got = Dedup.tfidfCosinePairs(docs.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.9, shingleN = ShingleN,
+      tfCap = TfCap, idfCapX100 = IdfCapX100, maxDocFreq = None,
+      candidateObs = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Dedup.releaseIntermediates()
+    val cands = obs.get("candidates").asInstanceOf[Long]
+    assert(cands < 20L * 19L / 2L,
+      s"prefix filter should prune below all-pairs, got $cands")
+    assert(got == reference(docs, 0.9, cap = None))
+  }
+
   test("incremental: parquet round-trip finds batch-vs-corpus pairs under frozen idf") {
     val base = (0L until 10L).map(i => (i, sentence(15 + rnd.nextInt(20))))
     val dir = tmpDir("tfidf-idx")
