@@ -1911,6 +1911,54 @@ object Catalog {
           CAST((s + n_tokens - 1) // 2048 AS BIGINT) AS last_chunk
         FROM o""")),
 
+    // END-TO-END pretrain-mix pipeline — the composition gate: exact dedup
+    // (keep min id per fingerprint) → quality floor (≥ 12 tokens) →
+    // benchmark decontamination (drop contamination_permille ≥ 500 vs the
+    // % 17 = 3 slice) → stratified language mix → sequence packing. Every
+    // stage is individually oracle-gated; this proves the OPERATORS
+    // COMPOSE (column contracts, filter interplay, deterministic packing
+    // over a filtered id space) by replaying the whole chain in one SQL
+    Q("pipeline_pretrain_mix",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val keep = Dedup.exact(docs, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val deduped = docs.join(keep, "doc_id")
+        val quality = deduped.filter(
+          TextFunctions.tokenCount(col("text")) >= 12)
+        val cleanIds = TextCorpus.contaminationRate(quality, "doc_id", "text",
+            docs.filter(col("doc_id") % 17 === 3), "text", n = 8)
+          .filter(col("contamination_permille") < 500).select("doc_id")
+        val sampled = TextCorpus.stratifiedSample(quality.join(cleanIds, "doc_id"),
+          "doc_id", "lang", Map("en" -> 500, "de" -> 250, "fr" -> 100))
+        TextCorpus.concatChunks(sampled, "doc_id", "text", capacity = 2048)
+      },
+      Some(s"""WITH s0 AS (SELECT doc_id, lang, $toksSql AS t, $normSql AS nrm FROM documents),
+        keep AS (SELECT min(doc_id) AS doc_id FROM s0 GROUP BY md5(nrm)),
+        d2 AS (SELECT s0.* FROM s0 JOIN keep USING (doc_id) WHERE len(t) >= 12),
+        bg AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gr
+          FROM s0, unnest(range(1, len(t) - 6)) AS r(i) WHERE doc_id % 17 = 3),
+        h AS (SELECT doc_id, count(*) AS ng,
+            count(*) FILTER (gr IN (SELECT gr FROM bg)) AS nh
+          FROM (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gr
+            FROM d2, unnest(range(1, len(t) - 6)) AS r(i))
+          GROUP BY doc_id),
+        d3 AS (SELECT d2.* FROM d2 LEFT JOIN h USING (doc_id)
+          WHERE CASE WHEN coalesce(ng, 0) > 0 THEN nh * 1000 // ng
+            ELSE 0 END < 500),
+        d4 AS (SELECT * FROM d3
+          WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000 <
+            CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'fr' THEN 100 ELSE 0 END),
+        c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM d4),
+        o AS (SELECT doc_id, n_tokens,
+          sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st
+          FROM c)
+        SELECT doc_id, n_tokens, CAST(st AS BIGINT) AS start_offset,
+          CAST(st // 2048 AS BIGINT) AS first_chunk,
+          CAST((st + n_tokens - 1) // 2048 AS BIGINT) AS last_chunk
+        FROM o""")),
+
     // exact-integer TF-IDF core: per-(doc, term) occurrence counts joined
     // with document frequency (float idf weighting is caller policy)
     Q("text_term_stats",
