@@ -732,6 +732,7 @@ object Dedup {
   private[graft] val TfidfMetaShingleN = "graft.tfidf.shingleN"
   private[graft] val TfidfMetaTfCap = "graft.tfidf.tfCap"
   private[graft] val TfidfMetaIdfCap = "graft.tfidf.idfCapX100"
+  private[graft] val TfidfMetaT2x1e6 = "graft.tfidf.buildT2x1e6"
 
   /** Persistable tf-idf cosine corpus INDEX: one row per doc — squared
     * norm `n2` plus the sorted (shingle-hash, weight) sparse vector as the
@@ -745,20 +746,48 @@ object Dedup {
     * no side table has to travel with it. Build params ride the schema
     * metadata (the [[minhashIndex]]/[[containmentIndex]] rule) so a
     * mismatched query raises instead of silently scoring with different
-    * weights. */
+    * weights.
+    *
+    * `threshold` (default 0 = keep everything) additionally stores each
+    * doc's NORM-PREFIX posting keys `pks` — the rarest-first terms
+    * carrying the top 1 − threshold² of squared mass (the
+    * [[tfidfCosinePairs]] prefix rule). [[tfidfCosineIncremental]] then
+    * posts ONLY `pks` on the index side: since the batch posts ALL its
+    * terms, the one-sided Cauchy-Schwarz argument keeps recall total for
+    * any query threshold ≥ the build threshold (enforced via metadata) —
+    * and a per-ingest candidate pass touches the prefix volume, not the
+    * full stored posting set. */
   def tfidfIndex(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
-      tfCap: Int = 15, idfCapX100: Long = 10000L): DataFrame = {
+      tfCap: Int = 15, idfCapX100: Long = 10000L,
+      threshold: Double = 0.0): DataFrame = {
     tfidfRequire(1.0, tfCap, idfCapX100)
     require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    require(threshold >= 0 && threshold <= 1, s"threshold in [0,1], got $threshold")
     val (weighted, _) =
       tfidfWeightedPostings(df, idCol, textCol, shingleN, tfCap, idfCapX100)
+    val t2x1e6 = math.round(threshold * threshold * 1e6)
+    val wPre = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("th").asc)
+    val prefixes = weighted
+      .withColumn("__suf", sum(col("w") * col("w")).over(
+        wPre.rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("__n2", sum(col("w") * col("w")).over(
+        wPre.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(expr(s"CAST(__suf AS DECIMAL(19,0)) * 1000000 >= " +
+        s"$t2x1e6 * CAST(__n2 AS DECIMAL(19,0))"))
+      .groupBy("id").agg(collect_list(col("th")).as("pks"))
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(TfidfMetaShingleN, shingleN.toLong)
       .putLong(TfidfMetaTfCap, tfCap.toLong)
-      .putLong(TfidfMetaIdfCap, idfCapX100).build()
+      .putLong(TfidfMetaIdfCap, idfCapX100)
+      .putLong(TfidfMetaT2x1e6, t2x1e6).build()
     tfidfVecsOf(weighted)
-      .select(col("id"), col("n2"), col("ks").as("ks", meta), col("ws"))
+      .join(prefixes, Seq("id"), "left")
+      .select(col("id"), col("n2"), col("ks").as("ks", meta), col("ws"),
+        coalesce(col("pks"), array().cast("array<bigint>")).as("pks"))
   }
 
   /** Cosine pairs between a NEW batch and a [[tfidfIndex]] — the
@@ -786,6 +815,7 @@ object Dedup {
       maxDocFreq: Option[Int] = Some(TfidfDefaultMaxDocFreq),
       candidateObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     tfidfRequire(threshold, tfCap, idfCapX100)
+    val t2x1e6 = math.round(threshold * threshold * 1e6)
     index.schema.find(_.name == "ks").map(_.metadata).foreach { m =>
       def chk(key: String, passed: Long, label: String): Unit =
         if (m.contains(key)) require(m.getLong(key) == passed,
@@ -793,6 +823,13 @@ object Dedup {
       chk(TfidfMetaShingleN, shingleN.toLong, "shingleN")
       chk(TfidfMetaTfCap, tfCap.toLong, "tfCap")
       chk(TfidfMetaIdfCap, idfCapX100, "idfCapX100")
+      // stored prefixes prune recall-safely only for thresholds AT OR ABOVE
+      // the build threshold (a lower query threshold would need tail terms
+      // the prefix dropped)
+      if (m.contains(TfidfMetaT2x1e6)) require(m.getLong(TfidfMetaT2x1e6) <= t2x1e6,
+        s"tfidf index prefixes were built for threshold² ≥ " +
+          s"${m.getLong(TfidfMetaT2x1e6)}/1e6; query threshold² = $t2x1e6/1e6 " +
+          "is below it — rebuild the index or raise the query threshold")
     }
     val n0 = index.count()
     val df0 = spillPersistEager(index
@@ -810,7 +847,13 @@ object Dedup {
           least(expr(s"CAST(${n0 * 100L} DIV coalesce(df, 1) AS BIGINT)"),
             lit(idfCapX100))).as("w")))
     val bvecs = tfidfVecsOf(bw)
-    val iPost0 = index.select(col("id").as("id_a"), explode(col("ks")).as("th"))
+    // index side posts its stored NORM PREFIX when the index carries one
+    // (one-sided total recall: the batch posts ALL its terms, so a
+    // qualifying pair always shares a term inside the index doc's prefix —
+    // the Cauchy-Schwarz tail bound at the [[tfidfCosinePairs]] site);
+    // legacy prefix-less indexes post their full vectors
+    val postCol = if (index.schema.fieldNames.contains("pks")) "pks" else "ks"
+    val iPost0 = index.select(col("id").as("id_a"), explode(col(postCol)).as("th"))
     val iPost = maxDocFreq.fold(iPost0)(cap =>
       iPost0.join(df0.filter(col("df") <= cap).select("th"), "th"))
     val cand0 = iPost
@@ -821,7 +864,6 @@ object Dedup {
       case Some(ob) => cand0.observe(ob, count(lit(1)).as("candidates"))
       case scala.None => cand0
     }
-    val t2x1e6 = math.round(threshold * threshold * 1e6)
     cand
       .join(index.select(col("id").as("id_a"), col("n2").as("n2_a"),
         col("ks").as("ks_a"), col("ws").as("ws_a")), "id_a")

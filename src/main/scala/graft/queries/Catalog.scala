@@ -1644,7 +1644,8 @@ object Catalog {
       (s, d) => {
         val corpus = t(s, d, "documents")
         val dir = java.nio.file.Files.createTempDirectory("graft-tfidf-idx")
-        Dedup.tfidfIndex(corpus, "doc_id", "text").write
+        Dedup.tfidfIndex(corpus, "doc_id", "text",
+          threshold = TfidfGateThreshold).write
           .mode("overwrite").parquet(dir.toString)
         val index = s.read.parquet(dir.toString)
         val batch = corpus.filter(col("doc_id") % 7 === 0)

@@ -190,6 +190,39 @@ class TfidfCosineSpec extends SparkSuite {
     assert(pairsFor(b1) == pairsFor(b2))
   }
 
+  test("incremental: stored norm prefix gives the same pairs as a full index") {
+    val base = (0L until 12L).map(i => (i, sentence(15 + rnd.nextInt(20))))
+    val batch = Seq((100L, base(1)._2), (104L, base(4)._2 + " extra"),
+      (200L, sentence(25)))
+    def pairsWith(threshold: Double): Set[(Long, Long, Long)] = {
+      val dir = tmpDir("tfidf-idx-pfx")
+      Dedup.tfidfIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+        threshold = threshold).write.mode("overwrite").parquet(dir)
+      Dedup.releaseIntermediates()
+      val r = Dedup.tfidfCosineIncremental(batch.toDF("doc_id", "text"),
+        spark.read.parquet(dir), "doc_id", "text", threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      Dedup.releaseIntermediates()
+      r
+    }
+    val full = pairsWith(0.0) // prefix-free (pks = ks)
+    val pruned = pairsWith(0.8) // stored prefixes at the query threshold
+    assert(full == pruned)
+    assert(full.contains((1L, 100L, 1000000L)))
+  }
+
+  test("incremental: query threshold below the build threshold refuses loudly") {
+    val dir = tmpDir("tfidf-idx-thr")
+    Dedup.tfidfIndex(Seq((1L, sentence(15))).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.8).write.mode("overwrite").parquet(dir)
+    Dedup.releaseIntermediates()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.tfidfCosineIncremental(Seq((9L, sentence(10))).toDF("doc_id", "text"),
+        spark.read.parquet(dir), "doc_id", "text", threshold = 0.5)
+    }
+    assert(e.getMessage.contains("rebuild the index or raise the query threshold"))
+  }
+
   test("incremental: index build-param mismatch refuses loudly") {
     val base = Seq((1L, sentence(15)))
     val dir = tmpDir("tfidf-idx3")
