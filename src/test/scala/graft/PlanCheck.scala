@@ -137,6 +137,15 @@ object PlanCheck {
       ("dedup_tfidf_cosine", "cosine verify rides the capped inverted index (no cartesian/nested-loop)",
         p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")),
+      ("pipeline_pretrain_mix", "composed pipeline: packing window stays bucketed, contamination InSet folded, no cartesian",
+        // composition must not degrade any stage's plan class: the final
+        // cumsum window keeps its __pid bucket key (never global), the
+        // bench gram set stays a folded InSet (no join for it), and no
+        // stage pairing degenerates to a cartesian
+        p => p.contains("windowspecdefinition(__pid") &&
+          p.contains("INSET") &&
+          !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
       ("dedup_cdc_chunks", "CDC windows keyed (doc-keyed assembly, (h,chunk) verify — never global), no cartesian",
         // a regression to windowspecdefinition(p#...) with no leading
         // partition column would serialize the whole token stream on one
