@@ -283,6 +283,25 @@ object Catalog {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name""")),
 
+    // query-side VARIANT: semi-structured props parsed with Spark 4's
+    // try_parse_json into VariantType, a typed path extracted with
+    // variant_get, aggregated per event_type — the analytics complement of
+    // the store-side VARIANT interop (read/write/shredded-read). Oracle
+    // extracts the same path with DuckDB's json machinery
+    Q("events_variant_extract",
+      (s, d) => t(s, d, "events")
+        .select(col("event_type"),
+          expr("variant_get(try_parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k")),
+      Some("""WITH e AS (SELECT event_type,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(k) AS BIGINT) AS sum_k,
+          CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        FROM e GROUP BY event_type""")),
+
     // ROLLUP grouping sets (subtotals + grand total; NULL grouping rows)
     Q("agg_rollup",
       (s, d) => t(s, d, "lineitem")
