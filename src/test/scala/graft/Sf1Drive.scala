@@ -64,13 +64,14 @@ object Sf1Drive {
     // oracle recomputes 50k+7k signatures and checks all pairs
     "dedup_simhash_incremental",
     // round-14: TF-IDF family at 10×. Cosine: per-copy salting keeps
-    // shingles copy-local, so candidates stay within copies and the
-    // Catalog oracle replays verbatim over the full corpus (N grows 10×
-    // while per-copy df doesn't, so idf saturates at its cap — the
-    // documented quantization, identical on both sides). Contamination
-    // rate: the % 17 bench slice lands on different docs per copy —
-    // irrelevant, the oracle replays the same predicate. Keywords: salting
-    // changes spelling, not counts.
+    // shingles copy-local, so candidates stay within copies; the oracle
+    // replays PER COPY with the global N substituted for the idf count
+    // (the full-corpus pair join spills past the box's disk in DuckDB —
+    // sf1_check.py's editdist protocol; N grows 10× while per-copy df
+    // doesn't, so idf saturates at its cap — the documented quantization,
+    // identical on both sides). Contamination rate: the % 17 bench slice
+    // lands on different docs per copy — irrelevant, the oracle replays
+    // the same predicate. Keywords: salting changes spelling, not counts.
     "dedup_tfidf_cosine", "text_contamination_rate", "text_keywords")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry

@@ -30,11 +30,13 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          "sample_temperature", "text_dedup_segments", "text_phrase_blocklist",
          "text_quality_classifier", "text_lm_cross_score",
          "dedup_simhash_incremental",
-         # round-14: TF-IDF family — all three Catalog oracles replay
-         # verbatim over the synthesized corpus (per-copy salting keeps
-         # shingles copy-local, so cosine candidates never cross copies;
-         # the bench slice / keyword counts replay the same predicates)
-         "dedup_tfidf_cosine", "text_contamination_rate", "text_keywords"]
+         # round-14: contamination rate / keywords replay their Catalog
+         # oracles verbatim (the bench slice / keyword counts apply the
+         # same predicates to the synthesized corpus); the tfidf cosine
+         # oracle runs PER COPY below — its full-corpus pair join spills
+         # past the box's disk in DuckDB, and per-copy salting makes the
+         # per-copy union the exact truth (no shingle crosses copies)
+         "text_contamination_rate", "text_keywords"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
@@ -254,6 +256,39 @@ def main():
               f"{'MATCH' if m else 'MISMATCH'} ({time.time() - t0:.0f}s)")
         ok &= m
         con.close()
+
+    # tfidf cosine: per-copy oracles (the editdist pattern — shingles are
+    # copy-local by the salt construction, so candidates never cross
+    # copies and the per-copy union IS the truth), with the GLOBAL doc
+    # count substituted for the idf N: the operator weighted against the
+    # full 50k corpus, so each per-copy replay must too
+    con = duckdb.connect()
+    t0 = time.time()
+    total = con.execute(f"SELECT count(*) FROM '{SF1}'").fetchone()[0]
+    cross = con.execute(
+        f"SELECT count(*) FROM '{OUT}/dedup_tfidf_cosine/*.parquet' "
+        "WHERE id_a // 10000000 != id_b // 10000000"
+    ).fetchone()[0]
+    okt = cross == 0
+    print(f"dedup_tfidf_cosine cross-copy pairs (must be 0): {cross}")
+    tsql = sqls["dedup_tfidf_cosine"]
+    nd_sub = "(SELECT count(*) AS nd FROM documents)"
+    assert nd_sub in tsql, "tfidf oracle shape changed: nd CTE not found"
+    tsql = tsql.replace(nd_sub, f"(SELECT {total} AS nd)")
+    for j in range(10):
+        con.execute(
+            "CREATE OR REPLACE VIEW documents AS "
+            f"SELECT * FROM '{SF1}' WHERE doc_id // 10000000 = {j}"
+        )
+        got = (f"SELECT * FROM '{OUT}/dedup_tfidf_cosine/*.parquet' "
+               f"WHERE id_a // 10000000 = {j}")
+        n_got, n_ora, m = compare(con, got, tsql)
+        print(f"  copy {j}: rows={n_got} oracle={n_ora} {'MATCH' if m else 'MISMATCH'}")
+        okt &= m
+    print(f"dedup_tfidf_cosine total: {'MATCH' if okt else 'MISMATCH'} "
+          f"({time.time() - t0:.0f}s)")
+    ok &= okt
+    con.close()
 
     # editdist: per-copy oracles; cross-copy pairs impossible by construction
     con = duckdb.connect()
