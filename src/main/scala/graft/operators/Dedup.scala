@@ -790,6 +790,16 @@ object Dedup {
         coalesce(col("pks"), array().cast("array<bigint>")).as("pks"))
   }
 
+  /** The (th, df) term census of a [[tfidfIndex]], derived from the stored
+    * vectors (one narrow hash-only pass). An operation folding many
+    * batches should run this ONCE, persist the result (e.g. in a
+    * [[graft.store.VersionedTable]]), and hand it to
+    * [[tfidfCosineIncremental]]'s `stats` parameter — each ingest then
+    * skips the O(index-postings) derivation scan. */
+  def tfidfStats(index: DataFrame): DataFrame =
+    index.select(explode(col("ks")).as("th"))
+      .groupBy("th").agg(count(lit(1)).as("df"))
+
   /** Cosine pairs between a NEW batch and a [[tfidfIndex]] — the
     * rolling-ingest form of [[tfidfCosinePairs]], under the FROZEN-IDF
     * serving convention (the standard way a trained tf-idf model scores
@@ -805,15 +815,19 @@ object Dedup {
     * contract). Returns (id_a = index doc, id_b = batch doc, cos2_x1e6).
     *
     * At 100 TB the census derivation is an O(index-postings) narrow scan
-    * per ingest; an operation folding many batches should persist the
-    * (th, df) census alongside the index and maintain it with the
-    * [[graft.operators.Similarity.ivfCensusMerge]] pattern instead. */
+    * per ingest; an operation folding many batches should run
+    * [[tfidfStats]] once, PERSIST the census, and pass it as `stats` —
+    * each ingest then touches only the batch and the (term-cardinality-
+    * sized) stored census. `stats`, when given, must be the census of
+    * exactly this index (the [[tfidfStats]] shape: one (th, df) row per
+    * stored term). */
   def tfidfCosineIncremental(
       batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3,
       tfCap: Int = 15, idfCapX100: Long = 10000L,
       maxDocFreq: Option[Int] = Some(TfidfDefaultMaxDocFreq),
-      candidateObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      candidateObs: Option[org.apache.spark.sql.Observation] = None,
+      stats: Option[DataFrame] = None): DataFrame = {
     tfidfRequire(threshold, tfCap, idfCapX100)
     val t2x1e6 = math.round(threshold * threshold * 1e6)
     index.schema.find(_.name == "ks").map(_.metadata).foreach { m =>
@@ -832,9 +846,13 @@ object Dedup {
           "is below it — rebuild the index or raise the query threshold")
     }
     val n0 = index.count()
-    val df0 = spillPersistEager(index
-      .select(explode(col("ks")).as("th"))
-      .groupBy("th").agg(count(lit(1)).as("df")))
+    val df0 = spillPersistEager(stats match {
+      case Some(s) =>
+        require(s.schema.fieldNames.contains("th") && s.schema.fieldNames.contains("df"),
+          s"stats must be a tfidfStats census with (th, df), got ${s.schema.fieldNames.mkString(", ")}")
+        s.select("th", "df")
+      case scala.None => tfidfStats(index)
+    })
     val tf = spread(batch.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"),

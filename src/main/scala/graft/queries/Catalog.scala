@@ -1704,6 +1704,61 @@ object Catalog {
         WHERE dot*dot*1000000 // (na.n2 * nb.n2) >=
           ${math.round(TfidfGateThreshold * TfidfGateThreshold * 1e6)}""")),
 
+    // the OPERATIONAL shape of the incremental: the (th, df) census lives
+    // in a VersionedTable (tfidfStats run once at index build), and the
+    // ingest passes the STORED census — no per-ingest derivation scan over
+    // the index postings. Same oracle as dedup_tfidf_incremental: the
+    // stored census must change nothing
+    Q("dedup_tfidf_census_store",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-tfidf-idx2")
+        Dedup.tfidfIndex(corpus, "doc_id", "text",
+          threshold = TfidfGateThreshold).write
+          .mode("overwrite").parquet(idxDir.toString)
+        val index = s.read.parquet(idxDir.toString)
+        val statsDir = java.nio.file.Files.createTempDirectory("graft-tfidf-census")
+        val tbl = new graft.store.VersionedTable(s, statsDir.toString)
+        tbl.overwrite(Dedup.tfidfStats(index))
+        val batch = corpus.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val out = Dedup.tfidfCosineIncremental(batch, index, "doc_id", "text",
+          threshold = TfidfGateThreshold,
+          maxDocFreq = Some(TfidfGateMaxDocFreq),
+          stats = Some(tbl.read())).localCheckpoint(true)
+        deleteDir(idxDir.toFile)
+        deleteDir(statsDir.toFile)
+        out
+      },
+      Some(s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        nn AS (SELECT count(*) AS nd FROM documents),
+        g AS (SELECT doc_id, unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_transform(range(1, len(toks)-1),
+              i -> array_to_string(toks[i:i+2], ' ')) END) AS gr
+          FROM base),
+        tf AS (SELECT doc_id, gr, count(*) AS c FROM g GROUP BY 1, 2),
+        dfq AS (SELECT gr, count(*) AS df FROM tf GROUP BY gr),
+        wc AS (SELECT doc_id, gr, df,
+            least(c, 15) * least(100 * (SELECT nd FROM nn) // df, 10000) AS w
+          FROM tf JOIN dfq USING (gr)),
+        n2c AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wc GROUP BY doc_id),
+        wb AS (SELECT doc_id + 1000000 AS doc_id, gr,
+            least(c, 15) * least(100 * (SELECT nd FROM nn) // coalesce(df, 1), 10000) AS w
+          FROM tf LEFT JOIN dfq USING (gr) WHERE doc_id % 7 = 0),
+        n2b AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wb GROUP BY doc_id),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM wc a JOIN wb b ON a.gr = b.gr
+          WHERE a.df <= ${TfidfGateMaxDocFreq}),
+        dot AS (SELECT id_a, id_b, sum(CAST(wa.w AS HUGEINT) * wb2.w) AS dot
+          FROM cand JOIN wc wa ON wa.doc_id = id_a
+          JOIN wb wb2 ON wb2.doc_id = id_b AND wb2.gr = wa.gr
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(dot*dot*1000000 // (na.n2 * nb.n2) AS BIGINT) AS cos2_x1e6
+        FROM dot JOIN n2c na ON na.doc_id = id_a JOIN n2b nb ON nb.doc_id = id_b
+        WHERE dot*dot*1000000 // (na.n2 * nb.n2) >=
+          ${math.round(TfidfGateThreshold * TfidfGateThreshold * 1e6)}""")),
+
     // direct inverted-index n-gram Jaccard — guaranteed-total recall (any
     // J > 0 pair shares a shingle), so spark output ≡ oracle by construction
     Q("dedup_ngram_jaccard",
