@@ -1766,6 +1766,47 @@ object Catalog {
         threshold = 0.3),
       Some(jaccardTruthSql(300))),
 
+    // the tfidf cosine pair set closed into duplicate CLUSTERS — the
+    // weighted-similarity family composes with the same min-label
+    // propagation the Jaccard pairs use; oracle = recursive-CTE
+    // reachability over the tfidf pair truth
+    Q("dedup_tfidf_clusters",
+      (s, d) => Dedup.duplicateClusters(
+          Dedup.tfidfCosinePairs(t(s, d, "documents"), "doc_id", "text",
+            threshold = TfidfGateThreshold,
+            maxDocFreq = Some(TfidfGateMaxDocFreq)).select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("cluster_id")),
+      Some(s"""WITH RECURSIVE base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+          nn AS (SELECT count(*) AS nd FROM documents),
+          g AS (SELECT doc_id, unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks)-1),
+                i -> array_to_string(toks[i:i+2], ' ')) END) AS gr
+            FROM base),
+          tf AS (SELECT doc_id, gr, count(*) AS c FROM g GROUP BY 1, 2),
+          dfq AS (SELECT gr, count(*) AS df FROM tf GROUP BY gr),
+          w AS (SELECT doc_id, gr, df,
+              least(c, 15) * least(100 * (SELECT nd FROM nn) // df, 10000) AS w
+            FROM tf JOIN dfq USING (gr)),
+          n2 AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM w GROUP BY doc_id),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM w a JOIN w b ON a.gr = b.gr AND a.doc_id < b.doc_id
+            WHERE a.df <= ${TfidfGateMaxDocFreq}),
+          dot AS (SELECT id_a, id_b, sum(CAST(wa.w AS HUGEINT) * wb.w) AS dot
+            FROM cand JOIN w wa ON wa.doc_id = id_a
+            JOIN w wb ON wb.doc_id = id_b AND wb.gr = wa.gr GROUP BY 1, 2),
+          tp AS (SELECT id_a, id_b
+            FROM dot JOIN n2 na ON na.doc_id = id_a JOIN n2 nb ON nb.doc_id = id_b
+            WHERE dot*dot*1000000 // (na.n2 * nb.n2) >=
+              ${math.round(TfidfGateThreshold * TfidfGateThreshold * 1e6)}),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM tp
+            UNION SELECT id_b, id_a FROM tp),
+          reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+        SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id""")),
+
     // transitive closure of the (total-recall) pair set into duplicate
     // CLUSTERS: min-label propagation joins vs a DuckDB recursive-CTE
     // reachability truth — cluster_id = component minimum on both sides
