@@ -190,6 +190,38 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Count of tokens covered by DUPLICATED k-token windows — the Gopher
+    * "fraction of characters inside duplicated n-grams" repetition
+    * metric in token units (exact, union semantics: a token under ANY
+    * occurrence of ANY within-doc ≥2× n-gram counts once). Window
+    * identity is the in-place window hash of [[kgramWindowHashes]]
+    * (collisions indistinguishable at any real doc size; oracles
+    * recompute from raw gram strings). Per-row work: one boundary scan +
+    * one sort of the window hashes + one marking pass — no boxing, no
+    * map. Fewer than k tokens → 0. */
+  def dupWindowCoverage(text: UTF8String, k: Int): Long = {
+    val hs = kgramWindowHashes(text, k).toLongArray()
+    val nWin = hs.length
+    if (nWin == 0) return 0L
+    val sorted = hs.clone()
+    java.util.Arrays.sort(sorted)
+    val covered = new Array[Boolean](nWin + k - 1)
+    var w = 0
+    while (w < nWin) {
+      val idx = java.util.Arrays.binarySearch(sorted, hs(w))
+      if ((idx > 0 && sorted(idx - 1) == hs(w)) ||
+          (idx < nWin - 1 && sorted(idx + 1) == hs(w))) {
+        var j = w
+        while (j < w + k) { covered(j) = true; j += 1 }
+      }
+      w += 1
+    }
+    var c = 0L
+    var j = 0
+    while (j < covered.length) { if (covered(j)) c += 1; j += 1 }
+    c
+  }
+
   /** Linear text score: `bias + Σ weight(token)` over the single-space
     * tokens WITH multiplicity (absent tokens weigh 0) — a fasttext-style
     * linear classifier applied per row, integer-exact (weights are
@@ -388,6 +420,27 @@ case class KGramWindowHashes(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): KGramWindowHashes =
     copy(child = newChild)
   override def prettyName: String = "graft_kgram_hashes"
+}
+
+/** string → bigint: tokens covered by duplicated k-token windows — the
+  * Gopher repetition metric, per row, codegen'd
+  * ([[HashKernels.dupWindowCoverage]]). */
+case class DupNgramCoverage(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_dup_ngram_coverage expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.dupWindowCoverage(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.dupWindowCoverage($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): DupNgramCoverage =
+    copy(child = newChild)
+  override def prettyName: String = "graft_dup_ngram_coverage"
 }
 
 /** string → bigint: fasttext-style linear classifier score (codegen'd; the
@@ -1293,6 +1346,8 @@ object NativeHash {
     Bridge.column(NearestCentroid(Bridge.expression(vec), centroids.toArray))
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
+  def dupNgramCoverage(text: Column, k: Int): Column =
+    Bridge.column(DupNgramCoverage(Bridge.expression(text), k))
   def kgramWindowHashes(text: Column, k: Int): Column =
     Bridge.column(KGramWindowHashes(Bridge.expression(text), k))
   def linearTextScore(text: Column, weights: Map[String, Long], bias: Long): Column =

@@ -1428,6 +1428,33 @@ object Catalog {
         CAST((len(list_distinct($toksSql)) * 1000) // len($toksSql) AS BIGINT)
           AS distinct_ratio_x1000 FROM documents""")),
 
+    // Gopher duplicate-n-gram coverage (token units, union semantics): the
+    // permille of tokens lying under ANY within-doc bigram occurring ≥ 2×
+    // — the repetition filter the distinct-ratio detector can't see
+    // (structured repeats of individually-common tokens). Map-only: one
+    // codegen'd per-row kernel (boundary scan + window-hash sort + mark);
+    // the oracle recomputes from raw gram strings and positions, proving
+    // the hash layer collision-exact
+    Q("text_dup_ngram_coverage",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          graft.functions.NativeHash.dupNgramCoverage(
+            TextFunctions.normalizeWs(col("text")), 2).as("covered_tokens"))
+        .withColumn("dup_coverage_permille",
+          expr("CAST(covered_tokens * 1000 DIV n_tokens AS BIGINT)")),
+      Some(s"""WITH s AS (SELECT doc_id, $toksSql AS t FROM documents),
+        gr AS (SELECT doc_id, i, array_to_string(t[i:i+1], ' ') AS g
+          FROM s, unnest(range(1, len(t))) AS r(i)),
+        dup AS (SELECT doc_id, g FROM gr GROUP BY 1, 2 HAVING count(*) >= 2),
+        cov AS (SELECT DISTINCT gr.doc_id, p
+          FROM gr JOIN dup USING (doc_id, g), unnest(range(gr.i, gr.i + 2)) AS rp(p)),
+        c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered FROM cov GROUP BY doc_id)
+        SELECT s.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+          CAST(coalesce(covered, 0) * 1000 // len(t) AS BIGINT) AS dup_coverage_permille
+        FROM s LEFT JOIN c USING (doc_id)""")),
+
     Q("text_fingerprint",
       (s, d) => t(s, d, "documents").select(
         col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),
