@@ -222,6 +222,51 @@ object HashKernels {
     c
   }
 
+  /** Count of tokens covered by the doc's TOP k-token window(s) — the
+    * Gopher "fraction of characters in the most frequent n-gram" metric
+    * in token units, made tie-robust: the union coverage of EVERY window
+    * value achieving the maximal within-doc occurrence count (so no
+    * arbitrary tie-break leaks into the result), 0 when the max count is
+    * < 2 (an all-unique doc has no repetition to measure). Same kernel
+    * discipline as [[dupWindowCoverage]]. */
+  def topWindowCoverage(text: UTF8String, k: Int): Long = {
+    val hs = kgramWindowHashes(text, k).toLongArray()
+    val nWin = hs.length
+    if (nWin == 0) return 0L
+    val sorted = hs.clone()
+    java.util.Arrays.sort(sorted)
+    // maximal run length in the sorted hashes = the modal count
+    var m = 1
+    var run = 1
+    var i = 1
+    while (i < nWin) {
+      if (sorted(i) == sorted(i - 1)) { run += 1; if (run > m) m = run }
+      else run = 1
+      i += 1
+    }
+    if (m < 2) return 0L
+    val covered = new Array[Boolean](nWin + k - 1)
+    var w = 0
+    while (w < nWin) {
+      // is hs(w)'s count exactly m? count its sorted run via two scans
+      // from a binary-search hit (runs are short; windows are few per doc)
+      val idx = java.util.Arrays.binarySearch(sorted, hs(w))
+      var lo = idx
+      while (lo > 0 && sorted(lo - 1) == hs(w)) lo -= 1
+      var hi = idx
+      while (hi < nWin - 1 && sorted(hi + 1) == hs(w)) hi += 1
+      if (hi - lo + 1 == m) {
+        var j = w
+        while (j < w + k) { covered(j) = true; j += 1 }
+      }
+      w += 1
+    }
+    var c = 0L
+    var j = 0
+    while (j < covered.length) { if (covered(j)) c += 1; j += 1 }
+    c
+  }
+
   /** Linear text score: `bias + Σ weight(token)` over the single-space
     * tokens WITH multiplicity (absent tokens weigh 0) — a fasttext-style
     * linear classifier applied per row, integer-exact (weights are
@@ -425,22 +470,25 @@ case class KGramWindowHashes(child: Expression, k: Int)
 /** string → bigint: tokens covered by duplicated k-token windows — the
   * Gopher repetition metric, per row, codegen'd
   * ([[HashKernels.dupWindowCoverage]]). */
-case class DupNgramCoverage(child: Expression, k: Int)
+case class DupNgramCoverage(child: Expression, k: Int, top: Boolean = false)
     extends UnaryExpression {
   require(k >= 1, s"k must be >= 1, got $k")
+  private val kernel = if (top) "topWindowCoverage" else "dupWindowCoverage"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_dup_ngram_coverage expects string, got ${other.simpleString}")
+      s"$prettyName expects string, got ${other.simpleString}")
   }
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    HashKernels.dupWindowCoverage(input.asInstanceOf[UTF8String], k)
+    if (top) HashKernels.topWindowCoverage(input.asInstanceOf[UTF8String], k)
+    else HashKernels.dupWindowCoverage(input.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.dupWindowCoverage($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.$kernel($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): DupNgramCoverage =
     copy(child = newChild)
-  override def prettyName: String = "graft_dup_ngram_coverage"
+  override def prettyName: String =
+    if (top) "graft_top_ngram_coverage" else "graft_dup_ngram_coverage"
 }
 
 /** string → bigint: fasttext-style linear classifier score (codegen'd; the
@@ -1348,6 +1396,8 @@ object NativeHash {
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
   def dupNgramCoverage(text: Column, k: Int): Column =
     Bridge.column(DupNgramCoverage(Bridge.expression(text), k))
+  def topNgramCoverage(text: Column, k: Int): Column =
+    Bridge.column(DupNgramCoverage(Bridge.expression(text), k, top = true))
   def kgramWindowHashes(text: Column, k: Int): Column =
     Bridge.column(KGramWindowHashes(Bridge.expression(text), k))
   def linearTextScore(text: Column, weights: Map[String, Long], bias: Long): Column =

@@ -1455,6 +1455,33 @@ object Catalog {
           CAST(coalesce(covered, 0) * 1000 // len(t) AS BIGINT) AS dup_coverage_permille
         FROM s LEFT JOIN c USING (doc_id)""")),
 
+    // the companion TOP-n-gram coverage (Gopher's "most frequent n-gram"
+    // fraction), tie-robust: union coverage of EVERY gram achieving the
+    // doc's maximal count (no arbitrary tie-break can leak into the
+    // result), 0 when the max count < 2
+    Q("text_top_ngram_coverage",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          graft.functions.NativeHash.topNgramCoverage(
+            TextFunctions.normalizeWs(col("text")), 2).as("top_covered"))
+        .withColumn("top_coverage_permille",
+          expr("CAST(top_covered * 1000 DIV n_tokens AS BIGINT)")),
+      Some(s"""WITH s AS (SELECT doc_id, $toksSql AS t FROM documents),
+        gr AS (SELECT doc_id, i, array_to_string(t[i:i+1], ' ') AS g
+          FROM s, unnest(range(1, len(t))) AS r(i)),
+        cnt AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY 1, 2),
+        mx AS (SELECT doc_id, max(c) AS m FROM cnt GROUP BY 1),
+        top AS (SELECT cnt.doc_id, g FROM cnt JOIN mx USING (doc_id)
+          WHERE c = m AND m >= 2),
+        cov AS (SELECT DISTINCT gr.doc_id, p
+          FROM gr JOIN top USING (doc_id, g), unnest(range(gr.i, gr.i + 2)) AS rp(p)),
+        c2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered FROM cov GROUP BY doc_id)
+        SELECT s.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(coalesce(covered, 0) AS BIGINT) AS top_covered,
+          CAST(coalesce(covered, 0) * 1000 // len(t) AS BIGINT) AS top_coverage_permille
+        FROM s LEFT JOIN c2 USING (doc_id)""")),
+
     Q("text_fingerprint",
       (s, d) => t(s, d, "documents").select(
         col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),

@@ -59,6 +59,45 @@ class DupCoverageSpec extends SparkSuite {
     assert(run(Seq((2L, "ox")), 2)(2L) == 0L)
   }
 
+  /** Top-coverage reference: union coverage of all modal grams, 0 when
+    * the max count is < 2. */
+  private def referenceTop(text: String, k: Int): Long = {
+    val t = norm(text).split(" ", -1).toSeq
+    if (t.size < k) return 0L
+    val grams = t.sliding(k).toSeq
+    val counts = grams.groupBy(identity).map { case (g, v) => g -> v.size }
+    val m = counts.values.max
+    if (m < 2) return 0L
+    val covered = new Array[Boolean](t.size)
+    grams.zipWithIndex.foreach { case (g, i) =>
+      if (counts(g) == m) (i until i + k).foreach(covered(_) = true)
+    }
+    covered.count(identity).toLong
+  }
+
+  private def runTop(docs: Seq[(Long, String)], k: Int): Map[Long, Long] =
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), NativeHash.topNgramCoverage(
+        TextFunctions.normalizeWs(col("text")), k).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("top coverage matches the modal-gram reference at k = 1..3") {
+    val docs = (100L until 140L).map(i => (i, sentence(3 + rnd.nextInt(60))))
+    for (k <- 1 to 3) {
+      val got = runTop(docs, k)
+      docs.foreach { case (id, t) =>
+        assert(got(id) == referenceTop(t, k), s"doc $id k=$k")
+      }
+    }
+  }
+
+  test("top coverage: modal ties cover the union of all modal grams") {
+    // 'ox elk' and 'ram sow' both occur twice — both count (no tie-break)
+    val t = "ox elk cub ox elk doe ram sow hen ram sow"
+    assert(runTop(Seq((1L, t)), 2)(1L) == referenceTop(t, 2))
+    assert(runTop(Seq((1L, t)), 2)(1L) == 8L)
+  }
+
   test("a planted repeated passage covers exactly its union span") {
     val passage = "ox elk ram sow hen"
     val t = s"$passage cub doe $passage"
