@@ -72,7 +72,11 @@ object Sf1Drive {
     // identical on both sides). Contamination rate: the % 17 bench slice
     // lands on different docs per copy — irrelevant, the oracle replays
     // the same predicate. Keywords: salting changes spelling, not counts.
-    "dedup_tfidf_cosine", "text_contamination_rate", "text_keywords")
+    "dedup_tfidf_cosine", "text_contamination_rate", "text_keywords",
+    // round-14: the two Gopher repetition-coverage metrics — pure per-row
+    // projections whose within-doc repeats the per-copy salt PRESERVES
+    // (the salt is constant within a copy), so the oracles replay verbatim
+    "text_dup_ngram_coverage", "text_top_ngram_coverage")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry
     * verbatim; the three retrieval gates mirror the Catalog entry's code

@@ -36,7 +36,11 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          # oracle runs PER COPY below — its full-corpus pair join spills
          # past the box's disk in DuckDB, and per-copy salting makes the
          # per-copy union the exact truth (no shingle crosses copies)
-         "text_contamination_rate", "text_keywords"]
+         "text_contamination_rate", "text_keywords",
+         # round-14: repetition coverage — per-row projections, oracles
+         # replay verbatim (the salt is constant within a copy, so
+         # within-doc repeats are preserved)
+         "text_dup_ngram_coverage", "text_top_ngram_coverage"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
