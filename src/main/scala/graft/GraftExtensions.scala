@@ -64,6 +64,21 @@ object GraftExtensions {
         require(children.size == 2, "graft_misra_gries(item, capacity)")
         MisraGries(children.head, intLit(children(1), "capacity"))
       }),
+    (FunctionIdentifier("graft_dup_ngram_coverage"),
+      new ExpressionInfo(classOf[graft.functions.DupNgramCoverage].getName,
+        "graft_dup_ngram_coverage"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dup_ngram_coverage(text, n)")
+        graft.functions.DupNgramCoverage(children.head, intLit(children(1), "n"))
+      }),
+    (FunctionIdentifier("graft_top_ngram_coverage"),
+      new ExpressionInfo(classOf[graft.functions.DupNgramCoverage].getName,
+        "graft_top_ngram_coverage"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_top_ngram_coverage(text, n)")
+        graft.functions.DupNgramCoverage(children.head, intLit(children(1), "n"),
+          top = true)
+      }),
     (FunctionIdentifier("graft_phrase_matches"),
       new ExpressionInfo(classOf[graft.functions.PhraseMatchCount].getName,
         "graft_phrase_matches"),

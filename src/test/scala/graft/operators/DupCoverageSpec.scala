@@ -98,6 +98,15 @@ class DupCoverageSpec extends SparkSuite {
     assert(runTop(Seq((1L, t)), 2)(1L) == 8L)
   }
 
+  test("SQL surface: graft_dup_ngram_coverage / graft_top_ngram_coverage") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dup_ngram_coverage('a a a a', 2) AS d, " +
+        "graft_top_ngram_coverage('ox elk cub ox elk', 2) AS t").head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 4L) // 'ox elk' twice → both occurrences' union
+  }
+
   test("a planted repeated passage covers exactly its union span") {
     val passage = "ox elk ram sow hen"
     val t = s"$passage cub doe $passage"
