@@ -3119,6 +3119,48 @@ object Catalog {
       Some(s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5($normSql) AS fp
         FROM documents GROUP BY 2""")),
 
+    // contamination-filtered STREAMING ingest: the map-only dirtiness
+    // filter (bench gram InSet, computed batch-side ONCE and riding the
+    // closure into the stream) lifts to Structured Streaming UNCHANGED —
+    // AvailableNow drain through the filter, parquet sink; oracle = the
+    // batch SQL filter at < 500 permille
+    Q("streaming_clean_ingest",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val schema = docs.schema
+        val src = java.nio.file.Files.createTempDirectory("graft-sci-src")
+        java.nio.file.Files.createSymbolicLink(
+          src.resolve("documents.parquet"),
+          java.nio.file.Paths.get(s"$d/documents.parquet").toAbsolutePath)
+        val out = java.nio.file.Files.createTempDirectory("graft-sci-out").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sci-ckpt").toString
+        val stream = s.readStream.schema(schema).parquet(src.toString)
+        val cleaned = TextCorpus.contaminationRate(stream, "doc_id", "text",
+            docs.filter(col("doc_id") % 17 === 3), "text", n = 8)
+          .filter(col("contamination_permille") < 500)
+        val q = cleaned.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        deleteDir(src.toFile)
+        deleteDir(new java.io.File(ckpt))
+        s.read.parquet(out)
+      },
+      Some(s"""WITH s AS (SELECT doc_id, $toksSql AS t FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gr
+          FROM s, unnest(range(1, len(t) - 6)) AS r(i)),
+        bg AS (SELECT DISTINCT gr FROM g WHERE doc_id % 17 = 3),
+        h AS (SELECT doc_id, count(*) AS ng,
+            count(*) FILTER (gr IN (SELECT gr FROM bg)) AS nh
+          FROM g GROUP BY doc_id)
+        SELECT s.doc_id, CAST(coalesce(ng, 0) AS BIGINT) AS n_grams,
+          CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+          CAST(CASE WHEN coalesce(ng, 0) > 0 THEN nh * 1000 // ng
+            ELSE 0 END AS BIGINT) AS contamination_permille
+        FROM s LEFT JOIN h USING (doc_id)
+        WHERE CASE WHEN coalesce(ng, 0) > 0 THEN nh * 1000 // ng
+          ELSE 0 END < 500""")),
+
     // PII-lite scrubbing (emails/URLs → placeholder tokens): the corpus has
     // no planted PII, so the gate SYNTHESIZES it deterministically (append
     // an email+url derived from doc_id) and checks the scrub round-trip —
