@@ -129,6 +129,47 @@ object Temporal {
       .drop("__k", "__ts", "__side", "__tb", "__payload")
   }
 
+  /** Ordered FUNNEL analysis: per key, the earliest completion chain of
+    * `steps` — t₁ = min ts of the first step; tᵢ = min ts of step i
+    * STRICTLY after tᵢ₋₁ (the standard "earliest qualifying chain"
+    * funnel semantics: greedy-earliest is optimal, so a key completes k
+    * steps under this rule iff ANY ordered chain of k steps exists).
+    * Only keys that enter the funnel (have step 1 at all) appear.
+    * Returns (keyCol, step_1_ts … step_n_ts — null from the first
+    * unreached step on, the nulls are monotone by construction —
+    * steps_completed).
+    *
+    * Shape at scale: one map-side-combinable MIN aggregation per step (a
+    * small constant), each keyed on `keyCol`, plus a keyed join against
+    * the shrinking survivor set — no windows, no per-key event sort, no
+    * collect. Ties inside a step collapse in the MIN; equal timestamps
+    * ACROSS steps do not chain (strict >), the deterministic reading of
+    * "after". */
+  def funnel(
+      df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got ${steps.mkString(", ")}")
+    var acc: DataFrame = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("step_1_ts"))
+    var i = 2
+    steps.tail.foreach { step =>
+      val prev = s"step_${i - 1}_ts"
+      val cur = s"step_${i}_ts"
+      val nxt = df.filter(col(typeCol) === step)
+        .select(col(keyCol), col(tsCol).as("__t"))
+        .join(acc.select(col(keyCol), col(prev).as("__p")), keyCol)
+        .filter(col("__t") > col("__p"))
+        .groupBy(col(keyCol)).agg(min(col("__t")).as(cur))
+      acc = acc.join(nxt, Seq(keyCol), "left")
+      i += 1
+    }
+    acc.withColumn("steps_completed",
+      steps.indices.map(j => when(col(s"step_${j + 1}_ts").isNotNull, 1L)
+        .otherwise(0L)).reduce(_ + _))
+  }
+
   /** Convenience: unpack the matched struct's payload fields as columns
     * named `asof_<field>` (null when no right row preceded the left row). */
   def asofJoinSelect(

@@ -481,6 +481,28 @@ object Catalog {
           count(*) AS n_events, min(ets) AS start_us, max(ets) AS end_us
         FROM s GROUP BY 1, 2""")),
 
+    // ordered funnel (view → click → purchase): earliest qualifying chain
+    // per user — one map-side-combinable MIN per step, keyed joins, no
+    // windows; completes the event-analytics family next to sessionize
+    Q("event_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.funnel(ev, "user_id", "event_type", "ets",
+          Seq("view", "click", "purchase"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ets FROM events),
+        s1 AS (SELECT user_id, min(ets) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ets) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ets > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ets) AS t3 FROM e JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND ets > t2 GROUP BY 1)
+        SELECT s1.user_id, t1 AS step_1_ts, t2 AS step_2_ts, t3 AS step_3_ts,
+          CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
+
     Q("asof_join",
       (s, d) => {
         val ev = t(s, d, "events")
