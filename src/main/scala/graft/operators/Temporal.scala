@@ -170,6 +170,29 @@ object Temporal {
         .otherwise(0L)).reduce(_ + _))
   }
 
+  /** Cohort RETENTION matrix: each key's cohort is the integer time
+    * bucket (`ts DIV bucketWidth` — timestamps must be non-negative, the
+    * epoch convention) of its FIRST activity; cell (cohort, day_offset)
+    * counts keys active in bucket cohort + day_offset. The classic
+    * product-analytics triangle, integer-exact.
+    *
+    * Shape at scale: one distinct over (key, bucket) — the only
+    * corpus-sized shuffle, map-side combinable — then a
+    * min-per-key aggregate and a keyed join back; the result is
+    * |buckets|² cells at most. No windows, no sessionization state.
+    * Returns (cohort, day_offset, active_keys). */
+  def retentionCohorts(
+      df: DataFrame, keyCol: String, tsCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val act = df.select(col(keyCol).as("__k"),
+      expr(s"CAST(`$tsCol` DIV ${bucketWidth}L AS BIGINT)").as("__b")).distinct()
+    val cohort = act.groupBy("__k").agg(min("__b").as("__c"))
+    act.join(cohort, "__k")
+      .groupBy(col("__c").as("cohort"), (col("__b") - col("__c")).as("day_offset"))
+      .agg(count(lit(1)).as("active_keys"))
+  }
+
   /** Convenience: unpack the matched struct's payload fields as columns
     * named `asof_<field>` (null when no right row preceded the left row). */
   def asofJoinSelect(

@@ -503,6 +503,23 @@ object Catalog {
             + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
 
+    // cohort retention triangle (daily buckets): cohort = first-activity
+    // day per user, cells count active users at each day offset — one
+    // distinct (user, day) shuffle + min-per-user + keyed join back
+    Q("event_retention",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.retentionCohorts(ev, "user_id", "ets",
+          bucketWidth = 86400000000L)
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b FROM events),
+        a AS (SELECT DISTINCT user_id, b FROM e),
+        c AS (SELECT user_id, min(b) AS c FROM a GROUP BY 1)
+        SELECT CAST(c AS BIGINT) AS cohort, CAST(b - c AS BIGINT) AS day_offset,
+          CAST(count(*) AS BIGINT) AS active_keys
+        FROM a JOIN c USING (user_id) GROUP BY 1, 2""")),
+
     Q("asof_join",
       (s, d) => {
         val ev = t(s, d, "events")

@@ -44,6 +44,18 @@ class FunnelSpec extends SparkSuite {
     assert(got(1L)._2 == 3L)
   }
 
+  test("retention cohorts: first-activity bucket, offsets, distinct-per-cell") {
+    val ev = Seq(
+      (1L, 0L), (1L, 5L), (1L, 5L), (1L, 25L), // cohort 0, active days 0,0,2
+      (2L, 11L), (2L, 22L), // cohort 1, active days 1,2
+      (3L, 12L)) // cohort 1, active day 1
+    val got = Temporal.retentionCohorts(
+      ev.toDF("user_id", "ts"), "user_id", "ts", bucketWidth = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 2L, (1L, 1L) -> 1L))
+  }
+
   test("duplicate step names refuse loudly") {
     val e = intercept[IllegalArgumentException] {
       Temporal.funnel(Seq((1L, "A", 1L)).toDF("u", "t", "ts"), "u", "t", "ts",
