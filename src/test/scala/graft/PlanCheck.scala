@@ -146,6 +146,15 @@ object PlanCheck {
           p.contains("INSET") &&
           !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")),
+      ("event_funnel", "funnel = combinable MINs + keyed joins: NO window, no cartesian",
+        // a regression to a per-user window (sort every user's events) or
+        // a cartesian step pairing would change the operator's cost class
+        p => !p.contains("Window") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin") &&
+          p.contains("partial_min")),
+      ("event_retention", "retention = one distinct + min-per-key + keyed join: NO window",
+        p => !p.contains("Window") && !p.contains("CartesianProduct") &&
+          p.contains("partial_min")),
       ("dedup_cdc_chunks", "CDC windows keyed (doc-keyed assembly, (h,chunk) verify — never global), no cartesian",
         // a regression to windowspecdefinition(p#...) with no leading
         // partition column would serialize the whole token stream on one
