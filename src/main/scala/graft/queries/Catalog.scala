@@ -503,6 +503,31 @@ object Catalog {
             + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
 
+    // user-journey transition matrix (Markov flows): count of (event_type
+    // → next event_type) steps across each user's time-ordered stream —
+    // the per-user window is keyed (bounded by one user's events, the
+    // sessionize contract), the count map-side-combinable; ties broken on
+    // event_id so the order is total and the oracle replays it exactly
+    Q("event_transitions",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ets"))
+        val w = Window.partitionBy("user_id").orderBy(col("ets"), col("event_id"))
+        ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n_steps"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+          CAST(count(*) AS BIGINT) AS n_steps
+        FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""")),
+
     // cohort retention triangle (daily buckets): cohort = first-activity
     // day per user, cells count active users at each day offset — one
     // distinct (user, day) shuffle + min-per-user + keyed join back
