@@ -82,7 +82,12 @@ object Bench {
     // r14: tf-idf weighted cosine near-dup — the candidate join is the
     // wall signal (norm-prefix-filtered inverted index, 258k candidates
     // at sf0.1 vs 1.13M unfiltered)
-    "dedup_tfidf_cosine")
+    "dedup_tfidf_cosine",
+    // r15: the event-analytics family's two join/distinct-heavy shapes
+    // (r14 verdict item 4) — funnel's shrinking-survivor keyed joins and
+    // retention's (key, bucket) distinct + min-per-key + join-back; both
+    // landed after the r14 bench cut and had no round-over-round signal
+    "event_funnel", "event_retention")
 
   /** Expected QUIET band per headline query: the upper edge of the
     * builder-box certified-quiet readings recorded in BASELINE.md (sf0.1,

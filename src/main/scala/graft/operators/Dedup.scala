@@ -581,7 +581,12 @@ object Dedup {
     * distinct shingles ‖·‖² ≤ 2.25e15 (long-exact), dot ≤ 2.25e15
     * (long-exact in the merge-walk kernel), and dot²·10⁶ ≤ 5.1e36 <
     * 10³⁸ — inside DECIMAL(38,0) here and HUGEINT in a SQL oracle, so the
-    * final predicate is replayable bit-for-bit on any engine.
+    * final predicate is replayable bit-for-bit on any engine. The bound
+    * is ENFORCED at runtime, not just documented: [[tfidfN2Guard]]
+    * refuses loudly at vector-build time when any document's ‖·‖²
+    * exceeds [[TfidfMaxN2]] (the Cauchy–Schwarz-derived budget under
+    * which no pair can overflow), so an out-of-contract corpus fails
+    * instead of silently dropping pairs to a null-on-overflow cast.
     *
     * Scale shape (100 TB): one corpus shuffle builds (doc, shingle-hash,
     * tf); df is a map-side-combinable count; candidates come from the
@@ -687,35 +692,82 @@ object Dedup {
   }
 
   /** Weighted tf-idf postings (id, th, df, w) + the (th, df) census — the
-    * shared construction of the tf-idf cosine family (one corpus shuffle;
-    * magnitude discipline documented on [[tfidfCosinePairs]]). */
+    * shared construction of the tf-idf cosine family (magnitude
+    * discipline documented on [[tfidfCosinePairs]]).
+    *
+    * The corpus is scanned exactly ONCE (spec-pinned): the document count
+    * the idf needs rides the tf build as an Observation instead of a
+    * separate `df.count()` action — on a bare parquet scan that count was
+    * a footer read, but the input is ANY DataFrame (post-filter
+    * projections in composed pipelines), where it was a genuine second
+    * corpus pass. The tf relation is persisted just long enough to fire
+    * the observation and derive the census; the returned census is
+    * re-derived from the PERSISTED postings, so downstream consumers
+    * (the hot-term cap audit) never reach back past the persist. */
   private def tfidfWeightedPostings(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int,
       tfCap: Int, idfCapX100: Long): (DataFrame, DataFrame) = {
-    val n = df.count()
-    val tf = spread(df.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), tokens(col(textCol)).as("__toks"))
-      .select(col("id"),
-        explode(shinglesFromTokens(col("__toks"), shingleN)).as("term"))
-      .groupBy(col("id"), xxhash64(col("term")).as("th"))
-      .agg(count(lit(1)).as("tf"))
+    val nObs = org.apache.spark.sql.Observation()
+    // the observe sits ABOVE spread: spread's partition probe (`.rdd`)
+    // registers a zero-row execution on the probed plan, and an
+    // Observation latches onto the FIRST completed execution containing
+    // its CollectMetrics — observed-below-spread it reads 0 (probed
+    // empirically on Spark 4.1); observed above, the first execution is
+    // the eager persist's count and the metric is the true corpus count
+    val tf = spillPersistEager(
+      spread(df.select(col(idCol).as("id"), col(textCol)))
+        .observe(nObs, count(lit(1)).as("n"))
+        .select(col("id"), tokens(col(textCol)).as("__toks"))
+        .select(col("id"),
+          explode(shinglesFromTokens(col("__toks"), shingleN)).as("term"))
+        .groupBy(col("id"), xxhash64(col("term")).as("th"))
+        .agg(count(lit(1)).as("tf")))
+    val n = nObs.get("n").asInstanceOf[Long]
     val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
     val weighted = spillPersistEager(tf.join(dfreq, "th")
       .select(col("id"), col("th"), col("df"),
         (least(col("tf"), lit(tfCap.toLong)) *
           least(expr(s"CAST(${n * 100L} DIV df AS BIGINT)"), lit(idfCapX100)))
           .as("w")))
-    (weighted, dfreq)
+    tf.unpersist(blocking = false)
+    (weighted, weighted.groupBy("th").agg(first(col("df")).as("df")))
   }
 
+  /** Per-document squared-norm budget that keeps the cos²·1e6 predicate
+    * integer-exact: by Cauchy–Schwarz `dot² ≤ n2_a · n2_b`, so with every
+    * doc's `n2 ≤ 3.1e15` the predicate's `dot²·1e6 ≤ 9.61e36` stays
+    * inside DECIMAL(38,0) (1e38) AND DuckDB's HUGEINT (~1.7e38), and the
+    * DECIMAL(19,0) casts on the norm-prefix filter (`n2·1e6 ≤ 3.1e21`
+    * after widening) stay exact. At the full default caps
+    * (w ≤ 1.5e5, w² ≤ 2.25e10) the budget admits ~1.37e5 distinct
+    * shingles per document — the docstring's 1e5 contract with headroom. */
+  private[graft] val TfidfMaxN2 = 3100000000000000L // 3.1e15
+
+  /** The runtime refusal behind [[TfidfMaxN2]]: an out-of-contract
+    * document (more weighted-shingle mass than the exactness budget)
+    * must fail LOUDLY at vector-build time, not overflow `dot²·1e6` past
+    * DECIMAL(38,0) — which in non-ANSI mode yields null and silently
+    * DROPS the pair (and would overflow the HUGEINT oracle too). */
+  private[graft] def tfidfN2Guard(n2: Column, id: Column): Column =
+    when(n2 > lit(TfidfMaxN2), raise_error(concat(
+      lit("graft tfidf: document "), id.cast("string"),
+      lit(" has squared tf-idf norm "), n2.cast("string"),
+      lit(s" > $TfidfMaxN2 — beyond the integer-exactness budget " +
+        "(~1e5 distinct shingles at full caps); split the document or " +
+        "lower tfCap/idfCapX100"))))
+      .otherwise(n2)
+
   /** (id, n2, ks, ws) sorted sparse vectors of a weighted-postings
-    * relation — the merge-walk dot kernel's operand encoding. */
+    * relation — the merge-walk dot kernel's operand encoding. The
+    * [[tfidfN2Guard]] exactness refusal fires here, at the eager persist,
+    * so every family member (pairs, index build, incremental batch side)
+    * refuses before any predicate can overflow. */
   private def tfidfVecsOf(weighted: DataFrame): DataFrame =
     spillPersistEager(weighted
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("th"), col("w")))).as("kw"),
         sum(col("w") * col("w")).as("n2"))
-      .select(col("id"), col("n2"),
+      .select(col("id"), tfidfN2Guard(col("n2"), col("id")).as("n2"),
         transform(col("kw"), x => x.getField("th")).as("ks"),
         transform(col("kw"), x => x.getField("w")).as("ws")))
 

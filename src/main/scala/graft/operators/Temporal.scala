@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * `tieBreak` wins. All ordering is fully specified — deterministic. */
 object Temporal {
 
+  /** Exact FLOOR division for integral epoch columns (`w > 0`): SQL `DIV`
+    * (IntegralDivide) truncates toward zero, so a pre-epoch (negative)
+    * timestamp would land one bucket HIGH — and diverge from oracles
+    * whose `//` floors (DuckDB, Python). Pure codegen arithmetic
+    * (`x DIV w` minus one when the remainder is negative); identical to
+    * `DIV` on the non-negative domain, exact on all of it. */
+  private def floorDiv(c: String, w: Long): Column =
+    expr(s"(`$c` DIV ${w}L) - (CASE WHEN `$c` % ${w}L < 0 THEN 1 ELSE 0 END)")
+
   /** Bucketized RANGE (point-in-interval) join: every left point joins
     * every right interval containing it (`start <= point <= end`,
     * inclusive). Spark plans a bare inequality join as a broadcast
@@ -36,7 +45,9 @@ object Temporal {
     * ~(duration / bucketWidth + 1) times; pick it near the typical
     * interval length so replication stays O(1) per interval while
     * buckets stay selective. Both named columns must be integral
-    * (epoch nanos/micros, versions, offsets…). Column names must not
+    * (epoch nanos/micros, versions, offsets…); bucket mapping is FLOOR
+    * division, so pre-epoch (negative) values bucket exactly like any
+    * other — no non-negativity contract. Column names must not
     * collide across the two sides (select/rename before joining). */
   def rangeJoin(
       points: DataFrame, pointCol: String,
@@ -48,9 +59,8 @@ object Temporal {
     require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
       "rangeJoin reserves the __b column name")
     val iv = intervals.withColumn("__b", explode(sequence(
-      expr(s"`$startCol` DIV ${bucketWidth}L"),
-      expr(s"`$endCol` DIV ${bucketWidth}L"))))
-    val pt = points.withColumn("__b", expr(s"`$pointCol` DIV ${bucketWidth}L"))
+      floorDiv(startCol, bucketWidth), floorDiv(endCol, bucketWidth))))
+    val pt = points.withColumn("__b", floorDiv(pointCol, bucketWidth))
     pt.join(iv, "__b")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__b")
@@ -171,8 +181,9 @@ object Temporal {
   }
 
   /** Cohort RETENTION matrix: each key's cohort is the integer time
-    * bucket (`ts DIV bucketWidth` — timestamps must be non-negative, the
-    * epoch convention) of its FIRST activity; cell (cohort, day_offset)
+    * bucket (FLOOR of `ts / bucketWidth` — exact on negative, pre-epoch
+    * timestamps too, matching SQL `//` oracles; no non-negativity
+    * contract) of its FIRST activity; cell (cohort, day_offset)
     * counts keys active in bucket cohort + day_offset. The classic
     * product-analytics triangle, integer-exact.
     *
@@ -186,12 +197,135 @@ object Temporal {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val act = df.select(col(keyCol).as("__k"),
-      expr(s"CAST(`$tsCol` DIV ${bucketWidth}L AS BIGINT)").as("__b")).distinct()
+      floorDiv(tsCol, bucketWidth).cast("bigint").as("__b")).distinct()
     val cohort = act.groupBy("__k").agg(min("__b").as("__c"))
     act.join(cohort, "__k")
       .groupBy(col("__c").as("cohort"), (col("__b") - col("__c")).as("day_offset"))
       .agg(count(lit(1)).as("active_keys"))
   }
+
+  /** User-journey TRANSITION matrix (Markov flows): counts of
+    * (event type → the type `step` events later) transitions across each
+    * key's time-ordered stream. `step = 1` is the classic 1-step flow
+    * matrix; higher `step` gives the k-step Markov counts (what a chain's
+    * k-th power estimates, counted exactly instead).
+    *
+    * Shape at scale: the ONLY window is keyed on `keyCol` — bounded by
+    * one key's events (the [[sessionize]] contract; a pathological
+    * single-key firehose should be pre-split upstream) — and the count
+    * is map-side combinable, so the result is |types|² cells. Per-key
+    * order is totalized by `tieBreak` (a unique column), so the counts
+    * are deterministic and an external SQL oracle replays them exactly.
+    * Returns (from_type, to_type, n_steps). */
+  def transitionMatrix(
+      df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      tieBreak: String, step: Int = 1): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreak))
+    df.withColumn("__next", lead(col(typeCol), step).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_steps"))
+  }
+
+  /** Persisted-state form of [[funnel]]: the state table an operational
+    * pipeline stores between ingests and folds new event batches into
+    * with [[funnelFold]] — the round-14 persisted-census pattern applied
+    * to funnels. One row per key with ANY step-typed event (not just
+    * entered keys): the funnel chain columns (`step_i_ts`, null until
+    * reached), `steps_completed`, and `__max_ts` — the maximum step-typed
+    * event timestamp ever folded for the key. `__max_ts` is what makes
+    * folding SOUND: the earliest-chain semantics depends on events the
+    * chain did not use (an earlier step-1 arrival can re-route the chain
+    * through a previously-ignored step-2 event), so a fold is exact only
+    * when batch events are strictly later than everything already folded
+    * for that key — and storing the per-key max is what lets
+    * [[funnelFold]] REFUSE loudly when the contract is violated instead
+    * of silently under-counting. Project the serving view with
+    * [[funnelOf]]. Invariant (spec-pinned):
+    * `funnelOf(funnelFold(funnelState(b1), b2)) == funnel(b1 ∪ b2)`
+    * whenever every key's b2 events are strictly later than its b1
+    * events. */
+  def funnelState(
+      df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(!df.columns.exists(_.startsWith("__")),
+      "funnelState reserves __-prefixed column names")
+    val se = df.filter(col(typeCol).isInCollection(steps))
+    val maxTs = se.groupBy(col(keyCol)).agg(max(col(tsCol)).as("__max_ts"))
+    funnel(df, keyCol, typeCol, tsCol, steps)
+      .join(maxTs, Seq(keyCol), "right")
+      .withColumn("steps_completed", coalesce(col("steps_completed"), lit(0L)))
+  }
+
+  /** Fold a new event batch into a [[funnelState]] table — the
+    * incremental funnel. Per step, one map-side-combinable MIN over the
+    * batch plus a keyed join against the state (no windows, no per-key
+    * sort — the [[funnel]] shape, with the state standing in for the
+    * survivor set); cost scales with the BATCH, never the history.
+    *
+    * Contract (enforced, not documented-only): every batch event for a
+    * key already in the state must be STRICTLY later than that key's
+    * stored `__max_ts`. A late event invalidates earliest-chain folding
+    * (see [[funnelState]]), so the fold REFUSES loudly at execution time
+    * (`raise_error` inside the batch-state join — no extra pass) rather
+    * than silently reporting a wrong funnel. Keys new to the state enter
+    * unconditioned. Returns the updated state (same schema). */
+  def funnelFold(
+      state: DataFrame, batch: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelFold needs at least one step")
+    require(state.columns.contains("__max_ts") &&
+      steps.indices.forall(i => state.columns.contains(s"step_${i + 1}_ts")),
+      s"state must be a funnelState table for ${steps.size} steps, " +
+        s"got columns ${state.columns.mkString(", ")}")
+    val se = batch.filter(col(typeCol).isInCollection(steps))
+      .select(col(keyCol), col(typeCol).as("__etype"), col(tsCol).as("__ets"))
+    // the late-data refusal rides the join the fold needs anyway: a batch
+    // event at or before the key's stored __max_ts poisons __ets with
+    // raise_error, so the first action over the fold refuses loudly
+    val guarded = se.join(state.select(col(keyCol), col("__max_ts").as("__smax")),
+        Seq(keyCol), "left")
+      .withColumn("__ets",
+        when(col("__smax").isNotNull && col("__ets") <= col("__smax"),
+          raise_error(concat(lit("graft funnelFold: late event for key "),
+            col(keyCol).cast("string"), lit(" at ts "), col("__ets").cast("string"),
+            lit(" <= folded max "), col("__smax").cast("string"),
+            lit(" — earliest-chain folding requires strictly later batches; " +
+              "rebuild the state from the full history instead"))))
+          .otherwise(col("__ets")))
+      .drop("__smax")
+    // state keys ∪ batch step-event keys; missing state rows enter with a
+    // null chain (steps_completed 0) and null __max_ts
+    var acc = state.join(guarded.select(col(keyCol)).distinct(), Seq(keyCol), "full")
+    steps.indices.foreach { j =>
+      val cur = s"step_${j + 1}_ts"
+      val cand =
+        if (j == 0) guarded.filter(col("__etype") === steps.head)
+          .groupBy(col(keyCol)).agg(min(col("__ets")).as("__c"))
+        else guarded.filter(col("__etype") === steps(j))
+          .select(col(keyCol), col("__ets"))
+          .join(acc.select(col(keyCol), col(s"step_${j}_ts").as("__p")), keyCol)
+          .filter(col("__ets") > col("__p"))
+          .groupBy(col(keyCol)).agg(min(col("__ets")).as("__c"))
+      acc = acc.join(cand, Seq(keyCol), "left")
+        .withColumn(cur, coalesce(col(cur), col("__c"))).drop("__c")
+    }
+    val bmax = guarded.groupBy(col(keyCol)).agg(max(col("__ets")).as("__bmax"))
+    acc.join(bmax, Seq(keyCol), "left")
+      .withColumn("__max_ts",
+        greatest(coalesce(col("__max_ts"), col("__bmax")),
+          coalesce(col("__bmax"), col("__max_ts"))))
+      .drop("__bmax")
+      .withColumn("steps_completed",
+        steps.indices.map(j => when(col(s"step_${j + 1}_ts").isNotNull, 1L)
+          .otherwise(0L)).reduce(_ + _))
+  }
+
+  /** Serving view of a [[funnelState]] table: exactly the [[funnel]]
+    * output shape — entered keys only, bookkeeping dropped. */
+  def funnelOf(state: DataFrame): DataFrame =
+    state.filter(col("step_1_ts").isNotNull).drop("__max_ts")
 
   /** Convenience: unpack the matched struct's payload fields as columns
     * named `asof_<field>` (null when no right row preceded the left row). */

@@ -503,6 +503,37 @@ object Catalog {
             + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
 
+    // INCREMENTAL funnel (the round-14 persisted-state pattern): build the
+    // per-key funnel state on the first half of the time range, fold the
+    // second half in with funnelFold (cost scales with the batch, never
+    // the history; late data refuses loudly), serve with funnelOf — the
+    // oracle is the ONE-SHOT funnel over the union, so the fold identity
+    // is what the gate certifies
+    Q("event_funnel_incremental",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min("ets").as("lo"), max("ets").as("hi")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val steps = Seq("view", "click", "purchase")
+        val st = graft.operators.Temporal.funnelState(
+          ev.filter(col("ets") <= cut), "user_id", "event_type", "ets", steps)
+        val folded = graft.operators.Temporal.funnelFold(
+          st, ev.filter(col("ets") > cut), "user_id", "event_type", "ets", steps)
+        graft.operators.Temporal.funnelOf(folded)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ets FROM events),
+        s1 AS (SELECT user_id, min(ets) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ets) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ets > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ets) AS t3 FROM e JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND ets > t2 GROUP BY 1)
+        SELECT s1.user_id, t1 AS step_1_ts, t2 AS step_2_ts, t3 AS step_3_ts,
+          CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
+
     // user-journey transition matrix (Markov flows): count of (event_type
     // → next event_type) steps across each user's time-ordered stream —
     // the per-user window is keyed (bounded by one user's events, the
@@ -513,15 +544,29 @@ object Catalog {
         val ev = t(s, d, "events")
           .select(col("user_id"), col("event_id"), col("event_type"),
             expr("ts div 1000").as("ets"))
-        val w = Window.partitionBy("user_id").orderBy(col("ets"), col("event_id"))
-        ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
-          .filter(col("next_type").isNotNull)
-          .groupBy(col("event_type").as("from_type"),
-            col("next_type").as("to_type"))
-          .agg(count(lit(1)).as("n_steps"))
+        graft.operators.Temporal.transitionMatrix(
+          ev, "user_id", "event_type", "ets", "event_id")
       },
       Some("""WITH o AS (SELECT user_id, event_type,
           lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+          CAST(count(*) AS BIGINT) AS n_steps
+        FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""")),
+
+    // k-step Markov flows (k = 2): what the chain's square estimates,
+    // counted exactly — same keyed-window shape, lead offset 2
+    Q("event_transitions_2step",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.transitionMatrix(
+          ev, "user_id", "event_type", "ets", "event_id", step = 2)
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+          lead(event_type, 2) OVER (PARTITION BY user_id
             ORDER BY epoch_us(ts), event_id) AS next_type
         FROM events)
         SELECT event_type AS from_type, next_type AS to_type,
@@ -3110,11 +3155,13 @@ object Catalog {
         ev.filter(col("event_type") === "purchase" && pmod(col("event_id"), lit(2)) === 1)
           .write.mode("append").parquet(dir.toString)
         runOnce()
-        // the sink dir (incl. _spark_metadata) backs the returned frame;
-        // source drops and checkpoint are done
         deleteDir(ckpt.toFile)
         deleteDir(dir.toFile)
-        s.read.parquet(sink.toString)
+        // materialize off the sink files so the sink dir can go too — no
+        // temp dir outlives the gate (the tfidf-incremental gates' rule)
+        val res = s.read.parquet(sink.toString).localCheckpoint(true)
+        deleteDir(sink.toFile)
+        res
       },
       Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
           CAST(epoch_us(v.ts) AS BIGINT) AS view_us,
@@ -3174,11 +3221,13 @@ object Catalog {
         val ckpt = java.nio.file.Files.createTempDirectory("graft-sdd-ckpt").toString
         graft.streaming.StatefulDedup.runAvailableNow(
           s, src.toString, schema, "doc_id", "text", out, ckpt)
-        // the sink dir (incl. its _spark_metadata) backs the returned frame;
-        // the source-symlink and checkpoint dirs are done — clean them up
         deleteDir(src.toFile)
         deleteDir(new java.io.File(ckpt))
-        s.read.parquet(out)
+        // materialize off the sink files so the output dir can go too —
+        // no temp dir outlives the gate (the tfidf-incremental gates' rule)
+        val res = s.read.parquet(out).localCheckpoint(true)
+        deleteDir(new java.io.File(out))
+        res
       },
       Some(s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5($normSql) AS fp
         FROM documents GROUP BY 2""")),
@@ -3208,7 +3257,12 @@ object Catalog {
         q.awaitTermination()
         deleteDir(src.toFile)
         deleteDir(new java.io.File(ckpt))
-        s.read.parquet(out)
+        // materialize off the sink files so the output dir can be removed
+        // too (the tfidf-incremental gates' rule) — no temp dir outlives
+        // the gate
+        val res = s.read.parquet(out).localCheckpoint(true)
+        deleteDir(new java.io.File(out))
+        res
       },
       Some(s"""WITH s AS (SELECT doc_id, $toksSql AS t FROM documents),
         g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gr

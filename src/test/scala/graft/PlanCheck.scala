@@ -155,6 +155,18 @@ object PlanCheck {
       ("event_retention", "retention = one distinct + min-per-key + keyed join: NO window",
         p => !p.contains("Window") && !p.contains("CartesianProduct") &&
           p.contains("partial_min")),
+      ("event_funnel_incremental", "funnel fold = batch MINs + keyed joins against the state: NO window, no cartesian",
+        // the fold must keep funnel's cost class — a per-key window would
+        // sort history the state exists to avoid
+        p => !p.contains("Window") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin") &&
+          p.contains("partial_min")),
+      ("event_transitions", "transition matrix window keyed BY USER (lead bounded by one user's events)",
+        p => p.contains("windowspecdefinition(user_id#") &&
+          !p.contains("CartesianProduct")),
+      ("event_transitions_2step", "k-step transition window keyed BY USER too",
+        p => p.contains("windowspecdefinition(user_id#") &&
+          !p.contains("CartesianProduct")),
       ("dedup_cdc_chunks", "CDC windows keyed (doc-keyed assembly, (h,chunk) verify — never global), no cartesian",
         // a regression to windowspecdefinition(p#...) with no leading
         // partition column would serialize the whole token stream on one

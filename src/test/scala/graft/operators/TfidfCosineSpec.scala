@@ -245,4 +245,53 @@ class TfidfCosineSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("integer-exactness budget"))
   }
+
+  test("per-document squared-norm budget refuses loudly at runtime") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // the guard expression itself: an out-of-contract n2 (more weighted
+    // shingle mass than ~1e5 distinct shingles at full caps) must raise,
+    // not overflow dot²·1e6 past DECIMAL(38,0) into a silent null-drop.
+    // (No feasible corpus below ~4e4 docs can reach the budget through the
+    // public API — the caps bound w — so the expression is pinned directly.)
+    val over = Seq((7L, Dedup.TfidfMaxN2 + 1L)).toDF("id", "n2")
+    val e = intercept[Exception] {
+      over.select(Dedup.tfidfN2Guard(col("n2"), col("id"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("integer-exactness budget")
+      || m != null && m.contains("graft tfidf")), s"unexpected: ${e.getMessage}")
+    // at the budget exactly: passes through unchanged
+    val ok = Seq((7L, Dedup.TfidfMaxN2)).toDF("id", "n2")
+      .select(Dedup.tfidfN2Guard(col("n2"), col("id"))).collect()
+    assert(ok.head.getLong(0) == Dedup.TfidfMaxN2)
+    // and the Cauchy-Schwarz headroom the budget guarantees: even two
+    // at-budget docs keep dot²·1e6 inside DECIMAL(38,0) and HUGEINT
+    val worst = BigInt(Dedup.TfidfMaxN2) * BigInt(Dedup.TfidfMaxN2) * 1000000
+    assert(worst < BigInt(10).pow(38))
+    assert(worst < BigInt(2).pow(127))
+    val _ = lit(1) // keep the import used
+  }
+
+  test("the corpus is scanned exactly once (doc count rides an Observation)") {
+    // the r14 verdict's What's-wrong #2: `df.count()` for the idf was a
+    // second full pass over ANY input DataFrame (composed pipelines).
+    // Pin: a counting filter on the input sees each row exactly once.
+    val scans = spark.sparkContext.longAccumulator("tfidf-input-scans")
+    val mark = org.apache.spark.sql.functions.udf { (_: Long) =>
+      scans.add(1); true
+    }.asNondeterministic()
+    // parquet-backed, NOT a local Seq: ConvertToLocalRelation evaluates
+    // filters over LocalRelations driver-side at plan time, which would
+    // double-count the marker without any distributed pass existing
+    val dir = tmpDir("tfidf-scan-pin")
+    (0L until 64L).map(i => (i, s"alpha beta gamma delta tok$i epsilon zeta eta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val in = spark.read.parquet(dir)
+      .filter(mark(org.apache.spark.sql.functions.col("doc_id")))
+    Dedup.tfidfCosinePairs(in, "doc_id", "text", threshold = 0.5).count()
+    assert(scans.value == 64L,
+      s"corpus rows marked ${scans.value} times — expected exactly 64 (one pass)")
+    Dedup.releaseIntermediates()
+  }
 }
