@@ -3242,9 +3242,20 @@ object Catalog {
         val docs = t(s, d, "documents")
         val schema = docs.schema
         val src = java.nio.file.Files.createTempDirectory("graft-sci-src")
-        java.nio.file.Files.createSymbolicLink(
-          src.resolve("documents.parquet"),
-          java.nio.file.Paths.get(s"$d/documents.parquet").toAbsolutePath)
+        // the fixture is a single file in the driver layout but a
+        // Spark-written DIRECTORY in the sf1 sweep — the streaming file
+        // source does not descend through a symlinked dir, so link the
+        // data files themselves in that case
+        val fixture = java.nio.file.Paths.get(s"$d/documents.parquet").toAbsolutePath
+        if (java.nio.file.Files.isDirectory(fixture)) {
+          val it = java.nio.file.Files.list(fixture).iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet"))
+              java.nio.file.Files.createSymbolicLink(src.resolve(p.getFileName), p)
+          }
+        } else
+          java.nio.file.Files.createSymbolicLink(src.resolve("documents.parquet"), fixture)
         val out = java.nio.file.Files.createTempDirectory("graft-sci-out").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft-sci-ckpt").toString
         val stream = s.readStream.schema(schema).parquet(src.toString)

@@ -116,8 +116,48 @@ object Sf1Drive {
       case Some("foreign") => runForeign(spark)
       case Some("graph") => runGraph(spark)
       case Some("streaming") => runStreaming(spark)
+      case Some("events") => runEvents(spark)
       case _ => runDocs(spark)
     }
+  }
+
+  /** Event-analytics sweep at 10× (round-15, r14 verdict item 3): ten
+    * copies of the sf0.1 events with user_id stride 100M (disjoint users,
+    * so per-key semantics — funnel chains, cohorts, per-user lead windows
+    * — stay copy-local by construction) and event_id → id·10 + cp (a
+    * MONOTONE injection, so within-copy tie-break order is preserved and
+    * every oracle window replays verbatim over the synthesized table).
+    * Timestamps are untouched: copies share the time axis, which is the
+    * weak-scaling shape (10× users over the same range — funnel's
+    * shrinking-survivor joins and retention's distinct grow 10×, the
+    * |buckets|² result does not). The gates run the Catalog entries
+    * verbatim; `tools/sf1_check.py events` replays their oracles over the
+    * synthesized events view. Also runs streaming_clean_ingest over the
+    * 10× salted documents (the AvailableNow contamination drain at 10× —
+    * grams are copy-salted so the bench InSet behaves per-copy, and the
+    * oracle replays the same predicate). */
+  private def runEvents(spark: SparkSession): Unit = {
+    val e0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val copies = spark.range(0, 10).select(col("id").as("cp"))
+    e0.crossJoin(broadcast(copies))
+      .select((col("event_id") * 10L + col("cp")).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("cp") * 100000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"event corpus rows=${spark.read.parquet(s"$out/events.parquet").count()}")
+    def run(g: String): Unit = {
+      val t0 = System.nanoTime()
+      graft.queries.Catalog.queries(g)(spark, out)
+        .write.mode("overwrite").parquet(s"$outDir/$g")
+      graft.operators.Dedup.releaseIntermediates()
+      println(f"GATE $g ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"rows=${spark.read.parquet(s"$outDir/$g").count()}")
+    }
+    Seq("event_funnel", "event_funnel_incremental", "event_retention",
+      "event_transitions", "event_transitions_2step", "sessionize").foreach(run)
+    synthDocs(spark)
+    run("streaming_clean_ingest")
   }
 
   /** Streaming table source at 10× (round-11): the 1.5M-row synthesized

@@ -225,10 +225,43 @@ def main_graph(oracle_path):
     sys.exit(0 if ok else 1)
 
 
+EV = "/root/repo/tmp/sf1/events.parquet/*.parquet"
+EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_retention",
+               "event_transitions", "event_transitions_2step", "sessionize"]
+
+
+def main_events(oracle_path):
+    """Event-analytics sweep at 10x (round 15): every oracle replays
+    VERBATIM over the synthesized events view — users are disjoint across
+    copies and event_id -> id*10+cp is monotone, so per-key windows,
+    funnel chains, and cohorts are copy-local with unchanged tie order
+    (see Sf1Drive.runEvents). streaming_clean_ingest replays its batch
+    filter over the 10x salted documents."""
+    sqls = json.load(open(oracle_path))
+    ok = True
+    for g in EVENT_GATES + ["streaming_clean_ingest"]:
+        con = duckdb.connect()
+        con.execute("SET threads TO 32")
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{EV}'")
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF1}'")
+        t0 = time.time()
+        n_got, n_ora, m = compare(con, f"SELECT * FROM '{OUT}/{g}/*.parquet'",
+                                  sqls[g])
+        print(f"{g}: rows={n_got} oracle={n_ora} "
+              f"{'MATCH' if m else 'MISMATCH'} ({time.time() - t0:.0f}s)")
+        ok &= m
+        con.close()
+    print("SF1 EVENTS SWEEP:", "ALL MATCH" if ok else "FAILURES")
+    sys.exit(0 if ok else 1)
+
+
 def main():
     args = [a for a in sys.argv[1:]
-            if a not in ("emb", "scd2", "dv", "foreign", "graph", "streaming")]
+            if a not in ("emb", "scd2", "dv", "foreign", "graph", "streaming",
+                         "events")]
     oracle_path = args[0] if args else "/tmp/verify-out/oracle_sql.json"
+    if "events" in sys.argv[1:]:
+        return main_events(oracle_path)
     if "emb" in sys.argv[1:]:
         return main_emb(oracle_path)
     if "scd2" in sys.argv[1:]:
