@@ -102,6 +102,12 @@ object Bench {
   val bands: Map[String, Double] = Map(
     "scd2_history" -> 3.3, "q1_agg" -> 0.35, "q3_top_orders" -> 0.8,
     "w1_latest_per_key" -> 0.35, "dedup_exact" -> 0.4,
+    // minhash_lsh re-read at r15 (driver sat exactly at the 2.7 line in
+    // r14): two certified-quiet runs=5 passes read min_clean 1.781/1.923,
+    // medians 1.94/2.06 — the builder-box floor is ~1.8-2.1 and r13's
+    // 2.16 was ordinary, but the DRIVER's certified-quiet r14 read was
+    // 2.706, so 2.7 stands as the cross-box band (the >2x flag rule
+    // leaves headroom either way)
     "dedup_minhash_lsh" -> 2.7, "dedup_minhash_incremental" -> 2.2,
     "dedup_simhash" -> 2.6, "dedup_ngram_jaccard" -> 2.4,
     // dedup_semantic's band moved 1.5 → 2.1 at r11's 3dbd051 (the hot-cell
@@ -134,10 +140,16 @@ object Bench {
     // 0.88/1.06 (classifier: vocab census + 2 training epochs + apply)
     // and 0.96/1.31 (cross-LM) at runs=5 — de-rated upper edges
     "text_quality_classifier" -> 1.2, "text_lm_cross_score" -> 1.4,
-    // r14 first-round band: warm single-run readings 3.27/4.57 on a
-    // working box (TfidfProbe), de-rated upper edge per the BASELINE
-    // first-round protocol
-    "dedup_tfidf_cosine" -> 4.5)
+    // r15 re-certification (r14 verdict item 1): two certified-quiet
+    // runs=5 passes (sentinel medians 0.115/0.118 at 0.100 struct, all
+    // per-query windows clean) — min_clean 2.975/3.073, medians
+    // 3.06/3.45, driver quiet read 3.27; band = de-rated upper edge of
+    // the quiet cluster (closes the r14 ADVICE band-below-observed note)
+    "dedup_tfidf_cosine" -> 4.0,
+    // r15 first-round bands for the event-analytics headliners: quiet
+    // pairs 0.201/0.200 min, 0.222/0.291 median (funnel) and 0.301/0.271
+    // min, 0.377/0.352 median (retention) — de-rated upper edges
+    "event_funnel" -> 0.35, "event_retention" -> 0.5)
 
   /** A clean reading above this multiple of its band is flagged
     * `over_band` — the same >2×-band rule the round verdicts apply. */

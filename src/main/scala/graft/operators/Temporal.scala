@@ -327,6 +327,178 @@ object Temporal {
   def funnelOf(state: DataFrame): DataFrame =
     state.filter(col("step_1_ts").isNotNull).drop("__max_ts")
 
+  /** CONVERSION-WINDOW funnel: [[funnel]] with every step additionally
+    * required to land within `within` of the key's ANCHOR — its earliest
+    * step-1 event (`tᵢ ≤ t₁ + within`). This is the product-analytics
+    * convention (convert within N days of entering): the anchor is the
+    * FIRST entry, deterministically, not "any entry whose window would
+    * have converted" — a later re-entry converting inside its own window
+    * does not count, which keeps the statistic monotone in `within` and
+    * replayable in plain SQL. Within the anchored window, greedy-earliest
+    * chaining is optimal exactly as in [[funnel]]. Same output shape;
+    * same no-window/no-sort scale story (the anchor rides the survivor
+    * set as one more join column). */
+  def funnelWithin(
+      df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String], within: Long): DataFrame = {
+    require(within >= 0, s"within must be non-negative, got $within")
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got ${steps.mkString(", ")}")
+    var acc: DataFrame = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("step_1_ts"))
+    var i = 2
+    steps.tail.foreach { step =>
+      val prev = s"step_${i - 1}_ts"
+      val cur = s"step_${i}_ts"
+      val nxt = df.filter(col(typeCol) === step)
+        .select(col(keyCol), col(tsCol).as("__t"))
+        .join(acc.select(col(keyCol), col(prev).as("__p"),
+          col("step_1_ts").as("__a")), keyCol)
+        .filter(col("__t") > col("__p") && col("__t") <= col("__a") + within)
+        .groupBy(col(keyCol)).agg(min(col("__t")).as(cur))
+      acc = acc.join(nxt, Seq(keyCol), "left")
+      i += 1
+    }
+    acc.withColumn("steps_completed",
+      steps.indices.map(j => when(col(s"step_${j + 1}_ts").isNotNull, 1L)
+        .otherwise(0L)).reduce(_ + _))
+  }
+
+  private val RetentionMetaWidth = "graft.retention.bucketWidth"
+
+  /** Persisted-state form of [[retentionCohorts]]: the distinct
+    * (key, bucket) activity relation — the EXACT sufficient statistic of
+    * the retention triangle, so unlike [[funnelFold]] the fold needs NO
+    * ordering contract: distinct-union is idempotent and commutative, and
+    * late or replayed data folds in exactly. `bucketWidth` is stamped in
+    * the bucket column's metadata so a mismatched fold refuses instead of
+    * silently mixing granularities. One row per (key, active bucket);
+    * serve with [[retentionOf]]. */
+  def retentionState(
+      df: DataFrame, keyCol: String, tsCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(RetentionMetaWidth, bucketWidth).build()
+    df.select(col(keyCol),
+        floorDiv(tsCol, bucketWidth).cast("bigint").as("bucket", meta))
+      .distinct()
+  }
+
+  /** Fold a new event batch into a [[retentionState]]: the state NEVER
+    * shuffles — the batch's distinct activity probes it via a broadcast
+    * semi-join (the exact-dedup probe strategy) and only genuinely new
+    * (key, bucket) rows append. Any batch order, late data, and replays
+    * are all exact (see [[retentionState]]); the only contract is the
+    * stamped bucketWidth, enforced here. */
+  def retentionFold(
+      state: DataFrame, batch: DataFrame, keyCol: String, tsCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(state.columns.toSeq == Seq(keyCol, "bucket"),
+      s"state must be a retentionState table (${Seq(keyCol, "bucket")}), " +
+        s"got ${state.columns.mkString(", ")}")
+    state.schema("bucket").metadata match {
+      case m if m.contains(RetentionMetaWidth) =>
+        require(m.getLong(RetentionMetaWidth) == bucketWidth,
+          s"retention state was bucketed at width ${m.getLong(RetentionMetaWidth)}, " +
+            s"caller passed $bucketWidth — mixing granularities corrupts cohorts")
+      case _ => // a state read back from storage that dropped metadata: trust the caller
+    }
+    val batchAct = retentionState(batch, keyCol, tsCol, bucketWidth)
+    // state rows the batch already has — probed map-side, state unshuffled
+    val dup = state.join(broadcast(batchAct), Seq(keyCol, "bucket"), "left_semi")
+    val fresh = batchAct.join(dup, Seq(keyCol, "bucket"), "left_anti")
+    state.unionByName(fresh)
+  }
+
+  /** Serving view of a [[retentionState]]: the [[retentionCohorts]]
+    * triangle, computed from the stored activity relation (cohort = min
+    * bucket per key; one aggregate + keyed join — no corpus re-scan). */
+  def retentionOf(state: DataFrame): DataFrame = {
+    val k = state.columns.head
+    val cohort = state.groupBy(col(k)).agg(min("bucket").as("__c"))
+    state.join(cohort, k)
+      .groupBy(col("__c").as("cohort"), (col("bucket") - col("__c")).as("day_offset"))
+      .agg(count(lit(1)).as("active_keys"))
+  }
+
+  /** Persisted-state form of [[transitionMatrix]] (1-step): the pair
+    * (matrix, frontier) where `matrix` is the (from_type, to_type,
+    * n_steps) counts so far and `frontier` is each key's LAST event
+    * (type + timestamp + tie-break) — the sufficient statistic for
+    * bridging the next batch's first event onto this one's last. Fold
+    * with [[transitionFold]]; `matrix` is the serving view directly. */
+  def transitionState(
+      df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      tieBreak: String): (DataFrame, DataFrame) = {
+    val matrix = transitionMatrix(df, keyCol, typeCol, tsCol, tieBreak)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(tieBreak).desc)
+    val frontier = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col(typeCol).as("__last_type"),
+        col(tsCol).as("__last_ts"), col(tieBreak).as("__last_tie"))
+    (matrix, frontier)
+  }
+
+  /** Fold a new event batch into a [[transitionState]]: within-batch
+    * transitions come from the batch's own keyed lead window (batch-sized),
+    * plus one BRIDGE transition per key whose frontier event precedes the
+    * batch's first event for that key. Counts are additive, so the matrix
+    * merge is a |types|²-sized aggregate.
+    *
+    * Contract (enforced like [[funnelFold]]): batch events for a key with
+    * a frontier must be STRICTLY later than `(last_ts, last_tie)` — an
+    * interleaving event would rewrite adjacencies already counted, so the
+    * fold refuses loudly at execution time rather than under- or
+    * double-counting. Returns the updated (matrix, frontier). */
+  def transitionFold(
+      matrix: DataFrame, frontier: DataFrame, batch: DataFrame,
+      keyCol: String, typeCol: String, tsCol: String,
+      tieBreak: String): (DataFrame, DataFrame) = {
+    require(frontier.columns.toSeq ==
+      Seq(keyCol, "__last_type", "__last_ts", "__last_tie"),
+      s"frontier must be a transitionState frontier, got ${frontier.columns.mkString(", ")}")
+    val guarded = batch.join(frontier, Seq(keyCol), "left")
+      .withColumn(tsCol,
+        when(col("__last_ts").isNotNull &&
+          (col(tsCol) < col("__last_ts") ||
+            (col(tsCol) === col("__last_ts") && col(tieBreak) <= col("__last_tie"))),
+          raise_error(concat(lit("graft transitionFold: event for key "),
+            col(keyCol).cast("string"), lit(" at ("), col(tsCol).cast("string"),
+            lit(", "), col(tieBreak).cast("string"),
+            lit(") is not after the folded frontier ("),
+            col("__last_ts").cast("string"), lit(", "),
+            col("__last_tie").cast("string"),
+            lit(") — adjacency counting requires strictly later batches; " +
+              "rebuild the state from the full history instead"))))
+          .otherwise(col(tsCol)))
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreak))
+    val within = guarded
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+    val inner = within.filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_steps"))
+    val bridge = within.filter(col("__rn") === 1 && col("__last_type").isNotNull)
+      .groupBy(col("__last_type").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_steps"))
+    val mergedMatrix = matrix.unionByName(inner).unionByName(bridge)
+      .groupBy("from_type", "to_type").agg(sum("n_steps").as("n_steps"))
+    val wLast = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(tieBreak).desc)
+    val batchLast = guarded
+      .withColumn("__rl", row_number().over(wLast))
+      .filter(col("__rl") === 1)
+      .select(col(keyCol), col(typeCol).as("__last_type"),
+        col(tsCol).as("__last_ts"), col(tieBreak).as("__last_tie"))
+    // the frontier (|keys|-sized state) never shuffles: the batch's key
+    // set probes it via a broadcast anti-join
+    val keptFrontier = frontier
+      .join(broadcast(batchLast.select(col(keyCol))), Seq(keyCol), "left_anti")
+    (mergedMatrix, keptFrontier.unionByName(batchLast))
+  }
+
   /** Convenience: unpack the matched struct's payload fields as columns
     * named `asof_<field>` (null when no right row preceded the left row). */
   def asofJoinSelect(

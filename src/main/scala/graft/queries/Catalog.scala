@@ -555,6 +555,82 @@ object Catalog {
           CAST(count(*) AS BIGINT) AS n_steps
         FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""")),
 
+    // CONVERSION-WINDOW funnel: every step must land within 2 days of the
+    // user's anchor (earliest view) — the product-analytics convention;
+    // same no-window MIN+join shape, the anchor rides the survivor set
+    Q("event_funnel_window",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.funnelWithin(ev, "user_id", "event_type", "ets",
+          Seq("view", "click", "purchase"), within = 172800000000L)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ets FROM events),
+        s1 AS (SELECT user_id, min(ets) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ets) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ets > t1
+            AND ets <= t1 + 172800000000 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ets) AS t3
+          FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+          WHERE event_type = 'purchase' AND ets > t2
+            AND ets <= t1 + 172800000000 GROUP BY 1)
+        SELECT s1.user_id, t1 AS step_1_ts, t2 AS step_2_ts, t3 AS step_3_ts,
+          CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
+
+    // INCREMENTAL retention: the distinct (key, bucket) activity relation
+    // IS the exact sufficient statistic, so the fold needs NO ordering
+    // contract — the gate splits by event_id PARITY (interleaved in time,
+    // late data everywhere) and must still equal the one-shot triangle;
+    // the state side never shuffles (broadcast probe, pinned)
+    Q("event_retention_incremental",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ets"))
+        val w = 86400000000L
+        val T = graft.operators.Temporal
+        val st = T.retentionState(
+          ev.filter(col("event_id") % 2 === 0), "user_id", "ets", w)
+        val folded = T.retentionFold(
+          st, ev.filter(col("event_id") % 2 === 1), "user_id", "ets", w)
+        T.retentionOf(folded)
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b FROM events),
+        a AS (SELECT DISTINCT user_id, b FROM e),
+        c AS (SELECT user_id, min(b) AS c FROM a GROUP BY 1)
+        SELECT CAST(c AS BIGINT) AS cohort, CAST(b - c AS BIGINT) AS day_offset,
+          CAST(count(*) AS BIGINT) AS active_keys
+        FROM a JOIN c USING (user_id) GROUP BY 1, 2""")),
+
+    // INCREMENTAL transition matrix: counts are additive, so the state is
+    // (matrix, per-key frontier) and a fold adds the batch's own leads
+    // plus one BRIDGE step per key from its frontier event; time-split
+    // batches (the strictly-later contract, refused loudly when violated)
+    // must reproduce the one-shot matrix exactly
+    Q("event_transitions_incremental",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min("ets").as("lo"), max("ets").as("hi")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val T = graft.operators.Temporal
+        val (m0, f0) = T.transitionState(ev.filter(col("ets") <= cut),
+          "user_id", "event_type", "ets", "event_id")
+        val (m1, _) = T.transitionFold(m0, f0, ev.filter(col("ets") > cut),
+          "user_id", "event_type", "ets", "event_id")
+        m1
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+          CAST(count(*) AS BIGINT) AS n_steps
+        FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""")),
+
     // k-step Markov flows (k = 2): what the chain's square estimates,
     // counted exactly — same keyed-window shape, lead offset 2
     Q("event_transitions_2step",

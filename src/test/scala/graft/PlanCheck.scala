@@ -164,6 +164,17 @@ object PlanCheck {
       ("event_transitions", "transition matrix window keyed BY USER (lead bounded by one user's events)",
         p => p.contains("windowspecdefinition(user_id#") &&
           !p.contains("CartesianProduct")),
+      ("event_funnel_window", "windowed funnel keeps the MIN+join shape: NO window exec, no cartesian",
+        p => !p.contains("Window") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin") &&
+          p.contains("partial_min")),
+      ("event_retention_incremental", "retention fold: the state side is probed via BROADCAST semi/anti — never sort-merge-shuffled, no window",
+        p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+          !p.contains("Window") && !p.contains("CartesianProduct")),
+      ("event_transitions_incremental", "transition fold: batch windows keyed BY USER, frontier anti-join broadcast, no cartesian",
+        p => p.contains("windowspecdefinition(user_id#") &&
+          p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct")),
       ("event_transitions_2step", "k-step transition window keyed BY USER too",
         p => p.contains("windowspecdefinition(user_id#") &&
           !p.contains("CartesianProduct")),

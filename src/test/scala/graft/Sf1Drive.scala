@@ -154,8 +154,10 @@ object Sf1Drive {
       println(f"GATE $g ${(System.nanoTime() - t0) / 1e9}%.1f s " +
         s"rows=${spark.read.parquet(s"$outDir/$g").count()}")
     }
-    Seq("event_funnel", "event_funnel_incremental", "event_retention",
-      "event_transitions", "event_transitions_2step", "sessionize").foreach(run)
+    Seq("event_funnel", "event_funnel_incremental", "event_funnel_window",
+      "event_retention", "event_retention_incremental",
+      "event_transitions", "event_transitions_2step",
+      "event_transitions_incremental", "sessionize").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")
   }

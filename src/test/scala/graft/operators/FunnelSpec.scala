@@ -171,6 +171,103 @@ class FunnelSpec extends SparkSuite {
     assert(two == Map(("A", "A") -> 1L, ("B", "C") -> 1L))
   }
 
+  test("conversion-window funnel: steps outside the anchor window don't chain") {
+    val steps = Seq("A", "B", "C")
+    def run(w: Long, ev: Seq[(Long, String, Long)]) =
+      Temporal.funnelWithin(ev.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps, within = w)
+        .collect().map(r => r.getLong(0) -> r.getLong(steps.size + 1)).toMap
+    val ev = Seq(
+      // user 1: B at anchor+5 within a 10-window, C at anchor+20 outside it
+      (1L, "A", 100L), (1L, "B", 105L), (1L, "C", 120L),
+      // user 2: full chain inside the window
+      (2L, "A", 100L), (2L, "B", 105L), (2L, "C", 110L))
+    assert(run(10L, ev) == Map(1L -> 2L, 2L -> 3L))
+    // a wide window degenerates to the plain funnel
+    val wide = run(1000L, ev)
+    val plain = Temporal.funnel(ev.toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getLong(0) -> r.getLong(steps.size + 1)).toMap
+    assert(wide == plain)
+    // the anchor is the FIRST entry: a later A whose window would convert
+    // does not count (monotone-in-`within`, deterministic)
+    val re = Seq((1L, "A", 0L), (1L, "A", 100L), (1L, "B", 105L))
+    assert(run(10L, re) == Map(1L -> 1L))
+  }
+
+  test("retention state/fold: exact under ANY split — no ordering contract") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(0xE11E)
+    val ev = Seq.tabulate(400)(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(300).toLong - 150L)) // pre-epoch too
+    val df = ev.toDF("user_id", "ts")
+    val want = Temporal.retentionCohorts(df, "user_id", "ts", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // interleaved split (parity of the row index — late data everywhere)
+    val (b1, b2) = ev.zipWithIndex.partition(_._2 % 2 == 0)
+    val st = Temporal.retentionState(b1.map(_._1).toDF("user_id", "ts"),
+      "user_id", "ts", 10L)
+    val folded = Temporal.retentionFold(st, b2.map(_._1).toDF("user_id", "ts"),
+      "user_id", "ts", 10L)
+    val got = Temporal.retentionOf(folded)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    // REPLAYING a batch is a no-op (distinct-union idempotence)
+    val replay = Temporal.retentionFold(folded, b2.map(_._1).toDF("user_id", "ts"),
+      "user_id", "ts", 10L)
+    assert(replay.count() == folded.count())
+    // mixed granularity refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Temporal.retentionFold(folded, df, "user_id", "ts", 20L)
+    }
+    assert(e.getMessage.contains("granularit"))
+    // the fold only APPENDS: stored rows are never rewritten
+    assert(folded.join(st, Seq("user_id", "bucket"), "left_semi").count() == st.count())
+    val _ = col("user_id")
+  }
+
+  test("transition state/fold: time-split batches reproduce the one-shot matrix") {
+    val ev = Seq(
+      (1L, 1L, "A", 10L), (1L, 2L, "B", 20L), (1L, 3L, "A", 130L), (1L, 4L, "C", 140L),
+      (2L, 5L, "B", 5L), (2L, 6L, "B", 106L),
+      (3L, 7L, "C", 150L)) // key first seen in batch 2 — no bridge
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val want = Temporal.transitionMatrix(ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    import org.apache.spark.sql.functions.col
+    val (m0, f0) = Temporal.transitionState(ev.filter(col("ts") <= 100L),
+      "user_id", "event_type", "ts", "event_id")
+    val (m1, f1) = Temporal.transitionFold(m0, f0, ev.filter(col("ts") > 100L),
+      "user_id", "event_type", "ts", "event_id")
+    val got = m1.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want) // bridges A→A (key 1) and B→B (key 2) counted once
+    // frontier advanced to each key's last event
+    val fr = f1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fr == Map(1L -> "C", 2L -> "B", 3L -> "C"))
+    // an interleaving (not-strictly-later) batch refuses loudly
+    val e = intercept[Exception] {
+      Temporal.transitionFold(m1, f1,
+        Seq((1L, 8L, "B", 135L)).toDF("user_id", "event_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", "event_id")._1.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("transitionFold")), s"unexpected: ${e.getMessage}")
+    // equal-(ts,tie) is NOT strictly later either
+    val e2 = intercept[Exception] {
+      Temporal.transitionFold(m1, f1,
+        Seq((2L, 6L, "B", 106L)).toDF("user_id", "event_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", "event_id")._1.collect()
+    }
+    assert(msgs(e2).exists(_.contains("transitionFold")))
+    // a third fold keeps chaining (C→A bridge for key 3)
+    val (m2, _) = Temporal.transitionFold(m1, f1,
+      Seq((3L, 9L, "A", 200L)).toDF("user_id", "event_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", "event_id")
+    val got2 = m2.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got2(("C", "A")) == 1L)
+  }
+
   test("duplicate step names refuse loudly") {
     val e = intercept[IllegalArgumentException] {
       Temporal.funnel(Seq((1L, "A", 1L)).toDF("u", "t", "ts"), "u", "t", "ts",

@@ -226,8 +226,10 @@ def main_graph(oracle_path):
 
 
 EV = "/root/repo/tmp/sf1/events.parquet/*.parquet"
-EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_retention",
-               "event_transitions", "event_transitions_2step", "sessionize"]
+EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window",
+               "event_retention", "event_retention_incremental",
+               "event_transitions", "event_transitions_2step",
+               "event_transitions_incremental", "sessionize"]
 
 
 def main_events(oracle_path):
