@@ -663,6 +663,20 @@ case class SortedWeightedDot(
   * HashKernels: per-row loops belong in compiled code, not interpreted
   * higher-order functions — IVF assignment measured 12.8 s vs ~1 s). */
 object VectorKernels {
+  /** Integer dot of a code array against a fixed query's codes — the
+    * [[IntDotToQuery]] body. Truncates to the shorter length; null
+    * elements read as 0. */
+  def intDotQ(codes: ArrayData, q: Array[Int]): Long = {
+    val n = math.min(codes.numElements(), q.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!codes.isNullAt(i)) acc += codes.getInt(i).toLong * q(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Double-array variant. */
   def nearestDouble(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
     val xs = vec.toDoubleArray()
@@ -980,6 +994,33 @@ private object VectorExprs {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$name expects array<float|double>, got ${other.simpleString}")
   }
+  def checkIntVec(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<int>, got ${other.simpleString}")
+  }
+}
+
+/** array<int> → long: integer dot product against a fixed quantized query
+  * (codegen'd; the query codes ride as a reference object). The SQ8
+  * shortlist scan body: pure integer ALU, exact in a long for any real
+  * dimensionality (|code| ≤ 127 ⇒ |dot| ≤ dim·127² < 2⁶³ until
+  * dim ~ 5.7e14). Null elements read as 0 (the codegen'd quantizer never
+  * emits them; a hand-built array refusing would be noise). */
+case class IntDotToQuery(child: Expression, q: Array[Int])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkIntVec(prettyName, child.dataType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.intDotQ(input.asInstanceOf[ArrayData], q)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("q", q, "int[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.intDotQ($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IntDotToQuery =
+    copy(child = newChild)
+  override def prettyName: String = "int_dot_to_query"
 }
 
 /** array<float|double> → double: cosine against a fixed query (codegen'd;
@@ -1416,6 +1457,8 @@ object NativeHash {
       Bridge.expression(kb), Bridge.expression(wb)))
   def cosineToQuery(vec: Column, q: Array[Double], qNorm: Double): Column =
     Bridge.column(CosineToQuery(Bridge.expression(vec), q, qNorm))
+  def intDotToQuery(codes: Column, q: Array[Int]): Column =
+    Bridge.column(IntDotToQuery(Bridge.expression(codes), q))
   def cosinePair(a: Column, b: Column): Column =
     Bridge.column(CosinePair(Bridge.expression(a), Bridge.expression(b)))
   def hyperplaneSig(vec: Column, planes: Array[Array[Double]],

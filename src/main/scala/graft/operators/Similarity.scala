@@ -542,6 +542,43 @@ object Similarity {
             floor(x.cast("double") * 127d / col("__maxabs") + 0.5d).cast("int"))))
       .drop("__maxabs")
 
+  /** Driver-side SQ8 codes of a literal query vector — the
+    * [[quantizeInt8]] rule verbatim (per-vector max-abs scale,
+    * `floor(x·127/ma + 0.5)`), so query and corpus codes live on the same
+    * lattice. */
+  def sq8Of(vec: Seq[Float]): Array[Int] = {
+    var ma = 0.0
+    vec.foreach(x => ma = math.max(ma, math.abs(x.toDouble)))
+    if (ma == 0.0) Array.fill(vec.length)(0)
+    else vec.map(x => math.floor(x.toDouble * 127d / ma + 0.5d).toInt).toArray
+  }
+
+  /** SQ8 top-k with exact rerank: score every row's [[quantizeInt8]]
+    * codes against the query's codes with ONE codegen'd integer dot
+    * (`IntDotToQuery` — pure int ALU over 1/4 of the float32 bytes, the
+    * FAISS `SQ8` tier between [[topKBinary]]'s 1 bit and [[topKPq]]'s
+    * trained codebooks: no training, 4× compression, far higher shortlist
+    * fidelity than Hamming), TakeOrdered the `shortlist` largest dots,
+    * exact-cosine rerank. Same contract as the siblings: exact iff the
+    * shortlist contains the true top-k — size it ≫ kTop and ∝ corpus
+    * (the sf1 sweep protocol). Per-vector max-abs scaling means the int
+    * dot ranks by `dot(q, c)/maxabs(c)` — a norm-like discount that keeps
+    * the shortlist ordering close to cosine. At scale the codes column is
+    * the thing to PERSIST (write `quantizeInt8` output once, scan int8
+    * codes per query, touch float vectors only for the shortlist). */
+  def topKSq8(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], kTop: Int, shortlist: Int = 100): DataFrame = {
+    dimOf(df, vecCol).foreach(dim => require(queryVec.length == dim,
+      s"query vector dim ${queryVec.length} != corpus dim $dim"))
+    val q8 = sq8Of(queryVec)
+    val short = quantizeInt8(df.filter(col(vecCol).isNotNull), vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        graft.functions.NativeHash.intDotToQuery(col("q"), q8).as("dot"))
+      .orderBy(col("dot").desc, col("id").asc).limit(shortlist)
+    rerank(short.select(col("id"), col("v")), queryVec, kTop)
+  }
+
   /** Binary sign quantization: (id, bits: array<long>, v) with bit i of
     * the packed words = (component i ≥ 0) — 1 bit per component, the
     * 64×-compressed sibling of [[quantizeInt8]] (int8) and PQ codes. The

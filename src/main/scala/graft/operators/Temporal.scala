@@ -499,6 +499,38 @@ object Temporal {
     (mergedMatrix, keptFrontier.unionByName(batchLast))
   }
 
+  /** TRAILING-WINDOW activity features (rate features): for every event,
+    * the count — and, with `valueCol`, the sum — of the key's events in
+    * the trailing `window` (inclusive: `ts − window ≤ t ≤ ts`). The
+    * standard feature-engineering primitive (events-per-key-per-day,
+    * spend-in-last-hour) and the batch analogue of a sliding-window
+    * stream aggregate.
+    *
+    * The frame is a RANGE frame over the integral `tsCol`, so events
+    * sharing a timestamp see each other symmetrically — no tie-break is
+    * needed for determinism (frames are by VALUE, not row position).
+    * `valueCol`, when given, must be integral (cents, counts — the
+    * integer-exactness house rule). Shape at scale: ONE keyed window
+    * (bounded by a key's events, the [[sessionize]] contract); appends
+    * `trail_count` (+ `trail_sum`). */
+  def trailingFeatures(
+      df: DataFrame, keyCol: String, tsCol: String, window: Long,
+      valueCol: Option[String] = None): DataFrame = {
+    require(window >= 0, s"window must be non-negative, got $window")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol))
+      .rangeBetween(-window, 0)
+    val counted = df.withColumn("trail_count", count(lit(1)).over(w))
+    valueCol.fold(counted) { v =>
+      val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      require(integral.contains(df.schema(v).dataType),
+        s"valueCol $v must be integral (got ${df.schema(v).dataType}) — " +
+          "scale currency to cents first, the integer-exactness house rule")
+      counted.withColumn("trail_sum", sum(col(v)).over(w))
+    }
+  }
+
   /** Convenience: unpack the matched struct's payload fields as columns
     * named `asof_<field>` (null when no right row preceded the left row). */
   def asofJoinSelect(

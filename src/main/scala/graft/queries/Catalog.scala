@@ -631,6 +631,71 @@ object Catalog {
           CAST(count(*) AS BIGINT) AS n_steps
         FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""")),
 
+    // STREAMING funnel maintenance: two AvailableNow drops against one
+    // checkpoint fold into a persisted funnelState VersionedTable
+    // (overwriteIdempotent — a replayed batch is a no-op, never a
+    // double-fold); the oracle is the ONE-SHOT funnel over all events,
+    // so the gate certifies the batch-boundary folds AND the store
+    // round-trip together
+    Q("streaming_funnel_ingest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min("ets").as("lo"), max("ets").as("hi")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val src = java.nio.file.Files.createTempDirectory("graft-sfi-src")
+        val state = java.nio.file.Files.createTempDirectory("graft-sfi-state")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sfi-ck")
+        java.nio.file.Files.delete(state)
+        val steps = Seq("view", "click", "purchase")
+        ev.filter(col("ets") <= cut)
+          .write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.funnelIngest(s, src.toString, schema,
+          "user_id", "event_type", "ets", steps, state.toString, ckpt.toString)
+        ev.filter(col("ets") > cut)
+          .write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.funnelIngest(s, src.toString, schema,
+          "user_id", "event_type", "ets", steps, state.toString, ckpt.toString)
+        val out = graft.operators.Temporal.funnelOf(
+          new graft.store.VersionedTable(s, state.toString).read())
+          .localCheckpoint(true)
+        Seq(src, state, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ets FROM events),
+        s1 AS (SELECT user_id, min(ets) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ets) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ets > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ets) AS t3 FROM e JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND ets > t2 GROUP BY 1)
+        SELECT s1.user_id, t1 AS step_1_ts, t2 AS step_2_ts, t3 AS step_3_ts,
+          CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
+
+    // trailing-window rate features (events + spend in the last 2 days,
+    // per event): ONE keyed RANGE-frame window — frames are by value, so
+    // same-timestamp events see each other symmetrically and no tie-break
+    // is needed; spend rides as exact integer cents
+    Q("event_rate_features",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ets"),
+            cents(col("value")).as("cents"))
+        graft.operators.Temporal.trailingFeatures(ev, "user_id", "ets",
+          window = 172800000000L, valueCol = Some("cents"))
+          .select("event_id", "user_id", "ets", "trail_count", "trail_sum")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ets,
+          CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        SELECT event_id, user_id, ets,
+          count(*) OVER w AS trail_count,
+          CAST(sum(cents) OVER w AS BIGINT) AS trail_sum
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ets
+          RANGE BETWEEN 172800000000 PRECEDING AND CURRENT ROW)""")),
+
     // k-step Markov flows (k = 2): what the chain's square estimates,
     // counted exactly — same keyed-window shape, lead offset 2
     Q("event_transitions_2step",
@@ -2707,6 +2772,15 @@ object Catalog {
     // ADC gates run 10%; the scan is still 1/64th the bytes
     Q("ann_topk_binary",
       (s, d) => Similarity.topKBinary(t(s, d, "embeddings"),
+        "vec_id", "embedding", queryVec(s, d), 10, shortlist = 400)
+        .select("rank", "id"),
+      Some(annExactTopKSql)),
+
+    // SQ8 tier (int8 codes, no training): codegen'd integer-dot shortlist
+    // + exact rerank — same exact-iff-shortlist-covers contract, verified
+    // against the exact top-k oracle like its binary/PQ siblings
+    Q("ann_topk_sq8",
+      (s, d) => Similarity.topKSq8(t(s, d, "embeddings"),
         "vec_id", "embedding", queryVec(s, d), 10, shortlist = 400)
         .select("rank", "id"),
       Some(annExactTopKSql)),

@@ -463,6 +463,24 @@ final class VersionedTable(spark: SparkSession, val path: String)
       extraProps = Map(key -> batchVersion.toString))
   }
 
+  /** Exactly-once OVERWRITE for at-least-once callers — the
+    * [[appendIdempotent]] txn pattern for STATE tables a micro-batch
+    * replaces wholesale (a funnel/retention fold rewrites its whole
+    * |keys|-sized state): a replayed batch at or below the recorded
+    * watermark is a NO-OP, which matters doubly here because re-FOLDING
+    * an already-folded batch would trip the fold's own late-data refusal.
+    * Properties (and with them the `graft.txn.*` watermarks) carry across
+    * overwrite commits, so the guard survives the rewrite it guards. */
+  def overwriteIdempotent(
+      df: DataFrame, appId: String, batchVersion: Long,
+      drift: SchemaDrift = SchemaDrift.Full): Long = {
+    val key = s"graft.txn.$appId"
+    val applied = properties.get(key).map(_.toLong)
+    if (applied.exists(_ >= batchVersion)) return requireVersion
+    commit(df, overwrite = true, drift,
+      extraProps = Map(key -> batchVersion.toString))
+  }
+
   /** Append an empty frame carrying only schema (drift pre-pass, reference
     * spark_reader.py:284-305 / K2). */
   def widenSchema(newSchema: StructType, drift: SchemaDrift): Long =

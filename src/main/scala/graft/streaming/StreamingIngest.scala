@@ -283,4 +283,69 @@ object StreamingIngest {
     fpTable.appendIdempotent(
       out.select(TextFunctions.fingerprint(col(textCol)).as("fp")), appId, batchId)
   }
+
+  /** STREAMING funnel maintenance (the r14 verdict's operational shape):
+    * an AvailableNow drain folds each micro-batch of events into a
+    * persisted [[graft.operators.Temporal.funnelState]] table with
+    * [[graft.operators.Temporal.funnelFold]] — per-batch cost scales with
+    * the batch, never the accumulated key history. Re-running the stream
+    * against the same checkpoint is "one more poll"; serve the funnel any
+    * time with `Temporal.funnelOf(new VersionedTable(s, stateDir).read())`.
+    *
+    * Exactly-once: foreachBatch is at-least-once, and re-FOLDING a batch
+    * would both double-count and trip the fold's late-data refusal — the
+    * state table's `overwriteIdempotent` (txnAppId/txnVersion) makes the
+    * replay a no-op instead. Source files must respect the fold contract
+    * (each key's later drops strictly after its earlier ones — the
+    * append-only ingest convention); a violation fails the batch loudly
+    * via the fold's own raise_error. */
+  def funnelIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      stateDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val appId = "funnelIngest-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        funnelIngestBatch(batch, batchId, keyCol, typeCol, tsCol, steps,
+          stateDir, appId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  private[graft] def funnelIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      stateDir: String,
+      appId: String): Unit = {
+    import graft.operators.Temporal
+    val s = batch.sparkSession
+    val tbl = new graft.store.VersionedTable(s, stateDir)
+    val ev = batch.select(keyCol, typeCol, tsCol).toDF()
+    val next =
+      if (tbl.exists)
+        Temporal.funnelFold(tbl.read(), ev, keyCol, typeCol, tsCol, steps)
+      else Temporal.funnelState(ev, keyCol, typeCol, tsCol, steps)
+    // the new state derives from the files being replaced: materialize
+    // BEFORE the overwrite commits (snapshot isolation keeps the old files
+    // readable, but eager evaluation also surfaces the fold's late-data
+    // refusal inside THIS batch, before any commit)
+    tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
+  }
 }

@@ -72,6 +72,12 @@ object PlanCheck {
         p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
       ("ann_topk_pq", "ADC shortlist via TakeOrdered, not a global sort",
         p => p.contains("TakeOrderedAndProject")),
+      ("ann_topk_sq8", "SQ8 integer-dot shortlist via TakeOrdered, kernel codegen'd (no UDF)",
+        p => p.contains("TakeOrderedAndProject") &&
+          p.contains("int_dot_to_query") && !p.contains("BatchEvalPython")),
+      ("event_rate_features", "trailing features = ONE user-keyed RANGE-frame window, no join/cartesian",
+        p => p.contains("windowspecdefinition(user_id#") &&
+          !p.contains("Join") && !p.contains("CartesianProduct")),
       ("hybrid_topk", "modality pools via TakeOrdered; fusion join has no cartesian",
         p => p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct")),
       ("text_chunk_windows", "chunking is a pure narrow fan-out (no exchange, no join)",

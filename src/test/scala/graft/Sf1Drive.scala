@@ -155,6 +155,7 @@ object Sf1Drive {
         s"rows=${spark.read.parquet(s"$outDir/$g").count()}")
     }
     Seq("event_funnel", "event_funnel_incremental", "event_funnel_window",
+      "event_rate_features", "streaming_funnel_ingest",
       "event_retention", "event_retention_incremental",
       "event_transitions", "event_transitions_2step",
       "event_transitions_incremental", "sessionize").foreach(run)
@@ -485,6 +486,11 @@ object Sf1Drive {
       graft.queries.Catalog.queries("dedup_semantic_incremental")(spark, out))
 
     val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    // r15: SQ8 tier at 10× — shortlist ∝ corpus (2000 = the 10% ratio),
+    // same scaled-shortlist protocol as the PQ/binary siblings
+    run("ann_topk_sq8")(
+      Similarity.topKSq8(emb, "vec_id", "embedding", qv, 10, shortlist = 2000)
+        .select("rank", "id"))
     run("ann_topk_pq") {
       val books = Similarity.pqTrain(emb, "vec_id", "embedding",
         m = 16, k = 16, iters = 2)

@@ -166,6 +166,22 @@ class StoreSpec extends SparkSuite {
     assert(t.read().count() == 2)
   }
 
+  test("overwriteIdempotent: replayed state rewrites are no-ops, watermarks survive the overwrite") {
+    val t = new graft.store.VersionedTable(spark, tmpDir("store-ovid"))
+    t.overwriteIdempotent(Seq((1, "s0")).toDF("id", "s"), "fold", 0L)
+    t.overwriteIdempotent(Seq((1, "s1"), (2, "s1")).toDF("id", "s"), "fold", 1L)
+    assert(t.read().count() == 2)
+    // a foreachBatch retry of batch 1 must NOT re-fold (it would both
+    // double-apply and trip a fold's late-data refusal)
+    t.overwriteIdempotent(Seq((9, "dup")).toDF("id", "s"), "fold", 1L)
+    assert(t.read().select("s").collect().map(_.getString(0)).toSet == Set("s1"))
+    // the watermark rides properties ACROSS overwrites
+    t.overwriteIdempotent(Seq((3, "s2")).toDF("id", "s"), "fold", 2L)
+    assert(t.read().count() == 1)
+    t.overwriteIdempotent(Seq((9, "dup")).toDF("id", "s"), "fold", 0L) // stale
+    assert(t.read().select("s").head().getString(0) == "s2")
+  }
+
   test("manifest publish fails at the rename when the slot is taken") {
     val dir = tmpDir("fs-noov")
     val fsu = new graft.store.Fs(spark, dir)

@@ -68,4 +68,44 @@ class BinaryAnnSpec extends SparkSuite {
       Similarity.topKBinary(df, "id", "v", vec(8), 1))
     assert(e.getMessage.contains("dim"))
   }
+
+  test("SQ8: kernel integer dot equals the driver-side reference") {
+    val dim = 48
+    val q = vec(dim)
+    val q8 = Similarity.sq8Of(q)
+    val rows = (0L until 60L).map(i => (i, vec(dim)))
+    val got = Similarity.quantizeInt8(rows.toDF("id", "v"), "v")
+      .select(col("id"), graft.functions.NativeHash.intDotToQuery(col("q"), q8).as("dot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, v) =>
+      val c8 = Similarity.sq8Of(v) // same rule as the column quantizer
+      val expect = c8.zip(q8).map { case (a, b) => a.toLong * b }.sum
+      assert(got(id) == expect, s"id $id")
+    }
+    assert(Similarity.sq8Of(Seq(0f, 0f)).toSeq == Seq(0, 0)) // zero vector
+  }
+
+  test("topKSq8 with shortlist = corpus equals exact brute-force top-k") {
+    val dim = 64
+    val q = vec(dim)
+    val rows = (0L until 200L).map(i => (i, vec(dim)))
+    val df = rows.toDF("id", "v")
+    val got = Similarity.topKSq8(df, "id", "v", q, kTop = 10, shortlist = 200)
+      .select("rank", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expect = rows.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, _), i) => ((i + 1).toLong, id) }
+    assert(got == expect)
+    // null vectors excluded, dim mismatch refused — the family contract
+    val withNull = Seq((1L, Some(vec(dim))), (2L, None)).toDF("id", "v")
+    assert(Similarity.topKSq8(withNull, "id", "v", q, 2, 10).count() == 1L)
+    val e = intercept[IllegalArgumentException](
+      Similarity.topKSq8(df, "id", "v", vec(8), 1))
+    assert(e.getMessage.contains("dim"))
+  }
 }

@@ -268,6 +268,34 @@ class FunnelSpec extends SparkSuite {
     assert(got2(("C", "A")) == 1L)
   }
 
+  test("trailing features: inclusive range frame, tie symmetry, integral-only values") {
+    val ev = Seq(
+      (1L, 10L, 5L), (1L, 15L, 7L), (1L, 15L, 1L), // tie at 15: both see both
+      (1L, 26L, 2L),  // 26-10=16 > 15 → window [11,26] holds the two 15s + itself
+      (2L, 100L, 9L))
+      .toDF("user_id", "ts", "cents")
+    val got = Temporal.trailingFeatures(ev, "user_id", "ts", window = 15L,
+        valueCol = Some("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got((1L, 10L, 5L)) == ((1L, 5L)))
+    assert(got((1L, 15L, 7L)) == ((3L, 13L))) // ties see each other symmetrically
+    assert(got((1L, 15L, 1L)) == ((3L, 13L)))
+    assert(got((1L, 26L, 2L)) == ((3L, 10L))) // the ts=10 event aged out
+    assert(got((2L, 100L, 9L)) == ((1L, 9L)))
+    // window 0 still counts same-timestamp events (inclusive frame)
+    val z = Temporal.trailingFeatures(ev, "user_id", "ts", window = 0L)
+      .filter(org.apache.spark.sql.functions.col("ts") === 15L)
+      .select("trail_count").collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(2L, 2L))
+    // a double value column refuses loudly (integer-exactness house rule)
+    val e = intercept[IllegalArgumentException] {
+      Temporal.trailingFeatures(ev.withColumn("d",
+        org.apache.spark.sql.functions.lit(1.5d)), "user_id", "ts", 10L, Some("d"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("duplicate step names refuse loudly") {
     val e = intercept[IllegalArgumentException] {
       Temporal.funnel(Seq((1L, "A", 1L)).toDF("u", "t", "ts"), "u", "t", "ts",

@@ -83,7 +83,7 @@ def compare(con, got_rel, oracle_sql):
 
 
 EMB = "/root/repo/tmp/sf1/embeddings.parquet/*.parquet"
-EMB_GATES = ["dedup_semantic", "dedup_semantic_incremental",
+EMB_GATES = ["dedup_semantic", "dedup_semantic_incremental", "ann_topk_sq8",
              "ann_topk_pq", "ann_topk_ivfpq", "hybrid_topk"]
 
 
@@ -227,6 +227,7 @@ def main_graph(oracle_path):
 
 EV = "/root/repo/tmp/sf1/events.parquet/*.parquet"
 EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window",
+               "event_rate_features", "streaming_funnel_ingest",
                "event_retention", "event_retention_incremental",
                "event_transitions", "event_transitions_2step",
                "event_transitions_incremental", "sessionize"]
