@@ -131,14 +131,16 @@ object Bench {
     "dedup_containment" -> 3.2, "dedup_cdc_chunks" -> 1.1,
     "text_dsir_select" -> 1.1, "text_bm25_topk" -> 1.1,
     "text_boilerplate_removal" -> 1.8,
-    // r14 first-round band: quiet single-run readings 2.76/3.76 (memoized
-    // scenario — each reading is one full two-table, two-round syncAll
-    // orchestration into a fresh tmp destination; the spread is scenario
-    // build variance) — de-rated upper edge
+    // r14 first-round band, RE-CERTIFIED r15 (two runs=5 passes): quiet
+    // min_clean 3.638 (sentinel 1.01×) joins the r14 cluster 2.63-3.76 —
+    // 4.0 confirmed. A 5.15 reading rode a 1.35×-sentinel window
+    // (drained 7) and is weather; fresh-epoch rebuild medians run ~5 s
+    // (scenario build variance, per the memoized-retry note) but the
+    // band is judged on best-of-clean
     "syncall_customer_history" -> 4.0,
-    // r14 first-round bands for the two new text families: quiet pairs
-    // 0.88/1.06 (classifier: vocab census + 2 training epochs + apply)
-    // and 0.96/1.31 (cross-LM) at runs=5 — de-rated upper edges
+    // r14 first-round bands, RE-CERTIFIED r15: quiet clusters 0.88-0.95
+    // (classifier; r14 0.88/1.06) and 1.02-1.35 (cross-LM; r14
+    // 0.96/1.31) — both bands confirmed as-is
     "text_quality_classifier" -> 1.2, "text_lm_cross_score" -> 1.4,
     // r15 re-certification (r14 verdict item 1): two certified-quiet
     // runs=5 passes (sentinel medians 0.115/0.118 at 0.100 struct, all

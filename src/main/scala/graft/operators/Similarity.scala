@@ -579,6 +579,40 @@ object Similarity {
     rerank(short.select(col("id"), col("v")), queryVec, kTop)
   }
 
+  /** Serve SQ8 top-k from a PERSISTED codes index — the operational form
+    * of [[topKSq8]]: `index` is the stored `(id, q)` output of
+    * [[sq8Index]] (int8 codes, 4× smaller than the float corpus), scanned
+    * with the codegen'd integer dot; only the `shortlist` winners join
+    * back to the float `corpus` (keyed, broadcastable — shortlist-sized)
+    * for the exact-cosine rerank. Per query the float vectors are touched
+    * for `shortlist` rows, not the corpus — the billion-vector serving
+    * shape. Same exact-iff-shortlist-covers contract. */
+  def topKSq8Indexed(
+      index: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], kTop: Int, shortlist: Int = 100): DataFrame = {
+    require(index.columns.contains("id") && index.columns.contains("q"),
+      s"index must be a sq8Index (id, q), got ${index.columns.mkString(", ")}")
+    dimOf(corpus, vecCol).foreach(dim => require(queryVec.length == dim,
+      s"query vector dim ${queryVec.length} != corpus dim $dim"))
+    val q8 = sq8Of(queryVec)
+    val short = index
+      .select(col("id"),
+        graft.functions.NativeHash.intDotToQuery(col("q"), q8).as("dot"))
+      .orderBy(col("dot").desc, col("id").asc).limit(shortlist)
+    // renamed join key: the corpus may itself name its id column "id"
+    val cand = corpus.join(broadcast(short.select(col("id").as("__sq8_id"))),
+        corpus(idCol) === col("__sq8_id"))
+      .select(corpus(idCol).as("id"), col(vecCol).as("v"))
+    rerank(cand, queryVec, kTop)
+  }
+
+  /** Persistable SQ8 codes index: one (id, q) row per non-null vector —
+    * write once, serve every query from the int8 codes via
+    * [[topKSq8Indexed]]. */
+  def sq8Index(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeInt8(df.filter(col(vecCol).isNotNull), vecCol)
+      .select(col(idCol).as("id"), col("q"))
+
   /** Binary sign quantization: (id, bits: array<long>, v) with bit i of
     * the packed words = (component i ≥ 0) — 1 bit per component, the
     * 64×-compressed sibling of [[quantizeInt8]] (int8) and PQ codes. The

@@ -2785,6 +2785,24 @@ object Catalog {
         .select("rank", "id"),
       Some(annExactTopKSql)),
 
+    // the PERSISTED serving shape: codes written once (4× smaller than
+    // the float corpus), every query scans the stored int8 index and
+    // touches float vectors only for the shortlist join-back
+    Q("ann_topk_sq8_indexed",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dir = java.nio.file.Files.createTempDirectory("graft-sq8-idx")
+        Similarity.sq8Index(emb, "vec_id", "embedding")
+          .write.mode("overwrite").parquet(dir.toString)
+        val out = Similarity.topKSq8Indexed(
+          s.read.parquet(dir.toString), emb, "vec_id", "embedding",
+          queryVec(s, d), 10, shortlist = 400)
+          .select("rank", "id").localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some(annExactTopKSql)),
+
     // HYBRID retrieval: lexical (shared-distinct-token count) + vector
     // (cosine) ranks fused by Borda rank-sum — the integer-exact cousin of
     // RRF, so the fused order is engine-reproducible bit-for-bit. The gate's

@@ -491,6 +491,13 @@ object Sf1Drive {
     run("ann_topk_sq8")(
       Similarity.topKSq8(emb, "vec_id", "embedding", qv, 10, shortlist = 2000)
         .select("rank", "id"))
+    run("ann_topk_sq8_indexed") {
+      val dir = java.nio.file.Files.createTempDirectory("sf1-sq8-idx")
+      Similarity.sq8Index(emb, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(dir.toString)
+      Similarity.topKSq8Indexed(spark.read.parquet(dir.toString), emb,
+        "vec_id", "embedding", qv, 10, shortlist = 2000).select("rank", "id")
+    }
     run("ann_topk_pq") {
       val books = Similarity.pqTrain(emb, "vec_id", "embedding",
         m = 16, k = 16, iters = 2)

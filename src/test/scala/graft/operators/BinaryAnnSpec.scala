@@ -107,5 +107,16 @@ class BinaryAnnSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       Similarity.topKSq8(df, "id", "v", vec(8), 1))
     assert(e.getMessage.contains("dim"))
+    // the persisted-index serving path returns the identical top-k after
+    // a parquet round-trip of the codes alone
+    val dir = tmpDir("sq8-idx-spec")
+    Similarity.sq8Index(df, "id", "v").write.mode("overwrite").parquet(dir)
+    val served = Similarity.topKSq8Indexed(spark.read.parquet(dir), df,
+        "id", "v", q, kTop = 10, shortlist = 200)
+      .select("rank", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == expect)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.topKSq8Indexed(df.select(col("id")), df, "id", "v", q, 1))
+    assert(e2.getMessage.contains("sq8Index"))
   }
 }

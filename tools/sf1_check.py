@@ -84,6 +84,7 @@ def compare(con, got_rel, oracle_sql):
 
 EMB = "/root/repo/tmp/sf1/embeddings.parquet/*.parquet"
 EMB_GATES = ["dedup_semantic", "dedup_semantic_incremental", "ann_topk_sq8",
+             "ann_topk_sq8_indexed",
              "ann_topk_pq", "ann_topk_ivfpq", "hybrid_topk"]
 
 
