@@ -405,11 +405,31 @@ object Temporal {
             s"caller passed $bucketWidth — mixing granularities corrupts cohorts")
       case _ => // a state read back from storage that dropped metadata: trust the caller
     }
+    state.unionByName(retentionFresh(state, batch, keyCol, tsCol, bucketWidth))
+  }
+
+  /** The APPEND DELTA of a [[retentionFold]]: only the batch's genuinely
+    * new (key, bucket) rows — what an append-only state store (a
+    * VersionedTable the streaming ingest maintains) should commit per
+    * batch, instead of rewriting the whole |keys × buckets| state. Same
+    * probe shape: the state never shuffles. */
+  def retentionFresh(
+      state: DataFrame, batch: DataFrame, keyCol: String, tsCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(state.columns.toSeq == Seq(keyCol, "bucket"),
+      s"state must be a retentionState table (${Seq(keyCol, "bucket")}), " +
+        s"got ${state.columns.mkString(", ")}")
+    state.schema("bucket").metadata match {
+      case m if m.contains(RetentionMetaWidth) =>
+        require(m.getLong(RetentionMetaWidth) == bucketWidth,
+          s"retention state was bucketed at width ${m.getLong(RetentionMetaWidth)}, " +
+            s"caller passed $bucketWidth — mixing granularities corrupts cohorts")
+      case _ => // a state read back from storage that dropped metadata: trust the caller
+    }
     val batchAct = retentionState(batch, keyCol, tsCol, bucketWidth)
     // state rows the batch already has — probed map-side, state unshuffled
     val dup = state.join(broadcast(batchAct), Seq(keyCol, "bucket"), "left_semi")
-    val fresh = batchAct.join(dup, Seq(keyCol, "bucket"), "left_anti")
-    state.unionByName(fresh)
+    batchAct.join(dup, Seq(keyCol, "bucket"), "left_anti")
   }
 
   /** Serving view of a [[retentionState]]: the [[retentionCohorts]]
@@ -529,6 +549,70 @@ object Temporal {
           "scale currency to cents first, the integer-exactness house rule")
       counted.withColumn("trail_sum", sum(col(v)).over(w))
     }
+  }
+
+  /** FORWARD as-of join — for each left row, the EARLIEST right row with
+    * the same key and `rightTs >= leftTs` (pandas `merge_asof
+    * direction='forward'`; the [[asofJoin]] complement — "next event at or
+    * after", e.g. the next purchase after each view). Same one-shuffle
+    * union-sort shape, with the per-key sort DESCENDING: carrying the
+    * last-seen right forward down a descending stream yields, at each
+    * left row, the smallest right timestamp still ≥ it.
+    *
+    * Tie rule (fully specified — deterministic): a right row at exactly
+    * leftTs matches; among right rows with equal ts the LOWEST `tieBreak`
+    * wins (the natural mirror of backward's highest-wins: both pick the
+    * row adjacent to the left row in the sorted stream). */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      tieBreak: String): DataFrame = {
+    require(!left.columns.exists(_.startsWith("__")),
+      "asofJoinForward reserves __-prefixed column names on the left side")
+    require(rightPayload.nonEmpty && rightPayload.forall(right.columns.contains),
+      s"rightPayload must name existing right columns, got $rightPayload")
+    val payloadStruct = struct(
+      (col(rightTs).as("__ts") +: col(tieBreak).as("__tb") +:
+        rightPayload.map(col)): _*)
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__side"), col(tieBreak).as("__tb"),
+      payloadStruct.as("__payload"))
+    val l = left.select(
+      (left.columns.map(col) :+
+        col(leftKey).as("__k") :+ col(leftTs).cast(r.schema("__ts").dataType).as("__ts") :+
+        lit(1).as("__side") :+ lit(null).cast(r.schema("__tb").dataType).as("__tb") :+
+        lit(null).cast(r.schema("__payload").dataType).as("__payload")): _*)
+    // DESCENDING ts: right rows still sort before left at equal ts
+    // (side 0 < 1); among right rows with equal ts, descending tieBreak
+    // means the LAST seen (lowest) wins the carry-forward
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts").desc, col("__side"), col("__tb").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r.select(l.columns.map {
+      case c @ ("__k" | "__ts" | "__side" | "__tb" | "__payload") => col(c)
+      case c => lit(null).cast(l.schema(c).dataType).as(c)
+    }: _*))
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__k", "__ts", "__side", "__tb", "__payload")
+  }
+
+  /** [[asofJoinSelect]] for the forward direction. */
+  def asofJoinForwardSelect(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String], tieBreak: String): DataFrame = {
+    val joined = asofJoinForward(left, right, leftKey, rightKey, leftTs, rightTs,
+      rightPayload, tieBreak)
+    val unpacked = rightPayload.map(p => col("__match").getField(p).as(s"asof_$p"))
+    joined.select((left.columns.map(col) ++ unpacked): _*)
   }
 
   /** Convenience: unpack the matched struct's payload fields as columns

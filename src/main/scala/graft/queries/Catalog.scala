@@ -749,6 +749,68 @@ object Catalog {
         SELECT e.event_id, lo.o_orderkey AS asof_orderkey
         FROM events e LEFT JOIN lo ON e.user_id = lo.o_custkey""")),
 
+    // FORWARD as-of (next purchase at/after each view): the asofJoin
+    // complement — same one-shuffle union-sort, descending per-key order;
+    // ties at the earliest qualifying ts break to the LOWEST id (mirrored
+    // in the oracle's ORDER BY ... LIMIT 1)
+    Q("asof_join_forward",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ets"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ets"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"),
+            col("user_id").as("p_user"), col("ets").as("pts"))
+        graft.operators.Temporal.asofJoinForwardSelect(views, purch,
+            "user_id", "p_user", "ets", "pts", Seq("p_event_id"), "p_event_id")
+          .select(col("event_id"), col("asof_p_event_id").as("next_purchase_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+          epoch_us(ts) AS ets FROM events),
+        v AS (SELECT * FROM e WHERE event_type = 'view'),
+        p AS (SELECT * FROM e WHERE event_type = 'purchase')
+        SELECT v.event_id, x.pid AS next_purchase_id
+        FROM v LEFT JOIN LATERAL (SELECT p.event_id AS pid FROM p
+          WHERE p.user_id = v.user_id AND p.ets >= v.ets
+          ORDER BY p.ets, p.event_id LIMIT 1) x ON true""")),
+
+    // STREAMING retention maintenance: PARITY drops (late data across the
+    // batch boundary — retention folds need no ordering contract), each
+    // micro-batch APPENDS only its fresh (key, bucket) rows to the state
+    // table; the served triangle must equal the one-shot oracle
+    Q("streaming_retention_ingest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ets"))
+        val src = java.nio.file.Files.createTempDirectory("graft-sri-src")
+        val state = java.nio.file.Files.createTempDirectory("graft-sri-state")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sri-ck")
+        java.nio.file.Files.delete(state)
+        val w = 86400000000L
+        ev.filter(col("event_id") % 2 === 0).select("user_id", "ets")
+          .write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.retentionIngest(s, src.toString, schema,
+          "user_id", "ets", w, state.toString, ckpt.toString)
+        ev.filter(col("event_id") % 2 === 1).select("user_id", "ets")
+          .write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.retentionIngest(s, src.toString, schema,
+          "user_id", "ets", w, state.toString, ckpt.toString)
+        val out = graft.operators.Temporal.retentionOf(
+          new graft.store.VersionedTable(s, state.toString).read())
+          .localCheckpoint(true)
+        Seq(src, state, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b FROM events),
+        a AS (SELECT DISTINCT user_id, b FROM e),
+        c AS (SELECT user_id, min(b) AS c FROM a GROUP BY 1)
+        SELECT CAST(c AS BIGINT) AS cohort, CAST(b - c AS BIGINT) AS day_offset,
+          CAST(count(*) AS BIGINT) AS active_keys
+        FROM a JOIN c USING (user_id) GROUP BY 1, 2""")),
+
     Q("a1_max_count",
       (s, d) => t(s, d, "events")
         .agg(max("event_id").as("delta_max"), count(lit(1)).as("cnt")),

@@ -348,4 +348,60 @@ object StreamingIngest {
     // refusal inside THIS batch, before any commit)
     tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
   }
+
+  /** STREAMING retention maintenance — the [[funnelIngest]] sibling with a
+    * STRONGER contract-freeness story: the retention state is the distinct
+    * (key, bucket) activity relation, folds are idempotent and
+    * order-independent ([[graft.operators.Temporal.retentionState]]), so
+    * batches may arrive late, interleaved, or replayed and the triangle
+    * stays exact. The state table is APPEND-ONLY: each micro-batch
+    * commits only its genuinely-new rows
+    * ([[graft.operators.Temporal.retentionFresh]] — the state is probed
+    * via broadcast semi-join, never shuffled, never rewritten), through
+    * `appendIdempotent` for exactly-once under foreachBatch retries.
+    * Serve any time with
+    * `Temporal.retentionOf(new VersionedTable(s, stateDir).read())`. */
+  def retentionIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCol: String,
+      tsCol: String,
+      bucketWidth: Long,
+      stateDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val appId = "retentionIngest-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        retentionIngestBatch(batch, batchId, keyCol, tsCol, bucketWidth,
+          stateDir, appId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  private[graft] def retentionIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      keyCol: String,
+      tsCol: String,
+      bucketWidth: Long,
+      stateDir: String,
+      appId: String): Unit = {
+    import graft.operators.Temporal
+    val s = batch.sparkSession
+    val tbl = new graft.store.VersionedTable(s, stateDir)
+    val ev = batch.select(keyCol, tsCol).toDF()
+    val delta =
+      if (tbl.exists)
+        Temporal.retentionFresh(tbl.read(), ev, keyCol, tsCol, bucketWidth)
+      else Temporal.retentionState(ev, keyCol, tsCol, bucketWidth)
+    tbl.appendIdempotent(delta.localCheckpoint(true), appId, batchId)
+  }
 }

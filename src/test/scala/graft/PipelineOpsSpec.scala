@@ -458,6 +458,36 @@ class PipelineOpsSpec extends SparkSuite {
       104L -> null)) // right row for k=2 is later (60>50)
   }
 
+  test("forward as-of join: earliest at-or-after, lowest-tie wins, brute-force equal") {
+    import graft.operators.Temporal
+    val left = Seq((101L, 1L, 10L), (102L, 1L, 25L), (103L, 1L, 70L), (104L, 2L, 50L))
+      .toDF("ev_id", "k", "ts")
+    val right = Seq((1L, 8L, "a", 1L), (1L, 25L, "c", 3L), (1L, 25L, "b", 2L),
+      (1L, 40L, "d", 4L), (2L, 45L, "z", 5L))
+      .toDF("k", "ts", "v", "rid")
+    val out = Temporal.asofJoinForwardSelect(left, right, "k", "k", "ts", "ts",
+      Seq("v"), "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("asof_v")).orNull).toMap
+    assert(out == Map(
+      101L -> "b", // earliest right at ts>=10 is ts=25; tie breaks to rid 2
+      102L -> "b", // equal-ts right matches, lowest tie wins
+      103L -> null, // nothing at ts>=70
+      104L -> null)) // right row for k=2 is earlier (45<50)
+    // randomized brute-force cross-check
+    val rnd = new scala.util.Random(0xA50F)
+    val L = (0L until 150L).map(i => (i, (i % 7) + 1, rnd.nextInt(100).toLong))
+    val R = (0L until 120L).map(i => ((i % 7) + 1, rnd.nextInt(100).toLong, s"p$i", i))
+    val got = Temporal.asofJoinForwardSelect(
+      L.toDF("ev_id", "k", "ts"), R.toDF("k", "ts", "v", "rid"),
+      "k", "k", "ts", "ts", Seq("v"), "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("asof_v")).orNull).toMap
+    L.foreach { case (id, k, ts) =>
+      val want = R.filter(r => r._1 == k && r._2 >= ts)
+        .sortBy(r => (r._2, r._4)).headOption.map(_._3).orNull
+      assert(got(id) == want, s"ev $id")
+    }
+  }
+
   test("salted join and salted count equal their unsalted counterparts") {
     import graft.operators.Skew
     // skewed left: 1000 rows of key=1, a few others

@@ -78,6 +78,9 @@ object PlanCheck {
       ("event_rate_features", "trailing features = ONE user-keyed RANGE-frame window, no join/cartesian",
         p => p.contains("windowspecdefinition(user_id#") &&
           !p.contains("Join") && !p.contains("CartesianProduct")),
+      ("asof_join_forward", "forward as-of = union-sort (keyed window), NOT a join (no |L|x|R| pairing)",
+        p => p.contains("windowspecdefinition(__k#") && !p.contains("Join") &&
+          !p.contains("CartesianProduct")),
       ("hybrid_topk", "modality pools via TakeOrdered; fusion join has no cartesian",
         p => p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct")),
       ("text_chunk_windows", "chunking is a pure narrow fan-out (no exchange, no join)",

@@ -221,8 +221,14 @@ class FunnelSpec extends SparkSuite {
       Temporal.retentionFold(folded, df, "user_id", "ts", 20L)
     }
     assert(e.getMessage.contains("granularit"))
-    // the fold only APPENDS: stored rows are never rewritten
+    // the fold only APPENDS: stored rows are never rewritten, and the
+    // retentionFresh delta is exactly fold-minus-state (what a streaming
+    // ingest commits per batch)
     assert(folded.join(st, Seq("user_id", "bucket"), "left_semi").count() == st.count())
+    val fresh = Temporal.retentionFresh(st, b2.map(_._1).toDF("user_id", "ts"),
+      "user_id", "ts", 10L)
+    assert(fresh.join(st, Seq("user_id", "bucket"), "left_semi").count() == 0)
+    assert(fresh.count() + st.count() == folded.count())
     val _ = col("user_id")
   }
 
