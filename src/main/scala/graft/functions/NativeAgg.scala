@@ -220,8 +220,99 @@ case class MisraGries(
   override def prettyName: String = "graft_misra_gries"
 }
 
+/** KMV (k-minimum-values) distinct sketch state: the k smallest DISTINCT
+  * hash values seen. Fully mergeable (set-union + trim) and DETERMINISTIC
+  * — no RNG, the hash function is the randomness — so unlike HLL-style
+  * sketches the estimate is bit-for-bit replayable by any engine that can
+  * sort the same hashes (the DuckDB oracle replays it exactly). */
+final class KMinState(val k: Int) {
+  val set = new java.util.TreeSet[java.lang.Long]()
+  def offer(h: Long): Unit = {
+    if (set.size < k) { set.add(h); () }
+    else if (h < set.last()) {
+      if (set.add(h)) { set.remove(set.last()); () }
+    }
+  }
+  def mergeIn(other: KMinState): Unit = {
+    val it = other.set.iterator()
+    while (it.hasNext) offer(it.next())
+  }
+}
+
+/** The k smallest distinct hashes per group as a TypedImperativeAggregate
+  * — the state behind an exact-replayable approximate-distinct: O(k) per
+  * group with map-side partial aggregation, where `count(DISTINCT h)`
+  * shuffles every distinct value and `collect_set` holds the whole
+  * domain. Output: array<bigint> ascending, length min(k, true distinct).
+  * The estimator lives caller-side (see TextCorpus.distinctSketch): with
+  * fewer than k kept the count is EXACT; at k the classic KMV estimate
+  * (k−1)/normalized(kth-min) applies, integer-exactly. */
+case class KMinDistinct(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KMinState] {
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_kmin_distinct expects bigint, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KMinState = new KMinState(k)
+
+  override def update(b: KMinState, input: InternalRow): KMinState = {
+    val v = child.eval(input)
+    if (v != null) b.offer(v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: KMinState, other: KMinState): KMinState = {
+    b.mergeIn(other)
+    b
+  }
+
+  override def eval(b: KMinState): Any = {
+    val out = new Array[Long](b.set.size)
+    val it = b.set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: KMinState): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 + b.set.size * 8)
+    buf.putLong(b.set.size.toLong)
+    val it = b.set.iterator()
+    while (it.hasNext) buf.putLong(it.next())
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KMinState = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getLong.toInt
+    val b = new KMinState(k)
+    (0 until n).foreach(_ => b.offer(buf.getLong))
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KMinDistinct =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KMinDistinct =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KMinDistinct =
+    copy(child = newChildren(0))
+  override def prettyName: String = "graft_kmin_distinct"
+}
+
 /** Column-API entry points for the native aggregates. */
 object NativeAgg {
+  def kMinDistinct(hash: Column, k: Int): Column =
+    Bridge.column(KMinDistinct(Bridge.expression(hash), k)
+      .toAggregateExpression())
   def topKPairs(value: Column, payload: Column, k: Int): Column =
     Bridge.column(TopKPairs(Bridge.expression(value), Bridge.expression(payload), k)
       .toAggregateExpression())

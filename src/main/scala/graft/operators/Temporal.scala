@@ -66,6 +66,38 @@ object Temporal {
       .drop("__b")
   }
 
+  /** Bucketized INTERVAL-OVERLAP join: every left interval joins every
+    * right interval it overlaps (`aStart ≤ bEnd AND bStart ≤ aEnd`,
+    * inclusive on both ends) — the interval×interval sibling of
+    * [[rangeJoin]]'s point-in-interval, and the batch analogue of the
+    * streaming interval join. A bare overlap predicate plans as a
+    * nested-loop cartesian; here BOTH sides replicate onto
+    * `bucketWidth`-wide buckets and each qualifying pair meets in exactly
+    * ONE: the bucket of `max(aStart, bStart)` (every overlapping pair
+    * shares that bucket — the later-starting interval starts there and
+    * the other spans it — and the equality filter dedupes the rest), so
+    * the result needs no distinct pass. Floor-division bucketing — exact
+    * pre-epoch. Column names must not collide across the two sides. */
+  def intervalJoin(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(left.columns.intersect(right.columns).isEmpty,
+      "intervalJoin requires disjoint column names across sides")
+    require(!left.columns.contains("__b") && !right.columns.contains("__b"),
+      "intervalJoin reserves the __b column name")
+    val l = left.withColumn("__b", explode(sequence(
+      floorDiv(lStart, bucketWidth), floorDiv(lEnd, bucketWidth))))
+    val r = right.withColumn("__b", explode(sequence(
+      floorDiv(rStart, bucketWidth), floorDiv(rEnd, bucketWidth))))
+    l.join(r, "__b")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__b") ===
+        greatest(floorDiv(lStart, bucketWidth), floorDiv(rStart, bucketWidth)))
+      .drop("__b")
+  }
+
   /** Event sessionization — the gaps-and-islands assignment: per `keyCol`,
     * a NEW session opens when the gap from the previous event (by `tsCol`,
     * an integral epoch column — nanos/micros/versions) exceeds `maxGap`.

@@ -425,6 +425,35 @@ object TextCorpus {
     * keeps those with count·k > n. Output = exactly the terms above the
     * 1/k frequency threshold with exact counts — sketch speed, exact
     * answer, at any scale (capacity defaults to 2k for slack). */
+  /** Deterministic KMV approximate-distinct per group: the k smallest
+    * DISTINCT values of a caller-supplied non-negative hash column
+    * (`0 ≤ h < hashBound`) ride a [[graft.functions.NativeAgg
+    * .kMinDistinct]] O(k)-state aggregate — map-side combinable, so a
+    * 100 TB distinct-cardinality census never shuffles distinct values
+    * (`count(DISTINCT)`) or materializes the domain (`collect_set`).
+    * UNLIKE HLL-style sketches the whole statistic is deterministic (the
+    * hash is the randomness) and integer-exact, so an external engine
+    * replays it bit-for-bit: with fewer than k kept the count is EXACT;
+    * at k the classic KMV estimate applies as
+    * `(k−1)·hashBound DIV (kth_min + 1)` (relative error ~1/√k).
+    * Returns (group, n_kept, kth_min, est_distinct). */
+  def distinctSketch(
+      df: DataFrame, groupCol: String, hashCol: String, k: Int,
+      hashBound: Long): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(hashBound > 0, s"hashBound must be positive, got $hashBound")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.NativeAgg.kMinDistinct(col(hashCol), k).as("__mins"))
+      .select(col(groupCol),
+        size(col("__mins")).cast("long").as("n_kept"),
+        element_at(col("__mins"), -1).as("kth_min"),
+        when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
+          .otherwise(expr(
+            s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * $hashBound) DIV " +
+              "(CAST(element_at(__mins, -1) AS DECIMAL(38,0)) + 1) AS BIGINT)"))
+          .as("est_distinct"))
+  }
+
   def heavyHitters(
       df: DataFrame, textCol: String, k: Int,
       capacity: Int = 0): DataFrame = {

@@ -811,6 +811,74 @@ object Catalog {
           CAST(count(*) AS BIGINT) AS active_keys
         FROM a JOIN c USING (user_id) GROUP BY 1, 2""")),
 
+    // batch INTERVAL-OVERLAP join (concurrent sessions across user
+    // parity): both sides bucketized, each overlapping pair meets in
+    // exactly ONE bucket (max-start rule) — no cartesian, no dedup pass;
+    // oracle = the sessionize islands + a brute-force overlap predicate
+    Q("interval_overlap_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ets"))
+        val sess = graft.operators.Temporal.sessionize(ev, "user_id", "ets",
+            maxGap = 43200000000L, tieBreak = "event_id")
+          .groupBy("user_id", "session_idx")
+          .agg(min("ets").as("st"), max("ets").as("en"))
+        val a = sess.filter(col("user_id") % 2 === 0)
+          .select(col("user_id").as("a_user"), col("session_idx").as("a_sess"),
+            col("st").as("a_start"), col("en").as("a_end"))
+        val b = sess.filter(col("user_id") % 2 === 1)
+          .select(col("user_id").as("b_user"), col("session_idx").as("b_sess"),
+            col("st").as("b_start"), col("en").as("b_end"))
+        graft.operators.Temporal.intervalJoin(a, "a_start", "a_end",
+            b, "b_start", "b_end", bucketWidth = 43200000000L)
+          .select("a_user", "a_sess", "b_user", "b_sess")
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ets,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events),
+        s AS (SELECT user_id, ets,
+          SUM(CASE WHEN gap IS NULL OR gap > 43200000000 THEN 1 ELSE 0 END) OVER
+            (PARTITION BY user_id ORDER BY ets, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        FROM g),
+        sess AS (SELECT user_id, session_idx, min(ets) AS st, max(ets) AS en
+          FROM s GROUP BY 1, 2)
+        SELECT a.user_id AS a_user, CAST(a.session_idx AS BIGINT) AS a_sess,
+          b.user_id AS b_user, CAST(b.session_idx AS BIGINT) AS b_sess
+        FROM sess a JOIN sess b
+          ON a.user_id % 2 = 0 AND b.user_id % 2 = 1
+          AND a.st <= b.en AND b.st <= a.en""")),
+
+    // deterministic KMV distinct sketch (per-lang distinct-token census):
+    // k smallest distinct 60-bit md5-prefix hashes per group via the O(k)
+    // mergeable aggregate; the DuckDB oracle replays the ENTIRE sketch —
+    // kept set, kth value, and the integer-exact estimate — bit-for-bit
+    // (no HLL-style unverifiable estimate)
+    Q("text_distinct_sketch",
+      (s, d) => {
+        val toks = t(s, d, "documents").select(col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val hashed = toks.select(col("lang"),
+          expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        TextCorpus.distinctSketch(hashed, "lang", "h", k = 128,
+          hashBound = 1152921504606846976L)
+      },
+      Some(s"""WITH t AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
+        h AS (SELECT DISTINCT lang, CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS HUGEINT) AS h FROM t),
+        r AS (SELECT lang, h,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        kk AS (SELECT lang, CAST(count(*) FILTER (rn <= 128) AS BIGINT) AS n_kept,
+            CAST(max(h) FILTER (rn <= 128) AS BIGINT) AS kth_min
+          FROM r GROUP BY lang)
+        SELECT lang, n_kept, kth_min,
+          CAST(CASE WHEN n_kept < 128 THEN n_kept
+            ELSE (127::HUGEINT * 1152921504606846976::HUGEINT)
+              // (kth_min::HUGEINT + 1) END AS BIGINT) AS est_distinct
+        FROM kk""")),
+
     Q("a1_max_count",
       (s, d) => t(s, d, "events")
         .agg(max("event_id").as("delta_max"), count(lit(1)).as("cnt")),

@@ -81,6 +81,12 @@ object PlanCheck {
       ("asof_join_forward", "forward as-of = union-sort (keyed window), NOT a join (no |L|x|R| pairing)",
         p => p.contains("windowspecdefinition(__k#") && !p.contains("Join") &&
           !p.contains("CartesianProduct")),
+      ("interval_overlap_join", "interval overlap rides the bucket equi-join (no cartesian/nested-loop)",
+        p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      ("text_distinct_sketch", "KMV sketch partial-aggregates map-side (O(k) state, no distinct shuffle)",
+        p => p.contains("partial_graft_kmin_distinct") &&
+          !p.contains("Expand")),
       ("hybrid_topk", "modality pools via TakeOrdered; fusion join has no cartesian",
         p => p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct")),
       ("text_chunk_windows", "chunking is a pure narrow fan-out (no exchange, no join)",

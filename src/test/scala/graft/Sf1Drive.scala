@@ -76,7 +76,14 @@ object Sf1Drive {
     // round-14: the two Gopher repetition-coverage metrics — pure per-row
     // projections whose within-doc repeats the per-copy salt PRESERVES
     // (the salt is constant within a copy), so the oracles replay verbatim
-    "text_dup_ngram_coverage", "text_top_ngram_coverage")
+    "text_dup_ngram_coverage", "text_top_ngram_coverage",
+    // round-15: KMV distinct sketch — per-copy salting makes the 10×
+    // distinct-token census 10× wider; the oracle replays the exact
+    // sketch. (interval_overlap_join is deliberately NOT swept: parity
+    // halves MIX copies on the shared time axis, so its output is
+    // quadratic in users by design — the operator's cost is output-bound,
+    // not a scaling defect.)
+    "text_distinct_sketch")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry
     * verbatim; the three retrieval gates mirror the Catalog entry's code

@@ -302,6 +302,58 @@ class FunnelSpec extends SparkSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("interval overlap join: each overlapping pair exactly once, pre-epoch too") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(0x1E44)
+    val A = (0L until 80L).map { i =>
+      val s = rnd.nextInt(2000).toLong - 1000L
+      (i, s, s + rnd.nextInt(400).toLong)
+    }
+    val B = (0L until 70L).map { i =>
+      val s = rnd.nextInt(2000).toLong - 1000L
+      (i, s, s + rnd.nextInt(400).toLong)
+    }
+    val a = A.toDF("aid", "as", "ae")
+    val b = B.toDF("bid", "bs", "be")
+    for (bw <- Seq(13L, 250L, 100000L)) {
+      val got = Temporal.intervalJoin(a, "as", "ae", b, "bs", "be", bw)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val brute = for {
+        (ai, s1, e1) <- A; (bi, s2, e2) <- B
+        if s1 <= e2 && s2 <= e1
+      } yield (ai, bi)
+      // SEQ compare: exactly once per qualifying pair (max-start bucket rule)
+      assert(got.sorted == brute.sorted, s"bucketWidth=$bw")
+    }
+    val e = intercept[IllegalArgumentException](
+      Temporal.intervalJoin(a, "as", "ae", b.withColumnRenamed("bid", "aid"),
+        "bs", "be", 10L))
+    assert(e.getMessage.contains("disjoint"))
+    val _ = col("aid")
+  }
+
+  test("KMV distinct sketch: exact below k, deterministic estimate at k, mergeable") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // group "small": 40 distinct (< k) → exact; group "big": 5000 distinct
+    val rows = (0L until 40L).map(i => ("small", i)) ++
+      (0L until 20000L).map(i => ("big", i % 5000))
+    val df = rows.toDF("g", "v")
+      .select(col("g"), expr("CAST(conv(substr(md5(CAST(v AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val bound = 1152921504606846976L
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextCorpus.distinctSketch(d, "g", "h", k = 256, hashBound = bound)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = run(df)
+    assert(got("small")._1 == 40L && got("small")._3 == 40L) // exact below k
+    val (nk, _, est) = got("big")
+    assert(nk == 256L)
+    // KMV error ~1/sqrt(k) ≈ 6%; allow 20% in a one-shot fixture
+    assert(math.abs(est - 5000L) < 1000L, s"estimate $est for 5000 true")
+    // partitioning must not change the sketch (mergeable + deterministic)
+    assert(run(df.repartition(13)) == got)
+    assert(run(df.repartition(1)) == got)
+  }
+
   test("duplicate step names refuse loudly") {
     val e = intercept[IllegalArgumentException] {
       Temporal.funnel(Seq((1L, "A", 1L)).toDF("u", "t", "ts"), "u", "t", "ts",

@@ -40,7 +40,10 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          # round-14: repetition coverage — per-row projections, oracles
          # replay verbatim (the salt is constant within a copy, so
          # within-doc repeats are preserved)
-         "text_dup_ngram_coverage", "text_top_ngram_coverage"]
+         "text_dup_ngram_coverage", "text_top_ngram_coverage",
+         # round-15: KMV distinct sketch — the oracle replays the whole
+         # sketch (kept set, kth min, integer-exact estimate) verbatim
+         "text_distinct_sketch"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
