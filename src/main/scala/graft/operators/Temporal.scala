@@ -359,6 +359,28 @@ object Temporal {
   def funnelOf(state: DataFrame): DataFrame =
     state.filter(col("step_1_ts").isNotNull).drop("__max_ts")
 
+  /** The step-conversion SUMMARY of a [[funnel]] (or [[funnelOf]],
+    * [[funnelWithin]]) result: one row per step with the count of keys
+    * that reached it and the integer-exact conversion permille relative
+    * to step 1 (entrants). One tiny aggregate over the already-computed
+    * funnel — |steps| rows out; `reached` is monotone non-increasing and
+    * step 1 reads 1000‰ by construction. */
+  def funnelRates(funnelDf: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val agg = funnelDf.agg(
+      count(lit(1)).as("__n1"),
+      (2 to steps).map(i =>
+        // coalesce: SUM over an empty funnel is null, not 0
+        coalesce(sum(when(col("steps_completed") >= i, 1L).otherwise(0L)), lit(0L))
+          .as(s"__n$i")): _*)
+    val rows = (1 to steps).map(i => struct(
+      lit(i.toLong).as("step"), col(s"__n$i").as("reached")))
+    agg.select(explode(array(rows: _*)).as("r"), col("__n1"))
+      .select(col("r.step").as("step"), col("r.reached").as("reached"),
+        when(col("__n1") === 0L, lit(0L))
+          .otherwise(expr("(r.reached * 1000) DIV __n1")).as("permille_of_entered"))
+  }
+
   /** CONVERSION-WINDOW funnel: [[funnel]] with every step additionally
     * required to land within `within` of the key's ANCHOR — its earliest
     * step-1 event (`tᵢ ≤ t₁ + within`). This is the product-analytics

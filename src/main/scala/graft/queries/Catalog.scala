@@ -555,6 +555,33 @@ object Catalog {
           CAST(count(*) AS BIGINT) AS n_steps
         FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""")),
 
+    // funnel step-conversion summary: |steps| rows of (reached,
+    // conversion permille vs entrants) — the serving rollup of the
+    // funnel family, integer-exact
+    Q("event_funnel_rates",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ets"))
+        val f = graft.operators.Temporal.funnel(ev, "user_id", "event_type", "ets",
+          Seq("view", "click", "purchase"))
+        graft.operators.Temporal.funnelRates(f, steps = 3)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ets FROM events),
+        s1 AS (SELECT user_id, min(ets) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ets) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ets > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ets) AS t3 FROM e JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND ets > t2 GROUP BY 1),
+        n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+          (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
+        SELECT CAST(s.step AS BIGINT) AS step, CAST(s.r AS BIGINT) AS reached,
+          CAST(CASE WHEN n1 = 0 THEN 0 ELSE s.r * 1000 // n1 END AS BIGINT)
+            AS permille_of_entered
+        FROM n, (SELECT 1 AS step, (SELECT n1 FROM n) AS r
+          UNION ALL SELECT 2, (SELECT n2 FROM n)
+          UNION ALL SELECT 3, (SELECT n3 FROM n)) s""")),
+
     // CONVERSION-WINDOW funnel: every step must land within 2 days of the
     // user's anchor (earliest view) — the product-analytics convention;
     // same no-window MIN+join shape, the anchor rides the survivor set

@@ -162,7 +162,7 @@ object Sf1Drive {
         s"rows=${spark.read.parquet(s"$outDir/$g").count()}")
     }
     Seq("event_funnel", "event_funnel_incremental", "event_funnel_window",
-      "event_rate_features", "streaming_funnel_ingest",
+      "event_funnel_rates", "event_rate_features", "streaming_funnel_ingest",
       "streaming_retention_ingest", "asof_join_forward",
       "event_retention", "event_retention_incremental",
       "event_transitions", "event_transitions_2step",

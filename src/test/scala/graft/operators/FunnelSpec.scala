@@ -354,6 +354,22 @@ class FunnelSpec extends SparkSuite {
     assert(run(df.repartition(1)) == got)
   }
 
+  test("funnel rates: reached counts, truncating permille, empty-entrant zero") {
+    val ev = Seq((1L, "A", 1L), (1L, "B", 2L), (2L, "A", 1L), (3L, "A", 1L),
+      (3L, "B", 5L), (3L, "C", 9L))
+    val f = Temporal.funnel(ev.toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("A", "B", "C"))
+    val got = Temporal.funnelRates(f, steps = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((3L, 1000L)), 2L -> ((2L, 666L)), 3L -> ((1L, 333L))))
+    // zero entrants → zero permille, not a division error
+    val empty = Temporal.funnel(ev.toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("Z", "A"))
+    val z = Temporal.funnelRates(empty, steps = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(z == Map(1L -> ((0L, 0L)), 2L -> ((0L, 0L))))
+  }
+
   test("duplicate step names refuse loudly") {
     val e = intercept[IllegalArgumentException] {
       Temporal.funnel(Seq((1L, "A", 1L)).toDF("u", "t", "ts"), "u", "t", "ts",

@@ -231,6 +231,7 @@ def main_graph(oracle_path):
 
 EV = "/root/repo/tmp/sf1/events.parquet/*.parquet"
 EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window",
+               "event_funnel_rates",
                "event_rate_features", "streaming_funnel_ingest",
                "streaming_retention_ingest", "asof_join_forward",
                "event_retention", "event_retention_incremental",
