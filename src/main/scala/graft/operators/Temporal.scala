@@ -497,6 +497,23 @@ object Temporal {
       .agg(count(lit(1)).as("active_keys"))
   }
 
+  /** The normalized retention TRIANGLE: each [[retentionCohorts]] cell as
+    * an integer-exact permille of its cohort's size (= the cell at offset
+    * 0, which always exists — every key is active in its own first
+    * bucket, so offset 0 reads 1000‰ by construction). One broadcastable
+    * self-join on cohort (|buckets| rows); accepts the output of
+    * [[retentionCohorts]] or [[retentionOf]]. */
+  def retentionRates(cohorts: DataFrame): DataFrame = {
+    require(Seq("cohort", "day_offset", "active_keys")
+      .forall(cohorts.columns.contains),
+      s"expected retentionCohorts output, got ${cohorts.columns.mkString(", ")}")
+    val sizes = cohorts.filter(col("day_offset") === 0L)
+      .select(col("cohort"), col("active_keys").as("__size"))
+    cohorts.join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("day_offset"), col("active_keys"),
+        expr("(active_keys * 1000) DIV __size").as("permille_of_cohort"))
+  }
+
   /** Persisted-state form of [[transitionMatrix]] (1-step): the pair
     * (matrix, frontier) where `matrix` is the (from_type, to_type,
     * n_steps) counts so far and `frontier` is each key's LAST event

@@ -723,6 +723,69 @@ object Catalog {
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ets
           RANGE BETWEEN 172800000000 PRECEDING AND CURRENT ROW)""")),
 
+    // normalized retention triangle: each cell as an integer-exact
+    // permille of its cohort size (offset 0 = 1000‰ by construction) —
+    // one broadcastable cohort self-join over the |buckets|² cells
+    Q("event_retention_rates",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.retentionRates(
+          graft.operators.Temporal.retentionCohorts(ev, "user_id", "ets",
+            bucketWidth = 86400000000L))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b FROM events),
+        a AS (SELECT DISTINCT user_id, b FROM e),
+        c AS (SELECT user_id, min(b) AS c FROM a GROUP BY 1),
+        cells AS (SELECT CAST(c AS BIGINT) AS cohort,
+            CAST(b - c AS BIGINT) AS day_offset,
+            CAST(count(*) AS BIGINT) AS active_keys
+          FROM a JOIN c USING (user_id) GROUP BY 1, 2),
+        sz AS (SELECT cohort, active_keys AS size FROM cells WHERE day_offset = 0)
+        SELECT cells.cohort, day_offset, active_keys,
+          CAST(active_keys * 1000 // size AS BIGINT) AS permille_of_cohort
+        FROM cells JOIN sz ON cells.cohort = sz.cohort""")),
+
+    // STREAMING transition-matrix maintenance: two time drops fold into a
+    // persisted (matrix, frontier) state pair — within-batch leads plus
+    // one bridge per key from the stored frontier; both tables rewrite
+    // under one (appId, batchId) watermark so replays are no-ops on both.
+    // Oracle = the one-shot matrix over all events
+    Q("streaming_transitions_ingest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min("ets").as("lo"), max("ets").as("hi")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val src = java.nio.file.Files.createTempDirectory("graft-sti-src")
+        val mDir = java.nio.file.Files.createTempDirectory("graft-sti-m")
+        val fDir = java.nio.file.Files.createTempDirectory("graft-sti-f")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sti-ck")
+        java.nio.file.Files.delete(mDir)
+        java.nio.file.Files.delete(fDir)
+        ev.filter(col("ets") <= cut).write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.transitionsIngest(s, src.toString, schema,
+          "user_id", "event_type", "ets", "event_id",
+          mDir.toString, fDir.toString, ckpt.toString)
+        ev.filter(col("ets") > cut).write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.transitionsIngest(s, src.toString, schema,
+          "user_id", "event_type", "ets", "event_id",
+          mDir.toString, fDir.toString, ckpt.toString)
+        val out = new graft.store.VersionedTable(s, mDir.toString).read()
+          .localCheckpoint(true)
+        Seq(src, mDir, fDir, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+          CAST(count(*) AS BIGINT) AS n_steps
+        FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""")),
+
     // k-step Markov flows (k = 2): what the chain's square estimates,
     // counted exactly — same keyed-window shape, lead offset 2
     Q("event_transitions_2step",

@@ -463,6 +463,14 @@ final class VersionedTable(spark: SparkSession, val path: String)
       extraProps = Map(key -> batchVersion.toString))
   }
 
+  /** True when the (appId, batchVersion) watermark says this batch was
+    * already applied — for foreachBatch folders whose FOLD ITSELF must be
+    * skipped on replay, not just the commit: re-folding an applied batch
+    * against the post-fold state trips the fold's own late-data refusal
+    * BEFORE `appendIdempotent`/`overwriteIdempotent` could no-op it. */
+  def txnApplied(appId: String, batchVersion: Long): Boolean =
+    properties.get(s"graft.txn.$appId").map(_.toLong).exists(_ >= batchVersion)
+
   /** Exactly-once OVERWRITE for at-least-once callers — the
     * [[appendIdempotent]] txn pattern for STATE tables a micro-batch
     * replaces wholesale (a funnel/retention fold rewrites its whole

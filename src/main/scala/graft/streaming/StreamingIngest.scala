@@ -337,6 +337,9 @@ object StreamingIngest {
     import graft.operators.Temporal
     val s = batch.sparkSession
     val tbl = new graft.store.VersionedTable(s, stateDir)
+    // a replayed batch must skip the FOLD, not just the commit: re-folding
+    // against the already-folded state trips the late-data refusal
+    if (tbl.exists && tbl.txnApplied(appId, batchId)) return
     val ev = batch.select(keyCol, typeCol, tsCol).toDF()
     val next =
       if (tbl.exists)
@@ -403,5 +406,78 @@ object StreamingIngest {
         Temporal.retentionFresh(tbl.read(), ev, keyCol, tsCol, bucketWidth)
       else Temporal.retentionState(ev, keyCol, tsCol, bucketWidth)
     tbl.appendIdempotent(delta.localCheckpoint(true), appId, batchId)
+  }
+
+  /** STREAMING transition-matrix maintenance — the third sibling
+    * (funnel: wholesale overwrite; retention: append-only; transitions:
+    * TWO state tables): each micro-batch folds through
+    * [[graft.operators.Temporal.transitionFold]] — within-batch keyed
+    * leads plus one bridge step per key from the stored frontier — and
+    * rewrites the |types|² matrix and the per-key frontier via
+    * `overwriteIdempotent` under ONE (appId, batchId) watermark pair, so
+    * a foreachBatch replay is a no-op on both (re-folding would
+    * double-count AND trip the strictly-later frontier refusal). Serve
+    * the matrix by reading `matrixDir` directly. */
+  def transitionsIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieBreak: String,
+      matrixDir: String,
+      frontierDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val appId = "transitionsIngest-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        transitionsIngestBatch(batch, batchId, keyCol, typeCol, tsCol, tieBreak,
+          matrixDir, frontierDir, appId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  private[graft] def transitionsIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieBreak: String,
+      matrixDir: String,
+      frontierDir: String,
+      appId: String): Unit = {
+    import graft.operators.Temporal
+    val s = batch.sparkSession
+    val mTbl = new graft.store.VersionedTable(s, matrixDir)
+    val fTbl = new graft.store.VersionedTable(s, frontierDir)
+    // fully-applied replay: the frontier commits LAST, so its watermark
+    // implies the matrix's — skip the fold entirely (re-folding against
+    // the advanced frontier trips the strictly-later refusal). A
+    // PARTIALLY-applied retry (matrix committed, frontier not) folds
+    // against the OLD frontier — which succeeds — and the matrix
+    // overwrite no-ops on its own watermark.
+    if (fTbl.exists && fTbl.txnApplied(appId, batchId)) return
+    val ev = batch.select(keyCol, typeCol, tsCol, tieBreak).toDF()
+    val (m1, f1) =
+      if (mTbl.exists && fTbl.exists)
+        Temporal.transitionFold(mTbl.read(), fTbl.read(), ev,
+          keyCol, typeCol, tsCol, tieBreak)
+      else Temporal.transitionState(ev, keyCol, typeCol, tsCol, tieBreak)
+    // materialize BOTH before either overwrite commits (each derives from
+    // the files being replaced; eager evaluation also surfaces the fold's
+    // late-data refusal inside THIS batch)
+    val m1c = m1.localCheckpoint(true)
+    val f1c = f1.localCheckpoint(true)
+    mTbl.overwriteIdempotent(m1c, appId, batchId)
+    fTbl.overwriteIdempotent(f1c, appId, batchId)
   }
 }

@@ -164,7 +164,8 @@ object Sf1Drive {
     Seq("event_funnel", "event_funnel_incremental", "event_funnel_window",
       "event_funnel_rates", "event_rate_features", "streaming_funnel_ingest",
       "streaming_retention_ingest", "asof_join_forward",
-      "event_retention", "event_retention_incremental",
+      "event_retention", "event_retention_incremental", "event_retention_rates",
+      "streaming_transitions_ingest",
       "event_transitions", "event_transitions_2step",
       "event_transitions_incremental", "sessionize").foreach(run)
     synthDocs(spark)

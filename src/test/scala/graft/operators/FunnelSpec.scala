@@ -370,6 +370,59 @@ class FunnelSpec extends SparkSuite {
     assert(z == Map(1L -> ((0L, 0L)), 2L -> ((0L, 0L))))
   }
 
+  test("retention rates: offset 0 reads 1000 permille, truncating division") {
+    val ev = Seq((1L, 0L), (2L, 0L), (3L, 0L), (1L, 10L), (2L, 25L))
+      .toDF("user_id", "ts")
+    val got = Temporal.retentionRates(
+      Temporal.retentionCohorts(ev, "user_id", "ts", 10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map((0L, 0L) -> ((3L, 1000L)), (0L, 1L) -> ((1L, 333L)),
+      (0L, 2L) -> ((1L, 333L))))
+    val e = intercept[IllegalArgumentException](
+      Temporal.retentionRates(ev))
+    assert(e.getMessage.contains("retentionCohorts"))
+  }
+
+  test("transitions ingest batch: a replayed (appId, batchId) is a no-op on both tables") {
+    import graft.SparkSuite
+    val s = spark
+    val mDir = java.nio.file.Files.createTempDirectory("tspec-m").toString
+    val fDir = java.nio.file.Files.createTempDirectory("tspec-f").toString
+    new java.io.File(mDir).delete(); new java.io.File(fDir).delete()
+    def batch(rows: Seq[(Long, Long, String, Long)], id: Long): Unit =
+      graft.streaming.StreamingIngest.transitionsIngestBatch(
+        rows.toDF("user_id", "event_id", "event_type", "ts"), id,
+        "user_id", "event_type", "ts", "event_id", mDir, fDir, "spec-app")
+    batch(Seq((1L, 1L, "A", 10L), (1L, 2L, "B", 20L)), 0L)
+    batch(Seq((1L, 3L, "C", 30L)), 1L)   // bridge B→C
+    def matrix() = new graft.store.VersionedTable(s, mDir).read()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val m = matrix()
+    assert(m == Map(("A", "B") -> 1L, ("B", "C") -> 1L))
+    // foreachBatch retry: same batchId replays — must NOT double-fold or
+    // trip the frontier refusal
+    batch(Seq((1L, 3L, "C", 30L)), 1L)
+    assert(matrix() == m)
+    val f = new graft.store.VersionedTable(s, fDir).read().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f == Map(1L -> "C"))
+    // the funnel sibling has the same replay contract
+    val sDir = java.nio.file.Files.createTempDirectory("tspec-s").toString
+    new java.io.File(sDir).delete()
+    def fbatch(rows: Seq[(Long, String, Long)], id: Long): Unit =
+      graft.streaming.StreamingIngest.funnelIngestBatch(
+        rows.toDF("user_id", "event_type", "ts"), id,
+        "user_id", "event_type", "ts", Seq("A", "B"), sDir, "spec-app")
+    fbatch(Seq((1L, "A", 10L)), 0L)
+    fbatch(Seq((1L, "B", 20L)), 1L)
+    fbatch(Seq((1L, "B", 20L)), 1L) // replay: no double-fold, no refusal
+    val served = Temporal.funnelOf(
+      new graft.store.VersionedTable(s, sDir).read()).collect()
+    assert(served.length == 1 && served.head.getLong(3) == 2L)
+    val _ = SparkSuite
+  }
+
   test("duplicate step names refuse loudly") {
     val e = intercept[IllegalArgumentException] {
       Temporal.funnel(Seq((1L, "A", 1L)).toDF("u", "t", "ts"), "u", "t", "ts",
