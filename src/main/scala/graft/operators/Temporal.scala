@@ -514,6 +514,21 @@ object Temporal {
         expr("(active_keys * 1000) DIV __size").as("permille_of_cohort"))
   }
 
+  /** Row-normalized [[transitionMatrix]]: each (from, to) count as an
+    * integer-exact permille of its FROM-row total — the empirical Markov
+    * transition probabilities (×1000, truncating). One broadcastable
+    * self-aggregation over the |types|² matrix; accepts the output of
+    * [[transitionMatrix]] or a served [[transitionFold]] matrix. */
+  def transitionRates(matrix: DataFrame): DataFrame = {
+    require(Seq("from_type", "to_type", "n_steps").forall(matrix.columns.contains),
+      s"expected transitionMatrix output, got ${matrix.columns.mkString(", ")}")
+    val totals = matrix.groupBy(col("from_type"))
+      .agg(sum(col("n_steps")).as("__tot"))
+    matrix.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_steps"),
+        expr("(n_steps * 1000) DIV __tot").as("permille_of_from"))
+  }
+
   /** Persisted-state form of [[transitionMatrix]] (1-step): the pair
     * (matrix, frontier) where `matrix` is the (from_type, to_type,
     * n_steps) counts so far and `frontier` is each key's LAST event

@@ -786,6 +786,30 @@ object Catalog {
           CAST(count(*) AS BIGINT) AS n_steps
         FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""")),
 
+    // row-normalized Markov transition probabilities (×1000, truncating):
+    // the rates sibling of funnelRates/retentionRates — one broadcastable
+    // self-aggregation over the |types|² matrix
+    Q("event_transition_rates",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.transitionRates(
+          graft.operators.Temporal.transitionMatrix(
+            ev, "user_id", "event_type", "ets", "event_id"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events),
+        m AS (SELECT event_type AS from_type, next_type AS to_type,
+            CAST(count(*) AS BIGINT) AS n_steps
+          FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        tt AS (SELECT from_type, sum(n_steps) AS tot FROM m GROUP BY 1)
+        SELECT m.from_type, to_type, n_steps,
+          CAST(n_steps * 1000 // tot AS BIGINT) AS permille_of_from
+        FROM m JOIN tt ON m.from_type = tt.from_type""")),
+
     // k-step Markov flows (k = 2): what the chain's square estimates,
     // counted exactly — same keyed-window shape, lead offset 2
     Q("event_transitions_2step",

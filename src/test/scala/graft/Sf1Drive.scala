@@ -166,7 +166,7 @@ object Sf1Drive {
       "streaming_retention_ingest", "asof_join_forward",
       "event_retention", "event_retention_incremental", "event_retention_rates",
       "streaming_transitions_ingest",
-      "event_transitions", "event_transitions_2step",
+      "event_transitions", "event_transitions_2step", "event_transition_rates",
       "event_transitions_incremental", "sessionize").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")

@@ -423,6 +423,22 @@ class FunnelSpec extends SparkSuite {
     val _ = SparkSuite
   }
 
+  test("transition rates: rows normalize to their from-row total, truncating") {
+    val ev = Seq(
+      (1L, 1L, "A", 1L), (1L, 2L, "B", 2L), (1L, 3L, "A", 3L), (1L, 4L, "C", 4L),
+      (2L, 5L, "A", 1L), (2L, 6L, "B", 2L))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Temporal.transitionRates(
+      Temporal.transitionMatrix(ev, "user_id", "event_type", "ts", "event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // A→B twice, A→C once (A row total 3); B→A once (B row total 1)
+    assert(got == Map(("A", "B") -> ((2L, 666L)), ("A", "C") -> ((1L, 333L)),
+      ("B", "A") -> ((1L, 1000L))))
+    val e = intercept[IllegalArgumentException](Temporal.transitionRates(ev))
+    assert(e.getMessage.contains("transitionMatrix"))
+  }
+
   test("duplicate step names refuse loudly") {
     val e = intercept[IllegalArgumentException] {
       Temporal.funnel(Seq((1L, "A", 1L)).toDF("u", "t", "ts"), "u", "t", "ts",

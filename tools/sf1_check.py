@@ -236,7 +236,7 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                "streaming_retention_ingest", "asof_join_forward",
                "event_retention_rates", "streaming_transitions_ingest",
                "event_retention", "event_retention_incremental",
-               "event_transitions", "event_transitions_2step",
+               "event_transitions", "event_transitions_2step", "event_transition_rates",
                "event_transitions_incremental", "sessionize"]
 
 
