@@ -31,6 +31,66 @@ object Temporal {
   private def floorDiv(c: String, w: Long): Column =
     expr(s"(`$c` DIV ${w}L) - (CASE WHEN `$c` % ${w}L < 0 THEN 1 ELSE 0 END)")
 
+  private val IntegralTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+    org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+
+  /** The as-of joins cast the LEFT timestamp to the RIGHT side's type so
+    * the union's __ts column unifies; a NARROWING cast (long left against
+    * int right) would silently truncate and mis-match rows. Allowed:
+    * identical types, or integral widening (left's byte width ≤ right's).
+    * Anything else refuses loudly — align the two (cast both to BIGINT
+    * epoch) before joining. */
+  private def requireLosslessTsCast(
+      left: DataFrame, leftTs: String, right: DataFrame, rightTs: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val lt = left.schema(leftTs).dataType
+    val rt = right.schema(rightTs).dataType
+    def width(t: DataType): Option[Int] = t match {
+      case ByteType => Some(1); case ShortType => Some(2)
+      case IntegerType => Some(4); case LongType => Some(8)
+      case _ => None
+    }
+    val ok = lt == rt || ((width(lt), width(rt)) match {
+      case (Some(a), Some(b)) => a <= b
+      case _ => false
+    })
+    require(ok, s"$op: left ts column $leftTs is $lt but right ts column " +
+      s"$rightTs is $rt — casting the left side to the right's type would " +
+      "narrow (silent truncation mis-matches rows); cast both sides to " +
+      "BIGINT epoch before joining")
+  }
+
+  /** Bounded bucket replication for the bucketized joins: an interval is
+    * copied to each `bucketWidth`-wide bucket it overlaps, so a mis-chosen
+    * width (1 ms buckets against a year-long interval) would fan ONE row
+    * out to billions — at best an opaque sequence-length error, at worst
+    * an executor OOM. This projection refuses loudly AT EXECUTION TIME
+    * (raise_error rides the explode — no extra pass, the [[funnelFold]]
+    * pattern) when any single interval would replicate past
+    * `maxBucketsPerInterval`, and on inverted intervals (end < start),
+    * whose sequence would otherwise DESCEND and silently replicate
+    * non-matching buckets. */
+  private def boundedBuckets(
+      startCol: String, endCol: String, bucketWidth: Long,
+      maxBucketsPerInterval: Long, op: String): Column = {
+    val lo = floorDiv(startCol, bucketWidth)
+    val hi = floorDiv(endCol, bucketWidth)
+    val n = hi - lo + lit(1L)
+    explode(sequence(lo,
+      when(n >= 1L && n <= maxBucketsPerInterval, hi)
+        .otherwise(raise_error(concat(
+          lit(s"graft $op: interval ["), col(startCol).cast("string"),
+          lit(", "), col(endCol).cast("string"), lit("] spans "),
+          n.cast("string"),
+          lit(s" buckets at bucketWidth $bucketWidth — outside the " +
+            s"[1, $maxBucketsPerInterval] maxBucketsPerInterval budget; " +
+            "pick bucketWidth near the typical interval length (the " +
+            "replication dial) or raise the budget explicitly, instead of " +
+            "fanning one row out this wide"))))))
+  }
+
   /** Bucketized RANGE (point-in-interval) join: every left point joins
     * every right interval containing it (`start <= point <= end`,
     * inclusive). Spark plans a bare inequality join as a broadcast
@@ -44,22 +104,26 @@ object Temporal {
     * `bucketWidth` is the replication dial: intervals are copied
     * ~(duration / bucketWidth + 1) times; pick it near the typical
     * interval length so replication stays O(1) per interval while
-    * buckets stay selective. Both named columns must be integral
-    * (epoch nanos/micros, versions, offsets…); bucket mapping is FLOOR
-    * division, so pre-epoch (negative) values bucket exactly like any
-    * other — no non-negativity contract. Column names must not
+    * buckets stay selective — and `maxBucketsPerInterval` bounds it: any
+    * single interval that would replicate wider (or an inverted interval,
+    * end < start) refuses loudly at execution time instead of fanning one
+    * row out to billions (see [[boundedBuckets]]). Both named columns must
+    * be integral (epoch nanos/micros, versions, offsets…); bucket mapping
+    * is FLOOR division, so pre-epoch (negative) values bucket exactly like
+    * any other — no non-negativity contract. Column names must not
     * collide across the two sides (select/rename before joining). */
   def rangeJoin(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, maxBucketsPerInterval: Long = 65536L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval >= 1, "maxBucketsPerInterval must be >= 1")
     require(points.columns.intersect(intervals.columns).isEmpty,
       "rangeJoin requires disjoint column names across sides")
     require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
       "rangeJoin reserves the __b column name")
-    val iv = intervals.withColumn("__b", explode(sequence(
-      floorDiv(startCol, bucketWidth), floorDiv(endCol, bucketWidth))))
+    val iv = intervals.withColumn("__b", boundedBuckets(
+      startCol, endCol, bucketWidth, maxBucketsPerInterval, "rangeJoin"))
     val pt = points.withColumn("__b", floorDiv(pointCol, bucketWidth))
     pt.join(iv, "__b")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
@@ -81,16 +145,17 @@ object Temporal {
   def intervalJoin(
       left: DataFrame, lStart: String, lEnd: String,
       right: DataFrame, rStart: String, rEnd: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, maxBucketsPerInterval: Long = 65536L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval >= 1, "maxBucketsPerInterval must be >= 1")
     require(left.columns.intersect(right.columns).isEmpty,
       "intervalJoin requires disjoint column names across sides")
     require(!left.columns.contains("__b") && !right.columns.contains("__b"),
       "intervalJoin reserves the __b column name")
-    val l = left.withColumn("__b", explode(sequence(
-      floorDiv(lStart, bucketWidth), floorDiv(lEnd, bucketWidth))))
-    val r = right.withColumn("__b", explode(sequence(
-      floorDiv(rStart, bucketWidth), floorDiv(rEnd, bucketWidth))))
+    val l = left.withColumn("__b", boundedBuckets(
+      lStart, lEnd, bucketWidth, maxBucketsPerInterval, "intervalJoin"))
+    val r = right.withColumn("__b", boundedBuckets(
+      rStart, rEnd, bucketWidth, maxBucketsPerInterval, "intervalJoin"))
     l.join(r, "__b")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       .filter(col("__b") ===
@@ -144,6 +209,7 @@ object Temporal {
       "asofJoin reserves __-prefixed column names on the left side")
     require(rightPayload.nonEmpty && rightPayload.forall(right.columns.contains),
       s"rightPayload must name existing right columns, got $rightPayload")
+    requireLosslessTsCast(left, leftTs, right, rightTs, "asofJoin")
     val payloadStruct = struct(
       (col(rightTs).as("__ts") +: col(tieBreak).as("__tb") +:
         rightPayload.map(col)): _*)
@@ -566,6 +632,11 @@ object Temporal {
     require(frontier.columns.toSeq ==
       Seq(keyCol, "__last_type", "__last_ts", "__last_tie"),
       s"frontier must be a transitionState frontier, got ${frontier.columns.mkString(", ")}")
+    // the frontier join brings __last_* columns onto the batch — a batch
+    // already carrying __-prefixed columns would collide (ambiguity or
+    // silently wrong bridge counts), the same reservation funnelState makes
+    require(!batch.columns.exists(_.startsWith("__")),
+      "transitionFold reserves __-prefixed column names in the batch")
     val guarded = batch.join(frontier, Seq(keyCol), "left")
       .withColumn(tsCol,
         when(col("__last_ts").isNotNull &&
@@ -623,14 +694,16 @@ object Temporal {
       df: DataFrame, keyCol: String, tsCol: String, window: Long,
       valueCol: Option[String] = None): DataFrame = {
     require(window >= 0, s"window must be non-negative, got $window")
+    // a non-integral ts would make the RANGE frame fail later with an
+    // opaque AnalysisException — refuse up front, the house rule
+    require(IntegralTypes.contains(df.schema(tsCol).dataType),
+      s"tsCol $tsCol must be integral (got ${df.schema(tsCol).dataType}) — " +
+        "use epoch micros/nanos, the integer-exactness house rule")
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol))
       .rangeBetween(-window, 0)
     val counted = df.withColumn("trail_count", count(lit(1)).over(w))
     valueCol.fold(counted) { v =>
-      val integral: Set[org.apache.spark.sql.types.DataType] = Set(
-        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-      require(integral.contains(df.schema(v).dataType),
+      require(IntegralTypes.contains(df.schema(v).dataType),
         s"valueCol $v must be integral (got ${df.schema(v).dataType}) — " +
           "scale currency to cents first, the integer-exactness house rule")
       counted.withColumn("trail_sum", sum(col(v)).over(w))
@@ -662,6 +735,7 @@ object Temporal {
       "asofJoinForward reserves __-prefixed column names on the left side")
     require(rightPayload.nonEmpty && rightPayload.forall(right.columns.contains),
       s"rightPayload must name existing right columns, got $rightPayload")
+    requireLosslessTsCast(left, leftTs, right, rightTs, "asofJoinForward")
     val payloadStruct = struct(
       (col(rightTs).as("__ts") +: col(tieBreak).as("__tb") +:
         rightPayload.map(col)): _*)

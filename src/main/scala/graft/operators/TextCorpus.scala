@@ -436,7 +436,11 @@ object TextCorpus {
     * replays it bit-for-bit: with fewer than k kept the count is EXACT;
     * at k the classic KMV estimate applies as
     * `(k−1)·hashBound DIV (kth_min + 1)` (relative error ~1/√k).
-    * Returns (group, n_kept, kth_min, est_distinct). */
+    * Returns (group, n_kept, kth_min, est_distinct). NULL hashes never
+    * enter the sketch (SQL aggregate semantics), so a group whose hash
+    * column is ALL null keeps an empty array: it reports n_kept 0,
+    * kth_min NULL (guarded — a bare element_at(-1) on an empty array
+    * throws under ANSI mode) and est_distinct 0. */
   def distinctSketch(
       df: DataFrame, groupCol: String, hashCol: String, k: Int,
       hashBound: Long): DataFrame = {
@@ -446,7 +450,7 @@ object TextCorpus {
       .agg(graft.functions.NativeAgg.kMinDistinct(col(hashCol), k).as("__mins"))
       .select(col(groupCol),
         size(col("__mins")).cast("long").as("n_kept"),
-        element_at(col("__mins"), -1).as("kth_min"),
+        when(size(col("__mins")) > 0, element_at(col("__mins"), -1)).as("kth_min"),
         when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
           .otherwise(expr(
             s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * $hashBound) DIV " +
