@@ -580,6 +580,111 @@ object Temporal {
         expr("(active_keys * 1000) DIV __size").as("permille_of_cohort"))
   }
 
+  /** ROLLING-ACTIVITY counts (DAU/WAU/MAU): for every time bucket and
+    * every window width `w` (in buckets), the number of DISTINCT keys
+    * active in the trailing `w` buckets `(bucket − w, bucket]` — the
+    * standard product-analytics actives family (w = 1 day / 7 / 30 on
+    * daily buckets). Buckets are FLOOR division of the integral `tsCol`
+    * (exact pre-epoch, the [[retentionCohorts]] convention); output
+    * buckets stop at the last OBSERVED bucket (no trailing "future"
+    * rows). Returns (bucket, win, active_keys); a (bucket, win) cell with
+    * no active key in its lookback is simply absent (count 0).
+    *
+    * Shape at scale: ONE corpus-sized shuffle — the distinct over
+    * (key, bucket), map-side combinable — after which each activity row
+    * replicates to the ≤ w output buckets it covers per window (bounded
+    * fan-out: Σ windows copies of the already-tiny activity relation,
+    * refused loudly past [[ActiveUsersMaxFanout]]), one more distinct
+    * (combinable: a key active twice inside a window collapses), and a
+    * combinable count. NO window functions, no per-key sort; the result
+    * is ≤ |buckets|·|windows| rows. The per-key activity relation is the
+    * SAME sufficient statistic [[retentionState]] stores, so the
+    * persisted/incremental form is free: maintain one activity state with
+    * [[retentionState]]/[[retentionFold]] and serve this view from it
+    * with [[activeUsersOf]]. */
+  def activeUsers(
+      df: DataFrame, keyCol: String, tsCol: String,
+      bucketWidth: Long, windows: Seq[Long]): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val act = df.select(col(keyCol).as("__k"),
+      floorDiv(tsCol, bucketWidth).cast("bigint").as("__b")).distinct()
+    activeFromActivity(act, windows)
+  }
+
+  /** The bounded replication budget of [[activeUsers]]: Σ windows — each
+    * (key, bucket) activity row is copied once per covered output bucket.
+    * 4096 buckets of total lookback (a decade of daily windows) is far
+    * past any analytics shape; wider requests refuse loudly, the
+    * house rule for fan-outs. */
+  val ActiveUsersMaxFanout: Long = 4096L
+
+  /** Serving view of a [[retentionState]] activity relation as the
+    * rolling-activity counts: [[activeUsers]] computed from the stored
+    * (key, bucket) rows — no corpus re-scan, fold new batches with
+    * [[retentionFold]] (distinct-union is idempotent, so late data and
+    * replays are exact; one persisted state serves BOTH the retention
+    * triangle and this view). */
+  def activeUsersOf(state: DataFrame, windows: Seq[Long]): DataFrame = {
+    require(state.columns.length == 2 && state.columns(1) == "bucket",
+      s"state must be a retentionState table (key, bucket), " +
+        s"got ${state.columns.mkString(", ")}")
+    val k = state.columns.head
+    activeFromActivity(
+      state.select(col(k).as("__k"), col("bucket").as("__b")), windows)
+  }
+
+  private def activeFromActivity(
+      act: DataFrame, windows: Seq[Long]): DataFrame = {
+    require(windows.nonEmpty, "activeUsers needs at least one window")
+    require(windows.forall(_ >= 1), s"windows must be >= 1, got $windows")
+    require(windows.distinct.size == windows.size,
+      s"windows must be distinct, got $windows")
+    require(windows.sum <= ActiveUsersMaxFanout,
+      s"total window lookback ${windows.sum} buckets exceeds the " +
+        s"$ActiveUsersMaxFanout replication budget (each activity row is " +
+        "copied once per covered bucket) — widen bucketWidth instead")
+    val a = Caching.spillPersistEager(act)
+    // the observed frontier: coverage stops here so no "future" buckets
+    // appear. One metadata-scale scalar to the driver (the BM25/N pattern).
+    val mxRow = a.agg(max("__b")).head()
+    if (mxRow.isNullAt(0))
+      return a.select(col("__b").as("bucket"), lit(0L).as("win"),
+        lit(0L).as("active_keys")).limit(0)
+    val mx = mxRow.getLong(0)
+    windows.map { w =>
+      a.select(lit(w).as("win"), col("__k"),
+        explode(sequence(col("__b"),
+          least(col("__b") + (w - 1L), lit(mx)))).as("bucket"))
+    }.reduce(_.unionByName(_))
+      .distinct()
+      .groupBy(col("bucket"), col("win"))
+      .agg(count(lit(1)).as("active_keys"))
+  }
+
+  /** STICKINESS (the DAU/MAU ratio): joins two window widths of an
+    * [[activeUsers]] result per bucket and reports the short window's
+    * actives as an integer-exact permille of the long window's — the
+    * classic engagement ratio (how much of the monthly audience shows up
+    * daily). One broadcastable self-join over the ≤ |buckets|·2 rows;
+    * buckets present in only one of the two windows (none, by
+    * construction — a key active in the short lookback is active in the
+    * long one) drop out of the inner join. Returns
+    * (bucket, short_active, long_active, permille_of_long). */
+  def stickiness(
+      active: DataFrame, shortWin: Long, longWin: Long): DataFrame = {
+    require(Seq("bucket", "win", "active_keys").forall(active.columns.contains),
+      s"expected activeUsers output, got ${active.columns.mkString(", ")}")
+    require(shortWin < longWin,
+      s"shortWin ($shortWin) must be < longWin ($longWin)")
+    val s = active.filter(col("win") === shortWin)
+      .select(col("bucket"), col("active_keys").as("short_active"))
+    val l = active.filter(col("win") === longWin)
+      .select(col("bucket"), col("active_keys").as("long_active"))
+    s.join(broadcast(l), "bucket")
+      .select(col("bucket"), col("short_active"), col("long_active"),
+        expr("(short_active * 1000) DIV long_active").as("permille_of_long"))
+  }
+
   /** Row-normalized [[transitionMatrix]]: each (from, to) count as an
     * integer-exact permille of its FROM-row total — the empirical Markov
     * transition probabilities (×1000, truncating). One broadcastable

@@ -845,6 +845,82 @@ object Catalog {
           CAST(count(*) AS BIGINT) AS active_keys
         FROM a JOIN c USING (user_id) GROUP BY 1, 2""")),
 
+    // ROLLING ACTIVITY (DAU/WAU/MAU, daily buckets): distinct actives per
+    // bucket at window widths 1/7/30 — one (user, day) distinct, bounded
+    // coverage fan-out (Σ windows = 38 copies of the activity relation),
+    // combinable count, NO window functions; coverage clamps at the last
+    // observed day so no future buckets appear
+    Q("event_active_users",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.activeUsers(ev, "user_id", "ets",
+          bucketWidth = 86400000000L, windows = Seq(1L, 7L, 30L))
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS b FROM events),
+        mx AS (SELECT max(b) AS m FROM act),
+        cov AS (SELECT DISTINCT w.win, user_id, b + u.r AS bucket
+          FROM act, (VALUES (1), (7), (30)) AS w(win),
+            unnest(range(0, w.win)) AS u(r), mx
+          WHERE b + u.r <= mx.m)
+        SELECT CAST(bucket AS BIGINT) AS bucket, CAST(win AS BIGINT) AS win,
+          count(*) AS active_keys
+        FROM cov GROUP BY 1, 2""")),
+
+    // INCREMENTAL rolling activity: the activity state IS the retention
+    // state (one persisted (key, bucket) relation serves both views) —
+    // build it on the first half of the range, fold the second half with
+    // retentionFold (distinct-union: late data and replays exact), serve
+    // with activeUsersOf; the oracle is the ONE-SHOT count over the union
+    Q("event_active_users_incremental",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min("ets").as("lo"), max("ets").as("hi")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val w = 86400000000L
+        val st = graft.operators.Temporal.retentionState(
+          ev.filter(col("ets") <= cut), "user_id", "ets", w)
+        val folded = graft.operators.Temporal.retentionFold(
+          st, ev.filter(col("ets") > cut), "user_id", "ets", w)
+        graft.operators.Temporal.activeUsersOf(folded, Seq(1L, 7L, 30L))
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS b FROM events),
+        mx AS (SELECT max(b) AS m FROM act),
+        cov AS (SELECT DISTINCT w.win, user_id, b + u.r AS bucket
+          FROM act, (VALUES (1), (7), (30)) AS w(win),
+            unnest(range(0, w.win)) AS u(r), mx
+          WHERE b + u.r <= mx.m)
+        SELECT CAST(bucket AS BIGINT) AS bucket, CAST(win AS BIGINT) AS win,
+          count(*) AS active_keys
+        FROM cov GROUP BY 1, 2""")),
+
+    // STICKINESS (DAU/MAU): the two-width join over the rolling actives,
+    // integer-exact permille of the monthly audience active that day
+    Q("event_stickiness",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.stickiness(
+          graft.operators.Temporal.activeUsers(ev, "user_id", "ets",
+            bucketWidth = 86400000000L, windows = Seq(1L, 30L)),
+          shortWin = 1L, longWin = 30L)
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS b FROM events),
+        mx AS (SELECT max(b) AS m FROM act),
+        cov AS (SELECT DISTINCT w.win, user_id, b + u.r AS bucket
+          FROM act, (VALUES (1), (30)) AS w(win),
+            unnest(range(0, w.win)) AS u(r), mx
+          WHERE b + u.r <= mx.m),
+        a AS (SELECT bucket, win, count(*) AS ac FROM cov GROUP BY 1, 2)
+        SELECT CAST(s.bucket AS BIGINT) AS bucket,
+          s.ac AS short_active, l.ac AS long_active,
+          CAST((s.ac * 1000) // l.ac AS BIGINT) AS permille_of_long
+        FROM a s JOIN a l ON s.bucket = l.bucket AND s.win = 1 AND l.win = 30""")),
+
     Q("asof_join",
       (s, d) => {
         val ev = t(s, d, "events")

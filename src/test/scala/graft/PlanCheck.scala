@@ -193,6 +193,17 @@ object PlanCheck {
       ("event_transitions_2step", "k-step transition window keyed BY USER too",
         p => p.contains("windowspecdefinition(user_id#") &&
           !p.contains("CartesianProduct")),
+      ("event_active_users", "rolling actives = distinct + bounded coverage fan-out + combinable count: NO window, no cartesian",
+        // the DAU/WAU/MAU family must keep funnel's cost class — the only
+        // corpus shuffle is the (key, bucket) distinct (map-side
+        // combinable), the window frontier folds in as a driver scalar
+        // (no cross join), and counts partial-aggregate
+        p => !p.contains("Window") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin") &&
+          p.contains("partial_count")),
+      ("event_active_users_incremental", "rolling-actives fold rides the retention state's broadcast probe: no SMJ on the state, NO window",
+        p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+          !p.contains("Window") && !p.contains("CartesianProduct")),
       ("dedup_cdc_chunks", "CDC windows keyed (doc-keyed assembly, (h,chunk) verify — never global), no cartesian",
         // a regression to windowspecdefinition(p#...) with no leading
         // partition column would serialize the whole token stream on one

@@ -167,7 +167,9 @@ object Sf1Drive {
       "event_retention", "event_retention_incremental", "event_retention_rates",
       "streaming_transitions_ingest",
       "event_transitions", "event_transitions_2step", "event_transition_rates",
-      "event_transitions_incremental", "sessionize").foreach(run)
+      "event_transitions_incremental", "sessionize",
+      "event_active_users", "event_active_users_incremental",
+      "event_stickiness").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")
   }

@@ -237,7 +237,12 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                "event_retention_rates", "streaming_transitions_ingest",
                "event_retention", "event_retention_incremental",
                "event_transitions", "event_transitions_2step", "event_transition_rates",
-               "event_transitions_incremental", "sessionize"]
+               "event_transitions_incremental", "sessionize",
+               # round-16: rolling activity (DAU/WAU/MAU + stickiness) —
+               # oracles replay verbatim (counts over the 10x disjoint-user
+               # view; buckets unchanged)
+               "event_active_users", "event_active_users_incremental",
+               "event_stickiness"]
 
 
 def main_events(oracle_path):
