@@ -1712,12 +1712,7 @@ object Dedup {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val t = col(textCol)
-    // sequence(1, 0) would DESCEND in Spark — guard short strings explicitly
-    val qg = when(length(t) >= q,
-        array_sort(array_distinct(transform(
-          sequence(lit(1), length(t) - (q - 1)),
-          i => xxhash64(substr(t, i, lit(q)))))))
-      .otherwise(array().cast("array<bigint>"))
+    val qg = editQgrams(t, q)
     // base feeds the prefix index, the short set AND both verify joins —
     // persist so tokenize+hash runs once (spill-safe, released by
     // releaseIntermediates)
@@ -1784,6 +1779,153 @@ object Dedup {
         col("__len").as("len_a"), col("__qg").as("qg_a")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__txt").as("txt_b"),
         col("__len").as("len_b"), col("__qg").as("qg_b")), "id_b")
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .filter(graft.functions.NativeHash.sortedIntersectCount(col("qg_a"), col("qg_b")) >=
+        greatest(size(col("qg_a")), size(col("qg_b"))).cast("long") -
+          lit(maxDist.toLong * q))
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
+  /** The DISTINCT q-gram hash set of a text column, sorted (the
+    * [[editDistancePairs]] construction — single source of truth with the
+    * persisted index so a refactor cannot diverge the two).
+    * sequence(1, 0) would DESCEND in Spark, so sub-q strings keep an
+    * explicit empty set. */
+  private def editQgrams(t: Column, q: Int): Column =
+    when(length(t) >= q,
+        array_sort(array_distinct(transform(
+          sequence(lit(1), length(t) - (q - 1)),
+          i => xxhash64(substr(t, i, lit(q)))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  private val EditMetaMaxDist = "graft.editdist.maxDist"
+  private val EditMetaQ = "graft.editdist.q"
+  private val EditMetaMaxDocFreq = "graft.editdist.maxDocFreq"
+
+  /** PERSISTED edit-distance index — the serving form of
+    * [[editDistancePairs]] for rolling ingestion (the
+    * minhash/simhash/containment/tfidf pattern): one row per corpus doc
+    * with everything [[editDistanceIncremental]] needs, so a daily batch
+    * is verified against the corpus WITHOUT re-scanning or re-tokenizing
+    * corpus text. Columns (reserved names): `id`, `txt` (the one stored
+    * text copy — banded DP needs both strings), `len`, `nq`, sorted
+    * distinct q-gram hashes `qg`, and `prefix` = the doc's
+    * `maxDist·q + 1` RAREST q-grams under the build-time canonical
+    * (corpus df, hash) order — any (maxDist·q+1)-subset supports the
+    * pigeonhole recall argument, so batch-side frequencies never need to
+    * agree with build-time ones. Build parameters are stamped in the
+    * `prefix` column's metadata; [[editDistanceIncremental]] refuses a
+    * parameter mismatch instead of silently dropping pairs.
+    * `maxDocFreq` drops hot q-grams from the PREFIX selection only (the
+    * one-shot's documented recall cap); `qg` stays complete for the
+    * verify filter. */
+  def editDistanceIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, q: Int = 3,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val t = col(textCol)
+    val qg = editQgrams(t, q)
+    val base = spread(df.select(col(idCol), t.as(textCol)))
+      .select(col(idCol).as("id"), t.as("txt"),
+        length(t).cast("long").as("len"), qg.as("qg"),
+        size(qg).cast("long").as("nq"))
+    val shortCap = maxDist.toLong * q
+    val posting0 = base.select(col("id"), explode(col("qg")).as("qh"))
+    val posting = maxDocFreq match {
+      case None => posting0
+      case Some(cap) =>
+        val hot = posting0.groupBy("qh").agg(count(lit(1)).as("hdf"))
+          .filter(col("hdf") > cap).select("qh")
+        posting0.join(broadcast(hot), Seq("qh"), "left_anti")
+    }
+    val dfreq = posting.groupBy("qh").agg(count(lit(1)).as("qdf"))
+    val wPfx = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("qdf"), col("qh"))
+    val prefix = posting.join(dfreq, "qh")
+      .withColumn("rn", row_number().over(wPfx))
+      .filter(col("rn") <= shortCap + 1L)
+      .groupBy("id").agg(sort_array(collect_list(col("qh"))).as("prefix"))
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(EditMetaMaxDist, maxDist.toLong)
+      .putLong(EditMetaQ, q.toLong)
+      .putLong(EditMetaMaxDocFreq, maxDocFreq.map(_.toLong).getOrElse(-1L))
+      .build()
+    // sub-q docs have no postings: empty prefix (they are short by
+    // construction — path 2 covers them)
+    base.join(prefix, Seq("id"), "left")
+      .select(col("id"), col("txt"), col("len"), col("nq"), col("qg"),
+        coalesce(col("prefix"), array().cast("array<bigint>"))
+          .as("prefix", meta))
+  }
+
+  /** Edit-distance pairs between a NEW batch and an [[editDistanceIndex]]
+    * — the incremental [[editDistancePairs]]: the corpus contributes only
+    * its stored index rows (prefix postings for the candidate join, the
+    * one stored text copy for the ≤-candidates DP verify), and the batch
+    * is tokenized once. Output: (id_a = index doc, id_b = batch doc,
+    * dist ≤ the index's maxDist); a re-ingested doc does not pair with
+    * itself (the [[minhashLshIncremental]] guard).
+    *
+    * Recall stays total (collision-free-hash exact, the one-shot's
+    * contract) WITHOUT the batch agreeing on the build-time q-gram order,
+    * because the batch posts ALL its q-grams (the
+    * [[containmentIncremental]] argument, adapted): for ed(a,b) ≤ d, at
+    * most d·q DISTINCT q-grams of the index doc a are absent from the
+    * batch doc b (each edit destroys ≤ q of a's windows), so among a's
+    * stored d·q+1 prefix grams at least one is in b's posted set — unless
+    * a has fewer than d·q+1 grams at all, in which case its prefix is its
+    * WHOLE set and a total miss forces both sides under d·q grams: the
+    * short×short length-band path. Candidates then pass the exact
+    * length / q-gram-count / banded-DP verify unchanged. */
+  def editDistanceIncremental(
+      batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val meta = index.schema.find(_.name == "prefix").map(_.metadata).getOrElse(
+      throw new IllegalArgumentException(
+        "edit-distance index must carry a 'prefix' column"))
+    require(meta.contains(EditMetaMaxDist) && meta.contains(EditMetaQ),
+      "index was not built by editDistanceIndex (missing build metadata)")
+    val maxDist = meta.getLong(EditMetaMaxDist).toInt
+    val q = meta.getLong(EditMetaQ).toInt
+    val t = col(textCol)
+    val qg = editQgrams(t, q)
+    val bbase = spillPersistEager(spread(batch.select(col(idCol), t.as(textCol)))
+      .select(col(idCol).as("id_b"), t.as("__btxt"),
+        length(t).cast("long").as("__blen"), qg.as("__bqg"),
+        size(qg).cast("long").as("__bnq")))
+    val ibase = spillPersistEager(
+      index.select(col("id"), col("txt"), col("len"), col("nq"),
+        col("qg"), col("prefix")))
+    val shortCap = maxDist.toLong * q
+    // ---- path 1: stored index prefixes × the batch's FULL posting set
+    val candPfx = ibase.select(col("id").as("id_a"), explode(col("prefix")).as("qh"))
+      .join(bbase.select(col("id_b"), explode(col("__bqg")).as("qh")), "qh")
+      .select("id_a", "id_b")
+    // ---- path 2: short×short via the length-band meet-once join
+    val wBand = (maxDist + 1).toLong
+    val iShort = ibase.filter(col("nq") <= shortCap)
+      .select(col("id").as("id_a"), col("len").as("len_a"))
+      .withColumn("__b", expr(s"len_a DIV ${wBand}L"))
+    val bShort = bbase.filter(col("__bnq") <= shortCap)
+      .select(col("id_b"), col("__blen").as("len_b"))
+      .withColumn("__b", explode(sequence(
+        expr(s"(len_b - $maxDist) DIV ${wBand}L"),
+        expr(s"(len_b + $maxDist) DIV ${wBand}L"))))
+    val candShort = iShort.join(bShort, "__b")
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("id_a", "id_b")
+    val cand = candPfx.unionByName(candShort).dropDuplicates("id_a", "id_b")
+    // ---- verify: re-ingest guard, length, q-gram count, banded DP
+    cand
+      .join(ibase.select(col("id").as("id_a"), col("txt").as("txt_a"),
+        col("len").as("len_a"), col("qg").as("qg_a")), "id_a")
+      .join(bbase.select(col("id_b"), col("__btxt").as("txt_b"),
+        col("__blen").as("len_b"), col("__bqg").as("qg_b")), "id_b")
+      .filter(col("id_a") =!= col("id_b"))
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
       .filter(graft.functions.NativeHash.sortedIntersectCount(col("qg_a"), col("qg_b")) >=
         greatest(size(col("qg_a")), size(col("qg_b"))).cast("long") -

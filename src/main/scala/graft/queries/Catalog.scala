@@ -1344,6 +1344,35 @@ object Catalog {
          AND length(b.text) <= length(a.text) + 10
         WHERE levenshtein(a.text, b.text) <= 10""")),
 
+    // INCREMENTAL edit distance: corpus indexed once (stored rare-prefix
+    // postings + sorted q-gram hashes + the one text copy the banded DP
+    // needs), round-trips through parquet with its build params in column
+    // metadata, then a batch of every-7th-doc copies is verified against
+    // the index WITHOUT re-scanning corpus text — the batch posts ALL its
+    // q-grams, so no canonical-order agreement is needed (pigeonhole
+    // recall argument in Dedup.editDistanceIncremental). Oracle is the
+    // exact batch×corpus levenshtein truth
+    Q("dedup_editdist_incremental",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+        val dir = java.nio.file.Files.createTempDirectory("graft-ed-idx")
+        Dedup.editDistanceIndex(corpus, "doc_id", "text", maxDist = 10)
+          .write.mode("overwrite").parquet(dir.toString)
+        val index = s.read.parquet(dir.toString)
+        val batch = corpus.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val out = Dedup.editDistanceIncremental(batch, index, "doc_id", "text")
+          .localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some("""SELECT a.doc_id AS id_a, CAST(b.doc_id + 1000000 AS BIGINT) AS id_b,
+          CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        FROM documents a JOIN documents b
+          ON b.doc_id % 7 = 0
+         AND abs(length(a.text) - length(b.text)) <= 10
+        WHERE levenshtein(a.text, b.text) <= 10""")),
+
     // Exact substring (span) dedup: every maximal token span covered by
     // 8-token windows occurring more than once in the corpus (Lee et al.
     // 2021 suffix-array dedup re-expressed as hashed positional k-gram

@@ -33,6 +33,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `python3 tools/sf1_check.py` / `python3 tools/sf1_check.py emb`. */
 object Sf1Drive {
   val gates = Seq("dedup_spans", "dedup_minhash_incremental", "dedup_editdist",
+    // round-16: the editdist persisted-index serving form (same per-copy
+    // oracle protocol as the one-shot)
+    "dedup_editdist_incremental",
     "dedup_clusters", "dedup_simhash", "dedup_containment",
     // round-12: the r11 operators' 10× runs (r11 verdict item 5) —
     // containment additionally reports its candidate-pair count (the

@@ -103,4 +103,54 @@ class EditDistSpec extends SparkSuite {
     val byId = docs.toMap
     capped.foreach { case (a, b) => assert(lev(byId(a), byId(b)) <= 15) }
   }
+
+  test("incremental: index + batch matches brute cross truth through parquet") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdef"
+    def word(n: Int) = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val corpus = (0L until 50L).map(i => (i, word(15 + rnd.nextInt(40)))) ++
+      // short/sub-q corpus docs: the short×short path must cover them
+      Seq((900L, ""), (901L, "ab"), (902L, "xy"))
+    val batch = corpus.take(12).map { case (i, s) =>
+      val b = new StringBuilder(s)
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        if (b.nonEmpty) b.setCharAt(rnd.nextInt(b.length), alphabet(rnd.nextInt(6)))
+      }
+      (i + 5000L, b.toString)
+    } ++ Seq((5900L, "a"), (5901L, "zz")) // short batch docs, incl. q-gram-free
+    val dir = tmpDir("ed-idx")
+    Dedup.editDistanceIndex(corpus.toDF("id", "txt"), "id", "txt",
+      maxDist = 4).write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val got = Dedup.editDistanceIncremental(batch.toDF("id", "txt"),
+        index, "id", "txt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (ia, ta) <- corpus; (ib, tb) <- batch
+      dist = lev(ta, tb) if dist <= 4
+    } yield (ia, ib, dist.toLong)).toSet
+    assert(got == want)
+  }
+
+  test("incremental: re-ingest under the same id never self-pairs; bad index refuses") {
+    val corpus = Seq((1L, "hello world"), (2L, "goodbye moon"))
+    val dir = tmpDir("ed-idx2")
+    Dedup.editDistanceIndex(corpus.toDF("id", "txt"), "id", "txt",
+      maxDist = 3).write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    // doc 1 re-ingested verbatim under its own id: pairs with nothing
+    // (dist 0 to itself is guarded, dist to doc 2 is over budget)
+    val got = Dedup.editDistanceIncremental(
+      Seq((1L, "hello world")).toDF("id", "txt"), index, "id", "txt").collect()
+    assert(got.isEmpty)
+    // an index missing the build metadata refuses loudly
+    val stripped = index.select(col("id"), col("txt"), col("len"),
+      col("nq"), col("qg"),
+      col("prefix").as("prefix", org.apache.spark.sql.types.Metadata.empty))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistanceIncremental(
+        Seq((9L, "x")).toDF("id", "txt"), stripped, "id", "txt")
+    }
+    assert(e.getMessage.contains("editDistanceIndex"))
+  }
 }

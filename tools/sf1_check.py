@@ -364,6 +364,30 @@ def main():
     print(f"dedup_editdist total: {'MATCH' if okc else 'MISMATCH'} "
           f"({time.time() - t0:.0f}s)")
     ok &= okc
+
+    # round-16: editdist INCREMENTAL — same per-copy protocol (batch ids
+    # stay inside their copy's 10M block: +1e6 < 1e7, and cross-copy
+    # distance > maxDist by the salt construction)
+    t0 = time.time()
+    cross = con.execute(
+        f"SELECT count(*) FROM '{OUT}/dedup_editdist_incremental/*.parquet' "
+        "WHERE id_a // 10000000 != id_b // 10000000"
+    ).fetchone()[0]
+    oki = cross == 0
+    print(f"dedup_editdist_incremental cross-copy pairs (must be 0): {cross}")
+    for j in range(10):
+        con.execute(
+            "CREATE OR REPLACE VIEW documents AS "
+            f"SELECT * FROM '{SF1}' WHERE doc_id // 10000000 = {j}"
+        )
+        got = (f"SELECT * FROM '{OUT}/dedup_editdist_incremental/*.parquet' "
+               f"WHERE id_a // 10000000 = {j}")
+        n_got, n_ora, m = compare(con, got, sqls["dedup_editdist_incremental"])
+        print(f"  copy {j}: rows={n_got} oracle={n_ora} {'MATCH' if m else 'MISMATCH'}")
+        oki &= m
+    print(f"dedup_editdist_incremental total: {'MATCH' if oki else 'MISMATCH'} "
+          f"({time.time() - t0:.0f}s)")
+    ok &= oki
     print("SF1 SWEEP:", "ALL MATCH" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
 
