@@ -1,0 +1,1153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Graph, Similarity, TextCorpus}
+
+import Catalog.Q
+import GateSupport._
+
+/** Text-corpus analysis and sampling gates: quality, language, tokens, boilerplate, contamination, BM25 / DSIR / LM scoring, mixtures, packing, budgets.
+  *
+  * Split from the monolithic Catalog (round 16) — same `Q` registrations,
+  * re-aggregated by [[Catalog.all]]; shared fixture readers and oracle
+  * fragments live in [[GateSupport]]. */
+private[queries] object CatalogCorpus {
+  val gates: Seq[Q] = Seq(
+    // EXACT heavy hitters (terms above 1/40 of all occurrences): pass 1
+    // Misra-Gries candidates (bounded mergeable state), pass 2 exact
+    // re-count of candidates — output provably equals the brute-force
+    // HAVING, which is what the oracle computes
+    Q("text_heavy_hitters",
+      (s, d) => TextCorpus.heavyHitters(t(s, d, "documents"), "text", k = 40),
+      Some(s"""WITH occ AS (SELECT unnest($toksSql) AS term FROM documents),
+          tot AS (SELECT count(*) AS n FROM occ)
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM occ, tot GROUP BY term, n HAVING count(*) * 40 > n""")),
+
+    // deterministic KMV distinct sketch (per-lang distinct-token census):
+    // k smallest distinct 60-bit md5-prefix hashes per group via the O(k)
+    // mergeable aggregate; the DuckDB oracle replays the ENTIRE sketch —
+    // kept set, kth value, and the integer-exact estimate — bit-for-bit
+    // (no HLL-style unverifiable estimate)
+    Q("text_distinct_sketch",
+      (s, d) => {
+        val toks = t(s, d, "documents").select(col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val hashed = toks.select(col("lang"),
+          expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        TextCorpus.distinctSketch(hashed, "lang", "h", k = 128,
+          hashBound = 1152921504606846976L)
+      },
+      Some(s"""WITH t AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
+        h AS (SELECT DISTINCT lang, CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS HUGEINT) AS h FROM t),
+        r AS (SELECT lang, h,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        kk AS (SELECT lang, CAST(count(*) FILTER (rn <= 128) AS BIGINT) AS n_kept,
+            CAST(max(h) FILTER (rn <= 128) AS BIGINT) AS kth_min
+          FROM r GROUP BY lang)
+        SELECT lang, n_kept, kth_min,
+          CAST(CASE WHEN n_kept < 128 THEN n_kept
+            ELSE (127::HUGEINT * 1152921504606846976::HUGEINT)
+              // (kth_min::HUGEINT + 1) END AS BIGINT) AS est_distinct
+        FROM kk""")),
+
+    Q("text_token_count",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_m")),
+      Some(s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars_m FROM documents""")),
+
+    // Data-mixture sampling by token budget: per source, keep documents in
+    // the deterministic LCG order until the budget is crossed — selection
+    // is a pure function of ids, so DuckDB replays it exactly
+    Q("sample_token_budget",
+      (s, d) => TextCorpus.tokenBudgetSample(t(s, d, "documents"),
+        "doc_id", "text", "source",
+        Map("src0" -> 600L, "src3" -> 600L, "src7" -> 450L)),
+      Some("""WITH t AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 1000 AS bk
+        FROM documents WHERE source IN ('src0', 'src3', 'src7')),
+        o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY bk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+        SELECT doc_id, source, n_tokens FROM o
+        WHERE cb < CASE source WHEN 'src0' THEN 600 WHEN 'src3' THEN 600
+          ELSE 450 END""")),
+
+    // Data MIXING: weights 1:2:5 over three sources, 2000 tokens total —
+    // water-filling allocation (largest-remainder splits; groups capped at
+    // availability redistribute their surplus) then the deterministic
+    // token-budget sample. The oracle replays the full allocation: with 3
+    // groups at most 3 rounds, each unrolled as a CTE stage (at sf0.01
+    // src8's 5/8 share exceeds its availability, so the multi-round path
+    // is live exactly where the driver checks). Engine and SQL bump the
+    // same largest remainders (ties by group name), so the sampled doc
+    // set matches bit-for-bit
+    Q("sample_mixture",
+      (s, d) => TextCorpus.mixtureSample(t(s, d, "documents"),
+        "doc_id", "text", "source",
+        Map("src1" -> 1L, "src4" -> 2L, "src8" -> 5L), totalBudget = 2000L),
+      Some("""WITH wts(g, wt) AS (VALUES ('src1', 1), ('src4', 2), ('src8', 5)),
+        tot AS (SELECT source AS g,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+          FROM documents WHERE source IN ('src1','src4','src8') GROUP BY 1),
+        a0 AS (SELECT w.g, w.wt, COALESCE(tot.avail, 0) AS avail
+          FROM wts w LEFT JOIN tot USING (g)),
+        r1 AS (SELECT g, wt, avail,
+            2000 * wt // (SELECT SUM(wt) FROM a0) AS fl,
+            2000 * wt % (SELECT SUM(wt) FROM a0) AS rm FROM a0),
+        r1s AS (SELECT *, fl + CASE WHEN row_number() OVER (ORDER BY rm DESC, g)
+            <= 2000 - (SELECT SUM(fl) FROM r1) THEN 1 ELSE 0 END AS share FROM r1),
+        c1 AS (SELECT g, avail FROM r1s WHERE share >= avail),
+        u1 AS (SELECT g, wt, avail FROM r1s WHERE share < avail),
+        b2v AS (SELECT 2000 - COALESCE((SELECT SUM(avail) FROM c1), 0) AS b),
+        r2 AS (SELECT g, wt, avail,
+            (SELECT b FROM b2v) * wt // (SELECT SUM(wt) FROM u1) AS fl,
+            (SELECT b FROM b2v) * wt % (SELECT SUM(wt) FROM u1) AS rm FROM u1),
+        r2s AS (SELECT *, fl + CASE WHEN row_number() OVER (ORDER BY rm DESC, g)
+            <= (SELECT b FROM b2v) - (SELECT SUM(fl) FROM r2) THEN 1 ELSE 0 END
+            AS share FROM r2),
+        c2 AS (SELECT g, avail FROM r2s WHERE share >= avail),
+        u2 AS (SELECT g, wt, avail FROM r2s WHERE share < avail),
+        b3v AS (SELECT (SELECT b FROM b2v)
+            - COALESCE((SELECT SUM(avail) FROM c2), 0) AS b),
+        r3 AS (SELECT g, wt, avail,
+            (SELECT b FROM b3v) * wt // (SELECT SUM(wt) FROM u2) AS fl,
+            (SELECT b FROM b3v) * wt % (SELECT SUM(wt) FROM u2) AS rm FROM u2),
+        r3s AS (SELECT *, fl + CASE WHEN row_number() OVER (ORDER BY rm DESC, g)
+            <= (SELECT b FROM b3v) - (SELECT SUM(fl) FROM r3) THEN 1 ELSE 0 END
+            AS share FROM r3),
+        fin AS (SELECT a0.g, CAST(CASE
+            WHEN (SELECT count(*) FROM c1) = 0
+              THEN (SELECT share FROM r1s x WHERE x.g = a0.g)
+            WHEN a0.g IN (SELECT g FROM c1) THEN a0.avail
+            WHEN (SELECT count(*) FROM c2) = 0
+              THEN (SELECT share FROM r2s x WHERE x.g = a0.g)
+            WHEN a0.g IN (SELECT g FROM c2) THEN a0.avail
+            WHEN (SELECT count(*) FROM r3s WHERE share >= avail) = 0
+              THEN (SELECT share FROM r3s x WHERE x.g = a0.g)
+            ELSE a0.avail END AS BIGINT) AS budget
+          FROM a0),
+        t AS (SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 1000 AS bk
+          FROM documents WHERE source IN ('src1','src4','src8')),
+        o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY bk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+        SELECT o.doc_id, o.source, o.n_tokens FROM o JOIN fin ON o.source = fin.g
+        WHERE o.cb < fin.budget""")),
+
+    // Temperature-based mixture (the p^(1/T) reweighting of multilingual
+    // pretraining, T=2): weights = floor(sqrt(group tokens)·1000) — IEEE
+    // sqrt is correctly rounded on BOTH engines so the quantized weights
+    // replay bit-for-bit — then the same exact water-fill + LCG selection
+    // as sample_mixture (budget 3800 caps src8 at sf0.01, no cap at
+    // sf0.001: both allocator paths are exercised across the sf matrix)
+    Q("sample_temperature",
+      (s, d) => TextCorpus.temperatureMixtureSample(t(s, d, "documents"),
+        "doc_id", "text", "source", Seq("src1", "src4", "src8"),
+        totalBudget = 3800L),
+      Some("""WITH gl(g) AS (VALUES ('src1'), ('src4'), ('src8')),
+        tot AS (SELECT source AS g,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+          FROM documents WHERE source IN ('src1','src4','src8') GROUP BY 1),
+        a0 AS (SELECT gl.g,
+            GREATEST(CAST(floor(sqrt(CAST(COALESCE(tot.avail, 0) AS DOUBLE))
+              * 1000) AS BIGINT), 1) AS wt,
+            COALESCE(tot.avail, 0) AS avail
+          FROM gl LEFT JOIN tot ON gl.g = tot.g),
+        r1 AS (SELECT g, wt, avail,
+            3800 * wt // (SELECT SUM(wt) FROM a0) AS fl,
+            3800 * wt % (SELECT SUM(wt) FROM a0) AS rm FROM a0),
+        r1s AS (SELECT *, fl + CASE WHEN row_number() OVER (ORDER BY rm DESC, g)
+            <= 3800 - (SELECT SUM(fl) FROM r1) THEN 1 ELSE 0 END AS share FROM r1),
+        c1 AS (SELECT g, avail FROM r1s WHERE share >= avail),
+        u1 AS (SELECT g, wt, avail FROM r1s WHERE share < avail),
+        b2v AS (SELECT 3800 - COALESCE((SELECT SUM(avail) FROM c1), 0) AS b),
+        r2 AS (SELECT g, wt, avail,
+            (SELECT b FROM b2v) * wt // (SELECT SUM(wt) FROM u1) AS fl,
+            (SELECT b FROM b2v) * wt % (SELECT SUM(wt) FROM u1) AS rm FROM u1),
+        r2s AS (SELECT *, fl + CASE WHEN row_number() OVER (ORDER BY rm DESC, g)
+            <= (SELECT b FROM b2v) - (SELECT SUM(fl) FROM r2) THEN 1 ELSE 0 END
+            AS share FROM r2),
+        c2 AS (SELECT g, avail FROM r2s WHERE share >= avail),
+        u2 AS (SELECT g, wt, avail FROM r2s WHERE share < avail),
+        b3v AS (SELECT (SELECT b FROM b2v)
+            - COALESCE((SELECT SUM(avail) FROM c2), 0) AS b),
+        r3 AS (SELECT g, wt, avail,
+            (SELECT b FROM b3v) * wt // (SELECT SUM(wt) FROM u2) AS fl,
+            (SELECT b FROM b3v) * wt % (SELECT SUM(wt) FROM u2) AS rm FROM u2),
+        r3s AS (SELECT *, fl + CASE WHEN row_number() OVER (ORDER BY rm DESC, g)
+            <= (SELECT b FROM b3v) - (SELECT SUM(fl) FROM r3) THEN 1 ELSE 0 END
+            AS share FROM r3),
+        fin AS (SELECT a0.g, CAST(CASE
+            WHEN (SELECT count(*) FROM c1) = 0
+              THEN (SELECT share FROM r1s x WHERE x.g = a0.g)
+            WHEN a0.g IN (SELECT g FROM c1) THEN a0.avail
+            WHEN (SELECT count(*) FROM c2) = 0
+              THEN (SELECT share FROM r2s x WHERE x.g = a0.g)
+            WHEN a0.g IN (SELECT g FROM c2) THEN a0.avail
+            WHEN (SELECT count(*) FROM r3s WHERE share >= avail) = 0
+              THEN (SELECT share FROM r3s x WHERE x.g = a0.g)
+            ELSE a0.avail END AS BIGINT) AS budget
+          FROM a0),
+        t AS (SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 1000 AS bk
+          FROM documents WHERE source IN ('src1','src4','src8')),
+        o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY bk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+        SELECT o.doc_id, o.source, o.n_tokens FROM o JOIN fin ON o.source = fin.g
+        WHERE o.cb < fin.budget""")),
+
+    // Learned-quality scoring: a fasttext-style LINEAR classifier applied
+    // per document (bias + Σ token milli-weights, integer-exact) by the
+    // codegen'd LinearTextScore kernel — the model rides as one hash map
+    // per executor, so scoring is map-side only: no explode, no shuffle
+    Q("text_quality_linear",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+          graft.functions.NativeHash.linearTextScore(col("text"),
+            Map("scan" -> 40L, "query" -> 25L, "join" -> 15L, "a" -> -5L,
+              "sort" -> -30L, "merge" -> -20L), bias = 100L).as("score_milli"))
+        .withColumn("keep", col("score_milli") >= 150L),
+      Some("""WITH w(tok, wt) AS (VALUES ('scan', 40), ('query', 25), ('join', 15),
+          ('a', -5), ('sort', -30), ('merge', -20)),
+        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        sc AS (SELECT doc_id, 100 + coalesce(sum(wt), 0) AS s
+          FROM tk LEFT JOIN w USING (tok) GROUP BY doc_id)
+        SELECT doc_id, CAST(s AS BIGINT) AS score_milli, s >= 150 AS keep
+        FROM sc""")),
+
+    // Phrase-blocklist content filter: total occurrences of a multi-word
+    // phrase list per document via the codegen'd byte-level Aho–Corasick
+    // kernel (one automaton object per executor, O(1)/byte — the shape a
+    // 10k-phrase LDNOOBW list needs where regex alternation explodes);
+    // the oracle counts every (phrase, end position) pair positionally,
+    // so overlap semantics are pinned exactly
+    Q("text_phrase_blocklist",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+          graft.functions.NativeHash.phraseMatchCount(col("text"),
+            Seq("query spark hash", "scan filter", "slow table", "key agg"))
+            .as("blocked_hits"))
+        .withColumn("blocked", col("blocked_hits") > 0L),
+      Some("""WITH p(ph) AS (VALUES ('query spark hash'), ('scan filter'),
+          ('slow table'), ('key agg')),
+        occ AS (SELECT d.doc_id, count(*) AS c
+          FROM documents d, p,
+            unnest(range(1, length(d.text) - length(p.ph) + 2)) AS r(i)
+          WHERE substr(d.text, CAST(i AS BIGINT), length(p.ph)) = p.ph
+          GROUP BY d.doc_id)
+        SELECT d.doc_id, CAST(coalesce(occ.c, 0) AS BIGINT) AS blocked_hits,
+          coalesce(occ.c, 0) > 0 AS blocked
+        FROM documents d LEFT JOIN occ USING (doc_id)""")),
+
+    // CCNet-style head/middle/tail buckets: per-language integer-score
+    // thresholds (cum·3 ≥ j·total over the ascending score histogram) cut
+    // the distribution into 3 mass buckets, ties sharing a bucket — NO
+    // per-language window (the single-reducer trap); the oracle replays
+    // the histogram, the threshold rule, and the assignment exactly
+    Q("text_score_buckets",
+      (s, d) => TextCorpus.scoreBuckets(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          graft.functions.NativeHash.linearTextScore(col("text"),
+            Map("scan" -> 40L, "query" -> 25L, "join" -> 15L, "a" -> -5L,
+              "sort" -> -30L, "merge" -> -20L), bias = 100L).as("score_milli")),
+        "score_milli", "lang"),
+      Some("""WITH w(tok, wt) AS (VALUES ('scan', 40), ('query', 25), ('join', 15),
+          ('a', -5), ('sort', -30), ('merge', -20)),
+        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        sc AS (SELECT t.doc_id, d.lang,
+            CAST(100 + coalesce(sum(wt), 0) AS BIGINT) AS score_milli
+          FROM tk t LEFT JOIN w USING (tok) JOIN documents d ON t.doc_id = d.doc_id
+          GROUP BY 1, 2),
+        hist AS (SELECT lang, score_milli AS s, count(*) AS c FROM sc GROUP BY 1, 2),
+        cum AS (SELECT lang, s, sum(c) OVER (PARTITION BY lang ORDER BY s) AS cm,
+            sum(c) OVER (PARTITION BY lang) AS tot FROM hist),
+        cuts AS (SELECT lang,
+            min(CASE WHEN cm * 3 >= tot THEN s END) AS c1,
+            min(CASE WHEN cm * 3 >= 2 * tot THEN s END) AS c2
+          FROM cum GROUP BY lang)
+        SELECT sc.doc_id, sc.lang, sc.score_milli,
+          CAST(1 + CASE WHEN sc.score_milli > c.c1 THEN 1 ELSE 0 END
+             + CASE WHEN sc.score_milli > c.c2 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+        FROM sc JOIN cuts c ON sc.lang = c.lang""")),
+
+    // In-engine QUALITY-CLASSIFIER TRAINING (the CCNet "train a fastText
+    // filter, score everything" step): full-batch integer perceptron over
+    // token counts, 2 epochs, 300-token df-ranked vocabulary, labels from
+    // lang — then the corpus is scored with the SAME codegen kernel the
+    // pipeline applies at scale. The oracle replays both epochs (epoch 1
+    // from zero weights = every doc misclassified) and the final margins
+    // exactly, so training is proven bit-replayable
+    Q("text_quality_classifier",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val labeled = docs.withColumn("label",
+          when(col("lang") === "en", 1L).otherwise(-1L))
+        val (wts, bias) = TextCorpus.trainQualityClassifier(
+          labeled, "label", "text", epochs = 2, vocabSize = 300)
+        docs.select(col("doc_id"),
+            graft.functions.NativeHash.linearTextScore(col("text"), wts, bias)
+              .as("margin"))
+          .withColumn("pred_quality", col("margin") > 0L)
+      },
+      Some("""WITH lab AS (SELECT doc_id,
+            CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS l FROM documents),
+        tk AS (SELECT doc_id, tok FROM (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE tok <> ''),
+        dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
+        vocab AS (SELECT tok FROM dfq ORDER BY df DESC, tok LIMIT 300),
+        w1 AS (SELECT tk.tok, CAST(sum(l) AS BIGINT) AS w
+          FROM tk JOIN lab USING (doc_id) JOIN vocab USING (tok) GROUP BY tk.tok),
+        b1 AS (SELECT CAST(sum(l) AS BIGINT) AS b FROM lab),
+        m1 AS (SELECT d.doc_id, (SELECT b FROM b1) + coalesce(sum(w1.w), 0) AS m
+          FROM documents d LEFT JOIN tk ON tk.doc_id = d.doc_id
+          LEFT JOIN w1 ON tk.tok = w1.tok GROUP BY d.doc_id),
+        mis AS (SELECT lab.doc_id, lab.l FROM lab JOIN m1 USING (doc_id)
+          WHERE lab.l * m1.m <= 0),
+        u2 AS (SELECT tk.tok, CAST(sum(l) AS BIGINT) AS g
+          FROM tk JOIN mis USING (doc_id) JOIN vocab USING (tok) GROUP BY tk.tok),
+        w2 AS (SELECT w1.tok, CAST(w1.w + coalesce(u2.g, 0) AS BIGINT) AS w
+          FROM w1 LEFT JOIN u2 USING (tok)),
+        b2 AS (SELECT (SELECT b FROM b1)
+            + CAST(coalesce((SELECT sum(l) FROM mis), 0) AS BIGINT) AS b)
+        SELECT d.doc_id,
+          CAST((SELECT b FROM b2) + coalesce(sum(w2.w), 0) AS BIGINT) AS margin,
+          ((SELECT b FROM b2) + coalesce(sum(w2.w), 0)) > 0 AS pred_quality
+        FROM documents d LEFT JOIN tk ON tk.doc_id = d.doc_id
+        LEFT JOIN w2 ON tk.tok = w2.tok
+        GROUP BY d.doc_id""")),
+
+    // Corpus-LM novelty (CCNet-style statistical filtering, integer-exact):
+    // bigram model trained on the corpus itself with an adaptive commonness
+    // threshold; per-doc novel-bigram counts + truncating permille
+    Q("text_bigram_novelty",
+      (s, d) => TextCorpus.bigramNovelty(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        b AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+          FROM s, unnest(range(1, len(t))) AS r(i)),
+        c AS (SELECT bg FROM b GROUP BY bg
+          HAVING count(*) >= (SELECT count(*) FROM b) // 2000 + 1),
+        n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS novel_bigrams
+          FROM b ANTI JOIN c USING (bg) GROUP BY doc_id),
+        tot AS (SELECT doc_id, CAST(greatest(len(t) - 1, 0) AS BIGINT) AS total_bigrams FROM s)
+        SELECT tot.doc_id, total_bigrams,
+          CAST(COALESCE(novel_bigrams, 0) AS BIGINT) AS novel_bigrams,
+          CAST(CASE WHEN total_bigrams > 0
+            THEN COALESCE(novel_bigrams, 0) * 1000 // total_bigrams
+            ELSE 0 END AS BIGINT) AS novelty_permille
+        FROM tot LEFT JOIN n ON tot.doc_id = n.doc_id""")),
+
+    // Corpus bigram-LM scoring (CCNet-style likelihood filter), exact
+    // integer arithmetic end to end: add-one-smoothed conditional
+    // frequency per bigram (×1e6, integer div), mean per doc — no float
+    // log-prob, so the oracle replays the identical statistic bit-for-bit
+    Q("text_lm_score",
+      (s, d) => TextCorpus.bigramLmScore(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+          FROM base, unnest(range(1, len(toks))) AS r(i)),
+        c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS h FROM bg GROUP BY 1),
+        v AS (SELECT count(DISTINCT t) AS vs
+          FROM (SELECT unnest(toks) AS t FROM base)),
+        sc AS (SELECT doc_id, (c2.c + 1) * 1000000 // (c1.h + v.vs) AS p
+          FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(p) // count(*) AS BIGINT) AS lm_x1e6
+        FROM sc GROUP BY doc_id""")),
+
+    // CROSS-corpus LM scoring (the exact CCNet shape): the bigram model
+    // trains on the 'en' docs (the clean reference side) and scores the
+    // REST of the corpus; transitions the reference never saw take the
+    // add-one-smoothed floor. Same integer statistic as text_lm_score —
+    // the oracle replays model, floor, and per-doc means exactly
+    Q("text_lm_cross_score",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextCorpus.bigramLmScoreAgainst(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"),
+          "doc_id", "text")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+        rbg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+          FROM base, unnest(range(1, len(toks))) AS r(i) WHERE lang = 'en'),
+        c2 AS (SELECT w1, w2, count(*) AS c FROM rbg GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS h FROM rbg GROUP BY 1),
+        v AS (SELECT count(DISTINCT t) AS vs
+          FROM (SELECT unnest(toks) AS t FROM base WHERE lang = 'en')),
+        tbg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+          FROM base, unnest(range(1, len(toks))) AS r(i) WHERE lang <> 'en'),
+        sc AS (SELECT doc_id,
+            (coalesce(c2.c, 0) + 1) * 1000000 // (coalesce(c1.h, 0) + v.vs) AS p
+          FROM tbg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+          CROSS JOIN v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(p) // count(*) AS BIGINT) AS lm_x1e6
+        FROM sc GROUP BY doc_id""")),
+
+    // Within-document dedup: drop repeated tokens keeping FIRST occurrence
+    // (the intra-doc flavor of corpus dedup — boilerplate-token collapse);
+    // array_distinct is order-preserving in Spark, the oracle rebuilds the
+    // same first-occurrence order via min(position) per token
+    Q("text_dedup_tokens",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        array_join(array_distinct(split(col("text"), " ")), " ").as("text_dedup"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("uniq_tokens")),
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+        e AS (SELECT doc_id, unnest(list_zip(parts, range(1, len(parts)+1))) AS z FROM s),
+        f AS (SELECT doc_id, z[1] AS w, min(CAST(z[2] AS BIGINT)) AS mi FROM e GROUP BY 1, 2)
+        SELECT doc_id, string_agg(w, ' ' ORDER BY mi) AS text_dedup,
+          CAST(count(*) AS BIGINT) AS uniq_tokens
+        FROM f GROUP BY doc_id""")),
+
+    // CCNet/RefinedWeb-style frequent-segment (boilerplate) removal:
+    // 3-word groups appearing in ≥ 5 distinct docs are censused exactly
+    // (hash-pruned pass 1, string-recount pass 2) and stripped from every
+    // document in one shuffle-free projection — the oracle replays the
+    // census and the positional reassembly from raw segment strings, so
+    // the hash-prune layer is proven collision-exact
+    Q("text_boilerplate_removal",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bp = TextCorpus.boilerplateSegments(docs, "doc_id", "text",
+          segWords = 3, minDocs = 5)
+        TextCorpus.removeBoilerplate(docs, "doc_id", "text", bp.toSeq,
+          segWords = 3)
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, list_transform(range(0, (len(t)+2)//3),
+            i -> array_to_string(t[i*3+1:i*3+3], ' ')) AS segs FROM s),
+        e AS (SELECT doc_id, unnest(list_distinct(segs)) AS seg FROM g),
+        bp AS (SELECT seg FROM e GROUP BY seg HAVING count(*) >= 5),
+        a AS (SELECT doc_id, i, segs[CAST(i AS BIGINT)+1] AS seg
+          FROM g, unnest(range(0, len(segs))) AS r(i)),
+        k AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
+            count(*) AS kept
+          FROM a WHERE seg NOT IN (SELECT seg FROM bp) GROUP BY doc_id)
+        SELECT g.doc_id, coalesce(k.clean_text, '') AS clean_text,
+          CAST(len(g.segs) AS BIGINT) AS n_segments,
+          CAST(len(g.segs) - coalesce(k.kept, 0) AS BIGINT) AS n_removed
+        FROM g LEFT JOIN k USING (doc_id)""")),
+
+    // WITHIN-doc segment dedup (the Gopher "remove duplicated paragraphs
+    // within a document" rule, word-groups as paragraphs): repeats of an
+    // earlier segment in the SAME doc drop, first occurrences keep order —
+    // a pure per-row projection; the oracle rebuilds first-occurrence
+    // order via min(position) like text_dedup_tokens does for tokens
+    Q("text_dedup_segments",
+      (s, d) => TextCorpus.dedupSegmentsWithinDoc(
+        t(s, d, "documents"), "doc_id", "text", segWords = 2),
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, list_transform(range(0, (len(t)+1)//2),
+            i -> array_to_string(t[i*2+1:i*2+2], ' ')) AS segs FROM s),
+        a AS (SELECT doc_id, i, segs[CAST(i AS BIGINT)+1] AS seg
+          FROM g, unnest(range(0, len(segs))) AS r(i)),
+        f AS (SELECT doc_id, seg, min(i) AS mi FROM a GROUP BY 1, 2)
+        SELECT g.doc_id,
+          (SELECT string_agg(f.seg, ' ' ORDER BY f.mi) FROM f
+            WHERE f.doc_id = g.doc_id) AS clean_text,
+          CAST(len(g.segs) AS BIGINT) AS n_segments,
+          CAST(len(g.segs) - (SELECT count(*) FROM f WHERE f.doc_id = g.doc_id)
+            AS BIGINT) AS n_removed
+        FROM g""")),
+
+    // INCREMENTAL boilerplate maintenance: the stored census (docs with
+    // doc_id % 3 != 0) is folded with an ingest batch's census (% 3 = 0)
+    // — old text never re-scanned — and the merged filter list cleans the
+    // new batch; batches partition the corpus by document, so the fold
+    // equals the full-corpus census exactly and the oracle replays it
+    // from the whole table
+    Q("text_boilerplate_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val stored = TextCorpus.segmentCensus(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", segWords = 3)
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+        val merged = TextCorpus.segmentCensusMerge(
+          stored, TextCorpus.segmentCensus(batch, "doc_id", "text", segWords = 3))
+        val bp = TextCorpus.boilerplateFromCensus(merged, minDocs = 5)
+        TextCorpus.removeBoilerplate(batch, "doc_id", "text", bp.toSeq,
+          segWords = 3)
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, list_transform(range(0, (len(t)+2)//3),
+            i -> array_to_string(t[i*3+1:i*3+3], ' ')) AS segs FROM s),
+        e AS (SELECT doc_id, unnest(list_distinct(segs)) AS seg FROM g),
+        bp AS (SELECT seg FROM e GROUP BY seg HAVING count(*) >= 5),
+        a AS (SELECT doc_id, i, segs[CAST(i AS BIGINT)+1] AS seg
+          FROM g, unnest(range(0, len(segs))) AS r(i)
+          WHERE doc_id % 3 = 0),
+        k AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
+            count(*) AS kept
+          FROM a WHERE seg NOT IN (SELECT seg FROM bp) GROUP BY doc_id)
+        SELECT g.doc_id, coalesce(k.clean_text, '') AS clean_text,
+          CAST(len(g.segs) AS BIGINT) AS n_segments,
+          CAST(len(g.segs) - coalesce(k.kept, 0) AS BIGINT) AS n_removed
+        FROM g LEFT JOIN k USING (doc_id)
+        WHERE g.doc_id % 3 = 0""")),
+
+    // PERSISTED census round trip: the operational shape of incremental
+    // boilerplate maintenance — the census lives in a versioned store
+    // table across ingest batches (the minhashIndex pattern). Version 0
+    // holds the pre-batch census, the batch fold is written back as
+    // version 1, and the filter list derives from the STORED table alone
+    // (old text never re-scanned); the oracle replays the one-shot census
+    // from the whole corpus, proving the store round trip is lossless
+    Q("text_boilerplate_census_store",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = java.nio.file.Files.createTempDirectory("graft-bp-census")
+        val tbl = new graft.store.VersionedTable(s, dir.toString)
+        tbl.overwrite(TextCorpus.segmentCensus(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", segWords = 3))
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+        val merged = TextCorpus.segmentCensusMerge(tbl.read(),
+          TextCorpus.segmentCensus(batch, "doc_id", "text", segWords = 3))
+        tbl.overwrite(merged)
+        val bp = TextCorpus.boilerplateFromCensus(tbl.read(), minDocs = 5)
+        deleteDir(dir.toFile)
+        TextCorpus.removeBoilerplate(batch, "doc_id", "text", bp.toSeq,
+          segWords = 3)
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, list_transform(range(0, (len(t)+2)//3),
+            i -> array_to_string(t[i*3+1:i*3+3], ' ')) AS segs FROM s),
+        e AS (SELECT doc_id, unnest(list_distinct(segs)) AS seg FROM g),
+        bp AS (SELECT seg FROM e GROUP BY seg HAVING count(*) >= 5),
+        a AS (SELECT doc_id, i, segs[CAST(i AS BIGINT)+1] AS seg
+          FROM g, unnest(range(0, len(segs))) AS r(i)
+          WHERE doc_id % 3 = 0),
+        k AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
+            count(*) AS kept
+          FROM a WHERE seg NOT IN (SELECT seg FROM bp) GROUP BY doc_id)
+        SELECT g.doc_id, coalesce(k.clean_text, '') AS clean_text,
+          CAST(len(g.segs) AS BIGINT) AS n_segments,
+          CAST(len(g.segs) - coalesce(k.kept, 0) AS BIGINT) AS n_removed
+        FROM g LEFT JOIN k USING (doc_id)
+        WHERE g.doc_id % 3 = 0""")),
+
+    Q("text_quality",
+      (s, d) => {
+        val comps = TextFunctions.qualityComponents(col("text"))
+        t(s, d, "documents").select(
+          (col("doc_id") +: comps.map { case (n, c) => c.as(n) }) :+
+            TextFunctions.qualityLabel(col("text")).as("label_q"): _*)
+      },
+      Some(s"""WITH c AS (SELECT doc_id,
+          CAST(len($toksSql) AS BIGINT) AS n_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars_m,
+          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+          CAST($stopWordsSql AS BIGINT) AS n_stopwords
+        FROM documents)
+        SELECT doc_id, n_tokens, n_chars_m, n_punct, n_stopwords,
+          CAST(CASE WHEN n_tokens > 0 THEN (n_chars_m * 100) // n_tokens ELSE 0 END AS BIGINT)
+            AS mean_token_len_x100,
+          CAST(CASE WHEN n_tokens > 0 THEN (n_stopwords * 1000) // n_tokens ELSE 0 END AS BIGINT)
+            AS stopword_ratio_x1000,
+          CASE WHEN n_tokens < 5 THEN 'too_short'
+               WHEN n_stopwords = 0 THEN 'no_stopwords'
+               ELSE 'ok' END AS label_q
+        FROM c""")),
+
+    // vocabulary build: document frequency of every token, top-100 with a
+    // deterministic tiebreak — the df side of TF-IDF / filter-list building
+    Q("text_vocab_df",
+      (s, d) => graft.operators.TextCorpus.topVocabulary(
+        t(s, d, "documents"), "doc_id", "text", 100),
+      Some(s"""WITH p AS (SELECT DISTINCT doc_id, term FROM (
+          SELECT doc_id, unnest(list_distinct($toksSql)) AS term FROM documents))
+        SELECT term, count(*) AS df FROM p GROUP BY 1
+        ORDER BY df DESC, term LIMIT 100""")),
+
+    // repetition detector: distinct-token ratio per mille per document
+    Q("text_repetition",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.distinctRatioX1000(col("text")).as("distinct_ratio_x1000")),
+      Some(s"""SELECT doc_id,
+        CAST((len(list_distinct($toksSql)) * 1000) // len($toksSql) AS BIGINT)
+          AS distinct_ratio_x1000 FROM documents""")),
+
+    // Gopher duplicate-n-gram coverage (token units, union semantics): the
+    // permille of tokens lying under ANY within-doc bigram occurring ≥ 2×
+    // — the repetition filter the distinct-ratio detector can't see
+    // (structured repeats of individually-common tokens). Map-only: one
+    // codegen'd per-row kernel (boundary scan + window-hash sort + mark);
+    // the oracle recomputes from raw gram strings and positions, proving
+    // the hash layer collision-exact
+    Q("text_dup_ngram_coverage",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          graft.functions.NativeHash.dupNgramCoverage(
+            TextFunctions.normalizeWs(col("text")), 2).as("covered_tokens"))
+        .withColumn("dup_coverage_permille",
+          expr("CAST(covered_tokens * 1000 DIV n_tokens AS BIGINT)")),
+      Some(s"""WITH s AS (SELECT doc_id, $toksSql AS t FROM documents),
+        gr AS (SELECT doc_id, i, array_to_string(t[i:i+1], ' ') AS g
+          FROM s, unnest(range(1, len(t))) AS r(i)),
+        dup AS (SELECT doc_id, g FROM gr GROUP BY 1, 2 HAVING count(*) >= 2),
+        cov AS (SELECT DISTINCT gr.doc_id, p
+          FROM gr JOIN dup USING (doc_id, g), unnest(range(gr.i, gr.i + 2)) AS rp(p)),
+        c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered FROM cov GROUP BY doc_id)
+        SELECT s.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+          CAST(coalesce(covered, 0) * 1000 // len(t) AS BIGINT) AS dup_coverage_permille
+        FROM s LEFT JOIN c USING (doc_id)""")),
+
+    // the companion TOP-n-gram coverage (Gopher's "most frequent n-gram"
+    // fraction), tie-robust: union coverage of EVERY gram achieving the
+    // doc's maximal count (no arbitrary tie-break can leak into the
+    // result), 0 when the max count < 2
+    Q("text_top_ngram_coverage",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          graft.functions.NativeHash.topNgramCoverage(
+            TextFunctions.normalizeWs(col("text")), 2).as("top_covered"))
+        .withColumn("top_coverage_permille",
+          expr("CAST(top_covered * 1000 DIV n_tokens AS BIGINT)")),
+      Some(s"""WITH s AS (SELECT doc_id, $toksSql AS t FROM documents),
+        gr AS (SELECT doc_id, i, array_to_string(t[i:i+1], ' ') AS g
+          FROM s, unnest(range(1, len(t))) AS r(i)),
+        cnt AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY 1, 2),
+        mx AS (SELECT doc_id, max(c) AS m FROM cnt GROUP BY 1),
+        top AS (SELECT cnt.doc_id, g FROM cnt JOIN mx USING (doc_id)
+          WHERE c = m AND m >= 2),
+        cov AS (SELECT DISTINCT gr.doc_id, p
+          FROM gr JOIN top USING (doc_id, g), unnest(range(gr.i, gr.i + 2)) AS rp(p)),
+        c2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered FROM cov GROUP BY doc_id)
+        SELECT s.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(coalesce(covered, 0) AS BIGINT) AS top_covered,
+          CAST(coalesce(covered, 0) * 1000 // len(t) AS BIGINT) AS top_coverage_permille
+        FROM s LEFT JOIN c2 USING (doc_id)""")),
+
+    Q("text_fingerprint",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),
+      Some(s"SELECT doc_id, md5($normSql) AS fp FROM documents")),
+
+    Q("text_langid",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred")),
+      Some {
+        // per-language stopword hit counts, then the same first-max-wins
+        // cascade the Column fold implements (profile order breaks ties)
+        def hits(words: Seq[String]) = {
+          val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter($toksSql, t -> list_contains($arr, t)))"
+        }
+        val Seq(en, de, fr, es) = TextFunctions.langProfiles.map(p => hits(p._2))
+        s"""WITH s AS (SELECT doc_id, lang,
+            $en AS en, $de AS de, $fr AS fr, $es AS es FROM documents)
+          SELECT doc_id, lang,
+            CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                 WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                 WHEN fr >= es AND fr > 0 THEN 'fr'
+                 WHEN es > 0 THEN 'es'
+                 ELSE 'und' END AS lang_pred
+          FROM s"""
+      }),
+
+    // sliding-window chunking: ≤12-token chunks advancing by 9 (3-token
+    // overlap), last chunk short, every doc ≥1 chunk — the oracle rebuilds
+    // every window positionally with list slices
+    Q("text_chunk_windows",
+      (s, d) => TextCorpus.chunkDocs(t(s, d, "documents"),
+        "doc_id", "text", chunkTokens = 12, overlap = 3),
+      Some(s"""WITH s AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+            array_to_string(tk[i*9+1 : i*9+12], ' ') AS chunk_text,
+            CAST(len(tk[i*9+1 : i*9+12]) AS BIGINT) AS n_tokens
+          FROM s, unnest(range(0, ((len(tk)-1)//9) + 1)) AS r(i))
+        SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM c""")),
+
+    // corpus DATA CARD: the dataset-release summary as one aggregation —
+    // counts, exact distinct-content count, integer per-mille dup rate,
+    // per-language doc counts
+    Q("corpus_card",
+      (s, d) => TextCorpus.corpusCard(t(s, d, "documents"),
+        "doc_id", "text", langCol = Some("lang")),
+      Some(s"""WITH b AS (SELECT doc_id, md5($normSql) AS fp,
+            CAST(len($toksSql) AS BIGINT) AS tok,
+            CAST(length(text) AS BIGINT) AS ch, lang FROM documents),
+        agg AS (SELECT count(*) AS docs, sum(tok) AS tokens, sum(ch) AS chars,
+            count(DISTINCT fp) AS dd FROM b)
+        SELECT 'docs' AS metric, CAST(docs AS BIGINT) AS value FROM agg
+        UNION ALL SELECT 'tokens', CAST(tokens AS BIGINT) FROM agg
+        UNION ALL SELECT 'chars', CAST(chars AS BIGINT) FROM agg
+        UNION ALL SELECT 'distinct_docs', CAST(dd AS BIGINT) FROM agg
+        UNION ALL SELECT 'dup_rate_x1000',
+          CAST((docs - dd) * 1000 // docs AS BIGINT) FROM agg
+        UNION ALL SELECT 'docs_lang_' || lang, count(*) FROM b GROUP BY lang""")),
+
+    // deterministic train/val/test split: labels are a pure LCG function
+    // of the id (same generator + documented non-negative-id SQL mirror as
+    // sample_shuffle_shards) — stable across runs, engines, partitionings
+    Q("sample_split_labels",
+      (s, d) => TextCorpus.splitLabels(t(s, d, "documents"), "doc_id",
+        seed = 7L, valPerMille = 10, testPerMille = 20),
+      Some("""WITH k AS (SELECT doc_id,
+          (((doc_id % 2147483648 + 7) % 2147483648) * 1103515245 + 12345)
+            % 2147483648 AS key
+        FROM documents)
+        SELECT doc_id, CASE WHEN key % 1000 < 10 THEN 'val'
+          WHEN key % 1000 < 30 THEN 'test' ELSE 'train' END AS split FROM k""")),
+
+    // EXACT-SUBSTRING decontamination: token ranges of train docs that
+    // appear verbatim in the benchmark slice (doc_id % 17 = 3) — the
+    // span-level complement of text_decontaminate's doc-level flagging;
+    // oracle recomputes from RAW gram strings so the hash-prune +
+    // string-verify layering is proven collision-exact
+    Q("text_decontaminate_spans",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.contaminatedSpans(
+          docs.filter(col("doc_id") % 17 =!= 3), "doc_id", "text",
+          docs.filter(col("doc_id") % 17 === 3), "text", k = 8)
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, i - 1 AS p, array_to_string(t[i:i+7], ' ') AS gr
+          FROM s, unnest(range(1, len(t) - 6)) AS r(i)),
+        bg AS (SELECT DISTINCT gr FROM g WHERE doc_id % 17 = 3),
+        hit AS (SELECT doc_id, p FROM g
+          WHERE doc_id % 17 <> 3 AND gr IN (SELECT gr FROM bg)),
+        m AS (SELECT doc_id, p,
+            CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+              THEN 0 ELSE 1 END AS ni
+          FROM hit),
+        isl AS (SELECT doc_id, p,
+            sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS il FROM m)
+        SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+          CAST(max(p) + 7 AS BIGINT) AS span_end
+        FROM isl GROUP BY doc_id, il""")),
+
+    // benchmark decontamination: train docs sharing ≥ 5 distinct shingles
+    // with any "benchmark" doc (here: the doc_id % 17 = 3 slice) — the
+    // bench posting list broadcasts, train text is one pass
+    Q("text_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextCorpus.contamination(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 17 === 3), "doc_id", "text",
+          shingleN = 3, minOverlap = 5)
+      },
+      Some(s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+          sets AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(1, len(toks)-1),
+                  i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+            FROM base),
+          tp AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+          bp AS (SELECT doc_id, unnest(sh) AS s FROM sets WHERE doc_id % 17 = 3)
+        SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+          CAST(count(*) AS BIGINT) AS overlap
+        FROM tp t JOIN bp b ON t.s = b.s
+        GROUP BY 1, 2 HAVING count(*) >= 5""")),
+
+    // per-doc contamination RATE (the GPT-3 appendix-C dirtiness metric):
+    // permille of each doc's DISTINCT 8-grams present anywhere in the
+    // benchmark slice (doc_id % 17 = 3); the bench gram set broadcasts as
+    // an InSet probe, the corpus pass is map-only. Oracle recomputes from
+    // RAW gram strings (hash identity proven collision-exact at gate scale)
+    Q("text_contamination_rate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextCorpus.contaminationRate(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 17 === 3), "text", n = 8)
+      },
+      Some(s"""WITH s AS (SELECT doc_id, $toksSql AS t FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gr
+          FROM s, unnest(range(1, len(t) - 6)) AS r(i)),
+        bg AS (SELECT DISTINCT gr FROM g WHERE doc_id % 17 = 3),
+        h AS (SELECT doc_id, count(*) AS ng,
+            count(*) FILTER (gr IN (SELECT gr FROM bg)) AS nh
+          FROM g GROUP BY doc_id)
+        SELECT s.doc_id, CAST(coalesce(ng, 0) AS BIGINT) AS n_grams,
+          CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+          CAST(CASE WHEN coalesce(ng, 0) > 0 THEN nh * 1000 // ng
+            ELSE 0 END AS BIGINT) AS contamination_permille
+        FROM s LEFT JOIN h USING (doc_id)""")),
+
+    // per-doc TF-IDF keyword extraction: top-3 tokens by tf · (N·1000 DIV
+    // df) — rational idf, integer-exact, ties broken (score desc, term
+    // asc); the window partitions by document, never by a corpus-wide key
+    Q("text_keywords",
+      (s, d) => TextCorpus.keywordsTfidf(t(s, d, "documents"),
+        "doc_id", "text", k = 3),
+      Some(s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        nn AS (SELECT count(*) AS nd FROM documents),
+        tp AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        tf AS (SELECT doc_id, term, count(*) AS c FROM tp GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        w AS (SELECT doc_id, term,
+            c * (1000 * (SELECT nd FROM nn) // df) AS w
+          FROM tf JOIN dfq USING (term)),
+        r AS (SELECT doc_id, term, w,
+            row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rk
+          FROM w)
+        SELECT doc_id, term, CAST(w AS BIGINT) AS tfidf_x1000,
+          CAST(rk AS BIGINT) AS rank
+        FROM r WHERE rk <= 3""")),
+
+    // sequence packing (concat-then-chunk): distributed prefix-sum offsets
+    // vs a plain window-cumsum truth — same numbers at any partition count
+    Q("pack_concat_chunks",
+      (s, d) => TextCorpus.concatChunks(t(s, d, "documents"), "doc_id", "text",
+        capacity = 2048),
+      Some(s"""WITH c AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+            FROM documents),
+          o AS (SELECT doc_id, n_tokens,
+            sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s
+            FROM c)
+        SELECT doc_id, n_tokens, CAST(s AS BIGINT) AS start_offset,
+          CAST(s // 2048 AS BIGINT) AS first_chunk,
+          CAST((s + n_tokens - 1) // 2048 AS BIGINT) AS last_chunk
+        FROM o""")),
+
+    // END-TO-END pretrain-mix pipeline — the composition gate: exact dedup
+    // (keep min id per fingerprint) → quality floor (≥ 12 tokens) →
+    // benchmark decontamination (drop contamination_permille ≥ 500 vs the
+    // % 17 = 3 slice) → stratified language mix → sequence packing. Every
+    // stage is individually oracle-gated; this proves the OPERATORS
+    // COMPOSE (column contracts, filter interplay, deterministic packing
+    // over a filtered id space) by replaying the whole chain in one SQL
+    Q("pipeline_pretrain_mix",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val keep = Dedup.exact(docs, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val deduped = docs.join(keep, "doc_id")
+        val quality = deduped.filter(
+          TextFunctions.tokenCount(col("text")) >= 12)
+        val cleanIds = TextCorpus.contaminationRate(quality, "doc_id", "text",
+            docs.filter(col("doc_id") % 17 === 3), "text", n = 8)
+          .filter(col("contamination_permille") < 500).select("doc_id")
+        val sampled = TextCorpus.stratifiedSample(quality.join(cleanIds, "doc_id"),
+          "doc_id", "lang", Map("en" -> 500, "de" -> 250, "fr" -> 100))
+        TextCorpus.concatChunks(sampled, "doc_id", "text", capacity = 2048)
+      },
+      Some(s"""WITH s0 AS (SELECT doc_id, lang, $toksSql AS t, $normSql AS nrm FROM documents),
+        keep AS (SELECT min(doc_id) AS doc_id FROM s0 GROUP BY md5(nrm)),
+        d2 AS (SELECT s0.* FROM s0 JOIN keep USING (doc_id) WHERE len(t) >= 12),
+        bg AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gr
+          FROM s0, unnest(range(1, len(t) - 6)) AS r(i) WHERE doc_id % 17 = 3),
+        h AS (SELECT doc_id, count(*) AS ng,
+            count(*) FILTER (gr IN (SELECT gr FROM bg)) AS nh
+          FROM (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gr
+            FROM d2, unnest(range(1, len(t) - 6)) AS r(i))
+          GROUP BY doc_id),
+        d3 AS (SELECT d2.* FROM d2 LEFT JOIN h USING (doc_id)
+          WHERE CASE WHEN coalesce(ng, 0) > 0 THEN nh * 1000 // ng
+            ELSE 0 END < 500),
+        d4 AS (SELECT * FROM d3
+          WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000 <
+            CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'fr' THEN 100 ELSE 0 END),
+        c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM d4),
+        o AS (SELECT doc_id, n_tokens,
+          sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st
+          FROM c)
+        SELECT doc_id, n_tokens, CAST(st AS BIGINT) AS start_offset,
+          CAST(st // 2048 AS BIGINT) AS first_chunk,
+          CAST((st + n_tokens - 1) // 2048 AS BIGINT) AS last_chunk
+        FROM o""")),
+
+    // exact-integer TF-IDF core: per-(doc, term) occurrence counts joined
+    // with document frequency (float idf weighting is caller policy)
+    Q("text_term_stats",
+      (s, d) => TextCorpus.termStats(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH occ AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM occ GROUP BY 1, 2),
+          dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM occ GROUP BY 1)
+        SELECT doc_id, term, tf, df FROM tf JOIN dfq USING (term)""")),
+
+    // BM25 lexical top-k in EXACT integer arithmetic (scaled rational idf,
+    // cleared-denominator length normalizer — TextCorpus.bm25TopK): ranks
+    // AND scores are engine-reproducible bit-for-bit, so the oracle replays
+    // the formula verbatim instead of containment-grading float ranks.
+    // Constants below are the k1=12/10, b=3/4 defaults cleared of
+    // denominators: 88 = (k1N+k1D)·bD, 40 = k1D·bD, 12 = k1N·(bD−bN),
+    // 36 = k1N·bN
+    Q("text_bm25_topk",
+      (s, d) => TextCorpus.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("merge", "window", "spark"), 10),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+          lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM toks),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(len) AS BIGINT) AS tl FROM lens),
+          occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM occ
+            WHERE term IN ('merge', 'window', 'spark') GROUP BY 1, 2),
+          dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT tf.doc_id,
+              CAST(sum(CAST(((2 * (tot.n - dfq.df) + 1) * 1000) // (2 * dfq.df + 1) AS HUGEINT) *
+                ((CAST(tf.tf AS HUGEINT) * 88 * tot.tl * 1000000) //
+                 (CAST(tf.tf AS HUGEINT) * 40 * tot.tl + CAST(12 AS HUGEINT) * tot.tl +
+                  CAST(36 AS HUGEINT) * lens.len * tot.n)) // 1000)
+                AS BIGINT) AS score_x1e6
+            FROM tf CROSS JOIN tot
+            JOIN dfq ON dfq.term = tf.term
+            JOIN lens ON lens.doc_id = tf.doc_id
+            GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY score_x1e6 DESC, doc_id) AS BIGINT) AS rank,
+          doc_id, score_x1e6
+        FROM sc ORDER BY score_x1e6 DESC, doc_id LIMIT 10""")),
+
+    // link-centrality quality signal (the crawl-graph PageRank classic),
+    // integer-exact: 3 damped message-passing rounds over the UNDIRECTED
+    // near-dup graph (both directions of the total-recall Jaccard pairs).
+    // Scaled truncating-div arithmetic means the oracle replays the exact
+    // recurrence — no float mass vector whose value depends on sum order
+    Q("graph_pagerank",
+      (s, d) => {
+        val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.3)
+        val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        Graph.pageRankX1e9(e, iters = 3)
+          .select(col("id").as("doc_id"), col("pr_x1e9"))
+      },
+      // `e` is referenced six times (nodes/deg/three contribution rounds):
+      // MATERIALIZED stops DuckDB inlining six copies of the shingle
+      // self-join (unmaterialized, the sf1 sweep spilled ~77 GB)
+      Some(s"""WITH tp AS MATERIALIZED (${jaccardTruthSql(300)}),
+          e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM tp
+            UNION ALL SELECT id_b, id_a FROM tp),
+          nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          deg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY 1),
+          s0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+          c1 AS (SELECT e.dst AS id, SUM((CAST(s.pr AS HUGEINT) * 85) // (100 * d.outdeg)) AS mass
+            FROM e JOIN s0 s ON s.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
+          s1 AS (SELECT n.id, CAST(150000000 + COALESCE(c.mass, 0) AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN c1 c ON c.id = n.id),
+          c2 AS (SELECT e.dst AS id, SUM((CAST(s.pr AS HUGEINT) * 85) // (100 * d.outdeg)) AS mass
+            FROM e JOIN s1 s ON s.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
+          s2 AS (SELECT n.id, CAST(150000000 + COALESCE(c.mass, 0) AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN c2 c ON c.id = n.id),
+          c3 AS (SELECT e.dst AS id, SUM((CAST(s.pr AS HUGEINT) * 85) // (100 * d.outdeg)) AS mass
+            FROM e JOIN s2 s ON s.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
+          s3 AS (SELECT n.id, CAST(150000000 + COALESCE(c.mass, 0) AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN c3 c ON c.id = n.id)
+        SELECT id AS doc_id, pr AS pr_x1e9 FROM s3""")),
+
+    // DSIR-style data selection (public recipe: hashed n-gram importance
+    // resampling): target = the English slice, pool = everything else;
+    // features are md5-prefix-hashed token bigrams, weights are
+    // Laplace-smoothed integer ratios, selection is the deterministic
+    // top-50 by score — every step integer-exact, so the oracle replays
+    // the full histogram → weight → score → rank pipeline bit-for-bit
+    Q("text_dsir_select",
+      (s, d) => TextCorpus.dsirSelect(t(s, d, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", k = 50)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("dsir_score")),
+      Some(s"""WITH base AS (SELECT doc_id, lang = 'en' AS tgt,
+            string_split($normSql, ' ') AS toks FROM documents),
+          bg AS (SELECT doc_id, tgt,
+              substr(md5(toks[i] || ' ' || toks[i+1]), 1, 3) AS f
+            FROM base, unnest(range(1, len(toks))) AS r(i)
+            WHERE len(toks) >= 2),
+          hist AS (SELECT f,
+              CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tf,
+              CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS sf
+            FROM bg GROUP BY f),
+          w AS (SELECT f, (tf + 1) * 1000000 // (sf + 1) AS wf FROM hist),
+          sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(wf) AS BIGINT) AS dsir_score
+            FROM bg JOIN w USING (f) WHERE NOT tgt GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, dsir_score FROM sc
+        ORDER BY dsir_score DESC, doc_id LIMIT 50""")),
+
+    // DSIR SEEDED RESAMPLING — the public recipe's gumbel sampling step,
+    // realized as the exponential race (Efraimidis–Spirakis): keep the 40
+    // smallest e/score with e a quantized −ln(u) drawn per (doc_id, seed)
+    // from the LCG + the PRE-COMPUTED integer table (embedded verbatim in
+    // this oracle as a VALUES relation — no engine evaluates ln at query
+    // time). The race key is a division of two exact integers, correctly
+    // rounded identically by both engines, so selection replays
+    // bit-for-bit: ranks AND the race are engine-reproducible
+    Q("text_dsir_sample",
+      (s, d) => TextCorpus.dsirSample(t(s, d, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", k = 40, seed = 7L)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("dsir_score")),
+      Some(s"""WITH base AS (SELECT doc_id, lang = 'en' AS tgt,
+            string_split($normSql, ' ') AS toks FROM documents),
+          bg AS (SELECT doc_id, tgt,
+              substr(md5(toks[i] || ' ' || toks[i+1]), 1, 3) AS f
+            FROM base, unnest(range(1, len(toks))) AS r(i)
+            WHERE len(toks) >= 2),
+          hist AS (SELECT f,
+              CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tf,
+              CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS sf
+            FROM bg GROUP BY f),
+          w AS (SELECT f, (tf + 1) * 1000000 // (sf + 1) AS wf FROM hist),
+          sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(wf) AS BIGINT) AS dsir_score
+            FROM bg JOIN w USING (f) WHERE NOT tgt GROUP BY doc_id),
+          et AS (SELECT * FROM (VALUES ${dsirExpTableValues}) AS v(b, e)),
+          keyed AS (SELECT doc_id, n_bigrams, dsir_score,
+              (((doc_id % 2147483648 + 7) % 2147483648)
+                * 1103515245 + 12345) % 2147483648 AS lk
+            FROM sc WHERE dsir_score > 0)
+        SELECT doc_id, n_bigrams, dsir_score
+        FROM keyed JOIN et ON et.b = keyed.lk // ${2147483648L / 1024}
+        ORDER BY CAST(e AS DOUBLE) / CAST(dsir_score AS DOUBLE), doc_id
+        LIMIT 40""")),
+
+    // deterministic stratified sampling: LCG bucket arithmetic reproduces
+    // bit-for-bit in any engine — the training-mix rate table, with the
+    // 'es' stratum deliberately absent (dropped entirely)
+    Q("sample_stratified",
+      (s, d) => TextCorpus.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+          Map("en" -> 500, "de" -> 250, "fr" -> 100))
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+        WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000 <
+          CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'fr' THEN 100 ELSE 0 END""")),
+
+    // deterministic global shuffle + fixed-size shard assignment (training
+    // export): rank = position in the (lcg-mixed key, id) order, computed
+    // with bucketed local ranks + broadcast prefix bases (never a global
+    // single-partition window); the oracle recomputes the same order with
+    // a plain row_number
+    Q("sample_shuffle_shards",
+      (s, d) => TextCorpus.deterministicShards(t(s, d, "documents"),
+        "doc_id", seed = 7L, rowsPerShard = 64L),
+      Some("""WITH k AS (SELECT doc_id,
+          (((doc_id % 2147483648 + 7) % 2147483648) * 1103515245 + 12345)
+            % 2147483648 AS key
+        FROM documents),
+        r AS (SELECT doc_id,
+          row_number() OVER (ORDER BY key, doc_id) - 1 AS rk FROM k)
+        SELECT doc_id, CAST((rk - rk % 64) / 64 AS BIGINT) AS shard,
+          CAST(rk % 64 AS BIGINT) AS pos FROM r""")),
+
+    // PII-lite scrubbing (emails/URLs → placeholder tokens): the corpus has
+    // no planted PII, so the gate SYNTHESIZES it deterministically (append
+    // an email+url derived from doc_id) and checks the scrub round-trip —
+    // patterns restricted to Java-regex ∩ RE2 syntax so DuckDB mirrors them
+    Q("text_scrub_pii",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.scrubPii(concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or https://ex.com/p/"), col("doc_id"))).as("scrubbed")),
+      Some("""SELECT doc_id, regexp_replace(
+          regexp_replace(
+            text || ' contact user' || doc_id || '@example.com or https://ex.com/p/' || doc_id,
+            'https?://[^ \t\n]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+        FROM documents""")),
+
+    // TRAIN the quality model on the cluster: exact distributed OLS via
+    // integer normal equations (one map-side-combinable aggregation) +
+    // driver-side BigInt Cramer solve — no floats anywhere, so the oracle
+    // replays the identical moments as HUGEINT and the identical 3x3
+    // determinants, down to the truncate-toward-zero fixed-point division
+    // (BigInt `/` == DuckDB `//`)
+    Q("text_fit_linear",
+      (s, d) => TextCorpus.fitLinearModelX1000(t(s, d, "documents"),
+        Seq("tokens" -> TextFunctions.tokenCount(col("text")),
+          "utokens" -> size(array_distinct(TextFunctions.tokens(col("text"))))
+            .cast("long")),
+        col("n_chars")),
+      Some(s"""WITH f AS (SELECT CAST(len($toksSql) AS HUGEINT) AS t,
+            CAST(len(list_distinct($toksSql)) AS HUGEINT) AS p,
+            CAST(n_chars AS HUGEINT) AS y FROM documents),
+        m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(t) AS st, sum(p) AS sp,
+            sum(t*t) AS stt, sum(t*p) AS stp, sum(p*p) AS spp,
+            sum(y) AS sy, sum(t*y) AS sty, sum(p*y) AS spy FROM f),
+        dets AS (SELECT
+          n*(stt*spp - stp*stp) - st*(st*spp - stp*sp) + sp*(st*stp - stt*sp) AS det,
+          sy*(stt*spp - stp*stp) - st*(sty*spp - stp*spy) + sp*(sty*stp - stt*spy) AS det0,
+          n*(sty*spp - stp*spy) - sy*(st*spp - stp*sp) + sp*(st*spy - sty*sp) AS det1,
+          n*(stt*spy - sty*stp) - st*(st*spy - sty*sp) + sy*(st*stp - stt*sp) AS det2
+          FROM m)
+        SELECT 'intercept' AS feature, CAST((1000*det0) // det AS BIGINT) AS w_x1000 FROM dets
+        UNION ALL SELECT 'tokens', CAST((1000*det1) // det AS BIGINT) FROM dets
+        UNION ALL SELECT 'utokens', CAST((1000*det2) // det AS BIGINT) FROM dets""")),
+
+    // TRAIN → APPLY composed: the exact-OLS weights from text_fit_linear
+    // score every document as a fixed-point integer dot product — the
+    // whole learn-a-filter-then-run-it pipeline, end-to-end integer-exact
+    // (oracle recomputes the moments, the Cramer solve, AND the scoring)
+    Q("text_fit_apply",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tokens = TextFunctions.tokenCount(col("text"))
+        val utokens = size(array_distinct(TextFunctions.tokens(col("text")))).cast("long")
+        val w = TextCorpus.fitLinearModelX1000(docs,
+            Seq("tokens" -> tokens, "utokens" -> utokens), col("n_chars"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        docs.select(col("doc_id"),
+          (lit(w("intercept")) + lit(w("tokens")) * tokens +
+            lit(w("utokens")) * utokens).as("pred_x1000"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, CAST(len($toksSql) AS HUGEINT) AS t,
+            CAST(len(list_distinct($toksSql)) AS HUGEINT) AS p,
+            CAST(n_chars AS HUGEINT) AS y FROM documents),
+        m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(t) AS st, sum(p) AS sp,
+            sum(t*t) AS stt, sum(t*p) AS stp, sum(p*p) AS spp,
+            sum(y) AS sy, sum(t*y) AS sty, sum(p*y) AS spy FROM f),
+        dets AS (SELECT
+          n*(stt*spp - stp*stp) - st*(st*spp - stp*sp) + sp*(st*stp - stt*sp) AS det,
+          sy*(stt*spp - stp*stp) - st*(sty*spp - stp*spy) + sp*(sty*stp - stt*spy) AS det0,
+          n*(sty*spp - stp*spy) - sy*(st*spp - stp*sp) + sp*(st*spy - sty*sp) AS det1,
+          n*(stt*spy - sty*stp) - st*(st*spy - sty*sp) + sy*(st*stp - stt*sp) AS det2
+          FROM m),
+        w AS (SELECT (1000*det0) // det AS w0, (1000*det1) // det AS w1,
+            (1000*det2) // det AS w2 FROM dets)
+        SELECT doc_id, CAST(w0 + w1*t + w2*p AS BIGINT) AS pred_x1000
+        FROM f, w""")),
+
+    // REAL BPE apply in the matrix: the general greedy merge kernel
+    // (TextFunctions.bpeTokens — rank-ordered, chaining, all-occurrence)
+    // runs with a merge table over DISJOINT character sets, which makes
+    // the oracle closed-form: disjoint merges can't chain, can't overlap
+    // each other, and can't create or destroy other pairs' adjacencies,
+    // so token count = chars − Σ per-pair non-overlapping LTR substring
+    // occurrences — exactly what DuckDB's global replace() counts. (The
+    // general chaining/rank behavior is spec-checked in BpeSpec; this
+    // gate proves the kernel over the whole corpus.)
+    Q("text_bpe_tokens",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.bpeTokenCount(TextFunctions.normalizeWs(col("text")),
+          Seq(("t", "h"), ("e", "r"), ("o", "n"), ("a", "l"))).as("bpe_tokens")),
+      Some(s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents)
+        SELECT doc_id, CAST(
+          length(replace(t, ' ', ''))
+          - (length(t) - length(replace(t, 'th', ''))) // 2
+          - (length(t) - length(replace(t, 'er', ''))) // 2
+          - (length(t) - length(replace(t, 'on', ''))) // 2
+          - (length(t) - length(replace(t, 'al', ''))) // 2
+          AS BIGINT) AS bpe_tokens
+        FROM n""")),
+
+    // BPE-ish sub-word token counting (alnum runs + single non-alnum chars)
+    Q("text_bpeish_tokens",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.bpeishTokenCount(col("text")).as("bpe_tokens")),
+      Some("""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9]')) AS BIGINT)
+          AS bpe_tokens FROM documents""")))
+}

@@ -1,0 +1,648 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Graph, Similarity, TextCorpus}
+
+import Catalog.Q
+import GateSupport._
+
+/** Event-analytics and temporal-join gates: funnel / retention / transitions / rolling-activity families (one-shot, windowed, rates, persisted folds, streaming maintainers) plus as-of / range / interval / sessionize / skew joins.
+  *
+  * Split from the monolithic Catalog (round 16) — same `Q` registrations,
+  * re-aggregated by [[Catalog.all]]; shared fixture readers and oracle
+  * fragments live in [[GateSupport]]. */
+private[queries] object CatalogEvents {
+  val gates: Seq[Q] = Seq(
+    // as-of (point-in-time) join: each event matched to the user's most
+    // recent order at event time — all orders predate all events in this
+    // data, so the oracle reduces to latest-order-per-customer, while the
+    // Spark side runs the general one-shuffle union+window implementation
+    // bucketized range join (no equi key — the case Spark would plan as a
+    // cartesian): purchases within the 10 minutes following each error
+    // event. Micros on both sides (`ts div 1000` ≡ DuckDB epoch_us)
+    Q("range_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"),
+            expr("ts div 1000").as("err_start"),
+            (expr("ts div 1000") + 600000000L).as("err_end"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), expr("ts div 1000").as("pts"))
+        graft.operators.Temporal.rangeJoin(
+            purchases, "pts", errors, "err_start", "err_end",
+            bucketWidth = 600000000L)
+          .select("error_id", "purchase_id")
+      },
+      Some("""SELECT e.event_id AS error_id, p.event_id AS purchase_id
+        FROM events e JOIN events p
+          ON e.event_type = 'error' AND p.event_type = 'purchase'
+          AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) AND epoch_us(e.ts) + 600000000""")),
+
+    // gaps-and-islands sessionization: 12h max gap over each user's event
+    // stream, aggregated to one row per session. The oracle replicates the
+    // two-window assignment (lag + running sum) in ANSI SQL verbatim —
+    // the assignment itself is compared, not just session counts.
+    Q("sessionize",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.sessionize(ev, "user_id", "ets",
+            maxGap = 43200000000L, tieBreak = "event_id")
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min("ets").as("start_us"), max("ets").as("end_us"))
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ets,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events),
+        s AS (SELECT user_id, ets,
+          SUM(CASE WHEN gap IS NULL OR gap > 43200000000 THEN 1 ELSE 0 END) OVER
+            (PARTITION BY user_id ORDER BY ets, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        FROM g)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          count(*) AS n_events, min(ets) AS start_us, max(ets) AS end_us
+        FROM s GROUP BY 1, 2""")),
+
+    // ordered funnel (view → click → purchase): earliest qualifying chain
+    // per user — one map-side-combinable MIN per step, keyed joins, no
+    // windows; completes the event-analytics family next to sessionize
+    Q("event_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.funnel(ev, "user_id", "event_type", "ets",
+          Seq("view", "click", "purchase"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ets FROM events),
+        s1 AS (SELECT user_id, min(ets) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ets) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ets > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ets) AS t3 FROM e JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND ets > t2 GROUP BY 1)
+        SELECT s1.user_id, t1 AS step_1_ts, t2 AS step_2_ts, t3 AS step_3_ts,
+          CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
+
+    // INCREMENTAL funnel (the round-14 persisted-state pattern): build the
+    // per-key funnel state on the first half of the time range, fold the
+    // second half in with funnelFold (cost scales with the batch, never
+    // the history; late data refuses loudly), serve with funnelOf — the
+    // oracle is the ONE-SHOT funnel over the union, so the fold identity
+    // is what the gate certifies
+    Q("event_funnel_incremental",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min("ets").as("lo"), max("ets").as("hi")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val steps = Seq("view", "click", "purchase")
+        val st = graft.operators.Temporal.funnelState(
+          ev.filter(col("ets") <= cut), "user_id", "event_type", "ets", steps)
+        val folded = graft.operators.Temporal.funnelFold(
+          st, ev.filter(col("ets") > cut), "user_id", "event_type", "ets", steps)
+        graft.operators.Temporal.funnelOf(folded)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ets FROM events),
+        s1 AS (SELECT user_id, min(ets) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ets) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ets > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ets) AS t3 FROM e JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND ets > t2 GROUP BY 1)
+        SELECT s1.user_id, t1 AS step_1_ts, t2 AS step_2_ts, t3 AS step_3_ts,
+          CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
+
+    // user-journey transition matrix (Markov flows): count of (event_type
+    // → next event_type) steps across each user's time-ordered stream —
+    // the per-user window is keyed (bounded by one user's events, the
+    // sessionize contract), the count map-side-combinable; ties broken on
+    // event_id so the order is total and the oracle replays it exactly
+    Q("event_transitions",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.transitionMatrix(
+          ev, "user_id", "event_type", "ets", "event_id")
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+          CAST(count(*) AS BIGINT) AS n_steps
+        FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""")),
+
+    // funnel step-conversion summary: |steps| rows of (reached,
+    // conversion permille vs entrants) — the serving rollup of the
+    // funnel family, integer-exact
+    Q("event_funnel_rates",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ets"))
+        val f = graft.operators.Temporal.funnel(ev, "user_id", "event_type", "ets",
+          Seq("view", "click", "purchase"))
+        graft.operators.Temporal.funnelRates(f, steps = 3)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ets FROM events),
+        s1 AS (SELECT user_id, min(ets) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ets) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ets > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ets) AS t3 FROM e JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND ets > t2 GROUP BY 1),
+        n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+          (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
+        SELECT CAST(s.step AS BIGINT) AS step, CAST(s.r AS BIGINT) AS reached,
+          CAST(CASE WHEN n1 = 0 THEN 0 ELSE s.r * 1000 // n1 END AS BIGINT)
+            AS permille_of_entered
+        FROM n, (SELECT 1 AS step, (SELECT n1 FROM n) AS r
+          UNION ALL SELECT 2, (SELECT n2 FROM n)
+          UNION ALL SELECT 3, (SELECT n3 FROM n)) s""")),
+
+    // CONVERSION-WINDOW funnel: every step must land within 2 days of the
+    // user's anchor (earliest view) — the product-analytics convention;
+    // same no-window MIN+join shape, the anchor rides the survivor set
+    Q("event_funnel_window",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.funnelWithin(ev, "user_id", "event_type", "ets",
+          Seq("view", "click", "purchase"), within = 172800000000L)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ets FROM events),
+        s1 AS (SELECT user_id, min(ets) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ets) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ets > t1
+            AND ets <= t1 + 172800000000 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ets) AS t3
+          FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+          WHERE event_type = 'purchase' AND ets > t2
+            AND ets <= t1 + 172800000000 GROUP BY 1)
+        SELECT s1.user_id, t1 AS step_1_ts, t2 AS step_2_ts, t3 AS step_3_ts,
+          CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
+
+    // INCREMENTAL retention: the distinct (key, bucket) activity relation
+    // IS the exact sufficient statistic, so the fold needs NO ordering
+    // contract — the gate splits by event_id PARITY (interleaved in time,
+    // late data everywhere) and must still equal the one-shot triangle;
+    // the state side never shuffles (broadcast probe, pinned)
+    Q("event_retention_incremental",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ets"))
+        val w = 86400000000L
+        val T = graft.operators.Temporal
+        val st = T.retentionState(
+          ev.filter(col("event_id") % 2 === 0), "user_id", "ets", w)
+        val folded = T.retentionFold(
+          st, ev.filter(col("event_id") % 2 === 1), "user_id", "ets", w)
+        T.retentionOf(folded)
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b FROM events),
+        a AS (SELECT DISTINCT user_id, b FROM e),
+        c AS (SELECT user_id, min(b) AS c FROM a GROUP BY 1)
+        SELECT CAST(c AS BIGINT) AS cohort, CAST(b - c AS BIGINT) AS day_offset,
+          CAST(count(*) AS BIGINT) AS active_keys
+        FROM a JOIN c USING (user_id) GROUP BY 1, 2""")),
+
+    // INCREMENTAL transition matrix: counts are additive, so the state is
+    // (matrix, per-key frontier) and a fold adds the batch's own leads
+    // plus one BRIDGE step per key from its frontier event; time-split
+    // batches (the strictly-later contract, refused loudly when violated)
+    // must reproduce the one-shot matrix exactly
+    Q("event_transitions_incremental",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min("ets").as("lo"), max("ets").as("hi")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val T = graft.operators.Temporal
+        val (m0, f0) = T.transitionState(ev.filter(col("ets") <= cut),
+          "user_id", "event_type", "ets", "event_id")
+        val (m1, _) = T.transitionFold(m0, f0, ev.filter(col("ets") > cut),
+          "user_id", "event_type", "ets", "event_id")
+        m1
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+          CAST(count(*) AS BIGINT) AS n_steps
+        FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""")),
+
+    // STREAMING funnel maintenance: two AvailableNow drops against one
+    // checkpoint fold into a persisted funnelState VersionedTable
+    // (overwriteIdempotent — a replayed batch is a no-op, never a
+    // double-fold); the oracle is the ONE-SHOT funnel over all events,
+    // so the gate certifies the batch-boundary folds AND the store
+    // round-trip together
+    Q("streaming_funnel_ingest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min("ets").as("lo"), max("ets").as("hi")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val src = java.nio.file.Files.createTempDirectory("graft-sfi-src")
+        val state = java.nio.file.Files.createTempDirectory("graft-sfi-state")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sfi-ck")
+        java.nio.file.Files.delete(state)
+        val steps = Seq("view", "click", "purchase")
+        ev.filter(col("ets") <= cut)
+          .write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.funnelIngest(s, src.toString, schema,
+          "user_id", "event_type", "ets", steps, state.toString, ckpt.toString)
+        ev.filter(col("ets") > cut)
+          .write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.funnelIngest(s, src.toString, schema,
+          "user_id", "event_type", "ets", steps, state.toString, ckpt.toString)
+        val out = graft.operators.Temporal.funnelOf(
+          new graft.store.VersionedTable(s, state.toString).read())
+          .localCheckpoint(true)
+        Seq(src, state, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ets FROM events),
+        s1 AS (SELECT user_id, min(ets) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ets) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ets > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ets) AS t3 FROM e JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND ets > t2 GROUP BY 1)
+        SELECT s1.user_id, t1 AS step_1_ts, t2 AS step_2_ts, t3 AS step_3_ts,
+          CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
+
+    // trailing-window rate features (events + spend in the last 2 days,
+    // per event): ONE keyed RANGE-frame window — frames are by value, so
+    // same-timestamp events see each other symmetrically and no tie-break
+    // is needed; spend rides as exact integer cents
+    Q("event_rate_features",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ets"),
+            cents(col("value")).as("cents"))
+        graft.operators.Temporal.trailingFeatures(ev, "user_id", "ets",
+          window = 172800000000L, valueCol = Some("cents"))
+          .select("event_id", "user_id", "ets", "trail_count", "trail_sum")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ets,
+          CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        SELECT event_id, user_id, ets,
+          count(*) OVER w AS trail_count,
+          CAST(sum(cents) OVER w AS BIGINT) AS trail_sum
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ets
+          RANGE BETWEEN 172800000000 PRECEDING AND CURRENT ROW)""")),
+
+    // normalized retention triangle: each cell as an integer-exact
+    // permille of its cohort size (offset 0 = 1000‰ by construction) —
+    // one broadcastable cohort self-join over the |buckets|² cells
+    Q("event_retention_rates",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.retentionRates(
+          graft.operators.Temporal.retentionCohorts(ev, "user_id", "ets",
+            bucketWidth = 86400000000L))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b FROM events),
+        a AS (SELECT DISTINCT user_id, b FROM e),
+        c AS (SELECT user_id, min(b) AS c FROM a GROUP BY 1),
+        cells AS (SELECT CAST(c AS BIGINT) AS cohort,
+            CAST(b - c AS BIGINT) AS day_offset,
+            CAST(count(*) AS BIGINT) AS active_keys
+          FROM a JOIN c USING (user_id) GROUP BY 1, 2),
+        sz AS (SELECT cohort, active_keys AS size FROM cells WHERE day_offset = 0)
+        SELECT cells.cohort, day_offset, active_keys,
+          CAST(active_keys * 1000 // size AS BIGINT) AS permille_of_cohort
+        FROM cells JOIN sz ON cells.cohort = sz.cohort""")),
+
+    // STREAMING transition-matrix maintenance: two time drops fold into a
+    // persisted (matrix, frontier) state pair — within-batch leads plus
+    // one bridge per key from the stored frontier; both tables rewrite
+    // under one (appId, batchId) watermark so replays are no-ops on both.
+    // Oracle = the one-shot matrix over all events
+    Q("streaming_transitions_ingest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min("ets").as("lo"), max("ets").as("hi")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val src = java.nio.file.Files.createTempDirectory("graft-sti-src")
+        val mDir = java.nio.file.Files.createTempDirectory("graft-sti-m")
+        val fDir = java.nio.file.Files.createTempDirectory("graft-sti-f")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sti-ck")
+        java.nio.file.Files.delete(mDir)
+        java.nio.file.Files.delete(fDir)
+        ev.filter(col("ets") <= cut).write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.transitionsIngest(s, src.toString, schema,
+          "user_id", "event_type", "ets", "event_id",
+          mDir.toString, fDir.toString, ckpt.toString)
+        ev.filter(col("ets") > cut).write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.transitionsIngest(s, src.toString, schema,
+          "user_id", "event_type", "ets", "event_id",
+          mDir.toString, fDir.toString, ckpt.toString)
+        val out = new graft.store.VersionedTable(s, mDir.toString).read()
+          .localCheckpoint(true)
+        Seq(src, mDir, fDir, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+          CAST(count(*) AS BIGINT) AS n_steps
+        FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""")),
+
+    // row-normalized Markov transition probabilities (×1000, truncating):
+    // the rates sibling of funnelRates/retentionRates — one broadcastable
+    // self-aggregation over the |types|² matrix
+    Q("event_transition_rates",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.transitionRates(
+          graft.operators.Temporal.transitionMatrix(
+            ev, "user_id", "event_type", "ets", "event_id"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events),
+        m AS (SELECT event_type AS from_type, next_type AS to_type,
+            CAST(count(*) AS BIGINT) AS n_steps
+          FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        tt AS (SELECT from_type, sum(n_steps) AS tot FROM m GROUP BY 1)
+        SELECT m.from_type, to_type, n_steps,
+          CAST(n_steps * 1000 // tot AS BIGINT) AS permille_of_from
+        FROM m JOIN tt ON m.from_type = tt.from_type""")),
+
+    // k-step Markov flows (k = 2): what the chain's square estimates,
+    // counted exactly — same keyed-window shape, lead offset 2
+    Q("event_transitions_2step",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.transitionMatrix(
+          ev, "user_id", "event_type", "ets", "event_id", step = 2)
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+          lead(event_type, 2) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+          CAST(count(*) AS BIGINT) AS n_steps
+        FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""")),
+
+    // cohort retention triangle (daily buckets): cohort = first-activity
+    // day per user, cells count active users at each day offset — one
+    // distinct (user, day) shuffle + min-per-user + keyed join back
+    Q("event_retention",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.retentionCohorts(ev, "user_id", "ets",
+          bucketWidth = 86400000000L)
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b FROM events),
+        a AS (SELECT DISTINCT user_id, b FROM e),
+        c AS (SELECT user_id, min(b) AS c FROM a GROUP BY 1)
+        SELECT CAST(c AS BIGINT) AS cohort, CAST(b - c AS BIGINT) AS day_offset,
+          CAST(count(*) AS BIGINT) AS active_keys
+        FROM a JOIN c USING (user_id) GROUP BY 1, 2""")),
+
+    // ROLLING ACTIVITY (DAU/WAU/MAU, daily buckets): distinct actives per
+    // bucket at window widths 1/7/30 — one (user, day) distinct, bounded
+    // coverage fan-out (Σ windows = 38 copies of the activity relation),
+    // combinable count, NO window functions; coverage clamps at the last
+    // observed day so no future buckets appear
+    Q("event_active_users",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.activeUsers(ev, "user_id", "ets",
+          bucketWidth = 86400000000L, windows = Seq(1L, 7L, 30L))
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS b FROM events),
+        mx AS (SELECT max(b) AS m FROM act),
+        cov AS (SELECT DISTINCT w.win, user_id, b + u.r AS bucket
+          FROM act, (VALUES (1), (7), (30)) AS w(win),
+            unnest(range(0, w.win)) AS u(r), mx
+          WHERE b + u.r <= mx.m)
+        SELECT CAST(bucket AS BIGINT) AS bucket, CAST(win AS BIGINT) AS win,
+          count(*) AS active_keys
+        FROM cov GROUP BY 1, 2""")),
+
+    // INCREMENTAL rolling activity: the activity state IS the retention
+    // state (one persisted (key, bucket) relation serves both views) —
+    // build it on the first half of the range, fold the second half with
+    // retentionFold (distinct-union: late data and replays exact), serve
+    // with activeUsersOf; the oracle is the ONE-SHOT count over the union
+    Q("event_active_users_incremental",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min("ets").as("lo"), max("ets").as("hi")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val w = 86400000000L
+        val st = graft.operators.Temporal.retentionState(
+          ev.filter(col("ets") <= cut), "user_id", "ets", w)
+        val folded = graft.operators.Temporal.retentionFold(
+          st, ev.filter(col("ets") > cut), "user_id", "ets", w)
+        graft.operators.Temporal.activeUsersOf(folded, Seq(1L, 7L, 30L))
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS b FROM events),
+        mx AS (SELECT max(b) AS m FROM act),
+        cov AS (SELECT DISTINCT w.win, user_id, b + u.r AS bucket
+          FROM act, (VALUES (1), (7), (30)) AS w(win),
+            unnest(range(0, w.win)) AS u(r), mx
+          WHERE b + u.r <= mx.m)
+        SELECT CAST(bucket AS BIGINT) AS bucket, CAST(win AS BIGINT) AS win,
+          count(*) AS active_keys
+        FROM cov GROUP BY 1, 2""")),
+
+    // STICKINESS (DAU/MAU): the two-width join over the rolling actives,
+    // integer-exact permille of the monthly audience active that day
+    Q("event_stickiness",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.stickiness(
+          graft.operators.Temporal.activeUsers(ev, "user_id", "ets",
+            bucketWidth = 86400000000L, windows = Seq(1L, 30L)),
+          shortWin = 1L, longWin = 30L)
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS b FROM events),
+        mx AS (SELECT max(b) AS m FROM act),
+        cov AS (SELECT DISTINCT w.win, user_id, b + u.r AS bucket
+          FROM act, (VALUES (1), (30)) AS w(win),
+            unnest(range(0, w.win)) AS u(r), mx
+          WHERE b + u.r <= mx.m),
+        a AS (SELECT bucket, win, count(*) AS ac FROM cov GROUP BY 1, 2)
+        SELECT CAST(s.bucket AS BIGINT) AS bucket,
+          s.ac AS short_active, l.ac AS long_active,
+          CAST((s.ac * 1000) // l.ac AS BIGINT) AS permille_of_long
+        FROM a s JOIN a l ON s.bucket = l.bucket AND s.win = 1 AND l.win = 30""")),
+
+    Q("asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ets"))
+        val ords = t(s, d, "orders").select(
+          col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
+          col("o_orderkey"))
+        graft.operators.Temporal.asofJoinSelect(ev, ords,
+            "user_id", "o_custkey", "ets", "ots", Seq("o_orderkey"), "o_orderkey")
+          .select(col("event_id"), col("asof_o_orderkey").as("asof_orderkey"))
+      },
+      Some("""WITH lo AS (SELECT o_custkey, o_orderkey FROM orders
+          QUALIFY row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+        SELECT e.event_id, lo.o_orderkey AS asof_orderkey
+        FROM events e LEFT JOIN lo ON e.user_id = lo.o_custkey""")),
+
+    // FORWARD as-of (next purchase at/after each view): the asofJoin
+    // complement — same one-shuffle union-sort, descending per-key order;
+    // ties at the earliest qualifying ts break to the LOWEST id (mirrored
+    // in the oracle's ORDER BY ... LIMIT 1)
+    Q("asof_join_forward",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ets"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ets"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"),
+            col("user_id").as("p_user"), col("ets").as("pts"))
+        graft.operators.Temporal.asofJoinForwardSelect(views, purch,
+            "user_id", "p_user", "ets", "pts", Seq("p_event_id"), "p_event_id")
+          .select(col("event_id"), col("asof_p_event_id").as("next_purchase_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+          epoch_us(ts) AS ets FROM events),
+        v AS (SELECT * FROM e WHERE event_type = 'view'),
+        p AS (SELECT * FROM e WHERE event_type = 'purchase')
+        SELECT v.event_id, x.pid AS next_purchase_id
+        FROM v LEFT JOIN LATERAL (SELECT p.event_id AS pid FROM p
+          WHERE p.user_id = v.user_id AND p.ets >= v.ets
+          ORDER BY p.ets, p.event_id LIMIT 1) x ON true""")),
+
+    // STREAMING retention maintenance: PARITY drops (late data across the
+    // batch boundary — retention folds need no ordering contract), each
+    // micro-batch APPENDS only its fresh (key, bucket) rows to the state
+    // table; the served triangle must equal the one-shot oracle
+    Q("streaming_retention_ingest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ets"))
+        val src = java.nio.file.Files.createTempDirectory("graft-sri-src")
+        val state = java.nio.file.Files.createTempDirectory("graft-sri-state")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sri-ck")
+        java.nio.file.Files.delete(state)
+        val w = 86400000000L
+        ev.filter(col("event_id") % 2 === 0).select("user_id", "ets")
+          .write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.retentionIngest(s, src.toString, schema,
+          "user_id", "ets", w, state.toString, ckpt.toString)
+        ev.filter(col("event_id") % 2 === 1).select("user_id", "ets")
+          .write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.retentionIngest(s, src.toString, schema,
+          "user_id", "ets", w, state.toString, ckpt.toString)
+        val out = graft.operators.Temporal.retentionOf(
+          new graft.store.VersionedTable(s, state.toString).read())
+          .localCheckpoint(true)
+        Seq(src, state, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b FROM events),
+        a AS (SELECT DISTINCT user_id, b FROM e),
+        c AS (SELECT user_id, min(b) AS c FROM a GROUP BY 1)
+        SELECT CAST(c AS BIGINT) AS cohort, CAST(b - c AS BIGINT) AS day_offset,
+          CAST(count(*) AS BIGINT) AS active_keys
+        FROM a JOIN c USING (user_id) GROUP BY 1, 2""")),
+
+    // batch INTERVAL-OVERLAP join (concurrent sessions across user
+    // parity): both sides bucketized, each overlapping pair meets in
+    // exactly ONE bucket (max-start rule) — no cartesian, no dedup pass;
+    // oracle = the sessionize islands + a brute-force overlap predicate
+    Q("interval_overlap_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ets"))
+        val sess = graft.operators.Temporal.sessionize(ev, "user_id", "ets",
+            maxGap = 43200000000L, tieBreak = "event_id")
+          .groupBy("user_id", "session_idx")
+          .agg(min("ets").as("st"), max("ets").as("en"))
+        val a = sess.filter(col("user_id") % 2 === 0)
+          .select(col("user_id").as("a_user"), col("session_idx").as("a_sess"),
+            col("st").as("a_start"), col("en").as("a_end"))
+        val b = sess.filter(col("user_id") % 2 === 1)
+          .select(col("user_id").as("b_user"), col("session_idx").as("b_sess"),
+            col("st").as("b_start"), col("en").as("b_end"))
+        graft.operators.Temporal.intervalJoin(a, "a_start", "a_end",
+            b, "b_start", "b_end", bucketWidth = 43200000000L)
+          .select("a_user", "a_sess", "b_user", "b_sess")
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ets,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events),
+        s AS (SELECT user_id, ets,
+          SUM(CASE WHEN gap IS NULL OR gap > 43200000000 THEN 1 ELSE 0 END) OVER
+            (PARTITION BY user_id ORDER BY ets, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        FROM g),
+        sess AS (SELECT user_id, session_idx, min(ets) AS st, max(ets) AS en
+          FROM s GROUP BY 1, 2)
+        SELECT a.user_id AS a_user, CAST(a.session_idx AS BIGINT) AS a_sess,
+          b.user_id AS b_user, CAST(b.session_idx AS BIGINT) AS b_sess
+        FROM sess a JOIN sess b
+          ON a.user_id % 2 = 0 AND b.user_id % 2 = 1
+          AND a.st <= b.en AND b.st <= a.en""")),
+
+    // skewed-key join through the salting operator: ~30% of events collapse
+    // onto one hot key, the join fans it out over (key, salt) — results must
+    // equal the plain SQL join regardless of salting
+    Q("skew_salted_join",
+      (s, d) => {
+        val l = t(s, d, "events").select(
+          when(col("event_id") % 10 < 3, lit(1L)).otherwise(col("user_id")).as("k"))
+        val r = t(s, d, "customer").select(col("c_custkey").as("k"), col("c_mktsegment"))
+        graft.operators.Skew.saltedJoin(l, r, "k", parts = 8)
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      },
+      Some("""WITH l AS (SELECT CASE WHEN event_id % 10 < 3 THEN 1 ELSE user_id END AS k
+          FROM events),
+        r AS (SELECT c_custkey AS k, c_mktsegment FROM customer)
+        SELECT c_mktsegment, count(*) AS cnt FROM l JOIN r USING (k) GROUP BY 1""")))
+}

@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Graph, Similarity, TextCorpus}
+
+import Catalog.Q
+import GateSupport._
+
+/** Relational / projection / join / window / aggregation gates (SURVEY.md §2 P/J/U/W/O families + TPC-H-style checks).
+  *
+  * Split from the monolithic Catalog (round 16) — same `Q` registrations,
+  * re-aggregated by [[Catalog.all]]; shared fixture readers and oracle
+  * fragments live in [[GateSupport]]. */
+private[queries] object CatalogRelational {
+  val gates: Seq[Q] = Seq(
+    Q("q1_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          count(lit(1)).as("cnt"))
+        .select("l_returnflag", "l_linestatus", "sum_qty", "price_cents", "cnt"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+        count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2""")),
+
+    Q("q3_top_orders",
+      (s, d) => {
+        val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey")
+          .agg(sum(rev).as("revenue_u"))
+          .orderBy(col("revenue_u").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, CAST(sum(
+          CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+        ) AS BIGINT) AS revenue_u
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey ORDER BY revenue_u DESC, o_orderkey LIMIT 10""")),
+
+    Q("p1_projection",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(trim(col("c_name"))).as("name_u"),
+        col("c_nationkey").cast("long").as("nk"),
+        cents(col("c_acctbal")).as("acctbal_cents"),
+        col("c_mktsegment")),
+      Some("""SELECT c_custkey, upper(trim(c_name)) AS name_u,
+        CAST(c_nationkey AS BIGINT) AS nk,
+        CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents, c_mktsegment
+        FROM customer""")),
+
+    // P1 + ingest value caps (reference odbc_reader.py:235,273-275): the
+    // projection layer trims then truncates string payloads at maxTextSize
+    Q("p1_value_caps",
+      (s, d) => graft.scd2.Projection.select(
+        t(s, d, "documents"),
+        Seq(ColInfo("doc_id", org.apache.spark.sql.types.LongType),
+          ColInfo("text", org.apache.spark.sql.types.StringType)),
+        WriteConfig(maxTextSize = Some(40))),
+      Some("SELECT doc_id, left(trim(text), 40) AS text FROM documents")),
+
+    Q("p3_watermark",
+      (s, d) => {
+        val thr = t(s, d, "events").agg(max("event_id")).head().getLong(0) * 4 / 5
+        t(s, d, "events").filter(col("event_id") > thr)
+          .select("event_id", "user_id", "event_type")
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events
+        WHERE event_id > (SELECT (max(event_id)*4)//5 FROM events)""")),
+
+    Q("p8_snapshot_filter",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.join(broadcast(o.agg(max("o_orderdate").as("mx"))),
+            col("o_orderdate") === col("mx"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""")),
+
+    // customers without a RECENT order (unfiltered, every customer has
+    // orders at sf≥0.01 → empty result = no coverage)
+    Q("j1_anti_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderdate") >= lit("2001-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')""")),
+
+    Q("j2_semi_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderdate") >= lit("2001-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')""")),
+
+    Q("u1_union",
+      (s, d) => t(s, d, "nation").select(col("n_nationkey").as("k"), lit("n").as("src"))
+        .unionByName(t(s, d, "region").select(col("r_regionkey").as("k"), lit("r").as("src"))),
+      Some("""SELECT n_nationkey AS k, 'n' AS src FROM nation
+        UNION ALL SELECT r_regionkey, 'r' FROM region""")),
+
+    Q("u2_except",
+      (s, d) => t(s, d, "customer").select(col("c_custkey").as("key"))
+        .except(t(s, d, "orders").filter(col("o_orderdate") >= lit("2001-01-01"))
+          .select(col("o_custkey").as("key"))),
+      Some("""SELECT c_custkey AS key FROM customer
+        EXCEPT SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'""")),
+
+    Q("w1_latest_per_key",
+      (s, d) => {
+        // ts is BIGINT nanos on the Spark side but micro-truncated in the
+        // DuckDB read — order on the shared microsecond precision
+        val w = Window.partitionBy("user_id")
+          .orderBy(expr("ts div 1000").desc, col("event_id").desc)
+        t(s, d, "events").withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "event_type")
+      },
+      Some("""SELECT user_id, event_id, event_type FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""")),
+
+    Q("w2_topn_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+        t(s, d, "part").withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("p_brand", "p_partkey", "rn")
+      },
+      Some("""SELECT p_brand, p_partkey, CAST(row_number() OVER
+          (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+        FROM part
+        QUALIFY rn <= 3""")),
+
+    // the same top-3-per-brand as w2_topn_per_group, but via the bounded-
+    // heap TypedImperativeAggregate instead of a sort-based window: O(k)
+    // state per group + map-side combine — no full per-group sort at
+    // 100 TB. Same oracle ⇒ the two formulations must agree exactly.
+    Q("w2_topn_agg",
+      (s, d) => t(s, d, "part")
+        .groupBy("p_brand")
+        .agg(graft.functions.NativeAgg.topKPairs(
+          (col("p_retailprice") * 100).cast("long"), col("p_partkey"), 3).as("tk"))
+        .select(col("p_brand"), posexplode(col("tk")))
+        .select(col("p_brand"), col("col.p").as("p_partkey"),
+          (col("pos") + 1).cast("long").as("rn")),
+      Some("""SELECT p_brand, p_partkey, CAST(row_number() OVER
+          (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+        FROM part
+        QUALIFY rn <= 3""")),
+
+    // 4-way dim join with two broadcasts (supplier→nation→region star arm)
+    Q("q5_multi_join",
+      (s, d) => t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("suppliers"),
+          sum(cents(col("s_acctbal"))).as("acctbal_cents"))
+        .select("r_name", "n_name", "suppliers", "acctbal_cents"),
+      Some("""SELECT r_name, n_name, count(*) AS suppliers,
+          CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name""")),
+
+    // query-side VARIANT: semi-structured props parsed with Spark 4's
+    // try_parse_json into VariantType, a typed path extracted with
+    // variant_get, aggregated per event_type — the analytics complement of
+    // the store-side VARIANT interop (read/write/shredded-read). Oracle
+    // extracts the same path with DuckDB's json machinery
+    Q("events_variant_extract",
+      (s, d) => t(s, d, "events")
+        .select(col("event_type"),
+          expr("variant_get(try_parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k")),
+      Some("""WITH e AS (SELECT event_type,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(k) AS BIGINT) AS sum_k,
+          CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        FROM e GROUP BY event_type""")),
+
+    // ROLLUP grouping sets (subtotals + grand total; NULL grouping rows)
+    Q("agg_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "cnt", "sum_qty"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // CUBE grouping sets (all 4 combinations incl. grand total) — completes
+    // the grouping-set family next to ROLLUP
+    Q("agg_cube",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("price_cents"))
+        .select("o_orderstatus", "o_orderpriority", "cnt", "price_cents"),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // running-frame window (ROWS UNBOUNDED PRECEDING — the frame-spec case
+    // the reference never needs but an analytics engine must support)
+    Q("w3_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        FROM orders""")),
+
+    // RANGE-frame window (value-based frame, not row-based): per-customer
+    // sum of orders within the preceding 30 DAYS of each order — integer
+    // day epochs keep the frame arithmetic engine-exact
+    Q("w4_range_frame",
+      (s, d) => {
+        val days = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+        val w = Window.partitionBy("o_custkey").orderBy(days)
+          .rangeBetween(-30L, 0L)
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("trailing_30d_cents"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+            PARTITION BY o_custkey
+            ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS trailing_30d_cents
+        FROM orders""")),
+
+    // lead/lag/ntile — the remaining ranking-window family members: per
+    // customer order history with previous/next order value and a
+    // per-customer quartile. ntile is PARTITIONED like everything else in
+    // the catalog — an unpartitioned ntile would funnel the whole table
+    // through one task, the single-partition-window trap
+    Q("w5_lead_lag_ntile",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          lag(cents(col("o_totalprice")), 1).over(w).as("prev_cents"),
+          lead(cents(col("o_totalprice")), 1).over(w).as("next_cents"),
+          ntile(4).over(w).as("key_quartile"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          lag(CAST(round(o_totalprice*100) AS BIGINT), 1) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_cents,
+          lead(CAST(round(o_totalprice*100) AS BIGINT), 1) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_cents,
+          CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT)
+            AS key_quartile
+        FROM orders""")),
+
+    // exact interpolated percentiles (median + p95) per group — Spark's
+    // `percentile` and DuckDB's `quantile_cont` both interpolate at
+    // pos = p·(n−1) over the sorted values; on integer cent inputs the
+    // double arithmetic is identical on both sides, so the gate can
+    // hash-compare the raw doubles
+    Q("agg_percentile",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(CAST(round(l_quantity*100) AS BIGINT), 0.5)").as("median_qty_cents"),
+          expr("percentile(CAST(round(l_extendedprice*100) AS BIGINT), 0.95)").as("p95_price_cents"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag,
+          quantile_cont(CAST(round(l_quantity*100) AS BIGINT), 0.5) AS median_qty_cents,
+          quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.95) AS p95_price_cents,
+          count(*) AS cnt
+        FROM lineitem GROUP BY 1""")),
+
+    // PIVOT: order counts per customer segment × order priority, the
+    // wide-table reshaping step — oracle via conditional aggregation
+    Q("agg_pivot",
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("c_mktsegment"),
+          // a pivot cell with no rows is NULL in Spark but 0 under the
+          // oracle's FILTER count — coalesce aligns the semantics
+          coalesce(col("1-URGENT"), lit(0L)).cast("long").as("urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).cast("long").as("high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).cast("long").as("medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).cast("long").as("notspec"),
+          coalesce(col("5-LOW"), lit(0L)).cast("long").as("low")),
+      Some("""SELECT c_mktsegment,
+          CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+          CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+          CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+          CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS notspec,
+          CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""")))
+}

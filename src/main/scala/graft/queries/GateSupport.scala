@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Graph, Similarity, TextCorpus}
+
+/** Fixture readers shared by the catalog and the SCD2 scenarios. */
+private[queries] object Fixtures {
+  /** `events` with `ts` normalized to BIGINT epoch NANOSECONDS whatever the
+    * fixture vintage. TIMESTAMP(NANOS) files surface `ts` as BIGINT nanos
+    * directly (the `nanosAsLong` legacy read every session sets);
+    * TIMESTAMP(MICROS) files — the 2026-08 regenerated fixtures — surface
+    * TIMESTAMP/TIMESTAMP_NTZ, converted here via the UTC session and
+    * rescaled (µs·1000 is exact in a long until 2262, same horizon as
+    * nanos timestamps). Downstream code keeps its `ts div 1000` microsecond
+    * truncation, which matches the DuckDB oracles' `epoch_us(ts)` on the
+    * same file under EITHER vintage. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case _ =>
+        raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
+    }
+  }
+}
+
+/** Shared fixture readers, gate parameterizations, and DuckDB oracle
+  * fragments used across the family catalogs (split from the monolithic
+  * Catalog in round 16). Members are object-public; the object itself is
+  * package-private to the query catalog. */
+private[queries] object GateSupport {
+
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Fixtures.events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+
+  def deleteDir(f: java.io.File): Unit = {
+    // never recurse THROUGH a symlink: streaming gates symlink shared
+    // fixtures into temp dirs this later removes — following a link into a
+    // directory-format fixture would delete the fixture's real contents
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles).foreach(_.foreach(deleteDir))
+    f.delete(): Unit
+  }
+
+
+  /** cents(x) = CAST(round(x*100) AS BIGINT) — exact money arithmetic. */
+  def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+
+  /** The dedup_containment gate's parameterization — a SINGLE source of
+    * truth shared with the sf1 sweep (Sf1Drive re-runs the query with a
+    * candidate-audit observation attached, which the `(SparkSession, dir)`
+    * query signature cannot carry): both the Spark query below and its
+    * DuckDB oracle interpolate these, so a parameter change here cannot
+    * silently diverge the sweep from the oracle. */
+  val ContainmentGateThreshold: Double = 0.8
+
+  val ContainmentGateMinShingles: Int = 10
+
+
+  /** The dedup_tfidf_cosine gate's parameterization — same single-source
+    * rule as the ContainmentGate* constants: the Spark query, its DuckDB
+    * oracle, and the sf1 sweep all interpolate these. */
+  val TfidfGateThreshold: Double = 0.8
+
+  val TfidfGateMaxDocFreq: Int = 50
+
+
+  /** The dsirSample quantized-exponential table rendered as a SQL VALUES
+    * list "(0, 7624618), (1, …)", generated from the SAME array the Spark
+    * operator reads ([[TextCorpus.dsirExpTableX1e6]]) so the two sides
+    * cannot diverge and no engine evaluates ln at query time. */
+  lazy val dsirExpTableValues: String =
+    TextCorpus.dsirExpTableX1e6.zipWithIndex
+      .map { case (e, b) => s"($b, $e)" }.mkString(", ")
+
+
+  /** Event-time TIMESTAMP column for streams reading the RAW events
+    * fixture (whose `ts` vintage varies — see [[Fixtures.events]]):
+    * BIGINT nanos → µs-truncated timestamp; TIMESTAMP_NTZ → reinterpreted
+    * in the UTC session. Both yield the instant `epoch_us(ts)` denotes. */
+  def rawEventTime(schema: org.apache.spark.sql.types.StructType) =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast("timestamp")
+      case _ => col("ts")
+    }
+
+
+  // ------------------------------------------------- scd2 engine end-to-end
+
+  /** Shared oracle fragment: the trimmed batch-1 projection. */
+  val oc =
+    "c_custkey, trim(c_name) AS c_name, c_acctbal, trim(c_mktsegment) AS c_mktsegment"
+
+
+  lazy val strangeOracle: String =
+    s"""SELECT $oc, CAST(1 AS BIGINT) AS ver,
+        FALSE AS __is_deleted, TRUE AS __is_full_load FROM customer
+      UNION ALL SELECT c_custkey, trim(c_name) || '_r', c_acctbal, trim(c_mktsegment),
+        CAST(0 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 89 = 0
+      UNION ALL SELECT CAST(20000000 AS BIGINT), 'new', 0.0, 'SEG',
+        CAST(2 AS BIGINT), FALSE, FALSE"""
+
+
+  // --------------------------------------------- training-data pipeline ops
+
+  /** DuckDB mirror of TextFunctions.normalizeWs. */
+  // defs, not vals: these are referenced from gate Seqs that initialize
+  // BEFORE this point in the object body — a val would interpolate null
+  def normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  def toksSql = s"string_split($normSql, ' ')"
+
+  def stopSql(w: String) =
+    s"CAST(len(list_filter($toksSql, x -> x = '$w')) AS BIGINT)"
+
+  val stopWordsSql =
+    Seq("the", "a", "and", "of", "to", "in", "is").map(stopSql).mkString(" + ")
+
+
+  /** The synthetic "daily batch" for the incremental exact-dedup gates:
+    * exact copies of every 7th doc (die at the fingerprint stage) and
+    * order-reversed every-13th docs (novel content, survive). */
+  def ingestBatch(corpus: DataFrame): DataFrame =
+    corpus.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(corpus.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+
+
+  /** Replays [[ingestBatch]] + the fingerprint filter from first
+    * principles; shared by the probe and bloom strategy gates (their
+    * results are contract-identical). */
+  def incrementalExactOracle = s"""WITH batch AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL SELECT doc_id + 3000000,
+        array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        FROM documents WHERE doc_id % 13 = 0)
+    SELECT doc_id FROM batch
+    WHERE md5($normSql) NOT IN (SELECT md5($normSql) FROM documents)"""
+
+
+  /** The embedding of vec_id = 0 — the ANN query vector on both sides. */
+  def queryVec(s: SparkSession, d: String): Seq[Float] =
+    t(s, d, "embeddings").filter(col("vec_id") === 0)
+      .head().getSeq[Float](1)
+
+
+  /** DuckDB brute-force ground truth for word-3-gram Jaccard pairs: mirrors
+    * TextFunctions.shingles (docs with ≤ 3 tokens yield their whole text as
+    * one shingle; else a sliding 3-token window; distinct set) and
+    * Dedup.jaccardX1000's integer per-mille. `//` is DuckDB floor division —
+    * same result as Spark's floor(double-div) at these magnitudes. */
+  def jaccardTruthSql(thrX1000: Int): String =
+    s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+      sets AS (SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_transform(range(1, len(toks)-1),
+              i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+        FROM base),
+      sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+      posting AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST((i*1000) // (sa.sz + sb.sz - i) AS BIGINT) AS jaccard_x1000
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE (i*1000) // (sa.sz + sb.sz - i) >= $thrX1000"""
+
+
+  /** DuckDB mirror of HashKernels.simhashPoly signatures: per token the
+    * poly61 codepoint hash — fold (a·131+cp) mod 2^61−1 (HUGEINT keeps
+    * every product exact), then the wrapping finalize (fold·C) % 2^64
+    * converted to a signed BIGINT (≡ Java's native long multiply) — then
+    * per bit b ∈ [0,64) the sign of Σ(±1) over the token multiset.
+    * Bit 63 of the assembled signature is the sign bit: setting it adds
+    * −2^63 (the literal is written (−(2^63−1))−1; DuckDB parses the bare
+    * constant as INT128). */
+  def polySigSql: String =
+    s"""SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN
+          (CASE WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT ELSE (1::BIGINT << b) END)
+          ELSE 0 END) AS BIGINT) AS sig
+      FROM (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        FROM (SELECT doc_id,
+            CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h
+          FROM (SELECT doc_id, ((CASE WHEN len(t) = 0 THEN 0::HUGEINT ELSE
+                list_reduce(list_transform(string_split(t, ''), ch -> CAST(unicode(ch) AS HUGEINT)),
+                  (a, x) -> (a * 131 + x) % 2305843009213693951) END)
+                * 2685821657736338717) % 18446744073709551616 AS u
+            FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents))),
+          range(64) r(b)
+        GROUP BY doc_id, b)
+      GROUP BY doc_id"""
+
+
+  /** The simhash gate's exact truth: Jaccard ≥ threshold AND recomputed-
+    * signature hamming ≤ maxHamming — the operator's actual contract. */
+  def simhashTruthSql(maxHamming: Int, thrX1000: Int): String =
+    s"""WITH sg AS ($polySigSql),
+      tp AS (${jaccardTruthSql(thrX1000)})
+      SELECT tp.id_a, tp.id_b, tp.jaccard_x1000
+      FROM tp JOIN sg a ON a.doc_id = tp.id_a JOIN sg b ON b.doc_id = tp.id_b
+      WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming"""
+
+
+  /** Exact cosine top-10 for the vec_id=0 query — the oracle shared by the
+    * brute-force gate and both approximate ANN gates (containment grading:
+    * the approximate result must EQUAL the exact one at tuned probe width). */
+  lazy val annExactTopKSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      s AS (SELECT vec_id, list_cosine_similarity(embedding, qe) AS sim FROM embeddings, q)
+      SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+        vec_id AS id
+      FROM s ORDER BY sim DESC, vec_id LIMIT 10"""
+
+
+  /** Shared oracle of the post-full-load change slice (store_cdf and its
+    * TVF twin): batch-2 updates + inserts + delete tombstones. */
+  def cdfOracle: String =
+    """SELECT c_custkey, trim(c_name) AS c_name, c_acctbal + 100 AS c_acctbal,
+        trim(c_mktsegment) AS c_mktsegment, CAST(2 AS BIGINT) AS ver,
+        FALSE AS __is_deleted, FALSE AS __is_full_load
+        FROM customer WHERE c_custkey % 89 = 0 AND c_custkey % 97 <> 0
+      UNION ALL SELECT c_custkey + 10000000, trim(c_name), c_acctbal, trim(c_mktsegment),
+        CAST(2 AS BIGINT), FALSE, FALSE FROM customer WHERE c_custkey % 83 = 0
+      UNION ALL SELECT c_custkey, NULL, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
+        FROM customer WHERE c_custkey % 97 = 0"""
+}
