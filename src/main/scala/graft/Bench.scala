@@ -87,7 +87,12 @@ object Bench {
     // (r14 verdict item 4) — funnel's shrinking-survivor keyed joins and
     // retention's (key, bucket) distinct + min-per-key + join-back; both
     // landed after the r14 bench cut and had no round-over-round signal
-    "event_funnel", "event_retention")
+    "event_funnel", "event_retention",
+    // r16 (r15 verdict item 4): the newest join shapes with no
+    // round-over-round wall signal — the interval-overlap bucket
+    // equi-join (74,828-pair output at sf0.1, the heaviest new gate) and
+    // the keyed-window transition matrix
+    "interval_overlap_join", "event_transitions")
 
   /** Expected QUIET band per headline query: the upper edge of the
     * builder-box certified-quiet readings recorded in BASELINE.md (sf0.1,

@@ -661,6 +661,62 @@ object Temporal {
       .agg(count(lit(1)).as("active_keys"))
   }
 
+  /** SKETCHED rolling activity — [[activeUsers]] with the per-cell
+    * distinct count replaced by a deterministic KMV sketch
+    * ([[graft.functions.NativeAgg.kMinDistinct]] over a caller-supplied
+    * non-negative hash column, the [[TextCorpus.distinctSketch]]
+    * convention): with fewer than k distinct hashes in a cell the count is
+    * EXACT; at k the estimate is `(k−1)·hashBound DIV (kth_min + 1)`
+    * (~1/√k relative error) — and the whole statistic is integer-exact
+    * and hash-deterministic, so an external engine replays it bit-for-bit.
+    *
+    * The scale story goes one step beyond the exact form: KMV is
+    * duplicate-insensitive and map-side combinable, so this variant needs
+    * NO corpus-sized distinct at all — raw events flow through the
+    * bounded coverage fan-out straight into partial O(k) sketch states,
+    * and the only shuffle is the ≤ |buckets|·|windows| keyed sketch
+    * merge. The billion-key DAU/MAU shape. Returns
+    * (bucket, win, n_kept, kth_min, est_active); a cell whose hashes are
+    * all null keeps n_kept 0 / null kth_min / est 0 (the
+    * [[TextCorpus.distinctSketch]] ANSI guard). */
+  def activeUsersSketch(
+      df: DataFrame, hashCol: String, tsCol: String,
+      bucketWidth: Long, windows: Seq[Long], k: Int,
+      hashBound: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(hashBound > 0, s"hashBound must be positive, got $hashBound")
+    require(windows.nonEmpty && windows.forall(_ >= 1) &&
+      windows.distinct.size == windows.size,
+      s"windows must be distinct and >= 1, got $windows")
+    require(windows.sum <= ActiveUsersMaxFanout,
+      s"total window lookback ${windows.sum} buckets exceeds the " +
+        s"$ActiveUsersMaxFanout replication budget — widen bucketWidth instead")
+    val a = Caching.spillPersistEager(df.select(col(hashCol).as("__h"),
+      floorDiv(tsCol, bucketWidth).cast("bigint").as("__b")))
+    val mxRow = a.agg(max("__b")).head()
+    if (mxRow.isNullAt(0))
+      return a.select(col("__b").as("bucket"), lit(0L).as("win"),
+        lit(0L).as("n_kept"), lit(null).cast("bigint").as("kth_min"),
+        lit(0L).as("est_active")).limit(0)
+    val mx = mxRow.getLong(0)
+    windows.map { w =>
+      a.select(lit(w).as("win"), col("__h"),
+        explode(sequence(col("__b"),
+          least(col("__b") + (w - 1L), lit(mx)))).as("bucket"))
+    }.reduce(_.unionByName(_))
+      .groupBy(col("bucket"), col("win"))
+      .agg(graft.functions.NativeAgg.kMinDistinct(col("__h"), k).as("__mins"))
+      .select(col("bucket"), col("win"),
+        size(col("__mins")).cast("long").as("n_kept"),
+        when(size(col("__mins")) > 0, element_at(col("__mins"), -1)).as("kth_min"),
+        when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
+          .otherwise(expr(
+            s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * $hashBound) DIV " +
+              "(CAST(element_at(__mins, -1) AS DECIMAL(38,0)) + 1) AS BIGINT)"))
+          .as("est_active"))
+  }
+
   /** STICKINESS (the DAU/MAU ratio): joins two window widths of an
     * [[activeUsers]] result per bucket and reports the short window's
     * actives as an integer-exact permille of the long window's — the

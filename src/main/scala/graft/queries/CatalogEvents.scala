@@ -511,6 +511,45 @@ private[queries] object CatalogEvents {
           CAST((s.ac * 1000) // l.ac AS BIGINT) AS permille_of_long
         FROM a s JOIN a l ON s.bucket = l.bucket AND s.win = 1 AND l.win = 30""")),
 
+    // SKETCHED rolling activity: the billion-key DAU/MAU shape — KMV is
+    // duplicate-insensitive and map-side combinable, so raw events flow
+    // through the bounded coverage fan-out straight into O(k) partial
+    // sketch states with NO corpus-sized distinct; the oracle replays the
+    // whole deterministic sketch (kept count, kth min, integer estimate)
+    // bit-for-bit via the 60-bit md5-prefix hash twin
+    Q("event_active_users_sketch",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"),
+          expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.activeUsersSketch(ev, "h", "ets",
+          bucketWidth = 86400000000L, windows = Seq(1L, 7L, 30L),
+          k = 64, hashBound = 1152921504606846976L)
+      },
+      Some("""WITH e AS (SELECT CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS HUGEINT) AS h,
+          epoch_us(ts) // 86400000000 AS b FROM events),
+        mx AS (SELECT max(b) AS m FROM e),
+        cov AS (SELECT DISTINCT w.win, h, b + u.r AS bucket
+          FROM e, (VALUES (1), (7), (30)) AS w(win),
+            unnest(range(0, w.win)) AS u(r), mx
+          WHERE b + u.r <= mx.m),
+        r AS (SELECT bucket, win, h,
+            row_number() OVER (PARTITION BY bucket, win ORDER BY h) AS rn FROM cov),
+        kk AS (SELECT bucket, win,
+            CAST(count(*) FILTER (rn <= 64) AS BIGINT) AS n_kept,
+            CAST(max(h) FILTER (rn <= 64) AS BIGINT) AS kth_min
+          FROM r GROUP BY 1, 2)
+        SELECT CAST(bucket AS BIGINT) AS bucket, CAST(win AS BIGINT) AS win,
+          n_kept, kth_min,
+          CAST(CASE WHEN n_kept < 64 THEN n_kept
+            ELSE (63::HUGEINT * 1152921504606846976::HUGEINT)
+              // (kth_min::HUGEINT + 1) END AS BIGINT) AS est_active
+        FROM kk""")),
+
     Q("asof_join",
       (s, d) => {
         val ev = t(s, d, "events")
@@ -590,6 +629,47 @@ private[queries] object CatalogEvents {
         SELECT CAST(c AS BIGINT) AS cohort, CAST(b - c AS BIGINT) AS day_offset,
           CAST(count(*) AS BIGINT) AS active_keys
         FROM a JOIN c USING (user_id) GROUP BY 1, 2""")),
+
+    // STREAMING rolling-activity maintenance: the SAME persisted activity
+    // state the retention ingest maintains serves the DAU/WAU/MAU view —
+    // one append-only (key, bucket) state, two serving views; two parity
+    // drops on one checkpoint (late data everywhere), then activeUsersOf
+    // reads the store; oracle = the one-shot coverage count over all events
+    Q("streaming_active_users_ingest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ets"))
+        val src = java.nio.file.Files.createTempDirectory("graft-sau-src")
+        val state = java.nio.file.Files.createTempDirectory("graft-sau-state")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sau-ck")
+        java.nio.file.Files.delete(state)
+        val w = 86400000000L
+        ev.filter(col("event_id") % 2 === 0).select("user_id", "ets")
+          .write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.retentionIngest(s, src.toString, schema,
+          "user_id", "ets", w, state.toString, ckpt.toString)
+        ev.filter(col("event_id") % 2 === 1).select("user_id", "ets")
+          .write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.retentionIngest(s, src.toString, schema,
+          "user_id", "ets", w, state.toString, ckpt.toString)
+        val out = graft.operators.Temporal.activeUsersOf(
+          new graft.store.VersionedTable(s, state.toString).read()
+            .select(col("user_id"), col("bucket")), Seq(1L, 7L, 30L))
+          .localCheckpoint(true)
+        Seq(src, state, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS b FROM events),
+        mx AS (SELECT max(b) AS m FROM act),
+        cov AS (SELECT DISTINCT w.win, user_id, b + u.r AS bucket
+          FROM act, (VALUES (1), (7), (30)) AS w(win),
+            unnest(range(0, w.win)) AS u(r), mx
+          WHERE b + u.r <= mx.m)
+        SELECT CAST(bucket AS BIGINT) AS bucket, CAST(win AS BIGINT) AS win,
+          count(*) AS active_keys
+        FROM cov GROUP BY 1, 2""")),
 
     // batch INTERVAL-OVERLAP join (concurrent sessions across user
     // parity): both sides bucketized, each overlapping pair meets in

@@ -204,6 +204,14 @@ object PlanCheck {
       ("event_active_users_incremental", "rolling-actives fold rides the retention state's broadcast probe: no SMJ on the state, NO window",
         p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
           !p.contains("Window") && !p.contains("CartesianProduct")),
+      ("event_active_users_sketch", "sketched actives: KMV partial-aggregates map-side with NO corpus distinct (no Expand), no window",
+        // the billion-key shape: raw events flow through the coverage
+        // fan-out straight into O(k) partial sketch states — a regression
+        // to a distinct (Expand / extra exchange-agg pair) or a window
+        // would reintroduce the corpus shuffle KMV exists to avoid
+        p => p.contains("partial_graft_kmin_distinct") &&
+          !p.contains("Expand") && !p.contains("Window") &&
+          !p.contains("CartesianProduct")),
       ("dedup_cdc_chunks", "CDC windows keyed (doc-keyed assembly, (h,chunk) verify — never global), no cartesian",
         // a regression to windowspecdefinition(p#...) with no leading
         // partition column would serialize the whole token stream on one

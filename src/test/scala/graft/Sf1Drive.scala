@@ -172,7 +172,8 @@ object Sf1Drive {
       "event_transitions", "event_transitions_2step", "event_transition_rates",
       "event_transitions_incremental", "sessionize",
       "event_active_users", "event_active_users_incremental",
-      "event_stickiness").foreach(run)
+      "event_stickiness", "event_active_users_sketch",
+      "streaming_active_users_ingest").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")
   }

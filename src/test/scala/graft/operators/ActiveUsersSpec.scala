@@ -57,6 +57,33 @@ class ActiveUsersSpec extends SparkSuite {
     assert(got(2L) == ((1L, 3L, 333L)))
   }
 
+  test("sketch: exact below k, duplicate-insensitive, clamps like the exact form") {
+    // hashes ARE the keys here (distinct positive longs), k larger than any
+    // cell's distinct count -> n_kept must equal the exact active count and
+    // est_active must be EXACT, bucket-for-bucket
+    val df = ev((11L, 5L), (22L, 8L), (33L, 2L), (11L, 25L), (11L, 27L), (22L, 21L))
+    val exact = Temporal.activeUsers(df, "user_id", "ts", 10L, Seq(1L, 3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sk = Temporal.activeUsersSketch(df, "user_id", "ts", 10L, Seq(1L, 3L),
+        k = 16, hashBound = 1L << 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    assert(sk.keySet == exact.keySet)
+    sk.foreach { case (cell, (kept, est)) =>
+      assert(kept == exact(cell) && est == exact(cell), s"cell $cell")
+    }
+    // at k below the distinct count the estimate engages: 3 distinct in
+    // bucket 0's win=3 cell with k=2 -> kth_min = 2nd smallest hash
+    val tight = Temporal.activeUsersSketch(df, "user_id", "ts", 10L, Seq(3L),
+        k = 2, hashBound = 1L << 40)
+      .filter(col("bucket") === 0L).collect().head
+    assert(tight.getLong(2) == 2L) // n_kept capped at k
+    // deterministic: kth_min = 2nd smallest of {11, 22, 33} = 22, and the
+    // estimate replays the (k-1)*bound DIV (kth+1) formula exactly
+    assert(tight.getLong(3) == 22L)
+    assert(tight.getLong(4) == (1L << 40) / 23L)
+  }
+
   test("contract refusals: fan-out budget, window order, state shape, empty input") {
     val df = ev((1L, 5L))
     val e = intercept[IllegalArgumentException] {

@@ -242,7 +242,8 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                # oracles replay verbatim (counts over the 10x disjoint-user
                # view; buckets unchanged)
                "event_active_users", "event_active_users_incremental",
-               "event_stickiness"]
+               "event_stickiness", "event_active_users_sketch",
+               "streaming_active_users_ingest"]
 
 
 def main_events(oracle_path):
