@@ -114,7 +114,13 @@ object Bench {
     // 2.706, so 2.7 stands as the cross-box band (the >2x flag rule
     // leaves headroom either way)
     "dedup_minhash_lsh" -> 2.7, "dedup_minhash_incremental" -> 2.2,
-    "dedup_simhash" -> 2.6, "dedup_ngram_jaccard" -> 2.4,
+    // jaccard re-read r16 (r15 verdict item 1: the driver's 4.166 rode a
+    // 1.55x-sentinel window): two certified-quiet runs=5 passes (sentinel
+    // medians 0.122/0.124, all windows clean, 0-2 drained) read min_clean
+    // 2.385/2.463, medians 2.836/2.744 — code byte-identical to the 2.37
+    // r14 reading, so 4.166 was weather as suspected; band nudged 2.4 →
+    // 2.5 to sit on the quiet cluster's upper edge (2.37-2.46)
+    "dedup_simhash" -> 2.6, "dedup_ngram_jaccard" -> 2.5,
     // dedup_semantic's band moved 1.5 → 2.1 at r11's 3dbd051 (the hot-cell
     // refinement join deliberately stopped riding the cached hash(cell)
     // partitioning — skew guard); the r12 "weak" was a stale band, not a
@@ -155,8 +161,14 @@ object Bench {
     "dedup_tfidf_cosine" -> 4.0,
     // r15 first-round bands for the event-analytics headliners: quiet
     // pairs 0.201/0.200 min, 0.222/0.291 median (funnel) and 0.301/0.271
-    // min, 0.377/0.352 median (retention) — de-rated upper edges
-    "event_funnel" -> 0.35, "event_retention" -> 0.5)
+    // min, 0.377/0.352 median (retention) — de-rated upper edges.
+    // RE-CERTIFIED r16 (two quiet runs=5 passes, sentinels 0.122/0.124):
+    // funnel min 0.280/0.297, retention min 0.352/0.356 — both confirmed
+    "event_funnel" -> 0.35, "event_retention" -> 0.5,
+    // r16 first-round bands (r15 verdict item 4), same two quiet passes:
+    // interval overlap min 0.830/0.981 median 1.014/1.026; transitions
+    // min 0.389/0.434 median 0.445/0.488 — de-rated upper edges
+    "interval_overlap_join" -> 1.2, "event_transitions" -> 0.6)
 
   /** A clean reading above this multiple of its band is flagged
     * `over_band` — the same >2×-band rule the round verdicts apply. */
