@@ -196,20 +196,20 @@ object Temporal {
       .drop("__gap_prev", "__new_sess")
   }
 
-  def asofJoin(
-      left: DataFrame,
-      right: DataFrame,
-      leftKey: String,
-      rightKey: String,
-      leftTs: String,
-      rightTs: String,
-      rightPayload: Seq[String],
-      tieBreak: String): DataFrame = {
+  /** The tagged two-sided union all three as-of directions sort: left rows
+    * carry their columns plus null bookkeeping, right rows carry the
+    * payload struct; identical expressions keep the single-direction
+    * plans byte-identical to their pre-refactor form. */
+  private def asofUnion(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String], tieBreak: String, op: String): DataFrame = {
     require(!left.columns.exists(_.startsWith("__")),
-      "asofJoin reserves __-prefixed column names on the left side")
+      s"$op reserves __-prefixed column names on the left side")
     require(rightPayload.nonEmpty && rightPayload.forall(right.columns.contains),
       s"rightPayload must name existing right columns, got $rightPayload")
-    requireLosslessTsCast(left, leftTs, right, rightTs, "asofJoin")
+    requireLosslessTsCast(left, leftTs, right, rightTs, op)
     val payloadStruct = struct(
       (col(rightTs).as("__ts") +: col(tieBreak).as("__tb") +:
         rightPayload.map(col)): _*)
@@ -222,16 +222,29 @@ object Temporal {
         col(leftKey).as("__k") :+ col(leftTs).cast(r.schema("__ts").dataType).as("__ts") :+
         lit(1).as("__side") :+ lit(null).cast(r.schema("__tb").dataType).as("__tb") :+
         lit(null).cast(r.schema("__payload").dataType).as("__payload")): _*)
+    l.unionByName(r.select(l.columns.map {
+      case c @ ("__k" | "__ts" | "__side" | "__tb" | "__payload") => col(c)
+      case c => lit(null).cast(l.schema(c).dataType).as(c)
+    }: _*))
+  }
+
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      tieBreak: String): DataFrame = {
     // right rows sort before left at equal ts (side 0 < 1); among right
     // rows with equal ts, ascending tieBreak means the LAST seen (highest)
     // wins the carry-forward
     val w = Window.partitionBy("__k")
       .orderBy(col("__ts"), col("__side"), col("__tb").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r.select(l.columns.map {
-      case c @ ("__k" | "__ts" | "__side" | "__tb" | "__payload") => col(c)
-      case c => lit(null).cast(l.schema(c).dataType).as(c)
-    }: _*))
+    asofUnion(left, right, leftKey, rightKey, leftTs, rightTs,
+        rightPayload, tieBreak, "asofJoin")
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .drop("__k", "__ts", "__side", "__tb", "__payload")
@@ -892,36 +905,88 @@ object Temporal {
       rightTs: String,
       rightPayload: Seq[String],
       tieBreak: String): DataFrame = {
-    require(!left.columns.exists(_.startsWith("__")),
-      "asofJoinForward reserves __-prefixed column names on the left side")
-    require(rightPayload.nonEmpty && rightPayload.forall(right.columns.contains),
-      s"rightPayload must name existing right columns, got $rightPayload")
-    requireLosslessTsCast(left, leftTs, right, rightTs, "asofJoinForward")
-    val payloadStruct = struct(
-      (col(rightTs).as("__ts") +: col(tieBreak).as("__tb") +:
-        rightPayload.map(col)): _*)
-    val r = right.select(
-      col(rightKey).as("__k"), col(rightTs).as("__ts"),
-      lit(0).as("__side"), col(tieBreak).as("__tb"),
-      payloadStruct.as("__payload"))
-    val l = left.select(
-      (left.columns.map(col) :+
-        col(leftKey).as("__k") :+ col(leftTs).cast(r.schema("__ts").dataType).as("__ts") :+
-        lit(1).as("__side") :+ lit(null).cast(r.schema("__tb").dataType).as("__tb") :+
-        lit(null).cast(r.schema("__payload").dataType).as("__payload")): _*)
     // DESCENDING ts: right rows still sort before left at equal ts
     // (side 0 < 1); among right rows with equal ts, descending tieBreak
     // means the LAST seen (lowest) wins the carry-forward
     val w = Window.partitionBy("__k")
       .orderBy(col("__ts").desc, col("__side"), col("__tb").desc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r.select(l.columns.map {
-      case c @ ("__k" | "__ts" | "__side" | "__tb" | "__payload") => col(c)
-      case c => lit(null).cast(l.schema(c).dataType).as(c)
-    }: _*))
+    asofUnion(left, right, leftKey, rightKey, leftTs, rightTs,
+        rightPayload, tieBreak, "asofJoinForward")
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .drop("__k", "__ts", "__side", "__tb", "__payload")
+  }
+
+  /** NEAREST as-of join — for each left row, the right row with the same
+    * key minimizing `|rightTs − leftTs|` (pandas `merge_asof
+    * direction='nearest'`), completing the backward/forward/nearest
+    * direction family. Both integral timestamps are required (distance
+    * arithmetic). Deterministic tie order, fully specified: equal
+    * distance before/after breaks BACKWARD (the pandas convention);
+    * within a side, the side's own rule applies (backward: highest
+    * `tieBreak` at equal ts; forward: lowest).
+    *
+    * `tolerance`, when set, drops matches farther than it (inclusive:
+    * distance ≤ tolerance matches) — the left row keeps a null match,
+    * exactly pandas' `tolerance=`.
+    *
+    * Shape at scale: the SAME one-shuffle union as the single-direction
+    * joins, with TWO keyed window passes over it (ascending and
+    * descending — one exchange, two sorts) and a pure pick projection;
+    * never an |L|×|R| pairing. */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      tieBreak: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(IntegralTypes.contains(right.schema(rightTs).dataType),
+      s"asofJoinNearest needs an integral right ts column (distance " +
+        s"arithmetic), got ${right.schema(rightTs).dataType}")
+    require(tolerance.forall(_ >= 0),
+      s"tolerance must be non-negative, got $tolerance")
+    val wB = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"), col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("__k")
+      .orderBy(col("__ts").desc, col("__side"), col("__tb").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = asofUnion(left, right, leftKey, rightKey, leftTs, rightTs,
+        rightPayload, tieBreak, "asofJoinNearest")
+      .withColumn("__mb", last(col("__payload"), ignoreNulls = true).over(wB))
+      .withColumn("__mf", last(col("__payload"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+    val db = col("__ts") - col("__mb").getField("__ts")
+    val df = col("__mf").getField("__ts") - col("__ts")
+    val picked = u.withColumn("__match",
+      when(col("__mb").isNull, col("__mf"))
+        .when(col("__mf").isNull, col("__mb"))
+        .when(df < db, col("__mf"))
+        .otherwise(col("__mb"))) // equal distance -> backward
+    val bounded = tolerance.fold(picked) { tol =>
+      picked.withColumn("__match",
+        when(abs(col("__match").getField("__ts") - col("__ts")) <= tol,
+          col("__match")))
+    }
+    bounded.drop("__k", "__ts", "__side", "__tb", "__payload", "__mb", "__mf")
+  }
+
+  /** [[asofJoinSelect]] for the nearest direction. */
+  def asofJoinNearestSelect(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String], tieBreak: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    val joined = asofJoinNearest(left, right, leftKey, rightKey, leftTs,
+      rightTs, rightPayload, tieBreak, tolerance)
+    val unpacked = rightPayload.map(p => col("__match").getField(p).as(s"asof_$p"))
+    joined.select((left.columns.map(col) ++ unpacked): _*)
   }
 
   /** [[asofJoinSelect]] for the forward direction. */

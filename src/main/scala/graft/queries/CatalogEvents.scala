@@ -595,6 +595,39 @@ private[queries] object CatalogEvents {
           WHERE p.user_id = v.user_id AND p.ets >= v.ets
           ORDER BY p.ets, p.event_id LIMIT 1) x ON true""")),
 
+    // NEAREST as-of (the purchase closest in time to each view, either
+    // direction, within a 2-day tolerance — the tolerance binds: 395 of
+    // 1982 views at sf0.01 have no purchase that close): completes the
+    // pandas merge_asof direction family; tie at equal distance breaks
+    // BACKWARD, within a side the side's own tie rule applies — the
+    // oracle's three-level LATERAL sort replays exactly that order
+    Q("asof_join_nearest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ets"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ets"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"),
+            col("user_id").as("p_user"), col("ets").as("pts"))
+        graft.operators.Temporal.asofJoinNearestSelect(views, purch,
+            "user_id", "p_user", "ets", "pts", Seq("p_event_id"), "p_event_id",
+            tolerance = Some(172800000000L))
+          .select(col("event_id"), col("asof_p_event_id").as("nearest_purchase_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+          epoch_us(ts) AS ets FROM events),
+        v AS (SELECT * FROM e WHERE event_type = 'view'),
+        p AS (SELECT * FROM e WHERE event_type = 'purchase')
+        SELECT v.event_id, x.pid AS nearest_purchase_id
+        FROM v LEFT JOIN LATERAL (SELECT p.event_id AS pid FROM p
+          WHERE p.user_id = v.user_id AND abs(p.ets - v.ets) <= 172800000000
+          ORDER BY abs(p.ets - v.ets),
+            CASE WHEN p.ets <= v.ets THEN 0 ELSE 1 END,
+            CASE WHEN p.ets <= v.ets THEN -p.event_id ELSE p.event_id END
+          LIMIT 1) x ON true""")),
+
     // STREAMING retention maintenance: PARITY drops (late data across the
     // batch boundary — retention folds need no ordering contract), each
     // micro-batch APPENDS only its fresh (key, bucket) rows to the state

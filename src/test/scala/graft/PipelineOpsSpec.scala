@@ -488,6 +488,44 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("nearest as-of join: min distance, backward tie, tolerance, brute-force equal") {
+    import graft.operators.Temporal
+    val left = Seq((101L, 1L, 10L), (102L, 1L, 24L), (103L, 1L, 26L), (104L, 2L, 50L))
+      .toDF("ev_id", "k", "ts")
+    val right = Seq((1L, 8L, "a", 1L), (1L, 40L, "d", 4L), (2L, 300L, "z", 5L))
+      .toDF("k", "ts", "v", "rid")
+    val out = Temporal.asofJoinNearestSelect(left, right, "k", "k", "ts", "ts",
+      Seq("v"), "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("asof_v")).orNull).toMap
+    assert(out == Map(
+      101L -> "a", // |10-8|=2 < |40-10|=30
+      102L -> "a", // equal distance 16/16 breaks BACKWARD
+      103L -> "d", // |40-26|=14 < |26-8|=18
+      104L -> "z")) // no tolerance: any distance matches
+    // tolerance: 104's only candidate is 250 away and drops out
+    val tol = Temporal.asofJoinNearestSelect(left, right, "k", "k", "ts", "ts",
+      Seq("v"), "rid", tolerance = Some(20L)).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("asof_v")).orNull).toMap
+    assert(tol == Map(101L -> "a", 102L -> "a", 103L -> "d", 104L -> null))
+    // randomized brute-force cross-check (incl. same-side equal-ts ties:
+    // backward picks highest rid, forward lowest)
+    val rnd = new scala.util.Random(0x5EA7)
+    val L = (0L until 150L).map(i => (i, (i % 7) + 1, rnd.nextInt(60).toLong))
+    val R = (0L until 120L).map(i => ((i % 7) + 1, rnd.nextInt(60).toLong, s"p$i", i))
+    val got = Temporal.asofJoinNearestSelect(
+      L.toDF("ev_id", "k", "ts"), R.toDF("k", "ts", "v", "rid"),
+      "k", "k", "ts", "ts", Seq("v"), "rid", tolerance = Some(7L)).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("asof_v")).orNull).toMap
+    L.foreach { case (id, k, ts) =>
+      val cands = R.filter(r => r._1 == k && math.abs(r._2 - ts) <= 7L)
+      val want = cands.sortBy { r =>
+        val back = r._2 <= ts
+        (math.abs(r._2 - ts), if (back) 0 else 1, if (back) -r._4 else r._4)
+      }.headOption.map(_._3).orNull
+      assert(got(id) == want, s"ev $id")
+    }
+  }
+
   test("salted join and salted count equal their unsalted counterparts") {
     import graft.operators.Skew
     // skewed left: 1000 rows of key=1, a few others

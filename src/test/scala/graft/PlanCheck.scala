@@ -81,6 +81,9 @@ object PlanCheck {
       ("asof_join_forward", "forward as-of = union-sort (keyed window), NOT a join (no |L|x|R| pairing)",
         p => p.contains("windowspecdefinition(__k#") && !p.contains("Join") &&
           !p.contains("CartesianProduct")),
+      ("asof_join_nearest", "nearest as-of = the SAME union with two keyed window passes + a pick projection, NOT a join",
+        p => p.contains("windowspecdefinition(__k#") && !p.contains("Join") &&
+          !p.contains("CartesianProduct")),
       ("interval_overlap_join", "interval overlap rides the bucket equi-join (no cartesian/nested-loop)",
         p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")),

@@ -173,7 +173,7 @@ object Sf1Drive {
       "event_transitions_incremental", "sessionize",
       "event_active_users", "event_active_users_incremental",
       "event_stickiness", "event_active_users_sketch",
-      "streaming_active_users_ingest").foreach(run)
+      "streaming_active_users_ingest", "asof_join_nearest").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")
   }
