@@ -301,6 +301,32 @@ private[queries] object CatalogRelational {
           count(*) AS cnt
         FROM lineitem GROUP BY 1""")),
 
+    // MERGEABLE quantile sketch (the DDSketch/HDR shape in pure integer
+    // arithmetic): binary-mantissa buckets, rank-covering upper edge —
+    // deterministic and integer-exact unlike percentile_approx's
+    // merge-order-dependent GK, and no per-group sort unlike exact
+    // percentile; the oracle replays the whole sketch (bucketing via
+    // length(bin(v)) — identical in both engines — cumulative rank rule,
+    // upper-edge estimate) bit-for-bit
+    Q("agg_quantile_sketch",
+      (s, d) => graft.operators.Sketches.quantileSketch(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("price_cents")),
+        "l_returnflag", "price_cents", qsPermille = Seq(500, 950, 990),
+        mantissaBits = 6),
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+            CAST(round(l_extendedprice*100) AS BIGINT) AS val FROM lineitem),
+        b AS (SELECT g, greatest(length(bin(val)) - 1 - 6, 0) AS shift,
+            val >> greatest(length(bin(val)) - 1 - 6, 0) AS bid, count(*) AS cnt
+          FROM v GROUP BY 1, 2, 3),
+        e AS (SELECT g, cnt, (bid << shift) AS lo,
+            (((bid + 1) << shift) - 1) AS hi FROM b),
+        c AS (SELECT g, hi, sum(cnt) OVER (PARTITION BY g ORDER BY lo) AS cum,
+            sum(cnt) OVER (PARTITION BY g) AS tot FROM e)
+        SELECT g AS l_returnflag, CAST(q.q AS BIGINT) AS q_permille,
+          CAST(min(CASE WHEN cum * 1000 >= q.q * tot THEN hi END) AS BIGINT) AS est
+        FROM c, (VALUES (500), (950), (990)) AS q(q) GROUP BY 1, 2""")),
+
     // PIVOT: order counts per customer segment × order priority, the
     // wide-table reshaping step — oracle via conditional aggregation
     Q("agg_pivot",

@@ -90,6 +90,12 @@ object PlanCheck {
       ("text_distinct_sketch", "KMV sketch partial-aggregates map-side (O(k) state, no distinct shuffle)",
         p => p.contains("partial_graft_kmin_distinct") &&
           !p.contains("Expand")),
+      ("agg_quantile_sketch", "quantile sketch = combinable histogram GROUP BY + keyed windows on the tiny histogram (no data sort, no cartesian)",
+        // the corpus-side work must stay one partial-combined count; the
+        // windows run keyed by group over <= 64*2^k histogram rows
+        p => p.contains("partial_count") &&
+          p.contains("windowspecdefinition(__g#") &&
+          !p.contains("CartesianProduct")),
       ("hybrid_topk", "modality pools via TakeOrdered; fusion join has no cartesian",
         p => p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct")),
       ("text_chunk_windows", "chunking is a pure narrow fan-out (no exchange, no join)",

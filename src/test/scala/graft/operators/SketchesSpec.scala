@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** [[Sketches.quantileSketch]] — binary-mantissa relative-error quantiles:
+  * the estimate covers the true quantile from above within 2^-mantissaBits,
+  * small values are exact, merging is partition-invariant, and negatives
+  * refuse loudly. */
+class SketchesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def exactQuantile(vs: Seq[Long], qPermille: Int): Long = {
+    // the sketch's own rank rule on singleton buckets: first value whose
+    // cumulative count * 1000 >= q * total
+    val sorted = vs.sorted
+    val total = vs.size.toLong
+    sorted.zipWithIndex.collectFirst {
+      case (v, i) if (i + 1) * 1000L >= qPermille * total => v
+    }.get
+  }
+
+  test("estimate covers the true quantile within the relative bound") {
+    val rnd = new scala.util.Random(7)
+    val vs = Seq.fill(5000)(math.abs(rnd.nextLong()) % 100000000L + 1L)
+    val df = vs.map(("g", _)).toDF("g", "v")
+    for (k <- Seq(4, 6, 8)) {
+      val got = Sketches.quantileSketch(df, "g", "v", Seq(500, 950, 990), k)
+        .collect().map(r => r.getLong(1).toInt -> r.getLong(2)).toMap
+      for (q <- Seq(500, 950, 990)) {
+        val truth = exactQuantile(vs, q)
+        val est = got(q)
+        assert(est >= truth, s"k=$k q=$q: est $est below truth $truth")
+        assert(est.toDouble <= truth * (1.0 + math.pow(2, -k)) + 1,
+          s"k=$k q=$q: est $est over bound vs truth $truth")
+      }
+    }
+  }
+
+  test("values below 2^mantissaBits (and zero) are exact") {
+    val vs: Seq[Long] = Seq(0L, 1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L)
+    val df = vs.map(("g", _)).toDF("g", "v")
+    val got = Sketches.quantileSketch(df, "g", "v", Seq(100, 500, 1000),
+        mantissaBits = 6)
+      .collect().map(r => r.getLong(1).toInt -> r.getLong(2)).toMap
+    assert(got(100) == exactQuantile(vs, 100))
+    assert(got(500) == exactQuantile(vs, 500))
+    assert(got(1000) == 55L)
+  }
+
+  test("partition-invariant (mergeable): 1 vs 32 partitions identical") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(3000)((s"g${rnd.nextInt(3)}",
+      math.abs(rnd.nextLong()) % 1000000L))
+    val one = Sketches.quantileSketch(
+      rows.toDF("g", "v").coalesce(1), "g", "v", Seq(500, 990))
+      .collect().map(_.toSeq).toSet
+    val many = Sketches.quantileSketch(
+      rows.toDF("g", "v").repartition(32), "g", "v", Seq(500, 990))
+      .collect().map(_.toSeq).toSet
+    assert(one == many)
+  }
+
+  test("negative values refuse loudly; contract refusals") {
+    val e = intercept[Exception] {
+      Sketches.quantileSketch(Seq(("g", -1L)).toDF("g", "v"),
+        "g", "v", Seq(500)).collect()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("quantileSketch")) ||
+        mentions(t.getCause))
+    assert(mentions(e))
+    intercept[IllegalArgumentException] {
+      Sketches.quantileSketch(Seq(("g", 1L)).toDF("g", "v"), "g", "v", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.quantileSketch(Seq(("g", 1.5)).toDF("g", "v"), "g", "v", Seq(500))
+    }
+  }
+}

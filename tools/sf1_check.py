@@ -149,19 +149,24 @@ LINEITEM = "/root/repo/tmp/sf1/lineitem.parquet/*.parquet"
 
 def main_dv(oracle_path):
     """Deletion-vector DELETE sweep (round 10): store_dv_delete's oracle
-    replays over the 10x synthesized lineitem (see Sf1Drive.runDv)."""
+    replays over the 10x synthesized lineitem (see Sf1Drive.runDv).
+    Round 16 adds agg_quantile_sketch over the same corpus (the sketch
+    oracle replays the bucketing/rank rule verbatim)."""
     sqls = json.load(open(oracle_path))
-    g = "store_dv_delete"
-    con = duckdb.connect()
-    con.execute("SET threads TO 32")
-    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
-    t0 = time.time()
-    n_got, n_ora, m = compare(con, f"SELECT * FROM '{OUT}/{g}/*.parquet'", sqls[g])
-    print(f"{g}: rows={n_got} oracle={n_ora} "
-          f"{'MATCH' if m else 'MISMATCH'} ({time.time() - t0:.0f}s)")
-    con.close()
-    print("SF1 DV SWEEP:", "ALL MATCH" if m else "FAILURES")
-    sys.exit(0 if m else 1)
+    ok = True
+    for g in ["store_dv_delete", "agg_quantile_sketch"]:
+        con = duckdb.connect()
+        con.execute("SET threads TO 32")
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
+        t0 = time.time()
+        n_got, n_ora, m = compare(con, f"SELECT * FROM '{OUT}/{g}/*.parquet'",
+                                  sqls[g])
+        print(f"{g}: rows={n_got} oracle={n_ora} "
+              f"{'MATCH' if m else 'MISMATCH'} ({time.time() - t0:.0f}s)")
+        ok &= m
+        con.close()
+    print("SF1 DV SWEEP:", "ALL MATCH" if ok else "FAILURES")
+    sys.exit(0 if ok else 1)
 
 
 def main_foreign(oracle_path):
