@@ -327,6 +327,42 @@ private[queries] object CatalogRelational {
           CAST(min(CASE WHEN cum * 1000 >= q.q * tot THEN hi END) AS BIGINT) AS est
         FROM c, (VALUES (500), (950), (990)) AS q(q) GROUP BY 1, 2""")),
 
+    // INCREMENTAL quantile sketch: histogram state on even orderkeys
+    // round-trips through parquet, the odd half folds in (counts add —
+    // order-free, late data exact), the served quantiles must equal the
+    // one-shot sketch over everything
+    Q("agg_quantile_sketch_incremental",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_returnflag"),
+          expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("price_cents"))
+        val S = graft.operators.Sketches
+        val dir = java.nio.file.Files.createTempDirectory("graft-qs-state")
+        S.quantileSketchHistogram(li.filter(col("l_orderkey") % 2 === 0),
+            "l_returnflag", "price_cents", mantissaBits = 6)
+          .write.mode("overwrite").parquet(dir.toString)
+        val state = s.read.parquet(dir.toString)
+        val folded = S.quantileSketchFold(state,
+          S.quantileSketchHistogram(li.filter(col("l_orderkey") % 2 === 1),
+            "l_returnflag", "price_cents", mantissaBits = 6))
+        val out = S.quantileSketchOf(folded, Seq(500, 950, 990))
+          .localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+            CAST(round(l_extendedprice*100) AS BIGINT) AS val FROM lineitem),
+        b AS (SELECT g, greatest(length(bin(val)) - 1 - 6, 0) AS shift,
+            val >> greatest(length(bin(val)) - 1 - 6, 0) AS bid, count(*) AS cnt
+          FROM v GROUP BY 1, 2, 3),
+        e AS (SELECT g, cnt, (bid << shift) AS lo,
+            (((bid + 1) << shift) - 1) AS hi FROM b),
+        c AS (SELECT g, hi, sum(cnt) OVER (PARTITION BY g ORDER BY lo) AS cum,
+            sum(cnt) OVER (PARTITION BY g) AS tot FROM e)
+        SELECT g AS l_returnflag, CAST(q.q AS BIGINT) AS q_permille,
+          CAST(min(CASE WHEN cum * 1000 >= q.q * tot THEN hi END) AS BIGINT) AS est
+        FROM c, (VALUES (500), (950), (990)) AS q(q) GROUP BY 1, 2""")),
+
     // PIVOT: order counts per customer segment × order priority, the
     // wide-table reshaping step — oracle via conditional aggregation
     Q("agg_pivot",

@@ -94,7 +94,7 @@ object PlanCheck {
         // the corpus-side work must stay one partial-combined count; the
         // windows run keyed by group over <= 64*2^k histogram rows
         p => p.contains("partial_count") &&
-          p.contains("windowspecdefinition(__g#") &&
+          p.contains("windowspecdefinition(l_returnflag#") &&
           !p.contains("CartesianProduct")),
       ("hybrid_topk", "modality pools via TakeOrdered; fusion join has no cartesian",
         p => p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct")),

@@ -61,6 +61,34 @@ class SketchesSpec extends SparkSuite {
     assert(one == many)
   }
 
+  test("fold: split histograms through parquet serve the one-shot quantiles") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(4000)((s"g${rnd.nextInt(3)}",
+      math.abs(rnd.nextLong()) % 5000000L))
+    val (b1, b2) = rows.splitAt(1500)
+    val oneShot = Sketches.quantileSketch(rows.toDF("g", "v"), "g", "v",
+      Seq(500, 950, 990)).collect().map(_.toSeq).toSet
+    val dir = tmpDir("qs-state")
+    Sketches.quantileSketchHistogram(b1.toDF("g", "v"), "g", "v")
+      .write.mode("overwrite").parquet(dir)
+    val folded = Sketches.quantileSketchFold(spark.read.parquet(dir),
+      Sketches.quantileSketchHistogram(b2.toDF("g", "v"), "g", "v"))
+    val served = Sketches.quantileSketchOf(folded, Seq(500, 950, 990))
+      .collect().map(_.toSeq).toSet
+    assert(served == oneShot)
+    // mismatched mantissaBits refuses (both stamps present in-memory)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.quantileSketchFold(
+        Sketches.quantileSketchHistogram(b1.toDF("g", "v"), "g", "v", 6),
+        Sketches.quantileSketchHistogram(b2.toDF("g", "v"), "g", "v", 4))
+    }
+    assert(e.getMessage.contains("mantissaBits"))
+    // shape refusal
+    intercept[IllegalArgumentException] {
+      Sketches.quantileSketchOf(b1.toDF("g", "v"), Seq(500))
+    }
+  }
+
   test("negative values refuse loudly; contract refusals") {
     val e = intercept[Exception] {
       Sketches.quantileSketch(Seq(("g", -1L)).toDF("g", "v"),

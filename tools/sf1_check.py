@@ -154,7 +154,8 @@ def main_dv(oracle_path):
     oracle replays the bucketing/rank rule verbatim)."""
     sqls = json.load(open(oracle_path))
     ok = True
-    for g in ["store_dv_delete", "agg_quantile_sketch"]:
+    for g in ["store_dv_delete", "agg_quantile_sketch",
+              "agg_quantile_sketch_incremental"]:
         con = duckdb.connect()
         con.execute("SET threads TO 32")
         con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
