@@ -228,6 +228,90 @@ object Temporal {
     }: _*))
   }
 
+  /** Persisted-state form of [[sessionize]]: returns (assigned, frontier)
+    * where `assigned` is the full sessionize output and `frontier` is each
+    * key's LAST event — (key, __last_ts, __last_tie, __last_sess) — the
+    * sufficient statistic for continuing session assignment into the next
+    * batch with [[sessionizeFold]] (a rolling-log pipeline sessionizes
+    * each day against yesterday's frontier instead of re-sorting
+    * history). */
+  def sessionizeState(
+      df: DataFrame, keyCol: String, tsCol: String, maxGap: Long,
+      tieBreak: String): (DataFrame, DataFrame) = {
+    val assigned = sessionize(df, keyCol, tsCol, maxGap, tieBreak)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(tieBreak).desc)
+    val frontier = assigned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col(tsCol).as("__last_ts"),
+        col(tieBreak).as("__last_tie"), col("session_idx").as("__last_sess"))
+    (assigned, frontier)
+  }
+
+  /** Fold a new event batch against a [[sessionizeState]] frontier: the
+    * batch sessionizes with its own keyed windows (batch-sized — history
+    * is never re-sorted), and each key's FIRST batch event either
+    * continues the frontier session (gap ≤ maxGap) or opens the next one;
+    * session indices stay globally consecutive per key. Keys new to the
+    * frontier start at 0.
+    *
+    * Contract (enforced like [[transitionFold]]): batch events for a key
+    * with a frontier must be STRICTLY later than `(last_ts, last_tie)` —
+    * an interleaved event would rewrite assignments already served — and
+    * the fold refuses loudly at execution time. Returns
+    * (assignedBatch — the sessionize output shape, new frontier). The
+    * frontier (|keys|-sized) is probed via broadcast joins and never
+    * shuffles. */
+  def sessionizeFold(
+      frontier: DataFrame, batch: DataFrame, keyCol: String, tsCol: String,
+      maxGap: Long, tieBreak: String): (DataFrame, DataFrame) = {
+    require(maxGap >= 0, "maxGap must be non-negative")
+    require(frontier.columns.toSeq ==
+      Seq(keyCol, "__last_ts", "__last_tie", "__last_sess"),
+      s"frontier must be a sessionizeState frontier, got ${frontier.columns.mkString(", ")}")
+    require(!batch.columns.exists(_.startsWith("__")),
+      "sessionizeFold reserves __-prefixed column names in the batch")
+    val guarded = batch.join(broadcast(frontier), Seq(keyCol), "left")
+      .withColumn(tsCol,
+        when(col("__last_ts").isNotNull &&
+          (col(tsCol) < col("__last_ts") ||
+            (col(tsCol) === col("__last_ts") && col(tieBreak) <= col("__last_tie"))),
+          raise_error(concat(lit("graft sessionizeFold: event for key "),
+            col(keyCol).cast("string"), lit(" at ("), col(tsCol).cast("string"),
+            lit(", "), col(tieBreak).cast("string"),
+            lit(") is not after the folded frontier ("),
+            col("__last_ts").cast("string"), lit(", "),
+            col("__last_tie").cast("string"),
+            lit(") — session assignment requires strictly later batches; " +
+              "rebuild the state from the full history instead"))))
+          .otherwise(col(tsCol)))
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreak))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assigned = guarded
+      .withColumn("__gap_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__gap_prev").isNull,
+          // the key's first batch event: continue the frontier session on
+          // a small-enough gap, else open the next; keys new to the
+          // frontier "open" session 0 (base -1 below)
+          when(col("__last_ts").isNotNull &&
+            col(tsCol) - col("__last_ts") <= maxGap, 0L).otherwise(1L))
+          .otherwise(
+            when(col(tsCol) - col("__gap_prev") > maxGap, 1L).otherwise(0L)))
+      .withColumn("session_idx",
+        coalesce(col("__last_sess"), lit(-1L)) + sum(col("__new_sess")).over(run))
+      .drop("__gap_prev", "__new_sess", "__last_ts", "__last_tie", "__last_sess")
+    val wLast = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(tieBreak).desc)
+    val batchLast = assigned
+      .withColumn("__rl", row_number().over(wLast))
+      .filter(col("__rl") === 1)
+      .select(col(keyCol), col(tsCol).as("__last_ts"),
+        col(tieBreak).as("__last_tie"), col("session_idx").as("__last_sess"))
+    val keptFrontier = frontier
+      .join(broadcast(batchLast.select(col(keyCol))), Seq(keyCol), "left_anti")
+    (assigned, keptFrontier.unionByName(batchLast))
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,

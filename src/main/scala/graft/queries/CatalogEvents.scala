@@ -71,6 +71,40 @@ private[queries] object CatalogEvents {
           count(*) AS n_events, min(ets) AS start_us, max(ets) AS end_us
         FROM s GROUP BY 1, 2""")),
 
+    // INCREMENTAL sessionization: yesterday's per-key frontier (last event
+    // ts/tie/session_idx) continues assignment into today's batch — batch
+    // windows only, history never re-sorted; sessions spanning the cut
+    // must merge and indices stay globally consecutive per key, so the
+    // oracle is the ONE-SHOT assignment over everything
+    Q("event_sessionize_incremental",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min("ets").as("lo"), max("ets").as("hi")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val T = graft.operators.Temporal
+        val (assigned1, f1) = T.sessionizeState(ev.filter(col("ets") <= cut),
+          "user_id", "ets", maxGap = 43200000000L, tieBreak = "event_id")
+        val (assigned2, _) = T.sessionizeFold(f1, ev.filter(col("ets") > cut),
+          "user_id", "ets", maxGap = 43200000000L, tieBreak = "event_id")
+        assigned1.unionByName(assigned2)
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min("ets").as("start_us"), max("ets").as("end_us"))
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ets,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events),
+        s AS (SELECT user_id, ets,
+          SUM(CASE WHEN gap IS NULL OR gap > 43200000000 THEN 1 ELSE 0 END) OVER
+            (PARTITION BY user_id ORDER BY ets, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        FROM g)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          count(*) AS n_events, min(ets) AS start_us, max(ets) AS end_us
+        FROM s GROUP BY 1, 2""")),
+
     // ordered funnel (view → click → purchase): earliest qualifying chain
     // per user — one map-side-combinable MIN per step, keyed joins, no
     // windows; completes the event-analytics family next to sessionize

@@ -199,6 +199,10 @@ object PlanCheck {
         p => p.contains("windowspecdefinition(user_id#") &&
           p.contains("BroadcastHashJoin") &&
           !p.contains("CartesianProduct")),
+      ("event_sessionize_incremental", "sessionize fold: batch windows keyed BY USER, frontier broadcast, no cartesian (history never re-sorted)",
+        p => p.contains("windowspecdefinition(user_id#") &&
+          p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct")),
       ("event_transitions_2step", "k-step transition window keyed BY USER too",
         p => p.contains("windowspecdefinition(user_id#") &&
           !p.contains("CartesianProduct")),

@@ -173,7 +173,8 @@ object Sf1Drive {
       "event_transitions_incremental", "sessionize",
       "event_active_users", "event_active_users_incremental",
       "event_stickiness", "event_active_users_sketch",
-      "streaming_active_users_ingest", "asof_join_nearest").foreach(run)
+      "streaming_active_users_ingest", "asof_join_nearest",
+      "event_sessionize_incremental").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")
   }

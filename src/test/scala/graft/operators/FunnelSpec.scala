@@ -446,4 +446,44 @@ class FunnelSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("distinct"))
   }
+
+  test("sessionize fold: cross-cut merge, index continuity, new keys, refusals") {
+    def df(s: Seq[(Long, Long, Long)]) = s.toDF("u", "eid", "ts")
+    // user 1: sessions (10,20 | 100) in batch 1; batch 2 continues 100's
+    // session at 105 (gap 5 <= 30) then opens another at 200.
+    // user 2 is new in batch 2.
+    val b1 = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 100L))
+    val b2 = Seq((1L, 4L, 105L), (1L, 5L, 200L), (2L, 6L, 7L))
+    val (a1, f1) = Temporal.sessionizeState(df(b1), "u", "ts",
+      maxGap = 30L, tieBreak = "eid")
+    val (a2, _) = Temporal.sessionizeFold(f1, df(b2), "u", "ts",
+      maxGap = 30L, tieBreak = "eid")
+    val got = a1.unionByName(a2).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap // eid -> session_idx
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, // batch 1
+      4L -> 1L, // merges into the frontier session
+      5L -> 2L, // next consecutive index
+      6L -> 0L)) // new key starts at 0
+    // identity vs one-shot on the aggregated shape
+    val oneShot = Temporal.sessionize(df(b1 ++ b2), "u", "ts", 30L, "eid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val inc = a1.unionByName(a2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(inc == oneShot)
+    // an interleaved (not strictly later) batch refuses loudly
+    val e = intercept[Exception] {
+      Temporal.sessionizeFold(f1, df(Seq((1L, 9L, 50L))), "u", "ts",
+        30L, "eid")._1.collect()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("sessionizeFold")) ||
+        mentions(t.getCause))
+    assert(mentions(e))
+    // __-prefixed batch columns refuse
+    intercept[IllegalArgumentException] {
+      Temporal.sessionizeFold(f1,
+        Seq((1L, 9L, 500L, "x")).toDF("u", "eid", "ts", "__last_ts"),
+        "u", "ts", 30L, "eid")
+    }
+  }
 }

@@ -249,7 +249,8 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                # view; buckets unchanged)
                "event_active_users", "event_active_users_incremental",
                "event_stickiness", "event_active_users_sketch",
-               "streaming_active_users_ingest", "asof_join_nearest"]
+               "streaming_active_users_ingest", "asof_join_nearest",
+               "event_sessionize_incremental"]
 
 
 def main_events(oracle_path):
