@@ -326,6 +326,55 @@ private[queries] object CatalogEvents {
             + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
 
+    // STREAMING sessionization maintenance (the fourth maintainer): two
+    // time-cut drops on one checkpoint — drop 2 sessionizes against the
+    // persisted frontier only (history never re-sorted), cross-drop
+    // sessions merge, indices stay consecutive; the appended assignments
+    // table aggregated per session must equal the one-shot oracle
+    Q("streaming_sessions_ingest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min("ets").as("lo"), max("ets").as("hi")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val src = java.nio.file.Files.createTempDirectory("graft-ssi-src")
+        val assign = java.nio.file.Files.createTempDirectory("graft-ssi-assign")
+        val frontier = java.nio.file.Files.createTempDirectory("graft-ssi-frontier")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-ssi-ck")
+        java.nio.file.Files.delete(assign)
+        java.nio.file.Files.delete(frontier)
+        ev.filter(col("ets") <= cut)
+          .write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.sessionsIngest(s, src.toString, schema,
+          "user_id", "ets", 43200000000L, "event_id",
+          assign.toString, frontier.toString, ckpt.toString)
+        ev.filter(col("ets") > cut)
+          .write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.sessionsIngest(s, src.toString, schema,
+          "user_id", "ets", 43200000000L, "event_id",
+          assign.toString, frontier.toString, ckpt.toString)
+        val out = new graft.store.VersionedTable(s, assign.toString).read()
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min("ets").as("start_us"), max("ets").as("end_us"))
+          .localCheckpoint(true)
+        Seq(src, assign, frontier, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ets,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events),
+        s AS (SELECT user_id, ets,
+          SUM(CASE WHEN gap IS NULL OR gap > 43200000000 THEN 1 ELSE 0 END) OVER
+            (PARTITION BY user_id ORDER BY ets, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        FROM g)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          count(*) AS n_events, min(ets) AS start_us, max(ets) AS end_us
+        FROM s GROUP BY 1, 2""")),
+
     // trailing-window rate features (events + spend in the last 2 days,
     // per event): ONE keyed RANGE-frame window — frames are by value, so
     // same-timestamp events see each other symmetrically and no tie-break

@@ -445,6 +445,75 @@ object StreamingIngest {
     q
   }
 
+  /** STREAMING sessionization maintenance — the fourth sibling: each
+    * micro-batch sessionizes against the persisted per-key frontier
+    * ([[graft.operators.Temporal.sessionizeFold]] — batch-sized keyed
+    * windows, history never re-sorted), APPENDS its assigned rows to the
+    * assignments table, and rewrites the frontier — both under ONE
+    * (appId, batchId) watermark, the frontier LAST. Replay: a
+    * fully-applied batch skips the fold (the frontier watermark implies
+    * the assignments'; re-folding against the advanced frontier trips
+    * the strictly-later refusal); a partial retry (assignments
+    * committed, frontier not) re-folds against the OLD frontier — the
+    * same assignment — and the append no-ops on its own watermark.
+    * Serve sessions any time by reading `assignDir`. */
+  def sessionsIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCol: String,
+      tsCol: String,
+      maxGap: Long,
+      tieBreak: String,
+      assignDir: String,
+      frontierDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val appId = "sessionsIngest-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sessionsIngestBatch(batch, batchId, keyCol, tsCol, maxGap, tieBreak,
+          assignDir, frontierDir, appId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  private[graft] def sessionsIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      keyCol: String,
+      tsCol: String,
+      maxGap: Long,
+      tieBreak: String,
+      assignDir: String,
+      frontierDir: String,
+      appId: String): Unit = {
+    import graft.operators.Temporal
+    val s = batch.sparkSession
+    val aTbl = new graft.store.VersionedTable(s, assignDir)
+    val fTbl = new graft.store.VersionedTable(s, frontierDir)
+    // fully-applied replay: skip the fold entirely (see scaladoc)
+    if (fTbl.exists && fTbl.txnApplied(appId, batchId)) return
+    val ev = batch.select(keyCol, tsCol, tieBreak).toDF()
+    val (assigned, f1) =
+      if (fTbl.exists)
+        Temporal.sessionizeFold(fTbl.read(), ev, keyCol, tsCol, maxGap, tieBreak)
+      else Temporal.sessionizeState(ev, keyCol, tsCol, maxGap, tieBreak)
+    // materialize BOTH before either commit (the frontier derives from the
+    // files being replaced; eager evaluation also surfaces the fold's
+    // strictly-later refusal inside THIS batch)
+    val ac = assigned.localCheckpoint(true)
+    val fc = f1.localCheckpoint(true)
+    aTbl.appendIdempotent(ac, appId, batchId)
+    fTbl.overwriteIdempotent(fc, appId, batchId)
+  }
+
   private[graft] def transitionsIngestBatch(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long,

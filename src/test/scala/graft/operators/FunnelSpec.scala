@@ -423,6 +423,33 @@ class FunnelSpec extends SparkSuite {
     val _ = SparkSuite
   }
 
+  test("sessions ingest batch: replay is a no-op, assignments stay exactly-once") {
+    val s = spark
+    import s.implicits._
+    val aDir = java.nio.file.Files.createTempDirectory("sspec-a").toString
+    val fDir = java.nio.file.Files.createTempDirectory("sspec-f").toString
+    new java.io.File(aDir).delete()
+    new java.io.File(fDir).delete()
+    def batch(rows: Seq[(Long, Long, Long)], id: Long): Unit =
+      graft.streaming.StreamingIngest.sessionsIngestBatch(
+        rows.toDF("u", "eid", "ts"), id,
+        "u", "ts", 30L, "eid", aDir, fDir, "spec-app")
+    batch(Seq((1L, 1L, 10L), (1L, 2L, 100L)), 0L) // sessions 0 | 1
+    batch(Seq((1L, 3L, 105L), (2L, 4L, 7L)), 1L)  // merges into 1; new key
+    def assigned() = new graft.store.VersionedTable(s, aDir).read()
+      .collect().map(r => r.getAs[Long]("eid") -> r.getAs[Long]("session_idx")).toMap
+    val a = assigned()
+    assert(a == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // foreachBatch retry: same batchId — no duplicate assignment rows, no
+    // frontier double-advance, no strictly-later refusal
+    batch(Seq((1L, 3L, 105L), (2L, 4L, 7L)), 1L)
+    assert(assigned() == a)
+    assert(new graft.store.VersionedTable(s, aDir).read().count() == 4L)
+    val f = new graft.store.VersionedTable(s, fDir).read().collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(f == Map(1L -> 1L, 2L -> 0L)) // last session idx per key
+  }
+
   test("transition rates: rows normalize to their from-row total, truncating") {
     val ev = Seq(
       (1L, 1L, "A", 1L), (1L, 2L, "B", 2L), (1L, 3L, "A", 3L), (1L, 4L, "C", 4L),
