@@ -375,6 +375,46 @@ private[queries] object CatalogEvents {
           count(*) AS n_events, min(ets) AS start_us, max(ets) AS end_us
         FROM s GROUP BY 1, 2""")),
 
+    // STREAMING quantile-sketch maintenance (the fifth maintainer): two
+    // PARITY drops on one checkpoint — histogram folds are additive and
+    // order-free, so late data across the drop boundary is exact — then
+    // the served per-type value quantiles must equal the one-shot sketch
+    Q("streaming_quantiles_ingest",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+          expr("CAST(round(value*100) AS BIGINT)").as("value_cents"))
+        val src = java.nio.file.Files.createTempDirectory("graft-sqi-src")
+        val hist = java.nio.file.Files.createTempDirectory("graft-sqi-hist")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sqi-ck")
+        java.nio.file.Files.delete(hist)
+        ev.filter(col("event_id") % 2 === 0).drop("event_id")
+          .write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.quantilesIngest(s, src.toString, schema,
+          "event_type", "value_cents", 6, hist.toString, ckpt.toString)
+        ev.filter(col("event_id") % 2 === 1).drop("event_id")
+          .write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.quantilesIngest(s, src.toString, schema,
+          "event_type", "value_cents", 6, hist.toString, ckpt.toString)
+        val out = graft.operators.Sketches.quantileSketchOf(
+          new graft.store.VersionedTable(s, hist.toString).read(),
+          Seq(500, 950, 990)).localCheckpoint(true)
+        Seq(src, hist, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some("""WITH v AS (SELECT event_type AS g,
+            CAST(round(value*100) AS BIGINT) AS val FROM events),
+        b AS (SELECT g, greatest(length(bin(val)) - 1 - 6, 0) AS shift,
+            val >> greatest(length(bin(val)) - 1 - 6, 0) AS bid, count(*) AS cnt
+          FROM v GROUP BY 1, 2, 3),
+        e AS (SELECT g, cnt, (bid << shift) AS lo,
+            (((bid + 1) << shift) - 1) AS hi FROM b),
+        c AS (SELECT g, hi, sum(cnt) OVER (PARTITION BY g ORDER BY lo) AS cum,
+            sum(cnt) OVER (PARTITION BY g) AS tot FROM e)
+        SELECT g AS event_type, CAST(q.q AS BIGINT) AS q_permille,
+          CAST(min(CASE WHEN cum * 1000 >= q.q * tot THEN hi END) AS BIGINT) AS est
+        FROM c, (VALUES (500), (950), (990)) AS q(q) GROUP BY 1, 2""")),
+
     // trailing-window rate features (events + spend in the last 2 days,
     // per event): ONE keyed RANGE-frame window — frames are by value, so
     // same-timestamp events see each other symmetrically and no tie-break

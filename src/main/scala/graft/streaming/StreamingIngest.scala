@@ -514,6 +514,58 @@ object StreamingIngest {
     fTbl.overwriteIdempotent(fc, appId, batchId)
   }
 
+  /** STREAMING quantile-sketch maintenance — the fifth maintainer: each
+    * micro-batch's bucket histogram
+    * ([[graft.operators.Sketches.quantileSketchHistogram]]) folds into the
+    * persisted one (counts ADD — order-free, late data exact) under an
+    * (appId, batchId) watermark; a replayed batch skips the fold via
+    * `txnApplied` (an additive re-fold would double-count — the same
+    * exactly-once rule as the transition matrix). Serve quantiles any
+    * time with `Sketches.quantileSketchOf(table.read(), qs)`. */
+  def quantilesIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      groupCol: String,
+      valueCol: String,
+      mantissaBits: Int,
+      histDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val appId = "quantilesIngest-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        quantilesIngestBatch(batch, batchId, groupCol, valueCol, mantissaBits,
+          histDir, appId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  private[graft] def quantilesIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      groupCol: String,
+      valueCol: String,
+      mantissaBits: Int,
+      histDir: String,
+      appId: String): Unit = {
+    import graft.operators.Sketches
+    val s = batch.sparkSession
+    val tbl = new graft.store.VersionedTable(s, histDir)
+    // additive fold: a replayed batch would double-count — skip it
+    if (tbl.exists && tbl.txnApplied(appId, batchId)) return
+    val h = Sketches.quantileSketchHistogram(
+      batch.select(groupCol, valueCol).toDF(), groupCol, valueCol, mantissaBits)
+    val next = if (tbl.exists) Sketches.quantileSketchFold(tbl.read(), h) else h
+    tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
+  }
+
   private[graft] def transitionsIngestBatch(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long,

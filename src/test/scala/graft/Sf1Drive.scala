@@ -174,7 +174,8 @@ object Sf1Drive {
       "event_active_users", "event_active_users_incremental",
       "event_stickiness", "event_active_users_sketch",
       "streaming_active_users_ingest", "asof_join_nearest",
-      "event_sessionize_incremental", "streaming_sessions_ingest").foreach(run)
+      "event_sessionize_incremental", "streaming_sessions_ingest",
+      "streaming_quantiles_ingest").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")
   }

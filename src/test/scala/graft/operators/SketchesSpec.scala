@@ -89,6 +89,25 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("quantiles ingest batch: replay is a no-op (additive fold never double-counts)") {
+    val dir = tmpDir("qspec-h")
+    new java.io.File(dir).delete()
+    def batch(rows: Seq[(String, Long)], id: Long): Unit =
+      graft.streaming.StreamingIngest.quantilesIngestBatch(
+        rows.toDF("g", "v"), id, "g", "v", 6, dir, "spec-app")
+    batch(Seq(("a", 10L), ("a", 20L)), 0L)
+    batch(Seq(("a", 30L)), 1L)
+    def total() = new graft.store.VersionedTable(spark, dir).read()
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(total() == 3L)
+    batch(Seq(("a", 30L)), 1L) // foreachBatch retry: must not double-count
+    assert(total() == 3L)
+    val served = Sketches.quantileSketchOf(
+      new graft.store.VersionedTable(spark, dir).read(), Seq(1000))
+      .collect().head.getLong(2)
+    assert(served == 30L) // max is exact below 2^6
+  }
+
   test("negative values refuse loudly; contract refusals") {
     val e = intercept[Exception] {
       Sketches.quantileSketch(Seq(("g", -1L)).toDF("g", "v"),

@@ -250,7 +250,8 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                "event_active_users", "event_active_users_incremental",
                "event_stickiness", "event_active_users_sketch",
                "streaming_active_users_ingest", "asof_join_nearest",
-               "event_sessionize_incremental", "streaming_sessions_ingest"]
+               "event_sessionize_incremental", "streaming_sessions_ingest",
+               "streaming_quantiles_ingest"]
 
 
 def main_events(oracle_path):
