@@ -441,6 +441,38 @@ object TextCorpus {
     * column is ALL null keeps an empty array: it reports n_kept 0,
     * kth_min NULL (guarded — a bare element_at(-1) on an empty array
     * throws under ANSI mode) and est_distinct 0. */
+  /** DETERMINISTIC fixed-size per-group sample — bottom-k by hash: each
+    * group keeps the k rows with the SMALLEST caller-supplied non-negative
+    * hash (ties to the lowest id). The hash is the randomness, so the
+    * sample is uniform yet fully deterministic and externally replayable
+    * (`row_number() OVER (ORDER BY hash, id) <= k` in any engine) — the
+    * reservoir-sampling replacement whose result does not depend on
+    * partitioning, merge order, or a seed side-channel.
+    *
+    * Shape at 100 TB: O(k) state per group riding the
+    * [[graft.functions.NativeAgg.topKPairs]] bounded-heap aggregate —
+    * map-side combinable, so a fixed-size per-source sample never sorts
+    * or materializes the long tail the way the row_number window would.
+    * Rows with a null hash or id never enter (SQL aggregate semantics);
+    * negative hashes refuse loudly at execution time. Returns
+    * (group, sample_rank 1..k by ascending hash, id). */
+  def sampleBottomK(
+      df: DataFrame, groupCol: String, idCol: String, hashCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val guarded = when(col(hashCol) < 0, raise_error(concat(
+        lit(s"graft sampleBottomK: negative hash in $hashCol ("),
+        col(hashCol).cast("string"),
+        lit(") — supply a non-negative hash (md5-prefix convention)"))))
+      .otherwise(col(hashCol))
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.NativeAgg.topKPairs(
+        guarded * -1L, col(idCol), k).as("__kept"))
+      .select(col(groupCol), posexplode(col("__kept")))
+      .select(col(groupCol), (col("pos") + 1L).cast("long").as("sample_rank"),
+        col("col.p").as(idCol))
+  }
+
   def distinctSketch(
       df: DataFrame, groupCol: String, hashCol: String, k: Int,
       hashBound: Long): DataFrame = {

@@ -58,6 +58,29 @@ private[queries] object CatalogCorpus {
               // (kth_min::HUGEINT + 1) END AS BIGINT) AS est_distinct
         FROM kk""")),
 
+    // DETERMINISTIC fixed-size per-group sample (bottom-k by hash): the
+    // reservoir replacement whose result depends on nothing but the data —
+    // O(k) bounded-heap state per group, map-side combinable, no
+    // row_number sort of the long tail; the oracle replays the identical
+    // hash order, so the sampled ids match row-for-row
+    Q("sample_bottomk",
+      (s, d) => TextCorpus.sampleBottomK(
+        t(s, d, "documents").select(col("lang"), col("doc_id"),
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h")),
+        "lang", "doc_id", "h", k = 20),
+      Some("""WITH h AS (SELECT lang, doc_id,
+          CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS HUGEINT) AS hv
+          FROM documents),
+        r AS (SELECT lang, doc_id,
+            row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+          FROM h)
+        SELECT lang, CAST(rn AS BIGINT) AS sample_rank, doc_id
+        FROM r WHERE rn <= 20""")),
+
     Q("text_token_count",
       (s, d) => t(s, d, "documents").select(
         col("doc_id"),

@@ -90,6 +90,8 @@ object PlanCheck {
       ("text_distinct_sketch", "KMV sketch partial-aggregates map-side (O(k) state, no distinct shuffle)",
         p => p.contains("partial_graft_kmin_distinct") &&
           !p.contains("Expand")),
+      ("sample_bottomk", "bottom-k sample = O(k) bounded-heap partial agg, NO row_number window over the tail",
+        p => p.contains("partial_graft_topk") && !p.contains("Window")),
       ("agg_quantile_sketch", "quantile sketch = combinable histogram GROUP BY + keyed windows on the tiny histogram (no data sort, no cartesian)",
         // the corpus-side work must stay one partial-combined count; the
         // windows run keyed by group over <= 64*2^k histogram rows

@@ -86,7 +86,7 @@ object Sf1Drive {
     // halves MIX copies on the shared time axis, so its output is
     // quadratic in users by design — the operator's cost is output-bound,
     // not a scaling defect.)
-    "text_distinct_sketch")
+    "text_distinct_sketch", "sample_bottomk")
 
   /** Embedding gates: the two SemDeDup gates replay the Catalog entry
     * verbatim; the three retrieval gates mirror the Catalog entry's code

@@ -43,7 +43,10 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          "text_dup_ngram_coverage", "text_top_ngram_coverage",
          # round-15: KMV distinct sketch — the oracle replays the whole
          # sketch (kept set, kth min, integer-exact estimate) verbatim
-         "text_distinct_sketch"]
+         "text_distinct_sketch",
+         # round-16: deterministic bottom-k-by-hash sample — the oracle
+         # replays the identical (hash, id) order over the 10x corpus
+         "sample_bottomk"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
