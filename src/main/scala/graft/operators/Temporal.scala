@@ -271,7 +271,13 @@ object Temporal {
       s"frontier must be a sessionizeState frontier, got ${frontier.columns.mkString(", ")}")
     require(!batch.columns.exists(_.startsWith("__")),
       "sessionizeFold reserves __-prefixed column names in the batch")
-    val guarded = batch.join(broadcast(frontier), Seq(keyCol), "left")
+    // the guard join keys on keyCol with NO broadcast hint: the frontier
+    // is |all keys ever seen| — forcing it into a broadcast would ship the
+    // whole state to every task (the transitionFold rule); the planner
+    // broadcasts it only while it is genuinely small. The anti-join below
+    // broadcasts the BATCH's key set instead, so the kept-frontier side
+    // still never shuffles.
+    val guarded = batch.join(frontier, Seq(keyCol), "left")
       .withColumn(tsCol,
         when(col("__last_ts").isNotNull &&
           (col(tsCol) < col("__last_ts") ||
