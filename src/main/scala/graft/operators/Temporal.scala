@@ -795,8 +795,13 @@ object Temporal {
     require(windows.sum <= ActiveUsersMaxFanout,
       s"total window lookback ${windows.sum} buckets exceeds the " +
         s"$ActiveUsersMaxFanout replication budget — widen bucketWidth instead")
-    val a = Caching.spillPersistEager(df.select(col(hashCol).as("__h"),
-      floorDiv(tsCol, bucketWidth).cast("bigint").as("__b")))
+    // NOT persisted: the projection is corpus-sized (unlike the exact
+    // form's post-distinct activity relation), so the frontier scalar
+    // comes from its own pushdown-friendly source scan and the coverage
+    // pass streams the source a second time — two scans beat materializing
+    // 100 TB of (hash, bucket) rows
+    val a = df.select(col(hashCol).as("__h"),
+      floorDiv(tsCol, bucketWidth).cast("bigint").as("__b"))
     val mxRow = a.agg(max("__b")).head()
     if (mxRow.isNullAt(0))
       return a.select(col("__b").as("bucket"), lit(0L).as("win"),
