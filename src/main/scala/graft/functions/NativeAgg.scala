@@ -308,6 +308,102 @@ case class KMinDistinct(
   override def prettyName: String = "graft_kmin_distinct"
 }
 
+/** HyperLogLog register state: `m = 2^p` register maxima over a
+  * `hashBits`-bit non-negative hash. Register index = top `p` hash bits;
+  * rho = 1 + leading zeros of the remaining `F = hashBits − p` bits
+  * (`F + 1` for an all-zero remainder). Registers are element-wise-MAX
+  * mergeable — max is idempotent AND commutative, the strongest fold
+  * class (replays and late data are exact by construction, no txn guard
+  * needed) — and with a deterministic hash the whole state is bit-for-bit
+  * replayable by any engine that can count leading zeros (the DuckDB
+  * oracle replays it via `length(bin(rem))`). */
+final class HllState(val m: Int, val hashBits: Int, val p: Int) {
+  val registers = new Array[Byte](m)
+
+  def offer(h: Long): Unit = {
+    if (h < 0L || (hashBits < 63 && h >= (1L << hashBits)))
+      throw new IllegalArgumentException(
+        s"graft_hll_registers: hash $h outside [0, 2^$hashBits) — the " +
+          "register/rho split needs the declared hash width; fix the hash " +
+          "projection upstream")
+    val f = hashBits - p
+    val reg = (h >>> f).toInt
+    val rem = h & ((1L << f) - 1L)
+    val rho = if (rem == 0L) f + 1
+      else f - (64 - java.lang.Long.numberOfLeadingZeros(rem)) + 1
+    if (rho > registers(reg)) registers(reg) = rho.toByte
+  }
+
+  def mergeIn(other: HllState): Unit = {
+    var i = 0
+    while (i < m) {
+      if (other.registers(i) > registers(i)) registers(i) = other.registers(i)
+      i += 1
+    }
+  }
+}
+
+/** HLL register maxima per group as a TypedImperativeAggregate: O(m)
+  * state per group with map-side partial aggregation — the fixed-size
+  * complement to [[KMinDistinct]]'s O(k) order-dependent state (KMV keeps
+  * the k smallest hashes; HLL keeps 2^p leading-zero maxima — pick KMV
+  * when small counts must be EXACT, HLL when the state must be
+  * fixed-size and the fold idempotent). Output: array<int> of length m
+  * (register maxima, 0 = never touched). The estimator lives caller-side
+  * (see [[graft.operators.Sketches.hllSketch]]), integer-exactly. */
+case class HllRegisters(
+    child: Expression, p: Int, hashBits: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllState] {
+  require(p >= 4 && p <= 14, s"p must be in [4, 14] (16..16384 registers), got $p")
+  require(hashBits > p && hashBits <= 61,
+    s"hashBits must be in (p, 61] so the 2^(F+1) inverse-power sums fit a " +
+      s"BIGINT, got $hashBits")
+
+  private def m: Int = 1 << p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_registers expects bigint, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): HllState = new HllState(m, hashBits, p)
+
+  override def update(b: HllState, input: InternalRow): HllState = {
+    val v = child.eval(input)
+    if (v != null) b.offer(v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: HllState, other: HllState): HllState = {
+    b.mergeIn(other)
+    b
+  }
+
+  override def eval(b: HllState): Any =
+    new GenericArrayData(b.registers.map(_.toInt))
+
+  override def serialize(b: HllState): Array[Byte] = b.registers.clone()
+
+  override def deserialize(bytes: Array[Byte]): HllState = {
+    val b = new HllState(m, hashBits, p)
+    System.arraycopy(bytes, 0, b.registers, 0, m)
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HllRegisters =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllRegisters =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllRegisters =
+    copy(child = newChildren(0))
+  override def prettyName: String = "graft_hll_registers"
+}
+
 /** Column-API entry points for the native aggregates. */
 object NativeAgg {
   def kMinDistinct(hash: Column, k: Int): Column =
@@ -318,5 +414,8 @@ object NativeAgg {
       .toAggregateExpression())
   def misraGries(item: Column, capacity: Int): Column =
     Bridge.column(MisraGries(Bridge.expression(item), capacity)
+      .toAggregateExpression())
+  def hllRegisters(hash: Column, p: Int, hashBits: Int): Column =
+    Bridge.column(HllRegisters(Bridge.expression(hash), p, hashBits)
       .toAggregateExpression())
 }

@@ -113,6 +113,168 @@ object Sketches {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  // ------------------------------------------------------------------- HLL
+
+  private val HllMetaP = "graft.hll.p"
+  private val HllMetaBits = "graft.hll.hashBits"
+
+  /** The HLL bias-correction constant α_m scaled to MICROS — an integer
+    * single-sourced here and interpolated into both the Spark estimate
+    * expression and the DuckDB oracle (the dsirExpTableX1e6 discipline),
+    * so the two engines cannot diverge on a floating-point constant. The
+    * classic practical values from the HyperLogLog paper (α₁₆ = 0.673,
+    * α₃₂ = 0.697, α₆₄ = 0.709, α_m = 0.7213/(1 + 1.079/m) above). */
+  def hllAlphaMicro(p: Int): Long = p match {
+    case 4 => 673000L
+    case 5 => 697000L
+    case 6 => 709000L
+    case _ => math.floor(721300.0 / (1.0 + 1.079 / (1L << p))).toLong
+  }
+
+  /** The raw-HLL integer estimate from a `sum_inv` column:
+    * `est = (α_micro · m² · 2^Q) DIV (sum_inv · 10^6)` with
+    * `Q = hashBits − p + 1`, evaluated in DECIMAL(38,0) (the factors
+    * individually fit a BIGINT but their product does not; the full
+    * product tops out near 2^p·2^62·10^6 ≈ 10^31 « 10^38). NO
+    * small-range linear-counting correction: ln() is not integer-exactly
+    * replayable across engines, so the raw formula (biased high below
+    * ~5m/2 true distinct) is the whole contract — `zero_regs` is emitted
+    * so callers can see when LC would have applied, and [[TextCorpus
+    * .distinctSketch]]'s KMV covers the exact-small regime. */
+  private[graft] def hllEstimateFromSumInv(p: Int, hashBits: Int): org.apache.spark.sql.Column = {
+    val m = 1L << p
+    val q = hashBits - p + 1
+    expr(s"CAST((CAST(${hllAlphaMicro(p)} AS DECIMAL(38,0)) * " +
+      s"CAST(${m * m} AS DECIMAL(38,0)) * CAST(${1L << q} AS DECIMAL(38,0))) DIV " +
+      "(CAST(sum_inv AS DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0))) AS BIGINT)")
+  }
+
+  /** (zero_regs, sum_inv) from an HLL register array column: the two
+    * integer sufficient statistics of the estimate —
+    * `sum_inv = Σ_j 2^(Q − M[j])` (the 2^Q-denominator rational form of
+    * Σ 2^−M[j]; an untouched register contributes 2^Q exactly via
+    * `Q − 0`). Higher-order array functions, codegen-friendly, no
+    * explode. */
+  private[graft] def hllStatsCols(p: Int, hashBits: Int,
+      regsCol: String): Seq[org.apache.spark.sql.Column] = {
+    val q = hashBits - p + 1
+    Seq(
+      expr(s"CAST(size(filter($regsCol, r -> r = 0)) AS BIGINT)").as("zero_regs"),
+      expr(s"aggregate($regsCol, CAST(0 AS BIGINT), " +
+        s"(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), $q - r))").as("sum_inv"))
+  }
+
+  /** Per-group HyperLogLog distinct estimate, integer-exact and
+    * hash-deterministic: `m = 2^p` register maxima over a caller-supplied
+    * non-negative `hashBits`-bit hash column
+    * ([[graft.functions.NativeAgg.hllRegisters]]), reduced to
+    * (group, zero_regs, sum_inv, est_distinct) — every number replayable
+    * bit-for-bit by the DuckDB oracle (register split via shifts, rho via
+    * `length(bin(rem))`, the estimate via the single-sourced
+    * [[hllAlphaMicro]] in HUGEINT division).
+    *
+    * vs [[TextCorpus.distinctSketch]]'s KMV: HLL state is FIXED-SIZE
+    * (m bytes — no TreeSet churn on hash-ordered inserts) and its merge is
+    * element-wise max — idempotent and commutative, the strongest fold
+    * class, so the persisted form ([[hllRegisterState]]/[[hllFold]]) is
+    * replay-safe with NO txn guard. KMV wins when counts below k must be
+    * exact. Relative error ~1.04/√m (~13% at p = 6, ~3% at p = 10).
+    * Shape at scale: ONE shuffle keyed by group with O(m) map-side
+    * partial states — no corpus-sized distinct, no per-group sort. */
+  def hllSketch(
+      df: DataFrame, groupCol: String, hashCol: String,
+      p: Int, hashBits: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.NativeAgg.hllRegisters(col(hashCol), p, hashBits)
+        .as("__regs"))
+      .select((col(groupCol) +: hllStatsCols(p, hashBits, "__regs")): _*)
+      .withColumn("est_distinct", hllEstimateFromSumInv(p, hashBits))
+
+  /** The PERSISTED form of [[hllSketch]]: the nonzero registers as
+    * relational (group, reg, rho) rows — at most m per group, a
+    * Delta-friendly state table. `p`/`hashBits` are stamped in the `reg`
+    * column's metadata so a mismatched fold refuses instead of silently
+    * mixing register geometries. Fold with [[hllFold]] (element-wise max:
+    * idempotent AND commutative — late data, replays, and any batch order
+    * are exact by construction, no txnApplied guard needed, unlike the
+    * count-additive histogram folds); serve with [[hllOf]]. */
+  def hllRegisterState(
+      df: DataFrame, groupCol: String, hashCol: String,
+      p: Int, hashBits: Int): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(HllMetaP, p.toLong).putLong(HllMetaBits, hashBits.toLong).build()
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.NativeAgg.hllRegisters(col(hashCol), p, hashBits)
+        .as("__regs"))
+      .select(col(groupCol), posexplode(col("__regs")).as(Seq("reg", "rho")))
+      .filter(col("rho") > 0)
+      .select(col(groupCol), col("reg").as("reg", meta), col("rho"))
+  }
+
+  private def requireHllState(state: DataFrame, op: String): Unit =
+    require(state.columns.length == 3 &&
+      state.columns.drop(1).toSeq == Seq("reg", "rho"),
+      s"$op expects an hllRegisterState (group, reg, rho), " +
+        s"got ${state.columns.mkString(", ")}")
+
+  private def hllStamp(df: DataFrame): Option[(Long, Long)] = {
+    val m = df.schema("reg").metadata
+    if (m.contains(HllMetaP) && m.contains(HllMetaBits))
+      Some((m.getLong(HllMetaP), m.getLong(HllMetaBits)))
+    else None // read back from storage that dropped metadata
+  }
+
+  /** Fold a new batch's register state into a persisted one: per
+    * (group, reg) the rho MAXIMUM — one tiny aggregate over
+    * register-count-sized data. Max is idempotent, so replaying a batch
+    * (or folding overlapping batches) cannot corrupt the state. Both
+    * sides must carry the same geometry stamp when stamps survived
+    * storage. */
+  def hllFold(state: DataFrame, batch: DataFrame): DataFrame = {
+    requireHllState(state, "hllFold")
+    requireHllState(batch, "hllFold")
+    (hllStamp(state), hllStamp(batch)) match {
+      case (Some(a), Some(b)) =>
+        require(a == b,
+          s"hll register geometries differ (p/hashBits $a vs $b) — mixing " +
+            "them corrupts the sketch")
+      case _ =>
+    }
+    val g = state.columns.head
+    state.unionByName(batch.withColumnRenamed(batch.columns.head, g))
+      .groupBy(col(g), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Serving view of an [[hllRegisterState]]: the [[hllSketch]] output
+    * computed from the stored nonzero registers (absent registers
+    * contribute 2^Q each) — one aggregate over the tiny state, no corpus
+    * re-scan. A stored rho outside [1, Q] refuses loudly at execution
+    * time (a silent negative shift would corrupt the estimate). */
+  def hllOf(state: DataFrame, p: Int, hashBits: Int): DataFrame = {
+    requireHllState(state, "hllOf")
+    hllStamp(state).foreach { case (sp, sb) =>
+      require(sp == p.toLong && sb == hashBits.toLong,
+        s"state is stamped p=$sp/hashBits=$sb but hllOf was called with " +
+          s"p=$p/hashBits=$hashBits")
+    }
+    val g = state.columns.head
+    val m = 1L << p
+    val q = hashBits - p + 1
+    val term = when(col("rho") < 1 || col("rho") > q, raise_error(concat(
+        lit(s"graft hllOf: stored rho outside [1, $q] ("),
+        col("rho").cast("string"),
+        lit(") — the state does not match this register geometry"))))
+      .otherwise(expr(s"shiftleft(CAST(1 AS BIGINT), $q - rho)"))
+    state.groupBy(col(g))
+      .agg(count(lit(1)).as("__nz"), sum(term).as("__si"))
+      .select(col(g),
+        (lit(m) - col("__nz")).cast("long").as("zero_regs"),
+        (col("__si") + (lit(m) - col("__nz")) * lit(1L << q)).cast("long")
+          .as("sum_inv"))
+      .withColumn("est_distinct", hllEstimateFromSumInv(p, hashBits))
+  }
+
   /** Serving view of a histogram state: the [[quantileSketch]] output —
     * keyed windows + one aggregate over the tiny histogram, no corpus
     * re-scan. */

@@ -825,6 +825,51 @@ object Temporal {
           .as("est_active"))
   }
 
+  /** HLL-sketched rolling activity — [[activeUsersSketch]] with the KMV
+    * replaced by HyperLogLog register maxima
+    * ([[graft.operators.Sketches.hllSketch]] semantics per (bucket, win)
+    * cell): fixed m = 2^p bytes of state per cell whatever the traffic,
+    * and a max-mergeable (idempotent) partial state — the variant to
+    * reach for when cells are huge and the maintainer must tolerate
+    * replays. Same bounded coverage fan-out, same single keyed shuffle,
+    * NO corpus-sized distinct. Returns
+    * (bucket, win, zero_regs, sum_inv, est_active) — integer-exact and
+    * hash-deterministic, replayed bit-for-bit by the DuckDB oracle. */
+  def activeUsersHll(
+      df: DataFrame, hashCol: String, tsCol: String,
+      bucketWidth: Long, windows: Seq[Long], p: Int, hashBits: Int): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(windows.nonEmpty && windows.forall(_ >= 1) &&
+      windows.distinct.size == windows.size,
+      s"windows must be distinct and >= 1, got $windows")
+    require(windows.sum <= ActiveUsersMaxFanout,
+      s"total window lookback ${windows.sum} buckets exceeds the " +
+        s"$ActiveUsersMaxFanout replication budget — widen bucketWidth instead")
+    // same two-scan shape as the KMV form: the corpus-sized (hash, bucket)
+    // projection is NOT persisted — the frontier scalar gets its own
+    // pushdown-friendly scan
+    val a = df.select(col(hashCol).as("__h"),
+      floorDiv(tsCol, bucketWidth).cast("bigint").as("__b"))
+    val mxRow = a.agg(max("__b")).head()
+    if (mxRow.isNullAt(0))
+      return a.select(col("__b").as("bucket"), lit(0L).as("win"),
+        lit(0L).as("zero_regs"), lit(0L).as("sum_inv"),
+        lit(0L).as("est_active")).limit(0)
+    val mx = mxRow.getLong(0)
+    windows.map { w =>
+      a.select(lit(w).as("win"), col("__h"),
+        explode(sequence(col("__b"),
+          least(col("__b") + (w - 1L), lit(mx)))).as("bucket"))
+    }.reduce(_.unionByName(_))
+      .groupBy(col("bucket"), col("win"))
+      .agg(graft.functions.NativeAgg.hllRegisters(col("__h"), p, hashBits)
+        .as("__regs"))
+      .select((col("bucket") +: col("win") +:
+        graft.operators.Sketches.hllStatsCols(p, hashBits, "__regs")): _*)
+      .withColumn("est_active",
+        graft.operators.Sketches.hllEstimateFromSumInv(p, hashBits))
+  }
+
   /** STICKINESS (the DAU/MAU ratio): joins two window widths of an
     * [[activeUsers]] result per bucket and reports the short window's
     * actives as an integer-exact permille of the long window's — the
@@ -1107,5 +1152,91 @@ object Temporal {
       rightPayload, tieBreak)
     val unpacked = rightPayload.map(p => col("__match").getField(p).as(s"asof_$p"))
     joined.select((left.columns.map(col) ++ unpacked): _*)
+  }
+
+  /** The bounded per-gap replication budget of [[gapFill]]: a single gap
+    * wider than this many buckets refuses loudly at EXECUTION time (a
+    * mis-sized `bucketWidth` against sparse keys would otherwise explode
+    * one row into millions — the intervalJoin fan-out rule). */
+  val GapFillMaxGap: Long = 4096L
+
+  /** TIME-SERIES GAP-FILL / resample: per key, a DENSE bucket grid from
+    * that key's first to last observation, each missing bucket filled from
+    * its neighbors — the classic feature-pipeline regularization step
+    * (sensor/metric series → fixed-cadence model inputs).
+    *
+    * `mode`:
+    *  - `"locf"` — last observation carried forward.
+    *  - `"linear"` — integer-exact interpolation toward the next
+    *    observation: `v + sign(nv − v) · (|nv − v| · (out − b)) DIV (nb − b)`
+    *    — the sign factored out so the truncating division is always
+    *    non-negative and replays identically in engines whose integer
+    *    division rounds differently (Spark `DIV` truncates toward zero,
+    *    DuckDB `//` floors).
+    *
+    *  Buckets are floor division of the integral `tsCol`; within a
+    * (key, bucket) the LATEST observation wins, deterministically —
+    * ties on `tsCol` break to the larger (`tieBreak`, `valueCol`)
+    * (struct-max, total order). `valueCol` must be integral (the
+    * integer-exactness house rule for `linear`; enforced for both modes
+    * for output-type stability).
+    *
+    * Shape at scale: one combinable per-(key, bucket) aggregate (the only
+    * corpus shuffle), ONE keyed window for the next-observation lookahead
+    * (no grid join, no global sort), then a bounded `sequence` explode
+    * that writes each gap's fill rows directly — gaps wider than
+    * [[GapFillMaxGap]] buckets refuse loudly at execution time via the
+    * raise_error-in-projection house pattern. Output:
+    * (key, bucket, <valueCol>, is_observed), one row per key per bucket in
+    * the key's observed span. */
+  def gapFill(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      tieBreak: String, bucketWidth: Long, mode: String = "locf"): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(mode == "locf" || mode == "linear",
+      s"mode must be 'locf' or 'linear', got '$mode'")
+    require(IntegralTypes.contains(df.schema(tsCol).dataType),
+      s"tsCol $tsCol must be integral, got ${df.schema(tsCol).dataType}")
+    require(IntegralTypes.contains(df.schema(valueCol).dataType),
+      s"valueCol $valueCol must be integral (got " +
+        s"${df.schema(valueCol).dataType}) — scale to cents/micros first, " +
+        "the integer-exactness house rule")
+    require(!df.columns.exists(_.startsWith("__")),
+      s"gapFill input must not carry __-prefixed columns, got " +
+        df.columns.filter(_.startsWith("__")).mkString(", "))
+    // latest observation per (key, bucket): struct-max is deterministic
+    // under the (ts, tieBreak, value) total order and map-side combinable
+    val obs = df
+      .select(col(keyCol), floorDiv(tsCol, bucketWidth).cast("bigint").as("__b"),
+        col(tsCol).cast("bigint").as("__ts"),
+        col(tieBreak).cast("bigint").as("__tie"),
+        col(valueCol).cast("bigint").as("__v"))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(max(struct(col("__ts"), col("__tie"), col("__v"))).as("__top"))
+      .select(col(keyCol), col("__b"), col("__top.__v").as("__v"))
+    val w = Window.partitionBy(keyCol).orderBy(col("__b"))
+    val withNext = obs
+      .withColumn("__nb", lead(col("__b"), 1).over(w))
+      .withColumn("__nv", lead(col("__v"), 1).over(w))
+    val gapGuarded = withNext.withColumn("__end",
+      when(col("__nb").isNotNull && col("__nb") - col("__b") > GapFillMaxGap,
+        raise_error(concat(
+          lit(s"graft gapFill: a gap of "), (col("__nb") - col("__b")).cast("string"),
+          lit(s" buckets exceeds the $GapFillMaxGap replication budget — " +
+            "widen bucketWidth or split the series upstream"))))
+        .otherwise(coalesce(col("__nb") - 1L, col("__b"))))
+    val filled = gapGuarded
+      .select(col(keyCol), col("__b"), col("__v"), col("__nv"), col("__end"),
+        explode(sequence(col("__b"), col("__end"))).as("bucket"))
+    val value = mode match {
+      case "locf" => col("__v")
+      case "linear" =>
+        when(col("bucket") === col("__b") || col("__nv").isNull, col("__v"))
+          .otherwise(col("__v") +
+            signum(col("__nv") - col("__v")).cast("bigint") *
+              expr("(abs(__nv - __v) * (bucket - __b)) DIV (__end + 1 - __b)"))
+    }
+    filled.select(col(keyCol), col("bucket"), value.as(valueCol),
+      (col("bucket") === col("__b")).as("is_observed"))
   }
 }

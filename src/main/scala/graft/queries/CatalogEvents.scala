@@ -415,6 +415,56 @@ private[queries] object CatalogEvents {
           CAST(min(CASE WHEN cum * 1000 >= q.q * tot THEN hi END) AS BIGINT) AS est
         FROM c, (VALUES (500), (950), (990)) AS q(q) GROUP BY 1, 2""")),
 
+    // STREAMING HLL maintenance: distinct users per event type maintained
+    // across two micro-batch polls — the only maintainer whose fold needs
+    // no replay guard (register max is idempotent); the served estimate
+    // must equal the one-shot HLL over everything, replayed bit-for-bit by
+    // the oracle
+    Q("streaming_hll_ingest",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+          expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+        val src = java.nio.file.Files.createTempDirectory("graft-shll-src")
+        val st = java.nio.file.Files.createTempDirectory("graft-shll-state")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-shll-ck")
+        java.nio.file.Files.delete(st)
+        ev.filter(col("event_id") % 2 === 0).drop("event_id")
+          .write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.hllIngest(s, src.toString, schema,
+          "event_type", "h", 6, 60, st.toString, ckpt.toString)
+        ev.filter(col("event_id") % 2 === 1).drop("event_id")
+          .write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.hllIngest(s, src.toString, schema,
+          "event_type", "h", 6, 60, st.toString, ckpt.toString)
+        val out = graft.operators.Sketches.hllOf(
+          new graft.store.VersionedTable(s, st.toString).read(), 6, 60)
+          .localCheckpoint(true)
+        Seq(src, st, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some(s"""WITH e AS (SELECT event_type AS g,
+            CAST(list_sum(list_transform(range(1, 16),
+              i -> CAST(strpos('0123456789abcdef',
+                  substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1
+                AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h
+          FROM events),
+        r AS (SELECT g, h >> 54 AS reg,
+            CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+              ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1))) END AS rho
+          FROM e),
+        mx AS (SELECT g, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+        st AS (SELECT g, count(*) AS nz,
+            sum(1::HUGEINT << (55 - rho)) AS si FROM mx GROUP BY 1),
+        tt AS (SELECT g, CAST(64 - nz AS BIGINT) AS zero_regs,
+            si + (64 - nz)::HUGEINT * (1::HUGEINT << 55) AS siall FROM st)
+        SELECT g AS event_type, zero_regs, CAST(siall AS BIGINT) AS sum_inv,
+          CAST((${graft.operators.Sketches.hllAlphaMicro(6)}::HUGEINT * 4096
+              * (1::HUGEINT << 55)) // (siall * 1000000) AS BIGINT)
+            AS est_distinct
+        FROM tt""")),
+
     // trailing-window rate features (events + spend in the last 2 days,
     // per event): ONE keyed RANGE-frame window — frames are by value, so
     // same-timestamp events see each other symmetrically and no tie-break
@@ -672,6 +722,101 @@ private[queries] object CatalogEvents {
             ELSE (63::HUGEINT * 1152921504606846976::HUGEINT)
               // (kth_min::HUGEINT + 1) END AS BIGINT) AS est_active
         FROM kk""")),
+
+    // HLL-sketched rolling activity: the same bounded coverage fan-out as
+    // the KMV form but with FIXED-SIZE (2^p-byte) idempotent-max register
+    // state per (bucket, win) cell — the variant for huge cells and
+    // replay-tolerant maintainers; the oracle replays registers, the
+    // inverse-power sum, and the alpha-micro estimate bit-for-bit
+    Q("event_active_users_hll",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"),
+          expr("ts div 1000").as("ets"))
+        graft.operators.Temporal.activeUsersHll(ev, "h", "ets",
+          bucketWidth = 86400000000L, windows = Seq(1L, 7L, 30L),
+          p = 6, hashBits = 60)
+      },
+      Some(s"""WITH e AS (SELECT CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h,
+          epoch_us(ts) // 86400000000 AS b FROM events),
+        mx AS (SELECT max(b) AS m FROM e),
+        cov AS (SELECT DISTINCT w.win, h, b + u.r AS bucket
+          FROM e, (VALUES (1), (7), (30)) AS w(win),
+            unnest(range(0, w.win)) AS u(r), mx
+          WHERE b + u.r <= mx.m),
+        r AS (SELECT bucket, win, h >> 54 AS reg,
+            CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+              ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1))) END AS rho
+          FROM cov),
+        mreg AS (SELECT bucket, win, reg, max(rho) AS rho
+          FROM r GROUP BY 1, 2, 3),
+        st AS (SELECT bucket, win, count(*) AS nz,
+            sum(1::HUGEINT << (55 - rho)) AS si FROM mreg GROUP BY 1, 2),
+        tt AS (SELECT bucket, win, CAST(64 - nz AS BIGINT) AS zero_regs,
+            si + (64 - nz)::HUGEINT * (1::HUGEINT << 55) AS siall FROM st)
+        SELECT CAST(bucket AS BIGINT) AS bucket, CAST(win AS BIGINT) AS win,
+          zero_regs, CAST(siall AS BIGINT) AS sum_inv,
+          CAST((${graft.operators.Sketches.hllAlphaMicro(6)}::HUGEINT * 4096
+              * (1::HUGEINT << 55)) // (siall * 1000000) AS BIGINT)
+            AS est_active
+        FROM tt""")),
+
+    // TIME-SERIES GAP-FILL (LOCF): per user, the daily spend series
+    // regularized to a dense per-day grid, missing days carried forward —
+    // the feature-pipeline resample step; one combinable per-(key, bucket)
+    // aggregate + ONE keyed window + a bounded gap explode (no grid join),
+    // gaps past the budget refuse loudly
+    Q("timeseries_gapfill",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          expr("ts div 1000").as("ets"), col("event_id"),
+          cents(col("value")).as("value_cents"))
+        graft.operators.Temporal.gapFill(ev, "user_id", "ets", "value_cents",
+          tieBreak = "event_id", bucketWidth = 86400000000L, mode = "locf")
+      },
+      Some("""WITH e AS (SELECT user_id AS k,
+            epoch_us(ts) // 86400000000 AS b, epoch_us(ts) AS ets, event_id,
+            CAST(round(value*100) AS BIGINT) AS v FROM events),
+        o AS (SELECT k, b, v FROM (SELECT k, b, v, row_number() OVER (
+            PARTITION BY k, b ORDER BY ets DESC, event_id DESC, v DESC) AS rn
+          FROM e) WHERE rn = 1),
+        n AS (SELECT k, b, v,
+            lead(b) OVER (PARTITION BY k ORDER BY b) AS nb FROM o)
+        SELECT k AS user_id, CAST(b + u.r AS BIGINT) AS bucket,
+          CAST(v AS BIGINT) AS value_cents, (u.r = 0) AS is_observed
+        FROM n, unnest(range(0, coalesce(nb - b, 1))) AS u(r)""")),
+
+    // LINEAR gap-fill: same grid, missing days interpolated toward the
+    // next observation with the sign factored out of the truncating
+    // division — `v + sign(nv−v)·(|nv−v|·r) DIV (nb−b)` — so Spark's
+    // toward-zero DIV and DuckDB's flooring // agree on every gap
+    Q("timeseries_interpolate",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          expr("ts div 1000").as("ets"), col("event_id"),
+          cents(col("value")).as("value_cents"))
+        graft.operators.Temporal.gapFill(ev, "user_id", "ets", "value_cents",
+          tieBreak = "event_id", bucketWidth = 86400000000L, mode = "linear")
+      },
+      Some("""WITH e AS (SELECT user_id AS k,
+            epoch_us(ts) // 86400000000 AS b, epoch_us(ts) AS ets, event_id,
+            CAST(round(value*100) AS BIGINT) AS v FROM events),
+        o AS (SELECT k, b, v FROM (SELECT k, b, v, row_number() OVER (
+            PARTITION BY k, b ORDER BY ets DESC, event_id DESC, v DESC) AS rn
+          FROM e) WHERE rn = 1),
+        n AS (SELECT k, b, v,
+            lead(b) OVER (PARTITION BY k ORDER BY b) AS nb,
+            lead(v) OVER (PARTITION BY k ORDER BY b) AS nv FROM o)
+        SELECT k AS user_id, CAST(b + u.r AS BIGINT) AS bucket,
+          CAST(CASE WHEN u.r = 0 OR nv IS NULL THEN v
+            ELSE v + (CASE WHEN nv >= v THEN 1 ELSE -1 END)
+              * ((abs(nv - v) * u.r) // (nb - b)) END AS BIGINT) AS value_cents,
+          (u.r = 0) AS is_observed
+        FROM n, unnest(range(0, coalesce(nb - b, 1))) AS u(r)""")),
 
     Q("asof_join",
       (s, d) => {

@@ -363,6 +363,90 @@ private[queries] object CatalogRelational {
           CAST(min(CASE WHEN cum * 1000 >= q.q * tot THEN hi END) AS BIGINT) AS est
         FROM c, (VALUES (500), (950), (990)) AS q(q) GROUP BY 1, 2""")),
 
+    // HYPERLOGLOG distinct sketch: m = 2^p register maxima over the 60-bit
+    // md5-prefix hash twin — fixed-size mergeable state (the complement to
+    // the KMV text_distinct_sketch: HLL state is m bytes whatever the
+    // cardinality and its fold is idempotent max), with the whole statistic
+    // (zero registers, the 2^Q-rational inverse-power sum, the alpha-micro
+    // integer estimate) replayed bit-for-bit by the oracle: register split
+    // via shifts, rho via length(bin(rem)) — minimal binary rendering in
+    // both engines — estimate in HUGEINT division with the SAME
+    // single-sourced alpha constant
+    Q("agg_hll_distinct",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_returnflag"),
+          expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+        graft.operators.Sketches.hllSketch(li, "l_returnflag", "h",
+          p = 6, hashBits = 60)
+      },
+      Some(s"""WITH e AS (SELECT l_returnflag AS g,
+            CAST(list_sum(list_transform(range(1, 16),
+              i -> CAST(strpos('0123456789abcdef',
+                  substr(md5(CAST(l_orderkey AS VARCHAR)), i, 1)) - 1
+                AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h
+          FROM lineitem),
+        r AS (SELECT g, h >> 54 AS reg,
+            CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+              ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1))) END AS rho
+          FROM e),
+        mx AS (SELECT g, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+        st AS (SELECT g, count(*) AS nz,
+            sum(1::HUGEINT << (55 - rho)) AS si FROM mx GROUP BY 1),
+        tt AS (SELECT g, CAST(64 - nz AS BIGINT) AS zero_regs,
+            si + (64 - nz)::HUGEINT * (1::HUGEINT << 55) AS siall FROM st)
+        SELECT g AS l_returnflag, zero_regs, CAST(siall AS BIGINT) AS sum_inv,
+          CAST((${graft.operators.Sketches.hllAlphaMicro(6)}::HUGEINT * 4096
+              * (1::HUGEINT << 55)) // (siall * 1000000) AS BIGINT)
+            AS est_distinct
+        FROM tt""")),
+
+    // INCREMENTAL HLL: nonzero registers persisted as relational
+    // (group, reg, rho) rows, the odd half folded in TWICE — the fold is
+    // an idempotent element-wise max, so the deliberate replay is exact by
+    // construction (no txnApplied guard, unlike the count-additive
+    // histogram fold) and the served estimate must equal the one-shot
+    // sketch over everything
+    Q("agg_hll_incremental",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_returnflag"),
+          expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+        val S = graft.operators.Sketches
+        val dir = java.nio.file.Files.createTempDirectory("graft-hll-state")
+        S.hllRegisterState(li.filter(col("l_orderkey") % 2 === 0),
+            "l_returnflag", "h", p = 6, hashBits = 60)
+          .write.mode("overwrite").parquet(dir.toString)
+        val state = s.read.parquet(dir.toString)
+        val batch = S.hllRegisterState(li.filter(col("l_orderkey") % 2 === 1),
+          "l_returnflag", "h", p = 6, hashBits = 60)
+        val folded = S.hllFold(S.hllFold(state, batch), batch) // replay: max is idempotent
+        val out = S.hllOf(folded, p = 6, hashBits = 60).localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some(s"""WITH e AS (SELECT l_returnflag AS g,
+            CAST(list_sum(list_transform(range(1, 16),
+              i -> CAST(strpos('0123456789abcdef',
+                  substr(md5(CAST(l_orderkey AS VARCHAR)), i, 1)) - 1
+                AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h
+          FROM lineitem),
+        r AS (SELECT g, h >> 54 AS reg,
+            CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+              ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1))) END AS rho
+          FROM e),
+        mx AS (SELECT g, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+        st AS (SELECT g, count(*) AS nz,
+            sum(1::HUGEINT << (55 - rho)) AS si FROM mx GROUP BY 1),
+        tt AS (SELECT g, CAST(64 - nz AS BIGINT) AS zero_regs,
+            si + (64 - nz)::HUGEINT * (1::HUGEINT << 55) AS siall FROM st)
+        SELECT g AS l_returnflag, zero_regs, CAST(siall AS BIGINT) AS sum_inv,
+          CAST((${graft.operators.Sketches.hllAlphaMicro(6)}::HUGEINT * 4096
+              * (1::HUGEINT << 55)) // (siall * 1000000) AS BIGINT)
+            AS est_distinct
+        FROM tt""")),
+
     // PIVOT: order counts per customer segment × order priority, the
     // wide-table reshaping step — oracle via conditional aggregation
     Q("agg_pivot",

@@ -566,6 +566,61 @@ object StreamingIngest {
     tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
   }
 
+  /** STREAMING HLL maintenance — the sixth maintainer, and the only one
+    * whose fold needs NO replay protection: register maxima are
+    * idempotent AND commutative, so a replayed or late batch folds to the
+    * bit-identical state by construction — the `txnApplied` guard the
+    * additive folds (quantiles, transitions) require is structurally
+    * unnecessary here, which is exactly why HLL is the sketch to reach for
+    * in at-least-once pipelines. Serve the estimate any time with
+    * `Sketches.hllOf(table.read(), p, hashBits)`. */
+  def hllIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      groupCol: String,
+      hashCol: String,
+      p: Int,
+      hashBits: Int,
+      stateDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val appId = "hllIngest-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        hllIngestBatch(batch, batchId, groupCol, hashCol, p, hashBits,
+          stateDir, appId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  private[graft] def hllIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      groupCol: String,
+      hashCol: String,
+      p: Int,
+      hashBits: Int,
+      stateDir: String,
+      appId: String): Unit = {
+    import graft.operators.Sketches
+    val s = batch.sparkSession
+    val tbl = new graft.store.VersionedTable(s, stateDir)
+    // deliberately NO txnApplied skip: a replayed batch max-folds to the
+    // identical registers, and the idempotent commit below no-ops — the
+    // fold itself is the exactly-once mechanism
+    val bs = Sketches.hllRegisterState(
+      batch.select(groupCol, hashCol).toDF(), groupCol, hashCol, p, hashBits)
+    val next = if (tbl.exists) Sketches.hllFold(tbl.read(), bs) else bs
+    tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
+  }
+
   private[graft] def transitionsIngestBatch(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long,

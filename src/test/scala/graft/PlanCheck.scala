@@ -227,6 +227,17 @@ object PlanCheck {
         p => p.contains("partial_graft_kmin_distinct") &&
           !p.contains("Expand") && !p.contains("Window") &&
           !p.contains("CartesianProduct")),
+      ("agg_hll_distinct", "HLL: registers partial-aggregate map-side (one keyed shuffle), NO distinct/Expand, no window",
+        // the fixed-state sketch shape: a regression to count(DISTINCT)
+        // (Expand + double exchange) or a window would reintroduce the
+        // corpus shuffle the m-byte registers exist to avoid
+        p => p.contains("partial_graft_hll_registers") &&
+          !p.contains("Expand") && !p.contains("Window") &&
+          !p.contains("CartesianProduct")),
+      ("event_active_users_hll", "HLL actives: coverage fan-out straight into partial registers — NO corpus distinct, no window",
+        p => p.contains("partial_graft_hll_registers") &&
+          !p.contains("Expand") && !p.contains("Window") &&
+          !p.contains("CartesianProduct")),
       ("dedup_cdc_chunks", "CDC windows keyed (doc-keyed assembly, (h,chunk) verify — never global), no cartesian",
         // a regression to windowspecdefinition(p#...) with no leading
         // partition column would serialize the whole token stream on one
@@ -242,6 +253,30 @@ object PlanCheck {
       if (!pass) failed += 1
       println(f"${if (pass) "PASS" else "FAIL"}  $name%-22s $what")
     }
+    // HLL fold/serve on raw states (the gate checkpoints its result, which
+    // truncates the returned plan): the fold must stay a partial-max
+    // combinable aggregate over the tiny register relation — no
+    // sort-merge join, no window
+    locally {
+      import org.apache.spark.sql.functions.{col, expr}
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
+        col("l_orderkey"), col("l_returnflag"),
+        expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      val S = graft.operators.Sketches
+      val a = S.hllRegisterState(li.filter(col("l_orderkey") % 2 === 0),
+        "l_returnflag", "h", 6, 60)
+      val b = S.hllRegisterState(li.filter(col("l_orderkey") % 2 === 1),
+        "l_returnflag", "h", 6, 60)
+      val out = S.hllOf(S.hllFold(a, b), 6, 60)
+      out.collect()
+      val p = out.queryExecution.executedPlan.toString
+      val pass = p.contains("partial_max") && !p.contains("SortMergeJoin") &&
+        !p.contains("Window") && !p.contains("CartesianProduct")
+      if (!pass) failed += 1
+      println(f"${if (pass) "PASS" else "FAIL"}  agg_hll_incremental    fold = partial-max combinable aggregate over the register state (no SMJ, no window)")
+    }
+
     // probe-strategy incremental dedup: the history side must reach the
     // plan as a narrow scan probed by broadcast semi/anti joins — never a
     // sort-merge shuffle (the gate checkpoints its result, so this checks
