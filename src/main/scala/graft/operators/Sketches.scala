@@ -275,6 +275,143 @@ object Sketches {
       .withColumn("est_distinct", hllEstimateFromSumInv(p, hashBits))
   }
 
+  // ------------------------------------------------------------- COUNT-MIN
+
+  private val CmMetaDepth = "graft.cm.depth"
+  private val CmMetaWidth = "graft.cm.width"
+
+  /** The count-min row-hash family: `cell_i = ((h·A_i + B_i) mod P) mod w`
+    * over the Mersenne prime P = 2^61 − 1 — pairwise-independent affine
+    * mixing of a caller-supplied non-negative < 2^60 hash, evaluated in
+    * DECIMAL(38,0) on the Spark side and HUGEINT in the DuckDB oracle
+    * (h·A < 2^122 < 10^38, exact in both). The constants are fixed odd
+    * literals single-sourced here ([[countMinHashRows]] renders them as a
+    * SQL VALUES list for the oracle, the dsirExpTableX1e6 discipline). */
+  val CountMinPrime: Long = (1L << 61) - 1
+
+  private val CmA: Seq[Long] = Seq(
+    1442695040888963407L, 2135587861249771037L, 1865811235122147685L,
+    1500450271778919287L, 2267938413291871493L, 1172496131513750981L,
+    2017843553382926341L, 1646781227196597011L)
+
+  private val CmB: Seq[Long] = Seq(
+    1013904223L, 1779033703L, 2600822924L, 374761393L,
+    3144134277L, 1359893119L, 2773480762L, 1160927853L)
+
+  /** The (i, a, b) rows of the hash family as a SQL VALUES body, for
+    * interpolation into DuckDB oracles: "(0, A0, B0), (1, A1, B1), …". */
+  def countMinHashRows(depth: Int): String =
+    (0 until depth).map(i => s"($i, ${CmA(i)}, ${CmB(i)})").mkString(", ")
+
+  private def cmCell(i: Int, hashCol: String, width: Int): org.apache.spark.sql.Column =
+    expr(s"CAST(CAST((CAST($hashCol AS DECIMAL(38,0)) * ${CmA(i)} + ${CmB(i)}) " +
+      s"% $CountMinPrime AS BIGINT) % $width AS BIGINT)")
+
+  private def requireCmGeometry(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= CmA.size,
+      s"depth must be in [1, ${CmA.size}], got $depth")
+    require(width >= 16 && width <= (1 << 20),
+      s"width must be in [16, 2^20], got $width")
+  }
+
+  /** COUNT-MIN frequency sketch state: the d×w cell counts as relational
+    * (row, cell, cnt) rows — at most depth·width of them, whatever the
+    * corpus size. Counts are ADDITIVE (fold = [[countMinFold]], same
+    * replay rules as the quantile histogram: commutative and order-free
+    * but NOT idempotent — replay protection is the ingest's job), and the
+    * whole sketch is hash-deterministic, so an external engine replays
+    * every cell and every point estimate bit-for-bit.
+    *
+    * vs [[graft.functions.NativeAgg.misraGries]]: MG answers "which items
+    * are frequent" (a candidate set, needs a second exact pass); count-min
+    * answers "how frequent is THIS item, later, without the corpus" —
+    * the persisted point-query form. Estimates overcount only
+    * (`est ≥ true`, within `2n/w` at probability `1 − 2^−d`).
+    *
+    * Shape at scale: one narrow projection computing the d cells per row
+    * (codegen arithmetic, no string hashing beyond the caller's one md5),
+    * a bounded posexplode (d copies), and ONE combinable groupBy of
+    * ≤ d·w cells — map-side partials collapse the corpus before the
+    * shuffle. `hashCol` must be a non-negative < 2^60 BIGINT (out-of-range
+    * refuses loudly at execution time); nulls are skipped. */
+  def countMinState(
+      df: DataFrame, hashCol: String, depth: Int, width: Int): DataFrame = {
+    requireCmGeometry(depth, width)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(CmMetaDepth, depth.toLong).putLong(CmMetaWidth, width.toLong)
+      .build()
+    val guarded = when(col(hashCol) < 0 || col(hashCol) >= (1L << 60),
+        raise_error(concat(lit("graft countMin: hash outside [0, 2^60) ("),
+          col(hashCol).cast("string"),
+          lit(") — fix the hash projection upstream"))))
+      .otherwise(col(hashCol))
+    df.filter(col(hashCol).isNotNull)
+      .select(guarded.as("__h"))
+      .select(posexplode(array((0 until depth).map(i => cmCell(i, "__h", width)): _*))
+        .as(Seq("row", "cell")))
+      .groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("row").cast("int").as("row", meta), col("cell"), col("cnt"))
+  }
+
+  private def requireCmState(state: DataFrame, op: String): Unit =
+    require(state.columns.toSeq == Seq("row", "cell", "cnt"),
+      s"$op expects a countMinState (row, cell, cnt), " +
+        s"got ${state.columns.mkString(", ")}")
+
+  private def cmStamp(df: DataFrame): Option[(Long, Long)] = {
+    val m = df.schema("row").metadata
+    if (m.contains(CmMetaDepth) && m.contains(CmMetaWidth))
+      Some((m.getLong(CmMetaDepth), m.getLong(CmMetaWidth)))
+    else None
+  }
+
+  /** Fold a new batch's cell counts into a persisted state: counts add per
+    * (row, cell) — one tiny aggregate over ≤ 2·d·w rows. Geometry stamps
+    * must match when both survived storage (mixing widths corrupts every
+    * estimate). */
+  def countMinFold(state: DataFrame, batch: DataFrame): DataFrame = {
+    requireCmState(state, "countMinFold")
+    requireCmState(batch, "countMinFold")
+    (cmStamp(state), cmStamp(batch)) match {
+      case (Some(a), Some(b)) =>
+        require(a == b, s"count-min geometries differ (depth/width $a vs $b)")
+      case _ =>
+    }
+    state.unionByName(batch)
+      .groupBy(col("row"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point-query a [[countMinState]]: for each probe row, the MINIMUM of
+    * its d cell counts — `est_count ≥ true count` always (collisions only
+    * add). The state is ≤ d·w rows and is joined BROADCAST; each probe
+    * fans out d-fold through the same bounded posexplode, so the whole
+    * lookup is one map-side join + one combinable min — no corpus, no
+    * shuffle of the probe set beyond its own aggregate. Probe columns pass
+    * through; a probe hash absent from every cell reads 0. */
+  def countMinLookup(
+      state: DataFrame, probes: DataFrame, hashCol: String,
+      depth: Int, width: Int): DataFrame = {
+    requireCmGeometry(depth, width)
+    requireCmState(state, "countMinLookup")
+    cmStamp(state).foreach { case (sd, sw) =>
+      require(sd == depth.toLong && sw == width.toLong,
+        s"state is stamped depth=$sd/width=$sw but countMinLookup was " +
+          s"called with depth=$depth/width=$width")
+    }
+    require(!probes.columns.exists(_.startsWith("__")),
+      "countMinLookup probes must not carry __-prefixed columns")
+    val cells = probes
+      .select(probes.columns.map(col) :+
+        posexplode(array((0 until depth).map(i => cmCell(i, hashCol, width)): _*))
+          .as(Seq("row", "cell")): _*)
+      .withColumn("row", col("row").cast("int"))
+    cells.join(broadcast(state), Seq("row", "cell"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   /** Serving view of a histogram state: the [[quantileSketch]] output —
     * keyed windows + one aggregate over the tiny histogram, no corpus
     * re-scan. */

@@ -58,6 +58,92 @@ private[queries] object CatalogCorpus {
               // (kth_min::HUGEINT + 1) END AS BIGINT) AS est_distinct
         FROM kk""")),
 
+    // COUNT-MIN frequency sketch (token-frequency point queries): d×w
+    // additive cell counts over the 60-bit md5-prefix token hash, probed
+    // for every token with true count >= 20 — est_count >= true_cnt always
+    // (collisions only add), and the whole sketch (affine-mod-prime row
+    // hashes with single-sourced constants, cell counts, min-of-d
+    // estimates) replays bit-for-bit in the oracle's HUGEINT arithmetic
+    Q("text_countmin_freq",
+      (s, d) => {
+        val S = graft.operators.Sketches
+        val hashed = t(s, d, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .select(col("tok"),
+            expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        val state = S.countMinState(hashed, "h", depth = 4, width = 2048)
+        val probes = hashed.groupBy(col("tok"), col("h"))
+          .agg(count(lit(1)).as("true_cnt")).filter(col("true_cnt") >= 20)
+        S.countMinLookup(state, probes, "h", depth = 4, width = 2048)
+          .select(col("tok").as("term"), col("true_cnt"), col("est_count"))
+      },
+      Some(s"""WITH occ AS (SELECT unnest($toksSql) AS tok FROM documents),
+        hh AS (SELECT tok, CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h FROM occ),
+        fam AS (SELECT * FROM (VALUES ${graft.operators.Sketches.countMinHashRows(4)})
+          AS f(i, a, b)),
+        st AS (SELECT i AS row, CAST(CAST((h::HUGEINT * a + b)
+              % ${graft.operators.Sketches.CountMinPrime} AS BIGINT) % 2048 AS BIGINT) AS cell,
+            count(*) AS cnt
+          FROM hh, fam GROUP BY 1, 2),
+        probes AS (SELECT tok, h, count(*) AS true_cnt FROM hh
+          GROUP BY 1, 2 HAVING count(*) >= 20),
+        pl AS (SELECT p.tok, p.true_cnt, f.i AS row,
+            CAST(CAST((p.h::HUGEINT * f.a + f.b)
+              % ${graft.operators.Sketches.CountMinPrime} AS BIGINT) % 2048 AS BIGINT) AS cell
+          FROM probes p, fam f)
+        SELECT pl.tok AS term, CAST(pl.true_cnt AS BIGINT) AS true_cnt,
+          CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS est_count
+        FROM pl LEFT JOIN st USING (row, cell) GROUP BY 1, 2""")),
+
+    // INCREMENTAL count-min: even-doc cell counts round-trip through
+    // parquet, the odd half folds in (counts add — order-free), and the
+    // point estimates served from the folded state must equal the
+    // one-shot sketch over everything
+    Q("text_countmin_incremental",
+      (s, d) => {
+        val S = graft.operators.Sketches
+        val hashed = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("tok"),
+            expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-cm-state")
+        S.countMinState(hashed.filter(col("doc_id") % 2 === 0), "h",
+            depth = 4, width = 2048)
+          .write.mode("overwrite").parquet(dir.toString)
+        val state = s.read.parquet(dir.toString)
+        val folded = S.countMinFold(state,
+          S.countMinState(hashed.filter(col("doc_id") % 2 === 1), "h",
+            depth = 4, width = 2048))
+        val probes = hashed.groupBy(col("tok"), col("h"))
+          .agg(count(lit(1)).as("true_cnt")).filter(col("true_cnt") >= 20)
+        val out = S.countMinLookup(folded, probes, "h", depth = 4, width = 2048)
+          .select(col("tok").as("term"), col("true_cnt"), col("est_count"))
+          .localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some(s"""WITH occ AS (SELECT unnest($toksSql) AS tok FROM documents),
+        hh AS (SELECT tok, CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h FROM occ),
+        fam AS (SELECT * FROM (VALUES ${graft.operators.Sketches.countMinHashRows(4)})
+          AS f(i, a, b)),
+        st AS (SELECT i AS row, CAST(CAST((h::HUGEINT * a + b)
+              % ${graft.operators.Sketches.CountMinPrime} AS BIGINT) % 2048 AS BIGINT) AS cell,
+            count(*) AS cnt
+          FROM hh, fam GROUP BY 1, 2),
+        probes AS (SELECT tok, h, count(*) AS true_cnt FROM hh
+          GROUP BY 1, 2 HAVING count(*) >= 20),
+        pl AS (SELECT p.tok, p.true_cnt, f.i AS row,
+            CAST(CAST((p.h::HUGEINT * f.a + f.b)
+              % ${graft.operators.Sketches.CountMinPrime} AS BIGINT) % 2048 AS BIGINT) AS cell
+          FROM probes p, fam f)
+        SELECT pl.tok AS term, CAST(pl.true_cnt AS BIGINT) AS true_cnt,
+          CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS est_count
+        FROM pl LEFT JOIN st USING (row, cell) GROUP BY 1, 2""")),
+
     // DETERMINISTIC fixed-size per-group sample (bottom-k by hash): the
     // reservoir replacement whose result depends on nothing but the data —
     // O(k) bounded-heap state per group, map-side combinable, no

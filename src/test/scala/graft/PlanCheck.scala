@@ -238,6 +238,21 @@ object PlanCheck {
         p => p.contains("partial_graft_hll_registers") &&
           !p.contains("Expand") && !p.contains("Window") &&
           !p.contains("CartesianProduct")),
+      ("text_countmin_freq", "count-min: combinable cell counts, state joined BROADCAST for lookups (never shuffled), no window",
+        // the d×w state is metadata-sized by construction — a regression
+        // to a sort-merge join would shuffle the probe set against it for
+        // nothing, and any window here would mean the lookup lost its
+        // aggregate shape
+        p => p.contains("BroadcastHashJoin") && p.contains("partial_count") &&
+          !p.contains("SortMergeJoin") && !p.contains("Window") &&
+          !p.contains("CartesianProduct")),
+      ("timeseries_gapfill", "gap-fill = combinable bucket agg + ONE user-keyed window + bounded explode: NO grid join",
+        // the scale shape: a regression to a dense-grid JOIN (or a global
+        // window) would shuffle the grid a second time — the lookahead
+        // window must stay keyed by user and the plan join-free
+        p => p.contains("windowspecdefinition(user_id#") &&
+          p.contains("partial_max") && !p.contains("Join") &&
+          !p.contains("CartesianProduct")),
       ("dedup_cdc_chunks", "CDC windows keyed (doc-keyed assembly, (h,chunk) verify — never global), no cartesian",
         // a regression to windowspecdefinition(p#...) with no leading
         // partition column would serialize the whole token stream on one

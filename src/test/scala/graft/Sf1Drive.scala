@@ -175,7 +175,11 @@ object Sf1Drive {
       "event_stickiness", "event_active_users_sketch",
       "streaming_active_users_ingest", "asof_join_nearest",
       "event_sessionize_incremental", "streaming_sessions_ingest",
-      "streaming_quantiles_ingest").foreach(run)
+      "streaming_quantiles_ingest",
+      // round-16b: HLL actives/maintainer + gap-fill — oracles replay
+      // verbatim (disjoint users per copy; registers/grids are copy-local)
+      "event_active_users_hll", "streaming_hll_ingest",
+      "timeseries_gapfill", "timeseries_interpolate").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")
   }

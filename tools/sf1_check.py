@@ -46,7 +46,11 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          "text_distinct_sketch",
          # round-16: deterministic bottom-k-by-hash sample — the oracle
          # replays the identical (hash, id) order over the 10x corpus
-         "sample_bottomk"]
+         "sample_bottomk",
+         # round-16b: count-min frequency sketch — the oracle replays the
+         # affine-mod-prime cells and min-of-d estimates verbatim (salted
+         # tokens just shift which terms cross the >= 20 probe bar)
+         "text_countmin_freq", "text_countmin_incremental"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
@@ -158,7 +162,10 @@ def main_dv(oracle_path):
     sqls = json.load(open(oracle_path))
     ok = True
     for g in ["store_dv_delete", "agg_quantile_sketch",
-              "agg_quantile_sketch_incremental"]:
+              "agg_quantile_sketch_incremental",
+              # round-16b: HLL over the same corpus — the register/estimate
+              # oracle replays verbatim (orderkeys disjoint across copies)
+              "agg_hll_distinct", "agg_hll_incremental"]:
         con = duckdb.connect()
         con.execute("SET threads TO 32")
         con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
@@ -254,7 +261,12 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                "event_stickiness", "event_active_users_sketch",
                "streaming_active_users_ingest", "asof_join_nearest",
                "event_sessionize_incremental", "streaming_sessions_ingest",
-               "streaming_quantiles_ingest"]
+               "streaming_quantiles_ingest",
+               # round-16b: HLL actives/maintainer + gap-fill — oracles
+               # replay verbatim (disjoint users per copy; registers and
+               # per-user grids are copy-local)
+               "event_active_users_hll", "streaming_hll_ingest",
+               "timeseries_gapfill", "timeseries_interpolate"]
 
 
 def main_events(oracle_path):
