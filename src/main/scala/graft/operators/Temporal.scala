@@ -1154,6 +1154,59 @@ object Temporal {
     joined.select((left.columns.map(col) ++ unpacked): _*)
   }
 
+  /** COHORT VALUE CURVES (the LTV triangle): per acquisition cohort
+    * (= each key's FIRST bucket, the [[retentionCohorts]] convention) and
+    * cohort age, the events and value contributed at that age plus the
+    * RUNNING totals — the "cumulative revenue per cohort member by day N"
+    * curve product analytics reads next to the retention triangle.
+    * `cum_value_per_key` is the integer-exact per-member LTV:
+    * `cum_value DIV cohort size` (size = keys acquired in the cohort,
+    * constant down the column — retention decay does not shrink the
+    * denominator, the standard LTV convention).
+    *
+    * `valueCol` must be integral (cents) and NON-NEGATIVE — a negative
+    * value refuses loudly at execution time, because the truncating
+    * per-key division is only engine-portable on non-negative numerators
+    * (Spark DIV truncates toward zero, DuckDB // floors); net out refunds
+    * upstream or shift the domain.
+    *
+    * Shape at scale: one per-key MIN (combinable), one keyed join of the
+    * events against their key's cohort, one combinable (cohort, age)
+    * aggregate — then the running sums ride a window over the TINY
+    * |buckets|² triangle and the sizes join back broadcast. Returns
+    * (cohort, day_offset, n_events, value_sum, cum_value,
+    * cum_value_per_key). */
+  def cohortValue(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(IntegralTypes.contains(df.schema(tsCol).dataType),
+      s"tsCol $tsCol must be integral, got ${df.schema(tsCol).dataType}")
+    require(IntegralTypes.contains(df.schema(valueCol).dataType),
+      s"valueCol $valueCol must be integral (got " +
+        s"${df.schema(valueCol).dataType}) — scale to cents first")
+    val v = when(col(valueCol) < 0, raise_error(concat(
+        lit(s"graft cohortValue: negative value in $valueCol ("),
+        col(valueCol).cast("string"),
+        lit(") — the truncating per-key division needs non-negative " +
+          "values; net out refunds upstream"))))
+      .otherwise(col(valueCol).cast("long"))
+    val e = df.select(col(keyCol).as("__k"),
+      floorDiv(tsCol, bucketWidth).cast("bigint").as("__b"), v.as("__v"))
+    val cohort = e.groupBy(col("__k")).agg(min("__b").as("__c"))
+    val sized = cohort.groupBy(col("__c")).agg(count(lit(1)).as("__size"))
+    val cells = e.join(cohort, "__k")
+      .groupBy(col("__c").as("cohort"), (col("__b") - col("__c")).as("day_offset"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__v")).as("value_sum"))
+    val w = Window.partitionBy("cohort").orderBy("day_offset")
+    cells
+      .withColumn("cum_value", sum(col("value_sum")).over(w))
+      .join(broadcast(sized.withColumnRenamed("__c", "cohort")), "cohort")
+      .select(col("cohort"), col("day_offset"), col("n_events"),
+        col("value_sum"), col("cum_value"),
+        expr("cum_value DIV __size").as("cum_value_per_key"))
+  }
+
   /** The bounded per-gap replication budget of [[gapFill]]: a single gap
     * wider than this many buckets refuses loudly at EXECUTION time (a
     * mis-sized `bucketWidth` against sparse keys would otherwise explode

@@ -765,6 +765,36 @@ private[queries] object CatalogEvents {
             AS est_active
         FROM tt""")),
 
+    // COHORT LTV triangle: per acquisition cohort and age, the value
+    // contributed plus running totals and the integer-exact per-member
+    // cumulative ("revenue per user acquired on day C, by day C+N") —
+    // combinable aggregates + one window over the tiny triangle, sizes
+    // joined back broadcast
+    Q("event_cohort_ltv",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          expr("ts div 1000").as("ets"), cents(col("value")).as("value_cents"))
+        graft.operators.Temporal.cohortValue(ev, "user_id", "ets",
+          "value_cents", bucketWidth = 86400000000L)
+      },
+      Some("""WITH e AS (SELECT user_id AS k, epoch_us(ts) // 86400000000 AS b,
+            CAST(round(value*100) AS BIGINT) AS v FROM events),
+        c AS (SELECT k, min(b) AS c FROM e GROUP BY 1),
+        sz AS (SELECT c, count(*) AS size FROM c GROUP BY 1),
+        cells AS (SELECT c.c AS cohort, e.b - c.c AS day_offset,
+            count(*) AS n_events, sum(e.v) AS value_sum
+          FROM e JOIN c USING (k) GROUP BY 1, 2),
+        cum AS (SELECT cohort, day_offset, n_events, value_sum,
+            sum(value_sum) OVER (PARTITION BY cohort ORDER BY day_offset) AS cv
+          FROM cells)
+        SELECT CAST(cum.cohort AS BIGINT) AS cohort,
+          CAST(day_offset AS BIGINT) AS day_offset,
+          CAST(n_events AS BIGINT) AS n_events,
+          CAST(value_sum AS BIGINT) AS value_sum,
+          CAST(cv AS BIGINT) AS cum_value,
+          CAST(cv // size AS BIGINT) AS cum_value_per_key
+        FROM cum JOIN sz ON cum.cohort = sz.c""")),
+
     // TIME-SERIES GAP-FILL (LOCF): per user, the daily spend series
     // regularized to a dense per-day grid, missing days carried forward —
     // the feature-pipeline resample step; one combinable per-(key, bucket)

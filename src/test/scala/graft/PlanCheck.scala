@@ -238,6 +238,14 @@ object PlanCheck {
         p => p.contains("partial_graft_hll_registers") &&
           !p.contains("Expand") && !p.contains("Window") &&
           !p.contains("CartesianProduct")),
+      ("event_cohort_ltv", "LTV triangle: combinable aggs, running sums windowed BY COHORT over the tiny triangle, sizes broadcast",
+        // the corpus-side work must stay combinable aggregates + one keyed
+        // join; the only window rides the |buckets|² triangle, keyed by
+        // cohort (a global or user-keyed window here would be a regression
+        // to sorting corpus-scale data)
+        p => p.contains("windowspecdefinition(cohort#") &&
+          p.contains("BroadcastHashJoin") && p.contains("partial_count") &&
+          !p.contains("CartesianProduct")),
       ("text_countmin_freq", "count-min: combinable cell counts, state joined BROADCAST for lookups (never shuffled), no window",
         // the d×w state is metadata-sized by construction — a regression
         // to a sort-merge join would shuffle the probe set against it for

@@ -179,7 +179,8 @@ object Sf1Drive {
       // round-16b: HLL actives/maintainer + gap-fill — oracles replay
       // verbatim (disjoint users per copy; registers/grids are copy-local)
       "event_active_users_hll", "streaming_hll_ingest",
-      "timeseries_gapfill", "timeseries_interpolate").foreach(run)
+      "timeseries_gapfill", "timeseries_interpolate",
+      "event_cohort_ltv").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")
   }

@@ -266,7 +266,8 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                # replay verbatim (disjoint users per copy; registers and
                # per-user grids are copy-local)
                "event_active_users_hll", "streaming_hll_ingest",
-               "timeseries_gapfill", "timeseries_interpolate"]
+               "timeseries_gapfill", "timeseries_interpolate",
+               "event_cohort_ltv"]
 
 
 def main_events(oracle_path):
