@@ -473,6 +473,85 @@ object TextCorpus {
         col("col.p").as(idCol))
   }
 
+  /** Priorities above this clamp are "certainly kept": `w·bound/(h+1)`
+    * blows past BIGINT when the weight is large and the hash tiny, so both
+    * engines clamp at 2^62 — order among clamped rows falls to the id
+    * tie-break, identically on both sides. */
+  val PriorityCap: Long = 1L << 62
+
+  /** WEIGHTED priority sample per group (Duffield–Lund–Thorup priority
+    * sampling): each item draws priority `q = (w·hashBound) DIV (h+1)` —
+    * the integer-exact form of `w/u` with `u = (h+1)/hashBound` uniform
+    * from the caller's deterministic hash — and the k HIGHEST-priority
+    * items are kept, ties on q breaking to the smaller id. `est_weight =
+    * max(w, τ)` with τ the (k+1)-th priority (0 when the group has ≤ k
+    * items, where the sample is the whole group and exact) is the DLT
+    * unbiased estimator: summing it over the sample estimates the group's
+    * total weight. The whole statistic — priorities, kept set, τ, the
+    * estimates — is hash-deterministic and integer-exact, so the DuckDB
+    * oracle replays it row-for-row (the [[sampleBottomK]] discipline,
+    * weighted).
+    *
+    * Shape at scale: O(k) bounded-heap state per group, map-side
+    * combinable ([[graft.functions.NativeAgg.topKPairs]] at k+1) — no
+    * row_number sort of the long tail — then the k·|groups| sample
+    * broadcasts back against a second corpus scan to recover weights (two
+    * pushdown-friendly scans beat persisting a corpus-sized projection).
+    * `weightCol` must be integral and POSITIVE, `hashCol` in
+    * [0, hashBound) — violations refuse loudly at execution time;
+    * (group, id) must be unique (the join-back fans out otherwise).
+    * Returns (group, id, weight, priority, est_weight). */
+  def samplePriority(
+      df: DataFrame, groupCol: String, idCol: String, hashCol: String,
+      weightCol: String, k: Int, hashBound: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(hashBound > 0, s"hashBound must be positive, got $hashBound")
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(df.schema(weightCol).dataType),
+      s"weightCol $weightCol must be integral, got " +
+        s"${df.schema(weightCol).dataType}")
+    val h = when(col(hashCol) < 0 || col(hashCol) >= hashBound,
+        raise_error(concat(
+          lit(s"graft samplePriority: hash outside [0, $hashBound) ("),
+          col(hashCol).cast("string"), lit(") — fix the hash projection"))))
+      .otherwise(col(hashCol))
+    val wv = when(col(weightCol) <= 0, raise_error(concat(
+        lit(s"graft samplePriority: non-positive weight in $weightCol ("),
+        col(weightCol).cast("string"),
+        lit(") — priority sampling needs positive weights"))))
+      .otherwise(col(weightCol).cast("long"))
+    // the clamp must be decided BEFORE any division lands in a BIGINT:
+    // Spark's DIV returns LONG, so an unclamped w·bound/(h+1) above 2^63
+    // would overflow to NULL and silently drop the HEAVIEST items from the
+    // heap — exactly the rows priority sampling must keep. Comparing the
+    // cross-products (multiplication only, exact in DECIMAL(38):
+    // w·bound ≤ 2^123 < 10^38) is equivalent to comparing the quotient
+    // against the cap, and the surviving division is ≤ cap by construction.
+    val prio = df
+      .select(col(groupCol), col(idCol), h.as("__h"), wv.as("__w"))
+      .withColumn("__q", expr(
+        s"CASE WHEN CAST(__w AS DECIMAL(38,0)) * $hashBound > " +
+          s"CAST(${PriorityCap} AS DECIMAL(38,0)) * (CAST(__h AS DECIMAL(38,0)) + 1) " +
+          s"THEN ${PriorityCap}L " +
+          s"ELSE (CAST(__w AS DECIMAL(38,0)) * $hashBound) DIV " +
+          "(CAST(__h AS DECIMAL(38,0)) + 1) END"))
+    val sample = prio.groupBy(col(groupCol))
+      .agg(graft.functions.NativeAgg.topKPairs(col("__q"), col(idCol), k + 1)
+        .as("__kept"))
+      .select(col(groupCol),
+        when(size(col("__kept")) > k,
+          element_at(col("__kept"), k + 1).getField("v"))
+          .otherwise(lit(0L)).as("__tau"),
+        explode(slice(col("__kept"), 1, k)).as("__e"))
+      .select(col(groupCol), col("__e.p").as(idCol), col("__tau"))
+    prio.join(broadcast(sample), Seq(groupCol, idCol))
+      .select(col(groupCol), col(idCol), col("__w").as("weight"),
+        col("__q").as("priority"),
+        greatest(col("__w"), col("__tau")).as("est_weight"))
+  }
+
   def distinctSketch(
       df: DataFrame, groupCol: String, hashCol: String, k: Int,
       hashBound: Long): DataFrame = {

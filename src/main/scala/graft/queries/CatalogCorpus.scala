@@ -167,6 +167,40 @@ private[queries] object CatalogCorpus {
         SELECT lang, CAST(rn AS BIGINT) AS sample_rank, doc_id
         FROM r WHERE rn <= 20""")),
 
+    // WEIGHTED priority sample (Duffield–Lund–Thorup): priority
+    // q = (w·bound) DIV (h+1) — the integer-exact w/u draw — top-16 per
+    // language by (q desc, id), est_weight = max(w, τ) the unbiased
+    // total-weight estimator with τ the 17th priority; the oracle replays
+    // priorities, the kept set, τ, and every estimate row-for-row
+    Q("sample_priority",
+      (s, d) => TextCorpus.samplePriority(
+        t(s, d, "documents").select(col("lang"), col("doc_id"), col("n_chars"),
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h")),
+        "lang", "doc_id", "h", "n_chars", k = 16,
+        hashBound = 1152921504606846976L),
+      Some(s"""WITH base AS (SELECT lang, doc_id, n_chars AS w,
+          CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h
+          FROM documents),
+        p AS (SELECT lang, doc_id, w,
+            CASE WHEN w::HUGEINT * 1152921504606846976 >
+                ${graft.operators.TextCorpus.PriorityCap}::HUGEINT * (h::HUGEINT + 1)
+              THEN ${graft.operators.TextCorpus.PriorityCap}
+              ELSE CAST((w::HUGEINT * 1152921504606846976)
+                // (h::HUGEINT + 1) AS BIGINT) END AS q
+          FROM base),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY q DESC, doc_id ASC) AS rn FROM p),
+        tau AS (SELECT lang, coalesce(max(CASE WHEN rn = 17 THEN q END), 0) AS tau
+          FROM r GROUP BY 1)
+        SELECT r.lang, r.doc_id, CAST(r.w AS BIGINT) AS weight,
+          CAST(r.q AS BIGINT) AS priority,
+          CAST(greatest(r.w, tau.tau) AS BIGINT) AS est_weight
+        FROM r JOIN tau USING (lang) WHERE rn <= 16""")),
+
     Q("text_token_count",
       (s, d) => t(s, d, "documents").select(
         col("doc_id"),

@@ -238,6 +238,10 @@ object PlanCheck {
         p => p.contains("partial_graft_hll_registers") &&
           !p.contains("Expand") && !p.contains("Window") &&
           !p.contains("CartesianProduct")),
+      ("sample_priority", "priority sample = O(k) bounded-heap partial agg + broadcast join-back: NO row_number window over the tail",
+        p => p.contains("partial_graft_topk") &&
+          p.contains("BroadcastHashJoin") && !p.contains("Window") &&
+          !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")),
       ("event_cohort_ltv", "LTV triangle: combinable aggs, running sums windowed BY COHORT over the tiny triangle, sizes broadcast",
         // the corpus-side work must stay combinable aggregates + one keyed
         // join; the only window rides the |buckets|² triangle, keyed by

@@ -50,7 +50,10 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          # round-16b: count-min frequency sketch — the oracle replays the
          # affine-mod-prime cells and min-of-d estimates verbatim (salted
          # tokens just shift which terms cross the >= 20 probe bar)
-         "text_countmin_freq", "text_countmin_incremental"]
+         "text_countmin_freq", "text_countmin_incremental",
+         # round-16b: DLT priority sample — the oracle replays priorities,
+         # the kept set, tau, and the estimates row-for-row
+         "sample_priority"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
