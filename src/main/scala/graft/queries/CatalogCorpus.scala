@@ -144,6 +144,60 @@ private[queries] object CatalogCorpus {
           CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS est_count
         FROM pl LEFT JOIN st USING (row, cell) GROUP BY 1, 2""")),
 
+    // STREAMING count-min maintenance: token cell counts maintained across
+    // two micro-batch polls under the additive-fold replay guard; point
+    // estimates served from the persisted d×w state must equal the
+    // one-shot sketch over everything (same oracle as text_countmin_freq)
+    Q("streaming_countmin_ingest",
+      (s, d) => {
+        val S = graft.operators.Sketches
+        val hashed = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("tok"),
+            expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        val src = java.nio.file.Files.createTempDirectory("graft-scm-src")
+        val st = java.nio.file.Files.createTempDirectory("graft-scm-state")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-scm-ck")
+        java.nio.file.Files.delete(st)
+        hashed.filter(col("doc_id") % 2 === 0).select("h")
+          .write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.countMinIngest(s, src.toString, schema,
+          "h", 4, 2048, st.toString, ckpt.toString)
+        hashed.filter(col("doc_id") % 2 === 1).select("h")
+          .write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.countMinIngest(s, src.toString, schema,
+          "h", 4, 2048, st.toString, ckpt.toString)
+        val probes = hashed.groupBy(col("tok"), col("h"))
+          .agg(count(lit(1)).as("true_cnt")).filter(col("true_cnt") >= 20)
+        val out = S.countMinLookup(
+            new graft.store.VersionedTable(s, st.toString).read(),
+            probes, "h", depth = 4, width = 2048)
+          .select(col("tok").as("term"), col("true_cnt"), col("est_count"))
+          .localCheckpoint(true)
+        Seq(src, st, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some(s"""WITH occ AS (SELECT unnest($toksSql) AS tok FROM documents),
+        hh AS (SELECT tok, CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h FROM occ),
+        fam AS (SELECT * FROM (VALUES ${graft.operators.Sketches.countMinHashRows(4)})
+          AS f(i, a, b)),
+        st AS (SELECT i AS row, CAST(CAST((h::HUGEINT * a + b)
+              % ${graft.operators.Sketches.CountMinPrime} AS BIGINT) % 2048 AS BIGINT) AS cell,
+            count(*) AS cnt
+          FROM hh, fam GROUP BY 1, 2),
+        probes AS (SELECT tok, h, count(*) AS true_cnt FROM hh
+          GROUP BY 1, 2 HAVING count(*) >= 20),
+        pl AS (SELECT p.tok, p.true_cnt, f.i AS row,
+            CAST(CAST((p.h::HUGEINT * f.a + f.b)
+              % ${graft.operators.Sketches.CountMinPrime} AS BIGINT) % 2048 AS BIGINT) AS cell
+          FROM probes p, fam f)
+        SELECT pl.tok AS term, CAST(pl.true_cnt AS BIGINT) AS true_cnt,
+          CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS est_count
+        FROM pl LEFT JOIN st USING (row, cell) GROUP BY 1, 2""")),
+
     // DETERMINISTIC fixed-size per-group sample (bottom-k by hash): the
     // reservoir replacement whose result depends on nothing but the data —
     // O(k) bounded-heap state per group, map-side combinable, no

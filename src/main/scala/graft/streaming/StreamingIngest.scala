@@ -621,6 +621,58 @@ object StreamingIngest {
     tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
   }
 
+  /** STREAMING count-min maintenance — the seventh maintainer: each
+    * micro-batch's d×w cell counts fold into the persisted sketch (counts
+    * ADD — order-free, late data exact) under the same `txnApplied`
+    * replay guard as the quantile histogram (an additive re-fold would
+    * double-count). Serve point estimates any time with
+    * `Sketches.countMinLookup(table.read(), probes, …)` — the "how often
+    * has THIS token/url/key been seen so far" query against a state that
+    * never grows past d·w rows. */
+  def countMinIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      hashCol: String,
+      depth: Int,
+      width: Int,
+      stateDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val appId = "countMinIngest-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        countMinIngestBatch(batch, batchId, hashCol, depth, width,
+          stateDir, appId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  private[graft] def countMinIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      hashCol: String,
+      depth: Int,
+      width: Int,
+      stateDir: String,
+      appId: String): Unit = {
+    import graft.operators.Sketches
+    val s = batch.sparkSession
+    val tbl = new graft.store.VersionedTable(s, stateDir)
+    // additive fold: a replayed batch would double-count — skip it
+    if (tbl.exists && tbl.txnApplied(appId, batchId)) return
+    val bs = Sketches.countMinState(batch.select(hashCol).toDF(),
+      hashCol, depth, width)
+    val next = if (tbl.exists) Sketches.countMinFold(tbl.read(), bs) else bs
+    tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
+  }
+
   private[graft] def transitionsIngestBatch(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long,

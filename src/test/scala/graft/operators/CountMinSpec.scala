@@ -93,6 +93,27 @@ class CountMinSpec extends SparkSuite {
     assert(msgs(e).exists(_.contains("graft countMin")))
   }
 
+  test("maintainer replay is guarded: a re-delivered batch does not double-count") {
+    val root = java.nio.file.Files.createTempDirectory("cm-replay")
+    val dir = root.toString + "/tbl"
+    val b0 = corpus(30).select("h")
+    val b1 = corpus(50).filter(col("h") % 2 === 0).select("h")
+    def served = Sketches.countMinLookup(
+      new graft.store.VersionedTable(spark, dir).read(),
+      probes(50), "h", D, W)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    graft.streaming.StreamingIngest.countMinIngestBatch(
+      b0, 0L, "h", D, W, dir, "app")
+    graft.streaming.StreamingIngest.countMinIngestBatch(
+      b1, 1L, "h", D, W, dir, "app")
+    val after = served
+    // at-least-once redelivery of batch 1: the additive fold MUST be
+    // skipped via txnApplied — re-folding would double b1's cells
+    graft.streaming.StreamingIngest.countMinIngestBatch(
+      b1, 1L, "h", D, W, dir, "app")
+    assert(served == after)
+  }
+
   test("geometry violations refuse at plan time") {
     val df = Seq(("a", 1L)).toDF("item", "h")
     intercept[IllegalArgumentException] {

@@ -53,7 +53,7 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          "text_countmin_freq", "text_countmin_incremental",
          # round-16b: DLT priority sample — the oracle replays priorities,
          # the kept set, tau, and the estimates row-for-row
-         "sample_priority"]
+         "sample_priority", "streaming_countmin_ingest"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
