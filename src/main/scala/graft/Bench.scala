@@ -92,7 +92,12 @@ object Bench {
     // round-over-round wall signal — the interval-overlap bucket
     // equi-join (74,828-pair output at sf0.1, the heaviest new gate) and
     // the keyed-window transition matrix
-    "interval_overlap_join", "event_transitions")
+    "interval_overlap_join", "event_transitions",
+    // r16b: the two newest shapes with no round-over-round signal — the
+    // HLL coverage fan-out straight into native register partials (the
+    // billion-key actives path; also the round's only new native agg),
+    // and gap-fill's agg + keyed-lookahead-window + bounded explode
+    "event_active_users_hll", "timeseries_gapfill")
 
   /** Expected QUIET band per headline query: the upper edge of the
     * builder-box certified-quiet readings recorded in BASELINE.md (sf0.1,
@@ -168,7 +173,11 @@ object Bench {
     // r16 first-round bands (r15 verdict item 4), same two quiet passes:
     // interval overlap min 0.830/0.981 median 1.014/1.026; transitions
     // min 0.389/0.434 median 0.445/0.488 — de-rated upper edges
-    "interval_overlap_join" -> 1.2, "event_transitions" -> 0.6)
+    "interval_overlap_join" -> 1.2, "event_transitions" -> 0.6,
+    // r16b first-round bands, two certified-quiet runs=5 passes (sentinel
+    // medians 0.126/0.139 at 0.100 struct): hll actives min_clean
+    // 0.606/0.685, gap-fill 0.452/0.469 — de-rated upper edges
+    "event_active_users_hll" -> 0.9, "timeseries_gapfill" -> 0.65)
 
   /** A clean reading above this multiple of its band is flagged
     * `over_band` — the same >2×-band rule the round verdicts apply. */

@@ -275,6 +275,64 @@ object Sketches {
       .withColumn("est_distinct", hllEstimateFromSumInv(p, hashBits))
   }
 
+  // ------------------------------------------------------- KMV SET OVERLAP
+
+  /** AUDIENCE-OVERLAP sketch: for every PAIR of groups, the estimated
+    * distinct UNION, INTERSECTION, and Jaccard of their key sets — from
+    * nothing but each group's KMV kept set ([[graft.functions.NativeAgg
+    * .kMinDistinct]]), the classic theta-sketch-style set algebra on the
+    * deterministic KMV: the k smallest hashes of A∪B are computable from
+    * the two kept sets alone, the intersection estimate is the shared
+    * fraction of those union minima scaled by the union estimate
+    * (`(shared·est_union) DIV k`), and below capacity everything is EXACT
+    * (kept sets are complete). All integer, hash-deterministic,
+    * oracle-replayable — "what fraction of purchasers also viewed"
+    * without ever shuffling the key domain.
+    *
+    * Shape at scale: ONE corpus shuffle into O(k) partial sketch states
+    * per group; the pairing is a tiny |groups|² nested-loop join over
+    * k-length arrays (metadata-scale by construction — this operator is
+    * for FEW groups with HUGE key sets, the audience shape). Returns
+    * (group_a, group_b, n_union_kept, shared, est_union,
+    * est_intersection, jaccard_permille) for group_a < group_b;
+    * `jaccard_permille = shared·1000 DIV n_union_kept` (the sample
+    * Jaccard over the union minima — the standard KMV Jaccard estimator).
+    * A group whose hashes are all null keeps an empty set and pairs with
+    * zero overlap rather than dividing by zero. */
+  def distinctOverlap(
+      df: DataFrame, groupCol: String, hashCol: String, k: Int,
+      hashBound: Long): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(hashBound > 0, s"hashBound must be positive, got $hashBound")
+    val kept = df.groupBy(col(groupCol))
+      .agg(graft.functions.NativeAgg.kMinDistinct(col(hashCol), k).as("__mins"))
+    val a = kept.select(col(groupCol).as("group_a"), col("__mins").as("__ma"))
+    val b = kept.select(col(groupCol).as("group_b"), col("__mins").as("__mb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .withColumn("__mu", expr(s"slice(array_sort(array_union(__ma, __mb)), 1, $k)"))
+      .withColumn("n_union_kept", size(col("__mu")).cast("long"))
+      .withColumn("shared", expr(
+        "CAST(size(filter(__mu, x -> array_contains(__ma, x) AND " +
+          "array_contains(__mb, x))) AS BIGINT)"))
+      .withColumn("est_union",
+        when(col("n_union_kept") < k, col("n_union_kept"))
+          .otherwise(expr(
+            s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * $hashBound) DIV " +
+              "(CAST(element_at(__mu, -1) AS DECIMAL(38,0)) + 1) AS BIGINT)")))
+      .withColumn("est_intersection",
+        // the product in DECIMAL: shared·est_union can pass 2^63 long
+        // before the DIV k brings it back under
+        when(col("n_union_kept") < k, col("shared"))
+          .otherwise(expr(
+            s"CAST((CAST(shared AS DECIMAL(38,0)) * est_union) DIV $k AS BIGINT)")))
+      .withColumn("jaccard_permille",
+        when(col("n_union_kept") > 0,
+          expr("(shared * 1000) DIV n_union_kept")).otherwise(lit(0L)))
+      .select(col("group_a"), col("group_b"), col("n_union_kept"),
+        col("shared"), col("est_union"), col("est_intersection"),
+        col("jaccard_permille"))
+  }
+
   // ------------------------------------------------------------- COUNT-MIN
 
   private val CmMetaDepth = "graft.cm.depth"

@@ -238,6 +238,13 @@ object PlanCheck {
         p => p.contains("partial_graft_hll_registers") &&
           !p.contains("Expand") && !p.contains("Window") &&
           !p.contains("CartesianProduct")),
+      ("event_audience_overlap", "overlap sketch: ONE corpus shuffle into O(k) KMV partials; pairing is metadata-scale (no corpus window)",
+        // the corpus must reach the plan exactly once, as partial KMV
+        // states — a regression to a distinct (Expand) or a row_number
+        // window would shuffle the key domain this sketch exists to avoid
+        p => p.contains("partial_graft_kmin_distinct") &&
+          !p.contains("Expand") && !p.contains("Window") &&
+          !p.contains("CartesianProduct")),
       ("sample_priority", "priority sample = O(k) bounded-heap partial agg + broadcast join-back: NO row_number window over the tail",
         p => p.contains("partial_graft_topk") &&
           p.contains("BroadcastHashJoin") && !p.contains("Window") &&

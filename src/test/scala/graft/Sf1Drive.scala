@@ -180,7 +180,7 @@ object Sf1Drive {
       // verbatim (disjoint users per copy; registers/grids are copy-local)
       "event_active_users_hll", "streaming_hll_ingest",
       "timeseries_gapfill", "timeseries_interpolate",
-      "event_cohort_ltv").foreach(run)
+      "event_cohort_ltv", "event_audience_overlap").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")
   }
