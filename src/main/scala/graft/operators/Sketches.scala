@@ -460,7 +460,16 @@ object Sketches {
     }
     require(!probes.columns.exists(_.startsWith("__")),
       "countMinLookup probes must not carry __-prefixed columns")
-    val cells = probes
+    // same domain guard as the state builder: an out-of-range probe hash
+    // would otherwise map to cells no state row can occupy and silently
+    // read 0 — a lookup that can only be wrong should refuse instead
+    val guarded = probes.withColumn(hashCol,
+      when(col(hashCol) < 0 || col(hashCol) >= (1L << 60),
+        raise_error(concat(lit("graft countMin: probe hash outside [0, 2^60) ("),
+          col(hashCol).cast("string"),
+          lit(") — fix the hash projection upstream"))))
+        .otherwise(col(hashCol)))
+    val cells = guarded
       .select(probes.columns.map(col) :+
         posexplode(array((0 until depth).map(i => cmCell(i, hashCol, width)): _*))
           .as(Seq("row", "cell")): _*)

@@ -1154,6 +1154,130 @@ object Temporal {
     joined.select((left.columns.map(col) ++ unpacked): _*)
   }
 
+  private val GapFillMetaWidth = "graft.gapfill.bucketWidth"
+
+  /** The PERSISTED frontier of a gap-fill stream: each key's LAST
+    * observation — (key, bucket, ts_last, tie_last, v_last), the exact
+    * sufficient statistic for continuing the dense grid into the next
+    * batch without re-scanning history (LOCF carries v_last forward;
+    * linear interpolates from it). `bucketWidth` is stamped in the
+    * `bucket` column's metadata so a mismatched continuation refuses.
+    * Fold new batches with [[gapFillFrontierFold]] (struct-max —
+    * idempotent, replay-safe); serve each batch period's fill rows with
+    * [[gapFillContinue]]. */
+  def gapFillFrontier(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      tieBreak: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(GapFillMetaWidth, bucketWidth).build()
+    df.select(col(keyCol),
+        col(tsCol).cast("bigint").as("__ts"),
+        col(tieBreak).cast("bigint").as("__tie"),
+        col(valueCol).cast("bigint").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(max(struct(col("__ts"), col("__tie"), col("__v"))).as("__top"))
+      .select(col(keyCol), col("__top.__ts").as("__lts"),
+        col("__top.__tie").as("tie_last"), col("__top.__v").as("v_last"))
+      .select(col(keyCol),
+        floorDiv("__lts", bucketWidth).cast("bigint").as("bucket", meta),
+        col("__lts").as("ts_last"), col("tie_last"), col("v_last"))
+  }
+
+  private def requireGapFrontier(f: DataFrame, op: String, width: Long): Unit = {
+    require(f.columns.length == 5 &&
+      f.columns.drop(1).toSeq == Seq("bucket", "ts_last", "tie_last", "v_last"),
+      s"$op expects a gapFillFrontier (key, bucket, ts_last, tie_last, " +
+        s"v_last), got ${f.columns.mkString(", ")}")
+    val m = f.schema("bucket").metadata
+    if (m.contains(GapFillMetaWidth))
+      require(m.getLong(GapFillMetaWidth) == width,
+        s"frontier is stamped bucketWidth=${m.getLong(GapFillMetaWidth)} " +
+          s"but $op was called with $width — mixing grids corrupts the fill")
+  }
+
+  /** Fold a batch into a persisted gap-fill frontier: per key the LATER
+    * observation wins (struct-max over (ts, tie, v) — idempotent and
+    * commutative, so replays are exact; the ORDERING contract lives in
+    * [[gapFillContinue]], which refuses late batches loudly). */
+  def gapFillFrontierFold(
+      frontier: DataFrame, batch: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieBreak: String, bucketWidth: Long): DataFrame = {
+    requireGapFrontier(frontier, "gapFillFrontierFold", bucketWidth)
+    val b = gapFillFrontier(batch, keyCol, tsCol, valueCol, tieBreak, bucketWidth)
+    frontier.unionByName(b)
+      .groupBy(col(keyCol))
+      .agg(max(struct(col("ts_last"), col("tie_last"), col("v_last"),
+        col("bucket"))).as("__top"))
+      .select(col(keyCol),
+        col("__top.bucket").as("bucket",
+          frontier.schema("bucket").metadata),
+        col("__top.ts_last").as("ts_last"), col("__top.tie_last").as("tie_last"),
+        col("__top.v_last").as("v_last"))
+  }
+
+  /** Continue a gap-fill stream from a persisted frontier: the dense fill
+    * rows for THE BATCH PERIOD ONLY — per key, buckets strictly after its
+    * frontier bucket up to its last batch observation, LOCF'd (or linearly
+    * interpolated) across the state/batch boundary exactly as the one-shot
+    * [[gapFill]] over all history would produce them. History is never
+    * re-scanned: the frontier row is the only state-side input, unioned
+    * into the batch before one [[gapFill]] pass (one keyed join to clip at
+    * the frontier bucket).
+    *
+    * ORDERING contract (the [[transitionFold]] rule, at BUCKET
+    * granularity): every batch observation must land in a bucket STRICTLY
+    * AFTER its key's frontier bucket — the grid through the frontier
+    * bucket has already been served as final (its bucket representative
+    * included), so an observation landing in or before it would rewrite
+    * served rows; it refuses loudly at execution time. Batches that
+    * arrive on bucket boundaries (the daily-drop shape) satisfy this by
+    * construction. Keys absent from the frontier fill their whole
+    * observed span. */
+  def gapFillContinue(
+      frontier: DataFrame, batch: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieBreak: String, bucketWidth: Long,
+      mode: String = "locf"): DataFrame = {
+    requireGapFrontier(frontier, "gapFillContinue", bucketWidth)
+    require(!batch.columns.exists(_.startsWith("__")),
+      "gapFillContinue batch must not carry __-prefixed columns")
+    val f = frontier.select(col(keyCol), col("bucket").as("__fb"),
+      col("ts_last").as("__fts"), col("tie_last").as("__ftie"),
+      col("v_last").as("__fv"))
+    // strictly-later guard rides the join projection (left join: new keys
+    // pass with a null frontier)
+    val guarded = batch
+      .select(col(keyCol), col(tsCol).cast("bigint").as("__bts"),
+        col(tieBreak).cast("bigint").as("__btie"),
+        col(valueCol).cast("bigint").as("__bv"))
+      .withColumn("__bb", floorDiv("__bts", bucketWidth).cast("bigint"))
+      .join(f, Seq(keyCol), "left")
+      .withColumn("__chk",
+        when(col("__fb").isNotNull && col("__bb") <= col("__fb"),
+          raise_error(concat(
+            lit("graft gapFillContinue: batch observation in bucket "),
+            col("__bb").cast("string"),
+            lit(" is not strictly after its key's served frontier bucket "),
+            col("__fb").cast("string"),
+            lit(" — late or replayed data would rewrite fill rows already "
+              + "served; deliver batches on bucket boundaries"))))
+          .otherwise(lit(1)))
+      .filter(col("__chk") === 1)
+    // the frontier row joins the batch as one more observation, so the
+    // boundary fill (LOCF carry, linear slope) is computed by the SAME
+    // gapFill kernel as the one-shot — then clipped to the batch period
+    val asObs = guarded
+      .select(col(keyCol), col("__bts").as("ts"), col("__btie").as("tie"),
+        col("__bv").as("v"))
+      .unionByName(f.select(col(keyCol), col("__fts").as("ts"),
+        col("__ftie").as("tie"), col("__fv").as("v")))
+    val filled = gapFill(asObs, keyCol, "ts", "v", "tie", bucketWidth, mode)
+    filled.join(f.select(col(keyCol), col("__fb")), Seq(keyCol), "left")
+      .filter(col("__fb").isNull || col("bucket") > col("__fb"))
+      .drop("__fb")
+      .withColumnRenamed("v", valueCol)
+  }
+
   /** COHORT VALUE CURVES (the LTV triangle): per acquisition cohort
     * (= each key's FIRST bucket, the [[retentionCohorts]] convention) and
     * cohort age, the events and value contributed at that age plus the

@@ -863,6 +863,48 @@ private[queries] object CatalogEvents {
           CAST(v AS BIGINT) AS value_cents, (u.r = 0) AS is_observed
         FROM n, unnest(range(0, coalesce(nb - b, 1))) AS u(r)""")),
 
+    // INCREMENTAL gap-fill: the per-key frontier (last observation) is the
+    // whole persisted state — the early half's fill rows union the
+    // continuation served from the round-tripped frontier, and together
+    // they must equal the one-shot dense grid (LOCF carried across the
+    // state/batch boundary by the same kernel); late data refuses loudly
+    Q("timeseries_gapfill_incremental",
+      (s, d) => {
+        val T = graft.operators.Temporal
+        val ev = t(s, d, "events").select(col("user_id"),
+          expr("ts div 1000").as("ets"), col("event_id"),
+          cents(col("value")).as("value_cents"))
+        val r = ev.agg(min("ets"), max("ets")).head()
+        // a BUCKET-boundary cutoff: the continuation contract serves the
+        // frontier bucket as final, so the split must not straddle a day
+        val cutoff = (r.getLong(0) + r.getLong(1)) / 2 / 86400000000L * 86400000000L
+        val early = ev.filter(col("ets") < cutoff)
+        val late = ev.filter(col("ets") >= cutoff)
+        val dir = java.nio.file.Files.createTempDirectory("graft-gf-state")
+        T.gapFillFrontier(early, "user_id", "ets", "value_cents",
+            "event_id", 86400000000L)
+          .write.mode("overwrite").parquet(dir.toString)
+        val frontier = s.read.parquet(dir.toString)
+        val statePeriod = T.gapFill(early, "user_id", "ets", "value_cents",
+          "event_id", 86400000000L, mode = "locf")
+        val continued = T.gapFillContinue(frontier, late, "user_id", "ets",
+          "value_cents", "event_id", 86400000000L, mode = "locf")
+        val out = statePeriod.unionByName(continued).localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some("""WITH e AS (SELECT user_id AS k,
+            epoch_us(ts) // 86400000000 AS b, epoch_us(ts) AS ets, event_id,
+            CAST(round(value*100) AS BIGINT) AS v FROM events),
+        o AS (SELECT k, b, v FROM (SELECT k, b, v, row_number() OVER (
+            PARTITION BY k, b ORDER BY ets DESC, event_id DESC, v DESC) AS rn
+          FROM e) WHERE rn = 1),
+        n AS (SELECT k, b, v,
+            lead(b) OVER (PARTITION BY k ORDER BY b) AS nb FROM o)
+        SELECT k AS user_id, CAST(b + u.r AS BIGINT) AS bucket,
+          CAST(v AS BIGINT) AS value_cents, (u.r = 0) AS is_observed
+        FROM n, unnest(range(0, coalesce(nb - b, 1))) AS u(r)""")),
+
     // LINEAR gap-fill: same grid, missing days interpolated toward the
     // next observation with the sign factored out of the truncating
     // division — `v + sign(nv−v)·(|nv−v|·r) DIV (nb−b)` — so Spark's

@@ -180,7 +180,8 @@ object Sf1Drive {
       // verbatim (disjoint users per copy; registers/grids are copy-local)
       "event_active_users_hll", "streaming_hll_ingest",
       "timeseries_gapfill", "timeseries_interpolate",
-      "event_cohort_ltv", "event_audience_overlap").foreach(run)
+      "event_cohort_ltv", "event_audience_overlap",
+      "timeseries_gapfill_incremental").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")
   }

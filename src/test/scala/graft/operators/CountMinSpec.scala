@@ -84,13 +84,20 @@ class CountMinSpec extends SparkSuite {
     val st = Sketches.countMinState(withNull, "h", D, W)
     assert(st.agg(sum("cnt")).head().getLong(0) == D.toLong)
     val bad = Seq(("x", -3L)).toDF("item", "h")
-    val e = intercept[Exception] {
-      Sketches.countMinState(bad, "h", D, W).collect()
-    }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      Sketches.countMinState(bad, "h", D, W).collect()
+    }
     assert(msgs(e).exists(_.contains("graft countMin")))
+    // a probe outside the hash domain can only read a wrong 0 — it refuses
+    val st2 = Sketches.countMinState(corpus(5), "h", D, W)
+    val e2 = intercept[Exception] {
+      Sketches.countMinLookup(st2,
+        bad.withColumn("true_cnt", lit(0L)), "h", D, W).collect()
+    }
+    assert(msgs(e2).exists(_.contains("probe hash outside")))
   }
 
   test("maintainer replay is guarded: a re-delivered batch does not double-count") {

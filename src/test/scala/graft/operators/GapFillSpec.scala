@@ -81,6 +81,52 @@ class GapFillSpec extends SparkSuite {
     assert(msgs(e).exists(_.contains("replication budget")))
   }
 
+  test("frontier continuation ≡ one-shot (LOCF and linear, across the boundary)") {
+    // early: a@b0=100, a@b2=300; late: a@b5=900, b@b6=10 (new key)
+    val early = series(("a", 5L, 1L, 100L), ("a", 25L, 2L, 300L))
+    val late = series(("a", 55L, 3L, 900L), ("b", 65L, 4L, 10L))
+    val all = early.unionByName(late)
+    for (mode <- Seq("locf", "linear")) {
+      val frontier = Temporal.gapFillFrontier(early, "k", "ts", "v", "eid", 10L)
+      val got = Temporal.gapFill(early, "k", "ts", "v", "eid", 10L, mode)
+        .unionByName(Temporal.gapFillContinue(frontier, late,
+          "k", "ts", "v", "eid", 10L, mode))
+        .collect().map(_.toSeq).toSet
+      val oneShot = Temporal.gapFill(all, "k", "ts", "v", "eid", 10L, mode)
+        .collect().map(_.toSeq).toSet
+      assert(got == oneShot, s"mode=$mode")
+    }
+  }
+
+  test("frontier fold is idempotent and picks the later observation") {
+    val early = series(("a", 5L, 1L, 100L))
+    val late = series(("a", 55L, 3L, 900L))
+    val f0 = Temporal.gapFillFrontier(early, "k", "ts", "v", "eid", 10L)
+    val once = Temporal.gapFillFrontierFold(f0, late, "k", "ts", "v", "eid", 10L)
+    val twice = Temporal.gapFillFrontierFold(once, late, "k", "ts", "v", "eid", 10L)
+    assert(once.collect().map(_.toSeq).toSet == twice.collect().map(_.toSeq).toSet)
+    val r = once.collect().head
+    assert(r.getLong(1) == 5L && r.getLong(4) == 900L) // bucket 5, v 900
+  }
+
+  test("a batch observation in or before the served frontier bucket refuses") {
+    val early = series(("a", 25L, 2L, 300L))
+    val frontier = Temporal.gapFillFrontier(early, "k", "ts", "v", "eid", 10L)
+    val sameBucket = series(("a", 29L, 9L, 500L)) // bucket 2 == frontier bucket
+    val e = intercept[Exception] {
+      Temporal.gapFillContinue(frontier, sameBucket,
+        "k", "ts", "v", "eid", 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("already served")))
+    // a mismatched grid stamp refuses at plan time
+    intercept[IllegalArgumentException] {
+      Temporal.gapFillContinue(frontier, sameBucket, "k", "ts", "v", "eid", 20L)
+    }
+  }
+
   test("contract violations refuse at plan time") {
     val df = series(("a", 0L, 1L, 1L))
     intercept[IllegalArgumentException] {

@@ -270,7 +270,8 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                # per-user grids are copy-local)
                "event_active_users_hll", "streaming_hll_ingest",
                "timeseries_gapfill", "timeseries_interpolate",
-               "event_cohort_ltv", "event_audience_overlap"]
+               "event_cohort_ltv", "event_audience_overlap",
+               "timeseries_gapfill_incremental"]
 
 
 def main_events(oracle_path):
