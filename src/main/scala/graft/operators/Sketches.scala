@@ -275,6 +275,53 @@ object Sketches {
       .withColumn("est_distinct", hllEstimateFromSumInv(p, hashBits))
   }
 
+  // ---------------------------------------------------- ROBUST OUTLIER FENCES
+
+  /** ROBUST per-group outlier fences (the Tukey box-plot rule on sketch
+    * quantiles, integer-exactly): lower/upper quartile estimates from the
+    * mergeable [[quantileSketch]], fence = `q_hi + (fencePermille·IQR)
+    * DIV 1000` (and the mirrored lower fence), plus the group's count of
+    * rows outside the fences — the drift/anomaly census step of a feature
+    * pipeline ("how many of today's prices are implausible"), with NO
+    * per-group sort and no floating point: the whole statistic is the
+    * sketch's (replayable) rank rule plus integer arithmetic, so the
+    * oracle replays fences AND counts bit-for-bit.
+    *
+    * Shape at scale: the sketch histogram's one combinable GROUP BY, the
+    * tiny keyed serving windows, then ONE more corpus pass counting
+    * against the BROADCAST fences (|groups| rows). Two scans total, both
+    * pushdown-friendly. Returns (group, q_low, q_high, fence_low,
+    * fence_high, n_below, n_above, n_rows). `valueCol` non-negative
+    * integral (the [[quantileSketchHistogram]] contract). */
+  def robustOutlierFences(
+      df: DataFrame, groupCol: String, valueCol: String,
+      lowPermille: Int = 250, highPermille: Int = 750,
+      fencePermille: Long = 1500L, mantissaBits: Int = 6): DataFrame = {
+    require(lowPermille < highPermille,
+      s"lowPermille ($lowPermille) must be < highPermille ($highPermille)")
+    require(fencePermille >= 0, s"fencePermille must be >= 0, got $fencePermille")
+    val qs = quantileSketch(df, groupCol, valueCol,
+        Seq(lowPermille, highPermille), mantissaBits)
+    val fences = qs.groupBy(col(groupCol))
+      .agg(
+        max(when(col("q_permille") === lowPermille, col("est"))).as("q_low"),
+        max(when(col("q_permille") === highPermille, col("est"))).as("q_high"))
+      .withColumn("__iqr", col("q_high") - col("q_low"))
+      .withColumn("fence_low",
+        col("q_low") - expr(s"($fencePermille * __iqr) DIV 1000"))
+      .withColumn("fence_high",
+        col("q_high") + expr(s"($fencePermille * __iqr) DIV 1000"))
+      .drop("__iqr")
+    df.select(col(groupCol), col(valueCol).cast("bigint").as("__v"))
+      .join(broadcast(fences), Seq(groupCol))
+      .groupBy(col(groupCol), col("q_low"), col("q_high"),
+        col("fence_low"), col("fence_high"))
+      .agg(
+        sum(when(col("__v") < col("fence_low"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("__v") > col("fence_high"), 1L).otherwise(0L)).as("n_above"),
+        count(lit(1)).as("n_rows"))
+  }
+
   // ------------------------------------------------------- KMV SET OVERLAP
 
   /** AUDIENCE-OVERLAP sketch: for every PAIR of groups, the estimated

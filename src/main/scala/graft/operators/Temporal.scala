@@ -1278,6 +1278,54 @@ object Temporal {
       .withColumnRenamed("v", valueCol)
   }
 
+  /** TWO-WINDOW CHANGE RATIO (drift/changepoint census): per key and
+    * bucket, the sum of the NEXT `window` buckets as an integer-exact
+    * permille of the PREVIOUS `window` buckets' sum — the CUSUM-lite
+    * level-shift detector feature pipelines run per metric series ("did
+    * this segment's daily spend step up this week"). Ratio is null when
+    * the trailing window is empty or sums to 0 (division semantics
+    * diverge across engines there; callers filter or coalesce).
+    *
+    * Shape at scale: ONE combinable per-(key, bucket) pre-aggregate (the
+    * only corpus shuffle) — the windows then ride the ≤ |keys|·|buckets|
+    * bucketed series with RANGE frames on the bucket VALUE, so gaps in
+    * the series are handled by arithmetic, not by row counting. `valueCol`
+    * must be integral and non-negative (the ratio's truncating division
+    * is only engine-portable on non-negative sums). Returns
+    * (key, bucket, bucket_sum, trail_sum, lead_sum, ratio_permille). */
+  def changeRatio(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      bucketWidth: Long, window: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(window >= 1, s"window must be >= 1 bucket, got $window")
+    require(IntegralTypes.contains(df.schema(tsCol).dataType),
+      s"tsCol $tsCol must be integral, got ${df.schema(tsCol).dataType}")
+    require(IntegralTypes.contains(df.schema(valueCol).dataType),
+      s"valueCol $valueCol must be integral (got " +
+        s"${df.schema(valueCol).dataType}) — scale to cents first")
+    val v = when(col(valueCol) < 0, raise_error(concat(
+        lit(s"graft changeRatio: negative value in $valueCol ("),
+        col(valueCol).cast("string"),
+        lit(") — the permille ratio needs non-negative sums; split by " +
+          "sign upstream"))))
+      .otherwise(col(valueCol).cast("long"))
+    val series = df
+      .select(col(keyCol), floorDiv(tsCol, bucketWidth).cast("bigint").as("bucket"),
+        v.as("__v"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("__v")).as("bucket_sum"))
+    val trail = Window.partitionBy(keyCol).orderBy(col("bucket"))
+      .rangeBetween(-window, -1)
+    val lead = Window.partitionBy(keyCol).orderBy(col("bucket"))
+      .rangeBetween(0, window - 1)
+    series
+      .withColumn("trail_sum", sum(col("bucket_sum")).over(trail))
+      .withColumn("lead_sum", sum(col("bucket_sum")).over(lead))
+      .withColumn("ratio_permille",
+        when(col("trail_sum") > 0,
+          expr("(lead_sum * 1000) DIV trail_sum")))
+  }
+
   /** COHORT VALUE CURVES (the LTV triangle): per acquisition cohort
     * (= each key's FIRST bucket, the [[retentionCohorts]] convention) and
     * cohort age, the events and value contributed at that age plus the

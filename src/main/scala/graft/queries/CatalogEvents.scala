@@ -765,6 +765,33 @@ private[queries] object CatalogEvents {
             AS est_active
         FROM tt""")),
 
+    // TWO-WINDOW CHANGE RATIO: per event type and day, next-week spend as
+    // an integer permille of trailing-week spend — the level-shift census;
+    // one combinable pre-aggregate, RANGE-frame windows on the tiny
+    // bucketed series (gaps handled by value frames, not row counting)
+    Q("timeseries_change_ratio",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"),
+          expr("ts div 1000").as("ets"), cents(col("value")).as("value_cents"))
+        graft.operators.Temporal.changeRatio(ev, "event_type", "ets",
+          "value_cents", bucketWidth = 86400000000L, window = 7L)
+      },
+      Some("""WITH e AS (SELECT event_type AS k,
+            epoch_us(ts) // 86400000000 AS b,
+            CAST(round(value*100) AS BIGINT) AS v FROM events),
+        s AS (SELECT k, b, sum(v) AS bs FROM e GROUP BY 1, 2),
+        w AS (SELECT k, b, bs,
+            sum(bs) OVER (PARTITION BY k ORDER BY b
+              RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ts_,
+            sum(bs) OVER (PARTITION BY k ORDER BY b
+              RANGE BETWEEN CURRENT ROW AND 6 FOLLOWING) AS ls FROM s)
+        SELECT k AS event_type, CAST(b AS BIGINT) AS bucket,
+          CAST(bs AS BIGINT) AS bucket_sum,
+          CAST(ts_ AS BIGINT) AS trail_sum, CAST(ls AS BIGINT) AS lead_sum,
+          CAST(CASE WHEN ts_ > 0 THEN (ls * 1000) // ts_ END AS BIGINT)
+            AS ratio_permille
+        FROM w""")),
+
     // AUDIENCE OVERLAP: per event-type pair, distinct-user union /
     // intersection / Jaccard estimated from each type's KMV kept set alone
     // (theta-sketch set algebra on the deterministic KMV — exact below

@@ -447,6 +447,42 @@ private[queries] object CatalogRelational {
             AS est_distinct
         FROM tt""")),
 
+    // ROBUST OUTLIER FENCES (Tukey rule on sketch quantiles): per-group
+    // quartile estimates from the mergeable histogram, integer fences
+    // q_hi ± 1.5·IQR, and counts outside — no per-group sort, no floats;
+    // the oracle replays sketch, fences, and counts bit-for-bit
+    Q("agg_outlier_fences",
+      (s, d) => graft.operators.Sketches.robustOutlierFences(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("price_cents")),
+        "l_returnflag", "price_cents",
+        lowPermille = 250, highPermille = 750, fencePermille = 1500L,
+        mantissaBits = 6),
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+            CAST(round(l_extendedprice*100) AS BIGINT) AS val FROM lineitem),
+        b AS (SELECT g, greatest(length(bin(val)) - 1 - 6, 0) AS shift,
+            val >> greatest(length(bin(val)) - 1 - 6, 0) AS bid, count(*) AS cnt
+          FROM v GROUP BY 1, 2, 3),
+        e AS (SELECT g, cnt, (bid << shift) AS lo,
+            (((bid + 1) << shift) - 1) AS hi FROM b),
+        c AS (SELECT g, hi, sum(cnt) OVER (PARTITION BY g ORDER BY lo) AS cum,
+            sum(cnt) OVER (PARTITION BY g) AS tot FROM e),
+        qq AS (SELECT g, CAST(q.q AS BIGINT) AS qp,
+            CAST(min(CASE WHEN cum * 1000 >= q.q * tot THEN hi END) AS BIGINT) AS est
+          FROM c, (VALUES (250), (750)) AS q(q) GROUP BY 1, 2),
+        f AS (SELECT g, max(CASE WHEN qp = 250 THEN est END) AS q_low,
+            max(CASE WHEN qp = 750 THEN est END) AS q_high FROM qq GROUP BY 1),
+        f2 AS (SELECT g, q_low, q_high,
+            q_low - (1500 * (q_high - q_low)) // 1000 AS fence_low,
+            q_high + (1500 * (q_high - q_low)) // 1000 AS fence_high FROM f)
+        SELECT v.g AS l_returnflag, q_low, q_high,
+          CAST(fence_low AS BIGINT) AS fence_low,
+          CAST(fence_high AS BIGINT) AS fence_high,
+          CAST(sum(CASE WHEN val < fence_low THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+          CAST(sum(CASE WHEN val > fence_high THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+          count(*) AS n_rows
+        FROM v JOIN f2 ON v.g = f2.g GROUP BY 1, 2, 3, 4, 5""")),
+
     // PIVOT: order counts per customer segment × order priority, the
     // wide-table reshaping step — oracle via conditional aggregation
     Q("agg_pivot",

@@ -238,6 +238,13 @@ object PlanCheck {
         p => p.contains("partial_graft_hll_registers") &&
           !p.contains("Expand") && !p.contains("Window") &&
           !p.contains("CartesianProduct")),
+      ("agg_outlier_fences", "outlier fences: sketch histogram + BROADCAST fences + combinable counts (no corpus sort, no SMJ)",
+        p => p.contains("BroadcastHashJoin") && p.contains("partial_sum") &&
+          !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")),
+      ("timeseries_change_ratio", "change ratio: combinable pre-agg; RANGE windows keyed by series over the tiny bucketed relation",
+        p => p.contains("windowspecdefinition(event_type#") &&
+          p.contains("partial_sum") && !p.contains("CartesianProduct") &&
+          !p.contains("Join")),
       ("event_audience_overlap", "overlap sketch: ONE corpus shuffle into O(k) KMV partials; pairing is metadata-scale (no corpus window)",
         // the corpus must reach the plan exactly once, as partial KMV
         // states — a regression to a distinct (Expand) or a row_number

@@ -168,7 +168,9 @@ def main_dv(oracle_path):
               "agg_quantile_sketch_incremental",
               # round-16b: HLL over the same corpus — the register/estimate
               # oracle replays verbatim (orderkeys disjoint across copies)
-              "agg_hll_distinct", "agg_hll_incremental"]:
+              "agg_hll_distinct", "agg_hll_incremental",
+              # round-16b: Tukey fences on the sketch quantiles
+              "agg_outlier_fences"]:
         con = duckdb.connect()
         con.execute("SET threads TO 32")
         con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
@@ -271,7 +273,7 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                "event_active_users_hll", "streaming_hll_ingest",
                "timeseries_gapfill", "timeseries_interpolate",
                "event_cohort_ltv", "event_audience_overlap",
-               "timeseries_gapfill_incremental"]
+               "timeseries_gapfill_incremental", "timeseries_change_ratio"]
 
 
 def main_events(oracle_path):
