@@ -275,6 +275,126 @@ object Sketches {
       .withColumn("est_distinct", hllEstimateFromSumInv(p, hashBits))
   }
 
+  // ---------------------------------------------------- PERSISTED KMV STATE
+
+  private val KmvMetaK = "graft.kmv.k"
+
+  /** The PERSISTED form of the KMV distinct sketch
+    * ([[TextCorpus.distinctSketch]]): each group's kept set as relational
+    * (group, h) rows — at most k per group, a Delta-friendly state table
+    * that serves the distinct estimate ([[kmvOf]]) AND the pairwise
+    * set-overlap algebra ([[kmvOverlapOf]]) without the corpus. `k` is
+    * stamped in the `h` column's metadata; a mismatched fold refuses.
+    * The fold ([[kmvFold]]) is distinct-union-then-trim — IDEMPOTENT and
+    * commutative like the HLL register max, so replays and late data are
+    * exact with no txn guard. */
+  def kmvState(
+      df: DataFrame, groupCol: String, hashCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(KmvMetaK, k.toLong).build()
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.NativeAgg.kMinDistinct(col(hashCol), k).as("__mins"))
+      .select(col(groupCol), explode(col("__mins")).as("h"))
+      .select(col(groupCol), col("h").as("h", meta))
+  }
+
+  private def requireKmvState(state: DataFrame, op: String, k: Int): Unit = {
+    require(state.columns.length == 2 && state.columns(1) == "h",
+      s"$op expects a kmvState (group, h), got ${state.columns.mkString(", ")}")
+    val m = state.schema("h").metadata
+    if (m.contains(KmvMetaK))
+      require(m.getLong(KmvMetaK) == k.toLong,
+        s"state is stamped k=${m.getLong(KmvMetaK)} but $op was called " +
+          s"with k=$k — mixing capacities corrupts the sketch")
+  }
+
+  /** Fold a batch into a persisted KMV kept set: distinct union, trimmed
+    * back to the k smallest per group — one aggregate over ≤ 2k rows per
+    * group. Idempotent: re-folding a batch (or folding overlapping
+    * batches) cannot move the kept set. */
+  def kmvFold(state: DataFrame, batch: DataFrame, k: Int): DataFrame = {
+    requireKmvState(state, "kmvFold", k)
+    requireKmvState(batch, "kmvFold", k)
+    val g = state.columns.head
+    kmvState(
+      state.unionByName(batch.withColumnRenamed(batch.columns.head, g)),
+      g, "h", k)
+  }
+
+  /** Serving view of a [[kmvState]]: the [[TextCorpus.distinctSketch]]
+    * output — (group, n_kept, kth_min, est_distinct) — from the stored
+    * kept rows alone (they ARE the sketch: count + max + the integer
+    * estimate). */
+  def kmvOf(state: DataFrame, k: Int, hashBound: Long): DataFrame = {
+    requireKmvState(state, "kmvOf", k)
+    require(hashBound > 0, s"hashBound must be positive, got $hashBound")
+    val g = state.columns.head
+    state.groupBy(col(g))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
+      .select(col(g), col("n_kept"),
+        col("kth_min"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(
+            s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * $hashBound) DIV " +
+              "(CAST(kth_min AS DECIMAL(38,0)) + 1) AS BIGINT)"))
+          .as("est_distinct"))
+  }
+
+  /** Pairwise set-overlap algebra served from a [[kmvState]]: the stored
+    * kept rows re-aggregate into exactly the kept sets [[distinctOverlap]]
+    * builds from the corpus, so the delegation is literal — audience
+    * overlap between any two groups without re-scanning anything. */
+  def kmvOverlapOf(state: DataFrame, k: Int, hashBound: Long): DataFrame = {
+    requireKmvState(state, "kmvOverlapOf", k)
+    distinctOverlap(state, state.columns.head, "h", k, hashBound)
+  }
+
+  // ------------------------------------------------------ QUANTILE TRANSFORM
+
+  /** PER-ROW percentile features from the mergeable sketch (the quantile
+    * feature transform): each row's value mapped to its estimated rank
+    * permille within its group — `est_permille = (cum·1000) DIV total`
+    * where `cum` is the cumulative count through the row's OWN covering
+    * bucket (the sketch's rank-covering convention: the reported permille
+    * is the largest q this bucket's upper edge covers). Integer-exact and
+    * replayable: the row recomputes its bucket id with the same
+    * `bitlen − mantissaBits` arithmetic the histogram used, so the join
+    * key is pure projection arithmetic.
+    *
+    * Shape at scale: the histogram's one combinable GROUP BY, one keyed
+    * cumulative window over the TINY histogram, then a BROADCAST join
+    * back over a second pushdown-friendly scan — per-row work is codegen
+    * arithmetic, no sort, no corpus window (the naive
+    * `percent_rank() OVER (PARTITION BY g ORDER BY v)` sorts every group
+    * at corpus scale; this is the 100 TB form, at 2^−mantissaBits rank
+    * resolution). Output: the input columns + `est_permille` (null only
+    * for null values). Same non-negative-integral contract as
+    * [[quantileSketchHistogram]]. */
+  def quantileTransform(
+      df: DataFrame, groupCol: String, valueCol: String,
+      mantissaBits: Int = 6): DataFrame = {
+    require(!df.columns.exists(_.startsWith("__")),
+      "quantileTransform input must not carry __-prefixed columns")
+    val hist = quantileSketchHistogram(df, groupCol, valueCol, mantissaBits)
+    val wCum = Window.partitionBy(groupCol).orderBy("lo")
+    val wTot = Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("__cum", sum(col("cnt")).over(wCum))
+      .withColumn("__tot", sum(col("cnt")).over(wTot))
+      .select(col(groupCol), col("lo").as("__lo"), col("__cum"), col("__tot"))
+    val vLong = col(valueCol).cast("long")
+    val rowLo = expr(
+      s"shiftleft(shiftright(CAST(`$valueCol` AS BIGINT), " +
+        s"greatest(length(bin(CAST(`$valueCol` AS BIGINT))) - 1 - $mantissaBits, 0)), " +
+        s"greatest(length(bin(CAST(`$valueCol` AS BIGINT))) - 1 - $mantissaBits, 0))")
+    df.withColumn("__lo", when(vLong.isNotNull, rowLo))
+      .join(broadcast(cum), Seq(groupCol, "__lo"), "left")
+      .withColumn("est_permille",
+        when(vLong.isNotNull, expr("(__cum * 1000) DIV __tot")))
+      .drop("__lo", "__cum", "__tot")
+  }
+
   // ---------------------------------------------------- ROBUST OUTLIER FENCES
 
   /** ROBUST per-group outlier fences (the Tukey box-plot rule on sketch

@@ -144,6 +144,90 @@ private[queries] object CatalogCorpus {
           CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS est_count
         FROM pl LEFT JOIN st USING (row, cell) GROUP BY 1, 2""")),
 
+    // INCREMENTAL KMV: the kept set persisted as relational (lang, h)
+    // rows through parquet, the odd half trim-folded in TWICE (the fold is
+    // idempotent distinct-union — the deliberate replay is exact), served
+    // estimate ≡ the one-shot sketch
+    Q("text_distinct_sketch_incremental",
+      (s, d) => {
+        val S = graft.operators.Sketches
+        val hashed = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("lang"),
+            expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-kmv-state")
+        S.kmvState(hashed.filter(col("doc_id") % 2 === 0), "lang", "h", k = 128)
+          .write.mode("overwrite").parquet(dir.toString)
+        val state = s.read.parquet(dir.toString)
+        val batch = S.kmvState(hashed.filter(col("doc_id") % 2 === 1),
+          "lang", "h", k = 128)
+        val folded = S.kmvFold(S.kmvFold(state, batch, 128), batch, 128)
+        val out = S.kmvOf(folded, k = 128, hashBound = 1152921504606846976L)
+          .localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some(s"""WITH t AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
+        h AS (SELECT DISTINCT lang, CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS HUGEINT) AS h FROM t),
+        r AS (SELECT lang, h,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        kk AS (SELECT lang, CAST(count(*) FILTER (rn <= 128) AS BIGINT) AS n_kept,
+            CAST(max(h) FILTER (rn <= 128) AS BIGINT) AS kth_min
+          FROM r GROUP BY lang)
+        SELECT lang, n_kept, kth_min,
+          CAST(CASE WHEN n_kept < 128 THEN n_kept
+            ELSE (127::HUGEINT * 1152921504606846976::HUGEINT)
+              / (kth_min::HUGEINT + 1) END AS BIGINT) AS est_distinct
+        FROM kk""")),
+
+    // STREAMING KMV maintenance: the eighth maintainer, guard-free like
+    // the HLL one (trim-folds are idempotent); the persisted kept set
+    // serves the distinct census across two micro-batch polls
+    Q("streaming_kmv_ingest",
+      (s, d) => {
+        val hashed = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("lang"),
+            expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        val src = java.nio.file.Files.createTempDirectory("graft-skmv-src")
+        val st = java.nio.file.Files.createTempDirectory("graft-skmv-state")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-skmv-ck")
+        java.nio.file.Files.delete(st)
+        hashed.filter(col("doc_id") % 2 === 0).select("lang", "h")
+          .write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.kmvIngest(s, src.toString, schema,
+          "lang", "h", 128, st.toString, ckpt.toString)
+        hashed.filter(col("doc_id") % 2 === 1).select("lang", "h")
+          .write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.kmvIngest(s, src.toString, schema,
+          "lang", "h", 128, st.toString, ckpt.toString)
+        val out = graft.operators.Sketches.kmvOf(
+          new graft.store.VersionedTable(s, st.toString).read(),
+          k = 128, hashBound = 1152921504606846976L)
+          .localCheckpoint(true)
+        Seq(src, st, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some(s"""WITH t AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
+        h AS (SELECT DISTINCT lang, CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS HUGEINT) AS h FROM t),
+        r AS (SELECT lang, h,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        kk AS (SELECT lang, CAST(count(*) FILTER (rn <= 128) AS BIGINT) AS n_kept,
+            CAST(max(h) FILTER (rn <= 128) AS BIGINT) AS kth_min
+          FROM r GROUP BY lang)
+        SELECT lang, n_kept, kth_min,
+          CAST(CASE WHEN n_kept < 128 THEN n_kept
+            ELSE (127::HUGEINT * 1152921504606846976::HUGEINT)
+              / (kth_min::HUGEINT + 1) END AS BIGINT) AS est_distinct
+        FROM kk""")),
+
     // STREAMING count-min maintenance: token cell counts maintained across
     // two micro-batch polls under the additive-fold replay guard; point
     // estimates served from the persisted d×w state must equal the

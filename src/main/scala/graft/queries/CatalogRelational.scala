@@ -447,6 +447,32 @@ private[queries] object CatalogRelational {
             AS est_distinct
         FROM tt""")),
 
+    // QUANTILE TRANSFORM: per-row percentile features from the broadcast
+    // sketch histogram — the 100 TB replacement for percent_rank()'s
+    // per-group corpus sort, at 2^-6 rank resolution; the row recomputes
+    // its covering bucket with the same bitlen arithmetic, so the oracle
+    // replays every permille exactly
+    Q("agg_quantile_transform",
+      (s, d) => graft.operators.Sketches.quantileTransform(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+          col("l_returnflag"),
+          expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("price_cents")),
+        "l_returnflag", "price_cents", mantissaBits = 6)
+        .select(col("l_orderkey"), col("l_suppkey"), col("est_permille")),
+      Some("""WITH v AS (SELECT l_orderkey, l_suppkey, l_returnflag AS g,
+            CAST(round(l_extendedprice*100) AS BIGINT) AS val FROM lineitem),
+        b AS (SELECT g, greatest(length(bin(val)) - 1 - 6, 0) AS shift,
+            val >> greatest(length(bin(val)) - 1 - 6, 0) AS bid, count(*) AS cnt
+          FROM v GROUP BY 1, 2, 3),
+        e AS (SELECT g, cnt, (bid << shift) AS lo FROM b),
+        c AS (SELECT g, lo, sum(cnt) OVER (PARTITION BY g ORDER BY lo) AS cum,
+            sum(cnt) OVER (PARTITION BY g) AS tot FROM e)
+        SELECT v.l_orderkey, v.l_suppkey,
+          CAST((c.cum * 1000) // c.tot AS BIGINT) AS est_permille
+        FROM v JOIN c ON v.g = c.g
+          AND (val >> greatest(length(bin(val)) - 1 - 6, 0))
+            << greatest(length(bin(val)) - 1 - 6, 0) = c.lo""")),
+
     // ROBUST OUTLIER FENCES (Tukey rule on sketch quantiles): per-group
     // quartile estimates from the mergeable histogram, integer fences
     // q_hi ± 1.5·IQR, and counts outside — no per-group sort, no floats;

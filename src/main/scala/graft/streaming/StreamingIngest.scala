@@ -673,6 +673,56 @@ object StreamingIngest {
     tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
   }
 
+  /** STREAMING KMV maintenance — the eighth maintainer, second of the
+    * guard-free class: the kept-set fold is distinct-union-then-trim
+    * (idempotent like the HLL register max), so replays and late data are
+    * exact by construction. One persisted (group, h) state serves BOTH
+    * the distinct estimate (`Sketches.kmvOf`) and the pairwise
+    * audience-overlap algebra (`Sketches.kmvOverlapOf`) — the
+    * two-for-one the KMV keeps over HLL in exchange for its
+    * order-dependent state. */
+  def kmvIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      groupCol: String,
+      hashCol: String,
+      k: Int,
+      stateDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val appId = "kmvIngest-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        kmvIngestBatch(batch, batchId, groupCol, hashCol, k, stateDir, appId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  private[graft] def kmvIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      groupCol: String,
+      hashCol: String,
+      k: Int,
+      stateDir: String,
+      appId: String): Unit = {
+    import graft.operators.Sketches
+    val s = batch.sparkSession
+    val tbl = new graft.store.VersionedTable(s, stateDir)
+    // no txnApplied skip: trim-folds are idempotent, replays are harmless
+    val bs = Sketches.kmvState(batch.select(groupCol, hashCol).toDF(),
+      groupCol, hashCol, k)
+    val next = if (tbl.exists) Sketches.kmvFold(tbl.read(), bs, k) else bs
+    tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
+  }
+
   private[graft] def transitionsIngestBatch(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long,

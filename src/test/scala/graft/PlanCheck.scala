@@ -238,6 +238,13 @@ object PlanCheck {
         p => p.contains("partial_graft_hll_registers") &&
           !p.contains("Expand") && !p.contains("Window") &&
           !p.contains("CartesianProduct")),
+      ("agg_quantile_transform", "quantile transform: tiny-histogram window + BROADCAST join back — no corpus sort (the percent_rank replacement)",
+        // the per-row permille must come from the broadcast histogram via
+        // codegen bucket arithmetic; a regression to percent_rank would
+        // print a corpus-keyed window and an SMJ would shuffle the scan
+        p => p.contains("BroadcastHashJoin") &&
+          p.contains("windowspecdefinition(l_returnflag#") &&
+          !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")),
       ("agg_outlier_fences", "outlier fences: sketch histogram + BROADCAST fences + combinable counts (no corpus sort, no SMJ)",
         p => p.contains("BroadcastHashJoin") && p.contains("partial_sum") &&
           !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")),

@@ -53,7 +53,10 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          "text_countmin_freq", "text_countmin_incremental",
          # round-16b: DLT priority sample — the oracle replays priorities,
          # the kept set, tau, and the estimates row-for-row
-         "sample_priority", "streaming_countmin_ingest"]
+         "sample_priority", "streaming_countmin_ingest",
+         # round-16b: persisted KMV state (fold + streaming) — same oracle
+         # as the one-shot census
+         "text_distinct_sketch_incremental", "streaming_kmv_ingest"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
@@ -170,7 +173,7 @@ def main_dv(oracle_path):
               # oracle replays verbatim (orderkeys disjoint across copies)
               "agg_hll_distinct", "agg_hll_incremental",
               # round-16b: Tukey fences on the sketch quantiles
-              "agg_outlier_fences"]:
+              "agg_outlier_fences", "agg_quantile_transform"]:
         con = duckdb.connect()
         con.execute("SET threads TO 32")
         con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
