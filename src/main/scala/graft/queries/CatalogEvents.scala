@@ -835,6 +835,58 @@ private[queries] object CatalogEvents {
             AS jaccard_permille
         FROM f""")),
 
+    // INCREMENTAL audience overlap: the SAME persisted KMV kept-set state
+    // (parity split, idempotent trim-folds through parquet) serves the
+    // pairwise overlap algebra — one state, two views (distinct census +
+    // overlap); must equal the one-shot corpus pairing
+    Q("event_audience_overlap_incremental",
+      (s, d) => {
+        val S = graft.operators.Sketches
+        val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+          expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-ov-state")
+        S.kmvState(ev.filter(col("event_id") % 2 === 0), "event_type", "h", 128)
+          .write.mode("overwrite").parquet(dir.toString)
+        val state = s.read.parquet(dir.toString)
+        val folded = S.kmvFold(state,
+          S.kmvState(ev.filter(col("event_id") % 2 === 1), "event_type", "h", 128),
+          128)
+        val out = S.kmvOverlapOf(folded, k = 128,
+          hashBound = 1152921504606846976L).localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some("""WITH e AS (SELECT event_type AS g,
+            CAST(list_sum(list_transform(range(1, 16),
+              i -> CAST(strpos('0123456789abcdef',
+                  substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1
+                AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h
+          FROM events),
+        dd AS (SELECT DISTINCT g, h FROM e),
+        r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+          FROM dd),
+        ks AS (SELECT g, list(h ORDER BY h) AS mins FROM r WHERE rn <= 128
+          GROUP BY g),
+        p AS (SELECT a.g AS ga, b.g AS gb, a.mins AS ma, b.mins AS mb
+          FROM ks a JOIN ks b ON a.g < b.g),
+        m AS (SELECT ga, gb, ma, mb,
+            list_sort(list_distinct(list_concat(ma, mb)))[1:128] AS mu FROM p),
+        st AS (SELECT ga, gb, mu, len(mu) AS nu,
+            len(list_filter(mu, x -> list_contains(ma, x)
+              AND list_contains(mb, x))) AS sh FROM m),
+        f AS (SELECT ga, gb, nu, sh,
+            CASE WHEN nu < 128 THEN nu
+              ELSE CAST((127::HUGEINT * 1152921504606846976)
+                // (mu[-1]::HUGEINT + 1) AS BIGINT) END AS eu FROM st)
+        SELECT ga AS group_a, gb AS group_b, CAST(nu AS BIGINT) AS n_union_kept,
+          CAST(sh AS BIGINT) AS shared, CAST(eu AS BIGINT) AS est_union,
+          CAST(CASE WHEN nu < 128 THEN sh
+            ELSE (sh::HUGEINT * eu) // 128 END AS BIGINT) AS est_intersection,
+          CAST(CASE WHEN nu > 0 THEN (sh * 1000) // nu ELSE 0 END AS BIGINT)
+            AS jaccard_permille
+        FROM f""")),
+
     // COHORT LTV triangle: per acquisition cohort and age, the value
     // contributed plus running totals and the integer-exact per-member
     // cumulative ("revenue per user acquired on day C, by day C+N") —

@@ -181,7 +181,8 @@ object Sf1Drive {
       "event_active_users_hll", "streaming_hll_ingest",
       "timeseries_gapfill", "timeseries_interpolate",
       "event_cohort_ltv", "event_audience_overlap",
-      "timeseries_gapfill_incremental", "timeseries_change_ratio").foreach(run)
+      "timeseries_gapfill_incremental", "timeseries_change_ratio",
+      "event_audience_overlap_incremental").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")
   }

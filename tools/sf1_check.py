@@ -276,7 +276,8 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                "event_active_users_hll", "streaming_hll_ingest",
                "timeseries_gapfill", "timeseries_interpolate",
                "event_cohort_ltv", "event_audience_overlap",
-               "timeseries_gapfill_incremental", "timeseries_change_ratio"]
+               "timeseries_gapfill_incremental", "timeseries_change_ratio",
+               "event_audience_overlap_incremental"]
 
 
 def main_events(oracle_path):
