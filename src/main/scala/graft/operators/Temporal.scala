@@ -1278,6 +1278,60 @@ object Temporal {
       .withColumnRenamed("v", valueCol)
   }
 
+  /** LINEAR MULTI-TOUCH ATTRIBUTION: each conversion's credit split in
+    * integer-exact permille across its key's touches in the trailing
+    * `lookback` window (`cts − lookback ≤ tts ≤ cts`) — the
+    * marketing-analytics step between last-touch ([[asofJoin]] IS
+    * last-touch) and data-driven models. Every touch gets
+    * `1000 DIV n`; the LAST touch (latest ts, ties to the larger id)
+    * absorbs the truncation remainder so each conversion's weights sum
+    * to exactly 1000. Conversions with no in-window touch are absent
+    * (left-join against conversions to see them).
+    *
+    * Shape at scale: the [[rangeJoin]] machinery keyed BY USER — each
+    * conversion replicates to its ≤ lookback/bucketWidth+1 covered
+    * buckets (loud refusal past `maxBucketsPerInterval`), touches land in
+    * exactly ONE bucket, so every qualifying pair meets once on the
+    * (key, bucket) equi-join — no cartesian, no dedup pass; the weight
+    * windows ride the output-bound pair set keyed by conversion. Returns
+    * (key, conv_id, touch_id, touch_ts, weight_permille). */
+  def attributionLinear(
+      df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      idCol: String, convType: String, touchType: String,
+      lookback: Long, bucketWidth: Long,
+      maxBucketsPerInterval: Long = 65536L): DataFrame = {
+    require(lookback >= 0, s"lookback must be >= 0, got $lookback")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(convType != touchType,
+      "convType and touchType must differ — self-attribution is degenerate")
+    require(IntegralTypes.contains(df.schema(tsCol).dataType),
+      s"tsCol $tsCol must be integral, got ${df.schema(tsCol).dataType}")
+    val conv = df.filter(col(typeCol) === convType)
+      .select(col(keyCol).as("__k"), col(idCol).cast("bigint").as("conv_id"),
+        col(tsCol).cast("bigint").as("__cts"))
+      .withColumn("__s", col("__cts") - lookback)
+      .withColumn("__b", boundedBuckets("__s", "__cts", bucketWidth,
+        maxBucketsPerInterval, "attributionLinear"))
+    val touch = df.filter(col(typeCol) === touchType)
+      .select(col(keyCol).as("__k"), col(idCol).cast("bigint").as("touch_id"),
+        col(tsCol).cast("bigint").as("touch_ts"))
+      .withColumn("__b", floorDiv("touch_ts", bucketWidth))
+    val pairs = touch.join(conv, Seq("__k", "__b"))
+      .filter(col("touch_ts") >= col("__s") && col("touch_ts") <= col("__cts"))
+    val wAll = Window.partitionBy("conv_id")
+    val wLast = Window.partitionBy("conv_id")
+      .orderBy(col("touch_ts").desc, col("touch_id").desc)
+    pairs
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__rn", row_number().over(wLast))
+      .select(col("__k").as(keyCol), col("conv_id"), col("touch_id"),
+        col("touch_ts"),
+        when(col("__rn") === 1,
+          lit(1000L) - (col("__n") - 1L) * expr("1000 DIV __n"))
+          .otherwise(expr("1000 DIV __n"))
+          .as("weight_permille"))
+  }
+
   /** TWO-WINDOW CHANGE RATIO (drift/changepoint census): per key and
     * bucket, the sum of the NEXT `window` buckets as an integer-exact
     * permille of the PREVIOUS `window` buckets' sum — the CUSUM-lite

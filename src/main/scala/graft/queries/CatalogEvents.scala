@@ -835,6 +835,80 @@ private[queries] object CatalogEvents {
             AS jaccard_permille
         FROM f""")),
 
+    // LINEAR MULTI-TOUCH ATTRIBUTION: each purchase's credit split in
+    // integer permille across the user's views in the trailing 2 days,
+    // the last touch absorbing the truncation remainder (weights sum to
+    // exactly 1000 per conversion) — the rangeJoin machinery keyed by
+    // user, weight windows on the output-bound pair set
+    Q("event_attribution_linear",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ets"), col("event_id"))
+        graft.operators.Temporal.attributionLinear(ev, "user_id",
+          "event_type", "ets", "event_id",
+          convType = "purchase", touchType = "view",
+          lookback = 172800000000L, bucketWidth = 86400000000L)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ets,
+            event_id FROM events),
+        c AS (SELECT user_id AS k, event_id AS cid, ets AS cts FROM e
+          WHERE event_type = 'purchase'),
+        tt AS (SELECT user_id AS k, event_id AS tid, ets AS tts FROM e
+          WHERE event_type = 'view'),
+        p AS (SELECT c.k, cid, tid, tts FROM c JOIN tt ON c.k = tt.k
+          AND tt.tts BETWEEN c.cts - 172800000000 AND c.cts),
+        n AS (SELECT *, count(*) OVER (PARTITION BY cid) AS n,
+            row_number() OVER (PARTITION BY cid
+              ORDER BY tts DESC, tid DESC) AS rn FROM p)
+        SELECT k AS user_id, CAST(cid AS BIGINT) AS conv_id,
+          CAST(tid AS BIGINT) AS touch_id, CAST(tts AS BIGINT) AS touch_ts,
+          CAST(CASE WHEN rn = 1 THEN 1000 - (n - 1) * (1000 // n)
+            ELSE 1000 // n END AS BIGINT) AS weight_permille
+        FROM n""")),
+
+    // HLL CUBE: distinct users per (type), (day), (type, day), and total
+    // from ONE corpus pass — register states merge across grouping sets,
+    // the mergeable-sketch property powering OLAP rollups; the oracle
+    // replays every set's registers and estimates
+    Q("agg_hll_cube",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("b"),
+          expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+        ev.cube(col("event_type"), col("b"))
+          .agg(graft.functions.NativeAgg.hllRegisters(col("h"), 6, 60)
+            .as("__regs"))
+          .select((coalesce(col("event_type"), lit("ALL")).as("etype") +:
+            coalesce(col("b"), lit(-1L)).as("bucket") +:
+            graft.operators.Sketches.hllStatsCols(6, 60, "__regs")): _*)
+          .withColumn("est_distinct",
+            graft.operators.Sketches.hllEstimateFromSumInv(6, 60))
+      },
+      Some(s"""WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS b,
+            CAST(list_sum(list_transform(range(1, 16),
+              i -> CAST(strpos('0123456789abcdef',
+                  substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1
+                AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h
+          FROM events),
+        rr AS (SELECT event_type, b, h >> 54 AS reg,
+            CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+              ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1))) END AS rho
+          FROM e),
+        mx AS (SELECT coalesce(event_type, 'ALL') AS etype,
+            coalesce(b, -1) AS bucket, reg, max(rho) AS rho
+          FROM rr GROUP BY CUBE(event_type, b), reg),
+        st AS (SELECT etype, bucket, count(*) AS nz,
+            sum(1::HUGEINT << (55 - rho)) AS si FROM mx GROUP BY 1, 2),
+        tt AS (SELECT etype, bucket, CAST(64 - nz AS BIGINT) AS zero_regs,
+            si + (64 - nz)::HUGEINT * (1::HUGEINT << 55) AS siall FROM st)
+        SELECT etype, CAST(bucket AS BIGINT) AS bucket, zero_regs,
+          CAST(siall AS BIGINT) AS sum_inv,
+          CAST((${graft.operators.Sketches.hllAlphaMicro(6)}::HUGEINT * 4096
+              * (1::HUGEINT << 55)) // (siall * 1000000) AS BIGINT)
+            AS est_distinct
+        FROM tt""")),
+
     // INCREMENTAL audience overlap: the SAME persisted KMV kept-set state
     // (parity split, idempotent trim-folds through parquet) serves the
     // pairwise overlap algebra — one state, two views (distinct census +

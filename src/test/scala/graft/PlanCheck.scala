@@ -238,6 +238,13 @@ object PlanCheck {
         p => p.contains("partial_graft_hll_registers") &&
           !p.contains("Expand") && !p.contains("Window") &&
           !p.contains("CartesianProduct")),
+      ("event_attribution_linear", "attribution rides the (user, bucket) equi-join — no cartesian/nested-loop; weight windows keyed BY CONVERSION",
+        p => p.contains("windowspecdefinition(conv_id#") &&
+          !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      ("agg_hll_cube", "HLL cube: grouping sets feed partial register states in ONE pass (Expand is the cube, not a distinct)",
+        p => p.contains("partial_graft_hll_registers") &&
+          !p.contains("CartesianProduct") && !p.contains("Window")),
       ("agg_quantile_transform", "quantile transform: tiny-histogram window + BROADCAST join back — no corpus sort (the percent_rank replacement)",
         // the per-row permille must come from the broadcast histogram via
         // codegen bucket arithmetic; a regression to percent_rank would

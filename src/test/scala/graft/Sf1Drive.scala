@@ -182,7 +182,8 @@ object Sf1Drive {
       "timeseries_gapfill", "timeseries_interpolate",
       "event_cohort_ltv", "event_audience_overlap",
       "timeseries_gapfill_incremental", "timeseries_change_ratio",
-      "event_audience_overlap_incremental").foreach(run)
+      "event_audience_overlap_incremental",
+      "event_attribution_linear", "agg_hll_cube").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")
   }
