@@ -86,6 +86,50 @@ object Sketches {
         col("cnt"))
   }
 
+  /** WEIGHTED [[quantileSketchHistogram]]: each row contributes
+    * `weightCol` units of mass instead of 1 — the token-weighted /
+    * byte-weighted percentile shape ("the doc length such that half the
+    * TOKENS live in shorter docs"). The histogram schema, folds
+    * ([[quantileSketchFold]] — weights add exactly like counts), and the
+    * rank-covering serving ([[quantileSketchOf]]) are IDENTICAL, so the
+    * whole downstream machinery is shared. `weightCol` must be integral
+    * and POSITIVE (zero-mass rows would silently vanish — filter
+    * upstream if that is intended; negatives corrupt the cumulative). */
+  def quantileSketchHistogramWeighted(
+      df: DataFrame, groupCol: String, valueCol: String, weightCol: String,
+      mantissaBits: Int = 6): DataFrame = {
+    require(mantissaBits >= 0 && mantissaBits <= 16,
+      s"mantissaBits must be in [0, 16], got $mantissaBits")
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"valueCol $valueCol must be integral (got ${df.schema(valueCol).dataType})")
+    require(integral.contains(df.schema(weightCol).dataType),
+      s"weightCol $weightCol must be integral (got ${df.schema(weightCol).dataType})")
+    val v = when(col(valueCol) < 0, raise_error(concat(
+        lit(s"graft quantileSketch: negative value in $valueCol ("),
+        col(valueCol).cast("string"),
+        lit(") — the binary-bucket rule needs non-negative values"))))
+      .otherwise(col(valueCol).cast("long"))
+    val w = when(col(weightCol) <= 0, raise_error(concat(
+        lit(s"graft quantileSketch: non-positive weight in $weightCol ("),
+        col(weightCol).cast("string"),
+        lit(") — weighted mass must be positive"))))
+      .otherwise(col(weightCol).cast("long"))
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SketchMetaBits, mantissaBits.toLong).build()
+    df.select(col(groupCol).as("__g"), v.as("__v"), w.as("__w"))
+      .withColumn("__s",
+        greatest(length(bin(col("__v"))) - 1 - mantissaBits, lit(0)).cast("int"))
+      .withColumn("__bid", expr("shiftright(__v, __s)"))
+      .groupBy("__g", "__s", "__bid").agg(sum(col("__w")).as("cnt"))
+      .select(col("__g").as(groupCol),
+        expr("shiftleft(__bid, __s)").as("lo", meta),
+        expr("shiftleft(__bid + 1L, __s) - 1L").as("hi"),
+        col("cnt"))
+  }
+
   private def requireHistogram(state: DataFrame, op: String): Unit =
     require(state.columns.length == 4 &&
       state.columns.drop(1).toSeq == Seq("lo", "hi", "cnt"),

@@ -144,6 +144,32 @@ private[queries] object CatalogCorpus {
           CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS est_count
         FROM pl LEFT JOIN st USING (row, cell) GROUP BY 1, 2""")),
 
+    // WEIGHTED quantile sketch: per-language doc-length percentiles where
+    // each doc carries its TOKEN COUNT as mass — "the length such that
+    // half the tokens live in shorter docs"; same histogram machinery,
+    // weights add where counts did, and the oracle replays the weighted
+    // bucketing and rank rule bit-for-bit
+    Q("agg_quantile_weighted",
+      (s, d) => graft.operators.Sketches.quantileSketchOf(
+        graft.operators.Sketches.quantileSketchHistogramWeighted(
+          t(s, d, "documents").select(col("lang"),
+            col("n_chars").cast("long").as("len_chars"),
+            TextFunctions.tokenCount(col("text")).as("w_tokens")),
+          "lang", "len_chars", "w_tokens", mantissaBits = 6),
+        Seq(500, 900)),
+      Some(s"""WITH v AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS val,
+            CAST(len($toksSql) AS BIGINT) AS w FROM documents),
+        b AS (SELECT g, greatest(length(bin(val)) - 1 - 6, 0) AS shift,
+            val >> greatest(length(bin(val)) - 1 - 6, 0) AS bid, sum(w) AS cnt
+          FROM v GROUP BY 1, 2, 3),
+        e AS (SELECT g, cnt, (bid << shift) AS lo,
+            (((bid + 1) << shift) - 1) AS hi FROM b),
+        c AS (SELECT g, hi, sum(cnt) OVER (PARTITION BY g ORDER BY lo) AS cum,
+            sum(cnt) OVER (PARTITION BY g) AS tot FROM e)
+        SELECT g AS lang, CAST(q.q AS BIGINT) AS q_permille,
+          CAST(min(CASE WHEN cum * 1000 >= q.q * tot THEN hi END) AS BIGINT) AS est
+        FROM c, (VALUES (500), (900)) AS q(q) GROUP BY 1, 2""")),
+
     // INCREMENTAL KMV: the kept set persisted as relational (lang, h)
     // rows through parquet, the odd half trim-folded in TWICE (the fold is
     // idempotent distinct-union — the deliberate replay is exact), served

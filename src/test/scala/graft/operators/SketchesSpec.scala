@@ -20,6 +20,30 @@ class SketchesSpec extends SparkSuite {
     }.get
   }
 
+  test("weighted histogram: weight w ≡ the row repeated w times") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(400)((math.abs(rnd.nextLong()) % 100000L + 1L,
+      rnd.nextInt(5).toLong + 1L))
+    val weighted = rows.map { case (v, w) => ("g", v, w) }.toDF("g", "v", "w")
+    val expanded = rows.flatMap { case (v, w) =>
+      Seq.fill(w.toInt)(("g", v)) }.toDF("g", "v")
+    val a = Sketches.quantileSketchOf(
+      Sketches.quantileSketchHistogramWeighted(weighted, "g", "v", "w"),
+      Seq(250, 500, 950)).collect().map(_.toSeq).toSet
+    val b = Sketches.quantileSketch(expanded, "g", "v", Seq(250, 500, 950))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // non-positive weights refuse at execution time
+    val bad = Seq(("g", 5L, 0L)).toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      Sketches.quantileSketchHistogramWeighted(bad, "g", "v", "w").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-positive weight")))
+  }
+
   test("estimate covers the true quantile within the relative bound") {
     val rnd = new scala.util.Random(7)
     val vs = Seq.fill(5000)(math.abs(rnd.nextLong()) % 100000000L + 1L)

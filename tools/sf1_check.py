@@ -56,7 +56,9 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          "sample_priority", "streaming_countmin_ingest",
          # round-16b: persisted KMV state (fold + streaming) — same oracle
          # as the one-shot census
-         "text_distinct_sketch_incremental", "streaming_kmv_ingest"]
+         "text_distinct_sketch_incremental", "streaming_kmv_ingest",
+         # round-16b: token-weighted doc-length percentiles
+         "agg_quantile_weighted"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
