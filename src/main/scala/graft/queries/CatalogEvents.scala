@@ -1058,6 +1058,51 @@ private[queries] object CatalogEvents {
           CAST(v AS BIGINT) AS value_cents, (u.r = 0) AS is_observed
         FROM n, unnest(range(0, coalesce(nb - b, 1))) AS u(r)""")),
 
+    // STREAMING gap-fill maintenance: two day-boundary drops on one
+    // checkpoint — the fill table accumulates each batch period's dense
+    // rows (continued from the persisted frontier, which commits last)
+    // and must read back as exactly the one-shot grid
+    Q("streaming_gapfill_ingest",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          expr("ts div 1000").as("ets"), col("event_id"),
+          cents(col("value")).as("value_cents"))
+        val r = ev.agg(min("ets"), max("ets")).head()
+        val cutoff = (r.getLong(0) + r.getLong(1)) / 2 / 86400000000L * 86400000000L
+        val src = java.nio.file.Files.createTempDirectory("graft-sgf-src")
+        val fr = java.nio.file.Files.createTempDirectory("graft-sgf-frontier")
+        val fl = java.nio.file.Files.createTempDirectory("graft-sgf-fills")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sgf-ck")
+        java.nio.file.Files.delete(fr); java.nio.file.Files.delete(fl)
+        ev.filter(col("ets") < cutoff)
+          .write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.gapFillIngest(s, src.toString, schema,
+          "user_id", "ets", "value_cents", "event_id", 86400000000L, "locf",
+          fr.toString, fl.toString, ckpt.toString)
+        ev.filter(col("ets") >= cutoff)
+          .write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.gapFillIngest(s, src.toString, schema,
+          "user_id", "ets", "value_cents", "event_id", 86400000000L, "locf",
+          fr.toString, fl.toString, ckpt.toString)
+        val out = new graft.store.VersionedTable(s, fl.toString).read()
+          .select("user_id", "bucket", "value_cents", "is_observed")
+          .localCheckpoint(true)
+        Seq(src, fr, fl, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some("""WITH e AS (SELECT user_id AS k,
+            epoch_us(ts) // 86400000000 AS b, epoch_us(ts) AS ets, event_id,
+            CAST(round(value*100) AS BIGINT) AS v FROM events),
+        o AS (SELECT k, b, v FROM (SELECT k, b, v, row_number() OVER (
+            PARTITION BY k, b ORDER BY ets DESC, event_id DESC, v DESC) AS rn
+          FROM e) WHERE rn = 1),
+        n AS (SELECT k, b, v,
+            lead(b) OVER (PARTITION BY k ORDER BY b) AS nb FROM o)
+        SELECT k AS user_id, CAST(b + u.r AS BIGINT) AS bucket,
+          CAST(v AS BIGINT) AS value_cents, (u.r = 0) AS is_observed
+        FROM n, unnest(range(0, coalesce(nb - b, 1))) AS u(r)""")),
+
     // LINEAR gap-fill: same grid, missing days interpolated toward the
     // next observation with the sign factored out of the truncating
     // division — `v + sign(nv−v)·(|nv−v|·r) DIV (nb−b)` — so Spark's

@@ -723,6 +723,82 @@ object StreamingIngest {
     tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
   }
 
+  /** STREAMING gap-fill maintenance — the ninth maintainer: each
+    * micro-batch's dense fill rows APPEND to a result table (computed by
+    * `Temporal.gapFillContinue` against the persisted per-key frontier,
+    * which overwrites LAST — the transitions commit-order rule: a
+    * partial-failure retry recomputes fills against the still-old
+    * frontier, the append no-ops, the frontier then commits), and a fully
+    * replayed batch is skipped via the FRONTIER's `txnApplied` (the
+    * r15 fold-replay rule: continuing an applied batch against the
+    * ADVANCED frontier would trip the strictly-after refusal before any
+    * commit could no-op). Batches must arrive on bucket boundaries (the
+    * gapFillContinue contract). */
+  def gapFillIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      tieBreak: String,
+      bucketWidth: Long,
+      mode: String,
+      frontierDir: String,
+      fillDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val appId = "gapFillIngest-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        gapFillIngestBatch(batch, batchId, keyCol, tsCol, valueCol, tieBreak,
+          bucketWidth, mode, frontierDir, fillDir, appId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  private[graft] def gapFillIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      tieBreak: String,
+      bucketWidth: Long,
+      mode: String,
+      frontierDir: String,
+      fillDir: String,
+      appId: String): Unit = {
+    import graft.operators.Temporal
+    val s = batch.sparkSession
+    val ftbl = new graft.store.VersionedTable(s, frontierDir)
+    val otbl = new graft.store.VersionedTable(s, fillDir)
+    // the frontier commits LAST, so its watermark says the WHOLE batch
+    // applied — continuing an applied batch against the advanced frontier
+    // would trip the strictly-after refusal (the r15 fold-replay class)
+    if (ftbl.exists && ftbl.txnApplied(appId, batchId)) return
+    if (batch.isEmpty) return
+    val b = batch.toDF()
+    val fills = (if (ftbl.exists)
+        Temporal.gapFillContinue(ftbl.read(), b, keyCol, tsCol, valueCol,
+          tieBreak, bucketWidth, mode)
+      else Temporal.gapFill(b, keyCol, tsCol, valueCol, tieBreak,
+        bucketWidth, mode)).localCheckpoint(true)
+    otbl.appendIdempotent(fills, appId, batchId)
+    val nf = (if (ftbl.exists)
+        Temporal.gapFillFrontierFold(ftbl.read(), b, keyCol, tsCol, valueCol,
+          tieBreak, bucketWidth)
+      else Temporal.gapFillFrontier(b, keyCol, tsCol, valueCol, tieBreak,
+        bucketWidth)).localCheckpoint(true)
+    ftbl.overwriteIdempotent(nf, appId, batchId)
+  }
+
   private[graft] def transitionsIngestBatch(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long,

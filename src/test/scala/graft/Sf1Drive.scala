@@ -183,7 +183,8 @@ object Sf1Drive {
       "event_cohort_ltv", "event_audience_overlap",
       "timeseries_gapfill_incremental", "timeseries_change_ratio",
       "event_audience_overlap_incremental",
-      "event_attribution_linear", "agg_hll_cube").foreach(run)
+      "event_attribution_linear", "agg_hll_cube",
+      "streaming_gapfill_ingest").foreach(run)
     synthDocs(spark)
     run("streaming_clean_ingest")
   }

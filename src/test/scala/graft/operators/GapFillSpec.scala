@@ -127,6 +127,32 @@ class GapFillSpec extends SparkSuite {
     }
   }
 
+  test("maintainer: batch replay is skipped via the frontier watermark") {
+    val root = java.nio.file.Files.createTempDirectory("gf-replay")
+    val frDir = root.toString + "/frontier"
+    val flDir = root.toString + "/fills"
+    val b0 = series(("a", 5L, 1L, 100L), ("a", 25L, 2L, 300L))
+    val b1 = series(("a", 55L, 3L, 900L))
+    def fills = new graft.store.VersionedTable(spark, flDir).read()
+      .collect().map(_.toSeq).toSet
+    graft.streaming.StreamingIngest.gapFillIngestBatch(b0, 0L,
+      "k", "ts", "v", "eid", 10L, "locf", frDir, flDir, "app")
+    graft.streaming.StreamingIngest.gapFillIngestBatch(b1, 1L,
+      "k", "ts", "v", "eid", 10L, "locf", frDir, flDir, "app")
+    val after = fills
+    // a full replay of batch 1 must be SKIPPED before the continuation
+    // runs — against the advanced frontier it would trip the
+    // strictly-after refusal (the r15 fold-replay class), and its append
+    // would duplicate fill rows
+    graft.streaming.StreamingIngest.gapFillIngestBatch(b1, 1L,
+      "k", "ts", "v", "eid", 10L, "locf", frDir, flDir, "app")
+    assert(fills == after)
+    // and the accumulated fills equal the one-shot grid over everything
+    val oneShot = Temporal.gapFill(b0.unionByName(b1),
+      "k", "ts", "v", "eid", 10L, "locf").collect().map(_.toSeq).toSet
+    assert(after == oneShot)
+  }
+
   test("contract violations refuse at plan time") {
     val df = series(("a", 0L, 1L, 1L))
     intercept[IllegalArgumentException] {

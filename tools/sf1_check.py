@@ -280,7 +280,8 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                "event_cohort_ltv", "event_audience_overlap",
                "timeseries_gapfill_incremental", "timeseries_change_ratio",
                "event_audience_overlap_incremental",
-               "event_attribution_linear", "agg_hll_cube"]
+               "event_attribution_linear", "agg_hll_cube",
+               "streaming_gapfill_ingest"]
 
 
 def main_events(oracle_path):
