@@ -690,6 +690,151 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  // ----------------------------------------------------------------- BLOOM
+
+  private val BloomMetaHashes = "graft.bloom.hashes"
+  private val BloomMetaBits = "graft.bloom.bits"
+
+  /** Bits per state word. 60 (not 64) so every shift stays strictly below
+    * the sign bit: `1 << 59` is a positive BIGINT in both Spark and DuckDB,
+    * whereas `1 << 63` is negative in one engine and an overflow error in
+    * the other — the same portability rule that caps the hash domain at
+    * 2^60 everywhere else in this file. */
+  val BloomBitsPerWord: Int = 60
+
+  private def requireBloomGeometry(numHashes: Int, numBits: Int): Unit = {
+    require(numHashes >= 1 && numHashes <= CmA.size,
+      s"numHashes must be in [1, ${CmA.size}], got $numHashes")
+    require(numBits >= 64 && numBits <= (1 << 26),
+      s"numBits must be in [64, 2^26], got $numBits")
+  }
+
+  private def requireBloomState(state: DataFrame, op: String): Unit =
+    require(state.columns.toSeq == Seq("word", "bits"),
+      s"$op expects a bloomState (word, bits), got ${state.columns.mkString(", ")}")
+
+  private def bloomStamp(df: DataFrame): Option[(Long, Long)] = {
+    val m = df.schema("word").metadata
+    if (m.contains(BloomMetaHashes) && m.contains(BloomMetaBits))
+      Some((m.getLong(BloomMetaHashes), m.getLong(BloomMetaBits)))
+    else None
+  }
+
+  /** The k bit indices of one hash: `bit_i = ((h·A_i + B_i) mod P) mod m`
+    * — the [[countMinState]] affine-mod-Mersenne family with the SAME
+    * single-sourced constants ([[countMinHashRows]] renders them for
+    * oracles), so membership replays bit-for-bit in any engine with exact
+    * 128-bit arithmetic. */
+  private def bloomBit(i: Int, hashCol: String, numBits: Int) =
+    expr(s"CAST(CAST((CAST($hashCol AS DECIMAL(38,0)) * ${CmA(i)} + ${CmB(i)}) " +
+      s"% $CountMinPrime AS BIGINT) % $numBits AS BIGINT)")
+
+  /** BLOOM membership filter state: `numBits` bits packed 60-per-word into
+    * relational (word, bits) rows — at most `ceil(m/60)` of them, whatever
+    * the corpus size. The fold is bitwise OR ([[bloomFold]]): idempotent
+    * AND commutative, the strongest fold class ([[hllFold]]'s) — replays
+    * and late data are exact with NO txn guard, which is why a Bloom
+    * filter is the membership state to maintain from an at-least-once
+    * stream. Probes ([[bloomProbe]]) never false-negative: an inserted
+    * hash always reads `might_contain = true`; an absent one reads false
+    * except with probability ≈ `(1 − e^(−kn/m))^k`, so `false` is a
+    * PROOF of absence — the 100 TB "definitely new" pre-filter that
+    * spares the exact dedup join for rows that cannot possibly be dupes.
+    *
+    * vs the sibling sketches: KMV/HLL answer "how many distinct", count-min
+    * answers "how often was THIS seen", Bloom answers "was THIS seen AT
+    * ALL" — in `m/8` bytes total with zero per-item state.
+    *
+    * Shape at scale: one narrow projection computing the k bit positions
+    * per row (codegen arithmetic), a bounded posexplode (k copies), ONE
+    * combinable `bit_or` groupBy of ≤ ceil(m/60) words — map-side partials
+    * collapse the corpus before the shuffle. `hashCol` must be a
+    * non-negative < 2^60 BIGINT (out-of-range refuses loudly at execution
+    * time, the [[countMinState]] contract); nulls are skipped. Geometry is
+    * stamped in the `word` column's metadata so mismatched folds/probes
+    * refuse instead of silently corrupting membership. */
+  def bloomState(
+      df: DataFrame, hashCol: String, numHashes: Int, numBits: Int): DataFrame = {
+    requireBloomGeometry(numHashes, numBits)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(BloomMetaHashes, numHashes.toLong)
+      .putLong(BloomMetaBits, numBits.toLong)
+      .build()
+    val guarded = when(col(hashCol) < 0 || col(hashCol) >= (1L << 60),
+        raise_error(concat(lit("graft bloom: hash outside [0, 2^60) ("),
+          col(hashCol).cast("string"),
+          lit(") — fix the hash projection upstream"))))
+      .otherwise(col(hashCol))
+    df.filter(col(hashCol).isNotNull)
+      .select(guarded.as("__h"))
+      .select(explode(array(
+        (0 until numHashes).map(i => bloomBit(i, "__h", numBits)): _*)).as("__bit"))
+      .groupBy(expr(s"__bit DIV $BloomBitsPerWord").as("word"))
+      .agg(expr(s"bit_or(shiftleft(CAST(1 AS BIGINT), " +
+        s"CAST(__bit % $BloomBitsPerWord AS INT)))").as("bits"))
+      .select(col("word").as("word", meta), col("bits"))
+  }
+
+  /** Fold a batch's words into a persisted state: bitwise OR per word —
+    * one tiny aggregate over ≤ 2·ceil(m/60) rows, idempotent and
+    * commutative (fold(s, s) ≡ s), so the maintainer needs no replay
+    * guard. Geometry stamps must match when both survived storage (mixing
+    * bit widths turns every probe into noise). */
+  def bloomFold(state: DataFrame, batch: DataFrame): DataFrame = {
+    requireBloomState(state, "bloomFold")
+    requireBloomState(batch, "bloomFold")
+    (bloomStamp(state), bloomStamp(batch)) match {
+      case (Some(a), Some(b)) =>
+        require(a == b, s"bloom geometries differ (hashes/bits $a vs $b)")
+      case _ =>
+    }
+    state.unionByName(batch)
+      .groupBy(col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+  }
+
+  /** Membership-probe a [[bloomState]]: for each probe row, whether ALL k
+    * of its bits are set — `might_contain` true for every inserted hash
+    * (never a false negative), false ⇒ provably absent. The state is
+    * ≤ ceil(m/60) rows and is joined BROADCAST; each probe fans out k-fold
+    * through the same bounded explode, so the lookup is one map-side join
+    * + one combinable min — no shuffle of the probe set beyond its own
+    * aggregate. Probe columns pass through; a word no state row occupies
+    * reads as all-zero bits. */
+  def bloomProbe(
+      state: DataFrame, probes: DataFrame, hashCol: String,
+      numHashes: Int, numBits: Int): DataFrame = {
+    requireBloomGeometry(numHashes, numBits)
+    requireBloomState(state, "bloomProbe")
+    bloomStamp(state).foreach { case (sh, sb) =>
+      require(sh == numHashes.toLong && sb == numBits.toLong,
+        s"state is stamped hashes=$sh/bits=$sb but bloomProbe was " +
+          s"called with hashes=$numHashes/bits=$numBits")
+    }
+    require(!probes.columns.exists(_.startsWith("__")),
+      "bloomProbe probes must not carry __-prefixed columns")
+    // the countMinLookup domain rule: an out-of-range probe hash maps to
+    // bits no insert can have set and would silently read "absent" — a
+    // lookup that can only be wrong refuses instead
+    val guarded = probes.withColumn(hashCol,
+      when(col(hashCol) < 0 || col(hashCol) >= (1L << 60),
+        raise_error(concat(lit("graft bloom: probe hash outside [0, 2^60) ("),
+          col(hashCol).cast("string"),
+          lit(") — fix the hash projection upstream"))))
+        .otherwise(col(hashCol)))
+    val bits = guarded
+      .select(probes.columns.map(col) :+
+        explode(array((0 until numHashes)
+          .map(i => bloomBit(i, hashCol, numBits)): _*)).as("__bit"): _*)
+      .withColumn("__word", expr(s"__bit DIV $BloomBitsPerWord"))
+    bits.join(broadcast(state), col("__word") === col("word"), "left")
+      .withColumn("__set", expr(
+        s"CAST(shiftright(coalesce(bits, CAST(0 AS BIGINT)), " +
+          s"CAST(__bit % $BloomBitsPerWord AS INT)) % 2 AS INT)"))
+      .groupBy(probes.columns.map(col): _*)
+      .agg((min(col("__set")) === 1).as("might_contain"))
+  }
+
   /** Serving view of a histogram state: the [[quantileSketch]] output —
     * keyed windows + one aggregate over the tiny histogram, no corpus
     * re-scan. */

@@ -308,6 +308,169 @@ private[queries] object CatalogCorpus {
           CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS est_count
         FROM pl LEFT JOIN st USING (row, cell) GROUP BY 1, 2""")),
 
+    // BLOOM membership filter (token-set membership): 245,760 bits packed
+    // 60-per-word into ≤ 4096 relational words over the 60-bit md5-prefix
+    // token hash — insert the EVEN docs' vocabulary, probe every distinct
+    // token labeled by whether it truly occurs in an even doc. No false
+    // negatives by construction (in_even ⇒ might_contain); a false read
+    // is a PROOF of absence. The whole filter (affine-mod-prime bit
+    // indices with single-sourced constants, OR'd words, all-bits-set
+    // probes) replays bit-for-bit in the oracle's HUGEINT arithmetic.
+    Q("text_bloom_membership",
+      (s, d) => {
+        val S = graft.operators.Sketches
+        val hashed = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("tok"),
+            expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        val state = S.bloomState(hashed.filter(col("doc_id") % 2 === 0).select("h"),
+          "h", numHashes = 4, numBits = 245760)
+        val probes = hashed.groupBy(col("tok"), col("h"))
+          .agg((max((col("doc_id") % 2 === 0).cast("int")) === 1).as("in_even"))
+        S.bloomProbe(state, probes, "h", numHashes = 4, numBits = 245760)
+          .select(col("tok").as("term"), col("in_even"), col("might_contain"))
+      },
+      Some(s"""WITH occ AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        hh AS (SELECT doc_id, tok, CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h FROM occ),
+        fam AS (SELECT * FROM (VALUES ${graft.operators.Sketches.countMinHashRows(4)})
+          AS f(i, a, b)),
+        ins AS (SELECT DISTINCT h FROM hh WHERE doc_id % 2 = 0),
+        ib AS (SELECT DISTINCT CAST(CAST((h::HUGEINT * a + b)
+              % ${graft.operators.Sketches.CountMinPrime} AS BIGINT) % 245760 AS BIGINT) AS bit
+          FROM ins, fam),
+        st AS (SELECT bit // 60 AS word,
+            bit_or(1::BIGINT << CAST(bit % 60 AS INT)) AS bits
+          FROM ib GROUP BY 1),
+        probes AS (SELECT tok, h,
+            max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) = 1 AS in_even
+          FROM hh GROUP BY tok, h),
+        pl AS (SELECT p.tok, p.in_even,
+            CAST(CAST((p.h::HUGEINT * f.a + f.b)
+              % ${graft.operators.Sketches.CountMinPrime} AS BIGINT) % 245760 AS BIGINT) AS bit
+          FROM probes p, fam f),
+        pw AS (SELECT tok, in_even, bit // 60 AS word,
+            CAST(bit % 60 AS INT) AS pos FROM pl)
+        SELECT pw.tok AS term, pw.in_even,
+          min(CAST((coalesce(st.bits, 0) >> pos) % 2 AS INT)) = 1 AS might_contain
+        FROM pw LEFT JOIN st USING (word) GROUP BY 1, 2""")),
+
+    // INCREMENTAL bloom: the %3=0 docs' words round-trip through parquet,
+    // the %3=1 slice OR-folds in (idempotent — no replay guard class),
+    // and membership served from the folded state must equal the one-shot
+    // filter over both slices; %3=2 tokens are the genuinely-absent probes
+    Q("text_bloom_incremental",
+      (s, d) => {
+        val S = graft.operators.Sketches
+        val hashed = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("tok"),
+            expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-bloom-state")
+        S.bloomState(hashed.filter(col("doc_id") % 3 === 0).select("h"),
+            "h", numHashes = 4, numBits = 245760)
+          .write.mode("overwrite").parquet(dir.toString)
+        val state = s.read.parquet(dir.toString)
+        val folded = S.bloomFold(state,
+          S.bloomState(hashed.filter(col("doc_id") % 3 === 1).select("h"),
+            "h", numHashes = 4, numBits = 245760))
+        val probes = hashed.groupBy(col("tok"), col("h"))
+          .agg((max((col("doc_id") % 3 < 2).cast("int")) === 1).as("in_inserted"))
+        val out = S.bloomProbe(folded, probes, "h", numHashes = 4, numBits = 245760)
+          .select(col("tok").as("term"), col("in_inserted"), col("might_contain"))
+          .localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some(s"""WITH occ AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        hh AS (SELECT doc_id, tok, CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h FROM occ),
+        fam AS (SELECT * FROM (VALUES ${graft.operators.Sketches.countMinHashRows(4)})
+          AS f(i, a, b)),
+        ins AS (SELECT DISTINCT h FROM hh WHERE doc_id % 3 < 2),
+        ib AS (SELECT DISTINCT CAST(CAST((h::HUGEINT * a + b)
+              % ${graft.operators.Sketches.CountMinPrime} AS BIGINT) % 245760 AS BIGINT) AS bit
+          FROM ins, fam),
+        st AS (SELECT bit // 60 AS word,
+            bit_or(1::BIGINT << CAST(bit % 60 AS INT)) AS bits
+          FROM ib GROUP BY 1),
+        probes AS (SELECT tok, h,
+            max(CASE WHEN doc_id % 3 < 2 THEN 1 ELSE 0 END) = 1 AS in_inserted
+          FROM hh GROUP BY tok, h),
+        pl AS (SELECT p.tok, p.in_inserted,
+            CAST(CAST((p.h::HUGEINT * f.a + f.b)
+              % ${graft.operators.Sketches.CountMinPrime} AS BIGINT) % 245760 AS BIGINT) AS bit
+          FROM probes p, fam f),
+        pw AS (SELECT tok, in_inserted, bit // 60 AS word,
+            CAST(bit % 60 AS INT) AS pos FROM pl)
+        SELECT pw.tok AS term, pw.in_inserted,
+          min(CAST((coalesce(st.bits, 0) >> pos) % 2 AS INT)) = 1 AS might_contain
+        FROM pw LEFT JOIN st USING (word) GROUP BY 1, 2""")),
+
+    // STREAMING bloom maintenance — the tenth maintainer, third of the
+    // guard-free class (OR-fold idempotence IS the exactly-once
+    // mechanism): the %3=0 and %3=1 token slices arrive as two
+    // micro-batch polls on one checkpoint, and membership served from the
+    // persisted words must equal the one-shot filter (same oracle as
+    // text_bloom_incremental)
+    Q("streaming_bloom_ingest",
+      (s, d) => {
+        val S = graft.operators.Sketches
+        val hashed = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("tok"),
+            expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        val src = java.nio.file.Files.createTempDirectory("graft-sbl-src")
+        val st = java.nio.file.Files.createTempDirectory("graft-sbl-state")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sbl-ck")
+        java.nio.file.Files.delete(st)
+        hashed.filter(col("doc_id") % 3 === 0).select("h")
+          .write.mode("append").parquet(src.toString)
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamingIngest.bloomIngest(s, src.toString, schema,
+          "h", 4, 245760, st.toString, ckpt.toString)
+        hashed.filter(col("doc_id") % 3 === 1).select("h")
+          .write.mode("append").parquet(src.toString)
+        graft.streaming.StreamingIngest.bloomIngest(s, src.toString, schema,
+          "h", 4, 245760, st.toString, ckpt.toString)
+        val probes = hashed.groupBy(col("tok"), col("h"))
+          .agg((max((col("doc_id") % 3 < 2).cast("int")) === 1).as("in_inserted"))
+        val out = S.bloomProbe(
+            new graft.store.VersionedTable(s, st.toString).read(),
+            probes, "h", numHashes = 4, numBits = 245760)
+          .select(col("tok").as("term"), col("in_inserted"), col("might_contain"))
+          .localCheckpoint(true)
+        Seq(src, st, ckpt).foreach(p => deleteDir(p.toFile))
+        out
+      },
+      Some(s"""WITH occ AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        hh AS (SELECT doc_id, tok, CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h FROM occ),
+        fam AS (SELECT * FROM (VALUES ${graft.operators.Sketches.countMinHashRows(4)})
+          AS f(i, a, b)),
+        ins AS (SELECT DISTINCT h FROM hh WHERE doc_id % 3 < 2),
+        ib AS (SELECT DISTINCT CAST(CAST((h::HUGEINT * a + b)
+              % ${graft.operators.Sketches.CountMinPrime} AS BIGINT) % 245760 AS BIGINT) AS bit
+          FROM ins, fam),
+        st AS (SELECT bit // 60 AS word,
+            bit_or(1::BIGINT << CAST(bit % 60 AS INT)) AS bits
+          FROM ib GROUP BY 1),
+        probes AS (SELECT tok, h,
+            max(CASE WHEN doc_id % 3 < 2 THEN 1 ELSE 0 END) = 1 AS in_inserted
+          FROM hh GROUP BY tok, h),
+        pl AS (SELECT p.tok, p.in_inserted,
+            CAST(CAST((p.h::HUGEINT * f.a + f.b)
+              % ${graft.operators.Sketches.CountMinPrime} AS BIGINT) % 245760 AS BIGINT) AS bit
+          FROM probes p, fam f),
+        pw AS (SELECT tok, in_inserted, bit // 60 AS word,
+            CAST(bit % 60 AS INT) AS pos FROM pl)
+        SELECT pw.tok AS term, pw.in_inserted,
+          min(CAST((coalesce(st.bits, 0) >> pos) % 2 AS INT)) = 1 AS might_contain
+        FROM pw LEFT JOIN st USING (word) GROUP BY 1, 2""")),
+
     // DETERMINISTIC fixed-size per-group sample (bottom-k by hash): the
     // reservoir replacement whose result depends on nothing but the data —
     // O(k) bounded-heap state per group, map-side combinable, no

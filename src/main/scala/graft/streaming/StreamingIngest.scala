@@ -723,6 +723,59 @@ object StreamingIngest {
     tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
   }
 
+  /** STREAMING Bloom-filter maintenance — the tenth maintainer, third of
+    * the guard-free class (HLL register max, KMV trim-fold, Bloom bit OR):
+    * each micro-batch's words OR into the persisted filter — idempotent
+    * AND commutative, so replays and late data fold to the bit-identical
+    * state by construction and no `txnApplied` guard is needed. Serve
+    * membership any time with `Sketches.bloomProbe(table.read(), …)` —
+    * the at-least-once "have we EVER seen this key/url/fingerprint"
+    * pre-filter whose `false` is a proof of absence. */
+  def bloomIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      hashCol: String,
+      numHashes: Int,
+      numBits: Int,
+      stateDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val appId = "bloomIngest-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        bloomIngestBatch(batch, batchId, hashCol, numHashes, numBits,
+          stateDir, appId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  private[graft] def bloomIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      hashCol: String,
+      numHashes: Int,
+      numBits: Int,
+      stateDir: String,
+      appId: String): Unit = {
+    import graft.operators.Sketches
+    val s = batch.sparkSession
+    val tbl = new graft.store.VersionedTable(s, stateDir)
+    // deliberately NO txnApplied skip: a replayed batch OR-folds to the
+    // identical words, and the idempotent commit below no-ops — the fold
+    // itself is the exactly-once mechanism (the hllIngest rule)
+    val bs = Sketches.bloomState(batch.select(hashCol).toDF(),
+      hashCol, numHashes, numBits)
+    val next = if (tbl.exists) Sketches.bloomFold(tbl.read(), bs) else bs
+    tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
+  }
+
   /** STREAMING gap-fill maintenance — the ninth maintainer: each
     * micro-batch's dense fill rows APPEND to a result table (computed by
     * `Temporal.gapFillContinue` against the persisted per-key frontier,

@@ -278,6 +278,15 @@ object PlanCheck {
         p => p.contains("windowspecdefinition(cohort#") &&
           p.contains("BroadcastHashJoin") && p.contains("partial_count") &&
           !p.contains("CartesianProduct")),
+      ("text_bloom_membership", "bloom: words built via partial bit_or map-side, state joined BROADCAST for probes, no SMJ/window",
+        // the ≤ ceil(m/60)-word state must collapse map-side (OR partials)
+        // and reach the probe join broadcast — a sort-merge join would
+        // shuffle the probe set against a metadata-sized relation, and a
+        // window here would mean the all-bits-set check lost its
+        // combinable-min shape
+        p => p.contains("partial_bit_or") &&
+          p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+          !p.contains("Window") && !p.contains("CartesianProduct")),
       ("text_countmin_freq", "count-min: combinable cell counts, state joined BROADCAST for lookups (never shuffled), no window",
         // the d×w state is metadata-sized by construction — a regression
         // to a sort-merge join would shuffle the probe set against it for
