@@ -1154,6 +1154,48 @@ object Temporal {
     joined.select((left.columns.map(col) ++ unpacked): _*)
   }
 
+  /** POINT-IN-TIME dimension join — the leak-free feature join a training
+    * pipeline needs against an SCD2 history: each fact row joins the
+    * dimension VERSION that was current at the fact's timestamp (the
+    * latest `versionTs` ≤ `factTs` per key), and a matched TOMBSTONE
+    * (`deletedCol` true) yields NULL payload — a deleted dimension row
+    * must not leak its pre-delete attributes into later facts, exactly as
+    * a fact before the key's first version sees nulls because the
+    * dimension did not exist yet. Training-data hygiene in one operator:
+    * joining the CURRENT dimension state instead (the classic mistake)
+    * leaks future attribute values into past examples.
+    *
+    * Shape at scale: [[asofJoin]]'s one-shuffle tagged union + keyed
+    * windows — never an |facts| × |versions| pairing, no join node at
+    * all. `tieBreak` orders same-timestamp versions (highest wins — pass
+    * the version counter); equal `versionTs` and `factTs` match (a
+    * version effective AT the fact instant is visible to it).
+    *
+    * Output: every fact column + `pit_<payload>` columns (null when no
+    * version existed or the covering version is a tombstone). */
+  def pointInTimeJoin(
+      facts: DataFrame, dimHistory: DataFrame,
+      factKey: String, dimKey: String,
+      factTs: String, versionTs: String,
+      dimPayload: Seq[String], tieBreak: String,
+      deletedCol: Option[String] = None): DataFrame = {
+    deletedCol.foreach { dc =>
+      require(dimHistory.columns.contains(dc),
+        s"deletedCol '$dc' is not a dimension history column")
+      require(!dimPayload.contains(dc),
+        s"deletedCol '$dc' must not also be in dimPayload")
+    }
+    val payload = dimPayload ++ deletedCol.toSeq
+    val joined = asofJoin(facts, dimHistory, factKey, dimKey, factTs,
+      versionTs, payload, tieBreak)
+    val dead = deletedCol
+      .map(dc => coalesce(col("__match").getField(dc), lit(false)))
+      .getOrElse(lit(false))
+    val unpacked = dimPayload.map(p =>
+      when(dead, lit(null)).otherwise(col("__match").getField(p)).as(s"pit_$p"))
+    joined.select((facts.columns.map(col) ++ unpacked): _*)
+  }
+
   private val GapFillMetaWidth = "graft.gapfill.bucketWidth"
 
   /** The PERSISTED frontier of a gap-fill stream: each key's LAST

@@ -328,5 +328,63 @@ private[queries] object CatalogScd2 {
         UNION ALL SELECT vec_id + 100000, label, CAST(len(embedding) AS BIGINT),
           CAST(2 AS BIGINT), FALSE, FALSE FROM embeddings WHERE vec_id % 17 = 0
         UNION ALL SELECT vec_id, NULL, NULL, CAST(NULL AS BIGINT), TRUE, FALSE
-          FROM embeddings WHERE vec_id % 19 = 0""")))
+          FROM embeddings WHERE vec_id % 19 = 0""")),
+
+    // POINT-IN-TIME dimension join — the leak-free training-feature join
+    // against an SCD2 version chain: each order joins the customer VERSION
+    // current at its (deterministic business-time) timestamp; facts before
+    // the key's creation AND facts after its tombstone read NULLs — the
+    // tombstone row deliberately still CARRIES the pre-delete attributes,
+    // so a hash match proves the operator nulls them rather than leaking.
+    // Same version-chain semantics as the scd2_history scenario (%89
+    // update, %97 delete) with staggered per-key effective times.
+    Q("scd2_point_in_time",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val dim = cust.select(col("c_custkey").as("k"),
+            (lit(1000L) + col("c_custkey") % 50).as("vts"),
+            cents(col("c_acctbal")).as("bal_cents"),
+            trim(col("c_mktsegment")).as("segment"),
+            lit(false).as("del"), lit(1L).as("ver"))
+          .unionByName(cust.filter(col("c_custkey") % 89 === 0)
+            .select(col("c_custkey").as("k"),
+              (lit(2000L) + col("c_custkey") % 50).as("vts"),
+              (cents(col("c_acctbal")) + 10000L).as("bal_cents"),
+              trim(col("c_mktsegment")).as("segment"),
+              lit(false).as("del"), lit(2L).as("ver")))
+          .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+            .select(col("c_custkey").as("k"),
+              (lit(3000L) + col("c_custkey") % 50).as("vts"),
+              cents(col("c_acctbal")).as("bal_cents"),
+              trim(col("c_mktsegment")).as("segment"),
+              lit(true).as("del"), lit(3L).as("ver")))
+        val facts = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"), (lit(500L) + col("o_orderkey") % 3500).as("fact_ts"))
+        graft.operators.Temporal.pointInTimeJoin(facts, dim,
+          "o_custkey", "k", "fact_ts", "vts",
+          Seq("bal_cents", "segment", "ver"), tieBreak = "ver",
+          deletedCol = Some("del"))
+      },
+      Some("""WITH dim AS (
+          SELECT c_custkey AS k, CAST(1000 + c_custkey % 50 AS BIGINT) AS vts,
+            CAST(round(c_acctbal*100) AS BIGINT) AS bal, trim(c_mktsegment) AS seg,
+            FALSE AS del, CAST(1 AS BIGINT) AS ver FROM customer
+          UNION ALL SELECT c_custkey, CAST(2000 + c_custkey % 50 AS BIGINT),
+            CAST(round(c_acctbal*100) AS BIGINT) + 10000, trim(c_mktsegment),
+            FALSE, CAST(2 AS BIGINT) FROM customer WHERE c_custkey % 89 = 0
+          UNION ALL SELECT c_custkey, CAST(3000 + c_custkey % 50 AS BIGINT),
+            CAST(round(c_acctbal*100) AS BIGINT), trim(c_mktsegment),
+            TRUE, CAST(3 AS BIGINT) FROM customer WHERE c_custkey % 97 = 0),
+        f AS (SELECT o_orderkey, o_custkey,
+            CAST(500 + o_orderkey % 3500 AS BIGINT) AS fact_ts FROM orders),
+        m AS (SELECT f.o_orderkey, f.o_custkey, f.fact_ts,
+            d.bal, d.seg, d.del, d.ver,
+            row_number() OVER (PARTITION BY f.o_orderkey
+              ORDER BY d.vts DESC, d.ver DESC) AS rn
+          FROM f LEFT JOIN dim d ON d.k = f.o_custkey AND d.vts <= f.fact_ts)
+        SELECT o_orderkey, o_custkey, fact_ts,
+          CASE WHEN del THEN NULL ELSE bal END AS pit_bal_cents,
+          CASE WHEN del THEN NULL ELSE seg END AS pit_segment,
+          CASE WHEN del THEN NULL ELSE ver END AS pit_ver
+        FROM m WHERE rn = 1""")))
 }

@@ -278,6 +278,13 @@ object PlanCheck {
         p => p.contains("windowspecdefinition(cohort#") &&
           p.contains("BroadcastHashJoin") && p.contains("partial_count") &&
           !p.contains("CartesianProduct")),
+      ("scd2_point_in_time", "point-in-time join = the asof union-sort (ONE keyed shuffle + window), never a facts×versions join",
+        // the leak-free feature join must keep the tagged-union shape: a
+        // regression to a range join (facts×versions pairing, then a
+        // per-fact row_number) would print a Join node and shuffle every
+        // version against every covering fact
+        p => p.contains("windowspecdefinition(__k#") &&
+          !p.contains("Join") && !p.contains("CartesianProduct")),
       ("text_bloom_membership", "bloom: words built via partial bit_or map-side, state joined BROADCAST for probes, no SMJ/window",
         // the ≤ ceil(m/60)-word state must collapse map-side (OR partials)
         // and reach the probe join broadcast — a sort-merge join would
