@@ -1338,5 +1338,49 @@ private[queries] object CatalogEvents {
       Some("""WITH l AS (SELECT CASE WHEN event_id % 10 < 3 THEN 1 ELSE user_id END AS k
           FROM events),
         r AS (SELECT c_custkey AS k, c_mktsegment FROM customer)
-        SELECT c_mktsegment, count(*) AS cnt FROM l JOIN r USING (k) GROUP BY 1""")))
+        SELECT c_mktsegment, count(*) AS cnt FROM l JOIN r USING (k) GROUP BY 1""")),
+
+    // DETERMINISTIC experiment split + lift report: arm membership is a
+    // pure function of the salted 60-bit unit hash (h % 1000 against
+    // cumulative permille ranges — no stored assignment, replayable by any
+    // engine), conversion = "user ever purchased" pre-aggregated to one
+    // row per unit, and the relative conversion-rate lift vs control is
+    // integer-exact in DECIMAL(38,0). One combinable groupBy over units,
+    // control row broadcast back — the |arms|-row report at any scale.
+    Q("event_experiment_lift",
+      (s, d) => {
+        val E = graft.operators.Experiment
+        val units = t(s, d, "events").groupBy(col("user_id")).agg(
+          max((col("event_type") === "purchase").cast("int")).as("converted"),
+          sum(when(col("event_type") === "purchase", cents(col("value")))
+            .otherwise(lit(0L))).as("purchase_cents"))
+        val hashed = units.withColumn("h",
+          expr("CAST(conv(substr(md5(concat(CAST(user_id AS STRING), ':exp1')), " +
+            "1, 15), 16, 10) AS BIGINT)"))
+        val assigned = E.assign(hashed, "h",
+          Seq(("control", 500), ("treatment", 500)))
+        E.lift(assigned, "arm", "converted", Some("purchase_cents"), "control")
+      },
+      Some("""WITH u AS (SELECT user_id,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+            sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS val
+          FROM events GROUP BY 1),
+        h AS (SELECT conv, val, CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR) || ':exp1'), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h FROM u),
+        a AS (SELECT CASE WHEN h % 1000 < 500 THEN 'control' ELSE 'treatment' END AS arm,
+            conv, val FROM h),
+        g AS (SELECT arm, CAST(count(*) AS BIGINT) AS units,
+            CAST(sum(conv) AS BIGINT) AS conversions,
+            CAST(sum(val) AS BIGINT) AS value_sum FROM a GROUP BY 1),
+        c AS (SELECT units AS uc, conversions AS cc FROM g WHERE arm = 'control')
+        SELECT g.arm, g.units, g.conversions, g.value_sum,
+          g.conversions * 1000 // g.units AS conv_permille,
+          CASE WHEN g.arm = 'control' THEN CAST(0 AS BIGINT)
+            WHEN c.cc = 0 THEN NULL
+            ELSE CAST((g.conversions::HUGEINT * c.uc * 1000)
+              // (c.cc::HUGEINT * g.units) - 1000 AS BIGINT) END AS lift_permille
+        FROM g, c""")))
 }

@@ -278,6 +278,13 @@ object PlanCheck {
         p => p.contains("windowspecdefinition(cohort#") &&
           p.contains("BroadcastHashJoin") && p.contains("partial_count") &&
           !p.contains("CartesianProduct")),
+      ("event_experiment_lift", "experiment lift: combinable unit aggregates, the ONE control row broadcast back (no SMJ, no window)",
+        // assignment is projection arithmetic and the report is |arms|
+        // rows: the only join tolerable here is the single-row control
+        // broadcast (a BNLJ over a 1-row IdentityBroadcast is the cheap
+        // cross join, not a regression)
+        p => p.contains("BroadcastExchange") && p.contains("partial_count") &&
+          !p.contains("SortMergeJoin") && !p.contains("Window")),
       ("scd2_point_in_time", "point-in-time join = the asof union-sort (ONE keyed shuffle + window), never a facts×versions join",
         // the leak-free feature join must keep the tagged-union shape: a
         // regression to a range join (facts×versions pairing, then a
