@@ -58,7 +58,12 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          # as the one-shot census
          "text_distinct_sketch_incremental", "streaming_kmv_ingest",
          # round-16b: token-weighted doc-length percentiles
-         "agg_quantile_weighted"]
+         "agg_quantile_weighted",
+         # round-16c: bloom membership — the oracle replays the whole
+         # filter (affine-mod-prime bit indices, OR'd 60-bit words,
+         # all-bits-set probes) verbatim over the salted vocabulary
+         "text_bloom_membership", "text_bloom_incremental",
+         "streaming_bloom_ingest"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
@@ -281,7 +286,11 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                "timeseries_gapfill_incremental", "timeseries_change_ratio",
                "event_audience_overlap_incremental",
                "event_attribution_linear", "agg_hll_cube",
-               "streaming_gapfill_ingest"]
+               "streaming_gapfill_ingest",
+               # round-16c: experiment lift — users are disjoint per copy,
+               # so per-unit conversion rows and the salted-hash split
+               # replay verbatim; the report re-aggregates over 10x units
+               "event_experiment_lift"]
 
 
 def main_events(oracle_path):
