@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining — item co-occurrence with
+  * integer-exact support and lift, the recommendation/affinity shape a
+  * retail-scale pipeline runs over billions of baskets.
+  *
+  * The scale hazard here is the per-basket pair fan-out: a basket of n
+  * items contributes n·(n−1)/2 pairs, so one pathological basket (a
+  * crawler cart, a batch-import order) can quadratically swamp an
+  * executor. The house rule applies: a hard `maxBasketSize` budget whose
+  * violation refuses loudly IN the pair projection rather than OOMing —
+  * the intervalJoin/gapFill explode-cap discipline. */
+object Baskets {
+
+  /** Item-pair co-occurrence over (basket, item) rows: for each unordered
+    * pair `item_a < item_b` seen together in at least `minPairCount`
+    * baskets —
+    *
+    *  - `pair_cnt`: baskets containing both
+    *  - `cnt_a`, `cnt_b`: baskets containing each item
+    *  - `support_permille` = pair_cnt·1000 DIV n_baskets
+    *  - `lift_permille` = pair_cnt·n_baskets·1000 DIV (cnt_a·cnt_b) —
+    *    1000 = independence, >1000 = affinity; evaluated in
+    *    DECIMAL(38,0) so the triple product cannot overflow a BIGINT at
+    *    any realistic scale
+    *
+    * Shape at scale: duplicates collapse in ONE map-side-combinable
+    * distinct of (basket, item); pairs come from a self-equi-join keyed
+    * by basket (shuffle on the basket key, never a cartesian — AQE handles
+    * basket-count skew); item counts and the basket total are combinable
+    * aggregates, and the per-item counts join back BROADCAST (the item
+    * dimension is vocabulary-sized, not corpus-sized). Baskets larger
+    * than `maxBasketSize` refuse loudly before the pair join can fan
+    * out. */
+  def cooccurrence(
+      df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2L, maxBasketSize: Int = 256): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    require(maxBasketSize >= 2 && maxBasketSize <= 65536,
+      s"maxBasketSize must be in [2, 65536], got $maxBasketSize")
+    require(!df.columns.exists(_.startsWith("__")),
+      "cooccurrence reserves __-prefixed column names")
+    val bi = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    // the fan-out budget rides the basket-size aggregate: a basket past
+    // the cap refuses before the self-join replicates it quadratically
+    val sized = bi
+      .withColumn("__bsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("__b")))
+      .withColumn("__i",
+        when(col("__bsz") > maxBasketSize,
+          raise_error(concat(lit("graft baskets: basket "),
+            col("__b").cast("string"), lit(" has "),
+            col("__bsz").cast("string"),
+            lit(s" distinct items (cap $maxBasketSize) — a pathological " +
+              "basket would fan out quadratically; filter it upstream or " +
+              "raise maxBasketSize"))))
+          .otherwise(col("__i")))
+      .select("__b", "__i")
+    val nBaskets = bi.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__nb"))
+    val itemCnt = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
+    val a = sized.select(col("__b"), col("__i").as("item_a"))
+    val b = sized.select(col("__b"), col("__i").as("item_b"))
+    val pairs = a.join(b, Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minPairCount)
+    pairs
+      .join(broadcast(itemCnt.select(col("__i").as("item_a"), col("__ci").as("cnt_a"))),
+        Seq("item_a"))
+      .join(broadcast(itemCnt.select(col("__i").as("item_b"), col("__ci").as("cnt_b"))),
+        Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("support_permille", expr("pair_cnt * 1000 DIV __nb"))
+      .withColumn("lift_permille",
+        expr("CAST((CAST(pair_cnt AS DECIMAL(38,0)) * __nb * 1000) " +
+          "DIV (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)"))
+      .select(col("item_a"), col("item_b"), col("pair_cnt"),
+        col("cnt_a"), col("cnt_b"), col("support_permille"),
+        col("lift_permille"))
+  }
+}

@@ -534,5 +534,31 @@ private[queries] object CatalogRelational {
           CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS notspec,
           CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
         FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment""")))
+        GROUP BY c_mktsegment""")),
+
+    // MARKET-BASKET co-occurrence (association mining): part pairs bought
+    // together in >= 2 orders, with integer-exact support and lift
+    // (pair·N·1000 DIV (ca·cb), 1000 = independence) — duplicates
+    // collapse in one combinable distinct, pairs come from a
+    // basket-keyed self-equi-join (never cartesian; oversized baskets
+    // refuse before the quadratic fan-out), item counts broadcast back
+    Q("basket_cooccurrence",
+      (s, d) => graft.operators.Baskets.cooccurrence(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minPairCount = 2L),
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+          FROM lineitem),
+        n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM bi),
+        ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM bi GROUP BY 1),
+        p AS (SELECT a.i AS item_a, b.i AS item_b,
+            CAST(count(*) AS BIGINT) AS pair_cnt
+          FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT p.item_a, p.item_b, p.pair_cnt,
+          ca.ci AS cnt_a, cb.ci AS cnt_b,
+          p.pair_cnt * 1000 // n.nb AS support_permille,
+          CAST((p.pair_cnt::HUGEINT * n.nb * 1000)
+            // (ca.ci::HUGEINT * cb.ci) AS BIGINT) AS lift_permille
+        FROM p JOIN ic ca ON ca.i = p.item_a
+          JOIN ic cb ON cb.i = p.item_b, n""")))
 }

@@ -278,6 +278,12 @@ object PlanCheck {
         p => p.contains("windowspecdefinition(cohort#") &&
           p.contains("BroadcastHashJoin") && p.contains("partial_count") &&
           !p.contains("CartesianProduct")),
+      ("basket_cooccurrence", "basket pairs via the basket-keyed equi-join (never cartesian); size cap windowed BY BASKET; dims broadcast",
+        // the pair join must stay keyed on the basket column — a
+        // cartesian here is |items|² over the whole corpus — and the
+        // fan-out cap must ride a basket-keyed window, not a global one
+        p => p.contains("windowspecdefinition(__b#") &&
+          p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")),
       ("event_experiment_lift", "experiment lift: combinable unit aggregates, the ONE control row broadcast back (no SMJ, no window)",
         // assignment is projection arithmetic and the report is |arms|
         // rows: the only join tolerable here is the single-row control

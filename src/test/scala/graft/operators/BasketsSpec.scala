@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** [[Baskets.cooccurrence]] — market-basket association mining: exact
+  * pair/item/basket counts, integer-exact support and lift, duplicate
+  * collapse, and the quadratic-fan-out cap refusing loudly. */
+class BasketsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 4 baskets: {A,B}, {A,B,C}, {A,C}, {B} — (A,B) twice, (A,C) twice,
+  // (B,C) once; counts A=3, B=3, C=2
+  private def baskets = Seq(
+    (1L, "A"), (1L, "B"),
+    (2L, "A"), (2L, "B"), (2L, "C"),
+    (3L, "A"), (3L, "C"),
+    (4L, "B")
+  ).toDF("b", "i")
+
+  test("pair counts, support, and lift are exact") {
+    val got = Baskets.cooccurrence(baskets, "b", "i", minPairCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // ("A","B"): pair 2, cnt 3/3, support 2000/4=500, lift 2*4*1000/(3*3)=888
+    assert(got(("A", "B")) == (2L, 3L, 3L, 500L, 888L))
+    // ("A","C"): pair 2, cnt 3/2, support 500, lift 8000/6=1333 (affinity)
+    assert(got(("A", "C")) == (2L, 3L, 2L, 500L, 1333L))
+    // ("B","C"): pair 1, cnt 3/2, support 250, lift 4000/6=666
+    assert(got(("B", "C")) == (1L, 3L, 2L, 250L, 666L))
+    assert(got.size == 3)
+  }
+
+  test("minPairCount prunes; duplicate (basket, item) rows collapse") {
+    val withDups = baskets.unionByName(Seq((2L, "A"), (2L, "A")).toDF("b", "i"))
+    val got = Baskets.cooccurrence(withDups, "b", "i", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("A", "B") -> 2L, ("A", "C") -> 2L))
+  }
+
+  test("null baskets/items are skipped; partition count does not change the result") {
+    val withNulls = baskets.unionByName(
+      Seq((Option(9L), Option.empty[String]),
+        (Option.empty[Long], Option("A"))).toDF("b", "i"))
+    val one = Baskets.cooccurrence(withNulls.coalesce(1), "b", "i", 1L)
+      .collect().map(_.toSeq).toSet
+    val many = Baskets.cooccurrence(withNulls.repartition(32), "b", "i", 1L)
+      .collect().map(_.toSeq).toSet
+    assert(one == many)
+    assert(one == Baskets.cooccurrence(baskets, "b", "i", 1L)
+      .collect().map(_.toSeq).toSet)
+  }
+
+  test("a basket past maxBasketSize refuses before the pair fan-out") {
+    val big = (1 to 20).map(i => (9L, s"item$i")).toDF("b", "i")
+      .unionByName(baskets)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      Baskets.cooccurrence(big, "b", "i", 1L, maxBasketSize = 16).collect()
+    }
+    assert(msgs(e).exists(_.contains("graft baskets")))
+    // at the cap exactly, it passes
+    val ok = Baskets.cooccurrence(big, "b", "i", 1L, maxBasketSize = 20)
+    assert(ok.count() > 0)
+  }
+
+  test("contracts refuse: bad budgets, reserved columns") {
+    intercept[IllegalArgumentException] {
+      Baskets.cooccurrence(baskets, "b", "i", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Baskets.cooccurrence(baskets, "b", "i", 1L, maxBasketSize = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Baskets.cooccurrence(baskets.withColumn("__x", lit(1)), "b", "i", 1L)
+    }
+  }
+}
