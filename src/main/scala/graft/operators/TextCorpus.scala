@@ -664,6 +664,15 @@ object TextCorpus {
     val occ = toks.select(col("doc_id"), explode(col("__t")).as("term"))
       .filter(col("term").isin(q: _*))
     val tf = occ.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    bm25ScoreTopK(tf, lens, nDocs, totLen, k, k1Num, k1Den, bNum, bDen)
+  }
+
+  /** The BM25 scoring tail shared by [[bm25TopK]] (one-shot) and
+    * [[bm25Serve]] (persisted index): `tf` is the query-filtered
+    * (doc_id, term, tf) relation, `lens` the per-doc lengths. */
+  private def bm25ScoreTopK(
+      tf: DataFrame, lens: DataFrame, nDocs: Long, totLen: Long, k: Int,
+      k1Num: Int, k1Den: Int, bNum: Int, bDen: Int): DataFrame = {
     // tf rows are distinct (doc, term) — df_t is a count over them; ≤ |q|
     // rows, broadcast into the scoring join
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -689,6 +698,90 @@ object TextCorpus {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score_x1e6").desc, col("doc_id").asc)).cast("long"))
       .select("rank", "doc_id", "score_x1e6")
+  }
+
+  /** PERSISTED inverted index for [[bm25TopK]]-style serving — the search
+    * shape where the corpus is tokenized ONCE and every later query runs
+    * against the stored postings: returns
+    * (postings — (term, doc_id, tf), lens — (doc_id, len)). Together they
+    * are the exact sufficient statistic for BM25: df(t) is a count over a
+    * term's postings, and the corpus totals (N, TL) aggregate from the
+    * narrow lens relation — nothing else is needed, so the index folds by
+    * plain doc-disjoint union ([[bm25IndexFold]]).
+    *
+    * Postings are term-first: stored sorted/partitioned by term, a
+    * query's `term IN (…)` filter pushes into the parquet scan and only
+    * the probed terms' rows are ever read — the 100 TB serving property
+    * ([[bm25Serve]]'s PlanCheck pin). */
+  def bm25Index(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+    val lens = toks.select(col("doc_id"), size(col("__t")).cast("long").as("len"))
+    val postings = toks.select(col("doc_id"), explode(col("__t")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"))
+    (postings, lens)
+  }
+
+  /** Fold a new batch's index into a persisted one: plain unions — BUT
+    * batch docs must be NEW (a re-ingested doc_id would double its
+    * postings and silently inflate every score it touches), so the folded
+    * lens carries a raise_error guard that fires if any batch doc already
+    * exists. The guard rides the lens lineage: every serve aggregates
+    * lens for (N, TL), so no query can be answered from a corrupted
+    * fold. */
+  def bm25IndexFold(
+      postings: DataFrame, lens: DataFrame,
+      batchPostings: DataFrame, batchLens: DataFrame): (DataFrame, DataFrame) = {
+    requireBm25Index(postings, lens, "bm25IndexFold")
+    requireBm25Index(batchPostings, batchLens, "bm25IndexFold (batch)")
+    val guardedBatchLens = batchLens
+      .join(lens.select(col("doc_id"), lit(1).as("__seen")), Seq("doc_id"), "left")
+      .withColumn("len",
+        when(col("__seen").isNotNull,
+          raise_error(concat(lit("graft bm25Index: doc "),
+            col("doc_id").cast("string"),
+            lit(" is already indexed — re-ingesting would double its " +
+              "postings; rebuild the index or dedup the batch upstream"))))
+          .otherwise(col("len")))
+      .select("doc_id", "len")
+    (postings.unionByName(batchPostings), lens.unionByName(guardedBatchLens))
+  }
+
+  private def requireBm25Index(
+      postings: DataFrame, lens: DataFrame, op: String): Unit = {
+    require(postings.columns.toSeq == Seq("term", "doc_id", "tf"),
+      s"$op expects postings (term, doc_id, tf), got ${postings.columns.mkString(", ")}")
+    require(lens.columns.toSeq == Seq("doc_id", "len"),
+      s"$op expects lens (doc_id, len), got ${lens.columns.mkString(", ")}")
+  }
+
+  /** Serve a BM25 top-k query from a PERSISTED [[bm25Index]] — identical
+    * ranking to [[bm25TopK]] over the indexed corpus, with no
+    * re-tokenization: the query terms filter the postings (pushed into
+    * the parquet scan when the index is read from storage), df comes from
+    * the filtered postings, and only the two corpus totals aggregate from
+    * the narrow lens relation. */
+  def bm25Serve(
+      postings: DataFrame, lens: DataFrame,
+      queryTerms: Seq[String], k: Int,
+      k1Num: Int = 12, k1Den: Int = 10,
+      bNum: Int = 3, bDen: Int = 4): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1Num >= 0 && k1Den > 0, "k1 must be a non-negative rational")
+    require(bNum >= 0 && bDen > 0 && bNum <= bDen, "b must be in [0, 1]")
+    requireBm25Index(postings, lens, "bm25Serve")
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val totRow = lens.agg(count(lit(1)).cast("long"), sum("len")).head()
+    val nDocs = totRow.getLong(0)
+    val totLen = Option(totRow.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (nDocs == 0L || totLen == 0L)
+      return lens.select(lit(0L).as("rank"), col("doc_id"),
+        lit(0L).as("score_x1e6")).limit(0)
+    val tf = postings.filter(col("term").isin(q: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    bm25ScoreTopK(tf, lens, nDocs, totLen, k, k1Num, k1Den, bNum, bDen)
   }
 
   /** Statistical (corpus-LM) novelty scoring — the integer-exact core of

@@ -1384,6 +1384,57 @@ private[queries] object CatalogCorpus {
           doc_id, score_x1e6
         FROM sc ORDER BY score_x1e6 DESC, doc_id LIMIT 10""")),
 
+    // PERSISTED inverted index + BM25 serving: the even docs' postings
+    // and lengths round-trip through parquet, the odd batch folds in by
+    // doc-disjoint union (re-ingest refuses via the lens-riding guard),
+    // and the query served from the stored index — postings filtered by
+    // term IN (...), pushed into the parquet scan; no re-tokenization —
+    // must equal the one-shot bm25TopK over everything (same oracle)
+    Q("text_bm25_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val (p0, l0) = TextCorpus.bm25Index(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        val root = java.nio.file.Files.createTempDirectory("graft-bm25-idx")
+        // term-clustered layout: range-partition + sort so parquet
+        // row-group min/max stats prune non-query terms at serve time
+        // (a partitionBy(term) directory per vocabulary word would not
+        // survive a real vocabulary)
+        p0.repartitionByRange(col("term")).sortWithinPartitions("term")
+          .write.mode("overwrite").parquet(s"$root/postings")
+        l0.write.mode("overwrite").parquet(s"$root/lens")
+        val (pb, lb) = TextCorpus.bm25Index(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        val (p1, l1) = TextCorpus.bm25IndexFold(
+          s.read.parquet(s"$root/postings"),
+          s.read.parquet(s"$root/lens"), pb, lb)
+        val out = TextCorpus.bm25Serve(p1, l1,
+          Seq("merge", "window", "spark"), 10).localCheckpoint(true)
+        deleteDir(root.toFile)
+        out
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+          lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM toks),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(len) AS BIGINT) AS tl FROM lens),
+          occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM occ
+            WHERE term IN ('merge', 'window', 'spark') GROUP BY 1, 2),
+          dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT tf.doc_id,
+              CAST(sum(CAST(((2 * (tot.n - dfq.df) + 1) * 1000) // (2 * dfq.df + 1) AS HUGEINT) *
+                ((CAST(tf.tf AS HUGEINT) * 88 * tot.tl * 1000000) //
+                 (CAST(tf.tf AS HUGEINT) * 40 * tot.tl + CAST(12 AS HUGEINT) * tot.tl +
+                  CAST(36 AS HUGEINT) * lens.len * tot.n)) // 1000)
+                AS BIGINT) AS score_x1e6
+            FROM tf CROSS JOIN tot
+            JOIN dfq ON dfq.term = tf.term
+            JOIN lens ON lens.doc_id = tf.doc_id
+            GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY score_x1e6 DESC, doc_id) AS BIGINT) AS rank,
+          doc_id, score_x1e6
+        FROM sc ORDER BY score_x1e6 DESC, doc_id LIMIT 10""")),
+
     // link-centrality quality signal (the crawl-graph PageRank classic),
     // integer-exact: 3 damped message-passing rounds over the UNDIRECTED
     // near-dup graph (both directions of the total-recall Jaccard pairs).

@@ -381,6 +381,33 @@ object PlanCheck {
       println(f"${if (pass) "PASS" else "FAIL"}  dedup_exact_probe      history probed via broadcast semi/anti — never sort-merge-shuffled")
     }
 
+    // persisted BM25 index serving: the query's term IN (...) filter must
+    // PUSH into the postings parquet scan (only probed terms' row groups
+    // read — the whole point of the stored index) and the top-k must be a
+    // TakeOrdered, not a global sort (the gate checkpoints its result, so
+    // this checks the raw serve plan over a real on-disk index)
+    locally {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val (p0, l0) = graft.operators.TextCorpus.bm25Index(docs, "doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft-pc-bm25")
+      p0.repartitionByRange(col("term")).sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$root/p")
+      l0.write.mode("overwrite").parquet(s"$root/l")
+      val out = graft.operators.TextCorpus.bm25Serve(
+        spark.read.parquet(s"$root/p"), spark.read.parquet(s"$root/l"),
+        Seq("merge", "window", "spark"), 10)
+      val p = out.queryExecution.executedPlan.toString
+      val pass = p.contains("PushedFilters: [In(term") &&
+        p.contains("TakeOrderedAndProject")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root.toFile)
+      if (!pass) failed += 1
+      println(f"${if (pass) "PASS" else "FAIL"}  text_bm25_serve        term IN pushed into the postings scan; top-k via TakeOrdered")
+    }
+
     // deletion-vector read: the probe must print under a WholeStageCodegen
     // node (the `*(n)` prefix on its Filter line) in the FINALIZED adaptive
     // plan — a regression to a UDF or interpreted predicate would split the
