@@ -127,6 +127,45 @@ private[queries] object CatalogEvents {
             + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
 
+    // FUNNEL LATENCY percentiles — operator algebra: completed funnels
+    // (view→click→purchase) feed their end-to-end duration into the
+    // mergeable quantile sketch, keyed by the conversion's cohort day.
+    // "How long does conversion take, p50/p95/p99, per day" with NO
+    // per-group sort — the funnel is combinable MINs and the sketch is a
+    // combinable histogram; the oracle replays the chain AND the bucket
+    // arithmetic bit-for-bit
+    Q("event_funnel_latency",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ets"))
+        val f = graft.operators.Temporal.funnel(ev, "user_id", "event_type",
+            "ets", Seq("view", "click", "purchase"))
+          .filter(col("steps_completed") === 3)
+        val dur = f.select(expr("step_1_ts div 86400000000").as("cohort_day"),
+          (col("step_3_ts") - col("step_1_ts")).as("latency_us"))
+        graft.operators.Sketches.quantileSketch(dur, "cohort_day",
+          "latency_us", Seq(500, 950, 990), mantissaBits = 6)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ets FROM events),
+        s1 AS (SELECT user_id, min(ets) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ets) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ets > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ets) AS t3 FROM e JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND ets > t2 GROUP BY 1),
+        v AS (SELECT t1 // 86400000000 AS g, t3 - t1 AS val
+          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)),
+        b AS (SELECT g, greatest(length(bin(val)) - 1 - 6, 0) AS shift,
+            val >> greatest(length(bin(val)) - 1 - 6, 0) AS bid, count(*) AS cnt
+          FROM v GROUP BY 1, 2, 3),
+        ed AS (SELECT g, cnt, (bid << shift) AS lo,
+            (((bid + 1) << shift) - 1) AS hi FROM b),
+        c AS (SELECT g, hi, sum(cnt) OVER (PARTITION BY g ORDER BY lo) AS cum,
+            sum(cnt) OVER (PARTITION BY g) AS tot FROM ed)
+        SELECT g AS cohort_day, CAST(q.q AS BIGINT) AS q_permille,
+          CAST(min(CASE WHEN cum * 1000 >= q.q * tot THEN hi END) AS BIGINT) AS est
+        FROM c, (VALUES (500), (950), (990)) AS q(q) GROUP BY 1, 2""")),
+
     // INCREMENTAL funnel (the round-14 persisted-state pattern): build the
     // per-key funnel state on the first half of the time range, fold the
     // second half in with funnelFold (cost scales with the batch, never

@@ -290,7 +290,11 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                # round-16c: experiment lift — users are disjoint per copy,
                # so per-unit conversion rows and the salted-hash split
                # replay verbatim; the report re-aggregates over 10x units
-               "event_experiment_lift"]
+               "event_experiment_lift",
+               # round-16c: funnel latency percentiles — the chain and the
+               # histogram-bucket arithmetic both replay verbatim over the
+               # disjoint-user 10x events
+               "event_funnel_latency"]
 
 
 def main_events(oracle_path):
