@@ -97,7 +97,12 @@ object Bench {
     // HLL coverage fan-out straight into native register partials (the
     // billion-key actives path; also the round's only new native agg),
     // and gap-fill's agg + keyed-lookahead-window + bounded explode
-    "event_active_users_hll", "timeseries_gapfill")
+    "event_active_users_hll", "timeseries_gapfill",
+    // r16c: the two newest shapes with wall signal — the basket-keyed
+    // pair self-join (quadratic-fan-out family; support/lift arithmetic)
+    // and the persisted BM25 index round-trip (build + term-clustered
+    // parquet write + fold + served query)
+    "basket_cooccurrence", "text_bm25_incremental")
 
   /** Expected QUIET band per headline query: the upper edge of the
     * builder-box certified-quiet readings recorded in BASELINE.md (sf0.1,
@@ -177,7 +182,12 @@ object Bench {
     // r16b first-round bands, two certified-quiet runs=5 passes (sentinel
     // medians 0.126/0.139 at 0.100 struct): hll actives min_clean
     // 0.606/0.685, gap-fill 0.452/0.469 — de-rated upper edges
-    "event_active_users_hll" -> 0.9, "timeseries_gapfill" -> 0.65)
+    "event_active_users_hll" -> 0.9, "timeseries_gapfill" -> 0.65,
+    // r16c first-round bands, two certified-quiet runs=5 passes (sentinel
+    // medians 0.236/0.217, spreads 1.35/1.31, 0 drained): basket pairs
+    // min_clean 1.725/1.579, bm25 index round-trip 1.663/1.650 — de-rated
+    // upper edges
+    "basket_cooccurrence" -> 2.1, "text_bm25_incremental" -> 2.0)
 
   /** A clean reading above this multiple of its band is flagged
     * `over_band` — the same >2×-band rule the round verdicts apply. */
