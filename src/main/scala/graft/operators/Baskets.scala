@@ -38,7 +38,25 @@ object Baskets {
   def cooccurrence(
       df: DataFrame, basketCol: String, itemCol: String,
       minPairCount: Long = 2L, maxBasketSize: Int = 256): DataFrame = {
-    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val (pairs, items, totals) =
+      cooccurrenceState(df, basketCol, itemCol, maxBasketSize)
+    cooccurrenceOf(pairs, items, totals, minPairCount)
+  }
+
+  /** The PERSISTED form of [[cooccurrence]]: three relations that together
+    * are the exact sufficient statistic for the support/lift report —
+    * pairs (item_a, item_b, cnt), items (item, cnt), totals (n_baskets,
+    * one row). All three are ADDITIVE (fold = [[cooccurrenceFold]]):
+    * commutative and order-free, but NOT idempotent — the count-min/
+    * quantile-histogram replay class, so replay protection is the
+    * ingest's `txnApplied` job. CONTRACT: each batch must consist of
+    * WHOLE, NEW baskets — a basket split across batches would undercount
+    * its cross-batch pairs, and the state (deliberately) does not retain
+    * basket ids to check against; feed it from a basket-complete CDC
+    * stream. */
+  def cooccurrenceState(
+      df: DataFrame, basketCol: String, itemCol: String,
+      maxBasketSize: Int = 256): (DataFrame, DataFrame, DataFrame) = {
     require(maxBasketSize >= 2 && maxBasketSize <= 65536,
       s"maxBasketSize must be in [2, 65536], got $maxBasketSize")
     require(!df.columns.exists(_.startsWith("__")),
@@ -61,22 +79,60 @@ object Baskets {
               "raise maxBasketSize"))))
           .otherwise(col("__i")))
       .select("__b", "__i")
-    val nBaskets = bi.select(col("__b")).distinct()
-      .agg(count(lit(1)).as("__nb"))
-    val itemCnt = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
+    val totals = bi.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val items = bi.groupBy(col("__i").as("item")).agg(count(lit(1)).as("cnt"))
     val a = sized.select(col("__b"), col("__i").as("item_a"))
     val b = sized.select(col("__b"), col("__i").as("item_b"))
     val pairs = a.join(b, Seq("__b"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).as("pair_cnt"))
-      .filter(col("pair_cnt") >= minPairCount)
-    pairs
-      .join(broadcast(itemCnt.select(col("__i").as("item_a"), col("__ci").as("cnt_a"))),
+      .agg(count(lit(1)).as("cnt"))
+    (pairs, items, totals)
+  }
+
+  private def requireCoState(
+      pairs: DataFrame, items: DataFrame, totals: DataFrame, op: String): Unit = {
+    require(pairs.columns.toSeq == Seq("item_a", "item_b", "cnt"),
+      s"$op expects pairs (item_a, item_b, cnt), got ${pairs.columns.mkString(", ")}")
+    require(items.columns.toSeq == Seq("item", "cnt"),
+      s"$op expects items (item, cnt), got ${items.columns.mkString(", ")}")
+    require(totals.columns.toSeq == Seq("n_baskets"),
+      s"$op expects totals (n_baskets), got ${totals.columns.mkString(", ")}")
+  }
+
+  /** Fold a batch's state into a persisted one: counts ADD per key in all
+    * three relations — tiny aggregates over the pair/item vocabularies,
+    * never the basket corpus. Same contract and replay class as
+    * [[cooccurrenceState]]. */
+  def cooccurrenceFold(
+      pairs: DataFrame, items: DataFrame, totals: DataFrame,
+      batchPairs: DataFrame, batchItems: DataFrame, batchTotals: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    requireCoState(pairs, items, totals, "cooccurrenceFold")
+    requireCoState(batchPairs, batchItems, batchTotals, "cooccurrenceFold (batch)")
+    (pairs.unionByName(batchPairs)
+        .groupBy("item_a", "item_b").agg(sum("cnt").as("cnt")),
+      items.unionByName(batchItems)
+        .groupBy("item").agg(sum("cnt").as("cnt")),
+      totals.unionByName(batchTotals)
+        .agg(sum("n_baskets").as("n_baskets")))
+  }
+
+  /** Serve the support/lift report from a persisted state — the
+    * [[cooccurrence]] output with no re-scan of any basket. */
+  def cooccurrenceOf(
+      pairs: DataFrame, items: DataFrame, totals: DataFrame,
+      minPairCount: Long = 2L): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    requireCoState(pairs, items, totals, "cooccurrenceOf")
+    pairs.filter(col("cnt") >= minPairCount)
+      .withColumnRenamed("cnt", "pair_cnt")
+      .join(broadcast(items.select(col("item").as("item_a"), col("cnt").as("cnt_a"))),
         Seq("item_a"))
-      .join(broadcast(itemCnt.select(col("__i").as("item_b"), col("__ci").as("cnt_b"))),
+      .join(broadcast(items.select(col("item").as("item_b"), col("cnt").as("cnt_b"))),
         Seq("item_b"))
-      .crossJoin(broadcast(nBaskets))
+      .crossJoin(broadcast(totals.select(col("n_baskets").as("__nb"))))
       .withColumn("support_permille", expr("pair_cnt * 1000 DIV __nb"))
       .withColumn("lift_permille",
         expr("CAST((CAST(pair_cnt AS DECIMAL(38,0)) * __nb * 1000) " +

@@ -560,5 +560,46 @@ private[queries] object CatalogRelational {
           CAST((p.pair_cnt::HUGEINT * n.nb * 1000)
             // (ca.ci::HUGEINT * cb.ci) AS BIGINT) AS lift_permille
         FROM p JOIN ic ca ON ca.i = p.item_a
+          JOIN ic cb ON cb.i = p.item_b, n""")),
+
+    // INCREMENTAL basket co-occurrence: the even orders' (pairs, items,
+    // totals) state round-trips through parquet, the odd orders fold in
+    // (counts ADD per key — whole-basket batches by construction since
+    // the split is on the basket key), and the report served from the
+    // folded state must equal the one-shot mining over everything
+    Q("basket_cooccurrence_incremental",
+      (s, d) => {
+        val B = graft.operators.Baskets
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val (p0, i0, n0) = B.cooccurrenceState(
+          li.filter(col("l_orderkey") % 2 === 0), "l_orderkey", "l_partkey")
+        val root = java.nio.file.Files.createTempDirectory("graft-bsk-state")
+        p0.write.parquet(s"$root/pairs")
+        i0.write.parquet(s"$root/items")
+        n0.write.parquet(s"$root/totals")
+        val (pb, ib, nb) = B.cooccurrenceState(
+          li.filter(col("l_orderkey") % 2 === 1), "l_orderkey", "l_partkey")
+        val (p1, i1, n1) = B.cooccurrenceFold(
+          s.read.parquet(s"$root/pairs"), s.read.parquet(s"$root/items"),
+          s.read.parquet(s"$root/totals"), pb, ib, nb)
+        val out = B.cooccurrenceOf(p1, i1, n1, minPairCount = 2L)
+          .localCheckpoint(true)
+        deleteDir(root.toFile)
+        out
+      },
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+          FROM lineitem),
+        n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM bi),
+        ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM bi GROUP BY 1),
+        p AS (SELECT a.i AS item_a, b.i AS item_b,
+            CAST(count(*) AS BIGINT) AS pair_cnt
+          FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT p.item_a, p.item_b, p.pair_cnt,
+          ca.ci AS cnt_a, cb.ci AS cnt_b,
+          p.pair_cnt * 1000 // n.nb AS support_permille,
+          CAST((p.pair_cnt::HUGEINT * n.nb * 1000)
+            // (ca.ci::HUGEINT * cb.ci) AS BIGINT) AS lift_permille
+        FROM p JOIN ic ca ON ca.i = p.item_a
           JOIN ic cb ON cb.i = p.item_b, n""")))
 }

@@ -67,6 +67,54 @@ class BasketsSpec extends SparkSuite {
     assert(ok.count() > 0)
   }
 
+  test("persisted state: fold-through-parquet ≡ one-shot; counts add per key") {
+    val root = java.nio.file.Files.createTempDirectory("bsk-spec")
+    try {
+      val (p0, i0, n0) = Baskets.cooccurrenceState(
+        baskets.filter(col("b") % 2 === 0), "b", "i")
+      p0.write.parquet(s"$root/p"); i0.write.parquet(s"$root/i")
+      n0.write.parquet(s"$root/n")
+      val (pb, ib, nb) = Baskets.cooccurrenceState(
+        baskets.filter(col("b") % 2 === 1), "b", "i")
+      val (p1, i1, n1) = Baskets.cooccurrenceFold(
+        spark.read.parquet(s"$root/p"), spark.read.parquet(s"$root/i"),
+        spark.read.parquet(s"$root/n"), pb, ib, nb)
+      val served = Baskets.cooccurrenceOf(p1, i1, n1, 1L)
+        .collect().map(_.toSeq).toSet
+      val oneShot = Baskets.cooccurrence(baskets, "b", "i", 1L)
+        .collect().map(_.toSeq).toSet
+      assert(served == oneShot)
+      // additive NOT idempotent: re-folding the batch doubles its counts —
+      // the documented reason replay protection is the ingest's job
+      val (p2, _, n2) = Baskets.cooccurrenceFold(p1, i1, n1, pb, ib, nb)
+      assert(n2.head().getLong(0) ==
+        n1.head().getLong(0) + nb.head().getLong(0))
+      val doubled = p2.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val once = p1.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(doubled.exists { case (k, v) => v > once(k) })
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
+  test("state shape contracts refuse") {
+    val (p, i, n) = Baskets.cooccurrenceState(baskets, "b", "i")
+    intercept[IllegalArgumentException] {
+      Baskets.cooccurrenceOf(p.withColumnRenamed("cnt", "c"), i, n)
+    }
+    intercept[IllegalArgumentException] {
+      Baskets.cooccurrenceFold(p, i.withColumnRenamed("item", "it"), n, p, i, n)
+    }
+    intercept[IllegalArgumentException] {
+      Baskets.cooccurrenceFold(p, i, n.withColumnRenamed("n_baskets", "x"), p, i, n)
+    }
+  }
+
   test("contracts refuse: bad budgets, reserved columns") {
     intercept[IllegalArgumentException] {
       Baskets.cooccurrence(baskets, "b", "i", 0L)
