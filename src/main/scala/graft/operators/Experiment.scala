@@ -50,6 +50,64 @@ object Experiment {
     df.withColumn("arm", arm)
   }
 
+  /** Sample-ratio-mismatch check — the experiment-safety gate every lift
+    * report should be conditioned on: a split whose OBSERVED arm shares
+    * drift from the configured permilles means assignment or logging is
+    * broken (bot filtering one arm, a redirect dropping traffic, a
+    * client-side bug), and any lift computed on it is noise. Per arm:
+    * observed units, expected vs observed permille (truncating DIV — both
+    * engines agree), the signed deviation, and `srm_flag` when |deviation|
+    * exceeds `thresholdPermille`. Arms with ZERO observed units still
+    * report (their absence is exactly the signal — they ride in via the
+    * arms spec, not the data). One combinable count per arm + a broadcast
+    * of the |arms|-row spec; integer-exact throughout. */
+  def srmCheck(assigned: DataFrame, armCol: String,
+      arms: Seq[(String, Int)], thresholdPermille: Int = 50): DataFrame = {
+    require(arms.nonEmpty, "need at least one arm")
+    require(arms.map(_._1).distinct.size == arms.size,
+      s"arm names must be distinct, got ${arms.map(_._1).mkString(", ")}")
+    require(arms.forall(_._2 > 0),
+      s"arm permilles must be positive, got ${arms.mkString(", ")}")
+    require(arms.map(_._2).sum == 1000,
+      s"arm permilles must sum to 1000, got ${arms.map(_._2).sum}")
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in [1, 1000], got $thresholdPermille")
+    val spark = assigned.sparkSession
+    import scala.jdk.CollectionConverters._
+    val spec = spark.createDataFrame(
+      arms.map { case (n, p) =>
+        org.apache.spark.sql.Row(n, p.toLong) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("arm",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("expected_permille",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val observed = assigned.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("units"))
+    // an arm name outside the spec means the assignment and the check
+    // disagree about the experiment — refuse rather than silently
+    // dropping its units from the ratio
+    val joined = observed.join(broadcast(spec), Seq("arm"), "full")
+      .withColumn("arm",
+        when(col("expected_permille").isNull,
+          raise_error(concat(lit("graft experiment: arm '"), col("arm"),
+            lit("' in the data but not in the srmCheck spec — " +
+              "the split being checked is not the split that ran"))))
+          .otherwise(col("arm")))
+      .withColumn("units", coalesce(col("units"), lit(0L)))
+    val total = observed.agg(sum(col("units")).as("__tot"))
+    joined.crossJoin(broadcast(total))
+      .withColumn("observed_permille",
+        when(col("__tot").isNull || col("__tot") === 0, lit(0L))
+          .otherwise(expr("units * 1000 DIV __tot")))
+      .withColumn("deviation_permille",
+        col("observed_permille") - col("expected_permille"))
+      .withColumn("srm_flag",
+        abs(col("deviation_permille")) > thresholdPermille)
+      .select("arm", "units", "expected_permille", "observed_permille",
+        "deviation_permille", "srm_flag")
+  }
+
   /** Per-arm conversion/value report with relative lift vs the named
     * control arm. `units` must be ONE ROW PER UNIT (pre-aggregate events
     * first — a per-event feed would double-count multi-event units, so a

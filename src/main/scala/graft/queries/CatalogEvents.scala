@@ -1379,6 +1379,47 @@ private[queries] object CatalogEvents {
         r AS (SELECT c_custkey AS k, c_mktsegment FROM customer)
         SELECT c_mktsegment, count(*) AS cnt FROM l JOIN r USING (k) GROUP BY 1""")),
 
+    // SAMPLE-RATIO-MISMATCH check — the safety gate a lift report is
+    // conditioned on: observed arm shares vs the configured 500/300/200
+    // permilles, signed deviation, and the flag; arms ride in via the
+    // spec so a zero-traffic arm still reports (its absence IS the
+    // signal). Integer-exact; one combinable count + broadcast spec
+    Q("event_experiment_srm",
+      (s, d) => {
+        val E = graft.operators.Experiment
+        val units = t(s, d, "events").select(col("user_id")).distinct()
+        val hashed = units.withColumn("h",
+          expr("CAST(conv(substr(md5(concat(CAST(user_id AS STRING), ':exp2')), " +
+            "1, 15), 16, 10) AS BIGINT)"))
+        val assigned = E.assign(hashed, "h",
+          Seq(("control", 500), ("blue", 300), ("green", 200)))
+        E.srmCheck(assigned, "arm",
+          Seq(("control", 500), ("blue", 300), ("green", 200)),
+          thresholdPermille = 50)
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+        h AS (SELECT CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR) || ':exp2'), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h FROM u),
+        a AS (SELECT CASE WHEN h % 1000 < 500 THEN 'control'
+            WHEN h % 1000 < 800 THEN 'blue' ELSE 'green' END AS arm FROM h),
+        o AS (SELECT arm, CAST(count(*) AS BIGINT) AS units FROM a GROUP BY 1),
+        spec AS (SELECT * FROM (VALUES ('control', 500), ('blue', 300),
+          ('green', 200)) s(arm, ep)),
+        tt AS (SELECT CAST(sum(units) AS BIGINT) AS tot FROM o)
+        SELECT spec.arm, coalesce(o.units, 0) AS units,
+          CAST(spec.ep AS BIGINT) AS expected_permille,
+          CASE WHEN tot IS NULL OR tot = 0 THEN 0
+            ELSE coalesce(o.units, 0) * 1000 // tot END AS observed_permille,
+          CASE WHEN tot IS NULL OR tot = 0 THEN 0
+            ELSE coalesce(o.units, 0) * 1000 // tot END - spec.ep
+            AS deviation_permille,
+          abs(CASE WHEN tot IS NULL OR tot = 0 THEN 0
+            ELSE coalesce(o.units, 0) * 1000 // tot END - spec.ep) > 50
+            AS srm_flag
+        FROM spec LEFT JOIN o USING (arm), tt""")),
+
     // DETERMINISTIC experiment split + lift report: arm membership is a
     // pure function of the salted 60-bit unit hash (h % 1000 against
     // cumulative permille ranges — no stored assignment, replayable by any

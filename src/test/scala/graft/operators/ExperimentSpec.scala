@@ -105,6 +105,45 @@ class ExperimentSpec extends SparkSuite {
     assert(msgs(e2).exists(_.contains("control arm")))
   }
 
+  test("srmCheck: deviations are exact; zero-traffic arms report and flag") {
+    // 70/20/10 observed vs 50/30/20 expected: dev +200 / -100 / -100
+    val assigned = (Seq.fill(7)("a") ++ Seq.fill(2)("b") ++ Seq.fill(1)("c"))
+      .toDF("arm")
+    val got = Experiment.srmCheck(assigned, "arm",
+        Seq(("a", 500), ("b", 300), ("c", 200)), thresholdPermille = 150)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(got("a") == (7L, 500L, 700L, 200L, true))
+    assert(got("b") == (2L, 300L, 200L, -100L, false))
+    assert(got("c") == (1L, 200L, 100L, -100L, false))
+    // an arm with ZERO traffic still reports — its absence is the signal
+    val partial = Seq.fill(10)("a").toDF("arm")
+    val got2 = Experiment.srmCheck(partial, "arm",
+        Seq(("a", 500), ("b", 500)), thresholdPermille = 50)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getBoolean(5))).toMap
+    assert(got2("b") == (0L, 0L, true))
+    assert(got2("a") == (10L, 1000L, true))
+  }
+
+  test("srmCheck refuses an arm in the data but not in the spec") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val assigned = Seq("a", "ghost").toDF("arm")
+    val e = intercept[Exception] {
+      Experiment.srmCheck(assigned, "arm", Seq(("a", 1000))).collect()
+    }
+    assert(msgs(e).exists(_.contains("not in the srmCheck spec")))
+    intercept[IllegalArgumentException] {
+      Experiment.srmCheck(assigned, "arm", Seq(("a", 900)))
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.srmCheck(assigned, "arm", Seq(("a", 1000)), thresholdPermille = 0)
+    }
+  }
+
   test("lift without a value column omits value_sum") {
     val units = Seq(("control", 1), ("t", 1)).toDF("arm", "c")
     val out = Experiment.lift(units, "arm", "c", None, "control")

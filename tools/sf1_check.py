@@ -294,7 +294,10 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                # round-16c: funnel latency percentiles — the chain and the
                # histogram-bucket arithmetic both replay verbatim over the
                # disjoint-user 10x events
-               "event_funnel_latency"]
+               "event_funnel_latency",
+               # round-16c: SRM check — per-copy users keep the same salted
+               # split, the spec/threshold replay verbatim
+               "event_experiment_srm"]
 
 
 def main_events(oracle_path):
