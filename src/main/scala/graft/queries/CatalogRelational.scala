@@ -562,6 +562,52 @@ private[queries] object CatalogRelational {
         FROM p JOIN ic ca ON ca.i = p.item_a
           JOIN ic cb ON cb.i = p.item_b, n""")),
 
+    // STREAMING basket maintenance — the eleventh maintainer (guarded
+    // additive class): whole-basket micro-batches fold the three-relation
+    // state under the pairs-last commit-order rule; the report served
+    // from the persisted state must equal the one-shot mining (same
+    // oracle as basket_cooccurrence)
+    Q("streaming_baskets_ingest",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val root = java.nio.file.Files.createTempDirectory("graft-sbk")
+        val src = s"$root/src"
+        li.filter(col("l_orderkey") % 2 === 0)
+          .write.mode("append").parquet(src)
+        val schema = s.read.parquet(src).schema
+        graft.streaming.StreamingIngest.basketsIngest(s, src, schema,
+          "l_orderkey", "l_partkey", 256,
+          s"$root/pairs", s"$root/items", s"$root/totals", s"$root/ck")
+        li.filter(col("l_orderkey") % 2 === 1)
+          .write.mode("append").parquet(src)
+        graft.streaming.StreamingIngest.basketsIngest(s, src, schema,
+          "l_orderkey", "l_partkey", 256,
+          s"$root/pairs", s"$root/items", s"$root/totals", s"$root/ck")
+        val out = graft.operators.Baskets.cooccurrenceOf(
+            new graft.store.VersionedTable(s, s"$root/pairs").read(),
+            new graft.store.VersionedTable(s, s"$root/items").read(),
+            new graft.store.VersionedTable(s, s"$root/totals").read(),
+            minPairCount = 2L)
+          .localCheckpoint(true)
+        deleteDir(root.toFile)
+        out
+      },
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+          FROM lineitem),
+        n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM bi),
+        ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM bi GROUP BY 1),
+        p AS (SELECT a.i AS item_a, b.i AS item_b,
+            CAST(count(*) AS BIGINT) AS pair_cnt
+          FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT p.item_a, p.item_b, p.pair_cnt,
+          ca.ci AS cnt_a, cb.ci AS cnt_b,
+          p.pair_cnt * 1000 // n.nb AS support_permille,
+          CAST((p.pair_cnt::HUGEINT * n.nb * 1000)
+            // (ca.ci::HUGEINT * cb.ci) AS BIGINT) AS lift_permille
+        FROM p JOIN ic ca ON ca.i = p.item_a
+          JOIN ic cb ON cb.i = p.item_b, n""")),
+
     // INCREMENTAL basket co-occurrence: the even orders' (pairs, items,
     // totals) state round-trips through parquet, the odd orders fold in
     // (counts ADD per key — whole-basket batches by construction since

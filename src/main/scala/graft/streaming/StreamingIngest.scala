@@ -776,6 +776,74 @@ object StreamingIngest {
     tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
   }
 
+  /** STREAMING basket-co-occurrence maintenance — the eleventh
+    * maintainer, in the GUARDED additive class (count-min/quantile
+    * histogram): each micro-batch's (pairs, items, totals) state folds in
+    * by per-key count addition under a `txnApplied` replay guard on the
+    * pairs table (which commits LAST — a partial retry re-folds items/
+    * totals against their own watermarks, which no-op). CONTRACT
+    * (from `Baskets.cooccurrenceState`): batches must consist of WHOLE,
+    * NEW baskets — micro-batch on the basket-complete CDC boundary.
+    * Serve the support/lift report any time with
+    * `Baskets.cooccurrenceOf(pairs.read(), items.read(), totals.read())`. */
+  def basketsIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      basketCol: String,
+      itemCol: String,
+      maxBasketSize: Int,
+      pairsDir: String,
+      itemsDir: String,
+      totalsDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val appId = "basketsIngest-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        basketsIngestBatch(batch, batchId, basketCol, itemCol, maxBasketSize,
+          pairsDir, itemsDir, totalsDir, appId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  private[graft] def basketsIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      basketCol: String,
+      itemCol: String,
+      maxBasketSize: Int,
+      pairsDir: String,
+      itemsDir: String,
+      totalsDir: String,
+      appId: String): Unit = {
+    import graft.operators.Baskets
+    val s = batch.sparkSession
+    val pTbl = new graft.store.VersionedTable(s, pairsDir)
+    val iTbl = new graft.store.VersionedTable(s, itemsDir)
+    val nTbl = new graft.store.VersionedTable(s, totalsDir)
+    // additive folds double-count on replay — skip a fully-applied batch
+    // via the LAST-committed table's watermark (pairs); a partial retry
+    // re-folds the earlier tables, whose own idempotent commits no-op
+    if (pTbl.exists && pTbl.txnApplied(appId, batchId)) return
+    if (batch.isEmpty) return
+    val (bp, bi, bn) = Baskets.cooccurrenceState(
+      batch.select(basketCol, itemCol).toDF(), basketCol, itemCol, maxBasketSize)
+    val (np, ni, nn) =
+      if (pTbl.exists && iTbl.exists && nTbl.exists)
+        Baskets.cooccurrenceFold(pTbl.read(), iTbl.read(), nTbl.read(), bp, bi, bn)
+      else (bp, bi, bn)
+    nTbl.overwriteIdempotent(nn.localCheckpoint(true), appId, batchId)
+    iTbl.overwriteIdempotent(ni.localCheckpoint(true), appId, batchId)
+    pTbl.overwriteIdempotent(np.localCheckpoint(true), appId, batchId)
+  }
+
   /** STREAMING gap-fill maintenance — the ninth maintainer: each
     * micro-batch's dense fill rows APPEND to a result table (computed by
     * `Temporal.gapFillContinue` against the persisted per-key frontier,

@@ -102,6 +102,36 @@ class BasketsSpec extends SparkSuite {
     }
   }
 
+  test("maintainer replay is guarded: a re-delivered batch does not double-count") {
+    val root = java.nio.file.Files.createTempDirectory("bsk-replay")
+    try {
+      val b0 = baskets.filter(col("b") <= 2)
+      val b1 = baskets.filter(col("b") > 2)
+      def ingest(b: org.apache.spark.sql.DataFrame, id: Long) =
+        graft.streaming.StreamingIngest.basketsIngestBatch(b, id, "b", "i",
+          256, s"$root/p", s"$root/i", s"$root/n", "app")
+      ingest(b0, 0L); ingest(b1, 1L)
+      def served = Baskets.cooccurrenceOf(
+        new graft.store.VersionedTable(spark, s"$root/p").read(),
+        new graft.store.VersionedTable(spark, s"$root/i").read(),
+        new graft.store.VersionedTable(spark, s"$root/n").read(), 1L)
+        .collect().map(_.toSeq).toSet
+      val after = served
+      // at-least-once redelivery of batch 1: the additive fold MUST be
+      // skipped via the pairs-table txnApplied (pairs commit LAST, so its
+      // watermark implies the whole batch applied)
+      ingest(b1, 1L)
+      assert(served == after, "re-delivered batch changed the basket state")
+      assert(after == Baskets.cooccurrence(baskets, "b", "i", 1L)
+        .collect().map(_.toSeq).toSet)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("state shape contracts refuse") {
     val (p, i, n) = Baskets.cooccurrenceState(baskets, "b", "i")
     intercept[IllegalArgumentException] {
