@@ -91,4 +91,54 @@ object Graph {
     }
     scores
   }
+
+  /** Per-node TRIANGLE counts over an undirected simple graph — the
+    * clustering/cohesion census (affinity cliques in a co-occurrence
+    * graph, link triangles in a crawl graph). Input edges are symmetrized
+    * and deduped; self-loops drop. Returns (id, tri_cnt) for every node
+    * in at least one triangle (absent ⇒ 0).
+    *
+    * Scale shape — the degree-orientation trick (Schank's sequential
+    * algorithm, distributed as in Suri & Vassilvitskii's MapReduce
+    * formulation): orient every edge from the (degree, id)-SMALLER
+    * endpoint to the larger, so each node's out-degree is O(√m) and the
+    * wedge join (out-neighbor pairs per node) generates O(m^1.5) rows
+    * TOTAL instead of Σ deg² — a star node's quadratic wedge set lands on
+    * its spokes, not the hub. Every step is an equi-join or combinable
+    * aggregate on node keys; each triangle is emitted exactly once (its
+    * (deg, id)-minimal vertex owns it) and closure checks the oriented
+    * edge directly, whose direction the wedge ordering guarantees. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val withDeg = e
+      .join(deg.select(col("id").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("dg").as("dv")), Seq("v"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // oriented edge + the destination's (deg, id) rank for wedge ordering
+    val oriented = withDeg.select(
+      when(fwd, col("u")).otherwise(col("v")).as("s"),
+      when(fwd, col("v")).otherwise(col("u")).as("d"),
+      when(fwd, col("dv")).otherwise(col("du")).as("dd"))
+    val a = oriented.select(col("s"), col("d").as("d1"), col("dd").as("dd1"))
+    val b = oriented.select(col("s"), col("d").as("d2"), col("dd").as("dd2"))
+    // wedges: ordered out-neighbor pairs of each node; the closing edge
+    // (d1, d2) — if present — is oriented d1 → d2 BY the same (deg, id)
+    // order, so closure is one more equi-join, no direction guessing
+    val tris = a.join(b, Seq("s"))
+      .filter(col("dd1") < col("dd2") ||
+        (col("dd1") === col("dd2") && col("d1") < col("d2")))
+      .join(oriented.select(col("s").as("d1"), col("d").as("d2")),
+        Seq("d1", "d2"), "left_semi")
+    tris.select(explode(array(col("s"), col("d1"), col("d2"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri_cnt"))
+  }
 }

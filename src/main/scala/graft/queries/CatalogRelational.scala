@@ -562,6 +562,44 @@ private[queries] object CatalogRelational {
         FROM p JOIN ic ca ON ca.i = p.item_a
           JOIN ic cb ON cb.i = p.item_b, n""")),
 
+    // TRIANGLE census over the basket-affinity graph (edges = part pairs
+    // bought together >= 2 times): per-node triangle counts via the
+    // degree-orientation trick — each edge oriented from its (deg, id)-
+    // smaller endpoint, so wedge generation is O(m^1.5) total and a hub's
+    // quadratic wedge set lands on its spokes; the oracle replays the
+    // orientation and the closure join exactly
+    Q("graph_triangles",
+      (s, d) => {
+        val pairs = graft.operators.Baskets.cooccurrence(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minPairCount = 2L)
+        graft.operators.Graph.triangles(pairs, "item_a", "item_b")
+      },
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+          FROM lineitem),
+        p AS (SELECT a.i AS item_a, b.i AS item_b
+          FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT DISTINCT least(item_a, item_b) AS u,
+            greatest(item_a, item_b) AS v FROM p WHERE item_a <> item_b),
+        deg AS (SELECT id, count(*) AS dg FROM
+          (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        o AS (SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+            CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS d
+          FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+        od AS (SELECT o.s, o.d, deg.dg AS dd FROM o
+          JOIN deg ON deg.id = o.d),
+        tri AS (SELECT a.s AS x, a.d AS y, b.d AS z
+          FROM od a JOIN od b ON a.s = b.s
+            AND (a.dd < b.dd OR (a.dd = b.dd AND a.d < b.d))
+          JOIN o c ON c.s = a.d AND c.d = b.d),
+        verts AS (SELECT x AS id FROM tri
+          UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        SELECT id, CAST(count(*) AS BIGINT) AS tri_cnt
+        FROM verts GROUP BY 1""")),
+
     // STREAMING basket maintenance — the eleventh maintainer (guarded
     // additive class): whole-basket micro-batches fold the three-relation
     // state under the pairs-last commit-order rule; the report served
