@@ -562,6 +562,37 @@ private[queries] object CatalogRelational {
         FROM p JOIN ic ca ON ca.i = p.item_a
           JOIN ic cb ON cb.i = p.item_b, n""")),
 
+    // DATA-PROFILING census (the ANALYZE shape): per-column rows/nulls/
+    // exact distincts/min/max in ONE pass — Spark plans the multi-column
+    // distincts as one Expand + combinable partials; min/max rendered as
+    // strings so heterogeneous columns share the report schema
+    Q("profile_lineitem",
+      (s, d) => graft.operators.Profile.columns(t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus")),
+      Some("""WITH s AS (SELECT count(*) AS n,
+          count(l_orderkey) AS nn1, count(DISTINCT l_orderkey) AS nd1,
+            min(l_orderkey)::VARCHAR AS mn1, max(l_orderkey)::VARCHAR AS mx1,
+          count(l_partkey) AS nn2, count(DISTINCT l_partkey) AS nd2,
+            min(l_partkey)::VARCHAR AS mn2, max(l_partkey)::VARCHAR AS mx2,
+          count(l_suppkey) AS nn3, count(DISTINCT l_suppkey) AS nd3,
+            min(l_suppkey)::VARCHAR AS mn3, max(l_suppkey)::VARCHAR AS mx3,
+          count(l_linenumber) AS nn4, count(DISTINCT l_linenumber) AS nd4,
+            min(l_linenumber)::VARCHAR AS mn4, max(l_linenumber)::VARCHAR AS mx4,
+          count(l_returnflag) AS nn5, count(DISTINCT l_returnflag) AS nd5,
+            min(l_returnflag)::VARCHAR AS mn5, max(l_returnflag)::VARCHAR AS mx5,
+          count(l_linestatus) AS nn6, count(DISTINCT l_linestatus) AS nd6,
+            min(l_linestatus)::VARCHAR AS mn6, max(l_linestatus)::VARCHAR AS mx6
+          FROM lineitem)
+        SELECT 'l_orderkey' AS col_name, CAST(n AS BIGINT) AS n_rows,
+          CAST(n - nn1 AS BIGINT) AS n_nulls, CAST(nd1 AS BIGINT) AS n_distinct,
+          mn1 AS min_value, mx1 AS max_value FROM s
+        UNION ALL SELECT 'l_partkey', n, n - nn2, nd2, mn2, mx2 FROM s
+        UNION ALL SELECT 'l_suppkey', n, n - nn3, nd3, mn3, mx3 FROM s
+        UNION ALL SELECT 'l_linenumber', n, n - nn4, nd4, mn4, mx4 FROM s
+        UNION ALL SELECT 'l_returnflag', n, n - nn5, nd5, mn5, mx5 FROM s
+        UNION ALL SELECT 'l_linestatus', n, n - nn6, nd6, mn6, mx6 FROM s""")),
+
     // TRIANGLE census over the basket-affinity graph (edges = part pairs
     // bought together >= 2 times): per-node triangle counts via the
     // degree-orientation trick — each edge oriented from its (deg, id)-
