@@ -690,6 +690,40 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  /** WINSORIZE (clip) values at sketch-quantile fences — the outlier
+    * clamp a feature pipeline applies before training: per group, values
+    * below the `loPermille` estimate rise to it and values above the
+    * `hiPermille` estimate drop to it; everything between passes through,
+    * and NULLs stay NULL (Spark's `greatest` ignores nulls, which would
+    * silently turn a null into the lo fence — guarded explicitly).
+    * Fences are the [[quantileSketch]] estimates (bucket upper edges, ≤
+    * 2^−mantissaBits above the true quantiles), so the whole transform is
+    * integer-exact and engine-replayable — no per-group sort, ever.
+    *
+    * Shape at scale: one combinable histogram pass + the tiny-histogram
+    * quantile serving, then the |groups|-row fence relation broadcast
+    * back over a second pushdown-friendly scan (the
+    * [[robustOutlierFences]] two-scan shape). Returns every input column
+    * plus `<valueCol>_clipped`. */
+  def winsorize(
+      df: DataFrame, groupCol: String, valueCol: String,
+      loPermille: Int, hiPermille: Int, mantissaBits: Int = 6): DataFrame = {
+    require(loPermille >= 1 && hiPermille <= 1000 && loPermille < hiPermille,
+      s"need 1 <= lo < hi <= 1000, got $loPermille/$hiPermille")
+    require(!df.columns.exists(_.startsWith("__")),
+      "winsorize reserves __-prefixed column names")
+    val hist = quantileSketchHistogram(df, groupCol, valueCol, mantissaBits)
+    val qs = quantileSketchOf(hist, Seq(loPermille, hiPermille))
+    val fences = qs.groupBy(col(groupCol))
+      .agg(max(when(col("q_permille") === loPermille, col("est"))).as("__lo"),
+        max(when(col("q_permille") === hiPermille, col("est"))).as("__hi"))
+    df.join(broadcast(fences), Seq(groupCol))
+      .withColumn(s"${valueCol}_clipped",
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+
   // ----------------------------------------------------------------- BLOOM
 
   private val BloomMetaHashes = "graft.bloom.hashes"

@@ -1196,6 +1196,44 @@ object Temporal {
     joined.select((facts.columns.map(col) ++ unpacked): _*)
   }
 
+  /** Per-key activity STREAKS (islands-and-gaps): for each key, its
+    * consecutive-bucket runs of activity — total active buckets, number
+    * of streaks, the longest streak, and the CURRENT streak (the one
+    * containing the key's last active bucket) with that last bucket. The
+    * engagement shape next to DAU/MAU ("7-day streak!"), and a data-
+    * freshness census when keyed by source/table.
+    *
+    * Shape at scale: ONE map-side-combinable distinct collapses the
+    * corpus to the (key, bucket) activity relation — the SAME sufficient
+    * statistic [[retentionCohorts]]/[[activeUsers]] ride — then the
+    * island window (bucket − row_number, the classic gaps-and-islands
+    * identity: consecutive buckets share the difference) runs keyed by
+    * key over that TINY relation, never the raw events. Pre-epoch
+    * timestamps floor correctly (negative-safe bucket arithmetic). */
+  def streaks(
+      df: DataFrame, keyCol: String, tsCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(IntegralTypes.contains(df.schema(tsCol).dataType),
+      s"streaks needs an integral ts column, got ${df.schema(tsCol).dataType}")
+    val act = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), floorDiv(tsCol, bucketWidth).as("__bkt"))
+      .distinct()
+    val w = Window.partitionBy(keyCol).orderBy(col("__bkt"))
+    val islands = act
+      .withColumn("__isl", col("__bkt") - row_number().over(w))
+      .groupBy(col(keyCol), col("__isl"))
+      .agg(count(lit(1)).as("__len"), max(col("__bkt")).as("__end"))
+    islands.groupBy(col(keyCol))
+      .agg(sum(col("__len")).as("n_active_buckets"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_streak"),
+        max(struct(col("__end"), col("__len"))).as("__last"))
+      .select(col(keyCol), col("n_active_buckets"), col("n_streaks"),
+        col("longest_streak"), col("__last.__len").as("current_streak"),
+        col("__last.__end").as("last_bucket"))
+  }
+
   private val GapFillMetaWidth = "graft.gapfill.bucketWidth"
 
   /** The PERSISTED frontier of a gap-fill stream: each key's LAST

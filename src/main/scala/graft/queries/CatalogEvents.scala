@@ -1379,6 +1379,27 @@ private[queries] object CatalogEvents {
         r AS (SELECT c_custkey AS k, c_mktsegment FROM customer)
         SELECT c_mktsegment, count(*) AS cnt FROM l JOIN r USING (k) GROUP BY 1""")),
 
+    // ACTIVITY STREAKS (gaps-and-islands): per-user consecutive-day runs
+    // — total active days, streak count, longest and current streak —
+    // from ONE combinable distinct to the (key, bucket) relation, island
+    // windows riding that tiny relation only (never the raw events)
+    Q("event_streaks",
+      (s, d) => graft.operators.Temporal.streaks(
+        t(s, d, "events").select(col("user_id"), expr("ts div 1000").as("ets")),
+        "user_id", "ets", bucketWidth = 86400000000L),
+      Some("""WITH a AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS bkt FROM events),
+        i AS (SELECT user_id, bkt, bkt - row_number()
+            OVER (PARTITION BY user_id ORDER BY bkt) AS isl FROM a),
+        g AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len,
+            max(bkt) AS endb FROM i GROUP BY 1, 2)
+        SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_buckets,
+          CAST(count(*) AS BIGINT) AS n_streaks,
+          CAST(max(len) AS BIGINT) AS longest_streak,
+          CAST(arg_max(len, endb) AS BIGINT) AS current_streak,
+          CAST(max(endb) AS BIGINT) AS last_bucket
+        FROM g GROUP BY 1""")),
+
     // SAMPLE-RATIO-MISMATCH check — the safety gate a lift report is
     // conditioned on: observed arm shares vs the configured 500/300/200
     // permilles, signed deviation, and the flag; arms ride in via the

@@ -327,6 +327,35 @@ private[queries] object CatalogRelational {
           CAST(min(CASE WHEN cum * 1000 >= q.q * tot THEN hi END) AS BIGINT) AS est
         FROM c, (VALUES (500), (950), (990)) AS q(q) GROUP BY 1, 2""")),
 
+    // WINSORIZE at sketch fences: every price clipped into its group's
+    // [p1, p99] sketch-estimate range — the pre-training outlier clamp
+    // with NO per-group sort (histogram pass + broadcast fences over a
+    // second scan); the oracle replays fences and the clip row-for-row
+    Q("agg_winsorize",
+      (s, d) => graft.operators.Sketches.winsorize(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("price_cents")),
+        "l_returnflag", "price_cents", loPermille = 10, hiPermille = 990,
+        mantissaBits = 6)
+        .select(col("l_returnflag"), col("price_cents"),
+          col("price_cents_clipped")),
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+            CAST(round(l_extendedprice*100) AS BIGINT) AS val FROM lineitem),
+        b AS (SELECT g, greatest(length(bin(val)) - 1 - 6, 0) AS shift,
+            val >> greatest(length(bin(val)) - 1 - 6, 0) AS bid, count(*) AS cnt
+          FROM v GROUP BY 1, 2, 3),
+        e AS (SELECT g, cnt, (bid << shift) AS lo,
+            (((bid + 1) << shift) - 1) AS hi FROM b),
+        c AS (SELECT g, hi, sum(cnt) OVER (PARTITION BY g ORDER BY lo) AS cum,
+            sum(cnt) OVER (PARTITION BY g) AS tot FROM e),
+        f AS (SELECT g,
+            CAST(min(CASE WHEN cum * 1000 >= 10 * tot THEN hi END) AS BIGINT) AS flo,
+            CAST(min(CASE WHEN cum * 1000 >= 990 * tot THEN hi END) AS BIGINT) AS fhi
+          FROM c GROUP BY 1)
+        SELECT v.g AS l_returnflag, v.val AS price_cents,
+          least(greatest(v.val, f.flo), f.fhi) AS price_cents_clipped
+        FROM v JOIN f ON f.g = v.g""")),
+
     // INCREMENTAL quantile sketch: histogram state on even orderkeys
     // round-trips through parquet, the odd half folds in (counts add —
     // order-free, late data exact), the served quantiles must equal the

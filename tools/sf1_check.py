@@ -297,7 +297,10 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                "event_funnel_latency",
                # round-16c: SRM check — per-copy users keep the same salted
                # split, the spec/threshold replay verbatim
-               "event_experiment_srm"]
+               "event_experiment_srm",
+               # round-16c: gaps-and-islands streaks — per-copy users,
+               # buckets and islands replay verbatim
+               "event_streaks"]
 
 
 def main_events(oracle_path):
