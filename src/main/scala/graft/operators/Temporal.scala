@@ -1196,6 +1196,145 @@ object Temporal {
     joined.select((facts.columns.map(col) ++ unpacked): _*)
   }
 
+  /** Exponentially-DECAYED event counts — the freshness-weighted feature
+    * ("recent activity counts more") in EXACT integer arithmetic: per key,
+    * bucket counts fold through the recurrence
+    *
+    *   s_b = (s_{b−1} · decayNum) DIV decayDen + count_b
+    *
+    * iterated over EVERY bucket from the key's first active one to the
+    * common `frontier` — empty buckets contribute 0 but still decay, and
+    * every key is decayed to the SAME frontier so scores are comparable.
+    * Truncating DIV each step is the portability contract: any engine
+    * replays the identical integers (floats would drift; λ^gap as one
+    * multiply would skip the per-step truncation and diverge from the
+    * streaming fold).
+    *
+    * Shape at scale: one combinable (key, bucket) count collapses the
+    * corpus; each key then folds its OWN dense bucket sequence inside a
+    * single codegen'd higher-order `aggregate` expression — no window, no
+    * explode, no shuffle beyond the one groupBy. The dense span
+    * (frontier − first bucket) is capped at `maxSpan` with a loud
+    * in-projection refusal (the gapFill budget rule: a mis-sized
+    * bucketWidth would otherwise iterate millions of empty buckets per
+    * key). Returns (key, first_bucket, n_active_buckets, decayed_x —
+    * the score AT the frontier). */
+  def decayedCounts(
+      df: DataFrame, keyCol: String, tsCol: String, bucketWidth: Long,
+      decayNum: Int, decayDen: Int, frontier: Long,
+      maxSpan: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(decayNum >= 0 && decayDen > 0 && decayNum < decayDen,
+      s"decay must be a rational in [0, 1), got $decayNum/$decayDen")
+    require(maxSpan >= 1 && maxSpan <= (1 << 20),
+      s"maxSpan must be in [1, 2^20], got $maxSpan")
+    require(IntegralTypes.contains(df.schema(tsCol).dataType),
+      s"decayedCounts needs an integral ts column, got ${df.schema(tsCol).dataType}")
+    val counts = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), floorDiv(tsCol, bucketWidth).as("__bkt"))
+      .filter(col("__bkt") <= frontier)
+      .groupBy(col(keyCol), col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+    val perKey = counts.groupBy(col(keyCol))
+      .agg(min(col("__bkt")).as("first_bucket"),
+        count(lit(1)).as("n_active_buckets"),
+        map_from_entries(collect_list(struct(col("__bkt"), col("__cnt"))))
+          .as("__m"))
+    perKey
+      .withColumn("first_bucket",
+        when(lit(frontier) - col("first_bucket") >= maxSpan,
+          raise_error(concat(lit("graft decayedCounts: key "),
+            col(keyCol).cast("string"), lit(" spans "),
+            (lit(frontier) - col("first_bucket") + 1).cast("string"),
+            lit(s" buckets (cap $maxSpan) — a mis-sized bucketWidth would " +
+              "iterate the dense span per key; widen the bucket or raise " +
+              "maxSpan"))))
+          .otherwise(col("first_bucket")))
+      .withColumn("decayed_x", expr(
+        s"aggregate(sequence(first_bucket, ${frontier}L), CAST(0 AS BIGINT), " +
+          s"(acc, b) -> (acc * $decayNum) DIV $decayDen + " +
+          "coalesce(element_at(__m, b), CAST(0 AS BIGINT)))"))
+      .select(col(keyCol), col("first_bucket"), col("n_active_buckets"),
+        col("decayed_x").as("decayed_x",
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(DecayMetaWidth, bucketWidth)
+            .putLong(DecayMetaNum, decayNum.toLong)
+            .putLong(DecayMetaDen, decayDen.toLong)
+            .putLong(DecayMetaFrontier, frontier).build()))
+  }
+
+  private val DecayMetaWidth = "graft.decay.bucketWidth"
+  private val DecayMetaNum = "graft.decay.num"
+  private val DecayMetaDen = "graft.decay.den"
+  private val DecayMetaFrontier = "graft.decay.frontier"
+
+  /** Fold a NEW batch of raw events into a persisted [[decayedCounts]]
+    * state, advancing every key to `newFrontier`: each key's score
+    * continues the recurrence stepwise from the state's stamped frontier
+    * (pure decay over its empty buckets, counts added where the batch is
+    * active), keys new to the state start from zero, and keys absent from
+    * the batch still decay — the score is comparable across keys at every
+    * fold. Batch events at or before the stamped frontier refuse loudly
+    * (a decayed score cannot absorb late data — the already-applied decay
+    * steps would be wrong; rebuild from history instead), as does a
+    * geometry/decay-parameter mismatch. The span advanced per fold
+    * (newFrontier − stamped frontier) is driver-checked against
+    * `maxSpan`. */
+  def decayedCountsFold(
+      state: DataFrame, batch: DataFrame, keyCol: String, tsCol: String,
+      newFrontier: Long, maxSpan: Int = 4096): DataFrame = {
+    require(state.columns.toSeq ==
+      Seq(keyCol, "first_bucket", "n_active_buckets", "decayed_x"),
+      s"state must be a decayedCounts state, got ${state.columns.mkString(", ")}")
+    val m = state.schema("decayed_x").metadata
+    require(m.contains(DecayMetaFrontier),
+      "state is missing its decay stamps — was it built by decayedCounts?")
+    val width = m.getLong(DecayMetaWidth)
+    val num = m.getLong(DecayMetaNum)
+    val den = m.getLong(DecayMetaDen)
+    val oldFrontier = m.getLong(DecayMetaFrontier)
+    require(newFrontier > oldFrontier,
+      s"newFrontier ($newFrontier) must be after the stamped frontier ($oldFrontier)")
+    require(newFrontier - oldFrontier <= maxSpan,
+      s"fold advances ${newFrontier - oldFrontier} buckets (cap $maxSpan) — " +
+        "fold more often or widen the bucket")
+    require(IntegralTypes.contains(batch.schema(tsCol).dataType),
+      s"decayedCountsFold needs an integral ts column, got ${batch.schema(tsCol).dataType}")
+    val counts = batch.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), floorDiv(tsCol, width).as("__bkt"))
+      .withColumn("__bkt",
+        when(col("__bkt") <= oldFrontier || col("__bkt") > newFrontier,
+          raise_error(concat(lit("graft decayedCountsFold: batch event for key "),
+            col(keyCol).cast("string"), lit(" in bucket "),
+            col("__bkt").cast("string"),
+            lit(s" is outside ($oldFrontier, $newFrontier] — a decayed " +
+              "score cannot absorb late data; rebuild from history"))))
+          .otherwise(col("__bkt")))
+      .groupBy(col(keyCol), col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+    val perKey = counts.groupBy(col(keyCol))
+      .agg(min(col("__bkt")).as("__bfirst"),
+        count(lit(1)).as("__bn"),
+        map_from_entries(collect_list(struct(col("__bkt"), col("__cnt"))))
+          .as("__m"))
+    state.join(perKey, Seq(keyCol), "full")
+      .select(col(keyCol),
+        least(col("first_bucket"), col("__bfirst")).as("first_bucket"),
+        (coalesce(col("n_active_buckets"), lit(0L)) +
+          coalesce(col("__bn"), lit(0L))).as("n_active_buckets"),
+        expr(s"aggregate(sequence(${oldFrontier + 1}L, ${newFrontier}L), " +
+          "coalesce(decayed_x, CAST(0 AS BIGINT)), " +
+          s"(acc, b) -> (acc * $num) DIV $den + " +
+          "coalesce(element_at(__m, b), CAST(0 AS BIGINT)))").as("decayed_x"))
+      .select(col(keyCol), col("first_bucket"), col("n_active_buckets"),
+        col("decayed_x").as("decayed_x",
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(DecayMetaWidth, width)
+            .putLong(DecayMetaNum, num)
+            .putLong(DecayMetaDen, den)
+            .putLong(DecayMetaFrontier, newFrontier).build()))
+  }
+
   /** Per-key activity STREAKS (islands-and-gaps): for each key, its
     * consecutive-bucket runs of activity — total active buckets, number
     * of streaks, the longest streak, and the CURRENT streak (the one

@@ -1379,6 +1379,83 @@ private[queries] object CatalogEvents {
         r AS (SELECT c_custkey AS k, c_mktsegment FROM customer)
         SELECT c_mktsegment, count(*) AS cnt FROM l JOIN r USING (k) GROUP BY 1""")),
 
+    // EXPONENTIALLY-DECAYED counts (the freshness-weighted feature):
+    // per-user daily counts folded through s = (s*85) DIV 100 + cnt over
+    // the dense span to the common frontier — empty days decay, truncating
+    // DIV each step is the portability contract; the oracle replays the
+    // identical recurrence with a RECURSIVE CTE, step for step
+    Q("event_decayed_counts",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        val fr = ev.agg(max(expr("ets div 86400000000"))).head().getLong(0)
+        graft.operators.Temporal.decayedCounts(ev, "user_id", "ets",
+          bucketWidth = 86400000000L, decayNum = 85, decayDen = 100,
+          frontier = fr)
+      },
+      Some("""WITH RECURSIVE c AS (SELECT user_id,
+            epoch_us(ts) // 86400000000 AS b, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        f AS (SELECT max(b) AS fr FROM c),
+        k AS (SELECT user_id, min(b) AS b0, CAST(count(*) AS BIGINT) AS nb
+          FROM c GROUP BY 1),
+        r(user_id, b, s) AS (
+          SELECT k.user_id, k.b0,
+            (SELECT cnt FROM c WHERE c.user_id = k.user_id AND c.b = k.b0)
+          FROM k
+          UNION ALL
+          SELECT r.user_id, r.b + 1, (r.s * 85) // 100 + coalesce(c.cnt, 0)
+          FROM r JOIN f ON r.b < f.fr
+          LEFT JOIN c ON c.user_id = r.user_id AND c.b = r.b + 1)
+        SELECT k.user_id, CAST(k.b0 AS BIGINT) AS first_bucket,
+          k.nb AS n_active_buckets, CAST(r.s AS BIGINT) AS decayed_x
+        FROM r JOIN f ON r.b = f.fr JOIN k ON k.user_id = r.user_id""")),
+
+    // INCREMENTAL decayed counts: state built to a mid-range day
+    // frontier round-trips through parquet (decay stamps survive in
+    // column metadata), the later half folds in stepwise — keys absent
+    // from the batch still decay, new keys start from zero — and the
+    // folded scores must equal the one-shot recurrence over everything
+    // (same RECURSIVE-CTE oracle)
+    Q("event_decayed_incremental",
+      (s, d) => {
+        val T = graft.operators.Temporal
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min(expr("ets div 86400000000")),
+          max(expr("ets div 86400000000"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val cut = (lo + hi) / 2
+        val dir = java.nio.file.Files.createTempDirectory("graft-decay-state")
+        T.decayedCounts(ev.filter(expr("ets div 86400000000") <= cut),
+            "user_id", "ets", 86400000000L, 85, 100, frontier = cut)
+          .write.mode("overwrite").parquet(dir.toString)
+        val state = s.read.parquet(dir.toString)
+        val out = T.decayedCountsFold(state,
+            ev.filter(expr("ets div 86400000000") > cut), "user_id", "ets",
+            newFrontier = hi)
+          .localCheckpoint(true)
+        deleteDir(dir.toFile)
+        out
+      },
+      Some("""WITH RECURSIVE c AS (SELECT user_id,
+            epoch_us(ts) // 86400000000 AS b, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        f AS (SELECT max(b) AS fr FROM c),
+        k AS (SELECT user_id, min(b) AS b0, CAST(count(*) AS BIGINT) AS nb
+          FROM c GROUP BY 1),
+        r(user_id, b, s) AS (
+          SELECT k.user_id, k.b0,
+            (SELECT cnt FROM c WHERE c.user_id = k.user_id AND c.b = k.b0)
+          FROM k
+          UNION ALL
+          SELECT r.user_id, r.b + 1, (r.s * 85) // 100 + coalesce(c.cnt, 0)
+          FROM r JOIN f ON r.b < f.fr
+          LEFT JOIN c ON c.user_id = r.user_id AND c.b = r.b + 1)
+        SELECT k.user_id, CAST(k.b0 AS BIGINT) AS first_bucket,
+          k.nb AS n_active_buckets, CAST(r.s AS BIGINT) AS decayed_x
+        FROM r JOIN f ON r.b = f.fr JOIN k ON k.user_id = r.user_id""")),
+
     // ACTIVITY STREAKS (gaps-and-islands): per-user consecutive-day runs
     // — total active days, streak count, longest and current streak —
     // from ONE combinable distinct to the (key, bucket) relation, island

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** [[Temporal.decayedCounts]]/[[Temporal.decayedCountsFold]] — the
+  * integer-exact EWMA feature: hand-checked recurrence, common-frontier
+  * comparability, fold ≡ one-shot, and the late-data/span contracts. */
+class DecayedCountsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // width 10: key 1 has 3 events in bucket 0, 2 in bucket 2;
+  // key 2 has 1 event in bucket 0 only
+  private def ev = (Seq.fill(3)((1L, 5L)) ++ Seq.fill(2)((1L, 25L)) :+ ((2L, 7L)))
+    .toDF("k", "ts")
+
+  test("the recurrence is exact, empty buckets decay, frontier is common") {
+    // decay 1/2 to frontier 3:
+    // key 1: s0=3, s1=3/2=1, s2=1/2+2=2, s3=2/2=1
+    // key 2: s0=1, s1=0, s2=0, s3=0 (decayed away, still reported)
+    val got = Temporal.decayedCounts(ev, "k", "ts", 10L, 1, 2, frontier = 3L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (0L, 2L, 1L))
+    assert(got(2L) == (0L, 1L, 0L))
+  }
+
+  test("fold through parquet ≡ one-shot; new keys start, absent keys decay") {
+    val dir = java.nio.file.Files.createTempDirectory("decay-spec")
+    try {
+      // extra key 3 appears only after the cut
+      val all = ev.unionByName(Seq((3L, 35L)).toDF("k", "ts"))
+      Temporal.decayedCounts(all.filter(col("ts") <= 19L),
+          "k", "ts", 10L, 85, 100, frontier = 1L)
+        .write.mode("overwrite").parquet(dir.toString)
+      val state = spark.read.parquet(dir.toString)
+      val folded = Temporal.decayedCountsFold(state,
+          all.filter(col("ts") > 19L), "k", "ts", newFrontier = 3L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val oneShot = Temporal.decayedCounts(all, "k", "ts", 10L, 85, 100, 3L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(folded == oneShot)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  test("late data refuses; frontier and span contracts hold") {
+    val state = Temporal.decayedCounts(ev, "k", "ts", 10L, 85, 100, 2L)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // a batch event in an already-folded bucket
+    val e = intercept[Exception] {
+      Temporal.decayedCountsFold(state, Seq((1L, 15L)).toDF("k", "ts"),
+        "k", "ts", newFrontier = 4L).collect()
+    }
+    assert(msgs(e).exists(_.contains("cannot absorb late data")))
+    intercept[IllegalArgumentException] {
+      Temporal.decayedCountsFold(state, ev, "k", "ts", newFrontier = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.decayedCountsFold(state, ev, "k", "ts",
+        newFrontier = 10000L, maxSpan = 100)
+    }
+    // a state without stamps (plain projection) refuses
+    intercept[IllegalArgumentException] {
+      Temporal.decayedCountsFold(
+        state.select(col("k"), col("first_bucket"), col("n_active_buckets"),
+          (col("decayed_x") + 0L).as("decayed_x")),
+        ev, "k", "ts", newFrontier = 4L)
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.decayedCounts(ev, "k", "ts", 10L, 2, 2, 3L) // decay >= 1
+    }
+  }
+
+  test("a key whose span exceeds the cap refuses in-projection") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      Temporal.decayedCounts(ev, "k", "ts", 10L, 85, 100,
+        frontier = 100000L, maxSpan = 64).collect()
+    }
+    assert(msgs(e).exists(_.contains("graft decayedCounts")))
+  }
+}

@@ -300,7 +300,10 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                "event_experiment_srm",
                # round-16c: gaps-and-islands streaks — per-copy users,
                # buckets and islands replay verbatim
-               "event_streaks"]
+               "event_streaks",
+               # round-16c: decayed counts — the recursive-CTE recurrence
+               # replays verbatim over per-copy users
+               "event_decayed_counts", "event_decayed_incremental"]
 
 
 def main_events(oracle_path):
