@@ -1456,6 +1456,51 @@ private[queries] object CatalogEvents {
           k.nb AS n_active_buckets, CAST(r.s AS BIGINT) AS decayed_x
         FROM r JOIN f ON r.b = f.fr JOIN k ON k.user_id = r.user_id""")),
 
+    // STREAMING decayed-counts maintenance — the twelfth maintainer, the
+    // r15 fold-replay class in its purest form (the fold refuses late
+    // data, so txnApplied MUST gate it): two day-boundary drops on one
+    // checkpoint, served scores ≡ the one-shot recurrence (same oracle)
+    Q("streaming_decay_ingest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        val mm = ev.agg(min(expr("ets div 86400000000")),
+          max(expr("ets div 86400000000"))).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val root = java.nio.file.Files.createTempDirectory("graft-sdc")
+        val src = s"$root/src"
+        ev.filter(expr("ets div 86400000000") <= cut)
+          .write.mode("append").parquet(src)
+        val schema = s.read.parquet(src).schema
+        graft.streaming.StreamingIngest.decayIngest(s, src, schema,
+          "user_id", "ets", 86400000000L, 85, 100, s"$root/state", s"$root/ck")
+        ev.filter(expr("ets div 86400000000") > cut)
+          .write.mode("append").parquet(src)
+        graft.streaming.StreamingIngest.decayIngest(s, src, schema,
+          "user_id", "ets", 86400000000L, 85, 100, s"$root/state", s"$root/ck")
+        val out = new graft.store.VersionedTable(s, s"$root/state").read()
+          .localCheckpoint(true)
+        deleteDir(root.toFile)
+        out
+      },
+      Some("""WITH RECURSIVE c AS (SELECT user_id,
+            epoch_us(ts) // 86400000000 AS b, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        f AS (SELECT max(b) AS fr FROM c),
+        k AS (SELECT user_id, min(b) AS b0, CAST(count(*) AS BIGINT) AS nb
+          FROM c GROUP BY 1),
+        r(user_id, b, s) AS (
+          SELECT k.user_id, k.b0,
+            (SELECT cnt FROM c WHERE c.user_id = k.user_id AND c.b = k.b0)
+          FROM k
+          UNION ALL
+          SELECT r.user_id, r.b + 1, (r.s * 85) // 100 + coalesce(c.cnt, 0)
+          FROM r JOIN f ON r.b < f.fr
+          LEFT JOIN c ON c.user_id = r.user_id AND c.b = r.b + 1)
+        SELECT k.user_id, CAST(k.b0 AS BIGINT) AS first_bucket,
+          k.nb AS n_active_buckets, CAST(r.s AS BIGINT) AS decayed_x
+        FROM r JOIN f ON r.b = f.fr JOIN k ON k.user_id = r.user_id""")),
+
     // ACTIVITY STREAKS (gaps-and-islands): per-user consecutive-day runs
     // — total active days, streak count, longest and current streak —
     // from ONE combinable distinct to the (key, bucket) relation, island

@@ -776,6 +776,74 @@ object StreamingIngest {
     tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
   }
 
+  /** STREAMING decayed-counts maintenance — the twelfth maintainer: each
+    * micro-batch advances every key's freshness-weighted score to the
+    * batch's own max bucket via `Temporal.decayedCountsFold`. The fold is
+    * NOT idempotent AND refuses late data, so this is the r15 fold-replay
+    * class in its purest form: a fully-replayed batch MUST be skipped via
+    * `txnApplied` BEFORE the fold runs — re-folding against the advanced
+    * frontier would trip the late-data refusal rather than no-op. Batches
+    * must arrive on bucket boundaries strictly after the persisted
+    * frontier (the decayedCountsFold contract). */
+  def decayIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCol: String,
+      tsCol: String,
+      bucketWidth: Long,
+      decayNum: Int,
+      decayDen: Int,
+      stateDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val appId = "decayIngest-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        decayIngestBatch(batch, batchId, keyCol, tsCol, bucketWidth,
+          decayNum, decayDen, stateDir, appId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  private[graft] def decayIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      keyCol: String,
+      tsCol: String,
+      bucketWidth: Long,
+      decayNum: Int,
+      decayDen: Int,
+      stateDir: String,
+      appId: String): Unit = {
+    import graft.operators.Temporal
+    val s = batch.sparkSession
+    val tbl = new graft.store.VersionedTable(s, stateDir)
+    // the fold refuses late data, so a replay cannot no-op through it —
+    // the txnApplied skip MUST come first (the r15 fold-replay rule)
+    if (tbl.exists && tbl.txnApplied(appId, batchId)) return
+    if (batch.isEmpty) return
+    val b = batch.toDF()
+    val frontier = b.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.expr(
+        s"($tsCol DIV ${bucketWidth}L) - " +
+          s"(CASE WHEN $tsCol % ${bucketWidth}L < 0 THEN 1 ELSE 0 END)")))
+      .head().getLong(0)
+    val next =
+      if (tbl.exists)
+        Temporal.decayedCountsFold(tbl.read(), b, keyCol, tsCol, frontier)
+      else
+        Temporal.decayedCounts(b, keyCol, tsCol, bucketWidth,
+          decayNum, decayDen, frontier)
+    tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
+  }
+
   /** STREAMING basket-co-occurrence maintenance — the eleventh
     * maintainer, in the GUARDED additive class (count-min/quantile
     * histogram): each micro-batch's (pairs, items, totals) state folds in

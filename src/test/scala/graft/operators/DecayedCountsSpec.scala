@@ -80,6 +80,34 @@ class DecayedCountsSpec extends SparkSuite {
     }
   }
 
+  test("maintainer replay: a re-delivered batch is skipped BEFORE the fold (late-data refusal cannot trip)") {
+    val root = java.nio.file.Files.createTempDirectory("decay-replay")
+    try {
+      val dir = root.toString + "/tbl"
+      def ingest(b: org.apache.spark.sql.DataFrame, id: Long) =
+        graft.streaming.StreamingIngest.decayIngestBatch(b, id, "k", "ts",
+          10L, 85, 100, dir, "app")
+      ingest(ev.filter(col("ts") <= 19L), 0L)
+      ingest(ev.filter(col("ts") > 19L), 1L)
+      val tbl = new graft.store.VersionedTable(spark, dir)
+      val after = tbl.read().collect().map(_.toSeq).toSet
+      // a replay of batch 1: the fold REFUSES late data, so only the
+      // txnApplied-first rule keeps this from throwing — and the state
+      // must be bit-identical after
+      ingest(ev.filter(col("ts") > 19L), 1L)
+      assert(tbl.read().collect().map(_.toSeq).toSet == after)
+      // served scores equal the one-shot recurrence
+      val oneShot = Temporal.decayedCounts(ev, "k", "ts", 10L, 85, 100, 2L)
+        .collect().map(_.toSeq).toSet
+      assert(after == oneShot)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("a key whose span exceeds the cap refuses in-projection") {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty

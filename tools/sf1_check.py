@@ -303,7 +303,8 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                "event_streaks",
                # round-16c: decayed counts — the recursive-CTE recurrence
                # replays verbatim over per-copy users
-               "event_decayed_counts", "event_decayed_incremental"]
+               "event_decayed_counts", "event_decayed_incremental",
+               "streaming_decay_ingest"]
 
 
 def main_events(oracle_path):
