@@ -50,6 +50,34 @@ object Similarity {
     rerank(df.select(col(idCol).as("id"), col(vecCol).as("v")), queryVec, k)
   }
 
+  /** RECALL@K — the retrieval-quality eval every ANN tier is judged by:
+    * how many of the EXACT top-k ids the approximate ranking recovered,
+    * as an integer permille. Both inputs are (rank, id, …) rankings (the
+    * shape every topK* in this file returns); rows past rank k are
+    * ignored, so callers can pass deeper lists. Returns ONE row
+    * (n_exact, n_hits, recall_permille) — n_exact is the truth-list size
+    * actually present (≤ k: a corpus smaller than k is not a recall
+    * failure). Shape: two rank filters + one broadcast semi-join over ≤ k
+    * rows — metadata-scale however big the corpus that produced the
+    * rankings was. */
+  def recallAtK(
+      approx: DataFrame, exact: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(approx.columns.contains("rank") && approx.columns.contains(idCol),
+      s"approx ranking needs (rank, $idCol), got ${approx.columns.mkString(", ")}")
+    require(exact.columns.contains("rank") && exact.columns.contains(idCol),
+      s"exact ranking needs (rank, $idCol), got ${exact.columns.mkString(", ")}")
+    val a = approx.filter(col("rank") <= k).select(col(idCol))
+    val e = exact.filter(col("rank") <= k).select(col(idCol))
+    val nExact = e.agg(count(lit(1)).as("n_exact"))
+    val nHits = a.join(broadcast(e), Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    nExact.crossJoin(nHits)
+      .withColumn("recall_permille",
+        when(col("n_exact") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_hits * 1000 DIV n_exact")))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component i of plane p in
     * table t is a hash-derived uniform in [-1, 1). No RNG state — the same
     * (t, p, i) always yields the same component, so signatures are stable

@@ -152,6 +152,36 @@ private[queries] object CatalogVector {
     // the family — measured at sf0.1 the true top-10's worst Hamming rank
     // is 255 of 2000, so this gate runs shortlist 400 (20%) where the
     // ADC gates run 10%; the scan is still 1/64th the bytes
+    // RECALL@K eval — the retrieval-quality harness every ANN tier is
+    // judged by: a deliberately-degraded ranking (cosine on the first 16
+    // of 64 dims — a real lossy proxy, unlike the exact-recovering tiers
+    // above) scored against the exact top-10; the oracle replays BOTH
+    // rankings and the permille
+    Q("ann_recall_eval",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = queryVec(s, d)
+        val exact = Similarity.topKBruteForce(emb, "vec_id", "embedding", q, 10)
+        val approx = Similarity.topKBruteForce(
+          emb.select(col("vec_id"), expr("slice(embedding, 1, 16)").as("e16")),
+          "vec_id", "e16", q.take(16), 10)
+        Similarity.recallAtK(approx, exact, "id", 10)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        ex AS (SELECT vec_id FROM (SELECT vec_id,
+            list_cosine_similarity(embedding, qe) AS sim FROM embeddings, q
+          ORDER BY sim DESC, vec_id LIMIT 10)),
+        ap AS (SELECT vec_id FROM (SELECT vec_id,
+            list_cosine_similarity(embedding[1:16], qe[1:16]) AS sim
+          FROM embeddings, q
+          ORDER BY sim DESC, vec_id LIMIT 10)),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+          FROM ap WHERE vec_id IN (SELECT vec_id FROM ex))
+        SELECT n.n_exact, h.n_hits,
+          h.n_hits * 1000 // n.n_exact AS recall_permille
+        FROM n, h""")),
+
     Q("ann_topk_binary",
       (s, d) => Similarity.topKBinary(t(s, d, "embeddings"),
         "vec_id", "embedding", queryVec(s, d), 10, shortlist = 400)
