@@ -784,6 +784,42 @@ object TextCorpus {
     bm25ScoreTopK(tf, lens, nDocs, totLen, k, k1Num, k1Den, bNum, bDen)
   }
 
+  /** SLIDING-WINDOW chunking with overlap — the RAG/context-window
+    * chunker: each document splits into token windows of `chunkTokens`
+    * starting every `strideTokens` (overlap = chunk − stride), the last
+    * window clamped to the document end. Returns
+    * (id, chunk_idx, n_tokens, chunk_text). A document whose normalized
+    * text is empty emits ONE empty chunk — the house tokenizer yields
+    * [""] for empty text, and the chunker follows it rather than
+    * special-casing. Chunk starts are every multiple of the stride below the
+    * token count — tail windows shorter than the overlap still emit
+    * (deterministic contract; filter on n_tokens downstream if a model
+    * needs minimum context).
+    *
+    * Shape at scale: pure per-row projection arithmetic — one tokenize,
+    * a bounded `sequence` explode (⌈n/stride⌉ rows per doc, proportional
+    * to output size), codegen slicing; no shuffle at all, so it pipelines
+    * into whatever written layout follows. */
+  def slidingChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"strideTokens must be in [1, chunkTokens], got $strideTokens")
+    df.select(col(idCol),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__t"),
+        explode(expr(s"sequence(0, __n - 1, $strideTokens)")).as("__start"))
+      .select(col(idCol),
+        expr(s"CAST(__start DIV $strideTokens AS BIGINT)").as("chunk_idx"),
+        expr(s"CAST(size(slice(__t, __start + 1, $chunkTokens)) AS BIGINT)")
+          .as("n_tokens"),
+        expr(s"array_join(slice(__t, __start + 1, $chunkTokens), ' ')")
+          .as("chunk_text"))
+  }
+
   /** Statistical (corpus-LM) novelty scoring — the integer-exact core of
     * CCNet-style language-model filtering: train a bigram model on the
     * corpus itself, score each document by how many of its bigrams are NOT

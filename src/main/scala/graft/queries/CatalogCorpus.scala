@@ -1384,6 +1384,21 @@ private[queries] object CatalogCorpus {
           doc_id, score_x1e6
         FROM sc ORDER BY score_x1e6 DESC, doc_id LIMIT 10""")),
 
+    // SLIDING-WINDOW chunking (the RAG/context-window chunker): 8-token
+    // windows every 4 tokens, last window clamped — pure per-row
+    // projection + bounded sequence explode, NO shuffle; the oracle
+    // replays starts, slicing, and joining exactly
+    Q("text_sliding_chunks",
+      (s, d) => TextCorpus.slidingChunks(t(s, d, "documents"),
+        "doc_id", "text", chunkTokens = 8, strideTokens = 4),
+      Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+        st AS (SELECT doc_id, t, unnest(range(0, len(t), 4)) AS s
+          FROM tk WHERE len(t) > 0)
+        SELECT doc_id, CAST(s // 4 AS BIGINT) AS chunk_idx,
+          CAST(len(t[s+1:s+8]) AS BIGINT) AS n_tokens,
+          array_to_string(t[s+1:s+8], ' ') AS chunk_text
+        FROM st""")),
+
     // PERSISTED inverted index + BM25 serving: the even docs' postings
     // and lengths round-trip through parquet, the odd batch folds in by
     // doc-disjoint union (re-ingest refuses via the lens-riding guard),

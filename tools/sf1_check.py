@@ -63,7 +63,10 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          # filter (affine-mod-prime bit indices, OR'd 60-bit words,
          # all-bits-set probes) verbatim over the salted vocabulary
          "text_bloom_membership", "text_bloom_incremental",
-         "streaming_bloom_ingest"]
+         "streaming_bloom_ingest",
+         # round-16c: sliding chunker — starts/slices/joins replay verbatim
+         # over the salted tokens
+         "text_sliding_chunks"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
