@@ -58,4 +58,59 @@ object Profile {
         col("r.n_nulls").as("n_nulls"), col("r.n_distinct").as("n_distinct"),
         col("r.min_value").as("min_value"), col("r.max_value").as("max_value"))
   }
+
+  /** A data-contract rule over one column. `kind` ∈ not_null / min / max
+    * / in_set / matches; `param` is the bound, the comma-joined set, or
+    * the (Java ∩ RE2, so oracle-portable) regex. */
+  final case class Rule(column: String, kind: String, param: String = "")
+
+  /** Validate data-contract rules in ONE pass: returns a row per rule —
+    * (col_name, rule, param, n_violations, sample_violation) — where
+    * `sample_violation` is the MINIMUM violating value rendered as a
+    * string (deterministic, so the report itself is oracle-checkable;
+    * null when the rule holds). NULLs violate only `not_null` — a null
+    * passes min/max/in_set/matches, the SQL three-valued convention, so
+    * rules compose instead of double-counting.
+    *
+    * Shape at scale: every rule compiles to a conditional aggregate over
+    * the same scan — one combinable pass, |rules| output rows, nothing
+    * else at the driver. The violating-rows themselves stay distributed;
+    * use the returned counts to decide whether to quarantine the load
+    * (the SCD2 sink's refuse-or-land decision). */
+  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    rules.foreach { r =>
+      require(df.columns.contains(r.column), s"no such column '${r.column}'")
+      require(Set("not_null", "min", "max", "in_set", "matches")(r.kind),
+        s"unknown rule kind '${r.kind}'")
+      if (r.kind == "min" || r.kind == "max")
+        require(r.param.nonEmpty && r.param.forall(ch => ch.isDigit || ch == '-'),
+          s"${r.kind} needs an integer bound, got '${r.param}'")
+      if (r.kind == "in_set" || r.kind == "matches")
+        require(r.param.nonEmpty, s"${r.kind} needs a non-empty param")
+    }
+    val viol: Rule => org.apache.spark.sql.Column = r => {
+      val c = col(r.column)
+      r.kind match {
+        case "not_null" => c.isNull
+        case "min" => c.isNotNull && c < lit(r.param.toLong)
+        case "max" => c.isNotNull && c > lit(r.param.toLong)
+        case "in_set" =>
+          c.isNotNull && !c.cast("string").isin(r.param.split(","): _*)
+        case "matches" => c.isNotNull && !c.cast("string").rlike(r.param)
+      }
+    }
+    val aggs = rules.zipWithIndex.flatMap { case (r, i) =>
+      Seq(sum(when(viol(r), 1L).otherwise(0L)).as(s"__v$i"),
+        min(when(viol(r), col(r.column).cast("string"))).as(s"__s$i"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case (r, i) => struct(
+        lit(r.column).as("col_name"), lit(r.kind).as("rule"),
+        lit(r.param).as("param"), col(s"__v$i").as("n_violations"),
+        col(s"__s$i").as("sample_violation")) }: _*)).as("r"))
+      .select(col("r.col_name").as("col_name"), col("r.rule").as("rule"),
+        col("r.param").as("param"), col("r.n_violations").as("n_violations"),
+        col("r.sample_violation").as("sample_violation"))
+  }
 }

@@ -591,6 +591,87 @@ private[queries] object CatalogRelational {
         FROM p JOIN ic ca ON ca.i = p.item_a
           JOIN ic cb ON cb.i = p.item_b, n""")),
 
+    // DATA-CONTRACT validation: five rules (not_null / min / max /
+    // in_set / matches) compiled into conditional aggregates over ONE
+    // scan — per-rule violation counts plus the MINIMUM violating value
+    // as a deterministic sample; nulls violate only not_null (the
+    // three-valued convention, so rules compose)
+    Q("contract_violations",
+      (s, d) => graft.operators.Profile.validate(t(s, d, "lineitem"), Seq(
+        graft.operators.Profile.Rule("l_orderkey", "not_null"),
+        graft.operators.Profile.Rule("l_partkey", "min", "100"),
+        graft.operators.Profile.Rule("l_linenumber", "max", "3"),
+        graft.operators.Profile.Rule("l_returnflag", "in_set", "A,N"),
+        graft.operators.Profile.Rule("l_linestatus", "matches", "^O$"))),
+      Some("""WITH s AS (SELECT
+          CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+          min(CASE WHEN l_orderkey IS NULL THEN l_orderkey::VARCHAR END) AS s1,
+          CAST(sum(CASE WHEN l_partkey IS NOT NULL AND l_partkey < 100
+            THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+          min(CASE WHEN l_partkey IS NOT NULL AND l_partkey < 100
+            THEN l_partkey::VARCHAR END) AS s2,
+          CAST(sum(CASE WHEN l_linenumber IS NOT NULL AND l_linenumber > 3
+            THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+          min(CASE WHEN l_linenumber IS NOT NULL AND l_linenumber > 3
+            THEN l_linenumber::VARCHAR END) AS s3,
+          CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+            AND l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+          min(CASE WHEN l_returnflag IS NOT NULL
+            AND l_returnflag NOT IN ('A', 'N') THEN l_returnflag END) AS s4,
+          CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+            AND NOT regexp_matches(l_linestatus, '^O$') THEN 1 ELSE 0 END)
+            AS BIGINT) AS v5,
+          min(CASE WHEN l_linestatus IS NOT NULL
+            AND NOT regexp_matches(l_linestatus, '^O$') THEN l_linestatus END) AS s5
+          FROM lineitem)
+        SELECT 'l_orderkey' AS col_name, 'not_null' AS rule, '' AS param,
+          v1 AS n_violations, s1 AS sample_violation FROM s
+        UNION ALL SELECT 'l_partkey', 'min', '100', v2, s2 FROM s
+        UNION ALL SELECT 'l_linenumber', 'max', '3', v3, s3 FROM s
+        UNION ALL SELECT 'l_returnflag', 'in_set', 'A,N', v4, s4 FROM s
+        UNION ALL SELECT 'l_linestatus', 'matches', '^O$', v5, s5 FROM s""")),
+
+    // TPC-H Q5-shaped 6-way join (local supplier volume): revenue in
+    // exact centi-cents (price cents x remaining-discount pct — no float
+    // money), dims broadcast, the customer=supplier nation equi-predicate
+    // riding the join — the Catalyst join-ordering exercise at oracle
+    // fidelity
+    Q("q5_local_volume",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_suppkey"),
+          (cents(col("l_extendedprice")) *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_cc"))
+        val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val supp = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))
+        val reg = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(col("rev_cc")).as("revenue_cc"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name, n_name,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+            * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+            AS revenue_cc,
+          count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2""")),
+
     // DATA-PROFILING census (the ANALYZE shape): per-column rows/nulls/
     // exact distincts/min/max in ONE pass — Spark plans the multi-column
     // distincts as one Expand + combinable partials; min/max rendered as

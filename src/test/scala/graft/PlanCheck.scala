@@ -278,6 +278,10 @@ object PlanCheck {
         p => p.contains("windowspecdefinition(cohort#") &&
           p.contains("BroadcastHashJoin") && p.contains("partial_count") &&
           !p.contains("CartesianProduct")),
+      ("q5_local_volume", "6-way join: every dimension broadcast, no cartesian/nested-loop (the join-order exercise)",
+        p => p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
       ("basket_cooccurrence", "basket pairs via the basket-keyed equi-join (never cartesian); size cap windowed BY BASKET; dims broadcast",
         // the pair join must stay keyed on the basket column — a
         // cartesian here is |items|² over the whole corpus — and the

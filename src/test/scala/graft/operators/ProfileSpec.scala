@@ -41,6 +41,38 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("validate: each rule kind counts exactly; nulls only violate not_null") {
+    val d = Seq(
+      (Option(5L), Option("A")),
+      (Option(-2L), Option("Z")),
+      (Option(200L), None),
+      (None, Option("B"))
+    ).toDF("k", "s")
+    val got = Profile.validate(d, Seq(
+        Profile.Rule("k", "not_null"),
+        Profile.Rule("k", "min", "0"),
+        Profile.Rule("k", "max", "100"),
+        Profile.Rule("s", "in_set", "A,B"),
+        Profile.Rule("s", "matches", "^[A-C]$")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), Option(r.getString(4)))).toMap
+    assert(got(("k", "not_null")) == (1L, None))
+    assert(got(("k", "min")) == (1L, Some("-2")))
+    assert(got(("k", "max")) == (1L, Some("200")))
+    // the null s row passes in_set and matches (three-valued convention)
+    assert(got(("s", "in_set")) == (1L, Some("Z")))
+    assert(got(("s", "matches")) == (1L, Some("Z")))
+    intercept[IllegalArgumentException] {
+      Profile.validate(d, Seq(Profile.Rule("k", "between", "1")))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.validate(d, Seq(Profile.Rule("k", "min", "ten")))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.validate(d, Seq(Profile.Rule("ghost", "not_null")))
+    }
+  }
+
   test("an all-null column reports null min/max and zero distincts") {
     val d2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
       .toDF("k", "s")
