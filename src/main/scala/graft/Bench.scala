@@ -183,11 +183,13 @@ object Bench {
     // medians 0.126/0.139 at 0.100 struct): hll actives min_clean
     // 0.606/0.685, gap-fill 0.452/0.469 — de-rated upper edges
     "event_active_users_hll" -> 0.9, "timeseries_gapfill" -> 0.65,
-    // r16c first-round bands, two certified-quiet runs=5 passes (sentinel
-    // medians 0.236/0.217, spreads 1.35/1.31, 0 drained): basket pairs
-    // min_clean 1.725/1.579, bm25 index round-trip 1.663/1.650 — de-rated
-    // upper edges
-    "basket_cooccurrence" -> 2.1, "text_bm25_incremental" -> 2.0)
+    // r16c first-round bands, two certified-quiet runs=5 passes at the
+    // CONTRACT 32-cpu geometry (sentinel medians 0.124/0.121 at 0.100
+    // struct; an earlier 4-cpu pair read within 10% of these — both
+    // queries are fixed-cost dominated): basket pairs min_clean
+    // 1.367/1.500, bm25 index round-trip 1.785/1.879 — de-rated upper
+    // edges
+    "basket_cooccurrence" -> 2.1, "text_bm25_incremental" -> 2.2)
 
   /** A clean reading above this multiple of its band is flagged
     * `over_band` — the same >2×-band rule the round verdicts apply. */
