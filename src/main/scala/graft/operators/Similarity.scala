@@ -50,6 +50,41 @@ object Similarity {
     rerank(df.select(col(idCol).as("id"), col(vecCol).as("v")), queryVec, k)
   }
 
+  /** BATCH exact top-k: every query's cosine top-k in one job — the eval
+    * and offline-serving shape ("score this eval set / this day's query
+    * log against the corpus"). Queries ride as a BROADCAST relation, so
+    * the |corpus|×|queries| scoring is pure map-side projection (no
+    * shuffle to build the pairing); the only exchange is the qid-keyed
+    * rank window over the scored pairs. Returns (qid, rank, id) by
+    * sim desc, id asc per query.
+    *
+    * Scale note: keyed-by-query parallelism needs |queries| ≳ the
+    * cluster's partition count to spread; for few queries at huge corpora
+    * use the single-query tiers (TakeOrdered, no window), and for
+    * latency-bound serving the IVF/SQ8 persisted indexes. The float
+    * ordering here deliberately matches the exact oracle — a scaled-
+    * integer heap prune would tie-break differently at float hairlines. */
+  def topKBatch(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    (dimOf(corpus, vecCol), dimOf(queries, qvecCol)) match {
+      case (Some(a), Some(b)) =>
+        require(a == b, s"corpus dim $a != query dim $b")
+      case _ =>
+    }
+    val paired = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(
+        queries.select(col(qidCol).as("qid"), col(qvecCol).as("__q"))))
+      .select(col("qid"), col("id"), cosine(col("__v"), col("__q")).as("__sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("__sim").desc, col("id").asc)
+    paired.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"))
+  }
+
   /** RECALL@K — the retrieval-quality eval every ANN tier is judged by:
     * how many of the EXACT top-k ids the approximate ranking recovered,
     * as an integer permille. Both inputs are (rank, id, …) rankings (the

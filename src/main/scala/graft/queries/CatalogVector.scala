@@ -152,6 +152,29 @@ private[queries] object CatalogVector {
     // the family — measured at sf0.1 the true top-10's worst Hamming rank
     // is 255 of 2000, so this gate runs shortlist 400 (20%) where the
     // ADC gates run 10%; the scan is still 1/64th the bytes
+    // BATCH exact top-k (the eval/offline-serving shape): three query
+    // vectors against the whole corpus in one job — broadcast queries,
+    // map-side scoring, one qid-keyed rank window; the oracle replays
+    // every per-query ranking
+    Q("ann_topk_batch",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0L, 7L, 13L))
+          .select(col("vec_id").as("qid"), col("embedding"))
+        Similarity.topKBatch(emb, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+          FROM embeddings WHERE vec_id IN (0, 7, 13)),
+        s AS (SELECT q.qid, e.vec_id AS id,
+            list_cosine_similarity(e.embedding, q.qe) AS sim,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                e.vec_id) AS rank
+          FROM embeddings e, q)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, id
+        FROM s WHERE rank <= 5""")),
+
     // RECALL@K eval — the retrieval-quality harness every ANN tier is
     // judged by: a deliberately-degraded ranking (cosine on the first 16
     // of 64 dims — a real lossy proxy, unlike the exact-recovering tiers

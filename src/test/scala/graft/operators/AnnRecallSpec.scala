@@ -32,6 +32,28 @@ class AnnRecallSpec extends SparkSuite {
     assert(empty.getLong(0) == 0L && empty.isNullAt(2))
   }
 
+  test("topKBatch ≡ per-query single-query top-k") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(3L, 17L))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = Similarity.topKBatch(corpus, "vec_id", "embedding",
+        queries, "qid", "embedding", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val single = Seq(3L, 17L).flatMap { q =>
+      val qv = corpus.filter(col("vec_id") === q)
+        .head().getSeq[Float](1)
+      Similarity.topKBruteForce(corpus, "vec_id", "embedding", qv, 6)
+        .collect().map(r => (q, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(batch == single)
+    intercept[IllegalArgumentException] {
+      Similarity.topKBatch(corpus, "vec_id", "embedding",
+        queries, "qid", "embedding", 0)
+    }
+  }
+
   test("shape contracts refuse") {
     val ok = ranking(Seq(1L))
     intercept[IllegalArgumentException] {
