@@ -591,6 +591,52 @@ private[queries] object CatalogRelational {
         FROM p JOIN ic ca ON ca.i = p.item_a
           JOIN ic cb ON cb.i = p.item_b, n""")),
 
+    // SNAPSHOT RECONCILIATION (data-diff): the scenario mutations (%89
+    // update, %83 insert, %97 delete) recovered as one full-outer-join
+    // diff — per-key status + exactly which columns changed, null-safe;
+    // unchanged keys (the overwhelming majority) are omitted
+    Q("reconcile_diff",
+      (s, d) => {
+        val old = t(s, d, "customer").select(col("c_custkey"),
+          trim(col("c_name")).as("name"), cents(col("c_acctbal")).as("bal"),
+          trim(col("c_mktsegment")).as("seg"))
+        val neu = old.filter(!(col("c_custkey") % 97 === 0))
+          .withColumn("bal", when(col("c_custkey") % 89 === 0,
+            col("bal") + 10000L).otherwise(col("bal")))
+          .unionByName(old.filter(col("c_custkey") % 83 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 10000000L))
+        graft.operators.Reconcile.diffSnapshots(old, neu,
+          Seq("c_custkey"), Seq("name", "bal", "seg"))
+      },
+      Some("""WITH o AS (SELECT c_custkey AS k, trim(c_name) AS name,
+            CAST(round(c_acctbal*100) AS BIGINT) AS bal,
+            trim(c_mktsegment) AS seg FROM customer),
+        n AS (SELECT k, name,
+            CASE WHEN k % 89 = 0 THEN bal + 10000 ELSE bal END AS bal, seg
+          FROM o WHERE k % 97 <> 0
+          UNION ALL SELECT k + 10000000, name, bal, seg FROM o WHERE k % 83 = 0),
+        j AS (SELECT o.k AS ok, n.k AS nk, o.bal AS obal, n.bal AS nbal,
+            o.name AS oname, n.name AS nname, o.seg AS oseg, n.seg AS nseg
+          FROM o FULL JOIN n ON o.k = n.k),
+        di AS (SELECT coalesce(nk, ok) AS c_custkey,
+            CASE WHEN ok IS NULL THEN 'inserted'
+              WHEN nk IS NULL THEN 'deleted'
+              WHEN (obal IS DISTINCT FROM nbal) OR (oname IS DISTINCT FROM nname)
+                OR (oseg IS DISTINCT FROM nseg) THEN 'changed'
+              ELSE 'unchanged' END AS status,
+            list_sort(list_filter(
+              [CASE WHEN obal IS DISTINCT FROM nbal THEN 'bal' END,
+               CASE WHEN oname IS DISTINCT FROM nname THEN 'name' END,
+               CASE WHEN oseg IS DISTINCT FROM nseg THEN 'seg' END],
+              x -> x IS NOT NULL)) AS cc
+          FROM j)
+        SELECT c_custkey, status,
+          CASE WHEN status = 'changed' THEN CAST(len(cc) AS BIGINT)
+            ELSE 0 END AS n_changed_cols,
+          CASE WHEN status = 'changed' THEN array_to_string(cc, ',')
+            ELSE '' END AS changed_cols
+        FROM di WHERE status <> 'unchanged'""")),
+
     // DATA-CONTRACT validation: five rules (not_null / min / max /
     // in_set / matches) compiled into conditional aggregates over ONE
     // scan — per-rule violation counts plus the MINIMUM violating value
