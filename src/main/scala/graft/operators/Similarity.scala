@@ -50,6 +50,35 @@ object Similarity {
     rerank(df.select(col(idCol).as("id"), col(vecCol).as("v")), queryVec, k)
   }
 
+  /** RECIPROCAL-RANK FUSION of two rankings — the training-free hybrid
+    * combiner (Cormack/Clarke/Buettcher): each id scores
+    * `Σ 10^6 DIV (kConst + rank)` over the rankings that contain it
+    * (within their top `k`), integer-exact so any engine replays the
+    * fused order. Classic kConst = 60. Returns (rank, id, rrf_x1e6) for
+    * the fused top-k (score desc, id asc). Shape: two rank filters + one
+    * full outer join over ≤ 2k rows — metadata-scale. */
+  def rrfFuse(
+      a: DataFrame, b: DataFrame, idCol: String, k: Int,
+      kConst: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kConst >= 0, s"kConst must be >= 0, got $kConst")
+    Seq(a, b).foreach(r =>
+      require(r.columns.contains("rank") && r.columns.contains(idCol),
+        s"rankings need (rank, $idCol), got ${r.columns.mkString(", ")}"))
+    val fa = a.filter(col("rank") <= k)
+      .select(col(idCol), expr(s"1000000 DIV ($kConst + rank)").as("__ra"))
+    val fb = b.filter(col("rank") <= k)
+      .select(col(idCol), expr(s"1000000 DIV ($kConst + rank)").as("__rb"))
+    fa.join(fb, Seq(idCol), "full")
+      .withColumn("rrf_x1e6",
+        coalesce(col("__ra"), lit(0L)) + coalesce(col("__rb"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_x1e6").desc, col(idCol).asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col(idCol), col("rrf_x1e6"))
+  }
+
   /** BATCH exact top-k: every query's cosine top-k in one job — the eval
     * and offline-serving shape ("score this eval set / this day's query
     * log against the corpus"). Queries ride as a BROADCAST relation, so

@@ -724,6 +724,27 @@ object Sketches {
       .drop("__lo", "__hi")
   }
 
+  /** MIN-MAX feature scaling to permille: per group,
+    * `(v − min)·1000 DIV (max − min)` — 0 at the group minimum, 1000 at
+    * the maximum, truncating DIV so both engines agree; a constant group
+    * (max = min) scales to 0, nulls stay null. One combinable min/max
+    * pass + the |groups|-row stats broadcast back over a second
+    * pushdown-friendly scan (the [[winsorize]] shape, exact instead of
+    * sketched — use winsorize when outliers would crush the range).
+    * Returns every input column plus `<valueCol>_permille`. */
+  def minMaxScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    require(!df.columns.exists(_.startsWith("__")),
+      "minMaxScale reserves __-prefixed column names")
+    val stats = df.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn(s"${valueCol}_permille",
+        when(col(valueCol).isNull, lit(null))
+          .when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(expr(s"(($valueCol - __mn) * 1000) DIV (__mx - __mn)")))
+      .drop("__mn", "__mx")
+  }
+
   // ----------------------------------------------------------------- BLOOM
 
   private val BloomMetaHashes = "graft.bloom.hashes"

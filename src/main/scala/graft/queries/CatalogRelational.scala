@@ -356,6 +356,23 @@ private[queries] object CatalogRelational {
           least(greatest(v.val, f.flo), f.fhi) AS price_cents_clipped
         FROM v JOIN f ON f.g = v.g""")),
 
+    // MIN-MAX feature scaling: exact per-group [min, max] -> [0, 1000]
+    // permille — one combinable stats pass + broadcast join-back (the
+    // winsorize shape, exact instead of sketched)
+    Q("agg_minmax_scale",
+      (s, d) => graft.operators.Sketches.minMaxScale(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("price_cents")),
+        "l_returnflag", "price_cents"),
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+            CAST(round(l_extendedprice*100) AS BIGINT) AS val FROM lineitem),
+        st AS (SELECT g, min(val) AS mn, max(val) AS mx FROM v GROUP BY 1)
+        SELECT v.g AS l_returnflag, v.val AS price_cents,
+          CASE WHEN st.mx = st.mn THEN 0
+            ELSE ((v.val - st.mn) * 1000) // (st.mx - st.mn) END
+            AS price_cents_permille
+        FROM v JOIN st ON st.g = v.g""")),
+
     // INCREMENTAL quantile sketch: histogram state on even orderkeys
     // round-trips through parquet, the odd half folds in (counts add —
     // order-free, late data exact), the served quantiles must equal the

@@ -152,6 +152,35 @@ private[queries] object CatalogVector {
     // the family — measured at sf0.1 the true top-10's worst Hamming rank
     // is 255 of 2000, so this gate runs shortlist 400 (20%) where the
     // ADC gates run 10%; the scan is still 1/64th the bytes
+    // RECIPROCAL-RANK FUSION: the exact full-dim ranking fused with the
+    // lossy 16-dim proxy ranking (the recall_eval pair) by integer RRF —
+    // Σ 10^6 DIV (60 + rank); the oracle replays both rankings AND the
+    // fused order
+    Q("ann_rrf_fusion",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = queryVec(s, d)
+        val exact = Similarity.topKBruteForce(emb, "vec_id", "embedding", q, 10)
+        val approx = Similarity.topKBruteForce(
+          emb.select(col("vec_id"), expr("slice(embedding, 1, 16)").as("e16")),
+          "vec_id", "e16", q.take(16), 10)
+        Similarity.rrfFuse(exact, approx, "id", 10)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        ex AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+          FROM (SELECT vec_id, list_cosine_similarity(embedding, qe) AS sim
+            FROM embeddings, q) ORDER BY sim DESC, vec_id LIMIT 10),
+        ap AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+          FROM (SELECT vec_id, list_cosine_similarity(embedding[1:16], qe[1:16]) AS sim
+            FROM embeddings, q) ORDER BY sim DESC, vec_id LIMIT 10),
+        f AS (SELECT coalesce(ex.vec_id, ap.vec_id) AS id,
+            coalesce(1000000 // (60 + ex.rnk), 0)
+              + coalesce(1000000 // (60 + ap.rnk), 0) AS rrf
+          FROM ex FULL JOIN ap ON ex.vec_id = ap.vec_id)
+        SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank,
+          id, CAST(rrf AS BIGINT) AS rrf_x1e6
+        FROM f ORDER BY rrf DESC, id LIMIT 10""")),
+
     // BATCH exact top-k (the eval/offline-serving shape): three query
     // vectors against the whole corpus in one job — broadcast queries,
     // map-side scoring, one qid-keyed rank window; the oracle replays
