@@ -1335,6 +1335,35 @@ object Temporal {
             .putLong(DecayMetaFrontier, newFrontier).build()))
   }
 
+  /** TOP-K event PATHS — "what are the most common 3-step user
+    * journeys": per key, every window of `length` consecutive events (by
+    * ts, tie-broken) becomes a path string, counted corpus-wide, top-k
+    * by (count desc, path asc). One keyed window (lead × length−1, the
+    * per-key event sort the sessionizer already pays), one combinable
+    * count, a TakeOrdered — never a global sort. Returns
+    * (rank, path, cnt). */
+  def topPaths(
+      df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      tieBreak: String, length: Int, k: Int): DataFrame = {
+    require(length >= 2 && length <= 8, s"length must be in [2, 8], got $length")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreak))
+    val leads = (1 until length).map(i =>
+      lead(col(typeCol), i).over(w).as(s"__t$i"))
+    val withLeads = df.select(
+      (Seq(col(keyCol), col(typeCol).as("__t0")) ++ leads): _*)
+    val full = (1 until length).map(i => col(s"__t$i").isNotNull)
+      .reduce(_ && _)
+    withLeads.filter(full)
+      .select(concat_ws(">",
+        (0 until length).map(i => col(s"__t$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("path").asc)).cast("long"))
+      .select(col("rank"), col("path"), col("cnt"))
+  }
+
   /** Per-key activity STREAKS (islands-and-gaps): for each key, its
     * consecutive-bucket runs of activity — total active buckets, number
     * of streaks, the longest streak, and the CURRENT streak (the one

@@ -1456,6 +1456,27 @@ private[queries] object CatalogEvents {
           k.nb AS n_active_buckets, CAST(r.s AS BIGINT) AS decayed_x
         FROM r JOIN f ON r.b = f.fr JOIN k ON k.user_id = r.user_id""")),
 
+    // TOP-K user journeys: the 15 most common 3-step event paths — one
+    // user-keyed lead window, a combinable path count, TakeOrdered; the
+    // oracle replays windows, concatenation, and the (cnt, path) order
+    Q("event_top_paths",
+      (s, d) => graft.operators.Temporal.topPaths(
+        t(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ets"), col("event_id")),
+        "user_id", "event_type", "ets", "event_id", length = 3, k = 15),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ets,
+            event_id FROM events),
+        l AS (SELECT user_id, event_type AS t0,
+            lead(event_type, 1) OVER w AS t1,
+            lead(event_type, 2) OVER w AS t2
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ets, event_id)),
+        p AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS cnt
+          FROM l WHERE t1 IS NOT NULL AND t2 IS NOT NULL GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, path) AS BIGINT) AS rank,
+          path, CAST(cnt AS BIGINT) AS cnt
+        FROM p ORDER BY cnt DESC, path LIMIT 15""")),
+
     // STREAMING decayed-counts maintenance — the twelfth maintainer, the
     // r15 fold-replay class in its purest form (the fold refuses late
     // data, so txnApplied MUST gate it): two day-boundary drops on one

@@ -307,7 +307,10 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                # round-16c: decayed counts — the recursive-CTE recurrence
                # replays verbatim over per-copy users
                "event_decayed_counts", "event_decayed_incremental",
-               "streaming_decay_ingest"]
+               "streaming_decay_ingest",
+               # round-16c: top paths — per-copy users keep windows
+               # copy-local; the global top-15 re-aggregates identically
+               "event_top_paths"]
 
 
 def main_events(oracle_path):
