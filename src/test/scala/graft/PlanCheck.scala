@@ -278,6 +278,29 @@ object PlanCheck {
         p => p.contains("windowspecdefinition(cohort#") &&
           p.contains("BroadcastHashJoin") && p.contains("partial_count") &&
           !p.contains("CartesianProduct")),
+      ("event_decayed_counts", "decay recurrence inside the per-key aggregate: NO window, NO join — one combinable count + one keyed fold",
+        // the dense-span iteration must stay a higher-order expression in
+        // the aggregate projection; a regression to a per-bucket explode
+        // + window would shuffle the grid
+        p => p.contains("partial_count") && !p.contains("Window") &&
+          !p.contains("Join") && !p.contains("CartesianProduct")),
+      ("event_streaks", "island windows keyed BY USER over the tiny activity relation, no join",
+        p => p.contains("windowspecdefinition(user_id#") &&
+          !p.contains("Join") && !p.contains("CartesianProduct")),
+      ("event_top_paths", "path windows keyed BY USER; top-k via TakeOrdered, not a global sort",
+        p => p.contains("windowspecdefinition(user_id#") &&
+          p.contains("TakeOrderedAndProject") &&
+          !p.contains("CartesianProduct")),
+      ("agg_minmax_scale", "group stats broadcast back over a second scan — no SMJ, no window",
+        p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+          !p.contains("Window")),
+      ("agg_winsorize", "fences from the tiny-histogram window (keyed by group), broadcast back — no SMJ, no corpus sort",
+        p => p.contains("BroadcastHashJoin") &&
+          p.contains("windowspecdefinition(l_returnflag#") &&
+          !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")),
+      ("reconcile_diff", "diff = ONE keyed full join, per-column compare in projection — no cartesian/nested-loop",
+        p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
       ("q5_local_volume", "6-way join: every dimension broadcast, no cartesian/nested-loop (the join-order exercise)",
         p => p.contains("BroadcastHashJoin") &&
           !p.contains("CartesianProduct") &&
