@@ -1297,6 +1297,33 @@ object Dedup {
       s"unknown clustering algorithm '$other' (label | stars)")
   }
 
+  /** INCREMENTAL clustering — continue from PERSISTED labels instead of
+    * re-clustering history: the stored (id, cluster_id) relation IS a
+    * connectivity-preserving edge set (each member's star edge to its
+    * root), so folding a new day's duplicate pairs is one
+    * [[duplicateClusters]] run over (star edges ∪ new pairs) — cost
+    * scales with |labels| + |new pairs|, never the historical pair set,
+    * and the min-id labels stay globally consistent (old roots are ids,
+    * so the merged component's min is the true min over all members).
+    * Docs whose old cluster collapsed to a singleton (id = cluster_id
+    * with no surviving members) pass through unchanged. */
+  def clustersIncremental(
+      labels: DataFrame, newPairs: DataFrame,
+      maxIters: Int = 0, algorithm: String = "label"): DataFrame = {
+    require(labels.columns.toSeq == Seq("id", "cluster_id"),
+      s"labels must be a duplicateClusters output (id, cluster_id), " +
+        s"got ${labels.columns.mkString(", ")}")
+    val starEdges = labels.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+    val cc = duplicateClusters(
+      starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      maxIters, algorithm)
+    val singletons = labels.filter(col("id") === col("cluster_id"))
+      .join(cc.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    cc.unionByName(singletons)
+  }
+
   /** Eager lineage-truncating checkpoint for the iterative loops: each
     * round's plan references the previous round's TWICE, so without
     * truncation the logical plan doubles per round — exponential analyzer

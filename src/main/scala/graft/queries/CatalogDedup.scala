@@ -572,6 +572,39 @@ private[queries] object CatalogDedup {
         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY id""")),
 
+    // INCREMENTAL clustering: half the duplicate pairs cluster first,
+    // the labels round-trip through parquet as star edges, the other
+    // half folds in — cost scales with |labels| + |new pairs|, never the
+    // historical pair set; min-id labels must equal the one-shot
+    // clustering over everything (same recursive-reach oracle)
+    Q("dedup_clusters_incremental",
+      (s, d) => {
+        val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"),
+            "doc_id", "text", threshold = 0.3)
+          .select("id_a", "id_b").localCheckpoint(true)
+        val dir = java.nio.file.Files.createTempDirectory("graft-cc-state")
+        Dedup.duplicateClusters(
+            pairs.filter((col("id_a") + col("id_b")) % 2 === 0))
+          .write.mode("overwrite").parquet(dir.toString)
+        val labels = s.read.parquet(dir.toString)
+        val out = Dedup.clustersIncremental(labels,
+            pairs.filter((col("id_a") + col("id_b")) % 2 === 1))
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .localCheckpoint(true)
+        deleteDir(dir.toFile)
+        Dedup.releaseIntermediates()
+        out
+      },
+      Some(s"""WITH RECURSIVE tp AS (${jaccardTruthSql(300)}),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM tp
+            UNION SELECT id_b, id_a FROM tp),
+          reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+        SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id""")),
+
     // same truth through the alternating large-star/small-star contraction
     // (O(log n) rounds — the star-heavy/high-degree-graph option)
     Q("dedup_clusters_stars",
