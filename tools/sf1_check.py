@@ -66,7 +66,10 @@ GATES = ["dedup_spans", "dedup_minhash_incremental", "dedup_clusters", "dedup_si
          "streaming_bloom_ingest",
          # round-16c: sliding chunker — starts/slices/joins replay verbatim
          # over the salted tokens
-         "text_sliding_chunks"]
+         "text_sliding_chunks",
+         # round-16c: incremental clustering — same recursive-reach oracle
+         # as dedup_clusters (salting keeps pairs copy-local)
+         "dedup_clusters_incremental"]
 
 # the drive salts the gate's phrase literals to copy 0 — mirror it here
 PHRASE_SALT = {"query spark hash": "query_00 spark_00 hash_00",
