@@ -36,9 +36,12 @@ object Experiment {
       s"arm permilles must be positive, got ${arms.mkString(", ")}")
     require(arms.map(_._2).sum == 1000,
       s"arm permilles must sum to 1000, got ${arms.map(_._2).sum}")
-    val guarded = when(col(hashCol) < 0 || col(hashCol) >= (1L << 60),
+    // NULL is in the guard too: a null hash would otherwise flow through
+    // as arm = NULL — a silent unassigned bucket no report would surface
+    val guarded = when(col(hashCol).isNull ||
+        col(hashCol) < 0 || col(hashCol) >= (1L << 60),
         raise_error(concat(lit("graft experiment: hash outside [0, 2^60) ("),
-          col(hashCol).cast("string"),
+          coalesce(col(hashCol).cast("string"), lit("NULL")),
           lit(") — fix the hash projection upstream"))))
       .otherwise(col(hashCol))
     val bucket = guarded % 1000

@@ -84,7 +84,7 @@ object Profile {
       require(Set("not_null", "min", "max", "in_set", "matches")(r.kind),
         s"unknown rule kind '${r.kind}'")
       if (r.kind == "min" || r.kind == "max")
-        require(r.param.nonEmpty && r.param.forall(ch => ch.isDigit || ch == '-'),
+        require(r.param.matches("-?\\d{1,18}"),
           s"${r.kind} needs an integer bound, got '${r.param}'")
       if (r.kind == "in_set" || r.kind == "matches")
         require(r.param.nonEmpty, s"${r.kind} needs a non-empty param")

@@ -74,8 +74,12 @@ object Sketches {
       .putLong(SketchMetaBits, mantissaBits.toLong).build()
     // bitlen via bin(): both Spark and DuckDB render the minimal binary
     // string (bin(0) = "0" -> bitlen 1 -> shift 0 -> exact), so the
-    // bucketing replays integer-exactly in an external engine
-    df.select(col(groupCol).as("__g"), v.as("__v"))
+    // bucketing replays integer-exactly in an external engine. NULL
+    // values carry no rank mass: unfiltered they would form a null
+    // bucket that inflates every total (and Spark's nulls-FIRST window
+    // order would bias the estimates low where DuckDB sorts nulls last)
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), v.as("__v"))
       .withColumn("__s",
         greatest(length(bin(col("__v"))) - 1 - mantissaBits, lit(0)).cast("int"))
       .withColumn("__bid", expr("shiftright(__v, __s)"))
@@ -119,7 +123,10 @@ object Sketches {
       .otherwise(col(weightCol).cast("long"))
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(SketchMetaBits, mantissaBits.toLong).build()
-    df.select(col(groupCol).as("__g"), v.as("__v"), w.as("__w"))
+    // same null hygiene as the unweighted histogram: null value or null
+    // weight carries no mass
+    df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(groupCol).as("__g"), v.as("__v"), w.as("__w"))
       .withColumn("__s",
         greatest(length(bin(col("__v"))) - 1 - mantissaBits, lit(0)).cast("int"))
       .withColumn("__bid", expr("shiftright(__v, __s)"))
@@ -717,11 +724,15 @@ object Sketches {
     val fences = qs.groupBy(col(groupCol))
       .agg(max(when(col("q_permille") === loPermille, col("est"))).as("__lo"),
         max(when(col("q_permille") === hiPermille, col("est"))).as("__hi"))
-    df.join(broadcast(fences), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__fg")
+    // null-SAFE join back: a NULL group is a group like any other (its
+    // fences were computed above) — a plain equi-join would silently drop
+    // every null-group row
+    df.join(broadcast(fences), col(groupCol) <=> col("__fg"), "left")
       .withColumn(s"${valueCol}_clipped",
         when(col(valueCol).isNull, lit(null))
           .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
-      .drop("__lo", "__hi")
+      .drop("__fg", "__lo", "__hi")
   }
 
   /** MIN-MAX feature scaling to permille: per group,
@@ -737,12 +748,15 @@ object Sketches {
       "minMaxScale reserves __-prefixed column names")
     val stats = df.groupBy(col(groupCol))
       .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
-    df.join(broadcast(stats), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__sg")
+    // null-SAFE join back — the winsorize rule: null-group rows keep
+    // their own group's stats instead of silently vanishing
+    df.join(broadcast(stats), col(groupCol) <=> col("__sg"), "left")
       .withColumn(s"${valueCol}_permille",
         when(col(valueCol).isNull, lit(null))
           .when(col("__mx") === col("__mn"), lit(0L))
           .otherwise(expr(s"(($valueCol - __mn) * 1000) DIV (__mx - __mn)")))
-      .drop("__mn", "__mx")
+      .drop("__sg", "__mn", "__mx")
   }
 
   // ----------------------------------------------------------------- BLOOM
@@ -868,6 +882,9 @@ object Sketches {
     }
     require(!probes.columns.exists(_.startsWith("__")),
       "bloomProbe probes must not carry __-prefixed columns")
+    require(!probes.columns.contains("word") && !probes.columns.contains("bits"),
+      "bloomProbe probes must not carry columns named 'word'/'bits' — " +
+        "they collide with the state relation in the probe join")
     // the countMinLookup domain rule: an out-of-range probe hash maps to
     // bits no insert can have set and would silently read "absent" — a
     // lookup that can only be wrong refuses instead

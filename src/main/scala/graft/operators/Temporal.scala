@@ -28,7 +28,7 @@ object Temporal {
     * whose `//` floors (DuckDB, Python). Pure codegen arithmetic
     * (`x DIV w` minus one when the remainder is negative); identical to
     * `DIV` on the non-negative domain, exact on all of it. */
-  private def floorDiv(c: String, w: Long): Column =
+  private[graft] def floorDiv(c: String, w: Long): Column =
     expr(s"(`$c` DIV ${w}L) - (CASE WHEN `$c` % ${w}L < 0 THEN 1 ELSE 0 END)")
 
   private val IntegralTypes: Set[org.apache.spark.sql.types.DataType] = Set(
@@ -1232,7 +1232,17 @@ object Temporal {
       s"decayedCounts needs an integral ts column, got ${df.schema(tsCol).dataType}")
     val counts = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol), floorDiv(tsCol, bucketWidth).as("__bkt"))
-      .filter(col("__bkt") <= frontier)
+      // the refuse-loudly rule, symmetric with the fold's late-data guard:
+      // an event PAST the frontier silently dropped would make the served
+      // scores quietly exclude the newest activity
+      .withColumn("__bkt",
+        when(col("__bkt") > frontier,
+          raise_error(concat(lit("graft decayedCounts: event for key "),
+            col(keyCol).cast("string"), lit(" in bucket "),
+            col("__bkt").cast("string"),
+            lit(s" is past the frontier ($frontier) — advance the frontier " +
+              "or filter the feed"))))
+          .otherwise(col("__bkt")))
       .groupBy(col(keyCol), col("__bkt"))
       .agg(count(lit(1)).as("__cnt"))
     val perKey = counts.groupBy(col(keyCol))
@@ -1263,10 +1273,10 @@ object Temporal {
             .putLong(DecayMetaFrontier, frontier).build()))
   }
 
-  private val DecayMetaWidth = "graft.decay.bucketWidth"
-  private val DecayMetaNum = "graft.decay.num"
-  private val DecayMetaDen = "graft.decay.den"
-  private val DecayMetaFrontier = "graft.decay.frontier"
+  private[graft] val DecayMetaWidth = "graft.decay.bucketWidth"
+  private[graft] val DecayMetaNum = "graft.decay.num"
+  private[graft] val DecayMetaDen = "graft.decay.den"
+  private[graft] val DecayMetaFrontier = "graft.decay.frontier"
 
   /** Fold a NEW batch of raw events into a persisted [[decayedCounts]]
     * state, advancing every key to `newFrontier`: each key's score

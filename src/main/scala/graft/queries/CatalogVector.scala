@@ -144,14 +144,6 @@ private[queries] object CatalogVector {
             i -> (embedding[i] >= 0) != (qe[i] >= 0))) AS BIGINT) AS hamming
         FROM embeddings, q""")),
 
-    // binary-shortlist ANN: Hamming distance over packed sign bits (1 bit
-    // per component — 64× less scan than the raw floats, pure integer
-    // ALU) shortlists, exact cosine reranks; graded against the EXACT
-    // oracle like the PQ family (exact iff the shortlist contains the
-    // true top-10). A 64-bit sign sketch is the COARSEST shortlister in
-    // the family — measured at sf0.1 the true top-10's worst Hamming rank
-    // is 255 of 2000, so this gate runs shortlist 400 (20%) where the
-    // ADC gates run 10%; the scan is still 1/64th the bytes
     // RECIPROCAL-RANK FUSION: the exact full-dim ranking fused with the
     // lossy 16-dim proxy ranking (the recall_eval pair) by integer RRF —
     // Σ 10^6 DIV (60 + rank); the oracle replays both rankings AND the
@@ -234,6 +226,14 @@ private[queries] object CatalogVector {
           h.n_hits * 1000 // n.n_exact AS recall_permille
         FROM n, h""")),
 
+    // binary-shortlist ANN: Hamming distance over packed sign bits (1 bit
+    // per component — 64× less scan than the raw floats, pure integer
+    // ALU) shortlists, exact cosine reranks; graded against the EXACT
+    // oracle like the PQ family (exact iff the shortlist contains the
+    // true top-10). A 64-bit sign sketch is the COARSEST shortlister in
+    // the family — measured at sf0.1 the true top-10's worst Hamming rank
+    // is 255 of 2000, so this gate runs shortlist 400 (20%) where the
+    // ADC gates run 10%; the scan is still 1/64th the bytes
     Q("ann_topk_binary",
       (s, d) => Similarity.topKBinary(t(s, d, "embeddings"),
         "vec_id", "embedding", queryVec(s, d), 10, shortlist = 400)

@@ -831,14 +831,25 @@ object StreamingIngest {
     if (batch.isEmpty) return
     val b = batch.toDF()
     val frontier = b.agg(org.apache.spark.sql.functions.max(
-      org.apache.spark.sql.functions.expr(
-        s"($tsCol DIV ${bucketWidth}L) - " +
-          s"(CASE WHEN $tsCol % ${bucketWidth}L < 0 THEN 1 ELSE 0 END)")))
+        Temporal.floorDiv(tsCol, bucketWidth)))
       .head().getLong(0)
     val next =
-      if (tbl.exists)
-        Temporal.decayedCountsFold(tbl.read(), b, keyCol, tsCol, frontier)
-      else
+      if (tbl.exists) {
+        // the fold reads geometry from the STATE's stamps — a caller whose
+        // configured params drifted from the stamped ones must refuse, not
+        // silently keep folding with the old decay (or worse, compute the
+        // frontier in a different bucket unit than the fold uses)
+        val state = tbl.read()
+        val m = state.schema("decayed_x").metadata
+        require(m.getLong(Temporal.DecayMetaWidth) == bucketWidth &&
+          m.getLong(Temporal.DecayMetaNum) == decayNum.toLong &&
+          m.getLong(Temporal.DecayMetaDen) == decayDen.toLong,
+          s"decayIngest configured width=$bucketWidth decay=$decayNum/$decayDen " +
+            s"but the state is stamped width=${m.getLong(Temporal.DecayMetaWidth)} " +
+            s"decay=${m.getLong(Temporal.DecayMetaNum)}/${m.getLong(Temporal.DecayMetaDen)} " +
+            "— rebuild the state or fix the config")
+        Temporal.decayedCountsFold(state, b, keyCol, tsCol, frontier)
+      } else
         Temporal.decayedCounts(b, keyCol, tsCol, bucketWidth,
           decayNum, decayDen, frontier)
     tbl.overwriteIdempotent(next.localCheckpoint(true), appId, batchId)
@@ -907,9 +918,16 @@ object StreamingIngest {
       if (pTbl.exists && iTbl.exists && nTbl.exists)
         Baskets.cooccurrenceFold(pTbl.read(), iTbl.read(), nTbl.read(), bp, bi, bn)
       else (bp, bi, bn)
-    nTbl.overwriteIdempotent(nn.localCheckpoint(true), appId, batchId)
-    iTbl.overwriteIdempotent(ni.localCheckpoint(true), appId, batchId)
-    pTbl.overwriteIdempotent(np.localCheckpoint(true), appId, batchId)
+    // materialize ALL THREE before ANY commit: the maxBasketSize refusal
+    // rides the PAIRS lineage only, and a deterministic raise after
+    // totals/items had committed would leave a state no retry can repair
+    // (their idempotent watermarks would forever hide the missing pairs)
+    val npC = np.localCheckpoint(true)
+    val niC = ni.localCheckpoint(true)
+    val nnC = nn.localCheckpoint(true)
+    nTbl.overwriteIdempotent(nnC, appId, batchId)
+    iTbl.overwriteIdempotent(niC, appId, batchId)
+    pTbl.overwriteIdempotent(npC, appId, batchId)
   }
 
   /** STREAMING gap-fill maintenance — the ninth maintainer: each

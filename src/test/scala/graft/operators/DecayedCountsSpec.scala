@@ -78,6 +78,30 @@ class DecayedCountsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Temporal.decayedCounts(ev, "k", "ts", 10L, 2, 2, 3L) // decay >= 1
     }
+    // an event PAST the frontier refuses (symmetric with the fold's
+    // late-data rule) — silently dropping it would hide fresh activity
+    val e2 = intercept[Exception] {
+      Temporal.decayedCounts(ev, "k", "ts", 10L, 85, 100, frontier = 1L)
+        .collect()
+    }
+    assert(msgs(e2).exists(_.contains("past the frontier")))
+    // a maintainer restart with drifted decay params refuses
+    val root = java.nio.file.Files.createTempDirectory("decay-cfg")
+    try {
+      val dir = root.toString + "/tbl"
+      graft.streaming.StreamingIngest.decayIngestBatch(
+        ev.filter(col("ts") <= 19L), 0L, "k", "ts", 10L, 85, 100, dir, "app")
+      val e3 = intercept[IllegalArgumentException] {
+        graft.streaming.StreamingIngest.decayIngestBatch(
+          ev.filter(col("ts") > 19L), 1L, "k", "ts", 10L, 50, 100, dir, "app")
+      }
+      assert(e3.getMessage.contains("stamped"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root.toFile)
+    }
   }
 
   test("maintainer replay: a re-delivered batch is skipped BEFORE the fold (late-data refusal cannot trip)") {

@@ -58,6 +58,13 @@ class ExperimentSpec extends SparkSuite {
       Experiment.assign(Seq(-5L).toDF("h"), "h", Seq(("a", 1000))).collect()
     }
     assert(msgs(e).exists(_.contains("graft experiment")))
+    // a NULL hash refuses too — it would otherwise become a silent
+    // arm = NULL bucket no report surfaces
+    val e2 = intercept[Exception] {
+      Experiment.assign(Seq(Option.empty[Long]).toDF("h"), "h",
+        Seq(("a", 1000))).collect()
+    }
+    assert(msgs(e2).exists(_.contains("NULL")))
   }
 
   test("lift arithmetic is integer-exact; control reads 0") {

@@ -53,6 +53,18 @@ class StreaksWinsorizeSpec extends SparkSuite {
     assert(clipped(90L) == 90L && clipped(95L) == 90L && clipped(100L) == 90L)
     // the null row survives as null, NOT the lo fence
     assert(rows.exists(r => r.isNullAt(1) && r.isNullAt(2)))
+    // and null VALUES carry no rank mass: many nulls must not drag the
+    // fences down (the nulls-first window-order hazard)
+    val noisy = df.unionByName(
+      Seq.fill(100)(("a", Option.empty[Long])).toDF("g", "v"))
+    val f2 = Sketches.winsorize(noisy, "g", "v", 100, 900, 6)
+      .filter(col("v") === 50L).collect().head.getLong(2)
+    assert(f2 == 50L, s"null mass shifted the fences: 50 clipped to $f2")
+    // null GROUPS are groups, not dropped rows
+    val ng = Seq((Option.empty[String], Option(5L)),
+      (Option.empty[String], Option(15L))).toDF("g", "v")
+    val gotNg = Sketches.winsorize(ng, "g", "v", 100, 900, 6).collect()
+    assert(gotNg.length == 2 && gotNg.forall(!_.isNullAt(2)))
     intercept[IllegalArgumentException] {
       Sketches.winsorize(df, "g", "v", 900, 100)
     }
