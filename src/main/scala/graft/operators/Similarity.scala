@@ -50,6 +50,35 @@ object Similarity {
     rerank(df.select(col(idCol).as("id"), col(vecCol).as("v")), queryVec, k)
   }
 
+  /** DIVERSIFIED top-k — the search/feed diversification rule: the
+    * globally best `k` rows by (score desc, id asc) subject to AT MOST
+    * `maxPerGroup` rows from any one group (source, domain, author …).
+    * Greedy-per-group is exact for this constraint: keeping each group's
+    * own best `maxPerGroup` can never exclude a row the optimal answer
+    * needs. Returns (rank, group, id, score).
+    *
+    * Shape at scale: one group-keyed rank window (prunes the corpus to
+    * ≤ maxPerGroup·|groups| rows) then a TakeOrdered for the global k —
+    * never a global sort of the corpus. */
+  def diversifiedTopK(
+      df: DataFrame, groupCol: String, idCol: String, scoreCol: String,
+      k: Int, maxPerGroup: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxPerGroup >= 1 && maxPerGroup <= k,
+      s"maxPerGroup must be in [1, k], got $maxPerGroup")
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val pruned = df
+      .filter(col(groupCol).isNotNull && col(scoreCol).isNotNull)
+      .withColumn("__gr", row_number().over(wg))
+      .filter(col("__gr") <= maxPerGroup)
+      .orderBy(col(scoreCol).desc, col(idCol).asc).limit(k)
+    pruned.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col(scoreCol).desc, col(idCol).asc)).cast("long"))
+      .select(col("rank"), col(groupCol), col(idCol), col(scoreCol))
+  }
+
   /** RECIPROCAL-RANK FUSION of two rankings — the training-free hybrid
     * combiner (Cormack/Clarke/Buettcher): each id scores
     * `Σ 10^6 DIV (kConst + rank)` over the rankings that contain it

@@ -735,6 +735,28 @@ object Sketches {
       .drop("__fg", "__lo", "__hi")
   }
 
+  /** Robust spread census — median and MAD (median absolute deviation)
+    * per group, BOTH from the mergeable quantile sketch: pass 1 estimates
+    * the median, pass 2 sketches `|x − median_est|` with the estimate
+    * broadcast back. No per-group sort anywhere; every number is a bucket
+    * upper edge, integer-exact and engine-replayable. The robust-stats
+    * complement to [[robustOutlierFences]] (quartile fences): MAD is the
+    * spread statistic a single 10^9-cent outlier cannot move. Returns
+    * (group, median_est, mad_est). */
+  def robustMad(
+      df: DataFrame, groupCol: String, valueCol: String,
+      mantissaBits: Int = 6): DataFrame = {
+    val med = quantileSketch(df, groupCol, valueCol, Seq(500), mantissaBits)
+      .select(col(groupCol).as("__mg"), col("est").as("median_est"))
+    val dev = df.join(broadcast(med), col(groupCol) <=> col("__mg"), "left")
+      .select(col(groupCol),
+        abs(col(valueCol) - col("median_est")).as("__dev"))
+    quantileSketch(dev, groupCol, "__dev", Seq(500), mantissaBits)
+      .select(col(groupCol).as("__dg"), col("est").as("mad_est"))
+      .join(broadcast(med), col("__dg") <=> col("__mg"))
+      .select(col("__dg").as(groupCol), col("median_est"), col("mad_est"))
+  }
+
   /** MIN-MAX feature scaling to permille: per group,
     * `(v − min)·1000 DIV (max − min)` — 0 at the group minimum, 1000 at
     * the maximum, truncating DIV so both engines agree; a constant group

@@ -1345,6 +1345,32 @@ object Temporal {
             .putLong(DecayMetaFrontier, newFrontier).build()))
   }
 
+  /** CONCENTRATION index (Herfindahl–Hirschman over permille shares):
+    * per group, how concentrated its activity is across `keyCol` values —
+    * `hhi = Σ share_permille²` with `share_permille = cnt·1000 DIV total`
+    * (truncating, so both engines agree): 1,000,000 = everything on one
+    * key, → 1,000,000/n for a uniform spread over n keys. The "is this
+    * user a one-trick bot / is this market a monopoly" census, integer-
+    * exact. Returns (group, n_keys, total_cnt, hhi_x1e6).
+    *
+    * Shape at scale: one combinable (group, key) count, then one
+    * combinable per-group aggregate over the key-domain-sized relation —
+    * two keyed shuffles, no window, no broadcast needed. */
+  def concentration(
+      df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val counts = df.filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(groupCol)
+    counts
+      .withColumn("__tot", sum(col("__cnt")).over(w))
+      .withColumn("__share", expr("__cnt * 1000 DIV __tot"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_keys"),
+        max(col("__tot")).as("total_cnt"),
+        sum(expr("__share * __share")).as("hhi_x1e6"))
+  }
+
   /** TOP-K event PATHS — "what are the most common 3-step user
     * journeys": per key, every window of `length` consecutive events (by
     * ts, tie-broken) becomes a path string, counted corpus-wide, top-k

@@ -1384,6 +1384,25 @@ private[queries] object CatalogCorpus {
           doc_id, score_x1e6
         FROM sc ORDER BY score_x1e6 DESC, doc_id LIMIT 10""")),
 
+    // DIVERSIFIED top-k (the feed/search diversification rule): globally
+    // best 20 docs by length with at most 5 per language — greedy
+    // per-group pruning is exact for the cap constraint; group window +
+    // TakeOrdered, never a global corpus sort
+    Q("sample_diversified_topk",
+      (s, d) => graft.operators.Similarity.diversifiedTopK(
+        t(s, d, "documents").select(col("lang"), col("doc_id"),
+          col("n_chars").cast("long").as("score")),
+        "lang", "doc_id", "score", k = 20, maxPerGroup = 5),
+      Some("""WITH r AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS score,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY n_chars DESC, doc_id) AS gr
+          FROM documents),
+        p AS (SELECT lang, doc_id, score FROM r WHERE gr <= 5
+          ORDER BY score DESC, doc_id LIMIT 20)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+            AS rank, lang, doc_id, score
+        FROM p""")),
+
     // SLIDING-WINDOW chunking (the RAG/context-window chunker): 8-token
     // windows every 4 tokens, last window clamped — pure per-row
     // projection + bounded sequence explode, NO shuffle; the oracle

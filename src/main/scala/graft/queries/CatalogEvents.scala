@@ -1456,6 +1456,22 @@ private[queries] object CatalogEvents {
           k.nb AS n_active_buckets, CAST(r.s AS BIGINT) AS decayed_x
         FROM r JOIN f ON r.b = f.fr JOIN k ON k.user_id = r.user_id""")),
 
+    // CONCENTRATION census (HHI over permille shares): how concentrated
+    // each user's activity is across event types — 1e6 = one-trick,
+    // ~2e5 = uniform over 5 types; integer-exact truncating shares
+    Q("event_concentration",
+      (s, d) => graft.operators.Temporal.concentration(
+        t(s, d, "events"), "user_id", "event_type"),
+      Some("""WITH c AS (SELECT user_id, event_type,
+            CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        tt AS (SELECT user_id, cnt,
+            sum(cnt) OVER (PARTITION BY user_id) AS tot FROM c),
+        sh AS (SELECT user_id, cnt * 1000 // tot AS s, tot FROM tt)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(max(tot) AS BIGINT) AS total_cnt,
+          CAST(sum(s * s) AS BIGINT) AS hhi_x1e6
+        FROM sh GROUP BY 1""")),
+
     // TOP-K user journeys: the 15 most common 3-step event paths — one
     // user-keyed lead window, a combinable path count, TakeOrdered; the
     // oracle replays windows, concatenation, and the (cnt, path) order

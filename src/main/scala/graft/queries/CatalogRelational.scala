@@ -356,6 +356,42 @@ private[queries] object CatalogRelational {
           least(greatest(v.val, f.flo), f.fhi) AS price_cents_clipped
         FROM v JOIN f ON f.g = v.g""")),
 
+    // ROBUST MAD: median + median-absolute-deviation per group, both
+    // from the mergeable quantile sketch (two passes, the median estimate
+    // broadcast into the deviation projection) — the spread statistic a
+    // single outlier cannot move, with no per-group sort; the oracle
+    // replays BOTH bucket passes bit-for-bit
+    Q("agg_robust_mad",
+      (s, d) => graft.operators.Sketches.robustMad(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("price_cents")),
+        "l_returnflag", "price_cents", mantissaBits = 6),
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+            CAST(round(l_extendedprice*100) AS BIGINT) AS val FROM lineitem),
+        b1 AS (SELECT g, greatest(length(bin(val)) - 1 - 6, 0) AS sh,
+            val >> greatest(length(bin(val)) - 1 - 6, 0) AS bid, count(*) AS cnt
+          FROM v GROUP BY 1, 2, 3),
+        e1 AS (SELECT g, cnt, (bid << sh) AS lo,
+            (((bid + 1) << sh) - 1) AS hi FROM b1),
+        c1 AS (SELECT g, hi, sum(cnt) OVER (PARTITION BY g ORDER BY lo) AS cum,
+            sum(cnt) OVER (PARTITION BY g) AS tot FROM e1),
+        m1 AS (SELECT g, min(CASE WHEN cum * 1000 >= 500 * tot THEN hi END) AS med
+          FROM c1 GROUP BY 1),
+        dv AS (SELECT v.g, abs(v.val - m1.med) AS val
+          FROM v JOIN m1 ON m1.g = v.g),
+        b2 AS (SELECT g, greatest(length(bin(val)) - 1 - 6, 0) AS sh,
+            val >> greatest(length(bin(val)) - 1 - 6, 0) AS bid, count(*) AS cnt
+          FROM dv GROUP BY 1, 2, 3),
+        e2 AS (SELECT g, cnt, (bid << sh) AS lo,
+            (((bid + 1) << sh) - 1) AS hi FROM b2),
+        c2 AS (SELECT g, hi, sum(cnt) OVER (PARTITION BY g ORDER BY lo) AS cum,
+            sum(cnt) OVER (PARTITION BY g) AS tot FROM e2),
+        m2 AS (SELECT g, min(CASE WHEN cum * 1000 >= 500 * tot THEN hi END) AS mad
+          FROM c2 GROUP BY 1)
+        SELECT m1.g AS l_returnflag, CAST(m1.med AS BIGINT) AS median_est,
+          CAST(m2.mad AS BIGINT) AS mad_est
+        FROM m1 JOIN m2 ON m2.g = m1.g""")),
+
     // MIN-MAX feature scaling: exact per-group [min, max] -> [0, 1000]
     // permille — one combinable stats pass + broadcast join-back (the
     // winsorize shape, exact instead of sketched)

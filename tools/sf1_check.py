@@ -313,7 +313,10 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                "streaming_decay_ingest",
                # round-16c: top paths — per-copy users keep windows
                # copy-local; the global top-15 re-aggregates identically
-               "event_top_paths"]
+               "event_top_paths",
+               # round-16c: HHI concentration — per-copy users, shares and
+               # squares replay verbatim
+               "event_concentration"]
 
 
 def main_events(oracle_path):
