@@ -1363,6 +1363,35 @@ private[queries] object CatalogEvents {
           ON a.user_id % 2 = 0 AND b.user_id % 2 = 1
           AND a.st <= b.en AND b.st <= a.en""")),
 
+    // skew DIAGNOSIS: the top-heavy-key census that precedes salting —
+    // keys above 1% of all rows with their permille share (driver-side
+    // threshold truncation mirrored by floor() in the oracle)
+    Q("skew_key_census",
+      (s, d) => graft.operators.Skew.skewedKeys(
+        t(s, d, "events").select(
+          when(col("event_id") % 10 < 3, lit(1L)).otherwise(col("user_id"))
+            .as("k")),
+        "k", threshold = 0.01),
+      Some("""WITH l AS (SELECT CASE WHEN event_id % 10 < 3 THEN 1
+            ELSE user_id END AS k FROM events),
+        t AS (SELECT count(*) AS n FROM l),
+        c AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM l GROUP BY 1)
+        SELECT k, cnt, cnt * 1000 // n AS share_x1000
+        FROM c, t WHERE cnt > CAST(floor(n * 0.01) AS BIGINT)""")),
+
+    // two-phase salted count over the same hot-key relation: the
+    // (key, salt) pre-combine must re-aggregate to exactly the plain
+    // GROUP BY counts whatever the salting
+    Q("skew_salted_count",
+      (s, d) => graft.operators.Skew.saltedCount(
+        t(s, d, "events").select(
+          when(col("event_id") % 10 < 3, lit(1L)).otherwise(col("user_id"))
+            .as("k")),
+        "k", parts = 8),
+      Some("""SELECT CASE WHEN event_id % 10 < 3 THEN 1 ELSE user_id END AS k,
+          count(*) AS cnt
+        FROM events GROUP BY 1""")),
+
     // skewed-key join through the salting operator: ~30% of events collapse
     // onto one hot key, the join fans it out over (key, salt) — results must
     // equal the plain SQL join regardless of salting
