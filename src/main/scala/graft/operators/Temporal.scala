@@ -1371,6 +1371,40 @@ object Temporal {
         sum(expr("__share * __share")).as("hhi_x1e6"))
   }
 
+  /** GINI inequality index over per-key counts — [[concentration]]'s
+    * companion census (HHI weighs the HEAD; Gini measures the whole
+    * distribution's inequality): with a group's key counts c₁ ≤ … ≤ c_k
+    * (ties ranked by key for determinism),
+    *
+    *   gini_x1e6 = ((2·Σ i·cᵢ − (k+1)·S) · 10^6) DIV (k·S),  S = Σ cᵢ
+    *
+    * — 0 for a uniform spread, → 10^6·(k−1)/k when one key holds
+    * everything. Integer-exact: the numerator is non-negative by the
+    * sorted-rank construction and the products run in DECIMAL(38,0).
+    * Returns (group, n_keys, total_cnt, gini_x1e6).
+    *
+    * Shape at scale: one combinable (group, key) count, ONE group-keyed
+    * rank window over the key-domain-sized relation (never the raw rows),
+    * one combinable aggregate. */
+  def inequality(
+      df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val counts = df.filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__cnt").asc, col(keyCol).asc)
+    counts
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("__cnt")).as("total_cnt"),
+        sum(expr("CAST(__i AS DECIMAL(38,0)) * __cnt")).as("__ic"))
+      .withColumn("gini_x1e6", expr(
+        "CAST(((2 * __ic - CAST(n_keys + 1 AS DECIMAL(38,0)) * total_cnt) " +
+          "* 1000000) DIV (CAST(n_keys AS DECIMAL(38,0)) * total_cnt) AS BIGINT)"))
+      .select(col(groupCol), col("n_keys"), col("total_cnt"), col("gini_x1e6"))
+  }
+
   /** TOP-K event PATHS — "what are the most common 3-step user
     * journeys": per key, every window of `length` consecutive events (by
     * ts, tie-broken) becomes a path string, counted corpus-wide, top-k

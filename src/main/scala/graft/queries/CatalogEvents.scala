@@ -1501,6 +1501,26 @@ private[queries] object CatalogEvents {
           CAST(sum(s * s) AS BIGINT) AS hhi_x1e6
         FROM sh GROUP BY 1""")),
 
+    // GINI inequality over per-type counts (the concentration census's
+    // companion: HHI weighs the head, Gini the whole distribution) —
+    // sorted-rank formula in DECIMAL(38,0), replayed exactly
+    Q("event_inequality",
+      (s, d) => graft.operators.Temporal.inequality(
+        t(s, d, "events"), "user_id", "event_type"),
+      Some("""WITH c AS (SELECT user_id, event_type,
+            CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        r AS (SELECT user_id, cnt, CAST(row_number() OVER (
+            PARTITION BY user_id ORDER BY cnt, event_type) AS BIGINT) AS i
+          FROM c),
+        g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(sum(cnt) AS BIGINT) AS total_cnt,
+            sum(i::HUGEINT * cnt) AS ic
+          FROM r GROUP BY 1)
+        SELECT user_id, n_keys, total_cnt,
+          CAST(((2 * ic - (n_keys + 1)::HUGEINT * total_cnt) * 1000000)
+            // (n_keys::HUGEINT * total_cnt) AS BIGINT) AS gini_x1e6
+        FROM g""")),
+
     // TOP-K user journeys: the 15 most common 3-step event paths — one
     // user-keyed lead window, a combinable path count, TakeOrdered; the
     // oracle replays windows, concatenation, and the (cnt, path) order

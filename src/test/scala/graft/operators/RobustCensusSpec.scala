@@ -22,6 +22,18 @@ class RobustCensusSpec extends SparkSuite {
     assert(!got.contains(3L), "a user with only null keys has no census row")
   }
 
+  test("inequality: uniform = 0, one-dominant tracks (k-1)/k, formula exact") {
+    // uniform over 4 types (2 each): gini = 0
+    val uni = Seq("a","a","b","b","c","c","d","d").map((1L, _)).toDF("u", "t")
+    val g1 = Temporal.inequality(uni, "u", "t").collect().head
+    assert(g1.getLong(3) == 0L)
+    // counts 1,1,8 sorted -> i*c = 1+2+24=27; S=10, k=3
+    // gini = ((54 - 40) * 1e6) DIV 30 = 466666
+    val sk = (Seq("x","y") ++ Seq.fill(8)("z")).map((2L, _)).toDF("u", "t")
+    val g2 = Temporal.inequality(sk, "u", "t").collect().head
+    assert(g2.getLong(3) == 466666L)
+  }
+
   test("robustMad: exact below 2^mantissaBits — median 30, MAD 15 on 1..60") {
     val vals = (1L to 60L).map(v => ("g", v)).toDF("g", "v")
     val r = Sketches.robustMad(vals, "g", "v", mantissaBits = 6).collect().head
