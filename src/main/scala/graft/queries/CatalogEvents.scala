@@ -647,6 +647,47 @@ private[queries] object CatalogEvents {
           CAST(count(*) AS BIGINT) AS active_keys
         FROM a JOIN c USING (user_id) GROUP BY 1, 2""")),
 
+    // RETENTION BY EXPERIMENT ARM — operator algebra across families:
+    // the hash-pure assignment splits the user population and each arm
+    // gets its own retention triangle ("did the treatment retain
+    // better"), unioned with the arm label; the oracle replays the
+    // salted split AND both triangles
+    Q("event_retention_by_arm",
+      (s, d) => {
+        val E = graft.operators.Experiment
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ets"))
+        val assigned = E.assign(
+          ev.select(col("user_id")).distinct().withColumn("h",
+            expr("CAST(conv(substr(md5(concat(CAST(user_id AS STRING), " +
+              "':exp1')), 1, 15), 16, 10) AS BIGINT)")),
+          "h", Seq(("control", 500), ("treatment", 500)))
+          .select(col("user_id"), col("arm"))
+        val withArm = ev.join(broadcast(assigned), Seq("user_id"))
+        Seq("control", "treatment").map { a =>
+          graft.operators.Temporal.retentionCohorts(
+              withArm.filter(col("arm") === a).select(col("user_id"), col("ets")),
+              "user_id", "ets", bucketWidth = 86400000000L)
+            .withColumn("arm", lit(a))
+        }.reduce(_ unionByName _)
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+        h AS (SELECT user_id, CAST(list_sum(list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR) || ':exp1'), i, 1)) - 1
+              AS HUGEINT) << (4 * (15 - i)))) AS BIGINT) AS h FROM u),
+        arm AS (SELECT user_id, CASE WHEN h % 1000 < 500 THEN 'control'
+            ELSE 'treatment' END AS arm FROM h),
+        e AS (SELECT e.user_id, arm.arm,
+            epoch_us(ts) // 86400000000 AS b
+          FROM events e JOIN arm ON arm.user_id = e.user_id),
+        a AS (SELECT DISTINCT arm, user_id, b FROM e),
+        c AS (SELECT arm, user_id, min(b) AS c FROM a GROUP BY 1, 2)
+        SELECT CAST(c.c AS BIGINT) AS cohort, CAST(a.b - c.c AS BIGINT)
+            AS day_offset, CAST(count(*) AS BIGINT) AS active_keys, a.arm
+        FROM a JOIN c ON c.arm = a.arm AND c.user_id = a.user_id
+        GROUP BY 1, 2, 4""")),
+
     // ROLLING ACTIVITY (DAU/WAU/MAU, daily buckets): distinct actives per
     // bucket at window widths 1/7/30 — one (user, day) distinct, bounded
     // coverage fan-out (Σ windows = 38 copies of the activity relation),

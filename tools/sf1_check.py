@@ -316,7 +316,8 @@ EVENT_GATES = ["event_funnel", "event_funnel_incremental", "event_funnel_window"
                "event_top_paths",
                # round-16c: HHI concentration — per-copy users, shares and
                # squares replay verbatim
-               "event_concentration", "event_inequality"]
+               "event_concentration", "event_inequality",
+               "event_retention_by_arm"]
 
 
 def main_events(oracle_path):
