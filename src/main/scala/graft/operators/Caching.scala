@@ -49,8 +49,24 @@ private[graft] object Caching {
   // DataFrame refs are tiny (plans, not data)
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  /** Storage level for operator intermediates (guide §5), overridable per
+    * session via `spark.graft.intermediateStorage` (any StorageLevel
+    * name). Default stays DISK_ONLY: an interleaved same-JVM A/B at sf0.1
+    * (5 reps × 5 heavy dedup gates, r16 opt round) measured
+    * MEMORY_AND_DISK_SER as a wash — the sandbox's local disk is
+    * page-cache-backed, so DISK_ONLY re-reads are already memory-speed,
+    * and the serialized flavor adds encode cost. On a cluster whose local
+    * disks are genuinely slow and whose storage memory sits idle,
+    * MEMORY_AND_DISK_SER is the right override (unified memory evicts
+    * LRU to disk under execution pressure, so it degrades to DISK_ONLY
+    * rather than OOMing). */
+  private def level(df: DataFrame): org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      df.sparkSession.conf.get("spark.graft.intermediateStorage",
+        "DISK_ONLY"))
+
   def spillPersist(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val p = df.persist(level(df))
     tracked.add(p)
     p
   }

@@ -1369,13 +1369,20 @@ object Dedup {
       val upd = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), "dst")
         .select(col("src").as("id"), col("nl"), lit(null).cast(idType).as("own"))
+      // the convergence count RIDES the checkpoint materialization as an
+      // Observation (fires on the eager localCheckpoint action — probed
+      // empirically on Spark 4.1): one job per round instead of a
+      // checkpoint job plus a count job, and at scale one fewer full pass
+      // over the labels per round (guide §1.2/§2.4: remove passes first)
+      val chgObs = org.apache.spark.sql.Observation()
       val next = roundCheckpoint(
         self.unionByName(upd)
           .groupBy("id").agg(min("nl").as("cluster_id"), max("own").as("old"))
           .select(col("id"), col("cluster_id"),
-            (col("cluster_id") < col("old")).as("chg")))
-      // the count scans the just-materialized checkpoint blocks — cheap
-      val changed = next.filter(col("chg")).count()
+            (col("cluster_id") < col("old")).as("chg"))
+          .observe(chgObs,
+            coalesce(sum(when(col("chg"), 1L)), lit(0L)).as("changed")))
+      val changed = chgObs.get("changed").asInstanceOf[Long]
       labels = next.select("id", "cluster_id")
       converged = changed == 0
       iters += 1
@@ -1438,9 +1445,13 @@ object Dedup {
         .unionByName(minU.select(col("u").as("su"), col("m").as("sv")))
         .distinct()
       // eager checkpoint truncates lineage (see roundCheckpoint: per-round
-      // plan doubling is exponential without it)
-      val next = roundCheckpoint(small.select(col("su").as("u"), col("sv").as("v")))
-      val nextCnt = next.count()
+      // plan doubling is exponential without it); the round's edge count
+      // rides it as an Observation — one job per round, not two (the
+      // duplicateClustersLabel convergence-fusion pattern)
+      val cntObs = org.apache.spark.sql.Observation()
+      val next = roundCheckpoint(small.select(col("su").as("u"), col("sv").as("v"))
+        .observe(cntObs, count(lit(1)).as("n")))
+      val nextCnt = cntObs.get("n").asInstanceOf[Long]
       // exact fixpoint: equal size and no edge outside the previous set
       converged = nextCnt == edgeCnt && next.except(edges).isEmpty
       // releases the round-0 persist; checkpointed rounds free with GC

@@ -316,7 +316,6 @@ object Similarity {
   def ivfTrain(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 2): Seq[Array[Double]] = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
     // element type follows the column (float OR double, like pqTrain)
     val isFloat = df.select(col(vecCol)).schema.head.dataType match {
       case org.apache.spark.sql.types.ArrayType(
@@ -335,6 +334,10 @@ object Similarity {
       }.toSeq
     require(centroids.length >= k,
       s"ivfTrain needs at least k=$k rows to seed centroids; corpus has ${centroids.length}")
+    // dim rides the seed collect — the old separate size() probe was one
+    // more corpus-touching job per index build for a number the seed rows
+    // already carry (guide §1.2: don't compute things twice)
+    val dim = centroids.head.length
     (0 until iters).foreach { _ =>
       val assigned = df.select(col(vecCol).as("v"),
         nearestCentroid(col(vecCol), centroids).as("c"))
