@@ -518,7 +518,16 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
     val o = math.ceil(threshold * minShingles).toLong.max(1L)
-    val hsets = hashedShingleSets(df, idCol, textCol, shingleN)
+    val hsets0 = hashedShingleSets(df, idCol, textCol, shingleN)
+    // the output contract keeps only pairs with BOTH sides ≥ minShingles
+    // (least(sz_a, sz_b) ≥ m ⇔ sz_a ≥ m ∧ sz_b ≥ m), so the filter
+    // decomposes per side and pushes BELOW the candidate join: sub-floor
+    // docs never enter the posting index, shrinking the quadratic prefix
+    // self-join instead of discarding their pairs after the verify joins
+    // (guide §2.3 project/filter before the exchange; Catalyst cannot
+    // derive this itself — the original predicate references both sides).
+    // Output is identical by construction.
+    val hsets = hsets0.filter(col("sz") >= minShingles)
     val posting = cappedPostings(hsets, maxDocFreq, capObs)
     // constant overlap floor o ⇒ prefix |s| − o + 1 for EVERY doc
     val prefix = prefixPostings(posting, sz => sz - o + 1)
@@ -534,7 +543,6 @@ object Dedup {
     cand
       .join(hsets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a")), "id_a")
       .join(hsets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b")), "id_b")
-      .filter(least(col("sz_a"), col("sz_b")) >= minShingles)
       .withColumn("containment_x1000",
         floor((graft.functions.NativeHash.sortedIntersectCount(col("hs_a"), col("hs_b")) * 1000L) /
           least(col("sz_a"), col("sz_b"))).cast("long"))

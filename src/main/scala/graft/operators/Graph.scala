@@ -74,7 +74,14 @@ object Graph {
     val outdeg = Caching.spillPersistEager(
       e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg")))
     val base = lit(1000000000L * (dampDen - dampNum) / dampDen)
-    var scores = Caching.spillPersistEager(
+    // per-round scores persist LAZILY: each round's relation has exactly
+    // ONE downstream reference (the next round's contrib join — or the
+    // caller's action for the last round), so the eager count the
+    // multi-consumer operators need would here be a pure extra pass over
+    // the scores per iteration (guide §1.2: don't add passes). Lazy
+    // persist still caches each round once (no recomputation), and the
+    // loop-invariant e/nodes/outdeg stay eager above.
+    var scores = Caching.spillPersist(
       nodes.select(col("id"), lit(1000000000L).as("pr_x1e9")))
     (1 to iters).foreach { _ =>
       val contrib = e
@@ -84,7 +91,7 @@ object Graph {
         .agg(sum(expr(s"(CAST(pr_x1e9 AS DECIMAL(38,0)) * $dampNum) div " +
             s"(${dampDen}L * outdeg)"))
           .as("mass"))
-      scores = Caching.spillPersistEager(
+      scores = Caching.spillPersist(
         nodes.join(contrib, Seq("id"), "left")
           .select(col("id"),
             (base + coalesce(col("mass"), lit(0L))).as("pr_x1e9")))
