@@ -60,10 +60,20 @@ private[graft] object Caching {
     * MEMORY_AND_DISK_SER is the right override (unified memory evicts
     * LRU to disk under execution pressure, so it degrades to DISK_ONLY
     * rather than OOMing). */
-  private def level(df: DataFrame): org.apache.spark.storage.StorageLevel =
-    org.apache.spark.storage.StorageLevel.fromString(
-      df.sparkSession.conf.get("spark.graft.intermediateStorage",
-        "DISK_ONLY"))
+  private def level(df: DataFrame): org.apache.spark.storage.StorageLevel = {
+    val name = df.sparkSession.conf.get("spark.graft.intermediateStorage",
+      "DISK_ONLY")
+    val l = org.apache.spark.storage.StorageLevel.fromString(name)
+    // NONE would silently disable caching — spillPersistEager is a
+    // CORRECTNESS device wherever nondeterministic partitioning feeds two
+    // actions (range sampling recomputed differently per action), so an
+    // uncached intermediate is not a slower run, it is a wrong one
+    require(l != org.apache.spark.storage.StorageLevel.NONE,
+      "spark.graft.intermediateStorage must not be NONE: operator " +
+        "intermediates rely on actually being cached for correctness " +
+        "under nondeterministic recomputation")
+    l
+  }
 
   def spillPersist(df: DataFrame): DataFrame = {
     val p = df.persist(level(df))

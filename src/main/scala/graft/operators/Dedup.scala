@@ -526,7 +526,14 @@ object Dedup {
     // self-join instead of discarding their pairs after the verify joins
     // (guide §2.3 project/filter before the exchange; Catalyst cannot
     // derive this itself — the original predicate references both sides).
-    // Output is identical by construction.
+    // Output identical under the recall contract; with maxDocFreq SET the
+    // early floor can only IMPROVE recall, never lose a pair: removing
+    // sub-floor docs shrinks document frequencies, so strictly fewer
+    // shingles cross the cap and strictly more postings survive into the
+    // index (verification is exact, so extra candidates can only surface
+    // additional in-contract pairs the capped index previously missed —
+    // see ContainmentCapBoundarySpec, which pins the straddling case).
+    // `capObs` counts shift accordingly on capped runs.
     val hsets = hsets0.filter(col("sz") >= minShingles)
     val posting = cappedPostings(hsets, maxDocFreq, capObs)
     // constant overlap floor o ⇒ prefix |s| − o + 1 for EVERY doc
@@ -1342,6 +1349,20 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 
+  /** The observed metrics row of a just-checkpointed round relation, with
+    * a BOUNDED wait (r16 ADVICE): the loop fusions rely on observations
+    * firing on the eager (local)checkpoint action — probed empirically on
+    * Spark 4.1 (ObsCkptProbe) — and a future Spark that stopped routing
+    * checkpoint through withAction would otherwise hang both clustering
+    * loops forever inside `Observation.get`. On timeout the caller's
+    * fallback recomputes the metrics from the checkpointed relation — one
+    * extra pass, correct either way, never a hang. */
+  private def observedRowOr(obs: org.apache.spark.sql.Observation)(
+      fallback: => org.apache.spark.sql.Row): org.apache.spark.sql.Row =
+    try scala.concurrent.Await.result(
+      obs.future, scala.concurrent.duration.Duration(300L, "seconds"))
+    catch { case _: java.util.concurrent.TimeoutException => fallback }
+
   private def duplicateClustersLabel(
       pairs: DataFrame, maxIters: Int): DataFrame = {
     // both edge directions from ONE scan of `pairs` (explode, not a
@@ -1390,7 +1411,9 @@ object Dedup {
             (col("cluster_id") < col("old")).as("chg"))
           .observe(chgObs,
             coalesce(sum(when(col("chg"), 1L)), lit(0L)).as("changed")))
-      val changed = chgObs.get("changed").asInstanceOf[Long]
+      val changed = observedRowOr(chgObs)(
+        next.agg(coalesce(sum(when(col("chg"), 1L)), lit(0L))).head())
+        .getLong(0)
       labels = next.select("id", "cluster_id")
       converged = changed == 0
       iters += 1
@@ -1454,17 +1477,30 @@ object Dedup {
         .distinct()
       // eager checkpoint truncates lineage (see roundCheckpoint: per-round
       // plan doubling is exponential without it); the round's edge count
-      // rides it as an Observation — one job per round, not two (the
-      // duplicateClustersLabel convergence-fusion pattern)
+      // AND its fixpoint evidence both ride it as ONE Observation: a left
+      // join against the previous (persisted) edge set marks edges not
+      // present before, and `nextCnt == edgeCnt ∧ fresh == 0 ⟺ next ==
+      // edges` (both sides distinct), so the round's only action also
+      // decides convergence EXACTLY. The previous shape ran
+      // `next.except(edges).isEmpty` as its own full-shuffle job on every
+      // count-equal round — including, always, the final one (r16 verdict
+      // item 4).
       val cntObs = org.apache.spark.sql.Observation()
+      val prev = edges.select(col("u").as("pu"), col("v").as("pv"),
+        lit(true).as("__old"))
       val next = roundCheckpoint(small.select(col("su").as("u"), col("sv").as("v"))
-        .observe(cntObs, count(lit(1)).as("n")))
-      val nextCnt = cntObs.get("n").asInstanceOf[Long]
-      // exact fixpoint: equal size and no edge outside the previous set
-      converged = nextCnt == edgeCnt && next.except(edges).isEmpty
+        .join(prev, col("u") === col("pu") && col("v") === col("pv"), "left")
+        .select(col("u"), col("v"), col("__old").isNull.as("__fresh"))
+        .observe(cntObs, count(lit(1)).as("n"),
+          coalesce(sum(when(col("__fresh"), 1L)), lit(0L)).as("fresh")))
+      val obsRow = observedRowOr(cntObs)(
+        next.agg(count(lit(1)),
+          coalesce(sum(when(col("__fresh"), 1L)), lit(0L))).head())
+      val nextCnt = obsRow.getLong(0)
+      converged = nextCnt == edgeCnt && obsRow.getLong(1) == 0L
       // releases the round-0 persist; checkpointed rounds free with GC
       edges.unpersist(blocking = false)
-      edges = next
+      edges = next.select("u", "v")
       edgeCnt = nextCnt
       iters += 1
     }

@@ -10,6 +10,18 @@ import graft.operators.{Dedup, Graph, Similarity, TextCorpus}
 
 /** Fixture readers shared by the catalog and the SCD2 scenarios. */
 private[queries] object Fixtures {
+  // Schema cache per parquet path: a bare `spark.read.parquet` runs a
+  // 1-task footer-inference JOB on every call, so each gate invocation
+  // paid one fixed job latency per fixture table before any real work
+  // (guide §1.2: don't compute things twice — the fixture schemas are
+  // static). Caches METADATA only; every read still scans the data fresh.
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  def pq(spark: SparkSession, path: String): DataFrame = {
+    val s = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    spark.read.schema(s).parquet(path)
+  }
   /** `events` with `ts` normalized to BIGINT epoch NANOSECONDS whatever the
     * fixture vintage. TIMESTAMP(NANOS) files surface `ts` as BIGINT nanos
     * directly (the `nanosAsLong` legacy read every session sets);
@@ -20,7 +32,7 @@ private[queries] object Fixtures {
     * truncation, which matches the DuckDB oracles' `epoch_us(ts)` on the
     * same file under EITHER vintage. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = pq(spark, s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw
       case org.apache.spark.sql.types.TimestampNTZType =>
@@ -40,7 +52,7 @@ private[queries] object GateSupport {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") Fixtures.events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else Fixtures.pq(spark, s"$dir/$name.parquet")
 
 
   def deleteDir(f: java.io.File): Unit = {

@@ -44,7 +44,7 @@ object Scenarios {
   }
 
   private def customer(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/customer.parquet")
+    Fixtures.pq(spark, s"$dir/customer.parquet")
 
   /** Batch 1: the full customer table with a version column. */
   def batch1(spark: SparkSession, dir: String): DataFrame =
@@ -149,7 +149,7 @@ object Scenarios {
     * o_orderdate as the delta column. */
   def tsWatermarkDest(spark: SparkSession, dir: String): String =
     run("tswm", spark, dir) { dest =>
-      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val orders = Fixtures.pq(spark, s"$dir/orders.parquet")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
       val b1 = orders.filter(col("o_orderdate") < lit("2000-01-01"))
       val c = WriteConfig(deltaCol = Some("o_orderdate"))
@@ -238,7 +238,7 @@ object Scenarios {
     * % 17 inserted under a shifted id. */
   def vectorCorpusDest(spark: SparkSession, dir: String): String =
     run("vec", spark, dir) { dest =>
-      val b1 = spark.read.parquet(s"$dir/embeddings.parquet")
+      val b1 = Fixtures.pq(spark, s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"), col("label"), lit(1L).as("ver"))
       val b2 = b1.filter(col("vec_id") % 19 =!= 0)
         .withColumn("label",
@@ -259,7 +259,7 @@ object Scenarios {
     * runs. Mutations: doc_id % 31 == 0 deleted; % 7 == 0 edited (suffix). */
   def docsPipelineDest(spark: SparkSession, dir: String): String =
     run("docs", spark, dir) { dest =>
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Fixtures.pq(spark, s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"), lit(1L).as("ver"))
       val b2 = docs.filter(col("doc_id") % 31 =!= 0)
         .withColumn("text",
@@ -276,20 +276,20 @@ object Scenarios {
     val dest = docsPipelineDest(spark, dir)
     val sync = new Synchronizer(spark,
       new DataFrameSource(
-        spark.read.parquet(s"$dir/documents.parquet")
+        Fixtures.pq(spark, s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"), lit(1L).as("ver")), Seq("doc_id")),
       dest, WriteConfig(deltaCol = Some("ver")))
     sync.currentState().select("doc_id", "text")
   }
 
   private def lineitemSlim(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    Fixtures.pq(spark, s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
 
   /** Quarter of the l_orderkey space (Long division — the DuckDB oracle
     * mirrors it with `//`). */
   def orderkeyQuarter(spark: SparkSession, dir: String): Long =
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    Fixtures.pq(spark, s"$dir/lineitem.parquet")
       .agg(max("l_orderkey")).head().getLong(0) / 4
 
   /** VersionedTable of lineitem appended in 4 disjoint l_orderkey ranges —
@@ -328,7 +328,7 @@ object Scenarios {
     * DeltaFileIndex scan) with zero graft metadata to lean on. */
   def deltaReadDest(spark: SparkSession, dir: String): String =
     run("deltaread", spark, dir) { dest =>
-      val sup = spark.read.parquet(s"$dir/supplier.parquet")
+      val sup = Fixtures.pq(spark, s"$dir/supplier.parquet")
         .select("s_suppkey", "s_name", "s_acctbal")
       val t = new graft.store.VersionedTable(spark, dest)
       t.append(sup.filter(col("s_suppkey") % 2 === 0))
@@ -370,7 +370,7 @@ object Scenarios {
     * protocol feature and all). */
   def dvDeleteDest(spark: SparkSession, dir: String): String =
     run("dvdelete", spark, dir) { dest =>
-      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val li = Fixtures.pq(spark, s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))
       val half = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2
@@ -716,7 +716,7 @@ object Scenarios {
     * the customer batches on coprime moduli (deletes %19, updates %13 get
     * +50, inserts %17 under shifted keys). */
   def supplierBatch1(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/supplier.parquet").select(
+    Fixtures.pq(spark, s"$dir/supplier.parquet").select(
       col("s_suppkey"), col("s_name"), col("s_acctbal"), lit(1L).as("ver"))
 
   def supplierBatch2(spark: SparkSession, dir: String): DataFrame = {

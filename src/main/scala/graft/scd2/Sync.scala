@@ -186,6 +186,18 @@ final class Synchronizer(
     * within one millisecond. */
   private def nowTs: java.sql.Timestamp = new java.sql.Timestamp(Synchronizer.nextMillis())
 
+  /** Label the Spark jobs `body` runs with the engine step that issued them
+    * (guide §1.5): job-level attribution in the UI / JobTrace, zero effect
+    * on semantics. Restores the caller's own description afterwards; the
+    * async helper snapshots the label at spawn, so overlapped steps carry
+    * their own names. */
+  private def labeled[A](step: String)(body: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"scd2 $step")
+    try body finally sc.setLocalProperty("spark.job.description", prev)
+  }
+
   // concurrent-action helpers: Spark sessions are thread-safe, and a delta
   // run's wall clock is dominated by SEQUENTIAL fixed action latency
   // (planning + commit), so independent probes/writes overlap. A DEDICATED
@@ -320,10 +332,12 @@ final class Synchronizer(
     val proj = Projection.withSystemCols(
       srcProjected, isDeleted = false, isFullLoad = true, ts = lit(ts))
       .observe(obs, count(lit(1)).as("n"))
-    val v =
+    val v = labeled("full-load: history write") {
       if (overwriteTarget) dest.delta.overwrite(proj)
       else dest.delta.append(proj, cfg.allowSchemaDrift)
-    if (pkCols.nonEmpty && deltaCol.nonEmpty) writeLatestPkFromFull(v)
+    }
+    if (pkCols.nonEmpty && deltaCol.nonEmpty)
+      labeled("full-load: latest_pk rebuild")(writeLatestPkFromFull(v))
     LoadResult.FullLoad(obs.get("n").asInstanceOf[Long])
   }
 
@@ -343,7 +357,7 @@ final class Synchronizer(
 
   /** A1: local (MAX(delta_col), COUNT) from the last pk snapshot, falling back
     * to the history table (reference load_infos.py:11-41). */
-  def localState(): SourceState = {
+  def localState(): SourceState = labeled("state: local (max, count)") {
     val t = if (dest.primaryKeysTs.exists) dest.primaryKeysTs.read() else dest.delta.read()
     val dc = targetDelta.get
     val row = t.agg(max(col(dc)).as("m"), count(lit(1)).as("c")).head()
@@ -354,7 +368,7 @@ final class Synchronizer(
     * Computed over the hooked read so a row-filtering hook keeps change
     * detection consistent with what the loads actually ingest; without a
     * hook this is exactly Source.state's pushed-down aggregate. */
-  def sourceState(): SourceState =
+  def sourceState(): SourceState = labeled("state: source (max, count)") {
     if (cfg.transformationHook eq WriteConfig.noHook)
       source.state(spark, Projection.sourceConvert(deltaCol.get, cfg))
     else {
@@ -363,6 +377,7 @@ final class Synchronizer(
           count(lit(1)).as("c")).head()
       SourceState(row.get(0), row.getLong(1))
     }
+  }
 
   /** The default delta algorithm, steps 1–4 (reference db_to_delta.py:483-692;
     * SURVEY.md §3.2). */
@@ -391,9 +406,11 @@ final class Synchronizer(
     // pure source scans), so the two writes overlap; step 3 joins on step
     // 1's result and runs after both complete
     val step1 = async {
-      dest.primaryKeysTs.overwrite(
-        readSource("sql2delta").select(
-          (pkCols ++ deltaCol.toSeq).distinct.map(convertOrAlias): _*))
+      labeled("step1: pk+ts snapshot write") {
+        dest.primaryKeysTs.overwrite(
+          readSource("sql2delta").select(
+            (pkCols ++ deltaCol.toSeq).distinct.map(convertOrAlias): _*))
+      }
     }
 
     // step 2: rows with delta_col beyond the local watermark → delta_1 →
@@ -405,10 +422,12 @@ final class Synchronizer(
         Option(local.deltaMax).map(v => srcProjected.filter(col(dc) > lit(v))).getOrElse(srcProjected),
         isDeleted = false, isFullLoad = false, ts = lit(nowTs))
       val obsIns = org.apache.spark.sql.Observation()
-      dest.delta1.overwrite(updates.observe(obsIns, count(lit(1)).as("n")))
+      labeled("step2: delta_1 write")(
+        dest.delta1.overwrite(updates.observe(obsIns, count(lit(1)).as("n"))))
       val n = obsIns.get("n").asInstanceOf[Long]
       failpoint("mid_step2") // delta_1 written, history append NOT committed
-      if (n > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
+      if (n > 0) labeled("step2: history append")(
+        dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift))
       n
     } finally {
       // the concurrent step-1 write MUST settle before any rollback can
@@ -433,8 +452,8 @@ final class Synchronizer(
     // target count rides this write as an Observation (deletes only append
     // history tombstones; the snapshot is unchanged afterwards).
     val obsPk = org.apache.spark.sql.Observation()
-    dest.latestPkVersion.overwrite(
-      latestPkQuery(upperBound).observe(obsPk, count(lit(1)).as("n")))
+    labeled("step4: latest_pk write")(dest.latestPkVersion.overwrite(
+      latestPkQuery(upperBound).observe(obsPk, count(lit(1)).as("n"))))
     val targetCount = obsPk.get("n").asInstanceOf[Long]
     failpoint("after_step4") // latest_pk_version overwritten, deletes pending
 
@@ -476,6 +495,22 @@ final class Synchronizer(
     incoming.exists(f => !targetLower(f.name.toLowerCase))
   }
 
+  /** `left ∖ right` as a null-safe LEFT ANTI join on `keys` — EXCEPT's
+    * result for a `left` that is already key-unique, minus EXCEPT's
+    * trailing Distinct, which costs one more full exchange+aggregate pass
+    * per probe (Catalyst rewrites EXCEPT to Distinct(LeftAnti(...))).
+    * Every caller's left side is an engine snapshot relation holding ONE
+    * row per pk by construction (primary_keys_ts and latest_pk_version are
+    * written from pk-unique sources / the disjoint latest-pk union; the
+    * scd2 oracle gates hash-verify the resulting histories), so the
+    * Distinct was a no-op pass. Null-safe equality (`<=>`) keeps EXCEPT's
+    * null-matching semantics for nullable delta columns. */
+  private def antiOn(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
+    val r = right.select(keys.map(k => col(k).as(s"__r_$k")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+    left.join(r, cond, "left_anti")
+  }
+
   /** Step 3 (reference db_to_delta.py:995-1184 `_handle_additional_updates`).
     * Returns (strange-row count, optional new watermark for step 4).
     *
@@ -492,13 +527,15 @@ final class Synchronizer(
   private def handleAdditionalUpdates(oldPkVersion: Long, localMax: Any): (Long, Option[Any]) = {
     val dc = targetDelta.get
     val lastPk = dest.latestPkVersion.readVersion(oldPkVersion)
-    val additional = dest.primaryKeysTs.read().select(pkd.map(col): _*)
-      .except(lastPk.select(pkd.map(col): _*))
-    val realAdditional = additional.select(targetPks.map(col): _*)
-      .except(dest.delta1.read().select(targetPks.map(col): _*))
+    val additional = antiOn(
+      dest.primaryKeysTs.read().select(pkd.map(col): _*),
+      lastPk.select(pkd.map(col): _*), pkd)
+    val realAdditional = antiOn(
+      additional.select(targetPks.map(col): _*),
+      dest.delta1.read().select(targetPks.map(col): _*), targetPks)
       .cache()
     try {
-      val updateCount = realAdditional.count()
+      val updateCount = labeled("step3: strange-pk probe")(realAdditional.count())
       if (updateCount == 0) {
         dest.delta2.overwriteEmpty(dest.delta1.schema)
         (0L, scala.None)
@@ -512,17 +549,19 @@ final class Synchronizer(
         // (Divergence from the reference, which re-appends the step-2 rows as
         // duplicate history versions — db_to_delta.py:1105-1146.)
         dest.delta2.overwriteEmpty(dest.delta1.schema)
-        val minTs = additional.agg(min(col(dc))).head().get(0)
+        val minTs = labeled("step3: fallback min-watermark probe")(
+          additional.agg(min(col(dc))).head().get(0))
         val rescan = Projection.withSystemCols(
           srcProjected.filter(col(dc) >= lit(minTs)),
           isDeleted = false, isFullLoad = false, ts = lit(nowTs))
-        dest.delta1.overwrite(rescan)
+        labeled("step3: fallback delta_1 rescan write")(dest.delta1.overwrite(rescan))
         val strangeRows = dest.delta1.read().join(realAdditional, targetPks, "left_semi")
         val toAppend = Option(localMax).map(v =>
           strangeRows.filter(col(dc) <= lit(v))).getOrElse(strangeRows)
         // single action: the old isEmpty-then-append probed the semi-join
         // twice; an empty append is a harmless no-op commit
-        dest.delta.append(toAppend, cfg.allowSchemaDrift)
+        labeled("step3: fallback history append")(
+          dest.delta.append(toAppend, cfg.allowSchemaDrift))
         (updateCount, Some(minTs))
       } else {
         // inline path (J3): fetch ONLY the strange rows. A source that can
@@ -548,9 +587,11 @@ final class Synchronizer(
             .join(broadcast(realAdditional), targetPks, "inner"),
           isDeleted = false, isFullLoad = false, ts = lit(nowTs))
         val obsD2 = org.apache.spark.sql.Observation()
-        dest.delta2.overwrite(full.observe(obsD2, count(lit(1)).as("n")))
+        labeled("step3: inline delta_2 write")(
+          dest.delta2.overwrite(full.observe(obsD2, count(lit(1)).as("n"))))
         if (obsD2.get("n").asInstanceOf[Long] > 0)
-          dest.delta.append(dest.delta2.read(), cfg.allowSchemaDrift)
+          labeled("step3: inline history append")(
+            dest.delta.append(dest.delta2.read(), cfg.allowSchemaDrift))
         (updateCount, scala.None)
       }
     } finally realAdditional.unpersist()
@@ -564,14 +605,20 @@ final class Synchronizer(
   private def doDeletes(oldPkVersion: Long): Long = {
     val lastPk = dest.latestPkVersion.readVersion(oldPkVersion)
     val currentPk = dest.latestPkVersion.read()
-    val deleted = lastPk.select(targetPks.map(col): _*)
-      .except(currentPk.select(targetPks.map(col): _*))
-    val cnt = deleted.count()
-    if (cnt > 0)
-      dest.delta.append(
-        Projection.tombstones(deleted, dest.delta.schema, ts = lit(nowTs)),
-        cfg.allowSchemaDrift)
-    cnt
+    // persisted so the tombstone append reads the PROBED result instead of
+    // re-running the anti join — previously the pass over both snapshots
+    // ran twice whenever deletes existed (guide §1.2: don't compute twice)
+    val deleted = antiOn(lastPk.select(targetPks.map(col): _*),
+      currentPk.select(targetPks.map(col): _*), targetPks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cnt = labeled("step3.5: delete probe")(deleted.count())
+      if (cnt > 0)
+        labeled("step3.5: tombstone append")(dest.delta.append(
+          Projection.tombstones(deleted, dest.delta.schema, ts = lit(nowTs)),
+          cfg.allowSchemaDrift))
+      cnt
+    } finally deleted.unpersist(blocking = false)
   }
 
   /** The J1×3 + U1 latest-pk union (reference db_to_delta.py:289-460):
@@ -615,16 +662,20 @@ final class Synchronizer(
       Option(local.deltaMax).map(v => srcProjected.filter(col(dc) > lit(v))).getOrElse(srcProjected),
       isDeleted = false, isFullLoad = false, ts = lit(nowTs))
     val obsIns = org.apache.spark.sql.Observation()
-    dest.delta1.overwrite(updates.observe(obsIns, count(lit(1)).as("n")))
+    labeled("simple: delta_1 write")(
+      dest.delta1.overwrite(updates.observe(obsIns, count(lit(1)).as("n"))))
     val inserts = obsIns.get("n").asInstanceOf[Long]
-    if (inserts > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
+    if (inserts > 0) labeled("simple: history append")(
+      dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift))
     dest.delta2.overwriteEmpty(dest.delta1.schema)
     // merge (delta_2 ∪ delta_1∖delta_2) into latest_pk_version on pks (K3)
-    dest.latestPkVersion.merge(latestPkQuery(scala.None, includeSnapshot = false),
-      targetPks, cfg.allowSchemaDrift)
+    labeled("simple: latest_pk merge")(
+      dest.latestPkVersion.merge(latestPkQuery(scala.None, includeSnapshot = false),
+        targetPks, cfg.allowSchemaDrift))
 
     if (check) {
-      val targetCount = dest.latestPkVersion.read().count()
+      val targetCount = labeled("simple: check count")(
+        dest.latestPkVersion.read().count())
       if (targetCount != src.count) return deltaLoad() // full algorithm repair
     }
     LoadResult.DeltaLoad(inserts, 0L, 0L, dirty = false)
@@ -637,7 +688,7 @@ final class Synchronizer(
   def appendInserts(): LoadResult = {
     val dcName = targetDelta.getOrElse(
       throw new IllegalArgumentException("append_inserts requires a delta column or identity pk"))
-    val localMax = {
+    val localMax = labeled("append: local watermark probe") {
       val t = if (dest.primaryKeysTs.exists) dest.primaryKeysTs.read() else dest.delta.read()
       t.agg(max(col(dcName))).head().get(0)
     }
@@ -645,9 +696,11 @@ final class Synchronizer(
       Option(localMax).map(v => srcProjected.filter(col(dcName) > lit(v))).getOrElse(srcProjected),
       isDeleted = false, isFullLoad = false, ts = lit(nowTs))
     val obsIns = org.apache.spark.sql.Observation()
-    dest.delta1.overwrite(updates.observe(obsIns, count(lit(1)).as("n")))
+    labeled("append: delta_1 write")(
+      dest.delta1.overwrite(updates.observe(obsIns, count(lit(1)).as("n"))))
     val n = obsIns.get("n").asInstanceOf[Long]
-    if (n > 0) dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift)
+    if (n > 0) labeled("append: history append")(
+      dest.delta.append(dest.delta1.read(), cfg.allowSchemaDrift))
     LoadResult.AppendOnly(n)
   }
 
@@ -657,8 +710,21 @@ final class Synchronizer(
     * restore_pk.py:16-228): latest full-load snapshot ∪ row_number-deduped
     * post-full-load changes, minus deletes. Returns false when no full load
     * exists. */
-  def restoreLastPk(): Boolean = {
+  def restoreLastPk(): Boolean = labeled("restore: latest_pk from history") {
     recomputeLastPk() match {
+      case Some(df) if !dest.latestPkVersion.exists =>
+        // the engine path (snapshot missing): ONE action — the row count
+        // rides the overwrite as an Observation. The previous isEmpty
+        // probe executed the entire restore window query once and the
+        // overwrite then executed it again (two full history passes at
+        // scale); on the empty corner (all rows deleted) the just-created
+        // table is dropped, restoring the not-exists state the old
+        // no-write path preserved.
+        val obs = org.apache.spark.sql.Observation()
+        dest.latestPkVersion.overwrite(
+          df.observe(obs, count(lit(1)).as("n")))
+        if (obs.get("n").asInstanceOf[Long] > 0L) true
+        else { dest.latestPkVersion.dropTable(); false }
       case Some(df) if !df.isEmpty => dest.latestPkVersion.overwrite(df); true
       case _ => false
     }
@@ -673,8 +739,9 @@ final class Synchronizer(
     // every dir before the last full load without listing it — on a
     // years-of-hourly-syncs table this scans the post-full tail, not the
     // whole history
-    val fullTs = dest.delta.readWhere(col(SystemCols.isFullLoad))
-      .agg(max(col(SystemCols.timestamp))).head().get(0)
+    val fullTs = labeled("restore: last-full-load probe")(
+      dest.delta.readWhere(col(SystemCols.isFullLoad))
+        .agg(max(col(SystemCols.timestamp))).head().get(0))
     if (fullTs == null) return scala.None
     val lastFull = dest.delta.readWhere(
       col(SystemCols.isFullLoad) && col(SystemCols.timestamp) === lit(fullTs))

@@ -11,7 +11,13 @@ import org.apache.spark.sql.SparkSession
   */
 object JobTrace {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length < 2) {
+      // r16 ADVICE: one-arg invocation used to take the default sfDir then
+      // throw ArrayIndexOutOfBoundsException — print usage instead
+      System.err.println("usage: JobTrace <sfDir> <query>")
+      sys.exit(2)
+    }
+    val sfDir = args(0)
     val name = args(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -26,14 +32,18 @@ object JobTrace {
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        // the graft callsite: first stack frame inside graft.* from the
-        // final stage's details (callSite.short is not in job properties
-        // on this build)
-        val det = j.stageInfos.lastOption.map(_.details).getOrElse("")
-        val site = det.split('\n')
-          .find(l => l.contains("graft.") && !l.contains("JobTrace"))
-          .map(_.trim).getOrElse(
-            det.split('\n').headOption.map(_.trim).getOrElse("?"))
+        // best attribution first: the job description (the engine labels
+        // its steps per guide §1.5); else the first graft.* stack frame
+        // from ANY stage's details (async/command execution hides the
+        // caller from the final stage's callsite)
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        val site = desc.getOrElse {
+          val lines = j.stageInfos.flatMap(_.details.split('\n'))
+          lines.find(l => l.contains("graft.") && !l.contains("JobTrace"))
+            .map(_.trim)
+            .getOrElse(lines.headOption.map(_.trim).getOrElse("?"))
+        }
         val tasks = j.stageInfos.map(_.numTasks).sum
         starts.put(j.jobId, (System.nanoTime(), site, tasks))
       }
