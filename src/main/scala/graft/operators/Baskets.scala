@@ -37,9 +37,10 @@ object Baskets {
     * out. */
   def cooccurrence(
       df: DataFrame, basketCol: String, itemCol: String,
-      minPairCount: Long = 2L, maxBasketSize: Int = 256): DataFrame = {
+      minPairCount: Long = 2L, maxBasketSize: Int = 256,
+      packPairKeys: Boolean = false): DataFrame = {
     val (pairs, items, totals) =
-      cooccurrenceState(df, basketCol, itemCol, maxBasketSize)
+      cooccurrenceState(df, basketCol, itemCol, maxBasketSize, packPairKeys)
     cooccurrenceOf(pairs, items, totals, minPairCount)
   }
 
@@ -54,9 +55,23 @@ object Baskets {
     * its cross-batch pairs, and the state (deliberately) does not retain
     * basket ids to check against; feed it from a basket-complete CDC
     * stream. */
+  /** `packPairKeys` — an EXPLICIT int32-ids contract flag (guide §2.3,
+    * narrower shuffle keys): when the caller can promise every item id
+    * fits an unsigned 32-bit value (0 ≤ id < 2³¹), the basket self-join
+    * carries the item as an INT instead of a LONG and the pair aggregate
+    * shuffles ONE packed long key (item_a·2³² | item_b) instead of two
+    * long columns — about a third off the pair-agg shuffle bytes, the
+    * engine's largest shuffle per input byte. The contract is enforced
+    * IN-PLAN: an id outside [0, 2³¹) refuses loudly (raise_error) before
+    * any pair forms — never silent corruption. Output is bit-identical to
+    * the unpacked path (the packing is a bijection on in-contract pairs;
+    * unpacked values cast back to the item column's type). Default OFF:
+    * arbitrary (negative, 64-bit, non-integral) ids take the general
+    * path. */
   def cooccurrenceState(
       df: DataFrame, basketCol: String, itemCol: String,
-      maxBasketSize: Int = 256): (DataFrame, DataFrame, DataFrame) = {
+      maxBasketSize: Int = 256,
+      packPairKeys: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     require(maxBasketSize >= 2 && maxBasketSize <= 65536,
       s"maxBasketSize must be in [2, 65536], got $maxBasketSize")
     require(!df.columns.exists(_.startsWith("__")),
@@ -82,12 +97,40 @@ object Baskets {
     val totals = bi.select(col("__b")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val items = bi.groupBy(col("__i").as("item")).agg(count(lit(1)).as("cnt"))
-    val a = sized.select(col("__b"), col("__i").as("item_a"))
-    val b = sized.select(col("__b"), col("__i").as("item_b"))
-    val pairs = a.join(b, Seq("__b"))
-      .filter(col("item_a") < col("item_b"))
-      .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).as("cnt"))
+    val pairs = if (!packPairKeys) {
+      val a = sized.select(col("__b"), col("__i").as("item_a"))
+      val b = sized.select(col("__b"), col("__i").as("item_b"))
+      a.join(b, Seq("__b"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("cnt"))
+    } else {
+      val itemType = sized.schema("__i").dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(itemType),
+        s"packPairKeys requires an integral item column, got ${itemType.simpleString}")
+      // in-plan contract guard: never a silent wrong pair — an id outside
+      // unsigned int32 refuses before the join can fan it out
+      val g = when(col("__i").cast("long") < 0L ||
+          col("__i").cast("long") >= (1L << 31),
+        raise_error(concat(
+          lit("graft baskets: packPairKeys requires item ids in [0, 2^31); got "),
+          col("__i").cast("string"))))
+        .otherwise(col("__i").cast("int"))
+      val packed = sized.select(col("__b"), g.as("__ii"))
+      val a = packed.select(col("__b"), col("__ii").as("ia"))
+      val b = packed.select(col("__b"), col("__ii").as("ib"))
+      a.join(b, Seq("__b"))
+        .filter(col("ia") < col("ib"))
+        .select(shiftleft(col("ia").cast("long"), 32)
+          .bitwiseOR(col("ib").cast("long")).as("__pk"))
+        .groupBy("__pk").agg(count(lit(1)).as("cnt"))
+        .select(shiftright(col("__pk"), 32).cast(itemType).as("item_a"),
+          col("__pk").bitwiseAND(lit(0xFFFFFFFFL)).cast(itemType).as("item_b"),
+          col("cnt"))
+    }
     (pairs, items, totals)
   }
 

@@ -625,9 +625,13 @@ private[queries] object CatalogRelational {
     // basket-keyed self-equi-join (never cartesian; oversized baskets
     // refuse before the quadratic fan-out), item counts broadcast back
     Q("basket_cooccurrence",
+      // packPairKeys: l_partkey is a catalog-bounded positive id (fits
+      // unsigned int32 at any TPC-H scale factor in this harness); the
+      // in-plan guard refuses loudly if that ever stops holding, and the
+      // packed path's output is bit-identical (same oracle hash)
       (s, d) => graft.operators.Baskets.cooccurrence(
         t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-        "l_orderkey", "l_partkey", minPairCount = 2L),
+        "l_orderkey", "l_partkey", minPairCount = 2L, packPairKeys = true),
       Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
           FROM lineitem),
         n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM bi),

@@ -67,6 +67,47 @@ class BasketsSpec extends SparkSuite {
     assert(ok.count() > 0)
   }
 
+  test("packPairKeys: packed path ≡ unpacked on int64 ids; contract refuses loudly") {
+    // integral-id corpus (the packed path's domain); includes ids at the
+    // unsigned-int32 EDGE (0 and 2^31 - 1) to pin the pack/unpack bijection
+    val edge = (1L << 31) - 1L
+    val intBaskets = Seq(
+      (1L, 7L), (1L, 9L), (1L, edge),
+      (2L, 7L), (2L, 9L), (2L, 0L),
+      (3L, 0L), (3L, 7L), (3L, edge),
+      (4L, 9L)).toDF("b", "i")
+    val packed = Baskets.cooccurrence(intBaskets, "b", "i", 1L,
+      packPairKeys = true).collect().map(_.toSeq).toSet
+    val unpacked = Baskets.cooccurrence(intBaskets, "b", "i", 1L,
+      packPairKeys = false).collect().map(_.toSeq).toSet
+    assert(packed == unpacked, s"packed $packed != unpacked $unpacked")
+    assert(packed.nonEmpty)
+    // schemas must be byte-compatible (same names, same types)
+    assert(Baskets.cooccurrence(intBaskets, "b", "i", 1L, packPairKeys = true)
+      .schema == Baskets.cooccurrence(intBaskets, "b", "i", 1L).schema)
+
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // id >= 2^31 refuses IN-PLAN before any pair can form
+    val tooBig = intBaskets.unionByName(Seq((1L, 1L << 31)).toDF("b", "i"))
+    val e1 = intercept[Exception] {
+      Baskets.cooccurrence(tooBig, "b", "i", 1L, packPairKeys = true).collect()
+    }
+    assert(msgs(e1).exists(_.contains("packPairKeys")), msgs(e1).mkString("|"))
+    // negative ids refuse the same way
+    val neg = intBaskets.unionByName(Seq((1L, -5L)).toDF("b", "i"))
+    val e2 = intercept[Exception] {
+      Baskets.cooccurrence(neg, "b", "i", 1L, packPairKeys = true).collect()
+    }
+    assert(msgs(e2).exists(_.contains("packPairKeys")), msgs(e2).mkString("|"))
+    // non-integral item columns refuse at plan time
+    val e3 = intercept[IllegalArgumentException] {
+      Baskets.cooccurrence(baskets, "b", "i", 1L, packPairKeys = true).collect()
+    }
+    assert(e3.getMessage.contains("integral"))
+  }
+
   test("persisted state: fold-through-parquet ≡ one-shot; counts add per key") {
     val root = java.nio.file.Files.createTempDirectory("bsk-spec")
     try {
