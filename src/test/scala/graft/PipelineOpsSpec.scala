@@ -952,6 +952,37 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("pageRankX1e9: long runs bound live round caches and stay exact across flushes") {
+    // r16 verdict item 10 (eviction audit): the lazy per-round persists
+    // would otherwise accumulate one cached relation per round for the
+    // whole run; the flush every 8 rounds materializes the current round
+    // and releases the dead ones. 20 iters crosses two flush boundaries,
+    // so this also pins that the flush does not perturb the recurrence.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+    val iters = 20
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var ref = nodes.map(_ -> 1000000000L).toMap
+    (1 to iters).foreach { _ =>
+      val mass = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s, d) =>
+        mass(d) += ref(s) * 85L / (100L * outdeg(s))
+      }
+      ref = nodes.map(id => id -> (150000000L + mass(id))).toMap
+    }
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Graph.pageRankX1e9(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // 3 loop invariants (edges, nodes, outdeg) + the rounds since the last
+    // flush (20 % 8 = 4, plus the flushed round itself) — far below the
+    // iters + 4 = 24 the unbounded lazy chain held live
+    assert(fresh.size <= 12,
+      s"expected bounded live round caches, got ${fresh.size} new persistent RDDs")
+    Dedup.releaseIntermediates()
+  }
+
   test("bm25TopK: randomized corpora equal a driver-side reference") {
     val rnd = new scala.util.Random(17)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")

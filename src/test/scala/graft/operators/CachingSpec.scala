@@ -41,4 +41,22 @@ class CachingSpec extends SparkSuite {
     val repart = b.repartition(7)
     assert(!Caching.probeSafe(repart))
   }
+
+  test("intermediateStorage NONE is rejected (persist is a correctness device)") {
+    val prev = spark.conf.getOption("spark.graft.intermediateStorage")
+    spark.conf.set("spark.graft.intermediateStorage", "NONE")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Caching.spillPersist((0L until 10L).toDF("id"))
+      }
+      assert(e.getMessage.contains("NONE"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.intermediateStorage", v)
+      case None => spark.conf.unset("spark.graft.intermediateStorage")
+    }
+    // a real level still works and is released cleanly
+    val p = Caching.spillPersist((0L until 10L).toDF("id"))
+    assert(p.count() == 10L)
+    Caching.release()
+  }
 }
